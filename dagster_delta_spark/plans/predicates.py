@@ -1,0 +1,255 @@
+"""Partition-predicate mini-compiler (reference §2.4, P1-P6).
+
+Compiles partition dimensions into DNF conjunctions and lowers them to
+two dialects:
+
+- a PySpark ``Column`` expression (read path — Catalyst pushes it into
+  the parquet scan; our table layer additionally uses it for
+  driver-side file pruning against logged partition values), and
+- a SQL predicate string (write path ``replaceWhere`` semantics and
+  MERGE-condition narrowing; also rendered in DuckDB-compatible form
+  for oracles).
+
+Reference behaviors re-expressed (dd/dagster_delta/handler.py):
+
+- ``partition_dimensions_to_dnf``  handler.py:350-394
+- ``_time_window_partition_dnf``   handler.py:442-480
+- ``_value_dnf``                   handler.py:397-439
+- ``_create_predicate``            handler.py:47-67
+- date formats                     io_manager.py:30-31
+
+Differences by design: datetimes are rendered as typed
+``TIMESTAMP '...'`` literals instead of µs-epoch ints (the reference's
+epoch form exists only because of a delta-rs parser quirk), and the
+read path uses ``Column`` expressions rather than pyarrow compute.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+from typing import Any, Optional, Sequence, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DataType,
+    DateType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+from .slices import TablePartitionDimension, TimeWindow
+
+DELTA_DATETIME_FORMAT = "%Y-%m-%d %H:%M:%S"  # reference io_manager.py:30
+DELTA_DATE_FORMAT = "%Y-%m-%d"  # reference io_manager.py:31
+
+# DNF conjunct: (column, op, value); op in {"=", "in", ">=", "<"}
+DnfFilter = tuple[str, str, Any]
+
+
+def _strip_tz(dt: datetime) -> datetime:
+    """tz-strip (reference handler.py:450-458)."""
+    return dt.replace(tzinfo=None) if dt.tzinfo is not None else dt
+
+
+def _is_integer(dtype: DataType) -> bool:
+    return isinstance(dtype, (IntegerType, LongType, ShortType))
+
+
+def partition_dimensions_to_dnf(
+    partition_dimensions: Sequence[TablePartitionDimension],
+    schema: StructType,
+    *,
+    input_dnf: bool = False,
+    date_formats: Optional[dict[str, str]] = None,
+) -> Optional[list[DnfFilter]]:
+    """Partition dimensions -> DNF conjunction (reference P1,
+    handler.py:350-394).
+
+    ``input_dnf=True`` gives read/range semantics for time windows
+    (half-open ``[start, end)``); the write path pins a single
+    partition value per window start.  Validates the partition column
+    exists and has an allowed type (timestamp/date/string/integer
+    only — reference handler.py:366-392).
+    """
+    parts: list[DnfFilter] = []
+    fields = {f.name: f.dataType for f in schema.fields}
+    for dim in partition_dimensions:
+        if dim.partition_expr not in fields:
+            raise ValueError(
+                f"partition column {dim.partition_expr!r} not in schema "
+                f"{sorted(fields)}"
+            )
+        dtype = fields[dim.partition_expr]
+        fmt = (date_formats or {}).get(dim.partition_expr)
+        if isinstance(dtype, (TimestampType, DateType)):
+            conj = _time_window_partition_dnf(dim, dtype, input_dnf=input_dnf)
+            parts.extend(conj if isinstance(conj, list) else [conj])
+        elif isinstance(dtype, StringType) or _is_integer(dtype):
+            parts.append(_value_dnf(dim, dtype, fmt))
+        else:
+            raise ValueError(
+                f"partition column {dim.partition_expr!r} has unsupported "
+                f"type {dtype.simpleString()}; allowed: timestamp, date, "
+                "string, integer"
+            )
+    return parts or None
+
+
+def _windows_of(dim: TablePartitionDimension) -> list[TimeWindow]:
+    p = dim.partitions
+    if isinstance(p, TimeWindow):
+        return [p]
+    return [w for w in p if isinstance(w, TimeWindow)]  # type: ignore[union-attr]
+
+
+def _time_window_partition_dnf(
+    dim: TablePartitionDimension,
+    dtype: DataType,
+    *,
+    input_dnf: bool,
+) -> Union[DnfFilter, list[DnfFilter]]:
+    """TimeWindow(s) -> DNF (reference P2, handler.py:442-480).
+
+    Multiple windows collapse to ``[min(start), max(end))``; write path
+    emits ``(col, "=", start)``; read path the half-open range.
+    """
+    windows = _windows_of(dim)
+    if not windows:
+        raise ValueError(f"no time windows for partition {dim.partition_expr!r}")
+    start = _strip_tz(min(w.start for w in windows))
+    end = _strip_tz(max(w.end for w in windows))
+    if isinstance(dtype, DateType):
+        start_v: Any = start.date()
+        end_v: Any = end.date()
+    else:
+        start_v, end_v = start, end
+    if input_dnf:
+        return [(dim.partition_expr, ">=", start_v), (dim.partition_expr, "<", end_v)]
+    return (dim.partition_expr, "=", start_v)
+
+
+def _value_dnf(
+    dim: TablePartitionDimension,
+    dtype: DataType,
+    fmt: Optional[str],
+) -> DnfFilter:
+    """Static keys -> ``in``/``=`` DNF (reference P3, handler.py:397-439).
+
+    TimeWindows against string/int partition columns are formatted via
+    the partition definition's ``fmt`` (and cast to int for integer
+    columns — reference handler.py:425-427).  Static keys are deduped
+    (handler.py:435).
+    """
+    windows = _windows_of(dim)
+    if windows:
+        if fmt is None:
+            fmt = DELTA_DATE_FORMAT
+        values: list[Any] = []
+        for w in windows:
+            v: Any = _strip_tz(w.start).strftime(fmt)
+            if _is_integer(dtype):
+                v = int(v)
+            values.append(v)
+    else:
+        values = list(dim.partitions)  # type: ignore[arg-type]
+        if _is_integer(dtype):
+            values = [int(v) for v in values]
+    uniq = sorted(set(values), key=str)
+    if len(uniq) == 1:
+        return (dim.partition_expr, "=", uniq[0])
+    return (dim.partition_expr, "in", uniq)
+
+
+# ---------------------------------------------------------------------------
+# Lowering: DNF -> Spark Column / SQL string
+# ---------------------------------------------------------------------------
+
+
+def dnf_to_column(dnf: Sequence[DnfFilter]) -> Column:
+    """DNF -> PySpark ``Column`` (replaces reference P5
+    ``filters_to_expression``, handler.py:543-544).  Catalyst pushes
+    the resulting predicate into the file scan."""
+    col: Optional[Column] = None
+    for name, op, value in dnf:
+        c = F.col(name)
+        if op == "=":
+            expr = c == F.lit(value)
+        elif op == "in":
+            expr = c.isin(list(value))
+        elif op == ">=":
+            expr = c >= F.lit(value)
+        elif op == "<":
+            expr = c < F.lit(value)
+        else:
+            raise ValueError(f"unsupported DNF op {op!r}")
+        col = expr if col is None else (col & expr)
+    if col is None:
+        raise ValueError("empty DNF")
+    return col
+
+
+def _sql_literal(value: Any, dialect: str = "spark") -> str:
+    """Literal rendering (reference P4 ``_create_predicate``,
+    handler.py:47-67) with typed datetime literals instead of µs
+    epoch ints."""
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return str(value)
+    if isinstance(value, datetime):
+        return f"TIMESTAMP '{_strip_tz(value).strftime(DELTA_DATETIME_FORMAT)}'"
+    if isinstance(value, date):
+        return f"DATE '{value.strftime(DELTA_DATE_FORMAT)}'"
+    if isinstance(value, str):
+        escaped = value.replace("'", "''")
+        return f"'{escaped}'"
+    raise TypeError(f"cannot render SQL literal for {type(value)!r}")
+
+
+def dnf_to_sql(
+    dnf: Sequence[DnfFilter], *, qualifier: str = "", dialect: str = "spark"
+) -> str:
+    """DNF -> SQL predicate string (reference P4/P7): used for
+    ``replaceWhere``-style overwrite scoping and MERGE-condition
+    narrowing (M5, handler.py:92-98)."""
+    parts = []
+    q = f"{qualifier}." if qualifier else ""
+    for name, op, value in dnf:
+        if op == "in":
+            lits = ", ".join(_sql_literal(v, dialect) for v in value)
+            parts.append(f"{q}{name} IN ({lits})")
+        else:
+            parts.append(f"{q}{name} {op} {_sql_literal(value, dialect)}")
+    return " AND ".join(parts)
+
+
+def get_select_statement(
+    table: str,
+    schema: str,
+    columns: Optional[Sequence[str]],
+    dnf: Optional[Sequence[DnfFilter]],
+) -> str:
+    """Illustrative SELECT (reference P7, io_manager.py:234-244) —
+    documents slice semantics; our read path executes the equivalent
+    DataFrame plan."""
+    cols = ", ".join(columns) if columns else "*"
+    name = f"{schema}.{table}" if schema else table
+    stmt = f"SELECT {cols} FROM {name}"
+    if dnf:
+        stmt += f" WHERE {dnf_to_sql(dnf)}"
+    return stmt
+
+
+def extract_date_format_from_partition_definition(
+    fmt_by_column: Optional[dict[str, str]],
+) -> Optional[dict[str, str]]:
+    """P6 analogue (reference handler.py:554-597): in the reference
+    this digs the ``fmt`` out of (nested) Dagster partition
+    definitions; orchestrator-free, we accept the already-extracted
+    ``{column: strftime_format}`` mapping and pass it through."""
+    return fmt_by_column or None
