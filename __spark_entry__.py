@@ -1,38 +1,612 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as
+a (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` carries the
+DuckDB-equivalent SQL the driver cross-checks at sf=0.01.  Write-path
+operators (W/M/O/P series) materialize scratch tables under /tmp via
+the engine's own transactional table layer and return the final state
+for comparison against a relational oracle of the same end state.
 """
 
 from __future__ import annotations
 
+import tempfile
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dagster_delta_spark import (
+    DeltaSparkTable,
+    MergeConfig,
+    MergeType,
+    WriteMode,
+)
+from dagster_delta_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textops,
+)
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) — kept in sync with the Spark
+# expressions in operators/textops.py and operators/dedup.py
+# ---------------------------------------------------------------------------
+
+_TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_STOPS_EN = "'the', 'a', 'of', 'and', 'is', 'to', 'in'"
+
+
+def _scratch(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"dds-{prefix}-") + "/t"
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+# ---------------------------------------------------------------------------
+# write-path operators (scratch tables through the engine's table layer)
+# ---------------------------------------------------------------------------
+
+
+def w1_error_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: fresh write in error mode, read back (errors on re-write are
+    unit-tested; here the oracle checks the written state)."""
+    t = DeltaSparkTable(spark, _scratch("w1"))
+    t.write(_orders(spark, sf_dir).where("o_orderstatus = 'F'"), WriteMode.error)
+    return t.read()
+
+
+def w2_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = DeltaSparkTable(spark, _scratch("w2"))
+    orders = _orders(spark, sf_dir)
+    t.write(orders.where("o_orderstatus = 'F'"), WriteMode.error)
+    t.write(orders.where("o_orderstatus = 'O'"), WriteMode.append)
+    return t.read()
+
+
+def w3_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/O1: overwrite only partition 'F'; other partitions survive."""
+    t = DeltaSparkTable(spark, _scratch("w3"))
+    orders = _orders(spark, sf_dir)
+    t.write(orders, WriteMode.overwrite, partition_columns=["o_orderstatus"])
+    replacement = orders.where("o_orderstatus = 'F'").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 5000.0
+    )
+    t.write(replacement, WriteMode.overwrite,
+            partition_dnf=[("o_orderstatus", "=", "F")])
+    return t.read()
+
+
+def w4_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: second write is a no-op; version pins at 0."""
+    t = DeltaSparkTable(spark, _scratch("w4"))
+    orders = _orders(spark, sf_dir)
+    t.write(orders.where("o_orderstatus = 'F'"), WriteMode.error)
+    t.write(orders.where("o_orderstatus = 'O'"), WriteMode.ignore)
+    assert t.version() == 0
+    return t.read()
+
+
+def w5_create_or_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: schema-only recreate — table ends empty with the new schema."""
+    t = DeltaSparkTable(spark, _scratch("w5"))
+    orders = _orders(spark, sf_dir)
+    t.write(orders.where("o_orderstatus = 'F'"), WriteMode.error)
+    t.write(orders, WriteMode.create_or_replace)
+    return t.read()
+
+
+def _merge_fixture(spark: SparkSession, sf_dir: str):
+    orders = _orders(spark, sf_dir)
+    target = orders.where("o_orderkey % 2 = 0")
+    source = orders.where("o_orderkey % 3 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    return target, source
+
+
+def _run_merge(spark, sf_dir, merge_type: MergeType) -> DataFrame:
+    target, source = _merge_fixture(spark, sf_dir)
+    t = DeltaSparkTable(spark, _scratch(f"m-{merge_type.value}"))
+    t.write(target, WriteMode.error)
+    t.merge(source, MergeConfig(merge_type, predicate="s.o_orderkey = t.o_orderkey"))
+    return t.read()
+
+
+def m1_update_only(spark, sf_dir):
+    return _run_merge(spark, sf_dir, MergeType.update_only)
+
+
+def m2_dedup_insert(spark, sf_dir):
+    return _run_merge(spark, sf_dir, MergeType.deduplicate_insert)
+
+
+def m3_upsert(spark, sf_dir):
+    return _run_merge(spark, sf_dir, MergeType.upsert)
+
+
+def m4_replace_delete(spark, sf_dir):
+    return _run_merge(spark, sf_dir, MergeType.replace_delete_unmatched)
+
+
+def s3_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: version=0 read returns pre-append contents (reference
+    resource contract, test_delta_table_resource.py:39-71)."""
+    t = DeltaSparkTable(spark, _scratch("s3"))
+    orders = _orders(spark, sf_dir)
+    t.write(orders.where("o_orderstatus = 'F'"), WriteMode.error)
+    t.write(orders.where("o_orderstatus = 'O'"), WriteMode.append)
+    return t.read(version=0)
+
+
+def p2_timewindow_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: half-open time-window input read on a date-partitioned
+    table — the range DNF prunes partitions driver-side."""
+    from datetime import datetime
+
+    from dagster_delta_spark import TablePartitionDimension, TimeWindow
+    from dagster_delta_spark.plans.predicates import partition_dimensions_to_dnf
+
+    ev = relational.load_events(spark, sf_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    t = DeltaSparkTable(spark, _scratch("p2"))
+    t.write(ev, WriteMode.error, partition_columns=["event_date"])
+    dims = [TablePartitionDimension(
+        "event_date",
+        TimeWindow(datetime(2024, 1, 5), datetime(2024, 1, 10)),
+    )]
+    dnf = partition_dimensions_to_dnf(dims, t.schema(), input_dnf=True)
+    return t.read(dnf=dnf)
+
+
+def pj1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PJ1: column-pruned load."""
+    t = DeltaSparkTable(spark, _scratch("pj1"))
+    t.write(_orders(spark, sf_dir), WriteMode.error)
+    return t.read(columns=["o_orderkey", "o_totalprice"])
+
+
+def o3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: log-scoped stats (row count from add-actions, zero data
+    read), returned as a 1-row frame."""
+    t = DeltaSparkTable(spark, _scratch("o3"))
+    t.write(_orders(spark, sf_dir), WriteMode.error,
+            partition_columns=["o_orderstatus"])
+    st = t.partition_stats([("o_orderstatus", "=", "F")])
+    return spark.createDataFrame([(st["row_count"],)], "row_count bigint")
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_near_dups(spark, sf_dir)
+
+
+def simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_dups(spark, sf_dir)
+
+
+def ann_lsh(spark, sf_dir):
+    return similarity.lsh_ann_topk(spark, sf_dir)
+
+
+def mm_features(spark, sf_dir):
+    return multimodal.multimodal_features(spark, sf_dir)
+
+
+def streaming_rollup(spark, sf_dir):
+    from dagster_delta_spark.streaming import run_hourly_rollup_once
+
+    return run_hourly_rollup_once(
+        spark, sf_dir, table_name=f"rollup_{uuid.uuid4().hex[:8]}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return relational.q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational surface (SURVEY §2.6-2.8: engine-provided compute)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "topk_window": relational.top_orders_per_status,
+        "events_hourly_rollup": relational.events_hourly_rollup,
+        "events_sessionize": relational.events_sessionize,
+        "order_lineitem_rollup": relational.order_lineitem_rollup,
+        # write modes / merge / pruning / projection / stats (SURVEY §2.2-2.5, §2.11)
+        "w1_error_roundtrip": w1_error_roundtrip,
+        "w2_append": w2_append,
+        "w3_partition_overwrite": w3_partition_overwrite,
+        "w4_ignore": w4_ignore,
+        "w5_create_or_replace": w5_create_or_replace,
+        "m1_update_only": m1_update_only,
+        "m2_dedup_insert": m2_dedup_insert,
+        "m3_upsert": m3_upsert,
+        "m4_replace_delete": m4_replace_delete,
+        "s3_time_travel": s3_time_travel,
+        "p2_timewindow_read": p2_timewindow_read,
+        "pj1_projection": pj1_projection,
+        "o3_stats": o3_stats,
+        # text analysis
+        "token_stats": textops.token_stats,
+        "text_quality": textops.text_quality,
+        "lang_id": textops.lang_id,
+        "fingerprint": textops.fingerprint,
+        "source_summary": textops.source_summary,
+        # dedup
+        "dedup_exact": dedup.dedup_exact,
+        "near_dup_jaccard": dedup.near_dup_jaccard,
+        "minhash_lsh_near_dups": minhash_lsh,
+        "simhash_near_dups": simhash_pairs,
+        # similarity search
+        "cosine_topk": similarity.cosine_topk,
+        "embedding_near_dups": similarity.embedding_near_dups,
+        "label_centroid_dims": _label_centroid_dims,
+        "ann_lsh_topk": ann_lsh,
+        # multimodal
+        "multimodal_metadata": multimodal.multimodal_metadata,
+        "multimodal_features": mm_features,
+        # streaming (batch twin `events_hourly_rollup` carries the oracle)
+        "streaming_hourly_rollup": streaming_rollup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension embedding means (exploded centroid —
+    the oracle-friendly shape of similarity.label_centroids)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("mean_v"), F.count(F.lit(1)).alias("n"))
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    norm = (
+        "sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    merge_updated = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority "
+        "FROM orders"
+    )
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_extendedprice) AS avg_price,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n.n_name,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+                         AND s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, n.n_name ASC
+        """,
+        "q6_forecast_revenue": """
+            SELECT sum(l_extendedprice * l_discount) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "topk_window": """
+            SELECT o_orderstatus, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+            FROM (
+                SELECT o_orderstatus, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "events_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(value) AS sum_value,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                  FROM events) events
+            GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                      FROM events) events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts, value,
+                       CAST(sum(new_session) OVER (PARTITION BY user_id
+                                                   ORDER BY ts
+                                                   ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   sum(value) AS sum_value
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        "order_lineitem_rollup": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o.o_orderstatus,
+                   count(*) AS n_orders,
+                   sum(coalesce(p.rev, 0.0)) AS total_revenue,
+                   avg(o.o_totalprice) AS avg_totalprice
+            FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+            GROUP BY o.o_orderstatus
+        """,
+        # write-path end states
+        "w1_error_roundtrip": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+        "w2_append": "SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')",
+        "w3_partition_overwrite": """
+            SELECT * FROM orders WHERE o_orderstatus <> 'F'
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 5000.0 AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "w4_ignore": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+        "w5_create_or_replace": "SELECT * FROM orders WHERE 1 = 0",
+        "m1_update_only": f"""
+            {merge_updated} WHERE o_orderkey % 6 = 0
+            UNION ALL
+            SELECT * FROM orders
+            WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        """,
+        "m2_dedup_insert": f"""
+            SELECT * FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            {merge_updated.replace('FROM orders', 'FROM orders')}
+            WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+        """,
+        "m3_upsert": f"""
+            {merge_updated} WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT * FROM orders
+            WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        """,
+        "m4_replace_delete": f"{merge_updated} WHERE o_orderkey % 6 = 0",
+        "s3_time_travel": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+        "p2_timewindow_read": """
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   CAST(ts AS DATE) AS event_date
+            FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                  FROM events) events
+            WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
+              AND CAST(ts AS DATE) < DATE '2024-01-10'
+        """,
+        "pj1_projection": "SELECT o_orderkey, o_totalprice FROM orders",
+        "o3_stats": """
+            SELECT count(*) AS row_count FROM orders WHERE o_orderstatus = 'F'
+        """,
+        # text analysis
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_pieces,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_TOK} AS toks,
+                       length(text) AS n_chars
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(len(list_filter(toks, x -> x IN ({_STOPS_EN})))
+                            AS DOUBLE) / greatest(len(toks), 1) AS stopword_ratio,
+                       CAST(n_chars - length(regexp_replace(text,
+                            '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                           / greatest(n_chars, 1) AS punct_ratio,
+                       CAST(list_sum(list_transform(toks, x -> length(x)))
+                            AS DOUBLE) / greatest(len(toks), 1) AS avg_token_len
+                FROM t
+            )
+            SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, avg_token_len,
+                   least(n_tokens / 100.0, 1.0) * 0.4
+                   + stopword_ratio * 0.3
+                   + (1 - punct_ratio) * 0.2
+                   + least(avg_token_len / 8.0, 1.0) * 0.1 AS quality_score
+            FROM m
+        """,
+        "lang_id": _lang_id_oracle(),
+        "fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fp,
+                   substring(md5({_NORM}), 1, 8) AS fp_bucket
+            FROM documents
+        """,
+        "source_summary": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens,
+                   avg(CAST(length(text) AS DOUBLE)) AS avg_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source
+        """,
+        # dedup
+        "dedup_exact": f"""
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY md5({_NORM})
+        """,
+        "near_dup_jaccard": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                           ELSE [] END) AS shingles
+                FROM t
+            ), sized AS (
+                SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh
+                WHERE len(shingles) > 0
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sized
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.doc_a, i.doc_b, i.n_common,
+                   CAST(i.n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+            FROM inter i
+            JOIN sized sa ON i.doc_a = sa.doc_id
+            JOIN sized sb ON i.doc_b = sb.doc_id
+            WHERE CAST(i.n_common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - i.n_common) >= 0.4
+        """,
+        # similarity
+        "cosine_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS q_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.q_id, e.vec_id,
+                       ({dot.format(a='q.q_emb', b='e.embedding')})
+                       / (({norm.format(a='q.q_emb')})
+                          * ({norm.format(a='e.embedding')})) AS cosine
+                FROM q, embeddings e WHERE e.vec_id <> q.q_id
+            )
+            SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cosine DESC,
+                                                      vec_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "embedding_near_dups": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ({dot.format(a='a.embedding', b='b.embedding')})
+                   / (({norm.format(a='a.embedding')})
+                      * ({norm.format(a='b.embedding')})) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND ({dot.format(a='a.embedding', b='b.embedding')})
+                  / (({norm.format(a='a.embedding')})
+                     * ({norm.format(a='b.embedding')})) >= 0.99
+        """,
+        "label_centroid_dims": """
+            WITH exploded AS (
+                SELECT label,
+                       CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+                       unnest(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE))) AS v
+                FROM embeddings
+            )
+            SELECT label, dim, avg(v) AS mean_v, count(*) AS n
+            FROM exploded GROUP BY label, dim
+        """,
+        # multimodal metadata (plumbing contract)
+        "multimodal_metadata": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS content_sha256,
+                   'text/plain' AS media_type
+            FROM documents
+        """,
+    }
+
+
+def _lang_id_oracle() -> str:
+    scores = {
+        "en": "'the', 'a', 'of', 'and', 'is', 'to', 'in'",
+        "de": "'der', 'die', 'das', 'und', 'ist', 'zu'",
+        "es": "'el', 'la', 'los', 'de', 'es', 'y'",
+        "fr": "'le', 'la', 'les', 'des', 'est', 'et'",
+    }
+    s = {
+        lang: f"len(list_filter({_TOK}, x -> x IN ({ws})))"
+        for lang, ws in scores.items()
+    }
+    zh = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+    return f"""
+        SELECT doc_id,
+               CASE WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['es']}
+                         AND {s['en']} >= {s['fr']} AND {s['en']} >= {zh}
+                    THEN 'en'
+                    WHEN {s['de']} >= {s['es']} AND {s['de']} >= {s['fr']}
+                         AND {s['de']} >= {zh} THEN 'de'
+                    WHEN {s['es']} >= {s['fr']} AND {s['es']} >= {zh} THEN 'es'
+                    WHEN {s['fr']} >= {zh} THEN 'fr'
+                    ELSE 'zh' END AS lang_pred,
+               CAST({s['en']} AS BIGINT) AS score_en
+        FROM documents
     """
-    return {}

@@ -1,0 +1,141 @@
+"""Type handlers: convert asset outputs to/from Spark DataFrames.
+
+Reference: ``DeltalakeBaseArrowTypeHandler`` (dd/dagster_delta/
+handler.py:123-137) with pyarrow (320-347) and polars
+(ddp/deltalake_polars_type_handler.py:24-109) implementations.  The
+Spark-native currency is the lazy ``DataFrame`` (never collected in
+the core path — the 100 TB contract), with pandas/arrow handlers for
+small driver-side outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Type
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class UnsupportedTypeError(TypeError):
+    """Reference contract (dd tests test_type_handler.py:161-170):
+    'does not have a handler for type ...'."""
+
+
+class SparkTypeHandler:
+    """Abstract handler (reference U1, handler.py:123-137)."""
+
+    #: python types this handler accepts/produces
+    supported_types: tuple[Type, ...] = ()
+
+    def to_spark(self, spark: SparkSession, obj: Any) -> DataFrame:
+        raise NotImplementedError
+
+    def from_spark(self, df: DataFrame, target_type: Type) -> Any:
+        raise NotImplementedError
+
+    def get_output_stats(self, obj: Any) -> dict[str, Any]:
+        return {}
+
+
+class DataFrameTypeHandler(SparkTypeHandler):
+    """Native handler: DataFrames pass through lazily (U2 analogue)."""
+
+    supported_types = (DataFrame,)
+
+    def to_spark(self, spark: SparkSession, obj: DataFrame) -> DataFrame:
+        return obj
+
+    def from_spark(self, df: DataFrame, target_type: Type) -> DataFrame:
+        return df
+
+
+class PandasTypeHandler(SparkTypeHandler):
+    """pandas handler for small driver-side outputs (U3 analogue:
+    reference's polars handler collects LazyFrames on write,
+    ddp:42-43 — same caveat applies: only for data that fits the
+    driver)."""
+
+    def __init__(self) -> None:
+        import pandas as pd
+
+        self.supported_types = (pd.DataFrame,)
+
+    def to_spark(self, spark: SparkSession, obj: Any) -> DataFrame:
+        return spark.createDataFrame(obj)
+
+    def from_spark(self, df: DataFrame, target_type: Type) -> Any:
+        return df.toPandas()
+
+    def get_output_stats(self, obj: Any) -> dict[str, Any]:
+        # reference ddp:90-104 reports num_rows_in_source
+        return {"num_rows_in_source": int(obj.shape[0])}
+
+
+class ArrowTypeHandler(SparkTypeHandler):
+    """pyarrow Table handler (U2 analogue, handler.py:320-347)."""
+
+    def __init__(self) -> None:
+        import pyarrow as pa
+
+        self.supported_types = (pa.Table, pa.RecordBatchReader)
+
+    def to_spark(self, spark: SparkSession, obj: Any) -> DataFrame:
+        import pyarrow as pa
+
+        if isinstance(obj, pa.RecordBatchReader):
+            obj = obj.read_all()
+        return spark.createDataFrame(obj.to_pandas())
+
+    def from_spark(self, df: DataFrame, target_type: Type) -> Any:
+        import pyarrow as pa
+
+        table = pa.Table.from_pandas(df.toPandas())
+        if target_type is pa.RecordBatchReader:
+            return pa.RecordBatchReader.from_batches(
+                table.schema, table.to_batches()
+            )
+        return table
+
+    def get_output_stats(self, obj: Any) -> dict[str, Any]:
+        try:
+            return {"num_rows_in_source": int(obj.num_rows)}
+        except (AttributeError, TypeError):
+            return {}
+
+
+class HandlerRegistry:
+    """Dispatch on the asset object's python type (reference:
+    io_manager type_handlers list, io_manager.py:201-210)."""
+
+    def __init__(self, handlers: Optional[Sequence[SparkTypeHandler]] = None):
+        self.handlers: list[SparkTypeHandler] = list(handlers or [])
+        if not self.handlers:
+            self.handlers.append(DataFrameTypeHandler())
+            try:
+                self.handlers.append(PandasTypeHandler())
+            except ImportError:  # pragma: no cover
+                pass
+            try:
+                self.handlers.append(ArrowTypeHandler())
+            except ImportError:  # pragma: no cover
+                pass
+
+    def for_object(self, obj: Any) -> SparkTypeHandler:
+        for h in self.handlers:
+            if isinstance(obj, h.supported_types):
+                return h
+        raise UnsupportedTypeError(
+            f"DeltaSparkIOManager does not have a handler for type "
+            f"'{type(obj)}'. Has handlers for types "
+            f"{[t for h in self.handlers for t in h.supported_types]}"
+        )
+
+    def for_type(self, target_type: Type) -> SparkTypeHandler:
+        for h in self.handlers:
+            if target_type in h.supported_types or any(
+                issubclass(target_type, t) for t in h.supported_types
+            ):
+                return h
+        raise UnsupportedTypeError(
+            f"DeltaSparkIOManager does not have a handler for type "
+            f"'{target_type}'"
+        )

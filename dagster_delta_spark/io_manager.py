@@ -1,0 +1,234 @@
+"""Spark-native Delta I/O manager.
+
+Re-expresses the reference write/read lifecycle (SURVEY §3;
+dd/dagster_delta/io_manager.py:100-313, handler.py:139-317,
+dbiomanager_fixed.py:23-126) without requiring Dagster at import
+time: the context objects are plain dataclasses carrying exactly the
+fields the reference pulls off Dagster's contexts, so the manager
+plugs into Dagster trivially but stays testable standalone.
+
+Lifecycle (write): resolve TableSlice -> TableConnection -> handler
+``to_spark`` -> partition dims -> DNF -> dispatch write/merge ->
+stats + output metadata.  All data movement is distributed Spark; the
+manager itself is driver-side metadata logic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Type
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import (
+    ClientConfig,
+    MergeConfig,
+    MergeType,
+    SchemaMode,
+    TableConnection,
+    WriteMode,
+    flatten_storage_confs,
+)
+from .handler import HandlerRegistry, SparkTypeHandler
+from .plans.predicates import (
+    extract_date_format_from_partition_definition,
+    partition_dimensions_to_dnf,
+)
+from .plans.slices import (
+    TablePartitionDimension,
+    TableSlice,
+    resolve_schema_and_table,
+    resolve_table_uri,
+)
+from .table import DeltaSparkTable
+
+
+@dataclass
+class AssetContext:
+    """The slice of Dagster's Output/InputContext the reference
+    actually uses (dbiomanager_fixed.py:23-126): asset key, partition
+    dimensions, and per-asset metadata overrides."""
+
+    asset_key: Sequence[str]
+    partition_dimensions: Optional[list[TablePartitionDimension]] = None
+    metadata: dict[str, Any] = field(default_factory=dict)
+    # input-only: column projection (reference dbiomanager_fixed.py:125)
+    columns: Optional[list[str]] = None
+    # {partition_col: strftime fmt} for string/int partition columns (P6)
+    date_formats: Optional[dict[str, str]] = None
+
+
+class DeltaSparkIOManager:
+    """Reference: ``DeltaLakeIOManager`` (dd/dagster_delta/
+    io_manager.py:100-210) + ``DeltalakeBaseArrowTypeHandler
+    .handle_output/load_input`` (handler.py:139-317)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root_uri: str,
+        *,
+        schema: Optional[str] = None,
+        mode: WriteMode = WriteMode.overwrite,  # reference default io_manager.py:140-143
+        schema_mode: Optional[SchemaMode] = None,
+        merge_config: Optional[MergeConfig] = None,
+        storage_config: Optional[object] = None,
+        client_config: Optional[ClientConfig] = None,
+        table_config: Optional[dict[str, str]] = None,
+        custom_metadata: Optional[dict[str, str]] = None,
+        writer_properties: Optional[dict[str, str]] = None,
+        handlers: Optional[Sequence[SparkTypeHandler]] = None,
+    ):
+        self.spark = spark
+        self.root_uri = root_uri
+        self.schema_config = schema
+        self.mode = mode
+        self.schema_mode = schema_mode
+        self.merge_config = merge_config
+        self.table_config = table_config
+        self.custom_metadata = custom_metadata
+        self.registry = HandlerRegistry(handlers)
+        for k, v in flatten_storage_confs(storage_config, client_config).items():
+            spark.conf.set(k, v)
+        # W10: writer knobs -> session confs (e.g. compression); reference
+        # io_manager.py:183-186 passes delta-rs WriterProperties
+        if writer_properties:
+            comp = writer_properties.get("compression")
+            if comp:
+                spark.conf.set("spark.sql.parquet.compression.codec", comp.lower())
+
+    # -- resolution -----------------------------------------------------------
+
+    def _table_slice(self, context: AssetContext) -> TableSlice:
+        md = context.metadata or {}
+        schema, table = resolve_schema_and_table(
+            list(context.asset_key),
+            schema_metadata=md.get("schema"),
+            schema_config=self.schema_config,
+            root_name=md.get("root_name"),
+        )
+        return TableSlice(
+            table=table,
+            schema=schema,
+            partition_dimensions=context.partition_dimensions,
+            columns=context.columns,
+        )
+
+    def _connect(self, table_slice: TableSlice) -> TableConnection:
+        return TableConnection(
+            table_uri=resolve_table_uri(self.root_uri, table_slice),
+            table_config=self.table_config,
+        )
+
+    def table_for(self, context: AssetContext) -> DeltaSparkTable:
+        return DeltaSparkTable(
+            self.spark, self._connect(self._table_slice(context)).table_uri
+        )
+
+    # -- write path (SURVEY §3.1) ----------------------------------------------
+
+    def handle_output(self, context: AssetContext, obj: Any) -> dict[str, Any]:
+        handler = self.registry.for_object(obj)
+        df = handler.to_spark(self.spark, obj)
+        md = context.metadata or {}
+
+        ts = self._table_slice(context)
+        conn = self._connect(ts)
+        table = DeltaSparkTable(self.spark, conn.table_uri)
+
+        # per-asset overrides (reference handler.py:162-182)
+        mode = WriteMode(md.get("mode", self.mode))
+        schema_mode = md.get("schema_mode", self.schema_mode)
+        if schema_mode is not None:
+            schema_mode = SchemaMode(schema_mode)
+        table_configuration = dict(conn.table_config or {}) | dict(
+            md.get("table_configuration") or {}
+        )  # asset wins keys (reference handler.py:151-155)
+        commit_metadata = md.get("custom_metadata", self.custom_metadata)
+
+        pcols = [d.partition_expr for d in (ts.partition_dimensions or [])]
+        dnf = None
+        if ts.partition_dimensions:
+            fmts = extract_date_format_from_partition_definition(
+                context.date_formats
+            )
+            dnf = partition_dimensions_to_dnf(
+                ts.partition_dimensions, df.schema, input_dnf=False,
+                date_formats=fmts,
+            )
+
+        if mode == WriteMode.merge:
+            mc = self.merge_config or MergeConfig()
+            pred = md.get("merge_predicate", mc.predicate)
+            if pred is None:
+                raise ValueError(
+                    "merge mode requires a merge_predicate (per-asset "
+                    "metadata or MergeConfig.predicate)"
+                )  # reference handler.py:83-88
+            mc = MergeConfig(
+                merge_type=MergeType(md.get("merge_type", mc.merge_type)),
+                predicate=pred,
+                source_alias=mc.source_alias,
+                target_alias=mc.target_alias,
+                error_on_type_mismatch=mc.error_on_type_mismatch,
+            )
+            result = table.merge(
+                df, mc,
+                partition_dnf=dnf,
+                partition_columns=pcols or None,
+                commit_metadata=commit_metadata,
+            )
+        else:
+            result = table.write(
+                df, mode,
+                partition_columns=pcols or None,
+                partition_dnf=dnf if mode == WriteMode.overwrite else None,
+                schema_mode=schema_mode,
+                table_configuration=table_configuration or None,
+                commit_metadata=commit_metadata,
+            )
+
+        # O3/O4: output metadata (reference handler.py:264-291)
+        out_md: dict[str, Any] = {
+            "table_uri": conn.table_uri,
+            "table_version": table.version(),
+            "mode": result.get("mode"),
+            **{
+                k: v
+                for k, v in result.items()
+                if k.startswith("num_")
+            },
+            "dagster/column_schema": {
+                f.name: f.dataType.simpleString() for f in table.schema().fields
+            },
+            **handler.get_output_stats(obj),
+        }
+        try:
+            out_md.update(table.partition_stats(dnf))
+        except Exception as exc:  # stats failure downgraded (handler.py:264-269)
+            out_md["stats_error"] = str(exc)
+        return out_md
+
+    # -- read path (SURVEY §3.2) -------------------------------------------------
+
+    def load_input(
+        self,
+        context: AssetContext,
+        target_type: Type = DataFrame,
+        version: Optional[int] = None,
+    ) -> Any:
+        ts = self._table_slice(context)
+        conn = self._connect(ts)
+        table = DeltaSparkTable(self.spark, conn.table_uri)
+        dnf = None
+        if ts.partition_dimensions:
+            fmts = extract_date_format_from_partition_definition(
+                context.date_formats
+            )
+            dnf = partition_dimensions_to_dnf(
+                ts.partition_dimensions, table.schema(version),
+                input_dnf=True, date_formats=fmts,
+            )
+        df = table.read(version=version, columns=ts.columns, dnf=dnf)
+        handler = self.registry.for_type(target_type)
+        return handler.from_spark(df, target_type)

@@ -1,0 +1,1 @@
+from . import dedup, multimodal, relational, similarity, textops  # noqa: F401

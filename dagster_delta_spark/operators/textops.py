@@ -1,0 +1,135 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All expressions stay JVM-side (built-in ``pyspark.sql.functions`` /
+Spark SQL lambdas inside whole-stage codegen) — no Python UDFs in the
+hot path, so the operators scale linearly with input splits.  Each has
+a DuckDB-expressible twin in ``__spark_entry__.py`` for the
+correctness oracle.
+
+Tokenization contract (shared with the oracles): lowercase, split on
+``[^a-z0-9]+``, drop empty tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import load
+
+# tokens as a Spark SQL expression (kept in sync with oracle SQL)
+TOKENS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "zu"],
+    "es": ["el", "la", "los", "de", "es", "y"],
+    "fr": ["le", "la", "les", "des", "est", "et"],
+}
+_EN_STOPS = _STOPWORDS["en"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex piece count
+    (letter runs / digit runs / single non-alnum symbols)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({TOKENS})").cast("long").alias("n_tokens"),
+        F.expr(
+            "regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')"
+        ).cast("long").alias("n_bpe_pieces"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio,
+    mean token length — combined into one deterministic score."""
+    docs = load(spark, sf_dir, "documents")
+    stops = _sql_list(_EN_STOPS)
+    toks = TOKENS
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(filter({toks}, x -> x IN ({stops}))) AS DOUBLE)"
+            f" / greatest(size({toks}), 1)"
+        ).alias("stopword_ratio"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).cast("double").alias("punct_ratio"),
+        F.expr(
+            f"CAST(aggregate({toks}, 0L, (acc, x) -> acc + length(x)) AS DOUBLE)"
+            f" / greatest(size({toks}), 1)"
+        ).alias("avg_token_len"),
+    ).withColumn(
+        "quality_score",
+        (
+            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+            + F.col("stopword_ratio") * 0.3
+            + (1 - F.col("punct_ratio")) * 0.2
+            + F.least(F.col("avg_token_len") / F.lit(8.0), F.lit(1.0)) * 0.1
+        ).cast("double"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by marker-stopword counts with a fixed
+    priority tie-break (en > de > es > fr > zh).  CJK characters vote
+    for zh.  Pure SQL expressions — identical logic in the DuckDB
+    oracle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = TOKENS
+    scores = {
+        lang: f"size(filter({toks}, x -> x IN ({_sql_list(ws)})))"
+        for lang, ws in _STOPWORDS.items()
+    }
+    zh = "length(regexp_replace(text, '[^\\\\u4e00-\\\\u9fff]', ''))"
+    case = (
+        f"CASE WHEN {scores['en']} >= {scores['de']} AND {scores['en']} >= "
+        f"{scores['es']} AND {scores['en']} >= {scores['fr']} AND "
+        f"{scores['en']} >= {zh} THEN 'en' "
+        f"WHEN {scores['de']} >= {scores['es']} AND {scores['de']} >= "
+        f"{scores['fr']} AND {scores['de']} >= {zh} THEN 'de' "
+        f"WHEN {scores['es']} >= {scores['fr']} AND {scores['es']} >= {zh} "
+        f"THEN 'es' "
+        f"WHEN {scores['fr']} >= {zh} THEN 'fr' ELSE 'zh' END"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(case).alias("lang_pred"),
+        F.expr(scores["en"]).cast("long").alias("score_en"),
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized
+    lowercased text (content-defined identity for dedup joins)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5({norm})").alias("fp"),
+        F.expr(f"substring(md5({norm}), 1, 8)").alias("fp_bucket"),
+    )
+
+
+def source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics — the aggregation a data-curation
+    dashboard reads."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(f"size({TOKENS})")).cast("long").alias("total_tokens"),
+            F.avg(F.length("text")).alias("avg_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )

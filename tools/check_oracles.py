@@ -1,0 +1,108 @@
+"""Local stand-in for the driver's correctness gate: run each
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+parquet, compare row counts + sorted/rounded values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, ndigits=6):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("nan")
+                else:
+                    vals.append(round(v, ndigits))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = res.columns
+            drows = [tuple(r) for r in res.fetchall()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        # column-name-ordered comparison like the driver
+        s_idx = sorted(range(len(scols)), key=lambda i: scols[i])
+        d_idx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        if sorted(scols) != sorted(dcols):
+            failures.append(name)
+            print(f"FAIL {name}: columns {sorted(scols)} != {sorted(dcols)}")
+            continue
+        s_c = canon([tuple(r[i] for i in s_idx) for r in srows])
+        d_c = canon([tuple(r[i] for i in d_idx) for r in drows])
+        if len(s_c) != len(d_c):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {len(s_c)} != {len(d_c)}")
+            print("  spark:", s_c[:2], "\n  duck :", d_c[:2])
+        elif s_c != d_c:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(s_c, d_c) if a != b][:3]
+            print(f"FAIL {name}: value mismatch ({len(s_c)} rows); first diffs:")
+            for a, b in diff:
+                print("  spark:", a, "\n  duck :", b)
+        else:
+            print(f"PASS {name} ({len(s_c)} rows)")
+    print(f"\n{len(failures)} failures: {failures}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
