@@ -260,7 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": simhash_pairs,
         # similarity search
         "cosine_topk": similarity.cosine_topk,
-        "embedding_near_dups": similarity.embedding_near_dups,
+        "embedding_near_dups": _embedding_near_dups_02,
         "label_centroid_dims": _label_centroid_dims,
         "ann_lsh_topk": ann_lsh,
         # multimodal
@@ -269,6 +269,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (batch twin `events_hourly_rollup` carries the oracle)
         "streaming_hourly_rollup": streaming_rollup,
     }
+
+
+def _embedding_near_dups_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs above cosine 0.2 (synthetic random embeddings: the max
+    pairwise cosine is ~0.3, so 0.2 yields a meaningful result set)."""
+    return similarity.embedding_near_dups(spark, sf_dir, threshold=0.2)
 
 
 def _label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,10 +305,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))) AS DOUBLE) AS sum_charge,
                    avg(l_quantity) AS avg_qty,
                    avg(l_extendedprice) AS avg_price,
                    avg(l_discount) AS avg_disc,
@@ -326,7 +332,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier_volume": """
             SELECT n.n_name,
-                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(30,10))) AS DOUBLE) AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -341,7 +348,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, n.n_name ASC
         """,
         "q6_forecast_revenue": """
-            SELECT sum(l_extendedprice * l_discount) AS revenue,
+            SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -396,12 +403,13 @@ def oracle_sql() -> dict[str, str]:
         "order_lineitem_rollup": """
             WITH per_order AS (
                 SELECT l_orderkey,
-                       sum(l_extendedprice * (1 - l_discount)) AS rev
+                       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(30,10))) AS DOUBLE) AS rev
                 FROM lineitem GROUP BY l_orderkey
             )
             SELECT o.o_orderstatus,
                    count(*) AS n_orders,
-                   sum(coalesce(p.rev, 0.0)) AS total_revenue,
+                   CAST(sum(CAST(coalesce(p.rev, 0.0) AS DECIMAL(30,10))) AS DOUBLE) AS total_revenue,
                    avg(o.o_totalprice) AS avg_totalprice
             FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
             GROUP BY o.o_orderstatus
@@ -561,7 +569,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND ({dot.format(a='a.embedding', b='b.embedding')})
                   / (({norm.format(a='a.embedding')})
-                     * ({norm.format(a='b.embedding')})) >= 0.99
+                     * ({norm.format(a='b.embedding')})) >= 0.2
         """,
         "label_centroid_dims": """
             WITH exploded AS (

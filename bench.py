@@ -1,0 +1,97 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Execution is forced with the noop sink (full computation, no driver
+collect overhead); write-path benchmarks go through the transactional
+table layer end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .appName("dds-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    bench_queries = [
+        # scan/agg/join/window relational core
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "topk_window",
+        "events_hourly_rollup",
+        "events_sessionize",
+        "order_lineitem_rollup",
+        # transactional table layer (write + partition overwrite + merge)
+        "w3_partition_overwrite",
+        "m3_upsert",
+        # LLM pipeline operators
+        "dedup_exact",
+        "token_stats",
+        "text_quality",
+        "fingerprint",
+        "minhash_lsh_near_dups",
+        "simhash_near_dups",
+        "cosine_topk",
+    ]
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # JVM/codegen warm-up on a cheap query (excluded from timings)
+    try:
+        run_once("q6_forecast_revenue")
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        try:
+            timings[name] = round(run_once(name), 3)
+        except Exception as exc:  # a failing query shows up as -1
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

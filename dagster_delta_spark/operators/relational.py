@@ -44,15 +44,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
+            # money sums accumulate in DECIMAL so the result is exact and
+            # independent of partition/accumulation order (double sums of
+            # ~1e9 differ in the last ulps between runs and engines)
+            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)")
+            .alias("sum_qty"),
+            F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)")
+            .alias("sum_base_price"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+                "AS DECIMAL(30,10))) AS DOUBLE)"
+            ).alias("sum_disc_price"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+                "AS DECIMAL(30,10))) AS DOUBLE)"
             ).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
             F.avg("l_extendedprice").alias("avg_price"),
@@ -122,9 +127,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+                "AS DECIMAL(30,10))) AS DOUBLE)"
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -143,7 +149,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * l_discount "
+                "AS DECIMAL(30,10))) AS DOUBLE)"
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -224,14 +233,19 @@ def order_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     per_order = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .agg(F.expr(
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(30,10))) AS DOUBLE)"
+        ).alias("rev"))
     )
     return (
         orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.coalesce(F.col("rev"), F.lit(0.0))).alias("total_revenue"),
+            F.expr(
+                "CAST(SUM(CAST(coalesce(rev, 0.0) AS DECIMAL(30,10))) AS DOUBLE)"
+            ).alias("total_revenue"),
             F.avg(F.col("o_totalprice")).alias("avg_totalprice"),
         )
     )

@@ -58,54 +58,77 @@ def cosine_topk(
     )
 
 
-def _hyperplane_signature(col: str, planes: int, dims_expr: str) -> str:
-    """16-ish-bit signature: bit p = sign of sum_d coef(p,d)*v[d], with
-    coef(p,d) = +-1 from xxhash64(p, d) parity."""
-    proj = (
-        f"aggregate(zip_with({col}, sequence(0, {dims_expr} - 1), "
-        f"(v, d) -> CASE WHEN (xxhash64(p, d) & 1) = 1 THEN CAST(v AS DOUBLE) "
-        f"ELSE -CAST(v AS DOUBLE) END), 0D, (acc, x) -> acc + x)"
-    )
-    return (
-        f"aggregate(transform(sequence(0, {planes - 1}), p -> "
-        f"CASE WHEN ({proj}) > 0 THEN shiftleft(1L, p) ELSE 0L END), "
-        f"0L, (acc, x) -> acc | x)"
-    )
-
-
 def lsh_signatures(
-    spark: SparkSession, sf_dir: str, planes: int = 12
+    spark: SparkSession, sf_dir: str, planes: int = 6, tables: int = 4
 ) -> DataFrame:
+    """Multi-table random-hyperplane signatures.
+
+    Hyperplane coefficients are ±1 from ``xxhash64(plane, dim)``
+    parity.  Shape: posexplode the embedding once, then one codegen'd
+    signed-sum aggregate per plane in a single groupBy (one shuffle on
+    vec_id; nested array lambdas would run interpreted and re-hash per
+    plane).  ``tables`` independent buckets trade memory for recall,
+    classic multi-table LSH."""
     emb = load(spark, sf_dir, "embeddings")
-    sig = _hyperplane_signature("embedding", planes, "size(embedding)")
-    return emb.select("vec_id", "embedding", F.expr(sig).alias("bucket"))
+    total = planes * tables
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+    aggs = [
+        F.sum(
+            F.when((F.xxhash64(F.lit(p), F.col("dim")) % 2) == 0, F.col("v"))
+            .otherwise(-F.col("v"))
+        ).alias(f"p{p}")
+        for p in range(total)
+    ]
+    g = ex.groupBy("vec_id").agg(*aggs)
+    bucket_exprs = []
+    for t in range(tables):
+        bits = " | ".join(
+            f"(CASE WHEN p{t * planes + j} > 0 THEN shiftleft(1L, {j}) "
+            f"ELSE 0L END)"
+            for j in range(planes)
+        )
+        bucket_exprs.append(f"({bits})")
+    buckets = F.expr(f"array({', '.join(bucket_exprs)})")
+    return g.select("vec_id", buckets.alias("buckets")).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
 
 
 def lsh_ann_topk(
     spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
-    planes: int = 12,
+    planes: int = 6, tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane
-    bucket; exact cosine re-ranks candidates.  At scale the bucket
-    join replaces the full cross product — recall traded via
-    ``planes``."""
+    """Approximate top-k: candidates share any of the query's
+    per-table hyperplane buckets; exact cosine re-ranks candidates.
+    At scale the bucket join replaces the full cross product — recall
+    traded via planes/tables."""
     from pyspark.sql.window import Window
 
-    sigs = _with_norm(lsh_signatures(spark, sf_dir, planes))
-    queries = sigs.where(F.col("vec_id") < n_queries).select(
+    sigs = _with_norm(lsh_signatures(spark, sf_dir, planes, tables))
+    flat = sigs.select(
+        "vec_id", "embedding", "norm",
+        F.posexplode("buckets").alias("t_idx", "bucket"),
+    )
+    queries = flat.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
+        F.col("t_idx").alias("q_t_idx"),
         F.col("bucket").alias("q_bucket"),
     )
-    dot = DOT.format(a="q_emb", b="embedding")
-    scored = (
-        sigs.join(
+    candidates = (
+        flat.join(
             F.broadcast(queries),
-            (F.col("bucket") == F.col("q_bucket"))
+            (F.col("t_idx") == F.col("q_t_idx"))
+            & (F.col("bucket") == F.col("q_bucket"))
             & (F.col("vec_id") != F.col("q_id")),
         )
-        .withColumn("cosine", F.expr(dot) / (F.col("norm") * F.col("q_norm")))
+        .select("q_id", "q_emb", "q_norm", "vec_id", "embedding", "norm")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    dot = DOT.format(a="q_emb", b="embedding")
+    scored = candidates.withColumn(
+        "cosine", F.expr(dot) / (F.col("norm") * F.col("q_norm"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

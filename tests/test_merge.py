@@ -1,0 +1,126 @@
+"""MERGE contracts (reference: dd tests test_type_handler_merge.py,
+handler.py:70-120)."""
+
+from pyspark.sql import functions as F
+
+from dagster_delta_spark import (
+    DeltaSparkTable,
+    MergeConfig,
+    MergeType,
+    WriteMode,
+)
+
+
+def two_col(spark):
+    return spark.createDataFrame([(1, 4), (2, 5), (3, 6)], "a bigint, b bigint")
+
+
+def test_upsert_idempotent(spark, tmp_table):
+    """Merge upsert on 's.a = t.a' is idempotent across reruns
+    (test_type_handler_merge.py:36-66)."""
+    t = DeltaSparkTable(spark, tmp_table)
+    cfg = MergeConfig(MergeType.upsert, predicate="s.a = t.a")
+    for _ in range(3):
+        t.merge(two_col(spark), cfg)
+    rows = sorted((r["a"], r["b"]) for r in t.read().collect())
+    assert rows == [(1, 4), (2, 5), (3, 6)]
+
+
+def test_dedup_insert_idempotent(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    cfg = MergeConfig(MergeType.deduplicate_insert, predicate="s.a = t.a")
+    for _ in range(3):
+        t.merge(two_col(spark), cfg)
+    assert t.read().count() == 3
+
+
+def test_update_only_no_inserts(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.overwrite)
+    src = spark.createDataFrame([(2, 50), (9, 90)], "a bigint, b bigint")
+    t.merge(src, MergeConfig(MergeType.update_only, predicate="s.a = t.a"))
+    rows = dict((r["a"], r["b"]) for r in t.read().collect())
+    assert rows == {1: 4, 2: 50, 3: 6}  # 9 not inserted
+
+
+def test_upsert_updates_and_inserts(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.overwrite)
+    src = spark.createDataFrame([(2, 50), (9, 90)], "a bigint, b bigint")
+    t.merge(src, MergeConfig(MergeType.upsert, predicate="s.a = t.a"))
+    rows = dict((r["a"], r["b"]) for r in t.read().collect())
+    assert rows == {1: 4, 2: 50, 3: 6, 9: 90}
+
+
+def test_replace_delete_unmatched(spark, tmp_table):
+    """M4: matched rows updated, unmatched target rows deleted."""
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.overwrite)
+    src = spark.createDataFrame([(2, 50)], "a bigint, b bigint")
+    t.merge(src, MergeConfig(MergeType.replace_delete_unmatched,
+                             predicate="s.a = t.a"))
+    rows = [(r["a"], r["b"]) for r in t.read().collect()]
+    assert rows == [(2, 50)]
+
+
+def test_merge_auto_creates_target(spark, tmp_table):
+    """W6 auto-create of missing target (handler.py:241-252)."""
+    t = DeltaSparkTable(spark, tmp_table)
+    assert not t.exists()
+    t.merge(two_col(spark), MergeConfig(MergeType.upsert, predicate="s.a = t.a"))
+    assert t.exists()
+    assert t.read().count() == 3
+
+
+def test_merge_partition_narrowing(spark, tmp_table):
+    """M5: partition predicate ANDed into the merge condition — rows in
+    other partitions are untouched by upsert."""
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.createDataFrame(
+        [("red", 1, 10), ("blue", 2, 20)], "color string, k bigint, v bigint"
+    )
+    t.write(df, WriteMode.overwrite, partition_columns=["color"])
+    src = spark.createDataFrame([("red", 1, 99)], "color string, k bigint, v bigint")
+    t.merge(
+        src,
+        MergeConfig(MergeType.upsert, predicate="s.k = t.k"),
+        partition_dnf=[("color", "=", "red")],
+    )
+    rows = dict((r["k"], r["v"]) for r in t.read().collect())
+    assert rows == {1: 99, 2: 20}
+
+
+def test_merge_custom_aliases(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.overwrite)
+    src = spark.createDataFrame([(1, 100)], "a bigint, b bigint")
+    t.merge(src, MergeConfig(
+        MergeType.update_only, predicate="src.a = tgt.a",
+        source_alias="src", target_alias="tgt",
+    ))
+    rows = dict((r["a"], r["b"]) for r in t.read().collect())
+    assert rows[1] == 100
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_table):
+    """Scale contract: files without matching keys are carried over,
+    not rewritten."""
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.createDataFrame([(i, i) for i in range(100)], "a bigint, b bigint")
+    t.write(df.repartition(8), WriteMode.overwrite)
+    before = {a.path for a in t.snapshot().files}
+    src = spark.createDataFrame([(1, 999)], "a bigint, b bigint")
+    t.merge(src, MergeConfig(MergeType.upsert, predicate="s.a = t.a"))
+    after = {a.path for a in t.snapshot().files}
+    assert len(before & after) >= len(before) - 2  # most files untouched
+    assert t.read().where("a = 1").collect()[0]["b"] == 999
+
+
+def test_merge_metrics_in_history(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.overwrite)
+    src = spark.createDataFrame([(2, 50), (9, 90)], "a bigint, b bigint")
+    t.merge(src, MergeConfig(MergeType.upsert, predicate="s.a = t.a"))
+    h = t.history(1)[0]
+    assert h["operation"] == "MERGE"
+    assert h["operationMetrics"]["num_output_rows"] >= 2

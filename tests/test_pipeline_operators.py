@@ -1,0 +1,136 @@
+"""LLM data-pipeline operators: sanity + internal consistency (the
+value-level correctness lives in the DuckDB oracle gate)."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_exact_counts(spark):
+    from dagster_delta_spark.operators.dedup import dedup_exact
+
+    out = dedup_exact(spark, SF)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_dups"] for r in rows) == docs.count()
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark, tmp_path):
+    """An exact duplicate has Jaccard 1.0 -> identical signature ->
+    must be found by every band."""
+    import pandas as pd
+
+    from dagster_delta_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20).toPandas()
+    dup = docs.iloc[[0]].copy()
+    dup["doc_id"] = 99999
+    both = pd.concat([docs, dup])
+    d = tmp_path / "mini"
+    d.mkdir()
+    spark.createDataFrame(both).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    pairs = dedup.minhash_lsh_near_dups(spark, str(d), threshold=0.9)
+    found = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert (docs.iloc[0]["doc_id"], 99999) in found
+
+
+def test_simhash_zero_distance_for_duplicates(spark, tmp_path):
+    import pandas as pd
+
+    from dagster_delta_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10).toPandas()
+    dup = docs.iloc[[0]].copy()
+    dup["doc_id"] = 99999
+    d = tmp_path / "mini"
+    d.mkdir()
+    spark.createDataFrame(pd.concat([docs, dup])).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    out = dedup.simhash_near_dups(spark, str(d), max_hamming=0)
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    assert found.get((docs.iloc[0]["doc_id"], 99999)) == 0
+
+
+def test_cosine_topk_rank1_is_most_similar(spark):
+    from dagster_delta_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(spark, SF, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["cosine"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        cosines = [c for _, c in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0001 <= c <= 1.0001 for c in cosines)
+
+
+def test_lsh_ann_subset_of_bruteforce_corpus(spark):
+    """ANN results are real corpus vectors with exact cosines."""
+    from dagster_delta_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    exact = {(r["q_id"], r["vec_id"]): r["cosine"]
+             for r in cosine_topk(spark, SF, k=50).collect()}
+    ann = lsh_ann_topk(spark, SF, k=5, planes=4).collect()
+    for r in ann:
+        key = (r["q_id"], r["vec_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cosine"]) < 1e-9
+
+
+def test_multimodal_feature_batch_shapes(spark):
+    from dagster_delta_spark.operators.multimodal import (
+        binarize_documents,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    b = binarize_documents(spark, SF)
+    feats = extract_features(b)
+    row = feats.limit(1).collect()[0]
+    assert row["n_bytes"] > 0
+    assert 0 <= row["mean_byte"] <= 255
+    assert len(row["head_bytes"]) <= 8
+    frames = frame_sample_plan(b).limit(1).collect()[0]
+    assert 1 <= frames["n_frames"] <= 4
+
+
+def test_decode_stub_raises_for_binary_media():
+    from dagster_delta_spark.operators.multimodal import decode_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"...", "image/png")
+
+
+def test_streaming_rollup_matches_batch(spark):
+    from dagster_delta_spark.operators.relational import events_hourly_rollup
+    from dagster_delta_spark.streaming import run_hourly_rollup_once
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_hourly_rollup(spark, SF).collect()
+    }
+    stream = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in run_hourly_rollup_once(spark, SF, "t_rollup_test").collect()
+    }
+    assert set(stream) == set(batch)
+    for k, (n, s) in stream.items():
+        assert batch[k][0] == n
+        assert abs(batch[k][1] - s) < 1e-6
+
+
+def test_sessionize_gap_contract(spark):
+    from dagster_delta_spark.operators.relational import events_sessionize
+
+    out = events_sessionize(spark, SF, gap_minutes=30)
+    row = out.orderBy("user_id", "session_id").limit(1).collect()[0]
+    dur = (row["session_end"] - row["session_start"]).total_seconds()
+    assert dur >= 0
+    assert row["n_events"] >= 1

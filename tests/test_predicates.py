@@ -1,0 +1,156 @@
+"""DNF mini-compiler unit tests (reference: dd tests
+test_io_manager.py:37-54 and handler.py:397-480 behaviors)."""
+
+from datetime import date, datetime, timezone
+
+import pytest
+from pyspark.sql.types import (
+    DateType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from dagster_delta_spark import TablePartitionDimension, TimeWindow
+from dagster_delta_spark.plans.predicates import (
+    dnf_to_sql,
+    get_select_statement,
+    partition_dimensions_to_dnf,
+)
+
+SCHEMA = StructType([
+    StructField("string_col", StringType()),
+    StructField("date_col", DateType()),
+    StructField("timestamp_col", TimestampType()),
+    StructField("int_col", IntegerType()),
+])
+
+WINDOW = TimeWindow(datetime(2020, 1, 2), datetime(2020, 2, 3))
+
+
+def test_timestamp_output_dnf():
+    """Reference golden (test_io_manager.py:37-54): output write pins
+    the window start."""
+    dnf = partition_dimensions_to_dnf(
+        [TablePartitionDimension("timestamp_col", WINDOW)], SCHEMA
+    )
+    assert dnf == [("timestamp_col", "=", datetime(2020, 1, 2))]
+
+
+def test_date_output_dnf():
+    dnf = partition_dimensions_to_dnf(
+        [TablePartitionDimension("date_col", WINDOW)], SCHEMA
+    )
+    assert dnf == [("date_col", "=", date(2020, 1, 2))]
+
+
+def test_input_dnf_is_half_open_range():
+    dnf = partition_dimensions_to_dnf(
+        [TablePartitionDimension("timestamp_col", WINDOW)], SCHEMA, input_dnf=True
+    )
+    assert dnf == [
+        ("timestamp_col", ">=", datetime(2020, 1, 2)),
+        ("timestamp_col", "<", datetime(2020, 2, 3)),
+    ]
+
+
+def test_multi_window_collapse():
+    """Multiple windows collapse to [min(start), max(end))
+    (handler.py:448-458)."""
+    w2 = TimeWindow(datetime(2020, 3, 1), datetime(2020, 4, 1))
+    dnf = partition_dimensions_to_dnf(
+        [TablePartitionDimension("timestamp_col", [WINDOW, w2])],
+        SCHEMA,
+        input_dnf=True,
+    )
+    assert dnf == [
+        ("timestamp_col", ">=", datetime(2020, 1, 2)),
+        ("timestamp_col", "<", datetime(2020, 4, 1)),
+    ]
+
+
+def test_tz_stripped():
+    """tz-aware windows are naive-ified (handler.py:450-458)."""
+    w = TimeWindow(
+        datetime(2020, 1, 2, tzinfo=timezone.utc),
+        datetime(2020, 2, 3, tzinfo=timezone.utc),
+    )
+    dnf = partition_dimensions_to_dnf(
+        [TablePartitionDimension("timestamp_col", w)], SCHEMA
+    )
+    assert dnf == [("timestamp_col", "=", datetime(2020, 1, 2))]
+
+
+def test_static_single_key_is_eq():
+    dnf = partition_dimensions_to_dnf(
+        [TablePartitionDimension("string_col", ["red"])], SCHEMA
+    )
+    assert dnf == [("string_col", "=", "red")]
+
+
+def test_static_multi_key_is_in_and_deduped():
+    """Static keys dedup (handler.py:435)."""
+    dnf = partition_dimensions_to_dnf(
+        [TablePartitionDimension("string_col", ["red", "blue", "red"])], SCHEMA
+    )
+    assert dnf == [("string_col", "in", ["blue", "red"])]
+
+
+def test_time_window_against_string_column_uses_fmt():
+    """P3: windows against string partition cols format via fmt
+    (handler.py:422-427)."""
+    dnf = partition_dimensions_to_dnf(
+        [TablePartitionDimension("string_col", WINDOW)],
+        SCHEMA,
+        date_formats={"string_col": "%Y-%m-%d"},
+    )
+    assert dnf == [("string_col", "=", "2020-01-02")]
+
+
+def test_time_window_against_int_column_casts():
+    """P3: int partition columns cast the formatted value
+    (handler.py:425-427)."""
+    dnf = partition_dimensions_to_dnf(
+        [TablePartitionDimension("int_col", WINDOW)],
+        SCHEMA,
+        date_formats={"int_col": "%Y%m%d"},
+    )
+    assert dnf == [("int_col", "=", 20200102)]
+
+
+def test_dnf_to_sql_literals():
+    """P4 literal rendering; typed timestamp literals instead of the
+    reference's µs epoch (handler.py:47-67)."""
+    sql = dnf_to_sql([
+        ("s", "=", "o'neil"),
+        ("n", "in", [1, 2]),
+        ("t", ">=", datetime(2020, 1, 2, 3, 4, 5)),
+        ("d", "<", date(2020, 1, 2)),
+        ("b", "=", True),
+    ])
+    assert sql == (
+        "s = 'o''neil' AND n IN (1, 2) AND "
+        "t >= TIMESTAMP '2020-01-02 03:04:05' AND "
+        "d < DATE '2020-01-02' AND b = TRUE"
+    )
+
+
+def test_dnf_to_sql_qualifier():
+    assert dnf_to_sql([("c", "=", "x")], qualifier="t") == "t.c = 'x'"
+
+
+def test_select_statement():
+    """P7 illustrative SELECT (io_manager.py:234-244)."""
+    stmt = get_select_statement(
+        "tbl", "sch", ["a", "b"], [("c", "=", "x")]
+    )
+    assert stmt == "SELECT a, b FROM sch.tbl WHERE c = 'x'"
+
+
+def test_empty_windows_raise():
+    with pytest.raises(ValueError):
+        partition_dimensions_to_dnf(
+            [TablePartitionDimension("timestamp_col", [])], SCHEMA
+        )

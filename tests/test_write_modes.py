@@ -1,0 +1,120 @@
+"""Write-mode contracts (reference fixture A1/A2: dd tests
+test_type_handler.py:49-66, ddp test_type_handler_save_modes.py)."""
+
+import pytest
+
+from dagster_delta_spark import (
+    DeltaSparkTable,
+    SchemaMode,
+    SchemaMismatchError,
+    TableExistsError,
+    WriteMode,
+)
+
+
+def two_col(spark):
+    return spark.createDataFrame([(1, 4), (2, 5), (3, 6)], "a bigint, b bigint")
+
+
+def test_write_read_roundtrip(spark, tmp_table):
+    """Reference test_type_handler.py:49-66: a_df -> read -> goldens."""
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.overwrite)
+    out = t.read()
+    assert sorted(r["a"] for r in out.collect()) == [1, 2, 3]
+    assert sorted(r["b"] for r in out.collect()) == [4, 5, 6]
+
+
+def test_downstream_transform(spark, tmp_table):
+    """Downstream asset writes a+1 -> [2,3,4] (test_type_handler.py:38-47)."""
+    from pyspark.sql import functions as F
+
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.overwrite)
+    t2 = DeltaSparkTable(spark, tmp_table + "_b")
+    t2.write(t.read().select((F.col("a") + 1).alias("a")), WriteMode.overwrite)
+    assert sorted(r["a"] for r in t2.read().collect()) == [2, 3, 4]
+
+
+def test_overwrite_rerun_idempotent(spark, tmp_table):
+    """Re-materialization keeps goldens (test_type_handler.py:49-66)."""
+    t = DeltaSparkTable(spark, tmp_table)
+    for _ in range(3):
+        t.write(two_col(spark), WriteMode.overwrite)
+    assert t.read().count() == 3
+    assert sorted(r["a"] for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_append_doubles_rows(spark, tmp_table):
+    """Append doubles rows per run (save_modes.py:64-81)."""
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.append)
+    t.write(two_col(spark), WriteMode.append)
+    assert t.read().count() == 6
+
+
+def test_ignore_keeps_version_zero(spark, tmp_table):
+    """Ignore: version stays 0 after 5 runs (save_modes.py:84-100)."""
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.ignore)
+    for _ in range(4):
+        t.write(two_col(spark), WriteMode.ignore)
+    assert t.version() == 0
+    assert t.read().count() == 3
+
+
+def test_error_mode_raises(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.error)
+    with pytest.raises(TableExistsError):
+        t.write(two_col(spark), WriteMode.error)
+
+
+def test_create_or_replace_schema_only(spark, tmp_table):
+    """W5 writes schema, no data (reference handler.py:226-235)."""
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.overwrite)
+    new_schema_df = spark.createDataFrame([], "x string, y double")
+    t.write(new_schema_df, WriteMode.create_or_replace)
+    assert t.read().count() == 0
+    assert t.read().schema.simpleString() == "struct<x:string,y:double>"
+
+
+def test_schema_mismatch_raises_without_mode(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.overwrite)
+    other = spark.createDataFrame([(1, "x")], "a bigint, c string")
+    with pytest.raises(SchemaMismatchError):
+        t.write(other, WriteMode.append)
+
+
+def test_merge_schema_evolution(spark, tmp_table):
+    """schema_mode=append == Spark mergeSchema: new col, old rows null."""
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.overwrite)
+    other = spark.createDataFrame([(9, "x")], "a bigint, c string")
+    t.write(other, WriteMode.append, schema_mode=SchemaMode.append)
+    out = t.read()
+    assert set(out.columns) == {"a", "b", "c"}
+    assert out.where("c IS NULL").count() == 3
+    assert out.where("b IS NULL").count() == 1
+
+
+def test_overwrite_schema(spark, tmp_table):
+    """schema_mode=overwrite == Spark overwriteSchema."""
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.overwrite)
+    other = spark.createDataFrame([("x", 1.5)], "s string, d double")
+    t.write(other, WriteMode.overwrite, schema_mode=SchemaMode.overwrite)
+    assert t.read().schema.simpleString() == "struct<s:string,d:double>"
+    assert t.read().count() == 1
+
+
+def test_time_travel_versions(spark, tmp_table):
+    """A2 contract: version=0 returns pre-append contents."""
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.overwrite)
+    t.write(two_col(spark), WriteMode.append)
+    assert t.read(version=0).count() == 3
+    assert t.read(version=1).count() == 6
+    assert t.read().count() == 6
