@@ -24,6 +24,7 @@ from dagster_delta_spark import (
     WriteMode,
 )
 from dagster_delta_spark.operators import (
+    asof,
     dedup,
     multimodal,
     relational,
@@ -233,6 +234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": relational.events_hourly_rollup,
         "events_sessionize": relational.events_sessionize,
         "order_lineitem_rollup": relational.order_lineitem_rollup,
+        "revenue_rollup": relational.revenue_rollup,
+        "revenue_cube": relational.revenue_cube,
+        "set_ops_customers": relational.customer_order_set_ops,
+        "asof_clicks_purchases": asof.clicks_asof_purchases,
+        "range_join_bursts": asof.user_event_bursts,
         # write modes / merge / pruning / projection / stats (SURVEY §2.2-2.5, §2.11)
         "w1_error_roundtrip": w1_error_roundtrip,
         "w2_append": w2_append,
@@ -268,7 +274,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": mm_features,
         # streaming (batch twin `events_hourly_rollup` carries the oracle)
         "streaming_hourly_rollup": streaming_rollup,
+        "streaming_sessionize": _streaming_sessionize,
     }
+
+
+def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_delta_spark.streaming import run_sessionize_once
+
+    return run_sessionize_once(
+        spark, sf_dir, table_name=f"sessions_{uuid.uuid4().hex[:8]}"
+    )
 
 
 def _embedding_near_dups_02(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,6 +428,59 @@ def oracle_sql() -> dict[str, str]:
                    avg(o.o_totalprice) AS avg_totalprice
             FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
             GROUP BY o.o_orderstatus
+        """,
+        "revenue_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                       AS total_price,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "revenue_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                       AS total_price,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "set_ops_customers": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        """,
+        "asof_clicks_purchases": """
+            WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                        FROM events),
+            clicks AS (
+                SELECT event_id, user_id, ts, value FROM ev
+                WHERE event_type = 'click'
+            ), purchases AS (
+                SELECT event_id AS p_event_id, user_id, ts AS p_ts,
+                       value AS p_value
+                FROM ev WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, c.ts, c.value,
+                   p.p_event_id, p.p_ts, p.p_value
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        """,
+        "range_join_bursts": """
+            SELECT a.user_id,
+                   a.event_id AS event_a,
+                   b.event_id AS event_b,
+                   date_diff('microsecond', CAST(a.ts AS TIMESTAMP),
+                             CAST(b.ts AS TIMESTAMP)) / 1000000.0
+                       AS gap_seconds
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+             AND CAST(b.ts AS TIMESTAMP) <=
+                 CAST(a.ts AS TIMESTAMP) + INTERVAL 60 SECOND
         """,
         # write-path end states
         "w1_error_roundtrip": "SELECT * FROM orders WHERE o_orderstatus = 'F'",

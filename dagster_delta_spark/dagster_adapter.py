@@ -1,0 +1,105 @@
+"""Optional Dagster binding.
+
+The engine core never imports Dagster (everything is testable
+standalone via :class:`~dagster_delta_spark.io_manager.AssetContext`);
+this module provides the thin translation layer when Dagster is
+present — mirroring how the reference's I/O manager plugs into
+Dagster's ``handle_output``/``load_input`` protocol
+(dd/dagster_delta/io_manager.py:100-210, dbiomanager_fixed.py:23-126).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from .io_manager import AssetContext, DeltaSparkIOManager
+from .plans.slices import TablePartitionDimension, TimeWindow
+
+try:  # pragma: no cover - exercised only with dagster installed
+    import dagster  # noqa: F401
+
+    HAS_DAGSTER = True
+except ImportError:
+    HAS_DAGSTER = False
+
+
+def _dimensions_from_dagster(context: Any) -> Optional[list[TablePartitionDimension]]:
+    """Translate Dagster partition info into the engine's dimensions
+    (the engine-agnostic logic of dd/dagster_delta/
+    dbiomanager_fixed.py:50-110)."""
+    if not getattr(context, "has_asset_partitions", False):
+        return None
+    md = dict(getattr(context, "definition_metadata", None) or {})
+    expr = md.get("partition_expr")
+    if expr is None:
+        raise ValueError(
+            "partitioned asset requires 'partition_expr' metadata"
+        )  # reference handler.py:554-597 raise
+    dims: list[TablePartitionDimension] = []
+    if isinstance(expr, dict):
+        keys_by_dim: dict[str, list[str]] = {}
+        for pk in context.asset_partition_keys:
+            for dim_name, key in getattr(pk, "keys_by_dimension", {}).items():
+                keys_by_dim.setdefault(dim_name, []).append(key)
+        for dim_name, col in expr.items():
+            dims.append(TablePartitionDimension(col, keys_by_dim.get(dim_name, [])))
+    else:
+        try:
+            tw = context.asset_partitions_time_window
+            dims.append(TablePartitionDimension(expr, TimeWindow(tw.start, tw.end)))
+        except Exception:
+            dims.append(
+                TablePartitionDimension(expr, list(context.asset_partition_keys))
+            )
+    return dims
+
+
+def to_asset_context(context: Any, *, is_input: bool = False) -> AssetContext:
+    """Map a Dagster Output/InputContext onto the engine's context."""
+    asset_key = list(context.asset_key.path)
+    md = dict(getattr(context, "definition_metadata", None) or {})
+    columns = md.get("columns") if is_input else None
+    return AssetContext(
+        asset_key=asset_key,
+        partition_dimensions=_dimensions_from_dagster(context),
+        metadata=md,
+        columns=columns,
+    )
+
+
+if HAS_DAGSTER:  # pragma: no cover
+
+    from dagster import ConfigurableIOManagerFactory, InputContext, OutputContext
+
+    class DagsterDeltaSparkIOManager(ConfigurableIOManagerFactory):
+        """Dagster-facing factory around DeltaSparkIOManager."""
+
+        root_uri: str
+        schema_: Optional[str] = None
+        mode: str = "overwrite"
+
+        def create_io_manager(self, context) -> Any:
+            from dagster import IOManager
+
+            outer = self
+
+            class _Manager(IOManager):
+                def __init__(self) -> None:
+                    from pyspark.sql import SparkSession
+
+                    self.mgr = DeltaSparkIOManager(
+                        SparkSession.builder.getOrCreate(),
+                        outer.root_uri,
+                        schema=outer.schema_,
+                    )
+
+                def handle_output(self, context: OutputContext, obj: Any) -> None:
+                    md = self.mgr.handle_output(to_asset_context(context), obj)
+                    context.add_output_metadata(md)
+
+                def load_input(self, context: InputContext) -> Any:
+                    return self.mgr.load_input(
+                        to_asset_context(context.upstream_output, is_input=True)
+                    )
+
+            return _Manager()

@@ -1,0 +1,114 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+Neither exists as a Spark built-in; both are re-expressed as
+compositions of built-in operators that keep the work inside one
+shuffle (SURVEY §2.6 lists them as engine-surface additions).
+
+- ``asof_join``: the classic union+window plan — tag both streams,
+  union, sort within the partition key, carry the last left-side row
+  forward.  One shuffle on the key; no per-row Python.  This scales to
+  arbitrarily many right rows per key (where a naive
+  greatest-timestamp self-join would explode).
+- ``range_join_pairs``: equi-join on the key plus a range predicate —
+  Catalyst executes the equality as the join key and the range as a
+  post-filter, so the shuffle stays keyed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .relational import load_events
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    direction: str = "backward",
+) -> DataFrame:
+    """Generic as-of join: for each left row, the newest right row with
+    ``right.ts <= left.ts`` (backward).  Returns left columns plus
+    right columns prefixed ``r_``.
+
+    Plan shape: union both sides with a side marker, window-sort by
+    (key, ts, side) carrying the last right row forward, then keep
+    left rows.  Right rows order before left rows at equal timestamps,
+    so ties match (>= semantics, like DuckDB ASOF)."""
+    if direction != "backward":
+        raise ValueError("only backward as-of is implemented")
+    rt = right.select(
+        F.col(on).alias("__k"), F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c).alias(c) for c in right.columns]).alias("__r"),
+    )
+    lt = left.select(
+        F.col(on).alias("__k"), F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c).alias(c) for c in left.columns]).alias("__l"),
+    )
+    rt = rt.withColumn("__l", F.lit(None).cast(lt.schema["__l"].dataType))
+    lt = lt.withColumn("__r", F.lit(None).cast(rt.schema["__r"].dataType))
+
+    unioned = rt.unionByName(lt)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn(
+        "__last_r", F.last("__r", ignorenulls=True).over(w)
+    ).where(F.col("__side") == 1)
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__last_r.{c}").alias(f"r_{c}") for c in right.columns
+    ]
+    return matched.select(*out_cols)
+
+
+def clicks_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'click' event, the user's most recent prior (or
+    simultaneous) 'purchase' event."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on="user_id", ts="ts")
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("r_event_id").alias("p_event_id"),
+        F.col("r_ts").alias("p_ts"),
+        F.col("r_value").alias("p_value"),
+    )
+
+
+def user_event_bursts(
+    spark: SparkSession, sf_dir: str, window_seconds: int = 60
+) -> DataFrame:
+    """Bounded range self-join: pairs of events by the same user within
+    ``window_seconds`` (strictly later second event).  Equi-join on
+    user_id keys the shuffle; the time range is a post-filter."""
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            ((F.col("b.ts").cast("double") - F.col("a.ts").cast("double"))).alias(
+                "gap_seconds"
+            ),
+        )
+    )

@@ -249,3 +249,44 @@ def order_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("o_totalprice")).alias("avg_totalprice"),
         )
     )
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over (status, priority): subtotal rows at every
+    hierarchy level in one pass (Spark expands grouping sets into a
+    single shuffle with a grouping-id column)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)"
+            ).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (status, priority): all grouping-set
+    combinations in one pass."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)"
+            ).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def customer_order_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers with open orders INTERSECT customers
+    with finished orders, EXCEPT those with pending ones."""
+    orders = load(spark, sf_dir, "orders")
+    open_c = orders.where("o_orderstatus = 'O'").select("o_custkey")
+    done_c = orders.where("o_orderstatus = 'F'").select("o_custkey")
+    pend_c = orders.where("o_orderstatus = 'P'").select("o_custkey")
+    return open_c.intersect(done_c).subtract(pend_c)

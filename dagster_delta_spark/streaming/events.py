@@ -70,3 +70,73 @@ def run_hourly_rollup_once(
     q.processAllAvailable()
     q.stop()
     return spark.table(table_name)
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization with the built-in ``session_window``
+    (works identically in batch and streaming; state bounded by the
+    watermark).  The batch twin is
+    ``operators.relational.events_sessionize`` (gaps-and-islands)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_sessionize_once(
+    spark: SparkSession, sf_dir: str, table_name: str = "events_sessions"
+) -> DataFrame:
+    stream = sessionize_stream(read_events_stream(spark, sf_dir, 8))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(table_name)
+
+
+def stream_into_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table_uri: str,
+    max_files_per_trigger: int = 8,
+) -> "DeltaSparkTable":
+    """Streaming sink into the engine's transactional table via
+    foreachBatch: each micro-batch lands as one atomic append commit —
+    exactly-once per batch under the commit log's optimistic
+    concurrency (the auto-ingest pattern at scale)."""
+    from ..config import WriteMode
+    from ..table import DeltaSparkTable
+
+    table = DeltaSparkTable(spark, table_uri)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.write(
+            batch_df, WriteMode.append,
+            commit_metadata={"streaming_batch_id": str(batch_id)},
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", table_uri + "/_stream_checkpoint")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return table

@@ -1,0 +1,109 @@
+"""Streaming (session windows, transactional sink) and delimited
+sources."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_session_window_stream_roughly_matches_batch(spark):
+    """session_window streaming vs gaps-and-islands batch: same session
+    count per user (semantics agree except exact-gap boundary ties)."""
+    from dagster_delta_spark.operators.relational import events_sessionize
+    from dagster_delta_spark.streaming import run_sessionize_once
+
+    batch = events_sessionize(spark, SF, gap_minutes=30)
+    batch_counts = {
+        r["user_id"]: r["n"] for r in
+        batch.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    stream = run_sessionize_once(spark, SF, "t_sessions_test")
+    stream_counts = {
+        r["user_id"]: r["n"] for r in
+        stream.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert stream_counts == batch_counts
+
+
+def test_stream_into_transactional_table(spark, tmp_path):
+    """foreachBatch sink: every micro-batch is one atomic append
+    commit; total rows match the source."""
+    from dagster_delta_spark.streaming import stream_into_table
+
+    uri = str(tmp_path / "events_table")
+    table = stream_into_table(spark, SF, uri, max_files_per_trigger=8)
+    src_count = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert table.read().count() == src_count
+    h = table.history()
+    assert all(
+        hh["operation"].startswith("WRITE append") for hh in h
+    )
+    assert h[0]["userMetadata"]["streaming_batch_id"] is not None
+
+
+def test_scan_csv_roundtrip(spark, tmp_path):
+    import csv
+
+    from dagster_delta_spark.sources.delimited import scan_csv
+
+    p = tmp_path / "data.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "name", "score"])
+        w.writerows([[1, "a", 1.5], [2, "b", 2.5]])
+    df = scan_csv(spark, str(p), "id bigint, name string, score double")
+    rows = sorted((r["id"], r["name"], r["score"]) for r in df.collect())
+    assert rows == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_scan_json_roundtrip(spark, tmp_path):
+    import json
+
+    from dagster_delta_spark.sources.delimited import scan_json
+
+    p = tmp_path / "data.jsonl"
+    with open(p, "w") as f:
+        for rec in [{"id": 1, "tag": "x"}, {"id": 2, "tag": "y"}]:
+            f.write(json.dumps(rec) + "\n")
+    df = scan_json(spark, str(p), "id bigint, tag string")
+    assert df.count() == 2
+    assert set(df.columns) == {"id", "tag"}
+
+
+def test_asof_join_semantics(spark):
+    """Every click matches its newest preceding purchase per user."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.operators.asof import clicks_asof_purchases
+    from dagster_delta_spark.operators.relational import load_events
+
+    out = clicks_asof_purchases(spark, SF)
+    # matched purchase never comes after the click
+    assert out.where(F.col("p_ts") > F.col("ts")).count() == 0
+    # spot-check one user against a driver-side computation
+    ev = load_events(spark, SF).collect()
+    clicks = [r for r in ev if r["event_type"] == "click"]
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    c = clicks[0]
+    expected = max(
+        (p for p in purchases
+         if p["user_id"] == c["user_id"] and p["ts"] <= c["ts"]),
+        key=lambda p: p["ts"],
+        default=None,
+    )
+    got = out.where(F.col("event_id") == c["event_id"]).collect()[0]
+    if expected is None:
+        assert got["p_event_id"] is None
+    else:
+        assert got["p_event_id"] == expected["event_id"]
+
+
+def test_rollup_contains_grand_total(spark):
+    from dagster_delta_spark.operators.relational import revenue_rollup
+
+    out = revenue_rollup(spark, SF).collect()
+    grand = [r for r in out if r["o_orderstatus"] is None
+             and r["o_orderpriority"] is None]
+    assert len(grand) == 1
+    assert grand[0]["n_orders"] == sum(
+        r["n_orders"] for r in out
+        if r["o_orderstatus"] is not None and r["o_orderpriority"] is not None
+    )
