@@ -201,6 +201,10 @@ def ann_lsh(spark, sf_dir):
     return similarity.lsh_ann_topk(spark, sf_dir)
 
 
+def _ivf_ann(spark, sf_dir):
+    return similarity.ivf_ann_topk(spark, sf_dir)
+
+
 def mm_features(spark, sf_dir):
     return multimodal.multimodal_features(spark, sf_dir)
 
@@ -269,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embedding_near_dups_02,
         "label_centroid_dims": _label_centroid_dims,
         "ann_lsh_topk": ann_lsh,
+        "ann_ivf_topk": _ivf_ann,
         # multimodal
         "multimodal_metadata": multimodal.multimodal_metadata,
         "multimodal_features": mm_features,

@@ -182,3 +182,78 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors",
         )
     )
+
+
+def ivf_assignments(
+    spark: SparkSession, sf_dir: str, n_cells: int = 16
+) -> DataFrame:
+    """IVF coarse quantization without a training step: the first
+    ``n_cells`` vectors (by vec_id — deterministic) act as centroids;
+    every vector is assigned to its nearest centroid by cosine.
+
+    Shape: broadcast the tiny centroid set, one pass over the corpus
+    with ``min_by`` picking the best cell — no iterative k-means, no
+    driver data.  At 100 TB the assignment is a single map-side job.
+    """
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    cents = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    dot = DOT.format(a="c_emb", b="embedding")
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", F.expr(dot) / (F.col("norm") * F.col("c_norm"))
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min_by(F.struct("cell"), F.struct(-F.col("cos"), F.col("cell")))
+             .alias("best"))
+        .select("vec_id", F.col("best.cell").alias("cell"))
+        .join(emb, "vec_id")
+        .select("vec_id", "cell", "embedding", "norm")
+    )
+
+
+def ivf_ann_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
+    n_cells: int = 16, nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    cells; exact cosine re-ranks only vectors in those cells.  The
+    probe fraction (nprobe/n_cells) is the recall/throughput dial."""
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assignments(spark, sf_dir, n_cells)
+    cents = assigned.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    dot_qc = DOT.format(a="q_emb", b="c_emb")
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", F.expr(dot_qc) / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("q_id", "q_emb", "q_norm", "cell")
+    )
+    dot = DOT.format(a="q_emb", b="embedding")
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", F.expr(dot) / (F.col("norm") * F.col("q_norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("cosine").cast("double").alias("cosine"),
+                "rank")
+    )

@@ -553,6 +553,7 @@ class DeltaSparkTable:
         partition_dnf: Optional[Sequence[DnfFilter]] = None,
         partition_columns: Optional[Sequence[str]] = None,
         commit_metadata: Optional[dict[str, str]] = None,
+        schema_mode: Optional[SchemaMode] = None,
     ) -> dict[str, Any]:
         """MERGE INTO with auto-create of a missing target (reference
         handler.py:236-262, _merge_execute 70-120).
@@ -583,6 +584,26 @@ class DeltaSparkTable:
 
         snap = self.snapshot()
         table_schema = StructType.fromJson(_json_loads(snap.schema_json))
+        evolved = False
+        if schema_mode == SchemaMode.append:
+            merged = _merge_schemas(table_schema, source.schema)
+            if {f.name for f in merged.fields} != {f.name for f in table_schema.fields}:
+                evolved = True
+            table_schema = merged
+            # read target files against the evolved schema (absent
+            # columns come back null) by patching the snapshot metadata
+            snap = Snapshot(
+                snap.version,
+                Metadata(
+                    schema_json=merged.json(),
+                    partition_columns=snap.metadata.partition_columns,
+                    configuration=snap.metadata.configuration,
+                    table_id=snap.metadata.table_id,
+                    created_time=snap.metadata.created_time,
+                ),
+                snap.files,
+                snap.timestamp,
+            )
         if merge_config.error_on_type_mismatch:
             tgt_types = {f.name: f.dataType.simpleString() for f in table_schema.fields}
             for f in source.schema.fields:
@@ -697,6 +718,7 @@ class DeltaSparkTable:
         for attempt in range(_COMMIT_RETRIES + 1):
             head = tablelog.latest_version(self.table_uri)
             cur = tablelog.load_snapshot(self.table_uri)
+            new_meta = snap.metadata if evolved else cur.metadata
             actions: list[dict[str, Any]] = [
                 CommitInfo(
                     operation="MERGE",
@@ -712,6 +734,8 @@ class DeltaSparkTable:
                     user_metadata=commit_metadata,
                 ).to_action(),
             ]
+            if evolved:
+                actions.append(new_meta.to_action())
             actions += [a.to_action() for a in adds]
             actions += [
                 {"remove": {"path": r.path, "deletionTimestamp": now}} for r in removes
@@ -725,7 +749,7 @@ class DeltaSparkTable:
             try:
                 tablelog.commit(
                     self.table_uri, v, actions,
-                    Snapshot(v, cur.metadata, list(new_files.values()), now),
+                    Snapshot(v, new_meta, list(new_files.values()), now),
                 )
                 return {
                     "mode": "merge",
@@ -760,16 +784,44 @@ class DeltaSparkTable:
 
     # -- maintenance --------------------------------------------------------------
 
-    def optimize(self, target_file_size: int = 128 * 1024 * 1024) -> dict[str, Any]:
-        """Bin-packing compaction: coalesce small files per partition.
-        Not in the reference (delta-rs exposes it); essential at scale."""
+    def optimize(
+        self,
+        target_file_size: int = 128 * 1024 * 1024,
+        cluster_by: Optional[Sequence[str]] = None,
+        num_files: Optional[int] = None,
+    ) -> dict[str, Any]:
+        """Compaction, optionally with range-clustering.
+
+        Without ``cluster_by``: bin-pack small files per partition.
+        With ``cluster_by``: rewrite ALL files range-partitioned and
+        sorted on the given columns (the Z-order-style layout
+        optimization) — per-file min/max footers become tight disjoint
+        ranges, so data skipping on those columns prunes most files.
+        Not in the reference (delta-rs exposes optimize); essential at
+        scale."""
         snap = self.snapshot()
         schema = StructType.fromJson(_json_loads(snap.schema_json))
+        if cluster_by:
+            to_rewrite = list(snap.files)
+            if not to_rewrite:
+                return {"rewritten_files": 0, "version": snap.version}
+            n = num_files or max(
+                1, sum(f.size for f in to_rewrite) // target_file_size + 1
+            )
+            df = (
+                self._read_files(snap, to_rewrite)
+                .repartitionByRange(n, *[F.col(c) for c in cluster_by])
+                .sortWithinPartitions(*cluster_by)
+            )
+            adds = _stage_dataframe(
+                df, self.table_uri, snap.partition_columns, schema
+            )
+            return self._commit_rewrite(snap, to_rewrite, adds, "OPTIMIZE CLUSTER")
         groups: dict[tuple, list[AddFile]] = {}
         for a in snap.files:
             key = tuple(sorted(a.partition_values.items()))
             groups.setdefault(key, []).append(a)
-        to_rewrite: list[AddFile] = []
+        to_rewrite = []
         for _key, files in groups.items():
             small = [f for f in files if f.size < target_file_size // 2]
             if len(small) > 1:
@@ -780,23 +832,32 @@ class DeltaSparkTable:
             max(1, sum(f.size for f in to_rewrite) // target_file_size + 1)
         )
         adds = _stage_dataframe(df, self.table_uri, snap.partition_columns, schema)
+        return self._commit_rewrite(snap, to_rewrite, adds, "OPTIMIZE")
+
+    def _commit_rewrite(
+        self,
+        snap: Snapshot,
+        removes: list[AddFile],
+        adds: list[AddFile],
+        operation: str,
+    ) -> dict[str, Any]:
         now = int(time.time() * 1000)
         head = tablelog.latest_version(self.table_uri)
         actions: list[dict[str, Any]] = [
             CommitInfo(
-                operation="OPTIMIZE",
+                operation=operation,
                 operation_metrics={
                     "num_added_files": len(adds),
-                    "num_removed_files": len(to_rewrite),
+                    "num_removed_files": len(removes),
                 },
             ).to_action(),
         ]
         actions += [a.to_action() for a in adds]
         actions += [
-            {"remove": {"path": r.path, "deletionTimestamp": now}} for r in to_rewrite
+            {"remove": {"path": r.path, "deletionTimestamp": now}} for r in removes
         ]
         new_files = {a.path: a for a in snap.files}
-        for r in to_rewrite:
+        for r in removes:
             new_files.pop(r.path, None)
         for a in adds:
             new_files[a.path] = a
@@ -805,7 +866,7 @@ class DeltaSparkTable:
             self.table_uri, v, actions,
             Snapshot(v, snap.metadata, list(new_files.values()), now),
         )
-        return {"rewritten_files": len(to_rewrite), "version": v}
+        return {"rewritten_files": len(removes), "version": v}
 
     def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
         """Delete data files no longer referenced by the current

@@ -1,0 +1,136 @@
+"""Range clustering (data-skipping layout), merge schema evolution,
+IVF ANN, and property-based pruning invariants."""
+
+from pyspark.sql import functions as F
+
+from dagster_delta_spark import (
+    DeltaSparkTable,
+    MergeConfig,
+    MergeType,
+    SchemaMode,
+    WriteMode,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cluster_by_tightens_data_skipping(spark, tmp_table):
+    """After clustering on v, a range predicate prunes most files."""
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 7919 % 10000).alias("v")  # shuffled values
+    )
+    t.write(df.repartition(8), WriteMode.overwrite)
+    snap = t.snapshot()
+    pruned_before = len(t.pruned_files(snap, [("v", ">=", 9000)]))
+    assert pruned_before == len(snap.files)  # every file spans the range
+
+    t.optimize(cluster_by=["v"], num_files=8)
+    snap2 = t.snapshot()
+    pruned_after = len(t.pruned_files(snap2, [("v", ">=", 9000)]))
+    assert pruned_after <= 2  # tight disjoint ranges now
+    assert t.read(dnf=[("v", ">=", 9000)]).count() == 1000
+
+
+def test_merge_schema_evolution(spark, tmp_table):
+    """Merge with schema_mode=append evolves the target schema; old
+    rows null-fill the new column."""
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(
+        spark.createDataFrame([(1, 4), (2, 5)], "a bigint, b bigint"),
+        WriteMode.overwrite,
+    )
+    src = spark.createDataFrame([(2, 50, "x"), (9, 90, "y")],
+                                "a bigint, b bigint, c string")
+    t.merge(
+        src,
+        MergeConfig(MergeType.upsert, predicate="s.a = t.a"),
+        schema_mode=SchemaMode.append,
+    )
+    out = {r["a"]: (r["b"], r["c"]) for r in t.read().collect()}
+    assert out == {1: (4, None), 2: (50, "x"), 9: (90, "y")}
+    assert "c" in {f.name for f in t.schema().fields}
+
+
+def test_ivf_ann_probes_subset(spark):
+    """IVF results are exact cosines over probed cells; full probe
+    equals brute force."""
+    from dagster_delta_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    exact = {(r["q_id"], r["rank"]): r["vec_id"]
+             for r in cosine_topk(spark, SF, k=3).collect()}
+    # probing every cell must reproduce the exact top-k
+    full = {(r["q_id"], r["rank"]): r["vec_id"]
+            for r in ivf_ann_topk(spark, SF, k=3, n_cells=8, nprobe=8).collect()}
+    assert full == exact
+    # partial probe still returns k results per query
+    part = ivf_ann_topk(spark, SF, k=3, n_cells=8, nprobe=2)
+    counts = {r["q_id"]: r["n"] for r in
+              part.groupBy("q_id").count().withColumnRenamed("count", "n").collect()}
+    assert all(v == 3 for v in counts.values())
+
+
+def test_pruning_invariant_random_predicates(spark, tmp_path):
+    """Property: for random data + random DNF, the pruned partitioned
+    read equals the brute-force filter of the full scan."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (rnd.choice(["a", "b", "c", "d"]), rnd.randint(0, 100), rnd.random())
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k string, n bigint, x double")
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(df.repartition(6), WriteMode.overwrite, partition_columns=["k"])
+    full = t.read()
+
+    for trial in range(8):
+        op = rnd.choice(["=", "in", ">=", "<"])
+        col = rnd.choice(["k", "n"])
+        if col == "k":
+            vals = ["a", "b", "c", "d", "zz"]
+            dnf = [("k", "=", rnd.choice(vals))] if op in ("=", ">=", "<") \
+                else [("k", "in", rnd.sample(vals, 2))]
+        else:
+            v = rnd.randint(-5, 105)
+            dnf = [("n", op if op != "in" else ">=",
+                    [v, v + 3] if op == "in" else v)]
+            if op == "in":
+                dnf = [("n", "in", [v, v + 3])]
+        from dagster_delta_spark.plans.predicates import dnf_to_column
+
+        expected = full.where(dnf_to_column(dnf)).count()
+        got = t.read(dnf=dnf).count()
+        assert got == expected, f"trial {trial}: dnf={dnf}"
+
+
+def test_sql_and_column_lowering_agree(spark):
+    """Property: dnf_to_sql and dnf_to_column select identical rows."""
+    from datetime import datetime
+    import random
+
+    from dagster_delta_spark.plans.predicates import dnf_to_column, dnf_to_sql
+
+    rnd = random.Random(11)
+    rows = [
+        (i, rnd.choice(["x", "o'x", "y"]), datetime(2020, 1, 1 + rnd.randint(0, 20)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "n bigint, s string, ts timestamp")
+    df.createOrReplaceTempView("prop_t")
+    cases = [
+        [("n", ">=", 100)],
+        [("s", "=", "o'x")],
+        [("s", "in", ["x", "y"])],
+        [("ts", "<", datetime(2020, 1, 10))],
+        [("n", ">=", 50), ("ts", ">=", datetime(2020, 1, 5))],
+    ]
+    for dnf in cases:
+        a = df.where(dnf_to_column(dnf)).count()
+        b = spark.sql(f"SELECT count(*) c FROM prop_t WHERE {dnf_to_sql(dnf)}") \
+            .collect()[0]["c"]
+        assert a == b, dnf
