@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": relational.events_hourly_rollup,
         "events_sessionize": relational.events_sessionize,
         "order_lineitem_rollup": relational.order_lineitem_rollup,
+        "q4_exists_semi": relational.q4_order_priority_exists,
+        "q16_anti_join": relational.q16_anti_join_parts,
+        "q17_scalar_subquery": relational.q17_small_quantity_revenue,
         "revenue_rollup": relational.revenue_rollup,
         "revenue_cube": relational.revenue_cube,
         "set_ops_customers": relational.customer_order_set_ops,
@@ -486,6 +489,37 @@ def oracle_sql() -> dict[str, str]:
              AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
              AND CAST(b.ts AS TIMESTAMP) <=
                  CAST(a.ts AS TIMESTAMP) + INTERVAL 60 SECOND
+        """,
+        "q4_exists_semi": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+            )
+            GROUP BY o_orderpriority
+        """,
+        "q16_anti_join": """
+            SELECT p_brand, count(*) AS n_parts
+            FROM part
+            WHERE p_partkey NOT IN (
+                SELECT DISTINCT l.l_partkey
+                FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE s.s_acctbal < 0
+            )
+            GROUP BY p_brand
+        """,
+        "q17_scalar_subquery": """
+            WITH half_avg AS (
+                SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,10)))
+                        AS DOUBLE) AS small_qty_revenue,
+                   count(*) AS n_lines
+            FROM lineitem l JOIN half_avg h ON l.l_partkey = h.l_partkey
+            WHERE l.l_quantity < h.half_avg
         """,
         # write-path end states
         "w1_error_roundtrip": "SELECT * FROM orders WHERE o_orderstatus = 'F'",

@@ -290,3 +290,54 @@ def customer_order_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     done_c = orders.where("o_orderstatus = 'F'").select("o_custkey")
     pend_c = orders.where("o_orderstatus = 'P'").select("o_custkey")
     return open_c.intersect(done_c).subtract(pend_c)
+
+
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join
+    (Catalyst plans the semi join; no row explosion)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = li.where(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    return (
+        orders.join(
+            late, orders.o_orderkey == late.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q16_anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN / anti-join shape: parts never shipped by any supplier
+    with a negative account balance."""
+    part = load(spark, sf_dir, "part")
+    sup = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    li = load(spark, sf_dir, "lineitem")
+    bad_parts = li.join(
+        F.broadcast(sup), li.l_suppkey == sup.s_suppkey
+    ).select("l_partkey").distinct()
+    return (
+        part.join(bad_parts, part.p_partkey == bad_parts.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: scalar aggregate subquery per group — lineitems
+    below 50%% of their part's average quantity.  The per-part average
+    is a broadcast-joined aggregate, not a correlated re-scan."""
+    li = load(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)"
+            ).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

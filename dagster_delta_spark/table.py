@@ -868,6 +868,25 @@ class DeltaSparkTable:
         )
         return {"rewritten_files": len(removes), "version": v}
 
+    def describe_detail(self) -> dict[str, Any]:
+        """DESCRIBE DETAIL analogue: table-level metadata summary from
+        the log only (reference O3/O4 surface; Spark's DESCRIBE DETAIL
+        on Delta)."""
+        snap = self.snapshot()
+        return {
+            "format": "parquet+log",
+            "id": snap.metadata.table_id,
+            "location": self.table_uri,
+            "createdAt": snap.metadata.created_time,
+            "lastModified": snap.timestamp,
+            "partitionColumns": list(snap.partition_columns),
+            "numFiles": len(snap.files),
+            "sizeInBytes": sum(a.size for a in snap.files),
+            "numRecords": sum(a.num_records for a in snap.files),
+            "properties": dict(snap.metadata.configuration),
+            "version": snap.version,
+        }
+
     def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
         """Delete data files no longer referenced by the current
         snapshot and older than the retention window."""

@@ -1,0 +1,63 @@
+"""describe_detail, log checkpoints, salted join."""
+
+from dagster_delta_spark import DeltaSparkTable, WriteMode
+from dagster_delta_spark.functions.skew import salted_join
+
+
+def test_describe_detail(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.createDataFrame([("red", 1), ("blue", 2)], "c string, v bigint")
+    t.write(df, WriteMode.overwrite, partition_columns=["c"],
+            table_configuration={"owner": "pipeline"})
+    d = t.describe_detail()
+    assert d["partitionColumns"] == ["c"]
+    assert d["numRecords"] == 2
+    assert d["numFiles"] == len(t.snapshot().files)
+    assert d["sizeInBytes"] > 0
+    assert d["properties"] == {"owner": "pipeline"}
+    assert d["version"] == 0
+
+
+def test_log_checkpoint_used_after_many_commits(spark, tmp_table):
+    """After CHECKPOINT_INTERVAL commits, snapshot replay starts from
+    the checkpoint (and history/time travel still work)."""
+    import os
+
+    from dagster_delta_spark import tablelog
+
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.createDataFrame([(1,)], "v bigint")
+    for _ in range(tablelog.CHECKPOINT_INTERVAL + 2):
+        t.write(df, WriteMode.append)
+    log_dir = os.path.join(tmp_table, tablelog.LOG_DIR)
+    assert any(".checkpoint" in f for f in os.listdir(log_dir))
+    assert t.read().count() == tablelog.CHECKPOINT_INTERVAL + 2
+    assert t.read(version=0).count() == 1  # pre-checkpoint time travel
+    assert t.snapshot().version == tablelog.CHECKPOINT_INTERVAL + 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    import random
+
+    rnd = random.Random(3)
+    # skewed: 80% of rows share one key
+    large = spark.createDataFrame(
+        [(1 if rnd.random() < 0.8 else rnd.randint(2, 10), i)
+         for i in range(2000)],
+        "k bigint, payload bigint",
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 11)], "k bigint, name string"
+    )
+    plain = large.join(small, "k").groupBy("name").count()
+    salted = salted_join(large, small, "k", salt=4).groupBy("name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left(spark):
+    large = spark.createDataFrame([(1, "a"), (99, "b")], "k bigint, x string")
+    small = spark.createDataFrame([(1, "dim")], "k bigint, name string")
+    out = salted_join(large, small, "k", salt=3, how="left").collect()
+    by_k = {r["k"]: r["name"] for r in out}
+    assert by_k == {1: "dim", 99: None}
+    assert len(out) == 2  # left rows never duplicated by salting
