@@ -48,6 +48,12 @@ def main() -> None:
         "events_hourly_rollup",
         "events_sessionize",
         "order_lineitem_rollup",
+        "q4_exists_semi",
+        "q16_anti_join",
+        "q17_scalar_subquery",
+        "revenue_rollup",
+        "asof_clicks_purchases",
+        "range_join_bursts",
         # transactional table layer (write + partition overwrite + merge)
         "w3_partition_overwrite",
         "m3_upsert",
@@ -59,6 +65,9 @@ def main() -> None:
         "minhash_lsh_near_dups",
         "simhash_near_dups",
         "cosine_topk",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "near_dup_jaccard",
     ]
 
     def run_once(name: str) -> float:

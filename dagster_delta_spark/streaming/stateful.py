@@ -1,0 +1,107 @@
+"""Custom stateful streaming operator: running per-user counters via
+``applyInPandasWithState``.
+
+``session_window``/windowed aggs cover the declarative cases
+(``events.py``); this module is the escape hatch the reference's
+architecture never had — arbitrary per-key state machines executed as
+Arrow-batched Python with bounded state and timeouts.  Demonstrated
+operator: a running per-user spend monitor that emits an updated
+(user_id, n_events, total_value, max_single_value) row per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType([
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+    StructField("max_value", DoubleType()),
+])
+
+OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+    StructField("max_value", DoubleType()),
+])
+
+
+def _update_user_totals(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, mx = state.get
+    else:
+        n, total, mx = 0, 0.0, float("-inf")
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame({
+        "user_id": [user_id],
+        "n_events": [n],
+        "total_value": [total],
+        "max_value": [mx],
+    })
+
+
+def user_totals_stream(events: DataFrame) -> DataFrame:
+    """Stateful per-user running totals over the event stream."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_user_totals_once(
+    spark: SparkSession, sf_dir: str, table_name: str = "user_totals"
+) -> DataFrame:
+    """Drive the stateful operator over the static fixture; the final
+    per-user row equals the batch groupBy (asserted in tests)."""
+    from .events import read_events_stream
+
+    stream = user_totals_stream(read_events_stream(spark, sf_dir, 8))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode emits one row per user per batch; the last one wins
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    raw = spark.table(table_name).withColumn(
+        "__idx", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("__idx"))
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value", "max_value")
+    )

@@ -107,3 +107,24 @@ def test_rollup_contains_grand_total(spark):
         r["n_orders"] for r in out
         if r["o_orderstatus"] is not None and r["o_orderpriority"] is not None
     )
+
+
+def test_stateful_user_totals_matches_batch(spark):
+    """applyInPandasWithState running totals equal the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.operators.relational import load_events
+    from dagster_delta_spark.streaming.stateful import run_user_totals_once
+
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in run_user_totals_once(spark, SF, "t_user_totals").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in load_events(spark, SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == want
