@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": relational.events_sessionize,
         "order_lineitem_rollup": relational.order_lineitem_rollup,
         "q4_exists_semi": relational.q4_order_priority_exists,
+        "events_json_props": relational.events_json_props,
         "q16_anti_join": relational.q16_anti_join_parts,
         "q17_scalar_subquery": relational.q17_small_quantity_revenue,
         "revenue_rollup": relational.revenue_rollup,
@@ -520,6 +521,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lines
             FROM lineitem l JOIN half_avg h ON l.l_partkey = h.l_partkey
             WHERE l.l_quantity < h.half_avg
+        """,
+        "events_json_props": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+                   count(*) AS n_events,
+                   avg(CAST(json_extract(props, '$.k') AS BIGINT)) AS avg_k,
+                   sum(value) AS sum_value
+            FROM events
+            GROUP BY 1
         """,
         # write-path end states
         "w1_error_roundtrip": "SELECT * FROM orders WHERE o_orderstatus = 'F'",

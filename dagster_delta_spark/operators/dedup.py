@@ -116,12 +116,14 @@ def minhash_signatures(
     shuffle on doc_id.  (A nested array-lambda formulation is ~100x
     slower: higher-order functions run interpreted and re-evaluate the
     hash per seed.)"""
+    return _signatures_from_stream(_shingle_stream(spark, sf_dir), num_hashes)
+
+
+def _signatures_from_stream(stream: DataFrame, num_hashes: int) -> DataFrame:
     # hash the (variable-length) shingle string once; the per-seed
     # hashes then run over a fixed 8-byte long — ~20x cheaper than
     # re-hashing the string per seed
-    ex = _shingle_stream(spark, sf_dir).select(
-        "doc_id", F.xxhash64("sh").alias("h0")
-    )
+    ex = stream.select("doc_id", F.xxhash64("sh").alias("h0"))
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -147,7 +149,12 @@ def minhash_lsh_near_dups(
     probabilistic — the scale/accuracy dial).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(spark, sf_dir, num_hashes)
+    # materialize the shingle stream once (localCheckpoint truncates
+    # lineage; blocks are freed when the RDD is garbage-collected) —
+    # signatures and exact verification both reuse it instead of
+    # re-tokenizing the corpus three times
+    stream = _shingle_stream(spark, sf_dir).localCheckpoint()
+    sigs = _signatures_from_stream(stream, num_hashes)
     band_expr = (
         f"transform(sequence(0, {bands - 1}), "
         f"b -> named_struct('band', b, 'h', "
@@ -169,7 +176,6 @@ def minhash_lsh_near_dups(
     # exact verification restricted to candidate docs: semi-filter the
     # shingle stream to candidates (broadcast — candidates are small),
     # count common shingles per candidate pair
-    stream = _shingle_stream(spark, sf_dir)
     sizes = _shingle_sizes(stream)
     docs_a = candidates.select(F.col("doc_a").alias("doc_id")).distinct()
     docs_b = candidates.select(F.col("doc_b").alias("doc_id")).distinct()

@@ -56,6 +56,7 @@ from . import tablelog
 from .tablelog import (
     AddFile,
     CommitInfo,
+    ConcurrentDeleteError,
     Metadata,
     Snapshot,
     TableNotFoundError,
@@ -718,6 +719,18 @@ class DeltaSparkTable:
         for attempt in range(_COMMIT_RETRIES + 1):
             head = tablelog.latest_version(self.table_uri)
             cur = tablelog.load_snapshot(self.table_uri)
+            if head != snap.version:
+                # write-conflict check: the merge was planned against
+                # ``snap``; if a concurrent commit removed any file this
+                # merge rewrites, committing would resurrect/lose rows
+                # (same rule as Delta's ConcurrentDeleteReadException)
+                live = {a.path for a in cur.files}
+                gone = [r.path for r in removes if r.path not in live]
+                if gone:
+                    raise ConcurrentDeleteError(
+                        f"merge conflicts with a concurrent commit: files "
+                        f"{gone[:3]}{'...' if len(gone) > 3 else ''} were removed"
+                    )
             new_meta = snap.metadata if evolved else cur.metadata
             actions: list[dict[str, Any]] = [
                 CommitInfo(

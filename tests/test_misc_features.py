@@ -61,3 +61,46 @@ def test_salted_join_left(spark):
     by_k = {r["k"]: r["name"] for r in out}
     assert by_k == {1: "dim", 99: None}
     assert len(out) == 2  # left rows never duplicated by salting
+
+
+def test_merge_conflict_detection(spark, tmp_table):
+    """A merge planned against a snapshot whose files were removed by
+    a concurrent commit must fail, not silently resurrect rows."""
+    import pytest
+
+    from dagster_delta_spark import MergeConfig, MergeType
+    from dagster_delta_spark.table import DeltaSparkTable as T
+    from dagster_delta_spark.tablelog import ConcurrentDeleteError
+    from dagster_delta_spark import WriteMode
+
+    t = T(spark, tmp_table)
+    t.write(spark.createDataFrame([(1, 4), (2, 5)], "a bigint, b bigint"),
+            WriteMode.overwrite)
+
+    # simulate a concurrent overwrite between merge planning and commit
+    import dagster_delta_spark.table as table_mod
+
+    orig_commit = table_mod.tablelog.commit
+    state = {"raced": False}
+
+    def racing_commit(uri, version, actions, snap=None):
+        if not state["raced"] and any("MERGE" in str(a.get("commitInfo", {}).get("operation", "")) for a in actions):
+            state["raced"] = True
+            # concurrent writer replaces the table first
+            T(spark, tmp_table).write(
+                spark.createDataFrame([(9, 9)], "a bigint, b bigint"),
+                WriteMode.overwrite,
+            )
+        return orig_commit(uri, version, actions, snap)
+
+    table_mod.tablelog.commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentDeleteError):
+            t.merge(
+                spark.createDataFrame([(2, 50)], "a bigint, b bigint"),
+                MergeConfig(MergeType.upsert, predicate="s.a = t.a"),
+            )
+    finally:
+        table_mod.tablelog.commit = orig_commit
+    # the concurrent writer's state is intact
+    assert [(r["a"], r["b"]) for r in t.read().collect()] == [(9, 9)]
