@@ -174,6 +174,15 @@ def pj1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(columns=["o_orderkey", "o_totalprice"])
 
 
+def o_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """optimize() compaction preserves exact table contents."""
+    t = DeltaSparkTable(spark, _scratch("compact"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t.write(li.repartition(16), WriteMode.error)
+    t.optimize(target_file_size=256 * 1024 * 1024)
+    return t.read()
+
+
 def o3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: log-scoped stats (row count from add-actions, zero data
     read), returned as a 1-row frame."""
@@ -242,6 +251,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": relational.events_json_props,
         "q16_anti_join": relational.q16_anti_join_parts,
         "q17_scalar_subquery": relational.q17_small_quantity_revenue,
+        "q12_case_agg": relational.q12_priority_by_linestatus,
+        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
+        "q18_large_orders": relational.q18_large_orders,
+        "q19_disjunctive": relational.q19_disjunctive_predicates,
+        "q22_anti_scalar": relational.q22_idle_rich_customers,
+        "o_compaction_roundtrip": o_compaction_roundtrip,
         "revenue_rollup": relational.revenue_rollup,
         "revenue_cube": relational.revenue_cube,
         "set_ops_customers": relational.customer_order_set_ops,
@@ -530,6 +545,68 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
+        "q12_case_agg": """
+            SELECT l.l_linestatus,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l.l_linestatus
+        """,
+        "q14_promo_ratio": """
+            SELECT CAST(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))
+                       ELSE CAST(0 AS DECIMAL(30,10)) END)
+                   / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS promo_revenue_pct
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                           AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) > 250
+            )
+            SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                   b.total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY b.total_qty DESC, o.o_orderkey ASC
+            LIMIT 20
+        """,
+        "q19_disjunctive": """
+            SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10
+                   AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#2' AND p.p_size <= 20
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_brand = 'Brand#3' AND p.p_size <= 30
+                   AND l.l_quantity BETWEEN 20 AND 40)
+        """,
+        "q22_anti_scalar": """
+            WITH rich AS (
+                SELECT * FROM customer
+                WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                                   WHERE c_acctbal > 0)
+            )
+            SELECT r.c_mktsegment,
+                   count(*) AS n_custs,
+                   CAST(sum(CAST(r.c_acctbal AS DECIMAL(30,10))) AS DOUBLE)
+                       AS total_bal
+            FROM rich r
+            WHERE (SELECT count(*) FROM orders o
+                   WHERE o.o_custkey = r.c_custkey) <= 3
+            GROUP BY r.c_mktsegment
+        """,
+        "o_compaction_roundtrip": "SELECT * FROM lineitem",
         # write-path end states
         "w1_error_roundtrip": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
         "w2_append": "SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')",

@@ -357,3 +357,119 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("sum_value"),
         )
     )
+
+
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation after a fact join."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("high_line_count"),
+            F.sum(
+                F.when(
+                    ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue ratio over a dimension
+    attribute (promo part types)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))"
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.expr(
+                f"CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' "
+                f"THEN {rev} ELSE CAST(0 AS DECIMAL(30,10)) END) "
+                f"/ SUM({rev}) AS DOUBLE)"
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped fact, rejoined to dims;
+    deterministic top-20."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)")
+             .alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+                "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across fact + dim — tests
+    that Catalyst pushes the common join key and evaluates the
+    disjunction once."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return j.where(cond).agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(30,10))) AS DOUBLE)"
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average) + anti join
+    (customers with no orders)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("a"))
+    # "idle" = at most 3 orders (every synthetic customer has some)
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    idle = (
+        rich.join(counts, rich.c_custkey == counts.o_custkey, "left")
+        .where(F.coalesce(F.col("n_ord"), F.lit(0)) <= 3)
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE)")
+            .alias("total_bal"),
+        )
+    )
