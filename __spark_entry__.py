@@ -10,9 +10,16 @@ for comparison against a relational oracle of the same end state.
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 import uuid
 from collections.abc import Callable
+
+# make the package importable regardless of the loader's cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -256,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": relational.q18_large_orders,
         "q19_disjunctive": relational.q19_disjunctive_predicates,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
+        "q7_nation_volume": relational.q7_nation_volume,
         "o_compaction_roundtrip": o_compaction_roundtrip,
         "revenue_rollup": relational.revenue_rollup,
         "revenue_cube": relational.revenue_cube,
@@ -607,6 +615,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.c_mktsegment
         """,
         "o_compaction_roundtrip": "SELECT * FROM lineitem",
+        "q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS l_year,
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(30,10))) AS DOUBLE) AS volume,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+        """,
         # write-path end states
         "w1_error_roundtrip": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
         "w2_append": "SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')",

@@ -378,6 +378,8 @@ class DeltaSparkTable:
         schema_mode: Optional[SchemaMode] = None,
         table_configuration: Optional[dict[str, str]] = None,
         commit_metadata: Optional[dict[str, str]] = None,
+        cluster_by: Optional[Sequence[str]] = None,
+        cluster_files: Optional[int] = None,
     ) -> dict[str, Any]:
         """All write modes (reference handle_output dispatch,
         handler.py:190-262).
@@ -385,6 +387,9 @@ class DeltaSparkTable:
         ``partition_dnf`` scopes ``overwrite`` to matching partitions
         (replaceWhere / O1).  ``create_or_replace`` commits metadata
         only — no data write (reference handler.py:226-235).
+        ``cluster_by`` range-clusters + sorts the incoming data before
+        staging so per-file min/max stats are tight on those columns
+        (write-time layout optimization; see also optimize(cluster_by)).
         """
         head = tablelog.latest_version(self.table_uri)
         exists = head >= 0
@@ -429,6 +434,13 @@ class DeltaSparkTable:
             )
 
         out = _conform(df, final_schema)
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            out = (
+                out.repartitionByRange(cluster_files, *cols)
+                if cluster_files
+                else out.repartitionByRange(*cols)
+            ).sortWithinPartitions(*cluster_by)
         adds = _stage_dataframe(out, self.table_uri, pcols, final_schema)
         rows_written = sum(a.num_records for a in adds)
 

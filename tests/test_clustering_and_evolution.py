@@ -134,3 +134,16 @@ def test_sql_and_column_lowering_agree(spark):
         b = spark.sql(f"SELECT count(*) c FROM prop_t WHERE {dnf_to_sql(dnf)}") \
             .collect()[0]["c"]
         assert a == b, dnf
+
+
+def test_write_time_clustering(spark, tmp_table):
+    """cluster_by at write time produces skippable file layout
+    immediately (no separate optimize pass)."""
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.range(0, 10000).select((F.col("id") * 7919 % 10000).alias("v"))
+    t.write(df.repartition(8), WriteMode.overwrite, cluster_by=["v"],
+            cluster_files=8)
+    snap = t.snapshot()
+    pruned = t.pruned_files(snap, [("v", ">=", 9000)])
+    assert len(pruned) < len(snap.files)
+    assert t.read(dnf=[("v", ">=", 9000)]).count() == 1000
