@@ -125,7 +125,21 @@ def stream_into_table(
 
     table = DeltaSparkTable(spark, table_uri)
 
+    def _last_committed_batch() -> int:
+        if not table.exists():
+            return -1
+        for h in table.history():
+            md = h.get("userMetadata") or {}
+            if "streaming_batch_id" in md:
+                return int(md["streaming_batch_id"])
+        return -1
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent restart: if this batch already committed (e.g. a
+        # failure after commit but before checkpoint advance), skip it —
+        # the Delta txnAppId/txnVersion pattern on our commit metadata
+        if batch_id <= _last_committed_batch():
+            return
         table.write(
             batch_df, WriteMode.append,
             commit_metadata={"streaming_batch_id": str(batch_id)},

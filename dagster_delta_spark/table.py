@@ -632,21 +632,26 @@ class DeltaSparkTable:
             pred = f"({pred}) AND ({dnf_to_sql(partition_dnf, qualifier=ta)})"
 
         candidates = self.pruned_files(snap, partition_dnf)
-        tgt = self._read_files(snap, candidates).withColumn(
-            "__file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-        )
-
         src = source.withColumn("__s_m", F.lit(1))
         cond = F.expr(pred)
 
-        touched_rows = (
-            tgt.alias(ta)
-            .join(src.alias(sa), cond, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        )
-        touched = {r["__file"] for r in touched_rows}
+        if candidates:
+            tgt = self._read_files(snap, candidates).withColumn(
+                "__file",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+            touched_rows = (
+                tgt.alias(ta)
+                .join(src.alias(sa), cond, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+            touched = {r["__file"] for r in touched_rows}
+        else:
+            # empty target (or fully-pruned): nothing to touch; merge
+            # degenerates to the insert branches
+            touched = set()
         by_basename = {os.path.basename(a.path): a for a in candidates}
         touched_adds = [by_basename[b] for b in touched if b in by_basename]
 
@@ -892,6 +897,78 @@ class DeltaSparkTable:
             Snapshot(v, snap.metadata, list(new_files.values()), now),
         )
         return {"rewritten_files": len(removes), "version": v}
+
+    def zorder(
+        self,
+        columns: Sequence[str],
+        *,
+        bits: int = 16,
+        num_files: Optional[int] = None,
+        target_file_size: int = 128 * 1024 * 1024,
+    ) -> dict[str, Any]:
+        """True multi-column Z-order: interleave the bits of each
+        column's normalized rank bucket and rewrite files sorted along
+        the resulting space-filling curve — every listed column gets
+        useful min/max skipping (single-column range clustering only
+        helps its leading column).
+
+        Two passes: (1) per-column min/max from the log's own stats
+        where available (zero data read) else a tiny agg job;
+        (2) rewrite ordered by the interleaved key.  Numeric columns
+        only."""
+        snap = self.snapshot()
+        schema = StructType.fromJson(_json_loads(snap.schema_json))
+        files = list(snap.files)
+        if not files:
+            return {"rewritten_files": 0, "version": snap.version}
+        df = self._read_files(snap, files)
+
+        # pass 1: global min/max per z column (log stats when complete)
+        bounds: dict[str, tuple[float, float]] = {}
+        from_log = all(
+            c in a.stats.get("minValues", {}) for a in files for c in columns
+        )
+        if from_log:
+            for c in columns:
+                bounds[c] = (
+                    min(a.stats["minValues"][c] for a in files),
+                    max(a.stats["maxValues"][c] for a in files),
+                )
+        else:
+            row = df.agg(*[F.min(c).alias(f"mn_{c}") for c in columns],
+                         *[F.max(c).alias(f"mx_{c}") for c in columns]).collect()[0]
+            for c in columns:
+                bounds[c] = (row[f"mn_{c}"], row[f"mx_{c}"])
+
+        # bucket each column into [0, 2^bits) by linear normalization
+        n = len(columns)
+        bucket_exprs = []
+        for c in columns:
+            lo, hi = bounds[c]
+            span = (hi - lo) or 1
+            bucket_exprs.append(
+                f"CAST(least(greatest(({c} - {lo}) / {span}, 0.0), 1.0) "
+                f"* {(1 << bits) - 1} AS BIGINT)"
+            )
+        terms = []
+        for j in range(bits):
+            for i in range(n):
+                terms.append(
+                    f"(shiftleft(shiftright(__zb{i}, {j}) & 1, {j * n + i}))"
+                )
+        z_input = df
+        for i, be in enumerate(bucket_exprs):
+            z_input = z_input.withColumn(f"__zb{i}", F.expr(be))
+        z = z_input.withColumn("__z", F.expr(" | ".join(terms)))
+        nf = num_files or max(1, sum(f.size for f in files) // target_file_size + 1)
+        ordered = (
+            z.repartitionByRange(nf, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop(*[f"__zb{i}" for i in range(n)], "__z")
+        )
+        adds = _stage_dataframe(ordered, self.table_uri, snap.partition_columns,
+                                schema)
+        return self._commit_rewrite(snap, files, adds, "OPTIMIZE ZORDER")
 
     def describe_detail(self) -> dict[str, Any]:
         """DESCRIBE DETAIL analogue: table-level metadata summary from

@@ -147,3 +147,43 @@ def test_write_time_clustering(spark, tmp_table):
     pruned = t.pruned_files(snap, [("v", ">=", 9000)])
     assert len(pruned) < len(snap.files)
     assert t.read(dnf=[("v", ">=", 9000)]).count() == 1000
+
+
+def test_zorder_skips_on_both_dimensions(spark, tmp_table):
+    """Z-order gives useful pruning on BOTH columns; single-column
+    range clustering only on its leading column."""
+    t = DeltaSparkTable(spark, tmp_table)
+    rows = [(i % 100, (i * 37) % 100) for i in range(10000)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    t.write(df.repartition(8), WriteMode.overwrite)
+    t.zorder(["x", "y"], num_files=16)
+    snap = t.snapshot()
+    n = len(snap.files)
+    px = len(t.pruned_files(snap, [("x", ">=", 90)]))
+    py = len(t.pruned_files(snap, [("y", ">=", 90)]))
+    assert n == 16
+    assert px <= n // 2 and py <= n // 2  # both dims skip >= half
+    assert t.read(dnf=[("x", ">=", 90)]).count() == 1000
+    assert t.read(dnf=[("y", ">=", 90)]).count() == 1000
+
+
+def test_streaming_sink_idempotent_replay(spark, tmp_path):
+    """Re-delivering an already-committed batch id is a no-op."""
+    from dagster_delta_spark.streaming import stream_into_table
+
+    uri = str(tmp_path / "t")
+    table = stream_into_table(spark, "/root/testdata/sf0.001", uri,
+                              max_files_per_trigger=8)
+    n = table.read().count()
+    v = table.version()
+    # simulate a post-failure replay of batch 0
+    import dagster_delta_spark.streaming.events as ev_mod
+
+    df = ev_mod.read_events_stream.__wrapped__ if hasattr(
+        ev_mod.read_events_stream, "__wrapped__") else None
+    # call the sink logic directly through a fresh stream run: rerunning
+    # the whole stream with the same checkpoint does not duplicate
+    table2 = stream_into_table(spark, "/root/testdata/sf0.001", uri,
+                               max_files_per_trigger=8)
+    assert table2.read().count() == n
+    assert table2.version() == v

@@ -1,0 +1,96 @@
+"""Model-based fuzz: random operation sequences on a DeltaSparkTable
+are mirrored against a plain-pandas model; state must match after
+every step, and time travel must reproduce every historical state."""
+
+import random
+
+import pandas as pd
+
+from dagster_delta_spark import (
+    DeltaSparkTable,
+    MergeConfig,
+    MergeType,
+    WriteMode,
+)
+
+KEYS = list(range(20))
+
+
+def _mk_df(spark, rnd):
+    rows = [(k, rnd.randint(0, 1000)) for k in rnd.sample(KEYS, rnd.randint(1, 10))]
+    return (
+        spark.createDataFrame(rows, "k bigint, v bigint"),
+        pd.DataFrame(rows, columns=["k", "v"]),
+    )
+
+
+def _table_state(t):
+    return sorted((r["k"], r["v"]) for r in t.read().collect())
+
+
+def _model_state(m):
+    return sorted(map(tuple, m[["k", "v"]].itertuples(index=False)))
+
+
+def _apply_model(model, op, pdf):
+    if op == "append":
+        return pd.concat([model, pdf], ignore_index=True)
+    if op == "overwrite":
+        return pdf.copy()
+    if op == "upsert":
+        # update matched (all duplicate target rows take source value),
+        # insert unmatched sources
+        src = pdf.drop_duplicates("k", keep="last")  # single source per key
+        merged = model.merge(src, on="k", how="left", suffixes=("", "_s"))
+        merged["v"] = merged["v_s"].fillna(merged["v"]).astype("int64")
+        merged = merged[["k", "v"]]
+        inserts = src[~src["k"].isin(model["k"])][["k", "v"]]
+        return pd.concat([merged, inserts], ignore_index=True)
+    if op == "delete_unmatched":
+        src = pdf.drop_duplicates("k", keep="last")
+        kept = model[model["k"].isin(src["k"])].merge(src, on="k",
+                                                      suffixes=("", "_s"))
+        kept["v"] = kept["v_s"].astype("int64")
+        return kept[["k", "v"]]
+    raise AssertionError(op)
+
+
+def test_random_op_sequences_match_model(spark, tmp_path):
+    rnd = random.Random(1234)
+    for trial in range(3):
+        t = DeltaSparkTable(spark, str(tmp_path / f"t{trial}"))
+        model = pd.DataFrame(columns=["k", "v"]).astype("int64")
+        states = []
+        sdf, pdf = _mk_df(spark, rnd)
+        t.write(sdf, WriteMode.overwrite)
+        model = _apply_model(model, "overwrite", pdf)
+        states.append(_model_state(model))
+
+        for _step in range(6):
+            op = rnd.choice(["append", "overwrite", "upsert", "delete_unmatched"])
+            sdf, pdf = _mk_df(spark, rnd)
+            if op == "append":
+                t.write(sdf, WriteMode.append)
+            elif op == "overwrite":
+                t.write(sdf, WriteMode.overwrite)
+            elif op == "upsert":
+                src = sdf.dropDuplicates(["k"])
+                t.merge(src, MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
+                pdf = pdf.drop_duplicates("k", keep="first")
+            else:
+                src = sdf.dropDuplicates(["k"])
+                t.merge(src, MergeConfig(MergeType.replace_delete_unmatched,
+                                         predicate="s.k = t.k"))
+                pdf = pdf.drop_duplicates("k", keep="first")
+            model = _apply_model(model, op, pdf)
+            states.append(_model_state(model))
+            assert _table_state(t) == _model_state(model), (
+                f"trial {trial} step {_step} op {op}"
+            )
+
+        # time travel reproduces every historical state
+        for version, want in enumerate(states):
+            got = sorted(
+                (r["k"], r["v"]) for r in t.read(version=version).collect()
+            )
+            assert got == want, f"trial {trial} version {version}"
