@@ -102,6 +102,39 @@ class ArrowTypeHandler(SparkTypeHandler):
             return {}
 
 
+class PolarsTypeHandler(SparkTypeHandler):
+    """polars handler (reference U3: ddp/deltalake_polars_type_handler
+    .py:24-109).  LazyFrames are collected on write (ddp:42-43);
+    default load type is the eager DataFrame (ddp:163-166).  Only
+    registered when polars is importable."""
+
+    def __init__(self) -> None:
+        import polars as pl
+
+        self.supported_types = (pl.DataFrame, pl.LazyFrame)
+
+    def to_spark(self, spark: SparkSession, obj: Any) -> DataFrame:
+        import polars as pl
+
+        if isinstance(obj, pl.LazyFrame):
+            obj = obj.collect()
+        return spark.createDataFrame(obj.to_pandas())
+
+    def from_spark(self, df: DataFrame, target_type: Type) -> Any:
+        import polars as pl
+
+        out = pl.from_pandas(df.toPandas())
+        if target_type is pl.LazyFrame:
+            return out.lazy()
+        return out
+
+    def get_output_stats(self, obj: Any) -> dict[str, Any]:
+        try:
+            return {"num_rows_in_source": int(obj.shape[0])}
+        except (AttributeError, TypeError):
+            return {}
+
+
 class HandlerRegistry:
     """Dispatch on the asset object's python type (reference:
     io_manager type_handlers list, io_manager.py:201-210)."""
@@ -118,6 +151,10 @@ class HandlerRegistry:
                 self.handlers.append(ArrowTypeHandler())
             except ImportError:  # pragma: no cover
                 pass
+            try:
+                self.handlers.append(PolarsTypeHandler())
+            except ImportError:
+                pass  # polars optional (not present in this container)
 
     def for_object(self, obj: Any) -> SparkTypeHandler:
         for h in self.handlers:

@@ -96,6 +96,9 @@ class DeltaSparkIOManager:
             comp = writer_properties.get("compression")
             if comp:
                 spark.conf.set("spark.sql.parquet.compression.codec", comp.lower())
+            mrpf = writer_properties.get("max_records_per_file")
+            if mrpf:
+                spark.conf.set("spark.sql.files.maxRecordsPerFile", str(mrpf))
 
     # -- resolution -----------------------------------------------------------
 
