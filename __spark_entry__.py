@@ -217,6 +217,10 @@ def ann_lsh(spark, sf_dir):
     return similarity.lsh_ann_topk(spark, sf_dir)
 
 
+def _emb_neardup_lsh(spark, sf_dir):
+    return similarity.embedding_near_dups_lsh(spark, sf_dir)
+
+
 def _ivf_ann(spark, sf_dir):
     return similarity.ivf_ann_topk(spark, sf_dir)
 
@@ -301,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_dims": _label_centroid_dims,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": _ivf_ann,
+        "embedding_near_dups_lsh": _emb_neardup_lsh,
         # multimodal
         "multimodal_metadata": multimodal.multimodal_metadata,
         "multimodal_features": mm_features,

@@ -257,3 +257,42 @@ def ivf_ann_topk(
         .select("q_id", "vec_id", F.col("cosine").cast("double").alias("cosine"),
                 "rank")
     )
+
+
+def embedding_near_dups_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2,
+    planes: int = 6, tables: int = 4,
+) -> DataFrame:
+    """LSH-bucketed embedding near-duplicates — the scale path for
+    ``embedding_near_dups``: candidate pairs share a hyperplane bucket
+    in any table (collision probability rises with cosine), exact
+    cosine verifies.  Output precision is exact; recall is the
+    planes/tables dial."""
+    sigs = _with_norm(lsh_signatures(spark, sf_dir, planes, tables))
+    flat = sigs.select(
+        "vec_id", "embedding", "norm",
+        F.posexplode("buckets").alias("t_idx", "bucket"),
+    )
+    a = flat.alias("a")
+    b = flat.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.t_idx") == F.col("b.t_idx"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("a.norm").alias("norm_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("b.embedding").alias("emb_b"),
+            F.col("b.norm").alias("norm_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = DOT.format(a="emb_a", b="emb_b")
+    return (
+        candidates
+        .withColumn("cosine", F.expr(dot) / (F.col("norm_a") * F.col("norm_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.col("cosine").cast("double").alias("cosine"))
+    )

@@ -174,3 +174,59 @@ def test_resource_time_travel(spark, tmp_path):
     assert pinned.to_df().count() == 3
     latest = DeltaTableResource(url=uri).load(spark)
     assert latest.to_df().count() == 6
+
+
+def test_string_date_partition_with_custom_fmt(spark, tmp_path):
+    """P6 end-to-end: a time-window materialization against a
+    string-typed partition column uses the partition definition's
+    custom fmt (reference handler.py:422-427, 554-597)."""
+    from datetime import datetime
+
+    from dagster_delta_spark import TablePartitionDimension, TimeWindow
+
+    mgr = DeltaSparkIOManager(spark, str(tmp_path))
+    dims = [TablePartitionDimension(
+        "day_str", TimeWindow(datetime(2022, 1, 1), datetime(2022, 1, 2))
+    )]
+    df1 = spark.createDataFrame(
+        [("2022/01/01", "run1", i) for i in range(3)],
+        "day_str string, a string, b bigint",
+    )
+    ctx = AssetContext(
+        asset_key=["s", "fmt_t"],
+        partition_dimensions=dims,
+        date_formats={"day_str": "%Y/%m/%d"},
+    )
+    mgr.handle_output(ctx, df1)
+
+    df2 = spark.createDataFrame(
+        [("2022/01/02", "run1", i) for i in range(2)],
+        "day_str string, a string, b bigint",
+    )
+    ctx2 = AssetContext(
+        asset_key=["s", "fmt_t"],
+        partition_dimensions=[TablePartitionDimension(
+            "day_str", TimeWindow(datetime(2022, 1, 2), datetime(2022, 1, 3))
+        )],
+        date_formats={"day_str": "%Y/%m/%d"},
+    )
+    mgr.handle_output(ctx2, df2)
+
+    # re-materialize day 1 -> replaces only that partition
+    redo = spark.createDataFrame(
+        [("2022/01/01", "run2", 9)], "day_str string, a string, b bigint"
+    )
+    mgr.handle_output(ctx, redo)
+    out = mgr.load_input(AssetContext(asset_key=["s", "fmt_t"]))
+    by_day = {}
+    for r in out.collect():
+        by_day.setdefault(r["day_str"], set()).add(r["a"])
+    assert by_day == {"2022/01/01": {"run2"}, "2022/01/02": {"run1"}}
+
+    # pruned input load via the same fmt
+    loaded = mgr.load_input(AssetContext(
+        asset_key=["s", "fmt_t"],
+        partition_dimensions=dims,
+        date_formats={"day_str": "%Y/%m/%d"},
+    ))
+    assert {r["day_str"] for r in loaded.collect()} == {"2022/01/01"}
