@@ -106,6 +106,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("n_bytes", LongType()),
+    StructField("media_type", StringType()),
+])
+
+
+def resize_stub(payload: bytes, media_type: str, target_bytes: int) -> bytes:
+    """Deterministic stand-in for an image/audio resample: truncate or
+    zero-pad the payload to ``target_bytes``.  A real deployment swaps
+    in PIL.Image.resize / librosa.resample; the Spark-side contract
+    (binary in, binary out, bounded batch memory) is identical."""
+    if media_type.startswith(("image/", "audio/", "video/")):
+        raise NotImplementedError(
+            f"media codec for {media_type} not available in this environment"
+        )
+    if len(payload) >= target_bytes:
+        return bytes(payload[:target_bytes])
+    return bytes(payload) + b"\x00" * (target_bytes - len(payload))
+
+
+def resize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Arrow-batched 'resize' over the binary column via mapInPandas
+    (one Python worker per partition; no driver involvement)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                resize_stub(p, m, target_bytes)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": resized,
+                "n_bytes": [len(r) for r in resized],
+                "media_type": pdf["media_type"],
+            })
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
 ) -> DataFrame:

@@ -1,6 +1,7 @@
 from .events import (  # noqa: F401
     hourly_rollup_stream,
     read_events_stream,
+    read_table_stream,
     run_hourly_rollup_once,
     run_sessionize_once,
     sessionize_stream,

@@ -154,3 +154,25 @@ def stream_into_table(
     q.processAllAvailable()
     q.stop()
     return table
+
+
+def read_table_stream(spark: SparkSession, table_uri: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    """Stream FROM a DeltaSparkTable (append-only tables): the
+    file-source picks up each newly committed data file as a
+    micro-batch — the Delta streaming-source pattern for auto-ingest
+    pipelines.  Overwrites/merges remove files from the *log* but not
+    from disk, so only append-only tables stream correctly; enforce
+    that upstream.
+    """
+    from ..table import DeltaSparkTable
+
+    t = DeltaSparkTable(spark, table_uri)
+    schema = t.schema()
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "false")
+        .parquet(table_uri)
+    )

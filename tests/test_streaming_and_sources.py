@@ -128,3 +128,36 @@ def test_stateful_user_totals_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_read_table_stream_sees_appends(spark, tmp_path):
+    """Table-as-streaming-source: appended commits arrive as new
+    micro-batches (append-only auto-ingest)."""
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark.streaming import read_table_stream
+
+    uri = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, uri)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string")
+    t.write(df, WriteMode.append)
+    stream = read_table_stream(spark, uri)
+    q = (stream.writeStream.format("memory").queryName("t_tbl_stream")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    assert spark.table("t_tbl_stream").count() == 2
+    t.write(df, WriteMode.append)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.table("t_tbl_stream").count() == 4
+
+
+def test_resize_payloads(spark):
+    from dagster_delta_spark.operators.multimodal import (
+        binarize_documents,
+        resize_payloads,
+    )
+
+    b = binarize_documents(spark, SF)
+    out = resize_payloads(b, target_bytes=32)
+    rows = out.limit(5).collect()
+    assert all(r["n_bytes"] == 32 and len(r["payload"]) == 32 for r in rows)
