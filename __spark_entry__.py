@@ -54,6 +54,7 @@ def _scratch(prefix: str) -> str:
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/orders.parquet")
 
 
@@ -244,6 +245,7 @@ def streaming_rollup(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return relational.q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 

@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # pin UTC: events ts becomes TIMESTAMP_LTZ after the nanos
+    # conversion, and timestamp literals in queries are LTZ — a
+    # non-UTC driver session would shift window/date_trunc/filter
+    # boundaries relative to the (timezone-less) oracle engine
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
