@@ -210,6 +210,10 @@ def minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_near_dups(spark, sf_dir)
 
 
+def _minhash_cluster(spark, sf_dir):
+    return dedup.minhash_cluster_keep(spark, sf_dir)
+
+
 def simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_dups(spark, sf_dir)
 
@@ -300,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.dedup_exact,
         "near_dup_jaccard": dedup.near_dup_jaccard,
         "minhash_lsh_near_dups": minhash_lsh,
+        "minhash_cluster_keep": _minhash_cluster,
         "simhash_near_dups": simhash_pairs,
         # similarity search
         "cosine_topk": similarity.cosine_topk,

@@ -271,3 +271,60 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def minhash_buckets(
+    spark: SparkSession, sf_dir: str, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(doc_id, band, h) LSH bucket memberships."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(spark, sf_dir, num_hashes)
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band', b, 'h', "
+        f"xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
+        f"{rows_per_band})))))"
+    )
+    return sigs.select(
+        "doc_id", F.explode(F.expr(band_expr)).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
+def minhash_cluster_keep(
+    spark: SparkSession, sf_dir: str,
+    num_hashes: int = 64, bands: int = 16, iterations: int = 3,
+) -> DataFrame:
+    """Cluster-level dedup without pairwise blowup.
+
+    Emitting all near-duplicate *pairs* is quadratic in duplicate-set
+    size (a 20-copy document contributes 190 pairs); production dedup
+    wants one surviving representative per cluster.  This runs
+    min-label propagation over the bipartite doc<->LSH-bucket graph:
+    each round, a bucket takes its members' min label and docs take
+    their buckets' min — connected components converge in a few
+    rounds (exact-duplicate clusters in one).  Cost per round is
+    O(docs x bands), independent of duplicate-set sizes.
+
+    Returns (doc_id, cluster_id, keep).
+    """
+    # materialize bucket memberships once — the iteration would
+    # otherwise recompute the whole signature pipeline per round
+    buckets = minhash_buckets(spark, sf_dir, num_hashes, bands).localCheckpoint()
+    labels = buckets.select("doc_id").distinct().withColumn(
+        "lbl", F.col("doc_id")
+    )
+    for _ in range(iterations):
+        with_lbl = buckets.join(labels, "doc_id")
+        bucket_min = (
+            with_lbl.groupBy("band", "h").agg(F.min("lbl").alias("bmin"))
+        )
+        labels = (
+            buckets.join(bucket_min, ["band", "h"])
+            .groupBy("doc_id")
+            .agg(F.min("bmin").alias("lbl"))
+        )
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("keep"),
+    )

@@ -134,3 +134,29 @@ def test_sessionize_gap_contract(spark):
     dur = (row["session_end"] - row["session_start"]).total_seconds()
     assert dur >= 0
     assert row["n_events"] >= 1
+
+
+def test_minhash_cluster_keep_exact_duplicates(spark, tmp_path):
+    """Exact duplicates collapse to one surviving representative (the
+    min doc_id), distinct docs survive."""
+    import pandas as pd
+
+    from dagster_delta_spark.operators.dedup import minhash_cluster_keep
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10).toPandas()
+    dups = pd.concat([docs.iloc[[0]].assign(doc_id=90000 + i) for i in range(3)])
+    d = tmp_path / "mini"
+    d.mkdir()
+    spark.createDataFrame(pd.concat([docs, dups])).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in minhash_cluster_keep(spark, str(d)).collect()}
+    base = docs.iloc[0]["doc_id"]
+    cluster = out[base][0]
+    for dup_id in (90000, 90001, 90002):
+        assert out[dup_id][0] == cluster
+        assert out[dup_id][1] is False
+    assert out[base] == (cluster, True)
+    survivors = sum(1 for _, (c, k) in out.items() if k)
+    assert survivors <= 10
