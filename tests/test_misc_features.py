@@ -104,3 +104,12 @@ def test_merge_conflict_detection(spark, tmp_table):
         table_mod.tablelog.commit = orig_commit
     # the concurrent writer's state is intact
     assert [(r["a"], r["b"]) for r in t.read().collect()] == [(9, 9)]
+
+
+def test_parquet_read_options_mapping(spark):
+    """S4: parquet decode options land on session confs."""
+    from dagster_delta_spark.sources.parquet import apply_parquet_read_options
+
+    apply_parquet_read_options(spark, {"compression": "zstd"})
+    assert spark.conf.get("spark.sql.parquet.compression.codec") == "zstd"
+    spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
