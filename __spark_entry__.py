@@ -274,6 +274,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": relational.q19_disjunctive_predicates,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
         "q7_nation_volume": relational.q7_nation_volume,
+        "string_functions": relational.string_functions_probe,
+        "date_parts_rollup": relational.date_parts_rollup,
+        "price_histogram": relational.price_histogram,
+        "price_quantiles": relational.price_quantiles,
+        "status_pivot": relational.status_pivot,
         "o_compaction_roundtrip": o_compaction_roundtrip,
         "revenue_rollup": relational.revenue_rollup,
         "revenue_cube": relational.revenue_cube,
@@ -300,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
         "source_summary": textops.source_summary,
+        "deterministic_sample": textops.deterministic_sample,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "near_dup_jaccard": dedup.near_dup_jaccard,
@@ -642,6 +648,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation cn ON c.c_nationkey = cn.n_nationkey
             WHERE sn.n_name <> cn.n_name
             GROUP BY 1, 2, 3
+        """,
+        "string_functions": """
+            SELECT p_partkey,
+                   upper(p_brand) AS brand_upper,
+                   substring(p_name, 1, 5) AS name_head,
+                   CAST(length(p_name) AS BIGINT) AS name_len,
+                   CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS edit_dist,
+                   p_brand || '-' || p_type AS brand_type
+            FROM part
+        """,
+        "date_parts_rollup": """
+            SELECT CAST(year(o_orderdate) AS INT) AS y,
+                   CAST(month(o_orderdate) AS INT) AS m,
+                   strftime(o_orderdate, '%Y-%m') AS ym_str,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                       AS total_price
+            FROM orders GROUP BY 1, 2, 3
+        """,
+        "price_histogram": """
+            SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "price_quantiles": """
+            SELECT o_orderstatus,
+                   quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.95) AS p95,
+                   stddev_samp(o_totalprice) AS sd,
+                   corr(o_totalprice, o_custkey) AS price_cust_corr
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "status_pivot": """
+            SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F'
+                            THEN CAST(o_totalprice AS DECIMAL(30,10)) END)
+                        AS DOUBLE) AS rev_f,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O'
+                            THEN CAST(o_totalprice AS DECIMAL(30,10)) END)
+                        AS DOUBLE) AS rev_o,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P'
+                            THEN CAST(o_totalprice AS DECIMAL(30,10)) END)
+                        AS DOUBLE) AS rev_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) < 6553
         """,
         # write-path end states
         "w1_error_roundtrip": "SELECT * FROM orders WHERE o_orderstatus = 'F'",

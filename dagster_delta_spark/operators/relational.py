@@ -512,3 +512,74 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+def string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (SURVEY §2.8): case, substring,
+    length, edit distance — all JVM built-ins, all deterministic."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("edit_dist"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def date_parts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date extraction + formatting (reference F1 analogue): orders
+    per (year, month) with the reference's date_format rendering."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym_str"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)")
+            .alias("total_price"),
+        )
+    )
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer binning: order counts per 20k price bucket."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 20000).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per status (Spark percentile ==
+    DuckDB quantile_cont) + dispersion stats."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+            F.stddev_samp("o_totalprice").alias("sd"),
+            F.corr("o_totalprice", "o_custkey").alias("price_cust_corr"),
+        )
+    )
+
+
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot orders: one row per priority, one revenue column per
+    status (Spark .pivot with explicit values avoids the extra
+    distinct-scan job)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)"))
+        .withColumnsRenamed({"F": "rev_f", "O": "rev_o", "P": "rev_p"})
+    )

@@ -133,3 +133,18 @@ def source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("long").alias("n_langs"),
         )
     )
+
+
+def deterministic_sample(
+    spark: SparkSession, sf_dir: str, percent: int = 10
+) -> DataFrame:
+    """Content-hash sampling: keep a document iff the first 4 hex
+    digits of md5(text) fall in the lowest ``percent``% of the space.
+    Unlike rand()-based sampling this is reproducible across runs,
+    engines and retries — the property a training-data pipeline needs
+    for stable held-out splits."""
+    docs = load(spark, sf_dir, "documents")
+    threshold = int(65536 * percent / 100)
+    return docs.where(
+        F.expr(f"conv(substring(md5(text), 1, 4), 16, 10) < {threshold}")
+    ).select("doc_id", "lang", "source")
