@@ -127,10 +127,6 @@ def _coerce_stat(value: Any, dtype: DataType) -> Any:
     return value
 
 
-def _cmp_key(value: Any) -> Any:
-    return value
-
-
 def _file_matches(
     add: AddFile,
     dnf: Sequence[DnfFilter],
