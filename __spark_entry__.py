@@ -222,6 +222,10 @@ def ann_lsh(spark, sf_dir):
     return similarity.lsh_ann_topk(spark, sf_dir)
 
 
+def _ann_recall(spark, sf_dir):
+    return similarity.ann_recall_report(spark, sf_dir)
+
+
 def _emb_neardup_lsh(spark, sf_dir):
     return similarity.embedding_near_dups_lsh(spark, sf_dir)
 
@@ -319,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": _ivf_ann,
         "embedding_near_dups_lsh": _emb_neardup_lsh,
+        "ann_recall_report": _ann_recall,
         # multimodal
         "multimodal_metadata": multimodal.multimodal_metadata,
         "multimodal_features": mm_features,

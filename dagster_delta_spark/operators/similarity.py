@@ -296,3 +296,32 @@ def embedding_near_dups_lsh(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.col("cosine").cast("double").alias("cosine"))
     )
+
+
+def ann_recall_report(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5,
+) -> DataFrame:
+    """Self-evaluating ANN quality: recall@k of the LSH and IVF paths
+    against brute force, per query — the dial-tuning report a pipeline
+    owner reads before trading accuracy for throughput."""
+    exact = cosine_topk(spark, sf_dir, k, n_queries).select(
+        "q_id", F.col("vec_id").alias("exact_id")
+    )
+    def recall_of(approx: DataFrame, label: str) -> DataFrame:
+        hits = exact.alias("e").join(
+            approx.select(F.col("q_id").alias("aq"),
+                          F.col("vec_id").alias("approx_id")),
+            (F.col("e.q_id") == F.col("aq"))
+            & (F.col("e.exact_id") == F.col("approx_id")),
+            "left",
+        )
+        return (
+            hits.groupBy(F.col("e.q_id").alias("q_id"))
+            .agg((F.count("approx_id") / F.lit(k)).alias("recall"))
+            .withColumn("method", F.lit(label))
+        )
+
+    lsh = recall_of(lsh_ann_topk(spark, sf_dir, k, n_queries), "lsh")
+    ivf = recall_of(ivf_ann_topk(spark, sf_dir, k, n_queries), "ivf")
+    return lsh.unionByName(ivf).select("method", "q_id",
+                                       F.col("recall").cast("double").alias("recall"))

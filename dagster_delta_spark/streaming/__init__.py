@@ -6,4 +6,5 @@ from .events import (  # noqa: F401
     run_sessionize_once,
     sessionize_stream,
     stream_into_table,
+    stream_upsert_into_table,
 )

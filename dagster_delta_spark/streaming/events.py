@@ -176,3 +176,37 @@ def read_table_stream(spark: SparkSession, table_uri: str,
         .option("recursiveFileLookup", "false")
         .parquet(table_uri)
     )
+
+
+def stream_upsert_into_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table_uri: str,
+    max_files_per_trigger: int = 8,
+) -> "DeltaSparkTable":
+    """CDC-style streaming sink: each micro-batch MERGEs on the event
+    key (deduplicate_insert), so re-delivered batches are no-ops by
+    *data* semantics — exactly-once without relying on checkpoint
+    bookkeeping at all.  Use when the source can replay arbitrary
+    overlaps (at-least-once upstreams)."""
+    from ..config import MergeConfig, MergeType
+    from ..table import DeltaSparkTable
+
+    table = DeltaSparkTable(spark, table_uri)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.merge(
+            batch_df.dropDuplicates(["event_id"]),
+            MergeConfig(MergeType.deduplicate_insert,
+                        predicate="s.event_id = t.event_id"),
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", table_uri + "/_stream_checkpoint")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return table

@@ -161,3 +161,20 @@ def test_resize_payloads(spark):
     out = resize_payloads(b, target_bytes=32)
     rows = out.limit(5).collect()
     assert all(r["n_bytes"] == 32 and len(r["payload"]) == 32 for r in rows)
+
+
+def test_stream_upsert_sink_replay_safe_without_checkpoint(spark, tmp_path):
+    """Merge-based sink: re-running the stream with a FRESH checkpoint
+    (full re-delivery) still produces no duplicates."""
+    import shutil
+
+    from dagster_delta_spark.streaming import stream_upsert_into_table
+
+    uri = str(tmp_path / "t")
+    t = stream_upsert_into_table(spark, SF, uri)
+    n = t.read().count()
+    assert n == spark.read.parquet(f"{SF}/events.parquet").count()
+    # wipe the checkpoint -> full replay -> merge dedups everything
+    shutil.rmtree(uri + "/_stream_checkpoint")
+    t2 = stream_upsert_into_table(spark, SF, uri)
+    assert t2.read().count() == n
