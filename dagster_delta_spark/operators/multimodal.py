@@ -73,10 +73,25 @@ def extract_features(df: DataFrame) -> DataFrame:
     UDF boundary is per-partition ``mapInPandas`` — batch shape
     (pandas DataFrame of payload bytes), not per-row Python calls."""
 
+    # NOTE: the closure must not reference module-level symbols —
+    # cloudpickle serializes top-level functions by module reference,
+    # and executors may not have this repo on PYTHONPATH (the driver
+    # adding it to sys.path at runtime does not propagate to workers)
+    def _decode(payload: bytes, media_type: str) -> dict:
+        if media_type.startswith(("image/", "audio/", "video/")):
+            raise NotImplementedError(
+                f"media codec for {media_type} not available"
+            )
+        return {
+            "n_bytes": len(payload),
+            "mean_byte": (sum(payload) / len(payload)) if payload else 0.0,
+            "head_bytes": list(payload[:8]),
+        }
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                decode_stub(p, m)
+                _decode(p, m)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame({
@@ -132,10 +147,20 @@ def resize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
     """Arrow-batched 'resize' over the binary column via mapInPandas
     (one Python worker per partition; no driver involvement)."""
 
+    def _do_resize(payload: bytes, media_type: str) -> bytes:
+        # self-contained for worker-side pickling (see extract_features)
+        if media_type.startswith(("image/", "audio/", "video/")):
+            raise NotImplementedError(
+                f"media codec for {media_type} not available"
+            )
+        if len(payload) >= target_bytes:
+            return bytes(payload[:target_bytes])
+        return bytes(payload) + b"\x00" * (target_bytes - len(payload))
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             resized = [
-                resize_stub(p, m, target_bytes)
+                _do_resize(p, m)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame({

@@ -62,12 +62,40 @@ def _update_user_totals(
 
 
 def user_totals_stream(events: DataFrame) -> DataFrame:
-    """Stateful per-user running totals over the event stream."""
+    """Stateful per-user running totals over the event stream.
+
+    Wraps the update function in a local closure so cloudpickle ships
+    it by value — workers may not have this repo on PYTHONPATH."""
+
+    def _update(key, pdf_iter, state):
+        # fully inlined (no module-global references): cloudpickle
+        # ships nested functions by value, but any global they touch
+        # is pickled as a module import the worker can't resolve
+        import pandas as _pd
+
+        (user_id,) = key
+        if state.exists:
+            n, total, mx = state.get
+        else:
+            n, total, mx = 0, 0.0, float("-inf")
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield _pd.DataFrame({
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [mx],
+        })
+
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_totals,
+            _update,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
