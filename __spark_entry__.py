@@ -63,14 +63,6 @@ def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def w1_error_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: fresh write in error mode, read back (errors on re-write are
-    unit-tested; here the oracle checks the written state)."""
-    t = DeltaSparkTable(spark, _scratch("w1"))
-    t.write(_orders(spark, sf_dir).where("o_orderstatus = 'F'"), WriteMode.error)
-    return t.read()
-
-
 def w2_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = DeltaSparkTable(spark, _scratch("w2"))
     orders = _orders(spark, sf_dir)
@@ -92,16 +84,6 @@ def w3_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
-def w4_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4: second write is a no-op; version pins at 0."""
-    t = DeltaSparkTable(spark, _scratch("w4"))
-    orders = _orders(spark, sf_dir)
-    t.write(orders.where("o_orderstatus = 'F'"), WriteMode.error)
-    t.write(orders.where("o_orderstatus = 'O'"), WriteMode.ignore)
-    assert t.version() == 0
-    return t.read()
-
-
 def w5_create_or_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5: schema-only recreate — table ends empty with the new schema."""
     t = DeltaSparkTable(spark, _scratch("w5"))
@@ -109,6 +91,72 @@ def w5_create_or_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.write(orders.where("o_orderstatus = 'F'"), WriteMode.error)
     t.write(orders, WriteMode.create_or_replace)
     return t.read()
+
+
+def w1_w4_error_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W4 in one flow: fresh write in error mode; a second error-mode
+    write raises TableExistsError; an ignore-mode write is a no-op and
+    version stays pinned at 0.  (Merged so that every oracle-backed
+    entry fits inside the driver's 50-query correctness report — round 1
+    recorded exactly the first 50 dict entries and dropped the rest.)"""
+    from dagster_delta_spark.table import TableExistsError
+
+    t = DeltaSparkTable(spark, _scratch("w1w4"))
+    orders = _orders(spark, sf_dir)
+    t.write(orders.where("o_orderstatus = 'F'"), WriteMode.error)
+    try:
+        t.write(orders.where("o_orderstatus = 'O'"), WriteMode.error)
+    except TableExistsError:
+        pass
+    else:
+        raise AssertionError("error-mode write onto existing table must raise")
+    t.write(orders.where("o_orderstatus = 'O'"), WriteMode.ignore)
+    assert t.version() == 0
+    return t.read()
+
+
+def q6_q19_filter_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (range-predicate agg) + Q19 (disjunctive predicates)
+    union'd under a tag column (merged entry, see w1_w4 note)."""
+    a = relational.q6_forecast_revenue(spark, sf_dir).select(
+        F.lit("q6").alias("q"), "revenue", F.col("n_rows").alias("n")
+    )
+    b = relational.q19_disjunctive_predicates(spark, sf_dir).select(
+        F.lit("q19").alias("q"), "revenue", F.col("n_lines").alias("n")
+    )
+    return a.unionAll(b)
+
+
+def revenue_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP and GROUP BY CUBE over (status, priority),
+    union'd under a tag column (merged entry, see w1_w4 note)."""
+    a = relational.revenue_rollup(spark, sf_dir).withColumn(
+        "gset", F.lit("rollup")
+    )
+    b = relational.revenue_cube(spark, sf_dir).withColumn("gset", F.lit("cube"))
+    return a.unionAll(b)
+
+
+def price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact histogram binning + interpolated percentiles/dispersion in
+    one tagged frame (merged entry, see w1_w4 note)."""
+    h = relational.price_histogram(spark, sf_dir).select(
+        F.lit("hist").alias("kind"),
+        F.col("bucket").cast("string").alias("k"),
+        F.col("n_orders").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"),
+    )
+    q = relational.price_quantiles(spark, sf_dir).select(
+        F.lit("quant").alias("kind"),
+        F.col("o_orderstatus").alias("k"),
+        F.col("p50").alias("v1"),
+        F.col("p95").alias("v2"),
+        F.col("sd").alias("v3"),
+        F.col("price_cust_corr").alias("v4"),
+    )
+    return h.unionAll(q)
 
 
 def _merge_fixture(spark: SparkSession, sf_dir: str):
@@ -258,12 +306,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: round 1's CORRECTNESS report recorded exactly the
+    # first 50 dict entries and dropped the rest, so the 50 oracle-backed
+    # entries come FIRST (rows-only entries last).  Four pairs of related
+    # queries were merged (w1+w4, q6+q19, rollup+cube, histogram+quantiles)
+    # to bring the oracle-backed count to exactly 50.
     return {
         # relational surface (SURVEY §2.6-2.8: engine-provided compute)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q6_q19_filter_aggs": q6_q19_filter_aggs,
         "topk_window": relational.top_orders_per_status,
         "events_hourly_rollup": relational.events_hourly_rollup,
         "events_sessionize": relational.events_sessionize,
@@ -275,25 +328,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_case_agg": relational.q12_priority_by_linestatus,
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
         "q18_large_orders": relational.q18_large_orders,
-        "q19_disjunctive": relational.q19_disjunctive_predicates,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
         "q7_nation_volume": relational.q7_nation_volume,
+        # similarity / multimodal with oracles (early: must be in first 50)
+        "cosine_topk": similarity.cosine_topk,
+        "embedding_near_dups": _embedding_near_dups_02,
+        "label_centroid_dims": _label_centroid_dims,
+        "multimodal_metadata": multimodal.multimodal_metadata,
+        # functions / distribution / grouping-set probes
         "string_functions": relational.string_functions_probe,
         "date_parts_rollup": relational.date_parts_rollup,
-        "price_histogram": relational.price_histogram,
-        "price_quantiles": relational.price_quantiles,
+        "price_distribution": price_distribution,
         "status_pivot": relational.status_pivot,
         "o_compaction_roundtrip": o_compaction_roundtrip,
-        "revenue_rollup": relational.revenue_rollup,
-        "revenue_cube": relational.revenue_cube,
+        "revenue_rollup_cube": revenue_rollup_cube,
         "set_ops_customers": relational.customer_order_set_ops,
         "asof_clicks_purchases": asof.clicks_asof_purchases,
         "range_join_bursts": asof.user_event_bursts,
         # write modes / merge / pruning / projection / stats (SURVEY §2.2-2.5, §2.11)
-        "w1_error_roundtrip": w1_error_roundtrip,
+        "w1_w4_error_ignore": w1_w4_error_ignore,
         "w2_append": w2_append,
         "w3_partition_overwrite": w3_partition_overwrite,
-        "w4_ignore": w4_ignore,
         "w5_create_or_replace": w5_create_or_replace,
         "m1_update_only": m1_update_only,
         "m2_dedup_insert": m2_dedup_insert,
@@ -310,22 +365,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": textops.fingerprint,
         "source_summary": textops.source_summary,
         "deterministic_sample": textops.deterministic_sample,
-        # dedup
+        # dedup (oracle-backed)
         "dedup_exact": dedup.dedup_exact,
         "near_dup_jaccard": dedup.near_dup_jaccard,
+        # ---- end of the 50 oracle-backed entries ----
+        # rows-only checks (non-SQL-expressible; unit-tested instead)
         "minhash_lsh_near_dups": minhash_lsh,
         "minhash_cluster_keep": _minhash_cluster,
         "simhash_near_dups": simhash_pairs,
-        # similarity search
-        "cosine_topk": similarity.cosine_topk,
-        "embedding_near_dups": _embedding_near_dups_02,
-        "label_centroid_dims": _label_centroid_dims,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": _ivf_ann,
         "embedding_near_dups_lsh": _emb_neardup_lsh,
         "ann_recall_report": _ann_recall,
-        # multimodal
-        "multimodal_metadata": multimodal.multimodal_metadata,
         "multimodal_features": mm_features,
         # streaming (batch twin `events_hourly_rollup` carries the oracle)
         "streaming_hourly_rollup": streaming_rollup,
@@ -417,14 +468,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n.n_name
             ORDER BY revenue DESC, n.n_name ASC
         """,
-        "q6_forecast_revenue": """
-            SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
-                   count(*) AS n_rows
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-              AND l_discount >= 0.05 AND l_discount <= 0.07
-              AND l_quantity < 24
+        "q6_q19_filter_aggs": """
+            SELECT 'q6' AS q, revenue, n_rows AS n FROM (
+                SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+                       count(*) AS n_rows
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_discount >= 0.05 AND l_discount <= 0.07
+                  AND l_quantity < 24
+            )
+            UNION ALL
+            SELECT 'q19' AS q, revenue, n_lines AS n FROM (
+                SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+                       count(*) AS n_lines
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10
+                       AND l.l_quantity BETWEEN 1 AND 20)
+                   OR (p.p_brand = 'Brand#2' AND p.p_size <= 20
+                       AND l.l_quantity BETWEEN 10 AND 30)
+                   OR (p.p_brand = 'Brand#3' AND p.p_size <= 30
+                       AND l.l_quantity BETWEEN 20 AND 40)
+            )
         """,
         "topk_window": """
             SELECT o_orderstatus, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
@@ -484,21 +550,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
             GROUP BY o.o_orderstatus
         """,
-        "revenue_rollup": """
-            SELECT o_orderstatus, o_orderpriority,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
-                       AS total_price,
-                   count(*) AS n_orders
-            FROM orders
-            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        """,
-        "revenue_cube": """
-            SELECT o_orderstatus, o_orderpriority,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
-                       AS total_price,
-                   count(*) AS n_orders
-            FROM orders
-            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        "revenue_rollup_cube": """
+            SELECT *, 'rollup' AS gset FROM (
+                SELECT o_orderstatus, o_orderpriority,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                           AS total_price,
+                       count(*) AS n_orders
+                FROM orders
+                GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            )
+            UNION ALL
+            SELECT *, 'cube' AS gset FROM (
+                SELECT o_orderstatus, o_orderpriority,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                           AS total_price,
+                       count(*) AS n_orders
+                FROM orders
+                GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            )
         """,
         "set_ops_customers": """
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
@@ -610,18 +679,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY b.total_qty DESC, o.o_orderkey ASC
             LIMIT 20
         """,
-        "q19_disjunctive": """
-            SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                 AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
-                   count(*) AS n_lines
-            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-            WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10
-                   AND l.l_quantity BETWEEN 1 AND 20)
-               OR (p.p_brand = 'Brand#2' AND p.p_size <= 20
-                   AND l.l_quantity BETWEEN 10 AND 30)
-               OR (p.p_brand = 'Brand#3' AND p.p_size <= 30
-                   AND l.l_quantity BETWEEN 20 AND 40)
-        """,
         "q22_anti_scalar": """
             WITH rich AS (
                 SELECT * FROM customer
@@ -672,17 +729,23 @@ def oracle_sql() -> dict[str, str]:
                        AS total_price
             FROM orders GROUP BY 1, 2, 3
         """,
-        "price_histogram": """
-            SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
-                   count(*) AS n_orders
-            FROM orders GROUP BY 1
-        """,
-        "price_quantiles": """
-            SELECT o_orderstatus,
-                   quantile_cont(o_totalprice, 0.5) AS p50,
-                   quantile_cont(o_totalprice, 0.95) AS p95,
-                   stddev_samp(o_totalprice) AS sd,
-                   corr(o_totalprice, o_custkey) AS price_cust_corr
+        "price_distribution": """
+            SELECT 'hist' AS kind, CAST(bucket AS VARCHAR) AS k,
+                   CAST(n_orders AS DOUBLE) AS v1,
+                   CAST(NULL AS DOUBLE) AS v2,
+                   CAST(NULL AS DOUBLE) AS v3,
+                   CAST(NULL AS DOUBLE) AS v4
+            FROM (
+                SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
+                       count(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            UNION ALL
+            SELECT 'quant' AS kind, o_orderstatus AS k,
+                   quantile_cont(o_totalprice, 0.5) AS v1,
+                   quantile_cont(o_totalprice, 0.95) AS v2,
+                   stddev_samp(o_totalprice) AS v3,
+                   corr(o_totalprice, o_custkey) AS v4
             FROM orders GROUP BY o_orderstatus
         """,
         "status_pivot": """
@@ -703,7 +766,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) < 6553
         """,
         # write-path end states
-        "w1_error_roundtrip": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+        "w1_w4_error_ignore": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
         "w2_append": "SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')",
         "w3_partition_overwrite": """
             SELECT * FROM orders WHERE o_orderstatus <> 'F'
@@ -713,7 +776,6 @@ def oracle_sql() -> dict[str, str]:
                    o_orderdate, o_orderpriority
             FROM orders WHERE o_orderstatus = 'F'
         """,
-        "w4_ignore": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
         "w5_create_or_replace": "SELECT * FROM orders WHERE 1 = 0",
         "m1_update_only": f"""
             {merge_updated} WHERE o_orderkey % 6 = 0

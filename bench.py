@@ -43,7 +43,7 @@ def main() -> None:
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier_volume",
-        "q6_forecast_revenue",
+        "q6_q19_filter_aggs",
         "topk_window",
         "events_hourly_rollup",
         "events_sessionize",
@@ -51,7 +51,7 @@ def main() -> None:
         "q4_exists_semi",
         "q16_anti_join",
         "q17_scalar_subquery",
-        "revenue_rollup",
+        "revenue_rollup_cube",
         "asof_clicks_purchases",
         "range_join_bursts",
         # transactional table layer (write + partition overwrite + merge)
@@ -78,7 +78,7 @@ def main() -> None:
 
     # JVM/codegen warm-up on a cheap query (excluded from timings)
     try:
-        run_once("q6_forecast_revenue")
+        run_once("q6_q19_filter_aggs")
     except Exception:
         pass
 

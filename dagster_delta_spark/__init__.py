@@ -23,7 +23,12 @@ from .config import (
     flatten_storage_confs,
 )
 from .plans.slices import TablePartitionDimension, TableSlice, TimeWindow
-from .table import DeltaSparkTable, SchemaMismatchError, TableExistsError
+from .table import (
+    DeltaSparkTable,
+    MergeMultipleMatchesError,
+    SchemaMismatchError,
+    TableExistsError,
+)
 from .tablelog import TableNotFoundError, VersionConflictError
 
 __all__ = [
@@ -33,6 +38,7 @@ __all__ = [
     "GcsConfig",
     "LocalConfig",
     "MergeConfig",
+    "MergeMultipleMatchesError",
     "MergeType",
     "S3Config",
     "SchemaMismatchError",

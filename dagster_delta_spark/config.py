@@ -53,7 +53,16 @@ class MergeType(str, enum.Enum):
     update_only = "update_only"  # M1: when_matched_update_all
     deduplicate_insert = "deduplicate_insert"  # M2: when_not_matched_insert_all
     upsert = "upsert"  # M3: both
-    replace_delete_unmatched = "replace_delete_unmatched"  # M4: update + delete
+    # M4: update + delete; string value matches the reference enum so
+    # metadata ported from it round-trips through MergeType(value)
+    replace_delete_unmatched = "replace_and_delete_unmatched"
+
+    @classmethod
+    def _missing_(cls, value: object) -> Optional["MergeType"]:
+        # accept the shorthand used by earlier versions of this repo
+        if value == "replace_delete_unmatched":
+            return cls.replace_delete_unmatched
+        return None
 
 
 @dataclass(frozen=True)
@@ -137,6 +146,9 @@ class AzureConfig:
         if self.account_key is not None:
             out[f"spark.hadoop.fs.azure.account.key.{suffix}"] = self.account_key
         if self.sas_token is not None:
+            # auth.type=SAS is required for ABFS to activate the token
+            # provider at all — without it the other two keys are inert
+            out[f"spark.hadoop.fs.azure.account.auth.type.{suffix}"] = "SAS"
             out[f"spark.hadoop.fs.azure.sas.token.provider.type.{suffix}"] = (
                 "org.apache.hadoop.fs.azurebfs.sas.FixedSASTokenProvider"
             )

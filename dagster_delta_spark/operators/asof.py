@@ -87,21 +87,35 @@ def clicks_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def user_event_bursts(
-    spark: SparkSession, sf_dir: str, window_seconds: int = 60
-) -> DataFrame:
+def event_bursts(ev: DataFrame, window_seconds: int = 60) -> DataFrame:
     """Bounded range self-join: pairs of events by the same user within
-    ``window_seconds`` (strictly later second event).  Equi-join on
-    user_id keys the shuffle; the time range is a post-filter."""
-    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
-    a = ev.alias("a")
-    b = ev.alias("b")
+    ``window_seconds`` (strictly later second event).
+
+    Scale-safe plan: bucket ``ts`` into window-sized bins and equi-join
+    on ``(user_id, bin)``, with the earlier side exploded into its own
+    bin and the next one — every qualifying pair co-locates on exactly
+    one equi key, so candidates per row are bounded by two bins' worth
+    of events instead of the user's entire history (a plain
+    ``user_id``-only join is quadratic per hot user: 1e5 events in one
+    key -> 1e10 candidate pairs in a single task).  The exact range
+    predicate then filters within the bucketed candidates."""
+    w = int(window_seconds)
+    ev = ev.select("event_id", "user_id", "ts")
+    bin_of = F.floor(F.col("ts").cast("double") / w).cast("long")
+    a = (
+        ev.withColumn("__b0", bin_of)
+        .withColumn("__bin", F.explode(F.array(F.col("__b0"), F.col("__b0") + 1)))
+        .drop("__b0")
+        .alias("a")
+    )
+    b = ev.withColumn("__bin", bin_of).alias("b")
     return (
         a.join(
             b,
             (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.__bin") == F.col("b.__bin"))
             & (F.col("b.ts") > F.col("a.ts"))
-            & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")),
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {w} SECONDS")),
         )
         .select(
             F.col("a.user_id").alias("user_id"),
@@ -112,3 +126,9 @@ def user_event_bursts(
             ),
         )
     )
+
+
+def user_event_bursts(
+    spark: SparkSession, sf_dir: str, window_seconds: int = 60
+) -> DataFrame:
+    return event_bursts(load_events(spark, sf_dir), window_seconds)

@@ -74,8 +74,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact joins -> top-k.
-    customer is small relative to lineitem: broadcast it; orders x
-    lineitem is the only shuffle join. Deterministic tiebreak on
+    customer is a true dimension: broadcast it.  orders scales with the
+    fact data, so its join carries NO hint — AQE broadcasts it when the
+    filtered side fits under the threshold and shuffles otherwise
+    (a forced broadcast would OOM at 100x).  Deterministic tiebreak on
     o_orderkey for oracle parity."""
     cust = load(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
@@ -88,11 +90,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                orders.join(
-                    F.broadcast(cust), orders.o_custkey == cust.c_custkey
-                ).select("o_orderkey", "o_orderdate", "o_orderpriority")
-            ),
+            orders.join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -107,8 +107,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join with a region anchor; all dimension
-    joins broadcast, the fact join shuffles once on orderkey."""
+    """TPC-H Q5 shape: 6-way join with a region anchor; true dimension
+    joins (region/nation/supplier/customer) broadcast, the fact-fact
+    join lineitem x orders carries no hint so AQE picks broadcast only
+    while the filtered orders side actually fits."""
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
@@ -121,7 +123,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
@@ -331,13 +333,15 @@ def q16_anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: scalar aggregate subquery per group — lineitems
     below 50%% of their part's average quantity.  The per-part average
-    is a broadcast-joined aggregate, not a correlated re-scan."""
+    is joined back without a hint: its cardinality is #parts, which
+    grows with the data, so forcing a broadcast would stall the driver
+    at scale — AQE may still choose broadcast when it fits."""
     li = load(spark, sf_dir, "lineitem")
     avg_qty = li.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
     return (
-        li.join(F.broadcast(avg_qty), "l_partkey")
+        li.join(avg_qty, "l_partkey")
         .where(F.col("l_quantity") < F.col("half_avg"))
         .agg(
             F.expr(
@@ -372,7 +376,7 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
+        li.join(orders.select("o_orderkey", "o_orderpriority"),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_linestatus")
         .agg(
@@ -493,7 +497,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
                        F.col("n_name").alias("cust_nation"))
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
               li.l_suppkey == F.col("s_suppkey"))

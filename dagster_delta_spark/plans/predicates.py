@@ -90,7 +90,8 @@ def partition_dimensions_to_dnf(
             conj = _time_window_partition_dnf(dim, dtype, input_dnf=input_dnf)
             parts.extend(conj if isinstance(conj, list) else [conj])
         elif isinstance(dtype, StringType) or _is_integer(dtype):
-            parts.append(_value_dnf(dim, dtype, fmt))
+            conj = _value_dnf(dim, dtype, fmt)
+            parts.extend(conj if isinstance(conj, list) else [conj])
         else:
             raise ValueError(
                 f"partition column {dim.partition_expr!r} has unsupported "
@@ -137,28 +138,37 @@ def _value_dnf(
     dim: TablePartitionDimension,
     dtype: DataType,
     fmt: Optional[str],
-) -> DnfFilter:
-    """Static keys -> ``in``/``=`` DNF (reference P3, handler.py:397-439).
+) -> Union[DnfFilter, list[DnfFilter]]:
+    """Static keys -> ``in``/``=`` DNF; formatted time windows -> the
+    half-open range (reference P3, handler.py:397-439).
 
-    TimeWindows against string/int partition columns are formatted via
-    the partition definition's ``fmt`` (and cast to int for integer
-    columns — reference handler.py:425-427).  Static keys are deduped
-    (handler.py:435).
+    TimeWindows against string/int partition columns compile to
+    ``[fmt(min start), fmt(max end))`` — the same half-open range the
+    reference's ``_value_dnf`` emits (handler.py:425-432), on both the
+    read and write paths.  Emitting only the window *starts* would
+    silently under-read multi-partition windows and under-delete on
+    overwrite.  A missing ``fmt`` raises, like the reference
+    (handler.py:414).  Static keys are deduped (handler.py:435).
     """
     windows = _windows_of(dim)
     if windows:
         if fmt is None:
-            fmt = DELTA_DATE_FORMAT
-        values: list[Any] = []
-        for w in windows:
-            v: Any = _strip_tz(w.start).strftime(fmt)
-            if _is_integer(dtype):
-                v = int(v)
-            values.append(v)
-    else:
-        values = list(dim.partitions)  # type: ignore[arg-type]
+            raise ValueError(
+                f"date format was not provided for partition column "
+                f"{dim.partition_expr!r} (required to compile a TimeWindow "
+                "against a string/integer column)"
+            )
+        start: Any = _strip_tz(min(w.start for w in windows)).strftime(fmt)
+        end: Any = _strip_tz(max(w.end for w in windows)).strftime(fmt)
         if _is_integer(dtype):
-            values = [int(v) for v in values]
+            start, end = int(start), int(end)
+        return [
+            (dim.partition_expr, ">=", start),
+            (dim.partition_expr, "<", end),
+        ]
+    values = list(dim.partitions)  # type: ignore[arg-type]
+    if _is_integer(dtype):
+        values = [int(v) for v in values]
     uniq = sorted(set(values), key=str)
     if len(uniq) == 1:
         return (dim.partition_expr, "=", uniq[0])

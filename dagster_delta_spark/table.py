@@ -73,6 +73,11 @@ class TableExistsError(Exception):
     pass
 
 
+class MergeMultipleMatchesError(Exception):
+    """A MERGE target row was matched by more than one source row
+    (delta-rs/Delta raise the same cardinality violation)."""
+
+
 class SchemaMismatchError(Exception):
     pass
 
@@ -451,11 +456,27 @@ class DeltaSparkTable:
 
             removes: list[AddFile] = []
             if mode == WriteMode.overwrite and snap is not None:
-                removes = (
-                    self.pruned_files(snap, partition_dnf)
-                    if partition_dnf
-                    else list(snap.files)
-                )
+                if partition_dnf:
+                    # scoped overwrite may only reference real partition
+                    # columns: stats-based (min/max) file matching is a
+                    # *pruning* heuristic — deleting whole files on it
+                    # would drop rows that don't satisfy the predicate.
+                    # Read-path pruning keeps stats matching; the write
+                    # path must be exact.
+                    bad = [
+                        name
+                        for name, _op, _v in partition_dnf
+                        if name not in snap.partition_columns
+                    ]
+                    if bad:
+                        raise ValueError(
+                            f"overwrite partition_dnf references non-partition "
+                            f"column(s) {sorted(set(bad))}; table is partitioned "
+                            f"by {list(snap.partition_columns)}"
+                        )
+                    removes = self.pruned_files(snap, partition_dnf)
+                else:
+                    removes = list(snap.files)
 
             meta = Metadata(
                 schema_json=final_schema.json(),
@@ -665,6 +686,31 @@ class DeltaSparkTable:
             rewrite_scope = candidates
         else:
             rewrite_scope = touched_adds
+
+        if needs_update and rewrite_scope:
+            # cardinality guard (delta-rs contract): a target row matched
+            # by >1 source row must raise, not silently duplicate.  One
+            # extra keyed join over the touched scope, grouped on the
+            # deterministic (file, row-index) target identity.
+            t_ids = self._read_files(snap, rewrite_scope).select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+            dup = (
+                t_ids.alias(ta)
+                .join(src.alias(sa), cond)
+                .groupBy(F.col(f"{ta}.__fp"), F.col(f"{ta}.__ri"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise MergeMultipleMatchesError(
+                    "MERGE: a target row is matched by more than one source "
+                    "row; deduplicate the source on the merge keys first"
+                )
 
         t_scope = self._read_files(snap, rewrite_scope).withColumn("__t_m", F.lit(1))
         joined = t_scope.alias(ta).join(src.alias(sa), cond, "full_outer")

@@ -124,3 +124,27 @@ def test_merge_metrics_in_history(spark, tmp_table):
     h = t.history(1)[0]
     assert h["operation"] == "MERGE"
     assert h["operationMetrics"]["num_output_rows"] >= 2
+
+
+def test_merge_multiple_source_matches_raises(spark, tmp_table):
+    """A target row matched by >1 source row raises the delta-rs
+    cardinality violation instead of silently duplicating it."""
+    import pytest
+
+    from dagster_delta_spark import MergeMultipleMatchesError
+
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.error)
+    dup_source = spark.createDataFrame(
+        [(1, 40), (1, 41)], "a bigint, b bigint"
+    )
+    with pytest.raises(MergeMultipleMatchesError):
+        t.merge(dup_source, MergeConfig(MergeType.upsert, predicate="s.a = t.a"))
+
+
+def test_merge_type_values_match_reference_enum():
+    """String values round-trip reference metadata (config.py:190-216),
+    and the legacy shorthand is still accepted."""
+    assert MergeType("replace_and_delete_unmatched") is MergeType.replace_delete_unmatched
+    assert MergeType("replace_delete_unmatched") is MergeType.replace_delete_unmatched
+    assert MergeType("upsert") is MergeType.upsert

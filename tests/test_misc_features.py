@@ -113,3 +113,36 @@ def test_parquet_read_options_mapping(spark):
     apply_parquet_read_options(spark, {"compression": "zstd"})
     assert spark.conf.get("spark.sql.parquet.compression.codec") == "zstd"
     spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+
+
+def test_storage_conf_mapping_o7():
+    """O7: multi-cloud storage configs -> Spark/Hadoop confs
+    (reference config.py:7-187)."""
+    from dagster_delta_spark import (
+        AzureConfig,
+        ClientConfig,
+        GcsConfig,
+        S3Config,
+        flatten_storage_confs,
+    )
+
+    s3 = flatten_storage_confs(
+        S3Config(access_key_id="ak", secret_access_key="sk", region="r1"),
+        ClientConfig(timeout=30),
+    )
+    assert s3["spark.hadoop.fs.s3a.access.key"] == "ak"
+    assert s3["spark.hadoop.fs.s3a.endpoint.region"] == "r1"
+    assert s3["spark.hadoop.fs.s3a.connection.timeout"] == "30"
+
+    az = AzureConfig(account_name="acct", sas_token="tok").spark_confs()
+    sfx = "acct.dfs.core.windows.net"
+    # auth.type=SAS is what activates the SAS provider at all
+    assert az[f"spark.hadoop.fs.azure.account.auth.type.{sfx}"] == "SAS"
+    assert az[f"spark.hadoop.fs.azure.sas.fixed.token.{sfx}"] == "tok"
+    assert (
+        az[f"spark.hadoop.fs.azure.sas.token.provider.type.{sfx}"]
+        == "org.apache.hadoop.fs.azurebfs.sas.FixedSASTokenProvider"
+    )
+
+    gcs = GcsConfig(service_account_path="/k.json").spark_confs()
+    assert gcs["spark.hadoop.google.cloud.auth.service.account.json.keyfile"] == "/k.json"

@@ -160,3 +160,65 @@ def test_minhash_cluster_keep_exact_duplicates(spark, tmp_path):
     assert out[base] == (cluster, True)
     survivors = sum(1 for _, (c, k) in out.items() if k)
     assert survivors <= 10
+
+
+def test_event_bursts_matches_bruteforce(spark):
+    """Bin-bounded range join == naive unbounded join on a random
+    fixture (catches bin-edge off-by-ones)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.operators.asof import event_bursts
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(5), 1_700_000_000 + rng.randrange(0, 600))
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, epoch long"
+    ).withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+
+    bounded = {
+        (r.user_id, r.event_a, r.event_b)
+        for r in event_bursts(ev, 60).collect()
+    }
+    a, b = ev.alias("a"), ev.alias("b")
+    naive = {
+        (r["user_id"], r["event_a"], r["event_b"])
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+        )
+        .collect()
+    }
+    assert bounded == naive
+    assert len(bounded) > 0
+
+
+def test_event_bursts_hot_user_stress(spark):
+    """One user with 1e5 events must complete without a quadratic task:
+    with events every 10s and a 60s window each event pairs with the
+    next 6, so pairs = 6*N - 21."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.operators.asof import event_bursts
+
+    n = 100_000
+    ev = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.lit(1).alias("user_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 10).alias("ts"),
+        )
+    )
+    assert event_bursts(ev, 60).count() == 6 * n - 21

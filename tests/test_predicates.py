@@ -99,25 +99,39 @@ def test_static_multi_key_is_in_and_deduped():
 
 
 def test_time_window_against_string_column_uses_fmt():
-    """P3: windows against string partition cols format via fmt
-    (handler.py:422-427)."""
+    """P3: windows against string partition cols format via fmt into
+    the half-open range [fmt(start), fmt(end)) (handler.py:422-432)."""
     dnf = partition_dimensions_to_dnf(
         [TablePartitionDimension("string_col", WINDOW)],
         SCHEMA,
         date_formats={"string_col": "%Y-%m-%d"},
     )
-    assert dnf == [("string_col", "=", "2020-01-02")]
+    assert dnf == [
+        ("string_col", ">=", "2020-01-02"),
+        ("string_col", "<", "2020-02-03"),
+    ]
 
 
 def test_time_window_against_int_column_casts():
-    """P3: int partition columns cast the formatted value
+    """P3: int partition columns cast the formatted range bounds
     (handler.py:425-427)."""
     dnf = partition_dimensions_to_dnf(
         [TablePartitionDimension("int_col", WINDOW)],
         SCHEMA,
         date_formats={"int_col": "%Y%m%d"},
     )
-    assert dnf == [("int_col", "=", 20200102)]
+    assert dnf == [("int_col", ">=", 20200102), ("int_col", "<", 20200203)]
+
+
+def test_time_window_against_string_column_without_fmt_raises():
+    """P3: a TimeWindow against a string/int column with no fmt raises,
+    like the reference (handler.py:414)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="[Dd]ate format"):
+        partition_dimensions_to_dnf(
+            [TablePartitionDimension("string_col", WINDOW)], SCHEMA
+        )
 
 
 def test_dnf_to_sql_literals():

@@ -118,3 +118,24 @@ def test_time_travel_versions(spark, tmp_table):
     assert t.read(version=0).count() == 3
     assert t.read(version=1).count() == 6
     assert t.read().count() == 6
+
+
+def test_overwrite_dnf_non_partition_column_raises(spark, tmp_table):
+    """A scoped overwrite whose predicate references a non-partition
+    column must raise — stats-based file matching would silently delete
+    rows that don't satisfy the predicate."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).alias("bucket")
+    )
+    t.write(df, WriteMode.error, partition_columns=["bucket"])
+    with pytest.raises(ValueError, match="non-partition"):
+        t.write(
+            df.where("bucket = 0"),
+            WriteMode.overwrite,
+            partition_dnf=[("id", "<", 5)],
+        )
