@@ -54,6 +54,47 @@ def _dimensions_from_dagster(context: Any) -> Optional[list[TablePartitionDimens
     return dims
 
 
+def extract_date_formats(context: Any) -> Optional[dict[str, str]]:
+    """P6 (reference handler.py:554-597): dig the strftime ``fmt`` out
+    of the asset's (possibly nested) partition definition, keyed by the
+    partition column it applies to.
+
+    Duck-typed so it works with real Dagster objects and with plain
+    test doubles alike:
+
+    - a definition exposing ``.fmt`` is treated as a
+      TimeWindowPartitionsDefinition -> ``{partition_expr: fmt}``;
+    - a definition exposing ``.partitions_defs`` (entries with
+      ``.name`` + ``.partitions_def``) is treated as a
+      MultiPartitionsDefinition; every time-window dimension
+      contributes ``{partition_expr[dim.name]: dim.fmt}``;
+    - a partitioned asset with no ``partition_expr`` metadata raises
+      (reference handler.py:560-579);
+    - no time-window definition -> None.
+    """
+    if not getattr(context, "has_asset_partitions", False):
+        return None
+    md = dict(getattr(context, "definition_metadata", None) or {})
+    expr = md.get("partition_expr")
+    if expr is None:
+        raise ValueError(
+            "'partition_expr' should have been set in the metadata of the "
+            "incoming asset since it has a partition definition."
+        )
+    pdef = getattr(context, "asset_partitions_def", None)
+    if pdef is None:
+        return None
+    out: dict[str, str] = {}
+    if hasattr(pdef, "fmt"):
+        out[expr] = pdef.fmt
+    elif hasattr(pdef, "partitions_defs"):
+        for dim in pdef.partitions_defs:
+            inner = getattr(dim, "partitions_def", None)
+            if inner is not None and hasattr(inner, "fmt"):
+                out[expr[dim.name]] = inner.fmt
+    return out or None
+
+
 def to_asset_context(context: Any, *, is_input: bool = False) -> AssetContext:
     """Map a Dagster Output/InputContext onto the engine's context."""
     asset_key = list(context.asset_key.path)
@@ -64,6 +105,7 @@ def to_asset_context(context: Any, *, is_input: bool = False) -> AssetContext:
         partition_dimensions=_dimensions_from_dagster(context),
         metadata=md,
         columns=columns,
+        date_formats=extract_date_formats(context),
     )
 
 

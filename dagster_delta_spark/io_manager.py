@@ -232,6 +232,22 @@ class DeltaSparkIOManager:
                 ts.partition_dimensions, table.schema(version),
                 input_dnf=True, date_formats=fmts,
             )
+        if target_type is DeltaSparkTable:
+            # PJ4 guard (reference handler.py:311-313): the raw handle —
+            # like the reference's pyarrow Dataset — carries no column
+            # projection, so requesting columns is a contract error.
+            if ts.columns is not None:
+                raise ValueError(
+                    "Cannot select columns when loading as DeltaSparkTable."
+                )
+            if dnf:
+                # a raw handle also carries no partition slice; refuse
+                # rather than silently returning the whole table
+                raise ValueError(
+                    "Cannot load a partition slice as a raw DeltaSparkTable; "
+                    "load a DataFrame instead."
+                )
+            return table
         df = table.read(version=version, columns=ts.columns, dnf=dnf)
         handler = self.registry.for_type(target_type)
         return handler.from_spark(df, target_type)

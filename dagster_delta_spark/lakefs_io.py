@@ -76,6 +76,95 @@ def retry_with_backoff(retries: int = 5, backoff_in_seconds: int = 4,
     return decorator
 
 
+class InMemoryLakeFSClient:
+    """Concrete :class:`BranchClient` (S5) backed by an in-process
+    object store — this environment has no network, so the reference's
+    REST-backed client (ddp lakefs_client_resource.py:13-56) is
+    re-expressed against a dict-of-branches store with the same
+    surface: branch create/commit/diff/merge/delete plus the 50 MB
+    chunked ``download_file`` (lakefs_client_resource.py:33-47).
+
+    Branch semantics follow LakeFS: ``create_branch`` snapshots the
+    source branch's objects; ``diff`` yields paths whose content
+    differs; ``merge`` applies the from-branch state onto the
+    to-branch.  All state is per-instance and driver-side (metadata
+    scale, never data scale)."""
+
+    def __init__(self) -> None:
+        # repo -> branch -> {path: bytes}
+        self._repos: dict[str, dict[str, dict[str, bytes]]] = {}
+        self._commits: dict[str, list[dict[str, Any]]] = {}
+
+    # -- store helpers -------------------------------------------------------
+
+    def create_repository(self, repository: str, default_branch: str = "main") -> None:
+        self._repos.setdefault(repository, {}).setdefault(default_branch, {})
+
+    def _branch(self, repository: str, branch: str) -> dict[str, bytes]:
+        try:
+            return self._repos[repository][branch]
+        except KeyError:
+            raise KeyError(f"unknown branch {repository}/{branch}") from None
+
+    def upload_object(self, repository: str, branch: str, path: str,
+                      data: bytes) -> None:
+        self._branch(repository, branch)[path] = bytes(data)
+
+    def get_object(self, repository: str, branch: str, path: str) -> bytes:
+        return self._branch(repository, branch)[path]
+
+    # -- BranchClient surface ------------------------------------------------
+
+    def create_branch(self, repository: str, branch: str, source: str) -> None:
+        repo = self._repos.setdefault(repository, {})
+        if branch in repo:
+            raise ConflictException(f"branch {branch} already exists")
+        repo[branch] = dict(repo.get(source, {}))
+
+    def commit(self, repository: str, branch: str, message: str,
+               allow_empty: bool = True) -> None:
+        self._branch(repository, branch)  # existence check
+        self._commits.setdefault(repository, []).append(
+            {"branch": branch, "message": message}
+        )
+
+    def diff(self, repository: str, from_branch: str, to_branch: str):
+        """Generator of changed paths (matches the reference's lazy
+        diff that ``diff_has_items`` probes)."""
+        a = self._branch(repository, from_branch)
+        b = self._branch(repository, to_branch)
+        for path in sorted(set(a) | set(b)):
+            if a.get(path) != b.get(path):
+                yield {"path": path}
+
+    def merge(self, repository: str, from_branch: str, to_branch: str) -> None:
+        src = self._branch(repository, from_branch)
+        self._repos[repository][to_branch] = dict(src)
+
+    def delete_branch(self, repository: str, branch: str) -> None:
+        self._repos.get(repository, {}).pop(branch, None)
+
+    # -- S5: chunked download (reference lakefs_client_resource.py:33-47) ----
+
+    def download_file(self, repository: str, branch: str, remote_path: str,
+                      local_path: str, chunk_size_mb: int = 50) -> None:
+        """Stream an object to the local filesystem in ``chunk_size_mb``
+        chunks — the reference's loop shape, so multi-GB objects never
+        materialize in one allocation."""
+        import io
+
+        reader = io.BytesIO(self.get_object(repository, branch, remote_path))
+        with open(local_path, "wb") as f:
+            while True:
+                chunk_bytes = reader.read(1024 * 1024 * chunk_size_mb)
+                if not len(chunk_bytes):
+                    break
+                if isinstance(chunk_bytes, bytes):
+                    f.write(chunk_bytes)
+                else:
+                    raise Exception("Unknown data type for chunk_bytes")
+
+
 def rewrite_branch_uri(uri: str, source_branch: str, new_branch: str) -> str:
     """F5: replace the *first occurrence* of the branch name in the
     table URI (reference ddp lakefs handler:73-84)."""

@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,16 +72,38 @@ def _shingle_sizes(stream: DataFrame) -> DataFrame:
 
 
 def near_dup_jaccard(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    max_shingle_df: Optional[int] = 1000,
 ) -> DataFrame:
     """Exact word-trigram Jaccard near-duplicate pairs.
 
     Plan: explode distinct shingles, self-join on the shingle to count
     intersections (the only shuffle), then Jaccard from per-doc
     shingle counts.  Deterministic: pairs with doc_a < doc_b.
-    """
+
+    ``max_shingle_df`` is the scale guard: a shingle appearing in d
+    documents contributes d^2/2 candidate pairs to the self-join, so
+    boilerplate shingles (d in the millions at 100 TB) dominate cost
+    while carrying no similarity signal.  Shingles with document
+    frequency above the cap are dropped from the *intersection* side
+    only (denominator sizes stay exact), bounding the join at
+    O(sum min(df, cap)^2) for one extra aggregate + anti-join.  The
+    default cap (1000) exceeds the whole sf0.01 corpus, so the driver's
+    oracle comparison is exact; pass None to disable entirely."""
     ex = _shingle_stream(spark, sf_dir)
-    sizes = _shingle_sizes(ex)
+    sizes = _shingle_sizes(ex)  # full per-doc sizes, before the prefilter
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        # the hot set is tiny (<= total_shingles/cap rows): AQE
+        # broadcasts the anti-join when it fits
+        ex = ex.join(hot, "sh", "left_anti")
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (

@@ -15,6 +15,8 @@ in codegen) rather than Python UDFs.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -184,35 +186,103 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_assignments(
-    spark: SparkSession, sf_dir: str, n_cells: int = 16
-) -> DataFrame:
-    """IVF coarse quantization without a training step: the first
-    ``n_cells`` vectors (by vec_id — deterministic) act as centroids;
-    every vector is assigned to its nearest centroid by cosine.
-
-    Shape: broadcast the tiny centroid set, one pass over the corpus
-    with ``min_by`` picking the best cell — no iterative k-means, no
-    driver data.  At 100 TB the assignment is a single map-side job.
-    """
-    emb = _with_norm(load(spark, sf_dir, "embeddings"))
-    cents = emb.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
+def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by cosine: broadcast the tiny
+    centroid set, one pass over the corpus with ``min_by`` picking the
+    best cell.  At 100 TB this is a single map-side job."""
     dot = DOT.format(a="c_emb", b="embedding")
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
         "cos", F.expr(dot) / (F.col("norm") * F.col("c_norm"))
     )
+    # embedding/norm ride through the aggregate (identical per vec_id)
+    # instead of joining back — one shuffle total, no second pass
     return (
         scored.groupBy("vec_id")
-        .agg(F.min_by(F.struct("cell"), F.struct(-F.col("cos"), F.col("cell")))
-             .alias("best"))
-        .select("vec_id", F.col("best.cell").alias("cell"))
-        .join(emb, "vec_id")
+        .agg(
+            F.min_by(F.col("cell"), F.struct(-F.col("cos"), F.col("cell")))
+            .alias("cell"),
+            F.any_value(F.col("embedding")).alias("embedding"),
+            F.any_value(F.col("norm")).alias("norm"),
+        )
         .select("vec_id", "cell", "embedding", "norm")
     )
+
+
+def ivf_train_centroids(
+    spark: SparkSession, sf_dir: str, n_cells: int = 16, iters: int = 2,
+    train_sample_mod: int = 4,
+) -> DataFrame:
+    """Distributed k-means training for the IVF coarse quantizer.
+
+    Init: the ``n_cells`` vectors with the smallest ``xxhash64(vec_id)``
+    — a deterministic pseudo-random sample (``TakeOrdered``, no full
+    sort), unlike first-by-vec_id which mirrors ingestion order and
+    leaves cells badly unbalanced on sorted/clustered real data.
+
+    Iterate ``iters`` times: broadcast centroids -> nearest-cell
+    assignment (one map-side pass) -> recompute per-cell means via
+    posexplode + codegen'd (cell, dim) aggregate -> re-assemble arrays.
+    Each round is two shuffles over (rows x dims) values; the centroid
+    frame itself stays tiny and is localCheckpointed so the lineage
+    doesn't deepen per round.  Empty cells drop out (nprobe ranks
+    whatever cells exist).
+
+    Training runs on a deterministic 1/``train_sample_mod`` hash sample
+    of the corpus — the standard coarse-quantizer recipe (centroid
+    quality needs thousands of vectors per cell, not the full corpus);
+    at 100 TB raise the modulus so the sample stays ~100k vectors."""
+    from pyspark.sql.window import Window
+
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    if train_sample_mod > 1:
+        # pmod: xxhash64 is signed, plain % would keep only half the sample
+        emb = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(train_sample_mod)) == 0)
+    cents = (
+        emb.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id")))
+            .alias("cell"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+        .localCheckpoint()
+    )
+    norm_c = NORM.format(a="c_emb")
+    for _ in range(iters):
+        assigned = _assign_cells(emb, cents)
+        cents = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("mean_v"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v")))
+                 .alias("pairs"))
+            .select(
+                "cell",
+                F.expr("transform(pairs, p -> CAST(p.mean_v AS FLOAT))")
+                .alias("c_emb"),
+            )
+            .withColumn("c_norm", F.expr(norm_c))
+            .localCheckpoint()
+        )
+    return cents
+
+
+def ivf_assignments(
+    spark: SparkSession, sf_dir: str, n_cells: int = 16,
+    centroids: Optional[DataFrame] = None, train_iters: int = 2,
+) -> DataFrame:
+    """IVF coarse quantization: k-means-trained centroids (see
+    ``ivf_train_centroids``), then one broadcast assignment pass."""
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train_centroids(spark, sf_dir, n_cells, train_iters)
+    )
+    return _assign_cells(emb, cents)
 
 
 def ivf_ann_topk(
@@ -224,12 +294,8 @@ def ivf_ann_topk(
     probe fraction (nprobe/n_cells) is the recall/throughput dial."""
     from pyspark.sql.window import Window
 
-    assigned = ivf_assignments(spark, sf_dir, n_cells)
-    cents = assigned.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
+    cents = ivf_train_centroids(spark, sf_dir, n_cells)
+    assigned = ivf_assignments(spark, sf_dir, n_cells, centroids=cents)
     queries = assigned.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),

@@ -32,7 +32,6 @@ from datetime import date, datetime
 from typing import Any, Optional, Sequence
 from urllib.parse import unquote
 
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -176,37 +175,88 @@ def _file_matches(
     return True
 
 
-def _harvest_file_stats(abs_path: str, schema: StructType) -> tuple[int, dict[str, Any]]:
-    """numRecords + per-column min/max/nullCount from the parquet
-    footer (no data read — row-group metadata only)."""
-    md = pq.ParquetFile(abs_path).metadata
-    num_rows = md.num_rows
-    mins: dict[str, Any] = {}
-    maxs: dict[str, Any] = {}
-    nulls: dict[str, int] = {}
-    names = [md.schema.column(i).name for i in range(md.num_columns)]
-    for i, name in enumerate(names):
-        col_min: Any = None
-        col_max: Any = None
-        col_nulls = 0
-        ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(i).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            col_nulls += st.null_count or 0
-            mn, mx = _render_stat(st.min), _render_stat(st.max)
-            if mn is None or mx is None:
-                ok = False
-                break
-            col_min = mn if col_min is None or mn < col_min else col_min
-            col_max = mx if col_max is None or mx > col_max else col_max
-        if ok and col_min is not None:
-            mins[name] = col_min
-            maxs[name] = col_max
-            nulls[name] = col_nulls
-    return num_rows, {"minValues": mins, "maxValues": maxs, "nullCount": nulls}
+_DISTRIBUTED_STATS_THRESHOLD = 32
+
+
+def _make_stats_harvester():
+    """Build a fully self-contained footer-stats function: numRecords +
+    per-column min/max/nullCount from the parquet footer (row-group
+    metadata only — no data read).
+
+    Nested rather than module-level so cloudpickle serializes it by
+    value and executors don't need this repo on their PYTHONPATH (see
+    the worker-pickling note in operators/multimodal.py).  The same
+    function serves the driver loop (few files) and the distributed
+    harvest job (many files)."""
+    max_str = _STATS_MAX_STRING
+
+    def harvest(abs_path: str) -> tuple[str, tuple[int, dict]]:
+        from datetime import date as _date
+        from datetime import datetime as _datetime
+
+        import pyarrow.parquet as pq_
+
+        def render(value):
+            if isinstance(value, _datetime):
+                return value.isoformat(sep=" ")
+            if isinstance(value, _date):
+                return value.isoformat()
+            if isinstance(value, bytes):
+                return None
+            if isinstance(value, str) and len(value) > max_str:
+                return None
+            if isinstance(value, float) and value != value:  # NaN
+                return None
+            return value
+
+        md = pq_.ParquetFile(abs_path).metadata
+        num_rows = md.num_rows
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for i, name in enumerate(names):
+            col_min = None
+            col_max = None
+            col_nulls = 0
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                col_nulls += st.null_count or 0
+                mn, mx = render(st.min), render(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                col_min = mn if col_min is None or mn < col_min else col_min
+                col_max = mx if col_max is None or mx > col_max else col_max
+            if ok and col_min is not None:
+                mins[name] = col_min
+                maxs[name] = col_max
+                nulls[name] = col_nulls
+        return abs_path, (
+            num_rows,
+            {"minValues": mins, "maxValues": maxs, "nullCount": nulls},
+        )
+
+    return harvest
+
+
+def _harvest_stats(
+    spark: SparkSession, paths: Sequence[str]
+) -> dict[str, tuple[int, dict]]:
+    """Footer stats for every staged file.  Small commits stay on the
+    driver; past the threshold the footer reads fan out as a Spark job
+    over the paths (at 10k+ files/commit a serial driver loop would be
+    the commit bottleneck — docs/SCALE.md)."""
+    harvest = _make_stats_harvester()
+    if len(paths) <= _DISTRIBUTED_STATS_THRESHOLD:
+        return dict(map(harvest, paths))
+    sc = spark.sparkContext
+    slices = max(1, min(len(paths), sc.defaultParallelism * 4))
+    return dict(sc.parallelize(list(paths), slices).map(harvest).collect())
 
 
 # ---------------------------------------------------------------------------
@@ -230,37 +280,43 @@ def _stage_dataframe(
         writer = writer.partitionBy(*partition_columns)
     writer.parquet(staging)
 
-    adds: list[AddFile] = []
-    now = int(time.time() * 1000)
+    staged: list[tuple[str, str, str]] = []  # (src_path, rel_dir, filename)
     for dirpath, _dirnames, filenames in os.walk(staging):
         for fn in filenames:
             if not fn.endswith(".parquet"):
                 continue
-            src = os.path.join(dirpath, fn)
             rel_dir = os.path.relpath(dirpath, staging)
-            rel_dir = "" if rel_dir == "." else rel_dir
-            part_values: dict[str, Optional[str]] = {}
-            if rel_dir:
-                for comp in rel_dir.split(os.sep):
-                    k, _, v = comp.partition("=")
-                    part_values[k] = None if v == HIVE_DEFAULT_PARTITION else unquote(v)
-            dest_dir = os.path.join(table_uri, rel_dir) if rel_dir else table_uri
-            os.makedirs(dest_dir, exist_ok=True)
-            dest = os.path.join(dest_dir, fn)
-            num_rows, stats = _harvest_file_stats(src, schema)
-            if num_rows == 0:
-                continue
-            size = os.path.getsize(src)
-            os.replace(src, dest)
-            rel_path = os.path.join(rel_dir, fn) if rel_dir else fn
-            adds.append(AddFile(
-                path=rel_path,
-                size=size,
-                num_records=num_rows,
-                partition_values=part_values,
-                stats=stats,
-                modification_time=now,
+            staged.append((
+                os.path.join(dirpath, fn),
+                "" if rel_dir == "." else rel_dir,
+                fn,
             ))
+
+    stats_by_path = _harvest_stats(df.sparkSession, [s[0] for s in staged])
+
+    adds: list[AddFile] = []
+    now = int(time.time() * 1000)
+    for src, rel_dir, fn in staged:
+        num_rows, stats = stats_by_path[src]
+        if num_rows == 0:
+            continue
+        part_values: dict[str, Optional[str]] = {}
+        if rel_dir:
+            for comp in rel_dir.split(os.sep):
+                k, _, v = comp.partition("=")
+                part_values[k] = None if v == HIVE_DEFAULT_PARTITION else unquote(v)
+        dest_dir = os.path.join(table_uri, rel_dir) if rel_dir else table_uri
+        os.makedirs(dest_dir, exist_ok=True)
+        size = os.path.getsize(src)
+        os.replace(src, os.path.join(dest_dir, fn))
+        adds.append(AddFile(
+            path=os.path.join(rel_dir, fn) if rel_dir else fn,
+            size=size,
+            num_records=num_rows,
+            partition_values=part_values,
+            stats=stats,
+            modification_time=now,
+        ))
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 

@@ -230,3 +230,181 @@ def test_string_date_partition_with_custom_fmt(spark, tmp_path):
         date_formats={"day_str": "%Y/%m/%d"},
     ))
     assert {r["day_str"] for r in loaded.collect()} == {"2022/01/01"}
+
+
+def test_pj4_columns_on_raw_table_guard(spark, tmp_path):
+    """PJ4 (reference handler.py:311-313): requesting columns while
+    loading the raw table handle raises; without columns the handle
+    comes back usable."""
+    mgr = DeltaSparkIOManager(spark, str(tmp_path))
+    mgr.handle_output(AssetContext(asset_key=["s", "t"]), two_col(spark))
+    with pytest.raises(ValueError, match="Cannot select columns"):
+        mgr.load_input(
+            AssetContext(asset_key=["s", "t"], columns=["a"]),
+            target_type=DeltaSparkTable,
+        )
+    raw = mgr.load_input(
+        AssetContext(asset_key=["s", "t"]), target_type=DeltaSparkTable
+    )
+    assert isinstance(raw, DeltaSparkTable)
+    assert raw.read().count() == 3
+
+
+# -- P6: fmt extraction from (nested) partition definitions ------------------
+
+
+class _FakeTimeWindowDef:
+    def __init__(self, fmt):
+        self.fmt = fmt
+
+
+class _FakeDim:
+    def __init__(self, name, partitions_def):
+        self.name = name
+        self.partitions_def = partitions_def
+
+
+class _FakeMultiDef:
+    def __init__(self, dims):
+        self.partitions_defs = dims
+
+
+class _FakeContext:
+    def __init__(self, metadata=None, pdef=None, has_partitions=True):
+        self.has_asset_partitions = has_partitions
+        self.definition_metadata = metadata
+        self.asset_partitions_def = pdef
+
+
+def test_p6_fmt_from_time_window_definition():
+    """Single TimeWindowPartitionsDefinition -> {partition_expr: fmt}
+    (reference handler.py:585-586; test_io_manager.py shapes)."""
+    from dagster_delta_spark.dagster_adapter import extract_date_formats
+
+    ctx = _FakeContext(
+        metadata={"partition_expr": "day_str"},
+        pdef=_FakeTimeWindowDef("%Y-%m-%d"),
+    )
+    assert extract_date_formats(ctx) == {"day_str": "%Y-%m-%d"}
+
+
+def test_p6_fmt_from_nested_multi_definition():
+    """MultiPartitionsDefinition: each nested time-window dimension maps
+    through partition_expr[dim.name] (reference handler.py:587-595)."""
+    from dagster_delta_spark.dagster_adapter import extract_date_formats
+
+    pdef = _FakeMultiDef([
+        _FakeDim("date", _FakeTimeWindowDef("%Y%m%d")),
+        _FakeDim("color", object()),  # static dimension: no fmt
+    ])
+    ctx = _FakeContext(
+        metadata={"partition_expr": {"date": "day_int", "color": "color_col"}},
+        pdef=pdef,
+    )
+    assert extract_date_formats(ctx) == {"day_int": "%Y%m%d"}
+
+
+def test_p6_missing_partition_expr_raises():
+    """Partitioned asset without partition_expr metadata raises
+    (reference handler.py:560-579)."""
+    from dagster_delta_spark.dagster_adapter import extract_date_formats
+
+    with pytest.raises(ValueError, match="partition_expr"):
+        extract_date_formats(_FakeContext(metadata={}, pdef=_FakeTimeWindowDef("%Y")))
+
+
+def test_p6_unpartitioned_returns_none():
+    from dagster_delta_spark.dagster_adapter import extract_date_formats
+
+    assert extract_date_formats(_FakeContext(has_partitions=False)) is None
+
+
+def test_p6_static_only_definition_returns_none():
+    from dagster_delta_spark.dagster_adapter import extract_date_formats
+
+    ctx = _FakeContext(
+        metadata={"partition_expr": {"color": "color_col"}},
+        pdef=_FakeMultiDef([_FakeDim("color", object())]),
+    )
+    assert extract_date_formats(ctx) is None
+
+
+def test_self_dependent_partitioned_asset_e2e(spark, tmp_path):
+    """The reference's SKIPPED scenario (dd tests
+    test_type_handler.py:457-513: a daily-partitioned asset whose input
+    is its own previous-day partition): delta-rs cannot create the
+    empty day-zero table, so the reference punts.  Here day zero is an
+    a-priori empty create (W5), the first load returns 0 rows with the
+    right schema, and each day's write overwrites only its own
+    partition."""
+    from datetime import date, datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DateType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dagster_delta_spark import TablePartitionDimension, TimeWindow
+
+    mgr = DeltaSparkIOManager(spark, str(tmp_path))
+    schema = StructType([
+        StructField("key", DateType()),
+        StructField("a", StringType()),
+    ])
+    key = ["my_schema", "self_dep"]
+
+    # day-zero: empty table with a-priori schema through the engine
+    table = mgr.table_for(AssetContext(asset_key=key))
+    table.write(
+        spark.createDataFrame([], schema),
+        WriteMode.create_or_replace,
+        partition_columns=["key"],
+    )
+
+    def day_ctx(day: str) -> AssetContext:
+        d = datetime.fromisoformat(day)
+        return AssetContext(
+            asset_key=key,
+            partition_dimensions=[
+                TablePartitionDimension(
+                    "key", TimeWindow(d, d.replace(day=d.day + 1))
+                )
+            ],
+        )
+
+    def prev_day_input(day: str):
+        d = datetime.fromisoformat(day)
+        prev = d.replace(day=d.day - 1) if d.day > 1 else d
+        return mgr.load_input(
+            AssetContext(
+                asset_key=key,
+                partition_dimensions=[
+                    TablePartitionDimension("key", TimeWindow(prev, d))
+                ],
+            )
+        )
+
+    def rows_for(day: str, value: str):
+        d = date.fromisoformat(day)
+        return spark.createDataFrame([(d, value)] * 3, schema)
+
+    # partition 2023-01-02 reads its (empty) predecessor
+    upstream = prev_day_input("2023-01-02")
+    assert upstream.count() == 0
+    assert [f.name for f in upstream.schema.fields] == ["key", "a"]
+    mgr.handle_output(day_ctx("2023-01-02"), rows_for("2023-01-02", "1"))
+
+    # partition 2023-01-03 sees exactly the 3 prior-day rows
+    upstream = prev_day_input("2023-01-03")
+    assert upstream.count() == 3
+    assert {r["a"] for r in upstream.collect()} == {"1"}
+    mgr.handle_output(day_ctx("2023-01-03"), rows_for("2023-01-03", "2"))
+
+    # re-materialize day 2: only that partition is replaced
+    mgr.handle_output(day_ctx("2023-01-02"), rows_for("2023-01-02", "9"))
+    out = {(r["key"].isoformat(), r["a"]) for r in table.read().collect()}
+    assert out == {("2023-01-02", "9"), ("2023-01-03", "2")}
+    assert table.read().count() == 6

@@ -176,3 +176,87 @@ def test_concurrent_appends_both_commit(spark, tmp_table):
     assert not errors
     assert sorted(r["v"] for r in t.read().collect()) == [0, 1, 2]
     assert t.version() == 2
+
+
+# -- S5: concrete in-memory client ------------------------------------------
+
+
+def _mk_client():
+    from dagster_delta_spark.lakefs_io import InMemoryLakeFSClient
+
+    c = InMemoryLakeFSClient()
+    c.create_repository("repo", "main")
+    c.upload_object("repo", "main", "tables/t/part-0.parquet", b"v0")
+    return c
+
+
+def test_inmemory_client_write_on_branch_e2e():
+    """Full S5/O6 flow against the concrete client: write lands on the
+    run branch, merges into main, branch always deleted."""
+    from dagster_delta_spark.lakefs_io import write_on_branch
+
+    c = _mk_client()
+
+    def write_fn(branch_uri):
+        # branch_uri carries the run branch name: s3://repo/<branch>/tables/t
+        branch = branch_uri.split("/")[3]
+        c.upload_object("repo", branch, "tables/t/part-1.parquet", b"v1")
+        return {"num_output_rows": 1}
+
+    out = write_on_branch(
+        c, "repo", "main", run_id="r1", asset_key="t",
+        table_uri="s3://repo/main/tables/t", write_fn=write_fn,
+    )
+    assert out["table_uri"] == "s3://repo/main/tables/t"
+    assert c.get_object("repo", "main", "tables/t/part-1.parquet") == b"v1"
+    assert ["main"] == sorted(c._repos["repo"])  # run branch deleted
+
+
+def test_inmemory_client_merge_retries_on_conflict():
+    """Transient merge conflicts retry with backoff and succeed
+    (reference O5 retry contract)."""
+    from dagster_delta_spark.lakefs_io import ConflictException, write_on_branch
+
+    c = _mk_client()
+    calls = {"merge": 0}
+    real_merge = c.merge
+
+    def flaky_merge(repository, from_branch, to_branch):
+        calls["merge"] += 1
+        if calls["merge"] <= 2:
+            raise ConflictException("concurrent merge in progress")
+        real_merge(repository, from_branch, to_branch)
+
+    c.merge = flaky_merge
+
+    def write_fn(branch_uri):
+        branch = branch_uri.split("/")[3]
+        c.upload_object("repo", branch, "tables/t/part-2.parquet", b"v2")
+        return {}
+
+    import dagster_delta_spark.lakefs_io as lio
+    import time as _time
+
+    orig_sleep = _time.sleep
+    _time.sleep = lambda s: orig_sleep(0)  # don't wait out the backoff
+    try:
+        write_on_branch(c, "repo", "main", "r2", "t",
+                        "s3://repo/main/tables/t", write_fn)
+    finally:
+        _time.sleep = orig_sleep
+    assert calls["merge"] == 3
+    assert c.get_object("repo", "main", "tables/t/part-2.parquet") == b"v2"
+
+
+def test_inmemory_client_chunked_download(tmp_path):
+    """S5 download loop: content reassembles exactly from multiple
+    chunks (reference lakefs_client_resource.py:33-47)."""
+    from dagster_delta_spark.lakefs_io import InMemoryLakeFSClient
+
+    c = InMemoryLakeFSClient()
+    c.create_repository("repo", "main")
+    payload = bytes(range(256)) * 40000  # ~10 MB
+    c.upload_object("repo", "main", "obj.bin", payload)
+    dest = tmp_path / "obj.bin"
+    c.download_file("repo", "main", "obj.bin", str(dest), chunk_size_mb=1)
+    assert dest.read_bytes() == payload

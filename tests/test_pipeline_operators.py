@@ -222,3 +222,20 @@ def test_event_bursts_hot_user_stress(spark):
         )
     )
     assert event_bursts(ev, 60).count() == 6 * n - 21
+
+
+def test_jaccard_stop_shingle_prefilter_exact_below_cap(spark):
+    """With the cap above every shingle's document frequency the
+    prefiltered plan returns exactly the unfiltered pairs."""
+    from dagster_delta_spark.operators.dedup import near_dup_jaccard
+
+    with_cap = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in near_dup_jaccard(spark, SF, max_shingle_df=1000).collect()
+    }
+    without = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in near_dup_jaccard(spark, SF, max_shingle_df=None).collect()
+    }
+    assert with_cap == without
+    assert len(with_cap) > 0

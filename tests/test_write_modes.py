@@ -139,3 +139,33 @@ def test_overwrite_dnf_non_partition_column_raises(spark, tmp_table):
             WriteMode.overwrite,
             partition_dnf=[("id", "<", 5)],
         )
+
+
+def test_many_file_write_distributed_stats(spark, tmp_table):
+    """A commit staging more files than the distributed-harvest
+    threshold produces the same AddFile stats the driver loop would
+    (numRecords, min/max), and the table reads back exactly."""
+    from dagster_delta_spark.table import (
+        _DISTRIBUTED_STATS_THRESHOLD,
+        _make_stats_harvester,
+    )
+
+    n_files = _DISTRIBUTED_STATS_THRESHOLD + 8
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.range(4000).repartition(n_files)
+    t.write(df, WriteMode.error)
+
+    snap = t.snapshot()
+    assert len(snap.files) > _DISTRIBUTED_STATS_THRESHOLD
+    harvest = _make_stats_harvester()
+    import os
+
+    total = 0
+    for a in snap.files:
+        _, (num_rows, stats) = harvest(os.path.join(tmp_table, a.path))
+        assert a.num_records == num_rows
+        assert a.stats["minValues"] == stats["minValues"]
+        assert a.stats["maxValues"] == stats["maxValues"]
+        total += num_rows
+    assert total == 4000
+    assert t.read().count() == 4000
