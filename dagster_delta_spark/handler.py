@@ -83,12 +83,23 @@ class ArrowTypeHandler(SparkTypeHandler):
 
         if isinstance(obj, pa.RecordBatchReader):
             obj = obj.read_all()
-        return spark.createDataFrame(obj.to_pandas())
+        # Spark 4 ingests pyarrow Tables directly (Arrow IPC, no pandas
+        # detour); fall back for older sessions
+        try:
+            return spark.createDataFrame(obj)
+        except TypeError:  # pragma: no cover - Spark < 4
+            return spark.createDataFrame(obj.to_pandas())
 
     def from_spark(self, df: DataFrame, target_type: Type) -> Any:
         import pyarrow as pa
 
-        table = pa.Table.from_pandas(df.toPandas())
+        # df.toArrow() (Spark 4) collects over Arrow IPC — no
+        # pandas round-trip and exact arrow types
+        table = (
+            df.toArrow()
+            if hasattr(df, "toArrow")
+            else pa.Table.from_pandas(df.toPandas())
+        )
         if target_type is pa.RecordBatchReader:
             return pa.RecordBatchReader.from_batches(
                 table.schema, table.to_batches()

@@ -146,3 +146,40 @@ def test_storage_conf_mapping_o7():
 
     gcs = GcsConfig(service_account_path="/k.json").spark_confs()
     assert gcs["spark.hadoop.google.cloud.auth.service.account.json.keyfile"] == "/k.json"
+
+
+def test_parquet_checkpoint_roundtrip_and_legacy_json(spark, tmp_table):
+    """Checkpoints are parquet (metadata in schema KV; one row per
+    file) and pre-upgrade JSON checkpoints still load."""
+    import json
+    import os
+
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark import tablelog
+
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.range(3)
+    t.write(df, WriteMode.error)
+    for _ in range(12):
+        t.write(df, WriteMode.append)
+    log_dir = os.path.join(tmp_table, "_spark_delta_log")
+    cps = [f for f in os.listdir(log_dir) if f.endswith(".checkpoint.parquet")]
+    assert cps, "expected a parquet checkpoint after 12 commits"
+    assert t.read().count() == 3 * 13
+    assert t.read(version=0).count() == 3  # replay from before the checkpoint
+
+    # legacy JSON checkpoint: simulate a pre-upgrade table by rewriting
+    # the checkpoint in the old format and re-pointing _last_checkpoint
+    snap = t.snapshot()
+    v = tablelog._read_last_checkpoint(tmp_table)
+    os.remove(os.path.join(log_dir, f"{v:020d}.checkpoint.parquet"))
+    cp_snap = tablelog.load_snapshot(tmp_table, v)
+    with open(tablelog._legacy_checkpoint_path(tmp_table, v), "w") as f:
+        json.dump({
+            "metaData": cp_snap.metadata.to_action()["metaData"],
+            "adds": [a.to_action()["add"] for a in cp_snap.files],
+            "timestamp": cp_snap.timestamp,
+        }, f)
+    reloaded = tablelog.load_snapshot(tmp_table)
+    assert reloaded.version == snap.version
+    assert {a.path for a in reloaded.files} == {a.path for a in snap.files}
