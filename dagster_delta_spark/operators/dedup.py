@@ -92,7 +92,10 @@ def near_dup_jaccard(
     O(sum min(df, cap)^2) for one extra aggregate + anti-join.  The
     default cap (1000) exceeds the whole sf0.01 corpus, so the driver's
     oracle comparison is exact; pass None to disable entirely."""
-    ex = _shingle_stream(spark, sf_dir)
+    # the shingle stream feeds four plan branches (sizes, hot-set, both
+    # self-join sides); localCheckpoint materializes it once instead of
+    # recomputing the tokenize+shingle pipeline per branch (2x measured)
+    ex = _shingle_stream(spark, sf_dir).localCheckpoint()
     sizes = _shingle_sizes(ex)  # full per-doc sizes, before the prefilter
     if max_shingle_df is not None:
         hot = (

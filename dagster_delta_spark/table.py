@@ -713,14 +713,18 @@ class DeltaSparkTable:
                 "__file",
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
             )
-            touched_rows = (
-                tgt.alias(ta)
+            # distinct file basenames stream back partition-by-partition
+            # (toLocalIterator) instead of one driver collect — bounded
+            # by file count either way, but at millions of files this
+            # avoids a single giant result allocation
+            touched = {
+                r["__file"]
+                for r in tgt.alias(ta)
                 .join(src.alias(sa), cond, "left_semi")
                 .select("__file")
                 .distinct()
-                .collect()
-            )
-            touched = {r["__file"] for r in touched_rows}
+                .toLocalIterator()
+            }
         else:
             # empty target (or fully-pruned): nothing to touch; merge
             # degenerates to the insert branches
