@@ -708,30 +708,6 @@ class DeltaSparkTable:
         src = source.withColumn("__s_m", F.lit(1))
         cond = F.expr(pred)
 
-        if candidates:
-            tgt = self._read_files(snap, candidates).withColumn(
-                "__file",
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-            )
-            # distinct file basenames stream back partition-by-partition
-            # (toLocalIterator) instead of one driver collect — bounded
-            # by file count either way, but at millions of files this
-            # avoids a single giant result allocation
-            touched = {
-                r["__file"]
-                for r in tgt.alias(ta)
-                .join(src.alias(sa), cond, "left_semi")
-                .select("__file")
-                .distinct()
-                .toLocalIterator()
-            }
-        else:
-            # empty target (or fully-pruned): nothing to touch; merge
-            # degenerates to the insert branches
-            touched = set()
-        by_basename = {os.path.basename(a.path): a for a in candidates}
-        touched_adds = [by_basename[b] for b in touched if b in by_basename]
-
         mtype = merge_config.merge_type
         needs_update = mtype in (
             MergeType.update_only,
@@ -740,37 +716,52 @@ class DeltaSparkTable:
         )
         needs_insert = mtype in (MergeType.deduplicate_insert, MergeType.upsert)
 
+        if candidates:
+            # ONE discovery join yields both products: the touched-file
+            # set AND the delta-rs cardinality check (a target row
+            # matched by >1 source row must raise, not silently
+            # duplicate).  Matches group on the deterministic
+            # (file, row-index) target identity, then collapse to one
+            # row per file carrying that file's max match count —
+            # driver traffic stays bounded by file count, streamed
+            # partition-by-partition.
+            tgt = self._read_files(snap, candidates).select(
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+                .alias("__file"),
+                F.col("_metadata.row_index").alias("__ri"),
+                "*",
+            )
+            per_file = (
+                tgt.alias(ta)
+                .join(src.alias(sa), cond)
+                .groupBy(F.col(f"{ta}.__file"), F.col(f"{ta}.__ri"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .groupBy("__file")
+                .agg(F.max("__n").alias("__max_n"))
+            )
+            touched = set()
+            max_matches = 0
+            for r in per_file.toLocalIterator():
+                touched.add(r["__file"])
+                max_matches = max(max_matches, r["__max_n"])
+            if needs_update and max_matches > 1:
+                raise MergeMultipleMatchesError(
+                    "MERGE: a target row is matched by more than one source "
+                    "row; deduplicate the source on the merge keys first"
+                )
+        else:
+            # empty target (or fully-pruned): nothing to touch; merge
+            # degenerates to the insert branches
+            touched = set()
+        by_basename = {os.path.basename(a.path): a for a in candidates}
+        touched_adds = [by_basename[b] for b in touched if b in by_basename]
+
         # rows that participate in the rewrite join: touched files only
         # (for M4 all candidate files are rewritten/deleted)
         if mtype == MergeType.replace_delete_unmatched:
             rewrite_scope = candidates
         else:
             rewrite_scope = touched_adds
-
-        if needs_update and rewrite_scope:
-            # cardinality guard (delta-rs contract): a target row matched
-            # by >1 source row must raise, not silently duplicate.  One
-            # extra keyed join over the touched scope, grouped on the
-            # deterministic (file, row-index) target identity.
-            t_ids = self._read_files(snap, rewrite_scope).select(
-                "*",
-                F.col("_metadata.file_path").alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
-            )
-            dup = (
-                t_ids.alias(ta)
-                .join(src.alias(sa), cond)
-                .groupBy(F.col(f"{ta}.__fp"), F.col(f"{ta}.__ri"))
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .where(F.col("__n") > 1)
-                .limit(1)
-                .count()
-            )
-            if dup:
-                raise MergeMultipleMatchesError(
-                    "MERGE: a target row is matched by more than one source "
-                    "row; deduplicate the source on the merge keys first"
-                )
 
         t_scope = self._read_files(snap, rewrite_scope).withColumn("__t_m", F.lit(1))
         joined = t_scope.alias(ta).join(src.alias(sa), cond, "full_outer")
