@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (batch twin `events_hourly_rollup` carries the oracle)
         "streaming_hourly_rollup": streaming_rollup,
         "streaming_sessionize": _streaming_sessionize,
+        "streaming_dedup": _streaming_dedup,
     }
 
 
@@ -389,6 +390,16 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_sessionize_once(
         spark, sf_dir, table_name=f"sessions_{uuid.uuid4().hex[:8]}"
+    )
+
+
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming exact dedup (rows-only: batch twin
+    is dedup_exact; on the unique-keyed fixture output == input)."""
+    from dagster_delta_spark.streaming import run_dedup_stream_once
+
+    return run_dedup_stream_once(
+        spark, sf_dir, table_name=f"dedup_{uuid.uuid4().hex[:8]}"
     )
 
 

@@ -1,1 +1,2 @@
+from .jsonl import read_jsonl, write_jsonl  # noqa: F401
 from .parquet import apply_parquet_read_options, scan  # noqa: F401

@@ -1,7 +1,9 @@
 from .events import (  # noqa: F401
+    dedup_stream,
     hourly_rollup_stream,
     read_events_stream,
     read_table_stream,
+    run_dedup_stream_once,
     run_hourly_rollup_once,
     run_sessionize_once,
     sessionize_stream,

@@ -15,18 +15,19 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1,
+    glob: str = "events.parquet",
 ) -> DataFrame:
     """File-source stream over the events parquet (each micro-batch
     consumes up to N files; at scale this is the auto-ingest pattern)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     # the streaming file source wants a directory; glob-filter to the
-    # events file inside the fixture dir
+    # events file(s) inside the fixture dir
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     if dict(df.dtypes).get("ts") == "bigint":
@@ -103,6 +104,33 @@ def run_sessionize_once(
         stream.writeStream.format("memory")
         .queryName(table_name)
         .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(table_name)
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on the event key with watermark-bounded
+    state (``dropDuplicatesWithinWatermark``): re-delivered events
+    inside the watermark are dropped, state is evicted past it — the
+    scale-safe streaming twin of ``operators.dedup.dedup_exact``
+    (unbounded ``dropDuplicates`` state would grow forever at 100 TB).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_dedup_stream_once(
+    spark: SparkSession, src_dir: str, table_name: str = "events_dedup"
+) -> DataFrame:
+    stream = dedup_stream(read_events_stream(spark, src_dir, 8))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
         .start()
     )
     q.processAllAvailable()

@@ -178,3 +178,52 @@ def test_stream_upsert_sink_replay_safe_without_checkpoint(spark, tmp_path):
     shutil.rmtree(uri + "/_stream_checkpoint")
     t2 = stream_upsert_into_table(spark, SF, uri)
     assert t2.read().count() == n
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same events delivered twice
+    (two files, two micro-batches) come out once."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.streaming.events import (
+        dedup_stream,
+        read_events_stream,
+    )
+
+    src = spark.read.parquet(f"{SF}/events.parquet").limit(200)
+    d = tmp_path / "dup"
+    d.mkdir()
+    src.coalesce(1).write.mode("overwrite").parquet(str(d / "b1"))
+    src.coalesce(1).write.mode("overwrite").parquet(str(d / "b2"))
+    # flatten both deliveries into one stream dir
+    import shutil
+
+    for i, sub in enumerate(("b1", "b2")):
+        f = next((d / sub).glob("*.parquet"))
+        shutil.copy(f, d / f"ev{i}.parquet")
+        shutil.rmtree(d / sub)
+
+    stream = dedup_stream(read_events_stream(spark, str(d), 1, glob="ev*.parquet"))
+    name = "dedup_t"
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table(name)
+    n_unique = src.select("event_id").distinct().count()
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    """documents -> JSONL shards -> schema-pinned read == original."""
+    from dagster_delta_spark.sources import read_jsonl, write_jsonl
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "corpus")
+    write_jsonl(docs.repartition(3), path)
+    back = read_jsonl(spark, path, schema=docs.schema)
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in docs.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b
