@@ -1090,7 +1090,13 @@ class DeltaSparkTable:
         cutoff = time.time() * 1000 - retention_ms
         deleted = []
         for dirpath, _dn, filenames in os.walk(self.table_uri):
-            if tablelog.LOG_DIR in dirpath or "_staging-" in dirpath:
+            rel_dir = os.path.relpath(dirpath, self.table_uri)
+            # Spark hidden-path convention: any _/.-prefixed component is
+            # auxiliary (log dir, staging, streaming checkpoints, state
+            # stores) — never vacuum inside those
+            if rel_dir != "." and any(
+                c.startswith(("_", ".")) for c in rel_dir.split(os.sep)
+            ):
                 continue
             for fn in filenames:
                 if not fn.endswith(".parquet"):

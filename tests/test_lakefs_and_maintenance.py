@@ -260,3 +260,23 @@ def test_inmemory_client_chunked_download(tmp_path):
     dest = tmp_path / "obj.bin"
     c.download_file("repo", "main", "obj.bin", str(dest), chunk_size_mb=1)
     assert dest.read_bytes() == payload
+
+
+def test_vacuum_spares_auxiliary_dirs(spark, tmp_table):
+    """Vacuum never touches _/.-prefixed dirs (log, staging, streaming
+    checkpoints, state stores) even for old unreferenced parquet."""
+    import os
+    import time
+
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(spark.range(5), WriteMode.error)
+    ckpt = os.path.join(tmp_table, "_stream_checkpoint", "state")
+    os.makedirs(ckpt)
+    aux = os.path.join(ckpt, "1.parquet")
+    with open(aux, "wb") as f:
+        f.write(b"not a real parquet")
+    old = time.time() - 100 * 24 * 3600
+    os.utime(aux, (old, old))
+    deleted = t.vacuum(retention_ms=0)
+    assert os.path.exists(aux)
+    assert all("_stream_checkpoint" not in p for p in deleted)
