@@ -26,6 +26,12 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
+        # size scan splits to the benchmark SF: the sf0.1 fact files are
+        # ~10 MB, so the default 128 MB split leaves one task scanning
+        # while 31 cores idle.  At production scale (multi-GB files) the
+        # default is correct — this is per-deployment sizing, not a hint.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")

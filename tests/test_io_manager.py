@@ -408,3 +408,62 @@ def test_self_dependent_partitioned_asset_e2e(spark, tmp_path):
     out = {(r["key"].isoformat(), r["a"]) for r in table.read().collect()}
     assert out == {("2023-01-02", "9"), ("2023-01-03", "2")}
     assert table.read().count() == 6
+
+
+def test_formatted_window_overwrite_replaces_every_covered_partition(
+    spark, tmp_path
+):
+    """A time window spanning several formatted string partitions must
+    replace ALL of them on overwrite (half-open range DNF) — emitting
+    only the window start would leave stale partitions alive next to
+    their replacements, silently duplicating data."""
+    from datetime import date, datetime
+
+    from dagster_delta_spark import TablePartitionDimension, TimeWindow
+
+    mgr = DeltaSparkIOManager(spark, str(tmp_path))
+    key = ["s", "days"]
+
+    def rows(day: str, v: int):
+        return spark.createDataFrame([(day, v)] * 2, "day_str string, v long")
+
+    def ctx(start: str, end: str) -> AssetContext:
+        return AssetContext(
+            asset_key=key,
+            partition_dimensions=[
+                TablePartitionDimension(
+                    "day_str",
+                    TimeWindow(
+                        datetime.fromisoformat(start),
+                        datetime.fromisoformat(end),
+                    ),
+                )
+            ],
+            date_formats={"day_str": "%Y-%m-%d"},
+        )
+
+    # three single-day partitions
+    for day in ("2024-03-01", "2024-03-02", "2024-03-03"):
+        nxt = date.fromisoformat(day).toordinal() + 1
+        mgr.handle_output(
+            ctx(day, date.fromordinal(nxt).isoformat()), rows(day, 1)
+        )
+    table = mgr.table_for(AssetContext(asset_key=key))
+    assert table.read().count() == 6
+
+    # one two-day window overwrite replaces BOTH covered days
+    mgr.handle_output(
+        ctx("2024-03-01", "2024-03-03"),
+        rows("2024-03-01", 9).union(rows("2024-03-02", 9)),
+    )
+    out = {(r["day_str"], r["v"]) for r in table.read().collect()}
+    assert out == {
+        ("2024-03-01", 9), ("2024-03-02", 9), ("2024-03-03", 1)
+    }
+    assert table.read().count() == 6
+
+    # the matching input read sees exactly the window
+    loaded = mgr.load_input(ctx("2024-03-01", "2024-03-03"))
+    assert {r["day_str"] for r in loaded.collect()} == {
+        "2024-03-01", "2024-03-02"
+    }
