@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_rollup": streaming_rollup,
         "streaming_sessionize": _streaming_sessionize,
         "streaming_dedup": _streaming_dedup,
+        "curate_corpus": _curate_corpus,
     }
 
 
@@ -390,6 +391,16 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_sessionize_once(
         spark, sf_dir, table_name=f"sessions_{uuid.uuid4().hex[:8]}"
+    )
+
+
+def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation pipeline (rows-only: every stage is individually
+    oracle-verified — lang_id, text_quality, dedup_exact)."""
+    from dagster_delta_spark.operators.pipeline import curate_corpus
+
+    return curate_corpus(
+        spark, sf_dir, _scratch("curate"), min_quality=0.3, min_tokens=3
     )
 
 

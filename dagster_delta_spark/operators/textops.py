@@ -19,6 +19,9 @@ from .relational import load
 
 # tokens as a Spark SQL expression (kept in sync with oracle SQL)
 TOKENS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+# whitespace-normalized lowercased text — the content identity used by
+# fingerprint() and the curation pipeline's exact-dedup stage
+NORM_TEXT = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
 
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "is", "to", "in"],
@@ -112,7 +115,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized
     lowercased text (content-defined identity for dedup joins)."""
     docs = load(spark, sf_dir, "documents")
-    norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+    norm = NORM_TEXT
     return docs.select(
         "doc_id",
         F.expr(f"md5({norm})").alias("fp"),

@@ -239,3 +239,41 @@ def test_jaccard_stop_shingle_prefilter_exact_below_cap(spark):
     }
     assert with_cap == without
     assert len(with_cap) > 0
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    """Curation pipeline: every kept doc satisfies the filters, content
+    duplicates collapse to the smallest doc_id, and the landed table
+    round-trips with lang partitioning."""
+    from dagster_delta_spark.operators.pipeline import (
+        curate_corpus,
+        curation_report,
+    )
+
+    uri = str(tmp_path / "clean")
+    curated = curate_corpus(
+        spark, SF, uri, langs=("en",), min_quality=0.3, min_tokens=3
+    )
+    rows = curated.collect()
+    assert len(rows) > 0
+    assert all(r["quality_score"] >= 0.3 and r["n_tokens"] >= 3 for r in rows)
+
+    # exact-dup groups collapse: no two kept docs share normalized text
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.operators.textops import NORM_TEXT
+
+    fps = curated.select(F.expr(f"md5({NORM_TEXT})").alias("fp"))
+    assert fps.count() == fps.distinct().count()
+
+    # landed table matches the returned frame and is lang-partitioned
+    from dagster_delta_spark import DeltaSparkTable
+
+    t = DeltaSparkTable(spark, uri)
+    assert t.read().count() == len(rows)
+    assert t.snapshot().partition_columns == ["lang"]
+
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    rep = curation_report(curated, total)
+    assert rep["docs_kept"] == len(rows) and 0 < rep["keep_rate"] <= 1
+    assert rep["total_tokens"] > 0
