@@ -281,12 +281,22 @@ def write_checkpoint(table_uri: str, snap: Snapshot) -> None:
     os.replace(tmp2, lp)
 
 
+_SNAPSHOT_CACHE: dict[tuple[str, int], Snapshot] = {}
+_SNAPSHOT_CACHE_MAX = 64
+
+
 def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
     """Replay the log (checkpoint + tail) into a Snapshot.
 
     ``version`` pins time travel (reference S3 contract:
     dd/dagster_delta/resource.py:48-77 — version=0 returns pre-append
     contents).
+
+    Snapshots are cached per (uri, version): version files are
+    immutable once committed (put-if-absent), so a cached replay can
+    never go stale — a new commit is a new version and misses the
+    cache.  ``latest_version`` still hits the filesystem every call,
+    so concurrent writers are observed immediately.
     """
     head = latest_version(table_uri)
     if head < 0:
@@ -294,6 +304,10 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
     target = head if version is None else version
     if target > head or target < 0:
         raise ValueError(f"version {target} out of range [0, {head}]")
+
+    cached = _SNAPSHOT_CACHE.get((table_uri, target))
+    if cached is not None:
+        return cached
 
     start = 0
     metadata: Optional[Metadata] = None
@@ -323,7 +337,12 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
 
     if metadata is None:
         raise TableNotFoundError(f"no metaData action found for {table_uri}")
-    return Snapshot(version=target, metadata=metadata, files=list(files.values()), timestamp=ts)
+    snap = Snapshot(version=target, metadata=metadata,
+                    files=list(files.values()), timestamp=ts)
+    if len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
+        _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
+    _SNAPSHOT_CACHE[(table_uri, target)] = snap
+    return snap
 
 
 def commit(
@@ -350,8 +369,12 @@ def commit(
         raise VersionConflictError(
             f"version {version} of {table_uri} was committed concurrently"
         ) from None
-    if snapshot_after is not None and version > 0 and version % CHECKPOINT_INTERVAL == 0:
-        write_checkpoint(table_uri, snapshot_after)
+    if snapshot_after is not None:
+        if len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
+            _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
+        _SNAPSHOT_CACHE[(table_uri, version)] = snapshot_after
+        if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+            write_checkpoint(table_uri, snapshot_after)
 
 
 def history(table_uri: str, limit: Optional[int] = None) -> list[dict[str, Any]]:
