@@ -201,20 +201,23 @@ def minhash_lsh_near_dups(
         .distinct()
     )
     # exact verification restricted to candidate docs: semi-filter the
-    # shingle stream to candidates (broadcast — candidates are small),
-    # count common shingles per candidate pair
+    # shingle stream to candidate ids, count common shingles per
+    # candidate pair.  No broadcast hints — candidate cardinality grows
+    # with the corpus (unlike the fixed-size query/centroid sets in
+    # similarity.py), so AQE picks broadcast only while the sets
+    # actually fit
     sizes = _shingle_sizes(stream)
     docs_a = candidates.select(F.col("doc_a").alias("doc_id")).distinct()
     docs_b = candidates.select(F.col("doc_b").alias("doc_id")).distinct()
-    exa = stream.join(F.broadcast(docs_a), "doc_id").select(
+    exa = stream.join(docs_a, "doc_id").select(
         F.col("doc_id").alias("doc_a"), "sh"
     )
-    exb = stream.join(F.broadcast(docs_b), "doc_id").select(
+    exb = stream.join(docs_b, "doc_id").select(
         F.col("doc_id").alias("doc_b"), "sh"
     )
     inter = (
         exa.join(exb, "sh")
-        .join(F.broadcast(candidates), ["doc_a", "doc_b"])
+        .join(candidates, ["doc_a", "doc_b"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
