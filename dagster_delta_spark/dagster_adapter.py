@@ -86,11 +86,26 @@ def extract_date_formats(context: Any) -> Optional[dict[str, str]]:
         return None
     out: dict[str, str] = {}
     if hasattr(pdef, "fmt"):
+        if not isinstance(expr, str):
+            raise ValueError(
+                "partition_expr must be a single column name (string) for "
+                f"a time-window partitions definition; got {type(expr).__name__}"
+            )
         out[expr] = pdef.fmt
     elif hasattr(pdef, "partitions_defs"):
+        if not isinstance(expr, dict):
+            raise ValueError(
+                "partition_expr must map dimension names to columns (dict) "
+                f"for a multi-partitions definition; got {type(expr).__name__}"
+            )
         for dim in pdef.partitions_defs:
             inner = getattr(dim, "partitions_def", None)
             if inner is not None and hasattr(inner, "fmt"):
+                if dim.name not in expr:
+                    raise ValueError(
+                        f"partition_expr is missing dimension {dim.name!r}; "
+                        f"has {sorted(expr)}"
+                    )
                 out[expr[dim.name]] = inner.fmt
     return out or None
 

@@ -90,7 +90,7 @@ def partition_dimensions_to_dnf(
             conj = _time_window_partition_dnf(dim, dtype, input_dnf=input_dnf)
             parts.extend(conj if isinstance(conj, list) else [conj])
         elif isinstance(dtype, StringType) or _is_integer(dtype):
-            conj = _value_dnf(dim, dtype, fmt)
+            conj = _value_dnf(dim, dtype, fmt, input_dnf=input_dnf)
             parts.extend(conj if isinstance(conj, list) else [conj])
         else:
             raise ValueError(
@@ -108,20 +108,44 @@ def _windows_of(dim: TablePartitionDimension) -> list[TimeWindow]:
     return [w for w in p if isinstance(w, TimeWindow)]  # type: ignore[union-attr]
 
 
+def _require_contiguous(dim: TablePartitionDimension,
+                        windows: Sequence[TimeWindow]) -> None:
+    """An overwrite scoped by windows with a GAP would delete the gap's
+    partitions while the incoming data only covers the windows — silent
+    data loss.  (The reference collapses to [min, max) unconditionally,
+    handler.py:425-432/453-461; this guard is a deliberate safety
+    divergence on the write path only.)"""
+    spans = sorted((_strip_tz(w.start), _strip_tz(w.end)) for w in windows)
+    for (_, e1), (s2, _) in zip(spans, spans[1:]):
+        if s2 > e1:
+            raise ValueError(
+                f"overwrite scope for {dim.partition_expr!r} spans "
+                f"non-contiguous time windows (gap between {e1} and {s2}); "
+                "materialize each contiguous range separately"
+            )
+
+
 def _time_window_partition_dnf(
     dim: TablePartitionDimension,
     dtype: DataType,
     *,
     input_dnf: bool,
 ) -> Union[DnfFilter, list[DnfFilter]]:
-    """TimeWindow(s) -> DNF (reference P2, handler.py:442-480).
+    """TimeWindow(s) -> half-open range DNF (reference P2,
+    handler.py:442-480).
 
-    Multiple windows collapse to ``[min(start), max(end))``; write path
-    emits ``(col, "=", start)``; read path the half-open range.
-    """
+    Multiple windows collapse to ``[min(start), max(end))``.  Both
+    paths emit the half-open range: the reference's write path pins
+    ``(col, "=", start)`` (handler.py:479-480), which under-deletes any
+    window spanning more than one partition value — a multi-day
+    overwrite would leave stale partitions alive next to their
+    replacements.  Write-path collapse additionally requires the
+    windows to be contiguous (see _require_contiguous)."""
     windows = _windows_of(dim)
     if not windows:
         raise ValueError(f"no time windows for partition {dim.partition_expr!r}")
+    if not input_dnf:
+        _require_contiguous(dim, windows)
     start = _strip_tz(min(w.start for w in windows))
     end = _strip_tz(max(w.end for w in windows))
     if isinstance(dtype, DateType):
@@ -129,15 +153,15 @@ def _time_window_partition_dnf(
         end_v: Any = end.date()
     else:
         start_v, end_v = start, end
-    if input_dnf:
-        return [(dim.partition_expr, ">=", start_v), (dim.partition_expr, "<", end_v)]
-    return (dim.partition_expr, "=", start_v)
+    return [(dim.partition_expr, ">=", start_v), (dim.partition_expr, "<", end_v)]
 
 
 def _value_dnf(
     dim: TablePartitionDimension,
     dtype: DataType,
     fmt: Optional[str],
+    *,
+    input_dnf: bool = True,
 ) -> Union[DnfFilter, list[DnfFilter]]:
     """Static keys -> ``in``/``=`` DNF; formatted time windows -> the
     half-open range (reference P3, handler.py:397-439).
@@ -158,6 +182,8 @@ def _value_dnf(
                 f"{dim.partition_expr!r} (required to compile a TimeWindow "
                 "against a string/integer column)"
             )
+        if not input_dnf:
+            _require_contiguous(dim, windows)
         start: Any = _strip_tz(min(w.start for w in windows)).strftime(fmt)
         end: Any = _strip_tz(max(w.end for w in windows)).strftime(fmt)
         if _is_integer(dtype):

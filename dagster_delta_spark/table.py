@@ -718,31 +718,39 @@ class DeltaSparkTable:
 
         if candidates:
             # ONE discovery join yields both products: the touched-file
-            # set AND the delta-rs cardinality check (a target row
-            # matched by >1 source row must raise, not silently
-            # duplicate).  Matches group on the deterministic
-            # (file, row-index) target identity, then collapse to one
-            # row per file carrying that file's max match count —
-            # driver traffic stays bounded by file count, streamed
+            # set AND (for update modes) the delta-rs cardinality check
+            # (a target row matched by >1 source row must raise, not
+            # silently duplicate).  Keys are FULL file paths — a
+            # partitioned write names files identically across partition
+            # dirs, so basenames collide and would both mis-scope the
+            # rewrite and false-trigger the cardinality error.  Driver
+            # traffic stays bounded by file count, streamed
             # partition-by-partition.
             tgt = self._read_files(snap, candidates).select(
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-                .alias("__file"),
+                F.col("_metadata.file_path").alias("__path"),
                 F.col("_metadata.row_index").alias("__ri"),
                 "*",
             )
-            per_file = (
-                tgt.alias(ta)
-                .join(src.alias(sa), cond)
-                .groupBy(F.col(f"{ta}.__file"), F.col(f"{ta}.__ri"))
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .groupBy("__file")
-                .agg(F.max("__n").alias("__max_n"))
-            )
-            touched = set()
+            matches = tgt.alias(ta).join(src.alias(sa), cond)
+            if needs_update:
+                per_file = (
+                    matches.groupBy(F.col(f"{ta}.__path"), F.col(f"{ta}.__ri"))
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .groupBy("__path")
+                    .agg(F.max("__n").alias("__max_n"))
+                )
+            else:
+                # insert-only merges discard the cardinality count —
+                # skip its extra aggregation level
+                per_file = (
+                    matches.select(F.col(f"{ta}.__path").alias("__path"))
+                    .distinct()
+                    .withColumn("__max_n", F.lit(1))
+                )
+            touched_paths = set()
             max_matches = 0
             for r in per_file.toLocalIterator():
-                touched.add(r["__file"])
+                touched_paths.add(r["__path"])
                 max_matches = max(max_matches, r["__max_n"])
             if needs_update and max_matches > 1:
                 raise MergeMultipleMatchesError(
@@ -752,9 +760,22 @@ class DeltaSparkTable:
         else:
             # empty target (or fully-pruned): nothing to touch; merge
             # degenerates to the insert branches
-            touched = set()
-        by_basename = {os.path.basename(a.path): a for a in candidates}
-        touched_adds = [by_basename[b] for b in touched if b in by_basename]
+            touched_paths = set()
+        # _metadata.file_path is a URI (file:/...); normalize both sides
+        # to absolute filesystem paths for an exact match
+        from urllib.parse import unquote as _unquote
+        from urllib.parse import urlparse as _urlparse
+
+        abs_by_path = {
+            os.path.abspath(os.path.join(self.table_uri, a.path)): a
+            for a in candidates
+        }
+        touched_adds = []
+        for p in touched_paths:
+            norm = os.path.abspath(_unquote(_urlparse(p).path))
+            add = abs_by_path.get(norm)
+            if add is not None:
+                touched_adds.append(add)
 
         # rows that participate in the rewrite join: touched files only
         # (for M4 all candidate files are rewritten/deleted)
@@ -964,32 +985,57 @@ class DeltaSparkTable:
         adds: list[AddFile],
         operation: str,
     ) -> dict[str, Any]:
+        """Commit a compaction/clustering rewrite.
+
+        The post-commit file set is derived from the CURRENT head
+        snapshot (re-read inside the retry loop), not the snapshot the
+        rewrite planned against — a concurrent append between planning
+        and commit must survive in the published snapshot.  If any file
+        this rewrite replaces was itself removed concurrently, the
+        rewrite aborts (its output would resurrect deleted rows)."""
         now = int(time.time() * 1000)
-        head = tablelog.latest_version(self.table_uri)
-        actions: list[dict[str, Any]] = [
-            CommitInfo(
-                operation=operation,
-                operation_metrics={
-                    "num_added_files": len(adds),
-                    "num_removed_files": len(removes),
-                },
-            ).to_action(),
-        ]
-        actions += [a.to_action() for a in adds]
-        actions += [
-            {"remove": {"path": r.path, "deletionTimestamp": now}} for r in removes
-        ]
-        new_files = {a.path: a for a in snap.files}
-        for r in removes:
-            new_files.pop(r.path, None)
-        for a in adds:
-            new_files[a.path] = a
-        v = head + 1
-        tablelog.commit(
-            self.table_uri, v, actions,
-            Snapshot(v, snap.metadata, list(new_files.values()), now),
-        )
-        return {"rewritten_files": len(removes), "version": v}
+        remove_paths = {r.path for r in removes}
+        for attempt in range(_COMMIT_RETRIES + 1):
+            head = tablelog.latest_version(self.table_uri)
+            cur = tablelog.load_snapshot(self.table_uri)
+            missing = remove_paths - {a.path for a in cur.files}
+            if missing:
+                raise ConcurrentDeleteError(
+                    f"{operation}: {len(missing)} file(s) this rewrite "
+                    f"replaces were removed concurrently "
+                    f"(e.g. {sorted(missing)[0]})"
+                )
+            actions: list[dict[str, Any]] = [
+                CommitInfo(
+                    operation=operation,
+                    operation_metrics={
+                        "num_added_files": len(adds),
+                        "num_removed_files": len(removes),
+                    },
+                ).to_action(),
+            ]
+            actions += [a.to_action() for a in adds]
+            actions += [
+                {"remove": {"path": r.path, "deletionTimestamp": now}}
+                for r in removes
+            ]
+            new_files = {a.path: a for a in cur.files}
+            for r in removes:
+                new_files.pop(r.path, None)
+            for a in adds:
+                new_files[a.path] = a
+            v = head + 1
+            try:
+                tablelog.commit(
+                    self.table_uri, v, actions,
+                    Snapshot(v, cur.metadata, list(new_files.values()), now),
+                )
+                return {"rewritten_files": len(removes), "version": v}
+            except VersionConflictError:
+                if attempt >= _COMMIT_RETRIES:
+                    raise
+                time.sleep(_COMMIT_BACKOFF_BASE * (2**attempt) + _jitter())
+        raise AssertionError("unreachable")
 
     def zorder(
         self,
@@ -1093,9 +1139,12 @@ class DeltaSparkTable:
             rel_dir = os.path.relpath(dirpath, self.table_uri)
             # Spark hidden-path convention: any _/.-prefixed component is
             # auxiliary (log dir, staging, streaming checkpoints, state
-            # stores) — never vacuum inside those
+            # stores) — never vacuum inside those.  Hive partition dirs
+            # always contain '=', so a partition COLUMN named '_x'
+            # ('_x=v/') is still vacuumed.
             if rel_dir != "." and any(
-                c.startswith(("_", ".")) for c in rel_dir.split(os.sep)
+                c.startswith(("_", ".")) and "=" not in c
+                for c in rel_dir.split(os.sep)
             ):
                 continue
             for fn in filenames:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -281,8 +282,45 @@ def write_checkpoint(table_uri: str, snap: Snapshot) -> None:
     os.replace(tmp2, lp)
 
 
-_SNAPSHOT_CACHE: dict[tuple[str, int], Snapshot] = {}
+# (uri, version) -> (version-file stat fingerprint, snapshot).  The
+# fingerprint guards against a table deleted and recreated at the same
+# URI: the new version file has a different (mtime_ns, size), so the
+# stale snapshot misses.  Guarded by a lock — concurrent assets in one
+# process share this dict.
+_SNAPSHOT_CACHE: dict[tuple[str, int], tuple[tuple[int, int], Snapshot]] = {}
 _SNAPSHOT_CACHE_MAX = 64
+_SNAPSHOT_CACHE_LOCK = threading.Lock()
+
+
+def _version_fingerprint(table_uri: str, version: int) -> Optional[tuple[int, int]]:
+    try:
+        st = os.stat(_version_path(table_uri, version))
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _cache_put(table_uri: str, version: int, snap: Snapshot) -> None:
+    fp = _version_fingerprint(table_uri, version)
+    if fp is None:
+        return
+    with _SNAPSHOT_CACHE_LOCK:
+        if len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
+            _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
+        _SNAPSHOT_CACHE[(table_uri, version)] = (fp, snap)
+
+
+def _cache_get(table_uri: str, version: int) -> Optional[Snapshot]:
+    with _SNAPSHOT_CACHE_LOCK:
+        hit = _SNAPSHOT_CACHE.get((table_uri, version))
+    if hit is None:
+        return None
+    fp, snap = hit
+    if fp != _version_fingerprint(table_uri, version):
+        with _SNAPSHOT_CACHE_LOCK:
+            _SNAPSHOT_CACHE.pop((table_uri, version), None)
+        return None
+    return snap
 
 
 def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
@@ -305,7 +343,7 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
     if target > head or target < 0:
         raise ValueError(f"version {target} out of range [0, {head}]")
 
-    cached = _SNAPSHOT_CACHE.get((table_uri, target))
+    cached = _cache_get(table_uri, target)
     if cached is not None:
         return cached
 
@@ -339,9 +377,7 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
         raise TableNotFoundError(f"no metaData action found for {table_uri}")
     snap = Snapshot(version=target, metadata=metadata,
                     files=list(files.values()), timestamp=ts)
-    if len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
-        _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
-    _SNAPSHOT_CACHE[(table_uri, target)] = snap
+    _cache_put(table_uri, target, snap)
     return snap
 
 
@@ -370,9 +406,7 @@ def commit(
             f"version {version} of {table_uri} was committed concurrently"
         ) from None
     if snapshot_after is not None:
-        if len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
-            _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
-        _SNAPSHOT_CACHE[(table_uri, version)] = snapshot_after
+        _cache_put(table_uri, version, snapshot_after)
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
             write_checkpoint(table_uri, snapshot_after)
 

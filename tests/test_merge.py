@@ -148,3 +148,26 @@ def test_merge_type_values_match_reference_enum():
     assert MergeType("replace_and_delete_unmatched") is MergeType.replace_delete_unmatched
     assert MergeType("replace_delete_unmatched") is MergeType.replace_delete_unmatched
     assert MergeType("upsert") is MergeType.upsert
+
+
+def test_merge_on_partitioned_target_with_colliding_basenames(spark, tmp_table):
+    """Partitioned writes name files identically across partition dirs;
+    merge must key discovery on full paths or it mis-scopes the rewrite
+    and false-triggers the cardinality error."""
+    from pyspark.sql import functions as F
+
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "b", 40)],
+        "k bigint, p string, v bigint",
+    ).coalesce(1)  # one task -> same basename in both partition dirs
+    t.write(df, WriteMode.error, partition_columns=["p"])
+    names = {p.split("/")[-1] for p in (a.path for a in t.snapshot().files)}
+    assert len(names) < len(t.snapshot().files), "fixture should collide"
+
+    src = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 200)], "k bigint, p string, v bigint"
+    )
+    t.merge(src, MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
+    out = sorted((r.k, r.p, r.v) for r in t.read().collect())
+    assert out == [(1, "a", 100), (2, "b", 200), (3, "a", 30), (4, "b", 40)]

@@ -46,7 +46,12 @@ def test_daily_partition_overwrite(spark, tmp_table):
         "time", TimeWindow(datetime(2022, 1, 1), datetime(2022, 1, 2))
     )]
     dnf = partition_dimensions_to_dnf(dims, t.schema(), input_dnf=False)
-    assert dnf == [("time", "=", date(2022, 1, 1))]
+    # half-open range on the write path too — '=' start (the reference
+    # shape) under-deletes windows spanning several partition values
+    assert dnf == [
+        ("time", ">=", date(2022, 1, 1)),
+        ("time", "<", date(2022, 1, 2)),
+    ]
 
     redo = spark.createDataFrame(
         [(date(2022, 1, 1), "run2", i) for i in range(3)],
@@ -167,3 +172,51 @@ def test_partition_type_whitelist(spark):
         partition_dimensions_to_dnf(
             [TablePartitionDimension("missing", ["x"])], schema
         )
+
+
+def test_multi_day_window_overwrite_replaces_all_covered_dates(spark, tmp_table):
+    """A window spanning two date partitions replaces both on overwrite
+    (the '='-start shape would leave day 2's stale rows alive)."""
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.createDataFrame(
+        [(date(2022, 1, d), "old", i) for d in (1, 2, 3) for i in range(2)],
+        "time date, a string, b bigint",
+    )
+    t.write(df, WriteMode.overwrite, partition_columns=["time"])
+    dims = [TablePartitionDimension(
+        "time", TimeWindow(datetime(2022, 1, 1), datetime(2022, 1, 3))
+    )]
+    dnf = partition_dimensions_to_dnf(dims, t.schema(), input_dnf=False)
+    redo = spark.createDataFrame(
+        [(date(2022, 1, d), "new", i) for d in (1, 2) for i in range(2)],
+        "time date, a string, b bigint",
+    )
+    t.write(redo, WriteMode.overwrite, partition_dnf=dnf)
+    out = {(r["time"].isoformat(), r["a"]) for r in t.read().collect()}
+    assert out == {("2022-01-01", "new"), ("2022-01-02", "new"),
+                   ("2022-01-03", "old")}
+    assert t.read().count() == 6
+
+
+def test_non_contiguous_window_overwrite_raises(spark, tmp_table):
+    """Gapped windows on the write path raise instead of deleting the
+    gap's partitions (safety divergence from the reference collapse)."""
+    import pytest
+
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.createDataFrame(
+        [(date(2022, 1, d), "x", 1) for d in (1, 5)],
+        "time date, a string, b bigint",
+    )
+    t.write(df, WriteMode.overwrite, partition_columns=["time"])
+    dims = [TablePartitionDimension(
+        "time",
+        [TimeWindow(datetime(2022, 1, 1), datetime(2022, 1, 2)),
+         TimeWindow(datetime(2022, 1, 5), datetime(2022, 1, 6))],
+    )]
+    with pytest.raises(ValueError, match="non-contiguous"):
+        partition_dimensions_to_dnf(dims, t.schema(), input_dnf=False)
+    # the read path still collapses (reference behavior)
+    dnf = partition_dimensions_to_dnf(dims, t.schema(), input_dnf=True)
+    assert dnf == [("time", ">=", date(2022, 1, 1)),
+                   ("time", "<", date(2022, 1, 6))]

