@@ -72,10 +72,21 @@ def curate_corpus(
     )
 
     if near_dedup:
-        keep_flags = dedup.minhash_cluster_keep(spark, sf_dir).where(
-            F.col("keep")
-        ).select("doc_id")
-        curated = curated.join(keep_flags, "doc_id")
+        # keepers are recomputed among FILTER SURVIVORS: the global
+        # keep flag points at each cluster's overall representative,
+        # which the lang/quality filter may have removed — joining on
+        # it would drop the whole cluster instead of keeping its best
+        # surviving member
+        clusters = dedup.minhash_cluster_keep(spark, sf_dir).select(
+            "doc_id", "cluster_id"
+        )
+        clustered = curated.join(clusters, "doc_id")
+        survivors = clustered.groupBy("cluster_id").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        curated = clustered.join(survivors.select("doc_id"), "doc_id").drop(
+            "cluster_id"
+        )
 
     if table_uri is not None:
         from ..config import WriteMode

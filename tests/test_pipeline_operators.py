@@ -277,3 +277,33 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     rep = curation_report(curated, total)
     assert rep["docs_kept"] == len(rows) and 0 < rep["keep_rate"] <= 1
     assert rep["total_tokens"] > 0
+
+
+def test_curate_near_dedup_keeps_surviving_cluster_member(spark, tmp_path):
+    """A near-dup cluster whose global representative fails the quality
+    filter still keeps its best surviving member."""
+    import pandas as pd
+
+    from dagster_delta_spark.operators.pipeline import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks to the old market in the town square every day") * 2
+    rows = pd.DataFrame({
+        # doc 1: junk twin (low quality) is the cluster's min doc_id;
+        # doc 2: high-quality twin must survive near-dedup
+        "doc_id": [1, 2, 3],
+        "text": ["!!!", good, good + " extra tail words here"],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+    })
+    d = tmp_path / "mini"
+    d.mkdir()
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    out = curate_corpus(
+        spark, str(d), min_quality=0.2, min_tokens=5, near_dedup=True
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 1 not in kept  # filtered by quality
+    assert kept & {2, 3}, "cluster must keep a surviving member"
