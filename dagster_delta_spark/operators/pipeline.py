@@ -80,7 +80,10 @@ def curate_corpus(
         clusters = dedup.minhash_cluster_keep(spark, sf_dir).select(
             "doc_id", "cluster_id"
         )
-        clustered = curated.join(clusters, "doc_id")
+        # clustered feeds two plan branches (survivor agg + final join);
+        # localCheckpoint materializes the expensive curation+clustering
+        # subtree once instead of twice
+        clustered = curated.join(clusters, "doc_id").localCheckpoint()
         survivors = clustered.groupBy("cluster_id").agg(
             F.min("doc_id").alias("doc_id")
         )

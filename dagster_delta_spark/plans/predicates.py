@@ -70,11 +70,12 @@ def partition_dimensions_to_dnf(
     """Partition dimensions -> DNF conjunction (reference P1,
     handler.py:350-394).
 
-    ``input_dnf=True`` gives read/range semantics for time windows
-    (half-open ``[start, end)``); the write path pins a single
-    partition value per window start.  Validates the partition column
-    exists and has an allowed type (timestamp/date/string/integer
-    only — reference handler.py:366-392).
+    Time windows compile to the half-open range ``[start, end)`` on
+    BOTH paths (the reference's write path pins '=' start, which
+    under-deletes multi-value windows — documented divergence); the
+    write path additionally rejects non-contiguous window sets.
+    Validates the partition column exists and has an allowed type
+    (timestamp/date/string/integer only — reference handler.py:366-392).
     """
     parts: list[DnfFilter] = []
     fields = {f.name: f.dataType for f in schema.fields}
@@ -116,13 +117,17 @@ def _require_contiguous(dim: TablePartitionDimension,
     handler.py:425-432/453-461; this guard is a deliberate safety
     divergence on the write path only.)"""
     spans = sorted((_strip_tz(w.start), _strip_tz(w.end)) for w in windows)
-    for (_, e1), (s2, _) in zip(spans, spans[1:]):
-        if s2 > e1:
+    covered_to = spans[0][1]
+    for s, e in spans[1:]:
+        # track the running max end: an earlier window may engulf later
+        # ones, so pairwise next-start vs previous-end is too strict
+        if s > covered_to:
             raise ValueError(
                 f"overwrite scope for {dim.partition_expr!r} spans "
-                f"non-contiguous time windows (gap between {e1} and {s2}); "
-                "materialize each contiguous range separately"
+                f"non-contiguous time windows (gap between {covered_to} "
+                f"and {s}); materialize each contiguous range separately"
             )
+        covered_to = max(covered_to, e)
 
 
 def _time_window_partition_dnf(

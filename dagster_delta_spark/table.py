@@ -763,7 +763,6 @@ class DeltaSparkTable:
             touched_paths = set()
         # _metadata.file_path is a URI (file:/...); normalize both sides
         # to absolute filesystem paths for an exact match
-        from urllib.parse import unquote as _unquote
         from urllib.parse import urlparse as _urlparse
 
         abs_by_path = {
@@ -772,10 +771,18 @@ class DeltaSparkTable:
         }
         touched_adds = []
         for p in touched_paths:
-            norm = os.path.abspath(_unquote(_urlparse(p).path))
+            norm = os.path.abspath(unquote(_urlparse(p).path))
             add = abs_by_path.get(norm)
-            if add is not None:
-                touched_adds.append(add)
+            if add is None:
+                # every touched path is by construction a candidate, so
+                # a miss means the normalization broke (e.g. non-local
+                # URI scheme) — failing loudly beats silently skipping
+                # the rewrite and duplicating every matched row
+                raise AssertionError(
+                    f"merge: touched file {p!r} did not map back to a "
+                    "candidate AddFile (path normalization mismatch)"
+                )
+            touched_adds.append(add)
 
         # rows that participate in the rewrite join: touched files only
         # (for M4 all candidate files are rewritten/deleted)

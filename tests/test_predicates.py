@@ -182,3 +182,19 @@ def test_empty_windows_raise():
         partition_dimensions_to_dnf(
             [TablePartitionDimension("timestamp_col", [])], SCHEMA
         )
+
+
+def test_engulfing_windows_are_contiguous():
+    """A window covering later ones must not be rejected as gapped
+    (running-max-end coverage, not pairwise adjacency)."""
+    dims = [TablePartitionDimension(
+        "timestamp_col",
+        [TimeWindow(datetime(2020, 1, 1), datetime(2020, 1, 10)),
+         TimeWindow(datetime(2020, 1, 2), datetime(2020, 1, 3)),
+         TimeWindow(datetime(2020, 1, 4), datetime(2020, 1, 5))],
+    )]
+    dnf = partition_dimensions_to_dnf(dims, SCHEMA, input_dnf=False)
+    assert dnf == [
+        ("timestamp_col", ">=", datetime(2020, 1, 1)),
+        ("timestamp_col", "<", datetime(2020, 1, 10)),
+    ]
