@@ -94,3 +94,71 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 (r["k"], r["v"]) for r in t.read(version=version).collect()
             )
             assert got == want, f"trial {trial} version {version}"
+
+
+# -- predicate-compiler properties (hypothesis) ------------------------------
+
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dagster_delta_spark import TablePartitionDimension, TimeWindow
+from dagster_delta_spark.plans.predicates import partition_dimensions_to_dnf
+from pyspark.sql.types import StructField, StructType, TimestampType
+
+_TS_SCHEMA = StructType([StructField("ts", TimestampType())])
+_EPOCH = datetime(2020, 1, 1)
+
+
+def _windows(spans):
+    return [
+        TimeWindow(_EPOCH + timedelta(days=s), _EPOCH + timedelta(days=e))
+        for s, e in spans
+    ]
+
+
+@st.composite
+def _span_lists(draw):
+    n = draw(st.integers(1, 6))
+    out = []
+    for _ in range(n):
+        s = draw(st.integers(0, 30))
+        e = draw(st.integers(s + 1, s + 10))
+        out.append((s, e))
+    return out
+
+
+@given(_span_lists())
+@settings(max_examples=200, deadline=None)
+def test_read_range_covers_every_window(spans):
+    """Input DNF is always [min(start), max(end)) over the windows."""
+    dnf = partition_dimensions_to_dnf(
+        [TablePartitionDimension("ts", _windows(spans))],
+        _TS_SCHEMA, input_dnf=True,
+    )
+    lo = _EPOCH + timedelta(days=min(s for s, _ in spans))
+    hi = _EPOCH + timedelta(days=max(e for _, e in spans))
+    assert dnf == [("ts", ">=", lo), ("ts", "<", hi)]
+
+
+@given(_span_lists())
+@settings(max_examples=200, deadline=None)
+def test_write_scope_raises_iff_union_has_gap(spans):
+    """The write path rejects exactly the window sets whose union is
+    not one contiguous interval (an overwrite scoped past a gap would
+    delete the gap's partitions)."""
+    days = set()
+    for s, e in spans:
+        days.update(range(s, e))
+    union_contiguous = days == set(range(min(days), max(days) + 1))
+    dims = [TablePartitionDimension("ts", _windows(spans))]
+    if union_contiguous:
+        dnf = partition_dimensions_to_dnf(dims, _TS_SCHEMA, input_dnf=False)
+        assert dnf[0][1] == ">=" and dnf[1][1] == "<"
+    else:
+        import pytest
+
+        with pytest.raises(ValueError, match="non-contiguous"):
+            partition_dimensions_to_dnf(dims, _TS_SCHEMA, input_dnf=False)
