@@ -98,12 +98,19 @@ def lsh_signatures(
 
 def lsh_ann_topk(
     spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
-    planes: int = 6, tables: int = 4,
+    planes: int = 6, tables: int = 4, multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share any of the query's
     per-table hyperplane buckets; exact cosine re-ranks candidates.
     At scale the bucket join replaces the full cross product — recall
-    traded via planes/tables."""
+    traded via planes/tables.
+
+    ``multiprobe=1`` additionally probes every bucket one bit-flip away
+    from the query's (a vector near a hyperplane lands on either side,
+    so the nearest neighbors concentrate in Hamming-adjacent buckets).
+    Only the QUERY side fans out (x ``1+planes`` probes per table); the
+    corpus index is untouched, so recall rises without extra tables or
+    index memory — the classic multi-probe LSH trade."""
     from pyspark.sql.window import Window
 
     sigs = _with_norm(lsh_signatures(spark, sf_dir, planes, tables))
@@ -111,12 +118,28 @@ def lsh_ann_topk(
         "vec_id", "embedding", "norm",
         F.posexplode("buckets").alias("t_idx", "bucket"),
     )
-    queries = flat.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-        F.col("t_idx").alias("q_t_idx"),
-        F.col("bucket").alias("q_bucket"),
+    if multiprobe >= 1:
+        probe_expr = (
+            "array(q_bucket0, "
+            + ", ".join(
+                f"CAST(q_bucket0 ^ shiftleft(1L, {j}) AS LONG)"
+                for j in range(planes)
+            )
+            + ")"
+        )
+    else:
+        probe_expr = "array(q_bucket0)"
+    queries = (
+        flat.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.col("t_idx").alias("q_t_idx"),
+            F.col("bucket").alias("q_bucket0"),
+        )
+        .withColumn("q_bucket", F.explode(F.expr(probe_expr)))
+        .drop("q_bucket0")
     )
     candidates = (
         flat.join(
