@@ -81,9 +81,11 @@ def curate_corpus(
             "doc_id", "cluster_id"
         )
         # clustered feeds two plan branches (survivor agg + final join);
-        # localCheckpoint materializes the expensive curation+clustering
-        # subtree once instead of twice
-        clustered = curated.join(clusters, "doc_id").localCheckpoint()
+        # a lazy localCheckpoint materializes the expensive
+        # curation+clustering subtree once instead of twice, runs only
+        # when the caller actually consumes the result, and its blocks
+        # free when the frame is garbage-collected
+        clustered = curated.join(clusters, "doc_id").localCheckpoint(eager=False)
         survivors = clustered.groupBy("cluster_id").agg(
             F.min("doc_id").alias("doc_id")
         )

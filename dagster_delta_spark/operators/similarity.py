@@ -105,12 +105,16 @@ def lsh_ann_topk(
     At scale the bucket join replaces the full cross product — recall
     traded via planes/tables.
 
-    ``multiprobe=1`` additionally probes every bucket one bit-flip away
-    from the query's (a vector near a hyperplane lands on either side,
-    so the nearest neighbors concentrate in Hamming-adjacent buckets).
-    Only the QUERY side fans out (x ``1+planes`` probes per table); the
-    corpus index is untouched, so recall rises without extra tables or
-    index memory — the classic multi-probe LSH trade."""
+    ``multiprobe=r`` additionally probes every bucket within Hamming
+    distance ``r`` of the query's (a vector near a hyperplane lands on
+    either side, so the nearest neighbors concentrate in
+    Hamming-adjacent buckets).  Only the QUERY side fans out
+    (``sum_{i<=r} C(planes, i)`` probes per table); the corpus index is
+    untouched, so recall rises without extra tables or index memory —
+    the classic multi-probe LSH trade.  ``multiprobe=0`` probes the
+    exact bucket only."""
+    from itertools import combinations
+
     from pyspark.sql.window import Window
 
     sigs = _with_norm(lsh_signatures(spark, sf_dir, planes, tables))
@@ -118,17 +122,14 @@ def lsh_ann_topk(
         "vec_id", "embedding", "norm",
         F.posexplode("buckets").alias("t_idx", "bucket"),
     )
-    if multiprobe >= 1:
-        probe_expr = (
-            "array(q_bucket0, "
-            + ", ".join(
-                f"CAST(q_bucket0 ^ shiftleft(1L, {j}) AS LONG)"
-                for j in range(planes)
-            )
-            + ")"
-        )
-    else:
-        probe_expr = "array(q_bucket0)"
+    masks = [0]
+    for r in range(1, min(multiprobe, planes) + 1):
+        for bits in combinations(range(planes), r):
+            masks.append(sum(1 << b for b in bits))
+    probe_expr = "array(" + ", ".join(
+        f"CAST(q_bucket0 ^ {m}L AS LONG)" if m else "q_bucket0"
+        for m in masks
+    ) + ")"
     queries = (
         flat.where(F.col("vec_id") < n_queries)
         .select(

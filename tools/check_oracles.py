@@ -56,15 +56,15 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     # registry invariant: the driver records only the FIRST 50 entries
-    # (observed round 1), so every oracle-backed query must be in the
-    # first 50 positions and rows-only entries must come after
-    names = list(qs)
-    misplaced = [n for n in names[:50] if n not in oracles]
-    overflow = [n for n in names[50:] if n in oracles]
-    if misplaced or overflow:
-        print(f"REGISTRY VIOLATION: rows-only in first 50: {misplaced}; "
-              f"oracle-backed past 50: {overflow}")
-        sys.exit(2)
+    # (observed round 1), so every oracle-backed query must sit within
+    # the first 50 positions.  Checked on full runs only (a targeted
+    # `check_oracles.py dir some_query` debug run shouldn't gate).
+    if not only:
+        overflow = [n for n in list(qs)[50:] if n in oracles]
+        if overflow:
+            print(f"REGISTRY VIOLATION: oracle-backed past position 50 "
+                  f"(the driver will not record them): {overflow}")
+            sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
