@@ -66,8 +66,21 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         model = _apply_model(model, "overwrite", pdf)
         states.append(_model_state(model))
 
-        for _step in range(6):
-            op = rnd.choice(["append", "overwrite", "upsert", "delete_unmatched"])
+        # 12 steps so trials cross the checkpoint interval (10 commits)
+        # and time travel exercises the parquet checkpoint + JSON tail;
+        # optimize is a no-op on state but commits a version
+        for _step in range(12):
+            op = rnd.choice(["append", "overwrite", "upsert",
+                             "delete_unmatched", "optimize"])
+            if op == "optimize":
+                before = t.version()
+                t.optimize(target_file_size=1 << 20)
+                if t.version() != before:  # no-op compactions don't commit
+                    states.append(_model_state(model))
+                assert _table_state(t) == _model_state(model), (
+                    f"trial {trial} step {_step} optimize"
+                )
+                continue
             sdf, pdf = _mk_df(spark, rnd)
             if op == "append":
                 t.write(sdf, WriteMode.append)
@@ -88,12 +101,17 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 f"trial {trial} step {_step} op {op}"
             )
 
-        # time travel reproduces every historical state
+        # time travel reproduces every historical state (across the
+        # checkpoint boundary when the trial exceeded 10 commits)
         for version, want in enumerate(states):
             got = sorted(
                 (r["k"], r["v"]) for r in t.read(version=version).collect()
             )
             assert got == want, f"trial {trial} version {version}"
+
+        # vacuum current-version-unreferenced files; live state intact
+        t.vacuum(retention_ms=0)
+        assert _table_state(t) == _model_state(model), f"trial {trial} vacuum"
 
 
 # -- predicate-compiler properties (hypothesis) ------------------------------
