@@ -280,3 +280,45 @@ def test_vacuum_spares_auxiliary_dirs(spark, tmp_table):
     deleted = t.vacuum(retention_ms=0)
     assert os.path.exists(aux)
     assert all("_stream_checkpoint" not in p for p in deleted)
+
+
+def test_concurrent_appends_with_compaction_stress(spark, tmp_table):
+    """6 writer threads x 4 appends racing a concurrent compactor: every
+    append must commit exactly once (optimistic retry), compactions must
+    never drop concurrent rows, and the final state must hold all rows."""
+    import threading
+
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(spark.range(0, 10), WriteMode.error)
+    errors = []
+
+    def writer(wid):
+        try:
+            tw = DeltaSparkTable(spark, tmp_table)
+            for i in range(4):
+                lo = 1000 * (wid + 1) + 10 * i
+                tw.write(spark.range(lo, lo + 10), WriteMode.append)
+        except Exception as e:  # noqa: BLE001
+            errors.append(("w", wid, repr(e)))
+
+    def compactor():
+        from dagster_delta_spark.tablelog import ConcurrentDeleteError
+        tc = DeltaSparkTable(spark, tmp_table)
+        for _ in range(3):
+            try:
+                tc.optimize(target_file_size=1 << 20)
+            except ConcurrentDeleteError:
+                pass  # legitimate abort under contention
+            except Exception as e:  # noqa: BLE001
+                errors.append(("c", 0, repr(e)))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(6)]
+    threads.append(threading.Thread(target=compactor))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert t.read().count() == 10 + 6 * 4 * 10
+    # all 24 appends committed as distinct versions (plus any compactions)
+    assert t.version() >= 24
