@@ -587,3 +587,84 @@ def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)"))
         .withColumnsRenamed({"F": "rev_f", "O": "rev_o", "P": "rev_p"})
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery — for each part, the
+    supplier(s) achieving its minimum observed unit price.  (The
+    synthetic schema has no partsupp table, so unit price comes from
+    lineitem.)  Expressed as a grouped min joined back on equality —
+    Catalyst's decorrelation of the scalar subquery produces the same
+    plan; no per-part re-scan."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    unit = li.select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    min_price = unit.groupBy("l_partkey").agg(
+        F.min("unit_price").alias("min_price")
+    )
+    return (
+        unit.join(min_price, "l_partkey")
+        .where(F.col("unit_price") == F.col("min_price"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_name", "s_acctbal")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name")
+        .agg(F.min("min_price").cast("double").alias("min_unit_price"))
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count —
+    LEFT join so zero-order customers land in bucket 0, then a second
+    aggregation over the counts (two shuffles, both keyed)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS — suppliers whose lineitem
+    was late on multi-supplier orders where NO other supplier was late.
+    Both correlated subqueries lower to semi/anti joins on l_orderkey;
+    no row explosion.  (The synthetic lineitem has no
+    receipt/commit dates, so "late" = shipped after the cutoff.)"""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    late = li.where(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp")
+    ).select("l_orderkey", "l_suppkey")
+    # orders with >= 2 distinct suppliers (the EXISTS other-supplier arm)
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_sup"))
+        .where(F.col("n_sup") >= 2)
+        .select("l_orderkey")
+    )
+    # orders where >1 distinct supplier was late (NOT-EXISTS arm kills these)
+    multi_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_late"))
+        .where(F.col("n_late") >= 2)
+        .select("l_orderkey")
+    )
+    waiting = (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(multi_late, "l_orderkey", "left_anti")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+    )
+    return (
+        waiting.join(F.broadcast(sup.select("s_suppkey", "s_name")),
+                     waiting.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -183,3 +183,94 @@ def test_parquet_checkpoint_roundtrip_and_legacy_json(spark, tmp_table):
     reloaded = tablelog.load_snapshot(tmp_table)
     assert reloaded.version == snap.version
     assert {a.path for a in reloaded.files} == {a.path for a in snap.files}
+
+
+def _duck_views(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_q2_shape_matches_duckdb(spark):
+    """Correlated-MIN subquery shape == DuckDB on the same parquet."""
+    from dagster_delta_spark.operators.relational import q2_min_cost_supplier
+
+    got = sorted(
+        (r.l_partkey, r.s_suppkey, round(r.min_unit_price, 6))
+        for r in q2_min_cost_supplier(spark, SF001).collect()
+    )
+    con = _duck_views(SF001)
+    want = sorted(
+        (a, b, round(c, 6))
+        for a, b, c, _n in con.sql("""
+            WITH unit AS (
+                SELECT l_partkey, l_suppkey,
+                       l_extendedprice / l_quantity AS up
+                FROM lineitem
+            ), mn AS (
+                SELECT l_partkey, min(up) AS mp FROM unit GROUP BY l_partkey
+            )
+            SELECT u.l_partkey, u.l_suppkey,
+                   CAST(min(m.mp) AS DOUBLE), s.s_name
+            FROM unit u
+            JOIN mn m ON u.l_partkey = m.l_partkey AND u.up = m.mp
+            JOIN supplier s ON u.l_suppkey = s.s_suppkey
+            GROUP BY u.l_partkey, u.l_suppkey, s.s_name
+        """).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_q13_shape_matches_duckdb(spark):
+    from dagster_delta_spark.operators.relational import (
+        q13_order_count_distribution,
+    )
+
+    got = sorted(
+        (r.c_count, r.custdist)
+        for r in q13_order_count_distribution(spark, SF001).collect()
+    )
+    con = _duck_views(SF001)
+    want = sorted(con.sql("""
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        ) GROUP BY c_count
+    """).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_q21_shape_matches_duckdb(spark):
+    from dagster_delta_spark.operators.relational import q21_sole_late_supplier
+
+    got = sorted(
+        (r.s_name, r.numwait)
+        for r in q21_sole_late_supplier(spark, SF001).collect()
+    )
+    con = _duck_views(SF001)
+    want = sorted(con.sql("""
+        WITH late AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        ), multi AS (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2
+        ), multi_late AS (
+            SELECT l_orderkey FROM late
+            GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM late w
+        JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        WHERE w.l_orderkey IN (SELECT l_orderkey FROM multi)
+          AND w.l_orderkey NOT IN (SELECT l_orderkey FROM multi_late)
+        GROUP BY s.s_name
+    """).fetchall())
+    assert got == want and len(got) > 0
