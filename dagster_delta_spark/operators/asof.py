@@ -132,3 +132,55 @@ def user_event_bursts(
     spark: SparkSession, sf_dir: str, window_seconds: int = 60
 ) -> DataFrame:
     return event_bursts(load_events(spark, sf_dir), window_seconds)
+
+
+def event_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered funnel: per user, the earliest time of step 1, then the
+    earliest step 2 STRICTLY AFTER it, and so on; returns per-step
+    reached-user counts and median seconds from step 1.
+
+    Plan shape: one keyed aggregation per step (k is small and fixed),
+    each joining the previous step's per-user frontier — every join is
+    on user_id, the frontier frames are one row per qualifying user, so
+    AQE broadcasts them while they fit and the whole funnel is k keyed
+    shuffles, never a per-user sort of full history."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    frontier = (
+        ev.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    frontiers = [frontier]
+    for step in steps[1:]:
+        nxt = (
+            ev.where(F.col("event_type") == step)
+            .join(frontier.select("user_id", F.col("t").alias("prev_t")),
+                  "user_id")
+            .where(F.col("ts") > F.col("prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        frontiers.append(nxt)
+        frontier = nxt
+    base = frontiers[0].select(
+        "user_id", F.col("t").alias("t0")
+    )
+    out = None
+    for i, (step, fr) in enumerate(zip(steps, frontiers)):
+        stage = (
+            fr.join(base, "user_id")
+            .agg(
+                F.lit(i + 1).alias("step_idx"),
+                F.count(F.lit(1)).alias("n_users"),
+                F.expr(
+                    "percentile(CAST(t AS DOUBLE) - CAST(t0 AS DOUBLE), 0.5)"
+                ).cast("double").alias("median_secs_from_start"),
+            )
+            .withColumn("step", F.lit(step))
+        )
+        out = stage if out is None else out.unionByName(stage)
+    return out.select("step_idx", "step", "n_users", "median_secs_from_start")

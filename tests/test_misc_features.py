@@ -274,3 +274,50 @@ def test_q21_shape_matches_duckdb(spark):
         GROUP BY s.s_name
     """).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_event_funnel_matches_duckdb(spark):
+    """Ordered view->click->purchase funnel == correlated-min DuckDB
+    formulation (counts and median latency)."""
+    import duckdb
+
+    from dagster_delta_spark.operators.asof import event_funnel
+
+    got = sorted(
+        (r.step_idx, r.step, r.n_users, round(r.median_secs_from_start, 3))
+        for r in event_funnel(spark, SF001).collect()
+    )
+    con = duckdb.connect(":memory:")
+    con.execute(f"""
+        CREATE VIEW ev AS
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM read_parquet('{SF001}/events.parquet')
+    """)
+    want = sorted(con.execute("""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM ev e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM ev e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT 1 AS i, 'view' AS s, count(*) AS n,
+               round(quantile_cont(epoch(t) - epoch(t), 0.5), 3)
+        FROM s1
+        UNION ALL
+        SELECT 2, 'click', count(*),
+               round(quantile_cont(epoch(s2.t) - epoch(s1.t), 0.5), 3)
+        FROM s2 JOIN s1 USING (user_id)
+        UNION ALL
+        SELECT 3, 'purchase', count(*),
+               round(quantile_cont(epoch(s3.t) - epoch(s1.t), 0.5), 3)
+        FROM s3 JOIN s1 USING (user_id)
+    """).fetchall())
+    got2 = [(i, s, n, m) for i, s, n, m in got]
+    assert got2 == [(i, s, n, round(m, 3)) for i, s, n, m in want]
+    assert got2[0][2] >= got2[1][2] >= got2[2][2]  # funnel monotone
