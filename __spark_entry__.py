@@ -383,6 +383,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _streaming_sessionize,
         "streaming_dedup": _streaming_dedup,
         "curate_corpus": _curate_corpus,
+        # registry-external TPC-H shapes + funnel: rows-only here (the
+        # 50 oracle-backed slots are taken); DuckDB twins live in
+        # tests/test_misc_features.py
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q13_custdist": relational.q13_order_count_distribution,
+        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+        "event_funnel": _event_funnel,
     }
 
 
@@ -402,6 +409,12 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(
         spark, sf_dir, _scratch("curate"), min_quality=0.3, min_tokens=3
     )
+
+
+def _event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_delta_spark.operators.asof import event_funnel
+
+    return event_funnel(spark, sf_dir)
 
 
 def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

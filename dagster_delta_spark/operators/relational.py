@@ -608,10 +608,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         unit.join(min_price, "l_partkey")
         .where(F.col("unit_price") == F.col("min_price"))
-        .join(F.broadcast(sup.select("s_suppkey", "s_name", "s_acctbal")),
+        .join(F.broadcast(sup.select("s_suppkey", "s_name")),
               F.col("l_suppkey") == F.col("s_suppkey"))
+        # min_price is constant per group; first() states that
         .groupBy("l_partkey", "s_suppkey", "s_name")
-        .agg(F.min("min_price").cast("double").alias("min_unit_price"))
+        .agg(F.first("min_price").cast("double").alias("min_unit_price"))
     )
 
 

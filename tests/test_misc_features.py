@@ -189,7 +189,7 @@ def _duck_views(sf_dir):
     import duckdb
 
     con = duckdb.connect()
-    for t in ("customer", "orders", "lineitem", "supplier", "part"):
+    for t in ("customer", "orders", "lineitem", "supplier"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
 
@@ -283,8 +283,11 @@ def test_event_funnel_matches_duckdb(spark):
 
     from dagster_delta_spark.operators.asof import event_funnel
 
+    def rnd(v):
+        return None if v is None else round(v, 3)
+
     got = sorted(
-        (r.step_idx, r.step, r.n_users, round(r.median_secs_from_start, 3))
+        (r.step_idx, r.step, r.n_users, rnd(r.median_secs_from_start))
         for r in event_funnel(spark, SF001).collect()
     )
     con = duckdb.connect(":memory:")
@@ -307,17 +310,17 @@ def test_event_funnel_matches_duckdb(spark):
             WHERE e.event_type = 'purchase' GROUP BY e.user_id
         )
         SELECT 1 AS i, 'view' AS s, count(*) AS n,
-               round(quantile_cont(epoch(t) - epoch(t), 0.5), 3)
+               quantile_cont(epoch(t) - epoch(t), 0.5)
         FROM s1
         UNION ALL
         SELECT 2, 'click', count(*),
-               round(quantile_cont(epoch(s2.t) - epoch(s1.t), 0.5), 3)
+               quantile_cont(epoch(s2.t) - epoch(s1.t), 0.5)
         FROM s2 JOIN s1 USING (user_id)
         UNION ALL
         SELECT 3, 'purchase', count(*),
-               round(quantile_cont(epoch(s3.t) - epoch(s1.t), 0.5), 3)
+               quantile_cont(epoch(s3.t) - epoch(s1.t), 0.5)
         FROM s3 JOIN s1 USING (user_id)
     """).fetchall())
-    got2 = [(i, s, n, m) for i, s, n, m in got]
-    assert got2 == [(i, s, n, round(m, 3)) for i, s, n, m in want]
-    assert got2[0][2] >= got2[1][2] >= got2[2][2]  # funnel monotone
+    # round both sides in Python (same rounding mode)
+    assert got == [(i, s, n, rnd(m)) for i, s, n, m in want]
+    assert got[0][2] >= got[1][2] >= got[2][2]  # funnel monotone
