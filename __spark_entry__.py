@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_custdist": relational.q13_order_count_distribution,
         "q21_sole_late_supplier": relational.q21_sole_late_supplier,
         "event_funnel": _event_funnel,
+        "ngram_frequency": textops.ngram_frequency,
     }
 
 

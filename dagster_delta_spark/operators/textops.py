@@ -151,3 +151,42 @@ def deterministic_sample(
     return docs.where(
         F.expr(f"conv(substring(md5(text), 1, 4), 16, 10) < {threshold}")
     ).select("doc_id", "lang", "source")
+
+
+def ngram_frequency(
+    spark: SparkSession, sf_dir: str, n: int = 2, top_k: int = 100
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with document frequency — the
+    boilerplate/contamination probe a data-curation team runs before
+    choosing dedup caps (a shingle's df here is exactly what
+    near_dup_jaccard's stop-shingle cap keys on).
+
+    Plan: explode tokens once, assemble n-grams with lead() inside the
+    per-doc window, aggregate (count + countDistinct doc) in one
+    shuffle, then a global top-k (rank by count, deterministic
+    tiebreak).  All codegen; no Python."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = ex
+    cols = [F.col("tok")]
+    for i in range(1, n):
+        grams = grams.withColumn(f"t{i}", F.lead("tok", i).over(w))
+        cols.append(F.col(f"t{i}"))
+    grams = grams.where(cols[-1].isNotNull()).select(
+        "doc_id", F.concat_ws(" ", *cols).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    rank = Window.orderBy(F.desc("n_occurrences"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rank))
+        .where(F.col("rank") <= top_k)
+        .select("rank", "gram", "n_occurrences", "doc_freq")
+    )

@@ -324,3 +324,47 @@ def test_event_funnel_matches_duckdb(spark):
     # round both sides in Python (same rounding mode)
     assert got == [(i, s, n, rnd(m)) for i, s, n, m in want]
     assert got[0][2] >= got[1][2] >= got[2][2]  # funnel monotone
+
+
+def test_ngram_frequency_matches_duckdb(spark):
+    """Top-k bigram table == DuckDB formulation on the same parquet."""
+    import duckdb
+
+    from dagster_delta_spark.operators.textops import ngram_frequency
+
+    got = [
+        (r.rank, r.gram, r.n_occurrences, r.doc_freq)
+        for r in ngram_frequency(spark, SF001, n=2, top_k=20)
+        .orderBy("rank").collect()
+    ]
+    con = duckdb.connect(":memory:")
+    con.execute(f"""
+        CREATE VIEW documents AS
+        SELECT * FROM read_parquet('{SF001}/documents.parquet')
+    """)
+    want = con.execute("""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])
+                       ELSE [] END) AS gram
+            FROM toks
+        ), counts AS (
+            SELECT gram, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS doc_freq
+            FROM grams GROUP BY gram
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, gram ASC)
+                    AS INT) AS rank,
+               gram, n_occurrences, doc_freq
+        FROM counts
+        ORDER BY rank LIMIT 20
+    """).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert len(got) == 20
