@@ -15,6 +15,10 @@ in codegen) rather than Python UDFs.
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import os
+import tempfile
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -232,7 +236,50 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+# per-process handles to already-loaded centroid frames, keyed by
+# (applicationId, sf_dir, params) — applicationId is unique per session,
+# unlike id(spark) which can be reused after GC
 _CENTROID_CACHE: dict = {}
+
+
+def clear_centroid_cache() -> None:
+    _CENTROID_CACHE.clear()
+
+
+def _index_root() -> str:
+    """Writable home for persisted ANN index tables.  In production this
+    would be a lake path next to the corpus; the corpus dir here
+    (/root/testdata) is read-only, so default to a temp-dir namespace."""
+    return os.environ.get(
+        "DDS_INDEX_DIR", os.path.join(tempfile.gettempdir(), "dds_ann_index")
+    )
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap change-detection key for the embeddings corpus: relative
+    path + size + mtime of every data file.  A retrain lands as a NEW
+    VERSION of the centroid table when this changes; matching versions
+    are reused across processes (the index build is one-off, not part of
+    the query path)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    files = sorted(glob.glob(os.path.join(path, "**"), recursive=True)) or [path]
+    h = hashlib.sha256()
+    for f in files:
+        if os.path.isfile(f):
+            st = os.stat(f)
+            h.update(f"{os.path.relpath(f, sf_dir)}:{st.st_size}:{int(st.st_mtime)};"
+                      .encode())
+    return h.hexdigest()[:16]
+
+
+def ivf_centroid_table_uri(
+    sf_dir: str, n_cells: int, iters: int, train_sample_mod: int
+) -> str:
+    """One centroid table per (corpus dir, training params); retrains on
+    changed data append new versions (time-travel keeps the old index)."""
+    key = f"{os.path.abspath(sf_dir)}|{n_cells}|{iters}|{train_sample_mod}"
+    digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+    return os.path.join(_index_root(), f"ivf_centroids_{digest}")
 
 
 def ivf_train_centroids(
@@ -259,15 +306,41 @@ def ivf_train_centroids(
     quality needs thousands of vectors per cell, not the full corpus);
     at 100 TB raise the modulus so the sample stays ~100k vectors.
     One round is the throughput default (recall on the fixture matches
-    two); ``iters`` is the quality dial.  Trained centroids are cached
-    per (session, sf_dir, params) — the index build is one-off and
-    amortized across queries in a session."""
+    two); ``iters`` is the quality dial.
+
+    Trained centroids PERSIST to a version-keyed ``DeltaSparkTable``
+    (``ivf_centroid_table_uri``): a query session loads the stored index
+    instead of retraining, so the query path never pays the k-means job
+    — matching a production IVF index whose build is a separate,
+    amortized pipeline.  The table's commit metadata records the corpus
+    fingerprint; a changed corpus triggers a retrain committed as a new
+    version.  Within a process the loaded frame is cached per
+    (applicationId, params)."""
     from pyspark.sql.window import Window
 
-    key = (id(spark), sf_dir, n_cells, iters, train_sample_mod)
+    from ..table import DeltaSparkTable
+
+    key = (
+        spark.sparkContext.applicationId, sf_dir, n_cells, iters,
+        train_sample_mod,
+    )
     cached = _CENTROID_CACHE.get(key)
     if cached is not None:
         return cached
+
+    fingerprint = _corpus_fingerprint(sf_dir)
+    params = {
+        "n_cells": str(n_cells), "iters": str(iters),
+        "train_sample_mod": str(train_sample_mod),
+    }
+    index = DeltaSparkTable(spark, ivf_centroid_table_uri(
+        sf_dir, n_cells, iters, train_sample_mod))
+    if index.exists():
+        meta = (index.history(limit=1)[0].get("userMetadata") or {})
+        if meta.get("corpus_fingerprint") == fingerprint:
+            cents = index.read().localCheckpoint(eager=False)
+            _CENTROID_CACHE[key] = cents
+            return cents
 
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
     if train_sample_mod > 1:
@@ -303,6 +376,9 @@ def ivf_train_centroids(
             .withColumn("c_norm", F.expr(norm_c))
             .localCheckpoint()
         )
+    index.write(cents, commit_metadata={"corpus_fingerprint": fingerprint,
+                                        **params})
+    cents = index.read().localCheckpoint(eager=False)
     _CENTROID_CACHE[key] = cents
     return cents
 
