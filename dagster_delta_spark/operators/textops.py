@@ -163,8 +163,11 @@ def ngram_frequency(
 
     Plan: explode tokens once, assemble n-grams with lead() inside the
     per-doc window, aggregate (count + countDistinct doc) in one
-    shuffle, then a global top-k (rank by count, deterministic
-    tiebreak).  All codegen; no Python."""
+    shuffle, then a global top-k via orderBy().limit() — Spark plans
+    TakeOrderedAndProject (per-partition top-k, driver merges
+    k x partitions rows), NOT a single-task global sort; rank is
+    derived afterwards over the tiny k-row result.  All codegen; no
+    Python."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
@@ -184,9 +187,11 @@ def ngram_frequency(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("doc_freq"),
     )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(top_k)
+    # window runs over <= top_k rows on one task — the global sort above
+    # it is TakeOrderedAndProject, never a single-partition Exchange
     rank = Window.orderBy(F.desc("n_occurrences"), F.asc("gram"))
     return (
-        counts.withColumn("rank", F.row_number().over(rank))
-        .where(F.col("rank") <= top_k)
+        top.withColumn("rank", F.row_number().over(rank))
         .select("rank", "gram", "n_occurrences", "doc_freq")
     )
