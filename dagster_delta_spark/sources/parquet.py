@@ -32,15 +32,30 @@ def scan(
 def apply_parquet_read_options(
     spark: SparkSession, options: Optional[dict[str, str]] = None
 ) -> None:
-    """S4: per-manager parquet decode options -> session confs."""
+    """S4: per-manager parquet decode options -> session confs.
+
+    ``coerce_int96_timestamp_unit`` in the reference
+    (dd/dagster_delta/io_manager.py:187-190) selects the pyarrow DECODE
+    RESOLUTION (ns/us/ms) for INT96 timestamps.  Spark has no
+    per-resolution decode conf — it always decodes INT96 to
+    microsecond TIMESTAMP; the only case needing action is ``ns``,
+    which maps to the same nanos-as-long escape hatch used for
+    TIMESTAMP(NANOS) columns (``load_events``,
+    operators/relational.py:36).  Other units are refused rather than
+    silently mis-set (the previous mapping wrote a unit string into
+    ``int96RebaseModeInRead``, a calendar-rebase conf whose domain is
+    LEGACY/CORRECTED/EXCEPTION — an invalid session conf)."""
     if not options:
         return
-    mapping = {
-        # reference: ds.ParquetReadOptions(coerce_int96_timestamp_unit=...)
-        "coerce_int96_timestamp_unit": "spark.sql.parquet.int96RebaseModeInRead",
-        "compression": "spark.sql.parquet.compression.codec",
-    }
     for k, v in options.items():
-        conf = mapping.get(k)
-        if conf:
-            spark.conf.set(conf, v)
+        if k == "compression":
+            spark.conf.set("spark.sql.parquet.compression.codec", v)
+        elif k == "coerce_int96_timestamp_unit":
+            if v == "ns":
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            elif v != "us":  # us is Spark's native resolution: no-op
+                raise ValueError(
+                    f"coerce_int96_timestamp_unit={v!r} has no Spark "
+                    "equivalent (native decode is us; ns maps to "
+                    "nanosAsLong)"
+                )

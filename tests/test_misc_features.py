@@ -1,5 +1,7 @@
 """describe_detail, log checkpoints, salted join."""
 
+import pytest
+
 from dagster_delta_spark import DeltaSparkTable, WriteMode
 from dagster_delta_spark.functions.skew import salted_join
 
@@ -113,6 +115,21 @@ def test_parquet_read_options_mapping(spark):
     apply_parquet_read_options(spark, {"compression": "zstd"})
     assert spark.conf.get("spark.sql.parquet.compression.codec") == "zstd"
     spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+
+    # coerce_int96_timestamp_unit: ns maps to the nanos-as-long escape
+    # hatch (a VALID Spark conf, unlike the old int96RebaseModeInRead
+    # mapping whose domain is LEGACY/CORRECTED/EXCEPTION); us is a
+    # no-op (Spark's native resolution); anything else is refused.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    apply_parquet_read_options(spark, {"coerce_int96_timestamp_unit": "ns"})
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    apply_parquet_read_options(spark, {"coerce_int96_timestamp_unit": "us"})
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
+    )
+    with pytest.raises(ValueError, match="no Spark equivalent"):
+        apply_parquet_read_options(spark, {"coerce_int96_timestamp_unit": "ms"})
 
 
 def test_storage_conf_mapping_o7():
