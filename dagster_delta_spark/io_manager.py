@@ -247,6 +247,14 @@ class DeltaSparkIOManager:
                     "Cannot load a partition slice as a raw DeltaSparkTable; "
                     "load a DataFrame instead."
                 )
+            if version is not None:
+                # same refuse-rather-than-silently-return contract: the
+                # raw handle always reads head, so a version pin would
+                # be dropped on the floor
+                raise ValueError(
+                    "Cannot pin a version when loading as DeltaSparkTable; "
+                    "load a DataFrame instead (or use the table resource)."
+                )
             return table
         df = table.read(version=version, columns=ts.columns, dnf=dnf)
         handler = self.registry.for_type(target_type)

@@ -251,10 +251,17 @@ def _harvest_stats(
     driver; past the threshold the footer reads fan out as a Spark job
     over the paths (at 10k+ files/commit a serial driver loop would be
     the commit bottleneck — docs/SCALE.md)."""
+    if not paths:
+        return {}
     harvest = _make_stats_harvester()
-    if len(paths) <= _DISTRIBUTED_STATS_THRESHOLD:
-        return dict(map(harvest, paths))
     sc = spark.sparkContext
+    # the fan-out has executors open staging paths written by the driver,
+    # which only works when executors share the driver's filesystem —
+    # local mode here; on a real cluster staging lives on shared storage
+    # (s3/hdfs/nfs) or we fall back to the driver loop
+    shared_fs = sc.master.startswith("local") or "://" in str(paths[0])
+    if len(paths) <= _DISTRIBUTED_STATS_THRESHOLD or not shared_fs:
+        return dict(map(harvest, paths))
     slices = max(1, min(len(paths), sc.defaultParallelism * 4))
     return dict(sc.parallelize(list(paths), slices).map(harvest).collect())
 

@@ -34,7 +34,7 @@ import os
 import threading
 import time
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any, Optional
 
 CHECKPOINT_INTERVAL = 10
@@ -300,10 +300,25 @@ def _version_fingerprint(table_uri: str, version: int) -> Optional[tuple[int, in
     return (st.st_mtime_ns, st.st_size)
 
 
+def _copy_snapshot(snap: Snapshot) -> Snapshot:
+    """Snapshot.files (and AddFile dicts) are mutable; the cache must
+    never share an object with a caller — a caller mutating
+    table.snapshot() (or a writer reusing its snapshot_after) would
+    silently corrupt every later read of that version in-process."""
+    return Snapshot(
+        version=snap.version,
+        metadata=snap.metadata,
+        files=[replace(a, partition_values=dict(a.partition_values),
+                       stats=dict(a.stats)) for a in snap.files],
+        timestamp=snap.timestamp,
+    )
+
+
 def _cache_put(table_uri: str, version: int, snap: Snapshot) -> None:
     fp = _version_fingerprint(table_uri, version)
     if fp is None:
         return
+    snap = _copy_snapshot(snap)
     with _SNAPSHOT_CACHE_LOCK:
         if len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
             _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
@@ -320,7 +335,7 @@ def _cache_get(table_uri: str, version: int) -> Optional[Snapshot]:
         with _SNAPSHOT_CACHE_LOCK:
             _SNAPSHOT_CACHE.pop((table_uri, version), None)
         return None
-    return snap
+    return _copy_snapshot(snap)
 
 
 def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:

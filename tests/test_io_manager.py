@@ -248,6 +248,14 @@ def test_pj4_columns_on_raw_table_guard(spark, tmp_path):
     )
     assert isinstance(raw, DeltaSparkTable)
     assert raw.read().count() == 3
+    # a version pin is likewise refused: the raw handle always reads
+    # head, so the pin would be silently dropped
+    with pytest.raises(ValueError, match="Cannot pin a version"):
+        mgr.load_input(
+            AssetContext(asset_key=["s", "t"]),
+            target_type=DeltaSparkTable,
+            version=0,
+        )
 
 
 # -- P6: fmt extraction from (nested) partition definitions ------------------

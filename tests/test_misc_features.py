@@ -132,6 +132,26 @@ def test_parquet_read_options_mapping(spark):
         apply_parquet_read_options(spark, {"coerce_int96_timestamp_unit": "ms"})
 
 
+def test_snapshot_cache_isolated_from_caller_mutation(spark, tmp_table):
+    """The snapshot cache must hand out copies: a caller mutating
+    table.snapshot() (files list, partition_values/stats dicts) must not
+    corrupt subsequent reads of the same version in-process."""
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(spark.createDataFrame([("red", 1), ("blue", 2)], "c string, v bigint"),
+            WriteMode.overwrite, partition_columns=["c"])
+    snap = t.snapshot()
+    n_files = len(snap.files)
+    snap.files[0].partition_values["c"] = "tampered"
+    snap.files[0].stats["minValues"] = {"v": 10**9}
+    del snap.files[1:]
+    fresh = t.snapshot()
+    assert len(fresh.files) == n_files
+    assert "tampered" not in {
+        f.partition_values.get("c") for f in fresh.files
+    }
+    assert t.read().count() == 2
+
+
 def test_storage_conf_mapping_o7():
     """O7: multi-cloud storage configs -> Spark/Hadoop confs
     (reference config.py:7-187)."""
