@@ -352,6 +352,11 @@ def minhash_cluster_keep(
             buckets.join(bucket_min, ["band", "h"])
             .groupBy("doc_id")
             .agg(F.min("bmin").alias("lbl"))
+            # cut lineage each round: the plan otherwise deepens by
+            # 2 joins + 2 aggs per iteration and analysis/codegen cost
+            # grows superlinearly past a few rounds (lazy: materializes
+            # with the next round's job, not as an extra action)
+            .localCheckpoint(eager=False)
         )
     return labels.select(
         "doc_id",

@@ -162,6 +162,22 @@ def test_minhash_cluster_keep_exact_duplicates(spark, tmp_path):
     assert survivors <= 10
 
 
+def test_minhash_cluster_keep_plan_depth_flat(spark):
+    """Label propagation checkpoints per round: plan depth of the result
+    must not grow with iterations (un-checkpointed, each round stacks
+    2 joins + 2 aggregates and analysis blows up superlinearly)."""
+    from dagster_delta_spark.operators.dedup import minhash_cluster_keep
+
+    def plan_size(iters: int) -> int:
+        df = minhash_cluster_keep(spark, SF, iterations=iters)
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    p2, p6 = plan_size(2), plan_size(6)
+    assert p6 <= p2 * 1.5, (p2, p6)
+    # and the result still computes
+    assert minhash_cluster_keep(spark, SF, iterations=6).count() > 0
+
+
 def test_event_bursts_matches_bruteforce(spark):
     """Bin-bounded range join == naive unbounded join on a random
     fixture (catches bin-edge off-by-ones)."""
