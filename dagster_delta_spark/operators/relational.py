@@ -14,6 +14,8 @@ column names match the DuckDB oracle in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,6 +29,38 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# on-disk cap for an explicit dimension broadcast hint.  region/nation
+# are constant-size, but customer/part/supplier SCALE WITH SF: at 100 TB
+# they are multi-GB and a forced broadcast would OOM every executor.
+# Past the cap the hint is dropped and AQE decides from runtime sizes
+# (it broadcasts whenever the build side actually fits).  Parquet
+# compresses ~2-4x vs in-memory rows, so 64 MB on disk keeps the
+# broadcast build well under typical executor budgets.
+_BROADCAST_CAP_BYTES = int(
+    os.environ.get("DDS_BROADCAST_CAP_MB", "64")
+) << 20
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a table — a driver-side stat, no Spark job."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, names in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in names)
+    return total
+
+
+def broadcast_if_small(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Size-gated broadcast hint for a dimension frame derived from
+    ``name``: hint only while the table's on-disk footprint is under
+    ``_BROADCAST_CAP_BYTES`` (docs/SCALE.md)."""
+    if _table_bytes(sf_dir, name) <= _BROADCAST_CAP_BYTES:
+        return F.broadcast(df)
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +125,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.join(
-                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+                broadcast_if_small(cust, sf_dir, "customer"),
+                orders.o_custkey == cust.c_custkey,
             ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
             li.l_orderkey == F.col("o_orderkey"),
         )
@@ -125,8 +160,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(broadcast_if_small(sup, sf_dir, "supplier"),
+              li.l_suppkey == sup.s_suppkey)
+        .join(broadcast_if_small(cust, sf_dir, "customer"),
+              F.col("o_custkey") == cust.c_custkey)
         .join(
             F.broadcast(nr.select("n_nationkey", "n_name")),
             (F.col("c_nationkey") == F.col("n_nationkey"))
@@ -321,7 +358,8 @@ def q16_anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
     li = load(spark, sf_dir, "lineitem")
     bad_parts = li.join(
-        F.broadcast(sup), li.l_suppkey == sup.s_suppkey
+        broadcast_if_small(sup, sf_dir, "supplier"),
+        li.l_suppkey == sup.s_suppkey,
     ).select("l_partkey").distinct()
     return (
         part.join(bad_parts, part.p_partkey == bad_parts.l_partkey, "left_anti")
@@ -401,7 +439,8 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))"
     return (
-        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+        li.join(broadcast_if_small(part.select("p_partkey", "p_type"),
+                                   sf_dir, "part"),
                 li.l_partkey == F.col("p_partkey"))
         .agg(
             F.expr(
@@ -427,7 +466,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(cust, sf_dir, "customer"),
+              orders.o_custkey == cust.c_custkey)
         .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice",
                 "total_qty")
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
@@ -441,7 +481,8 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction once."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(broadcast_if_small(part, sf_dir, "part"),
+                li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
          & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
@@ -499,9 +540,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+        .join(broadcast_if_small(sup.select("s_suppkey", "s_nationkey"),
+                                 sf_dir, "supplier"),
               li.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(broadcast_if_small(cust.select("c_custkey", "c_nationkey"),
+                                 sf_dir, "customer"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
@@ -608,7 +651,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         unit.join(min_price, "l_partkey")
         .where(F.col("unit_price") == F.col("min_price"))
-        .join(F.broadcast(sup.select("s_suppkey", "s_name")),
+        .join(broadcast_if_small(sup.select("s_suppkey", "s_name"),
+                                 sf_dir, "supplier"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         # min_price is constant per group; first() states that
         .groupBy("l_partkey", "s_suppkey", "s_name")
@@ -664,7 +708,8 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["l_orderkey", "l_suppkey"])
     )
     return (
-        waiting.join(F.broadcast(sup.select("s_suppkey", "s_name")),
+        waiting.join(broadcast_if_small(sup.select("s_suppkey", "s_name"),
+                                        sf_dir, "supplier"),
                      waiting.l_suppkey == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

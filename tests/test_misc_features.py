@@ -132,6 +132,22 @@ def test_parquet_read_options_mapping(spark):
         apply_parquet_read_options(spark, {"coerce_int96_timestamp_unit": "ms"})
 
 
+def test_broadcast_hint_size_gated(spark, monkeypatch):
+    """Scaling dimensions (customer/part/supplier) carry a broadcast
+    hint only while their on-disk footprint is under the cap; past it
+    the hint disappears and AQE decides from runtime sizes."""
+    from dagster_delta_spark.operators import relational as R
+
+    sf = "/root/testdata/sf0.001"
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    assert "ResolvedHint" in analyzed(R.q3_shipping_priority(spark, sf))
+    monkeypatch.setattr(R, "_BROADCAST_CAP_BYTES", 0)
+    assert "ResolvedHint" not in analyzed(R.q3_shipping_priority(spark, sf))
+
+
 def test_snapshot_cache_isolated_from_caller_mutation(spark, tmp_table):
     """The snapshot cache must hand out copies: a caller mutating
     table.snapshot() (files list, partition_values/stats dicts) must not
