@@ -20,15 +20,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# session-scoped table catalog: spark.read.parquet runs a footer
+# schema-inference job per call (~70 ms); a workload of N queries over
+# the same tables would pay it N times.  DataFrames are immutable, so
+# handing every caller the same logical-plan root is safe — exactly
+# what a metastore-backed catalog does with a resolved table schema.
+_LOAD_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pin UTC: events ts becomes TIMESTAMP_LTZ after the nanos
     # conversion, and timestamp literals in queries are LTZ — a
     # non-UTC driver session would shift window/date_trunc/filter
     # boundaries relative to the (timezone-less) oracle engine
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        fp = (st.st_mtime_ns, st.st_size)  # dir mtime moves on rewrite
+    except OSError:
+        fp = None
+    key = (spark.sparkContext.applicationId, sf_dir, name, fp)
+    df = _LOAD_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(path)
+        if len(_LOAD_CACHE) > 256:
+            _LOAD_CACHE.clear()
+        _LOAD_CACHE[key] = df
+    return df
 
 
 # on-disk cap for an explicit dimension broadcast hint.  region/nation
