@@ -283,7 +283,7 @@ def ivf_centroid_table_uri(
 
 
 def ivf_train_centroids(
-    spark: SparkSession, sf_dir: str, n_cells: int = 16, iters: int = 1,
+    spark: SparkSession, sf_dir: str, n_cells: int = 32, iters: int = 1,
     train_sample_mod: int = 4,
 ) -> DataFrame:
     """Distributed k-means training for the IVF coarse quantizer.
@@ -384,7 +384,7 @@ def ivf_train_centroids(
 
 
 def ivf_assignments(
-    spark: SparkSession, sf_dir: str, n_cells: int = 16,
+    spark: SparkSession, sf_dir: str, n_cells: int = 32,
     centroids: Optional[DataFrame] = None, train_iters: int = 1,
 ) -> DataFrame:
     """IVF coarse quantization: k-means-trained centroids (see
@@ -400,11 +400,16 @@ def ivf_assignments(
 
 def ivf_ann_topk(
     spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
-    n_cells: int = 16, nprobe: int = 4,
+    n_cells: int = 32, nprobe: int = 8,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     cells; exact cosine re-ranks only vectors in those cells.  The
-    probe fraction (nprobe/n_cells) is the recall/throughput dial."""
+    probe fraction (nprobe/n_cells) is the recall/throughput dial;
+    AT A FIXED fraction, more+finer cells raise recall (cell boundaries
+    track the data better): on the sf0.01 fixture 32/8 reaches
+    recall@10 0.60-0.62 vs 0.46 for 16/4 and 0.58-0.59 for multiprobe
+    LSH, at the same 25% candidate budget.  Train-sample size and
+    extra k-means rounds measured recall-neutral here."""
     from pyspark.sql.window import Window
 
     cents = ivf_train_centroids(spark, sf_dir, n_cells)

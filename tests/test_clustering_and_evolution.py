@@ -73,6 +73,22 @@ def test_ivf_ann_probes_subset(spark):
     assert all(v == 3 for v in counts.values())
 
 
+def test_ivf_recall_at_least_lsh(spark):
+    """At default dials and the same 25% candidate budget, trained IVF
+    recall@10 must not trail multiprobe LSH (measured 0.60-0.62 vs
+    0.58-0.59 on this fixture).  Runs at sf0.01 — 32 cells over the
+    sf0.001 corpus (~200 vectors) would be over-partitioned."""
+    from dagster_delta_spark.operators.similarity import ann_recall_report
+
+    rep = ann_recall_report(spark, "/root/testdata/sf0.01")
+    by_method = {
+        r["method"]: r["avg"]
+        for r in rep.groupBy("method").avg("recall")
+        .withColumnRenamed("avg(recall)", "avg").collect()
+    }
+    assert by_method["ivf"] >= by_method["lsh"], by_method
+
+
 def test_pruning_invariant_random_predicates(spark, tmp_path):
     """Property: for random data + random DNF, the pruned partitioned
     read equals the brute-force filter of the full scan."""
