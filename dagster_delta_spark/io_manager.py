@@ -78,9 +78,14 @@ class DeltaSparkIOManager:
         custom_metadata: Optional[dict[str, str]] = None,
         writer_properties: Optional[dict[str, str]] = None,
         handlers: Optional[Sequence[SparkTypeHandler]] = None,
+        legacy_window_scope: bool = False,
     ):
         self.spark = spark
         self.root_uri = root_uri
+        # opt-in reference-compat: time-window overwrite scope compiles
+        # to the reference's single '=' start pin (handler.py:478-479)
+        # instead of the half-open [start, end) range
+        self.legacy_window_scope = legacy_window_scope
         self.schema_config = schema
         self.mode = mode
         self.schema_mode = schema_mode
@@ -158,6 +163,7 @@ class DeltaSparkIOManager:
             dnf = partition_dimensions_to_dnf(
                 ts.partition_dimensions, df.schema, input_dnf=False,
                 date_formats=fmts,
+                legacy_window_scope=self.legacy_window_scope,
             )
 
         if mode == WriteMode.merge:

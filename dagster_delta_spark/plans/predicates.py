@@ -66,6 +66,7 @@ def partition_dimensions_to_dnf(
     *,
     input_dnf: bool = False,
     date_formats: Optional[dict[str, str]] = None,
+    legacy_window_scope: bool = False,
 ) -> Optional[list[DnfFilter]]:
     """Partition dimensions -> DNF conjunction (reference P1,
     handler.py:350-394).
@@ -74,8 +75,12 @@ def partition_dimensions_to_dnf(
     BOTH paths (the reference's write path pins '=' start, which
     under-deletes multi-value windows — documented divergence); the
     write path additionally rejects non-contiguous window sets.
-    Validates the partition column exists and has an allowed type
-    (timestamp/date/string/integer only — reference handler.py:366-392).
+    ``legacy_window_scope=True`` opts back into the reference's
+    write-path behavior bit-for-bit (handler.py:478-479: a single
+    ``(col, '=', start)`` pin, no contiguity guard) for users migrating
+    workloads that depend on it.  Validates the partition column exists
+    and has an allowed type (timestamp/date/string/integer only —
+    reference handler.py:366-392).
     """
     parts: list[DnfFilter] = []
     fields = {f.name: f.dataType for f in schema.fields}
@@ -88,7 +93,10 @@ def partition_dimensions_to_dnf(
         dtype = fields[dim.partition_expr]
         fmt = (date_formats or {}).get(dim.partition_expr)
         if isinstance(dtype, (TimestampType, DateType)):
-            conj = _time_window_partition_dnf(dim, dtype, input_dnf=input_dnf)
+            conj = _time_window_partition_dnf(
+                dim, dtype, input_dnf=input_dnf,
+                legacy_window_scope=legacy_window_scope,
+            )
             parts.extend(conj if isinstance(conj, list) else [conj])
         elif isinstance(dtype, StringType) or _is_integer(dtype):
             conj = _value_dnf(dim, dtype, fmt, input_dnf=input_dnf)
@@ -135,6 +143,7 @@ def _time_window_partition_dnf(
     dtype: DataType,
     *,
     input_dnf: bool,
+    legacy_window_scope: bool = False,
 ) -> Union[DnfFilter, list[DnfFilter]]:
     """TimeWindow(s) -> half-open range DNF (reference P2,
     handler.py:442-480).
@@ -145,12 +154,15 @@ def _time_window_partition_dnf(
     window spanning more than one partition value — a multi-day
     overwrite would leave stale partitions alive next to their
     replacements.  Write-path collapse additionally requires the
-    windows to be contiguous (see _require_contiguous)."""
+    windows to be contiguous (see _require_contiguous).
+
+    ``legacy_window_scope=True`` reproduces the reference write path
+    exactly: a single ``(col, "=", min(start))`` pin and no contiguity
+    guard — for migrating users who depend on the reference's scoping,
+    under-deletion included."""
     windows = _windows_of(dim)
     if not windows:
         raise ValueError(f"no time windows for partition {dim.partition_expr!r}")
-    if not input_dnf:
-        _require_contiguous(dim, windows)
     start = _strip_tz(min(w.start for w in windows))
     end = _strip_tz(max(w.end for w in windows))
     if isinstance(dtype, DateType):
@@ -158,6 +170,10 @@ def _time_window_partition_dnf(
         end_v: Any = end.date()
     else:
         start_v, end_v = start, end
+    if not input_dnf:
+        if legacy_window_scope:
+            return (dim.partition_expr, "=", start_v)
+        _require_contiguous(dim, windows)
     return [(dim.partition_expr, ">=", start_v), (dim.partition_expr, "<", end_v)]
 
 

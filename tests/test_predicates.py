@@ -184,6 +184,44 @@ def test_empty_windows_raise():
         )
 
 
+def test_legacy_window_scope_matches_reference():
+    """Opt-in reference compat (mirrors the reference's own DNF test,
+    dd tests test_io_manager.py:37-54 / handler.py:478-479): the write
+    path pins '=' start — timestamp and date — and skips the
+    contiguity guard the default mode enforces."""
+    for col, want in [
+        ("timestamp_col", datetime(2020, 1, 2)),
+        ("date_col", date(2020, 1, 2)),
+    ]:
+        dims = [TablePartitionDimension(col, WINDOW)]
+        dnf = partition_dimensions_to_dnf(
+            dims, SCHEMA, input_dnf=False, legacy_window_scope=True
+        )
+        assert dnf == [(col, "=", want)]
+    # gapped windows: default write path raises, legacy mode pins
+    # min(start) exactly as the reference collapses them
+    gapped = [TablePartitionDimension(
+        "timestamp_col",
+        [TimeWindow(datetime(2020, 1, 1), datetime(2020, 1, 2)),
+         TimeWindow(datetime(2020, 1, 9), datetime(2020, 1, 10))],
+    )]
+    with pytest.raises(ValueError, match="non-contiguous"):
+        partition_dimensions_to_dnf(gapped, SCHEMA, input_dnf=False)
+    dnf = partition_dimensions_to_dnf(
+        gapped, SCHEMA, input_dnf=False, legacy_window_scope=True
+    )
+    assert dnf == [("timestamp_col", "=", datetime(2020, 1, 1))]
+    # the read path is untouched by the flag
+    dnf = partition_dimensions_to_dnf(
+        [TablePartitionDimension("timestamp_col", WINDOW)],
+        SCHEMA, input_dnf=True, legacy_window_scope=True,
+    )
+    assert dnf == [
+        ("timestamp_col", ">=", datetime(2020, 1, 2)),
+        ("timestamp_col", "<", datetime(2020, 2, 3)),
+    ]
+
+
 def test_engulfing_windows_are_contiguous():
     """A window covering later ones must not be rejected as gapped
     (running-max-end coverage, not pairwise adjacency)."""
