@@ -25,6 +25,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import time
 import uuid
@@ -155,7 +156,11 @@ def _file_matches(
                 return False
             if op == ">=" and not pv >= value:
                 return False
+            if op == ">" and not pv > value:
+                return False
             if op == "<" and not pv < value:
+                return False
+            if op == "<=" and not pv <= value:
                 return False
         else:
             mins = add.stats.get("minValues", {})
@@ -170,9 +175,38 @@ def _file_matches(
                 return False
             if op == ">=" and hi < value:
                 return False
+            if op == ">" and hi <= value:
+                return False
             if op == "<" and lo >= value:
                 return False
+            if op == "<=" and lo > value:
+                return False
     return True
+
+
+_MERGE_EQ_RE = re.compile(r"^\(*\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)*$")
+
+
+def _merge_equi_keys(
+    predicate: str, target_alias: str, source_alias: str
+) -> list[tuple[str, str]]:
+    """(target_col, source_col) pairs from the predicate's top-level
+    equality conjuncts — the keys merge discovery can data-skip on.
+    Conservative by construction: any OR disables extraction, and
+    non-equality conjuncts are ignored (they only narrow the match set
+    further, so skipping on the equality keys alone still yields a
+    superset of the touched files)."""
+    if re.search(r"\bor\b", predicate, re.IGNORECASE):
+        return []
+    pairs = []
+    for part in re.split(r"\band\b", predicate, flags=re.IGNORECASE):
+        m = _MERGE_EQ_RE.match(part.strip())
+        if not m:
+            continue
+        a1, c1, a2, c2 = m.groups()
+        if {a1, a2} == {target_alias, source_alias}:
+            pairs.append((c1, c2) if a1 == target_alias else (c2, c1))
+    return pairs
 
 
 _DISTRIBUTED_STATS_THRESHOLD = 32
@@ -712,6 +746,43 @@ class DeltaSparkTable:
             pred = f"({pred}) AND ({dnf_to_sql(partition_dnf, qualifier=ta)})"
 
         candidates = self.pruned_files(snap, partition_dnf)
+        # stats-based discovery pruning (delta-rs prunes scanned files
+        # from the merge predicate; this is the Spark-side analogue):
+        # for equality merge keys, a file whose min/max range is
+        # disjoint from the source's key range cannot contain a match —
+        # drop it BEFORE the discovery join, so discovery cost scales
+        # with the touched fraction, not the table.  One tiny agg job
+        # (map-side partial + single reduce) computes the source
+        # bounds.  replace_delete_unmatched must keep every candidate:
+        # its unmatched rows are deleted, so out-of-range files are
+        # still rewritten.
+        if candidates and merge_config.merge_type != MergeType.replace_delete_unmatched:
+            tfields = {f.name for f in table_schema.fields}
+            eq = [
+                (tc, sc)
+                for tc, sc in _merge_equi_keys(merge_config.predicate, ta, sa)
+                if tc in tfields and sc in source.columns
+            ]
+            if eq:
+                aggs = []
+                for i, (_tc, sc) in enumerate(eq):
+                    aggs += [F.min(sc).alias(f"__lo{i}"),
+                             F.max(sc).alias(f"__hi{i}")]
+                bounds = source.agg(*aggs).first()
+                rng: list[DnfFilter] = []
+                for i, (tc, _sc) in enumerate(eq):
+                    lo, hi = bounds[f"__lo{i}"], bounds[f"__hi{i}"]
+                    if lo is not None and hi is not None:
+                        rng += [(tc, ">=", lo), (tc, "<=", hi)]
+                if rng:
+                    try:
+                        candidates = [
+                            a for a in candidates
+                            if _file_matches(a, rng, table_schema,
+                                             snap.partition_columns)
+                        ]
+                    except TypeError:
+                        pass  # incomparable stat/bound types: no pruning
         src = source.withColumn("__s_m", F.lit(1))
         cond = F.expr(pred)
 

@@ -171,3 +171,47 @@ def test_merge_on_partitioned_target_with_colliding_basenames(spark, tmp_table):
     t.merge(src, MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
     out = sorted((r.k, r.p, r.v) for r in t.read().collect())
     assert out == [(1, "a", 100), (2, "b", 200), (3, "a", 30), (4, "b", 40)]
+
+
+def test_merge_clustered_source_prunes_files(spark, tmp_table):
+    """Discovery-join file pruning pays off when the source is
+    clustered to the table's layout: an upsert whose keys span ~5% of
+    the key range must rewrite only the files covering that range, not
+    the whole table (rewrite cost ∝ touched fraction — docs/SCALE.md).
+    Contrast: a key-uniform source of the same size touches every
+    file."""
+    t = DeltaSparkTable(spark, tmp_table)
+    n, files = 100_000, 20
+    base = spark.range(n).selectExpr("id AS k", "id * 2 AS v")
+    t.write(base, WriteMode.error, cluster_by=["k"], cluster_files=files)
+    n_files = len(t.snapshot().files)
+    assert n_files >= files - 2  # range-clustered layout materialized
+
+    # clustered source: 5000 consecutive keys (~1/20 of the range).
+    # Instrument _read_files: stats pruning must shrink the DISCOVERY
+    # scan itself (first _read_files call), not just the rewrite set.
+    scanned = []
+    orig_read = DeltaSparkTable._read_files
+
+    def counting_read(self, snap, files):
+        scanned.append(len(files))
+        return orig_read(self, snap, files)
+
+    clustered = spark.range(5_000).selectExpr("id AS k", "id + 7 AS v")
+    try:
+        DeltaSparkTable._read_files = counting_read
+        res = t.merge(clustered,
+                      MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
+    finally:
+        DeltaSparkTable._read_files = orig_read
+    touched_frac = res["num_removed_files"] / n_files
+    assert touched_frac <= 0.25, (res["num_removed_files"], n_files)
+    assert scanned[0] <= n_files * 0.25, (scanned, n_files)
+    assert t.read().count() == n
+
+    # uniform source of the same size: every file has matches
+    uniform = spark.range(5_000).selectExpr(
+        f"id * {n // 5_000} AS k", "id AS v"
+    )
+    res2 = t.merge(uniform, MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
+    assert res2["num_removed_files"] >= n_files - 2
