@@ -976,6 +976,107 @@ def oracle_sql() -> dict[str, str]:
                    'text/plain' AS media_type
             FROM documents
         """,
+        # -- oracles for entries past the driver's 50-entry recording
+        # cap (observed r01+r02).  Harmless if still unrecorded
+        # (r01's orphaned oracles drew no error); fully checked the
+        # moment the cap lifts.  Same SQL as the DuckDB-anchored units
+        # in tests/test_misc_features.py, with driver-matching aliases.
+        "q2_min_cost_supplier": """
+            WITH unit AS (
+                SELECT l_partkey, l_suppkey,
+                       l_extendedprice / l_quantity AS up
+                FROM lineitem
+            ), mn AS (
+                SELECT l_partkey, min(up) AS mp FROM unit GROUP BY l_partkey
+            )
+            SELECT u.l_partkey AS l_partkey, u.l_suppkey AS s_suppkey,
+                   s.s_name AS s_name,
+                   CAST(min(m.mp) AS DOUBLE) AS min_unit_price
+            FROM unit u
+            JOIN mn m ON u.l_partkey = m.l_partkey AND u.up = m.mp
+            JOIN supplier s ON u.l_suppkey = s.s_suppkey
+            GROUP BY u.l_partkey, u.l_suppkey, s.s_name
+        """,
+        "q13_custdist": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            ) GROUP BY c_count
+        """,
+        "q21_sole_late_supplier": """
+            WITH late AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+            ), multi AS (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2
+            ), multi_late AS (
+                SELECT l_orderkey FROM late
+                GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2
+            )
+            SELECT s.s_name AS s_name, count(*) AS numwait
+            FROM late w
+            JOIN supplier s ON w.l_suppkey = s.s_suppkey
+            WHERE w.l_orderkey IN (SELECT l_orderkey FROM multi)
+              AND w.l_orderkey NOT IN (SELECT l_orderkey FROM multi_late)
+            GROUP BY s.s_name
+        """,
+        "event_funnel": """
+            WITH ev AS (SELECT user_id, event_type,
+                               CAST(ts AS TIMESTAMP) AS ts
+                        FROM events),
+            s1 AS (
+                SELECT user_id, min(ts) AS t FROM ev
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM ev e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM ev e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+                   count(*) AS n_users,
+                   quantile_cont(epoch(t) - epoch(t), 0.5)
+                       AS median_secs_from_start
+            FROM s1
+            UNION ALL
+            SELECT CAST(2 AS INT), 'click', count(*),
+                   quantile_cont(epoch(s2.t) - epoch(s1.t), 0.5)
+            FROM s2 JOIN s1 USING (user_id)
+            UNION ALL
+            SELECT CAST(3 AS INT), 'purchase', count(*),
+                   quantile_cont(epoch(s3.t) - epoch(s1.t), 0.5)
+            FROM s3 JOIN s1 USING (user_id)
+        """,
+        "ngram_frequency": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) >= 2 THEN
+                           list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i+1])
+                           ELSE [] END) AS gram
+                FROM toks
+            ), counts AS (
+                SELECT gram, count(*) AS n_occurrences,
+                       count(DISTINCT doc_id) AS doc_freq
+                FROM grams GROUP BY gram
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY n_occurrences DESC, gram ASC) AS INT) AS rank,
+                   gram, n_occurrences, doc_freq
+            FROM counts
+            ORDER BY rank LIMIT 100
+        """,
     }
 
 
