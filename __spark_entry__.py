@@ -32,6 +32,7 @@ from dagster_delta_spark import (
 )
 from dagster_delta_spark.operators import (
     asof,
+    curation,
     dedup,
     multimodal,
     relational,
@@ -383,14 +384,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _streaming_sessionize,
         "streaming_dedup": _streaming_dedup,
         "curate_corpus": _curate_corpus,
-        # registry-external TPC-H shapes + funnel: rows-only here (the
-        # 50 oracle-backed slots are taken); DuckDB twins live in
-        # tests/test_misc_features.py
+        # entries past the driver's 50-entry recording cap; each still
+        # carries an oracle_sql twin (checked locally by
+        # tools/check_oracles.py, and by the driver if the cap lifts)
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q13_custdist": relational.q13_order_count_distribution,
         "q21_sole_late_supplier": relational.q21_sole_late_supplier,
         "event_funnel": _event_funnel,
         "ngram_frequency": textops.ngram_frequency,
+        # curation operators (decontamination / PII / sampling /
+        # quantization — operators/curation.py)
+        "decontaminate": curation.decontaminate,
+        "scrub_pii": curation.scrub_pii,
+        "stratified_sample": curation.stratified_sample,
+        "quantize_embeddings": curation.quantize_embeddings,
     }
 
 
@@ -1077,7 +1084,105 @@ def oracle_sql() -> dict[str, str]:
             FROM counts
             ORDER BY rank LIMIT 100
         """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS t
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(t) >= 8 THEN
+                           list_transform(range(1, len(t) - 6),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    || ' ' || t[i+3] || ' ' || t[i+4]
+                                    || ' ' || t[i+5] || ' ' || t[i+6]
+                                    || ' ' || t[i+7])
+                           ELSE [] END) AS gram
+                FROM toks
+            ), eval_grams AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 3
+            ), ov AS (
+                SELECT g.doc_id, count(*) AS n
+                FROM grams g JOIN eval_grams e USING (gram)
+                GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(ov.n, 0) AS BIGINT)
+                       AS n_contaminated_ngrams,
+                   COALESCE(ov.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        """,
+        "scrub_pii": _scrub_pii_oracle(),
+        "stratified_sample": """
+            SELECT doc_id, source, lang, CAST(rn AS INT) AS pick_rank
+            FROM (
+                SELECT doc_id, source, lang,
+                       row_number() OVER (PARTITION BY source, lang
+                           ORDER BY md5(text), doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
+        "quantize_embeddings": """
+            WITH ex AS (
+                SELECT CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+                       unnest(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE))) AS v
+                FROM embeddings
+            ), dimstats AS (
+                SELECT dim, min(v) AS lo, max(v) AS hi FROM ex GROUP BY dim
+            ), sarr AS (
+                SELECT list(struct_pack(dim := dim, lo := lo, hi := hi)
+                            ORDER BY dim) AS st
+                FROM dimstats
+            ), qq AS (
+                SELECT vec_id, embedding, st,
+                       list_transform(range(1, len(embedding) + 1),
+                           i -> CAST(round(
+                               (CAST(embedding[i] AS DOUBLE) - st[i].lo) /
+                               (CASE WHEN st[i].hi > st[i].lo
+                                THEN (st[i].hi - st[i].lo) / 255.0
+                                ELSE 1.0 END)) - 128 AS INT)) AS qembedding
+                FROM embeddings, sarr
+            )
+            SELECT vec_id, qembedding,
+                   list_max(list_transform(range(1, len(embedding) + 1),
+                       i -> abs(CAST(embedding[i] AS DOUBLE)
+                           - ((CAST(qembedding[i] AS DOUBLE) + 128)
+                              * (CASE WHEN st[i].hi > st[i].lo
+                                 THEN (st[i].hi - st[i].lo) / 255.0
+                                 ELSE 1.0 END)
+                              + st[i].lo)))) AS max_abs_err
+            FROM qq
+        """,
     }
+
+
+def _scrub_pii_oracle() -> str:
+    """Sequential regexp_replace chain mirroring operators/curation.py
+    (_PII_PATTERNS order matters: each count runs on the text as
+    scrubbed so far)."""
+    from dagster_delta_spark.operators.curation import _PII_PATTERNS
+
+    sel_counts, prev, ctes = [], "text", []
+    for idx, (name, pat, token) in enumerate(_PII_PATTERNS):
+        lit = pat.replace("'", "''")
+        sel_counts.append(
+            f"CAST(len(regexp_split_to_array(t{idx}, '{lit}')) - 1 AS INT) "
+            f"AS n_{name}"
+        )
+        ctes.append(
+            f"s{idx} AS (SELECT *, regexp_replace(t{idx}, '{lit}', "
+            f"'{token}', 'g') AS t{idx + 1} FROM "
+            f"{'s' + str(idx - 1) if idx else 's_base'})"
+        )
+        prev = f"t{idx + 1}"
+    return f"""
+        WITH s_base AS (SELECT doc_id, text AS t0 FROM documents),
+        {', '.join(ctes)}
+        SELECT doc_id, {', '.join(sel_counts)}, {prev} AS clean_text
+        FROM s{len(_PII_PATTERNS) - 1}
+    """
 
 
 def _lang_id_oracle() -> str:

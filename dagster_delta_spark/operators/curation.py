@@ -1,0 +1,226 @@
+"""Training-data curation operators beyond dedup: decontamination,
+PII scrubbing, stratified quota sampling, embedding quantization.
+
+These cover the remaining steps a large-scale pretraining pipeline
+runs between raw corpus and training shards (the reference defers all
+user compute — SURVEY §2.6-2.8; this module is additive engine
+surface, like ``dedup.py``/``textops.py``).
+
+Scale design notes:
+- ``decontaminate``: the benchmark/eval set is small by construction
+  (thousands of documents vs billions) — its shingle set is
+  broadcast; the corpus-side scan stays embarrassingly parallel with
+  one aggregate shuffle on doc_id.
+- ``scrub_pii``: pure ``regexp_replace`` chains inside whole-stage
+  codegen; no shuffle at all (map-only), which is exactly what a
+  100 TB redaction pass must be.
+- ``stratified_sample``: per-stratum quota by deterministic content
+  hash — one window shuffle on the (bounded-cardinality) stratum key,
+  not on doc count; reproducible across runs/engines/retries.
+- ``quantize_embeddings``: per-dimension affine int8 quantization;
+  dimension stats are a posexplode + (dim) aggregate (tiny result,
+  broadcast back), the quantization itself is map-only array lambdas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import load
+from .textops import TOKENS
+
+# word 8-grams are the standard decontamination unit (long enough that
+# chance collisions are negligible, short enough to catch paraphrased
+# spans embedded in larger documents)
+_DECON_NGRAM = 8
+
+
+def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) stream of word n-grams, one shuffle on doc_id."""
+    from pyspark.sql.window import Window
+
+    ex = df.select("doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("tok")]
+    out = ex
+    for i in range(1, n):
+        out = out.withColumn(f"t{i}", F.lead("tok", i).over(w))
+        cols.append(F.col(f"t{i}"))
+    return (
+        out.where(cols[-1].isNotNull())
+        .select("doc_id", F.concat_ws(" ", *cols).alias("gram"))
+    )
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_set: DataFrame = None,
+    ngram: int = _DECON_NGRAM,
+    max_overlap: int = 0,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing more
+    than ``max_overlap`` distinct word ``ngram``-grams with an eval
+    set.  Returns (doc_id, n_contaminated_ngrams, contaminated) for
+    every document — the pipeline filters on ``contaminated``.
+
+    ``eval_set`` defaults to a deterministic stand-in (documents with
+    ``doc_id % 17 == 3`` play the "benchmark" — engine-agnostic, so
+    the DuckDB oracle selects the identical set), making the operator
+    runnable and oracle-checkable on the synthetic corpus; production
+    passes the real eval-set DataFrame (doc_id, text).
+
+    At 100 TB the eval shingle set stays thousands-of-rows — the join
+    is a broadcast semi-probe, the corpus scan map-parallel, and the
+    only shuffle is the per-doc overlap count."""
+    docs = load(spark, sf_dir, "documents")
+    if eval_set is None:
+        eval_set = docs.where(F.col("doc_id") % 17 == 3)
+    corpus_grams = _word_ngrams(docs, ngram).distinct()
+    eval_grams = (
+        _word_ngrams(eval_set, ngram).select("gram").distinct()
+    )
+    overlaps = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(overlaps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > max_overlap)
+            .alias("contaminated"),
+        )
+    )
+
+
+# deliberately simple, RE2-compatible patterns (both Spark's Java regex
+# and DuckDB's RE2 agree on them) so the redaction is oracle-checkable;
+# production swaps in its compliance-approved pattern pack
+_PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"(\+?[0-9]{1,3}[-. ])?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+     "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+]
+
+
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: replace emails/phones/IPv4s/SSNs with typed
+    placeholder tokens and count the redactions per document.
+
+    Map-only (no shuffle): a chain of ``regexp_replace`` plus
+    count-by-length-delta per pattern, all inside whole-stage codegen —
+    the shape a full-corpus redaction sweep needs at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = F.col("text")
+    counts = []
+    for name, pat, token in _PII_PATTERNS:
+        # occurrences = how many times the pattern matches the ORIGINAL
+        # text; count before replacement, on the running text, so
+        # overlapping pattern classes see the same input they replace
+        counts.append(
+            (F.size(F.split(scrubbed, pat, -1)) - 1).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return docs.select(
+        "doc_id", *counts, scrubbed.alias("clean_text")
+    )
+
+
+def stratified_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    per_stratum: int = 20,
+) -> DataFrame:
+    """Quota sampling: up to ``per_stratum`` documents per
+    (source, lang) stratum, chosen by content-hash order.
+
+    Deterministic (hash order, not rand()) so the sample is
+    reproducible across runs, engines, and retries — and the window
+    shuffle keys on the stratum, whose cardinality is bounded by
+    sources x languages, not by corpus size.  A skewed stratum still
+    funnels through one task; for quotas over very hot strata,
+    pre-filter with a hash-threshold pass (same trick as
+    ``deterministic_sample``) before ranking."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5("text"), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= per_stratum)
+        .select("doc_id", "source", "lang",
+                F.col("pick_rank").cast("int").alias("pick_rank"))
+    )
+
+
+def quantize_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Affine int8 quantization of the embedding column with
+    per-dimension scales — the memory/bandwidth lever for ANN over a
+    100 TB vector corpus (4x smaller than float32, dot products stay
+    SIMD-friendly).
+
+    Plan: posexplode -> per-dim (min, max) aggregate (a DIMS-row
+    result, broadcast back) -> map-only array lambda quantizes
+    ``q = round((v - min) / scale) - 128`` into [-128, 127].
+    Returns (vec_id, qembedding array<int>, max_abs_err double) so the
+    caller can audit reconstruction error per vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        # aggregate in DOUBLE: float32 lo/hi would make (hi - lo) round
+        # to float before the double division, a last-ulp divergence
+        # from any double-precision consumer (and the DuckDB oracle)
+        .agg(F.min(F.col("v").cast("double")).alias("lo"),
+             F.max(F.col("v").cast("double")).alias("hi"))
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "lo", "hi")))
+            .alias("stats")
+        )
+    )
+    # per-dim affine params ride in as a broadcast 1-row cross join
+    q = (
+        "transform(embedding, (v, i) -> "
+        "CAST(round((CAST(v AS DOUBLE) - stats[i].lo) / "
+        "(CASE WHEN stats[i].hi > stats[i].lo "
+        "THEN (stats[i].hi - stats[i].lo) / 255.0D ELSE 1.0D END)) - 128 "
+        "AS INT))"
+    )
+    deq = (
+        "zip_with(embedding, qembedding, (v, qv) -> "
+        "abs(CAST(v AS DOUBLE) - ((CAST(qv AS DOUBLE) + 128) * "
+        "(CASE WHEN stats[qd].hi > stats[qd].lo "
+        "THEN (stats[qd].hi - stats[qd].lo) / 255.0D ELSE 1.0D END) "
+        "+ stats[qd].lo)))"
+    )
+    quantized = (
+        emb.crossJoin(F.broadcast(dims))
+        .withColumn("qembedding", F.expr(q))
+    )
+    # max reconstruction error via a second zip (needs the dim index:
+    # re-zip with positions)
+    err = (
+        "array_max(zip_with(embedding, sequence(0, size(embedding) - 1), "
+        "(v, i) -> abs(CAST(v AS DOUBLE) - ("
+        "(CAST(element_at(qembedding, i + 1) AS DOUBLE) + 128) * "
+        "(CASE WHEN stats[i].hi > stats[i].lo "
+        "THEN (stats[i].hi - stats[i].lo) / 255.0D ELSE 1.0D END) "
+        "+ stats[i].lo))))"
+    )
+    return quantized.select(
+        "vec_id", "qembedding",
+        F.expr(err).cast("double").alias("max_abs_err"),
+    )
