@@ -388,7 +388,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carries an oracle_sql twin (checked locally by
         # tools/check_oracles.py, and by the driver if the cap lifts)
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q8_market_share": relational.q8_market_share,
+        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
+        "q10_returned_items": relational.q10_returned_items,
+        "q11_important_parts": relational.q11_important_parts,
         "q13_custdist": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
         "q21_sole_late_supplier": relational.q21_sole_late_supplier,
         "event_funnel": _event_funnel,
         "ngram_frequency": textops.ngram_frequency,
@@ -1003,6 +1008,86 @@ def oracle_sql() -> dict[str, str]:
             JOIN mn m ON u.l_partkey = m.l_partkey AND u.up = m.mp
             JOIN supplier s ON u.l_suppkey = s.s_suppkey
             GROUP BY u.l_partkey, u.l_suppkey, s.s_name
+        """,
+        "q8_market_share": """
+            WITH j AS (
+                SELECT year(o.o_orderdate) AS o_year,
+                       CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(30,10)) AS rev,
+                       sn.n_name AS s_nation
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                JOIN region r ON cn.n_regionkey = r.r_regionkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                WHERE r.r_name = 'EUROPE'
+            )
+            SELECT CAST(o_year AS INT) AS o_year,
+                   CAST(sum(CASE WHEN s_nation = 'NATION_7' THEN rev END)
+                        AS DOUBLE)
+                   / CAST(sum(rev) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY o_year
+        """,
+        "q9_profit_by_nation_year": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        - 0.5 * p.p_retailprice * l.l_quantity
+                        AS DECIMAL(30,10))) AS DOUBLE) AS sum_profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_type = 'PROMO'
+            GROUP BY n.n_name, year(o.o_orderdate)
+        """,
+        "q10_returned_items": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "q11_important_parts": """
+            WITH j AS (
+                SELECT l.l_partkey,
+                       CAST(l.l_extendedprice * l.l_quantity
+                            AS DECIMAL(30,10)) AS val
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE n.n_name = 'NATION_3'
+            ), per_part AS (
+                SELECT l_partkey, CAST(sum(val) AS DOUBLE) AS value
+                FROM j GROUP BY l_partkey
+            )
+            SELECT l_partkey, value FROM per_part
+            WHERE value > (SELECT CAST(sum(val) AS DOUBLE) FROM j) * 0.002
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(30,10))) AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT r.l_suppkey AS s_suppkey, s.s_name, r.total_revenue
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
         """,
         "q13_custdist": """
             SELECT c_count, count(*) AS custdist FROM (

@@ -736,3 +736,167 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# -- adapted TPC-H shapes q8-q11, q15 ---------------------------------------
+# The synthetic schema is trimmed (no partsupp, no commit/receipt dates,
+# generic p_type values), so these keep each query's SHAPE — the join
+# topology, aggregation pattern, and subquery structure the optimizer
+# has to handle — with parameters adapted to the data.  Money sums
+# accumulate in DECIMAL(30,10) for engine-independent results.
+
+_DEC_REV = ("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))")
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): for customers in region
+    EUROPE, the yearly share of revenue delivered by suppliers of
+    NATION_7 — two nation role-joins, a region anchor, and a
+    conditional-sum-over-sum ratio per group."""
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation")
+    cn = nation.join(F.broadcast(region),
+                     nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").alias("c_nk"))
+    sn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("s_nation"))
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(broadcast_if_small(cust.select("c_custkey", "c_nationkey"),
+                                 sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(broadcast_if_small(sup.select("s_suppkey", "s_nationkey"),
+                                 sf_dir, "supplier"),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.expr(f"CAST(SUM(CASE WHEN s_nation = 'NATION_7' THEN "
+                    f"{_DEC_REV} END) AS DOUBLE)")
+             / F.expr(f"CAST(SUM({_DEC_REV}) AS DOUBLE)"))
+            .alias("mkt_share")
+        )
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation
+    per year over PROMO parts.  No partsupp in the trimmed schema, so
+    supply cost is modeled as 0.5 * p_retailprice * l_quantity — the
+    shape (part filter, supplier-nation rollup, profit expression)
+    is intact."""
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    profit = (
+        "CAST(l_extendedprice * (1 - l_discount) "
+        "- 0.5 * p_retailprice * l_quantity AS DECIMAL(30,10))"
+    )
+    j = (
+        li.join(broadcast_if_small(part.select("p_partkey", "p_retailprice"),
+                                   sf_dir, "part"),
+                li.l_partkey == F.col("p_partkey"))
+        .join(broadcast_if_small(sup.select("s_suppkey", "s_nationkey"),
+                                 sf_dir, "supplier"),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"),
+                  F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.expr(f"CAST(SUM({profit}) AS DOUBLE)").alias("sum_profit"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter — selective fact filters, dim joins, grouped revenue,
+    deterministic top-k."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    j = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(broadcast_if_small(cust, sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(f"CAST(SUM({_DEC_REV}) AS DOUBLE)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part shipped value for
+    suppliers of NATION_3, kept where the part's value exceeds a
+    fraction of the national total — a grouped aggregate filtered by a
+    scalar subquery over the same aggregate.  partsupp is absent, so
+    value = sum(l_extendedprice * l_quantity) from lineitem."""
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    li = load(spark, sf_dir, "lineitem")
+    val = "CAST(l_extendedprice * l_quantity AS DECIMAL(30,10))"
+    j = li.join(
+        F.broadcast(
+            sup.join(F.broadcast(nation),
+                     sup.s_nationkey == nation.n_nationkey)
+            .select("s_suppkey")
+        ),
+        li.l_suppkey == F.col("s_suppkey"),
+    )
+    per_part = j.groupBy("l_partkey").agg(
+        F.expr(f"CAST(SUM({val}) AS DOUBLE)").alias("value"))
+    total = j.agg(
+        F.expr(f"CAST(SUM({val}) AS DOUBLE)").alias("t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("t") * 0.002)
+        .select("l_partkey", "value")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly per-supplier revenue,
+    keeping the supplier(s) whose revenue equals the maximum — the
+    view-plus-scalar-subquery pattern."""
+    sup = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.expr(f"CAST(SUM({_DEC_REV}) AS DOUBLE)")
+             .alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("m"))
+        .join(broadcast_if_small(sup.select("s_suppkey", "s_name"),
+                                 sf_dir, "supplier"),
+              rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
