@@ -122,9 +122,10 @@ def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrubbed = F.col("text")
     counts = []
     for name, pat, token in _PII_PATTERNS:
-        # occurrences = how many times the pattern matches the ORIGINAL
-        # text; count before replacement, on the running text, so
-        # overlapping pattern classes see the same input they replace
+        # each count runs on the RUNNING text (as scrubbed by earlier
+        # patterns), immediately before its own replacement — so every
+        # count sees exactly the input its replacement consumes, and
+        # text swallowed by an earlier pattern class is not re-counted
         counts.append(
             (F.size(F.split(scrubbed, pat, -1)) - 1).alias(f"n_{name}")
         )
@@ -198,13 +199,6 @@ def quantize_embeddings(
         "(CASE WHEN stats[i].hi > stats[i].lo "
         "THEN (stats[i].hi - stats[i].lo) / 255.0D ELSE 1.0D END)) - 128 "
         "AS INT))"
-    )
-    deq = (
-        "zip_with(embedding, qembedding, (v, qv) -> "
-        "abs(CAST(v AS DOUBLE) - ((CAST(qv AS DOUBLE) + 128) * "
-        "(CASE WHEN stats[qd].hi > stats[qd].lo "
-        "THEN (stats[qd].hi - stats[qd].lo) / 255.0D ELSE 1.0D END) "
-        "+ stats[qd].lo)))"
     )
     quantized = (
         emb.crossJoin(F.broadcast(dims))

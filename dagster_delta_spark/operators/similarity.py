@@ -267,7 +267,10 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     for f in files:
         if os.path.isfile(f):
             st = os.stat(f)
-            h.update(f"{os.path.relpath(f, sf_dir)}:{st.st_size}:{int(st.st_mtime)};"
+            # ns resolution: a same-second same-size rewrite must still
+            # change the fingerprint (relational.load keys on mtime_ns
+            # for the same reason)
+            h.update(f"{os.path.relpath(f, sf_dir)}:{st.st_size}:{st.st_mtime_ns};"
                       .encode())
     return h.hexdigest()[:16]
 
@@ -320,15 +323,16 @@ def ivf_train_centroids(
 
     from ..table import DeltaSparkTable
 
+    fingerprint = _corpus_fingerprint(sf_dir)
+    # fingerprint in the key: a corpus rewrite within this process must
+    # miss the cache and hit the retrain-on-change path below
     key = (
         spark.sparkContext.applicationId, sf_dir, n_cells, iters,
-        train_sample_mod,
+        train_sample_mod, fingerprint,
     )
     cached = _CENTROID_CACHE.get(key)
     if cached is not None:
         return cached
-
-    fingerprint = _corpus_fingerprint(sf_dir)
     params = {
         "n_cells": str(n_cells), "iters": str(iters),
         "train_sample_mod": str(train_sample_mod),

@@ -184,7 +184,25 @@ def _file_matches(
     return True
 
 
-_MERGE_EQ_RE = re.compile(r"^\(*\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)*$")
+_MERGE_EQ_RE = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
+
+
+def _strip_balanced_parens(s: str) -> str:
+    """Strip outer parens only while they wrap the WHOLE fragment.  A
+    fragment like ``t.y = s.y)`` (produced by splitting inside a group)
+    keeps its dangling paren and will not parse as an equality."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s  # closes before the end: not a full wrap
+        s = s[1:-1].strip()
+    return s
 
 
 def _merge_equi_keys(
@@ -192,15 +210,19 @@ def _merge_equi_keys(
 ) -> list[tuple[str, str]]:
     """(target_col, source_col) pairs from the predicate's top-level
     equality conjuncts — the keys merge discovery can data-skip on.
-    Conservative by construction: any OR disables extraction, and
-    non-equality conjuncts are ignored (they only narrow the match set
-    further, so skipping on the equality keys alone still yields a
-    superset of the touched files)."""
-    if re.search(r"\bor\b", predicate, re.IGNORECASE):
+    Conservative by construction: OR or NOT anywhere disables
+    extraction (an equality under NOT means out-of-range rows DO
+    match), a fragment with unbalanced parens (split inside a group)
+    never parses, and non-equality conjuncts are ignored (they only
+    narrow the match set further, so skipping on the equality keys
+    alone still yields a superset of the touched files)."""
+    if re.search(r"\bor\b|\bnot\b|!", predicate, re.IGNORECASE):
         return []
     pairs = []
-    for part in re.split(r"\band\b", predicate, flags=re.IGNORECASE):
-        m = _MERGE_EQ_RE.match(part.strip())
+    for part in re.split(r"\band\b",
+                         _strip_balanced_parens(predicate),
+                         flags=re.IGNORECASE):
+        m = _MERGE_EQ_RE.match(_strip_balanced_parens(part))
         if not m:
             continue
         a1, c1, a2, c2 = m.groups()
@@ -289,11 +311,13 @@ def _harvest_stats(
         return {}
     harvest = _make_stats_harvester()
     sc = spark.sparkContext
-    # the fan-out has executors open staging paths written by the driver,
-    # which only works when executors share the driver's filesystem —
-    # local mode here; on a real cluster staging lives on shared storage
-    # (s3/hdfs/nfs) or we fall back to the driver loop
-    shared_fs = sc.master.startswith("local") or "://" in str(paths[0])
+    # the fan-out has executors open staging paths written by the
+    # driver; _stage_dataframe stages on the driver's local filesystem,
+    # so the footer reads are only valid where executors share that
+    # filesystem — local mode.  A cluster deployment must stage on
+    # shared storage (s3/hdfs/nfs) and extend this guard to check the
+    # staging URI's scheme; until then the driver loop is the safe path.
+    shared_fs = sc.master.startswith("local")
     if len(paths) <= _DISTRIBUTED_STATS_THRESHOLD or not shared_fs:
         return dict(map(harvest, paths))
     slices = max(1, min(len(paths), sc.defaultParallelism * 4))
@@ -756,7 +780,14 @@ class DeltaSparkTable:
         # bounds.  replace_delete_unmatched must keep every candidate:
         # its unmatched rows are deleted, so out-of-range files are
         # still rewritten.
-        if candidates and merge_config.merge_type != MergeType.replace_delete_unmatched:
+        # the bounds agg RESULT is tiny but it re-evaluates the full
+        # source plan once — only worth paying when there are enough
+        # candidate files for pruning to matter (callers with expensive
+        # source pipelines should cache/localCheckpoint the source)
+        if (
+            len(candidates) >= 8
+            and merge_config.merge_type != MergeType.replace_delete_unmatched
+        ):
             tfields = {f.name for f in table_schema.fields}
             eq = [
                 (tc, sc)

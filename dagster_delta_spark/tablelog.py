@@ -301,15 +301,28 @@ def _version_fingerprint(table_uri: str, version: int) -> Optional[tuple[int, in
 
 
 def _copy_snapshot(snap: Snapshot) -> Snapshot:
-    """Snapshot.files (and AddFile dicts) are mutable; the cache must
-    never share an object with a caller — a caller mutating
-    table.snapshot() (or a writer reusing its snapshot_after) would
-    silently corrupt every later read of that version in-process."""
+    """Snapshot state is mutable (files list, AddFile dicts incl. the
+    NESTED minValues/maxValues/nullCount dicts, Metadata's list/dict
+    fields); the cache must never share any of it with a caller — a
+    caller mutating table.snapshot() (or a writer reusing its
+    snapshot_after) would silently corrupt every later read of that
+    version in-process."""
     return Snapshot(
         version=snap.version,
-        metadata=snap.metadata,
-        files=[replace(a, partition_values=dict(a.partition_values),
-                       stats=dict(a.stats)) for a in snap.files],
+        metadata=replace(
+            snap.metadata,
+            partition_columns=list(snap.metadata.partition_columns),
+            configuration=dict(snap.metadata.configuration),
+        ),
+        files=[
+            replace(
+                a,
+                partition_values=dict(a.partition_values),
+                stats={k: dict(v) if isinstance(v, dict) else v
+                       for k, v in a.stats.items()},
+            )
+            for a in snap.files
+        ],
         timestamp=snap.timestamp,
     )
 

@@ -215,3 +215,30 @@ def test_merge_clustered_source_prunes_files(spark, tmp_table):
     )
     res2 = t.merge(uniform, MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
     assert res2["num_removed_files"] >= n_files - 2
+
+
+def test_merge_not_predicate_disables_pruning(spark, tmp_table):
+    """An equality under NOT means out-of-range rows DO match; key
+    extraction must bail so no candidate file is mis-pruned (the
+    skip-no-op-updates predicate shape)."""
+    from dagster_delta_spark.table import _merge_equi_keys
+
+    assert _merge_equi_keys(
+        "t.k = s.k AND NOT (t.x = s.x AND t.y = s.y)", "t", "s"
+    ) == []
+
+    t = DeltaSparkTable(spark, tmp_table)
+    n, files = 20_000, 10
+    t.write(spark.range(n).selectExpr("id AS k", "id AS x", "id AS y"),
+            WriteMode.error, cluster_by=["k"], cluster_files=files)
+    # source matches ALL keys; NOT(...) is true wherever x/y changed —
+    # here y is shifted for keys outside the source's own y range, the
+    # exact rows a naive y-bounds prune would drop
+    src = spark.range(n).selectExpr(
+        "id AS k", "id AS x", "id + 1000000 AS y")
+    t.merge(src, MergeConfig(
+        MergeType.upsert,
+        predicate="t.k = s.k AND NOT (t.x = s.x AND t.y = s.y)"))
+    out = t.read()
+    assert out.count() == n
+    assert out.where("y < 1000000").count() == 0  # every row updated

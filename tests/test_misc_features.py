@@ -166,6 +166,19 @@ def test_snapshot_cache_isolated_from_caller_mutation(spark, tmp_table):
         f.partition_values.get("c") for f in fresh.files
     }
     assert t.read().count() == 2
+    # NESTED mutation: poke inside a stats dict and metadata lists —
+    # the copy must be deep enough that these don't reach the cache
+    if fresh.files[0].stats.get("minValues"):
+        k = next(iter(fresh.files[0].stats["minValues"]))
+        fresh.files[0].stats["minValues"][k] = 10**9
+    fresh.metadata.partition_columns.append("bogus")
+    again = t.snapshot()
+    assert again.partition_columns == ["c"]
+    assert all(
+        v != 10**9
+        for f in again.files
+        for v in (f.stats.get("minValues") or {}).values()
+    )
 
 
 def test_storage_conf_mapping_o7():
