@@ -369,8 +369,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup (oracle-backed)
         "dedup_exact": dedup.dedup_exact,
         "near_dup_jaccard": dedup.near_dup_jaccard,
-        # ---- end of the 50 oracle-backed entries ----
-        # rows-only checks (non-SQL-expressible; unit-tested instead)
+        # ---- end of the first 50 oracle-backed entries ----
+        # oracle-backed entries past the driver's 50-entry recording
+        # cap (observed r01+r02): unrecorded while the cap holds
+        # (checked locally by tools/check_oracles.py), fully checked by
+        # the driver the moment the cap lifts — which is why every
+        # oracle-backed entry sorts BEFORE the rows-only tail.
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q8_market_share": relational.q8_market_share,
+        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
+        "q10_returned_items": relational.q10_returned_items,
+        "q11_important_parts": relational.q11_important_parts,
+        "q13_custdist": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q20_excess_shipments": relational.q20_excess_shipments,
+        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+        "event_funnel": _event_funnel,
+        "ngram_frequency": textops.ngram_frequency,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "repetition_quality": textops.repetition_quality,
+        # curation operators (decontamination / PII / sampling /
+        # quantization / chunking / splits / packing —
+        # operators/curation.py)
+        "decontaminate": curation.decontaminate,
+        "scrub_pii": curation.scrub_pii,
+        "stratified_sample": curation.stratified_sample,
+        "quantize_embeddings": curation.quantize_embeddings,
+        "chunk_documents": curation.chunk_documents,
+        "assign_splits": curation.assign_splits,
+        "pack_sequences": curation.pack_sequences,
+        # ---- rows-only checks (non-SQL-expressible; unit-tested,
+        # several DuckDB-anchored in tests/) ----
         "minhash_lsh_near_dups": minhash_lsh,
         "minhash_cluster_keep": _minhash_cluster,
         "simhash_near_dups": simhash_pairs,
@@ -384,25 +413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _streaming_sessionize,
         "streaming_dedup": _streaming_dedup,
         "curate_corpus": _curate_corpus,
-        # entries past the driver's 50-entry recording cap; each still
-        # carries an oracle_sql twin (checked locally by
-        # tools/check_oracles.py, and by the driver if the cap lifts)
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
-        "q8_market_share": relational.q8_market_share,
-        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
-        "q10_returned_items": relational.q10_returned_items,
-        "q11_important_parts": relational.q11_important_parts,
-        "q13_custdist": relational.q13_order_count_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
-        "event_funnel": _event_funnel,
-        "ngram_frequency": textops.ngram_frequency,
-        # curation operators (decontamination / PII / sampling /
-        # quantization — operators/curation.py)
-        "decontaminate": curation.decontaminate,
-        "scrub_pii": curation.scrub_pii,
-        "stratified_sample": curation.stratified_sample,
-        "quantize_embeddings": curation.quantize_embeddings,
     }
 
 
@@ -1197,6 +1207,153 @@ def oracle_sql() -> dict[str, str]:
                        AS n_contaminated_ngrams,
                    COALESCE(ov.n, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        """,
+        "q20_excess_shipments": """
+            WITH shipped AS (
+                SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                  AND l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE '%widget%')
+                GROUP BY l_suppkey, l_partkey
+            ), stats AS (
+                SELECT l_partkey, sum(qty) AS total_qty,
+                       count(*) AS n_suppliers
+                FROM shipped GROUP BY l_partkey
+            ), heavy AS (
+                SELECT DISTINCT f.l_suppkey
+                FROM shipped f JOIN stats st ON f.l_partkey = st.l_partkey
+                WHERE f.qty * st.n_suppliers > 1.5 * st.total_qty
+            )
+            SELECT s.s_suppkey, s.s_name, n.n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_2'
+              AND s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+        """,
+        "tfidf_top_terms": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), nd AS (
+                SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       t.tf * (ln((CAST(nd.n_docs AS DOUBLE) + 1.0)
+                                  / (CAST(d.df AS DOUBLE) + 1.0)) + 1.0)
+                           AS tfidf
+                FROM tf t JOIN df d USING (term), nd
+            )
+            SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "repetition_quality": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), base AS (
+                SELECT doc_id,
+                       CAST(len(t) AS BIGINT) AS n_tokens,
+                       CASE WHEN len(t) = 0 THEN 0.0
+                            ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                                       / len(t) END AS dup_word_fraction
+                FROM t
+            ), g2 AS (
+                SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+                           list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i+1])
+                           ELSE [] END) AS gram
+                FROM t
+            ), a2 AS (
+                SELECT doc_id, max(c) AS top2, sum(c) AS tot2 FROM (
+                    SELECT doc_id, gram, count(*) AS c
+                    FROM g2 GROUP BY doc_id, gram
+                ) GROUP BY doc_id
+            ), g3 AS (
+                SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+                           list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                           ELSE [] END) AS gram
+                FROM t
+            ), a3 AS (
+                SELECT doc_id,
+                       sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3,
+                       sum(c) AS tot3
+                FROM (
+                    SELECT doc_id, gram, count(*) AS c
+                    FROM g3 GROUP BY doc_id, gram
+                ) GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_tokens, b.dup_word_fraction,
+                   coalesce(CAST(a2.top2 AS DOUBLE) / a2.tot2, 0.0)
+                       AS top_2gram_fraction,
+                   coalesce(CAST(a3.dup3 AS DOUBLE) / a3.tot3, 0.0)
+                       AS dup_3gram_fraction
+            FROM base b
+            LEFT JOIN a2 ON b.doc_id = a2.doc_id
+            LEFT JOIN a3 ON b.doc_id = a3.doc_id
+        """,
+        "chunk_documents": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS t, len({_TOK}) AS n
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, t, n,
+                       1 + CAST(greatest(ceil((n - 64) / 48.0), 0) AS BIGINT)
+                           AS n_chunks
+                FROM t WHERE n > 0
+            ), ex AS (
+                SELECT doc_id, t, n,
+                       unnest(range(0, n_chunks)) AS i
+                FROM sized
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                   array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ')
+                       AS chunk_text,
+                   CAST(least(64, n - i * 48) AS BIGINT) AS n_chunk_tokens
+            FROM ex
+        """,
+        "assign_splits": """
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 52428 THEN 'train'
+                        WHEN bucket < 58982 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       CAST('0x' || substring(md5(text), 1, 4) AS INTEGER)
+                           AS bucket
+                FROM documents
+            )
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, md5(text) AS fp,
+                       CAST(len({_TOK}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), sharded AS (
+                SELECT *, CAST(CAST('0x' || substring(fp, 5, 2) AS INTEGER)
+                               % 16 AS INT) AS shard
+                FROM t
+            ), cum AS (
+                SELECT doc_id, shard, n_tokens,
+                       CAST(sum(n_tokens) OVER (PARTITION BY shard
+                           ORDER BY fp, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_tokens
+                FROM sharded
+            )
+            SELECT doc_id, shard, n_tokens, cum_tokens,
+                   CAST(floor((cum_tokens - n_tokens) / 256.0) AS INT)
+                       AS seq_id
+            FROM cum
         """,
         "scrub_pii": _scrub_pii_oracle(),
         "stratified_sample": """

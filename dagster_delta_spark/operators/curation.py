@@ -218,3 +218,128 @@ def quantize_embeddings(
         "vec_id", "qembedding",
         F.expr(err).cast("double").alias("max_abs_err"),
     )
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    token windows of ``chunk_tokens`` advancing by ``stride`` — the
+    passage/context-window shaping step between curated corpus and
+    training shards (and the retrieval-passage cut for embedding
+    indexes).
+
+    Map-only: tokenization, window arithmetic and slicing are all
+    array expressions on the document's own row, then one posexplode —
+    no shuffle at all, so the pass scales with input splits exactly
+    like a scan.  A document always yields >= 1 chunk (the final one
+    may be short); empty-token documents yield none."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.expr(TOKENS).alias("t"))
+        .withColumn("n", F.size("t"))
+        .where(F.col("n") > 0)
+    )
+    n_chunks = (
+        f"1 + CAST(greatest(ceil((n - {chunk_tokens}) / "
+        f"CAST({stride} AS DOUBLE)), 0) AS INT)"
+    )
+    chunks = (
+        f"transform(sequence(0, {n_chunks} - 1), i -> "
+        f"array_join(slice(t, i * {stride} + 1, {chunk_tokens}), ' '))"
+    )
+    return (
+        toks.select(
+            "doc_id", "n",
+            F.posexplode(F.expr(chunks)).alias("chunk_id", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            "chunk_text",
+            F.least(
+                F.lit(chunk_tokens),
+                F.col("n") - F.col("chunk_id") * stride,
+            ).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def assign_splits(
+    spark: SparkSession,
+    sf_dir: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash: the
+    first 4 hex digits of md5(text) bucket each document into
+    [0, 65536), and fixed thresholds carve the buckets into splits.
+
+    Keying on CONTENT (not doc_id or rand()) gives the two properties
+    a training split needs: reproducible across runs, engines and
+    retries, and leakage-proof against exact duplicates — byte-equal
+    documents hash to the same bucket, so a text can never straddle
+    train and test.  (Near-duplicate leakage is the dedup family's
+    job, upstream of this pass.)  Map-only, no shuffle."""
+    train_hi = 65536 * train_pct // 100
+    val_hi = 65536 * (train_pct + val_pct) // 100
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr("conv(substring(md5(text), 1, 4), 16, 10)").cast("int")
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < train_hi, "train")
+        .when(bucket < val_hi, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 256,
+    num_shards: int = 16,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    training sequences (bins) by running a token cumsum in a
+    deterministic content-hash order and cutting a new bin every
+    ``budget`` tokens.  Bin identity is (shard, seq_id).
+
+    Exact first-fit packing is inherently sequential, so the corpus is
+    first sharded by a content-hash byte (``num_shards`` ways) and
+    each shard packs independently — the window's partition key is the
+    shard, giving ``num_shards``-way parallelism with bounded state;
+    at cluster scale ``num_shards`` rises with executor count and the
+    only cost is one boundary bin per shard left partially filled.
+    Hash-ordering is reproducible across runs/engines/retries (no
+    rand(), no Spark-specific hash)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.expr(f"size({TOKENS})").cast("long").alias("n_tokens"),
+    ).withColumn(
+        "shard",
+        (F.expr("conv(substring(fp, 5, 2), 16, 10)").cast("int")
+         % num_shards),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("fp", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget))
+        .cast("int").alias("seq_id"),
+    )

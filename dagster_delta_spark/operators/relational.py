@@ -900,3 +900,65 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               rev.l_suppkey == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+def q20_excess_shipments(
+    spark: SparkSession,
+    sf_dir: str,
+    family: str = "%widget%",
+    factor: float = 1.5,
+    nation_name: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    nation who shipped an above-average share of a part-name family in
+    1996.  Without a partsupp table, lineitem plays the supply
+    relation: per-(supplier, part) shipped quantity stands in for
+    ps_availqty, and the correlated threshold is 1.5x the part's mean
+    per-supplier shipped quantity (Q20 uses 0.5x the year's demand
+    against availqty).  The SHAPE is preserved: name-LIKE-filtered
+    parts, a correlated per-part threshold subquery, a distinct
+    semi-join into supplier, and a nation anchor.
+
+    Scale: the part-family filter lands BEFORE the per-part stats, so
+    both the stats aggregate and the threshold probe touch only the
+    family's rows; the threshold compare is sum-based
+    (qty * n_suppliers > 1.5 * total_qty) so no engine-dependent
+    division; supplier/nation are size-gated broadcasts.  l_quantity
+    is integer-valued, so the double sums are exact and
+    order-independent on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    fam_parts = part.where(F.col("p_name").like(family)).select("p_partkey")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(broadcast_if_small(fam_parts, sf_dir, "part"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    stats = shipped.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    heavy = (
+        shipped.join(stats, "l_partkey")
+        .where(
+            F.col("qty") * F.col("n_suppliers") > factor * F.col("total_qty")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = nation if nation_name is None else nation.where(
+        F.col("n_name") == nation_name
+    )
+    return (
+        sup.join(broadcast_if_small(nat, sf_dir, "nation"),
+                 sup.s_nationkey == F.col("n_nationkey"))
+        .join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )

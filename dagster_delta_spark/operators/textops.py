@@ -195,3 +195,116 @@ def ngram_frequency(
         top.withColumn("rank", F.row_number().over(rank))
         .select("rank", "gram", "n_occurrences", "doc_freq")
     )
+
+
+def tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, top_k: int = 5
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword/topic signal a
+    curation pipeline uses for clustering, domain tagging, and
+    duplicate triage.  idf = ln((N+1)/(df+1)) + 1 (smoothed, always
+    positive); ties break on term ascending.
+
+    Scale: term frequencies and document frequencies are two keyed
+    aggregations (doc_id x term, then term); the tf-df join shuffles
+    on term — stopword-grade hot terms skew that key, which AQE's
+    skew-join splitting absorbs (df is one row per term, so the build
+    side stays flat).  The corpus size N rides in as a broadcast
+    1-row cross join, and the final top-k window partitions by doc_id
+    — per-document state only, never a global sort."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + 1.0)
+                        / (F.col("df").cast("double") + 1.0)
+                    )
+                    + 1.0
+                )
+            ).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, most-frequent-2-gram share, and the fraction of 3-grams
+    that occur more than once.  High values mark boilerplate,
+    keyword-stuffed, or generation-looped text that a pretraining
+    filter drops.
+
+    Scale: the word-level signal is a map-only array expression; the
+    n-gram signals explode to (doc_id, gram) and aggregate twice with
+    doc_id in every grouping key, so all shuffles are partitioned by
+    document — per-doc state, embarrassingly parallel across the
+    corpus.  No global aggregation anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(TOKENS).alias("t"))
+    base = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN size(t) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+            "1.0 - CAST(size(array_distinct(t)) AS DOUBLE) / size(t) END"
+        ).alias("dup_word_fraction"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        expr = (
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(sequence(1, size(t) - {n - 1}), i -> "
+            + " || ' ' || ".join(f"element_at(t, i + {j})" for j in range(n))
+            + ") ELSE array() END"
+        )
+        return toks.select("doc_id", F.explode(F.expr(expr)).alias("gram"))
+
+    top2 = (
+        grams(2).groupBy("doc_id", "gram").count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top2"),
+            F.sum("count").alias("tot2"),
+        )
+    )
+    dup3 = (
+        grams(3).groupBy("doc_id", "gram").count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0))
+            .alias("dup3"),
+            F.sum("count").alias("tot3"),
+        )
+    )
+    return (
+        base.join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_word_fraction",
+            F.coalesce(
+                F.col("top2").cast("double") / F.col("tot2"), F.lit(0.0)
+            ).alias("top_2gram_fraction"),
+            F.coalesce(
+                F.col("dup3").cast("double") / F.col("tot3"), F.lit(0.0)
+            ).alias("dup_3gram_fraction"),
+        )
+    )

@@ -100,3 +100,155 @@ def test_quantize_embeddings_error_bound(spark):
     ).first()
     assert stats.worst <= step / 2 + 1e-9, (stats.worst, step)
     assert -128 <= stats.lo and stats.hi <= 127
+
+
+def test_tfidf_rare_term_outranks_common(spark, tmp_path):
+    """A term unique to one doc beats a corpus-wide term there; ranks
+    are dense per doc and scores match the smoothed-idf formula."""
+    import math
+
+    from dagster_delta_spark.operators.textops import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana", "en", "web", 1),
+        (2, "banana cherry", "en", "web", 1),
+        (3, "banana date", "en", "web", 1),
+    ]
+    out = tfidf_top_terms(spark, _write_docs(spark, tmp_path, rows),
+                          top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.term for r in d1] == ["apple", "banana"]
+    # tf=2, df=1, N=3 -> 2 * (ln(4/2) + 1)
+    assert d1[0].tfidf == pytest.approx(2 * (math.log(2.0) + 1), rel=1e-9)
+    # banana is in every doc: idf = ln(4/4) + 1 = 1, tf = 1
+    assert d1[1].tfidf == pytest.approx(1.0, rel=1e-9)
+    d2 = sorted(by_doc[2], key=lambda r: r.rank)
+    assert [r.term for r in d2] == ["cherry", "banana"]
+
+
+def test_repetition_quality_signals(spark, tmp_path):
+    from dagster_delta_spark.operators.textops import repetition_quality
+
+    rows = [
+        (1, "a a a a", "en", "web", 1),          # pure repetition
+        (2, "w x y z", "en", "web", 1),          # all distinct
+        (3, "q", "en", "web", 1),                # too short for grams
+    ]
+    out = {r.doc_id: r for r in
+           repetition_quality(spark, _write_docs(spark, tmp_path, rows))
+           .collect()}
+    r1 = out[1]
+    assert r1.n_tokens == 4
+    assert r1.dup_word_fraction == pytest.approx(0.75)
+    assert r1.top_2gram_fraction == pytest.approx(1.0)   # "a a" x3 of 3
+    assert r1.dup_3gram_fraction == pytest.approx(1.0)   # "a a a" x2 of 2
+    r2 = out[2]
+    assert r2.dup_word_fraction == pytest.approx(0.0)
+    assert r2.top_2gram_fraction == pytest.approx(1.0 / 3)
+    assert r2.dup_3gram_fraction == pytest.approx(0.0)
+    r3 = out[3]
+    assert (r3.n_tokens, r3.top_2gram_fraction, r3.dup_3gram_fraction) == \
+        (1, 0.0, 0.0)
+
+
+def test_chunk_documents_sliding_windows(spark, tmp_path):
+    from dagster_delta_spark.operators.curation import chunk_documents
+
+    toks10 = [f"w{i}" for i in range(10)]
+    rows = [
+        (1, " ".join(toks10), "en", "web", 1),
+        (2, "only two", "en", "web", 1),
+        (3, "!!! ...", "en", "web", 1),  # no tokens -> no chunks
+    ]
+    out = chunk_documents(spark, _write_docs(spark, tmp_path, rows),
+                          chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 10 tokens, window 4, stride 3 -> chunks at offsets 0, 3, 6
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in d1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [r.n_chunk_tokens for r in d1] == [4, 4, 4]
+    d2 = by_doc[2]
+    assert len(d2) == 1 and d2[0].chunk_text == "only two"
+    assert d2[0].n_chunk_tokens == 2
+    assert 3 not in by_doc
+
+
+def test_chunk_documents_short_tail(spark, tmp_path):
+    """11 tokens with window 4 / stride 3: the last window is short and
+    its token count reflects the truncation."""
+    from dagster_delta_spark.operators.curation import chunk_documents
+
+    rows = [(1, " ".join(f"w{i}" for i in range(11)), "en", "web", 1)]
+    out = sorted(
+        chunk_documents(spark, _write_docs(spark, tmp_path, rows),
+                        chunk_tokens=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_text for r in out] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9 w10",
+    ]
+    assert [r.n_chunk_tokens for r in out] == [4, 4, 4, 2]
+
+
+def test_assign_splits_deterministic_by_content(spark, tmp_path):
+    import hashlib
+
+    from dagster_delta_spark.operators.curation import assign_splits
+
+    texts = [f"document number {i} with some words" for i in range(40)]
+    texts.append(texts[0])  # exact duplicate must land in the same split
+    rows = [(i, t, "en", "web", 1) for i, t in enumerate(texts)]
+    out = {r.doc_id: r for r in
+           assign_splits(spark, _write_docs(spark, tmp_path, rows))
+           .collect()}
+    assert len(out) == 41
+    for doc_id, text in enumerate(texts):
+        bucket = int(hashlib.md5(text.encode()).hexdigest()[:4], 16)
+        expected = ("train" if bucket < 52428
+                    else "val" if bucket < 58982 else "test")
+        assert out[doc_id].bucket == bucket
+        assert out[doc_id].split == expected
+    assert out[40].split == out[0].split
+
+
+def test_pack_sequences_sharded_cumsum(spark, tmp_path):
+    """cum_tokens/seq_id match a Python replay of the hash-ordered
+    per-shard cumsum; bins advance every `budget` tokens."""
+    import hashlib
+    import re
+
+    from dagster_delta_spark.operators.curation import pack_sequences
+
+    texts = [f"doc {i} " + " ".join(f"tok{j}" for j in range(i % 7))
+             for i in range(30)]
+    rows = [(i, t, "en", "web", 1) for i, t in enumerate(texts)]
+    out = pack_sequences(spark, _write_docs(spark, tmp_path, rows),
+                         budget=10, num_shards=4).collect()
+    assert len(out) == 30
+
+    def n_toks(t):
+        return len([x for x in re.split(r"[^a-z0-9]+", t.lower()) if x])
+
+    expect = {}
+    shards = {}
+    for doc_id, text in enumerate(texts):
+        fp = hashlib.md5(text.encode()).hexdigest()
+        shards.setdefault(int(fp[4:6], 16) % 4, []).append(
+            (fp, doc_id, n_toks(text))
+        )
+    for shard, docs in shards.items():
+        cum = 0
+        for fp, doc_id, n in sorted(docs):
+            seq_id = cum // 10
+            cum += n
+            expect[doc_id] = (shard, n, cum, seq_id)
+    got = {r.doc_id: (r.shard, r.n_tokens, r.cum_tokens, r.seq_id)
+           for r in out}
+    assert got == expect

@@ -255,7 +255,7 @@ def _duck_views(sf_dir):
     import duckdb
 
     con = duckdb.connect()
-    for t in ("customer", "orders", "lineitem", "supplier"):
+    for t in ("customer", "orders", "lineitem", "supplier", "part", "nation"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
 
@@ -434,3 +434,38 @@ def test_ngram_frequency_matches_duckdb(spark):
     """).fetchall()
     assert got == [tuple(r) for r in want]
     assert len(got) == 20
+
+
+def test_q20_shape_matches_duckdb(spark):
+    """Adapted Q20 (excess 1996 shipments of the widget family by
+    NATION_2 suppliers) == DuckDB formulation on the same parquet."""
+    from dagster_delta_spark.operators.relational import q20_excess_shipments
+
+    got = sorted(
+        (r.s_suppkey, r.s_name, r.n_name)
+        for r in q20_excess_shipments(spark, SF001, nation_name=None)
+        .collect()
+    )
+    con = _duck_views(SF001)
+    want = sorted(con.sql("""
+        WITH shipped AS (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%widget%')
+            GROUP BY l_suppkey, l_partkey
+        ), stats AS (
+            SELECT l_partkey, sum(qty) AS total_qty, count(*) AS n_suppliers
+            FROM shipped GROUP BY l_partkey
+        ), heavy AS (
+            SELECT DISTINCT f.l_suppkey
+            FROM shipped f JOIN stats st ON f.l_partkey = st.l_partkey
+            WHERE f.qty * st.n_suppliers > 1.5 * st.total_qty
+        )
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """).fetchall())
+    assert got == want and len(got) > 0
