@@ -279,6 +279,16 @@ def _emb_neardup_lsh(spark, sf_dir):
     return similarity.embedding_near_dups_lsh(spark, sf_dir)
 
 
+def _semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-bounded near-dup pruning (rows-only:
+    k-means cells + float cosine aren't SQL-expressible; the greedy
+    keep-min-id rule is unit-tested against brute force on planted
+    duplicates).  The fixture embeddings carry no true semantic dups
+    (max pairwise cosine ~0.51), so the registry entry runs at a low
+    threshold to exercise the drop path on driver data."""
+    return similarity.semantic_dedup(spark, sf_dir, threshold=0.4)
+
+
 def _ivf_ann(spark, sf_dir):
     return similarity.ivf_ann_topk(spark, sf_dir)
 
@@ -406,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": _ivf_ann,
         "embedding_near_dups_lsh": _emb_neardup_lsh,
+        "semantic_dedup": _semantic_dedup,
         "ann_recall_report": _ann_recall,
         "multimodal_features": mm_features,
         # streaming (batch twin `events_hourly_rollup` carries the oracle)

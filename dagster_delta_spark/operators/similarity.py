@@ -486,6 +486,59 @@ def embedding_near_dups_lsh(
     )
 
 
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95,
+    n_cells: int = 32,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): cluster the embedding corpus with the
+    IVF coarse quantizer, compare pairs ONLY within a cluster, and for
+    every near-duplicate pair (cosine >= threshold) keep the smaller
+    ``vec_id``.  A vector is dropped iff SOME smaller-id vector in its
+    cell is a near-dup of it — the standard one-pass greedy rule
+    (deterministic, no iteration; a dropped vector's ``dup_of`` points
+    at its smallest-id in-cell near-dup).
+
+    Scale shape: candidate generation is the cell-bounded self-join
+    O(sum_c m_c^2) instead of O(n^2) — the same bound FAISS-based
+    SemDeDup relies on.  At 100 TB raise ``n_cells`` so cells stay
+    ~1-10k vectors (cost per cell is quadratic, cells are independent
+    tasks); the assignment pass stays one broadcast map-side job.  The
+    per-pair work is a codegen'd float dot product; no Python in the
+    hot path.
+    """
+    assigned = ivf_assignments(spark, sf_dir, n_cells)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"), F.col("norm").alias("norm_a"),
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"), F.col("norm").alias("norm_b"),
+    )
+    dot = DOT.format(a="emb_a", b="emb_b")
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(dot) / (F.col("norm_a") * F.col("norm_b")))
+        .where(F.col("cosine") >= threshold)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(
+            F.min("id_a").alias("dup_of"),
+            F.max("cosine").cast("double").alias("max_cosine"),
+        )
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of", "max_cosine",
+        )
+    )
+
+
 def ann_recall_report(
     spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5,
 ) -> DataFrame:

@@ -323,3 +323,66 @@ def test_curate_near_dedup_keeps_surviving_cluster_member(spark, tmp_path):
     kept = {r["doc_id"] for r in out.collect()}
     assert 1 not in kept  # filtered by quality
     assert kept & {2, 3}, "cluster must keep a surviving member"
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark, tmp_path):
+    """Planted near-identical vectors are dropped in favour of the
+    smallest vec_id, and the full keep set matches the greedy rule
+    applied brute-force on the operator's own cell assignment."""
+    import numpy as np
+    import pandas as pd
+
+    from dagster_delta_spark.operators.similarity import (
+        ivf_assignments,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(60).toPandas()
+    rng = np.random.default_rng(7)
+    planted = []
+    for src, new_id in ((0, 9001), (0, 9002), (1, 9003)):
+        v = np.asarray(emb.iloc[src]["embedding"], dtype=np.float32)
+        v = v + rng.normal(0, 1e-4, v.shape).astype(np.float32)
+        planted.append(
+            {"vec_id": new_id, "embedding": v.tolist(),
+             "label": int(emb.iloc[src]["label"])}
+        )
+    both = pd.concat([emb, pd.DataFrame(planted)], ignore_index=True)
+    d = tmp_path / "mini"
+    d.mkdir()
+    spark.createDataFrame(both).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
+
+    out = semantic_dedup(spark, str(d), threshold=0.99, n_cells=4).toPandas()
+    keep = {int(v) for v in out[out["keep"]]["vec_id"]}
+    assert not keep & {9001, 9002, 9003}, "planted copies must be dropped"
+    originals = {int(emb.iloc[0]["vec_id"]), int(emb.iloc[1]["vec_id"])}
+    assert originals <= keep, "smallest-id member of each dup group survives"
+    dup_of = {int(r.vec_id): int(r.dup_of)
+              for r in out.itertuples() if not r.keep}
+    assert dup_of[9001] == int(emb.iloc[0]["vec_id"])
+    assert dup_of[9003] == int(emb.iloc[1]["vec_id"])
+
+    # brute-force equivalence: drop b iff some a<b in the SAME CELL has
+    # cosine(a,b) >= threshold (using the operator's own assignment)
+    cells = {
+        int(r.vec_id): int(r.cell)
+        for r in ivf_assignments(spark, str(d), n_cells=4)
+        .select("vec_id", "cell").toPandas().itertuples()
+    }
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in both.itertuples()}
+    expected_drop = set()
+    ids = sorted(vecs)
+    for j, b_id in enumerate(ids):
+        vb = vecs[b_id]
+        for a_id in ids[:j]:
+            if cells[a_id] != cells[b_id]:
+                continue
+            va = vecs[a_id]
+            cos = float(va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
+            if cos >= 0.99:
+                expected_drop.add(b_id)
+                break
+    assert {int(v) for v in out[~out["keep"]]["vec_id"]} == expected_drop
