@@ -507,7 +507,11 @@ def semantic_dedup(
     per-pair work is a codegen'd float dot product; no Python in the
     hot path.
     """
-    assigned = ivf_assignments(spark, sf_dir, n_cells)
+    # consumed three times (both self-join sides + the final left join):
+    # checkpoint so the broadcast-assignment pass runs once, not thrice
+    assigned = ivf_assignments(spark, sf_dir, n_cells).localCheckpoint(
+        eager=False
+    )
     a = assigned.select(
         "cell", F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"), F.col("norm").alias("norm_a"),
