@@ -72,6 +72,20 @@ def w2_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read: appends land as pure deltas tagged with their
+    commit version; the consumer resumes from the last version it
+    processed instead of rescanning the table."""
+    t = DeltaSparkTable(spark, _scratch("cdc"))
+    orders = _orders(spark, sf_dir)
+    t.write(orders.where("o_orderstatus = 'F'"), WriteMode.error)       # v0
+    t.write(orders.where("o_orderstatus = 'O'"), WriteMode.append)      # v1
+    t.write(orders.where("o_orderstatus = 'P'"), WriteMode.append)      # v2
+    return t.read_changes(0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "_commit_version"
+    )
+
+
 def w3_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/O1: overwrite only partition 'F'; other partitions survive."""
     t = DeltaSparkTable(spark, _scratch("w3"))
@@ -408,6 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": curation.chunk_documents,
         "assign_splits": curation.assign_splits,
         "pack_sequences": curation.pack_sequences,
+        # incremental read feed off the commit log (table layer)
+        "cdc_read_changes": cdc_read_changes,
         # ---- rows-only checks (non-SQL-expressible; unit-tested,
         # several DuckDB-anchored in tests/) ----
         "minhash_lsh_near_dups": minhash_lsh,
@@ -835,6 +851,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) < 6553
         """,
         # write-path end states
+        "cdc_read_changes": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   CAST(1 AS INTEGER) AS _commit_version
+            FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   CAST(2 AS INTEGER) AS _commit_version
+            FROM orders WHERE o_orderstatus = 'P'
+        """,
         "w1_w4_error_ignore": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
         "w2_append": "SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')",
         "w3_partition_overwrite": """

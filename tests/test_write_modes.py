@@ -169,3 +169,50 @@ def test_many_file_write_distributed_stats(spark, tmp_table):
         total += num_rows
     assert total == 4000
     assert t.read().count() == 4000
+
+
+# -- incremental reads (read_changes) ---------------------------------------
+
+
+def test_read_changes_appends_only_new_rows(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.error)                          # v0
+    t.write(spark.createDataFrame([(7, 8)], "a bigint, b bigint"),
+            WriteMode.append)                                          # v1
+    t.write(spark.createDataFrame([(9, 10)], "a bigint, b bigint"),
+            WriteMode.append)                                          # v2
+    got = {(r["a"], r["_commit_version"])
+           for r in t.read_changes(0).collect()}
+    assert got == {(7, 1), (9, 2)}
+    # inclusive-from-the-beginning feed picks up the initial create
+    assert {r["a"] for r in t.read_changes(-1).collect()} == {1, 2, 3, 7, 9}
+    # bounded range
+    assert {r["a"] for r in t.read_changes(0, 1).collect()} == {7}
+    # empty range -> empty frame, schema carries the version column
+    empty = t.read_changes(2)
+    assert empty.count() == 0 and "_commit_version" in empty.columns
+
+
+def test_read_changes_rejects_rewrites_unless_opted_in(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.error)                          # v0
+    t.write(spark.createDataFrame([(7, 8)], "a bigint, b bigint"),
+            WriteMode.overwrite)                                       # v1
+    with pytest.raises(ValueError, match="rewrite"):
+        t.read_changes(0)
+    # file-level feed on request: the overwrite's added file comes out
+    assert {r["a"] for r in t.read_changes(0, allow_rewrites=True)
+            .collect()} == {7}
+
+
+def test_read_changes_skips_compaction_commits(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(two_col(spark), WriteMode.error)                          # v0
+    for i in range(3):                                                # v1-v3
+        t.write(spark.createDataFrame([(10 + i, 0)], "a bigint, b bigint"),
+                WriteMode.append)
+    t.optimize()                                                      # v4
+    t.write(spark.createDataFrame([(99, 0)], "a bigint, b bigint"),
+            WriteMode.append)                                         # v5
+    got = {(r["a"], r["_commit_version"]) for r in t.read_changes(3).collect()}
+    assert got == {(99, 5)}, "compaction rows must not re-emit"
