@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_read_changes": cdc_read_changes,
         # ---- rows-only checks (non-SQL-expressible; unit-tested,
         # several DuckDB-anchored in tests/) ----
+        "sketch_profile": textops.sketch_profile,
         "minhash_lsh_near_dups": minhash_lsh,
         "minhash_cluster_keep": _minhash_cluster,
         "simhash_near_dups": simhash_pairs,

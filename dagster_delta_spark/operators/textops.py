@@ -308,3 +308,37 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_3gram_fraction"),
         )
     )
+
+
+def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based per-source profiling: HLL++ distinct counts and
+    Greenwald-Khanna approximate percentiles.
+
+    The 100 TB rationale: exact COUNT(DISTINCT key) shuffles every
+    distinct key; exact percentiles sort the column.  Both sketches are
+    constant-size per partition and merge associatively, so the whole
+    profile is ONE map-side pass + a tiny merge — the only way corpus
+    dashboards stay cheap at scale.  Rows-only in the driver gate:
+    sketch outputs are estimator-specific (DuckDB's t-digest/HLL
+    differ); the unit test bounds them against exact values (HLL rsd,
+    GK accuracy epsilon).
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.approx_count_distinct("text", 0.02).alias("approx_distinct_texts"),
+            F.approx_count_distinct("doc_id", 0.02).alias("approx_distinct_docs"),
+            F.percentile_approx(
+                "n_chars", [0.5, 0.9, 0.99], 10000
+            ).alias("n_chars_p50_p90_p99"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "source", "approx_distinct_texts", "approx_distinct_docs",
+            F.col("n_chars_p50_p90_p99")[0].alias("n_chars_p50"),
+            F.col("n_chars_p50_p90_p99")[1].alias("n_chars_p90"),
+            F.col("n_chars_p50_p90_p99")[2].alias("n_chars_p99"),
+            "n_rows",
+        )
+    )

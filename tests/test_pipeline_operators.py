@@ -386,3 +386,39 @@ def test_semantic_dedup_drops_planted_duplicates(spark, tmp_path):
                 expected_drop.add(b_id)
                 break
     assert {int(v) for v in out[~out["keep"]]["vec_id"]} == expected_drop
+
+
+def test_sketch_profile_within_estimator_bounds(spark):
+    """HLL++ distinct estimates land within the configured rsd of the
+    exact counts; GK percentiles land between neighbouring exact
+    order statistics."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.operators.textops import sketch_profile
+
+    prof = {r["source"]: r for r in sketch_profile(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {
+        r["source"]: r
+        for r in docs.groupBy("source").agg(
+            F.countDistinct("text").alias("d_texts"),
+            F.countDistinct("doc_id").alias("d_docs"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    assert set(prof) == set(exact)
+    for s, p in prof.items():
+        e = exact[s]
+        assert p["n_rows"] == e["n"]
+        # 2% rsd sketches: allow 4 sigma
+        for approx_col, exact_val in (
+            ("approx_distinct_texts", e["d_texts"]),
+            ("approx_distinct_docs", e["d_docs"]),
+        ):
+            assert abs(p[approx_col] - exact_val) <= max(2, 0.08 * exact_val)
+        assert e["lo"] <= p["n_chars_p50"] <= e["hi"]
+        # high accuracy + small fixture => p50 is (near-)exact
+        assert abs(p["n_chars_p50"] - e["p50"]) <= max(2, 0.02 * e["p50"])
