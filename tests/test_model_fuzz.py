@@ -180,3 +180,43 @@ def test_write_scope_raises_iff_union_has_gap(spans):
 
         with pytest.raises(ValueError, match="non-contiguous"):
             partition_dimensions_to_dnf(dims, _TS_SCHEMA, input_dnf=False)
+
+
+def test_read_changes_matches_append_model(spark, tmp_path):
+    """Random append/optimize sequences: the incremental feed must
+    reproduce exactly the appended batches (tagged with their commit
+    version), resume correctly from every checkpoint version, and
+    never re-emit compacted rows."""
+    rnd = random.Random(99)
+    for trial in range(2):
+        t = DeltaSparkTable(spark, str(tmp_path / f"c{trial}"))
+        batches = {}
+        sdf, pdf = _mk_df(spark, rnd)
+        t.write(sdf, WriteMode.error)
+        batches[t.version()] = sorted(map(tuple, pdf.itertuples(index=False)))
+        for _ in range(12):
+            if rnd.random() < 0.25:
+                t.optimize(target_file_size=1 << 20)
+                continue
+            sdf, pdf = _mk_df(spark, rnd)
+            t.write(sdf, WriteMode.append)
+            batches[t.version()] = sorted(
+                map(tuple, pdf.itertuples(index=False))
+            )
+        feed = [(r["k"], r["v"], r["_commit_version"])
+                for r in t.read_changes(-1).collect()]
+        assert sorted((k, v) for k, v, _ in feed) == _table_state(t)
+        byv = {}
+        for k, v, cv in feed:
+            byv.setdefault(cv, []).append((k, v))
+        assert {cv: sorted(rows) for cv, rows in byv.items()} == batches
+        for start in sorted(batches):
+            got = sorted(
+                (r["k"], r["v"], r["_commit_version"])
+                for r in t.read_changes(start).collect()
+            )
+            want = sorted(
+                (k, v, cv)
+                for cv in batches if cv > start for k, v in batches[cv]
+            )
+            assert got == want, f"trial {trial} resume from {start}"
