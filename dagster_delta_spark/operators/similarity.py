@@ -392,14 +392,31 @@ def ivf_assignments(
     centroids: Optional[DataFrame] = None, train_iters: int = 1,
 ) -> DataFrame:
     """IVF coarse quantization: k-means-trained centroids (see
-    ``ivf_train_centroids``), then one broadcast assignment pass."""
+    ``ivf_train_centroids``), then one broadcast assignment pass.
+
+    The assignment IS the index's inverted-list half — in a production
+    IVF it's built once with the centroids and only PROBED per query.
+    The default path therefore caches the checkpointed assignment per
+    (session, corpus fingerprint, params) alongside the centroid cache;
+    queries pay probe + rerank only.  Passing explicit ``centroids``
+    bypasses the cache (training-loop internals need fresh
+    assignments)."""
+    if centroids is None:
+        key = (
+            "assign", spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), n_cells, train_iters,
+            _corpus_fingerprint(sf_dir),
+        )
+        hit = _CENTROID_CACHE.get(key)
+        if hit is not None:
+            return hit
+        cents = ivf_train_centroids(spark, sf_dir, n_cells, train_iters)
+        emb = _with_norm(load(spark, sf_dir, "embeddings"))
+        out = _assign_cells(emb, cents).localCheckpoint(eager=False)
+        _CENTROID_CACHE[key] = out
+        return out
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
-    cents = (
-        centroids
-        if centroids is not None
-        else ivf_train_centroids(spark, sf_dir, n_cells, train_iters)
-    )
-    return _assign_cells(emb, cents)
+    return _assign_cells(emb, centroids)
 
 
 def ivf_ann_topk(
@@ -417,7 +434,7 @@ def ivf_ann_topk(
     from pyspark.sql.window import Window
 
     cents = ivf_train_centroids(spark, sf_dir, n_cells)
-    assigned = ivf_assignments(spark, sf_dir, n_cells, centroids=cents)
+    assigned = ivf_assignments(spark, sf_dir, n_cells)
     queries = assigned.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -507,11 +524,10 @@ def semantic_dedup(
     per-pair work is a codegen'd float dot product; no Python in the
     hot path.
     """
-    # consumed three times (both self-join sides + the final left join):
-    # checkpoint so the broadcast-assignment pass runs once, not thrice
-    assigned = ivf_assignments(spark, sf_dir, n_cells).localCheckpoint(
-        eager=False
-    )
+    # consumed three times (both self-join sides + the final left join);
+    # ivf_assignments returns a session-cached checkpointed frame, so
+    # the broadcast-assignment pass runs once, not thrice
+    assigned = ivf_assignments(spark, sf_dir, n_cells)
     a = assigned.select(
         "cell", F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"), F.col("norm").alias("norm_a"),
