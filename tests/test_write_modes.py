@@ -216,3 +216,18 @@ def test_read_changes_skips_compaction_commits(spark, tmp_table):
             WriteMode.append)                                         # v5
     got = {(r["a"], r["_commit_version"]) for r in t.read_changes(3).collect()}
     assert got == {(99, 5)}, "compaction rows must not re-emit"
+
+
+def test_read_changes_partitioned_appends(spark, tmp_table):
+    """Partition columns (hive-encoded in paths) survive the
+    incremental read of added files."""
+    t = DeltaSparkTable(spark, tmp_table)
+    df0 = spark.createDataFrame([(1, "x"), (2, "y")], "a bigint, p string")
+    t.write(df0, WriteMode.error, partition_columns=["p"])             # v0
+    t.write(spark.createDataFrame([(3, "x")], "a bigint, p string"),
+            WriteMode.append)                                          # v1
+    got = {(r["a"], r["p"], r["_commit_version"])
+           for r in t.read_changes(0).collect()}
+    assert got == {(3, "x", 1)}
+    full = {(r["a"], r["p"]) for r in t.read_changes(-1).collect()}
+    assert full == {(1, "x"), (2, "y"), (3, "x")}
