@@ -424,6 +424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": curation.pack_sequences,
         # incremental read feed off the commit log (table layer)
         "cdc_read_changes": cdc_read_changes,
+        # corpus-trained unigram LM quality score (CCNet-style)
+        "unigram_quality": textops.unigram_quality,
         # ---- rows-only checks (non-SQL-expressible; unit-tested,
         # several DuckDB-anchored in tests/) ----
         "sketch_profile": textops.sketch_profile,
@@ -860,6 +862,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderstatus, o_totalprice,
                    CAST(2 AS INTEGER) AS _commit_version
             FROM orders WHERE o_orderstatus = 'P'
+        """,
+        "unigram_quality": f"""
+            WITH ex AS (
+                SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+            ), cnt AS (
+                SELECT tok, count(*) AS c FROM ex GROUP BY tok
+            ), tot AS (SELECT sum(c) AS s FROM cnt)
+            SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   avg(ln(cnt.c / tot.s)) AS avg_logprob
+            FROM ex JOIN cnt USING (tok) CROSS JOIN tot
+            GROUP BY ex.doc_id
         """,
         "w1_w4_error_ignore": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
         "w2_append": "SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')",

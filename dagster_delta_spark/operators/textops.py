@@ -342,3 +342,37 @@ def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+def unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM score per document (the CCNet-style
+    quality filter, simplified to unigrams): average token
+    log-probability under the corpus's own unigram distribution.
+    Boilerplate-heavy and natural documents separate cleanly; extreme
+    scores mark junk or highly repetitive text.
+
+    Shape: one token-count aggregate (shuffle on token, map-side
+    combined), the corpus total as a 1-row broadcast scalar, then a
+    token⋈count join (skew on stopword-grade keys absorbed by AQE —
+    the count side is one row per token) and a per-doc aggregate.
+    Linear in corpus tokens at any scale; no Python in the plan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
+    # checkpoint the vocabulary counts: the scalar total derives from
+    # them, and without truncation its lineage re-tokenizes the whole
+    # corpus a second time (visible as a duplicate FileScan in the plan)
+    counts = (
+        ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    total = counts.agg(F.sum("c").alias("s"))
+    return (
+        ex.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(F.log(F.col("c") / F.col("s"))).alias("avg_logprob"),
+        )
+    )
