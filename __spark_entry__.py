@@ -86,6 +86,34 @@ def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-offset streaming source e2e (dds_table, Spark 4 Python
+    DataSource API): three append commits stream out exactly once; the
+    optimize() between them contributes nothing (compaction-safe, which
+    the plain file-source is not)."""
+    from dagster_delta_spark.streaming import DeltaSparkTableDataSource
+
+    spark.dataSource.register(DeltaSparkTableDataSource)
+    t = DeltaSparkTable(spark, _scratch("tsrc"))
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.write(orders.where("o_orderstatus = 'F'"), WriteMode.error)       # v0
+    t.write(orders.where("o_orderstatus = 'O'"), WriteMode.append)      # v1
+    t.optimize()                                                        # v2
+    t.write(orders.where("o_orderstatus = 'P'"), WriteMode.append)      # v3
+    name = f"tsrc_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("dds_table").option("path", t.table_uri)
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 def w3_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/O1: overwrite only partition 'F'; other partitions survive."""
     t = DeltaSparkTable(spark, _scratch("w3"))
@@ -426,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_read_changes": cdc_read_changes,
         # corpus-trained unigram LM quality score (CCNet-style)
         "unigram_quality": textops.unigram_quality,
+        # version-offset streaming source (exactly-once, compaction-safe)
+        "streaming_table_source": streaming_table_source,
         # ---- rows-only checks (non-SQL-expressible; unit-tested,
         # several DuckDB-anchored in tests/) ----
         "sketch_profile": textops.sketch_profile,
@@ -873,6 +903,10 @@ def oracle_sql() -> dict[str, str]:
                    avg(ln(cnt.c / tot.s)) AS avg_logprob
             FROM ex JOIN cnt USING (tok) CROSS JOIN tot
             GROUP BY ex.doc_id
+        """,
+        "streaming_table_source": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
         """,
         "w1_w4_error_ignore": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
         "w2_append": "SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')",

@@ -10,3 +10,7 @@ from .events import (  # noqa: F401
     stream_into_table,
     stream_upsert_into_table,
 )
+from .table_source import (  # noqa: F401
+    DeltaSparkTableDataSource,
+    DeltaSparkTableStreamReader,
+)

@@ -227,3 +227,64 @@ def test_jsonl_roundtrip_with_schema(spark, tmp_path):
     a = {r["doc_id"]: r["text"] for r in docs.collect()}
     b = {r["doc_id"]: r["text"] for r in back.collect()}
     assert a == b
+
+
+def test_version_offset_stream_is_compaction_safe(spark, tmp_path):
+    """The dds_table source streams by COMMIT VERSION: appends arrive
+    exactly once, optimize() emits nothing (the file-source approach
+    would re-ingest every compacted row), and partition columns are
+    reconstructed from the log."""
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark.streaming import DeltaSparkTableDataSource
+
+    spark.dataSource.register(DeltaSparkTableDataSource)
+    uri = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, uri)
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, p string")
+    t.write(df, WriteMode.error, partition_columns=["p"])             # v0
+    t.write(spark.createDataFrame([(3, "x")], "k bigint, p string"),
+            WriteMode.append)                                          # v1
+
+    stream = (spark.readStream.format("dds_table")
+              .option("path", uri).load())
+    q = (stream.writeStream.format("memory").queryName("t_vstream")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    got = {(r["k"], r["p"]) for r in spark.table("t_vstream").collect()}
+    assert got == {(1, "x"), (2, "y"), (3, "x")}
+
+    t.optimize()                                                       # v2
+    t.write(spark.createDataFrame([(4, "z")], "k bigint, p string"),
+            WriteMode.append)                                          # v3
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r["k"], r["p"]) for r in spark.table("t_vstream").collect())
+    assert got == [(1, "x"), (2, "y"), (3, "x"), (4, "z")], (
+        "compaction must not re-emit rows"
+    )
+
+
+def test_version_offset_stream_fails_on_rewrite(spark, tmp_path):
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark.streaming import DeltaSparkTableDataSource
+
+    spark.dataSource.register(DeltaSparkTableDataSource)
+    uri = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, uri)
+    df = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    t.write(df, WriteMode.error)
+    stream = (spark.readStream.format("dds_table")
+              .option("path", uri).load())
+    q = (stream.writeStream.format("memory").queryName("t_vstream_rw")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    assert spark.table("t_vstream_rw").count() == 1
+    t.write(df, WriteMode.overwrite)
+    try:
+        q.processAllAvailable()
+        streaming_failed = False
+    except Exception:
+        streaming_failed = True
+    finally:
+        q.stop()
+    assert streaming_failed, "rewrite commits must fail the stream loudly"
