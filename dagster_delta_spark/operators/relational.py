@@ -86,14 +86,25 @@ def broadcast_if_small(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read the nanos as long and convert to a µs
-    timestamp with integer division (DIV keeps full int64 precision —
-    float division would lose it at 1e18 ns)."""
+    """Load events.parquet with ``ts`` normalized to TIMESTAMP_LTZ.
+
+    The fixture's physical type has varied across testdata generations:
+    TIMESTAMP(NANOS) (Spark reads as long under ``nanosAsLong``) and
+    TIMESTAMP(MICROS) isAdjustedToUTC=false (Spark reads as
+    TIMESTAMP_NTZ).  Downstream operators do epoch arithmetic
+    (``cast(ts as long)`` / ``unix_timestamp``), which Spark 4 ANSI
+    permits on LTZ but rejects on NTZ — so every variant is converted
+    here, once, with the session timezone pinned UTC so NTZ->LTZ is an
+    identity on the wall-clock values the oracle engine sees."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # nanos-as-long -> µs timestamp; DIV keeps full int64 precision
         df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

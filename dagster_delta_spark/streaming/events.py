@@ -30,9 +30,13 @@ def read_events_stream(
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # TIMESTAMP(NANOS) parquet read as long -> µs timestamp
         df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS) isAdjustedToUTC=false -> LTZ under UTC session
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
