@@ -10,6 +10,7 @@ small driver-side outputs.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Type
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +19,52 @@ from pyspark.sql import DataFrame, SparkSession
 class UnsupportedTypeError(TypeError):
     """Reference contract (dd tests test_type_handler.py:161-170):
     'does not have a handler for type ...'."""
+
+
+class DriverMaterializationError(RuntimeError):
+    """Raised when a collecting handler (pandas/arrow/polars) would pull
+    more than the configured row cap onto the driver."""
+
+
+#: default cap on rows a collecting handler materializes driver-side.
+#: ~10M rows of mixed scalars is low-GB driver memory; a 100 TB asset
+#: routed to the pandas handler fails fast instead of OOMing the driver.
+DEFAULT_MATERIALIZE_CAP_ROWS = 10_000_000
+
+
+def _materialize_cap_rows(override: Optional[int] = None) -> int:
+    if override is not None:
+        return override
+    return int(
+        os.environ.get(
+            "DDS_MATERIALIZE_CAP_ROWS", DEFAULT_MATERIALIZE_CAP_ROWS
+        )
+    )
+
+
+def guard_driver_materialization(
+    df: DataFrame, cap_rows: Optional[int] = None, handler: str = "pandas"
+) -> DataFrame:
+    """Fail fast before a driver-side collect of an oversized frame.
+
+    The probe is ``df.limit(cap+1).count()`` — a LocalLimit that stops
+    scanning once cap+1 rows surface, so the guard costs far less than
+    the collect it protects (and nothing measurable on small outputs).
+    ``cap_rows <= 0`` disables the guard (power users / tests).
+    """
+    cap = _materialize_cap_rows(cap_rows)
+    if cap <= 0:
+        return df
+    probed = df.limit(cap + 1).count()
+    if probed > cap:
+        raise DriverMaterializationError(
+            f"Refusing to materialize more than {cap:,} rows onto the "
+            f"driver via the {handler} type handler (result exceeds the "
+            f"cap). Use the DataFrame handler for large outputs, or "
+            f"raise DDS_MATERIALIZE_CAP_ROWS / the handler's "
+            f"materialize_cap_rows if the driver has headroom."
+        )
+    return df
 
 
 class SparkTypeHandler:
@@ -52,18 +99,23 @@ class PandasTypeHandler(SparkTypeHandler):
     """pandas handler for small driver-side outputs (U3 analogue:
     reference's polars handler collects LazyFrames on write,
     ddp:42-43 — same caveat applies: only for data that fits the
-    driver)."""
+    driver).  ``materialize_cap_rows`` bounds the collect (default
+    ``DDS_MATERIALIZE_CAP_ROWS`` / 10M rows); oversized frames raise
+    ``DriverMaterializationError`` pointing at the DataFrame handler."""
 
-    def __init__(self) -> None:
+    def __init__(self, materialize_cap_rows: Optional[int] = None) -> None:
         import pandas as pd
 
         self.supported_types = (pd.DataFrame,)
+        self.materialize_cap_rows = materialize_cap_rows
 
     def to_spark(self, spark: SparkSession, obj: Any) -> DataFrame:
         return spark.createDataFrame(obj)
 
     def from_spark(self, df: DataFrame, target_type: Type) -> Any:
-        return df.toPandas()
+        return guard_driver_materialization(
+            df, self.materialize_cap_rows, "pandas"
+        ).toPandas()
 
     def get_output_stats(self, obj: Any) -> dict[str, Any]:
         # reference ddp:90-104 reports num_rows_in_source
@@ -73,10 +125,11 @@ class PandasTypeHandler(SparkTypeHandler):
 class ArrowTypeHandler(SparkTypeHandler):
     """pyarrow Table handler (U2 analogue, handler.py:320-347)."""
 
-    def __init__(self) -> None:
+    def __init__(self, materialize_cap_rows: Optional[int] = None) -> None:
         import pyarrow as pa
 
         self.supported_types = (pa.Table, pa.RecordBatchReader)
+        self.materialize_cap_rows = materialize_cap_rows
 
     def to_spark(self, spark: SparkSession, obj: Any) -> DataFrame:
         import pyarrow as pa
@@ -93,6 +146,9 @@ class ArrowTypeHandler(SparkTypeHandler):
     def from_spark(self, df: DataFrame, target_type: Type) -> Any:
         import pyarrow as pa
 
+        df = guard_driver_materialization(
+            df, self.materialize_cap_rows, "arrow"
+        )
         # df.toArrow() (Spark 4) collects over Arrow IPC — no
         # pandas round-trip and exact arrow types
         table = (
@@ -119,10 +175,11 @@ class PolarsTypeHandler(SparkTypeHandler):
     default load type is the eager DataFrame (ddp:163-166).  Only
     registered when polars is importable."""
 
-    def __init__(self) -> None:
+    def __init__(self, materialize_cap_rows: Optional[int] = None) -> None:
         import polars as pl
 
         self.supported_types = (pl.DataFrame, pl.LazyFrame)
+        self.materialize_cap_rows = materialize_cap_rows
 
     def to_spark(self, spark: SparkSession, obj: Any) -> DataFrame:
         import polars as pl
@@ -134,6 +191,9 @@ class PolarsTypeHandler(SparkTypeHandler):
     def from_spark(self, df: DataFrame, target_type: Type) -> Any:
         import polars as pl
 
+        df = guard_driver_materialization(
+            df, self.materialize_cap_rows, "polars"
+        )
         out = pl.from_pandas(df.toPandas())
         if target_type is pl.LazyFrame:
             return out.lazy()

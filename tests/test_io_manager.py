@@ -475,3 +475,46 @@ def test_formatted_window_overwrite_replaces_every_covered_partition(
     assert {r["day_str"] for r in loaded.collect()} == {
         "2024-03-01", "2024-03-02"
     }
+
+
+def test_materialization_guard_trips(spark):
+    """Collecting handlers refuse frames above the row cap with a
+    message pointing at the DataFrame handler (VERDICT r4 #4: a 100 TB
+    asset routed to the pandas handler must fail fast, not OOM the
+    driver)."""
+    from dagster_delta_spark.handler import (
+        ArrowTypeHandler,
+        DriverMaterializationError,
+        PandasTypeHandler,
+    )
+    import pandas as pd
+
+    big = spark.range(100)
+    pandas_h = PandasTypeHandler(materialize_cap_rows=10)
+    with pytest.raises(DriverMaterializationError, match="DataFrame handler"):
+        pandas_h.from_spark(big, pd.DataFrame)
+    arrow_h = ArrowTypeHandler(materialize_cap_rows=10)
+    with pytest.raises(DriverMaterializationError, match="DataFrame handler"):
+        import pyarrow as pa
+
+        arrow_h.from_spark(big, pa.Table)
+    # under the cap: passes through; cap<=0 disables the guard
+    assert len(PandasTypeHandler(materialize_cap_rows=200).from_spark(
+        big, pd.DataFrame)) == 100
+    assert len(PandasTypeHandler(materialize_cap_rows=0).from_spark(
+        big, pd.DataFrame)) == 100
+
+
+def test_materialization_guard_env_cap(spark, monkeypatch):
+    """DDS_MATERIALIZE_CAP_ROWS configures the default cap."""
+    from dagster_delta_spark.handler import (
+        DriverMaterializationError,
+        PandasTypeHandler,
+    )
+    import pandas as pd
+
+    monkeypatch.setenv("DDS_MATERIALIZE_CAP_ROWS", "5")
+    with pytest.raises(DriverMaterializationError):
+        PandasTypeHandler().from_spark(spark.range(6), pd.DataFrame)
+    assert len(PandasTypeHandler().from_spark(
+        spark.range(5), pd.DataFrame)) == 5

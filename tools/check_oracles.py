@@ -56,20 +56,37 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     # registry invariant: the driver records only the FIRST 50 entries
-    # (observed r01+r02), so no recorded slot may be wasted on a
-    # rows-only entry while an oracle-backed one sits beyond the cap.
-    # Oracle-backed entries PAST 50 are fine — unrecorded under the cap
-    # (r01's orphans drew no error), fully checked if the cap lifts.
-    # Checked on full runs only (a targeted `check_oracles.py dir q`
-    # debug run shouldn't gate).
+    # (observed r01-r04), and the window ROTATES across rounds so union
+    # coverage driver-verifies everything (round 5+).  An entry may sit
+    # past the cap only if a committed CORRECTNESS_r*.json already
+    # records it driver-green — i.e. no entry is ever *permanently*
+    # unrecorded.  Checked on full runs only (a targeted
+    # `check_oracles.py dir q` debug run shouldn't gate).
     if not only:
-        head = list(qs)[:50]
-        rows_only_head = [n for n in head if n not in oracles]
-        overflow = [n for n in list(qs)[50:] if n in oracles]
-        if rows_only_head and overflow:
-            print(f"REGISTRY VIOLATION: rows-only {rows_only_head} occupy "
-                  f"recorded slots while oracle-backed {overflow} sit past "
-                  "the 50-entry cap; reorder.")
+        import glob
+        import json
+        import os
+
+        recorded: set[str] = set()
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            try:
+                rows = json.load(open(path))
+            except (OSError, ValueError):
+                continue
+            recorded.update(
+                k for k, v in rows.items()
+                if isinstance(v, dict) and v.get("rows_match")
+                and not v.get("err")
+            )
+        never_recorded = [
+            n for n in list(qs)[50:] if n not in recorded
+        ]
+        if never_recorded:
+            print(f"REGISTRY VIOLATION: {never_recorded} sit past the "
+                  "driver's 50-entry recording cap and have no driver-green "
+                  "row in any committed CORRECTNESS_r*.json; rotate them "
+                  "into the first 50.")
             sys.exit(2)
     failures = []
     for name, fn in qs.items():
