@@ -220,3 +220,49 @@ def test_non_contiguous_window_overwrite_raises(spark, tmp_table):
     dnf = partition_dimensions_to_dnf(dims, t.schema(), input_dnf=True)
     assert dnf == [("time", ">=", date(2022, 1, 1)),
                    ("time", "<", date(2022, 1, 6))]
+
+
+def test_legacy_window_scope_e2e_write(spark, tmp_path):
+    """Reference-compat flag e2e: a 2-day window overwrite through the
+    full io-manager write path with ``legacy_window_scope=True`` pins
+    only '=' start (reference handler.py:479-480) — day 2's stale rows
+    SURVIVE next to their replacements (the documented under-deletion),
+    while the default half-open scope replaces both days."""
+    from datetime import date, datetime
+
+    from dagster_delta_spark.io_manager import AssetContext, DeltaSparkIOManager
+
+    def seed_and_rewrite(mgr, key):
+        ctx0 = AssetContext(asset_key=["s", key], partition_dimensions=[
+            TablePartitionDimension("time", TimeWindow(
+                datetime(2022, 1, 1), datetime(2022, 1, 3)))])
+        seed = spark.createDataFrame(
+            [(date(2022, 1, 1), "old", 1), (date(2022, 1, 2), "old", 2)],
+            "time date, run string, b bigint",
+        )
+        mgr.handle_output(ctx0, seed)
+        redo = spark.createDataFrame(
+            [(date(2022, 1, 1), "new", 1), (date(2022, 1, 2), "new", 2)],
+            "time date, run string, b bigint",
+        )
+        mgr.handle_output(ctx0, redo)
+        return sorted(
+            (r["time"], r["run"]) for r in mgr.table_for(ctx0).read().collect()
+        )
+
+    legacy = DeltaSparkIOManager(
+        spark, str(tmp_path / "legacy"), legacy_window_scope=True
+    )
+    # '=' 2022-01-01 pin deletes day 1 only: day 2 keeps its stale row
+    assert seed_and_rewrite(legacy, "t") == [
+        (date(2022, 1, 1), "new"),
+        (date(2022, 1, 2), "new"),
+        (date(2022, 1, 2), "old"),
+    ]
+
+    modern = DeltaSparkIOManager(spark, str(tmp_path / "modern"))
+    # half-open [start, end) deletes both days: no stale survivors
+    assert seed_and_rewrite(modern, "t") == [
+        (date(2022, 1, 1), "new"),
+        (date(2022, 1, 2), "new"),
+    ]
