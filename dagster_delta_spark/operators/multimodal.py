@@ -3,10 +3,15 @@
 Images/audio/video ride through the engine as ``binary`` columns with
 a metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` (the pattern that scales: one Python worker per
-partition, columnar transfer, bounded batches).  The actual media
-codecs are NOT available in this environment, so the decode step is a
-deterministic fake behind ``decode_stub`` — the Spark-side plumbing
-(schema, batching, partitioning) is real and tested.
+partition, columnar transfer, bounded batches).
+
+Codecs: formats with a pure-Python/numpy decode are REAL — binary PPM
+(P6) and uncompressed 24-bit BMP are parsed to pixel arrays and
+resized with nearest-neighbor numpy indexing (see ``decode_image`` /
+``nn_resize``).  Formats that genuinely need native libraries
+(JPEG/PNG/audio/video — no PIL/ffmpeg in this container) stay behind a
+clearly-marked ``NotImplementedError`` stub; a real deployment swaps
+those for PIL/librosa/ffmpeg without touching the Spark-side plumbing.
 """
 
 from __future__ import annotations
@@ -28,6 +33,119 @@ from pyspark.sql.types import (
 
 from .relational import load
 
+# Executors may not have this repo on PYTHONPATH (the driver extending
+# sys.path does not propagate to Python workers), so closures here must
+# not be pickled by module reference.  Registering the module for
+# BY-VALUE cloudpickle serialization lets mapInPandas closures call the
+# module-level codecs below directly — the function bodies ship inside
+# the pickle.  The codecs only import numpy/struct (present on
+# workers); nothing worker-side touches the rest of the package.
+try:  # pragma: no cover - depends on pyspark's vendored cloudpickle
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 - fall back to self-contained closures
+    pass
+
+# ---------------------------------------------------------------------------
+# pure-Python/numpy image codecs (PPM P6 + 24-bit BMP) — real, not stubs
+# ---------------------------------------------------------------------------
+
+PPM_MEDIA_TYPE = "image/x-portable-pixmap"
+BMP_MEDIA_TYPE = "image/bmp"
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 array -> binary PPM (P6, maxval 255)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6) -> (h, w, 3) uint8 numpy array.  Handles the
+    whitespace/comment grammar of the header; maxval must be < 256."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (missing P6 magic)")
+    # header tokens: magic, width, height, maxval — comments (#..\n)
+    # may appear between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval >= 256:
+        raise ValueError("16-bit PPM not supported")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BI_RGB BMP -> (h, w, 3) uint8 RGB array.
+    Rows are stored bottom-up and padded to 4 bytes; channels are BGR
+    on disk."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_offset
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if flipped else img
+
+
+def nn_resize(arr, out_h: int, out_w: int):
+    """Nearest-neighbor resize via numpy integer index arrays — no
+    Python pixel loop."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[rows[:, None], cols[None, :]]
+
+
+def decode_image(payload: bytes, media_type: str):
+    """Real decode for the pure-Python formats; NotImplementedError for
+    codecs that need native libraries (the documented stub boundary)."""
+    if media_type == PPM_MEDIA_TYPE:
+        return decode_ppm(payload)
+    if media_type == BMP_MEDIA_TYPE:
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        f"media codec for {media_type} not available in this environment"
+    )
+
 
 def binarize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Create a multimodal-shaped table from documents: payload =
@@ -43,55 +161,91 @@ def binarize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def binarize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic image corpus: one deterministic PPM (P6) payload per
+    document (dims and pixels are pure functions of doc_id), encoded
+    worker-side in Arrow batches.  Gives the REAL image decode path a
+    corpus to run against without media files in the test data."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = 3 + d % 7, 4 + d % 13
+                px = (
+                    (d * 31 + np.arange(h * w * 3)) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(encode_ppm(px))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads],
+                "media_type": [PPM_MEDIA_TYPE] * len(payloads),
+            })
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("media_type", StringType()),
+    ])
+    return docs.mapInPandas(_gen, schema)
+
+
 FEATURE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("n_bytes", LongType()),
     StructField("mean_byte", DoubleType()),
     StructField("head_bytes", ArrayType(LongType())),
     StructField("media_type", StringType()),
+    # image-only fields (null for non-image media): REAL decoded values
+    StructField("img_width", LongType()),
+    StructField("img_height", LongType()),
+    StructField("mean_pixel", DoubleType()),
 ])
 
 
 def decode_stub(payload: bytes, media_type: str) -> dict:
-    """Deterministic fake decoder.  A real deployment swaps this for
-    PIL/librosa/ffmpeg; the container has none of them, so raise for
-    genuinely binary media and compute byte-level features for text.
-    """
-    if media_type.startswith(("image/", "audio/", "video/")):
-        raise NotImplementedError(
-            f"media codec for {media_type} not available in this environment"
-        )
-    return {
+    """Byte-level features for text media plus REAL image decode for
+    the pure-Python formats (PPM/BMP -> width/height/mean pixel).
+    Media needing native codecs (JPEG/PNG/audio/video) raises — that
+    boundary is where a real deployment plugs PIL/librosa/ffmpeg in."""
+    out = {
         "n_bytes": len(payload),
         "mean_byte": (sum(payload) / len(payload)) if payload else 0.0,
         "head_bytes": list(payload[:8]),
+        "img_width": None,
+        "img_height": None,
+        "mean_pixel": None,
     }
+    if media_type in (PPM_MEDIA_TYPE, BMP_MEDIA_TYPE):
+        img = decode_image(payload, media_type)
+        out["img_width"] = int(img.shape[1])
+        out["img_height"] = int(img.shape[0])
+        out["mean_pixel"] = float(img.mean())
+    elif media_type.startswith(("image/", "audio/", "video/")):
+        raise NotImplementedError(
+            f"media codec for {media_type} not available in this environment"
+        )
+    return out
 
 
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.  The
     UDF boundary is per-partition ``mapInPandas`` — batch shape
-    (pandas DataFrame of payload bytes), not per-row Python calls."""
-
-    # NOTE: the closure must not reference module-level symbols —
-    # cloudpickle serializes top-level functions by module reference,
-    # and executors may not have this repo on PYTHONPATH (the driver
-    # adding it to sys.path at runtime does not propagate to workers)
-    def _decode(payload: bytes, media_type: str) -> dict:
-        if media_type.startswith(("image/", "audio/", "video/")):
-            raise NotImplementedError(
-                f"media codec for {media_type} not available"
-            )
-        return {
-            "n_bytes": len(payload),
-            "mean_byte": (sum(payload) / len(payload)) if payload else 0.0,
-            "head_bytes": list(payload[:8]),
-        }
+    (pandas DataFrame of payload bytes), not per-row Python calls.
+    The closure ships by value (module registered with
+    register_pickle_by_value above), so it may call the module-level
+    codecs even on workers without this repo on PYTHONPATH."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode(p, m)
+                decode_stub(p, m)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame({
@@ -100,6 +254,18 @@ def extract_features(df: DataFrame) -> DataFrame:
                 "mean_byte": [f["mean_byte"] for f in feats],
                 "head_bytes": [f["head_bytes"] for f in feats],
                 "media_type": pdf["media_type"],
+                # nullable extension dtypes: None must reach Arrow as
+                # null, not NaN (plain object->float64 would make the
+                # int columns unconvertible to LongType)
+                "img_width": pd.array(
+                    [f["img_width"] for f in feats], dtype="Int64"
+                ),
+                "img_height": pd.array(
+                    [f["img_height"] for f in feats], dtype="Int64"
+                ),
+                "mean_pixel": pd.array(
+                    [f["mean_pixel"] for f in feats], dtype="Float64"
+                ),
             })
 
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
@@ -113,11 +279,23 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end binary pipeline: binarize -> mapInPandas feature
-    extraction (deterministic, so repeat runs hash identically)."""
-    return extract_features(binarize_documents(spark, sf_dir)).select(
-        "doc_id", "n_bytes", "mean_byte",
+    """End-to-end binary pipeline over BOTH media kinds: text payloads
+    (byte-level features) unioned with synthetic PPM images whose
+    width/height/mean-pixel come from the REAL decoder.  Deterministic,
+    so repeat runs hash identically."""
+    feats = extract_features(
+        binarize_documents(spark, sf_dir).select(
+            "doc_id", "payload", "media_type"
+        ).unionByName(
+            binarize_images(spark, sf_dir).select(
+                "doc_id", "payload", "media_type"
+            )
+        )
+    )
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "mean_byte",
         F.expr("head_bytes[0]").alias("first_byte"),
+        "img_width", "img_height", "mean_pixel",
     )
 
 
@@ -129,11 +307,18 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
-def resize_stub(payload: bytes, media_type: str, target_bytes: int) -> bytes:
-    """Deterministic stand-in for an image/audio resample: truncate or
-    zero-pad the payload to ``target_bytes``.  A real deployment swaps
-    in PIL.Image.resize / librosa.resample; the Spark-side contract
+def resize_stub(
+    payload: bytes, media_type: str, target_bytes: int,
+    target_dims: tuple[int, int] = (8, 8),
+) -> bytes:
+    """Resample one payload.  PPM/BMP: REAL nearest-neighbor resize to
+    ``target_dims`` (re-encoded as PPM).  Text: truncate/zero-pad to
+    ``target_bytes``.  Native-codec media raises — swap in
+    PIL.Image.resize / librosa.resample there; the Spark-side contract
     (binary in, binary out, bounded batch memory) is identical."""
+    if media_type in (PPM_MEDIA_TYPE, BMP_MEDIA_TYPE):
+        img = decode_image(payload, media_type)
+        return encode_ppm(nn_resize(img, target_dims[0], target_dims[1]))
     if media_type.startswith(("image/", "audio/", "video/")):
         raise NotImplementedError(
             f"media codec for {media_type} not available in this environment"
@@ -143,31 +328,29 @@ def resize_stub(payload: bytes, media_type: str, target_bytes: int) -> bytes:
     return bytes(payload) + b"\x00" * (target_bytes - len(payload))
 
 
-def resize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
-    """Arrow-batched 'resize' over the binary column via mapInPandas
-    (one Python worker per partition; no driver involvement)."""
-
-    def _do_resize(payload: bytes, media_type: str) -> bytes:
-        # self-contained for worker-side pickling (see extract_features)
-        if media_type.startswith(("image/", "audio/", "video/")):
-            raise NotImplementedError(
-                f"media codec for {media_type} not available"
-            )
-        if len(payload) >= target_bytes:
-            return bytes(payload[:target_bytes])
-        return bytes(payload) + b"\x00" * (target_bytes - len(payload))
+def resize_payloads(
+    df: DataFrame, target_bytes: int = 64, target_dims: tuple[int, int] = (8, 8)
+) -> DataFrame:
+    """Arrow-batched resize over the binary column via mapInPandas
+    (one Python worker per partition; no driver involvement).  Image
+    payloads (PPM/BMP) go through the real decode -> nearest-neighbor
+    -> re-encode path; resized images come back as PPM."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             resized = [
-                _do_resize(p, m)
+                resize_stub(p, m, target_bytes, target_dims)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "payload": resized,
                 "n_bytes": [len(r) for r in resized],
-                "media_type": pdf["media_type"],
+                "media_type": [
+                    PPM_MEDIA_TYPE
+                    if m in (PPM_MEDIA_TYPE, BMP_MEDIA_TYPE) else m
+                    for m in pdf["media_type"]
+                ],
             })
 
     return df.mapInPandas(_resize, RESIZED_SCHEMA)

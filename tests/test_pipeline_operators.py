@@ -422,3 +422,76 @@ def test_sketch_profile_within_estimator_bounds(spark):
         assert e["lo"] <= p["n_chars_p50"] <= e["hi"]
         # high accuracy + small fixture => p50 is (near-)exact
         assert abs(p["n_chars_p50"] - e["p50"]) <= max(2, 0.02 * e["p50"])
+
+
+def test_image_codecs_roundtrip():
+    """PPM encode/decode identity; BMP decode (hand-built 24-bit
+    bottom-up file with row padding); nearest-neighbor resize."""
+    import struct
+
+    import numpy as np
+
+    from dagster_delta_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_ppm,
+        nn_resize,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # header comments are legal PPM
+    commented = b"P6\n# a comment\n3 5\n255\n" + img.tobytes()
+    assert (decode_ppm(commented) == img).all()
+
+    # hand-build a 2x2 24-bit BMP (bottom-up, BGR, rows padded to 4B)
+    px = np.array([[[255, 0, 0], [0, 255, 0]],
+                   [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8)
+    stride = (2 * 3 + 3) & ~3  # = 8
+    raster = b""
+    for row in px[::-1]:  # bottom-up
+        line = b"".join(bytes([b, g, r]) for r, g, b in row)
+        raster += line + b"\x00" * (stride - len(line))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                            len(raster), 0, 0, 0, 0))
+    assert (decode_bmp(header + raster) == px).all()
+
+    small = nn_resize(img, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert (small[0, 0] == img[0, 0]).all()  # corner maps to corner
+
+
+def test_multimodal_real_image_features(spark):
+    """The image half of multimodal_features carries REAL decoded
+    dimensions (pure functions of doc_id), and resize_payloads
+    round-trips through decode -> nn_resize -> re-encode."""
+    from dagster_delta_spark.operators.multimodal import (
+        PPM_MEDIA_TYPE,
+        binarize_images,
+        decode_ppm,
+        multimodal_features,
+        resize_payloads,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    feats = multimodal_features(spark, sf)
+    imgs = {r["doc_id"]: r for r in
+            feats.where(feats.media_type == PPM_MEDIA_TYPE).collect()}
+    texts = [r for r in feats.where(feats.media_type == "text/plain")
+             .limit(5).collect()]
+    assert imgs and texts
+    for doc_id, r in list(imgs.items())[:10]:
+        assert r["img_width"] == 4 + doc_id % 13
+        assert r["img_height"] == 3 + doc_id % 7
+        assert 0.0 <= r["mean_pixel"] <= 255.0
+    for r in texts:  # image fields null on the text half
+        assert r["img_width"] is None and r["mean_pixel"] is None
+
+    resized = resize_payloads(
+        binarize_images(spark, sf).limit(5), target_dims=(4, 6)
+    ).collect()
+    for r in resized:
+        assert r["media_type"] == PPM_MEDIA_TYPE
+        assert decode_ppm(bytes(r["payload"])).shape == (4, 6, 3)
