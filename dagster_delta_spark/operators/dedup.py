@@ -19,6 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +27,16 @@ from pyspark.sql import functions as F
 
 from .relational import load
 from .textops import TOKENS
+
+# Session-scoped cache of the materialized shingle stream, keyed by
+# (applicationId, corpus dir): jaccard, the whole MinHash family, and
+# cluster dedup all start from the same tokenize->shingle->distinct
+# pipeline, so one localCheckpoint serves every query in the session —
+# the same amortization contract as the persisted IVF centroid index
+# (similarity.py).  The testdata corpora are immutable; a deployment
+# whose corpus mutates in-session sets DDS_SHINGLE_CACHE=0 (each query
+# then re-materializes its own stream, the pre-r5 behavior).
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 
@@ -52,19 +63,30 @@ def _shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression gets inlined into every element_at and the regex
     re-runs per shingle — ~10x slower.)  One shuffle on doc_id, all
     codegen.
+
+    Returns a MATERIALIZED (localCheckpoint) frame, cached per
+    (session, corpus) — see ``_SHINGLE_CACHE`` above.
     """
     from pyspark.sql.window import Window
 
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    caching = os.environ.get("DDS_SHINGLE_CACHE", "1") != "0"
+    if caching and key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[key]
     docs = load(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
+    stream = (
         ex.withColumn("t1", F.lead("tok", 1).over(w))
         .withColumn("t2", F.lead("tok", 2).over(w))
         .where(F.col("t2").isNotNull())
         .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("sh"))
         .distinct()
+        .localCheckpoint()
     )
+    if caching:
+        _SHINGLE_CACHE[key] = stream
+    return stream
 
 
 def _shingle_sizes(stream: DataFrame) -> DataFrame:
@@ -106,9 +128,9 @@ def near_dup_jaccard(
     from pyspark.sql.window import Window
 
     # the shingle stream feeds multiple plan branches (sizes + the
-    # intersection path); localCheckpoint materializes it once instead
-    # of recomputing the tokenize+shingle pipeline per branch
-    ex = _shingle_stream(spark, sf_dir).localCheckpoint()
+    # intersection path); _shingle_stream returns it materialized (and
+    # session-cached), so every branch reads checkpoint blocks
+    ex = _shingle_stream(spark, sf_dir)
     sizes = _shingle_sizes(ex)  # full per-doc sizes, before the prefilter
     if max_shingle_df is not None:
         cap = max_shingle_df
@@ -201,11 +223,10 @@ def minhash_lsh_near_dups(
     probabilistic — the scale/accuracy dial).
     """
     rows_per_band = num_hashes // bands
-    # materialize the shingle stream once (localCheckpoint truncates
-    # lineage; blocks are freed when the RDD is garbage-collected) —
-    # signatures and exact verification both reuse it instead of
-    # re-tokenizing the corpus three times
-    stream = _shingle_stream(spark, sf_dir).localCheckpoint()
+    # the shingle stream arrives materialized (and session-cached) —
+    # signatures and exact verification both reuse its checkpoint
+    # blocks instead of re-tokenizing the corpus three times
+    stream = _shingle_stream(spark, sf_dir)
     sigs = _signatures_from_stream(stream, num_hashes)
     band_expr = (
         f"transform(sequence(0, {bands - 1}), "
