@@ -64,6 +64,15 @@ def cosine_topk(
     )
 
 
+#: session cache of the materialized LSH bucket table, keyed by
+#: (applicationId, corpus dir, planes, tables) — the corpus-side index
+#: is query-independent, so one build amortizes across every
+#: lsh_ann_topk / embedding_near_dups_lsh call in a session (the same
+#: contract as the persisted IVF centroids).  Opt-out:
+#: DDS_LSH_CACHE=0 for corpora that mutate in-session.
+_LSH_SIG_CACHE: dict[tuple, DataFrame] = {}
+
+
 def lsh_signatures(
     spark: SparkSession, sf_dir: str, planes: int = 6, tables: int = 4
 ) -> DataFrame:
@@ -74,7 +83,15 @@ def lsh_signatures(
     signed-sum aggregate per plane in a single groupBy (one shuffle on
     vec_id; nested array lambdas would run interpreted and re-hash per
     plane).  ``tables`` independent buckets trade memory for recall,
-    classic multi-table LSH."""
+    classic multi-table LSH.  Returns a MATERIALIZED (localCheckpoint)
+    frame, session-cached per (app, corpus, planes, tables)."""
+    key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        planes, tables,
+    )
+    caching = os.environ.get("DDS_LSH_CACHE", "1") != "0"
+    if caching and key in _LSH_SIG_CACHE:
+        return _LSH_SIG_CACHE[key]
     emb = load(spark, sf_dir, "embeddings")
     total = planes * tables
     ex = emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
@@ -95,9 +112,14 @@ def lsh_signatures(
         )
         bucket_exprs.append(f"({bits})")
     buckets = F.expr(f"array({', '.join(bucket_exprs)})")
-    return g.select("vec_id", buckets.alias("buckets")).join(
+    sigs = g.select("vec_id", buckets.alias("buckets")).join(
         emb.select("vec_id", "embedding"), "vec_id"
     )
+    if caching:
+        # materialize only when the frame outlives this query
+        sigs = sigs.localCheckpoint()
+        _LSH_SIG_CACHE[key] = sigs
+    return sigs
 
 
 def lsh_ann_topk(
