@@ -37,6 +37,8 @@ from .textops import TOKENS
 # whose corpus mutates in-session sets DDS_SHINGLE_CACHE=0 (each query
 # then re-materializes its own stream, the pre-r5 behavior).
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: MinHash signature cache, keyed (applicationId, corpus, num_hashes)
+_MINHASH_SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 
 
@@ -189,8 +191,23 @@ def minhash_signatures(
     inside whole-stage codegen with map-side partial aggregation, one
     shuffle on doc_id.  (A nested array-lambda formulation is ~100x
     slower: higher-order functions run interpreted and re-evaluate the
-    hash per seed.)"""
-    return _signatures_from_stream(_shingle_stream(spark, sf_dir), num_hashes)
+    hash per seed.)
+
+    Session-cached per (app, corpus, num_hashes) like the shingle
+    stream it derives from (constant-size per doc: 64 longs — far
+    smaller than the stream itself); ``DDS_SHINGLE_CACHE=0`` disables
+    both caches."""
+    key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir), num_hashes,
+    )
+    caching = os.environ.get("DDS_SHINGLE_CACHE", "1") != "0"
+    if caching and key in _MINHASH_SIG_CACHE:
+        return _MINHASH_SIG_CACHE[key]
+    sigs = _signatures_from_stream(_shingle_stream(spark, sf_dir), num_hashes)
+    if caching:
+        sigs = sigs.localCheckpoint()
+        _MINHASH_SIG_CACHE[key] = sigs
+    return sigs
 
 
 def _signatures_from_stream(stream: DataFrame, num_hashes: int) -> DataFrame:
@@ -227,7 +244,7 @@ def minhash_lsh_near_dups(
     # signatures and exact verification both reuse its checkpoint
     # blocks instead of re-tokenizing the corpus three times
     stream = _shingle_stream(spark, sf_dir)
-    sigs = _signatures_from_stream(stream, num_hashes)
+    sigs = minhash_signatures(spark, sf_dir, num_hashes)
     band_expr = (
         f"transform(sequence(0, {bands - 1}), "
         f"b -> named_struct('band', b, 'h', "
