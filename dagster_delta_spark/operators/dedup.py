@@ -39,6 +39,8 @@ from .textops import TOKENS
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 #: MinHash signature cache, keyed (applicationId, corpus, num_hashes)
 _MINHASH_SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+#: SimHash signature cache, keyed (applicationId, corpus)
+_SIMHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 
@@ -307,7 +309,12 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: explode tokens, hash each once, then 64 codegen'd
     ``sum((h >> j) & 1)`` aggregates in one groupBy (bit j is set iff
     set-bit count exceeds half the tokens).  One shuffle on doc_id
-    with map-side combine."""
+    with map-side combine.  Session-cached per (app, corpus) — one
+    long per doc; ``DDS_SHINGLE_CACHE=0`` disables."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    caching = os.environ.get("DDS_SHINGLE_CACHE", "1") != "0"
+    if caching and key in _SIMHASH_SIG_CACHE:
+        return _SIMHASH_SIG_CACHE[key]
     docs = load(spark, sf_dir, "documents")
     ex = (
         docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
@@ -331,7 +338,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for gidx in range(16)
         for k in range(4)
     )
-    return g.select("doc_id", F.expr(sig).alias("simhash"))
+    sigs = g.select("doc_id", F.expr(sig).alias("simhash"))
+    if caching:
+        sigs = sigs.localCheckpoint()
+        _SIMHASH_SIG_CACHE[key] = sigs
+    return sigs
 
 
 def simhash_near_dups(
