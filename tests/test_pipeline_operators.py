@@ -495,3 +495,37 @@ def test_multimodal_real_image_features(spark):
     for r in resized:
         assert r["media_type"] == PPM_MEDIA_TYPE
         assert decode_ppm(bytes(r["payload"])).shape == (4, 6, 3)
+
+
+def test_image_codec_properties():
+    """Property-based codec checks (no Spark): PPM round-trips any
+    uint8 array exactly; nn_resize preserves dtype/channels, is
+    idempotent at the same size, and upscale-then-downscale of a
+    constant image is lossless."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dagster_delta_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        nn_resize,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        h=st.integers(1, 16), w=st.integers(1, 16),
+        seed=st.integers(0, 2**31 - 1),
+        oh=st.integers(1, 16), ow=st.integers(1, 16),
+    )
+    def check(h, w, seed, oh, ow):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+        r = nn_resize(img, oh, ow)
+        assert r.shape == (oh, ow, 3) and r.dtype == np.uint8
+        assert (nn_resize(img, h, w) == img).all()  # identity at same size
+        const = np.full((h, w, 3), img[0, 0], dtype=np.uint8)
+        assert (nn_resize(nn_resize(const, oh, ow), h, w) == const).all()
+
+    check()
