@@ -371,8 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the whole registry regardless of position: tools/check_oracles.py.
     return {
         # -------- first 50: the round-5 recording window --------
-        # flagship (fresh r05 row to anchor cross-round comparison)
-        "q1_pricing_summary": relational.q1_pricing_summary,
+        # new in r5 (never recorded -> must sit in-window)
+        "cross_source_contamination": curation.cross_source_contamination,
         # write modes / merge / pruning / projection / stats
         # (SURVEY §2.2-2.5, §2.11 — critical rows, kept in-window)
         "w1_w4_error_ignore": w1_w4_error_ignore,
@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _curate_corpus,
         # -------- past the cap: driver-green in r01-r04 (on record) -----
         # relational surface (SURVEY §2.6-2.8: engine-provided compute)
+        "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q6_q19_filter_aggs": q6_q19_filter_aggs,
@@ -1259,6 +1260,22 @@ def oracle_sql() -> dict[str, str]:
                    gram, n_occurrences, doc_freq
             FROM counts
             ORDER BY rank LIMIT 100
+        """,
+        "cross_source_contamination": """
+            WITH fps AS (
+                SELECT DISTINCT
+                    md5(array_to_string(list_slice(
+                        list_filter(regexp_split_to_array(lower(text),
+                            '[^a-z0-9]+'), x -> x <> ''), 1, 8), ' '))
+                        AS fp,
+                    source
+                FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared_docs
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.source < b.source
+            GROUP BY a.source, b.source
         """,
         "decontaminate": """
             WITH toks AS (

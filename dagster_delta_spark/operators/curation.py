@@ -343,3 +343,47 @@ def pack_sequences(
         F.floor((cum - F.col("n_tokens")) / F.lit(budget))
         .cast("int").alias("seq_id"),
     )
+
+
+def cross_source_contamination(
+    spark: SparkSession, sf_dir: str, prefix_words: int = 8
+) -> DataFrame:
+    """Inter-subcorpus leakage: source pairs sharing a document
+    fingerprint, with the shared-fingerprint count.  Complements
+    ``decontaminate`` (corpus vs eval set) by auditing the corpus
+    against ITSELF — the classic pre-training failure where one crawl
+    snapshot ships under two source labels and a train/eval split by
+    source silently leaks.
+
+    The fingerprint is the md5 of the first ``prefix_words``
+    normalized tokens (prefix fingerprinting — catches shared intros /
+    boilerplate / re-hosted articles whose tails diverge, the common
+    real-world leak shape); ``prefix_words=None`` tightens it to the
+    full normalized text (exact-copy audit).
+
+    Plan: fingerprint once (map-only), drop to distinct (fp, source),
+    self-join on the fingerprint with ``source_a < source_b``, count
+    per pair.  The join key is the content hash, so a fingerprint
+    spanning s sources emits s^2/2 pair rows — bounded by the SOURCE
+    label count squared (thousands at worst), not the document count,
+    so the expansion stays flat while the corpus grows.  Output is at
+    most |sources|^2/2 rows."""
+    from .textops import NORM_TEXT, TOKENS
+
+    docs = load(spark, sf_dir, "documents")
+    if prefix_words is None:
+        fp = f"md5({NORM_TEXT})"
+    else:
+        fp = (
+            f"md5(array_join(slice({TOKENS}, 1, {prefix_words}), ' '))"
+        )
+    fps = docs.select(F.expr(fp).alias("fp"), "source").distinct()
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+    )

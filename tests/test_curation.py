@@ -252,3 +252,46 @@ def test_pack_sequences_sharded_cumsum(spark, tmp_path):
     got = {r.doc_id: (r.shard, r.n_tokens, r.cum_tokens, r.seq_id)
            for r in out}
     assert got == expect
+
+
+def test_cross_source_contamination(spark, tmp_path):
+    """Planted leak: the same article under two source labels is
+    reported as exactly one (source_a, source_b) pair; an article
+    sharing only its 8-word intro (diverging tail) also counts —
+    prefix fingerprinting is the point; unrelated docs don't pair."""
+    import pandas as pd
+
+    from dagster_delta_spark.operators.curation import (
+        cross_source_contamination,
+    )
+
+    import os
+
+    d = tmp_path / "corpus"
+    os.makedirs(d, exist_ok=True)
+    intro = "alpha beta gamma delta epsilon zeta eta theta"
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            intro + " full body one",
+            intro + " completely different tail",   # same 8-word prefix
+            "unrelated words entirely here and nothing shared at all",
+            intro + " full body one",               # exact copy, 3rd source
+            "another standalone document with its own content",
+        ],
+        "lang": ["en"] * 5,
+        "source": ["crawl_a", "crawl_b", "crawl_a", "crawl_c", "crawl_b"],
+        "n_chars": [10] * 5,
+    }).to_parquet(str(d / "documents.parquet"))
+    out = {(r["source_a"], r["source_b"]): r["n_shared_docs"]
+           for r in cross_source_contamination(spark, str(d)).collect()}
+    assert out == {
+        ("crawl_a", "crawl_b"): 1,
+        ("crawl_a", "crawl_c"): 1,
+        ("crawl_b", "crawl_c"): 1,
+    }
+    # exact mode: only the verbatim copy pairs
+    exact = {(r["source_a"], r["source_b"]): r["n_shared_docs"]
+             for r in cross_source_contamination(
+                 spark, str(d), prefix_words=None).collect()}
+    assert exact == {("crawl_a", "crawl_c"): 1}
