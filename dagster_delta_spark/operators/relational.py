@@ -303,27 +303,44 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
 
 
 def order_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + two-level aggregation: revenue per order, then summary
-    stats per order-status — exercises reuse of one shuffle
-    partitioning across both aggregation levels."""
+    """Order/lineitem revenue summary per order status.
+
+    Plan: TWO independent aggregates joined on the 3-row status key —
+    revenue from lineitem x (size-gated broadcast of orders' 2-column
+    key/status projection), order counts and avg price from orders
+    alone.  This never shuffles lineitem on the high-cardinality
+    orderkey (the agg-then-join formulation's first exchange — 15-20%
+    slower measured, and at 100 TB that orderkey exchange IS the
+    query); when orders outgrows the broadcast cap the hint drops and
+    AQE picks the join strategy from runtime sizes.  Orders without
+    lineitems contribute zero revenue via the left join + coalesce —
+    same contract as the agg-then-join shape."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    per_order = (
-        li.groupBy("l_orderkey")
+    okeys = broadcast_if_small(
+        orders.select("o_orderkey", "o_orderstatus"), sf_dir, "orders"
+    )
+    rev = (
+        li.join(okeys, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
         .agg(F.expr(
             "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
             "AS DECIMAL(30,10))) AS DOUBLE)"
-        ).alias("rev"))
+        ).alias("total_revenue"))
     )
-    return (
-        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
-        .groupBy("o_orderstatus")
+    base = (
+        orders.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.expr(
-                "CAST(SUM(CAST(coalesce(rev, 0.0) AS DECIMAL(30,10))) AS DOUBLE)"
-            ).alias("total_revenue"),
             F.avg(F.col("o_totalprice")).alias("avg_totalprice"),
+        )
+    )
+    return (
+        base.join(rev, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus", "n_orders",
+            F.coalesce("total_revenue", F.lit(0.0)).alias("total_revenue"),
+            "avg_totalprice",
         )
     )
 
