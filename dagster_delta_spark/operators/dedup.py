@@ -43,6 +43,14 @@ _MINHASH_SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 _SIMHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _evict_stale(cache: dict, app_id: str) -> None:
+    """Drop entries from dead sessions (key[0] is the applicationId):
+    a long-lived process that stops and restarts Spark sessions must
+    not accumulate references to unreachable checkpoint RDDs."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+
+
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +97,7 @@ def _shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     if caching:
+        _evict_stale(_SHINGLE_CACHE, key[0])
         _SHINGLE_CACHE[key] = stream
     return stream
 
@@ -208,6 +217,7 @@ def minhash_signatures(
     sigs = _signatures_from_stream(_shingle_stream(spark, sf_dir), num_hashes)
     if caching:
         sigs = sigs.localCheckpoint()
+        _evict_stale(_MINHASH_SIG_CACHE, key[0])
         _MINHASH_SIG_CACHE[key] = sigs
     return sigs
 
@@ -341,6 +351,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = g.select("doc_id", F.expr(sig).alias("simhash"))
     if caching:
         sigs = sigs.localCheckpoint()
+        _evict_stale(_SIMHASH_SIG_CACHE, key[0])
         _SIMHASH_SIG_CACHE[key] = sigs
     return sigs
 

@@ -117,7 +117,10 @@ def lsh_signatures(
     )
     if caching:
         # materialize only when the frame outlives this query
+        from .dedup import _evict_stale
+
         sigs = sigs.localCheckpoint()
+        _evict_stale(_LSH_SIG_CACHE, key[0])
         _LSH_SIG_CACHE[key] = sigs
     return sigs
 
@@ -365,6 +368,9 @@ def ivf_train_centroids(
         meta = (index.history(limit=1)[0].get("userMetadata") or {})
         if meta.get("corpus_fingerprint") == fingerprint:
             cents = index.read().localCheckpoint(eager=False)
+            from .dedup import _evict_stale
+
+            _evict_stale(_CENTROID_CACHE, key[0])
             _CENTROID_CACHE[key] = cents
             return cents
 
@@ -405,6 +411,9 @@ def ivf_train_centroids(
     index.write(cents, commit_metadata={"corpus_fingerprint": fingerprint,
                                         **params})
     cents = index.read().localCheckpoint(eager=False)
+    from .dedup import _evict_stale
+
+    _evict_stale(_CENTROID_CACHE, key[0])
     _CENTROID_CACHE[key] = cents
     return cents
 
@@ -435,6 +444,9 @@ def ivf_assignments(
         cents = ivf_train_centroids(spark, sf_dir, n_cells, train_iters)
         emb = _with_norm(load(spark, sf_dir, "embeddings"))
         out = _assign_cells(emb, cents).localCheckpoint(eager=False)
+        from .dedup import _evict_stale
+
+        _evict_stale(_CENTROID_CACHE, key[0])
         _CENTROID_CACHE[key] = out
         return out
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
