@@ -44,10 +44,12 @@ _SIMHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _evict_stale(cache: dict, app_id: str) -> None:
-    """Drop entries from dead sessions (key[0] is the applicationId):
-    a long-lived process that stops and restarts Spark sessions must
-    not accumulate references to unreachable checkpoint RDDs."""
-    for k in [k for k in cache if k[0] != app_id]:
+    """Drop entries from dead sessions: a long-lived process that
+    stops and restarts Spark sessions must not accumulate references
+    to unreachable checkpoint RDDs.  Keys carry the owning session's
+    applicationId at position 0 or 1 (the IVF assignment cache prefixes
+    a kind tag), so membership — not position — decides liveness."""
+    for k in [k for k in cache if app_id not in k]:
         del cache[k]
 
 

@@ -446,7 +446,7 @@ def ivf_assignments(
         out = _assign_cells(emb, cents).localCheckpoint(eager=False)
         from .dedup import _evict_stale
 
-        _evict_stale(_CENTROID_CACHE, key[0])
+        _evict_stale(_CENTROID_CACHE, key[1])  # key[0] is the kind tag
         _CENTROID_CACHE[key] = out
         return out
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
