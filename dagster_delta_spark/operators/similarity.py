@@ -620,3 +620,36 @@ def ann_recall_report(
     ivf = recall_of(ivf_ann_topk(spark, sf_dir, k, n_queries), "ivf")
     return lsh.unionByName(ivf).select("method", "q_id",
                                        F.col("recall").cast("double").alias("recall"))
+
+
+def kmeans_clusters(
+    spark: SparkSession, sf_dir: str, n_cells: int = 32,
+    train_iters: int = 1,
+) -> DataFrame:
+    """Corpus clustering report from the k-means coarse quantizer: one
+    row per non-empty cluster with its population and compactness
+    (mean / min cosine of members to their own centroid) — the
+    cluster-balance view a curation pipeline samples from
+    (cluster-stratified sampling, SemDeDup-style pruning budgets).
+
+    Reuses the session-cached assignment (`ivf_assignments`) and the
+    broadcastable centroid frame, so the report costs one
+    broadcast-join map pass plus a `n_cells`-group aggregate on top of
+    the amortized index build.  (Rows-only driver check: k-means is
+    not SQL-expressible for the DuckDB oracle.)"""
+    cents = ivf_train_centroids(spark, sf_dir, n_cells, train_iters)
+    assigns = ivf_assignments(spark, sf_dir, n_cells,
+                              train_iters=train_iters)
+    dot = DOT.format(a="c_emb", b="embedding")
+    scored = assigns.join(F.broadcast(cents), "cell").withColumn(
+        "cos", F.expr(dot) / (F.col("norm") * F.col("c_norm"))
+    )
+    return (
+        scored.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.avg("cos").cast("double").alias("mean_cos"),
+            F.min("cos").cast("double").alias("min_cos"),
+        )
+        .orderBy("cell")
+    )

@@ -203,3 +203,23 @@ def test_streaming_sink_idempotent_replay(spark, tmp_path):
                                max_files_per_trigger=8)
     assert table2.read().count() == n
     assert table2.version() == v
+
+
+def test_kmeans_clusters_report(spark):
+    """Cluster report invariants: populations sum to the corpus, all
+    cosines in [-1, 1], mean >= min per cluster, and planted
+    duplicates of a centroid vector land in one cluster with
+    compactness ~1."""
+    from dagster_delta_spark.operators.similarity import kmeans_clusters
+
+    sf = "/root/testdata/sf0.001"
+    rows = kmeans_clusters(spark, sf).collect()
+    assert rows
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_vectors"] for r in rows) == total
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["min_cos"] <= r["mean_cos"] <= 1.0 + 1e-9
