@@ -376,3 +376,44 @@ def unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.log(F.col("c") / F.col("s"))).alias("avg_logprob"),
         )
     )
+
+
+def zipf_profile(
+    spark: SparkSession, sf_dir: str, top_k: int = 1000
+) -> DataFrame:
+    """Corpus rank-frequency power-law fit over the ``top_k`` most
+    frequent tokens: OLS slope/intercept/r2 of log(freq) ~ log(rank).
+    Natural-language corpora sit near slope -1 (Zipf's law);
+    machine-generated or heavily templated text drifts off it, so the
+    slope is a cheap whole-corpus quality signal next to the per-doc
+    scores (`text_quality`, `unigram_quality`).
+
+    Plan: one explode+count aggregate on the token (map-side combine),
+    `orderBy(desc).limit(top_k)` = TakeOrderedAndProject (per-partition
+    top-k, no global sort), rank over the <= top_k survivors, then the
+    regression as four scalar aggregates over <= top_k rows — nothing
+    downstream of the count grows with the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.expr(TOKENS)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(top_k)
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok"))),
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("slope"),
+        (F.avg("y") - (F.covar_pop("x", "y") / F.var_pop("x")) * F.avg("x"))
+        .alias("intercept"),
+        F.pow(F.corr("x", "y"), F.lit(2)).alias("r2"),
+    )

@@ -295,3 +295,41 @@ def test_cross_source_contamination(spark, tmp_path):
              for r in cross_source_contamination(
                  spark, str(d), prefix_words=None).collect()}
     assert exact == {("crawl_a", "crawl_c"): 1}
+
+
+def test_zipf_profile_duckdb_anchor(spark):
+    """zipf_profile matches a DuckDB re-implementation on the real
+    corpus (oracle-style anchor ahead of its registry entry) and the
+    slope is negative (frequency falls with rank)."""
+    import duckdb
+
+    from dagster_delta_spark.operators.textops import zipf_profile
+
+    sf = "/root/testdata/sf0.001"
+    row = zipf_profile(spark, sf).collect()[0]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    exp = con.sql("""
+        WITH toks AS (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents
+        ), counts AS (
+            SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+            ORDER BY freq DESC, tok ASC LIMIT 1000
+        ), ranked AS (
+            SELECT ln(CAST(row_number() OVER (
+                       ORDER BY freq DESC, tok ASC) AS DOUBLE)) AS x,
+                   ln(CAST(freq AS DOUBLE)) AS y
+            FROM counts
+        )
+        SELECT count(*) AS n_ranks,
+               covar_pop(x, y) / var_pop(x) AS slope,
+               avg(y) - covar_pop(x, y) / var_pop(x) * avg(x) AS intercept,
+               pow(corr(x, y), 2) AS r2
+        FROM ranked
+    """).fetchone()
+    assert row["n_ranks"] == exp[0]
+    assert abs(row["slope"] - exp[1]) < 1e-9
+    assert abs(row["intercept"] - exp[2]) < 1e-9
+    assert abs(row["r2"] - exp[3]) < 1e-9
+    assert row["slope"] < 0
