@@ -385,8 +385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_replace_delete": m4_replace_delete,
         "s3_time_travel": s3_time_travel,
         "p2_timewindow_read": p2_timewindow_read,
-        "pj1_projection": pj1_projection,
-        "o3_stats": o3_stats,
+        # pj1_projection/o3_stats (4x driver-green, code untouched in
+        # r5) yield their window slots to the two operators whose plans
+        # r5 REWROTE — changed code outranks re-recording unchanged
+        # code (code-review r5 finding: a rewritten operator must not
+        # ship driver-unverified on the strength of pre-rewrite rows)
+        "near_dup_jaccard": dedup.near_dup_jaccard,
+        "order_lineitem_rollup": relational.order_lineitem_rollup,
         # oracle-backed, never driver-recorded before round 5 (23)
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q8_market_share": relational.q8_market_share,
@@ -436,7 +441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_window": relational.top_orders_per_status,
         "events_hourly_rollup": relational.events_hourly_rollup,
         "events_sessionize": relational.events_sessionize,
-        "order_lineitem_rollup": relational.order_lineitem_rollup,
         "q4_exists_semi": relational.q4_order_priority_exists,
         "events_json_props": relational.events_json_props,
         "q16_anti_join": relational.q16_anti_join_parts,
@@ -470,7 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": textops.deterministic_sample,
         # dedup (oracle-backed)
         "dedup_exact": dedup.dedup_exact,
-        "near_dup_jaccard": dedup.near_dup_jaccard,
+        "pj1_projection": pj1_projection,
+        "o3_stats": o3_stats,
     }
 
 

@@ -42,21 +42,26 @@ def _materialize_cap_rows(override: Optional[int] = None) -> int:
     )
 
 
-def guard_driver_materialization(
-    df: DataFrame, cap_rows: Optional[int] = None, handler: str = "pandas"
-) -> DataFrame:
-    """Fail fast before a driver-side collect of an oversized frame.
-
-    The probe is ``df.limit(cap+1).count()`` — a LocalLimit that stops
-    scanning once cap+1 rows surface, so the guard costs far less than
-    the collect it protects (and nothing measurable on small outputs).
-    ``cap_rows <= 0`` disables the guard (power users / tests).
-    """
+def bounded_frame(
+    df: DataFrame, cap_rows: Optional[int] = None
+) -> tuple[DataFrame, int]:
+    """Single-scan materialization guard: returns ``(df.limit(cap+1),
+    cap)``.  The handler materializes the limited frame ONCE (bounded
+    driver memory by construction — at most cap+1 rows arrive) and
+    passes the resulting row count to :func:`check_materialized_rows`;
+    an under-cap result IS the complete result, so no second scan ever
+    runs (a count-then-collect probe would decode the whole table
+    twice).  ``cap <= 0`` disables the guard (``(df, 0)``)."""
     cap = _materialize_cap_rows(cap_rows)
     if cap <= 0:
-        return df
-    probed = df.limit(cap + 1).count()
-    if probed > cap:
+        return df, 0
+    return df.limit(cap + 1), cap
+
+
+def check_materialized_rows(n_rows: int, cap: int, handler: str) -> None:
+    """Raise if a bounded materialization came back truncated (the
+    true result exceeds the cap)."""
+    if cap > 0 and n_rows > cap:
         raise DriverMaterializationError(
             f"Refusing to materialize more than {cap:,} rows onto the "
             f"driver via the {handler} type handler (result exceeds the "
@@ -64,7 +69,6 @@ def guard_driver_materialization(
             f"raise DDS_MATERIALIZE_CAP_ROWS / the handler's "
             f"materialize_cap_rows if the driver has headroom."
         )
-    return df
 
 
 class SparkTypeHandler:
@@ -113,9 +117,10 @@ class PandasTypeHandler(SparkTypeHandler):
         return spark.createDataFrame(obj)
 
     def from_spark(self, df: DataFrame, target_type: Type) -> Any:
-        return guard_driver_materialization(
-            df, self.materialize_cap_rows, "pandas"
-        ).toPandas()
+        bounded, cap = bounded_frame(df, self.materialize_cap_rows)
+        pdf = bounded.toPandas()
+        check_materialized_rows(len(pdf), cap, "pandas")
+        return pdf
 
     def get_output_stats(self, obj: Any) -> dict[str, Any]:
         # reference ddp:90-104 reports num_rows_in_source
@@ -146,16 +151,15 @@ class ArrowTypeHandler(SparkTypeHandler):
     def from_spark(self, df: DataFrame, target_type: Type) -> Any:
         import pyarrow as pa
 
-        df = guard_driver_materialization(
-            df, self.materialize_cap_rows, "arrow"
-        )
+        bounded, cap = bounded_frame(df, self.materialize_cap_rows)
         # df.toArrow() (Spark 4) collects over Arrow IPC — no
         # pandas round-trip and exact arrow types
         table = (
-            df.toArrow()
-            if hasattr(df, "toArrow")
-            else pa.Table.from_pandas(df.toPandas())
+            bounded.toArrow()
+            if hasattr(bounded, "toArrow")
+            else pa.Table.from_pandas(bounded.toPandas())
         )
+        check_materialized_rows(table.num_rows, cap, "arrow")
         if target_type is pa.RecordBatchReader:
             return pa.RecordBatchReader.from_batches(
                 table.schema, table.to_batches()
@@ -191,10 +195,10 @@ class PolarsTypeHandler(SparkTypeHandler):
     def from_spark(self, df: DataFrame, target_type: Type) -> Any:
         import polars as pl
 
-        df = guard_driver_materialization(
-            df, self.materialize_cap_rows, "polars"
-        )
-        out = pl.from_pandas(df.toPandas())
+        bounded, cap = bounded_frame(df, self.materialize_cap_rows)
+        pdf = bounded.toPandas()
+        check_materialized_rows(len(pdf), cap, "polars")
+        out = pl.from_pandas(pdf)
         if target_type is pl.LazyFrame:
             return out.lazy()
         return out

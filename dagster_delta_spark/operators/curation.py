@@ -377,7 +377,14 @@ def cross_source_contamination(
         fp = (
             f"md5(array_join(slice({TOKENS}, 1, {prefix_words}), ' '))"
         )
-    fps = docs.select(F.expr(fp).alias("fp"), "source").distinct()
+    # materialize once: both self-join sides read the checkpointed
+    # (fp, source) pairs instead of scanning + fingerprinting the
+    # corpus twice (the dominant cost at scale)
+    fps = (
+        docs.select(F.expr(fp).alias("fp"), "source")
+        .distinct()
+        .localCheckpoint()
+    )
     a = fps.alias("a")
     b = fps.alias("b")
     return (

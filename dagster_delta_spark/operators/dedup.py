@@ -29,14 +29,16 @@ from .relational import load
 from .textops import TOKENS
 
 # Session-scoped cache of the materialized shingle stream, keyed by
-# (applicationId, corpus dir): jaccard, the whole MinHash family, and
-# cluster dedup all start from the same tokenize->shingle->distinct
-# pipeline, so one localCheckpoint serves every query in the session —
-# the same amortization contract as the persisted IVF centroid index
-# (similarity.py).  The testdata corpora are immutable; a deployment
-# whose corpus mutates in-session sets DDS_SHINGLE_CACHE=0 (each query
-# then re-materializes its own stream, the pre-r5 behavior).
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (applicationId, corpus dir, corpus fingerprint): jaccard, the whole
+# MinHash family, and cluster dedup all start from the same
+# tokenize->shingle->distinct pipeline, so one localCheckpoint serves
+# every query in the session — the same amortization contract as the
+# persisted IVF centroid index (similarity.py).  The fingerprint
+# (documents.parquet size+mtime_ns) makes an in-session corpus rewrite
+# MISS the cache, like load()'s mtime key; DDS_SHINGLE_CACHE=0 remains
+# as a belt-and-braces opt-out (each query then re-materializes its
+# own stream, the pre-r5 behavior).
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 #: MinHash signature cache, keyed (applicationId, corpus, num_hashes)
 _MINHASH_SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 #: SimHash signature cache, keyed (applicationId, corpus)
@@ -83,7 +85,12 @@ def _shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    from .relational import corpus_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        corpus_fingerprint(sf_dir, "documents"),
+    )
     caching = os.environ.get("DDS_SHINGLE_CACHE", "1") != "0"
     if caching and key in _SHINGLE_CACHE:
         return _SHINGLE_CACHE[key]
@@ -194,7 +201,8 @@ def near_dup_jaccard(
 
 
 def minhash_signatures(
-    spark: SparkSession, sf_dir: str, num_hashes: int = 64
+    spark: SparkSession, sf_dir: str, num_hashes: int = 64,
+    stream: Optional[DataFrame] = None,
 ) -> DataFrame:
     """MinHash signatures: ``sig[i] = min over shingles of
     xxhash64(i, shingle)``.
@@ -206,17 +214,24 @@ def minhash_signatures(
     slower: higher-order functions run interpreted and re-evaluate the
     hash per seed.)
 
-    Session-cached per (app, corpus, num_hashes) like the shingle
-    stream it derives from (constant-size per doc: 64 longs — far
-    smaller than the stream itself); ``DDS_SHINGLE_CACHE=0`` disables
-    both caches."""
+    Session-cached per (app, corpus, fingerprint, num_hashes) like the
+    shingle stream it derives from (constant-size per doc: 64 longs —
+    far smaller than the stream itself); ``DDS_SHINGLE_CACHE=0``
+    disables both caches.  ``stream`` lets a caller that already built
+    the shingle stream share it on the cache-off path (cache-on, the
+    stream cache makes the second call free anyway)."""
+    from .relational import corpus_fingerprint
+
     key = (
-        spark.sparkContext.applicationId, os.path.abspath(sf_dir), num_hashes,
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        corpus_fingerprint(sf_dir, "documents"), num_hashes,
     )
     caching = os.environ.get("DDS_SHINGLE_CACHE", "1") != "0"
     if caching and key in _MINHASH_SIG_CACHE:
         return _MINHASH_SIG_CACHE[key]
-    sigs = _signatures_from_stream(_shingle_stream(spark, sf_dir), num_hashes)
+    if stream is None:
+        stream = _shingle_stream(spark, sf_dir)
+    sigs = _signatures_from_stream(stream, num_hashes)
     if caching:
         sigs = sigs.localCheckpoint()
         _evict_stale(_MINHASH_SIG_CACHE, key[0])
@@ -258,7 +273,7 @@ def minhash_lsh_near_dups(
     # signatures and exact verification both reuse its checkpoint
     # blocks instead of re-tokenizing the corpus three times
     stream = _shingle_stream(spark, sf_dir)
-    sigs = minhash_signatures(spark, sf_dir, num_hashes)
+    sigs = minhash_signatures(spark, sf_dir, num_hashes, stream=stream)
     band_expr = (
         f"transform(sequence(0, {bands - 1}), "
         f"b -> named_struct('band', b, 'h', "
@@ -321,9 +336,15 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: explode tokens, hash each once, then 64 codegen'd
     ``sum((h >> j) & 1)`` aggregates in one groupBy (bit j is set iff
     set-bit count exceeds half the tokens).  One shuffle on doc_id
-    with map-side combine.  Session-cached per (app, corpus) — one
-    long per doc; ``DDS_SHINGLE_CACHE=0`` disables."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    with map-side combine.  Session-cached per (app, corpus,
+    fingerprint) — one long per doc; ``DDS_SHINGLE_CACHE=0``
+    disables."""
+    from .relational import corpus_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        corpus_fingerprint(sf_dir, "documents"),
+    )
     caching = os.environ.get("DDS_SHINGLE_CACHE", "1") != "0"
     if caching and key in _SIMHASH_SIG_CACHE:
         return _SIMHASH_SIG_CACHE[key]

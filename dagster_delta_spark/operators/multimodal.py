@@ -40,13 +40,18 @@ from .relational import load
 # module-level codecs below directly — the function bodies ship inside
 # the pickle.  The codecs only import numpy/struct (present on
 # workers); nothing worker-side touches the rest of the package.
-try:  # pragma: no cover - depends on pyspark's vendored cloudpickle
+# This repo requires pyspark 4, whose vendored cloudpickle (>= 2.x)
+# always provides register_pickle_by_value, so the except below is a
+# last-resort guard, NOT a full fallback: if it ever fires, this
+# module's mapInPandas operators additionally require the repo on the
+# executors' PYTHONPATH (closures then pickle by module reference).
+try:  # pragma: no cover - unreachable with the supported pyspark
     import sys as _sys
 
     from pyspark import cloudpickle as _cloudpickle
 
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # noqa: BLE001 - fall back to self-contained closures
+except Exception:  # noqa: BLE001 - see comment above
     pass
 
 # ---------------------------------------------------------------------------

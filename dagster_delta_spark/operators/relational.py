@@ -990,3 +990,36 @@ def q20_excess_shipments(
         .join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+def corpus_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap change-detection key for a corpus table: relative path +
+    size + mtime_ns of every data file (same contract as load()'s
+    mtime_ns cache key and the IVF centroid fingerprint).  Session
+    caches of derived corpus-side state (shingle streams, signatures,
+    LSH buckets, centroids) include this in their keys so an
+    in-session rewrite of the table misses the cache instead of
+    serving stale checkpoints."""
+    import glob as _glob
+    import hashlib as _hashlib
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # NB: glob('<file>/**') yields ['<file>/'] (trailing slash, fails
+    # isfile), so a plain-file table must bypass the glob or it hashes
+    # to the empty fingerprint — the bug that made the pre-r5
+    # embeddings fingerprint constant on single-file corpora
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(
+            _glob.glob(os.path.join(path, "**"), recursive=True)
+        )
+    h = _hashlib.sha256()
+    for f in files:
+        if os.path.isfile(f):
+            st = os.stat(f)
+            h.update(
+                f"{os.path.relpath(f, sf_dir)}:{st.st_size}:"
+                f"{st.st_mtime_ns};".encode()
+            )
+    return h.hexdigest()[:16]

@@ -15,7 +15,6 @@ in codegen) rather than Python UDFs.
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import os
 import tempfile
@@ -68,8 +67,9 @@ def cosine_topk(
 #: (applicationId, corpus dir, planes, tables) — the corpus-side index
 #: is query-independent, so one build amortizes across every
 #: lsh_ann_topk / embedding_near_dups_lsh call in a session (the same
-#: contract as the persisted IVF centroids).  Opt-out:
-#: DDS_LSH_CACHE=0 for corpora that mutate in-session.
+#: contract as the persisted IVF centroids).  The key carries the
+#: corpus fingerprint, so an in-session rewrite of embeddings.parquet
+#: misses the cache; DDS_LSH_CACHE=0 disables caching outright.
 _LSH_SIG_CACHE: dict[tuple, DataFrame] = {}
 
 
@@ -85,9 +85,12 @@ def lsh_signatures(
     plane).  ``tables`` independent buckets trade memory for recall,
     classic multi-table LSH.  Returns a MATERIALIZED (localCheckpoint)
     frame, session-cached per (app, corpus, planes, tables)."""
+    # corpus fingerprint in the key: an in-session rewrite of
+    # embeddings.parquet must miss the cache (same contract as load()
+    # and the IVF centroid cache), not serve stale checkpoints
     key = (
         spark.sparkContext.applicationId, os.path.abspath(sf_dir),
-        planes, tables,
+        planes, tables, _corpus_fingerprint(sf_dir),
     )
     caching = os.environ.get("DDS_LSH_CACHE", "1") != "0"
     if caching and key in _LSH_SIG_CACHE:
@@ -281,23 +284,15 @@ def _index_root() -> str:
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
-    """Cheap change-detection key for the embeddings corpus: relative
-    path + size + mtime of every data file.  A retrain lands as a NEW
-    VERSION of the centroid table when this changes; matching versions
-    are reused across processes (the index build is one-off, not part of
-    the query path)."""
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    files = sorted(glob.glob(os.path.join(path, "**"), recursive=True)) or [path]
-    h = hashlib.sha256()
-    for f in files:
-        if os.path.isfile(f):
-            st = os.stat(f)
-            # ns resolution: a same-second same-size rewrite must still
-            # change the fingerprint (relational.load keys on mtime_ns
-            # for the same reason)
-            h.update(f"{os.path.relpath(f, sf_dir)}:{st.st_size}:{st.st_mtime_ns};"
-                      .encode())
-    return h.hexdigest()[:16]
+    """Cheap change-detection key for the embeddings corpus (shared
+    helper; handles both plain-file and directory tables — the old
+    inline glob hashed plain files to the EMPTY fingerprint).  A
+    retrain lands as a NEW VERSION of the centroid table when this
+    changes; matching versions are reused across processes (the index
+    build is one-off, not part of the query path)."""
+    from .relational import corpus_fingerprint
+
+    return corpus_fingerprint(sf_dir, "embeddings")
 
 
 def ivf_centroid_table_uri(

@@ -410,10 +410,13 @@ def zipf_profile(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
     )
+    # try_divide: a degenerate corpus (one distinct token -> var_pop=0)
+    # yields NULL slope/intercept instead of an ANSI DIVIDE_BY_ZERO
+    # raise — matching DuckDB's NULL for the same expression
+    slope = F.expr("try_divide(covar_pop(x, y), var_pop(x))")
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_ranks"),
-        (F.covar_pop("x", "y") / F.var_pop("x")).alias("slope"),
-        (F.avg("y") - (F.covar_pop("x", "y") / F.var_pop("x")) * F.avg("x"))
-        .alias("intercept"),
+        slope.alias("slope"),
+        (F.avg("y") - slope * F.avg("x")).alias("intercept"),
         F.pow(F.corr("x", "y"), F.lit(2)).alias("r2"),
     )

@@ -477,8 +477,6 @@ def test_registry_rotation_invariant():
     already records it driver-green (union coverage across rounds).
     Mirrors the tools/check_oracles.py gate so a bad rotation fails in
     CI, not at round end."""
-    import glob
-    import json
     import os
 
     import __spark_entry__ as entry
@@ -486,28 +484,33 @@ def test_registry_rotation_invariant():
     qs = list(entry.queries())
     oracles = entry.oracle_sql()
     assert len(qs) == len(set(qs))
-    # §2-critical entries stay inside the recording window
+    head = qs[:50]
+    # shared predicate: import the gate's own recorded-set builder so
+    # the CI mirror and tools/check_oracles.py cannot drift
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "check_oracles", os.path.join(root, "tools", "check_oracles.py")
+    )
+    gate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gate)
+    recorded = gate.recorded_green_entries(root)
+    never_recorded_tail = [k for k in qs[50:] if k not in recorded]
+    assert never_recorded_tail == [], (
+        f"{never_recorded_tail} sit past the 50-entry cap with no "
+        "driver-green row in any committed CORRECTNESS_r*.json"
+    )
+    # §2-critical entries are in the window or already on driver
+    # record (r5 policy: a slot may be yielded to an operator whose
+    # code changed — changed code outranks re-recording unchanged)
     critical = [
         "w1_w4_error_ignore", "w2_append", "w3_partition_overwrite",
         "w5_create_or_replace", "m1_update_only", "m2_dedup_insert",
         "m3_upsert", "m4_replace_delete", "s3_time_travel",
         "p2_timewindow_read", "pj1_projection", "o3_stats",
     ]
-    head = qs[:50]
-    assert all(k in head for k in critical)
-    recorded = set()
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        rows = json.load(open(path))
-        recorded.update(
-            k for k, v in rows.items()
-            if isinstance(v, dict) and v.get("rows_match") and not v.get("err")
-        )
-    never_recorded_tail = [k for k in qs[50:] if k not in recorded]
-    assert never_recorded_tail == [], (
-        f"{never_recorded_tail} sit past the 50-entry cap with no "
-        "driver-green row in any committed CORRECTNESS_r*.json"
-    )
+    assert all(k in head or k in recorded for k in critical)
     # every oracle key has a queries() twin
     assert [k for k in oracles if k not in qs] == []
 
@@ -527,3 +530,28 @@ def test_shingle_stream_session_cache(spark, monkeypatch):
     assert c is not a
     assert c.count() == a.count()
     dedup._SHINGLE_CACHE.clear()
+
+
+def test_shingle_cache_misses_on_corpus_rewrite(spark, tmp_path):
+    """The cache key carries the corpus fingerprint: rewriting
+    documents.parquet in-session must produce fresh results, not the
+    stale checkpoint (code-review r5 finding)."""
+    import pandas as pd
+
+    from dagster_delta_spark.operators import dedup
+
+    d = tmp_path / "c"
+    d.mkdir()
+
+    def write(texts):
+        pd.DataFrame({
+            "doc_id": list(range(len(texts))), "text": texts,
+            "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }).to_parquet(str(d / "documents.parquet"))
+
+    write(["alpha beta gamma delta"])
+    n1 = dedup._shingle_stream(spark, str(d)).count()
+    write(["alpha beta gamma delta epsilon zeta eta theta iota kappa"])
+    n2 = dedup._shingle_stream(spark, str(d)).count()
+    assert n1 == 2 and n2 == 8  # trigrams: n_tokens - 2

@@ -15,6 +15,29 @@ sys.path.insert(0, "/root/repo")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def recorded_green_entries(root: str) -> set[str]:
+    """Entries with a driver-green row in any committed
+    CORRECTNESS_r*.json under ``root``.  Shared with
+    tests/test_misc_features.py's rotation-invariant mirror so the two
+    gates cannot drift."""
+    import glob
+    import json
+    import os
+
+    recorded: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        recorded.update(
+            k for k, v in rows.items()
+            if isinstance(v, dict) and v.get("rows_match")
+            and not v.get("err")
+        )
+    return recorded
+
+
 def canon(rows, ndigits=6):
     out = []
     for row in rows:
@@ -63,22 +86,10 @@ def main():
     # unrecorded.  Checked on full runs only (a targeted
     # `check_oracles.py dir q` debug run shouldn't gate).
     if not only:
-        import glob
-        import json
         import os
 
-        recorded: set[str] = set()
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-            try:
-                rows = json.load(open(path))
-            except (OSError, ValueError):
-                continue
-            recorded.update(
-                k for k, v in rows.items()
-                if isinstance(v, dict) and v.get("rows_match")
-                and not v.get("err")
-            )
+        recorded = recorded_green_entries(root)
         never_recorded = [
             n for n in list(qs)[50:] if n not in recorded
         ]
