@@ -81,10 +81,8 @@ def _shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen.
 
     Returns a MATERIALIZED (localCheckpoint) frame, cached per
-    (session, corpus) — see ``_SHINGLE_CACHE`` above.
+    (session, corpus, fingerprint) — see ``_SHINGLE_CACHE`` above.
     """
-    from pyspark.sql.window import Window
-
     from .relational import corpus_fingerprint
 
     key = (
@@ -95,20 +93,28 @@ def _shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if caching and key in _SHINGLE_CACHE:
         return _SHINGLE_CACHE[key]
     docs = load(spark, sf_dir, "documents")
+    stream = shingles_of(docs).localCheckpoint()
+    if caching:
+        _evict_stale(_SHINGLE_CACHE, key[0])
+        _SHINGLE_CACHE[key] = stream
+    return stream
+
+
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """Distinct word-trigram shingles of an arbitrary documents frame
+    (``doc_id``, ``text``) — the un-cached core of ``_shingle_stream``,
+    reused by the streaming ingest filter on per-batch frames."""
+    from pyspark.sql.window import Window
+
     ex = docs.select("doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    stream = (
+    return (
         ex.withColumn("t1", F.lead("tok", 1).over(w))
         .withColumn("t2", F.lead("tok", 2).over(w))
         .where(F.col("t2").isNotNull())
         .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("sh"))
         .distinct()
-        .localCheckpoint()
     )
-    if caching:
-        _evict_stale(_SHINGLE_CACHE, key[0])
-        _SHINGLE_CACHE[key] = stream
-    return stream
 
 
 def _shingle_sizes(stream: DataFrame) -> DataFrame:

@@ -10,6 +10,9 @@ from .events import (  # noqa: F401
     stream_into_table,
     stream_upsert_into_table,
 )
+from .ingest_dedup import (  # noqa: F401
+    stream_ingest_near_dup_filter,
+)
 from .table_source import (  # noqa: F401
     DeltaSparkTableDataSource,
     DeltaSparkTableStreamReader,

@@ -1,0 +1,158 @@
+"""Continuous-ingest near-duplicate filtering (streaming MinHash+LSH).
+
+The batch dedup operators (`operators/dedup.py`) answer "which pairs in
+THIS corpus are near-dups"; a training-data ingest pipeline needs the
+online form: as document batches arrive, drop the ones that near-match
+anything ALREADY ACCEPTED, and admit the rest — without ever rescanning
+the accepted corpus.
+
+Design (Spark Structured Streaming + the engine's transactional table):
+
+- State = two append-only `DeltaSparkTable`s: the accepted documents
+  and their LSH band buckets ((doc_id, band, h) rows — constant size
+  per doc: `bands` longs).  The bucket table IS the index; it grows
+  with accepted docs only, never with rejected ones.
+- Per micro-batch (foreachBatch): MinHash-sign the batch (same
+  signature pipeline as the batch operators — `shingles_of` +
+  `_signatures_from_stream`), band it, then
+    1. within-batch: a doc sharing ANY band bucket with a smaller
+       batch doc_id is dropped (deterministic survivor),
+    2. cross-batch: a doc sharing ANY band bucket with the accepted
+       bucket table is dropped (left_anti join on (band, h) — the
+       accepted side is pre-bucketed, so this probes the index rather
+       than re-signing history).
+  Survivor docs + their buckets land as one atomic append each, tagged
+  with the streaming batch id for idempotent restart (same pattern as
+  `stream_into_table`).
+- LSH-only decision (no exact verify): the classic online-filter
+  trade — false-positive drops at the banding collision rate in
+  exchange for never touching accepted TEXT again.  `bands` /
+  `num_hashes` tune precision exactly as in the batch operator.
+
+At 100 TB the bucket join shuffles on (band, h) — bounded by accepted
+docs x bands rows of 24 bytes, orders of magnitude smaller than the
+corpus — and each batch's signature build touches only that batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, sig) -> (doc_id, band, h): one xxhash64 bucket per
+    signature slice (identical banding to minhash_lsh_near_dups)."""
+    rows_per_band = num_hashes // bands
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band', b, 'h', "
+        f"xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
+        f"{rows_per_band})))))"
+    )
+    return sigs.select(
+        "doc_id", F.explode(F.expr(band_expr)).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
+def stream_ingest_near_dup_filter(
+    spark: SparkSession,
+    source_dir: str,
+    table_uri: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_files_per_trigger: int = 1,
+) -> "DeltaSparkTable":
+    """Run the streaming near-dup ingest filter over a directory of
+    document parquet files; returns the accepted-documents table
+    (`table_uri`; buckets live at `table_uri + "_buckets"`).
+
+    Processes everything currently in `source_dir`
+    (`processAllAvailable`) and stops — rerunning resumes from the
+    stream checkpoint and the batch-id commit metadata keeps restarts
+    idempotent even if a failure lands between commit and checkpoint.
+    """
+    from ..config import WriteMode
+    from ..operators.dedup import _signatures_from_stream, shingles_of
+    from ..table import DeltaSparkTable
+
+    docs_table = DeltaSparkTable(spark, table_uri)
+    bucket_table = DeltaSparkTable(spark, table_uri + "_buckets")
+
+    def _last_committed_batch(table: "DeltaSparkTable") -> int:
+        if not table.exists():
+            return -1
+        for h in table.history():
+            md = h.get("userMetadata") or {}
+            if "streaming_batch_id" in md:
+                return int(md["streaming_batch_id"])
+        return -1
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # each table tracks its own last-committed batch: a crash
+        # BETWEEN the two appends reruns the batch with the bucket
+        # append already durable and only the docs append outstanding
+        if batch_id <= _last_committed_batch(docs_table):
+            return
+        batch_df = batch_df.localCheckpoint()  # small; read 3x below
+        sigs = _signatures_from_stream(shingles_of(batch_df), num_hashes)
+        buckets = (
+            _band_buckets(sigs, num_hashes, bands)
+            .withColumn("batch_id", F.lit(batch_id))
+            .localCheckpoint()
+        )
+
+        # 1. within-batch: drop docs bucket-colliding with a smaller id
+        a, b = buckets.alias("a"), buckets.alias("b")
+        beaten = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") > F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        survivors = buckets.join(beaten, "doc_id", "left_anti")
+
+        # 2. cross-batch: drop docs colliding with the accepted index.
+        # Rows carry their batch_id precisely so a RERUN of this batch
+        # (crash after the bucket append below, before the docs
+        # append) does not collide the batch with its own buckets and
+        # silently drop every document
+        if bucket_table.exists():
+            accepted = (
+                bucket_table.read()
+                .where(F.col("batch_id") != batch_id)
+                .select("band", "h")
+            )
+            hit = (
+                survivors.join(accepted, ["band", "h"], "left_semi")
+                .select("doc_id").distinct()
+            )
+            survivors = survivors.join(hit, "doc_id", "left_anti")
+
+        kept_ids = survivors.select("doc_id").distinct()
+        kept_docs = batch_df.join(kept_ids, "doc_id")
+        md = {"streaming_batch_id": str(batch_id)}
+        if batch_id > _last_committed_batch(bucket_table):
+            bucket_table.write(
+                survivors, WriteMode.append
+                if bucket_table.exists() else WriteMode.error,
+                commit_metadata=md,
+            )
+        docs_table.write(kept_docs, WriteMode.append
+                         if docs_table.exists() else WriteMode.error,
+                         commit_metadata=md)
+
+    schema = spark.read.parquet(source_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(source_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", table_uri + "/_stream_checkpoint")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return docs_table

@@ -288,3 +288,48 @@ def test_version_offset_stream_fails_on_rewrite(spark, tmp_path):
     finally:
         q.stop()
     assert streaming_failed, "rewrite commits must fail the stream loudly"
+
+
+def test_stream_ingest_near_dup_filter(spark, tmp_path):
+    """Online MinHash ingest filter: batch 2's near-copy of an
+    already-accepted batch-1 doc is dropped via the accumulated bucket
+    index; distinct docs are admitted; within-batch dups keep one
+    survivor; a rerun over the same source is a no-op (idempotent)."""
+    import time
+
+    import pandas as pd
+
+    from dagster_delta_spark.streaming import stream_ingest_near_dup_filter
+
+    src = tmp_path / "src"
+    src.mkdir()
+    body = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet green field all afternoon long")
+    other = ("completely unrelated text about distributed query "
+             "engines shuffling partitioned columnar data at scale")
+    third = ("a third document discussing minhash signatures banding "
+             "and locality sensitive hashing for near duplicates")
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            str(src / name))
+
+    # batch 1: doc 1+2 distinct, doc 3 an exact copy of doc 1
+    write("b1.parquet", [(1, body), (2, other), (3, body)])
+    time.sleep(0.05)  # distinct mtimes -> deterministic file order
+    # batch 2: doc 4 copies doc 1 (cross-batch dup), doc 5 is new
+    write("b2.parquet", [(4, body), (5, third)])
+
+    t = stream_ingest_near_dup_filter(
+        spark, str(src), str(tmp_path / "accepted"),
+        max_files_per_trigger=1,
+    )
+    accepted = sorted(r["doc_id"] for r in t.read().collect())
+    # 3 loses to 1 within batch 1; 4 collides cross-batch with 1
+    assert accepted == [1, 2, 5]
+
+    # idempotent resume: nothing new in src -> no change
+    t2 = stream_ingest_near_dup_filter(
+        spark, str(src), str(tmp_path / "accepted"),
+        max_files_per_trigger=1,
+    )
+    assert sorted(r["doc_id"] for r in t2.read().collect()) == [1, 2, 5]
