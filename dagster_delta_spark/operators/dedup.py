@@ -39,19 +39,39 @@ from .textops import TOKENS
 # as a belt-and-braces opt-out (each query then re-materializes its
 # own stream, the pre-r5 behavior).
 _SHINGLE_CACHE: dict[tuple, DataFrame] = {}
-#: MinHash signature cache, keyed (applicationId, corpus, num_hashes)
-_MINHASH_SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
-#: SimHash signature cache, keyed (applicationId, corpus)
-_SIMHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: MinHash signature cache, keyed (app, corpus, fingerprint, num_hashes)
+_MINHASH_SIG_CACHE: dict[tuple, DataFrame] = {}
+#: SimHash signature cache, keyed (app, corpus, fingerprint)
+_SIMHASH_SIG_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _evict_stale(cache: dict, app_id: str) -> None:
+def _evict_stale(
+    cache: dict, app_id: str, live_key: Optional[tuple] = None
+) -> None:
     """Drop entries from dead sessions: a long-lived process that
     stops and restarts Spark sessions must not accumulate references
     to unreachable checkpoint RDDs.  Keys carry the owning session's
     applicationId at position 0 or 1 (the IVF assignment cache prefixes
-    a kind tag), so membership — not position — decides liveness."""
-    for k in [k for k in cache if app_id not in k]:
+    a kind tag), so membership — not position — decides liveness.
+
+    ``live_key`` (shape ``(app, dir, fingerprint, ...)``) additionally
+    drops same-session entries for the SAME corpus dir whose
+    fingerprint was superseded by a rewrite — without this, every
+    in-session corpus rewrite would pin one more dead materialized
+    stream's checkpoint blocks for the session's lifetime."""
+    doomed = []
+    for k in cache:
+        if app_id not in k:
+            doomed.append(k)
+        elif (
+            live_key is not None
+            and len(k) >= 3
+            and k[0] == live_key[0]
+            and k[1] == live_key[1]
+            and k[2] != live_key[2]
+        ):
+            doomed.append(k)
+    for k in doomed:
         del cache[k]
 
 
@@ -95,7 +115,7 @@ def _shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     stream = shingles_of(docs).localCheckpoint()
     if caching:
-        _evict_stale(_SHINGLE_CACHE, key[0])
+        _evict_stale(_SHINGLE_CACHE, key[0], key)
         _SHINGLE_CACHE[key] = stream
     return stream
 
@@ -240,7 +260,7 @@ def minhash_signatures(
     sigs = _signatures_from_stream(stream, num_hashes)
     if caching:
         sigs = sigs.localCheckpoint()
-        _evict_stale(_MINHASH_SIG_CACHE, key[0])
+        _evict_stale(_MINHASH_SIG_CACHE, key[0], key)
         _MINHASH_SIG_CACHE[key] = sigs
     return sigs
 
@@ -380,7 +400,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = g.select("doc_id", F.expr(sig).alias("simhash"))
     if caching:
         sigs = sigs.localCheckpoint()
-        _evict_stale(_SIMHASH_SIG_CACHE, key[0])
+        _evict_stale(_SIMHASH_SIG_CACHE, key[0], key)
         _SIMHASH_SIG_CACHE[key] = sigs
     return sigs
 

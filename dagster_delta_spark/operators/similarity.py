@@ -84,13 +84,14 @@ def lsh_signatures(
     vec_id; nested array lambdas would run interpreted and re-hash per
     plane).  ``tables`` independent buckets trade memory for recall,
     classic multi-table LSH.  Returns a MATERIALIZED (localCheckpoint)
-    frame, session-cached per (app, corpus, planes, tables)."""
+    frame, session-cached per (app, corpus, fingerprint, planes,
+    tables)."""
     # corpus fingerprint in the key: an in-session rewrite of
     # embeddings.parquet must miss the cache (same contract as load()
     # and the IVF centroid cache), not serve stale checkpoints
     key = (
         spark.sparkContext.applicationId, os.path.abspath(sf_dir),
-        planes, tables, _corpus_fingerprint(sf_dir),
+        _corpus_fingerprint(sf_dir), planes, tables,
     )
     caching = os.environ.get("DDS_LSH_CACHE", "1") != "0"
     if caching and key in _LSH_SIG_CACHE:
@@ -123,7 +124,7 @@ def lsh_signatures(
         from .dedup import _evict_stale
 
         sigs = sigs.localCheckpoint()
-        _evict_stale(_LSH_SIG_CACHE, key[0])
+        _evict_stale(_LSH_SIG_CACHE, key[0], key)
         _LSH_SIG_CACHE[key] = sigs
     return sigs
 

@@ -410,13 +410,18 @@ def zipf_profile(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
     )
-    # try_divide: a degenerate corpus (one distinct token -> var_pop=0)
+    # degenerate corpus (one distinct token -> var_pop=0): try_divide
     # yields NULL slope/intercept instead of an ANSI DIVIDE_BY_ZERO
-    # raise — matching DuckDB's NULL for the same expression
+    # raise, and corr's 0/0 NaN is mapped to NULL — both matching
+    # DuckDB's NULLs for the same expressions (the oracle comparison
+    # distinguishes NaN from NULL)
     slope = F.expr("try_divide(covar_pop(x, y), var_pop(x))")
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_ranks"),
         slope.alias("slope"),
         (F.avg("y") - slope * F.avg("x")).alias("intercept"),
-        F.pow(F.corr("x", "y"), F.lit(2)).alias("r2"),
+        F.expr(
+            "CASE WHEN isnan(corr(x, y)) THEN NULL "
+            "ELSE pow(corr(x, y), 2) END"
+        ).alias("r2"),
     )

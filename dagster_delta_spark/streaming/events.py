@@ -142,6 +142,21 @@ def run_dedup_stream_once(
     return spark.table(table_name)
 
 
+def last_streaming_batch(table: "DeltaSparkTable") -> int:
+    """Newest ``streaming_batch_id`` recorded in a table's commit
+    metadata, -1 if none — the idempotent-restart watermark shared by
+    every foreachBatch sink here and in ``ingest_dedup``.  history()
+    is newest-first and every streaming commit carries the key, so the
+    scan normally stops at the head commit."""
+    if not table.exists():
+        return -1
+    for h in table.history():
+        md = h.get("userMetadata") or {}
+        if "streaming_batch_id" in md:
+            return int(md["streaming_batch_id"])
+    return -1
+
+
 def stream_into_table(
     spark: SparkSession,
     sf_dir: str,
@@ -157,20 +172,11 @@ def stream_into_table(
 
     table = DeltaSparkTable(spark, table_uri)
 
-    def _last_committed_batch() -> int:
-        if not table.exists():
-            return -1
-        for h in table.history():
-            md = h.get("userMetadata") or {}
-            if "streaming_batch_id" in md:
-                return int(md["streaming_batch_id"])
-        return -1
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # idempotent restart: if this batch already committed (e.g. a
         # failure after commit but before checkpoint advance), skip it —
         # the Delta txnAppId/txnVersion pattern on our commit metadata
-        if batch_id <= _last_committed_batch():
+        if batch_id <= last_streaming_batch(table):
             return
         table.write(
             batch_df, WriteMode.append,

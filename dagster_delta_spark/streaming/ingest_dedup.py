@@ -74,30 +74,42 @@ def stream_ingest_near_dup_filter(
     """
     from ..config import WriteMode
     from ..operators.dedup import _signatures_from_stream, shingles_of
+    from ..operators.textops import NORM_TEXT
     from ..table import DeltaSparkTable
+    from .events import last_streaming_batch
 
     docs_table = DeltaSparkTable(spark, table_uri)
     bucket_table = DeltaSparkTable(spark, table_uri + "_buckets")
-
-    def _last_committed_batch(table: "DeltaSparkTable") -> int:
-        if not table.exists():
-            return -1
-        for h in table.history():
-            md = h.get("userMetadata") or {}
-            if "streaming_batch_id" in md:
-                return int(md["streaming_batch_id"])
-        return -1
+    # each table tracks its own last-committed batch, memoized across
+    # the run: a crash BETWEEN the two appends reruns the batch with
+    # the bucket append already durable and only the docs append
+    # outstanding; the full history scan runs once at startup, not
+    # per micro-batch (history cost grows with committed batches)
+    last = {
+        "docs": last_streaming_batch(docs_table),
+        "buckets": last_streaming_batch(bucket_table),
+    }
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # each table tracks its own last-committed batch: a crash
-        # BETWEEN the two appends reruns the batch with the bucket
-        # append already durable and only the docs append outstanding
-        if batch_id <= _last_committed_batch(docs_table):
+        if batch_id <= last["docs"]:
             return
         batch_df = batch_df.localCheckpoint()  # small; read 3x below
         sigs = _signatures_from_stream(shingles_of(batch_df), num_hashes)
+        lsh_buckets = _band_buckets(sigs, num_hashes, bands)
+        # docs too short to shingle (< 3 tokens, or empty text) carry
+        # no LSH evidence — give each ONE exact-content pseudo-bucket
+        # (band -1) so they are exact-deduped against other short docs
+        # and, crucially, still reach kept_ids instead of being
+        # silently lost by the inner join below
+        short = batch_df.join(
+            sigs.select("doc_id"), "doc_id", "left_anti"
+        ).select(
+            "doc_id",
+            F.lit(-1).alias("band"),
+            F.xxhash64(F.expr(NORM_TEXT)).alias("h"),
+        )
         buckets = (
-            _band_buckets(sigs, num_hashes, bands)
+            lsh_buckets.unionByName(short)
             .withColumn("batch_id", F.lit(batch_id))
             .localCheckpoint()
         )
@@ -133,17 +145,24 @@ def stream_ingest_near_dup_filter(
         kept_ids = survivors.select("doc_id").distinct()
         kept_docs = batch_df.join(kept_ids, "doc_id")
         md = {"streaming_batch_id": str(batch_id)}
-        if batch_id > _last_committed_batch(bucket_table):
+        if batch_id > last["buckets"]:
             bucket_table.write(
                 survivors, WriteMode.append
                 if bucket_table.exists() else WriteMode.error,
                 commit_metadata=md,
             )
+            last["buckets"] = batch_id
         docs_table.write(kept_docs, WriteMode.append
                          if docs_table.exists() else WriteMode.error,
                          commit_metadata=md)
+        last["docs"] = batch_id
 
-    schema = spark.read.parquet(source_dir).schema
+    # same glob as the stream below: a stray non-parquet file in the
+    # source dir must not break schema inference either
+    schema = (
+        spark.read.option("pathGlobFilter", "*.parquet")
+        .parquet(source_dir).schema
+    )
     q = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -333,3 +333,17 @@ def test_zipf_profile_duckdb_anchor(spark):
     assert abs(row["intercept"] - exp[2]) < 1e-9
     assert abs(row["r2"] - exp[3]) < 1e-9
     assert row["slope"] < 0
+
+
+def test_zipf_profile_degenerate_corpus(spark, tmp_path):
+    """One distinct token: slope/intercept/r2 are NULL (not an ANSI
+    DIVIDE_BY_ZERO raise, not NaN) — matching what DuckDB returns for
+    the same expressions."""
+    from dagster_delta_spark.operators.textops import zipf_profile
+
+    rows = [(1, "same same same", "en", "web", 1)]
+    row = zipf_profile(spark, _write_docs(spark, tmp_path, rows)).collect()[0]
+    assert row["n_ranks"] == 1
+    assert row["slope"] is None
+    assert row["intercept"] is None
+    assert row["r2"] is None

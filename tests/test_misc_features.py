@@ -555,3 +555,30 @@ def test_shingle_cache_misses_on_corpus_rewrite(spark, tmp_path):
     write(["alpha beta gamma delta epsilon zeta eta theta iota kappa"])
     n2 = dedup._shingle_stream(spark, str(d)).count()
     assert n1 == 2 and n2 == 8  # trigrams: n_tokens - 2
+
+
+def test_superseded_fingerprint_entries_evicted(spark, tmp_path):
+    """An in-session corpus rewrite must not pin the OLD checkpointed
+    stream in the cache: the superseded-fingerprint entry is evicted
+    on the next insert for the same (app, dir)."""
+    import pandas as pd
+
+    from dagster_delta_spark.operators import dedup
+
+    dedup._SHINGLE_CACHE.clear()
+    d = tmp_path / "c"
+    d.mkdir()
+
+    def write(text):
+        pd.DataFrame({
+            "doc_id": [0], "text": [text], "lang": ["en"],
+            "source": ["s"], "n_chars": [len(text)],
+        }).to_parquet(str(d / "documents.parquet"))
+
+    write("alpha beta gamma delta")
+    dedup._shingle_stream(spark, str(d))
+    write("one two three four five six")
+    dedup._shingle_stream(spark, str(d))
+    same_dir = [k for k in dedup._SHINGLE_CACHE if k[1] == str(d)]
+    assert len(same_dir) == 1  # old-fingerprint entry evicted
+    dedup._SHINGLE_CACHE.clear()

@@ -333,3 +333,26 @@ def test_stream_ingest_near_dup_filter(spark, tmp_path):
         max_files_per_trigger=1,
     )
     assert sorted(r["doc_id"] for r in t2.read().collect()) == [1, 2, 5]
+
+
+def test_stream_ingest_admits_short_docs(spark, tmp_path):
+    """Docs too short to shingle (< 3 tokens) must be ADMITTED, not
+    silently lost (code-review r5 finding), and exact-deduped against
+    other short docs via their content pseudo-bucket."""
+    import pandas as pd
+
+    from dagster_delta_spark.streaming import stream_ingest_near_dup_filter
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        [(1, "hello world"), (2, "hi"),
+         (3, "hello world"),            # exact short dup of 1
+         (4, "a normal length document with plenty of word trigrams "
+             "inside it for signatures")],
+        columns=["doc_id", "text"],
+    ).to_parquet(str(src / "b1.parquet"))
+    t = stream_ingest_near_dup_filter(
+        spark, str(src), str(tmp_path / "accepted"))
+    accepted = sorted(r["doc_id"] for r in t.read().collect())
+    assert accepted == [1, 2, 4]  # 3 exact-dups 1; shorts admitted
