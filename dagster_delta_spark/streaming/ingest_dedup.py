@@ -55,6 +55,90 @@ def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
 
 
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    docs_table,
+    bucket_table,
+    last: dict,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """Process ONE micro-batch of the ingest filter (the foreachBatch
+    body, module-level so the crash-recovery protocol is unit-testable
+    outside a streaming query).  ``last`` holds each table's
+    last-committed batch id, memoized by the caller across batches."""
+    from ..config import WriteMode
+    from ..operators.dedup import _signatures_from_stream, shingles_of
+    from ..operators.textops import NORM_TEXT
+
+    if batch_id <= last["docs"]:
+        return
+    batch_df = batch_df.localCheckpoint()  # small; read 3x below
+    sigs = _signatures_from_stream(shingles_of(batch_df), num_hashes)
+    lsh_buckets = _band_buckets(sigs, num_hashes, bands)
+    # docs too short to shingle (< 3 tokens, or empty text) carry
+    # no LSH evidence — give each ONE exact-content pseudo-bucket
+    # (band -1) so they are exact-deduped against other short docs
+    # and, crucially, still reach kept_ids instead of being
+    # silently lost by the inner join below
+    short = batch_df.join(
+        sigs.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.lit(-1).alias("band"),
+        F.xxhash64(F.expr(NORM_TEXT)).alias("h"),
+    )
+    buckets = (
+        lsh_buckets.unionByName(short)
+        .withColumn("batch_id", F.lit(batch_id))
+        .localCheckpoint()
+    )
+
+    # 1. within-batch: drop docs bucket-colliding with a smaller id
+    a, b = buckets.alias("a"), buckets.alias("b")
+    beaten = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") > F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = buckets.join(beaten, "doc_id", "left_anti")
+
+    # 2. cross-batch: drop docs colliding with the accepted index.
+    # Rows carry their batch_id precisely so a RERUN of this batch
+    # (crash after the bucket append below, before the docs
+    # append) does not collide the batch with its own buckets and
+    # silently drop every document
+    if bucket_table.exists():
+        accepted = (
+            bucket_table.read()
+            .where(F.col("batch_id") != batch_id)
+            .select("band", "h")
+        )
+        hit = (
+            survivors.join(accepted, ["band", "h"], "left_semi")
+            .select("doc_id").distinct()
+        )
+        survivors = survivors.join(hit, "doc_id", "left_anti")
+
+    kept_ids = survivors.select("doc_id").distinct()
+    kept_docs = batch_df.join(kept_ids, "doc_id")
+    md = {"streaming_batch_id": str(batch_id)}
+    if batch_id > last["buckets"]:
+        bucket_table.write(
+            survivors, WriteMode.append
+            if bucket_table.exists() else WriteMode.error,
+            commit_metadata=md,
+        )
+        last["buckets"] = batch_id
+    docs_table.write(kept_docs, WriteMode.append
+                     if docs_table.exists() else WriteMode.error,
+                     commit_metadata=md)
+    last["docs"] = batch_id
+
+
 def stream_ingest_near_dup_filter(
     spark: SparkSession,
     source_dir: str,
@@ -72,9 +156,6 @@ def stream_ingest_near_dup_filter(
     stream checkpoint and the batch-id commit metadata keeps restarts
     idempotent even if a failure lands between commit and checkpoint.
     """
-    from ..config import WriteMode
-    from ..operators.dedup import _signatures_from_stream, shingles_of
-    from ..operators.textops import NORM_TEXT
     from ..table import DeltaSparkTable
     from .events import last_streaming_batch
 
@@ -91,71 +172,10 @@ def stream_ingest_near_dup_filter(
     }
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last["docs"]:
-            return
-        batch_df = batch_df.localCheckpoint()  # small; read 3x below
-        sigs = _signatures_from_stream(shingles_of(batch_df), num_hashes)
-        lsh_buckets = _band_buckets(sigs, num_hashes, bands)
-        # docs too short to shingle (< 3 tokens, or empty text) carry
-        # no LSH evidence — give each ONE exact-content pseudo-bucket
-        # (band -1) so they are exact-deduped against other short docs
-        # and, crucially, still reach kept_ids instead of being
-        # silently lost by the inner join below
-        short = batch_df.join(
-            sigs.select("doc_id"), "doc_id", "left_anti"
-        ).select(
-            "doc_id",
-            F.lit(-1).alias("band"),
-            F.xxhash64(F.expr(NORM_TEXT)).alias("h"),
+        ingest_batch(
+            batch_df, batch_id, docs_table, bucket_table, last,
+            num_hashes=num_hashes, bands=bands,
         )
-        buckets = (
-            lsh_buckets.unionByName(short)
-            .withColumn("batch_id", F.lit(batch_id))
-            .localCheckpoint()
-        )
-
-        # 1. within-batch: drop docs bucket-colliding with a smaller id
-        a, b = buckets.alias("a"), buckets.alias("b")
-        beaten = (
-            a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.h") == F.col("b.h"))
-                   & (F.col("a.doc_id") > F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_id"))
-            .distinct()
-        )
-        survivors = buckets.join(beaten, "doc_id", "left_anti")
-
-        # 2. cross-batch: drop docs colliding with the accepted index.
-        # Rows carry their batch_id precisely so a RERUN of this batch
-        # (crash after the bucket append below, before the docs
-        # append) does not collide the batch with its own buckets and
-        # silently drop every document
-        if bucket_table.exists():
-            accepted = (
-                bucket_table.read()
-                .where(F.col("batch_id") != batch_id)
-                .select("band", "h")
-            )
-            hit = (
-                survivors.join(accepted, ["band", "h"], "left_semi")
-                .select("doc_id").distinct()
-            )
-            survivors = survivors.join(hit, "doc_id", "left_anti")
-
-        kept_ids = survivors.select("doc_id").distinct()
-        kept_docs = batch_df.join(kept_ids, "doc_id")
-        md = {"streaming_batch_id": str(batch_id)}
-        if batch_id > last["buckets"]:
-            bucket_table.write(
-                survivors, WriteMode.append
-                if bucket_table.exists() else WriteMode.error,
-                commit_metadata=md,
-            )
-            last["buckets"] = batch_id
-        docs_table.write(kept_docs, WriteMode.append
-                         if docs_table.exists() else WriteMode.error,
-                         commit_metadata=md)
-        last["docs"] = batch_id
 
     # same glob as the stream below: a stray non-parquet file in the
     # source dir must not break schema inference either

@@ -356,3 +356,57 @@ def test_stream_ingest_admits_short_docs(spark, tmp_path):
         spark, str(src), str(tmp_path / "accepted"))
     accepted = sorted(r["doc_id"] for r in t.read().collect())
     assert accepted == [1, 2, 4]  # 3 exact-dups 1; shorts admitted
+
+
+def test_ingest_batch_partial_crash_recovery(spark, tmp_path):
+    """Crash between the bucket append and the docs append: the rerun
+    must re-admit the batch's survivors (its own already-committed
+    buckets are excluded from the collision check via batch_id), and
+    must not append the buckets twice."""
+    import pandas as pd
+
+    from dagster_delta_spark.streaming.ingest_dedup import ingest_batch
+    from dagster_delta_spark.streaming.events import last_streaming_batch
+    from dagster_delta_spark.table import DeltaSparkTable
+
+    def docs_df(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    body = ("one unique document body with enough tokens to form many "
+            "word trigram shingles for a useful signature")
+    other = ("second entirely different text discussing streaming "
+             "micro batches and transactional append commits")
+    docs_t = DeltaSparkTable(spark, str(tmp_path / "docs"))
+    bucket_t = DeltaSparkTable(spark, str(tmp_path / "docs_buckets"))
+    last = {"docs": -1, "buckets": -1}
+
+    ingest_batch(docs_df([(1, body)]), 0, docs_t, bucket_t, last)
+    assert [r["doc_id"] for r in docs_t.read().collect()] == [1]
+
+    # batch 1: crash AFTER the bucket append, BEFORE the docs append
+    orig_write = docs_t.write
+    def boom(*a, **k):
+        raise RuntimeError("crash before docs append")
+    docs_t.write = boom
+    try:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError):
+            ingest_batch(docs_df([(2, other)]), 1, docs_t, bucket_t, last)
+    finally:
+        docs_t.write = orig_write
+    # buckets durable for batch 1; docs not
+    assert last_streaming_batch(bucket_t) == 1
+    assert last_streaming_batch(docs_t) == 0
+    n_bucket_versions = len(bucket_t.history())
+
+    # restart: fresh watermarks from the tables, rerun batch 1
+    last2 = {"docs": last_streaming_batch(docs_t),
+             "buckets": last_streaming_batch(bucket_t)}
+    ingest_batch(docs_df([(2, other)]), 1, docs_t, bucket_t, last2)
+    accepted = sorted(r["doc_id"] for r in docs_t.read().collect())
+    assert accepted == [1, 2]          # doc 2 NOT self-collided away
+    assert len(bucket_t.history()) == n_bucket_versions  # no re-append
+
+    # a later near-copy of doc 2 is still filtered by the index
+    ingest_batch(docs_df([(3, other)]), 2, docs_t, bucket_t, last2)
+    assert sorted(r["doc_id"] for r in docs_t.read().collect()) == [1, 2]
