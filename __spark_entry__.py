@@ -339,6 +339,49 @@ def mm_features(spark, sf_dir):
     return multimodal.multimodal_features(spark, sf_dir)
 
 
+def _kmeans_clusters(spark, sf_dir):
+    """Cluster-balance report from the k-means coarse quantizer
+    (rows-only: k-means training is not SQL-expressible)."""
+    return similarity.kmeans_clusters(spark, sf_dir)
+
+
+def _quantize_embeddings(spark, sf_dir):
+    """Driver-shaped projection of curation.quantize_embeddings: the
+    raw ``qembedding array<int>`` column crashes the driver's pandas
+    canonicalizer (round-5 red row: lists are unhashable under
+    sort_values), so the recorded entry serializes it to a CSV string
+    — every quantized value still participates in the value hash."""
+    return curation.quantize_embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.array_join("qembedding", ",").alias("qembedding_csv"),
+        "max_abs_err",
+    )
+
+
+def _stream_ingest_filter(spark, sf_dir):
+    """Online MinHash near-dup ingest filter over the documents corpus
+    split into three arrival batches (rows-only: streaming two-table
+    state).  Batch files are fixture setup; the operator under test is
+    the per-micro-batch sign/probe/append pipeline."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="dds-ingest-src-")
+    pdf = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    for i in range(3):
+        pdf[pdf.doc_id % 3 == i].to_parquet(f"{src}/b{i}.parquet")
+        time.sleep(0.05)  # distinct mtimes -> deterministic file order
+    from dagster_delta_spark.streaming import stream_ingest_near_dup_filter
+
+    t = stream_ingest_near_dup_filter(
+        spark, src, _scratch("ingest"), max_files_per_trigger=1
+    )
+    return t.read().select("doc_id")
+
+
 def streaming_rollup(spark, sf_dir):
     from dagster_delta_spark.streaming import run_hourly_rollup_once
 
@@ -360,21 +403,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver records exactly the FIRST 50 dict
-    # entries in CORRECTNESS_r{N}.json (confirmed rounds 1-4).  Rounds 1-4
-    # recorded the same head 50 (all green 4x, on record in
-    # CORRECTNESS_r01..r04.json).  Round 5 ROTATES the window: the 12
-    # SURVEY-§2-critical entries stay inside, the 23 oracle-backed entries
-    # never yet driver-recorded move in, and the 14 rows-only entries move
-    # in for their first driver rows-only record.  Entries already
-    # driver-verified in r01-r04 move past the cap — union coverage across
-    # rounds then driver-verifies every registry entry.  Local gate for
-    # the whole registry regardless of position: tools/check_oracles.py.
+    # entries in CORRECTNESS_r{N}.json (confirmed rounds 1-5).  The
+    # window ROTATES each round so union coverage across rounds
+    # driver-verifies everything: an entry may sit past the cap only if
+    # a committed CORRECTNESS_r*.json already records it (green for
+    # oracle-backed entries; a rows-only `no_oracle` record for entries
+    # that structurally cannot have one).  Round 6 priorities in-window:
+    # the reshaped quantize_embeddings (r5's one red row), the three
+    # operators finished in r5 but never registered, the four former
+    # rows-only entries that now carry oracles, and the renamed
+    # cross_source_contamination output.  Local gate for the whole
+    # registry regardless of position: tools/check_oracles.py.
     return {
-        # -------- first 50: the round-5 recording window --------
-        # new in r5 (never recorded -> must sit in-window)
+        # -------- first 50: the round-6 recording window --------
+        # r5 driver-red -> reshaped output, must re-record green
+        "quantize_embeddings": _quantize_embeddings,
+        # finished in r5, first registry appearance
+        "zipf_profile": textops.zipf_profile,
+        "kmeans_clusters": _kmeans_clusters,
+        "stream_ingest_near_dup_filter": _stream_ingest_filter,
+        # rows-only -> oracle-backed conversions (first green possible)
+        "streaming_hourly_rollup": streaming_rollup,
+        "streaming_sessionize": _streaming_sessionize,
+        "streaming_dedup": _streaming_dedup,
+        "curate_corpus": _curate_corpus,
+        # output column renamed (n_shared_fingerprints) -> re-record
         "cross_source_contamination": curation.cross_source_contamination,
-        # write modes / merge / pruning / projection / stats
-        # (SURVEY §2.2-2.5, §2.11 — critical rows, kept in-window)
+        # write modes / merge / pruning (SURVEY §2.2-2.5, §2.11 —
+        # critical rows, kept in-window every round)
         "w1_w4_error_ignore": w1_w4_error_ignore,
         "w2_append": w2_append,
         "w3_partition_overwrite": w3_partition_overwrite,
@@ -385,55 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_replace_delete": m4_replace_delete,
         "s3_time_travel": s3_time_travel,
         "p2_timewindow_read": p2_timewindow_read,
-        # pj1_projection/o3_stats (4x driver-green, code untouched in
-        # r5) yield their window slots to the two operators whose plans
-        # r5 REWROTE — changed code outranks re-recording unchanged
-        # code (code-review r5 finding: a rewritten operator must not
-        # ship driver-unverified on the strength of pre-rewrite rows)
-        "near_dup_jaccard": dedup.near_dup_jaccard,
-        "order_lineitem_rollup": relational.order_lineitem_rollup,
-        # oracle-backed, never driver-recorded before round 5 (23)
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
-        "q8_market_share": relational.q8_market_share,
-        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
-        "q10_returned_items": relational.q10_returned_items,
-        "q11_important_parts": relational.q11_important_parts,
-        "q13_custdist": relational.q13_order_count_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "q20_excess_shipments": relational.q20_excess_shipments,
-        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
-        "event_funnel": _event_funnel,
-        "ngram_frequency": textops.ngram_frequency,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        "repetition_quality": textops.repetition_quality,
-        "decontaminate": curation.decontaminate,
-        "scrub_pii": curation.scrub_pii,
-        "stratified_sample": curation.stratified_sample,
-        "quantize_embeddings": curation.quantize_embeddings,
-        "chunk_documents": curation.chunk_documents,
-        "assign_splits": curation.assign_splits,
-        "pack_sequences": curation.pack_sequences,
-        "cdc_read_changes": cdc_read_changes,
-        "unigram_quality": textops.unigram_quality,
-        "streaming_table_source": streaming_table_source,
-        # rows-only checks, never driver-recorded before round 5 (14)
-        # (non-SQL-expressible; unit-tested, several DuckDB-anchored)
-        "sketch_profile": textops.sketch_profile,
-        "minhash_lsh_near_dups": minhash_lsh,
-        "minhash_cluster_keep": _minhash_cluster,
-        "simhash_near_dups": simhash_pairs,
-        "ann_lsh_topk": ann_lsh,
-        "ann_ivf_topk": _ivf_ann,
-        "embedding_near_dups_lsh": _emb_neardup_lsh,
-        "semantic_dedup": _semantic_dedup,
-        "ann_recall_report": _ann_recall,
-        "multimodal_features": mm_features,
-        "streaming_hourly_rollup": streaming_rollup,
-        "streaming_sessionize": _streaming_sessionize,
-        "streaming_dedup": _streaming_dedup,
-        "curate_corpus": _curate_corpus,
-        # -------- past the cap: driver-green in r01-r04 (on record) -----
-        # relational surface (SURVEY §2.6-2.8: engine-provided compute)
+        # window fill: oracle-backed entries re-recording their r1-r4
+        # green rows (all code-unchanged; fresh rows are free signal)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -450,12 +459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": relational.q18_large_orders,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
         "q7_nation_volume": relational.q7_nation_volume,
-        # similarity / multimodal with oracles
         "cosine_topk": similarity.cosine_topk,
         "embedding_near_dups": _embedding_near_dups_02,
         "label_centroid_dims": _label_centroid_dims,
         "multimodal_metadata": multimodal.multimodal_metadata,
-        # functions / distribution / grouping-set probes
         "string_functions": relational.string_functions_probe,
         "date_parts_rollup": relational.date_parts_rollup,
         "price_distribution": price_distribution,
@@ -465,17 +472,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": relational.customer_order_set_ops,
         "asof_clicks_purchases": asof.clicks_asof_purchases,
         "range_join_bursts": asof.user_event_bursts,
-        # text analysis
         "token_stats": textops.token_stats,
+        # -------- past the cap: on driver record (r01-r05) --------
+        # oracle-backed, green rows on record
         "text_quality": textops.text_quality,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
         "source_summary": textops.source_summary,
         "deterministic_sample": textops.deterministic_sample,
-        # dedup (oracle-backed)
         "dedup_exact": dedup.dedup_exact,
         "pj1_projection": pj1_projection,
         "o3_stats": o3_stats,
+        "near_dup_jaccard": dedup.near_dup_jaccard,
+        "order_lineitem_rollup": relational.order_lineitem_rollup,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q8_market_share": relational.q8_market_share,
+        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
+        "q10_returned_items": relational.q10_returned_items,
+        "q11_important_parts": relational.q11_important_parts,
+        "q13_custdist": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q20_excess_shipments": relational.q20_excess_shipments,
+        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+        "event_funnel": _event_funnel,
+        "ngram_frequency": textops.ngram_frequency,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "repetition_quality": textops.repetition_quality,
+        "decontaminate": curation.decontaminate,
+        "scrub_pii": curation.scrub_pii,
+        "stratified_sample": curation.stratified_sample,
+        "chunk_documents": curation.chunk_documents,
+        "assign_splits": curation.assign_splits,
+        "pack_sequences": curation.pack_sequences,
+        "cdc_read_changes": cdc_read_changes,
+        "unigram_quality": textops.unigram_quality,
+        "streaming_table_source": streaming_table_source,
+        # rows-only (structurally no oracle), r5 no_oracle rows on
+        # record — the gate accepts those records for oracle-less
+        # entries, so they no longer pin window slots forever
+        "sketch_profile": textops.sketch_profile,
+        "minhash_lsh_near_dups": minhash_lsh,
+        "minhash_cluster_keep": _minhash_cluster,
+        "simhash_near_dups": simhash_pairs,
+        "ann_lsh_topk": ann_lsh,
+        "ann_ivf_topk": _ivf_ann,
+        "embedding_near_dups_lsh": _emb_neardup_lsh,
+        "semantic_dedup": _semantic_dedup,
+        "ann_recall_report": _ann_recall,
+        "multimodal_features": mm_features,
     }
 
 
@@ -1277,7 +1321,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT a.source AS source_a, b.source AS source_b,
-                   count(*) AS n_shared_docs
+                   count(*) AS n_shared_fingerprints
             FROM fps a JOIN fps b
               ON a.fp = b.fp AND a.source < b.source
             GROUP BY a.source, b.source
@@ -1490,7 +1534,8 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE 1.0 END)) - 128 AS INT)) AS qembedding
                 FROM embeddings, sarr
             )
-            SELECT vec_id, qembedding,
+            SELECT vec_id,
+                   array_to_string(qembedding, ',') AS qembedding_csv,
                    list_max(list_transform(range(1, len(embedding) + 1),
                        i -> abs(CAST(embedding[i] AS DOUBLE)
                            - ((CAST(qembedding[i] AS DOUBLE) + 128)
@@ -1500,6 +1545,64 @@ def oracle_sql() -> dict[str, str]:
                               + st[i].lo)))) AS max_abs_err
             FROM qq
         """,
+        "zipf_profile": """
+            WITH toks AS (
+                SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents
+            ), counts AS (
+                SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+                ORDER BY freq DESC, tok ASC LIMIT 1000
+            ), ranked AS (
+                SELECT ln(CAST(row_number() OVER (
+                           ORDER BY freq DESC, tok ASC) AS DOUBLE)) AS x,
+                       ln(CAST(freq AS DOUBLE)) AS y
+                FROM counts
+            )
+            SELECT count(*) AS n_ranks,
+                   covar_pop(x, y) / var_pop(x) AS slope,
+                   avg(y) - covar_pop(x, y) / var_pop(x) * avg(x)
+                       AS intercept,
+                   pow(corr(x, y), 2) AS r2
+            FROM ranked
+        """,
+        "streaming_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(value) AS sum_value
+            FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                  FROM events) events
+            GROUP BY 1, 2
+        """,
+        "streaming_sessionize": """
+            WITH ev AS (SELECT user_id, event_id, value,
+                               CAST(ts AS TIMESTAMP) AS ts
+                        FROM events),
+            flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('microsecond', lag(ts) OVER w,
+                                              ts) >= 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   sum(value) AS sum_value
+            FROM numbered GROUP BY user_id, sid
+        """,
+        "streaming_dedup": """
+            SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        """,
+        "curate_corpus": _curate_corpus_oracle(),
     }
 
 
@@ -1530,7 +1633,10 @@ def _scrub_pii_oracle() -> str:
     """
 
 
-def _lang_id_oracle() -> str:
+def _lang_case(tok_expr: str) -> tuple[str, str]:
+    """DuckDB CASE expression mirroring textops.lang_id's stopword-vote
+    heuristic over the token-list expression ``tok_expr`` (plus the CJK
+    char count on ``text``); returns (case_expr, score_en_expr)."""
     scores = {
         "en": "'the', 'a', 'of', 'and', 'is', 'to', 'in'",
         "de": "'der', 'die', 'das', 'und', 'ist', 'zu'",
@@ -1538,12 +1644,11 @@ def _lang_id_oracle() -> str:
         "fr": "'le', 'la', 'les', 'des', 'est', 'et'",
     }
     s = {
-        lang: f"len(list_filter({_TOK}, x -> x IN ({ws})))"
+        lang: f"len(list_filter({tok_expr}, x -> x IN ({ws})))"
         for lang, ws in scores.items()
     }
     zh = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
-    return f"""
-        SELECT doc_id,
+    case = f"""
                CASE WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['es']}
                          AND {s['en']} >= {s['fr']} AND {s['en']} >= {zh}
                     THEN 'en'
@@ -1551,7 +1656,61 @@ def _lang_id_oracle() -> str:
                          AND {s['de']} >= {zh} THEN 'de'
                     WHEN {s['es']} >= {s['fr']} AND {s['es']} >= {zh} THEN 'es'
                     WHEN {s['fr']} >= {zh} THEN 'fr'
-                    ELSE 'zh' END AS lang_pred,
-               CAST({s['en']} AS BIGINT) AS score_en
+                    ELSE 'zh' END"""
+    return case, s["en"]
+
+
+def _lang_id_oracle() -> str:
+    case, score_en = _lang_case(_TOK)
+    return f"""
+        SELECT doc_id,
+               {case} AS lang_pred,
+               CAST({score_en} AS BIGINT) AS score_en
         FROM documents
+    """
+
+
+def _curate_corpus_oracle() -> str:
+    """DuckDB twin of operators/pipeline.py:curate_corpus at the
+    registry entry's parameters (langs=('en',), min_quality=0.3,
+    min_tokens=3, near_dedup=False): text_quality + lang_id filters,
+    then exact dedup keeping the smallest doc_id per normalized-content
+    hash — every stage mirrors its already-oracled twin."""
+    case, _ = _lang_case("toks")
+    return f"""
+        WITH m AS (
+            SELECT doc_id, text, lang, source,
+                   {_TOK} AS toks, length(text) AS n_chars
+            FROM documents
+        ), q AS (
+            SELECT doc_id, text, lang, source,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(toks, x -> x IN ({_STOPS_EN})))
+                        AS DOUBLE) / greatest(len(toks), 1)
+                       AS stopword_ratio,
+                   CAST(n_chars - length(regexp_replace(text,
+                        '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                       / greatest(n_chars, 1) AS punct_ratio,
+                   CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE) / greatest(len(toks), 1)
+                       AS avg_token_len,
+                   {case} AS lang_pred
+            FROM m
+        ), kept AS (
+            SELECT doc_id, text, lang, source, n_tokens,
+                   least(n_tokens / 100.0, 1.0) * 0.4
+                   + stopword_ratio * 0.3
+                   + (1 - punct_ratio) * 0.2
+                   + least(avg_token_len / 8.0, 1.0) * 0.1 AS quality_score
+            FROM q
+            WHERE lang_pred = 'en' AND n_tokens >= 3
+        ), filtered AS (
+            SELECT * FROM kept WHERE quality_score >= 0.3
+        ), keepers AS (
+            SELECT min(doc_id) AS doc_id
+            FROM filtered GROUP BY md5({_NORM})
+        )
+        SELECT k.doc_id, k.text, k.lang, k.source, k.n_tokens,
+               k.quality_score
+        FROM filtered k JOIN keepers USING (doc_id)
     """

@@ -349,7 +349,10 @@ def cross_source_contamination(
     spark: SparkSession, sf_dir: str, prefix_words: int = 8
 ) -> DataFrame:
     """Inter-subcorpus leakage: source pairs sharing a document
-    fingerprint, with the shared-fingerprint count.  Complements
+    fingerprint, with the shared-fingerprint count
+    (``n_shared_fingerprints`` counts DISTINCT fingerprints present in
+    both sources — many docs collapsing to one fingerprint count
+    once).  Complements
     ``decontaminate`` (corpus vs eval set) by auditing the corpus
     against ITSELF — the classic pre-training failure where one crawl
     snapshot ships under two source labels and a train/eval split by
@@ -392,5 +395,5 @@ def cross_source_contamination(
                & (F.col("a.source") < F.col("b.source")))
         .groupBy(F.col("a.source").alias("source_a"),
                  F.col("b.source").alias("source_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
     )

@@ -283,7 +283,7 @@ def test_cross_source_contamination(spark, tmp_path):
         "source": ["crawl_a", "crawl_b", "crawl_a", "crawl_c", "crawl_b"],
         "n_chars": [10] * 5,
     }).to_parquet(str(d / "documents.parquet"))
-    out = {(r["source_a"], r["source_b"]): r["n_shared_docs"]
+    out = {(r["source_a"], r["source_b"]): r["n_shared_fingerprints"]
            for r in cross_source_contamination(spark, str(d)).collect()}
     assert out == {
         ("crawl_a", "crawl_b"): 1,
@@ -291,7 +291,7 @@ def test_cross_source_contamination(spark, tmp_path):
         ("crawl_b", "crawl_c"): 1,
     }
     # exact mode: only the verbatim copy pairs
-    exact = {(r["source_a"], r["source_b"]): r["n_shared_docs"]
+    exact = {(r["source_a"], r["source_b"]): r["n_shared_fingerprints"]
              for r in cross_source_contamination(
                  spark, str(d), prefix_words=None).collect()}
     assert exact == {("crawl_a", "crawl_c"): 1}

@@ -474,9 +474,10 @@ def test_q20_shape_matches_duckdb(spark):
 def test_registry_rotation_invariant():
     """The driver records only the first 50 queries() entries; an entry
     may sit past the cap only if a committed CORRECTNESS_r*.json
-    already records it driver-green (union coverage across rounds).
-    Mirrors the tools/check_oracles.py gate so a bad rotation fails in
-    CI, not at round end."""
+    already records it — green for oracle-backed entries, a rows-only
+    no_oracle record for entries that structurally cannot have one
+    (union coverage across rounds).  Mirrors the tools/check_oracles.py
+    gate so a bad rotation fails in CI, not at round end."""
     import os
 
     import __spark_entry__ as entry
@@ -495,11 +496,12 @@ def test_registry_rotation_invariant():
     )
     gate = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(gate)
-    recorded = gate.recorded_green_entries(root)
+    recorded = gate.recorded_entries(root, set(oracles))
     never_recorded_tail = [k for k in qs[50:] if k not in recorded]
     assert never_recorded_tail == [], (
         f"{never_recorded_tail} sit past the 50-entry cap with no "
-        "driver-green row in any committed CORRECTNESS_r*.json"
+        "committed CORRECTNESS_r*.json row (green, or rows-only for "
+        "oracle-less entries)"
     )
     # §2-critical entries are in the window or already on driver
     # record (r5 policy: a slot may be yielded to an operator whose
