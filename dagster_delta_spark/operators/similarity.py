@@ -32,6 +32,10 @@ DOT = (
 NORM = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
 
+class RecallRegressionError(RuntimeError):
+    """ANN index quality collapsed below its configured floor."""
+
+
 def _with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn("norm", F.expr(NORM.format(a=col)))
 
@@ -346,10 +350,14 @@ def ivf_train_centroids(
 
     fingerprint = _corpus_fingerprint(sf_dir)
     # fingerprint in the key: a corpus rewrite within this process must
-    # miss the cache and hit the retrain-on-change path below
+    # miss the cache and hit the retrain-on-change path below.  Key
+    # shape is (app, dir, fingerprint, kind, *params) — the first three
+    # positions are what _evict_stale's live_key path compares, so an
+    # in-session rewrite also EVICTS the superseded entries instead of
+    # pinning their checkpoint blocks for the session's lifetime
     key = (
-        spark.sparkContext.applicationId, sf_dir, n_cells, iters,
-        train_sample_mod, fingerprint,
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        fingerprint, "train", n_cells, iters, train_sample_mod,
     )
     cached = _CENTROID_CACHE.get(key)
     if cached is not None:
@@ -366,7 +374,7 @@ def ivf_train_centroids(
             cents = index.read().localCheckpoint(eager=False)
             from .dedup import _evict_stale
 
-            _evict_stale(_CENTROID_CACHE, key[0])
+            _evict_stale(_CENTROID_CACHE, key[0], key)
             _CENTROID_CACHE[key] = cents
             return cents
 
@@ -409,7 +417,7 @@ def ivf_train_centroids(
     cents = index.read().localCheckpoint(eager=False)
     from .dedup import _evict_stale
 
-    _evict_stale(_CENTROID_CACHE, key[0])
+    _evict_stale(_CENTROID_CACHE, key[0], key)
     _CENTROID_CACHE[key] = cents
     return cents
 
@@ -430,9 +438,8 @@ def ivf_assignments(
     assignments)."""
     if centroids is None:
         key = (
-            "assign", spark.sparkContext.applicationId,
-            os.path.abspath(sf_dir), n_cells, train_iters,
-            _corpus_fingerprint(sf_dir),
+            spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+            _corpus_fingerprint(sf_dir), "assign", n_cells, train_iters,
         )
         hit = _CENTROID_CACHE.get(key)
         if hit is not None:
@@ -442,7 +449,7 @@ def ivf_assignments(
         out = _assign_cells(emb, cents).localCheckpoint(eager=False)
         from .dedup import _evict_stale
 
-        _evict_stale(_CENTROID_CACHE, key[1])  # key[0] is the kind tag
+        _evict_stale(_CENTROID_CACHE, key[0], key)
         _CENTROID_CACHE[key] = out
         return out
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
@@ -591,10 +598,17 @@ def semantic_dedup(
 
 def ann_recall_report(
     spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5,
+    min_ivf_margin: Optional[float] = 0.05,
 ) -> DataFrame:
     """Self-evaluating ANN quality: recall@k of the LSH and IVF paths
     against brute force, per query — the dial-tuning report a pipeline
-    owner reads before trading accuracy for throughput."""
+    owner reads before trading accuracy for throughput.
+
+    Floor guard: raises ``RecallRegressionError`` if mean IVF recall@k
+    collapses below mean LSH recall@k minus ``min_ivf_margin`` — the
+    report otherwise self-evaluates but nothing FAILS when the index
+    degrades (pass ``min_ivf_margin=None`` to only report).  The check
+    reads the report's own aggregate (2 rows), not extra jobs."""
     exact = cosine_topk(spark, sf_dir, k, n_queries).select(
         "q_id", F.col("vec_id").alias("exact_id")
     )
@@ -614,8 +628,24 @@ def ann_recall_report(
 
     lsh = recall_of(lsh_ann_topk(spark, sf_dir, k, n_queries), "lsh")
     ivf = recall_of(ivf_ann_topk(spark, sf_dir, k, n_queries), "ivf")
-    return lsh.unionByName(ivf).select("method", "q_id",
-                                       F.col("recall").cast("double").alias("recall"))
+    report = lsh.unionByName(ivf).select(
+        "method", "q_id", F.col("recall").cast("double").alias("recall")
+    )
+    if min_ivf_margin is not None:
+        report = report.localCheckpoint()  # guard + caller share one run
+        means = {
+            r["method"]: r["r"]
+            for r in report.groupBy("method")
+            .agg(F.avg("recall").alias("r")).collect()
+        }
+        if means.get("ivf", 0.0) < means.get("lsh", 0.0) - min_ivf_margin:
+            raise RecallRegressionError(
+                f"IVF recall@{k} {means.get('ivf', 0.0):.3f} collapsed below "
+                f"LSH {means.get('lsh', 0.0):.3f} - {min_ivf_margin} — the "
+                "coarse quantizer is mis-trained for this corpus (stale "
+                "centroid table? degenerate cells?)"
+            )
+    return report
 
 
 def kmeans_clusters(

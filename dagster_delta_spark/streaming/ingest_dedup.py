@@ -178,7 +178,19 @@ def stream_ingest_near_dup_filter(
         )
 
     # same glob as the stream below: a stray non-parquet file in the
-    # source dir must not break schema inference either
+    # source dir must not break schema inference either.  An existing
+    # but still-empty source dir (continuous ingest started before the
+    # first batch lands) would otherwise surface as Spark's unhelpful
+    # "unable to infer schema" — fail with an actionable message.
+    import glob as _glob
+    import os as _os
+
+    if not _glob.glob(_os.path.join(source_dir, "*.parquet")):
+        raise ValueError(
+            f"no *.parquet files in source_dir {source_dir!r} yet — "
+            "the ingest filter infers its schema from the first batch; "
+            "start it after at least one file lands"
+        )
     schema = (
         spark.read.option("pathGlobFilter", "*.parquet")
         .parquet(source_dir).schema

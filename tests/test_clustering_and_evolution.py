@@ -223,3 +223,58 @@ def test_kmeans_clusters_report(spark):
     assert sum(r["n_vectors"] for r in rows) == total
     for r in rows:
         assert -1.0 - 1e-9 <= r["min_cos"] <= r["mean_cos"] <= 1.0 + 1e-9
+
+
+def test_ann_recall_floor_guard(spark):
+    """min_ivf_margin turns index-quality collapse into a hard failure:
+    an impossible bar (IVF must beat LSH by 2.0 in recall) raises
+    RecallRegressionError; margin=None only reports."""
+    import pytest
+
+    from dagster_delta_spark.operators.similarity import (
+        RecallRegressionError,
+        ann_recall_report,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    with pytest.raises(RecallRegressionError):
+        ann_recall_report(spark, sf, min_ivf_margin=-2.0)
+    assert ann_recall_report(spark, sf, min_ivf_margin=None).count() == 10
+
+
+def test_centroid_cache_evicts_on_corpus_rewrite(spark, tmp_path, monkeypatch):
+    """An in-session embeddings rewrite must evict the superseded
+    centroid/assignment cache entries, not pin their checkpoints for
+    the session's lifetime (r5 advice: eviction passed no live_key)."""
+    import os
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from dagster_delta_spark.operators import similarity
+
+    monkeypatch.setenv("DDS_INDEX_DIR", str(tmp_path / "idx"))
+    similarity._CENTROID_CACHE.clear()
+    d = tmp_path / "c"
+    d.mkdir()
+
+    def write(seed):
+        rng = np.random.default_rng(seed)
+        pd.DataFrame({
+            "vec_id": list(range(40)),
+            "embedding": [rng.standard_normal(8).astype("float32")
+                          for _ in range(40)],
+            "label": ["a"] * 40,
+        }).to_parquet(str(d / "embeddings.parquet"))
+
+    write(1)
+    similarity.ivf_assignments(spark, str(d), n_cells=4)
+    time.sleep(0.01)  # distinct mtime_ns -> distinct fingerprint
+    write(2)
+    similarity.ivf_assignments(spark, str(d), n_cells=4)
+    same_dir = [k for k in similarity._CENTROID_CACHE
+                if k[1] == os.path.abspath(str(d))]
+    assert same_dir  # fresh entries present (train + assign)
+    assert len({k[2] for k in same_dir}) == 1  # old fingerprint evicted
+    similarity._CENTROID_CACHE.clear()

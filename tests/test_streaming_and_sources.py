@@ -410,3 +410,18 @@ def test_ingest_batch_partial_crash_recovery(spark, tmp_path):
     # a later near-copy of doc 2 is still filtered by the index
     ingest_batch(docs_df([(3, other)]), 2, docs_t, bucket_t, last2)
     assert sorted(r["doc_id"] for r in docs_t.read().collect()) == [1, 2]
+
+
+def test_stream_ingest_empty_source_dir(spark, tmp_path):
+    """Starting the ingest filter on an existing-but-empty source dir
+    fails with an actionable message, not Spark's 'unable to infer
+    schema' (r5 advice)."""
+    import pytest
+
+    from dagster_delta_spark.streaming import stream_ingest_near_dup_filter
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with pytest.raises(ValueError, match=r"no \*\.parquet files"):
+        stream_ingest_near_dup_filter(
+            spark, str(src), str(tmp_path / "accepted"))
