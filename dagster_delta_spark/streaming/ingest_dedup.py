@@ -14,16 +14,15 @@ Design (Spark Structured Streaming + the engine's transactional table):
   with accepted docs only, never with rejected ones.
 - Per micro-batch (foreachBatch): MinHash-sign the batch (same
   signature pipeline as the batch operators — `shingles_of` +
-  `_signatures_from_stream`), band it, then
-    1. within-batch: a doc sharing ANY band bucket with a smaller
-       batch doc_id is dropped (deterministic survivor),
-    2. cross-batch: a doc sharing ANY band bucket with the accepted
-       bucket table is dropped (left_anti join on (band, h) — the
-       accepted side is pre-bucketed, so this probes the index rather
-       than re-signing history).
-  Survivor docs + their buckets land as one atomic append each, tagged
-  with the streaming batch id for idempotent restart (same pattern as
-  `stream_into_table`).
+  `_signatures_from_stream`), band it, then decide both collision
+  rules in ONE linear (band, h) aggregate: per bucket, the smallest
+  batch doc_id and an accepted-index flag; a doc is dropped iff any
+  of its buckets has an accepted holder (cross-batch) or a smaller
+  batch doc (within-batch deterministic survivor).  No pair
+  expansion: a bucket shared by k docs costs k rows, not k^2/2 join
+  pairs.  Survivor docs + their buckets land as one atomic append
+  each, tagged with the streaming batch id for idempotent restart
+  (same pattern as `stream_into_table`).
 - LSH-only decision (no exact verify): the classic online-filter
   trade — false-positive drops at the banding collision rate in
   exchange for never touching accepted TEXT again.  `bands` /
@@ -95,33 +94,45 @@ def ingest_batch(
         .localCheckpoint()
     )
 
-    # 1. within-batch: drop docs bucket-colliding with a smaller id
-    a, b = buckets.alias("a"), buckets.alias("b")
-    beaten = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") > F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_id"))
-        .distinct()
-    )
-    survivors = buckets.join(beaten, "doc_id", "left_anti")
-
-    # 2. cross-batch: drop docs colliding with the accepted index.
-    # Rows carry their batch_id precisely so a RERUN of this batch
-    # (crash after the bucket append below, before the docs
+    # Collision decision in ONE linear aggregate instead of a
+    # within-batch self-join + accepted semi-join: per (band, h)
+    # bucket, find the smallest batch doc_id holding it and whether
+    # the ACCEPTED index already holds it; a doc is dropped iff any of
+    # its buckets has an accepted holder or a smaller batch doc.
+    # Same survivor rule as the former pair join, but the cost is one
+    # shuffle on (band, h) with no pair expansion — a boilerplate
+    # bucket shared by k docs costs k rows here, not k^2/2 join pairs
+    # (the quadratic blow-up the batch dedup operators also avoid).
+    #
+    # Accepted rows carry their batch_id precisely so a RERUN of this
+    # batch (crash after the bucket append below, before the docs
     # append) does not collide the batch with its own buckets and
-    # silently drop every document
+    # silently drop every document.
+    probe = buckets.select(
+        "band", "h", "doc_id", F.lit(False).alias("accepted")
+    )
     if bucket_table.exists():
-        accepted = (
+        probe = probe.unionByName(
             bucket_table.read()
             .where(F.col("batch_id") != batch_id)
-            .select("band", "h")
+            .select(
+                "band", "h",
+                F.lit(None).cast(dict(buckets.dtypes)["doc_id"])
+                .alias("doc_id"),
+                F.lit(True).alias("accepted"),
+            )
         )
-        hit = (
-            survivors.join(accepted, ["band", "h"], "left_semi")
-            .select("doc_id").distinct()
-        )
-        survivors = survivors.join(hit, "doc_id", "left_anti")
+    winners = probe.groupBy("band", "h").agg(
+        F.min("doc_id").alias("min_doc"),       # nulls (accepted) skipped
+        F.max("accepted").alias("any_accepted"),
+    )
+    dropped = (
+        buckets.join(winners, ["band", "h"])
+        .where(F.col("any_accepted") | (F.col("doc_id") > F.col("min_doc")))
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = buckets.join(dropped, "doc_id", "left_anti")
 
     kept_ids = survivors.select("doc_id").distinct()
     kept_docs = batch_df.join(kept_ids, "doc_id")
