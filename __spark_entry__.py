@@ -472,9 +472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": relational.customer_order_set_ops,
         "asof_clicks_purchases": asof.clicks_asof_purchases,
         "range_join_bursts": asof.user_event_bursts,
-        "token_stats": textops.token_stats,
+        # new in r6: deterministic training-order shuffle (oracle-backed)
+        "corpus_shuffle": curation.corpus_shuffle,
         # -------- past the cap: on driver record (r01-r05) --------
         # oracle-backed, green rows on record
+        "token_stats": textops.token_stats,
         "text_quality": textops.text_quality,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
@@ -1503,6 +1505,23 @@ def oracle_sql() -> dict[str, str]:
             FROM cum
         """,
         "scrub_pii": _scrub_pii_oracle(),
+        "corpus_shuffle": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       md5('42:' || CAST(doc_id AS VARCHAR)) AS k
+                FROM documents
+            ), sharded AS (
+                SELECT doc_id, k,
+                       CAST(CAST('0x' || substring(k, 1, 4) AS INTEGER)
+                            % 16 AS INT) AS shard
+                FROM keyed
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY k, doc_id) AS INT)
+                       AS pos
+            FROM sharded
+        """,
         "stratified_sample": """
             SELECT doc_id, source, lang, CAST(rn AS INT) AS pick_rank
             FROM (

@@ -345,6 +345,43 @@ def pack_sequences(
     )
 
 
+def corpus_shuffle(
+    spark: SparkSession, sf_dir: str, n_shards: int = 16, seed: int = 42
+) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding: each
+    document gets a reproducible pseudo-random sort key
+    ``md5(seed:doc_id)``, a shard from the key's hex prefix, and a
+    dense intra-shard position — the "shuffle the corpus before
+    training" pass.  Keying on a hash instead of ``rand()`` makes the
+    epoch order stable across runs, engines and task retries (a retry
+    with rand() silently reorders the epoch), and changing ``seed``
+    yields an independent permutation per epoch.
+
+    Plan: map-only key + shard assignment, then ONE shuffle on shard
+    with a per-shard row_number — each of the ``n_shards`` slices
+    sorts in parallel and nothing global is ordered.  At 100 TB raise
+    ``n_shards`` so a slice fits an executor's sort budget (the
+    loader reads shards in shard order, positions in pos order; the
+    concatenation IS the epoch)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col("doc_id").cast("string"))).alias("k"),
+    ).withColumn(
+        "shard",
+        (F.expr("conv(substring(k, 1, 4), 16, 10)").cast("int")
+         % n_shards).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
 def cross_source_contamination(
     spark: SparkSession, sf_dir: str, prefix_words: int = 8
 ) -> DataFrame:

@@ -347,3 +347,29 @@ def test_zipf_profile_degenerate_corpus(spark, tmp_path):
     assert row["slope"] is None
     assert row["intercept"] is None
     assert row["r2"] is None
+
+
+def test_corpus_shuffle_invariants(spark):
+    """Deterministic epoch shuffle: output is a permutation of the
+    corpus, positions are dense 1..n per shard, re-running yields the
+    identical order, and a different seed yields a different one."""
+    from dagster_delta_spark.operators.curation import corpus_shuffle
+
+    sf = "/root/testdata/sf0.001"
+    a = corpus_shuffle(spark, sf).collect()
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/documents.parquet'").fetchone()[0]
+    assert len(a) == n and len({r["doc_id"] for r in a}) == n
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    b = corpus_shuffle(spark, sf).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"])
+                              for r in rows)
+    assert key(a) == key(b)  # reproducible
+    c = corpus_shuffle(spark, sf, seed=7).collect()
+    assert key(a) != key(c)  # seed changes the permutation
