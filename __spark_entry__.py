@@ -335,6 +335,13 @@ def _ivf_ann(spark, sf_dir):
     return similarity.ivf_ann_topk(spark, sf_dir)
 
 
+def _ivf_quantized(spark, sf_dir):
+    """IVF-SQ8 two-stage ANN: int8 candidate scan + exact float rerank
+    (rows-only: approximate by design; unit-tested to reproduce
+    ivf_ann_topk bit-for-bit at full rerank)."""
+    return similarity.ivf_quantized_topk(spark, sf_dir)
+
+
 def mm_features(spark, sf_dir):
     return multimodal.multimodal_features(spark, sf_dir)
 
@@ -463,7 +470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embedding_near_dups_02,
         "label_centroid_dims": _label_centroid_dims,
         "multimodal_metadata": multimodal.multimodal_metadata,
-        "string_functions": relational.string_functions_probe,
         "date_parts_rollup": relational.date_parts_rollup,
         "price_distribution": price_distribution,
         "status_pivot": relational.status_pivot,
@@ -474,9 +480,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bursts": asof.user_event_bursts,
         # new in r6: deterministic training-order shuffle (oracle-backed)
         "corpus_shuffle": curation.corpus_shuffle,
+        # new in r6: IVF + int8 scalar quantization + exact rerank
+        # (rows-only: approximate by design)
+        "ann_ivf_quantized_topk": _ivf_quantized,
         # -------- past the cap: on driver record (r01-r05) --------
         # oracle-backed, green rows on record
         "token_stats": textops.token_stats,
+        "string_functions": relational.string_functions_probe,
         "text_quality": textops.text_quality,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,

@@ -164,19 +164,16 @@ def stratified_sample(
     )
 
 
-def quantize_embeddings(
+def quantized_embeddings_with_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Affine int8 quantization of the embedding column with
-    per-dimension scales — the memory/bandwidth lever for ANN over a
-    100 TB vector corpus (4x smaller than float32, dot products stay
-    SIMD-friendly).
-
-    Plan: posexplode -> per-dim (min, max) aggregate (a DIMS-row
-    result, broadcast back) -> map-only array lambda quantizes
-    ``q = round((v - min) / scale) - 128`` into [-128, 127].
-    Returns (vec_id, qembedding array<int>, max_abs_err double) so the
-    caller can audit reconstruction error per vector."""
+    """Int8-quantized embeddings WITH the per-dimension affine params
+    still attached: (vec_id, embedding, qembedding array<int>,
+    stats array<struct<dim,lo,hi>>) — the shared core of
+    ``quantize_embeddings`` (audit projection) and
+    ``similarity.ivf_quantized_topk`` (dequantizing candidate scorer).
+    ``stats`` is a 1-row broadcast cross join, so downstream column
+    pruning keeps the table itself 4x smaller than float32."""
     emb = load(spark, sf_dir, "embeddings")
     dims = (
         emb.select(F.posexplode("embedding").alias("dim", "v"))
@@ -200,10 +197,26 @@ def quantize_embeddings(
         "THEN (stats[i].hi - stats[i].lo) / 255.0D ELSE 1.0D END)) - 128 "
         "AS INT))"
     )
-    quantized = (
+    return (
         emb.crossJoin(F.broadcast(dims))
         .withColumn("qembedding", F.expr(q))
     )
+
+
+def quantize_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Affine int8 quantization of the embedding column with
+    per-dimension scales — the memory/bandwidth lever for ANN over a
+    100 TB vector corpus (4x smaller than float32, dot products stay
+    SIMD-friendly).
+
+    Plan: posexplode -> per-dim (min, max) aggregate (a DIMS-row
+    result, broadcast back) -> map-only array lambda quantizes
+    ``q = round((v - min) / scale) - 128`` into [-128, 127].
+    Returns (vec_id, qembedding array<int>, max_abs_err double) so the
+    caller can audit reconstruction error per vector."""
+    quantized = quantized_embeddings_with_stats(spark, sf_dir)
     # max reconstruction error via a second zip (needs the dim index:
     # re-zip with positions)
     err = (

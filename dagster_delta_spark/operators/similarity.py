@@ -501,6 +501,86 @@ def ivf_ann_topk(
     )
 
 
+_DEQUANT = (
+    "transform(qembedding, (qv, i) -> CAST("
+    "(CAST(qv AS DOUBLE) + 128) * "
+    "(CASE WHEN stats[i].hi > stats[i].lo "
+    "THEN (stats[i].hi - stats[i].lo) / 255.0D ELSE 1.0D END) "
+    "+ stats[i].lo AS FLOAT))"
+)
+
+
+def ivf_quantized_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
+    n_cells: int = 32, nprobe: int = 8, rerank: int = 50,
+) -> DataFrame:
+    """Two-stage IVF ANN over the int8-quantized corpus (IVF + scalar
+    quantization — the FAISS IVF-SQ8 shape): stage 1 scores every
+    candidate in the probed cells against the DEQUANTIZED int8 vector;
+    stage 2 fetches full-precision embeddings for only the top
+    ``rerank`` stage-1 candidates per query and reranks exactly.
+
+    Why at 100 TB: the probe scan — the cost that grows with the
+    corpus — reads the 4x-smaller int8 table (store it as its own
+    materialized asset; here it derives from the float table to stay
+    self-contained), while full-precision vectors are touched for just
+    queries x ``rerank`` rows, joined via a broadcast of the
+    shortlist.  ``rerank`` dials the approximation: with int8 scalar
+    quantization the stage-1 ordering is near-exact, so small
+    shortlists already recover ``ivf_ann_topk``'s recall (unit-tested:
+    rerank >= cell population reproduces it bit-for-bit)."""
+    from pyspark.sql.window import Window
+
+    from .curation import quantized_embeddings_with_stats
+
+    cents = ivf_train_centroids(spark, sf_dir, n_cells)
+    assigned = ivf_assignments(spark, sf_dir, n_cells)
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    dot_qc = DOT.format(a="q_emb", b="c_emb")
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", F.expr(dot_qc) / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("q_id", "q_emb", "q_norm", "cell")
+    )
+    # stage 1: approximate scoring against the dequantized int8 table
+    qtab = (
+        quantized_embeddings_with_stats(spark, sf_dir)
+        .select("vec_id", F.expr(_DEQUANT).alias("aemb"))
+        .withColumn("anorm", F.expr(NORM.format(a="aemb")))
+    )
+    cand = assigned.select("vec_id", "cell").join(qtab, "vec_id")
+    adot = DOT.format(a="q_emb", b="aemb")
+    w = Window.partitionBy("q_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    shortlist = (
+        cand.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("acos", F.expr(adot) / (F.col("anorm") * F.col("q_norm")))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= rerank)
+        .select("q_id", "vec_id", "q_emb", "q_norm")
+    )
+    # stage 2: exact rerank on full-precision vectors (shortlist is
+    # queries x rerank rows — broadcast side of the fetch join)
+    dot = DOT.format(a="q_emb", b="embedding")
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        assigned.select("vec_id", "embedding", "norm")
+        .join(F.broadcast(shortlist), "vec_id")
+        .withColumn("cosine", F.expr(dot) / (F.col("norm") * F.col("q_norm")))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id",
+                F.col("cosine").cast("double").alias("cosine"), "rank")
+    )
+
+
 def embedding_near_dups_lsh(
     spark: SparkSession, sf_dir: str, threshold: float = 0.2,
     planes: int = 6, tables: int = 4,

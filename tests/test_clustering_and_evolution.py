@@ -278,3 +278,33 @@ def test_centroid_cache_evicts_on_corpus_rewrite(spark, tmp_path, monkeypatch):
     assert same_dir  # fresh entries present (train + assign)
     assert len({k[2] for k in same_dir}) == 1  # old fingerprint evicted
     similarity._CENTROID_CACHE.clear()
+
+
+def test_ivf_quantized_topk(spark):
+    """IVF-SQ8 two-stage ANN: with rerank covering every probed
+    candidate the exact-rerank stage reproduces ivf_ann_topk
+    bit-for-bit; a small shortlist still yields k results per query
+    whose membership tracks the unquantized path (int8 scalar
+    quantization barely perturbs the stage-1 ordering)."""
+    from dagster_delta_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_quantized_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ivf = {(r["q_id"], r["rank"]): r["vec_id"]
+           for r in ivf_ann_topk(spark, sf).collect()}
+    full = {(r["q_id"], r["rank"]): r["vec_id"]
+            for r in ivf_quantized_topk(spark, sf, rerank=10**9).collect()}
+    assert full == ivf
+    small = ivf_quantized_topk(spark, sf, rerank=10).collect()
+    per_q = {}
+    for r in small:
+        per_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    ivf_sets = {}
+    for (q, _), v in ivf.items():
+        ivf_sets.setdefault(q, set()).add(v)
+    assert set(per_q) == set(ivf_sets)
+    for q, ids in per_q.items():
+        assert len(ids) == 5
+        assert len(ids & ivf_sets[q]) >= 3, (q, ids, ivf_sets[q])
