@@ -470,7 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embedding_near_dups_02,
         "label_centroid_dims": _label_centroid_dims,
         "multimodal_metadata": multimodal.multimodal_metadata,
-        "date_parts_rollup": relational.date_parts_rollup,
+        # new in r6: salted skew-join parity (oracle = the PLAIN join)
+        "salted_user_rollup": relational.salted_user_rollup,
         "price_distribution": price_distribution,
         "status_pivot": relational.status_pivot,
         "o_compaction_roundtrip": o_compaction_roundtrip,
@@ -487,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed, green rows on record
         "token_stats": textops.token_stats,
         "string_functions": relational.string_functions_probe,
+        "date_parts_rollup": relational.date_parts_rollup,
         "text_quality": textops.text_quality,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
@@ -1515,6 +1517,21 @@ def oracle_sql() -> dict[str, str]:
             FROM cum
         """,
         "scrub_pii": _scrub_pii_oracle(),
+        "salted_user_rollup": """
+            WITH ev AS (
+                SELECT user_id, event_type, value FROM events
+            ), dim AS (
+                SELECT user_id, count(*) AS n_user_events
+                FROM ev GROUP BY user_id
+            )
+            SELECT e.event_type,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(e.value AS DECIMAL(30,10))) AS DOUBLE)
+                       AS sum_value,
+                   CAST(sum(d.n_user_events) AS BIGINT) AS sum_peer_events
+            FROM ev e JOIN dim d ON e.user_id = d.user_id
+            GROUP BY e.event_type
+        """,
         "corpus_shuffle": """
             WITH keyed AS (
                 SELECT doc_id,

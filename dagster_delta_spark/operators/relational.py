@@ -1023,3 +1023,31 @@ def corpus_fingerprint(sf_dir: str, table: str) -> str:
                 f"{st.st_mtime_ns};".encode()
             )
     return h.hexdigest()[:16]
+
+
+def salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact⋈dim join, driver-verified for value
+    neutrality: events (large side) joins a per-user dimension through
+    ``functions.skew.salted_join`` (salt=8 — every user key spreads
+    over 8 tasks), then rolls up per event_type.  The oracle is the
+    PLAIN join: salting must never change results, only the shuffle's
+    task-size distribution.  Use on known heavy-hitter keys where even
+    AQE's skew split leaves one oversized task; the salt multiplies
+    only the SMALL side's shuffle volume (dim x salt rows).
+
+    Money-style decimal accumulation on the value sum keeps the
+    rollup hash-stable across both engines' summation orders."""
+    from ..functions.skew import salted_join
+
+    ev = load_events(spark, sf_dir)
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_user_events")
+    )
+    joined = salted_join(ev.select("user_id", "event_type", "value"),
+                         dim, "user_id", salt=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+        .alias("sum_value"),
+        F.sum("n_user_events").cast("long").alias("sum_peer_events"),
+    )
