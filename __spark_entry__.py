@@ -365,11 +365,14 @@ def _quantize_embeddings(spark, sf_dir):
     )
 
 
-def _stream_ingest_filter(spark, sf_dir):
-    """Online MinHash near-dup ingest filter over the documents corpus
-    split into three arrival batches (rows-only: streaming two-table
-    state).  Batch files are fixture setup; the operator under test is
-    the per-micro-batch sign/probe/append pipeline."""
+def split_documents_fixture(sf_dir: str, n_batches: int = 3) -> str:
+    """Split the documents corpus into ``n_batches`` arrival files in
+    a scratch dir — the ingest-filter fixture shared by the registry
+    entry and bench.py (one definition so both always measure the same
+    arrival pattern).  ``index=False`` keeps pandas' filtered-frame
+    index out of the files — the stream infers its schema from them,
+    so a stray ``__index_level_0__`` column would persist into the
+    accepted-docs table."""
     import time
 
     import pyarrow.parquet as pq
@@ -378,13 +381,24 @@ def _stream_ingest_filter(spark, sf_dir):
     pdf = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).to_pandas()
-    for i in range(3):
-        pdf[pdf.doc_id % 3 == i].to_parquet(f"{src}/b{i}.parquet")
+    for i in range(n_batches):
+        pdf[pdf.doc_id % n_batches == i].to_parquet(
+            f"{src}/b{i}.parquet", index=False
+        )
         time.sleep(0.05)  # distinct mtimes -> deterministic file order
+    return src
+
+
+def _stream_ingest_filter(spark, sf_dir):
+    """Online MinHash near-dup ingest filter over the documents corpus
+    split into three arrival batches (rows-only: streaming two-table
+    state).  Batch files are fixture setup; the operator under test is
+    the per-micro-batch sign/probe/append pipeline."""
     from dagster_delta_spark.streaming import stream_ingest_near_dup_filter
 
     t = stream_ingest_near_dup_filter(
-        spark, src, _scratch("ingest"), max_files_per_trigger=1
+        spark, split_documents_fixture(sf_dir), _scratch("ingest"),
+        max_files_per_trigger=1
     )
     return t.read().select("doc_id")
 
@@ -484,9 +498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r6: IVF + int8 scalar quantization + exact rerank
         # (rows-only: approximate by design)
         "ann_ivf_quantized_topk": _ivf_quantized,
+        "token_stats": textops.token_stats,   # position 50: last in-window
         # -------- past the cap: on driver record (r01-r05) --------
         # oracle-backed, green rows on record
-        "token_stats": textops.token_stats,
         "string_functions": relational.string_functions_probe,
         "date_parts_rollup": relational.date_parts_rollup,
         "text_quality": textops.text_quality,
@@ -693,7 +707,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sessionize": """
             WITH flagged AS (
-                SELECT user_id, ts, value,
+                SELECT user_id, event_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
                             THEN 1 ELSE 0 END AS new_session
@@ -701,9 +715,12 @@ def oracle_sql() -> dict[str, str]:
                       FROM events) events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), numbered AS (
+                -- (ts, event_id) tiebreak matches the Spark window's
+                -- cumulative sum, so duplicate timestamps at a session
+                -- boundary accumulate flags in the same order
                 SELECT user_id, ts, value,
                        CAST(sum(new_session) OVER (PARTITION BY user_id
-                                                   ORDER BY ts
+                                                   ORDER BY ts, event_id
                                                    ROWS UNBOUNDED PRECEDING)
                             AS BIGINT) AS session_id
                 FROM flagged
@@ -1625,7 +1642,7 @@ def oracle_sql() -> dict[str, str]:
                                CAST(ts AS TIMESTAMP) AS ts
                         FROM events),
             flagged AS (
-                SELECT user_id, ts, value,
+                SELECT user_id, event_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR date_diff('microsecond', lag(ts) OVER w,
                                               ts) >= 1800000000
@@ -1633,9 +1650,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM ev
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), numbered AS (
+                -- same (ts, event_id) tiebreak as the flag window: a
+                -- duplicate (user_id, ts) at a session boundary must
+                -- accumulate its flag in flag order or the boundary
+                -- row lands in the wrong session nondeterministically
                 SELECT user_id, ts, value,
                        sum(new_session) OVER (PARTITION BY user_id
-                           ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
                 FROM flagged
             )
             SELECT user_id,

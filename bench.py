@@ -127,16 +127,9 @@ def main() -> None:
         t.read().write.mode("overwrite").format("noop").save()
 
     def _ingest_setup(spark, d):
-        # fixture: split documents into 3 arrival files + fresh tables
-        import pyarrow.parquet as pq
-
-        src = tempfile.mkdtemp(prefix="dds-bench-ingest-src-")
-        pdf = pq.read_table(
-            f"{d}/documents.parquet", columns=["doc_id", "text"]
-        ).to_pandas()
-        for i in range(3):
-            pdf[pdf.doc_id % 3 == i].to_parquet(f"{src}/b{i}.parquet")
-            time.sleep(0.02)  # distinct mtimes -> stable file order
+        # fixture: the registry entry's own 3-way arrival split (one
+        # definition — bench and driver measure the same pattern)
+        src = entry.split_documents_fixture(d)
         return src, tempfile.mkdtemp(prefix="dds-bench-ingest-") + "/acc"
 
     def _ingest_run(spark, ctx):

@@ -456,6 +456,34 @@ def ivf_assignments(
     return _assign_cells(emb, centroids)
 
 
+def _probe_cells(
+    assigned: DataFrame, cents: DataFrame, n_queries: int, nprobe: int,
+) -> DataFrame:
+    """Query vectors with their ``nprobe`` nearest centroid cells —
+    (q_id, q_emb, q_norm, cell), one row per probe.  Shared by
+    ``ivf_ann_topk`` and ``ivf_quantized_topk`` so their probe sets
+    (ranking AND tie-break) can never drift apart: the quantized
+    path's bit-for-bit-at-full-rerank contract depends on both
+    scanning the same cells."""
+    from pyspark.sql.window import Window
+
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    dot_qc = DOT.format(a="q_emb", b="c_emb")
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    return (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos",
+                    F.expr(dot_qc) / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("q_id", "q_emb", "q_norm", "cell")
+    )
+
+
 def ivf_ann_topk(
     spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
     n_cells: int = 32, nprobe: int = 8,
@@ -472,20 +500,7 @@ def ivf_ann_topk(
 
     cents = ivf_train_centroids(spark, sf_dir, n_cells)
     assigned = ivf_assignments(spark, sf_dir, n_cells)
-    queries = assigned.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    dot_qc = DOT.format(a="q_emb", b="c_emb")
-    wq = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cell"))
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", F.expr(dot_qc) / (F.col("q_norm") * F.col("c_norm")))
-        .withColumn("probe_rank", F.row_number().over(wq))
-        .where(F.col("probe_rank") <= nprobe)
-        .select("q_id", "q_emb", "q_norm", "cell")
-    )
+    probes = _probe_cells(assigned, cents, n_queries, nprobe)
     dot = DOT.format(a="q_emb", b="embedding")
     scored = (
         assigned.join(F.broadcast(probes), "cell")
@@ -535,20 +550,7 @@ def ivf_quantized_topk(
 
     cents = ivf_train_centroids(spark, sf_dir, n_cells)
     assigned = ivf_assignments(spark, sf_dir, n_cells)
-    queries = assigned.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    dot_qc = DOT.format(a="q_emb", b="c_emb")
-    wq = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cell"))
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", F.expr(dot_qc) / (F.col("q_norm") * F.col("c_norm")))
-        .withColumn("probe_rank", F.row_number().over(wq))
-        .where(F.col("probe_rank") <= nprobe)
-        .select("q_id", "q_emb", "q_norm", "cell")
-    )
+    probes = _probe_cells(assigned, cents, n_queries, nprobe)
     # stage 1: approximate scoring against the dequantized int8 table
     qtab = (
         quantized_embeddings_with_stats(spark, sf_dir)

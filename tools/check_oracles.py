@@ -15,23 +15,35 @@ sys.path.insert(0, "/root/repo")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def _correctness_files(root: str) -> list[str]:
-    """COMMITTED CORRECTNESS_r*.json files.  git ls-files (not a
-    working-tree glob) so an untracked/uncommitted record can't satisfy
-    a gate documented as requiring committed records; glob fallback
-    outside a git checkout."""
+def _correctness_payloads(root: str) -> list[str]:
+    """Raw JSON text of COMMITTED CORRECTNESS_r*.json files, read from
+    HEAD (`git ls-tree` + `git show`, not the working tree or index) so
+    neither an untracked nor a merely-staged record can satisfy a gate
+    documented as requiring committed records; working-tree glob
+    fallback outside a git checkout."""
+    import fnmatch
     import glob
     import os
     import subprocess
 
     try:
-        out = subprocess.run(
-            ["git", "-C", root, "ls-files", "CORRECTNESS_r*.json"],
+        names = subprocess.run(
+            ["git", "-C", root, "ls-tree", "-r", "HEAD", "--name-only"],
             capture_output=True, text=True, check=True,
         ).stdout.split()
-        return [os.path.join(root, p) for p in out]
+        return [
+            subprocess.run(
+                ["git", "-C", root, "show", f"HEAD:{n}"],
+                capture_output=True, text=True, check=True,
+            ).stdout
+            for n in names
+            if fnmatch.fnmatch(n, "CORRECTNESS_r*.json")
+        ]
     except (OSError, subprocess.CalledProcessError):
-        return glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        return [
+            open(p).read()
+            for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        ]
 
 
 def recorded_entries(root: str, oracle_names: set[str]) -> set[str]:
@@ -46,10 +58,10 @@ def recorded_entries(root: str, oracle_names: set[str]) -> set[str]:
     import json
 
     recorded: set[str] = set()
-    for path in _correctness_files(root):
+    for payload in _correctness_payloads(root):
         try:
-            rows = json.load(open(path))
-        except (OSError, ValueError):
+            rows = json.loads(payload)
+        except ValueError:
             continue
         for k, v in rows.items():
             if not isinstance(v, dict):
