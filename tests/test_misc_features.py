@@ -584,3 +584,51 @@ def test_superseded_fingerprint_entries_evicted(spark, tmp_path):
     same_dir = [k for k in dedup._SHINGLE_CACHE if k[1] == str(d)]
     assert len(same_dir) == 1  # old-fingerprint entry evicted
     dedup._SHINGLE_CACHE.clear()
+
+
+def test_sessionize_duplicate_ts_boundary_parity(spark, tmp_path):
+    """Duplicate (user_id, ts) events exactly at a session boundary:
+    Spark's gaps-and-islands and the DuckDB oracle must assign them to
+    the same sessions (r6 review finding — the oracle's cumulative-sum
+    window lacked the event_id tiebreak, so a regenerated fixture with
+    ties could go red nondeterministically)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from dagster_delta_spark.operators.relational import events_sessionize
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # user 1: two events sharing the exact boundary timestamp (31 min
+    # after the first event, > the 30-min gap -> both start session 2),
+    # plus a tie at the very first timestamp
+    for eid, mins in [(1, 0), (2, 0), (3, 31), (4, 31), (5, 40)]:
+        rows.append((eid, base + pd.Timedelta(minutes=mins), 1,
+                     "click", 1.0, "{}"))
+    # user 2: tie INSIDE a session (no boundary) as a control
+    for eid, mins in [(6, 0), (7, 10), (8, 10)]:
+        rows.append((eid, base + pd.Timedelta(minutes=mins), 2,
+                     "view", 2.0, "{}"))
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]).to_parquet(str(d / "events.parquet"), index=False)
+
+    got = sorted(
+        (r["user_id"], r["session_id"], r["n_events"])
+        for r in events_sessionize(spark, str(d)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.sql(
+            "SELECT user_id, session_id, n_events FROM ("
+            + entry.oracle_sql()["events_sessionize"]
+            + ")").fetchall()
+    )
+    assert got == want
+    # and the boundary behaved: user 1 has sessions of 2 and 3 events
+    assert [(u, n) for u, _, n in got if u == 1] == [(1, 2), (1, 3)]
