@@ -425,3 +425,63 @@ def test_stream_ingest_empty_source_dir(spark, tmp_path):
     with pytest.raises(ValueError, match=r"no \*\.parquet files"):
         stream_ingest_near_dup_filter(
             spark, str(src), str(tmp_path / "accepted"))
+
+
+def test_ingest_accepted_set_properties(spark, tmp_path):
+    """Soundness properties of the ingest filter on a randomized
+    corpus (seeded): (1) no two ACCEPTED docs share any LSH band
+    bucket — the index admits at most one holder per bucket; (2) every
+    REJECTED doc shares a bucket with some accepted doc (a collision
+    witness exists); (3) a rerun over the same source is a no-op."""
+    import random
+
+    import pandas as pd
+
+    from dagster_delta_spark.operators.dedup import (
+        _signatures_from_stream,
+        shingles_of,
+    )
+    from dagster_delta_spark.streaming import stream_ingest_near_dup_filter
+    from dagster_delta_spark.streaming.ingest_dedup import _band_buckets
+
+    rnd = random.Random(13)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts = []
+    for i in range(40):
+        if i % 5 == 4 and texts:
+            texts.append(rnd.choice(texts))            # planted dup
+        else:
+            texts.append(" ".join(rnd.choices(vocab, k=rnd.randint(1, 30))))
+    src = tmp_path / "src"
+    src.mkdir()
+    import time as _time
+    for b in range(3):
+        pd.DataFrame(
+            [(i, t) for i, t in enumerate(texts) if i % 3 == b],
+            columns=["doc_id", "text"],
+        ).to_parquet(str(src / f"b{b}.parquet"), index=False)
+        _time.sleep(0.05)
+
+    t = stream_ingest_near_dup_filter(spark, str(src),
+                                      str(tmp_path / "acc"))
+    accepted = {r["doc_id"] for r in t.read().select("doc_id").collect()}
+    assert accepted  # something got through
+
+    # recompute buckets for the WHOLE corpus with the same helpers
+    all_docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    sigs = _signatures_from_stream(shingles_of(all_docs), 64)
+    buckets = {}
+    for r in _band_buckets(sigs, 64, 16).collect():
+        buckets.setdefault((r["band"], r["h"]), set()).add(r["doc_id"])
+    long_docs = {d for ds in buckets.values() for d in ds}
+
+    for (band, h), ds in buckets.items():
+        assert len(ds & accepted) <= 1, ((band, h), ds & accepted)
+    for doc in long_docs - accepted:
+        assert any(doc in ds and ds & accepted for ds in buckets.values()), doc
+
+    t2 = stream_ingest_near_dup_filter(spark, str(src),
+                                       str(tmp_path / "acc"))
+    assert {r["doc_id"] for r in t2.read().collect()} == accepted
