@@ -157,6 +157,7 @@ def stream_ingest_near_dup_filter(
     num_hashes: int = 64,
     bands: int = 16,
     max_files_per_trigger: int = 1,
+    compact_every: int = 0,
 ) -> "DeltaSparkTable":
     """Run the streaming near-dup ingest filter over a directory of
     document parquet files; returns the accepted-documents table
@@ -166,6 +167,14 @@ def stream_ingest_near_dup_filter(
     (`processAllAvailable`) and stops — rerunning resumes from the
     stream checkpoint and the batch-id commit metadata keeps restarts
     idempotent even if a failure lands between commit and checkpoint.
+
+    ``compact_every`` > 0 runs `optimize()` on both state tables every
+    N batches: each append lands one file per table, so a long-running
+    ingest accretes files linearly with batches and the per-batch
+    index read degrades into a many-small-files scan.  Compaction
+    commits carry no ``streaming_batch_id``, so the restart watermark
+    (`last_streaming_batch`) skips straight past them and idempotency
+    is unaffected.
     """
     from ..table import DeltaSparkTable
     from .events import last_streaming_batch
@@ -187,6 +196,9 @@ def stream_ingest_near_dup_filter(
             batch_df, batch_id, docs_table, bucket_table, last,
             num_hashes=num_hashes, bands=bands,
         )
+        if compact_every > 0 and (batch_id + 1) % compact_every == 0:
+            bucket_table.optimize()
+            docs_table.optimize()
 
     # same glob as the stream below: a stray non-parquet file in the
     # source dir must not break schema inference either.  An existing

@@ -485,3 +485,47 @@ def test_ingest_accepted_set_properties(spark, tmp_path):
     t2 = stream_ingest_near_dup_filter(spark, str(src),
                                        str(tmp_path / "acc"))
     assert {r["doc_id"] for r in t2.read().collect()} == accepted
+
+
+def test_ingest_periodic_compaction(spark, tmp_path):
+    """compact_every folds the one-file-per-batch accretion back into
+    few files without changing results, and the optimize commits (no
+    streaming_batch_id) leave the restart watermark — and therefore
+    idempotent rerun — intact."""
+    import glob
+
+    import pandas as pd
+
+    from dagster_delta_spark.streaming import stream_ingest_near_dup_filter
+    from dagster_delta_spark.streaming.events import last_streaming_batch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    import time as _time
+    texts = [
+        "one unique document body with enough tokens to form many word "
+        "trigram shingles for a useful minhash signature",
+        "second entirely different text discussing streaming micro "
+        "batches and transactional append commits at scale",
+        "third piece about locality sensitive hashing bands buckets "
+        "and deterministic survivor selection rules",
+    ]
+    for b, t in enumerate(texts):
+        pd.DataFrame([(b, t)], columns=["doc_id", "text"]).to_parquet(
+            str(src / f"b{b}.parquet"), index=False)
+        _time.sleep(0.05)
+
+    t = stream_ingest_near_dup_filter(
+        spark, str(src), str(tmp_path / "acc"), compact_every=3)
+    assert sorted(r["doc_id"] for r in t.read().collect()) == [0, 1, 2]
+    data_files = [f for f in glob.glob(
+        str(tmp_path / "acc") + "/**/*.parquet", recursive=True)
+        if "_spark_delta_log" not in f and "_stream_checkpoint" not in f]
+    # 3 appended files compacted into fewer live ones (read() proves
+    # the live set; on-disk old files await vacuum)
+    live = t.read().inputFiles()
+    assert len(live) < 3, live
+    assert last_streaming_batch(t) == 2  # optimize commits skipped
+    t2 = stream_ingest_near_dup_filter(
+        spark, str(src), str(tmp_path / "acc"), compact_every=3)
+    assert sorted(r["doc_id"] for r in t2.read().collect()) == [0, 1, 2]
