@@ -1,1 +1,10 @@
-from . import dedup, multimodal, relational, similarity, textops  # noqa: F401
+from . import (  # noqa: F401
+    asof,
+    curation,
+    dedup,
+    multimodal,
+    pipeline,
+    relational,
+    similarity,
+    textops,
+)
