@@ -76,7 +76,9 @@ def main() -> None:
         "cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_ivf_quantized_topk",
         "near_dup_jaccard",
+        "corpus_shuffle",
     ]
 
     # Staged entries: fixture construction is NOT the operator under
@@ -201,6 +203,12 @@ def main() -> None:
         )
 
         ivf_assignments(spark, sf_dir).count()
+        # one query-shaped call builds + caches the int8 scorer table
+        from dagster_delta_spark.operators.similarity import (
+            ivf_quantized_topk,
+        )
+
+        ivf_quantized_topk(spark, sf_dir).count()
         lsh_signatures(spark, sf_dir).count()
         _shingle_stream(spark, sf_dir).count()
         minhash_signatures(spark, sf_dir).count()
