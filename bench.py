@@ -191,30 +191,27 @@ def main() -> None:
     # a regression in a BUILD lands in none of the timed numbers by
     # design — it is index-construction cost, tracked by the stage
     # split in docs/SCALE.md instead).
-    try:
-        from dagster_delta_spark.operators.dedup import (
-            _shingle_stream,
-            minhash_signatures,
-            simhash_signatures,
-        )
-        from dagster_delta_spark.operators.similarity import (
-            ivf_assignments,
-            lsh_signatures,
-        )
+    from dagster_delta_spark.operators.dedup import (
+        _shingle_stream,
+        minhash_signatures,
+        simhash_signatures,
+    )
+    from dagster_delta_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_quantized_topk,  # one query-shaped call caches the int8 scorer
+        lsh_signatures,
+    )
 
-        ivf_assignments(spark, sf_dir).count()
-        # one query-shaped call builds + caches the int8 scorer table
-        from dagster_delta_spark.operators.similarity import (
-            ivf_quantized_topk,
-        )
-
-        ivf_quantized_topk(spark, sf_dir).count()
-        lsh_signatures(spark, sf_dir).count()
-        _shingle_stream(spark, sf_dir).count()
-        minhash_signatures(spark, sf_dir).count()
-        simhash_signatures(spark, sf_dir).count()
-    except Exception as exc:
-        print(f"corpus index prebuild failed: {exc}", file=sys.stderr)
+    # each prebuild in its own try: one failing index build must not
+    # skip the others (that would silently fold build cost into their
+    # timed lines on single-pass runs)
+    for build in (ivf_assignments, ivf_quantized_topk, lsh_signatures,
+                  _shingle_stream, minhash_signatures, simhash_signatures):
+        try:
+            build(spark, sf_dir).count()
+        except Exception as exc:
+            print(f"prebuild {build.__name__} failed: {exc}",
+                  file=sys.stderr)
 
     # Two timed passes at the target SF; report the per-query MINIMUM.
     # The sf0.001 warm pass pays codegen compiles, but the FIRST pass at

@@ -431,8 +431,11 @@ def test_ingest_accepted_set_properties(spark, tmp_path):
     """Soundness properties of the ingest filter on a randomized
     corpus (seeded): (1) no two ACCEPTED docs share any LSH band
     bucket — the index admits at most one holder per bucket; (2) every
-    REJECTED doc shares a bucket with some accepted doc (a collision
-    witness exists); (3) a rerun over the same source is a no-op."""
+    REJECTED doc has a collision witness: a shared bucket with an
+    accepted doc OR a smaller-id doc (the one-shot drop rule rejects
+    on smaller SAME-BATCH ids even when that winner itself loses
+    elsewhere, so accepted-only witnesses are NOT an invariant);
+    (3) a rerun over the same source is a no-op."""
     import random
 
     import pandas as pd
@@ -480,7 +483,10 @@ def test_ingest_accepted_set_properties(spark, tmp_path):
     for (band, h), ds in buckets.items():
         assert len(ds & accepted) <= 1, ((band, h), ds & accepted)
     for doc in long_docs - accepted:
-        assert any(doc in ds and ds & accepted for ds in buckets.values()), doc
+        assert any(
+            doc in ds and (ds & accepted or any(d < doc for d in ds))
+            for ds in buckets.values()
+        ), doc
 
     t2 = stream_ingest_near_dup_filter(spark, str(src),
                                        str(tmp_path / "acc"))
@@ -492,8 +498,6 @@ def test_ingest_periodic_compaction(spark, tmp_path):
     few files without changing results, and the optimize commits (no
     streaming_batch_id) leave the restart watermark — and therefore
     idempotent rerun — intact."""
-    import glob
-
     import pandas as pd
 
     from dagster_delta_spark.streaming import stream_ingest_near_dup_filter
@@ -518,9 +522,6 @@ def test_ingest_periodic_compaction(spark, tmp_path):
     t = stream_ingest_near_dup_filter(
         spark, str(src), str(tmp_path / "acc"), compact_every=3)
     assert sorted(r["doc_id"] for r in t.read().collect()) == [0, 1, 2]
-    data_files = [f for f in glob.glob(
-        str(tmp_path / "acc") + "/**/*.parquet", recursive=True)
-        if "_spark_delta_log" not in f and "_stream_checkpoint" not in f]
     # 3 appended files compacted into fewer live ones (read() proves
     # the live set; on-disk old files await vacuum)
     live = t.read().inputFiles()

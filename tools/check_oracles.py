@@ -19,31 +19,50 @@ def _correctness_payloads(root: str) -> list[str]:
     """Raw JSON text of COMMITTED CORRECTNESS_r*.json files, read from
     HEAD (`git ls-tree` + `git show`, not the working tree or index) so
     neither an untracked nor a merely-staged record can satisfy a gate
-    documented as requiring committed records; working-tree glob
-    fallback outside a git checkout."""
+    documented as requiring committed records.
+
+    Failure semantics matter here: INSIDE a git checkout, any failure
+    to read HEAD (unborn branch, transient git error) means "no
+    committed records" — falling back to the working tree would accept
+    exactly the files the gate exists to reject.  The glob fallback
+    applies only OUTSIDE a git checkout (no repo to commit to), and
+    tolerates per-file read errors like the pre-r6 code did."""
     import fnmatch
     import glob
     import os
     import subprocess
 
     try:
-        names = subprocess.run(
-            ["git", "-C", root, "ls-tree", "-r", "HEAD", "--name-only"],
+        in_repo = subprocess.run(
+            ["git", "-C", root, "rev-parse", "--is-inside-work-tree"],
             capture_output=True, text=True, check=True,
-        ).stdout.split()
-        return [
-            subprocess.run(
-                ["git", "-C", root, "show", f"HEAD:{n}"],
-                capture_output=True, text=True, check=True,
-            ).stdout
-            for n in names
-            if fnmatch.fnmatch(n, "CORRECTNESS_r*.json")
-        ]
+        ).stdout.strip() == "true"
     except (OSError, subprocess.CalledProcessError):
-        return [
-            open(p).read()
-            for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
-        ]
+        in_repo = False
+    if in_repo:
+        try:
+            names = subprocess.run(
+                ["git", "-C", root, "ls-tree", "-r", "HEAD",
+                 "--name-only"],
+                capture_output=True, text=True, check=True,
+            ).stdout.split()
+            return [
+                subprocess.run(
+                    ["git", "-C", root, "show", f"HEAD:{n}"],
+                    capture_output=True, text=True, check=True,
+                ).stdout
+                for n in names
+                if fnmatch.fnmatch(n, "CORRECTNESS_r*.json")
+            ]
+        except (OSError, subprocess.CalledProcessError):
+            return []  # unreadable HEAD == nothing committed
+    out = []
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            out.append(open(p).read())
+        except OSError:
+            continue
+    return out
 
 
 def recorded_entries(root: str, oracle_names: set[str]) -> set[str]:
