@@ -52,6 +52,17 @@ def _apply_model(model, op, pdf):
                                                       suffixes=("", "_s"))
         kept["v"] = kept["v_s"].astype("int64")
         return kept[["k", "v"]]
+    if op == "update_only":
+        # matched rows take the source value; unmatched sources dropped
+        src = pdf.drop_duplicates("k", keep="last")
+        merged = model.merge(src, on="k", how="left", suffixes=("", "_s"))
+        merged["v"] = merged["v_s"].fillna(merged["v"]).astype("int64")
+        return merged[["k", "v"]]
+    if op == "dedup_insert":
+        # insert unmatched sources only; matched targets untouched
+        src = pdf.drop_duplicates("k", keep="last")
+        inserts = src[~src["k"].isin(model["k"])][["k", "v"]]
+        return pd.concat([model, inserts], ignore_index=True)
     raise AssertionError(op)
 
 
@@ -71,7 +82,8 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         # optimize is a no-op on state but commits a version
         for _step in range(12):
             op = rnd.choice(["append", "overwrite", "upsert",
-                             "delete_unmatched", "optimize"])
+                             "delete_unmatched", "update_only",
+                             "dedup_insert", "optimize"])
             if op == "optimize":
                 before = t.version()
                 t.optimize(target_file_size=1 << 20)
@@ -86,14 +98,13 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 t.write(sdf, WriteMode.append)
             elif op == "overwrite":
                 t.write(sdf, WriteMode.overwrite)
-            elif op == "upsert":
-                src = sdf.dropDuplicates(["k"])
-                t.merge(src, MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
-                pdf = pdf.drop_duplicates("k", keep="first")
             else:
+                mt = {"upsert": MergeType.upsert,
+                      "delete_unmatched": MergeType.replace_delete_unmatched,
+                      "update_only": MergeType.update_only,
+                      "dedup_insert": MergeType.deduplicate_insert}[op]
                 src = sdf.dropDuplicates(["k"])
-                t.merge(src, MergeConfig(MergeType.replace_delete_unmatched,
-                                         predicate="s.k = t.k"))
+                t.merge(src, MergeConfig(mt, predicate="s.k = t.k"))
                 pdf = pdf.drop_duplicates("k", keep="first")
             model = _apply_model(model, op, pdf)
             states.append(_model_state(model))
