@@ -404,6 +404,9 @@ def _stream_ingest_filter(spark, sf_dir):
 
 
 def streaming_rollup(spark, sf_dir):
+    """Watermarked streaming hourly rollup run to completion on the
+    static fixture; oracle-backed since r6 (one micro-batch, so no
+    late-data drops — the batch GROUP BY is the exact twin)."""
     from dagster_delta_spark.streaming import run_hourly_rollup_once
 
     return run_hourly_rollup_once(
@@ -552,6 +555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window streaming sessionization; oracle-backed since r6
+    (gaps-and-islands twin with session_end = last event + gap and a
+    new session at gap >= 30 min, matching the overlap-merge rule)."""
     from dagster_delta_spark.streaming import run_sessionize_once
 
     return run_sessionize_once(
@@ -560,8 +566,9 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full curation pipeline (rows-only: every stage is individually
-    oracle-verified — lang_id, text_quality, dedup_exact)."""
+    """Full curation pipeline: lang/quality/length filters then exact
+    dedup; oracle-backed since r6 (the composed DuckDB twin mirrors
+    every stage end-to-end — see _curate_corpus_oracle)."""
     from dagster_delta_spark.operators.pipeline import curate_corpus
 
     return curate_corpus(
@@ -576,8 +583,9 @@ def _event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark-bounded streaming exact dedup (rows-only: batch twin
-    is dedup_exact; on the unique-keyed fixture output == input)."""
+    """Watermark-bounded streaming exact dedup
+    (dropDuplicatesWithinWatermark); oracle-backed since r6: the
+    fixture's event keys are unique, so output == input exactly."""
     from dagster_delta_spark.streaming import run_dedup_stream_once
 
     return run_dedup_stream_once(
