@@ -530,3 +530,61 @@ def test_ingest_periodic_compaction(spark, tmp_path):
     t2 = stream_ingest_near_dup_filter(
         spark, str(src), str(tmp_path / "acc"), compact_every=3)
     assert sorted(r["doc_id"] for r in t2.read().collect()) == [0, 1, 2]
+
+
+def test_streaming_rollup_drops_late_events(spark, tmp_path):
+    """Watermarked rollup in APPEND mode drops a straggler whose
+    window was already finalized: batch 0 fills the 00:00 window and
+    advances event time to 06:00 (watermark 04:00 from batch 1 on);
+    batch 1's fresh event triggers eviction+emission of the 00:00
+    window; batch 2 then delivers a 00:30 straggler — it must neither
+    re-open the window nor emit a duplicate row.  (A late row whose
+    window is STILL in state is merged — watermark semantics bound
+    state, they don't reject rows while their window lives — which is
+    why the eviction has to happen in an earlier batch.)"""
+    import time as _time
+
+    import pandas as pd
+
+    from dagster_delta_spark.streaming.events import (
+        hourly_rollup_stream,
+        read_events_stream,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ev(eid, minutes):
+        return (eid, t0 + pd.Timedelta(minutes=minutes), 1, "click",
+                1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for fname, rows_ in (
+        ("a.parquet", [ev(1, 10), ev(2, 20), ev(3, 360)]),  # H0 + 06:00
+        ("b.parquet", [ev(5, 420)]),                        # 07:00 fresh
+        ("c.parquet", [ev(4, 30)]),                         # 00:30 late
+    ):
+        pd.DataFrame(rows_, columns=cols).to_parquet(
+            str(d / fname), index=False)
+        _time.sleep(0.05)
+
+    stream = hourly_rollup_stream(
+        read_events_stream(spark, str(d), 1, glob="*.parquet"),
+        watermark="2 hours",
+    )
+    name = "late_rollup_test"
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    h0 = pd.Timestamp("2024-01-01 00:00:00")
+    h0_rows = [r["n_events"] for r in spark.table(name).collect()
+               if r["window_start"] == h0]
+    # exactly ONE emission of the 00:00 window, with only the two
+    # on-time events; the straggler neither merged nor re-emitted
+    assert h0_rows == [2], h0_rows
+    # control: batch semantics over the same files count all three
+    batch = (spark.read.parquet(str(d))
+             .where("event_id IN (1, 2, 4)").count())
+    assert batch == 3
