@@ -30,6 +30,7 @@ import shutil
 import time
 import uuid
 from datetime import date, datetime
+from decimal import Decimal
 from typing import Any, Optional, Sequence
 from urllib.parse import unquote
 
@@ -40,10 +41,12 @@ from pyspark.sql.types import (
     ByteType,
     DataType,
     DateType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
     LongType,
+    NumericType,
     ShortType,
     StringType,
     StructType,
@@ -56,6 +59,7 @@ from . import tablelog
 from .tablelog import (
     AddFile,
     CommitInfo,
+    ConcurrentAppendError,
     ConcurrentDeleteError,
     Metadata,
     Snapshot,
@@ -94,6 +98,8 @@ def _parse_typed(value: Optional[str], dtype: DataType) -> Any:
         return int(value)
     if isinstance(dtype, (DoubleType, FloatType)):
         return float(value)
+    if isinstance(dtype, DecimalType):
+        return Decimal(value)  # stats render decimals as strings
     if isinstance(dtype, BooleanType):
         return value.lower() == "true"
     if isinstance(dtype, DateType):
@@ -106,21 +112,6 @@ def _parse_typed(value: Optional[str], dtype: DataType) -> Any:
             except ValueError:
                 continue
         raise ValueError(f"cannot parse timestamp partition value {value!r}")
-    return value
-
-
-def _render_stat(value: Any) -> Any:
-    """JSON-safe rendering of a parquet footer min/max."""
-    if isinstance(value, datetime):
-        return value.isoformat(sep=" ")
-    if isinstance(value, date):
-        return value.isoformat()
-    if isinstance(value, bytes):
-        return None
-    if isinstance(value, str) and len(value) > _STATS_MAX_STRING:
-        return None
-    if isinstance(value, float) and value != value:  # NaN
-        return None
     return value
 
 
@@ -249,14 +240,22 @@ def _make_stats_harvester():
     def harvest(abs_path: str) -> tuple[str, tuple[int, dict]]:
         from datetime import date as _date
         from datetime import datetime as _datetime
+        from decimal import Decimal as _decimal
 
         import pyarrow.parquet as pq_
 
+        # the ONLY stats renderer (the former module-level _render_stat
+        # twin was dead code); _parse_typed/_coerce_stat must keep
+        # round-tripping whatever shapes this emits
         def render(value):
             if isinstance(value, _datetime):
                 return value.isoformat(sep=" ")
             if isinstance(value, _date):
                 return value.isoformat()
+            if isinstance(value, _decimal):
+                # json.dumps rejects Decimal; stringify and let
+                # _parse_typed's DecimalType branch parse it back
+                return str(value)
             if isinstance(value, bytes):
                 return None
             if isinstance(value, str) and len(value) > max_str:
@@ -282,15 +281,18 @@ def _make_stats_harvester():
                     ok = False
                     break
                 col_nulls += st.null_count or 0
-                mn, mx = render(st.min), render(st.max)
-                if mn is None or mx is None:
+                mn, mx = st.min, st.max
+                # fold on RAW values (render() may stringify — e.g.
+                # Decimal — and string comparison would mis-fold across
+                # row groups); render only decides representability
+                if render(mn) is None or render(mx) is None:
                     ok = False
                     break
                 col_min = mn if col_min is None or mn < col_min else col_min
                 col_max = mx if col_max is None or mx > col_max else col_max
             if ok and col_min is not None:
-                mins[name] = col_min
-                maxs[name] = col_max
+                mins[name] = render(col_min)
+                maxs[name] = render(col_max)
                 nulls[name] = col_nulls
         return abs_path, (
             num_rows,
@@ -612,6 +614,40 @@ class DeltaSparkTable:
                 df.schema, pcols, table_configuration, commit_metadata
             )
 
+        # repartitioning an existing table is only legal when the whole
+        # table is being replaced (full unscoped overwrite): any other
+        # mode would silently rewrite Metadata.partition_columns while
+        # pre-existing files keep their old partition_values — every
+        # later pruned read would drop them wholesale (Delta raises the
+        # same way on a partitioning mismatch)
+        if (
+            snap is not None
+            and partition_columns is not None
+            and list(partition_columns) != list(snap.partition_columns)
+            and not (mode == WriteMode.overwrite and partition_dnf is None)
+        ):
+            raise ValueError(
+                f"partition_columns {list(partition_columns)} differ from "
+                f"the table's {list(snap.partition_columns)}; repartitioning "
+                "requires a full overwrite (or create_or_replace)"
+            )
+        # scoped overwrite may only reference real partition columns —
+        # validated BEFORE the distributed write so a plain user error
+        # doesn't strand a full set of staged-and-moved orphan files
+        # (the same check re-runs inside the commit loop against the
+        # fresh snapshot, which is the exactness guarantee)
+        if mode == WriteMode.overwrite and partition_dnf and snap is not None:
+            bad = [
+                name for name, _op, _v in partition_dnf
+                if name not in snap.partition_columns
+            ]
+            if bad:
+                raise ValueError(
+                    f"overwrite partition_dnf references non-partition "
+                    f"column(s) {sorted(set(bad))}; table is partitioned "
+                    f"by {list(snap.partition_columns)}"
+                )
+
         # schema reconciliation
         if table_schema is None or (
             mode == WriteMode.overwrite
@@ -675,8 +711,24 @@ class DeltaSparkTable:
                 else:
                     removes = list(snap.files)
 
+            # re-merge against the FRESH table schema: a concurrent
+            # commit may have evolved it while this writer staged, and
+            # committing the stale final_schema would silently drop the
+            # concurrently-added columns from Metadata (their data files
+            # stay live but every read would project without them).
+            # A full schema-replacing overwrite skips this by design.
+            committed_schema = final_schema
+            if snap is not None and not (
+                mode == WriteMode.overwrite
+                and schema_mode == SchemaMode.overwrite
+                and partition_dnf is None
+            ):
+                committed_schema = _merge_schemas(
+                    StructType.fromJson(_json_loads(snap.schema_json)),
+                    final_schema,
+                )
             meta = Metadata(
-                schema_json=final_schema.json(),
+                schema_json=committed_schema.json(),
                 partition_columns=pcols,
                 configuration=dict(
                     (snap.metadata.configuration if snap else {}),
@@ -744,31 +796,42 @@ class DeltaSparkTable:
         commit_metadata: Optional[dict[str, str]],
     ) -> dict[str, Any]:
         """W5: recreate metadata + schema only; removes all data files,
-        writes none (reference handler.py:226-235)."""
-        head = tablelog.latest_version(self.table_uri)
-        snap = tablelog.load_snapshot(self.table_uri) if head >= 0 else None
+        writes none (reference handler.py:226-235).  Same optimistic
+        rebase-and-retry as every other commit path — a lost race must
+        not fail an otherwise-valid metadata-only operation."""
         meta = Metadata(
             schema_json=schema.json(),
             partition_columns=list(pcols),
             configuration=dict(table_configuration or {}),
         )
-        now = int(time.time() * 1000)
-        actions: list[dict[str, Any]] = [
-            CommitInfo(
-                operation="CREATE OR REPLACE",
-                operation_parameters={"partitionBy": list(pcols)},
-                user_metadata=commit_metadata,
-            ).to_action(),
-            meta.to_action(),
-        ]
-        if snap:
-            actions += [
-                {"remove": {"path": a.path, "deletionTimestamp": now}}
-                for a in snap.files
+        for attempt in range(_COMMIT_RETRIES + 1):
+            head = tablelog.latest_version(self.table_uri)
+            snap = tablelog.load_snapshot(self.table_uri) if head >= 0 else None
+            now = int(time.time() * 1000)
+            actions: list[dict[str, Any]] = [
+                CommitInfo(
+                    operation="CREATE OR REPLACE",
+                    operation_parameters={"partitionBy": list(pcols)},
+                    user_metadata=commit_metadata,
+                ).to_action(),
+                meta.to_action(),
             ]
-        v = head + 1
-        tablelog.commit(self.table_uri, v, actions, Snapshot(v, meta, [], now))
-        return {"mode": "create_or_replace", "version": v, "num_output_rows": 0}
+            if snap:
+                actions += [
+                    {"remove": {"path": a.path, "deletionTimestamp": now}}
+                    for a in snap.files
+                ]
+            v = head + 1
+            try:
+                tablelog.commit(
+                    self.table_uri, v, actions, Snapshot(v, meta, [], now))
+                return {"mode": "create_or_replace", "version": v,
+                        "num_output_rows": 0}
+            except VersionConflictError:
+                if attempt >= _COMMIT_RETRIES:
+                    raise
+                time.sleep(_COMMIT_BACKOFF_BASE * (2**attempt) + _jitter())
+        raise AssertionError("unreachable")
 
     # -- MERGE (M1-M6, W6) ------------------------------------------------------
 
@@ -843,6 +906,20 @@ class DeltaSparkTable:
         ta, sa = merge_config.target_alias, merge_config.source_alias
         pred = merge_config.predicate
         if partition_dnf:
+            # same exactness rule as write(): the dnf scopes which rows
+            # the merge may touch/delete, and stats-based matching is a
+            # pruning heuristic — a non-partition column here would make
+            # replace_delete_unmatched silently delete out-of-scope rows
+            bad = [
+                name for name, _op, _v in partition_dnf
+                if name not in snap.partition_columns
+            ]
+            if bad:
+                raise ValueError(
+                    f"merge partition_dnf references non-partition "
+                    f"column(s) {sorted(set(bad))}; table is partitioned "
+                    f"by {list(snap.partition_columns)}"
+                )
             pred = f"({pred}) AND ({dnf_to_sql(partition_dnf, qualifier=ta)})"
 
         candidates = self.pruned_files(snap, partition_dnf)
@@ -860,36 +937,45 @@ class DeltaSparkTable:
         # source plan once — only worth paying when there are enough
         # candidate files for pruning to matter (callers with expensive
         # source pipelines should cache/localCheckpoint the source)
-        if (
-            len(candidates) >= 8
-            and merge_config.merge_type != MergeType.replace_delete_unmatched
-        ):
+        def source_key_ranges() -> Optional[list[DnfFilter]]:
+            """Min/max DNF over the source's equality merge keys (one
+            tiny agg job), or None when the predicate yields no usable
+            keys.  Shared by discovery pruning and the commit-time
+            concurrent-append conflict check."""
             tfields = {f.name for f in table_schema.fields}
             eq = [
                 (tc, sc)
                 for tc, sc in _merge_equi_keys(merge_config.predicate, ta, sa)
                 if tc in tfields and sc in source.columns
             ]
-            if eq:
-                aggs = []
-                for i, (_tc, sc) in enumerate(eq):
-                    aggs += [F.min(sc).alias(f"__lo{i}"),
-                             F.max(sc).alias(f"__hi{i}")]
-                bounds = source.agg(*aggs).first()
-                rng: list[DnfFilter] = []
-                for i, (tc, _sc) in enumerate(eq):
-                    lo, hi = bounds[f"__lo{i}"], bounds[f"__hi{i}"]
-                    if lo is not None and hi is not None:
-                        rng += [(tc, ">=", lo), (tc, "<=", hi)]
-                if rng:
-                    try:
-                        candidates = [
-                            a for a in candidates
-                            if _file_matches(a, rng, table_schema,
-                                             snap.partition_columns)
-                        ]
-                    except TypeError:
-                        pass  # incomparable stat/bound types: no pruning
+            if not eq:
+                return None
+            aggs = []
+            for i, (_tc, sc) in enumerate(eq):
+                aggs += [F.min(sc).alias(f"__lo{i}"),
+                         F.max(sc).alias(f"__hi{i}")]
+            bounds = source.agg(*aggs).first()
+            rng: list[DnfFilter] = []
+            for i, (tc, _sc) in enumerate(eq):
+                lo, hi = bounds[f"__lo{i}"], bounds[f"__hi{i}"]
+                if lo is not None and hi is not None:
+                    rng += [(tc, ">=", lo), (tc, "<=", hi)]
+            return rng
+
+        if (
+            len(candidates) >= 8
+            and merge_config.merge_type != MergeType.replace_delete_unmatched
+        ):
+            rng0 = source_key_ranges()
+            if rng0:
+                try:
+                    candidates = [
+                        a for a in candidates
+                        if _file_matches(a, rng0, table_schema,
+                                         snap.partition_columns)
+                    ]
+                except TypeError:
+                    pass  # incomparable stat/bound types: no pruning
         src = source.withColumn("__s_m", F.lit(1))
         cond = F.expr(pred)
 
@@ -1054,6 +1140,47 @@ class DeltaSparkTable:
                         f"merge conflicts with a concurrent commit: files "
                         f"{gone[:3]}{'...' if len(gone) > 3 else ''} were removed"
                     )
+                # read-set conflict (Delta's ConcurrentAppendException
+                # analogue): files ADDED since the planning snapshot may
+                # hold rows matching the merge keys — rows this merge
+                # classified as not-matched (duplicate-key insert) or
+                # never saw (lost update / wrongly-surviving M4 rows).
+                # Stats narrow the check: a new file disjoint from the
+                # source's key range (and outside the partition scope)
+                # cannot conflict.  M4 conflicts on ANY in-scope add —
+                # its delete semantics consider every target row.
+                base = {a.path for a in snap.files}
+                fresh = [a for a in cur.files if a.path not in base]
+                if partition_dnf and fresh:
+                    fresh = [
+                        a for a in fresh
+                        if _file_matches(a, partition_dnf, table_schema,
+                                         cur.metadata.partition_columns)
+                    ]
+                if fresh:
+                    if mtype == MergeType.replace_delete_unmatched:
+                        conflict = True
+                    else:
+                        rng = source_key_ranges()
+                        if rng is None:
+                            conflict = True  # no keys to narrow by
+                        else:
+                            try:
+                                conflict = any(
+                                    _file_matches(
+                                        a, rng, table_schema,
+                                        cur.metadata.partition_columns)
+                                    for a in fresh
+                                )
+                            except TypeError:
+                                conflict = True
+                    if conflict:
+                        raise ConcurrentAppendError(
+                            "merge conflicts with a concurrent commit: "
+                            f"{len(fresh)} file(s) added since the planning "
+                            "snapshot may contain matching keys; re-run the "
+                            "merge against the new table state"
+                        )
             new_meta = snap.metadata if evolved else cur.metadata
             actions: list[dict[str, Any]] = [
                 CommitInfo(
@@ -1249,10 +1376,31 @@ class DeltaSparkTable:
         only."""
         snap = self.snapshot()
         schema = StructType.fromJson(_json_loads(snap.schema_json))
+        fields = {f.name: f.dataType for f in schema.fields}
+        unknown = [c for c in columns if c not in fields]
+        if unknown:
+            raise ValueError(f"zorder: unknown column(s) {unknown}")
+        non_numeric = [
+            c for c in columns if not isinstance(fields[c], NumericType)
+        ]
+        if non_numeric:
+            # interpolating a non-numeric bound into the bucket SQL
+            # would render garbage expressions ('(name - Alice)'); fail
+            # fast instead of at Spark analysis (or worse, silently)
+            raise ValueError(
+                f"zorder requires numeric columns; non-numeric: "
+                f"{non_numeric}"
+            )
         files = list(snap.files)
         if not files:
             return {"rewritten_files": 0, "version": snap.version}
         df = self._read_files(snap, files)
+
+        # bit positions must fit a signed 64-bit long: position
+        # bits*n - 1 > 62 would set the sign bit (inverting the most
+        # significant curve bit) or wrap via JVM shift masking
+        n = len(columns)
+        bits = min(bits, 63 // n)
 
         # pass 1: global min/max per z column (log stats when complete)
         bounds: dict[str, tuple[float, float]] = {}
@@ -1261,18 +1409,21 @@ class DeltaSparkTable:
         )
         if from_log:
             for c in columns:
+                # stats may be string-rendered (decimals) — coerce to
+                # the column type before folding and float() for SQL
                 bounds[c] = (
-                    min(a.stats["minValues"][c] for a in files),
-                    max(a.stats["maxValues"][c] for a in files),
+                    min(float(_coerce_stat(a.stats["minValues"][c],
+                                           fields[c])) for a in files),
+                    max(float(_coerce_stat(a.stats["maxValues"][c],
+                                           fields[c])) for a in files),
                 )
         else:
             row = df.agg(*[F.min(c).alias(f"mn_{c}") for c in columns],
                          *[F.max(c).alias(f"mx_{c}") for c in columns]).collect()[0]
             for c in columns:
-                bounds[c] = (row[f"mn_{c}"], row[f"mx_{c}"])
+                bounds[c] = (float(row[f"mn_{c}"]), float(row[f"mx_{c}"]))
 
         # bucket each column into [0, 2^bits) by linear normalization
-        n = len(columns)
         bucket_exprs = []
         for c in columns:
             lo, hi = bounds[c]

@@ -54,6 +54,12 @@ class ConcurrentDeleteError(Exception):
     """A file this transaction depends on was removed concurrently."""
 
 
+class ConcurrentAppendError(Exception):
+    """A concurrent commit added files this transaction's read set may
+    depend on (Delta's ConcurrentAppendException analogue): committing
+    anyway could lose the new rows' updates or insert duplicate keys."""
+
+
 @dataclass
 class AddFile:
     """A live data file. ``partition_values`` are string-rendered (the
