@@ -735,6 +735,7 @@ class DeltaSparkTable:
                     **(table_configuration or {}),
                 ),
                 table_id=snap.metadata.table_id if snap else "",
+                created_time=snap.metadata.created_time if snap else 0,
             )
             op_params: dict[str, Any] = {"mode": mode.value}
             if partition_dnf:

@@ -105,13 +105,24 @@ class Metadata:
     table_id: str = ""
     created_time: int = 0
 
+    def __post_init__(self) -> None:
+        # assign identity ONCE at construction, not per serialization:
+        # generating inside to_action() logged a fresh uuid every
+        # commit (the cached snapshot kept "" while the log recorded a
+        # different random id each version, so nothing could use the
+        # id as a stable table identity)
+        if not self.table_id:
+            self.table_id = str(uuid.uuid4())
+        if not self.created_time:
+            self.created_time = int(time.time() * 1000)
+
     def to_action(self) -> dict[str, Any]:
         return {"metaData": {
-            "id": self.table_id or str(uuid.uuid4()),
+            "id": self.table_id,
             "schemaString": self.schema_json,
             "partitionColumns": self.partition_columns,
             "configuration": self.configuration,
-            "createdTime": self.created_time or int(time.time() * 1000),
+            "createdTime": self.created_time,
         }}
 
     @staticmethod
@@ -201,6 +212,29 @@ def read_version_actions(table_uri: str, version: int) -> list[dict[str, Any]]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def _best_checkpoint_version(table_uri: str, target: int) -> Optional[int]:
+    """Newest on-disk checkpoint version <= ``target`` (parquet or
+    legacy JSON) — the time-travel fast path when the `_last_checkpoint`
+    pointer is ahead of the target."""
+    d = _log_dir(table_uri)
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return None
+    best: Optional[int] = None
+    for name in names:
+        if not (name.endswith(".checkpoint.parquet")
+                or name.endswith(".checkpoint.json")):
+            continue  # excludes in-flight .tmp-* writes
+        try:
+            v = int(name.split(".", 1)[0])
+        except ValueError:
+            continue
+        if v <= target and (best is None or v > best):
+            best = v
+    return best
+
+
 def _read_last_checkpoint(table_uri: str) -> Optional[int]:
     p = os.path.join(_log_dir(table_uri), LAST_CHECKPOINT)
     if not os.path.isfile(p):
@@ -213,39 +247,54 @@ def _read_last_checkpoint(table_uri: str) -> Optional[int]:
 
 
 def _load_checkpoint(table_uri: str, version: int) -> Optional[Snapshot]:
+    """Read a checkpoint, or None when absent OR unreadable — a torn
+    or corrupt checkpoint (crash mid-replace, foreign parquet) must
+    degrade to a full JSON-log replay, never make an intact table
+    unreadable (the `_read_last_checkpoint` pointer already has the
+    same corruption tolerance)."""
     p = _checkpoint_path(table_uri, version)
     if os.path.isfile(p):
         import pyarrow.parquet as pq
 
-        t = pq.read_table(p)
-        meta = t.schema.metadata or {}
-        metadata = Metadata.from_action(json.loads(meta[b"dds.metaData"]))
-        ts = int(meta.get(b"dds.timestamp", b"0"))
-        files = [
-            AddFile(
-                path=row["path"],
-                size=row["size"],
-                num_records=row["numRecords"],
-                partition_values=json.loads(row["partitionValues"]),
-                stats=json.loads(row["stats"]),
-                modification_time=row["modificationTime"],
-            )
-            for row in t.to_pylist()
-        ]
-        return Snapshot(version=version, metadata=metadata, files=files,
-                        timestamp=ts)
+        try:
+            t = pq.read_table(p)
+            meta = t.schema.metadata or {}
+            metadata = Metadata.from_action(json.loads(meta[b"dds.metaData"]))
+            ts = int(meta.get(b"dds.timestamp", b"0"))
+            files = [
+                AddFile(
+                    path=row["path"],
+                    size=row["size"],
+                    num_records=row["numRecords"],
+                    partition_values=json.loads(row["partitionValues"]),
+                    stats=json.loads(row["stats"]),
+                    modification_time=row["modificationTime"],
+                )
+                for row in t.to_pylist()
+            ]
+            return Snapshot(version=version, metadata=metadata, files=files,
+                            timestamp=ts)
+        except Exception:
+            import sys
+
+            print(f"warning: unreadable checkpoint {p}; replaying the "
+                  "JSON log instead", file=sys.stderr)
+            return None
     # pre-upgrade tables wrote JSON checkpoints; keep reading them
     lp = _legacy_checkpoint_path(table_uri, version)
     if not os.path.isfile(lp):
         return None
-    with open(lp, "r", encoding="utf-8") as f:
-        d = json.load(f)
-    return Snapshot(
-        version=version,
-        metadata=Metadata.from_action(d["metaData"]),
-        files=[AddFile.from_action(a) for a in d["adds"]],
-        timestamp=d.get("timestamp", 0),
-    )
+    try:
+        with open(lp, "r", encoding="utf-8") as f:
+            d = json.load(f)
+        return Snapshot(
+            version=version,
+            metadata=Metadata.from_action(d["metaData"]),
+            files=[AddFile.from_action(a) for a in d["adds"]],
+            timestamp=d.get("timestamp", 0),
+        )
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def write_checkpoint(table_uri: str, snap: Snapshot) -> None:
@@ -280,12 +329,40 @@ def write_checkpoint(table_uri: str, snap: Snapshot) -> None:
         b"dds.timestamp": str(snap.timestamp).encode(),
     })
     pq.write_table(table, tmp, compression="zstd")
+    _fsync_path(tmp)
     os.replace(tmp, p)
     lp = os.path.join(_log_dir(table_uri), LAST_CHECKPOINT)
     tmp2 = lp + f".tmp-{uuid.uuid4().hex}"
     with open(tmp2, "w", encoding="utf-8") as f:
-        json.dump({"version": snap.version}, f)
+        f.write(json.dumps({"version": snap.version}))
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp2, lp)
+    _fsync_dir(_log_dir(table_uri))
+
+
+def _fsync_path(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_dir(path: str) -> None:
+    """Durably record directory entries (renames/links) — without this
+    an OS crash after a 'successful' commit can lose the version file
+    while its data files survive."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return  # platform without directory open support
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 # (uri, version) -> (version-file stat fingerprint, snapshot).  The
@@ -345,14 +422,22 @@ def _cache_put(table_uri: str, version: int, snap: Snapshot) -> None:
 
 
 def _cache_get(table_uri: str, version: int) -> Optional[Snapshot]:
+    key = (table_uri, version)
     with _SNAPSHOT_CACHE_LOCK:
-        hit = _SNAPSHOT_CACHE.get((table_uri, version))
+        hit = _SNAPSHOT_CACHE.get(key)
+        if hit is not None:
+            # LRU refresh: re-insert so eviction (which pops the oldest
+            # insertion) spares hot entries — FIFO would evict the
+            # constantly-read head snapshot while cold time-travel
+            # entries survived
+            _SNAPSHOT_CACHE.pop(key, None)
+            _SNAPSHOT_CACHE[key] = hit
     if hit is None:
         return None
     fp, snap = hit
     if fp != _version_fingerprint(table_uri, version):
         with _SNAPSHOT_CACHE_LOCK:
-            _SNAPSHOT_CACHE.pop((table_uri, version), None)
+            _SNAPSHOT_CACHE.pop(key, None)
         return None
     return _copy_snapshot(snap)
 
@@ -387,13 +472,25 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
     ts = 0
 
     cp_version = _read_last_checkpoint(table_uri)
-    if cp_version is not None and cp_version <= target:
-        cp = _load_checkpoint(table_uri, cp_version)
-        if cp is not None:
-            metadata = cp.metadata
-            files = {a.path: a for a in cp.files}
-            ts = cp.timestamp
-            start = cp_version + 1
+    cp = (
+        _load_checkpoint(table_uri, cp_version)
+        if cp_version is not None and cp_version <= target
+        else None
+    )
+    if cp is None:
+        # the pointer's checkpoint is ahead of a time-travel target,
+        # missing, or unreadable — scan for the newest on-disk
+        # checkpoint at or below the target instead of replaying the
+        # whole JSON log from version 0
+        alt = _best_checkpoint_version(table_uri, target)
+        if alt is not None and alt != cp_version:
+            cp = _load_checkpoint(table_uri, alt)
+            cp_version = alt
+    if cp is not None:
+        metadata = cp.metadata
+        files = {a.path: a for a in cp.files}
+        ts = cp.timestamp
+        start = cp_version + 1
 
     for v in range(start, target + 1):
         for action in read_version_actions(table_uri, v):
@@ -429,20 +526,51 @@ def commit(
     :class:`VersionConflictError` for the optimistic-retry loop in
     ``table.py``.
     """
-    os.makedirs(_log_dir(table_uri), exist_ok=True)
+    log_dir = _log_dir(table_uri)
+    os.makedirs(log_dir, exist_ok=True)
     path = _version_path(table_uri, version)
     payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    # Publish atomically: write + fsync a private tmp file, then LINK
+    # it to the version name.  A direct open('x') + buffered write
+    # exposes an empty/partial version file to concurrent readers
+    # (latest_version lists it, read_version_actions returns [] — a
+    # silently wrong snapshot that the cache or the streaming source's
+    # offset tracking would make permanent), and a writer crash
+    # mid-write would leave a truncated file that counts as committed.
+    # link() is the put-if-absent: it fails with FileExistsError when a
+    # rival published first, and the tmp file is unlinked either way.
+    tmp = os.path.join(log_dir, f".{version:020d}.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        with open(path, "x", encoding="utf-8") as f:
-            f.write(payload)
+        os.link(tmp, path)
     except FileExistsError:
         raise VersionConflictError(
             f"version {version} of {table_uri} was committed concurrently"
         ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    _fsync_dir(log_dir)
     if snapshot_after is not None:
         _cache_put(table_uri, version, snapshot_after)
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
-            write_checkpoint(table_uri, snapshot_after)
+            # checkpointing is an optimization over an already-durable
+            # commit: its failure must not fail the commit (the caller
+            # would retry a published version and duplicate data) —
+            # the next interval commit simply tries again
+            try:
+                write_checkpoint(table_uri, snapshot_after)
+            except Exception as exc:
+                import sys
+
+                print(f"warning: checkpoint at version {version} failed "
+                      f"({exc}); log tail replay continues to work",
+                      file=sys.stderr)
 
 
 def history(table_uri: str, limit: Optional[int] = None) -> list[dict[str, Any]]:

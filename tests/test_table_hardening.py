@@ -228,3 +228,120 @@ def test_zorder_validates_columns_and_clamps_bits(spark, tmp_path):
         if "a" in f.stats.get("minValues", {})
     ]
     assert spans and min(spans) < 1999
+
+
+def test_table_id_stable_across_commits(spark, tmp_path):
+    """Every metaData action in the log carries the SAME table id and
+    created_time (previously to_action() generated a fresh uuid per
+    commit, so nothing could use the id as table identity)."""
+    import json
+
+    from dagster_delta_spark.tablelog import read_version_actions
+
+    uri = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "k long")
+    t = DeltaSparkTable(spark, uri)
+    t.write(df, WriteMode.error)
+    t.write(df, WriteMode.append)
+    t.write(df, WriteMode.append)
+    ids, created = set(), set()
+    for v in range(3):
+        for a in read_version_actions(uri, v):
+            if "metaData" in a:
+                ids.add(a["metaData"]["id"])
+                created.add(a["metaData"]["createdTime"])
+    assert len(ids) == 1 and "" not in ids, ids
+    assert len(created) == 1, created
+    assert t.describe_detail()["id"] in ids
+
+
+def test_commit_tmp_files_invisible(spark, tmp_path):
+    """In-flight commit tmp files (crash debris) neither count toward
+    latest_version nor break reads."""
+    import os
+
+    from dagster_delta_spark.tablelog import latest_version
+
+    uri = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, uri)
+    t.write(spark.createDataFrame([(1,)], "k long"), WriteMode.error)
+    debris = os.path.join(uri, "_spark_delta_log",
+                          ".00000000000000000005.tmp-deadbeef")
+    with open(debris, "w") as f:
+        f.write('{"partial":')  # torn payload
+    assert latest_version(uri) == 0
+    assert t.read().count() == 1
+
+
+def test_corrupt_checkpoint_falls_back_to_log_replay(spark, tmp_path):
+    """A torn/zeroed checkpoint parquet must degrade to JSON-log replay,
+    not make the table unreadable."""
+    import glob
+    import os
+
+    from dagster_delta_spark import tablelog
+
+    uri = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, uri)
+    df = spark.createDataFrame([(1,)], "k long")
+    t.write(df, WriteMode.error)
+    for _ in range(10):
+        t.write(df, WriteMode.append)  # crosses CHECKPOINT_INTERVAL
+    cps = glob.glob(os.path.join(uri, "_spark_delta_log",
+                                 "*.checkpoint.parquet"))
+    assert cps, "fixture must have checkpointed"
+    for cp in cps:
+        open(cp, "w").close()  # truncate to zero bytes
+    tablelog._SNAPSHOT_CACHE.clear()
+    assert t.read().count() == 11  # full replay still works
+
+
+def test_checkpoint_failure_does_not_fail_commit(spark, tmp_path, monkeypatch):
+    """A checkpoint exception after the version file is published must
+    not surface as a failed write (the caller would retry a committed
+    version and duplicate rows)."""
+    from dagster_delta_spark import tablelog
+
+    uri = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, uri)
+    df = spark.createDataFrame([(1,)], "k long")
+    t.write(df, WriteMode.error)
+    for _ in range(8):
+        t.write(df, WriteMode.append)
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(tablelog, "write_checkpoint", boom)
+    out = t.write(df, WriteMode.append)  # version 9... next is interval 10
+    out = t.write(df, WriteMode.append)  # version 10 -> checkpoint fires
+    monkeypatch.undo()
+    assert out["version"] == 10
+    assert t.read().count() == 11
+
+
+def test_time_travel_uses_older_checkpoint(spark, tmp_path, monkeypatch):
+    """Time travel below the newest checkpoint starts from the best
+    on-disk checkpoint <= target instead of replaying from version 0."""
+    from dagster_delta_spark import tablelog
+
+    uri = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, uri)
+    df = spark.createDataFrame([(1,)], "k long")
+    for i in range(25):
+        t.write(df, WriteMode.append if i else WriteMode.error)
+    tablelog._SNAPSHOT_CACHE.clear()
+
+    read_versions = []
+    real = tablelog.read_version_actions
+
+    def spying(uri_, version):
+        read_versions.append(version)
+        return real(uri_, version)
+
+    monkeypatch.setattr(tablelog, "read_version_actions", spying)
+    # use load_snapshot directly (t.read() wraps it)
+    snap = tablelog.load_snapshot(uri, 15)
+    monkeypatch.undo()
+    assert len(snap.files) == 16
+    assert read_versions and min(read_versions) == 11, read_versions
