@@ -160,8 +160,15 @@ class DeltaSparkIOManager:
             fmts = extract_date_format_from_partition_definition(
                 context.date_formats
             )
+            # write-path (input_dnf=False) validation — the contiguity
+            # guard — only applies when the DNF will actually SCOPE a
+            # delete (overwrite/merge); an append discards the scope,
+            # so a non-contiguous multi-window backfill append is safe
+            # and must not be rejected (the read-shape DNF still feeds
+            # the scoped partition_stats metadata below)
+            scoping = mode in (WriteMode.overwrite, WriteMode.merge)
             dnf = partition_dimensions_to_dnf(
-                ts.partition_dimensions, df.schema, input_dnf=False,
+                ts.partition_dimensions, df.schema, input_dnf=not scoping,
                 date_formats=fmts,
                 legacy_window_scope=self.legacy_window_scope,
             )

@@ -47,7 +47,7 @@ from .slices import TablePartitionDimension, TimeWindow
 DELTA_DATETIME_FORMAT = "%Y-%m-%d %H:%M:%S"  # reference io_manager.py:30
 DELTA_DATE_FORMAT = "%Y-%m-%d"  # reference io_manager.py:31
 
-# DNF conjunct: (column, op, value); op in {"=", "in", ">=", "<"}
+# DNF conjunct: (column, op, value); op in {"=", "in", ">=", ">", "<", "<="}
 DnfFilter = tuple[str, str, Any]
 
 
@@ -99,7 +99,10 @@ def partition_dimensions_to_dnf(
             )
             parts.extend(conj if isinstance(conj, list) else [conj])
         elif isinstance(dtype, StringType) or _is_integer(dtype):
-            conj = _value_dnf(dim, dtype, fmt, input_dnf=input_dnf)
+            conj = _value_dnf(
+                dim, dtype, fmt, input_dnf=input_dnf,
+                legacy_window_scope=legacy_window_scope,
+            )
             parts.extend(conj if isinstance(conj, list) else [conj])
         else:
             raise ValueError(
@@ -166,8 +169,27 @@ def _time_window_partition_dnf(
     start = _strip_tz(min(w.start for w in windows))
     end = _strip_tz(max(w.end for w in windows))
     if isinstance(dtype, DateType):
+        if not input_dnf and not legacy_window_scope and (
+            start.time() != start.time().min or end.time() != end.time().min
+        ):
+            # a DATE partition cannot express an intra-day boundary:
+            # flooring would delete rows before the window start and
+            # leave stale rows after its end — refuse rather than
+            # silently mis-scope the overwrite/merge
+            raise ValueError(
+                f"time window [{start}, {end}) is not midnight-aligned; "
+                f"a DATE-typed partition column ({dim.partition_expr!r}) "
+                "cannot scope an intra-day write — align the window or "
+                "partition by timestamp"
+            )
         start_v: Any = start.date()
-        end_v: Any = end.date()
+        # READ path: ceil a non-midnight end so every date holding
+        # window rows is covered (floor would silently drop the final
+        # partial day)
+        end_v: Any = (
+            end.date() if end.time() == end.time().min
+            else date.fromordinal(end.date().toordinal() + 1)
+        )
     else:
         start_v, end_v = start, end
     if not input_dnf:
@@ -183,6 +205,7 @@ def _value_dnf(
     fmt: Optional[str],
     *,
     input_dnf: bool = True,
+    legacy_window_scope: bool = False,
 ) -> Union[DnfFilter, list[DnfFilter]]:
     """Static keys -> ``in``/``=`` DNF; formatted time windows -> the
     half-open range (reference P3, handler.py:397-439).
@@ -203,17 +226,45 @@ def _value_dnf(
                 f"{dim.partition_expr!r} (required to compile a TimeWindow "
                 "against a string/integer column)"
             )
-        if not input_dnf:
+        if not input_dnf and not legacy_window_scope:
+            # legacy flag = reference write path bit-for-bit, which has
+            # no contiguity guard on any path (handler.py:397-439)
             _require_contiguous(dim, windows)
         start: Any = _strip_tz(min(w.start for w in windows)).strftime(fmt)
         end: Any = _strip_tz(max(w.end for w in windows)).strftime(fmt)
         if _is_integer(dtype):
             start, end = int(start), int(end)
+        if start >= end:
+            # a format whose rendered order disagrees with time order
+            # (e.g. %H across midnight, %m/%d/%Y) — or one too coarse
+            # for the window — would yield an always-false or inverted
+            # range: reads return nothing and a scoped overwrite
+            # deletes nothing, silently
+            raise ValueError(
+                f"date format {fmt!r} renders window start {start!r} >= "
+                f"end {end!r} for partition {dim.partition_expr!r}; the "
+                "format must be lexicographically monotonic over the "
+                "window (and no coarser than it)"
+            )
         return [
             (dim.partition_expr, ">=", start),
             (dim.partition_expr, "<", end),
         ]
+    if isinstance(dim.partitions, str):
+        # a bare string satisfies Sequence[str] and would silently
+        # iterate character-by-character into IN ('a','b',...)
+        raise TypeError(
+            f"partitions for {dim.partition_expr!r} must be a list of "
+            f"keys, got the bare string {dim.partitions!r} — wrap it: "
+            f"[{dim.partitions!r}]"
+        )
     values = list(dim.partitions)  # type: ignore[arg-type]
+    if not values:
+        raise ValueError(
+            f"empty partitions list for {dim.partition_expr!r} — an "
+            "empty IN () renders invalid SQL; omit the dimension to "
+            "scope nothing"
+        )
     if _is_integer(dtype):
         values = [int(v) for v in values]
     uniq = sorted(set(values), key=str)
@@ -240,8 +291,14 @@ def dnf_to_column(dnf: Sequence[DnfFilter]) -> Column:
             expr = c.isin(list(value))
         elif op == ">=":
             expr = c >= F.lit(value)
+        elif op == ">":
+            expr = c > F.lit(value)
         elif op == "<":
             expr = c < F.lit(value)
+        elif op == "<=":
+            # full op set of the sibling consumers (dnf_to_sql and
+            # table._file_matches) — the three lowerings must agree
+            expr = c <= F.lit(value)
         else:
             raise ValueError(f"unsupported DNF op {op!r}")
         col = expr if col is None else (col & expr)
@@ -250,16 +307,21 @@ def dnf_to_column(dnf: Sequence[DnfFilter]) -> Column:
     return col
 
 
-def _sql_literal(value: Any, dialect: str = "spark") -> str:
+def _sql_literal(value: Any) -> str:
     """Literal rendering (reference P4 ``_create_predicate``,
-    handler.py:47-67) with typed datetime literals instead of µs
-    epoch ints."""
+    handler.py:47-67) with typed datetime literals instead of µs epoch
+    ints; dialect-neutral (valid Spark SQL and DuckDB alike).
+    Sub-second precision is preserved — truncating it would make
+    dnf_to_sql's executed scope (the MERGE predicate) disagree with
+    dnf_to_column/pruned_files on the same DNF."""
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
     if isinstance(value, (int, float)):
         return str(value)
     if isinstance(value, datetime):
-        return f"TIMESTAMP '{_strip_tz(value).strftime(DELTA_DATETIME_FORMAT)}'"
+        v = _strip_tz(value)
+        fmt = "%Y-%m-%d %H:%M:%S.%f" if v.microsecond else DELTA_DATETIME_FORMAT
+        return f"TIMESTAMP '{v.strftime(fmt)}'"
     if isinstance(value, date):
         return f"DATE '{value.strftime(DELTA_DATE_FORMAT)}'"
     if isinstance(value, str):
@@ -268,9 +330,7 @@ def _sql_literal(value: Any, dialect: str = "spark") -> str:
     raise TypeError(f"cannot render SQL literal for {type(value)!r}")
 
 
-def dnf_to_sql(
-    dnf: Sequence[DnfFilter], *, qualifier: str = "", dialect: str = "spark"
-) -> str:
+def dnf_to_sql(dnf: Sequence[DnfFilter], *, qualifier: str = "") -> str:
     """DNF -> SQL predicate string (reference P4/P7): used for
     ``replaceWhere``-style overwrite scoping and MERGE-condition
     narrowing (M5, handler.py:92-98)."""
@@ -278,10 +338,10 @@ def dnf_to_sql(
     q = f"{qualifier}." if qualifier else ""
     for name, op, value in dnf:
         if op == "in":
-            lits = ", ".join(_sql_literal(v, dialect) for v in value)
+            lits = ", ".join(_sql_literal(v) for v in value)
             parts.append(f"{q}{name} IN ({lits})")
         else:
-            parts.append(f"{q}{name} {op} {_sql_literal(value, dialect)}")
+            parts.append(f"{q}{name} {op} {_sql_literal(value)}")
     return " AND ".join(parts)
 
 

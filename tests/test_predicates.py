@@ -236,3 +236,85 @@ def test_engulfing_windows_are_contiguous():
         ("timestamp_col", ">=", datetime(2020, 1, 1)),
         ("timestamp_col", "<", datetime(2020, 1, 10)),
     ]
+
+
+def test_sql_literal_preserves_microseconds():
+    """dnf_to_sql must render sub-second boundaries — truncating them
+    made the executed MERGE scope wider than the pruning predicate
+    (r6 review finding)."""
+    dt = datetime(2020, 1, 1, 0, 0, 0, 500000)
+    sql = dnf_to_sql([("ts", ">=", dt)])
+    assert sql == "ts >= TIMESTAMP '2020-01-01 00:00:00.500000'"
+    # whole-second values keep the compact reference format
+    assert dnf_to_sql([("ts", ">=", datetime(2020, 1, 1))]) == (
+        "ts >= TIMESTAMP '2020-01-01 00:00:00'"
+    )
+
+
+def test_date_partition_rejects_intra_day_write_scope():
+    """A DATE partition cannot express an intra-day boundary: flooring
+    would over-delete the window-start day and leave stale rows after
+    the end — the write path must refuse."""
+    schema = StructType([StructField("d", DateType())])
+    dim = TablePartitionDimension(
+        "d", TimeWindow(datetime(2020, 1, 1, 12), datetime(2020, 1, 2, 12)))
+    with pytest.raises(ValueError, match="midnight-aligned"):
+        partition_dimensions_to_dnf([dim], schema, input_dnf=False)
+    # read path: floor start, CEIL end so the final partial day's date
+    # is covered
+    dnf = partition_dimensions_to_dnf([dim], schema, input_dnf=True)
+    assert dnf == [("d", ">=", date(2020, 1, 1)), ("d", "<", date(2020, 1, 3))]
+
+
+def test_legacy_flag_skips_value_dnf_contiguity():
+    """legacy_window_scope promises the reference write path bit-for-bit
+    (no contiguity guard) — that must hold for string/int partition
+    columns too, not only timestamp/date ones."""
+    schema = StructType([StructField("ym", StringType())])
+    dim = TablePartitionDimension("ym", [
+        TimeWindow(datetime(2020, 1, 1), datetime(2020, 2, 1)),
+        TimeWindow(datetime(2020, 6, 1), datetime(2020, 7, 1)),  # gap
+    ])
+    fmts = {"ym": "%Y-%m"}
+    with pytest.raises(ValueError, match="non-contiguous"):
+        partition_dimensions_to_dnf([dim], schema, input_dnf=False,
+                                    date_formats=fmts)
+    dnf = partition_dimensions_to_dnf([dim], schema, input_dnf=False,
+                                      date_formats=fmts,
+                                      legacy_window_scope=True)
+    assert dnf == [("ym", ">=", "2020-01"), ("ym", "<", "2020-07")]
+
+
+def test_non_monotonic_format_raises():
+    """A format whose rendered order disagrees with time order (e.g. %H
+    across midnight) yields an always-false range — loud error, not a
+    silent empty scope."""
+    schema = StructType([StructField("h", StringType())])
+    dim = TablePartitionDimension(
+        "h", TimeWindow(datetime(2020, 1, 1, 23), datetime(2020, 1, 2, 1)))
+    with pytest.raises(ValueError, match="monotonic"):
+        partition_dimensions_to_dnf([dim], schema, input_dnf=True,
+                                    date_formats={"h": "%H"})
+
+
+def test_empty_and_bare_string_partitions_raise():
+    schema = StructType([StructField("region", StringType())])
+    with pytest.raises(ValueError, match="empty partitions"):
+        partition_dimensions_to_dnf(
+            [TablePartitionDimension("region", [])], schema)
+    with pytest.raises(TypeError, match="bare string"):
+        partition_dimensions_to_dnf(
+            [TablePartitionDimension("region", "emea")], schema)
+
+
+def test_dnf_to_column_supports_full_op_set(spark):
+    """All three DNF consumers (Column lowering, SQL rendering, file
+    pruning) accept the same op set."""
+    from dagster_delta_spark.plans.predicates import dnf_to_column
+
+    df = spark.range(10).withColumnRenamed("id", "x")
+    got = sorted(
+        r["x"] for r in df.where(
+            dnf_to_column([("x", ">", 2), ("x", "<=", 5)])).collect()
+    )
+    assert got == [3, 4, 5]
