@@ -35,11 +35,16 @@ DEFAULT_MATERIALIZE_CAP_ROWS = 10_000_000
 def _materialize_cap_rows(override: Optional[int] = None) -> int:
     if override is not None:
         return override
-    return int(
-        os.environ.get(
-            "DDS_MATERIALIZE_CAP_ROWS", DEFAULT_MATERIALIZE_CAP_ROWS
-        )
-    )
+    raw = os.environ.get("DDS_MATERIALIZE_CAP_ROWS", "").strip()
+    if not raw:  # unset or empty (cleared in a shell/CI template)
+        return DEFAULT_MATERIALIZE_CAP_ROWS
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"DDS_MATERIALIZE_CAP_ROWS={raw!r} is not an integer; set a "
+            "row count, or <= 0 to disable the driver-materialization cap"
+        ) from None
 
 
 def bounded_frame(
@@ -69,6 +74,17 @@ def check_materialized_rows(n_rows: int, cap: int, handler: str) -> None:
             f"raise DDS_MATERIALIZE_CAP_ROWS / the handler's "
             f"materialize_cap_rows if the driver has headroom."
         )
+
+
+def _spark_supports_arrow_ingest() -> bool:
+    """Spark >= 4: createDataFrame accepts pyarrow Tables and
+    DataFrame.toArrow exists."""
+    import pyspark
+
+    try:
+        return int(pyspark.__version__.split(".", 1)[0]) >= 4
+    except ValueError:  # pragma: no cover - exotic version strings
+        return hasattr(DataFrame, "toArrow")
 
 
 class SparkTypeHandler:
@@ -142,11 +158,14 @@ class ArrowTypeHandler(SparkTypeHandler):
         if isinstance(obj, pa.RecordBatchReader):
             obj = obj.read_all()
         # Spark 4 ingests pyarrow Tables directly (Arrow IPC, no pandas
-        # detour); fall back for older sessions
-        try:
+        # detour); the version check — not a broad except TypeError —
+        # decides the fallback, so a GENUINE ingestion TypeError (e.g.
+        # an unsupported Arrow extension column) surfaces instead of
+        # being silently rerouted through pandas with different type
+        # semantics
+        if _spark_supports_arrow_ingest():
             return spark.createDataFrame(obj)
-        except TypeError:  # pragma: no cover - Spark < 4
-            return spark.createDataFrame(obj.to_pandas())
+        return spark.createDataFrame(obj.to_pandas())  # pragma: no cover
 
     def from_spark(self, df: DataFrame, target_type: Type) -> Any:
         import pyarrow as pa
@@ -190,15 +209,25 @@ class PolarsTypeHandler(SparkTypeHandler):
 
         if isinstance(obj, pl.LazyFrame):
             obj = obj.collect()
-        return spark.createDataFrame(obj.to_pandas())
+        # Arrow both ways on Spark 4: the pandas detour loses type
+        # fidelity (Int64-with-nulls -> float64 NaN, precision loss on
+        # large ints) and copies every row twice
+        if _spark_supports_arrow_ingest():
+            return spark.createDataFrame(obj.to_arrow())
+        return spark.createDataFrame(obj.to_pandas())  # pragma: no cover
 
     def from_spark(self, df: DataFrame, target_type: Type) -> Any:
         import polars as pl
 
         bounded, cap = bounded_frame(df, self.materialize_cap_rows)
-        pdf = bounded.toPandas()
-        check_materialized_rows(len(pdf), cap, "polars")
-        out = pl.from_pandas(pdf)
+        if _spark_supports_arrow_ingest():
+            tbl = bounded.toArrow()
+            check_materialized_rows(tbl.num_rows, cap, "polars")
+            out = pl.from_arrow(tbl)
+        else:  # pragma: no cover - Spark < 4
+            pdf = bounded.toPandas()
+            check_materialized_rows(len(pdf), cap, "polars")
+            out = pl.from_pandas(pdf)
         if target_type is pl.LazyFrame:
             return out.lazy()
         return out
@@ -243,10 +272,16 @@ class HandlerRegistry:
 
     def for_type(self, target_type: Type) -> SparkTypeHandler:
         for h in self.handlers:
-            if target_type in h.supported_types or any(
-                issubclass(target_type, t) for t in h.supported_types
-            ):
-                return h
+            try:
+                if target_type in h.supported_types or any(
+                    issubclass(target_type, t) for t in h.supported_types
+                ):
+                    return h
+            except TypeError:
+                # typing generics (list[dict], Optional[...]) are not
+                # classes — fall through to the contract error instead
+                # of an opaque issubclass TypeError
+                continue
         raise UnsupportedTypeError(
             f"DeltaSparkIOManager does not have a handler for type "
             f"'{target_type}'"

@@ -93,17 +93,22 @@ class DeltaSparkIOManager:
         self.table_config = table_config
         self.custom_metadata = custom_metadata
         self.registry = HandlerRegistry(handlers)
+        # storage confs: 'spark.hadoop.'-prefixed keys set at RUNTIME
+        # via spark.conf.set are copied into the Hadoop Configuration
+        # VERBATIM (the prefix is only stripped for SparkConf entries
+        # at session start), so fs.s3a.* / fs.azure.* would never be
+        # seen by the filesystem — strip the prefix and set the live
+        # Hadoop configuration directly as well
+        hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
         for k, v in flatten_storage_confs(storage_config, client_config).items():
             spark.conf.set(k, v)
-        # W10: writer knobs -> session confs (e.g. compression); reference
-        # io_manager.py:183-186 passes delta-rs WriterProperties
-        if writer_properties:
-            comp = writer_properties.get("compression")
-            if comp:
-                spark.conf.set("spark.sql.parquet.compression.codec", comp.lower())
-            mrpf = writer_properties.get("max_records_per_file")
-            if mrpf:
-                spark.conf.set("spark.sql.files.maxRecordsPerFile", str(mrpf))
+            if k.startswith("spark.hadoop."):
+                hadoop_conf.set(k[len("spark.hadoop."):], v)
+        # W10: writer knobs travel PER WRITE as DataFrameWriter options
+        # (reference io_manager.py:183-186 scopes WriterProperties per
+        # write too); session confs would leak across managers sharing
+        # one SparkSession
+        self.writer_properties = writer_properties
 
     # -- resolution -----------------------------------------------------------
 
@@ -193,6 +198,9 @@ class DeltaSparkIOManager:
                 partition_dnf=dnf,
                 partition_columns=pcols or None,
                 commit_metadata=commit_metadata,
+                schema_mode=schema_mode,
+                table_configuration=table_configuration or None,
+                writer_properties=self.writer_properties,
             )
         else:
             result = table.write(
@@ -202,12 +210,17 @@ class DeltaSparkIOManager:
                 schema_mode=schema_mode,
                 table_configuration=table_configuration or None,
                 commit_metadata=commit_metadata,
+                writer_properties=self.writer_properties,
             )
 
-        # O3/O4: output metadata (reference handler.py:264-291)
+        # O3/O4: output metadata (reference handler.py:264-291), pinned
+        # to THIS write's committed version — re-reading the head would
+        # attribute a concurrent writer's later commit to this asset
+        # (and cost extra log loads)
+        version = result.get("version")
         out_md: dict[str, Any] = {
             "table_uri": conn.table_uri,
-            "table_version": table.version(),
+            "table_version": version if version is not None else table.version(),
             "mode": result.get("mode"),
             **{
                 k: v
@@ -215,12 +228,13 @@ class DeltaSparkIOManager:
                 if k.startswith("num_")
             },
             "dagster/column_schema": {
-                f.name: f.dataType.simpleString() for f in table.schema().fields
+                f.name: f.dataType.simpleString()
+                for f in table.schema(version).fields
             },
             **handler.get_output_stats(obj),
         }
         try:
-            out_md.update(table.partition_stats(dnf))
+            out_md.update(table.partition_stats(dnf, version=version))
         except Exception as exc:  # stats failure downgraded (handler.py:264-269)
             out_md["stats_error"] = str(exc)
         return out_md

@@ -331,11 +331,30 @@ def _harvest_stats(
 # ---------------------------------------------------------------------------
 
 
+def _writer_options(
+    writer_properties: Optional[dict[str, str]],
+) -> Optional[dict[str, str]]:
+    """W10: reference WriterProperties -> per-write DataFrameWriter
+    options.  Per-write (not session confs): two managers sharing one
+    SparkSession must not clobber each other's codec."""
+    if not writer_properties:
+        return None
+    out: dict[str, str] = {}
+    comp = writer_properties.get("compression")
+    if comp:
+        out["compression"] = comp.lower()
+    mrpf = writer_properties.get("max_records_per_file")
+    if mrpf:
+        out["maxRecordsPerFile"] = str(mrpf)
+    return out or None
+
+
 def _stage_dataframe(
     df: DataFrame,
     table_uri: str,
     partition_columns: Sequence[str],
     schema: StructType,
+    writer_options: Optional[dict[str, str]] = None,
 ) -> list[AddFile]:
     """Write ``df`` (the distributed part) into a staging dir inside the
     table, then move the parquet files into place and return their add
@@ -343,6 +362,8 @@ def _stage_dataframe(
     collide and time travel keeps old files intact."""
     staging = os.path.join(table_uri, f"_staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
     if partition_columns:
         writer = writer.partitionBy(*partition_columns)
     writer.parquet(staging)
@@ -580,6 +601,7 @@ class DeltaSparkTable:
         commit_metadata: Optional[dict[str, str]] = None,
         cluster_by: Optional[Sequence[str]] = None,
         cluster_files: Optional[int] = None,
+        writer_properties: Optional[dict[str, str]] = None,
     ) -> dict[str, Any]:
         """All write modes (reference handle_output dispatch,
         handler.py:190-262).
@@ -675,7 +697,8 @@ class DeltaSparkTable:
                 if cluster_files
                 else out.repartitionByRange(*cols)
             ).sortWithinPartitions(*cluster_by)
-        adds = _stage_dataframe(out, self.table_uri, pcols, final_schema)
+        adds = _stage_dataframe(out, self.table_uri, pcols, final_schema,
+                                _writer_options(writer_properties))
         rows_written = sum(a.num_records for a in adds)
 
         for attempt in range(_COMMIT_RETRIES + 1):
@@ -845,9 +868,13 @@ class DeltaSparkTable:
         partition_columns: Optional[Sequence[str]] = None,
         commit_metadata: Optional[dict[str, str]] = None,
         schema_mode: Optional[SchemaMode] = None,
+        table_configuration: Optional[dict[str, str]] = None,
+        writer_properties: Optional[dict[str, str]] = None,
     ) -> dict[str, Any]:
         """MERGE INTO with auto-create of a missing target (reference
         handler.py:236-262, _merge_execute 70-120).
+        ``table_configuration`` applies on the auto-create path only
+        (an existing target keeps its properties).
 
         Spark-first plan: a left-semi join discovers *touched* files
         (files containing at least one matched key); only those are
@@ -866,6 +893,8 @@ class DeltaSparkTable:
                 WriteMode.error,
                 partition_columns=partition_columns,
                 commit_metadata=commit_metadata,
+                table_configuration=table_configuration,
+                writer_properties=writer_properties,
             )
             return {
                 "mode": "merge",
@@ -1121,7 +1150,8 @@ class DeltaSparkTable:
         adds: list[AddFile] = []
         if result is not None:
             adds = _stage_dataframe(
-                result, self.table_uri, snap.partition_columns, table_schema
+                result, self.table_uri, snap.partition_columns, table_schema,
+                _writer_options(writer_properties),
             )
 
         rows_written = sum(a.num_records for a in adds)
@@ -1231,12 +1261,15 @@ class DeltaSparkTable:
     # -- stats (O3/A1/A2/J1) ----------------------------------------------------
 
     def partition_stats(
-        self, dnf: Optional[Sequence[DnfFilter]] = None
+        self, dnf: Optional[Sequence[DnfFilter]] = None,
+        version: Optional[int] = None,
     ) -> dict[str, Any]:
         """Log-scoped size/row-count stats (reference O3,
         handler.py:490-516: joins live files x add-actions; our log IS
-        that join — zero data read)."""
-        snap = self.snapshot()
+        that join — zero data read).  ``version`` pins the snapshot so
+        a caller reporting on its OWN commit isn't attributed a
+        concurrent writer's later state."""
+        snap = self.snapshot(version)
         files = self.pruned_files(snap, dnf)
         size = sum(a.size for a in files)
         rows = sum(a.num_records for a in files)

@@ -518,3 +518,104 @@ def test_materialization_guard_env_cap(spark, monkeypatch):
         PandasTypeHandler().from_spark(spark.range(6), pd.DataFrame)
     assert len(PandasTypeHandler().from_spark(
         spark.range(5), pd.DataFrame)) == 5
+
+
+def test_for_type_with_typing_generic_raises_contract_error(spark, tmp_path):
+    """A non-class target_type (typing generic) must surface the
+    contract's UnsupportedTypeError, not an opaque issubclass
+    TypeError (r6 review finding)."""
+    mgr = DeltaSparkIOManager(spark, str(tmp_path))
+    ctx = AssetContext(asset_key=["s", "t"])
+    mgr.handle_output(ctx, two_col(spark))
+    with pytest.raises(UnsupportedTypeError, match="does not have a handler"):
+        mgr.load_input(ctx, target_type=list[dict])
+
+
+def test_materialize_cap_env_parsing(monkeypatch):
+    """Empty env value falls back to the default; garbage names the
+    variable in the error."""
+    from dagster_delta_spark.handler import (
+        DEFAULT_MATERIALIZE_CAP_ROWS,
+        _materialize_cap_rows,
+    )
+
+    monkeypatch.setenv("DDS_MATERIALIZE_CAP_ROWS", "")
+    assert _materialize_cap_rows() == DEFAULT_MATERIALIZE_CAP_ROWS
+    monkeypatch.setenv("DDS_MATERIALIZE_CAP_ROWS", "many")
+    with pytest.raises(ValueError, match="DDS_MATERIALIZE_CAP_ROWS"):
+        _materialize_cap_rows()
+    monkeypatch.setenv("DDS_MATERIALIZE_CAP_ROWS", "123")
+    assert _materialize_cap_rows() == 123
+
+
+def test_writer_properties_scoped_per_manager(spark, tmp_path):
+    """Two managers sharing one SparkSession keep their own codecs —
+    writer properties ride per write, not as session confs."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    z = DeltaSparkIOManager(spark, str(tmp_path / "z"),
+                            writer_properties={"compression": "ZSTD"})
+    s = DeltaSparkIOManager(spark, str(tmp_path / "s"))  # session default
+    z.handle_output(AssetContext(asset_key=["a", "t"]), two_col(spark))
+    s.handle_output(AssetContext(asset_key=["a", "t"]), two_col(spark))
+
+    def codec(root):
+        f = glob.glob(str(root) + "/a/t/*.parquet")[0]
+        return pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+
+    assert codec(tmp_path / "z") == "ZSTD"
+    assert codec(tmp_path / "s") != "ZSTD"  # default (snappy) untouched
+
+
+def test_merge_mode_respects_schema_mode_and_table_config(spark, tmp_path):
+    """Merge assets evolve schema under schema_mode=append and the
+    auto-create path applies table_configuration (previously both were
+    silently dropped)."""
+    from dagster_delta_spark import MergeConfig, MergeType
+
+    mgr = DeltaSparkIOManager(
+        spark, str(tmp_path), mode=WriteMode.merge,
+        merge_config=MergeConfig(MergeType.upsert, predicate="s.a = t.a"),
+        schema_mode="append",
+        table_config={"delta.appendOnly": "false"},
+    )
+    ctx = AssetContext(asset_key=["s", "t"])
+    mgr.handle_output(ctx, two_col(spark))  # auto-create
+    t = mgr.table_for(ctx)
+    assert t.snapshot().metadata.configuration["delta.appendOnly"] == "false"
+    evolved = spark.createDataFrame([(1, 4, "x")],
+                                    "a bigint, b bigint, c string")
+    mgr.handle_output(ctx, evolved)
+    assert [f.name for f in t.schema().fields] == ["a", "b", "c"]
+    rows = {r["a"]: r["c"] for r in t.read().collect()}
+    assert rows[1] == "x" and rows[2] is None
+
+
+def test_storage_confs_reach_hadoop_configuration(spark, tmp_path):
+    """spark.hadoop.-prefixed storage confs must land in the LIVE
+    Hadoop configuration with the prefix stripped — runtime
+    spark.conf.set copies them verbatim, which the filesystem never
+    reads (r6 review finding)."""
+    from dagster_delta_spark.config import S3Config
+
+    DeltaSparkIOManager(
+        spark, str(tmp_path),
+        storage_config=S3Config(access_key_id="AKITEST",
+                                endpoint="http://localhost:9000"),
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AKITEST"
+    assert hconf.get("fs.s3a.endpoint") == "http://localhost:9000"
+
+
+def test_output_metadata_pinned_to_own_commit(spark, tmp_path):
+    """handle_output's metadata reports the version THIS write
+    committed, not whatever the head is when the metadata block runs."""
+    mgr = DeltaSparkIOManager(spark, str(tmp_path), mode=WriteMode.append)
+    ctx = AssetContext(asset_key=["s", "t"])
+    md0 = mgr.handle_output(ctx, two_col(spark))
+    md1 = mgr.handle_output(ctx, two_col(spark))
+    assert (md0["table_version"], md1["table_version"]) == (0, 1)
+    assert md0["row_count"] == 3 and md1["row_count"] == 6
