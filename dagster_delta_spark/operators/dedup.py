@@ -20,7 +20,7 @@ Scale design:
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,13 +77,64 @@ def _evict_stale(
 
 
 
+def band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, sig) -> (doc_id, band, h): one xxhash64 bucket per
+    signature slice.  THE banding scheme — shared by the batch LSH
+    operators and the streaming ingest filter so they can never band
+    differently."""
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every slice empty: every doc
+        # hashes to xxhash64('') and the bucket join degenerates to the
+        # full O(n^2) cross product; non-divisible combos silently
+        # ignore trailing hashes
+        raise ValueError(
+            f"bands={bands} must be >= 1 and divide num_hashes="
+            f"{num_hashes} exactly"
+        )
+    rows_per_band = num_hashes // bands
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band', b, 'h', "
+        f"xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
+        f"{rows_per_band})))))"
+    )
+    return sigs.select(
+        "doc_id", F.explode(F.expr(band_expr)).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
+def _jaccard_from_intersections(
+    inter: DataFrame, sizes: DataFrame, threshold: float,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(doc_a, doc_b, n_common) x per-doc sizes -> thresholded exact
+    Jaccard pairs (shared by the exact and the LSH-verified paths)."""
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            (F.col("n_common")
+             / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")))
+            .cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", *extra_cols, "jaccard")
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: keep the smallest doc_id per
     distinct normalized text.  Output: the surviving doc ids."""
+    from .textops import NORM_TEXT
+
     docs = load(spark, sf_dir, "documents")
-    norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
     return (
-        docs.withColumn("fp", F.expr(f"md5({norm})"))
+        # NORM_TEXT is the shared normalization contract — pipeline.py's
+        # exact-dedup stage and the DuckDB _NORM oracle mirror it
+        docs.withColumn("fp", F.expr(f"md5({NORM_TEXT})"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
         .select("doc_id", "n_dups")
@@ -210,20 +261,8 @@ def near_dup_jaccard(
                      F.col("b.doc_id").alias("doc_b"))
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn(
-            "jaccard",
-            (F.col("n_common")
-             / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")))
-            .cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
-    )
+    return _jaccard_from_intersections(inter, sizes, threshold,
+                                       extra_cols=("n_common",))
 
 
 def minhash_signatures(
@@ -294,21 +333,12 @@ def minhash_lsh_near_dups(
     verifies each candidate, so output precision is exact (recall is
     probabilistic — the scale/accuracy dial).
     """
-    rows_per_band = num_hashes // bands
     # the shingle stream arrives materialized (and session-cached) —
     # signatures and exact verification both reuse its checkpoint
     # blocks instead of re-tokenizing the corpus three times
     stream = _shingle_stream(spark, sf_dir)
     sigs = minhash_signatures(spark, sf_dir, num_hashes, stream=stream)
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), "
-        f"b -> named_struct('band', b, 'h', "
-        f"xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
-        f"{rows_per_band})))))"
-    )
-    buckets = sigs.select(
-        "doc_id", F.explode(F.expr(band_expr)).alias("bh")
-    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    buckets = band_buckets(sigs, num_hashes, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -339,20 +369,7 @@ def minhash_lsh_near_dups(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn(
-            "jaccard",
-            (F.col("n_common")
-             / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")))
-            .cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_from_intersections(inter, sizes, threshold)
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,24 +392,33 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     if caching and key in _SIMHASH_SIG_CACHE:
         return _SIMHASH_SIG_CACHE[key]
     docs = load(spark, sf_dir, "documents")
+    # signature over the first 32767 tokens: the packed 15-bit lanes
+    # below cap per-lane counts at 32767 — beyond that the top lane's
+    # sum would cross the sign bit (ANSI overflow).  A 32k-token prefix
+    # is a faithful near-dup fingerprint; extremely long docs should be
+    # chunked upstream anyway (chunk_documents).
     ex = (
-        docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
+        docs.select("doc_id",
+                    F.explode(F.expr(f"slice({TOKENS}, 1, 32767)"))
+                    .alias("tok"))
         .select("doc_id", F.xxhash64("tok").alias("h"))
     )
-    # pack 4 x 16-bit bit-counters per 64-bit sum -> 16 aggregates
-    # instead of 64 (~6x faster agg). 16-bit lanes cap documents at
-    # 65535 tokens; chunk longer documents upstream.
+    # pack 4 x 15-bit bit-counters per 64-bit sum -> 16 aggregates
+    # instead of 64 (~6x faster agg).  15-bit lanes (offsets 0/15/30/45)
+    # keep the max accumulated value at bit 59 — 16-bit lanes put lane
+    # 3's counter at bits 48..63 and overflowed signed long at 32768
+    # set-bit counts.
     aggs = []
     for gidx in range(16):
         lanes = " + ".join(
-            f"(shiftleft(shiftright(h, {4 * gidx + k}) & 1, {16 * k}))"
+            f"(shiftleft(shiftright(h, {4 * gidx + k}) & 1, {15 * k}))"
             for k in range(4)
         )
         aggs.append(F.sum(F.expr(lanes)).alias(f"p{gidx}"))
     aggs.append(F.count(F.lit(1)).alias("n_tok"))
     g = ex.groupBy("doc_id").agg(*aggs)
     sig = " | ".join(
-        f"(CASE WHEN 2 * (shiftright(p{gidx}, {16 * k}) & 65535) > n_tok "
+        f"(CASE WHEN 2 * (shiftright(p{gidx}, {15 * k}) & 32767) > n_tok "
         f"THEN shiftleft(1L, {4 * gidx + k}) ELSE 0L END)"
         for gidx in range(16)
         for k in range(4)
@@ -408,16 +434,38 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dups(
     spark: SparkSession, sf_dir: str, max_hamming: int = 8
 ) -> DataFrame:
-    """Hamming-neighbor candidates via 16-bit banded join (pigeonhole:
-    distance <= 3*bands/4 guarantees one identical band for distance
-    spread across 4 bands), verified with exact popcount."""
+    """Hamming-neighbor pairs via banded join + exact popcount verify.
+
+    The band count DERIVES from ``max_hamming``: with
+    ``max_hamming + 1`` bands partitioning the 64 bits, a pair within
+    the distance bound cannot touch every band (pigeonhole), so at
+    least one band collides and the pair becomes a candidate — the
+    output is EXACT for the bound, not best-effort.  (A fixed 4-band
+    scheme only guaranteed distance <= 3 while the default bound was
+    8: pairs at distance 4-8 spread across all four bands were
+    silently missed.)  More bands mean narrower chunks and more
+    candidates — the usual recall-guarantee/cost trade, here resolved
+    in favor of the contract."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError(f"max_hamming={max_hamming} out of [0, 64)")
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    offsets = []
+    off = 0
+    for b in range(n_bands):
+        width = base + (1 if b < rem else 0)
+        offsets.append((b, off, width))
+        off += width
+    chunks = ", ".join(
+        f"named_struct('band', {b}, 'chunk', "
+        + (f"shiftright(simhash, {off}) & {(1 << width) - 1}L)"
+           if width < 64 else "simhash)")  # 2^64-1 overflows a long literal
+        for b, off, width in offsets
+    )
     sigs = simhash_signatures(spark, sf_dir)
     banded = sigs.select(
         "doc_id", "simhash",
-        F.explode(F.expr(
-            "transform(sequence(0, 3), b -> named_struct('band', b, "
-            "'chunk', shiftright(simhash, b * 16) & 65535))"
-        )).alias("bc"),
+        F.explode(F.expr(f"array({chunks})")).alias("bc"),
     ).select("doc_id", "simhash", F.col("bc.band").alias("band"),
              F.col("bc.chunk").alias("chunk"))
     a = banded.alias("a")
@@ -441,22 +489,14 @@ def minhash_buckets(
     spark: SparkSession, sf_dir: str, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
     """(doc_id, band, h) LSH bucket memberships."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(spark, sf_dir, num_hashes)
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), "
-        f"b -> named_struct('band', b, 'h', "
-        f"xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
-        f"{rows_per_band})))))"
-    )
-    return sigs.select(
-        "doc_id", F.explode(F.expr(band_expr)).alias("bh")
-    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    return band_buckets(sigs, num_hashes, bands)
 
 
 def minhash_cluster_keep(
     spark: SparkSession, sf_dir: str,
-    num_hashes: int = 64, bands: int = 16, iterations: int = 3,
+    num_hashes: int = 64, bands: int = 16,
+    iterations: Optional[int] = None, max_iterations: int = 50,
 ) -> DataFrame:
     """Cluster-level dedup without pairwise blowup.
 
@@ -465,11 +505,23 @@ def minhash_cluster_keep(
     wants one surviving representative per cluster.  This runs
     min-label propagation over the bipartite doc<->LSH-bucket graph:
     each round, a bucket takes its members' min label and docs take
-    their buckets' min — connected components converge in a few
-    rounds (exact-duplicate clusters in one).  Cost per round is
-    O(docs x bands), independent of duplicate-set sizes.
+    their buckets' min.  Cost per round is O(docs x bands),
+    independent of duplicate-set sizes.
 
-    Returns (doc_id, cluster_id, keep).
+    Propagation runs TO CONVERGENCE by default (labels only decrease,
+    so an unchanged label sum means a fixed point): a duplicate CHAIN
+    with graph diameter d needs ~d/2 rounds, and stopping early left
+    far components carrying a non-representative label — a cluster
+    with no ``keep=True`` member, i.e. documents silently dropped by
+    any keep-filtering consumer.  ``iterations`` pins an exact round
+    count (testing); ``max_iterations`` bounds the loop on
+    pathological chains.
+
+    Documents too short to shingle (< 3 tokens) carry no LSH evidence
+    and come back as singleton clusters with ``keep=True`` — exact
+    dedup upstream is responsible for byte-identical short docs.
+
+    Returns (doc_id, cluster_id, keep) covering EVERY document.
     """
     # materialize bucket memberships once — the iteration would
     # otherwise recompute the whole signature pipeline per round
@@ -477,7 +529,9 @@ def minhash_cluster_keep(
     labels = buckets.select("doc_id").distinct().withColumn(
         "lbl", F.col("doc_id")
     )
-    for _ in range(iterations):
+    rounds = iterations if iterations is not None else max_iterations
+    prev_sum = None
+    for _ in range(rounds):
         with_lbl = buckets.join(labels, "doc_id")
         bucket_min = (
             with_lbl.groupBy("band", "h").agg(F.min("lbl").alias("bmin"))
@@ -488,12 +542,23 @@ def minhash_cluster_keep(
             .agg(F.min("bmin").alias("lbl"))
             # cut lineage each round: the plan otherwise deepens by
             # 2 joins + 2 aggs per iteration and analysis/codegen cost
-            # grows superlinearly past a few rounds (lazy: materializes
-            # with the next round's job, not as an extra action)
-            .localCheckpoint(eager=False)
+            # grows superlinearly past a few rounds
+            .localCheckpoint()
         )
-    return labels.select(
+        if iterations is None:
+            # labels are monotonically nonincreasing, so an unchanged
+            # sum IS convergence; one tiny agg per round over the
+            # already-materialized labels
+            cur = labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+            if cur == prev_sum:
+                break
+            prev_sum = cur
+    # total coverage: docs without buckets (unshingleable) join back as
+    # their own singleton clusters instead of vanishing from the output
+    all_docs = load(spark, sf_dir, "documents").select("doc_id")
+    return all_docs.join(labels, "doc_id", "left").select(
         "doc_id",
-        F.col("lbl").alias("cluster_id"),
-        (F.col("doc_id") == F.col("lbl")).alias("keep"),
+        F.coalesce("lbl", F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce("lbl", F.col("doc_id")) == F.col("doc_id")).alias("keep"),
     )

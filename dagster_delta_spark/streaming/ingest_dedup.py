@@ -40,18 +40,13 @@ from pyspark.sql import functions as F
 
 
 def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, sig) -> (doc_id, band, h): one xxhash64 bucket per
-    signature slice (identical banding to minhash_lsh_near_dups)."""
-    rows_per_band = num_hashes // bands
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), "
-        f"b -> named_struct('band', b, 'h', "
-        f"xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
-        f"{rows_per_band})))))"
-    )
-    return sigs.select(
-        "doc_id", F.explode(F.expr(band_expr)).alias("bh")
-    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    """(doc_id, sig) -> (doc_id, band, h): THE shared banding scheme —
+    the online filter and the batch LSH operators must bucket
+    identically or the accepted index would stop matching batch
+    near-dups."""
+    from ..operators.dedup import band_buckets
+
+    return band_buckets(sigs, num_hashes, bands)
 
 
 def ingest_batch(

@@ -529,3 +529,108 @@ def test_image_codec_properties():
         assert (nn_resize(nn_resize(const, oh, ow), h, w) == const).all()
 
     check()
+
+
+def test_simhash_banding_complete_at_bound(spark, tmp_path):
+    """simhash_near_dups must return EXACTLY the pairs within
+    max_hamming — the band count derives from the bound (pigeonhole),
+    so no qualifying pair can slip through (r6 review: the old fixed
+    4-band scheme silently missed distances 4-8).  Brute-force
+    popcount over the signatures is the oracle."""
+    import itertools
+
+    from dagster_delta_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    d = tmp_path / "mini"
+    d.mkdir()
+    docs.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(spark, str(d)).collect()}
+    for bound in (2, 8):
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= bound
+        }
+        got = {(r["doc_a"], r["doc_b"]) for r in
+               dedup.simhash_near_dups(spark, str(d), max_hamming=bound)
+               .collect()}
+        assert got == want, (bound, got ^ want)
+
+
+def test_simhash_survives_very_long_documents(spark, tmp_path):
+    """A document with >32768 occurrences of a token must not overflow
+    the packed lane counters under ANSI mode (r6 review: 16-bit lanes
+    put lane 3 at the sign bit)."""
+    import pandas as pd
+
+    from dagster_delta_spark.operators import dedup
+
+    d = tmp_path / "long"
+    d.mkdir()
+    long_text = " ".join(["alpha"] * 40000)
+    pd.DataFrame({
+        "doc_id": [1, 2], "text": [long_text, "beta gamma delta"],
+        "lang": ["en"] * 2, "source": ["s"] * 2, "n_chars": [1, 1],
+    }).to_parquet(str(d / "documents.parquet"))
+    rows = dedup.simhash_signatures(spark, str(d)).collect()
+    assert len(rows) == 2  # no SparkArithmeticException
+
+
+def test_band_buckets_validates_params(spark):
+    from dagster_delta_spark.operators import dedup
+
+    sigs = spark.createDataFrame([(1, [1, 2, 3, 4])],
+                                 "doc_id long, sig array<long>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.band_buckets(sigs, 8, 16)  # bands > hashes
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.band_buckets(sigs, 60, 16)  # non-divisible
+    assert dedup.band_buckets(sigs, 4, 2).count() == 2
+
+
+def test_cluster_keep_converges_on_chains_and_covers_short_docs(
+    spark, tmp_path
+):
+    """A duplicate CHAIN (each doc near-dups its neighbors via sliding
+    overlap) must collapse to ONE cluster whose only keep=True member
+    is the min doc_id — fixed 3-round propagation left far chain
+    members keep-less (r6 review).  Unshingleable short docs come back
+    as singleton keeps instead of vanishing."""
+    import random
+
+    import pandas as pd
+
+    from dagster_delta_spark.operators import dedup
+
+    rnd = random.Random(5)
+    words = [f"w{rnd.randint(0, 10**9)}" for _ in range(120)]
+    chain = [" ".join(words[i * 4: i * 4 + 44]) for i in range(16)]
+    rows = [(i, t) for i, t in enumerate(chain)]
+    rows += [(100, "hi"), (101, "yo")]          # too short to shingle
+    rows += [(200, " ".join(f"x{rnd.randint(0, 10**9)}" for _ in range(30)))]
+    d = tmp_path / "chain"
+    d.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(d / "documents.parquet"))
+
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup.minhash_cluster_keep(spark, str(d)).collect()}
+    assert set(out) == {i for i, _ in rows}      # total coverage
+    # every cluster's keeper is its min id, exactly one keeper each
+    clusters = {}
+    for doc, (cid, keep) in out.items():
+        clusters.setdefault(cid, []).append((doc, keep))
+    for cid, members in clusters.items():
+        keepers = [doc for doc, k in members if k]
+        assert keepers == [min(doc for doc, _ in members)] == [cid], (
+            cid, members)
+    # short docs are singleton keeps
+    assert out[100] == (100, True) and out[101] == (101, True)
+    # the chain actually chained: docs 0..15 share ONE cluster (if the
+    # sliding windows didn't bucket-collide this corpus is a bad
+    # fixture and the assertion below would catch it)
+    chain_clusters = {out[i][0] for i in range(16)}
+    assert chain_clusters == {0}, chain_clusters
