@@ -37,7 +37,45 @@ class RecallRegressionError(RuntimeError):
 
 
 def _with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
-    return df.withColumn("norm", F.expr(NORM.format(a=col)))
+    """Attach the L2 norm and EXCLUDE zero-norm (all-zero or empty)
+    embeddings: their cosine is 0/0 = NaN, and Spark orders NaN above
+    every real, so one degenerate vector (failed encode, padding row)
+    would otherwise rank FIRST in every top-k and pass every
+    >= threshold near-dup filter.  Excluding them here keeps the exact
+    and approximate paths consistent on the same degenerate input."""
+    return (
+        df.withColumn("norm", F.expr(NORM.format(a=col)))
+        .where(F.col("norm") > 0)
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k epilogue — ONE definition of the ranking tie-break
+    so the exact and approximate paths can never drift apart (the
+    quantized path's bit-for-bit-at-full-rerank contract depends on
+    it)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id",
+                F.col("cosine").cast("double").alias("cosine"), "rank")
+    )
+
+
+def _cache_store(cache: dict, key: tuple, df: DataFrame,
+                 eager: bool = True) -> DataFrame:
+    """Checkpoint + store under the session cache contract (evicting
+    dead-session and superseded-fingerprint entries) — one definition
+    for every index cache in this module."""
+    from .dedup import _evict_stale
+
+    df = df.localCheckpoint(eager=eager)
+    _evict_stale(cache, key[0], key)
+    cache[key] = df
+    return df
 
 
 def cosine_topk(
@@ -45,8 +83,6 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors
     (excluding self-matches).  Deterministic tiebreak on vec_id."""
-    from pyspark.sql.window import Window
-
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
@@ -58,13 +94,7 @@ def cosine_topk(
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
         .withColumn("cosine", F.expr(dot) / (F.col("norm") * F.col("q_norm")))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "vec_id", F.col("cosine").cast("double").alias("cosine"),
-                "rank")
-    )
+    return _topk(scored, k)
 
 
 #: session cache of the materialized LSH bucket table, keyed by
@@ -97,6 +127,13 @@ def lsh_signatures(
         spark.sparkContext.applicationId, os.path.abspath(sf_dir),
         _corpus_fingerprint(sf_dir), planes, tables,
     )
+    if not 1 <= planes <= 62:
+        # shiftleft wraps its shift amount mod 64: plane 63+ would
+        # alias onto low bit positions (silent recall loss), and the
+        # multiprobe masks would overflow BIGINT literals
+        raise ValueError(f"planes={planes} must be in [1, 62]")
+    if tables < 1:
+        raise ValueError(f"tables={tables} must be >= 1")
     caching = os.environ.get("DDS_LSH_CACHE", "1") != "0"
     if caching and key in _LSH_SIG_CACHE:
         return _LSH_SIG_CACHE[key]
@@ -120,16 +157,15 @@ def lsh_signatures(
         )
         bucket_exprs.append(f"({bits})")
     buckets = F.expr(f"array({', '.join(bucket_exprs)})")
+    # norm is pure index state: bake it into the cached table so
+    # queries don't re-run the O(corpus x dims) sqrt-aggregate per call
+    # (zero-norm vectors drop out here, consistently with every other
+    # similarity path)
     sigs = g.select("vec_id", buckets.alias("buckets")).join(
-        emb.select("vec_id", "embedding"), "vec_id"
+        _with_norm(emb.select("vec_id", "embedding")), "vec_id"
     )
     if caching:
-        # materialize only when the frame outlives this query
-        from .dedup import _evict_stale
-
-        sigs = sigs.localCheckpoint()
-        _evict_stale(_LSH_SIG_CACHE, key[0], key)
-        _LSH_SIG_CACHE[key] = sigs
+        sigs = _cache_store(_LSH_SIG_CACHE, key, sigs)
     return sigs
 
 
@@ -152,9 +188,7 @@ def lsh_ann_topk(
     exact bucket only."""
     from itertools import combinations
 
-    from pyspark.sql.window import Window
-
-    sigs = _with_norm(lsh_signatures(spark, sf_dir, planes, tables))
+    sigs = lsh_signatures(spark, sf_dir, planes, tables)  # carries norm
     flat = sigs.select(
         "vec_id", "embedding", "norm",
         F.posexplode("buckets").alias("t_idx", "bucket"),
@@ -193,13 +227,7 @@ def lsh_ann_topk(
     scored = candidates.withColumn(
         "cosine", F.expr(dot) / (F.col("norm") * F.col("q_norm"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "vec_id", F.col("cosine").cast("double").alias("cosine"),
-                "rank")
-    )
+    return _topk(scored, k)
 
 
 def embedding_near_dups(
@@ -237,7 +265,10 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(
                 F.collect_list(F.struct("dim", "mean_v"))
             ).alias("pairs"),
-            F.first("n").alias("n_vectors"),
+            # max, not first: first() is non-deterministic, and with
+            # ragged embedding lengths per-dim counts differ — the
+            # label's vector count is the count at its widest dim
+            F.max("n").alias("n_vectors"),
         )
         .select(
             "label",
@@ -283,9 +314,18 @@ def _index_root() -> str:
     """Writable home for persisted ANN index tables.  In production this
     would be a lake path next to the corpus; the corpus dir here
     (/root/testdata) is read-only, so default to a temp-dir namespace."""
-    return os.environ.get(
-        "DDS_INDEX_DIR", os.path.join(tempfile.gettempdir(), "dds_ann_index")
-    )
+    import getpass
+
+    override = os.environ.get("DDS_INDEX_DIR")
+    if override:
+        return override
+    try:
+        user = getpass.getuser()
+    except Exception:  # no passwd entry (containers)
+        user = "shared"
+    # per-user namespace: a fixed world-shared /tmp path collides on
+    # ownership across users and lets them read each other's indexes
+    return os.path.join(tempfile.gettempdir(), f"dds_ann_index_{user}")
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
@@ -371,12 +411,8 @@ def ivf_train_centroids(
     if index.exists():
         meta = (index.history(limit=1)[0].get("userMetadata") or {})
         if meta.get("corpus_fingerprint") == fingerprint:
-            cents = index.read().localCheckpoint(eager=False)
-            from .dedup import _evict_stale
-
-            _evict_stale(_CENTROID_CACHE, key[0], key)
-            _CENTROID_CACHE[key] = cents
-            return cents
+            return _cache_store(_CENTROID_CACHE, key, index.read(),
+                                eager=False)
 
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
     if train_sample_mod > 1:
@@ -414,17 +450,12 @@ def ivf_train_centroids(
         )
     index.write(cents, commit_metadata={"corpus_fingerprint": fingerprint,
                                         **params})
-    cents = index.read().localCheckpoint(eager=False)
-    from .dedup import _evict_stale
-
-    _evict_stale(_CENTROID_CACHE, key[0], key)
-    _CENTROID_CACHE[key] = cents
-    return cents
+    return _cache_store(_CENTROID_CACHE, key, index.read(), eager=False)
 
 
 def ivf_assignments(
     spark: SparkSession, sf_dir: str, n_cells: int = 32,
-    centroids: Optional[DataFrame] = None, train_iters: int = 1,
+    train_iters: int = 1,
 ) -> DataFrame:
     """IVF coarse quantization: k-means-trained centroids (see
     ``ivf_train_centroids``), then one broadcast assignment pass.
@@ -433,27 +464,19 @@ def ivf_assignments(
     IVF it's built once with the centroids and only PROBED per query.
     The default path therefore caches the checkpointed assignment per
     (session, corpus fingerprint, params) alongside the centroid cache;
-    queries pay probe + rerank only.  Passing explicit ``centroids``
-    bypasses the cache (training-loop internals need fresh
-    assignments)."""
-    if centroids is None:
-        key = (
-            spark.sparkContext.applicationId, os.path.abspath(sf_dir),
-            _corpus_fingerprint(sf_dir), "assign", n_cells, train_iters,
-        )
-        hit = _CENTROID_CACHE.get(key)
-        if hit is not None:
-            return hit
-        cents = ivf_train_centroids(spark, sf_dir, n_cells, train_iters)
-        emb = _with_norm(load(spark, sf_dir, "embeddings"))
-        out = _assign_cells(emb, cents).localCheckpoint(eager=False)
-        from .dedup import _evict_stale
-
-        _evict_stale(_CENTROID_CACHE, key[0], key)
-        _CENTROID_CACHE[key] = out
-        return out
+    queries pay probe + rerank only.  (Training-loop internals call
+    ``_assign_cells`` directly for fresh assignments.)"""
+    key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        _corpus_fingerprint(sf_dir), "assign", n_cells, train_iters,
+    )
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cents = ivf_train_centroids(spark, sf_dir, n_cells, train_iters)
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
-    return _assign_cells(emb, centroids)
+    return _cache_store(_CENTROID_CACHE, key, _assign_cells(emb, cents),
+                        eager=False)
 
 
 def _probe_cells(
@@ -496,8 +519,6 @@ def ivf_ann_topk(
     recall@10 0.60-0.62 vs 0.46 for 16/4 and 0.58-0.59 for multiprobe
     LSH, at the same 25% candidate budget.  Train-sample size and
     extra k-means rounds measured recall-neutral here."""
-    from pyspark.sql.window import Window
-
     cents = ivf_train_centroids(spark, sf_dir, n_cells)
     assigned = ivf_assignments(spark, sf_dir, n_cells)
     probes = _probe_cells(assigned, cents, n_queries, nprobe)
@@ -507,13 +528,7 @@ def ivf_ann_topk(
         .where(F.col("vec_id") != F.col("q_id"))
         .withColumn("cosine", F.expr(dot) / (F.col("norm") * F.col("q_norm")))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "vec_id", F.col("cosine").cast("double").alias("cosine"),
-                "rank")
-    )
+    return _topk(scored, k)
 
 
 _DEQUANT = (
@@ -548,6 +563,10 @@ def ivf_quantized_topk(
 
     from .curation import quantized_embeddings_with_stats
 
+    # NB Window is used by the stage-1 shortlist ranking below.
+    # a shortlist smaller than k would silently return fewer than k
+    # results per query that LOOK complete
+    rerank = max(rerank, k)
     cents = ivf_train_centroids(spark, sf_dir, n_cells)
     assigned = ivf_assignments(spark, sf_dir, n_cells)
     probes = _probe_cells(assigned, cents, n_queries, nprobe)
@@ -563,16 +582,13 @@ def ivf_quantized_topk(
     )
     qtab = _CENTROID_CACHE.get(qkey)
     if qtab is None:
-        qtab = (
+        qtab = _cache_store(
+            _CENTROID_CACHE, qkey,
             quantized_embeddings_with_stats(spark, sf_dir)
             .select("vec_id", F.expr(_DEQUANT).alias("aemb"))
-            .withColumn("anorm", F.expr(NORM.format(a="aemb")))
-            .localCheckpoint(eager=False)
+            .withColumn("anorm", F.expr(NORM.format(a="aemb"))),
+            eager=False,
         )
-        from .dedup import _evict_stale
-
-        _evict_stale(_CENTROID_CACHE, qkey[0], qkey)
-        _CENTROID_CACHE[qkey] = qtab
     cand = assigned.select("vec_id", "cell").join(qtab, "vec_id")
     adot = DOT.format(a="q_emb", b="aemb")
     w = Window.partitionBy("q_id").orderBy(F.desc("acos"), F.asc("vec_id"))
@@ -587,16 +603,12 @@ def ivf_quantized_topk(
     # stage 2: exact rerank on full-precision vectors (shortlist is
     # queries x rerank rows — broadcast side of the fetch join)
     dot = DOT.format(a="q_emb", b="embedding")
-    wk = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
+    scored = (
         assigned.select("vec_id", "embedding", "norm")
         .join(F.broadcast(shortlist), "vec_id")
         .withColumn("cosine", F.expr(dot) / (F.col("norm") * F.col("q_norm")))
-        .withColumn("rank", F.row_number().over(wk))
-        .where(F.col("rank") <= k)
-        .select("q_id", "vec_id",
-                F.col("cosine").cast("double").alias("cosine"), "rank")
     )
+    return _topk(scored, k)
 
 
 def embedding_near_dups_lsh(

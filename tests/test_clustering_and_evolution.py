@@ -308,3 +308,46 @@ def test_ivf_quantized_topk(spark):
     for q, ids in per_q.items():
         assert len(ids) == 5
         assert len(ids & ivf_sets[q]) >= 3, (q, ids, ivf_sets[q])
+
+
+def test_zero_norm_embeddings_excluded_everywhere(spark, tmp_path):
+    """A degenerate all-zero embedding must never appear as a neighbor
+    or near-dup: its cosine is NaN, which Spark sorts ABOVE every real
+    value, so without the guard it would rank first in every top-k and
+    pass every threshold filter (r6 review)."""
+    import numpy as np
+    import pandas as pd
+
+    from dagster_delta_spark.operators import similarity
+
+    d = tmp_path / "emb"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    vecs = [rng.standard_normal(8).astype("float32") for _ in range(20)]
+    vecs.append(np.zeros(8, dtype="float32"))  # vec_id 20: degenerate
+    pd.DataFrame({
+        "vec_id": list(range(21)), "embedding": vecs,
+        "label": ["a"] * 21,
+    }).to_parquet(str(d / "embeddings.parquet"))
+
+    top = similarity.cosine_topk(spark, str(d), k=20, n_queries=3).collect()
+    assert all(r["vec_id"] != 20 for r in top)
+    assert all(r["cosine"] == r["cosine"] for r in top)  # no NaN
+    dups = similarity.embedding_near_dups(spark, str(d),
+                                          threshold=-1.0).collect()
+    assert all(20 not in (r["id_a"], r["id_b"]) for r in dups)
+
+
+def test_lsh_planes_validated_and_quantized_rerank_floor(spark):
+    import pytest as _pytest
+
+    from dagster_delta_spark.operators import similarity
+
+    with _pytest.raises(ValueError, match="planes"):
+        similarity.lsh_signatures(spark, "/root/testdata/sf0.001", planes=63)
+    # rerank < k is silently raised to k: still k rows per query
+    out = similarity.ivf_quantized_topk(
+        spark, "/root/testdata/sf0.01", k=8, rerank=2)
+    counts = [r["n"] for r in out.groupBy("q_id").count()
+              .withColumnRenamed("count", "n").collect()]
+    assert counts and all(c == 8 for c in counts)
