@@ -478,10 +478,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": relational.events_json_props,
         "q16_anti_join": relational.q16_anti_join_parts,
         "q17_scalar_subquery": relational.q17_small_quantity_revenue,
-        "q12_case_agg": relational.q12_priority_by_linestatus,
-        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
-        "q18_large_orders": relational.q18_large_orders,
-        "q22_anti_scalar": relational.q22_idle_rich_customers,
+        # r6 core-review rewrites: changed code re-records in-window
+        # (q12/q14/q18/q22 yield slots — multiply green on record)
+        "pack_sequences": curation.pack_sequences,
+        "text_quality": textops.text_quality,
+        "lang_id": textops.lang_id,
+        "decontaminate": curation.decontaminate,
         "q7_nation_volume": relational.q7_nation_volume,
         "cosine_topk": similarity.cosine_topk,
         "embedding_near_dups": _embedding_near_dups_02,
@@ -506,8 +508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed, green rows on record
         "string_functions": relational.string_functions_probe,
         "date_parts_rollup": relational.date_parts_rollup,
-        "text_quality": textops.text_quality,
-        "lang_id": textops.lang_id,
+        "q12_case_agg": relational.q12_priority_by_linestatus,
+        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
+        "q18_large_orders": relational.q18_large_orders,
+        "q22_anti_scalar": relational.q22_idle_rich_customers,
         "fingerprint": textops.fingerprint,
         "source_summary": textops.source_summary,
         "deterministic_sample": textops.deterministic_sample,
@@ -529,12 +533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_frequency": textops.ngram_frequency,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "repetition_quality": textops.repetition_quality,
-        "decontaminate": curation.decontaminate,
         "scrub_pii": curation.scrub_pii,
         "stratified_sample": curation.stratified_sample,
         "chunk_documents": curation.chunk_documents,
         "assign_splits": curation.assign_splits,
-        "pack_sequences": curation.pack_sequences,
         "cdc_read_changes": cdc_read_changes,
         "unigram_quality": textops.unigram_quality,
         "streaming_table_source": streaming_table_source,
@@ -1059,7 +1061,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(n_chars - length(regexp_replace(text,
                             '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
                            / greatest(n_chars, 1) AS punct_ratio,
-                       CAST(list_sum(list_transform(toks, x -> length(x)))
+                       CAST(coalesce(list_sum(list_transform(toks,
+                            x -> length(x))), 0)
                             AS DOUBLE) / greatest(len(toks), 1) AS avg_token_len
                 FROM t
             )
@@ -1525,7 +1528,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len({_TOK}) AS BIGINT) AS n_tokens
                 FROM documents
             ), sharded AS (
-                SELECT *, CAST(CAST('0x' || substring(fp, 5, 2) AS INTEGER)
+                SELECT *, CAST(CAST('0x' || substring(fp, 5, 4) AS INTEGER)
                                % 16 AS INT) AS shard
                 FROM t
             ), cum AS (
@@ -1767,7 +1770,8 @@ def _curate_corpus_oracle() -> str:
                    CAST(n_chars - length(regexp_replace(text,
                         '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
                        / greatest(n_chars, 1) AS punct_ratio,
-                   CAST(list_sum(list_transform(toks, x -> length(x)))
+                   CAST(coalesce(list_sum(list_transform(toks,
+                        x -> length(x))), 0)
                         AS DOUBLE) / greatest(len(toks), 1)
                        AS avg_token_len,
                    {case} AS lang_pred

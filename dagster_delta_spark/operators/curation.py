@@ -36,21 +36,7 @@ from .textops import TOKENS
 _DECON_NGRAM = 8
 
 
-def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
-    """(doc_id, gram) stream of word n-grams, one shuffle on doc_id."""
-    from pyspark.sql.window import Window
-
-    ex = df.select("doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cols = [F.col("tok")]
-    out = ex
-    for i in range(1, n):
-        out = out.withColumn(f"t{i}", F.lead("tok", i).over(w))
-        cols.append(F.col(f"t{i}"))
-    return (
-        out.where(cols[-1].isNotNull())
-        .select("doc_id", F.concat_ws(" ", *cols).alias("gram"))
-    )
+from .textops import word_ngrams as _word_ngrams  # noqa: E402  (shared)
 
 
 def decontaminate(
@@ -77,14 +63,19 @@ def decontaminate(
     docs = load(spark, sf_dir, "documents")
     if eval_set is None:
         eval_set = docs.where(F.col("doc_id") % 17 == 3)
-    corpus_grams = _word_ngrams(docs, ngram).distinct()
+    # NO corpus-wide distinct: the raw gram stream probes the broadcast
+    # eval set first (map-parallel, typically discarding almost every
+    # row), and countDistinct de-dupes only the tiny surviving set in
+    # the per-doc count — the one shuffle the docstring promises.  A
+    # .distinct() before the join shuffled one ~8-token string per
+    # corpus token, the dominant cost at scale.
     eval_grams = (
         _word_ngrams(eval_set, ngram).select("gram").distinct()
     )
     overlaps = (
-        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        _word_ngrams(docs, ngram).join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        .agg(F.countDistinct("gram").alias("n_contaminated_ngrams"))
     )
     return (
         docs.select("doc_id")
@@ -250,6 +241,14 @@ def chunk_documents(
     no shuffle at all, so the pass scales with input splits exactly
     like a scan.  A document always yields >= 1 chunk (the final one
     may be short); empty-token documents yield none."""
+    if chunk_tokens < 1 or not 0 < stride <= chunk_tokens:
+        # stride=0 would divide by zero inside an ANSI CAST (opaque
+        # overflow error); stride > chunk_tokens silently drops the
+        # tokens between windows
+        raise ValueError(
+            f"require chunk_tokens >= 1 and 0 < stride <= chunk_tokens "
+            f"(got chunk_tokens={chunk_tokens}, stride={stride})"
+        )
     docs = load(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", F.expr(TOKENS).alias("t"))
@@ -338,8 +337,11 @@ def pack_sequences(
         F.md5("text").alias("fp"),
         F.expr(f"size({TOKENS})").cast("long").alias("n_tokens"),
     ).withColumn(
+        # 4 hex chars (0-65535): a single byte capped parallelism at
+        # 256 shards and skewed sizes by up to 50% for non-divisor
+        # num_shards (r6 review) — same key width as corpus_shuffle
         "shard",
-        (F.expr("conv(substring(fp, 5, 2), 16, 10)").cast("int")
+        (F.expr("conv(substring(fp, 5, 4), 16, 10)").cast("int")
          % num_shards),
     )
     w = (
@@ -421,7 +423,7 @@ def cross_source_contamination(
     label count squared (thousands at worst), not the document count,
     so the expansion stays flat while the corpus grows.  Output is at
     most |sources|^2/2 rows."""
-    from .textops import NORM_TEXT, TOKENS
+    from .textops import NORM_TEXT
 
     docs = load(spark, sf_dir, "documents")
     if prefix_words is None:
@@ -436,7 +438,8 @@ def cross_source_contamination(
     fps = (
         docs.select(F.expr(fp).alias("fp"), "source")
         .distinct()
-        .localCheckpoint()
+        # lazy: materializes with the first action, not at plan build
+        .localCheckpoint(eager=False)
     )
     a = fps.alias("a")
     b = fps.alias("b")

@@ -94,20 +94,28 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lang, ws in _STOPWORDS.items()
     }
     zh = "length(regexp_replace(text, '[^\\\\u4e00-\\\\u9fff]', ''))"
-    case = (
-        f"CASE WHEN {scores['en']} >= {scores['de']} AND {scores['en']} >= "
-        f"{scores['es']} AND {scores['en']} >= {scores['fr']} AND "
-        f"{scores['en']} >= {zh} THEN 'en' "
-        f"WHEN {scores['de']} >= {scores['es']} AND {scores['de']} >= "
-        f"{scores['fr']} AND {scores['de']} >= {zh} THEN 'de' "
-        f"WHEN {scores['es']} >= {scores['fr']} AND {scores['es']} >= {zh} "
-        f"THEN 'es' "
-        f"WHEN {scores['fr']} >= {zh} THEN 'fr' ELSE 'zh' END"
+    # tokenize/score ONCE per language as named columns, then CASE over
+    # the columns: inlining the score expression into every WHEN branch
+    # re-ran the interpreted higher-order filter (and the regex split
+    # under it) up to ~15x per row — conditional branches defeat
+    # common-subexpression elimination
+    scored = docs.select(
+        "doc_id",
+        *[F.expr(e).cast("long").alias(f"s_{lang}")
+          for lang, e in scores.items()],
+        F.expr(zh).cast("long").alias("s_zh"),
     )
-    return docs.select(
+    case = (
+        "CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr "
+        "AND s_en >= s_zh THEN 'en' "
+        "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' "
+        "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' "
+        "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END"
+    )
+    return scored.select(
         "doc_id",
         F.expr(case).alias("lang_pred"),
-        F.expr(scores["en"]).cast("long").alias("score_en"),
+        F.col("s_en").alias("score_en"),
     )
 
 
@@ -153,6 +161,25 @@ def deterministic_sample(
     ).select("doc_id", "lang", "source")
 
 
+def word_ngrams(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) stream of word n-grams via posexplode + window
+    lead — ONE definition shared by ngram_frequency and
+    curation.decontaminate (one shuffle on doc_id)."""
+    from pyspark.sql.window import Window
+
+    ex = df.select("doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("tok")]
+    out = ex
+    for i in range(1, n):
+        out = out.withColumn(f"t{i}", F.lead("tok", i).over(w))
+        cols.append(F.col(f"t{i}"))
+    return (
+        out.where(cols[-1].isNotNull())
+        .select("doc_id", F.concat_ws(" ", *cols).alias("gram"))
+    )
+
+
 def ngram_frequency(
     spark: SparkSession, sf_dir: str, n: int = 2, top_k: int = 100
 ) -> DataFrame:
@@ -171,18 +198,7 @@ def ngram_frequency(
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    ex = docs.select(
-        "doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = ex
-    cols = [F.col("tok")]
-    for i in range(1, n):
-        grams = grams.withColumn(f"t{i}", F.lead("tok", i).over(w))
-        cols.append(F.col(f"t{i}"))
-    grams = grams.where(cols[-1].isNotNull()).select(
-        "doc_id", F.concat_ws(" ", *cols).alias("gram")
-    )
+    grams = word_ngrams(docs, n)
     counts = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("doc_freq"),

@@ -240,9 +240,9 @@ def test_pack_sequences_sharded_cumsum(spark, tmp_path):
     shards = {}
     for doc_id, text in enumerate(texts):
         fp = hashlib.md5(text.encode()).hexdigest()
-        shards.setdefault(int(fp[4:6], 16) % 4, []).append(
+        shards.setdefault(int(fp[4:8], 16) % 4, []).append(
             (fp, doc_id, n_toks(text))
-        )
+        )  # 4 hex chars since the r6 shard-width fix
     for shard, docs in shards.items():
         cum = 0
         for fp, doc_id, n in sorted(docs):
@@ -373,3 +373,56 @@ def test_corpus_shuffle_invariants(spark):
     assert key(a) == key(b)  # reproducible
     c = corpus_shuffle(spark, sf, seed=7).collect()
     assert key(a) != key(c)  # seed changes the permutation
+
+
+def test_text_quality_zero_token_doc_matches_oracle(spark, tmp_path):
+    """A document with no [a-z0-9] tokens (pure punctuation/CJK) must
+    produce the same avg_token_len on both engines — DuckDB's list_sum
+    over an empty list is NULL, which the oracle now coalesces to 0 to
+    match Spark's aggregate identity (r6 review)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    rows = [(1, "?!... ---", "en", "web", 9),
+            (2, "normal words here", "en", "web", 17)]
+    d = _write_docs(spark, tmp_path, rows)
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], round(r["avg_token_len"], 9),
+         round(r["quality_score"], 9))
+        for r in entry.queries()["text_quality"](spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet/*.parquet'")
+    want = sorted(
+        (r[0], r[1], round(r[2], 9), round(r[3], 9))
+        for r in con.sql(
+            "SELECT doc_id, n_tokens, avg_token_len, quality_score FROM ("
+            + entry.oracle_sql()["text_quality"] + ")").fetchall()
+    )
+    assert got == want
+
+
+def test_chunk_documents_validates_dials(spark):
+    import pytest as _pytest
+
+    from dagster_delta_spark.operators.curation import chunk_documents
+
+    sf = "/root/testdata/sf0.001"
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(spark, sf, chunk_tokens=64, stride=0)
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(spark, sf, chunk_tokens=64, stride=100)
+
+
+def test_pack_sequences_shard_width(spark):
+    """The shard key draws from 4 hex chars (0-65535), so num_shards
+    beyond 256 actually populates (the old single byte capped
+    parallelism at 256 and skewed non-divisor counts by up to 50%)."""
+    from dagster_delta_spark.operators.curation import pack_sequences
+
+    out = pack_sequences(spark, "/root/testdata/sf0.01", num_shards=300)
+    shards = {r["shard"] for r in out.select("shard").distinct().collect()}
+    assert max(shards) > 255  # impossible under the 1-byte key
+    assert all(0 <= s < 300 for s in shards)
