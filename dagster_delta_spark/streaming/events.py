@@ -20,6 +20,10 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events parquet (each micro-batch
     consumes up to N files; at scale this is the auto-ingest pattern)."""
+    # pin UTC like relational.load_events: under a non-UTC session the
+    # timestamp_ntz -> timestamp cast below would wall-clock-shift
+    # every event relative to the batch twins and the oracle engine
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     # the streaming file source wants a directory; glob-filter to the
@@ -171,17 +175,22 @@ def stream_into_table(
     from ..table import DeltaSparkTable
 
     table = DeltaSparkTable(spark, table_uri)
+    # memoized watermark: the full history scan runs once at startup,
+    # not per micro-batch (history() reads every commit JSON — calling
+    # it in the sink made restart bookkeeping O(batches^2) over a run)
+    last = {"v": last_streaming_batch(table)}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # idempotent restart: if this batch already committed (e.g. a
         # failure after commit but before checkpoint advance), skip it —
         # the Delta txnAppId/txnVersion pattern on our commit metadata
-        if batch_id <= last_streaming_batch(table):
+        if batch_id <= last["v"]:
             return
         table.write(
             batch_df, WriteMode.append,
             commit_metadata={"streaming_batch_id": str(batch_id)},
         )
+        last["v"] = batch_id
 
     q = (
         read_events_stream(spark, sf_dir, max_files_per_trigger)

@@ -57,12 +57,20 @@ def ingest_batch(
     last: dict,
     num_hashes: int = 64,
     bands: int = 16,
+    epoch: str = "",
 ) -> None:
     """Process ONE micro-batch of the ingest filter (the foreachBatch
     body, module-level so the crash-recovery protocol is unit-testable
     outside a streaming query).  ``last`` holds each table's
-    last-committed batch id, memoized by the caller across batches."""
-    from ..config import WriteMode
+    last-committed batch id, memoized by the caller across batches.
+
+    ``epoch`` namespaces the streaming batch ids (Delta's txnAppId
+    analogue): micro-batch ids are only unique PER CHECKPOINT, so a
+    deleted/recreated checkpoint restarts them at 0 — without the
+    epoch, the replay guard would silently skip the new run's batches
+    and the self-bucket exclusion would hide an old run's
+    same-numbered accepted buckets from the probe."""
+    from ..config import SchemaMode, WriteMode
     from ..operators.dedup import _signatures_from_stream, shingles_of
     from ..operators.textops import NORM_TEXT
 
@@ -86,6 +94,7 @@ def ingest_batch(
     buckets = (
         lsh_buckets.unionByName(short)
         .withColumn("batch_id", F.lit(batch_id))
+        .withColumn("epoch", F.lit(epoch))
         .localCheckpoint()
     )
 
@@ -107,9 +116,18 @@ def ingest_batch(
         "band", "h", "doc_id", F.lit(False).alias("accepted")
     )
     if bucket_table.exists():
+        accepted_b = bucket_table.read()
+        if "epoch" not in accepted_b.columns:
+            # pre-epoch bucket tables: rows belong to an unknown run
+            accepted_b = accepted_b.withColumn(
+                "epoch", F.lit(None).cast("string"))
         probe = probe.unionByName(
-            bucket_table.read()
-            .where(F.col("batch_id") != batch_id)
+            accepted_b
+            # exclude only THIS run's re-append of THIS batch (crash
+            # rerun); a different epoch's same-numbered batch is real
+            # accepted state and must stay probeable
+            .where(~(F.col("epoch").eqNullSafe(F.lit(epoch))
+                     & (F.col("batch_id") == batch_id)))
             .select(
                 "band", "h",
                 F.lit(None).cast(dict(buckets.dtypes)["doc_id"])
@@ -131,18 +149,61 @@ def ingest_batch(
 
     kept_ids = survivors.select("doc_id").distinct()
     kept_docs = batch_df.join(kept_ids, "doc_id")
-    md = {"streaming_batch_id": str(batch_id)}
+    md = {"streaming_batch_id": str(batch_id), "streaming_epoch": epoch}
     if batch_id > last["buckets"]:
         bucket_table.write(
             survivors, WriteMode.append
             if bucket_table.exists() else WriteMode.error,
             commit_metadata=md,
+            # pre-epoch tables evolve (their rows read epoch=null)
+            schema_mode=SchemaMode.append,
         )
         last["buckets"] = batch_id
     docs_table.write(kept_docs, WriteMode.append
                      if docs_table.exists() else WriteMode.error,
                      commit_metadata=md)
     last["docs"] = batch_id
+
+
+def _checkpoint_epoch(checkpoint_dir: str) -> str:
+    """Stable id for one checkpoint lifetime, persisted INSIDE the
+    checkpoint dir so it dies with it: the Delta txnAppId analogue that
+    makes (epoch, batch_id) globally unique where bare batch ids are
+    only unique per checkpoint."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "dds_epoch")
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            existing = f.read().strip()
+        if existing:
+            return existing
+    except OSError:
+        pass
+    epoch = uuid.uuid4().hex
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(epoch)
+    os.replace(tmp, path)
+    return epoch
+
+
+def _last_batch_for_epoch(table, epoch: str) -> int:
+    """Newest streaming batch id committed UNDER this epoch, -1 if the
+    newest streaming commit belongs to a different (or pre-epoch) run —
+    a fresh checkpoint restarts batch numbering, so an old run's
+    watermark must not suppress the new run's batches."""
+    if not table.exists():
+        return -1
+    for h in table.history():
+        md = h.get("userMetadata") or {}
+        if "streaming_batch_id" in md:
+            if md.get("streaming_epoch") == epoch:
+                return int(md["streaming_batch_id"])
+            return -1
+    return -1
 
 
 def stream_ingest_near_dup_filter(
@@ -172,24 +233,31 @@ def stream_ingest_near_dup_filter(
     is unaffected.
     """
     from ..table import DeltaSparkTable
-    from .events import last_streaming_batch
 
     docs_table = DeltaSparkTable(spark, table_uri)
     bucket_table = DeltaSparkTable(spark, table_uri + "_buckets")
+    # epoch: micro-batch ids are unique only per checkpoint, so the
+    # watermark and self-bucket exclusion key on (epoch, batch_id) —
+    # a fresh checkpoint (new epoch) restarts the watermark at -1 and
+    # redelivers everything; the accepted-index probe then re-drops the
+    # already-ingested content instead of batches being silently
+    # skipped on the reused low ids
+    checkpoint_dir = table_uri + "/_stream_checkpoint"
+    epoch = _checkpoint_epoch(checkpoint_dir)
     # each table tracks its own last-committed batch, memoized across
     # the run: a crash BETWEEN the two appends reruns the batch with
     # the bucket append already durable and only the docs append
     # outstanding; the full history scan runs once at startup, not
     # per micro-batch (history cost grows with committed batches)
     last = {
-        "docs": last_streaming_batch(docs_table),
-        "buckets": last_streaming_batch(bucket_table),
+        "docs": _last_batch_for_epoch(docs_table, epoch),
+        "buckets": _last_batch_for_epoch(bucket_table, epoch),
     }
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(
             batch_df, batch_id, docs_table, bucket_table, last,
-            num_hashes=num_hashes, bands=bands,
+            num_hashes=num_hashes, bands=bands, epoch=epoch,
         )
         if compact_every > 0 and (batch_id + 1) % compact_every == 0:
             bucket_table.optimize()

@@ -11,11 +11,8 @@ operator: a running per-user spend monitor that emits an updated
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -35,30 +32,6 @@ OUTPUT_SCHEMA = StructType([
     StructField("total_value", DoubleType()),
     StructField("max_value", DoubleType()),
 ])
-
-
-def _update_user_totals(
-    key: Tuple[Any, ...],
-    pdf_iter: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        n, total, mx = state.get
-    else:
-        n, total, mx = 0, 0.0, float("-inf")
-    for pdf in pdf_iter:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        if len(pdf):
-            mx = max(mx, float(pdf["value"].max()))
-    state.update((n, total, mx))
-    yield pd.DataFrame({
-        "user_id": [user_id],
-        "n_events": [n],
-        "total_value": [total],
-        "max_value": [mx],
-    })
 
 
 def user_totals_stream(events: DataFrame) -> DataFrame:

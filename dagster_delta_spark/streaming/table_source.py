@@ -49,14 +49,20 @@ class _AddedFile(InputPartition):
 
 
 class DeltaSparkTableStreamReader(DataSourceStreamReader):
-    def __init__(self, schema: StructType, table_uri: str):
+    def __init__(self, schema: StructType, table_uri: str,
+                 starting_version: int = 0):
         self._schema = schema
         self._table_uri = table_uri
+        self._initial = starting_version - 1
 
     # -- driver side: offsets are versions, partitions are added files --
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        # startingVersion lets a consumer begin past vacuumed history
+        # (a compacted-then-vacuumed prefix has no surviving original
+        # files to stream; start after the compaction and read() the
+        # snapshot for the backfill)
+        return {"version": self._initial}
 
     def latestOffset(self) -> dict:
         return {"version": tablelog.latest_version(self._table_uri)}
@@ -71,11 +77,10 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
                     operation = action["commitInfo"].get("operation", "")
                 elif "add" in action:
                     adds.append(tablelog.AddFile.from_action(action["add"]))
-            if operation.startswith("OPTIMIZE"):
+            kind = tablelog.classify_commit(operation)
+            if kind == "compaction":
                 continue
-            if v > 0 and operation in (
-                "MERGE", "CREATE OR REPLACE", "WRITE overwrite"
-            ):
+            if v > 0 and kind == "rewrite":
                 raise ValueError(
                     f"version {v} is a data rewrite ({operation}); "
                     "streaming requires an append-only source table"
@@ -106,6 +111,13 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
             field = target.field(name)
             col = pa.array([val] * n, type=pa.string()).cast(field.type)
             tbl = tbl.append_column(name, col)
+        # late schema columns read as null for early files — the same
+        # widening rule as DeltaSparkTable.read (a bare select() raised
+        # on schema-evolved tables)
+        for field in target:
+            if field.name not in tbl.column_names:
+                tbl = tbl.append_column(field.name,
+                                        pa.nulls(n, type=field.type))
         tbl = tbl.select(target.names).cast(target)
         yield from tbl.to_batches()
 
@@ -130,4 +142,7 @@ class DeltaSparkTableDataSource(DataSource):
         return StructType.fromJson(json.loads(snap.schema_json))
 
     def streamReader(self, schema: StructType) -> DeltaSparkTableStreamReader:
-        return DeltaSparkTableStreamReader(schema, self._uri())
+        return DeltaSparkTableStreamReader(
+            schema, self._uri(),
+            int(self.options.get("startingVersion", "0")),
+        )

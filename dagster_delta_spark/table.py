@@ -561,11 +561,10 @@ class DeltaSparkTable:
                     operation = action["commitInfo"].get("operation", "")
                 elif "add" in action:
                     adds.append(AddFile.from_action(action["add"]))
-            if operation.startswith("OPTIMIZE"):
+            kind = tablelog.classify_commit(operation)
+            if kind == "compaction":
                 continue
-            is_rewrite = v > 0 and (
-                operation in ("MERGE", "CREATE OR REPLACE", "WRITE overwrite")
-            )
+            is_rewrite = v > 0 and kind == "rewrite"
             if is_rewrite and not allow_rewrites:
                 raise ValueError(
                     f"version {v} is a data rewrite ({operation}); its added "

@@ -573,6 +573,20 @@ def commit(
                       file=sys.stderr)
 
 
+def classify_commit(operation: str) -> str:
+    """Incremental-consumption contract shared by
+    ``DeltaSparkTable.read_changes`` and the ``dds_table`` streaming
+    source: ``compaction`` commits re-add existing rows (skip),
+    ``rewrite`` commits replace data (not new-rows-only), anything
+    else is an append whose added files are exactly the new rows.
+    One definition so the two consumers can never drift."""
+    if operation.startswith("OPTIMIZE"):
+        return "compaction"
+    if operation in ("MERGE", "CREATE OR REPLACE", "WRITE overwrite"):
+        return "rewrite"
+    return "append"
+
+
 def history(table_uri: str, limit: Optional[int] = None) -> list[dict[str, Any]]:
     """Commit history, newest first (reference O4:
     dd/dagster_delta/handler.py:271-291 reads history(1) metrics)."""

@@ -588,3 +588,91 @@ def test_streaming_rollup_drops_late_events(spark, tmp_path):
     batch = (spark.read.parquet(str(d))
              .where("event_id IN (1, 2, 4)").count())
     assert batch == 3
+
+
+def test_ingest_epoch_survives_checkpoint_reset(spark, tmp_path):
+    """Micro-batch ids restart at 0 when the checkpoint is recreated:
+    without the epoch namespace (r6 review), the old run's watermark
+    silently SKIPPED the new run's low-numbered batches (new documents
+    never ingested) and the self-bucket exclusion hid the old run's
+    same-numbered accepted buckets from the probe (near-dups
+    re-admitted)."""
+    import os
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from dagster_delta_spark.streaming import stream_ingest_near_dup_filter
+
+    src = tmp_path / "src"
+    src.mkdir()
+    texts = {
+        1: "first document about distributed columnar query engines "
+           "and their shuffle strategies at petabyte scale",
+        2: "second piece on minhash banding locality sensitive hashing "
+           "and deterministic survivor selection",
+        3: "third text describing transactional commit logs parquet "
+           "checkpoints and optimistic concurrency retries",
+    }
+    for i, (doc, t) in enumerate(texts.items()):
+        pd.DataFrame([(doc, t)], columns=["doc_id", "text"]).to_parquet(
+            str(src / f"a{i}.parquet"), index=False)
+        _time.sleep(0.05)
+    uri = str(tmp_path / "acc")
+    t = stream_ingest_near_dup_filter(spark, str(src), uri,
+                                      max_files_per_trigger=1)
+    assert sorted(r["doc_id"] for r in t.read().collect()) == [1, 2, 3]
+
+    # new run: checkpoint gone, source REPLACED by fewer, new files —
+    # batch ids 0..1 collide with the old run's 0..2
+    shutil.rmtree(uri + "/_stream_checkpoint")
+    for f in src.glob("*.parquet"):
+        os.remove(f)
+    pd.DataFrame(
+        [(4, "an entirely new document on salting skewed aggregation "
+             "keys and adaptive query execution")],
+        columns=["doc_id", "text"]).to_parquet(
+        str(src / "b0.parquet"), index=False)
+    _time.sleep(0.05)
+    pd.DataFrame([(5, texts[1])],  # exact copy of accepted doc 1
+                 columns=["doc_id", "text"]).to_parquet(
+        str(src / "b1.parquet"), index=False)
+    t2 = stream_ingest_near_dup_filter(spark, str(src), uri,
+                                       max_files_per_trigger=1)
+    got = sorted(r["doc_id"] for r in t2.read().collect())
+    # doc 4 ingested (NOT skipped by the stale watermark); doc 5
+    # dropped against the old epoch's accepted buckets (NOT re-admitted)
+    assert got == [1, 2, 3, 4], got
+
+
+def test_table_source_schema_evolution_and_starting_version(spark, tmp_path):
+    """dds_table streams schema-evolved tables (early files' missing
+    columns read as null — a bare select() previously raised) and
+    honors startingVersion for consumers beginning past vacuumed
+    history."""
+    import uuid as _uuid
+
+    from dagster_delta_spark import DeltaSparkTable, SchemaMode, WriteMode
+    from dagster_delta_spark.streaming import DeltaSparkTableDataSource
+
+    spark.dataSource.register(DeltaSparkTableDataSource)
+    uri = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, uri)
+    t.write(spark.createDataFrame([(1,)], "k long"), WriteMode.error)  # v0
+    t.write(spark.createDataFrame([(2, "x")], "k long, s string"),
+            WriteMode.append, schema_mode=SchemaMode.append)           # v1
+
+    def run(**opts):
+        name = f"ts_{_uuid.uuid4().hex[:8]}"
+        reader = spark.readStream.format("dds_table").option("path", uri)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (reader.load().writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+        return {(r["k"], r["s"]) for r in spark.table(name).collect()}
+
+    assert run() == {(1, None), (2, "x")}
+    assert run(startingVersion="1") == {(2, "x")}
