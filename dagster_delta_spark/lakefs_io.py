@@ -44,14 +44,19 @@ class BranchClient(Protocol):
 
 def retry_with_backoff(retries: int = 5, backoff_in_seconds: int = 4,
                        retryable: tuple[type, ...] = (ConflictException,),
-                       message_markers: tuple[str, ...] = ("timeout", "S3", "concurrent")):
+                       message_markers: tuple[str, ...] = (
+                           "timeout", "s3exception", "slowdown",
+                           "throttl", "concurrent")):
     """Exponential backoff + jitter: ``sleep = base * 2^n + U(0,1)``
     (reference ddp lakefs handler:23-61).  Retries ``retryable``
     exceptions always; other exceptions only when their message
     contains one of ``message_markers`` (the reference retries
-    DeltaError only on timeout/S3 markers; delta-spark's analogue is
+    DeltaError only on timeout/S3 markers; the S3 marker here targets
+    error-CLASS tokens — a bare "s3" substring would match every
+    object-store PATH and retry permanent errors like access-denied
+    for the full backoff budget).  delta-spark's analogue is
     ConcurrentModificationException, covered by the 'concurrent'
-    marker)."""
+    marker."""
 
     def decorator(fn: Callable):
         @functools.wraps(fn)
@@ -94,6 +99,12 @@ class InMemoryLakeFSClient:
         # repo -> branch -> {path: bytes}
         self._repos: dict[str, dict[str, dict[str, bytes]]] = {}
         self._commits: dict[str, list[dict[str, Any]]] = {}
+        # repo -> branch -> snapshot of the SOURCE at branch creation:
+        # merge applies the branch's delta against this base and
+        # detects conflicting concurrent edits (three-way merge, like
+        # LakeFS — a wholesale branch replace would silently discard
+        # writes merged by concurrent runs)
+        self._bases: dict[str, dict[str, dict[str, bytes]]] = {}
 
     # -- store helpers -------------------------------------------------------
 
@@ -119,7 +130,13 @@ class InMemoryLakeFSClient:
         repo = self._repos.setdefault(repository, {})
         if branch in repo:
             raise ConflictException(f"branch {branch} already exists")
-        repo[branch] = dict(repo.get(source, {}))
+        if source not in repo:
+            # LakeFS 404s here; silently branching from an implicit
+            # empty snapshot would send the whole run to a branch
+            # nobody reads while the real source stays untouched
+            raise KeyError(f"unknown source branch {repository}/{source}")
+        repo[branch] = dict(repo[source])
+        self._bases.setdefault(repository, {})[branch] = dict(repo[source])
 
     def commit(self, repository: str, branch: str, message: str,
                allow_empty: bool = True) -> None:
@@ -138,37 +155,68 @@ class InMemoryLakeFSClient:
                 yield {"path": path}
 
     def merge(self, repository: str, from_branch: str, to_branch: str) -> None:
+        """Three-way merge of the from-branch's DELTA (vs its creation
+        base) onto the to-branch; a path changed on both sides to
+        different contents raises ConflictException for the caller's
+        retry loop.  (A wholesale replace lost concurrent merged
+        writes: run2's stale snapshot reset main, erasing run1's
+        already-merged objects.)"""
         src = self._branch(repository, from_branch)
-        self._repos[repository][to_branch] = dict(src)
+        dst = self._branch(repository, to_branch)
+        base = self._bases.get(repository, {}).get(from_branch, {})
+        changed = {
+            p for p in set(src) | set(base) if src.get(p) != base.get(p)
+        }
+        conflicts = [
+            p for p in sorted(changed)
+            if dst.get(p) != base.get(p) and dst.get(p) != src.get(p)
+        ]
+        if conflicts:
+            raise ConflictException(
+                f"merge conflict on {conflicts[:3]}"
+                f"{'...' if len(conflicts) > 3 else ''}"
+            )
+        for p in changed:
+            if p in src:
+                dst[p] = src[p]
+            else:
+                dst.pop(p, None)
 
     def delete_branch(self, repository: str, branch: str) -> None:
         self._repos.get(repository, {}).pop(branch, None)
+        self._bases.get(repository, {}).pop(branch, None)
 
     # -- S5: chunked download (reference lakefs_client_resource.py:33-47) ----
 
     def download_file(self, repository: str, branch: str, remote_path: str,
                       local_path: str, chunk_size_mb: int = 50) -> None:
-        """Stream an object to the local filesystem in ``chunk_size_mb``
-        chunks — the reference's loop shape, so multi-GB objects never
-        materialize in one allocation."""
+        """Write an object to the local filesystem in ``chunk_size_mb``
+        chunks — the reference client's loop SHAPE
+        (lakefs_client_resource.py:33-47).  NB the in-memory store has
+        already materialized the object (get_object returns bytes); a
+        real client would pass a streaming body here, and only then
+        does the chunk loop bound peak memory."""
         import io
 
         reader = io.BytesIO(self.get_object(repository, branch, remote_path))
         with open(local_path, "wb") as f:
-            while True:
-                chunk_bytes = reader.read(1024 * 1024 * chunk_size_mb)
-                if not len(chunk_bytes):
-                    break
-                if isinstance(chunk_bytes, bytes):
-                    f.write(chunk_bytes)
-                else:
-                    raise Exception("Unknown data type for chunk_bytes")
+            while chunk := reader.read(1024 * 1024 * chunk_size_mb):
+                f.write(chunk)
 
 
 def rewrite_branch_uri(uri: str, source_branch: str, new_branch: str) -> str:
     """F5: replace the *first occurrence* of the branch name in the
-    table URI (reference ddp lakefs handler:73-84)."""
-    return uri.replace(f"/{source_branch}/", f"/{new_branch}/", 1)
+    table URI (reference ddp lakefs handler:73-84).  Raises when the
+    URI contains no ``/{source_branch}/`` segment — a silent no-op
+    would write straight onto the source branch while reporting an
+    isolated run."""
+    out = uri.replace(f"/{source_branch}/", f"/{new_branch}/", 1)
+    if out == uri and source_branch != new_branch:
+        raise ValueError(
+            f"table URI {uri!r} has no '/{source_branch}/' segment to "
+            "rewrite; branch isolation requires the branch in the path"
+        )
+    return out
 
 
 def diff_has_items(diff: Any) -> bool:

@@ -54,9 +54,13 @@ def asof_join(
     lt = lt.withColumn("__r", F.lit(None).cast(rt.schema["__r"].dataType))
 
     unioned = rt.unionByName(lt)
+    # __r as the final key: right rows tied on (key, ts) otherwise sort
+    # in arbitrary order and F.last() returns a run-dependent pick —
+    # the struct comparison makes the chosen match deterministic
+    # (struct-max among ties) across runs and partitionings
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__r")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = unioned.withColumn(
@@ -101,7 +105,10 @@ def event_bursts(ev: DataFrame, window_seconds: int = 60) -> DataFrame:
     predicate then filters within the bucketed candidates."""
     w = int(window_seconds)
     ev = ev.select("event_id", "user_id", "ts")
-    bin_of = F.floor(F.col("ts").cast("double") / w).cast("long")
+    # exact integer binning on microseconds: a double ts at current
+    # epochs carries ~0.5 us ulp, enough to flip floor() at a bin
+    # boundary and mis-bucket boundary events
+    bin_of = F.expr(f"unix_micros(ts) div {w * 1_000_000}")
     a = (
         ev.withColumn("__b0", bin_of)
         .withColumn("__bin", F.explode(F.array(F.col("__b0"), F.col("__b0") + 1)))
@@ -121,9 +128,11 @@ def event_bursts(ev: DataFrame, window_seconds: int = 60) -> DataFrame:
             F.col("a.user_id").alias("user_id"),
             F.col("a.event_id").alias("event_a"),
             F.col("b.event_id").alias("event_b"),
-            ((F.col("b.ts").cast("double") - F.col("a.ts").cast("double"))).alias(
-                "gap_seconds"
-            ),
+            # exact microsecond arithmetic, then ONE division: the
+            # difference of two double-cast timestamps carries ~0.5 us
+            # of rounding that can flip the oracle's 6-digit rounding
+            ((F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts")))
+             / F.lit(1000000.0)).alias("gap_seconds"),
         )
     )
 

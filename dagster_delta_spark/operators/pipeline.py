@@ -9,7 +9,8 @@ minhash_cluster_keep is unit-tested against known clusters), so the
 composition's correctness is anchored stage-by-stage.
 
 Plan shape at 100 TB: lang/quality are pure codegen'd projections
-(no shuffle); exact dedup is one hash-groupBy shuffle; the optional
+computed inline on the single corpus scan (no joins, no shuffle);
+exact dedup is one hash-groupBy shuffle; the optional
 near-dup stage is the banded MinHash join (bucketed, not all-pairs);
 the write is a distributed parquet job + one metadata commit.
 """
@@ -42,20 +43,17 @@ def curate_corpus(
     curated corpus is versioned and time-travelable like any other
     asset.
     """
-    quality = textops.text_quality(spark, sf_dir).select(
-        "doc_id", "n_tokens", "quality_score"
-    )
-    lang = textops.lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    # ONE corpus scan: quality and language are map-only column
+    # builders appended inline (textops.with_text_quality /
+    # with_lang_pred) — joining their doc_id projections back would
+    # scan documents three times and shuffle the full text-bearing
+    # corpus twice for what is pure per-row arithmetic
     docs = textops.load(spark, sf_dir, "documents")
-
-    kept = (
-        docs.join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .where(
-            F.col("lang_pred").isin(list(langs))
-            & (F.col("quality_score") >= min_quality)
-            & (F.col("n_tokens") >= min_tokens)
-        )
+    scored = textops.with_lang_pred(textops.with_text_quality(docs))
+    kept = scored.where(
+        F.col("lang_pred").isin(list(langs))
+        & (F.col("quality_score") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
     )
 
     # exact dedup: keep the smallest doc_id per normalized-content hash

@@ -50,28 +50,31 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length, punctuation ratio, stopword ratio,
-    mean token length — combined into one deterministic score."""
-    docs = load(spark, sf_dir, "documents")
+def with_text_quality(docs: DataFrame) -> DataFrame:
+    """Append the quality columns (n_tokens, stopword_ratio,
+    punct_ratio, avg_token_len, quality_score) to an arbitrary
+    documents frame — the map-only core, exposed so pipelines can
+    score inline on ONE corpus scan instead of joining the projection
+    back on doc_id (which re-scans and shuffles the full text-bearing
+    corpus)."""
     stops = _sql_list(_EN_STOPS)
     toks = TOKENS
-    return docs.select(
-        "doc_id",
-        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
-        F.expr(
+    return docs.withColumns({
+        "n_tokens": F.expr(f"size({toks})").cast("long"),
+        "stopword_ratio": F.expr(
             f"CAST(size(filter({toks}, x -> x IN ({stops}))) AS DOUBLE)"
             f" / greatest(size({toks}), 1)"
-        ).alias("stopword_ratio"),
-        (
-            (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")))
+        ),
+        "punct_ratio": (
+            (F.length("text")
+             - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")))
             / F.greatest(F.length("text"), F.lit(1))
-        ).cast("double").alias("punct_ratio"),
-        F.expr(
+        ).cast("double"),
+        "avg_token_len": F.expr(
             f"CAST(aggregate({toks}, 0L, (acc, x) -> acc + length(x)) AS DOUBLE)"
             f" / greatest(size({toks}), 1)"
-        ).alias("avg_token_len"),
-    ).withColumn(
+        ),
+    }).withColumn(
         "quality_score",
         (
             F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
@@ -82,29 +85,35 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language identification by marker-stopword counts with a fixed
-    priority tie-break (en > de > es > fr > zh).  CJK characters vote
-    for zh.  Pure SQL expressions — identical logic in the DuckDB
-    oracle."""
-    docs = load(spark, sf_dir, "documents")
-    toks = TOKENS
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio,
+    mean token length — combined into one deterministic score."""
+    return with_text_quality(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio",
+        "avg_token_len", "quality_score",
+    )
+
+
+def with_lang_pred(docs: DataFrame) -> DataFrame:
+    """Append lang_pred (and the per-language score columns s_en/s_de/
+    s_es/s_fr/s_zh) to an arbitrary documents frame — map-only core
+    shared with curate_corpus' single-scan scoring.
+
+    Tokenize/score ONCE per language as named columns, then CASE over
+    the columns: inlining the score expression into every WHEN branch
+    re-ran the interpreted higher-order filter (and the regex split
+    under it) up to ~15x per row — conditional branches defeat
+    common-subexpression elimination."""
     scores = {
-        lang: f"size(filter({toks}, x -> x IN ({_sql_list(ws)})))"
+        lang: f"size(filter({TOKENS}, x -> x IN ({_sql_list(ws)})))"
         for lang, ws in _STOPWORDS.items()
     }
     zh = "length(regexp_replace(text, '[^\\\\u4e00-\\\\u9fff]', ''))"
-    # tokenize/score ONCE per language as named columns, then CASE over
-    # the columns: inlining the score expression into every WHEN branch
-    # re-ran the interpreted higher-order filter (and the regex split
-    # under it) up to ~15x per row — conditional branches defeat
-    # common-subexpression elimination
-    scored = docs.select(
-        "doc_id",
-        *[F.expr(e).cast("long").alias(f"s_{lang}")
-          for lang, e in scores.items()],
-        F.expr(zh).cast("long").alias("s_zh"),
-    )
+    scored = docs.withColumns({
+        **{f"s_{lang}": F.expr(e).cast("long")
+           for lang, e in scores.items()},
+        "s_zh": F.expr(zh).cast("long"),
+    })
     case = (
         "CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr "
         "AND s_en >= s_zh THEN 'en' "
@@ -112,10 +121,16 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' "
         "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END"
     )
-    return scored.select(
-        "doc_id",
-        F.expr(case).alias("lang_pred"),
-        F.col("s_en").alias("score_en"),
+    return scored.withColumn("lang_pred", F.expr(case))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by marker-stopword counts with a fixed
+    priority tie-break (en > de > es > fr > zh).  CJK characters vote
+    for zh.  Pure SQL expressions — identical logic in the DuckDB
+    oracle."""
+    return with_lang_pred(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred", F.col("s_en").alias("score_en"),
     )
 
 

@@ -27,9 +27,16 @@ def read_jsonl(
     scan over the data before the real job — at 100 TB that doubles
     the read.  Inference is allowed (schema=None) for exploration.
     Corrupt lines land in ``_corrupt_record`` (PERMISSIVE mode) instead
-    of failing the job — filter or count them explicitly."""
+    of failing the job — filter or count them explicitly.  The column
+    is appended to an explicit schema automatically: without it Spark
+    silently converts corrupt lines to all-null rows that flow into
+    the corpus as data."""
+    from pyspark.sql.types import StringType
+
     reader = spark.read.option("multiLine", str(multiline).lower())
     if schema is not None:
+        if "_corrupt_record" not in schema.fieldNames():
+            schema = schema.add("_corrupt_record", StringType(), True)
         reader = reader.schema(schema)
     return reader.json(path)
 

@@ -322,3 +322,73 @@ def test_concurrent_appends_with_compaction_stress(spark, tmp_table):
     assert t.read().count() == 10 + 6 * 4 * 10
     # all 24 appends committed as distinct versions (plus any compactions)
     assert t.version() >= 24
+
+
+def test_lakefs_merge_is_three_way_not_replace():
+    """Two runs branch from main concurrently and merge disjoint
+    writes: BOTH must survive (the old wholesale branch replace reset
+    main to the second run's stale snapshot, silently erasing the
+    first run's merged objects); the same path changed differently on
+    both sides conflicts."""
+    import pytest as _pytest
+
+    from dagster_delta_spark.lakefs_io import (
+        ConflictException,
+        InMemoryLakeFSClient,
+    )
+
+    c = InMemoryLakeFSClient()
+    c.create_repository("repo")
+    c.upload_object("repo", "main", "base.txt", b"base")
+    c.create_branch("repo", "run1", "main")
+    c.create_branch("repo", "run2", "main")   # branched BEFORE run1 merges
+    c.upload_object("repo", "run1", "part-1", b"one")
+    c.merge("repo", "run1", "main")
+    c.upload_object("repo", "run2", "part-2", b"two")
+    c.merge("repo", "run2", "main")
+    main = c._repos["repo"]["main"]
+    assert main["part-1"] == b"one" and main["part-2"] == b"two"
+    assert main["base.txt"] == b"base"
+
+    # conflicting edit of the same path
+    c.create_branch("repo", "run3", "main")
+    c.create_branch("repo", "run4", "main")
+    c.upload_object("repo", "run3", "shared", b"A")
+    c.merge("repo", "run3", "main")
+    c.upload_object("repo", "run4", "shared", b"B")
+    with _pytest.raises(ConflictException):
+        c.merge("repo", "run4", "main")
+
+    # unknown source branch 404s instead of silently branching empty
+    with _pytest.raises(KeyError):
+        c.create_branch("repo", "oops", "mian")
+
+
+def test_rewrite_branch_uri_requires_branch_segment():
+    import pytest as _pytest
+
+    from dagster_delta_spark.lakefs_io import rewrite_branch_uri
+
+    assert rewrite_branch_uri("s3://r/main/t", "main", "b") == "s3://r/b/t"
+    with _pytest.raises(ValueError, match="no '/main/'"):
+        rewrite_branch_uri("s3://r/maintable", "main", "b")
+
+
+def test_read_jsonl_surfaces_corrupt_lines_with_explicit_schema(
+    spark, tmp_path
+):
+    """With an explicit schema, corrupt lines must land in
+    _corrupt_record (auto-appended) instead of silently becoming
+    all-null data rows."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from dagster_delta_spark.sources import read_jsonl
+
+    p = tmp_path / "c.jsonl"
+    p.write_text('{"id": 1, "tag": "x"}\nnot json at all\n')
+    schema = (StructType().add("id", LongType()).add("tag", StringType()))
+    df = read_jsonl(spark, str(p), schema)
+    rows = df.collect()
+    assert "_corrupt_record" in df.columns
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("not json")
