@@ -111,6 +111,10 @@ class S3Config:
     session_token: Optional[str] = None
     endpoint: Optional[str] = None
     region: Optional[str] = None
+    #: accepted for reference-config parity only: delta-rs needs it for
+    #: stores without atomic rename, but this engine publishes commits
+    #: via its own staged-write + atomic log protocol (tablelog.py), so
+    #: no Spark conf corresponds and the flag is intentionally a no-op
     allow_unsafe_rename: bool = False
 
     def spark_confs(self) -> dict[str, str]:
@@ -141,6 +145,24 @@ class AzureConfig:
 
     def spark_confs(self) -> dict[str, str]:
         out: dict[str, str] = {}
+        has_auth = any(v is not None for v in (
+            self.account_key, self.sas_token, self.client_id))
+        if has_auth and not self.account_name:
+            # the account name is part of every conf KEY — without it
+            # the keys render as fs.azure.account.key..dfs.core... for
+            # the empty account, which ABFS never matches, and auth
+            # fails at runtime with no hint of the cause
+            raise ValueError(
+                "AzureConfig requires account_name when any credential "
+                "is set (it is embedded in every Hadoop conf key)"
+            )
+        oauth = bool(self.client_id and self.client_secret and self.tenant_id)
+        if self.sas_token is not None and oauth:
+            raise ValueError(
+                "AzureConfig: sas_token and client credentials are "
+                "mutually exclusive (both set auth.type — the second "
+                "would silently disable the first)"
+            )
         acct = self.account_name or ""
         suffix = f"{acct}.dfs.core.windows.net"
         if self.account_key is not None:
@@ -153,7 +175,7 @@ class AzureConfig:
                 "org.apache.hadoop.fs.azurebfs.sas.FixedSASTokenProvider"
             )
             out[f"spark.hadoop.fs.azure.sas.fixed.token.{suffix}"] = self.sas_token
-        if self.client_id and self.client_secret and self.tenant_id:
+        if oauth:
             out[f"spark.hadoop.fs.azure.account.auth.type.{suffix}"] = "OAuth"
             out[f"spark.hadoop.fs.azure.account.oauth.provider.type.{suffix}"] = (
                 "org.apache.hadoop.fs.azurebfs.oauth2.ClientCredsTokenProvider"
@@ -191,13 +213,17 @@ class ClientConfig:
     On Spark these are connection-level Hadoop confs.
     """
 
+    #: seconds (the reference's duration semantics); converted to the
+    #: milliseconds Hadoop expects — writing the raw value made a
+    #: 30-second timeout a 30-MILLISECOND one
     timeout: Optional[int] = None
     max_retries: Optional[int] = None
 
     def spark_confs(self) -> dict[str, str]:
         out: dict[str, str] = {}
         if self.timeout is not None:
-            out["spark.hadoop.fs.s3a.connection.timeout"] = str(self.timeout)
+            out["spark.hadoop.fs.s3a.connection.timeout"] = str(
+                self.timeout * 1000)
         if self.max_retries is not None:
             out["spark.hadoop.fs.s3a.retry.limit"] = str(self.max_retries)
         return out

@@ -41,8 +41,25 @@ def _dimensions_from_dagster(context: Any) -> Optional[list[TablePartitionDimens
         for pk in context.asset_partition_keys:
             for dim_name, key in getattr(pk, "keys_by_dimension", {}).items():
                 keys_by_dim.setdefault(dim_name, []).append(key)
+        missing = [d for d in keys_by_dim if d not in expr]
+        if missing:
+            # reference dbiomanager_fixed.py:78-86 raises here: silently
+            # dropping a dimension under-constrains the write scope and
+            # a scoped overwrite would delete the other dimension's rows
+            raise ValueError(
+                f"partition_expr is missing dimension(s) {sorted(missing)}; "
+                f"has {sorted(expr)}"
+            )
+        fmts = extract_date_formats(context) or {}
         for dim_name, col in expr.items():
-            dims.append(TablePartitionDimension(col, keys_by_dim.get(dim_name, [])))
+            keys = keys_by_dim.get(dim_name, [])
+            # a time-window dimension arrives as raw key strings; the
+            # predicate compiler expects TimeWindow objects for
+            # timestamp/date columns and a fmt for string/int columns —
+            # with a fmt recorded, pass the keys through (the _value_dnf
+            # path compiles them); otherwise raw date strings on a
+            # timestamp column would raise 'no time windows'
+            dims.append(TablePartitionDimension(col, keys))
     else:
         try:
             tw = context.asset_partitions_time_window
@@ -144,10 +161,16 @@ if HAS_DAGSTER:  # pragma: no cover
                 def __init__(self) -> None:
                     from pyspark.sql import SparkSession
 
+                    from .config import WriteMode
+
                     self.mgr = DeltaSparkIOManager(
                         SparkSession.builder.getOrCreate(),
                         outer.root_uri,
                         schema=outer.schema_,
+                        # forward the declared config — a silently
+                        # ignored mode="append" meant every
+                        # materialization overwrote the table
+                        mode=WriteMode(outer.mode),
                     )
 
                 def handle_output(self, context: OutputContext, obj: Any) -> None:
@@ -155,8 +178,31 @@ if HAS_DAGSTER:  # pragma: no cover
                     context.add_output_metadata(md)
 
                 def load_input(self, context: InputContext) -> Any:
-                    return self.mgr.load_input(
-                        to_asset_context(context.upstream_output, is_input=True)
-                    )
+                    # merge the INPUT context's own metadata (columns,
+                    # partition mapping) over the upstream output's:
+                    # reading everything off upstream_output dropped
+                    # AssetIn(metadata={"columns": ...}) projections
+                    # (reference dbiomanager_fixed.py:50,125)
+                    ctx = to_asset_context(
+                        context.upstream_output, is_input=True)
+                    in_md = dict(
+                        getattr(context, "definition_metadata", None) or {})
+                    if in_md.get("columns"):
+                        ctx = AssetContext(
+                            asset_key=ctx.asset_key,
+                            partition_dimensions=ctx.partition_dimensions,
+                            metadata=ctx.metadata,
+                            columns=in_md["columns"],
+                            date_formats=ctx.date_formats,
+                        )
+                    # dispatch on the downstream annotation so pandas/
+                    # arrow/polars-typed assets get their native frame
+                    # (reference handler.py:311-317)
+                    target = getattr(
+                        getattr(context, "dagster_type", None),
+                        "typing_type", None)
+                    if target is not None and target is not Any:
+                        return self.mgr.load_input(ctx, target_type=target)
+                    return self.mgr.load_input(ctx)
 
             return _Manager()

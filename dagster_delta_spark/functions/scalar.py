@@ -26,14 +26,49 @@ def format_date(col: Column) -> Column:
     return F.date_format(col, SPARK_DATE_FORMAT)
 
 
+_STRFTIME_TO_SPARK = {
+    "Y": "yyyy", "m": "MM", "d": "dd", "H": "HH", "M": "mm", "S": "ss",
+}
+
+
 def parse_partition_value(col: Column, fmt: str) -> Column:
-    """F1 inverse: strptime with a partition definition's custom fmt
-    (converted from strftime to Spark patterns for the common cases)."""
-    spark_fmt = (
-        fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
-        .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
-    )
-    return F.to_timestamp(col, spark_fmt)
+    """F1 inverse: strptime with a partition definition's custom fmt,
+    converted strftime -> Spark datetime pattern.  Literal text is
+    single-quoted (an unquoted 'T' in '%Y-%m-%dT%H' is an illegal
+    Spark pattern letter) and unsupported directives raise instead of
+    passing through to parse garbage silently."""
+    out = []
+    literal: list[str] = []
+
+    def flush() -> None:
+        if literal:
+            chunk = "".join(literal).replace("'", "''")
+            out.append(f"'{chunk}'")
+            literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError(f"dangling '%' in format {fmt!r}")
+            d = fmt[i + 1]
+            if d == "%":
+                literal.append("%")
+            elif d in _STRFTIME_TO_SPARK:
+                flush()
+                out.append(_STRFTIME_TO_SPARK[d])
+            else:
+                raise ValueError(
+                    f"unsupported strftime directive %{d} in {fmt!r}; "
+                    f"supported: {sorted('%' + k for k in _STRFTIME_TO_SPARK)}"
+                )
+            i += 2
+        else:
+            literal.append(ch)
+            i += 1
+    flush()
+    return F.to_timestamp(col, "".join(out))
 
 
 def to_epoch_micros(col: Column) -> Column:

@@ -367,10 +367,15 @@ def frame_sample_plan(
     """'Frame sampling' over the opaque payload: take a byte every
     ``every_n_bytes`` as a stand-in for video frame extraction —
     demonstrates slicing binary columns without leaving the JVM."""
+    # upper bound floor((n_bytes - 1) / n): int(n_bytes / n) sampled one
+    # byte past the end when n_bytes was an exact multiple (phantom
+    # empty frame), and an empty payload must yield zero frames
     return df.select(
         "doc_id",
         F.expr(
-            f"transform(sequence(0, least(int(n_bytes / {every_n_bytes}), "
-            f"{max_frames - 1})), i -> substring(payload, i * {every_n_bytes} + 1, 1))"
+            f"CASE WHEN n_bytes <= 0 THEN array() ELSE "
+            f"transform(sequence(0, least(int((n_bytes - 1) / {every_n_bytes}), "
+            f"{max_frames - 1})), i -> substring(payload, i * {every_n_bytes} + 1, 1)) "
+            f"END"
         ).alias("frames"),
     ).withColumn("n_frames", F.size("frames"))

@@ -632,3 +632,54 @@ def test_sessionize_duplicate_ts_boundary_parity(spark, tmp_path):
     assert got == want
     # and the boundary behaved: user 1 has sessions of 2 and 3 events
     assert [(u, n) for u, _, n in got if u == 1] == [(1, 2), (1, 3)]
+
+
+def test_scalar_fmt_conversion_quotes_literals(spark):
+    """strftime -> Spark pattern conversion quotes literal text (an
+    unquoted 'T' is an illegal pattern letter) and rejects unsupported
+    directives instead of silently parsing garbage."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.functions.scalar import parse_partition_value
+
+    df = spark.createDataFrame([("2024-01-02T07",)], "s string")
+    got = df.select(
+        parse_partition_value(F.col("s"), "%Y-%m-%dT%H").alias("t")
+    ).collect()[0]["t"]
+    assert (got.year, got.month, got.day, got.hour) == (2024, 1, 2, 7)
+    with _pytest.raises(ValueError, match="unsupported strftime"):
+        parse_partition_value(F.col("s"), "%Y-%j")
+
+
+def test_config_guards():
+    """Azure confs fail fast on missing account / conflicting auth;
+    client timeout converts seconds -> Hadoop milliseconds."""
+    import pytest as _pytest
+
+    from dagster_delta_spark.config import AzureConfig, ClientConfig
+
+    with _pytest.raises(ValueError, match="account_name"):
+        AzureConfig(account_key="k").spark_confs()
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        AzureConfig(account_name="a", sas_token="s", client_id="c",
+                    client_secret="x", tenant_id="t").spark_confs()
+    confs = ClientConfig(timeout=30).spark_confs()
+    assert confs["spark.hadoop.fs.s3a.connection.timeout"] == "30000"
+
+
+def test_frame_sample_exact_multiple_boundary(spark):
+    """A payload whose length is an exact multiple of every_n_bytes
+    yields no phantom empty frame; empty payloads yield zero frames."""
+    from dagster_delta_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 64), 64), (2, bytearray(b""), 0),
+         (3, bytearray(b"y" * 65), 65)],
+        "doc_id long, payload binary, n_bytes long",
+    )
+    out = {r["doc_id"]: (r["n_frames"], [bytes(f) for f in r["frames"]])
+           for r in frame_sample_plan(df, every_n_bytes=64).collect()}
+    assert out[1] == (1, [b"x"])
+    assert out[2] == (0, [])
+    assert out[3] == (2, [b"y", b"y"])
