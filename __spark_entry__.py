@@ -476,9 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": relational.events_sessionize,
         "q4_exists_semi": relational.q4_order_priority_exists,
         "events_json_props": relational.events_json_props,
-        "q16_anti_join": relational.q16_anti_join_parts,
         "q17_scalar_subquery": relational.q17_small_quantity_revenue,
         # r6 core-review rewrites: changed code re-records in-window
+        "q11_important_parts": relational.q11_important_parts,
         # (q12/q14/q18/q22 yield slots — multiply green on record)
         "pack_sequences": curation.pack_sequences,
         "text_quality": textops.text_quality,
@@ -524,7 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": relational.q8_market_share,
         "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
         "q10_returned_items": relational.q10_returned_items,
-        "q11_important_parts": relational.q11_important_parts,
+        "q16_anti_join": relational.q16_anti_join_parts,
         "q13_custdist": relational.q13_order_count_distribution,
         "q15_top_supplier": relational.q15_top_supplier,
         "q20_excess_shipments": relational.q20_excess_shipments,
@@ -643,7 +643,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(30,10))) AS DOUBLE) AS revenue
             FROM customer c
             JOIN orders o ON o.o_custkey = c.c_custkey
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -709,7 +710,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start,
                    event_type,
                    count(*) AS n_events,
-                   sum(value) AS sum_value,
+                   CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                       AS sum_value,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
                   FROM events) events
@@ -739,7 +741,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS session_start,
                    max(ts) AS session_end,
-                   sum(value) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                       AS sum_value
             FROM numbered GROUP BY user_id, session_id
         """,
         "order_lineitem_rollup": """
@@ -1643,7 +1646,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start,
                    event_type,
                    count(*) AS n_events,
-                   sum(value) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                       AS sum_value
             FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
                   FROM events) events
             GROUP BY 1, 2
@@ -1675,7 +1679,8 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start,
                    max(ts) + INTERVAL 30 MINUTE AS session_end,
                    count(*) AS n_events,
-                   sum(value) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                       AS sum_value
             FROM numbered GROUP BY user_id, sid
         """,
         "streaming_dedup": """

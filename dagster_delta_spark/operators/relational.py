@@ -101,8 +101,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        # nanos-as-long -> µs timestamp; DIV keeps full int64 precision
-        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        # nanos-as-long -> us timestamp in exact int64 arithmetic; the
+        # correction term makes this FLOOR division (bare DIV truncates
+        # toward zero, rounding pre-epoch timestamps the wrong way)
+        df = df.withColumn("ts", F.expr(
+            "timestamp_micros(CAST(ts DIV 1000 - "
+            "CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END AS LONG))"))
     elif ts_type == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
@@ -165,9 +169,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            # DECIMAL accumulation (CLAUDE.md money rule): the top-10
+            # ranks on this sum, and near-tied orders could swap in/out
+            # between engines on double summation-order ulps
+            F.expr(f"CAST(SUM({_DEC_REV}) AS DOUBLE)").alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
@@ -263,7 +268,10 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # decimal accumulation: a plain double sum over large
+            # groups diverges from the oracle engine's summation order
+            # beyond the gate's 6-digit rounding at bigger SFs
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)").alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(
@@ -297,7 +305,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.sum("value").alias("sum_value"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)").alias("sum_value"),
         )
     )
 
@@ -894,14 +902,20 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         li.l_suppkey == F.col("s_suppkey"),
     )
+    # ONE fact scan: the global total is the exact sum of the per-part
+    # DECIMAL subtotals (decimal addition is associative), so deriving
+    # it from per_part spares the second lineitem scan+join that an
+    # independent total aggregate costs — at 100 TB that redundant
+    # fact pass IS the query
     per_part = j.groupBy("l_partkey").agg(
-        F.expr(f"CAST(SUM({val}) AS DOUBLE)").alias("value"))
-    total = j.agg(
-        F.expr(f"CAST(SUM({val}) AS DOUBLE)").alias("t"))
+        F.expr(f"SUM({val})").alias("__dec")).localCheckpoint(eager=False)
+    total = per_part.agg(
+        F.expr("CAST(SUM(__dec) AS DOUBLE)").alias("t"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("value") > F.col("t") * 0.002)
-        .select("l_partkey", "value")
+        .where(F.expr("CAST(__dec AS DOUBLE)") > F.col("t") * 0.002)
+        .select("l_partkey",
+                F.expr("CAST(__dec AS DOUBLE)").alias("value"))
     )
 
 
@@ -1039,7 +1053,7 @@ def salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup hash-stable across both engines' summation orders."""
     from ..functions.skew import salted_join
 
-    ev = load_events(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
     dim = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_user_events")
     )

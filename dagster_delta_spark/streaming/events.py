@@ -52,7 +52,10 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # decimal accumulation, matching the batch twin (summation
+            # order must not move the result past the oracle rounding)
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -92,7 +95,10 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # decimal accumulation, matching the batch twin (summation
+            # order must not move the result past the oracle rounding)
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)")
+            .alias("sum_value"),
         )
         .select(
             "user_id",

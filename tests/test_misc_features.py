@@ -198,7 +198,9 @@ def test_storage_conf_mapping_o7():
     )
     assert s3["spark.hadoop.fs.s3a.access.key"] == "ak"
     assert s3["spark.hadoop.fs.s3a.endpoint.region"] == "r1"
-    assert s3["spark.hadoop.fs.s3a.connection.timeout"] == "30"
+    # seconds -> Hadoop milliseconds (r6 fix: raw seconds made a
+    # 30-second timeout a 30-millisecond one)
+    assert s3["spark.hadoop.fs.s3a.connection.timeout"] == "30000"
 
     az = AzureConfig(account_name="acct", sas_token="tok").spark_confs()
     sfx = "acct.dfs.core.windows.net"
