@@ -50,15 +50,16 @@ def _dimensions_from_dagster(context: Any) -> Optional[list[TablePartitionDimens
                 f"partition_expr is missing dimension(s) {sorted(missing)}; "
                 f"has {sorted(expr)}"
             )
-        fmts = extract_date_formats(context) or {}
         for dim_name, col in expr.items():
             keys = keys_by_dim.get(dim_name, [])
-            # a time-window dimension arrives as raw key strings; the
-            # predicate compiler expects TimeWindow objects for
-            # timestamp/date columns and a fmt for string/int columns —
-            # with a fmt recorded, pass the keys through (the _value_dnf
-            # path compiles them); otherwise raw date strings on a
-            # timestamp column would raise 'no time windows'
+            # NB multi-partition time-window dimensions arrive as raw
+            # key STRINGS; they compile only against string/int
+            # partition columns (via the recorded fmt).  A
+            # timestamp/date-typed column would need TimeWindow
+            # conversion (time_window_for_partition_key), which Dagster
+            # only exposes per-dimension-definition — documented
+            # limitation, surfaced by the compiler's clear 'no time
+            # windows' error rather than silently mis-scoping.
             dims.append(TablePartitionDimension(col, keys))
     else:
         try:

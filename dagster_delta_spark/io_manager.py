@@ -98,12 +98,27 @@ class DeltaSparkIOManager:
         # VERBATIM (the prefix is only stripped for SparkConf entries
         # at session start), so fs.s3a.* / fs.azure.* would never be
         # seen by the filesystem — strip the prefix and set the live
-        # Hadoop configuration directly as well
+        # Hadoop configuration directly as well.  S3 keys are scoped
+        # per-bucket (fs.s3a.bucket.<name>.*) when the root_uri names
+        # one: the Hadoop Configuration is session-global, and two
+        # managers with different credentials would otherwise clobber
+        # each other (Azure keys are already account-scoped by key).
+        from urllib.parse import urlparse as _urlparse
+
+        parsed = _urlparse(root_uri)
+        s3_bucket = (
+            parsed.netloc
+            if parsed.scheme in ("s3", "s3a", "s3n") and parsed.netloc
+            else None
+        )
         hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
         for k, v in flatten_storage_confs(storage_config, client_config).items():
             spark.conf.set(k, v)
             if k.startswith("spark.hadoop."):
-                hadoop_conf.set(k[len("spark.hadoop."):], v)
+                hk = k[len("spark.hadoop."):]
+                if s3_bucket and hk.startswith("fs.s3a."):
+                    hk = f"fs.s3a.bucket.{s3_bucket}.{hk[len('fs.s3a.'):]}"
+                hadoop_conf.set(hk, v)
         # W10: writer knobs travel PER WRITE as DataFrameWriter options
         # (reference io_manager.py:183-186 scopes WriterProperties per
         # write too); session confs would leak across managers sharing

@@ -31,12 +31,17 @@ def read_jsonl(
     is appended to an explicit schema automatically: without it Spark
     silently converts corrupt lines to all-null rows that flow into
     the corpus as data."""
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import StringType, StructField
 
     reader = spark.read.option("multiLine", str(multiline).lower())
     if schema is not None:
         if "_corrupt_record" not in schema.fieldNames():
-            schema = schema.add("_corrupt_record", StringType(), True)
+            # build a COPY — StructType.add appends in place and would
+            # leave a phantom column in the caller's schema object
+            schema = StructType(
+                list(schema.fields)
+                + [StructField("_corrupt_record", StringType(), True)]
+            )
         reader = reader.schema(schema)
     return reader.json(path)
 

@@ -123,10 +123,17 @@ def ingest_batch(
                 "epoch", F.lit(None).cast("string"))
         probe = probe.unionByName(
             accepted_b
-            # exclude only THIS run's re-append of THIS batch (crash
-            # rerun); a different epoch's same-numbered batch is real
-            # accepted state and must stay probeable
-            .where(~(F.col("epoch").eqNullSafe(F.lit(epoch))
+            # exclude THIS run's re-append of THIS batch (crash rerun).
+            # Epoch-NULL rows (pre-upgrade tables) with the same batch
+            # id also count as self: a pre-upgrade crash between the
+            # two appends leaves batch N's buckets without an epoch,
+            # and treating them as foreign would make the rerun
+            # self-collide and silently drop the whole batch — the
+            # exact loss the two-table protocol exists to prevent.  A
+            # DIFFERENT tagged epoch's same-numbered batch is real
+            # accepted state and stays probeable.
+            .where(~((F.col("epoch").eqNullSafe(F.lit(epoch))
+                      | F.col("epoch").isNull())
                      & (F.col("batch_id") == batch_id)))
             .select(
                 "band", "h",

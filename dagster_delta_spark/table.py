@@ -991,11 +991,14 @@ class DeltaSparkTable:
                     rng += [(tc, ">=", lo), (tc, "<=", hi)]
             return rng
 
+        rng_memo: list = []  # shared with the commit-time conflict check
+
         if (
             len(candidates) >= 8
             and merge_config.merge_type != MergeType.replace_delete_unmatched
         ):
-            rng0 = source_key_ranges()
+            rng_memo.append(source_key_ranges())
+            rng0 = rng_memo[0]
             if rng0:
                 try:
                     candidates = [
@@ -1179,8 +1182,26 @@ class DeltaSparkTable:
                 # source's key range (and outside the partition scope)
                 # cannot conflict.  M4 conflicts on ANY in-scope add —
                 # its delete semantics consider every target row.
-                base = {a.path for a in snap.files}
-                fresh = [a for a in cur.files if a.path not in base]
+                # COMPACTION commits are exempt (Delta's
+                # dataChange=false): optimize()/zorder re-add existing
+                # rows under new paths — their key stats overlap almost
+                # anything, but no new data arrived, so aborting a merge
+                # that races the engine's own maintenance would be an
+                # unrecoverable failure for a no-op interleaving.
+                fresh = []
+                for v in range(snap.version + 1, head + 1):
+                    operation = ""
+                    adds_v: list[AddFile] = []
+                    for action in tablelog.read_version_actions(
+                            self.table_uri, v):
+                        if "commitInfo" in action:
+                            operation = action["commitInfo"].get(
+                                "operation", "")
+                        elif "add" in action:
+                            adds_v.append(
+                                AddFile.from_action(action["add"]))
+                    if tablelog.classify_commit(operation) != "compaction":
+                        fresh.extend(adds_v)
                 if partition_dnf and fresh:
                     fresh = [
                         a for a in fresh
@@ -1191,7 +1212,13 @@ class DeltaSparkTable:
                     if mtype == MergeType.replace_delete_unmatched:
                         conflict = True
                     else:
-                        rng = source_key_ranges()
+                        # memoized: re-running the source's min/max agg
+                        # per retry would re-execute the whole source
+                        # plan (and a non-deterministic source could
+                        # yield different bounds than discovery used)
+                        if not rng_memo:
+                            rng_memo.append(source_key_ranges())
+                        rng = rng_memo[0]
                         if rng is None:
                             conflict = True  # no keys to narrow by
                         else:
@@ -1410,6 +1437,8 @@ class DeltaSparkTable:
         snap = self.snapshot()
         schema = StructType.fromJson(_json_loads(snap.schema_json))
         fields = {f.name: f.dataType for f in schema.fields}
+        if not columns:
+            raise ValueError("zorder requires at least one column")
         unknown = [c for c in columns if c not in fields]
         if unknown:
             raise ValueError(f"zorder: unknown column(s) {unknown}")

@@ -345,3 +345,59 @@ def test_time_travel_uses_older_checkpoint(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     assert len(snap.files) == 16
     assert read_versions and min(read_versions) == 11, read_versions
+
+
+def test_merge_tolerates_concurrent_compaction(spark, tmp_path, monkeypatch):
+    """A concurrent optimize() (dataChange=false analogue) re-adds
+    existing rows under new paths whose stats overlap everything — the
+    merge must NOT raise ConcurrentAppendError for that no-op
+    interleaving (Delta exempts compaction commits the same way)."""
+    from dagster_delta_spark import tablelog
+
+    uri = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                               "k long, v double")
+    DeltaSparkTable(spark, uri).write(df.repartition(4), WriteMode.error)
+    # dedup_insert removes no files, so the only conflict signal is the
+    # compaction's re-added files — whose stats cover the source range
+    src = spark.createDataFrame([(3, 99.0), (100, 100.0)],
+                                "k long, v double")
+
+    real = tablelog.commit
+    calls = {"n": 0}
+
+    def racing(uri_, version, actions, snapshot):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            DeltaSparkTable(spark, uri).optimize(
+                target_file_size=1 << 30)  # compacts 4 files into 1
+            raise VersionConflictError("injected race")
+        return real(uri_, version, actions, snapshot)
+
+    monkeypatch.setattr(tablelog, "commit", racing)
+    out = DeltaSparkTable(spark, uri).merge(
+        src, MergeConfig(MergeType.deduplicate_insert,
+                         predicate="s.k = t.k"))
+    monkeypatch.setattr(tablelog, "commit", real)
+    assert out["version"] >= 2
+    rows = {r["k"]: r["v"] for r in DeltaSparkTable(spark, uri)
+            .read().collect()}
+    assert rows[3] == 3.0 and rows[100] == 100.0 and len(rows) == 51
+
+
+def test_storage_confs_scoped_per_bucket(spark, tmp_path):
+    """An s3a root_uri scopes credentials to its bucket in the live
+    Hadoop configuration, so two managers with different credentials
+    on one SparkSession cannot clobber each other."""
+    from dagster_delta_spark.config import S3Config
+    from dagster_delta_spark.io_manager import DeltaSparkIOManager
+
+    DeltaSparkIOManager(
+        spark, "s3a://bucket-a/root",
+        storage_config=S3Config(access_key_id="KEY_A"))
+    DeltaSparkIOManager(
+        spark, "s3a://bucket-b/root",
+        storage_config=S3Config(access_key_id="KEY_B"))
+    h = spark.sparkContext._jsc.hadoopConfiguration()
+    assert h.get("fs.s3a.bucket.bucket-a.access.key") == "KEY_A"
+    assert h.get("fs.s3a.bucket.bucket-b.access.key") == "KEY_B"
