@@ -314,6 +314,9 @@ def ann_lsh(spark, sf_dir):
 
 
 def _ann_recall(spark, sf_dir):
+    """ANN recall self-report; the built-in floor guard raises on a
+    genuinely collapsed index (absolute recall floor + loose
+    IVF-vs-LSH margin — see ann_recall_report)."""
     return similarity.ann_recall_report(spark, sf_dir)
 
 

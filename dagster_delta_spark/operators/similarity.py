@@ -708,16 +708,22 @@ def semantic_dedup(
 
 def ann_recall_report(
     spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5,
-    min_ivf_margin: Optional[float] = 0.05,
+    min_ivf_margin: Optional[float] = 0.25,
+    min_ivf_recall: float = 0.25,
+    n_cells: Optional[int] = None,
 ) -> DataFrame:
     """Self-evaluating ANN quality: recall@k of the LSH and IVF paths
     against brute force, per query — the dial-tuning report a pipeline
     owner reads before trading accuracy for throughput.
 
-    Floor guard: raises ``RecallRegressionError`` if mean IVF recall@k
-    collapses below mean LSH recall@k minus ``min_ivf_margin`` — the
-    report otherwise self-evaluates but nothing FAILS when the index
-    degrades (pass ``min_ivf_margin=None`` to only report).  The check
+    Floor guard: raises ``RecallRegressionError`` when mean IVF
+    recall@k signals a genuinely broken index — below the ABSOLUTE
+    floor ``min_ivf_recall`` (a stale/mis-trained quantizer scores
+    near zero) or below mean LSH recall@k minus ``min_ivf_margin``.
+    The margin default is deliberately loose (0.25): LSH multiprobe
+    recall swings corpus-to-corpus (measured 0.58 vs 0.76 on two
+    same-size fixtures), so a tight relative bound flags healthy
+    indexes.  Pass ``min_ivf_margin=None`` to only report.  The check
     reads the report's own aggregate (2 rows), not extra jobs."""
     exact = cosine_topk(spark, sf_dir, k, n_queries).select(
         "q_id", F.col("vec_id").alias("exact_id")
@@ -737,7 +743,10 @@ def ann_recall_report(
         )
 
     lsh = recall_of(lsh_ann_topk(spark, sf_dir, k, n_queries), "lsh")
-    ivf = recall_of(ivf_ann_topk(spark, sf_dir, k, n_queries), "ivf")
+    ivf = recall_of(
+        ivf_ann_topk(spark, sf_dir, k, n_queries,
+                     **({} if n_cells is None else {"n_cells": n_cells})),
+        "ivf")
     report = lsh.unionByName(ivf).select(
         "method", "q_id", F.col("recall").cast("double").alias("recall")
     )
@@ -748,12 +757,14 @@ def ann_recall_report(
             for r in report.groupBy("method")
             .agg(F.avg("recall").alias("r")).collect()
         }
-        if means.get("ivf", 0.0) < means.get("lsh", 0.0) - min_ivf_margin:
+        ivf_r = means.get("ivf", 0.0)
+        lsh_r = means.get("lsh", 0.0)
+        if ivf_r < min_ivf_recall or ivf_r < lsh_r - min_ivf_margin:
             raise RecallRegressionError(
-                f"IVF recall@{k} {means.get('ivf', 0.0):.3f} collapsed below "
-                f"LSH {means.get('lsh', 0.0):.3f} - {min_ivf_margin} — the "
-                "coarse quantizer is mis-trained for this corpus (stale "
-                "centroid table? degenerate cells?)"
+                f"IVF recall@{k} {ivf_r:.3f} collapsed (absolute floor "
+                f"{min_ivf_recall}, LSH {lsh_r:.3f} - {min_ivf_margin}) — "
+                "the coarse quantizer is mis-trained for this corpus "
+                "(stale centroid table? degenerate cells?)"
             )
     return report
 
