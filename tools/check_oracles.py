@@ -110,6 +110,29 @@ def canon(rows, ndigits=6):
     return sorted(out, key=repr)
 
 
+def _rows_close(a_rows, b_rows) -> bool:
+    """Fallback equality for rows that differ only by float-cast ulps:
+    at sf0.1 magnitudes (~1e10 with decimal fractions) the two
+    engines' DECIMAL->DOUBLE casts round the same exact value to
+    adjacent doubles, and the 6-digit canon then prints .1 vs .099999.
+    The DRIVER's gate (sf0.01, smaller magnitudes) is unaffected —
+    this keeps the LOCAL multi-SF sweeps meaningful."""
+    for a, b in zip(a_rows, b_rows):
+        if a == b:
+            continue
+        if len(a) != len(b):
+            return False
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            if isinstance(x, float) and isinstance(y, float) and math.isclose(
+                x, y, rel_tol=1e-9, abs_tol=1e-6
+            ):
+                continue
+            return False
+    return True
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -192,7 +215,7 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: rowcount {len(s_c)} != {len(d_c)}")
             print("  spark:", s_c[:2], "\n  duck :", d_c[:2])
-        elif s_c != d_c:
+        elif s_c != d_c and not _rows_close(s_c, d_c):
             failures.append(name)
             diff = [(a, b) for a, b in zip(s_c, d_c) if a != b][:3]
             print(f"FAIL {name}: value mismatch ({len(s_c)} rows); first diffs:")
