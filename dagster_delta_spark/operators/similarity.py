@@ -710,7 +710,6 @@ def ann_recall_report(
     spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5,
     min_ivf_margin: Optional[float] = 0.25,
     min_ivf_recall: float = 0.25,
-    n_cells: Optional[int] = None,
 ) -> DataFrame:
     """Self-evaluating ANN quality: recall@k of the LSH and IVF paths
     against brute force, per query — the dial-tuning report a pipeline
@@ -723,8 +722,10 @@ def ann_recall_report(
     The margin default is deliberately loose (0.25): LSH multiprobe
     recall swings corpus-to-corpus (measured 0.58 vs 0.76 on two
     same-size fixtures), so a tight relative bound flags healthy
-    indexes.  Pass ``min_ivf_margin=None`` to only report.  The check
-    reads the report's own aggregate (2 rows), not extra jobs."""
+    indexes.  ``min_ivf_margin=None`` disables the relative check;
+    ``min_ivf_recall=0`` disables the absolute floor (each guard is
+    independent).  The check reads the report's own aggregate (2
+    rows), not extra jobs."""
     exact = cosine_topk(spark, sf_dir, k, n_queries).select(
         "q_id", F.col("vec_id").alias("exact_id")
     )
@@ -743,14 +744,11 @@ def ann_recall_report(
         )
 
     lsh = recall_of(lsh_ann_topk(spark, sf_dir, k, n_queries), "lsh")
-    ivf = recall_of(
-        ivf_ann_topk(spark, sf_dir, k, n_queries,
-                     **({} if n_cells is None else {"n_cells": n_cells})),
-        "ivf")
+    ivf = recall_of(ivf_ann_topk(spark, sf_dir, k, n_queries), "ivf")
     report = lsh.unionByName(ivf).select(
         "method", "q_id", F.col("recall").cast("double").alias("recall")
     )
-    if min_ivf_margin is not None:
+    if min_ivf_margin is not None or min_ivf_recall > 0:
         report = report.localCheckpoint()  # guard + caller share one run
         means = {
             r["method"]: r["r"]
@@ -759,7 +757,9 @@ def ann_recall_report(
         }
         ivf_r = means.get("ivf", 0.0)
         lsh_r = means.get("lsh", 0.0)
-        if ivf_r < min_ivf_recall or ivf_r < lsh_r - min_ivf_margin:
+        rel_bad = (min_ivf_margin is not None
+                   and ivf_r < lsh_r - min_ivf_margin)
+        if ivf_r < min_ivf_recall or rel_bad:
             raise RecallRegressionError(
                 f"IVF recall@{k} {ivf_r:.3f} collapsed (absolute floor "
                 f"{min_ivf_recall}, LSH {lsh_r:.3f} - {min_ivf_margin}) — "

@@ -111,12 +111,17 @@ def canon(rows, ndigits=6):
 
 
 def _rows_close(a_rows, b_rows) -> bool:
-    """Fallback equality for rows that differ only by float-cast ulps:
+    """Fallback equality for rows that differ only by float-cast ULPs:
     at sf0.1 magnitudes (~1e10 with decimal fractions) the two
     engines' DECIMAL->DOUBLE casts round the same exact value to
     adjacent doubles, and the 6-digit canon then prints .1 vs .099999.
-    The DRIVER's gate (sf0.01, smaller magnitudes) is unaffected —
-    this keeps the LOCAL multi-SF sweeps meaningful."""
+
+    rel_tol=1e-12 covers a handful of ulps ONLY (1 ulp is rel ~2e-16);
+    anything looser would mask real value regressions behind the
+    tolerance.  Rows are zip-paired after each side's repr-sort, so an
+    ulp divergence in a sort-significant float can misalign pairs —
+    that direction FAILS loudly (conservative), never silently passes.
+    The DRIVER's gate (exact 6-digit canon at sf0.01) is unaffected."""
     for a, b in zip(a_rows, b_rows):
         if a == b:
             continue
@@ -126,7 +131,7 @@ def _rows_close(a_rows, b_rows) -> bool:
             if x == y:
                 continue
             if isinstance(x, float) and isinstance(y, float) and math.isclose(
-                x, y, rel_tol=1e-9, abs_tol=1e-6
+                x, y, rel_tol=1e-12, abs_tol=1e-9
             ):
                 continue
             return False
