@@ -67,8 +67,14 @@ def _apply_model(model, op, pdf):
 
 
 def test_random_op_sequences_match_model(spark, tmp_path):
+    import os
+
+    # soak knobs: DDS_FUZZ_TRIALS=10 DDS_FUZZ_STEPS=20 deepens the
+    # sweep without touching the (reproducible) default seed
+    trials = int(os.environ.get("DDS_FUZZ_TRIALS", "3"))
+    steps = int(os.environ.get("DDS_FUZZ_STEPS", "12"))
     rnd = random.Random(1234)
-    for trial in range(3):
+    for trial in range(trials):
         t = DeltaSparkTable(spark, str(tmp_path / f"t{trial}"))
         model = pd.DataFrame(columns=["k", "v"]).astype("int64")
         states = []
@@ -77,10 +83,10 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         model = _apply_model(model, "overwrite", pdf)
         states.append(_model_state(model))
 
-        # 12 steps so trials cross the checkpoint interval (10 commits)
-        # and time travel exercises the parquet checkpoint + JSON tail;
-        # optimize is a no-op on state but commits a version
-        for _step in range(12):
+        # >= 12 steps so trials cross the checkpoint interval (10
+        # commits) and time travel exercises the parquet checkpoint +
+        # JSON tail; optimize is a no-op on state but commits a version
+        for _step in range(steps):
             op = rnd.choice(["append", "overwrite", "upsert",
                              "delete_unmatched", "update_only",
                              "dedup_insert", "optimize"])
