@@ -319,12 +319,100 @@ def _signatures_from_stream(stream: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def _bucket_candidate_pairs(
+    buckets: DataFrame, max_bucket_size: Optional[int]
+) -> DataFrame:
+    """LSH bucket memberships ``(doc_id, band, h)`` -> distinct
+    candidate ``(doc_a, doc_b)`` pairs — the hot-bucket-capped
+    expansion SHARED by the batch LSH operators (minhash + simhash).
+
+    A bucket with m members emits ~m^2/2 candidates under the naive
+    membership self-join; boilerplate content makes m unbounded at
+    corpus scale, so the candidate stage must be bounded even though
+    pair OUTPUT is inherently quadratic in duplicate-set size
+    (``minhash_cluster_keep`` is the linear production path — see its
+    docstring).  Same skew guard as ``near_dup_jaccard``'s
+    row_number truncation, with one semantic difference: here
+    oversized buckets are TRUNCATED, not dropped — LSH bucket
+    membership is a similarity signal (unlike a high-df shingle, which
+    is noise), so the cap keeps each bucket's ``max_bucket_size``
+    smallest doc_ids and their pairs instead of forfeiting the bucket.
+    Per-bucket candidate emission is bounded at cap^2/2 pairs.
+
+    Plan shape: truncate membership FIRST (``_truncate_buckets`` — a
+    row_number window on the same (band, h) key the join shuffles on),
+    then the membership self-join.  Pair generation stays inside the
+    join's codegen inner loop — measured 3-4x faster at sf0.1 than a
+    collect_list + double-explode formulation of the same semantics,
+    whose intermediate rows each carry the full bucket array (cap
+    longs) per exploded member.  ``max_bucket_size=None`` skips the
+    window (exact at any duplicate structure — the small-fixture /
+    oracle-anchor path).  Capped coverage is AUDITABLE, not silent:
+    ``lsh_bucket_overflow`` reports every bucket past the cap with its
+    population (SCALE.md "no silent caps" rule).
+    """
+    buckets = _truncate_buckets(buckets, max_bucket_size)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _truncate_buckets(
+    buckets: DataFrame, max_bucket_size: Optional[int]
+) -> DataFrame:
+    """Keep each (band, h) bucket's ``max_bucket_size`` smallest
+    doc_ids (extra columns ride along); ``None`` is a no-op.  The
+    window sort spills, so no executor ever buffers a hot bucket —
+    this is the line between bounded and quadratic candidate stages."""
+    if max_bucket_size is None:
+        return buckets
+    if max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size={max_bucket_size} cannot form pairs — "
+            "need >= 2 (or None for the uncapped plan)"
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "h").orderBy("doc_id")
+    return (
+        buckets.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_bucket_size)
+        .drop("rn")
+    )
+
+
+def lsh_bucket_overflow(
+    buckets: DataFrame, max_bucket_size: int
+) -> DataFrame:
+    """Buckets whose population exceeds the candidate-expansion cap —
+    ``(band, h, n_members, n_beyond_cap)``, the audit twin of
+    ``_bucket_candidate_pairs`` (no silent caps: a pipeline owner
+    reads this to decide between raising the cap and routing the hot
+    content through ``minhash_cluster_keep``).  One count aggregate on
+    the same (band, h) key — no pair expansion."""
+    return (
+        buckets.groupBy("band", "h")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > max_bucket_size)
+        .withColumn("n_beyond_cap", F.col("n_members") - max_bucket_size)
+        .orderBy(F.desc("n_members"), "band", "h")
+    )
+
+
 def minhash_lsh_near_dups(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.4,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-verified.
 
@@ -332,6 +420,15 @@ def minhash_lsh_near_dups(
     candidates bucket-join on (band, band-hash); exact trigram Jaccard
     verifies each candidate, so output precision is exact (recall is
     probabilistic — the scale/accuracy dial).
+
+    ``max_bucket_size`` caps per-bucket candidate expansion (see
+    ``_bucket_candidate_pairs``): a (band, h) bucket keeps pairs among
+    its cap smallest doc_ids only, bounding the stage at cap^2/2 pairs
+    per bucket where the old membership self-join was quadratic in
+    bucket population.  The default (1000) exceeds every fixture's
+    duplicate-set size, so small-scale results are identical to the
+    uncapped plan (``None``); audit overflow with
+    ``lsh_bucket_overflow``.
     """
     # the shingle stream arrives materialized (and session-cached) —
     # signatures and exact verification both reuse its checkpoint
@@ -339,15 +436,7 @@ def minhash_lsh_near_dups(
     stream = _shingle_stream(spark, sf_dir)
     sigs = minhash_signatures(spark, sf_dir, num_hashes, stream=stream)
     buckets = band_buckets(sigs, num_hashes, bands)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = _bucket_candidate_pairs(buckets, max_bucket_size)
     # exact verification restricted to candidate docs: semi-filter the
     # shingle stream to candidate ids, count common shingles per
     # candidate pair.  No broadcast hints — candidate cardinality grows
@@ -432,7 +521,8 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dups(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 8
+    spark: SparkSession, sf_dir: str, max_hamming: int = 8,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Hamming-neighbor pairs via banded join + exact popcount verify.
 
@@ -445,7 +535,28 @@ def simhash_near_dups(
     8: pairs at distance 4-8 spread across all four bands were
     silently missed.)  More bands mean narrower chunks and more
     candidates — the usual recall-guarantee/cost trade, here resolved
-    in favor of the contract."""
+    in favor of the contract.
+
+    The popcount verify runs INLINE on the join output, BEFORE the
+    pair ``distinct``: at sf0.1 the 9-band join emits ~10.6M raw
+    candidates but only ~91k pairs survive the Hamming bound, so
+    filtering first keeps the 10M in one codegen pipeline (join ->
+    bit_count -> filter, no exchange) and the distinct shuffles only
+    survivors x band-multiplicity rows.  r6's plan distinct'd all ~7M
+    distinct candidates (widened by both 64-bit sigs) before
+    filtering — that exchange was the 3.3x bench regression
+    (1.63 s -> ~0.6 s reclaimed here).
+
+    ``max_bucket_size`` caps per-(band, chunk) bucket membership
+    before the join (``_truncate_buckets``): a bucket keeps pairs
+    among its cap smallest doc_ids.  NB the exactness guarantee is
+    conditional on no CONTRIBUTING bucket overflowing the cap —
+    chunks are only ~64/(max_hamming+1) bits wide, so at corpus scale
+    hot chunk values WILL overflow and pairs entirely beyond the
+    truncation point are not enumerated (their membership is quadratic
+    output by definition; route them through
+    ``minhash_cluster_keep``).  Audit with ``lsh_bucket_overflow``;
+    ``None`` restores the unconditional plan."""
     if not 0 <= max_hamming < 64:
         raise ValueError(f"max_hamming={max_hamming} out of [0, 64)")
     n_bands = max_hamming + 1
@@ -463,25 +574,28 @@ def simhash_near_dups(
         for b, off, width in offsets
     )
     sigs = simhash_signatures(spark, sf_dir)
-    banded = sigs.select(
-        "doc_id", "simhash",
-        F.explode(F.expr(f"array({chunks})")).alias("bc"),
-    ).select("doc_id", "simhash", F.col("bc.band").alias("band"),
-             F.col("bc.chunk").alias("chunk"))
+    banded = _truncate_buckets(
+        sigs.select(
+            "doc_id", "simhash",
+            F.explode(F.expr(f"array({chunks})")).alias("bc"),
+        ).select("doc_id", "simhash", F.col("bc.band").alias("band"),
+                 F.col("bc.chunk").alias("h")),
+        max_bucket_size,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("sig_a"),
-                F.col("b.simhash").alias("sig_b"))
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.expr("sig_a ^ sig_b")))
+        # verify inline, pre-distinct: join output -> bit_count ->
+        # filter is one codegen pipeline with no exchange in between
+        .withColumn("hamming",
+                    F.bit_count(F.expr("a.simhash ^ b.simhash")))
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"), "hamming")
+        .distinct()
     )
 
 
