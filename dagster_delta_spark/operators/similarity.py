@@ -16,6 +16,7 @@ in codegen) rather than Python UDFs.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import tempfile
 from typing import Optional
@@ -34,6 +35,50 @@ NORM = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS 
 
 class RecallRegressionError(RuntimeError):
     """ANN index quality collapsed below its configured floor."""
+
+
+def _auto_cells(spark: SparkSession, sf_dir: str) -> int:
+    """sqrt-rule IVF cell count: ``n_cells ~= 1.5*sqrt(n)`` (the
+    standard coarse-quantizer sizing — FAISS guidance is c*sqrt(n);
+    c=1.5 reproduces the hand-tuned 32 cells on the 500-vector fixture
+    where recall@10 was measured at 0.60-0.62, so auto-scaling changes
+    nothing at the tuned point), clamped to [4, 65536].  A FIXED cell
+    count stops bounding the probe scan as the corpus grows: at 100x
+    the data, 32 cells mean each probe reads 100x more vectors; sqrt
+    scaling keeps both the per-cell population and the centroid table
+    growing as sqrt(n), so probe cost per query grows ~sqrt(n) instead
+    of linearly.  Every IVF entry point defaults to this
+    (``n_cells=None``); an explicit ``n_cells`` stays an exact dial.
+    The corpus count is one footer-only parquet count, cached per
+    (session, corpus, fingerprint) next to the centroid cache."""
+    key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        _corpus_fingerprint(sf_dir), "ncells",
+    )
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .dedup import _evict_stale
+
+    n = load(spark, sf_dir, "embeddings").count()
+    cells = max(4, min(65536, int(round(1.5 * math.sqrt(max(n, 1))))))
+    _evict_stale(_CENTROID_CACHE, key[0], key)
+    _CENTROID_CACHE[key] = cells
+    return cells
+
+
+def _resolve_cells(
+    spark: SparkSession, sf_dir: str, n_cells: Optional[int]
+) -> int:
+    return n_cells if n_cells is not None else _auto_cells(spark, sf_dir)
+
+
+def _resolve_nprobe(nprobe: Optional[int], n_cells: int) -> int:
+    """Default nprobe scales WITH the cell count (ceil(n_cells/4), the
+    25% probe fraction of the old fixed 32/8 default): auto-scaled
+    cells with a fixed nprobe would silently shrink the probe fraction
+    — and recall — as the corpus grows."""
+    return nprobe if nprobe is not None else max(1, -(-n_cells // 4))
 
 
 def _with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
@@ -351,10 +396,13 @@ def ivf_centroid_table_uri(
 
 
 def ivf_train_centroids(
-    spark: SparkSession, sf_dir: str, n_cells: int = 32, iters: int = 1,
-    train_sample_mod: int = 4,
+    spark: SparkSession, sf_dir: str, n_cells: Optional[int] = None,
+    iters: int = 1, train_sample_mod: int = 4,
 ) -> DataFrame:
     """Distributed k-means training for the IVF coarse quantizer.
+
+    ``n_cells=None`` (default) auto-scales to ``~sqrt(corpus)`` via
+    ``_auto_cells`` — see its docstring for the 100 TB rationale.
 
     Init: the ``n_cells`` vectors with the smallest ``xxhash64(vec_id)``
     — a deterministic pseudo-random sample (``TakeOrdered``, no full
@@ -372,7 +420,10 @@ def ivf_train_centroids(
     Training runs on a deterministic 1/``train_sample_mod`` hash sample
     of the corpus — the standard coarse-quantizer recipe (centroid
     quality needs thousands of vectors per cell, not the full corpus);
-    at 100 TB raise the modulus so the sample stays ~100k vectors.
+    at 100 TB raise the modulus so the sample stays manageable while
+    keeping >= ~64 training vectors per cell (with auto-scaled
+    ``n_cells ~ 1.5*sqrt(n)``, sample ~ 100*sqrt(n) suffices — far
+    below n).
     One round is the throughput default (recall on the fixture matches
     two); ``iters`` is the quality dial.
 
@@ -388,6 +439,7 @@ def ivf_train_centroids(
 
     from ..table import DeltaSparkTable
 
+    n_cells = _resolve_cells(spark, sf_dir, n_cells)
     fingerprint = _corpus_fingerprint(sf_dir)
     # fingerprint in the key: a corpus rewrite within this process must
     # miss the cache and hit the retrain-on-change path below.  Key
@@ -454,7 +506,7 @@ def ivf_train_centroids(
 
 
 def ivf_assignments(
-    spark: SparkSession, sf_dir: str, n_cells: int = 32,
+    spark: SparkSession, sf_dir: str, n_cells: Optional[int] = None,
     train_iters: int = 1,
 ) -> DataFrame:
     """IVF coarse quantization: k-means-trained centroids (see
@@ -466,6 +518,7 @@ def ivf_assignments(
     (session, corpus fingerprint, params) alongside the centroid cache;
     queries pay probe + rerank only.  (Training-loop internals call
     ``_assign_cells`` directly for fresh assignments.)"""
+    n_cells = _resolve_cells(spark, sf_dir, n_cells)
     key = (
         spark.sparkContext.applicationId, os.path.abspath(sf_dir),
         _corpus_fingerprint(sf_dir), "assign", n_cells, train_iters,
@@ -509,7 +562,7 @@ def _probe_cells(
 
 def ivf_ann_topk(
     spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
-    n_cells: int = 32, nprobe: int = 8,
+    n_cells: Optional[int] = None, nprobe: Optional[int] = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     cells; exact cosine re-ranks only vectors in those cells.  The
@@ -518,7 +571,15 @@ def ivf_ann_topk(
     track the data better): on the sf0.01 fixture 32/8 reaches
     recall@10 0.60-0.62 vs 0.46 for 16/4 and 0.58-0.59 for multiprobe
     LSH, at the same 25% candidate budget.  Train-sample size and
-    extra k-means rounds measured recall-neutral here."""
+    extra k-means rounds measured recall-neutral here.
+
+    Defaults auto-scale with the corpus: ``n_cells=None`` ->
+    ``~sqrt(n)`` cells (``_auto_cells``) and ``nprobe=None`` ->
+    ``ceil(n_cells/4)`` (``_resolve_nprobe``) — the probe scan stays
+    bounded at ~sqrt(n) per cell as the corpus grows instead of
+    inflating fixed-size cells."""
+    n_cells = _resolve_cells(spark, sf_dir, n_cells)
+    nprobe = _resolve_nprobe(nprobe, n_cells)
     cents = ivf_train_centroids(spark, sf_dir, n_cells)
     assigned = ivf_assignments(spark, sf_dir, n_cells)
     probes = _probe_cells(assigned, cents, n_queries, nprobe)
@@ -542,7 +603,8 @@ _DEQUANT = (
 
 def ivf_quantized_topk(
     spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
-    n_cells: int = 32, nprobe: int = 8, rerank: int = 50,
+    n_cells: Optional[int] = None, nprobe: Optional[int] = None,
+    rerank: int = 50,
 ) -> DataFrame:
     """Two-stage IVF ANN over the int8-quantized corpus (IVF + scalar
     quantization — the FAISS IVF-SQ8 shape): stage 1 scores every
@@ -567,6 +629,8 @@ def ivf_quantized_topk(
     # a shortlist smaller than k would silently return fewer than k
     # results per query that LOOK complete
     rerank = max(rerank, k)
+    n_cells = _resolve_cells(spark, sf_dir, n_cells)
+    nprobe = _resolve_nprobe(nprobe, n_cells)
     cents = ivf_train_centroids(spark, sf_dir, n_cells)
     assigned = ivf_assignments(spark, sf_dir, n_cells)
     probes = _probe_cells(assigned, cents, n_queries, nprobe)
@@ -652,7 +716,7 @@ def embedding_near_dups_lsh(
 
 def semantic_dedup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95,
-    n_cells: int = 32,
+    n_cells: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public): cluster the embedding corpus with the
@@ -770,7 +834,7 @@ def ann_recall_report(
 
 
 def kmeans_clusters(
-    spark: SparkSession, sf_dir: str, n_cells: int = 32,
+    spark: SparkSession, sf_dir: str, n_cells: Optional[int] = None,
     train_iters: int = 1,
 ) -> DataFrame:
     """Corpus clustering report from the k-means coarse quantizer: one
