@@ -326,11 +326,43 @@ def _emb_neardup_lsh(spark, sf_dir):
 
 def _semantic_dedup(spark, sf_dir):
     """SemDeDup-style cluster-bounded near-dup pruning (rows-only:
-    k-means cells + float cosine aren't SQL-expressible; the greedy
-    keep-min-id rule is unit-tested against brute force on planted
-    duplicates).  The fixture embeddings carry no true semantic dups
-    (max pairwise cosine ~0.51), so the registry entry runs at a low
-    threshold to exercise the drop path on driver data."""
+    k-means cells + float cosine aren't SQL-expressible).  The fixture
+    embeddings carry no true semantic dups (max pairwise cosine
+    ~0.51), so the registry entry runs at a low threshold to exercise
+    the drop path on driver data.
+
+    Self-falsifying (r7): before returning, the entry PLANTS an exact
+    duplicate of the smallest vec_id into a scratch copy of the corpus
+    and asserts the operator drops it in favour of the original — a
+    rows-only record of this entry now certifies detection behavior,
+    not just row production (the same invariant the pytest planted-dup
+    test checks, moved into the recorded path)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bounds = emb.agg(F.min("vec_id").alias("lo"),
+                     F.max("vec_id").alias("hi")).collect()[0]
+    original = emb.where(F.col("vec_id") == bounds["lo"])
+    planted_id = bounds["hi"] + 1
+    d = tempfile.mkdtemp(prefix="dds-semdedup-guard-")
+    emb.unionByName(
+        original.withColumn("vec_id",
+                            F.lit(planted_id).cast(dict(emb.dtypes)["vec_id"]))
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    # threshold 0.999: on this fixture only the planted exact copy
+    # qualifies, so the expected verdict is unambiguous
+    verdict = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(spark, d, threshold=0.999)
+        .where(F.col("vec_id").isin(int(bounds["lo"]), int(planted_id)))
+        .collect()
+    }
+    g, orig = verdict[planted_id], verdict[bounds["lo"]]
+    if g["keep"] or g["dup_of"] != bounds["lo"] or not orig["keep"]:
+        raise AssertionError(
+            f"semantic_dedup missed a planted exact duplicate: planted "
+            f"{planted_id} -> keep={g['keep']} dup_of={g['dup_of']} "
+            f"(expected drop in favour of {bounds['lo']}, which got "
+            f"keep={orig['keep']})"
+        )
     return similarity.semantic_dedup(spark, sf_dir, threshold=0.4)
 
 
@@ -340,8 +372,27 @@ def _ivf_ann(spark, sf_dir):
 
 def _ivf_quantized(spark, sf_dir):
     """IVF-SQ8 two-stage ANN: int8 candidate scan + exact float rerank
-    (rows-only: approximate by design; unit-tested to reproduce
-    ivf_ann_topk bit-for-bit at full rerank)."""
+    (rows-only: approximate by design).
+
+    Self-falsifying (r7): the entry asserts the bit-parity contract
+    in-line — with ``rerank`` covering every probed candidate, the
+    exact-rerank stage must reproduce ``ivf_ann_topk``'s (q_id, rank)
+    -> vec_id mapping exactly (same probe set, same tie-break).  A
+    rows-only record of this entry therefore certifies the quantized
+    path against its unquantized anchor, not just row production."""
+    anchor = {(r["q_id"], r["rank"]): r["vec_id"]
+              for r in similarity.ivf_ann_topk(spark, sf_dir).collect()}
+    full = {(r["q_id"], r["rank"]): r["vec_id"]
+            for r in similarity.ivf_quantized_topk(
+                spark, sf_dir, rerank=10**9).collect()}
+    if full != anchor:
+        diff = {k: (anchor.get(k), full.get(k))
+                for k in set(anchor) | set(full)
+                if anchor.get(k) != full.get(k)}
+        raise AssertionError(
+            "IVF-SQ8 full-rerank diverged from ivf_ann_topk "
+            f"(anchor, quantized) mismatches: {diff}"
+        )
     return similarity.ivf_quantized_topk(spark, sf_dir)
 
 
@@ -396,14 +447,103 @@ def _stream_ingest_filter(spark, sf_dir):
     """Online MinHash near-dup ingest filter over the documents corpus
     split into three arrival batches (rows-only: streaming two-table
     state).  Batch files are fixture setup; the operator under test is
-    the per-micro-batch sign/probe/append pipeline."""
+    the per-micro-batch sign/probe/append pipeline.
+
+    Self-falsifying (r7) — the two soundness halves of the filter are
+    asserted in-entry, so a rows-only record certifies behavior:
+
+    1. *Accepted-set bucket disjointness*: no (band, h) bucket in the
+       state index is held by two accepted docs — if it were, the
+       second holder should have been dropped (cross-batch) or lost
+       the within-batch min-id race.
+    2. *Rejection witnesses*: every REJECTED doc shares at least one
+       bucket with an accepted doc (cross-batch collision) or with a
+       smaller-id doc of its own arrival batch (within-batch survivor
+       rule) — recomputed from scratch with the batch signature
+       pipeline, so a filter that drops docs without evidence fails
+       here."""
     from dagster_delta_spark.streaming import stream_ingest_near_dup_filter
 
+    n_batches = 3
+    uri = _scratch("ingest")
     t = stream_ingest_near_dup_filter(
-        spark, split_documents_fixture(sf_dir), _scratch("ingest"),
+        spark, split_documents_fixture(sf_dir, n_batches), uri,
         max_files_per_trigger=1
     )
-    return t.read().select("doc_id")
+    accepted = t.read().select("doc_id").localCheckpoint()
+    _assert_ingest_soundness(spark, sf_dir, uri, accepted, n_batches)
+    return accepted
+
+
+def _assert_ingest_soundness(
+    spark, sf_dir, uri, accepted, n_batches: int
+) -> None:
+    """The two recorded ingest-filter invariants (see
+    ``_stream_ingest_filter``), factored out so tests can aim them at
+    tampered state and prove they fire."""
+    from dagster_delta_spark.operators.dedup import (
+        _signatures_from_stream,
+        band_buckets,
+        shingles_of,
+    )
+    from dagster_delta_spark.operators.textops import NORM_TEXT
+
+    # (1) disjointness over the persisted bucket index itself
+    state = DeltaSparkTable(spark, uri + "_buckets").read()
+    shared = (
+        state.groupBy("band", "h")
+        .agg(F.countDistinct("doc_id").alias("n_holders"))
+        .where(F.col("n_holders") > 1)
+        .count()
+    )
+    if shared:
+        raise AssertionError(
+            f"ingest filter accepted bucket-colliding docs: {shared} "
+            "(band, h) buckets have more than one accepted holder"
+        )
+
+    # (2) witnesses: recompute every input doc's buckets exactly as
+    # the filter signs them (LSH bands + the band=-1 exact-content
+    # pseudo-bucket for unshingleable docs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    sigs = _signatures_from_stream(shingles_of(docs), 64)
+    short = docs.join(sigs.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.lit(-1).alias("band"),
+        F.xxhash64(F.expr(NORM_TEXT)).alias("h"),
+    )
+    allb = (
+        band_buckets(sigs, 64, 16).unionByName(short)
+        # arrival batch: split_documents_fixture routes doc_id % n
+        .withColumn("batch", F.pmod("doc_id", F.lit(n_batches)))
+        .localCheckpoint()
+    )
+    rej = allb.join(accepted, "doc_id", "left_anti")
+    acc_buckets = allb.join(accepted, "doc_id").select("band", "h").distinct()
+    justified = (
+        rej.join(acc_buckets, ["band", "h"]).select("doc_id")
+        .unionByName(
+            rej.alias("r").join(
+                allb.alias("o"),
+                (F.col("r.band") == F.col("o.band"))
+                & (F.col("r.h") == F.col("o.h"))
+                & (F.col("r.batch") == F.col("o.batch"))
+                & (F.col("o.doc_id") < F.col("r.doc_id")),
+            ).select(F.col("r.doc_id").alias("doc_id"))
+        )
+        .distinct()
+    )
+    unjustified = (
+        rej.select("doc_id").distinct()
+        .join(justified, "doc_id", "left_anti")
+        .count()
+    )
+    if unjustified:
+        raise AssertionError(
+            f"ingest filter rejected {unjustified} docs without a "
+            "collision witness (no shared bucket with an accepted doc "
+            "or a smaller-id same-batch doc)"
+        )
 
 
 def streaming_rollup(spark, sf_dir):

@@ -676,3 +676,75 @@ def test_table_source_schema_evolution_and_starting_version(spark, tmp_path):
 
     assert run() == {(1, None), (2, "x")}
     assert run(startingVersion="1") == {(2, "x")}
+
+
+def test_entry_guards_fire_on_violation(spark, tmp_path, monkeypatch):
+    """The r7 self-falsifying registry entries must actually falsify:
+    each recorded guard raises when its invariant is violated (a guard
+    that cannot fire certifies nothing)."""
+    import pytest
+
+    import __spark_entry__ as entry
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+
+    # --- ivf_quantized bit-parity guard: perturb the anchor ---
+    real_anchor = similarity.ivf_ann_topk
+
+    def skewed_anchor(spark_, sf_dir, *a, **kw):
+        from pyspark.sql import functions as F
+        return real_anchor(spark_, sf_dir, *a, **kw).withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000)
+
+    monkeypatch.setattr(similarity, "ivf_ann_topk", skewed_anchor)
+    with pytest.raises(AssertionError, match="diverged from ivf_ann_topk"):
+        entry._ivf_quantized(spark, sf)
+    monkeypatch.undo()
+
+    # --- semantic_dedup planted-duplicate guard: keep everything ---
+    real_sd = similarity.semantic_dedup
+
+    def keep_all(spark_, sf_dir, *a, **kw):
+        from pyspark.sql import functions as F
+        return real_sd(spark_, sf_dir, *a, **kw).withColumn(
+            "keep", F.lit(True))
+
+    monkeypatch.setattr(similarity, "semantic_dedup", keep_all)
+    with pytest.raises(AssertionError, match="planted exact duplicate"):
+        entry._semantic_dedup(spark, sf)
+    monkeypatch.undo()
+
+    # --- ingest soundness: run the real stream once, then tamper ---
+    src = entry.split_documents_fixture(sf)
+    uri = str(tmp_path / "ingest")
+    from dagster_delta_spark.streaming import stream_ingest_near_dup_filter
+
+    t = stream_ingest_near_dup_filter(spark, src, uri,
+                                      max_files_per_trigger=1)
+    accepted = t.read().select("doc_id").localCheckpoint()
+    entry._assert_ingest_soundness(spark, sf, uri, accepted, 3)  # healthy
+
+    # disjointness violation: duplicate an accepted bucket row under a
+    # second doc_id
+    buckets = DeltaSparkTable(spark, uri + "_buckets")
+    from pyspark.sql import functions as F
+    one = buckets.read().limit(1).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000)
+    buckets.write(one, WriteMode.append)
+    with pytest.raises(AssertionError, match="bucket-colliding"):
+        entry._assert_ingest_soundness(spark, sf, uri, accepted, 3)
+
+    # witness violation: claim an accepted doc was rejected — it has
+    # no collision witness by construction (it was accepted), so the
+    # witness check must flag it.  (Restore a clean bucket table first
+    # via time travel to version 1's state? simpler: new run dir.)
+    uri2 = str(tmp_path / "ingest2")
+    t2 = stream_ingest_near_dup_filter(spark, src, uri2,
+                                       max_files_per_trigger=1)
+    acc2 = t2.read().select("doc_id")
+    victim = acc2.orderBy("doc_id").limit(1)
+    with pytest.raises(AssertionError, match="without a|bucket-colliding"):
+        entry._assert_ingest_soundness(
+            spark, sf, uri2, acc2.subtract(victim).localCheckpoint(), 3)
