@@ -570,85 +570,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver records exactly the FIRST 50 dict
-    # entries in CORRECTNESS_r{N}.json (confirmed rounds 1-5).  The
+    # entries in CORRECTNESS_r{N}.json (confirmed rounds 1-6).  The
     # window ROTATES each round so union coverage across rounds
     # driver-verifies everything: an entry may sit past the cap only if
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
-    # that structurally cannot have one).  Round 6 priorities in-window:
-    # the reshaped quantize_embeddings (r5's one red row), the three
-    # operators finished in r5 but never registered, the four former
-    # rows-only entries that now carry oracles, and the renamed
-    # cross_source_contamination output.  Local gate for the whole
-    # registry regardless of position: tools/check_oracles.py.
+    # that structurally cannot have one).  Round 7 window: the 44
+    # entries last recorded in r5 or earlier (their modules were
+    # rewritten by the r6 hardening sweep AFTER those records — the
+    # committed ledger lagged the code), plus this round's changed
+    # entries (LSH bucket caps, IVF auto-cells, the self-falsifying
+    # guards).  Local gate for the whole registry regardless of
+    # position: tools/check_oracles.py.
     return {
-        # -------- first 50: the round-6 recording window --------
-        # r5 driver-red -> reshaped output, must re-record green
-        "quantize_embeddings": _quantize_embeddings,
-        # finished in r5, first registry appearance
-        "zipf_profile": textops.zipf_profile,
-        "kmeans_clusters": _kmeans_clusters,
-        "stream_ingest_near_dup_filter": _stream_ingest_filter,
-        # rows-only -> oracle-backed conversions (first green possible)
-        "streaming_hourly_rollup": streaming_rollup,
-        "streaming_sessionize": _streaming_sessionize,
-        "streaming_dedup": _streaming_dedup,
-        "curate_corpus": _curate_corpus,
-        # output column renamed (n_shared_fingerprints) -> re-record
-        "cross_source_contamination": curation.cross_source_contamination,
-        # write modes / merge / pruning (SURVEY §2.2-2.5, §2.11 —
-        # critical rows, kept in-window every round)
-        "w1_w4_error_ignore": w1_w4_error_ignore,
-        "w2_append": w2_append,
-        "w3_partition_overwrite": w3_partition_overwrite,
-        "w5_create_or_replace": w5_create_or_replace,
-        "m1_update_only": m1_update_only,
-        "m2_dedup_insert": m2_dedup_insert,
-        "m3_upsert": m3_upsert,
-        "m4_replace_delete": m4_replace_delete,
-        "s3_time_travel": s3_time_travel,
-        "p2_timewindow_read": p2_timewindow_read,
-        # window fill: oracle-backed entries re-recording their r1-r4
-        # green rows (all code-unchanged; fresh rows are free signal)
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "q6_q19_filter_aggs": q6_q19_filter_aggs,
-        "topk_window": relational.top_orders_per_status,
-        "events_hourly_rollup": relational.events_hourly_rollup,
-        "events_sessionize": relational.events_sessionize,
-        "q4_exists_semi": relational.q4_order_priority_exists,
-        "events_json_props": relational.events_json_props,
-        "q17_scalar_subquery": relational.q17_small_quantity_revenue,
-        # r6 core-review rewrites: changed code re-records in-window
-        "q11_important_parts": relational.q11_important_parts,
-        # (q12/q14/q18/q22 yield slots — multiply green on record)
-        "pack_sequences": curation.pack_sequences,
-        "text_quality": textops.text_quality,
-        "lang_id": textops.lang_id,
-        "decontaminate": curation.decontaminate,
-        "q7_nation_volume": relational.q7_nation_volume,
-        "cosine_topk": similarity.cosine_topk,
-        "embedding_near_dups": _embedding_near_dups_02,
-        "label_centroid_dims": _label_centroid_dims,
-        "multimodal_metadata": multimodal.multimodal_metadata,
-        # new in r6: salted skew-join parity (oracle = the PLAIN join)
-        "salted_user_rollup": relational.salted_user_rollup,
-        "price_distribution": price_distribution,
-        "status_pivot": relational.status_pivot,
-        "o_compaction_roundtrip": o_compaction_roundtrip,
-        "revenue_rollup_cube": revenue_rollup_cube,
-        "set_ops_customers": relational.customer_order_set_ops,
-        "asof_clicks_purchases": asof.clicks_asof_purchases,
-        "range_join_bursts": asof.user_event_bursts,
-        # new in r6: deterministic training-order shuffle (oracle-backed)
-        "corpus_shuffle": curation.corpus_shuffle,
-        # new in r6: IVF + int8 scalar quantization + exact rerank
-        # (rows-only: approximate by design)
+        # -------- first 50: the round-7 recording window --------
+        # changed THIS round: capped batch LSH + inline-verify simhash
+        "minhash_lsh_near_dups": minhash_lsh,
+        "simhash_near_dups": simhash_pairs,
+        "minhash_cluster_keep": _minhash_cluster,
+        # changed THIS round: IVF auto-scaled cells/nprobe
+        "ann_ivf_topk": _ivf_ann,
         "ann_ivf_quantized_topk": _ivf_quantized,
-        "token_stats": textops.token_stats,   # position 50: last in-window
-        # -------- past the cap: on driver record (r01-r05) --------
-        # oracle-backed, green rows on record
+        "kmeans_clusters": _kmeans_clusters,
+        "ann_recall_report": _ann_recall,
+        # changed THIS round: self-falsifying guards in the entry
+        "semantic_dedup": _semantic_dedup,
+        "stream_ingest_near_dup_filter": _stream_ingest_filter,
+        # pre-r6-hardening records: rows-only family
+        "sketch_profile": textops.sketch_profile,
+        "ann_lsh_topk": ann_lsh,
+        "embedding_near_dups_lsh": _emb_neardup_lsh,
+        "multimodal_features": mm_features,
+        # pre-r6-hardening records: oracle-backed tail (last recorded
+        # r1-r5; the r6 sweep touched their modules afterwards)
         "string_functions": relational.string_functions_probe,
         "date_parts_rollup": relational.date_parts_rollup,
         "q12_case_agg": relational.q12_priority_by_linestatus,
@@ -683,19 +637,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_read_changes": cdc_read_changes,
         "unigram_quality": textops.unigram_quality,
         "streaming_table_source": streaming_table_source,
-        # rows-only (structurally no oracle), r5 no_oracle rows on
-        # record — the gate accepts those records for oracle-less
-        # entries, so they no longer pin window slots forever
-        "sketch_profile": textops.sketch_profile,
-        "minhash_lsh_near_dups": minhash_lsh,
-        "minhash_cluster_keep": _minhash_cluster,
-        "simhash_near_dups": simhash_pairs,
-        "ann_lsh_topk": ann_lsh,
-        "ann_ivf_topk": _ivf_ann,
-        "embedding_near_dups_lsh": _emb_neardup_lsh,
-        "semantic_dedup": _semantic_dedup,
-        "ann_recall_report": _ann_recall,
-        "multimodal_features": mm_features,
+        # window fill: similarity-module neighbors of this round's
+        # changes re-record for free
+        "cosine_topk": similarity.cosine_topk,
+        "embedding_near_dups": _embedding_near_dups_02,  # position 50
+        # -------- past the cap: green/ok rows on committed r6 record --
+        "quantize_embeddings": _quantize_embeddings,
+        "zipf_profile": textops.zipf_profile,
+        "streaming_hourly_rollup": streaming_rollup,
+        "streaming_sessionize": _streaming_sessionize,
+        "streaming_dedup": _streaming_dedup,
+        "curate_corpus": _curate_corpus,
+        "cross_source_contamination": curation.cross_source_contamination,
+        "w1_w4_error_ignore": w1_w4_error_ignore,
+        "w2_append": w2_append,
+        "w3_partition_overwrite": w3_partition_overwrite,
+        "w5_create_or_replace": w5_create_or_replace,
+        "m1_update_only": m1_update_only,
+        "m2_dedup_insert": m2_dedup_insert,
+        "m3_upsert": m3_upsert,
+        "m4_replace_delete": m4_replace_delete,
+        "s3_time_travel": s3_time_travel,
+        "p2_timewindow_read": p2_timewindow_read,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_q19_filter_aggs": q6_q19_filter_aggs,
+        "topk_window": relational.top_orders_per_status,
+        "events_hourly_rollup": relational.events_hourly_rollup,
+        "events_sessionize": relational.events_sessionize,
+        "q4_exists_semi": relational.q4_order_priority_exists,
+        "events_json_props": relational.events_json_props,
+        "q17_scalar_subquery": relational.q17_small_quantity_revenue,
+        "q11_important_parts": relational.q11_important_parts,
+        "pack_sequences": curation.pack_sequences,
+        "text_quality": textops.text_quality,
+        "lang_id": textops.lang_id,
+        "decontaminate": curation.decontaminate,
+        "q7_nation_volume": relational.q7_nation_volume,
+        "label_centroid_dims": _label_centroid_dims,
+        "multimodal_metadata": multimodal.multimodal_metadata,
+        "salted_user_rollup": relational.salted_user_rollup,
+        "price_distribution": price_distribution,
+        "status_pivot": relational.status_pivot,
+        "o_compaction_roundtrip": o_compaction_roundtrip,
+        "revenue_rollup_cube": revenue_rollup_cube,
+        "set_ops_customers": relational.customer_order_set_ops,
+        "asof_clicks_purchases": asof.clicks_asof_purchases,
+        "range_join_bursts": asof.user_event_bursts,
+        "corpus_shuffle": curation.corpus_shuffle,
+        "token_stats": textops.token_stats,
     }
 
 
