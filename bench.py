@@ -64,8 +64,13 @@ def main() -> None:
         # transactional table layer (write + partition overwrite + merge)
         "w3_partition_overwrite",
         "m3_upsert",
-        # streaming ingest near-dup filter (3 micro-batches)
-        "stream_ingest_near_dup_filter",
+        # streaming ingest near-dup filter (3 micro-batches), staged:
+        # the ~7 s streaming-engine + fixture fixed cost masked probe
+        # regressions behind one number, so the line reports the
+        # foreachBatch stages (sign / probe / commit) measured inside
+        # the real pipeline; engine overhead is the e2e registry entry
+        # minus the stage sum (docs/SCALE.md)
+        "stream_ingest_stages",
         # LLM pipeline operators
         "dedup_exact",
         "token_stats",
@@ -135,28 +140,49 @@ def main() -> None:
         return src, tempfile.mkdtemp(prefix="dds-bench-ingest-") + "/acc"
 
     def _ingest_run(spark, ctx):
+        # returns the per-stage dict: the harness merges each stage as
+        # its own bench line (min across passes per stage)
         src, uri = ctx
         from dagster_delta_spark.streaming import (
             stream_ingest_near_dup_filter,
         )
 
+        st: dict = {}
         t = stream_ingest_near_dup_filter(
-            spark, src, uri, max_files_per_trigger=1)
+            spark, src, uri, max_files_per_trigger=1, stage_times=st)
         t.read().write.mode("overwrite").format("noop").save()
+        return {f"stream_ingest_{k}": v for k, v in st.items()}
+
+    def _quantized_run(spark, d):
+        # the registry entry wraps the operator in its self-falsifying
+        # bit-parity guard (3 top-k executions); the bench line times
+        # the OPERATOR — correctness enforcement lives in the driver
+        # record and pytest, not the throughput number
+        from dagster_delta_spark.operators.similarity import (
+            ivf_quantized_topk,
+        )
+
+        ivf_quantized_topk(spark, d).write.mode("overwrite").format(
+            "noop").save()
 
     staged = {
         "m3_upsert": (_m3_setup, _m3_run),
         "w3_partition_overwrite": (_w3_setup, _w3_run),
-        "stream_ingest_near_dup_filter": (_ingest_setup, _ingest_run),
+        "stream_ingest_stages": (_ingest_setup, _ingest_run),
+        "ann_ivf_quantized_topk": (lambda spark, d: d, _quantized_run),
     }
 
-    def run_once(name: str, d: str = None) -> float:
+    def run_once(name: str, d: str = None):
+        """One timed execution — a float (wall seconds), or a dict of
+        per-stage seconds when the staged runner self-reports."""
         d = d or sf_dir
         if name in staged:
             setup, run = staged[name]
             ctx = setup(spark, d)
             t0 = time.perf_counter()
-            run(spark, ctx)
+            out = run(spark, ctx)
+            if isinstance(out, dict):
+                return {k: round(v, 3) for k, v in out.items()}
             return time.perf_counter() - t0
         t0 = time.perf_counter()
         df = qs[name](spark, d)
@@ -223,18 +249,26 @@ def main() -> None:
     # regression moves both passes.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
+
+    def keep_min(key: str, t: float) -> None:
+        prev = timings.get(key)
+        # 0 <= (not <): a pass rounding to 0.000 s must still be
+        # able to replace a slower earlier pass (r5 advice)
+        if prev is None or (0 <= t < prev) or prev < 0:
+            timings[key] = t
+
     for _ in range(max(1, passes)):
         for name in bench_queries:
             try:
-                t = round(run_once(name), 3)
+                t = run_once(name)
             except Exception as exc:  # a failing query shows up as -1
                 print(f"bench query {name} failed: {exc}", file=sys.stderr)
                 t = -1.0
-            prev = timings.get(name)
-            # 0 <= (not <): a pass rounding to 0.000 s must still be
-            # able to replace a slower earlier pass (r5 advice)
-            if prev is None or (0 <= t < prev) or prev < 0:
-                timings[name] = t
+            if isinstance(t, dict):
+                for k, v in t.items():
+                    keep_min(k, v)
+            else:
+                keep_min(name, round(t, 3))
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

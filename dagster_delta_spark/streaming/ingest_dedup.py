@@ -35,6 +35,8 @@ corpus — and each batch's signature build touches only that batch.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,41 +51,27 @@ def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     return band_buckets(sigs, num_hashes, bands)
 
 
-def ingest_batch(
+def sign_batch(
     batch_df: DataFrame,
     batch_id: int,
-    docs_table,
-    bucket_table,
-    last: dict,
     num_hashes: int = 64,
     bands: int = 16,
     epoch: str = "",
-) -> None:
-    """Process ONE micro-batch of the ingest filter (the foreachBatch
-    body, module-level so the crash-recovery protocol is unit-testable
-    outside a streaming query).  ``last`` holds each table's
-    last-committed batch id, memoized by the caller across batches.
+) -> DataFrame:
+    """SIGN stage of the ingest filter: one micro-batch's LSH bucket
+    rows, eagerly materialized (``batch_df`` should already be
+    checkpointed — the caller reads it again for the docs append).
 
-    ``epoch`` namespaces the streaming batch ids (Delta's txnAppId
-    analogue): micro-batch ids are only unique PER CHECKPOINT, so a
-    deleted/recreated checkpoint restarts them at 0 — without the
-    epoch, the replay guard would silently skip the new run's batches
-    and the self-bucket exclusion would hide an old run's
-    same-numbered accepted buckets from the probe."""
-    from ..config import SchemaMode, WriteMode
+    Docs too short to shingle (< 3 tokens, or empty text) carry no
+    LSH evidence — each gets ONE exact-content pseudo-bucket
+    (band -1) so they are exact-deduped against other short docs
+    and, crucially, still reach kept_ids instead of being silently
+    lost by the probe's inner join."""
     from ..operators.dedup import _signatures_from_stream, shingles_of
     from ..operators.textops import NORM_TEXT
 
-    if batch_id <= last["docs"]:
-        return
-    batch_df = batch_df.localCheckpoint()  # small; read 3x below
     sigs = _signatures_from_stream(shingles_of(batch_df), num_hashes)
     lsh_buckets = _band_buckets(sigs, num_hashes, bands)
-    # docs too short to shingle (< 3 tokens, or empty text) carry
-    # no LSH evidence — give each ONE exact-content pseudo-bucket
-    # (band -1) so they are exact-deduped against other short docs
-    # and, crucially, still reach kept_ids instead of being
-    # silently lost by the inner join below
     short = batch_df.join(
         sigs.select("doc_id"), "doc_id", "left_anti"
     ).select(
@@ -91,27 +79,37 @@ def ingest_batch(
         F.lit(-1).alias("band"),
         F.xxhash64(F.expr(NORM_TEXT)).alias("h"),
     )
-    buckets = (
+    return (
         lsh_buckets.unionByName(short)
         .withColumn("batch_id", F.lit(batch_id))
         .withColumn("epoch", F.lit(epoch))
         .localCheckpoint()
     )
 
-    # Collision decision in ONE linear aggregate instead of a
-    # within-batch self-join + accepted semi-join: per (band, h)
-    # bucket, find the smallest batch doc_id holding it and whether
-    # the ACCEPTED index already holds it; a doc is dropped iff any of
-    # its buckets has an accepted holder or a smaller batch doc.
-    # Same survivor rule as the former pair join, but the cost is one
-    # shuffle on (band, h) with no pair expansion — a boilerplate
-    # bucket shared by k docs costs k rows here, not k^2/2 join pairs
-    # (the quadratic blow-up the batch dedup operators also avoid).
-    #
-    # Accepted rows carry their batch_id precisely so a RERUN of this
-    # batch (crash after the bucket append below, before the docs
-    # append) does not collide the batch with its own buckets and
-    # silently drop every document.
+
+def survivors_of(
+    buckets: DataFrame,
+    batch_id: int,
+    bucket_table,
+    epoch: str = "",
+) -> DataFrame:
+    """PROBE stage: collision decision -> this batch's surviving
+    bucket rows (lazy).
+
+    One linear aggregate instead of a within-batch self-join + an
+    accepted semi-join: per (band, h) bucket, find the smallest batch
+    doc_id holding it and whether the ACCEPTED index already holds
+    it; a doc is dropped iff any of its buckets has an accepted
+    holder or a smaller batch doc.  Same survivor rule as a pair
+    join, but the cost is one shuffle on (band, h) with no pair
+    expansion — a boilerplate bucket shared by k docs costs k rows
+    here, not k^2/2 join pairs (the quadratic blow-up the batch dedup
+    operators also cap).
+
+    Accepted rows carry their batch_id precisely so a RERUN of this
+    batch (crash after the bucket append, before the docs append)
+    does not collide the batch with its own buckets and silently
+    drop every document."""
     probe = buckets.select(
         "band", "h", "doc_id", F.lit(False).alias("accepted")
     )
@@ -152,7 +150,61 @@ def ingest_batch(
         .select("doc_id")
         .distinct()
     )
-    survivors = buckets.join(dropped, "doc_id", "left_anti")
+    return buckets.join(dropped, "doc_id", "left_anti")
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    docs_table,
+    bucket_table,
+    last: dict,
+    num_hashes: int = 64,
+    bands: int = 16,
+    epoch: str = "",
+    stage_times: Optional[dict] = None,
+) -> None:
+    """Process ONE micro-batch of the ingest filter (the foreachBatch
+    body, module-level so the crash-recovery protocol is unit-testable
+    outside a streaming query).  ``last`` holds each table's
+    last-committed batch id, memoized by the caller across batches.
+    The stages are ``sign_batch`` (signatures -> buckets) ->
+    ``survivors_of`` (collision probe) -> the two-table commit.
+
+    ``epoch`` namespaces the streaming batch ids (Delta's txnAppId
+    analogue): micro-batch ids are only unique PER CHECKPOINT, so a
+    deleted/recreated checkpoint restarts them at 0 — without the
+    epoch, the replay guard would silently skip the new run's batches
+    and the self-bucket exclusion would hide an old run's
+    same-numbered accepted buckets from the probe.
+
+    ``stage_times`` (bench instrumentation): a dict to accumulate
+    per-stage wall seconds under ``"sign"`` / ``"probe"`` /
+    ``"commit"``.  When set, the survivors frame is checkpointed so
+    the probe's cost lands in its own stage instead of being lazily
+    folded into the commit; production runs (None) keep the fused
+    lazy plan."""
+    import time as _time
+
+    from ..config import SchemaMode, WriteMode
+
+    if batch_id <= last["docs"]:
+        return
+
+    def mark(stage: str, t0: float) -> float:
+        if stage_times is not None:
+            stage_times[stage] = (
+                stage_times.get(stage, 0.0) + _time.perf_counter() - t0)
+        return _time.perf_counter()
+
+    t0 = _time.perf_counter()
+    batch_df = batch_df.localCheckpoint()  # small; read 3x below
+    buckets = sign_batch(batch_df, batch_id, num_hashes, bands, epoch)
+    t0 = mark("sign", t0)
+    survivors = survivors_of(buckets, batch_id, bucket_table, epoch)
+    if stage_times is not None:
+        survivors = survivors.localCheckpoint()
+    t0 = mark("probe", t0)
 
     kept_ids = survivors.select("doc_id").distinct()
     kept_docs = batch_df.join(kept_ids, "doc_id")
@@ -170,6 +222,7 @@ def ingest_batch(
                      if docs_table.exists() else WriteMode.error,
                      commit_metadata=md)
     last["docs"] = batch_id
+    mark("commit", t0)
 
 
 def _checkpoint_epoch(checkpoint_dir: str) -> str:
@@ -221,6 +274,7 @@ def stream_ingest_near_dup_filter(
     bands: int = 16,
     max_files_per_trigger: int = 1,
     compact_every: int = 0,
+    stage_times: Optional[dict] = None,
 ) -> "DeltaSparkTable":
     """Run the streaming near-dup ingest filter over a directory of
     document parquet files; returns the accepted-documents table
@@ -265,6 +319,7 @@ def stream_ingest_near_dup_filter(
         ingest_batch(
             batch_df, batch_id, docs_table, bucket_table, last,
             num_hashes=num_hashes, bands=bands, epoch=epoch,
+            stage_times=stage_times,
         )
         if compact_every > 0 and (batch_id + 1) % compact_every == 0:
             bucket_table.optimize()
