@@ -293,23 +293,193 @@ def o3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible operators (rows-only checks)
+# non-SQL-expressible operators (rows-only checks).  Since r7 every
+# entry here is SELF-FALSIFYING: the driver can only record
+# spark_rows > 0 for oracle-less entries, so each entry asserts its
+# own strongest invariant (planted-duplicate detection, exact-anchor
+# parity, sketch error bounds, structural contracts) in the recorded
+# path and raises on violation — a rows-only record then certifies
+# behavior, not just row production.
 # ---------------------------------------------------------------------------
+
+#: process-lifetime cache of planted-duplicate guard fixtures,
+#: keyed by (kind, sf_dir) — several entries share one scratch corpus
+_GUARD_FIXTURES: dict[tuple, tuple] = {}
+
+
+def _planted_dup_docs(spark, sf_dir) -> tuple:
+    """Scratch documents corpus: 20 fixture docs + an EXACT copy of
+    the smallest-id one under a fresh large id.  Returns
+    (dir, original_id, planted_id) — the shared planted-recall fixture
+    for the text-LSH guards (an exact duplicate has identical
+    signatures, so every banding scheme MUST pair it with its
+    original)."""
+    key = ("docs", os.path.abspath(sf_dir))
+    if key in _GUARD_FIXTURES:
+        return _GUARD_FIXTURES[key]
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.length("text") > 50)   # shingleable (>= 3 tokens)
+        .orderBy("doc_id")
+        .limit(20)
+        .localCheckpoint()
+    )
+    orig = docs.agg(F.min("doc_id")).collect()[0][0]
+    planted = 10**9
+    d = tempfile.mkdtemp(prefix="dds-lsh-guard-")
+    docs.unionByName(
+        docs.where(F.col("doc_id") == orig)
+        .withColumn("doc_id", F.lit(planted).cast(dict(docs.dtypes)["doc_id"]))
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    _GUARD_FIXTURES[key] = (d, orig, planted)
+    return _GUARD_FIXTURES[key]
+
+
+def _planted_dup_embeddings(spark, sf_dir) -> tuple:
+    """Scratch embeddings corpus: the full fixture + an EXACT copy of
+    the smallest vec_id under max+1.  Returns
+    (dir, original_id, planted_id) — shared by the embedding-space
+    guards (identical vectors share every LSH bucket and every IVF
+    cell, so detection is guaranteed for a correct operator)."""
+    key = ("emb", os.path.abspath(sf_dir))
+    if key in _GUARD_FIXTURES:
+        return _GUARD_FIXTURES[key]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bounds = emb.agg(F.min("vec_id").alias("lo"),
+                     F.max("vec_id").alias("hi")).collect()[0]
+    planted = bounds["hi"] + 1
+    d = tempfile.mkdtemp(prefix="dds-emb-guard-")
+    emb.unionByName(
+        emb.where(F.col("vec_id") == bounds["lo"])
+        .withColumn("vec_id",
+                    F.lit(planted).cast(dict(emb.dtypes)["vec_id"]))
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    _GUARD_FIXTURES[key] = (d, int(bounds["lo"]), int(planted))
+    return _GUARD_FIXTURES[key]
+
+
+def _sketch_profile(spark, sf_dir):
+    """Sketch-based per-source profile (HLL++ distinct counts +
+    Greenwald-Khanna percentiles).  Guard: the estimates are bounded
+    against EXACT values computed in-entry — HLL within 5x its
+    configured rsd (0.02 -> 10%), and each GK percentile's true rank
+    within 2% of its target (GK accuracy 10000 makes the theoretical
+    rank error 1e-4; the slack absorbs tie plateaus).  A sketch whose
+    error walks past its advertised bound is a broken estimator, not
+    an approximation."""
+    out = textops.sketch_profile(spark, sf_dir).localCheckpoint()
+    docs = relational.load(spark, sf_dir, "documents")
+    exact = {
+        r["source"]: r
+        for r in docs.groupBy("source").agg(
+            F.countDistinct("text").alias("d_texts"),
+            F.countDistinct("doc_id").alias("d_docs"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    errs = []
+    for r in out.collect():   # one row per source — tiny
+        e = exact[r["source"]]
+        for approx, true in (
+            (r["approx_distinct_texts"], e["d_texts"]),
+            (r["approx_distinct_docs"], e["d_docs"]),
+        ):
+            if true and abs(approx - true) / true > 5 * 0.02:
+                errs.append((r["source"], "hll", approx, true))
+        for pct, col in ((0.5, "n_chars_p50"), (0.9, "n_chars_p90"),
+                         (0.99, "n_chars_p99")):
+            v = r[col]
+            below = docs.where(
+                (F.col("source") == r["source"]) & (F.col("n_chars") < v)
+            ).count()
+            at_or_below = docs.where(
+                (F.col("source") == r["source"]) & (F.col("n_chars") <= v)
+            ).count()
+            lo, hi = below / e["n"], at_or_below / e["n"]
+            if not (lo - 0.02 <= pct <= hi + 0.02):
+                errs.append((r["source"], col, v, lo, hi))
+    if errs:
+        raise AssertionError(f"sketch estimates out of bounds: {errs}")
+    return out
 
 
 def minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs.  Guard: a planted exact duplicate
+    (Jaccard 1.0 -> identical signature -> collides in EVERY band)
+    must be recovered on the scratch corpus."""
+    d, orig, planted = _planted_dup_docs(spark, sf_dir)
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_near_dups(
+            spark, d, threshold=0.9).collect()
+    }
+    if (orig, planted) not in found:
+        raise AssertionError(
+            f"minhash_lsh_near_dups missed the planted exact duplicate "
+            f"({orig}, {planted}); found only {sorted(found)[:10]}"
+        )
     return dedup.minhash_lsh_near_dups(spark, sf_dir)
 
 
 def _minhash_cluster(spark, sf_dir):
-    return dedup.minhash_cluster_keep(spark, sf_dir)
+    """Cluster-level dedup.  Guard: structural contract of the output
+    itself — every cluster has EXACTLY one keeper, the keeper is the
+    cluster's min doc_id (== cluster_id), and coverage is total (one
+    row per corpus doc)."""
+    out = dedup.minhash_cluster_keep(spark, sf_dir).localCheckpoint()
+    bad = (
+        out.groupBy("cluster_id")
+        .agg(
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where((F.col("n_keep") != 1) | (F.col("min_doc") != F.col("cluster_id")))
+        .count()
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_out = out.count()
+    if bad or n_out != n_docs:
+        raise AssertionError(
+            f"minhash_cluster_keep contract violated: {bad} clusters "
+            f"with a bad keeper, coverage {n_out}/{n_docs}"
+        )
+    return out
 
 
 def simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-neighbor pairs.  Guard: a planted exact
+    duplicate (identical token multiset -> identical signature) must
+    surface at Hamming distance 0 on the scratch corpus."""
+    d, orig, planted = _planted_dup_docs(spark, sf_dir)
+    found = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(spark, d, max_hamming=0).collect()
+    }
+    if found.get((orig, planted)) != 0:
+        raise AssertionError(
+            f"simhash_near_dups missed the planted exact duplicate "
+            f"({orig}, {planted}) at Hamming 0; found {found}"
+        )
     return dedup.simhash_near_dups(spark, sf_dir)
 
 
 def ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN.  Guard: on the planted-duplicate corpus the
+    exact copy of query vector ``orig`` shares every bucket with it,
+    so it MUST come back as that query's rank-1 neighbor (cosine 1 vs
+    a fixture max of ~0.51)."""
+    d, orig, planted = _planted_dup_embeddings(spark, sf_dir)
+    top1 = {
+        r["q_id"]: r["vec_id"]
+        for r in similarity.lsh_ann_topk(spark, d, n_queries=orig + 1)
+        .where(F.col("rank") == 1).collect()
+    }
+    if top1.get(orig) != planted:
+        raise AssertionError(
+            f"lsh_ann_topk missed the planted duplicate of query "
+            f"{orig}: rank-1 was {top1.get(orig)}, expected {planted}"
+        )
     return similarity.lsh_ann_topk(spark, sf_dir)
 
 
@@ -321,6 +491,20 @@ def _ann_recall(spark, sf_dir):
 
 
 def _emb_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dups.  Guard: the planted exact
+    copy shares every bucket with its original, so the pair must
+    surface with cosine ~1 at any threshold below 1."""
+    d, orig, planted = _planted_dup_embeddings(spark, sf_dir)
+    hit = (
+        similarity.embedding_near_dups_lsh(spark, d, threshold=0.9)
+        .where((F.col("id_a") == orig) & (F.col("id_b") == planted))
+        .collect()
+    )
+    if not hit or hit[0]["cosine"] < 0.999:
+        raise AssertionError(
+            f"embedding_near_dups_lsh missed the planted duplicate pair "
+            f"({orig}, {planted}): {hit}"
+        )
     return similarity.embedding_near_dups_lsh(spark, sf_dir)
 
 
@@ -337,36 +521,43 @@ def _semantic_dedup(spark, sf_dir):
     rows-only record of this entry now certifies detection behavior,
     not just row production (the same invariant the pytest planted-dup
     test checks, moved into the recorded path)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    bounds = emb.agg(F.min("vec_id").alias("lo"),
-                     F.max("vec_id").alias("hi")).collect()[0]
-    original = emb.where(F.col("vec_id") == bounds["lo"])
-    planted_id = bounds["hi"] + 1
-    d = tempfile.mkdtemp(prefix="dds-semdedup-guard-")
-    emb.unionByName(
-        original.withColumn("vec_id",
-                            F.lit(planted_id).cast(dict(emb.dtypes)["vec_id"]))
-    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
     # threshold 0.999: on this fixture only the planted exact copy
     # qualifies, so the expected verdict is unambiguous
+    d, lo, planted_id = _planted_dup_embeddings(spark, sf_dir)
     verdict = {
         r["vec_id"]: r
         for r in similarity.semantic_dedup(spark, d, threshold=0.999)
-        .where(F.col("vec_id").isin(int(bounds["lo"]), int(planted_id)))
+        .where(F.col("vec_id").isin(lo, planted_id))
         .collect()
     }
-    g, orig = verdict[planted_id], verdict[bounds["lo"]]
-    if g["keep"] or g["dup_of"] != bounds["lo"] or not orig["keep"]:
+    g, orig = verdict[planted_id], verdict[lo]
+    if g["keep"] or g["dup_of"] != lo or not orig["keep"]:
         raise AssertionError(
             f"semantic_dedup missed a planted exact duplicate: planted "
             f"{planted_id} -> keep={g['keep']} dup_of={g['dup_of']} "
-            f"(expected drop in favour of {bounds['lo']}, which got "
+            f"(expected drop in favour of {lo}, which got "
             f"keep={orig['keep']})"
         )
     return similarity.semantic_dedup(spark, sf_dir, threshold=0.4)
 
 
 def _ivf_ann(spark, sf_dir):
+    """IVF ANN.  Guard: probing EVERY cell removes the approximation,
+    so full-probe IVF must reproduce brute-force cosine_topk exactly
+    (same k, same tie-break) — a mis-trained quantizer, a broken
+    assignment join, or a drifted tie-break all fail here."""
+    exact = {(r["q_id"], r["rank"]): r["vec_id"]
+             for r in similarity.cosine_topk(spark, sf_dir).collect()}
+    full = {(r["q_id"], r["rank"]): r["vec_id"]
+            for r in similarity.ivf_ann_topk(
+                spark, sf_dir, nprobe=10**9).collect()}
+    if full != exact:
+        diff = {k: (exact.get(k), full.get(k))
+                for k in set(exact) | set(full)
+                if exact.get(k) != full.get(k)}
+        raise AssertionError(
+            f"full-probe IVF diverged from brute force: {diff}"
+        )
     return similarity.ivf_ann_topk(spark, sf_dir)
 
 
@@ -397,13 +588,47 @@ def _ivf_quantized(spark, sf_dir):
 
 
 def mm_features(spark, sf_dir):
+    """Multimodal feature extraction.  Guard: the pure-numpy PPM codec
+    the mapInPandas pipeline rides on must round-trip a random image
+    bit-for-bit and resize to the requested shape — a corrupted codec
+    would silently produce garbage features at any scale."""
+    import numpy as np
+
+    from dagster_delta_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        nn_resize,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    if not (decode_ppm(encode_ppm(img)) == img).all():
+        raise AssertionError("PPM codec round-trip corrupted the image")
+    if nn_resize(img, 4, 5).shape != (4, 5, 3):
+        raise AssertionError("nn_resize returned the wrong shape")
     return multimodal.multimodal_features(spark, sf_dir)
 
 
 def _kmeans_clusters(spark, sf_dir):
     """Cluster-balance report from the k-means coarse quantizer
-    (rows-only: k-means training is not SQL-expressible)."""
-    return similarity.kmeans_clusters(spark, sf_dir)
+    (rows-only: k-means training is not SQL-expressible).  Guard:
+    populations must sum to the (non-zero-norm) corpus and every
+    cluster's compactness stats must be coherent cosines
+    (min <= mean <= 1)."""
+    out = similarity.kmeans_clusters(spark, sf_dir).localCheckpoint()
+    rows = out.collect()   # one row per cell — tiny
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.where(
+        F.expr(similarity.NORM.format(a="embedding")) > 0).count()
+    total = sum(r["n_vectors"] for r in rows)
+    bad = [r for r in rows
+           if not (-1.0 - 1e-9 <= r["min_cos"] <= r["mean_cos"] <= 1.0 + 1e-9)]
+    if total != n or bad:
+        raise AssertionError(
+            f"kmeans_clusters incoherent: populations {total} != {n} "
+            f"or bad stats rows {bad[:3]}"
+        )
+    return out
 
 
 def _quantize_embeddings(spark, sf_dir):
@@ -597,7 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,
         "stream_ingest_near_dup_filter": _stream_ingest_filter,
         # pre-r6-hardening records: rows-only family
-        "sketch_profile": textops.sketch_profile,
+        "sketch_profile": _sketch_profile,
         "ann_lsh_topk": ann_lsh,
         "embedding_near_dups_lsh": _emb_neardup_lsh,
         "multimodal_features": mm_features,

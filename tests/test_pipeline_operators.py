@@ -708,3 +708,79 @@ def test_bucket_candidate_pairs_rejects_degenerate_cap(spark):
     b = spark.createDataFrame([(1, 0, 7)], "doc_id long, band int, h long")
     with _pytest.raises(ValueError, match="max_bucket_size"):
         dedup._bucket_candidate_pairs(b, 1)
+
+
+def test_rows_only_entry_guards_fire(spark, monkeypatch):
+    """Every rows-only registry entry is self-falsifying since r7 —
+    prove each guard raises when its operator misbehaves (a guard that
+    cannot fire certifies nothing).  Each case monkeypatches the
+    underlying operator into a plausible failure mode."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from dagster_delta_spark.operators import (
+        dedup,
+        multimodal,
+        similarity,
+        textops,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def expect(module, attr, fake, fn, match):
+        monkeypatch.setattr(module, attr, fake)
+        with pytest.raises(AssertionError, match=match):
+            fn(spark, sf)
+        monkeypatch.undo()
+
+    real = dedup.minhash_lsh_near_dups
+    expect(dedup, "minhash_lsh_near_dups",
+           lambda s, d, **kw: real(s, d, **kw).where(F.col("doc_b") < 10**9),
+           entry.minhash_lsh, "missed the planted exact duplicate")
+
+    real_sh = dedup.simhash_near_dups
+    expect(dedup, "simhash_near_dups",
+           lambda s, d, **kw: real_sh(s, d, **kw).where(
+               F.col("doc_b") < 10**9),
+           entry.simhash_pairs, "missed the planted exact duplicate")
+
+    real_ck = dedup.minhash_cluster_keep
+    expect(dedup, "minhash_cluster_keep",
+           lambda s, d, **kw: real_ck(s, d, **kw).withColumn(
+               "keep", F.lit(False)),
+           entry._minhash_cluster, "contract violated")
+
+    real_lsh = similarity.lsh_ann_topk
+    expect(similarity, "lsh_ann_topk",
+           lambda s, d, **kw: real_lsh(s, d, **kw).withColumn(
+               "vec_id", F.col("vec_id") + 7),
+           entry.ann_lsh, "missed the planted duplicate")
+
+    real_ivf = similarity.ivf_ann_topk
+    expect(similarity, "ivf_ann_topk",
+           lambda s, d, **kw: real_ivf(s, d, **kw).withColumn(
+               "vec_id", F.col("vec_id") + 7),
+           entry._ivf_ann, "diverged from brute force")
+
+    real_km = similarity.kmeans_clusters
+    expect(similarity, "kmeans_clusters",
+           lambda s, d, **kw: real_km(s, d, **kw).where(F.col("cell") > 1),
+           entry._kmeans_clusters, "incoherent")
+
+    real_sk = textops.sketch_profile
+    expect(textops, "sketch_profile",
+           lambda s, d, **kw: real_sk(s, d, **kw).withColumn(
+               "approx_distinct_texts",
+               F.col("approx_distinct_texts") * 3),
+           entry._sketch_profile, "out of bounds")
+
+    real_enl = similarity.embedding_near_dups_lsh
+    expect(similarity, "embedding_near_dups_lsh",
+           lambda s, d, **kw: real_enl(s, d, **kw).where(
+               F.col("cosine") < 0.99),
+           entry._emb_neardup_lsh, "missed the planted duplicate pair")
+
+    expect(multimodal, "nn_resize",
+           lambda img, h, w: img,
+           entry.mm_features, "wrong shape")
