@@ -862,11 +862,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_read_changes": cdc_read_changes,
         "unigram_quality": textops.unigram_quality,
         "streaming_table_source": streaming_table_source,
-        # window fill: similarity-module neighbors of this round's
-        # changes re-record for free
-        "cosine_topk": similarity.cosine_topk,
-        "embedding_near_dups": _embedding_near_dups_02,  # position 50
+        # NEW in r7: winnowed k-gram substring-dedup signal
+        # (oracle-backed — md5 fingerprints are engine-portable)
+        "winnow_repeated_spans": dedup.winnow_repeated_spans,
+        # window fill: similarity-module neighbor of this round's
+        # changes re-records for free
+        "cosine_topk": similarity.cosine_topk,   # position 50
         # -------- past the cap: green/ok rows on committed r6 record --
+        "embedding_near_dups": _embedding_near_dups_02,
         "quantize_embeddings": _quantize_embeddings,
         "zipf_profile": textops.zipf_profile,
         "streaming_hourly_rollup": streaming_rollup,
@@ -1453,6 +1456,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY md5({_NORM})
+        """,
+        "winnow_repeated_spans": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 5 THEN
+                           list_transform(range(1, len(toks) - 3),
+                               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                        toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                                        toks[i+4]))
+                       ELSE [] END AS fps
+                FROM t
+            ), sel AS (
+                -- winnowing: min md5 per sliding window of 4 gram
+                -- hashes; full frames only, except short docs keep
+                -- their single truncated frame (mirrors the Spark
+                -- window-frame rule in dedup.winnow_fingerprints)
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(fps) - 3, 1) + 1),
+                           p -> list_min(list_slice(
+                               fps, p, least(p + 3, len(fps)))))) AS fp
+                FROM g WHERE len(fps) > 0
+            )
+            SELECT fp, count(DISTINCT doc_id) AS n_docs,
+                   min(doc_id) AS min_doc_id
+            FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
         """,
         "near_dup_jaccard": f"""
             WITH t AS (

@@ -83,6 +83,7 @@ def main() -> None:
         "ann_ivf_topk",
         "ann_ivf_quantized_topk",
         "near_dup_jaccard",
+        "winnow_repeated_spans",
         "corpus_shuffle",
     ]
 

@@ -599,6 +599,91 @@ def simhash_near_dups(
     )
 
 
+def winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowed k-gram document fingerprints (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS algorithm): hash every k-token gram, slide a
+    ``window``-wide frame over the gram-hash sequence, and select each
+    frame's MINIMUM hash.  The winnowing guarantee: any shared token
+    run of length >= k + window - 1 produces at least one COMMON
+    selected fingerprint in both documents — the substring-level dedup
+    signal (Lee et al. 2022 showed repeated spans, not just whole-doc
+    dups, degrade LM training), at ~1/window the fingerprint density
+    of exhaustive k-gram hashing.
+
+    Output: distinct ``(doc_id, fp)`` selected fingerprints.  The fp
+    is ``md5`` of the space-joined gram — deterministic and
+    engine-portable, so the driver's DuckDB oracle reproduces it
+    byte-for-byte (unlike seed-dependent xxhash sketches, this entry
+    IS oracle-backed).
+
+    Plan shape: posexplode tokens -> k-1 ``lead`` window columns build
+    each gram (codegen, same pattern as ``shingles_of``) -> two
+    doc-keyed windows (gram count + frame min) -> distinct.  One
+    shuffle on doc_id; per-doc state only.  Docs shorter than k tokens
+    emit nothing; docs with fewer than ``window`` grams winnow their
+    single truncated frame (the standard short-document variant), so
+    every fingerprintable doc yields at least one selection."""
+    from pyspark.sql.window import Window
+
+    if k < 1 or window < 1:
+        raise ValueError(f"k={k} and window={window} must be >= 1")
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram_cols = [F.col("tok")] + [
+        F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, k)
+    ]
+    grams = (
+        ex.select("doc_id", "pos", *gram_cols)
+        .where(F.col(f"t{k-1}").isNotNull() if k > 1 else F.lit(True))
+        .select(
+            "doc_id", "pos",
+            F.md5(F.concat_ws(
+                " ", "tok", *[f"t{i}" for i in range(1, k)])).alias("fp"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    n = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    sel = (
+        grams
+        .withColumn("sel", F.min("fp").over(wd.rowsBetween(0, window - 1)))
+        .withColumn("n_grams", n)
+        # full frames only (positions 0..n-window); a doc with fewer
+        # than `window` grams keeps its single truncated frame at pos 0
+        .where(F.col("pos") <= F.greatest(
+            F.col("n_grams") - window, F.lit(0)))
+        .select("doc_id", F.col("sel").alias("fp"))
+        .distinct()
+    )
+    return sel
+
+
+def winnow_repeated_spans(
+    spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Cross-document repeated spans: winnowed fingerprints shared by
+    >= 2 documents — ``(fp, n_docs, min_doc_id)``.
+
+    This is the aggregate (linear) form: a fingerprint in d documents
+    costs d rows through one fp-keyed count — never the d^2/2 pairs a
+    span-pair join would emit on boilerplate, the same no-pair-blowup
+    rule as the LSH bucket caps and the ingest filter.  A consumer
+    that needs the actual documents joins ``winnow_fingerprints`` back
+    on fp (bounded per-fp by construction if it truncates like
+    `_truncate_buckets`)."""
+    fps = winnow_fingerprints(spark, sf_dir, k, window)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 def minhash_buckets(
     spark: SparkSession, sf_dir: str, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:

@@ -784,3 +784,44 @@ def test_rows_only_entry_guards_fire(spark, monkeypatch):
     expect(multimodal, "nn_resize",
            lambda img, h, w: img,
            entry.mm_features, "wrong shape")
+
+
+def test_winnowing_guarantee_and_edges(spark, tmp_path):
+    """The MOSS winnowing guarantee: two docs sharing a token run of
+    length >= k + window - 1 (= 8 at the defaults) MUST share at least
+    one selected fingerprint; docs over disjoint vocabularies share
+    none; sub-k docs emit nothing; a doc with fewer than `window`
+    grams still fingerprints via its truncated frame."""
+    import pandas as pd
+
+    from dagster_delta_spark.operators import dedup
+
+    shared = " ".join(f"common{i}" for i in range(8))   # k+window-1 run
+    rows = [
+        (1, " ".join(f"aa{i}" for i in range(30)) + " " + shared),
+        (2, shared + " " + " ".join(f"bb{i}" for i in range(30))),
+        (3, " ".join(f"cc{i}" for i in range(40))),     # disjoint vocab
+        (4, "tiny doc here"),                           # < k tokens
+        (5, "exactly five tokens right here now"),      # k..k+window-2
+    ]
+    d = tmp_path / "winnow"
+    d.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(d / "documents.parquet"))
+
+    fps = dedup.winnow_fingerprints(spark, str(d))
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missed"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    assert 4 not in by_doc                      # unshingleable
+    assert len(by_doc[5]) == 1                  # single truncated frame
+
+    spans = {r["fp"]: (r["n_docs"], r["min_doc_id"])
+             for r in dedup.winnow_repeated_spans(spark, str(d)).collect()}
+    assert spans, "repeated span not reported"
+    for fp, (n, mn) in spans.items():
+        assert n == 2 and mn == 1 and fp in (by_doc[1] & by_doc[2])
+    with __import__("pytest").raises(ValueError, match=">= 1"):
+        dedup.winnow_fingerprints(spark, str(d), k=0)
