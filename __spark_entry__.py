@@ -865,10 +865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r7: winnowed k-gram substring-dedup signal
         # (oracle-backed — md5 fingerprints are engine-portable)
         "winnow_repeated_spans": dedup.winnow_repeated_spans,
-        # window fill: similarity-module neighbor of this round's
-        # changes re-records for free
-        "cosine_topk": similarity.cosine_topk,   # position 50
+        "winnow_doc_repetition": dedup.winnow_doc_repetition,  # pos 50
         # -------- past the cap: green/ok rows on committed r6 record --
+        "cosine_topk": similarity.cosine_topk,
         "embedding_near_dups": _embedding_near_dups_02,
         "quantize_embeddings": _quantize_embeddings,
         "zipf_profile": textops.zipf_profile,
@@ -1484,6 +1483,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT fp, count(DISTINCT doc_id) AS n_docs,
                    min(doc_id) AS min_doc_id
             FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "winnow_doc_repetition": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 5 THEN
+                           list_transform(range(1, len(toks) - 3),
+                               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                        toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                                        toks[i+4]))
+                       ELSE [] END AS fps
+                FROM t
+            ), sel AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(fps) - 3, 1) + 1),
+                           p -> list_min(list_slice(
+                               fps, p, least(p + 3, len(fps)))))) AS fp
+                FROM g WHERE len(fps) > 0
+            ), df AS (
+                SELECT fp, count(*) AS fp_docs FROM sel GROUP BY fp
+            )
+            SELECT s.doc_id,
+                   count(*) AS n_fps,
+                   CAST(sum(CASE WHEN d.fp_docs >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repeated,
+                   CAST(sum(CASE WHEN d.fp_docs >= 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS repeated_frac
+            FROM sel s JOIN df d USING (fp) GROUP BY s.doc_id
         """,
         "near_dup_jaccard": f"""
             WITH t AS (

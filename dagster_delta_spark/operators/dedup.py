@@ -684,6 +684,40 @@ def winnow_repeated_spans(
     )
 
 
+def winnow_doc_repetition(
+    spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Per-document cross-corpus repetition score:
+    ``(doc_id, n_fps, n_repeated, repeated_frac)`` where
+    ``repeated_frac`` is the fraction of the doc's winnowed
+    fingerprints that appear in at least one OTHER document — the
+    boilerplate-document filter signal (a page that is mostly
+    templated/navigation text scores near 1 even when no single whole
+    document duplicates it; `repetition_quality` catches only
+    WITHIN-doc repetition).
+
+    Plan: fingerprints aggregate to corpus df on fp (linear), then one
+    broadcast-eligible join back to the per-doc fingerprint stream and
+    a doc-keyed count — no pair expansion anywhere, so a fingerprint
+    shared by a million docs costs a million rows, not a million
+    squared.  Oracle-backed like the other winnowing entries (md5
+    fingerprints are engine-portable)."""
+    fps = winnow_fingerprints(spark, sf_dir, k, window)
+    df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_docs"))
+    return (
+        fps.join(df, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum((F.col("fp_docs") >= 2).cast("long")).alias("n_repeated"),
+        )
+        .withColumn(
+            "repeated_frac",
+            (F.col("n_repeated") / F.col("n_fps")).cast("double"),
+        )
+    )
+
+
 def minhash_buckets(
     spark: SparkSession, sf_dir: str, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:

@@ -825,3 +825,29 @@ def test_winnowing_guarantee_and_edges(spark, tmp_path):
         assert n == 2 and mn == 1 and fp in (by_doc[1] & by_doc[2])
     with __import__("pytest").raises(ValueError, match=">= 1"):
         dedup.winnow_fingerprints(spark, str(d), k=0)
+
+
+def test_winnow_doc_repetition_scores(spark, tmp_path):
+    """A doc whose every span also appears elsewhere scores
+    repeated_frac 1.0; a vocabulary-disjoint doc scores 0.0; partial
+    overlap lands strictly between."""
+    import pandas as pd
+
+    from dagster_delta_spark.operators import dedup
+
+    boiler = " ".join(f"tpl{i}" for i in range(25))
+    rows = [
+        (1, boiler),                                        # pure template
+        (2, boiler + " " + " ".join(f"x{i}" for i in range(25))),
+        (3, " ".join(f"y{i}" for i in range(40))),          # unique
+    ]
+    d = tmp_path / "rep"
+    d.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(d / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           dedup.winnow_doc_repetition(spark, str(d)).collect()}
+    assert out[1]["repeated_frac"] == 1.0
+    assert out[3]["repeated_frac"] == 0.0
+    assert 0.0 < out[2]["repeated_frac"] < 1.0
+    assert all(r["n_repeated"] <= r["n_fps"] for r in out.values())
