@@ -865,7 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r7: winnowed k-gram substring-dedup signal
         # (oracle-backed — md5 fingerprints are engine-portable)
         "winnow_repeated_spans": dedup.winnow_repeated_spans,
-        "winnow_doc_repetition": dedup.winnow_doc_repetition,  # pos 50
+        "winnow_doc_repetition": dedup.winnow_doc_repetition,
+        "strip_repeated_spans": dedup.strip_repeated_spans,  # pos 50
         # -------- past the cap: green/ok rows on committed r6 record --
         "cosine_topk": similarity.cosine_topk,
         "embedding_near_dups": _embedding_near_dups_02,
@@ -1513,6 +1514,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN d.fp_docs >= 2 THEN 1 ELSE 0 END)
                         AS DOUBLE) / count(*) AS repeated_frac
             FROM sel s JOIN df d USING (fp) GROUP BY s.doc_id
+        """,
+        "strip_repeated_spans": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ), ex AS (
+                SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+                       unnest(toks) AS tok
+                FROM t WHERE len(toks) > 0
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 5 THEN
+                           list_transform(range(1, len(toks) - 3),
+                               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                        toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                                        toks[i+4]))
+                       ELSE [] END AS fps
+                FROM t
+            ), ge AS (
+                SELECT doc_id, unnest(range(0, len(fps))) AS pos,
+                       unnest(fps) AS fp
+                FROM g WHERE len(fps) > 0
+            ), hot AS (
+                SELECT fp FROM ge GROUP BY fp
+                HAVING count(DISTINCT doc_id) >= 2
+            ), covered AS (
+                SELECT DISTINCT doc_id, pos FROM (
+                    SELECT ge.doc_id,
+                           unnest(range(ge.pos, ge.pos + 5)) AS pos
+                    FROM ge JOIN hot USING (fp))
+            ), kept AS (
+                SELECT ex.* FROM ex
+                ANTI JOIN covered USING (doc_id, pos)
+            ), clean AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id
+            ), totals AS (
+                SELECT doc_id, count(*) AS n_tokens FROM ex GROUP BY doc_id
+            )
+            SELECT totals.doc_id, totals.n_tokens,
+                   totals.n_tokens - coalesce(clean.n_kept, 0) AS n_removed,
+                   coalesce(clean.clean_text, '') AS clean_text
+            FROM totals LEFT JOIN clean USING (doc_id)
         """,
         "near_dup_jaccard": f"""
             WITH t AS (

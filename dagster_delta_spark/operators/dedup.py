@@ -718,6 +718,78 @@ def winnow_doc_repetition(
     )
 
 
+def strip_repeated_spans(
+    spark: SparkSession, sf_dir: str, k: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Remove corpus-repeated token runs from every document — the
+    substring-dedup TRANSFORM (Lee et al. 2022 drop repeated spans
+    from training data; ``winnow_*`` only flags them).  A token is
+    removed iff some k-gram covering it appears in >= ``min_docs``
+    distinct documents.  Output per doc:
+    ``(doc_id, n_tokens, n_removed, clean_text)`` where ``clean_text``
+    is the surviving NORMALIZED token sequence in original order (the
+    operator works on the tokenized stream, like every text op here —
+    raw-byte reconstruction is a rendering concern, not a dedup one).
+
+    Exhaustive k-grams (not winnowed): removal needs exact span
+    coverage, and the cost stays linear — gram stream ~= token stream,
+    one fp-keyed distinct-doc count, one positions explode bounded by
+    k x repeated grams.  No pair expansion: a million-doc boilerplate
+    fp costs a million gram rows through the count, never pairs.
+    md5 fingerprints keep the entry oracle-backed."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok")
+    ).localCheckpoint()  # feeds grams AND the final reconstruction
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram_cols = [F.col("tok")] + [
+        F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, k)
+    ]
+    grams = (
+        ex.select("doc_id", "pos", *gram_cols)
+        .where(F.col(f"t{k-1}").isNotNull() if k > 1 else F.lit(True))
+        .select("doc_id", "pos",
+                F.md5(F.concat_ws(
+                    " ", "tok", *[f"t{i}" for i in range(1, k)])).alias("fp"))
+    )
+    hot = (
+        grams.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("fp_docs"))
+        .where(F.col("fp_docs") >= min_docs)
+        .select("fp")
+    )
+    covered = (
+        grams.join(hot, "fp")
+        .select("doc_id",
+                F.explode(F.expr(f"sequence(pos, pos + {k - 1})"))
+                .alias("pos"))
+        .distinct()
+    )
+    kept = ex.join(covered, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))), "
+                   "p -> p.tok)"),
+        ).alias("clean_text"),
+    )
+    totals = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.join(clean, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def minhash_buckets(
     spark: SparkSession, sf_dir: str, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:

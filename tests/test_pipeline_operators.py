@@ -851,3 +851,36 @@ def test_winnow_doc_repetition_scores(spark, tmp_path):
     assert out[3]["repeated_frac"] == 0.0
     assert 0.0 < out[2]["repeated_frac"] < 1.0
     assert all(r["n_repeated"] <= r["n_fps"] for r in out.values())
+
+
+def test_strip_repeated_spans_removes_only_shared_runs(spark, tmp_path):
+    """Tokens covered by a corpus-repeated k-gram are removed; unique
+    prose survives verbatim and in order; a doc that is pure
+    boilerplate strips to empty."""
+    import pandas as pd
+
+    from dagster_delta_spark.operators import dedup
+
+    boiler = " ".join(f"tpl{i}" for i in range(10))
+    uniq_a = " ".join(f"aa{i}" for i in range(12))
+    uniq_b = " ".join(f"bb{i}" for i in range(12))
+    rows = [
+        (1, f"{uniq_a} {boiler}"),
+        (2, f"{boiler} {uniq_b}"),
+        (3, boiler),                      # pure boilerplate
+        (4, "short unique snippet here"), # < k tokens: untouched
+    ]
+    d = tmp_path / "strip"
+    d.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(d / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           dedup.strip_repeated_spans(spark, str(d)).collect()}
+    assert out[1]["clean_text"] == uniq_a
+    assert out[2]["clean_text"] == uniq_b
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 10
+    assert out[4]["clean_text"] == "short unique snippet here"
+    assert out[4]["n_removed"] == 0
+    assert all(r["n_removed"] + len(r["clean_text"].split()) ==
+               r["n_tokens"] if r["clean_text"] else True
+               for r in out.values())
