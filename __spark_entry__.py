@@ -588,15 +588,19 @@ def _ivf_quantized(spark, sf_dir):
 
 
 def mm_features(spark, sf_dir):
-    """Multimodal feature extraction.  Guard: the pure-numpy PPM codec
-    the mapInPandas pipeline rides on must round-trip a random image
-    bit-for-bit and resize to the requested shape — a corrupted codec
-    would silently produce garbage features at any scale."""
+    """Multimodal feature extraction.  Guard: the pure-numpy codecs
+    the mapInPandas pipeline rides on must round-trip random payloads
+    bit-for-bit (PPM image, PCM WAV) and resize/resample to the
+    requested shape — a corrupted codec would silently produce garbage
+    features at any scale."""
     import numpy as np
 
     from dagster_delta_spark.operators.multimodal import (
         decode_ppm,
+        decode_wav,
         encode_ppm,
+        encode_wav,
+        nn_resample,
         nn_resize,
     )
 
@@ -606,6 +610,12 @@ def mm_features(spark, sf_dir):
         raise AssertionError("PPM codec round-trip corrupted the image")
     if nn_resize(img, 4, 5).shape != (4, 5, 3):
         raise AssertionError("nn_resize returned the wrong shape")
+    pcm = rng.integers(-32768, 32768, size=(120, 2), dtype=np.int16)
+    samples, rate = decode_wav(encode_wav(pcm, 8000))
+    if rate != 8000 or not (samples == pcm).all():
+        raise AssertionError("WAV codec round-trip corrupted the audio")
+    if nn_resample(pcm, 40).shape != (40, 2):
+        raise AssertionError("nn_resample returned the wrong shape")
     return multimodal.multimodal_features(spark, sf_dir)
 
 

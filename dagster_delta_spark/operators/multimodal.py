@@ -8,10 +8,13 @@ partition, columnar transfer, bounded batches).
 Codecs: formats with a pure-Python/numpy decode are REAL — binary PPM
 (P6) and uncompressed 24-bit BMP are parsed to pixel arrays and
 resized with nearest-neighbor numpy indexing (see ``decode_image`` /
-``nn_resize``).  Formats that genuinely need native libraries
-(JPEG/PNG/audio/video — no PIL/ffmpeg in this container) stay behind a
-clearly-marked ``NotImplementedError`` stub; a real deployment swaps
-those for PIL/librosa/ffmpeg without touching the Spark-side plumbing.
+``nn_resize``), and 16-bit PCM RIFF/WAVE is encoded/decoded/resampled
+with struct+numpy (``encode_wav`` / ``decode_wav`` / ``nn_resample``)
+with rate/duration/RMS/zero-crossing features.  Formats that
+genuinely need native libraries (JPEG/PNG/MP3/compressed-audio/video
+— no PIL/ffmpeg in this container) stay behind a clearly-marked
+``NotImplementedError`` stub; a real deployment swaps those for
+PIL/librosa/ffmpeg without touching the Spark-side plumbing.
 """
 
 from __future__ import annotations
@@ -140,6 +143,99 @@ def nn_resize(arr, out_h: int, out_w: int):
     return arr[rows[:, None], cols[None, :]]
 
 
+WAV_MEDIA_TYPE = "audio/wav"
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """Encode int16 PCM samples — shape ``(n,)`` mono or ``(n, ch)``
+    interleaved — as a RIFF/WAVE payload.  Pure struct+numpy; real,
+    not a stub."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.reshape(-1).tobytes()
+    block_align = ch * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, ch, rate, rate * block_align, block_align, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes):
+    """Decode a RIFF/WAVE PCM payload -> (samples int16 ``(n, ch)``,
+    rate).  Walks the chunk list properly (fmt/data may be preceded by
+    LIST/fact chunks; chunks pad to even offsets).  Only
+    uncompressed 16-bit PCM is in scope — compressed WAV (ADPCM,
+    float, MP3-in-WAV) raises like the other native-codec formats."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)   # chunks pad to even boundaries
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt or data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is decodable here (format={audio_format}, "
+            f"bits={bits}) — plug librosa/soundfile in for compressed audio"
+        )
+    arr = np.frombuffer(data[:len(data) - len(data) % (2 * ch)], dtype="<i2")
+    return arr.reshape(-1, ch), rate
+
+
+def nn_resample(samples, out_n: int):
+    """Nearest-neighbor resample to ``out_n`` frames (channel count
+    preserved) — the same index-mapping primitive as ``nn_resize``,
+    over the time axis."""
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n = arr.shape[0]
+    if n == 0 or out_n <= 0:
+        return arr[:0]
+    idx = (np.arange(out_n) * n) // out_n
+    return arr[idx]
+
+
+def audio_features(payload: bytes) -> dict:
+    """REAL audio features from the pure-numpy WAV decode: sample
+    rate, duration, RMS level (full-scale-normalized), and
+    zero-crossing rate (mean across channels)."""
+    import numpy as np
+
+    samples, rate = decode_wav(payload)
+    x = samples.astype("float64") / 32768.0
+    n = x.shape[0]
+    zcr = 0.0
+    if n > 1:
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(x), axis=0))))
+    return {
+        "audio_rate": int(rate),
+        "audio_seconds": float(n / rate) if rate else 0.0,
+        "audio_rms": float(np.sqrt(np.mean(np.square(x)))) if n else 0.0,
+        "audio_zcr": zcr,
+    }
+
+
 def decode_image(payload: bytes, media_type: str):
     """Real decode for the pure-Python formats; NotImplementedError for
     codecs that need native libraries (the documented stub boundary)."""
@@ -201,6 +297,46 @@ def binarize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_gen, schema)
 
 
+def binarize_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic audio corpus: one deterministic 16-bit PCM WAV per
+    document (frequency, length, channel count and rate are pure
+    functions of doc_id), encoded worker-side in Arrow batches — the
+    REAL audio decode path's corpus, mirroring ``binarize_images``."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 8000
+                n = 400 + d % 800
+                ch = 1 + d % 2
+                t = np.arange(n) / rate
+                freq = 100.0 + (d % 37) * 20.0
+                wave = np.sin(2 * np.pi * freq * t)
+                if ch == 2:
+                    wave = np.stack([wave, np.roll(wave, d % 50)], axis=1)
+                payloads.append(encode_wav(
+                    (wave * 12000).astype("int16"), rate))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads],
+                "media_type": [WAV_MEDIA_TYPE] * len(payloads),
+            })
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("media_type", StringType()),
+    ])
+    return docs.mapInPandas(_gen, schema)
+
+
 FEATURE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("n_bytes", LongType()),
@@ -211,14 +347,20 @@ FEATURE_SCHEMA = StructType([
     StructField("img_width", LongType()),
     StructField("img_height", LongType()),
     StructField("mean_pixel", DoubleType()),
+    # audio-only fields (null for non-audio media): REAL decoded values
+    StructField("audio_rate", LongType()),
+    StructField("audio_seconds", DoubleType()),
+    StructField("audio_rms", DoubleType()),
+    StructField("audio_zcr", DoubleType()),
 ])
 
 
 def decode_stub(payload: bytes, media_type: str) -> dict:
-    """Byte-level features for text media plus REAL image decode for
-    the pure-Python formats (PPM/BMP -> width/height/mean pixel).
-    Media needing native codecs (JPEG/PNG/audio/video) raises — that
-    boundary is where a real deployment plugs PIL/librosa/ffmpeg in."""
+    """Byte-level features for text media plus REAL decodes for the
+    pure-Python formats (PPM/BMP -> width/height/mean pixel; PCM WAV
+    -> rate/duration/RMS/zero-crossings).  Media needing native codecs
+    (JPEG/PNG/MP3/video) raises — that boundary is where a real
+    deployment plugs PIL/librosa/ffmpeg in."""
     out = {
         "n_bytes": len(payload),
         "mean_byte": (sum(payload) / len(payload)) if payload else 0.0,
@@ -226,12 +368,18 @@ def decode_stub(payload: bytes, media_type: str) -> dict:
         "img_width": None,
         "img_height": None,
         "mean_pixel": None,
+        "audio_rate": None,
+        "audio_seconds": None,
+        "audio_rms": None,
+        "audio_zcr": None,
     }
     if media_type in (PPM_MEDIA_TYPE, BMP_MEDIA_TYPE):
         img = decode_image(payload, media_type)
         out["img_width"] = int(img.shape[1])
         out["img_height"] = int(img.shape[0])
         out["mean_pixel"] = float(img.mean())
+    elif media_type == WAV_MEDIA_TYPE:
+        out.update(audio_features(payload))
     elif media_type.startswith(("image/", "audio/", "video/")):
         raise NotImplementedError(
             f"media codec for {media_type} not available in this environment"
@@ -271,6 +419,18 @@ def extract_features(df: DataFrame) -> DataFrame:
                 "mean_pixel": pd.array(
                     [f["mean_pixel"] for f in feats], dtype="Float64"
                 ),
+                "audio_rate": pd.array(
+                    [f["audio_rate"] for f in feats], dtype="Int64"
+                ),
+                "audio_seconds": pd.array(
+                    [f["audio_seconds"] for f in feats], dtype="Float64"
+                ),
+                "audio_rms": pd.array(
+                    [f["audio_rms"] for f in feats], dtype="Float64"
+                ),
+                "audio_zcr": pd.array(
+                    [f["audio_zcr"] for f in feats], dtype="Float64"
+                ),
             })
 
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
@@ -284,15 +444,20 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end binary pipeline over BOTH media kinds: text payloads
-    (byte-level features) unioned with synthetic PPM images whose
-    width/height/mean-pixel come from the REAL decoder.  Deterministic,
-    so repeat runs hash identically."""
+    """End-to-end binary pipeline over all THREE media kinds: text
+    payloads (byte-level features), synthetic PPM images
+    (width/height/mean-pixel from the REAL image decoder), and
+    synthetic PCM WAVs (rate/duration/RMS/zero-crossings from the REAL
+    audio decoder).  Deterministic, so repeat runs hash identically."""
     feats = extract_features(
         binarize_documents(spark, sf_dir).select(
             "doc_id", "payload", "media_type"
         ).unionByName(
             binarize_images(spark, sf_dir).select(
+                "doc_id", "payload", "media_type"
+            )
+        ).unionByName(
+            binarize_audio(spark, sf_dir).select(
                 "doc_id", "payload", "media_type"
             )
         )
@@ -301,6 +466,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media_type", "n_bytes", "mean_byte",
         F.expr("head_bytes[0]").alias("first_byte"),
         "img_width", "img_height", "mean_pixel",
+        "audio_rate", "audio_seconds", "audio_rms", "audio_zcr",
     )
 
 
@@ -324,6 +490,11 @@ def resize_stub(
     if media_type in (PPM_MEDIA_TYPE, BMP_MEDIA_TYPE):
         img = decode_image(payload, media_type)
         return encode_ppm(nn_resize(img, target_dims[0], target_dims[1]))
+    if media_type == WAV_MEDIA_TYPE:
+        # REAL audio resample: nearest-neighbor to target_bytes frames
+        # (the time-axis analogue of the image path), re-encoded PCM
+        samples, rate = decode_wav(payload)
+        return encode_wav(nn_resample(samples, target_bytes), rate)
     if media_type.startswith(("image/", "audio/", "video/")):
         raise NotImplementedError(
             f"media codec for {media_type} not available in this environment"
