@@ -404,6 +404,26 @@ def _sketch_profile(spark, sf_dir):
     return out
 
 
+def _leakage_safe_splits(spark, sf_dir):
+    """Cluster-level split assignment.  Guard: a planted duplicate
+    must land in its original's cluster AND split — the exact leakage
+    the operator exists to prevent (a duplicate straddling train/test
+    would poison evaluation)."""
+    d, orig, planted = _planted_dup_docs(spark, sf_dir)
+    rows = {
+        r["doc_id"]: r
+        for r in curation.leakage_safe_splits(spark, d)
+        .where(F.col("doc_id").isin(orig, planted)).collect()
+    }
+    if (rows[orig]["cluster_id"] != rows[planted]["cluster_id"]
+            or rows[orig]["split"] != rows[planted]["split"]):
+        raise AssertionError(
+            f"planted duplicate straddles splits: {rows[orig]} vs "
+            f"{rows[planted]}"
+        )
+    return curation.leakage_safe_splits(spark, sf_dir)
+
+
 def minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs.  Guard: a planted exact duplicate
     (Jaccard 1.0 -> identical signature -> collides in EVERY band)
@@ -826,7 +846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed THIS round: IVF auto-scaled cells/nprobe
         "ann_ivf_topk": _ivf_ann,
         "ann_ivf_quantized_topk": _ivf_quantized,
-        "kmeans_clusters": _kmeans_clusters,
         "ann_recall_report": _ann_recall,
         # changed THIS round: self-falsifying guards in the entry
         "semantic_dedup": _semantic_dedup,
@@ -876,8 +895,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (oracle-backed — md5 fingerprints are engine-portable)
         "winnow_repeated_spans": dedup.winnow_repeated_spans,
         "winnow_doc_repetition": dedup.winnow_doc_repetition,
-        "strip_repeated_spans": dedup.strip_repeated_spans,  # pos 50
-        # -------- past the cap: green/ok rows on committed r6 record --
+        "strip_repeated_spans": dedup.strip_repeated_spans,
+        # NEW in r7: near-dup-cluster-level split assignment
+        # (rows-only + planted-duplicate guard)
+        "leakage_safe_splits": _leakage_safe_splits,  # pos 50
+        # -------- past the cap: green/ok rows on committed record --
+        # (kmeans_clusters r6 rows-only record stands; its r7 change
+        # re-records on the next rotation)
+        "kmeans_clusters": _kmeans_clusters,
         "cosine_topk": similarity.cosine_topk,
         "embedding_near_dups": _embedding_near_dups_02,
         "quantize_embeddings": _quantize_embeddings,

@@ -310,6 +310,59 @@ def assign_splits(
     )
 
 
+def leakage_safe_splits(
+    spark: SparkSession,
+    sf_dir: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Train/val/test assignment at the NEAR-DUP-CLUSTER level:
+    ``assign_splits`` is leakage-proof against exact duplicates
+    (content-hash bucketing) but a near-duplicate pair — same article,
+    one typo apart — can still straddle train and test and leak
+    evaluation data into training.  Here every document takes the
+    split of its LSH near-dup cluster (``minhash_cluster_keep`` label
+    propagation), keyed by the md5 of the cluster REPRESENTATIVE's
+    normalized text with the same 4-hex-digit bucket thresholds as
+    ``assign_splits`` — so whole duplicate clusters move between
+    splits as a unit and near-dup leakage is structurally impossible.
+
+    Output: ``(doc_id, cluster_id, bucket, split)``.  Rows-only in the
+    driver gate (cluster labels derive from xxhash LSH banding); the
+    registry entry self-verifies by planting a near-duplicate and
+    asserting it lands in its original's cluster AND split.
+
+    Scale shape: clustering is the linear label-propagation pass
+    (O(docs x bands) per round); the split itself adds one tiny
+    representative join — no pair expansion anywhere."""
+    from .dedup import minhash_cluster_keep
+    from .textops import NORM_TEXT
+
+    clusters = minhash_cluster_keep(spark, sf_dir, num_hashes, bands)
+    docs = load(spark, sf_dir, "documents")
+    reps = (
+        clusters.where(F.col("keep"))
+        .join(docs, "doc_id")
+        .select("cluster_id", F.expr(f"md5({NORM_TEXT})").alias("rep_fp"))
+    )
+    train_hi = 65536 * train_pct // 100
+    val_hi = 65536 * (train_pct + val_pct) // 100
+    bucket = F.expr("conv(substring(rep_fp, 1, 4), 16, 10)").cast("int")
+    return (
+        clusters.join(reps, "cluster_id")
+        .select(
+            "doc_id", "cluster_id",
+            bucket.alias("bucket"),
+            F.when(bucket < train_hi, "train")
+            .when(bucket < val_hi, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
 def pack_sequences(
     spark: SparkSession,
     sf_dir: str,

@@ -962,3 +962,33 @@ def test_multimodal_audio_pipeline(spark):
     for r in resized:
         samples, rate = decode_wav(bytes(r["payload"]))
         assert samples.shape[0] == 50 and rate == 8000
+
+
+def test_leakage_safe_splits_cluster_atomicity(spark, tmp_path):
+    """Every near-dup cluster lands in exactly ONE split (the leakage
+    guarantee assign_splits cannot give), coverage is total, and the
+    thresholds produce the same split label assign_splits would give a
+    singleton's own content hash."""
+    import pandas as pd
+
+    from dagster_delta_spark.operators import curation
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(30).toPandas()
+    near = docs.iloc[[0]].copy()
+    near["doc_id"] = 77777
+    near["text"] = near["text"] + " tinytrailingchange"
+    d = tmp_path / "leak"
+    d.mkdir()
+    spark.createDataFrame(pd.concat([docs, near])).write.mode(
+        "overwrite").parquet(str(d / "documents.parquet"))
+
+    out = curation.leakage_safe_splits(spark, str(d)).toPandas()
+    assert len(out) == 31                      # total coverage
+    per_cluster = out.groupby("cluster_id")["split"].nunique()
+    assert (per_cluster == 1).all()            # cluster atomicity
+    by_doc = out.set_index("doc_id")
+    orig = int(docs.iloc[0]["doc_id"])
+    assert by_doc.loc[77777, "cluster_id"] == by_doc.loc[orig, "cluster_id"]
+    assert by_doc.loc[77777, "split"] == by_doc.loc[orig, "split"]
+    assert set(out["split"]) <= {"train", "val", "test"}
