@@ -846,7 +846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed THIS round: IVF auto-scaled cells/nprobe
         "ann_ivf_topk": _ivf_ann,
         "ann_ivf_quantized_topk": _ivf_quantized,
-        "ann_recall_report": _ann_recall,
         # changed THIS round: self-falsifying guards in the entry
         "semantic_dedup": _semantic_dedup,
         "stream_ingest_near_dup_filter": _stream_ingest_filter,
@@ -898,11 +897,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_repeated_spans": dedup.strip_repeated_spans,
         # NEW in r7: near-dup-cluster-level split assignment
         # (rows-only + planted-duplicate guard)
-        "leakage_safe_splits": _leakage_safe_splits,  # pos 50
+        "leakage_safe_splits": _leakage_safe_splits,
+        # NEW in r7: temperature-based source mixing (oracle-backed)
+        "temperature_mixture_sample": curation.temperature_mixture_sample,
         # -------- past the cap: green/ok rows on committed record --
-        # (kmeans_clusters r6 rows-only record stands; its r7 change
-        # re-records on the next rotation)
+        # (kmeans_clusters / ann_recall_report rows-only records stand;
+        # their r7 changes re-record on the next rotation)
         "kmeans_clusters": _kmeans_clusters,
+        "ann_recall_report": _ann_recall,
         "cosine_topk": similarity.cosine_topk,
         "embedding_near_dups": _embedding_near_dups_02,
         "quantize_embeddings": _quantize_embeddings,
@@ -2077,6 +2079,28 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY k, doc_id) AS INT)
                        AS pos
             FROM sharded
+        """,
+        "temperature_mixture_sample": """
+            WITH stats AS (
+                SELECT source, count(*) AS n_s FROM documents
+                GROUP BY source
+            ), tot AS (
+                SELECT sum(n_s) AS n_total,
+                       sum(pow(n_s, 0.5)) AS w_total
+                FROM stats
+            ), rates AS (
+                SELECT source,
+                       round(least(1.0,
+                           0.5 * n_total * pow(n_s, 0.5) / w_total / n_s),
+                           6) AS accept_rate
+                FROM stats, tot
+            )
+            SELECT d.doc_id, d.source, r.accept_rate,
+                   (CAST('0x' || substring(
+                        md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) / 4294967296.0) < r.accept_rate
+                       AS sampled
+            FROM documents d JOIN rates r USING (source)
         """,
         "stratified_sample": """
             SELECT doc_id, source, lang, CAST(rn AS INT) AS pick_rank

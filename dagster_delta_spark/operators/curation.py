@@ -450,6 +450,75 @@ def corpus_shuffle(
     )
 
 
+def temperature_mixture_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.5,
+    sample_frac: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-sampling
+    alpha rule, Conneau & Lample 2019): draw a ``sample_frac`` corpus
+    subsample whose expected per-source share is
+    ``n_s^alpha / sum_t n_t^alpha`` — ``alpha=1`` keeps natural
+    proportions, ``alpha=0`` equalizes sources, in between upsamples
+    the tail.  The per-source acceptance rate is
+    ``min(1, sample_frac * N * share_s / n_s)`` rounded to 6 decimals
+    (rounding BEFORE the accept decision keeps the Spark and DuckDB
+    twins bit-agreed); acceptance is a deterministic per-doc Bernoulli
+    — ``md5(seed:doc_id)``'s first 8 hex digits as a uniform u32 —
+    so the sample is reproducible across runs, engines and retries,
+    and re-keyed per ``seed``.
+
+    Output: every doc with ``(doc_id, source, accept_rate, sampled)``
+    — the full assignment, not just survivors, so capped sources are
+    AUDITABLE (a source whose target exceeds its population shows
+    ``accept_rate = 1.0`` and still under-delivers; no silent caps).
+
+    Scale: one tiny per-source aggregate broadcast back onto a
+    map-only accept pass — no shuffle of the corpus itself."""
+    if not 0 <= alpha <= 1:
+        raise ValueError(f"alpha={alpha} out of [0, 1]")
+    if not 0 < sample_frac <= 1:
+        raise ValueError(f"sample_frac={sample_frac} out of (0, 1]")
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    totals = stats.agg(
+        F.sum("n_s").alias("n_total"),
+        F.sum(F.pow(F.col("n_s").cast("double"), F.lit(alpha)))
+        .alias("w_total"),
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(sample_frac) * F.col("n_total")
+                    * F.pow(F.col("n_s").cast("double"), F.lit(alpha))
+                    / F.col("w_total") / F.col("n_s"),
+                ),
+                6,
+            ).alias("accept_rate"),
+        )
+    )
+    u = (
+        F.expr(
+            f"conv(substring(md5(concat('{seed}:', CAST(doc_id AS STRING))),"
+            f" 1, 8), 16, 10)"
+        ).cast("bigint").cast("double") / F.lit(4294967296.0)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id", "source", "accept_rate",
+            (u < F.col("accept_rate")).alias("sampled"),
+        )
+    )
+
+
 def cross_source_contamination(
     spark: SparkSession, sf_dir: str, prefix_words: int = 8
 ) -> DataFrame:

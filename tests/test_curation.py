@@ -426,3 +426,47 @@ def test_pack_sequences_shard_width(spark):
     shards = {r["shard"] for r in out.select("shard").distinct().collect()}
     assert max(shards) > 255  # impossible under the 1-byte key
     assert all(0 <= s < 300 for s in shards)
+
+
+def test_temperature_mixture_sample_properties(spark):
+    """alpha=1 keeps natural proportions (every source gets the same
+    accept rate = sample_frac); alpha=0 equalizes expected per-source
+    counts (rate ~ 1/n_s, capped at 1); decisions are deterministic
+    across calls and flip with the seed; dials validate."""
+    import pytest
+
+    from dagster_delta_spark.operators.curation import (
+        temperature_mixture_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    nat = temperature_mixture_sample(spark, sf, alpha=1.0, sample_frac=0.3)
+    rates = {r["source"]: r["accept_rate"]
+             for r in nat.select("source", "accept_rate").distinct().collect()}
+    assert all(abs(v - 0.3) < 1e-6 for v in rates.values()), rates
+
+    eq = temperature_mixture_sample(spark, sf, alpha=0.0, sample_frac=0.3)
+    import collections
+    n_s = collections.Counter(
+        r["source"] for r in eq.select("source").collect())
+    targets = {r["source"]: r["accept_rate"] * n_s[r["source"]]
+               for r in eq.select("source", "accept_rate")
+               .distinct().collect()}
+    vals = list(targets.values())
+    # equal expected counts for every uncapped source
+    uncapped = [v for s, v in targets.items()
+                if targets[s] < n_s[s] - 1e-6]
+    assert max(uncapped) - min(uncapped) < 1e-3, targets
+
+    a = temperature_mixture_sample(spark, sf).collect()
+    b = temperature_mixture_sample(spark, sf).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))   # deterministic
+    c = {r["doc_id"]: r["sampled"]
+         for r in temperature_mixture_sample(spark, sf, seed=7).collect()}
+    base = {r["doc_id"]: r["sampled"] for r in a}
+    assert any(base[k] != c[k] for k in base)           # seed re-keys
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture_sample(spark, sf, alpha=2.0)
+    with pytest.raises(ValueError, match="sample_frac"):
+        temperature_mixture_sample(spark, sf, sample_frac=0.0)
