@@ -84,6 +84,7 @@ def main() -> None:
         "ann_ivf_quantized_topk",
         "near_dup_jaccard",
         "winnow_repeated_spans",
+        "strip_repeated_spans",
         "corpus_shuffle",
     ]
 
