@@ -851,7 +851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_near_dup_filter": _stream_ingest_filter,
         # pre-r6-hardening records: rows-only family
         "sketch_profile": _sketch_profile,
-        "ann_lsh_topk": ann_lsh,
+        # NEW in r7: DSIR hashed-ngram importance resampling
+        # (oracle-backed; displaces ann_lsh_topk to the tail — its
+        # rows-only r6 record stands)
+        "dsir_importance_sample": curation.dsir_importance_sample,
         "embedding_near_dups_lsh": _emb_neardup_lsh,
         "multimodal_features": mm_features,
         # pre-r6-hardening records: oracle-backed tail (last recorded
@@ -952,6 +955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bursts": asof.user_event_bursts,
         "corpus_shuffle": curation.corpus_shuffle,
         "token_stats": textops.token_stats,
+        # displaced from the r7 window by dsir_importance_sample;
+        # rows-only r6 record stands
+        "ann_lsh_topk": ann_lsh,
     }
 
 
@@ -2079,6 +2085,60 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY k, doc_id) AS INT)
                        AS pos
             FROM sharded
+        """,
+        "dsir_importance_sample": f"""
+            WITH t AS (
+                SELECT doc_id, lang, source, {_TOK} AS t FROM documents
+            ), feats AS (
+                SELECT doc_id, lang, source,
+                       unnest(list_concat(t,
+                           CASE WHEN len(t) >= 2 THEN
+                               list_transform(range(1, len(t)),
+                                              i -> t[i] || ' ' || t[i+1])
+                           ELSE [] END)) AS f
+                FROM t
+            ), db AS (
+                SELECT doc_id, lang, source,
+                       CAST('0x' || substring(md5(f), 1, 4) AS INTEGER)
+                           % 256 AS bucket,
+                       count(*) AS cnt
+                FROM feats GROUP BY ALL
+            ), dist AS (
+                SELECT bucket, sum(cnt) AS q_cnt,
+                       sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)
+                           AS p_cnt
+                FROM db GROUP BY bucket
+            ), tot AS (
+                SELECT sum(q_cnt) AS q_tot, sum(p_cnt) AS p_tot FROM dist
+            ), ratio AS (
+                SELECT bucket,
+                       ln((p_cnt + 1.0) / (p_tot + 256.0))
+                           - ln((q_cnt + 1.0) / (q_tot + 256.0))
+                           AS log_ratio
+                FROM dist, tot
+            ), w AS (
+                SELECT db.doc_id,
+                       any_value(db.lang) AS lang,
+                       any_value(db.source) AS source,
+                       sum(db.cnt * r.log_ratio) AS logw
+                FROM db JOIN ratio r USING (bucket)
+                GROUP BY db.doc_id
+            ), scored AS (
+                SELECT doc_id, lang, source, logw,
+                       logw - ln(-ln(
+                           (CAST('0x' || substring(
+                                md5('42:' || CAST(doc_id AS VARCHAR)),
+                                1, 8) AS BIGINT) + 0.5)
+                           / 4294967296.0)) AS score
+                FROM w
+            )
+            SELECT doc_id, lang, source, logw, score,
+                   CAST(rnk AS INT) AS sel_rank
+            FROM (
+                SELECT *, row_number() OVER (ORDER BY score DESC,
+                                             doc_id ASC) AS rnk
+                FROM scored
+            ) WHERE rnk <= 100
         """,
         "temperature_mixture_sample": """
             WITH stats AS (

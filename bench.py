@@ -86,6 +86,7 @@ def main() -> None:
         "winnow_repeated_spans",
         "strip_repeated_spans",
         "corpus_shuffle",
+        "dsir_importance_sample",
     ]
 
     # Staged entries: fixture construction is NOT the operator under

@@ -572,3 +572,142 @@ def cross_source_contamination(
                  F.col("b.source").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
     )
+
+
+def dsir_importance_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    target_lang: str = "en",
+    n_buckets: int = 256,
+    top_k: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): pick the ``top_k`` corpus documents that look most like a
+    target distribution, using hashed-n-gram bag-of-words models.
+
+    The target here is the corpus slice with ``lang = target_lang``
+    (the standard setup: "select raw-crawl documents that read like
+    the high-quality target domain").  Every word unigram and bigram
+    hashes into one of ``n_buckets`` buckets (paper default 10^4 —
+    the dial scales with corpus size; 256 keeps test-scale bucket
+    estimates dense).  Per-bucket probabilities with Laplace +1
+    smoothing give the target model ``p`` and the raw-corpus model
+    ``q``; a document's importance is ``log w = sum_f log(p_b(f) /
+    q_b(f))`` over its feature instances.  Selection is Gumbel
+    top-k on ``log w + g_i`` — sampling WITHOUT replacement from the
+    importance-weighted distribution, exactly the paper's sampler —
+    with the Gumbel noise ``g_i = -ln(-ln(u_i))`` derived from
+    ``md5(seed:doc_id)`` so the draw is reproducible across runs,
+    engines and retries (the same determinism argument as
+    ``corpus_shuffle``).
+
+    Scale: feature extraction is map-only (one explode of a
+    concatenated unigram+bigram array — no per-doc window).  The
+    (doc_id, bucket) count frame is ONE keyed shuffle with partial
+    aggregation, localCheckpointed because both the distribution
+    estimate and the scoring pass read it (re-extraction, not the
+    checkpoint, would be the 100 TB cost).  The bucket distributions
+    collapse to ``n_buckets`` rows — broadcast back for scoring — and
+    the final global top-k is a rank-filter the optimizer runs as
+    WindowGroupLimit (per-partition partial top-k, no full sort
+    materialization).
+
+    Reference: the dagster-delta reference defers all user compute
+    (SURVEY §2.6-2.8); this is additive engine surface like the rest
+    of this module.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "source", F.expr(TOKENS).alias("t")
+    )
+    # unigrams ++ bigrams in one map-only array expression (mirrors
+    # repetition_quality's gram builder; single-level lambda stays in
+    # codegen-adjacent territory, and the CASE guard avoids
+    # sequence(1, 0) = [1, 0] descending on 1-token docs)
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.expr(
+                "concat(t, CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), i -> "
+                "concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+                "ELSE array() END)"
+            )
+        ).alias("f"),
+    )
+    db = (
+        feats.withColumn(
+            "bucket",
+            F.pmod(
+                F.expr("conv(substring(md5(f), 1, 4), 16, 10)").cast(
+                    "int"
+                ),
+                F.lit(n_buckets),
+            ),
+        )
+        .groupBy("doc_id", "lang", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # both the distribution pass and the scoring pass read this;
+        # without the checkpoint Spark re-extracts features twice
+        .localCheckpoint(eager=False)
+    )
+    dist = db.groupBy("bucket").agg(
+        F.sum("cnt").alias("q_cnt"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("p_cnt"),
+    )
+    tot = dist.agg(
+        F.sum("q_cnt").alias("q_tot"), F.sum("p_cnt").alias("p_tot")
+    )
+    ratio = (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("p_cnt") + F.lit(1.0))
+                    / (F.col("p_tot") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("q_cnt") + F.lit(1.0))
+                    / (F.col("q_tot") + F.lit(float(n_buckets)))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    w = (
+        db.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("logw"))
+    )
+    # Gumbel perturbation: u in (0, 1) from the first 8 md5 hex digits
+    # (+0.5 keeps u strictly positive), g = -ln(-ln(u))
+    u = (
+        F.expr(
+            f"conv(substring(md5(concat('{seed}:', "
+            f"CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+        ).cast("bigint").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    scored = w.withColumn("score", F.col("logw") - F.log(-F.log(u)))
+    from pyspark.sql.window import Window
+
+    rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("sel_rank", F.row_number().over(rank_w))
+        .where(F.col("sel_rank") <= top_k)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "logw",
+            "score",
+            F.col("sel_rank").cast("int").alias("sel_rank"),
+        )
+    )

@@ -470,3 +470,53 @@ def test_temperature_mixture_sample_properties(spark):
         temperature_mixture_sample(spark, sf, alpha=2.0)
     with pytest.raises(ValueError, match="sample_frac"):
         temperature_mixture_sample(spark, sf, sample_frac=0.0)
+
+
+def test_dsir_prefers_target_like_docs(spark, tmp_path):
+    """DSIR importance weights rank a non-target-language doc written
+    in the TARGET's vocabulary above one written in a disjoint
+    vocabulary; ranks are dense 1..k; logw is seed-independent while
+    the Gumbel score is not."""
+    from dagster_delta_spark.operators.curation import (
+        dsir_importance_sample,
+    )
+
+    target = "the quick brown fox jumps over the lazy dog again"
+    alien = "zork blarg quux fizzle wump snork grue thud plugh xyzzy"
+    rows = [
+        (1, target, "en", "web", 1),
+        (2, target + " " + target, "en", "web", 1),
+        (3, "quick fox dog lazy brown jumps", "en", "web", 1),
+        # same vocabulary as the target slice, different lang label
+        (4, "the quick brown fox over the dog", "xx", "crawl", 1),
+        # disjoint vocabulary
+        (5, alien, "xx", "crawl", 1),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = dsir_importance_sample(
+        spark, sf, target_lang="en", n_buckets=64, top_k=5
+    ).collect()
+    assert len(out) == 5
+    assert sorted(r["sel_rank"] for r in out) == [1, 2, 3, 4, 5]
+    logw = {r["doc_id"]: r["logw"] for r in out}
+    assert logw[4] > logw[5], logw
+    # every target-vocab doc outranks the alien-vocab doc
+    assert min(logw[1], logw[2], logw[3], logw[4]) > logw[5]
+
+    rerun = dsir_importance_sample(
+        spark, sf, target_lang="en", n_buckets=64, top_k=5
+    ).collect()
+    assert sorted((r["doc_id"], r["score"]) for r in out) == sorted(
+        (r["doc_id"], r["score"]) for r in rerun
+    )
+    reseeded = {
+        r["doc_id"]: (r["logw"], r["score"])
+        for r in dsir_importance_sample(
+            spark, sf, target_lang="en", n_buckets=64, top_k=5, seed=7
+        ).collect()
+    }
+    for doc_id, (lw, sc) in reseeded.items():
+        assert lw == pytest.approx(logw[doc_id])  # weights: seed-free
+    assert any(
+        reseeded[r["doc_id"]][1] != r["score"] for r in out
+    )  # Gumbel draw: re-keyed by seed
