@@ -855,7 +855,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (oracle-backed; displaces ann_lsh_topk to the tail — its
         # rows-only r6 record stands)
         "dsir_importance_sample": curation.dsir_importance_sample,
-        "embedding_near_dups_lsh": _emb_neardup_lsh,
+        # NEW in r7: watermarked stream-stream interval join
+        # (oracle-backed; displaces embedding_near_dups_lsh to the
+        # tail — its rows-only record stands, and its exact twin
+        # embedding_near_dups is driver-green)
+        "streaming_interval_join": _streaming_interval_join,
         "multimodal_features": mm_features,
         # pre-r6-hardening records: oracle-backed tail (last recorded
         # r1-r5; the r6 sweep touched their modules afterwards)
@@ -955,9 +959,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bursts": asof.user_event_bursts,
         "corpus_shuffle": curation.corpus_shuffle,
         "token_stats": textops.token_stats,
-        # displaced from the r7 window by dsir_importance_sample;
-        # rows-only r6 record stands
+        # displaced from the r7 window by dsir_importance_sample /
+        # streaming_interval_join; rows-only records stand
         "ann_lsh_topk": ann_lsh,
+        "embedding_near_dups_lsh": _emb_neardup_lsh,
     }
 
 
@@ -997,6 +1002,19 @@ def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_dedup_stream_once(
         spark, sf_dir, table_name=f"dedup_{uuid.uuid4().hex[:8]}"
+    )
+
+
+def _streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks x purchases
+    within 4 h per user); oracle-backed: the fixture lands in one
+    micro-batch, so the inner join's append output is complete and
+    equals the batch/DuckDB twin exactly (the multi-batch watermark
+    semantics are pinned by unit tests on crafted file sequences)."""
+    from dagster_delta_spark.streaming.events import run_interval_join_once
+
+    return run_interval_join_once(
+        spark, sf_dir, table_name=f"ivj_{uuid.uuid4().hex[:8]}"
     )
 
 
@@ -1206,6 +1224,18 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN purchases p
               ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        """,
+        "streaming_interval_join": """
+            WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                        FROM events)
+            SELECT c.event_id AS click_id, c.user_id,
+                   c.ts AS click_ts, c.value AS click_value,
+                   p.event_id AS purchase_id, p.ts AS purchase_ts,
+                   p.value AS purchase_value
+            FROM ev c JOIN ev p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
         """,
         "range_join_bursts": """
             SELECT a.user_id,

@@ -263,3 +263,91 @@ def stream_upsert_into_table(
     q.processAllAvailable()
     q.stop()
     return table
+
+
+def interval_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    upper: str = "4 hours",
+    watermark: str = "8 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: every click matched
+    with the same user's purchases inside ``[click_ts, click_ts +
+    upper]`` — the streaming twin of ``operators.asof.
+    range_join_pairs``.  Both sides carry watermarks and the join
+    condition time-bounds BOTH event times, so Spark can evict join
+    state for rows older than ``watermark + upper`` instead of
+    buffering each side forever (the only state shape that survives an
+    unbounded stream).  Inner join: a match emits as soon as both rows
+    have arrived; rows later than the watermark lose matches — that is
+    the documented streaming contract, and the multi-batch unit test
+    pins both halves of it.
+
+    Input frames must expose ``(click_id, user_id, click_ts,
+    click_value)`` / ``(purchase_id, user_id, purchase_ts,
+    purchase_value)``; see ``run_interval_join_once`` for the standard
+    wiring from the events source."""
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purchases.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            "c_user_id = p_user_id"
+            " AND purchase_ts >= click_ts"
+            f" AND purchase_ts <= click_ts + INTERVAL {upper}"
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        F.col("c_user_id").alias("user_id"),
+        "click_ts",
+        "click_value",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_interval_join_once(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "clicks_purchases_joined",
+    upper: str = "4 hours",
+    watermark: str = "8 hours",
+    max_files_per_trigger: int = 8,
+    glob: str = "events.parquet",
+) -> DataFrame:
+    """Execute the streaming interval join to completion against the
+    static fixture and return the memory-sink result.  The two sides
+    are independent streaming reads of the same source (Spark requires
+    distinct source plans for a stream-stream self-join)."""
+    clicks = (
+        read_events_stream(spark, sf_dir, max_files_per_trigger, glob)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir, max_files_per_trigger, glob)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    q = (
+        interval_join_stream(clicks, purchases, upper, watermark)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(table_name)

@@ -748,3 +748,111 @@ def test_entry_guards_fire_on_violation(spark, tmp_path, monkeypatch):
     with pytest.raises(AssertionError, match="without a|bucket-colliding"):
         entry._assert_ingest_soundness(
             spark, sf, uri2, acc2.subtract(victim).localCheckpoint(), 3)
+
+
+def test_interval_join_cross_batch_and_late_drop(spark, tmp_path):
+    """Stream-stream interval join semantics across micro-batches:
+    (a) a purchase arriving a BATCH after its click still matches while
+    the click is within the watermark (cross-batch join state works);
+    (b) watermark-driven state EVICTION is observable (numRowsRemoved),
+    and a late row arriving after its partner's state was evicted
+    loses the match — the documented divergence from the batch twin,
+    asserted against the batch join over the same files.  (A late row
+    arriving in the SAME batch the eviction runs in may still match —
+    Spark matches input before cleanup; only boundedness is
+    guaranteed, which is why the late file here trails the eviction
+    batch.)"""
+    import time as _time
+
+    import pandas as pd
+
+    from dagster_delta_spark.streaming.events import (
+        read_events_stream,
+        interval_join_stream,
+    )
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ev(eid, minutes, etype):
+        return (eid, t0 + pd.Timedelta(minutes=minutes), 1, etype,
+                1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for fname, rows_ in (
+        # click@00:00 matches purchase@01:00 in-batch; purchase@40h
+        # advances the purchase-side event time
+        ("a.parquet", [ev(1, 0, "click"), ev(2, 60, "purchase"),
+                       ev(3, 2400, "purchase")]),
+        # click@41h advances the CLICK-side event time (global
+        # watermark = min over both sides -> 32 h from here on)
+        ("b.parquet", [ev(5, 2460, "click")]),
+        # under watermark 32 h this batch evicts click1's state
+        # (click_ts + 4 h < wm); purchase@42h matches the previous
+        # batch's click@41h (cross-batch state)
+        ("c.parquet", [ev(6, 2520, "purchase")]),
+        # purchase@02:00 is inside click1's 4 h window but arrives
+        # after the eviction batch -> match lost
+        ("d.parquet", [ev(4, 120, "purchase")]),
+    ):
+        pd.DataFrame(rows_, columns=cols).to_parquet(
+            str(d / fname), index=False)
+        _time.sleep(0.05)
+
+    def side(etype, prefix):
+        return (
+            read_events_stream(spark, str(d), 1, glob="*.parquet")
+            .where(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix[0]}_user_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+        )
+
+    name = "ivj_semantics_test"
+    q = (
+        interval_join_stream(side("click", "click"),
+                             side("purchase", "purchase"),
+                             upper="4 hours", watermark="8 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    removed = sum(
+        so["numRowsRemoved"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    q.stop()
+    got = sorted((r["click_id"], r["purchase_id"])
+                 for r in spark.table(name).collect())
+    assert got == [(1, 2), (5, 6)], got
+    # watermark-driven eviction actually ran (bounded join state)
+    assert removed > 0
+
+    # batch control over the same files: the lost late pair exists
+    # (same ts normalization as read_events_stream — the session's
+    # nanosAsLong conf makes the raw batch read yield bigint)
+    ev_all = spark.read.parquet(str(d))
+    ts_type = dict(ev_all.dtypes)["ts"]
+    if ts_type == "bigint":
+        ev_all = ev_all.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    elif ts_type == "timestamp_ntz":
+        ev_all = ev_all.withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = (
+        ev_all.where("event_type = 'click'").alias("c")
+        .join(
+            ev_all.where("event_type = 'purchase'").alias("p"),
+            F.expr("c.user_id = p.user_id AND p.ts >= c.ts"
+                   " AND p.ts <= c.ts + INTERVAL 4 HOURS"),
+        )
+        .select(F.col("c.event_id").alias("a"),
+                F.col("p.event_id").alias("b"))
+    )
+    assert sorted((r["a"], r["b"]) for r in batch.collect()) == [
+        (1, 2), (1, 4), (5, 6)]
