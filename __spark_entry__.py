@@ -34,6 +34,7 @@ from dagster_delta_spark.operators import (
     asof,
     curation,
     dedup,
+    graph,
     multimodal,
     relational,
     similarity,
@@ -849,8 +850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed THIS round: self-falsifying guards in the entry
         "semantic_dedup": _semantic_dedup,
         "stream_ingest_near_dup_filter": _stream_ingest_filter,
-        # pre-r6-hardening records: rows-only family
-        "sketch_profile": _sketch_profile,
+        # NEW in r7: duplicate-family connected components
+        # (oracle-backed — recursive-CTE twin; displaces
+        # sketch_profile to the tail, its rows-only record stands)
+        "duplicate_components": graph.duplicate_components,
         # NEW in r7: DSIR hashed-ngram importance resampling
         # (oracle-backed; displaces ann_lsh_topk to the tail — its
         # rows-only r6 record stands)
@@ -960,9 +963,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": curation.corpus_shuffle,
         "token_stats": textops.token_stats,
         # displaced from the r7 window by dsir_importance_sample /
-        # streaming_interval_join; rows-only records stand
+        # streaming_interval_join / duplicate_components; rows-only
+        # records stand
         "ann_lsh_topk": ann_lsh,
         "embedding_near_dups_lsh": _emb_neardup_lsh,
+        "sketch_profile": _sketch_profile,
     }
 
 
@@ -1557,6 +1562,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT fp, count(DISTINCT doc_id) AS n_docs,
                    min(doc_id) AS min_doc_id
             FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "duplicate_components": f"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 5 THEN
+                           list_transform(range(1, len(toks) - 3),
+                               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                        toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                                        toks[i+4]))
+                       ELSE [] END AS fps
+                FROM t
+            ), sel AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(fps) - 3, 1) + 1),
+                           p -> list_min(list_slice(
+                               fps, p, least(p + 3, len(fps)))))) AS fp
+                FROM g WHERE len(fps) > 0
+            ), shared AS (
+                SELECT fp FROM sel GROUP BY fp
+                HAVING count(DISTINCT doc_id) >= 2
+            ), m AS (
+                SELECT doc_id, fp FROM sel
+                WHERE fp IN (SELECT fp FROM shared)
+            ), reach(doc_id, lab) AS (
+                SELECT doc_id, doc_id FROM m
+                UNION
+                SELECT b.doc_id, r.lab
+                FROM reach r
+                JOIN m a ON a.doc_id = r.doc_id
+                JOIN m b ON b.fp = a.fp
+            ), comp AS (
+                SELECT doc_id, min(lab) AS component
+                FROM reach GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
         "winnow_doc_repetition": f"""
             WITH t AS (

@@ -828,42 +828,20 @@ def minhash_cluster_keep(
 
     Returns (doc_id, cluster_id, keep) covering EVERY document.
     """
+    from .graph import bipartite_components
+
     # materialize bucket memberships once — the iteration would
     # otherwise recompute the whole signature pipeline per round
     buckets = minhash_buckets(spark, sf_dir, num_hashes, bands).localCheckpoint()
-    labels = buckets.select("doc_id").distinct().withColumn(
-        "lbl", F.col("doc_id")
+    labels = bipartite_components(
+        buckets, "doc_id", ("band", "h"),
+        iterations=iterations, max_iterations=max_iterations,
     )
-    rounds = iterations if iterations is not None else max_iterations
-    prev_sum = None
-    for _ in range(rounds):
-        with_lbl = buckets.join(labels, "doc_id")
-        bucket_min = (
-            with_lbl.groupBy("band", "h").agg(F.min("lbl").alias("bmin"))
-        )
-        labels = (
-            buckets.join(bucket_min, ["band", "h"])
-            .groupBy("doc_id")
-            .agg(F.min("bmin").alias("lbl"))
-            # cut lineage each round: the plan otherwise deepens by
-            # 2 joins + 2 aggs per iteration and analysis/codegen cost
-            # grows superlinearly past a few rounds
-            .localCheckpoint()
-        )
-        if iterations is None:
-            # labels are monotonically nonincreasing, so an unchanged
-            # sum IS convergence; one tiny agg per round over the
-            # already-materialized labels
-            cur = labels.agg(
-                F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
-            if cur == prev_sum:
-                break
-            prev_sum = cur
     # total coverage: docs without buckets (unshingleable) join back as
     # their own singleton clusters instead of vanishing from the output
     all_docs = load(spark, sf_dir, "documents").select("doc_id")
     return all_docs.join(labels, "doc_id", "left").select(
         "doc_id",
-        F.coalesce("lbl", F.col("doc_id")).alias("cluster_id"),
-        (F.coalesce("lbl", F.col("doc_id")) == F.col("doc_id")).alias("keep"),
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce("component", F.col("doc_id")) == F.col("doc_id")).alias("keep"),
     )

@@ -992,3 +992,59 @@ def test_leakage_safe_splits_cluster_atomicity(spark, tmp_path):
     assert by_doc.loc[77777, "cluster_id"] == by_doc.loc[orig, "cluster_id"]
     assert by_doc.loc[77777, "split"] == by_doc.loc[orig, "split"]
     assert set(out["split"]) <= {"train", "val", "test"}
+
+
+def test_bipartite_components_chain_and_islands(spark):
+    """Min-label propagation finds transitive components: a chain
+    1-2-3 (1 and 3 share no key) collapses to component 1, a separate
+    pair stays its own component, convergence beats a too-small pinned
+    iteration count on a long chain."""
+    from dagster_delta_spark.operators.graph import bipartite_components
+
+    member = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b"), (3, "b"),   # chain 1-2-3
+         (10, "x"), (11, "x"),                     # island pair
+         (20, "z")],                               # singleton w/ key
+        "doc_id int, fp string",
+    )
+    out = {r["doc_id"]: r["component"]
+           for r in bipartite_components(member).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    # a diameter-8 chain: 1 round of propagation is NOT enough
+    chain = spark.createDataFrame(
+        [(i + d, f"k{i}") for i in range(1, 9) for d in (0, 1)],
+        "doc_id int, fp string",
+    )
+    partial = {r["doc_id"]: r["component"]
+               for r in bipartite_components(chain, iterations=1).collect()}
+    full = {r["doc_id"]: r["component"]
+            for r in bipartite_components(chain).collect()}
+    assert set(full.values()) == {1}
+    assert partial != full
+
+
+def test_duplicate_components_transitive_families(spark, tmp_path):
+    """A~B and B~C (A,C disjoint) land in ONE family; unrelated docs
+    are singletons; every doc is covered."""
+    from dagster_delta_spark.operators.graph import duplicate_components
+
+    span1 = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    span2 = "kilo lima mike november oscar papa quebec romeo sierra"
+    rows = [
+        (1, f"intro text {span1} closing words here", "en", "web", 1),
+        (2, f"{span1} middle bridge section {span2}", "en", "web", 1),
+        (3, f"prefix words {span2} and a different tail", "en", "web", 1),
+        (4, "totally unrelated content about spark shuffles and "
+            "partition pruning strategies", "en", "web", 1),
+        (5, "", "en", "web", 1),  # unfingerprintable
+    ]
+    d = tmp_path / "corpus"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {r["doc_id"]: r["component"]
+           for r in duplicate_components(spark, str(d)).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
