@@ -87,6 +87,7 @@ def main() -> None:
         "strip_repeated_spans",
         "corpus_shuffle",
         "dsir_importance_sample",
+        "duplicate_components",
     ]
 
     # Staged entries: fixture construction is NOT the operator under
