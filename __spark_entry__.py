@@ -813,6 +813,18 @@ def streaming_rollup(spark, sf_dir):
     )
 
 
+def _streaming_sliding_rollup(spark, sf_dir):
+    """Watermarked SLIDING-window (2 h / 1 h) streaming rollup;
+    oracle-backed: every event belongs to exactly width/slide = 2
+    windows (starts at trunc(ts) and trunc(ts) - 1 h), which the
+    DuckDB twin reproduces by unnesting both starts per event."""
+    from dagster_delta_spark.streaming.events import run_sliding_rollup_once
+
+    return run_sliding_rollup_once(
+        spark, sf_dir, table_name=f"sliding_{uuid.uuid4().hex[:8]}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -863,7 +875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail — its rows-only record stands, and its exact twin
         # embedding_near_dups is driver-green)
         "streaming_interval_join": _streaming_interval_join,
-        "multimodal_features": mm_features,
+        # NEW in r7: sliding-window streaming rollup (oracle-backed;
+        # displaces multimodal_features to the tail — its rows-only
+        # record stands and multimodal_metadata is driver-green)
+        "streaming_sliding_rollup": _streaming_sliding_rollup,
         # pre-r6-hardening records: oracle-backed tail (last recorded
         # r1-r5; the r6 sweep touched their modules afterwards)
         "string_functions": relational.string_functions_probe,
@@ -968,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh,
         "embedding_near_dups_lsh": _emb_neardup_lsh,
         "sketch_profile": _sketch_profile,
+        "multimodal_features": mm_features,
     }
 
 
@@ -2307,6 +2323,22 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value
             FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
                   FROM events) events
+            GROUP BY 1, 2
+        """,
+        "streaming_sliding_rollup": """
+            SELECT window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                       AS sum_value
+            FROM (
+                SELECT unnest([
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                           date_trunc('hour', ts)
+                       ]) AS window_start,
+                       event_type, value
+                FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                      FROM events) events
+            )
             GROUP BY 1, 2
         """,
         "streaming_sessionize": """

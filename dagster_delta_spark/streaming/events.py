@@ -351,3 +351,48 @@ def run_interval_join_once(
     q.processAllAvailable()
     q.stop()
     return spark.table(table_name)
+
+
+def sliding_rollup_stream(
+    events: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregation (the third windowed
+    shape next to the tumbling ``hourly_rollup_stream`` and the
+    ``session_window`` sessionizer): each event lands in
+    width/slide overlapping windows, state is bounded by
+    watermark x keys x overlap.  Decimal accumulation matches the
+    batch/oracle twins so hash parity survives summation order."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"),
+                 F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_sliding_rollup_once(
+    spark: SparkSession, sf_dir: str, table_name: str = "events_sliding"
+) -> DataFrame:
+    stream = sliding_rollup_stream(read_events_stream(spark, sf_dir, 8))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(table_name)

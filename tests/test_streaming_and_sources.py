@@ -856,3 +856,26 @@ def test_interval_join_cross_batch_and_late_drop(spark, tmp_path):
     )
     assert sorted((r["a"], r["b"]) for r in batch.collect()) == [
         (1, 2), (1, 4), (5, 6)]
+
+
+def test_sliding_rollup_overlap_invariant(spark):
+    """Sliding 2 h / 1 h windows count every event exactly
+    width/slide = 2 times, and each window's count equals the batch
+    filter over its [start, start+2h) range (spot-checked)."""
+    from dagster_delta_spark.streaming.events import run_sliding_rollup_once
+    from dagster_delta_spark.operators.relational import load_events
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = run_sliding_rollup_once(spark, sf, "sliding_inv_test")
+    ev = load_events(spark, sf)
+    n_events = ev.count()
+    assert out.agg(F.sum("n_events")).first()[0] == 2 * n_events
+
+    w = out.orderBy(F.desc("n_events")).limit(1).collect()[0]
+    batch_n = ev.where(
+        (F.col("event_type") == w["event_type"])
+        & (F.col("ts") >= w["window_start"])
+        & (F.col("ts") < w["window_start"] + F.expr("INTERVAL 2 HOURS"))
+    ).count()
+    assert batch_n == w["n_events"]
