@@ -881,7 +881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_rollup": _streaming_sliding_rollup,
         # pre-r6-hardening records: oracle-backed tail (last recorded
         # r1-r5; the r6 sweep touched their modules afterwards)
-        "string_functions": relational.string_functions_probe,
+        # NEW in r7: domain-balanced quality pruning (oracle-backed;
+        # displaces string_functions to the tail — its green record
+        # stands and the probe is exercised by the local gate)
+        "quality_balanced_prune": curation.quality_balanced_prune,
         "date_parts_rollup": relational.date_parts_rollup,
         "q12_case_agg": relational.q12_priority_by_linestatus,
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
@@ -984,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": _emb_neardup_lsh,
         "sketch_profile": _sketch_profile,
         "multimodal_features": mm_features,
+        "string_functions": relational.string_functions_probe,
     }
 
 
@@ -1531,6 +1535,50 @@ def oracle_sql() -> dict[str, str]:
                    + (1 - punct_ratio) * 0.2
                    + least(avg_token_len / 8.0, 1.0) * 0.1 AS quality_score
             FROM m
+        """,
+        "quality_balanced_prune": f"""
+            WITH t AS (
+                SELECT doc_id, source, text, {_TOK} AS toks,
+                       length(text) AS n_chars
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, source,
+                       round(
+                           least(CAST(len(toks) AS BIGINT) / 100.0, 1.0)
+                               * 0.4
+                           + (CAST(len(list_filter(toks,
+                                  x -> x IN ({_STOPS_EN}))) AS DOUBLE)
+                              / greatest(len(toks), 1)) * 0.3
+                           + (1 - CAST(n_chars - length(regexp_replace(
+                                  text, '[^a-zA-Z0-9 ]', '', 'g'))
+                                  AS DOUBLE) / greatest(n_chars, 1)) * 0.2
+                           + least((CAST(coalesce(list_sum(list_transform(
+                                  toks, x -> length(x))), 0) AS DOUBLE)
+                                  / greatest(len(toks), 1)) / 8.0, 1.0)
+                               * 0.1,
+                       4) AS qscore
+                FROM t
+            ), hist AS (
+                SELECT source, qscore, count(*) AS cnt
+                FROM scored GROUP BY source, qscore
+            ), tot AS (
+                SELECT source, sum(cnt) AS n_source
+                FROM hist GROUP BY source
+            ), cum AS (
+                SELECT h.source, h.qscore, t2.n_source,
+                       sum(h.cnt) OVER (PARTITION BY h.source
+                           ORDER BY h.qscore DESC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM hist h JOIN tot t2 USING (source)
+            ), cut AS (
+                SELECT source, max(qscore) AS cutoff
+                FROM cum
+                WHERE cum >= CAST(ceil(0.7 * n_source) AS BIGINT)
+                GROUP BY source
+            )
+            SELECT s.doc_id, s.source, s.qscore, c.cutoff,
+                   s.qscore >= c.cutoff AS kept
+            FROM scored s JOIN cut c USING (source)
         """,
         "lang_id": _lang_id_oracle(),
         "fingerprint": f"""

@@ -711,3 +711,73 @@ def dsir_importance_sample(
             F.col("sel_rank").cast("int").alias("sel_rank"),
         )
     )
+
+
+def quality_balanced_prune(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_frac: float = 0.7,
+    grid_decimals: int = 4,
+) -> DataFrame:
+    """Domain-balanced quality pruning: every source keeps its own
+    top ``keep_frac`` of documents by quality score — the filter
+    shape that avoids the single-global-threshold trap, where one
+    clean domain's floor wipes out another domain entirely (the
+    Gopher/FineWeb-style per-domain pruning pass).
+
+    Scale design: NO per-document ranking.  Scores quantize to a
+    ``grid_decimals`` grid, so the distribution state is a
+    (source x gridpoint) histogram — at most 10^grid_decimals * score
+    range rows per source REGARDLESS of corpus size (vs a
+    percent_rank window, which sorts every document of a source
+    inside one task).  The cutoff per source is the largest
+    gridpoint whose from-the-top cumulative count covers
+    ``ceil(keep_frac * n_source)`` — computed with a window over the
+    tiny histogram, broadcast back, and applied as a map-side
+    comparison.  Everything is deterministic integer/grid math, so
+    the DuckDB twin agrees exactly (grid rounding BEFORE the cutoff
+    comparison keeps boundary docs engine-agreed, the
+    temperature_mixture_sample precedent).
+
+    Output: ``(doc_id, source, qscore, cutoff, kept)`` for every
+    document; ``kept`` = qscore >= cutoff, guaranteeing at least
+    ``keep_frac`` of each source survives (grid-aligned, so slightly
+    more on score ties).
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac={keep_frac} must be in (0, 1]")
+    from pyspark.sql.window import Window
+
+    from .textops import with_text_quality
+
+    docs = load(spark, sf_dir, "documents")
+    scored = with_text_quality(docs).select(
+        "doc_id",
+        "source",
+        F.round(F.col("quality_score"), grid_decimals).alias("qscore"),
+    )
+    hist = scored.groupBy("source", "qscore").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hist.groupBy("source").agg(F.sum("cnt").alias("n_source"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("qscore"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(tot, "source")
+    cut = (
+        cum.where(
+            F.col("cum")
+            >= F.ceil(F.lit(keep_frac) * F.col("n_source")).cast("bigint")
+        )
+        .groupBy("source")
+        .agg(F.max("qscore").alias("cutoff"))
+    )
+    return scored.join(F.broadcast(cut), "source").select(
+        "doc_id",
+        "source",
+        "qscore",
+        "cutoff",
+        (F.col("qscore") >= F.col("cutoff")).alias("kept"),
+    )

@@ -520,3 +520,37 @@ def test_dsir_prefers_target_like_docs(spark, tmp_path):
     assert any(
         reseeded[r["doc_id"]][1] != r["score"] for r in out
     )  # Gumbel draw: re-keyed by seed
+
+
+def test_quality_balanced_prune_per_source_quota(spark, tmp_path):
+    """Each source keeps at least keep_frac of its own docs (its own
+    top slice), so a low-quality source is pruned within itself, not
+    wiped out by a cleaner source's threshold; grid ties keep both."""
+    from dagster_delta_spark.operators.curation import (
+        quality_balanced_prune,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks away to find some other interesting business")
+    bad = "x!!! ??? @@@"
+    rows = (
+        [(i, good, "en", "clean", 1) for i in range(1, 9)]
+        + [(9, bad, "en", "clean", 1), (10, bad + "!!", "en", "clean", 1)]
+        + [(20 + i, bad + ("!" * i), "en", "noisy", 1) for i in range(6)]
+    )
+    sf = _write_docs(spark, tmp_path, rows)
+    out = quality_balanced_prune(spark, sf, keep_frac=0.5)
+    rowsd = {r["doc_id"]: r for r in out.collect()}
+    assert len(rowsd) == len(rows)
+    for src, ids in (("clean", range(1, 11)), ("noisy", range(20, 26))):
+        kept = [i for i in ids if rowsd[i]["kept"]]
+        assert len(kept) >= len(list(ids)) // 2, (src, kept)
+    # the noisy source still keeps SOMETHING (domain-balanced), and
+    # clean's junk docs are what clean prunes
+    assert any(rowsd[i]["kept"] for i in range(20, 26))
+    assert not rowsd[9]["kept"] and not rowsd[10]["kept"]
+    # all 8 good clean docs tie on the grid -> all kept
+    assert all(rowsd[i]["kept"] for i in range(1, 9))
+
+    with pytest.raises(ValueError, match="keep_frac"):
+        quality_balanced_prune(spark, sf, keep_frac=0.0)
