@@ -819,8 +819,9 @@ def minhash_cluster_keep(
     far components carrying a non-representative label — a cluster
     with no ``keep=True`` member, i.e. documents silently dropped by
     any keep-filtering consumer.  ``iterations`` pins an exact round
-    count (testing); ``max_iterations`` bounds the loop on
-    pathological chains.
+    count (testing); exhausting ``max_iterations`` before the
+    fixpoint raises ``graph.ComponentConvergenceError`` (r7) instead
+    of returning exactly that silent-drop shape.
 
     Documents too short to shingle (< 3 tokens) carry no LSH evidence
     and come back as singleton clusters with ``keep=True`` — exact
@@ -833,9 +834,12 @@ def minhash_cluster_keep(
     # materialize bucket memberships once — the iteration would
     # otherwise recompute the whole signature pipeline per round
     buckets = minhash_buckets(spark, sf_dir, num_hashes, bands).localCheckpoint()
+    # buckets is distinct (doc_id, band, h) by construction and just
+    # materialized -> prepared membership (no re-distinct shuffle)
     labels = bipartite_components(
         buckets, "doc_id", ("band", "h"),
         iterations=iterations, max_iterations=max_iterations,
+        prepared=True,
     )
     # total coverage: docs without buckets (unshingleable) join back as
     # their own singleton clusters instead of vanishing from the output

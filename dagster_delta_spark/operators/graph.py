@@ -17,8 +17,14 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 from .relational import load
+
+
+class ComponentConvergenceError(RuntimeError):
+    """Label propagation hit max_iterations before the fixpoint —
+    the result would be silently non-transitive, so we refuse it."""
 
 
 def bipartite_components(
@@ -27,20 +33,35 @@ def bipartite_components(
     key_cols: Sequence[str] = ("fp",),
     iterations: Optional[int] = None,
     max_iterations: int = 50,
+    prepared: bool = False,
 ) -> DataFrame:
     """Connected components of the graph "nodes sharing a key are
     connected": min-label propagation over the bipartite
     ``(node, key)`` frame.  Each round, a key takes its members'
     minimum label and each node takes its keys' minimum — after
     convergence every node carries the minimum node id reachable in
-    its component, the canonical deterministic component id.
+    its component (minimum under the id type's ordering), the
+    canonical deterministic component id.
 
-    Runs TO CONVERGENCE by default: labels only decrease, so an
-    unchanged label sum is a fixed point (one tiny aggregate per
-    round over the already-materialized labels).  A component of
-    graph diameter d converges in ~d/2 rounds; ``max_iterations``
-    bounds pathological chains and ``iterations`` pins an exact round
-    count for tests.
+    Runs TO CONVERGENCE by default: labels only decrease under the
+    id ordering, so an unchanged-labels round is the fixpoint.  For
+    numeric node ids the check is one tiny decimal-sum aggregate per
+    round; for other orderable id types (string keys, dates) it is
+    an exact changed-row probe joining the previous round's
+    materialized labels (a decimal cast would crash under ANSI mode,
+    and numeric-looking strings order lexicographically, which a sum
+    probe could misread).  A component of graph diameter d converges
+    in ~d/2 rounds; if ``max_iterations`` is exhausted first the
+    function raises :class:`ComponentConvergenceError` instead of
+    returning silently non-transitive labels (``iterations`` pins an
+    exact round count for tests and skips both the probe and the
+    guard).
+
+    ``prepared=True`` asserts the membership frame is already
+    distinct and materialized (checkpointed/cached) — both internal
+    callers guarantee this; the default path distincts and
+    lazily checkpoints, since the loop re-reads membership twice per
+    round.
 
     Scale: cost per round is O(|membership|) — two keyed shuffles
     (key, then node) with partial aggregation — independent of
@@ -50,15 +71,25 @@ def bipartite_components(
     node present in ``membership``.
     """
     keys = list(key_cols)
-    member = membership.select(node_col, *keys).distinct().localCheckpoint(
-        eager=False
+    if prepared:
+        member = membership.select(node_col, *keys)
+    else:
+        member = membership.select(node_col, *keys).distinct().localCheckpoint(
+            eager=False
+        )
+    labels = (
+        member.select(node_col).distinct()
+        .withColumn("lbl", F.col(node_col))
+        .localCheckpoint(eager=False)
     )
-    labels = member.select(node_col).distinct().withColumn(
-        "lbl", F.col(node_col)
+    numeric_ids = isinstance(
+        labels.schema["lbl"].dataType, NumericType
     )
     rounds = iterations if iterations is not None else max_iterations
     prev_sum = None
+    converged = iterations is not None
     for _ in range(rounds):
+        prev_labels = labels
         key_min = (
             member.join(labels, node_col)
             .groupBy(*keys)
@@ -74,13 +105,33 @@ def bipartite_components(
             .localCheckpoint()
         )
         if iterations is None:
-            # labels are monotonically nonincreasing, so an unchanged
-            # sum IS convergence
-            cur = labels.agg(
-                F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
-            if cur == prev_sum:
-                break
-            prev_sum = cur
+            if numeric_ids:
+                # labels are monotonically nonincreasing, so an
+                # unchanged sum IS convergence — one tiny aggregate
+                # over the already-materialized labels
+                cur = labels.agg(
+                    F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+                if cur == prev_sum:
+                    converged = True
+                    break
+                prev_sum = cur
+            else:
+                changed = (
+                    labels.alias("n")
+                    .join(prev_labels.alias("p"), node_col)
+                    .where(F.col("n.lbl") != F.col("p.lbl"))
+                    .limit(1)
+                    .count()
+                )
+                if changed == 0:
+                    converged = True
+                    break
+    if not converged:
+        raise ComponentConvergenceError(
+            f"label propagation did not converge within "
+            f"max_iterations={max_iterations}; the component graph has "
+            f"a longer chain than expected — raise max_iterations"
+        )
     return labels.select(node_col, F.col("lbl").alias("component"))
 
 
@@ -110,7 +161,8 @@ def duplicate_components(
 
     Oracle: the DuckDB twin computes the same closure with a
     recursive CTE — propagation depth is algorithm-specific but the
-    fixpoint is unique, so both engines agree exactly.
+    fixpoint is unique, so both engines agree exactly (and
+    non-convergence raises rather than diverging silently).
     """
     from .dedup import winnow_fingerprints
 
@@ -121,9 +173,16 @@ def duplicate_components(
         .where(F.col("n_docs") >= 2)
         .select("fp")
     )
-    member = fps.join(shared, "fp").select("doc_id", "fp")
+    # winnow_fingerprints is distinct (doc_id, fp); the semi-join
+    # preserves that, so the membership is prepared once here and the
+    # propagation loop re-reads the materialization, not the pipeline
+    member = (
+        fps.join(shared, "fp").select("doc_id", "fp")
+        .localCheckpoint(eager=False)
+    )
     comp = bipartite_components(
-        member, "doc_id", ("fp",), max_iterations=max_iterations
+        member, "doc_id", ("fp",),
+        max_iterations=max_iterations, prepared=True,
     )
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return docs.join(comp, "doc_id", "left").select(

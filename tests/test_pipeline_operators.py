@@ -1048,3 +1048,34 @@ def test_duplicate_components_transitive_families(spark, tmp_path):
     out = {r["doc_id"]: r["component"]
            for r in duplicate_components(spark, str(d)).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_bipartite_components_string_ids_and_convergence_guard(spark):
+    """String node ids work (the numeric decimal-sum probe would
+    crash under ANSI or misread lexicographic mins), components are
+    lexicographic-min labels, and exhausting max_iterations raises
+    instead of returning non-transitive labels."""
+    import pytest as _pytest
+
+    from dagster_delta_spark.operators.graph import (
+        ComponentConvergenceError,
+        bipartite_components,
+    )
+
+    member = spark.createDataFrame(
+        # numeric-looking strings: lexicographic min('10','9') = '10'
+        [("9", "a"), ("10", "a"), ("10", "b"), ("doc-x", "b"),
+         ("zz", "q")],
+        "doc_id string, fp string",
+    )
+    out = {r["doc_id"]: r["component"]
+           for r in bipartite_components(member).collect()}
+    assert out == {"9": "10", "10": "10", "doc-x": "10", "zz": "zz"}
+
+    # diameter-12 chain cannot converge in 2 rounds -> loud failure
+    chain = spark.createDataFrame(
+        [(i + d, f"k{i}") for i in range(1, 13) for d in (0, 1)],
+        "doc_id int, fp string",
+    )
+    with _pytest.raises(ComponentConvergenceError, match="max_iterations"):
+        bipartite_components(chain, max_iterations=2)
