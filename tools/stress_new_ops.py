@@ -1,0 +1,119 @@
+"""Measure the r7 operators on a 20x sf0.1 corpus (~100k docs;
+perturbed replicas keep the background unique — the same construction
+as tools/skew_bench.py — plus a planted exact-duplicate cluster so the
+duplicate-family path carries real transitive mass).  Results recorded
+in docs/SCALE.md "Measured stress points".
+
+Usage: python tools/stress_new_ops.py [--replicas 20] [--cluster 2000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_corpus(spark, sf_dir: str, out: str, replicas: int,
+                 cluster: int) -> None:
+    """Full-schema (doc_id, text, lang, source, n_chars) 20x corpus:
+    replicas of the sf docs with per-replica text perturbation, plus
+    ``cluster`` exact copies of one boilerplate doc."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source")
+    n = docs.count()
+    wide = (
+        docs.crossJoin(
+            spark.range(replicas).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("doc_id") + F.col("rep") * (n * 10)).alias("doc_id"),
+            F.concat_ws(" ", "text",
+                        F.concat(F.lit("rep"), F.col("rep"))).alias("text"),
+            "lang", "source",
+        )
+    )
+    boiler = " ".join(f"legal boilerplate clause {i % 13}" for i in range(40))
+    hot = spark.range(cluster).select(
+        (F.col("id") + n * 10 * (replicas + 1)).alias("doc_id"),
+        F.lit(boiler).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("boiler").alias("source"),
+    )
+    (wide.unionByName(hot)
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=20)
+    ap.add_argument("--cluster", type=int, default=2000)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .appName("dds-stress-r7")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    with tempfile.TemporaryDirectory() as d:
+        build_corpus(spark, args.sf_dir, d, args.replicas, args.cluster)
+        n = spark.read.parquet(f"{d}/documents.parquet").count()
+        print(f"corpus: {n} docs "
+              f"({args.replicas}x + {args.cluster} planted dups)")
+
+        from dagster_delta_spark.operators.curation import (
+            dsir_importance_sample,
+            quality_balanced_prune,
+        )
+        from dagster_delta_spark.operators.dedup import (
+            strip_repeated_spans,
+            winnow_repeated_spans,
+        )
+        from dagster_delta_spark.operators.graph import duplicate_components
+
+        def run(name, make, describe):
+            t0 = time.time()
+            df = make()
+            df.write.mode("overwrite").format("noop").save()
+            wall = time.time() - t0
+            print(f"{name}: {describe(df)} | {wall:.1f} s")
+
+        run("winnow_repeated_spans",
+            lambda: winnow_repeated_spans(spark, d),
+            lambda df: f"{df.count()} repeated fps")
+        run("strip_repeated_spans",
+            lambda: strip_repeated_spans(spark, d),
+            lambda df: f"{df.count()} docs")
+        run("duplicate_components",
+            lambda: duplicate_components(spark, d),
+            lambda df: f"{df.select('component').distinct().count()}"
+                       f" components / {df.count()} docs")
+        run("dsir_importance_sample",
+            lambda: dsir_importance_sample(spark, d, top_k=1000),
+            lambda df: f"{df.count()} selected")
+        run("quality_balanced_prune",
+            lambda: quality_balanced_prune(spark, d),
+            lambda df: f"{df.where('kept').count()} kept"
+                       f" / {df.count()} docs")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
