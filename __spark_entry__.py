@@ -608,6 +608,49 @@ def _ivf_quantized(spark, sf_dir):
     return similarity.ivf_quantized_topk(spark, sf_dir)
 
 
+def _embedding_pca(spark, sf_dir):
+    """Distributed PCA projection (rows-only: eigenvectors are not
+    SQL-expressible).
+
+    Self-falsifying (r7 convention): the entry asserts the linear-
+    algebra contract in-line — the trained basis must be
+    column-orthonormal with explained-variance shares decreasing in
+    [0, 1], and a sample of the DISTRIBUTED projections must equal
+    the driver-side ``(x - mean) @ components`` recomputation to
+    1e-9 — so a rows-only record certifies the moment aggregation
+    and the Arrow projection path, not just row production."""
+    import numpy as np
+
+    k = 16
+    mean, comp, expl = similarity.embedding_pca(spark, sf_dir, k)
+    gram = comp.T @ comp
+    if not np.allclose(gram, np.eye(k), atol=1e-8):
+        raise AssertionError(
+            f"PCA components not orthonormal: max |C'C - I| = "
+            f"{np.abs(gram - np.eye(k)).max()}"
+        )
+    if not (np.all(np.diff(expl) <= 1e-12)
+            and np.all(expl >= 0) and expl.sum() <= 1 + 1e-9):
+        raise AssertionError(
+            f"explained-variance contract violated: {expl}"
+        )
+    proj = similarity.embedding_pca_project(spark, sf_dir, k)
+    sample = proj.orderBy("vec_id").limit(5).collect()
+    raw = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id").limit(5).collect()
+    }
+    for r in sample:
+        want = (raw[r["vec_id"]] - mean) @ comp
+        if not np.allclose(np.asarray(r["proj"]), want, atol=1e-9):
+            raise AssertionError(
+                f"distributed projection diverged from driver math "
+                f"for vec_id={r['vec_id']}"
+            )
+    return proj
+
+
 def mm_features(spark, sf_dir):
     """Multimodal feature extraction.  Guard: the pure-numpy codecs
     the mapInPandas pipeline rides on must round-trip random payloads
@@ -885,7 +928,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaces string_functions to the tail — its green record
         # stands and the probe is exercised by the local gate)
         "quality_balanced_prune": curation.quality_balanced_prune,
-        "date_parts_rollup": relational.date_parts_rollup,
+        # NEW in r7: distributed PCA (rows-only + in-entry guards:
+        # orthonormal basis, decreasing explained variance, sampled
+        # projection parity vs driver math; displaces
+        # date_parts_rollup to the tail — its green record stands)
+        "embedding_pca_project": _embedding_pca,
         "q12_case_agg": relational.q12_priority_by_linestatus,
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
         "q18_large_orders": relational.q18_large_orders,
@@ -988,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_profile": _sketch_profile,
         "multimodal_features": mm_features,
         "string_functions": relational.string_functions_probe,
+        "date_parts_rollup": relational.date_parts_rollup,
     }
 
 

@@ -864,3 +864,111 @@ def kmeans_clusters(
         )
         .orderBy("cell")
     )
+
+
+def embedding_pca(
+    spark: SparkSession, sf_dir: str, k: int = 16
+):
+    """Train a PCA basis over the embedding corpus: mean vector plus
+    the top-``k`` principal components and their explained-variance
+    shares.  Returns ``(mean, components, explained)`` as numpy
+    arrays — mean ``(d,)``, components ``(d, k)`` column-orthonormal,
+    explained ``(k,)`` fractions in decreasing order.
+
+    Scale shape (the 100 TB covariance recipe): one ``mapInPandas``
+    pass emits ONE partial-moment row per Arrow batch — count, sum
+    vector (d), and flattened second-moment matrix (d*d) — so the
+    driver collects O(batches) small rows regardless of corpus size,
+    sums them, and eigendecomposes the d x d covariance locally
+    (d is model-bounded, like the transaction-log metadata the
+    SCALE.md driver-side section covers; d=64 -> 32 KB per partial
+    row).  No per-vector data ever reaches the driver.
+    """
+    import numpy as np
+
+    d = _embedding_dim(spark, sf_dir)
+    if not 1 <= k <= d:
+        raise ValueError(f"k={k} must be in [1, {d}]")
+
+    def _moments(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            yield _pd.DataFrame({
+                "cnt": [int(x.shape[0])],
+                "s": [x.sum(axis=0).tolist()],
+                "ss": [(x.T @ x).ravel().tolist()],
+            })
+
+    partials = (
+        load(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .mapInPandas(
+            _moments, "cnt long, s array<double>, ss array<double>"
+        )
+        .collect()
+    )
+    n = sum(r["cnt"] for r in partials)
+    if n < 2:
+        raise ValueError("PCA needs at least 2 embeddings")
+    s = np.sum([np.asarray(r["s"]) for r in partials], axis=0)
+    ss = np.sum([np.asarray(r["ss"]) for r in partials], axis=0).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    components = evecs[:, order]
+    total_var = float(np.clip(evals.sum(), 1e-30, None))
+    explained = np.clip(evals[order], 0.0, None) / total_var
+    return mean, components, explained
+
+
+def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    return int(
+        load(spark, sf_dir, "embeddings")
+        .select(F.size("embedding").alias("d")).first()["d"]
+    )
+
+
+def embedding_pca_project(
+    spark: SparkSession, sf_dir: str, k: int = 16
+) -> DataFrame:
+    """Project every embedding onto the corpus's top-``k`` principal
+    components — the dimensionality-reduction pass that precedes ANN
+    indexing / clustering at scale (a 4x reduction shrinks every
+    downstream distance computation and index the same 4x, usually
+    for a few percent of variance).
+
+    The basis comes from :func:`embedding_pca` (driver-side d x d
+    eigendecomposition over distributed partial moments); projection
+    broadcasts the (d x k) basis inside an Arrow-batched
+    ``mapInPandas`` closure — map-only, no shuffle.  Output:
+    ``(vec_id, label, proj array<double>)`` with
+    ``proj = (x - mean) @ components``.
+    """
+    mean, components, _ = embedding_pca(spark, sf_dir, k)
+
+    def _project(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            proj = (x - mean) @ components
+            yield _pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "proj": list(map(list, proj)),
+            })
+
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .mapInPandas(_project, "vec_id long, label int, proj array<double>")
+    )

@@ -1079,3 +1079,61 @@ def test_bipartite_components_string_ids_and_convergence_guard(spark):
     )
     with _pytest.raises(ComponentConvergenceError, match="max_iterations"):
         bipartite_components(chain, max_iterations=2)
+
+
+def test_embedding_pca_recovers_planted_direction(spark, tmp_path):
+    """On data with one dominant variance direction, PC1 aligns with
+    it and captures most of the variance; projections center."""
+    import numpy as np
+
+    from dagster_delta_spark.operators.similarity import (
+        embedding_pca,
+        embedding_pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 300
+    axis = np.zeros(d); axis[3] = 1.0
+    x = rng.normal(0, 0.05, (n, d)) + np.outer(
+        rng.normal(0, 3.0, n), axis) + 5.0
+    dd = tmp_path / "emb"
+    dd.mkdir()
+    spark.createDataFrame(
+        [(i, [float(v) for v in x[i]], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(dd / "embeddings.parquet"))
+
+    mean, comp, expl = embedding_pca(spark, str(dd), k=3)
+    assert abs(abs(comp[:, 0] @ axis) - 1.0) < 0.01
+    assert expl[0] > 0.9
+    assert expl[0] >= expl[1] >= expl[2] >= 0
+
+    proj = embedding_pca_project(spark, str(dd), k=3)
+    p = np.stack([np.asarray(r["proj"])
+                  for r in proj.orderBy("vec_id").collect()])
+    assert p.shape == (n, 3)
+    assert np.abs(p.mean(axis=0)).max() < 1e-9  # centered
+
+    with pytest.raises(ValueError, match="k="):
+        embedding_pca(spark, str(dd), k=0)
+
+
+def test_embedding_pca_entry_guard_fires(spark, monkeypatch):
+    """The rows-only PCA entry falsifies: a corrupted projection path
+    (scaled output) trips the sampled driver-parity guard."""
+    import __spark_entry__ as entry
+    from dagster_delta_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    entry._embedding_pca(spark, sf)  # healthy
+
+    real = similarity.embedding_pca_project
+
+    def scaled(spark_, sf_dir, k=16):
+        from pyspark.sql import functions as F
+        return real(spark_, sf_dir, k).withColumn(
+            "proj", F.expr("transform(proj, v -> v * 1.01)"))
+
+    monkeypatch.setattr(similarity, "embedding_pca_project", scaled)
+    with pytest.raises(AssertionError, match="diverged from driver math"):
+        entry._embedding_pca(spark, sf)
