@@ -634,7 +634,8 @@ def _embedding_pca(spark, sf_dir):
         raise AssertionError(
             f"explained-variance contract violated: {expl}"
         )
-    proj = similarity.embedding_pca_project(spark, sf_dir, k)
+    proj = similarity.embedding_pca_project(
+        spark, sf_dir, k, basis=(mean, comp))
     sample = proj.orderBy("vec_id").limit(5).collect()
     raw = {
         r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)

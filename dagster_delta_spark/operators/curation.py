@@ -755,7 +755,10 @@ def quality_balanced_prune(
         "doc_id",
         "source",
         F.round(F.col("quality_score"), grid_decimals).alias("qscore"),
-    )
+        # both the histogram branch and the output join read this;
+        # without the checkpoint the tokenize/regex scoring scan runs
+        # twice (with_text_quality's own one-scan rule)
+    ).localCheckpoint(eager=False)
     hist = scored.groupBy("source", "qscore").agg(
         F.count(F.lit(1)).alias("cnt")
     )

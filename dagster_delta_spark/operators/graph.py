@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import IntegralType
 
 from .relational import load
 
@@ -45,12 +45,14 @@ def bipartite_components(
 
     Runs TO CONVERGENCE by default: labels only decrease under the
     id ordering, so an unchanged-labels round is the fixpoint.  For
-    numeric node ids the check is one tiny decimal-sum aggregate per
-    round; for other orderable id types (string keys, dates) it is
-    an exact changed-row probe joining the previous round's
-    materialized labels (a decimal cast would crash under ANSI mode,
-    and numeric-looking strings order lexicographically, which a sum
-    probe could misread).  A component of graph diameter d converges
+    INTEGRAL node ids the check is one tiny decimal-sum aggregate
+    per round (exact: integer labels, monotone decreases of >= 1);
+    for every other orderable id type (strings, dates, fractional
+    numerics) it is an exact changed-row probe joining the previous
+    round's materialized labels — a decimal(38,0) cast would crash
+    on strings under ANSI mode, misread lexicographic string mins,
+    and round away sub-unit decreases of fractional ids, any of
+    which could fake convergence.  A component of graph diameter d converges
     in ~d/2 rounds; if ``max_iterations`` is exhausted first the
     function raises :class:`ComponentConvergenceError` instead of
     returning silently non-transitive labels (``iterations`` pins an
@@ -82,8 +84,8 @@ def bipartite_components(
         .withColumn("lbl", F.col(node_col))
         .localCheckpoint(eager=False)
     )
-    numeric_ids = isinstance(
-        labels.schema["lbl"].dataType, NumericType
+    integral_ids = isinstance(
+        labels.schema["lbl"].dataType, IntegralType
     )
     rounds = iterations if iterations is not None else max_iterations
     prev_sum = None
@@ -105,7 +107,7 @@ def bipartite_components(
             .localCheckpoint()
         )
         if iterations is None:
-            if numeric_ids:
+            if integral_ids:
                 # labels are monotonically nonincreasing, so an
                 # unchanged sum IS convergence — one tiny aggregate
                 # over the already-materialized labels

@@ -928,14 +928,19 @@ def embedding_pca(
 
 
 def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
-    return int(
+    row = (
         load(spark, sf_dir, "embeddings")
-        .select(F.size("embedding").alias("d")).first()["d"]
+        .select(F.size("embedding").alias("d")).first()
     )
+    if row is None or row["d"] is None or row["d"] < 1:
+        raise ValueError(
+            "embeddings table is empty or its first embedding is null"
+        )
+    return int(row["d"])
 
 
 def embedding_pca_project(
-    spark: SparkSession, sf_dir: str, k: int = 16
+    spark: SparkSession, sf_dir: str, k: int = 16, basis=None
 ) -> DataFrame:
     """Project every embedding onto the corpus's top-``k`` principal
     components — the dimensionality-reduction pass that precedes ANN
@@ -944,13 +949,23 @@ def embedding_pca_project(
     for a few percent of variance).
 
     The basis comes from :func:`embedding_pca` (driver-side d x d
-    eigendecomposition over distributed partial moments); projection
-    broadcasts the (d x k) basis inside an Arrow-batched
-    ``mapInPandas`` closure — map-only, no shuffle.  Output:
-    ``(vec_id, label, proj array<double>)`` with
+    eigendecomposition over distributed partial moments) unless an
+    already-trained ``basis=(mean, components)`` is passed — callers
+    that train AND project (the registry guard, whitening pipelines)
+    should pass it through, or the moment pass over the corpus runs
+    twice.  Projection broadcasts the (d x k) basis inside an
+    Arrow-batched ``mapInPandas`` closure — map-only, no shuffle.
+    Output: ``(vec_id, label, proj array<double>)`` with
     ``proj = (x - mean) @ components``.
     """
-    mean, components, _ = embedding_pca(spark, sf_dir, k)
+    if basis is None:
+        mean, components, _ = embedding_pca(spark, sf_dir, k)
+    else:
+        mean, components = basis
+        if components.shape[1] != k:
+            raise ValueError(
+                f"basis has {components.shape[1]} components, k={k}"
+            )
 
     def _project(batches):
         import numpy as _np

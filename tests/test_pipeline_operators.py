@@ -1129,11 +1129,39 @@ def test_embedding_pca_entry_guard_fires(spark, monkeypatch):
 
     real = similarity.embedding_pca_project
 
-    def scaled(spark_, sf_dir, k=16):
+    def scaled(spark_, sf_dir, k=16, **kw):
         from pyspark.sql import functions as F
-        return real(spark_, sf_dir, k).withColumn(
+        return real(spark_, sf_dir, k, **kw).withColumn(
             "proj", F.expr("transform(proj, v -> v * 1.01)"))
 
     monkeypatch.setattr(similarity, "embedding_pca_project", scaled)
     with pytest.raises(AssertionError, match="diverged from driver math"):
         entry._embedding_pca(spark, sf)
+
+
+def test_bipartite_components_fractional_ids_exact_probe(spark):
+    """Fractional numeric ids use the exact changed-row probe: a
+    decimal(38,0)-sum probe would round away the sub-unit label
+    decreases on this chain and fake convergence after one round."""
+    from dagster_delta_spark.operators.graph import bipartite_components
+
+    member = spark.createDataFrame(
+        [(10.1, "a"), (10.2, "a"), (10.2, "b"), (10.3, "b"),
+         (10.3, "c"), (10.4, "c")],
+        "doc_id double, fp string",
+    )
+    out = {r["doc_id"]: r["component"]
+           for r in bipartite_components(member).collect()}
+    assert out == {10.1: 10.1, 10.2: 10.1, 10.3: 10.1, 10.4: 10.1}
+
+
+def test_embedding_pca_empty_table_raises(spark, tmp_path):
+    from dagster_delta_spark.operators.similarity import embedding_pca
+
+    d = tmp_path / "emb"
+    d.mkdir()
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="empty"):
+        embedding_pca(spark, str(d), k=2)
