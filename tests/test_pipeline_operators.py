@@ -1165,3 +1165,56 @@ def test_embedding_pca_empty_table_raises(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
     with pytest.raises(ValueError, match="empty"):
         embedding_pca(spark, str(d), k=2)
+
+
+def test_bipartite_components_matches_union_find_fuzz(spark):
+    """Randomized agreement with a driver-side union-find reference:
+    min-label propagation must produce exactly the min-id-per-
+    component labeling for arbitrary bipartite memberships."""
+    import random
+
+    from dagster_delta_spark.operators.graph import bipartite_components
+
+    for seed in (3, 17, 92):
+        rng = random.Random(seed)
+        n_nodes, n_keys = rng.randint(5, 40), rng.randint(2, 12)
+        member = sorted({
+            (rng.randrange(n_nodes), f"k{rng.randrange(n_keys)}")
+            for _ in range(rng.randint(5, 80))
+        })
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+        by_key = {}
+        for node, key in member:
+            by_key.setdefault(key, []).append(node)
+        for nodes in by_key.values():
+            for other in nodes[1:]:
+                union(nodes[0], other)
+        want = {}
+        roots = {}
+        for node, _ in member:
+            r = find(node)
+            roots.setdefault(r, node)
+            roots[r] = min(roots[r], node)
+        for node, _ in member:
+            want[node] = roots[find(node)]
+
+        got = {
+            r["doc_id"]: r["component"]
+            for r in bipartite_components(
+                spark.createDataFrame(member, "doc_id int, fp string")
+            ).collect()
+        }
+        assert got == want, (seed, got, want)
