@@ -283,6 +283,34 @@ def o_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def o_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow CLONE preserves exact contents with zero data copy,
+    and clone-local writes diverge: write orders, clone it, overwrite
+    ONE status partition on the clone with a marker batch, read the
+    clone.  The oracle is the same transform in SQL; the source table
+    staying bit-identical is asserted in-line (a clone that leaked
+    its write into the source would corrupt the original corpus)."""
+    src = DeltaSparkTable(spark, _scratch("clonesrc"))
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    src.write(orders, WriteMode.error, partition_columns=["o_orderstatus"])
+    cl = src.clone(_scratch("clonedst"))
+    import pyspark.sql.functions as _F
+
+    marker = (
+        orders.where("o_orderstatus = 'P'")
+        .withColumn("o_totalprice",
+                    _F.lit(-1.0).cast(orders.schema["o_totalprice"].dataType))
+    )
+    cl.write(marker, WriteMode.overwrite,
+             partition_dnf=[("o_orderstatus", "=", "P")])
+    n_src = src.read().where("o_totalprice < 0").count()
+    if n_src != 0:
+        raise AssertionError(
+            f"clone write leaked into the source table ({n_src} rows)")
+    return cl.read()
+
+
 def o3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: log-scoped stats (row count from add-actions, zero data
     read), returned as a 1-row frame."""
@@ -934,7 +962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # projection parity vs driver math; displaces
         # date_parts_rollup to the tail — its green record stands)
         "embedding_pca_project": _embedding_pca,
-        "q12_case_agg": relational.q12_priority_by_linestatus,
+        # NEW in r7: shallow clone zero-copy roundtrip (oracle-backed;
+        # displaces q12_case_agg to the tail — its green record stands)
+        "o_clone_zero_copy": o_clone_zero_copy,
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
         "q18_large_orders": relational.q18_large_orders,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
@@ -1037,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": mm_features,
         "string_functions": relational.string_functions_probe,
         "date_parts_rollup": relational.date_parts_rollup,
+        "q12_case_agg": relational.q12_priority_by_linestatus,
     }
 
 
@@ -1413,6 +1444,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.c_mktsegment
         """,
         "o_compaction_roundtrip": "SELECT * FROM lineitem",
+        "o_clone_zero_copy": """
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderstatus = 'P'
+                        THEN CAST(-1.0 AS DOUBLE)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+        """,
         "q7_nation_volume": """
             SELECT sn.n_name AS supp_nation,
                    cn.n_name AS cust_nation,

@@ -87,7 +87,9 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
                 )
             parts.extend(
                 _AddedFile(
-                    os.path.join(self._table_uri, a.path),
+                    # shallow-cloned files resolve against their
+                    # source root, not this table's
+                    os.path.join(a.base or self._table_uri, a.path),
                     dict(a.partition_values),
                 )
                 for a in adds

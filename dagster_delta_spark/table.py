@@ -123,6 +123,28 @@ def _coerce_stat(value: Any, dtype: DataType) -> Any:
     return value
 
 
+def _coerce_dnf_literal(value: Any, dtype: DataType) -> Any:
+    """Coerce a user-supplied DNF literal to the column's type before
+    driver-side comparison.  Without this, ``("p", "=", "1")`` against
+    a bigint partition column compares ``1 == "1"`` → silently matches
+    NO files — which turns a partition overwrite into a
+    duplicate-creating append (the Spark/SQL lowering of the same DNF
+    casts the literal and matches, so the two paths would disagree).
+    Mirrors SQL implicit-cast semantics: strings parse to the column
+    type; an unparseable literal is a loud error, not an empty match."""
+    if isinstance(value, str) and not isinstance(dtype, StringType):
+        try:
+            return _parse_typed(value, dtype)
+        except (ValueError, ArithmeticError) as e:
+            raise ValueError(
+                f"DNF literal {value!r} is not castable to the "
+                f"column type {dtype.simpleString()}"
+            ) from e
+    if isinstance(dtype, StringType) and not isinstance(value, str):
+        return str(value)
+    return value
+
+
 def _file_matches(
     add: AddFile,
     dnf: Sequence[DnfFilter],
@@ -137,6 +159,10 @@ def _file_matches(
         dtype = fields.get(name)
         if dtype is None:
             continue
+        if op == "in":
+            value = [_coerce_dnf_literal(v, dtype) for v in list(value)]
+        else:
+            value = _coerce_dnf_literal(value, dtype)
         if name in partition_columns:
             pv = _parse_typed(add.partition_values.get(name), dtype)
             if pv is None:
@@ -480,15 +506,51 @@ class DeltaSparkTable:
             if _file_matches(a, dnf, schema, snap.partition_columns)
         ]
 
-    def _read_files(self, snap: Snapshot, files: Sequence[AddFile]) -> DataFrame:
+    def _read_files(
+        self,
+        snap: Snapshot,
+        files: Sequence[AddFile],
+        with_metadata: bool = False,
+    ) -> DataFrame:
+        """Scan the given live files.  ``with_metadata=True`` prefixes
+        ``__path``/``__ri`` columns from the hidden ``_metadata``
+        struct — it must be projected per scan relation, BEFORE any
+        union, because ``_metadata`` does not survive a Union node."""
         schema = StructType.fromJson(_json_loads(snap.schema_json))
         if not files:
+            if with_metadata:
+                out_schema = StructType(
+                    [StructField("__path", StringType()),
+                     StructField("__ri", LongType())]
+                    + list(schema.fields)
+                )
+                return self.spark.createDataFrame([], out_schema)
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.table_uri, a.path) for a in files]
-        reader = self.spark.read.schema(schema)
-        if snap.partition_columns:
-            reader = reader.option("basePath", self.table_uri)
-        return reader.parquet(*paths)
+        # group by root: table-local files resolve against table_uri,
+        # shallow-cloned files against their source root (each group
+        # needs its own basePath for hive partition-dir discovery —
+        # one mixed-root read would reject paths outside basePath)
+        by_root: dict[str, list[str]] = {}
+        for a in files:
+            root = a.base or self.table_uri
+            by_root.setdefault(root, []).append(os.path.join(root, a.path))
+        frames = []
+        for root, paths in by_root.items():
+            reader = self.spark.read.schema(schema)
+            if snap.partition_columns:
+                reader = reader.option("basePath", root)
+            df = reader.parquet(*paths)
+            if with_metadata:
+                df = df.select(
+                    F.col("_metadata.file_path").alias("__path"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                    "*",
+                )
+            frames.append(df)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def read(
         self,
@@ -779,15 +841,12 @@ class DeltaSparkTable:
             ]
             actions += [a.to_action() for a in adds]
             now = int(time.time() * 1000)
-            actions += [
-                {"remove": {"path": r.path, "deletionTimestamp": now}}
-                for r in removes
-            ]
-            new_files = {a.path: a for a in (snap.files if snap else [])}
+            actions += [r.remove_action(now) for r in removes]
+            new_files = {a.log_key: a for a in (snap.files if snap else [])}
             for r in removes:
-                new_files.pop(r.path, None)
+                new_files.pop(r.log_key, None)
             for a in adds:
-                new_files[a.path] = a
+                new_files[a.log_key] = a
             new_version = head + 1
             try:
                 tablelog.commit(
@@ -840,10 +899,7 @@ class DeltaSparkTable:
                 meta.to_action(),
             ]
             if snap:
-                actions += [
-                    {"remove": {"path": a.path, "deletionTimestamp": now}}
-                    for a in snap.files
-                ]
+                actions += [a.remove_action(now) for a in snap.files]
             v = head + 1
             try:
                 tablelog.commit(
@@ -1029,11 +1085,7 @@ class DeltaSparkTable:
             # rewrite and false-trigger the cardinality error.  Driver
             # traffic stays bounded by file count, streamed
             # partition-by-partition.
-            tgt = self._read_files(snap, candidates).select(
-                F.col("_metadata.file_path").alias("__path"),
-                F.col("_metadata.row_index").alias("__ri"),
-                "*",
-            )
+            tgt = self._read_files(snap, candidates, with_metadata=True)
             matches = tgt.alias(ta).join(src.alias(sa), cond)
             if needs_update:
                 per_file = (
@@ -1069,7 +1121,8 @@ class DeltaSparkTable:
         from urllib.parse import urlparse as _urlparse
 
         abs_by_path = {
-            os.path.abspath(os.path.join(self.table_uri, a.path)): a
+            os.path.abspath(
+                os.path.join(a.base or self.table_uri, a.path)): a
             for a in candidates
         }
         touched_adds = []
@@ -1166,8 +1219,8 @@ class DeltaSparkTable:
                 # ``snap``; if a concurrent commit removed any file this
                 # merge rewrites, committing would resurrect/lose rows
                 # (same rule as Delta's ConcurrentDeleteReadException)
-                live = {a.path for a in cur.files}
-                gone = [r.path for r in removes if r.path not in live]
+                live = {a.log_key for a in cur.files}
+                gone = [r.log_key for r in removes if r.log_key not in live]
                 if gone:
                     raise ConcurrentDeleteError(
                         f"merge conflicts with a concurrent commit: files "
@@ -1257,14 +1310,12 @@ class DeltaSparkTable:
             if evolved:
                 actions.append(new_meta.to_action())
             actions += [a.to_action() for a in adds]
-            actions += [
-                {"remove": {"path": r.path, "deletionTimestamp": now}} for r in removes
-            ]
-            new_files = {a.path: a for a in cur.files}
+            actions += [r.remove_action(now) for r in removes]
+            new_files = {a.log_key: a for a in cur.files}
             for r in removes:
-                new_files.pop(r.path, None)
+                new_files.pop(r.log_key, None)
             for a in adds:
-                new_files[a.path] = a
+                new_files[a.log_key] = a
             v = head + 1
             try:
                 tablelog.commit(
@@ -1306,6 +1357,75 @@ class DeltaSparkTable:
         }
 
     # -- maintenance --------------------------------------------------------------
+
+    def clone(
+        self, target_uri: str, version: Optional[int] = None
+    ) -> "DeltaSparkTable":
+        """Shallow clone: create a new table at ``target_uri`` whose
+        version-0 log REFERENCES this table's data files (at
+        ``version``, default head) without copying a byte — the Delta
+        SHALLOW CLONE analogue, and the zero-copy way to hand a 100 TB
+        table to a dev/test/experiment pipeline.
+
+        Mechanics: every cloned add action carries ``base`` = this
+        table's root (absolute), so the clone's reads resolve and
+        partition-prune against the original files while writes,
+        merges, overwrites and OPTIMIZE on the clone land as
+        clone-local files — the two tables only ever share the cloned
+        bytes, and removal of a cloned file from the CLONE's log is
+        pure metadata (``vacuum`` on the clone never touches foreign
+        roots).  Cloning a clone re-points at the ORIGINAL roots
+        (``a.base or src_root``), so chains don't daisy-chain reads.
+
+        The clone gets a fresh table identity; provenance rides in
+        table properties (``dds.cloneSource``/``dds.cloneVersion``)
+        and the CLONE commit.  Caveat shared with every shallow-clone
+        design: vacuum on the SOURCE can delete bytes the clone still
+        references — retain the source, or re-materialize the clone
+        (``create_or_replace`` + write) before dropping it.
+        """
+        snap = self.snapshot(version)
+        target = DeltaSparkTable(self.spark, target_uri)
+        if target.exists():
+            raise TableExistsError(
+                f"table already exists at {target_uri}")
+        import dataclasses
+
+        src_root = os.path.abspath(self.table_uri)
+        now = int(time.time() * 1000)
+        adds = [
+            dataclasses.replace(a, base=a.base or src_root)
+            for a in snap.files
+        ]
+        meta = Metadata(
+            schema_json=snap.schema_json,
+            partition_columns=list(snap.partition_columns),
+            configuration=dict(
+                snap.metadata.configuration,
+                **{
+                    "dds.cloneSource": src_root,
+                    "dds.cloneVersion": str(snap.version),
+                },
+            ),
+        )
+        actions: list[dict[str, Any]] = [
+            CommitInfo(
+                operation="CLONE",
+                operation_parameters={
+                    "source": src_root,
+                    "sourceVersion": snap.version,
+                },
+                operation_metrics={
+                    "num_cloned_files": len(adds),
+                    "num_output_rows": sum(a.num_records for a in adds),
+                },
+            ).to_action(),
+            meta.to_action(),
+        ]
+        actions += [a.to_action() for a in adds]
+        tablelog.commit(
+            target_uri, 0, actions, Snapshot(0, meta, adds, now))
+        return target
 
     def optimize(
         self,
@@ -1373,11 +1493,11 @@ class DeltaSparkTable:
         this rewrite replaces was itself removed concurrently, the
         rewrite aborts (its output would resurrect deleted rows)."""
         now = int(time.time() * 1000)
-        remove_paths = {r.path for r in removes}
+        remove_paths = {r.log_key for r in removes}
         for attempt in range(_COMMIT_RETRIES + 1):
             head = tablelog.latest_version(self.table_uri)
             cur = tablelog.load_snapshot(self.table_uri)
-            missing = remove_paths - {a.path for a in cur.files}
+            missing = remove_paths - {a.log_key for a in cur.files}
             if missing:
                 raise ConcurrentDeleteError(
                     f"{operation}: {len(missing)} file(s) this rewrite "
@@ -1394,15 +1514,12 @@ class DeltaSparkTable:
                 ).to_action(),
             ]
             actions += [a.to_action() for a in adds]
-            actions += [
-                {"remove": {"path": r.path, "deletionTimestamp": now}}
-                for r in removes
-            ]
-            new_files = {a.path: a for a in cur.files}
+            actions += [r.remove_action(now) for r in removes]
+            new_files = {a.log_key: a for a in cur.files}
             for r in removes:
-                new_files.pop(r.path, None)
+                new_files.pop(r.log_key, None)
             for a in adds:
-                new_files[a.path] = a
+                new_files[a.log_key] = a
             v = head + 1
             try:
                 tablelog.commit(
@@ -1537,7 +1654,10 @@ class DeltaSparkTable:
         """Delete data files no longer referenced by the current
         snapshot and older than the retention window."""
         snap = self.snapshot()
-        live = {a.path for a in snap.files}
+        # cloned (foreign-base) files live OUTSIDE this table's
+        # directory — they are never deletion candidates here, and
+        # their relative paths must not shadow same-named local junk
+        live = {a.path for a in snap.files if a.base is None}
         cutoff = time.time() * 1000 - retention_ms
         deleted = []
         for dirpath, _dn, filenames in os.walk(self.table_uri):

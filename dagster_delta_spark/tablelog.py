@@ -64,24 +64,35 @@ class ConcurrentAppendError(Exception):
 class AddFile:
     """A live data file. ``partition_values`` are string-rendered (the
     schema gives the real types); ``stats`` hold per-column min/max and
-    null counts harvested from the parquet footer."""
+    null counts harvested from the parquet footer.  ``base`` is None
+    for table-local files (``path`` relative to the table root); a
+    shallow CLONE sets it to the SOURCE table's root, so the clone's
+    log references the original data files without copying them (the
+    Delta shallow-clone analogue — absolute-path add actions)."""
 
-    path: str  # relative to table root
+    path: str  # relative to `base` (default: the table root)
     size: int
     num_records: int
     partition_values: dict[str, Optional[str]] = field(default_factory=dict)
     stats: dict[str, Any] = field(default_factory=dict)  # minValues/maxValues/nullCount
     modification_time: int = 0
+    base: Optional[str] = None  # foreign root for shallow-cloned files
 
     def to_action(self) -> dict[str, Any]:
-        return {"add": {
+        add = {
             "path": self.path,
             "size": self.size,
             "numRecords": self.num_records,
             "partitionValues": self.partition_values,
             "stats": self.stats,
             "modificationTime": self.modification_time,
-        }}
+        }
+        # key present only when set: pre-clone logs stay byte-stable
+        # and pre-clone readers of new logs only break on tables that
+        # actually contain cloned files
+        if self.base is not None:
+            add["base"] = self.base
+        return {"add": add}
 
     @staticmethod
     def from_action(d: dict[str, Any]) -> "AddFile":
@@ -92,7 +103,34 @@ class AddFile:
             partition_values=d.get("partitionValues", {}),
             stats=d.get("stats", {}),
             modification_time=d.get("modificationTime", 0),
+            base=d.get("base"),
         )
+
+    @property
+    def log_key(self) -> str:
+        """Identity of the file within THIS table's log — used to key
+        add/remove reconciliation.  Includes the base so a cloned
+        foreign file can never collide with (or be removed by) a
+        same-named table-local file."""
+        return self.path if self.base is None else f"{self.base}::{self.path}"
+
+    def remove_action(self, deletion_timestamp: int) -> dict[str, Any]:
+        """The remove action that exactly cancels this file's add —
+        carries ``base`` for cloned files so replay pops the right
+        log entry."""
+        rm: dict[str, Any] = {
+            "path": self.path, "deletionTimestamp": deletion_timestamp,
+        }
+        if self.base is not None:
+            rm["base"] = self.base
+        return {"remove": rm}
+
+
+def remove_key(remove: dict[str, Any]) -> str:
+    """Reconciliation key of a remove action (mirrors
+    ``AddFile.log_key``)."""
+    base = remove.get("base")
+    return remove["path"] if base is None else f"{base}::{remove['path']}"
 
 
 @dataclass
@@ -269,6 +307,8 @@ def _load_checkpoint(table_uri: str, version: int) -> Optional[Snapshot]:
                     partition_values=json.loads(row["partitionValues"]),
                     stats=json.loads(row["stats"]),
                     modification_time=row["modificationTime"],
+                    # pre-clone checkpoints have no base column
+                    base=row.get("base"),
                 )
                 for row in t.to_pylist()
             ]
@@ -321,6 +361,8 @@ def write_checkpoint(table_uri: str, snap: Snapshot) -> None:
         "modificationTime": pa.array(
             [a.modification_time for a in snap.files], pa.int64()
         ),
+        # null for table-local files; the source root for cloned ones
+        "base": pa.array([a.base for a in snap.files], pa.string()),
     })
     table = table.replace_schema_metadata({
         b"dds.metaData": json.dumps(
@@ -488,7 +530,7 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
             cp_version = alt
     if cp is not None:
         metadata = cp.metadata
-        files = {a.path: a for a in cp.files}
+        files = {a.log_key: a for a in cp.files}
         ts = cp.timestamp
         start = cp_version + 1
 
@@ -498,9 +540,9 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
                 metadata = Metadata.from_action(action["metaData"])
             elif "add" in action:
                 a = AddFile.from_action(action["add"])
-                files[a.path] = a
+                files[a.log_key] = a
             elif "remove" in action:
-                files.pop(action["remove"]["path"], None)
+                files.pop(remove_key(action["remove"]), None)
             elif "commitInfo" in action:
                 ts = action["commitInfo"].get("timestamp", ts)
 

@@ -193,9 +193,9 @@ def test_merge_clustered_source_prunes_files(spark, tmp_table):
     scanned = []
     orig_read = DeltaSparkTable._read_files
 
-    def counting_read(self, snap, files):
+    def counting_read(self, snap, files, **kw):
         scanned.append(len(files))
-        return orig_read(self, snap, files)
+        return orig_read(self, snap, files, **kw)
 
     clustered = spark.range(5_000).selectExpr("id AS k", "id + 7 AS v")
     try:
