@@ -141,6 +141,40 @@ def test_overwrite_dnf_non_partition_column_raises(spark, tmp_table):
         )
 
 
+def test_overwrite_dnf_string_literal_on_int_partition(spark, tmp_table):
+    """A string-typed DNF literal against a bigint partition column
+    must cast and match (SQL implicit-cast semantics).  Regression:
+    ``1 == "1"`` is False in Python, so the driver-side pruning
+    silently matched NO files and the partition overwrite became a
+    duplicate-creating append."""
+    from pyspark.sql import functions as F
+
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.range(90).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket")
+    )
+    t.write(df, WriteMode.error, partition_columns=["bucket"])
+    res = t.write(
+        df.where("bucket = 1").withColumn("id", F.col("id") + 1000),
+        WriteMode.overwrite,
+        partition_dnf=[("bucket", "=", "1")],  # str literal, int column
+    )
+    assert res["num_removed_files"] > 0
+    out = t.read()
+    assert out.count() == 90
+    assert out.where("bucket = 1 AND id < 1000").count() == 0
+
+    # unparseable literal is a loud error, not an empty match
+    import pytest
+
+    with pytest.raises(ValueError, match="castable"):
+        t.write(
+            df.where("bucket = 2"),
+            WriteMode.overwrite,
+            partition_dnf=[("bucket", "=", "two")],
+        )
+
+
 def test_many_file_write_distributed_stats(spark, tmp_table):
     """A commit staging more files than the distributed-harvest
     threshold produces the same AddFile stats the driver loop would
