@@ -1337,6 +1337,254 @@ class DeltaSparkTable:
 
     # -- stats (O3/A1/A2/J1) ----------------------------------------------------
 
+    def _scoped_condition(
+        self,
+        predicate: Optional[str],
+        partition_dnf: Optional[Sequence[DnfFilter]],
+    ):
+        """The row-level match condition of a DELETE/UPDATE scope:
+        SQL predicate AND partition DNF, null-safe (a NULL predicate
+        result means the row does NOT match — SQL DELETE semantics)."""
+        cond = F.lit(True)
+        if predicate is not None:
+            cond = cond & F.expr(predicate)
+        if partition_dnf:
+            cond = cond & dnf_to_column(partition_dnf)
+        return cond.eqNullSafe(F.lit(True))
+
+    def _per_file_hits(
+        self, snap: Snapshot, candidates: Sequence[AddFile], match
+    ) -> dict[str, int]:
+        """ONE distributed scan: per-file count of rows matching
+        ``match``, keyed by the candidate's log_key.  Driver traffic is
+        bounded by file count (same scheme as merge discovery)."""
+        from urllib.parse import urlparse as _urlparse
+
+        # filter BEFORE the aggregate: the predicate pushes into the
+        # parquet scan (row-group skipping) and only matching rows
+        # shuffle; files absent from the result simply have 0 hits
+        tgt = self._read_files(snap, candidates, with_metadata=True)
+        per_file = tgt.where(match).groupBy("__path").agg(
+            F.count(F.lit(1)).alias("__hits")
+        )
+        key_by_abs = {
+            os.path.abspath(os.path.join(a.base or self.table_uri, a.path)):
+                a.log_key
+            for a in candidates
+        }
+        hits: dict[str, int] = {}
+        for r in per_file.toLocalIterator():
+            norm = os.path.abspath(unquote(_urlparse(r["__path"]).path))
+            key = key_by_abs.get(norm)
+            if key is None:
+                raise AssertionError(
+                    f"scanned file {r['__path']!r} did not map back to a "
+                    "candidate AddFile (path normalization mismatch)"
+                )
+            hits[key] = r["__hits"]
+        return hits
+
+    def delete(
+        self,
+        predicate: Optional[str] = None,
+        *,
+        partition_dnf: Optional[Sequence[DnfFilter]] = None,
+        writer_properties: Optional[dict[str, Any]] = None,
+    ) -> dict[str, Any]:
+        """Row-level DELETE (delta-rs ``DeltaTable.delete`` analogue —
+        the reference's engine exposes it; dagster-delta users reach it
+        through the table object).  Scope = ``predicate`` AND
+        ``partition_dnf``; no scope deletes every row.
+
+        Scale shape: files whose partition values alone decide the
+        scope are dropped as pure metadata (no bytes read); for the
+        rest, ONE discovery scan counts matches per file, fully-matched
+        files are dropped as metadata, and only partially-matched files
+        are rewritten (keep-rows copy). At 100 TB a partition-scoped
+        delete touches no data at all, and a needle predicate rewrites
+        only the files whose min/max straddle the needle."""
+        snap = self.snapshot()
+        schema = StructType.fromJson(_json_loads(snap.schema_json))
+        params: dict[str, Any] = {}
+        if predicate is not None:
+            params["predicate"] = predicate
+        if partition_dnf:
+            params["partition_filter"] = dnf_to_sql(partition_dnf)
+
+        if predicate is None and not partition_dnf:
+            # full-table delete: pure metadata
+            return self._commit_rewrite(
+                snap, list(snap.files), [], "DELETE",
+                operation_parameters={"predicate": "true"},
+                extra_metrics={
+                    "num_deleted_rows": sum(
+                        a.num_records for a in snap.files),
+                    "num_copied_rows": 0,
+                },
+            )
+
+        candidates = (
+            self.pruned_files(snap, partition_dnf)
+            if partition_dnf else list(snap.files)
+        )
+        if predicate is None:
+            # DNF-only scope: partition-column conjuncts decide whole
+            # files; only files kept alive by STATS pruning (data-column
+            # conjuncts) might match partially and need the row scan
+            pcols = set(snap.partition_columns)
+            if all(name in pcols for name, _op, _v in partition_dnf):
+                return self._commit_rewrite(
+                    snap, candidates, [], "DELETE",
+                    operation_parameters=params,
+                    extra_metrics={
+                        "num_deleted_rows": sum(
+                            a.num_records for a in candidates),
+                        "num_copied_rows": 0,
+                    },
+                )
+        if not candidates:
+            return {"version": snap.version, "num_deleted_rows": 0,
+                    "num_copied_rows": 0, "num_added_files": 0,
+                    "num_removed_files": 0, "rewritten_files": 0}
+
+        match = self._scoped_condition(predicate, partition_dnf)
+        hits = self._per_file_hits(snap, candidates, match)
+        rows_by_key = {a.log_key: a.num_records for a in candidates}
+        full = [a for a in candidates
+                if hits.get(a.log_key, 0) == rows_by_key[a.log_key]
+                and hits.get(a.log_key, 0) > 0]
+        partial = [a for a in candidates
+                   if 0 < hits.get(a.log_key, 0) < rows_by_key[a.log_key]]
+        deleted = sum(hits.values())
+        if not full and not partial:
+            return {"version": snap.version, "num_deleted_rows": 0,
+                    "num_copied_rows": 0, "num_added_files": 0,
+                    "num_removed_files": 0, "rewritten_files": 0}
+
+        adds: list[AddFile] = []
+        copied = 0
+        if partial:
+            keep = self._read_files(snap, partial).where(~match)
+            adds = _stage_dataframe(
+                keep, self.table_uri, snap.partition_columns, schema,
+                _writer_options(writer_properties),
+            )
+            copied = sum(a.num_records for a in adds)
+        return self._commit_rewrite(
+            snap, full + partial, adds, "DELETE",
+            operation_parameters=params,
+            extra_metrics={"num_deleted_rows": deleted,
+                           "num_copied_rows": copied},
+        )
+
+    def update(
+        self,
+        assignments: dict[str, str],
+        predicate: Optional[str] = None,
+        *,
+        partition_dnf: Optional[Sequence[DnfFilter]] = None,
+        writer_properties: Optional[dict[str, Any]] = None,
+    ) -> dict[str, Any]:
+        """Row-level UPDATE (delta-rs ``DeltaTable.update`` analogue).
+        ``assignments`` maps column name → SQL expression (evaluated
+        against the pre-update row, so ``{"a": "a + 1"}`` increments);
+        assigned values cast to the column's declared type.  Rows in
+        scope (``predicate`` AND ``partition_dnf``; default all) are
+        updated; only files containing a matching row are rewritten —
+        same touched-file-only shape as DELETE and MERGE."""
+        snap = self.snapshot()
+        schema = StructType.fromJson(_json_loads(snap.schema_json))
+        names = {f.name for f in schema.fields}
+        bad = sorted(set(assignments) - names)
+        if bad:
+            raise ValueError(
+                f"UPDATE assigns unknown column(s) {bad}; table columns "
+                f"are {sorted(names)}")
+        if not assignments:
+            raise ValueError("UPDATE requires at least one assignment")
+
+        candidates = (
+            self.pruned_files(snap, partition_dnf)
+            if partition_dnf else list(snap.files)
+        )
+        if not candidates:
+            return {"version": snap.version, "num_updated_rows": 0,
+                    "num_copied_rows": 0, "num_added_files": 0,
+                    "num_removed_files": 0, "rewritten_files": 0}
+
+        match = self._scoped_condition(predicate, partition_dnf)
+        hits = self._per_file_hits(snap, candidates, match)
+        touched = [a for a in candidates if hits.get(a.log_key, 0) > 0]
+        updated = sum(hits.values())
+        if not touched:
+            return {"version": snap.version, "num_updated_rows": 0,
+                    "num_copied_rows": 0, "num_added_files": 0,
+                    "num_removed_files": 0, "rewritten_files": 0}
+
+        src = self._read_files(snap, touched)
+        out_cols = []
+        for f_ in schema.fields:
+            if f_.name in assignments:
+                out_cols.append(
+                    F.when(match, F.expr(assignments[f_.name])
+                           .cast(f_.dataType))
+                    .otherwise(F.col(f_.name)).alias(f_.name))
+            else:
+                out_cols.append(F.col(f_.name))
+        adds = _stage_dataframe(
+            src.select(*out_cols), self.table_uri,
+            snap.partition_columns, schema,
+            _writer_options(writer_properties),
+        )
+        params: dict[str, Any] = {
+            "assignments": dict(assignments)}
+        if predicate is not None:
+            params["predicate"] = predicate
+        if partition_dnf:
+            params["partition_filter"] = dnf_to_sql(partition_dnf)
+        copied = sum(a.num_records for a in adds) - updated
+        return self._commit_rewrite(
+            snap, touched, adds, "UPDATE",
+            operation_parameters=params,
+            extra_metrics={"num_updated_rows": updated,
+                           "num_copied_rows": copied},
+        )
+
+    def restore(self, version: int) -> dict[str, Any]:
+        """RESTORE the table to an earlier version as a NEW commit
+        (delta-rs ``DeltaTable.restore`` analogue): re-add the target
+        snapshot's files missing from the head, remove head files the
+        target doesn't have, and restore the target's metadata (schema
+        and configuration).  Pure metadata — no bytes move — so history
+        is preserved and the restore itself is time-travelable.  Raises
+        if a file the target references was vacuumed away."""
+        cur = self.snapshot()
+        tgt = self.snapshot(version)
+        if version == cur.version:
+            return {"version": cur.version, "num_restored_files": 0,
+                    "num_removed_files": 0}
+        cur_keys = {a.log_key for a in cur.files}
+        tgt_keys = {a.log_key for a in tgt.files}
+        re_adds = [a for a in tgt.files if a.log_key not in cur_keys]
+        removes = [a for a in cur.files if a.log_key not in tgt_keys]
+        missing = [
+            a.path for a in re_adds
+            if not os.path.exists(
+                os.path.join(a.base or self.table_uri, a.path))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"RESTORE to version {version} references {len(missing)} "
+                f"data file(s) no longer on disk (vacuumed?): "
+                f"{missing[:3]}")
+        res = self._commit_rewrite(
+            cur, removes, re_adds, "RESTORE",
+            operation_parameters={"version": version},
+            extra_metrics={"num_restored_files": len(re_adds)},
+            metadata=tgt.metadata,
+        )
+        return res
+
     def partition_stats(
         self, dnf: Optional[Sequence[DnfFilter]] = None,
         version: Optional[int] = None,
@@ -1483,6 +1731,9 @@ class DeltaSparkTable:
         removes: list[AddFile],
         adds: list[AddFile],
         operation: str,
+        operation_parameters: Optional[dict[str, Any]] = None,
+        extra_metrics: Optional[dict[str, Any]] = None,
+        metadata: Optional[Metadata] = None,
     ) -> dict[str, Any]:
         """Commit a compaction/clustering rewrite.
 
@@ -1504,15 +1755,21 @@ class DeltaSparkTable:
                     f"replaces were removed concurrently "
                     f"(e.g. {sorted(missing)[0]})"
                 )
+            metrics = {
+                "num_added_files": len(adds),
+                "num_removed_files": len(removes),
+                **(extra_metrics or {}),
+            }
             actions: list[dict[str, Any]] = [
                 CommitInfo(
                     operation=operation,
-                    operation_metrics={
-                        "num_added_files": len(adds),
-                        "num_removed_files": len(removes),
-                    },
+                    operation_parameters=operation_parameters or {},
+                    operation_metrics=metrics,
                 ).to_action(),
             ]
+            meta = metadata or cur.metadata
+            if metadata is not None:
+                actions.append(metadata.to_action())
             actions += [a.to_action() for a in adds]
             actions += [r.remove_action(now) for r in removes]
             new_files = {a.log_key: a for a in cur.files}
@@ -1524,9 +1781,10 @@ class DeltaSparkTable:
             try:
                 tablelog.commit(
                     self.table_uri, v, actions,
-                    Snapshot(v, cur.metadata, list(new_files.values()), now),
+                    Snapshot(v, meta, list(new_files.values()), now),
                 )
-                return {"rewritten_files": len(removes), "version": v}
+                return {"rewritten_files": len(removes), "version": v,
+                        **metrics}
             except VersionConflictError:
                 if attempt >= _COMMIT_RETRIES:
                     raise
