@@ -64,6 +64,7 @@ def main() -> None:
         # transactional table layer (write + partition overwrite + merge)
         "w3_partition_overwrite",
         "m3_upsert",
+        "row_dml_stages",
         # streaming ingest near-dup filter (3 micro-batches), staged:
         # the ~7 s streaming-engine + fixture fixed cost masked probe
         # regressions behind one number, so the line reports the
@@ -157,10 +158,30 @@ def main() -> None:
         t.read().write.mode("overwrite").format("noop").save()
         return {f"stream_ingest_{k}": v for k, v in st.items()}
 
+    def _dml_setup(spark, d):
+        # fixture: the initial lineitem table write; the operators
+        # under test are the row-level DELETE and UPDATE rewrites
+        t = DeltaSparkTable(spark, entry._scratch("bench-dml"))
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
+        t.write(li, WriteMode.error)
+        return t
+
+    def _dml_run(spark, t):
+        st = {}
+        t0 = time.perf_counter()
+        t.delete("l_quantity >= 45 AND l_returnflag = 'A'")
+        st["row_delete"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        t.update({"l_discount": "0.0"}, "l_returnflag = 'R'")
+        st["row_update"] = time.perf_counter() - t0
+        t.read().write.mode("overwrite").format("noop").save()
+        return st
+
     staged = {
         "m3_upsert": (_m3_setup, _m3_run),
         "w3_partition_overwrite": (_w3_setup, _w3_run),
         "stream_ingest_stages": (_ingest_setup, _ingest_run),
+        "row_dml_stages": (_dml_setup, _dml_run),
     }
 
     # Since r7 the rows-only registry entries wrap their operators in
