@@ -32,6 +32,7 @@ from dagster_delta_spark import (
 )
 from dagster_delta_spark.operators import (
     asof,
+    classify,
     curation,
     dedup,
     graph,
@@ -942,6 +943,44 @@ def _streaming_sliding_rollup(spark, sf_dir):
     )
 
 
+def _nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive Bayes (operators/classify.py):
+    train on the planted-label fixture (the testdata's lang/source
+    labels are uniform noise over a shared vocabulary — NB measures at
+    the majority-class baseline on them, so the fixture derives
+    learnable 4-class labels + 1-3 marker tokens from the corpus
+    itself; both engines build it with the same SQL), return every
+    (doc_id, label, score) log-posterior.  Oracle-backed — train+score
+    is two groupBys, one join and one sum, so the DuckDB twin
+    reproduces it exactly (scores rounded to 6 dp).
+
+    In-line guard (r7 convention): training-set argmax accuracy must
+    clear 0.95 — a broken likelihood/prior/smoothing term tanks
+    accuracy long before it perturbs every rounded score."""
+    docs = classify.planted_label_docs(
+        classify.load(spark, sf_dir, "documents"))
+    model, classes = classify.nb_train(docs, "label")
+    scores = classify.nb_score(docs, model, classes)
+    hits = (
+        classify.nb_predict(scores)
+        .join(docs.select("doc_id", F.col("label").alias("truth")),
+              "doc_id")
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("truth"), 1)
+                .otherwise(0)
+            ).alias("ok"),
+        )
+        .collect()[0]
+    )
+    if hits["n"] == 0 or hits["ok"] / hits["n"] < 0.95:
+        raise AssertionError(
+            f"NB training-set accuracy {hits['ok']}/{hits['n']} below "
+            "0.95 — likelihood/prior/smoothing math is broken")
+    return scores
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1021,7 +1060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": relational.q18_large_orders,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
         "fingerprint": textops.fingerprint,
-        "source_summary": textops.source_summary,
+        # NEW in r7: distributed Naive Bayes train+score
+        # (oracle-backed; displaces source_summary to the tail — its
+        # green record stands)
+        "nb_classifier_scores": _nb_classifier,
         "deterministic_sample": textops.deterministic_sample,
         "dedup_exact": dedup.dedup_exact,
         "pj1_projection": pj1_projection,
@@ -1122,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_case_agg": relational.q12_priority_by_linestatus,
         "ann_ivf_quantized_topk": _ivf_quantized,
         "stream_ingest_near_dup_filter": _stream_ingest_filter,
+        "source_summary": textops.source_summary,
     }
 
 
@@ -1514,6 +1557,54 @@ def oracle_sql() -> dict[str, str]:
                         ELSE l_discount END AS l_discount,
                    l_returnflag
             FROM lineitem
+        """,
+        "nb_classifier_scores": f"""
+            WITH docs2 AS (
+                SELECT doc_id,
+                       concat(text,
+                              repeat(concat(' mk',
+                                            CAST(doc_id % 4 AS VARCHAR)),
+                                     CAST(1 + doc_id % 3 AS INT))) AS text,
+                       concat('c', CAST(doc_id % 4 AS VARCHAR)) AS class
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, class, unnest({_TOK}) AS token
+                FROM docs2
+            ),
+            dtc AS (
+                SELECT doc_id, token, count(*) AS cnt
+                FROM toks GROUP BY 1, 2
+            ),
+            tcc AS (
+                SELECT class, token, count(*) AS tc
+                FROM toks GROUP BY 1, 2
+            ),
+            ct AS (SELECT class, sum(tc) AS ct FROM tcc GROUP BY 1),
+            v AS (SELECT count(DISTINCT token) AS v FROM tcc),
+            nd AS (SELECT count(*) AS nd FROM docs2),
+            cls AS (
+                SELECT cd.class AS label,
+                       ln(cd.n / CAST(nd.nd AS DOUBLE)) AS log_prior,
+                       ln(1.0 / (ct.ct + 1.0 * v.v)) AS logp_default
+                FROM (SELECT class, count(*) AS n
+                      FROM docs2 GROUP BY 1) cd, nd, v, ct
+                WHERE ct.class = cd.class
+            ),
+            model AS (
+                SELECT tcc.class AS label, tcc.token,
+                       ln((tcc.tc + 1.0) / (ct.ct + 1.0 * v.v)) AS logp
+                FROM tcc JOIN ct ON tcc.class = ct.class CROSS JOIN v
+            )
+            SELECT d.doc_id, c.label,
+                   round(c.log_prior +
+                         sum(d.cnt * coalesce(m.logp, c.logp_default)),
+                         6) AS score
+            FROM dtc d
+            CROSS JOIN cls c
+            LEFT JOIN model m
+              ON m.token = d.token AND m.label = c.label
+            GROUP BY d.doc_id, c.label, c.log_prior
         """,
         "o_clone_zero_copy": """
             SELECT o_orderkey, o_orderstatus,

@@ -89,6 +89,7 @@ def main() -> None:
         "corpus_shuffle",
         "dsir_importance_sample",
         "duplicate_components",
+        "nb_classifier_scores",
     ]
 
     # Staged entries: fixture construction is NOT the operator under
@@ -189,6 +190,7 @@ def main() -> None:
     # comparisons — multiple extra executions each).  The bench lines
     # time the OPERATOR: correctness enforcement lives in the driver
     # record and pytest, not in the throughput number.
+    from dagster_delta_spark.operators import classify as _classify
     from dagster_delta_spark.operators import dedup as _dedup
     from dagster_delta_spark.operators import similarity as _sim
 
@@ -198,6 +200,9 @@ def main() -> None:
         "ann_lsh_topk": _sim.lsh_ann_topk,
         "ann_ivf_topk": _sim.ivf_ann_topk,
         "ann_ivf_quantized_topk": _sim.ivf_quantized_topk,
+        # oracle-backed; the entry's extra accuracy-guard collect is
+        # correctness enforcement, not operator throughput
+        "nb_classifier_scores": _classify.nb_classifier_scores,
     }
 
     def run_once(name: str, d: str = None):
