@@ -981,6 +981,48 @@ def _nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores
 
 
+def _streaming_exactly_once_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once streaming table sink (Delta txn/SetTransaction
+    protocol — streaming/table_sink.py + DeltaSparkTable.
+    idempotent_append): stream the 3-batch documents fixture into a
+    table via foreachBatch, then re-deliver the final micro-batch by
+    hand (the post-crash at-least-once scenario).  In-line guards: the
+    redelivery must report skipped=True and the table must hold
+    exactly one copy of the corpus; the oracle is the corpus itself —
+    any duplicate or lost batch breaks the row-count/hash match."""
+    from dagster_delta_spark.streaming import exactly_once_table_sink
+
+    src = split_documents_fixture(sf_dir)
+    uri = _scratch("xonce")
+    docs = spark.read.parquet(src)
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch(exactly_once_table_sink(uri, "xonce-pipeline"))
+        .option("checkpointLocation", _scratch("xonce-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    t = DeltaSparkTable(spark, uri)
+    n = t.read().count()
+    last = t.last_txn_version("xonce-pipeline")
+    if last is None:
+        raise AssertionError("sink recorded no txn ledger entry")
+    redo = t.idempotent_append(docs, "xonce-pipeline", last)
+    if not redo["skipped"]:
+        raise AssertionError(
+            "replayed micro-batch was NOT skipped — exactly-once broken")
+    n2 = t.read().count()
+    if n2 != n:
+        raise AssertionError(
+            f"replay changed the table ({n} -> {n2} rows)")
+    return t.read()
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1064,7 +1106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (oracle-backed; displaces source_summary to the tail — its
         # green record stands)
         "nb_classifier_scores": _nb_classifier,
-        "deterministic_sample": textops.deterministic_sample,
+        # NEW in r7: exactly-once streaming sink (oracle-backed;
+        # displaces deterministic_sample to the tail — its green
+        # record stands)
+        "streaming_exactly_once_sink": _streaming_exactly_once_sink,
         "dedup_exact": dedup.dedup_exact,
         "pj1_projection": pj1_projection,
         "o3_stats": o3_stats,
@@ -1165,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_quantized_topk": _ivf_quantized,
         "stream_ingest_near_dup_filter": _stream_ingest_filter,
         "source_summary": textops.source_summary,
+        "deterministic_sample": textops.deterministic_sample,
     }
 
 
@@ -1541,6 +1587,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.c_mktsegment
         """,
         "o_compaction_roundtrip": "SELECT * FROM lineitem",
+        "streaming_exactly_once_sink": "SELECT doc_id, text FROM documents",
         "o_row_delete_restore": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
             FROM lineitem

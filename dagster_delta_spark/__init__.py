@@ -26,6 +26,7 @@ from .plans.slices import TablePartitionDimension, TableSlice, TimeWindow
 from .table import (
     DeltaSparkTable,
     MergeMultipleMatchesError,
+    ConstraintViolationError,
     SchemaMismatchError,
     TableExistsError,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "MergeMultipleMatchesError",
     "MergeType",
     "S3Config",
+    "ConstraintViolationError",
     "SchemaMismatchError",
     "SchemaMode",
     "TableConnection",

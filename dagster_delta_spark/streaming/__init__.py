@@ -13,6 +13,9 @@ from .events import (  # noqa: F401
 from .ingest_dedup import (  # noqa: F401
     stream_ingest_near_dup_filter,
 )
+from .table_sink import (  # noqa: F401
+    exactly_once_table_sink,
+)
 from .table_source import (  # noqa: F401
     DeltaSparkTableDataSource,
     DeltaSparkTableStreamReader,

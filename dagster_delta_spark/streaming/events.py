@@ -174,33 +174,21 @@ def stream_into_table(
     max_files_per_trigger: int = 8,
 ) -> "DeltaSparkTable":
     """Streaming sink into the engine's transactional table via
-    foreachBatch: each micro-batch lands as one atomic append commit —
-    exactly-once per batch under the commit log's optimistic
-    concurrency (the auto-ingest pattern at scale)."""
-    from ..config import WriteMode
+    foreachBatch: each micro-batch lands as one atomic append commit,
+    exactly-once per ``(app_id, batch_id)`` under the table's ``txn``
+    ledger (``idempotent_append`` — the Delta SetTransaction protocol;
+    a replayed batch sees its id already recorded in the snapshot and
+    no-ops, with the check inside the commit retry loop so racing
+    workers cannot double-append)."""
     from ..table import DeltaSparkTable
 
     table = DeltaSparkTable(spark, table_uri)
-    # memoized watermark: the full history scan runs once at startup,
-    # not per micro-batch (history() reads every commit JSON — calling
-    # it in the sink made restart bookkeeping O(batches^2) over a run)
-    last = {"v": last_streaming_batch(table)}
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # idempotent restart: if this batch already committed (e.g. a
-        # failure after commit but before checkpoint advance), skip it —
-        # the Delta txnAppId/txnVersion pattern on our commit metadata
-        if batch_id <= last["v"]:
-            return
-        table.write(
-            batch_df, WriteMode.append,
-            commit_metadata={"streaming_batch_id": str(batch_id)},
-        )
-        last["v"] = batch_id
+    from .table_sink import exactly_once_table_sink
 
     q = (
         read_events_stream(spark, sf_dir, max_files_per_trigger)
-        .writeStream.foreachBatch(sink)
+        .writeStream.foreachBatch(
+            exactly_once_table_sink(table_uri, "events_ingest"))
         .option("checkpointLocation", table_uri + "/_stream_checkpoint")
         .start()
     )

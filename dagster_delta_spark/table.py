@@ -86,6 +86,14 @@ class SchemaMismatchError(Exception):
     pass
 
 
+class ConstraintViolationError(Exception):
+    """Incoming rows violate a table CHECK constraint (delta-rs /
+    Delta raise the same on their ``delta.constraints.*`` metadata)."""
+
+
+_CONSTRAINT_PREFIX = "dds.constraints."
+
+
 # ---------------------------------------------------------------------------
 # typed partition-value / stats parsing
 # ---------------------------------------------------------------------------
@@ -751,6 +759,10 @@ class DeltaSparkTable:
             )
 
         out = _conform(df, final_schema)
+        self._enforce_constraints(out, {
+            **(snap.metadata.configuration if snap else {}),
+            **(table_configuration or {}),
+        })
         if cluster_by:
             cols = [F.col(c) for c in cluster_by]
             out = (
@@ -1204,6 +1216,8 @@ class DeltaSparkTable:
 
         adds: list[AddFile] = []
         if result is not None:
+            self._enforce_constraints(
+                result, snap.metadata.configuration)
             adds = _stage_dataframe(
                 result, self.table_uri, snap.partition_columns, table_schema,
                 _writer_options(writer_properties),
@@ -1531,8 +1545,10 @@ class DeltaSparkTable:
                     .otherwise(F.col(f_.name)).alias(f_.name))
             else:
                 out_cols.append(F.col(f_.name))
+        updated_df = src.select(*out_cols)
+        self._enforce_constraints(updated_df, snap.metadata.configuration)
         adds = _stage_dataframe(
-            src.select(*out_cols), self.table_uri,
+            updated_df, self.table_uri,
             snap.partition_columns, schema,
             _writer_options(writer_properties),
         )
@@ -1584,6 +1600,196 @@ class DeltaSparkTable:
             metadata=tgt.metadata,
         )
         return res
+
+    # -- exactly-once streaming appends (Delta SetTransaction parity) -------
+
+    def last_txn_version(self, app_id: str) -> Optional[int]:
+        """Highest micro-batch version committed by ``app_id``, or
+        None — the restart handshake of an exactly-once sink."""
+        return self.snapshot().app_versions.get(app_id)
+
+    def idempotent_append(
+        self,
+        df: DataFrame,
+        app_id: str,
+        batch_version: int,
+        *,
+        partition_columns: Optional[Sequence[str]] = None,
+        writer_properties: Optional[dict[str, str]] = None,
+    ) -> dict[str, Any]:
+        """Append ``df`` exactly once per ``(app_id, batch_version)``
+        (Delta's ``txn``/SetTransaction protocol — what makes
+        ``foreachBatch`` sinks exactly-once across restarts: a
+        replayed micro-batch sees its version already recorded and
+        no-ops).  The already-committed check runs INSIDE the commit
+        retry loop against the head snapshot, so two workers racing
+        the same batch cannot double-append.  Creates the table on the
+        first batch; schema must match exactly afterwards (a streaming
+        sink is not the place for silent evolution)."""
+        exists = self.exists()
+        snap = self.snapshot() if exists else None
+        if (snap is not None
+                and snap.app_versions.get(app_id, -1) >= batch_version):
+            return {"version": snap.version, "skipped": True,
+                    "num_output_rows": 0}
+
+        if snap is not None:
+            final_schema = StructType.fromJson(_json_loads(snap.schema_json))
+            if {f.name: f.dataType for f in df.schema.fields} != \
+                    {f.name: f.dataType for f in final_schema.fields}:
+                raise SchemaMismatchError(
+                    "idempotent_append: incoming schema does not match "
+                    "the table (streaming sinks do not evolve schemas)")
+            pcols = list(snap.partition_columns)
+            meta = snap.metadata
+        else:
+            final_schema = df.schema
+            pcols = list(partition_columns or [])
+            meta = Metadata(
+                schema_json=final_schema.json(),
+                partition_columns=pcols,
+            )
+        out = _conform(df, final_schema)
+        self._enforce_constraints(out, meta.configuration)
+        adds = _stage_dataframe(
+            out, self.table_uri, pcols, final_schema,
+            _writer_options(writer_properties),
+        )
+        rows = sum(a.num_records for a in adds)
+        now = int(time.time() * 1000)
+        for attempt in range(_COMMIT_RETRIES + 1):
+            head = tablelog.latest_version(self.table_uri)
+            cur = tablelog.load_snapshot(self.table_uri) if head >= 0 else None
+            if (cur is not None
+                    and cur.app_versions.get(app_id, -1) >= batch_version):
+                # a racing worker committed this batch first; the staged
+                # files are unreferenced and vacuum will collect them
+                return {"version": cur.version, "skipped": True,
+                        "num_output_rows": 0}
+            actions: list[dict[str, Any]] = [
+                CommitInfo(
+                    operation="STREAMING UPDATE",
+                    operation_parameters={
+                        "appId": app_id, "epochId": batch_version},
+                    operation_metrics={
+                        "num_output_rows": rows,
+                        "num_added_files": len(adds),
+                    },
+                ).to_action(),
+            ]
+            if cur is None:
+                actions.append(meta.to_action())
+            actions.append(
+                {"txn": {"appId": app_id, "version": batch_version}})
+            actions += [a.to_action() for a in adds]
+            new_files = {a.log_key: a for a in (cur.files if cur else [])}
+            for a in adds:
+                new_files[a.log_key] = a
+            app_versions = dict(cur.app_versions) if cur else {}
+            app_versions[app_id] = max(
+                app_versions.get(app_id, -1), batch_version)
+            v = head + 1
+            try:
+                tablelog.commit(
+                    self.table_uri, v, actions,
+                    Snapshot(v, meta if cur is None else cur.metadata,
+                             list(new_files.values()), now,
+                             app_versions=app_versions),
+                )
+                return {"version": v, "skipped": False,
+                        "num_output_rows": rows,
+                        "num_added_files": len(adds)}
+            except VersionConflictError:
+                if attempt >= _COMMIT_RETRIES:
+                    raise
+                time.sleep(_COMMIT_BACKOFF_BASE * (2**attempt) + _jitter())
+        raise AssertionError("unreachable")
+
+    # -- CHECK constraints (delta-rs add_constraint parity) -----------------
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: name → SQL expression (stored as
+        ``dds.constraints.<name>`` table properties, the
+        ``delta.constraints.*`` analogue)."""
+        cfg = self.snapshot().metadata.configuration
+        return {
+            k[len(_CONSTRAINT_PREFIX):]: v
+            for k, v in cfg.items()
+            if k.startswith(_CONSTRAINT_PREFIX)
+        }
+
+    def _enforce_constraints(
+        self, df: DataFrame, configuration: dict[str, str]
+    ) -> None:
+        """ONE aggregation pass counting violators of every constraint
+        (a row violates when the expression is not TRUE — NULL counts
+        as a violation, matching Delta CHECK semantics)."""
+        checks = {
+            k[len(_CONSTRAINT_PREFIX):]: v
+            for k, v in (configuration or {}).items()
+            if k.startswith(_CONSTRAINT_PREFIX)
+        }
+        if not checks:
+            return
+        counts = df.select([
+            F.sum(
+                F.when(~F.expr(expr).eqNullSafe(F.lit(True)), 1)
+                .otherwise(0)
+            ).alias(name)
+            for name, expr in checks.items()
+        ]).collect()[0]
+        bad = {n: counts[n] for n in checks if (counts[n] or 0) > 0}
+        if bad:
+            detail = ", ".join(
+                f"{n} ({bad[n]} row(s) violate: {checks[n]!r})"
+                for n in sorted(bad))
+            raise ConstraintViolationError(
+                f"CHECK constraint violation: {detail}")
+
+    def add_constraint(self, name: str, expr: str) -> dict[str, Any]:
+        """ADD CONSTRAINT: validates the expression against EXISTING
+        rows (full scan, like Delta's ALTER TABLE ADD CONSTRAINT),
+        then commits the table property.  Subsequent write / merge /
+        update calls enforce it on incoming rows."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        snap = self.snapshot()
+        key = _CONSTRAINT_PREFIX + name
+        if key in snap.metadata.configuration:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._enforce_constraints(
+            self._read_files(snap, snap.files), {key: expr})
+        import dataclasses
+
+        meta = dataclasses.replace(
+            snap.metadata,
+            configuration={**snap.metadata.configuration, key: expr},
+        )
+        return self._commit_rewrite(
+            snap, [], [], "ADD CONSTRAINT",
+            operation_parameters={"name": name, "expr": expr},
+            metadata=meta,
+        )
+
+    def drop_constraint(
+        self, name: str, *, raise_if_missing: bool = True
+    ) -> dict[str, Any]:
+        snap = self.snapshot()
+        key = _CONSTRAINT_PREFIX + name
+        if key not in snap.metadata.configuration:
+            if raise_if_missing:
+                raise ValueError(f"constraint {name!r} does not exist")
+            return {"version": snap.version}
+        import dataclasses
+
+        cfg = dict(snap.metadata.configuration)
+        cfg.pop(key)
+        meta = dataclasses.replace(snap.metadata, configuration=cfg)
+        return self._commit_rewrite(
+            snap, [], [], "DROP CONSTRAINT",
+            operation_parameters={"name": name},
+            metadata=meta,
+        )
 
     def partition_stats(
         self, dnf: Optional[Sequence[DnfFilter]] = None,

@@ -194,12 +194,16 @@ class CommitInfo:
 
 @dataclass
 class Snapshot:
-    """Materialized table state at one version."""
+    """Materialized table state at one version.  ``app_versions``
+    tracks the highest ``txn`` action per application id — the
+    exactly-once ledger streaming sinks check before committing a
+    micro-batch (Delta's SetTransaction analogue)."""
 
     version: int
     metadata: Metadata
     files: list[AddFile]
     timestamp: int = 0
+    app_versions: dict[str, int] = field(default_factory=dict)
 
     @property
     def schema_json(self) -> str:
@@ -312,8 +316,12 @@ def _load_checkpoint(table_uri: str, version: int) -> Optional[Snapshot]:
                 )
                 for row in t.to_pylist()
             ]
-            return Snapshot(version=version, metadata=metadata, files=files,
-                            timestamp=ts)
+            return Snapshot(
+                version=version, metadata=metadata, files=files,
+                timestamp=ts,
+                # pre-txn checkpoints have no ledger
+                app_versions=json.loads(meta.get(b"dds.appTxns", b"{}")),
+            )
         except Exception:
             import sys
 
@@ -365,6 +373,7 @@ def write_checkpoint(table_uri: str, snap: Snapshot) -> None:
         "base": pa.array([a.base for a in snap.files], pa.string()),
     })
     table = table.replace_schema_metadata({
+        b"dds.appTxns": json.dumps(snap.app_versions),
         b"dds.metaData": json.dumps(
             snap.metadata.to_action()["metaData"]
         ).encode(),
@@ -449,6 +458,7 @@ def _copy_snapshot(snap: Snapshot) -> Snapshot:
             for a in snap.files
         ],
         timestamp=snap.timestamp,
+        app_versions=dict(snap.app_versions),
     )
 
 
@@ -511,6 +521,7 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
     start = 0
     metadata: Optional[Metadata] = None
     files: dict[str, AddFile] = {}
+    app_versions: dict[str, int] = {}
     ts = 0
 
     cp_version = _read_last_checkpoint(table_uri)
@@ -531,6 +542,7 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
     if cp is not None:
         metadata = cp.metadata
         files = {a.log_key: a for a in cp.files}
+        app_versions = dict(cp.app_versions)
         ts = cp.timestamp
         start = cp_version + 1
 
@@ -543,13 +555,18 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
                 files[a.log_key] = a
             elif "remove" in action:
                 files.pop(remove_key(action["remove"]), None)
+            elif "txn" in action:
+                t = action["txn"]
+                app_versions[t["appId"]] = max(
+                    app_versions.get(t["appId"], -1), t["version"])
             elif "commitInfo" in action:
                 ts = action["commitInfo"].get("timestamp", ts)
 
     if metadata is None:
         raise TableNotFoundError(f"no metaData action found for {table_uri}")
     snap = Snapshot(version=target, metadata=metadata,
-                    files=list(files.values()), timestamp=ts)
+                    files=list(files.values()), timestamp=ts,
+                    app_versions=app_versions)
     _cache_put(table_uri, target, snap)
     return snap
 

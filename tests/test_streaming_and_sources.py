@@ -24,8 +24,9 @@ def test_session_window_stream_roughly_matches_batch(spark):
 
 
 def test_stream_into_transactional_table(spark, tmp_path):
-    """foreachBatch sink: every micro-batch is one atomic append
-    commit; total rows match the source."""
+    """foreachBatch sink: every micro-batch is one atomic
+    STREAMING UPDATE commit carrying its txn ledger entry; total rows
+    match the source."""
     from dagster_delta_spark.streaming import stream_into_table
 
     uri = str(tmp_path / "events_table")
@@ -34,9 +35,9 @@ def test_stream_into_transactional_table(spark, tmp_path):
     assert table.read().count() == src_count
     h = table.history()
     assert all(
-        hh["operation"].startswith("WRITE append") for hh in h
+        hh["operation"] == "STREAMING UPDATE" for hh in h
     )
-    assert h[0]["userMetadata"]["streaming_batch_id"] is not None
+    assert table.last_txn_version("events_ingest") == len(h) - 1
 
 
 def test_scan_csv_roundtrip(spark, tmp_path):
