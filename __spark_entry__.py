@@ -1101,7 +1101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
         "q18_large_orders": relational.q18_large_orders,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
-        "fingerprint": textops.fingerprint,
+        # NEW in r7: Misra-Gries heavy hitters + exact verify pass
+        # (oracle-backed; displaces fingerprint to the tail — its
+        # green record stands)
+        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
         # NEW in r7: distributed Naive Bayes train+score
         # (oracle-backed; displaces source_summary to the tail — its
         # green record stands)
@@ -1211,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_near_dup_filter": _stream_ingest_filter,
         "source_summary": textops.source_summary,
         "deterministic_sample": textops.deterministic_sample,
+        "fingerprint": textops.fingerprint,
     }
 
 
@@ -1588,6 +1592,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "o_compaction_roundtrip": "SELECT * FROM lineitem",
         "streaming_exactly_once_sink": "SELECT doc_id, text FROM documents",
+        "heavy_hitter_tokens": f"""
+            WITH toks AS (
+                SELECT unnest({_TOK}) AS token FROM documents
+            ),
+            n AS (SELECT count(*) AS n FROM toks)
+            SELECT token, count(*) AS cnt
+            FROM toks, n
+            GROUP BY token, n.n
+            HAVING count(*) > n.n / 32.0
+        """,
         "o_row_delete_restore": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
             FROM lineitem

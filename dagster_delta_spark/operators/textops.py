@@ -456,3 +456,78 @@ def zipf_profile(
             "ELSE pow(corr(x, y), 2) END"
         ).alias("r2"),
     )
+
+
+def heavy_hitter_tokens(
+    spark: SparkSession, sf_dir: str, k: int = 32
+) -> DataFrame:
+    """EXACT heavy hitters at bounded shuffle cost: tokens whose
+    global frequency exceeds ``1/k`` of all token occurrences.
+
+    Plan shape (the Misra-Gries "mergeable summaries" pattern):
+
+    1. map-only ``mapInPandas`` pass builds one bounded MG summary per
+       partition (``4k`` counters; a decrement of any counter always
+       decrements > 4k counters at once, so a token undercounts by at
+       most ``n_p / (4k+1)`` in its partition);
+    2. summaries merge by summed counter into a CANDIDATE set that
+       provably contains every true heavy hitter (a global miss would
+       need true count <= sum_p n_p/(4k+1) = n/(4k+1) < n/k);
+    3. ONE exact counting pass restricted (broadcast semi-join) to the
+       candidates yields exact counts, filtered at the threshold.
+
+    The output is exact ``(token, cnt)`` — the sketch only bounds
+    WHICH tokens need exact counting — so the DuckDB oracle is plain
+    GROUP BY / HAVING.  At 100 TB the exact pass shuffles
+    <= 4k x partitions candidate tokens instead of the full
+    vocabulary, and the corpus itself is touched by two map-only
+    scans.  (Reference analogue: frequent-pattern profiling; the
+    engine-native piece is the mergeable-sketch + exact-verify
+    split.)"""
+    docs = load(spark, sf_dir, "documents")
+    cap = 4 * k
+
+    # fully self-contained closure: operator modules are NOT
+    # cloudpickle-registered by value (see multimodal.py for the one
+    # that is), so the UDF must not touch module-level names
+    def mg_summaries(batches):
+        import re as _re
+
+        import pandas as _pd
+
+        counters: dict = {}
+        total = 0
+        pat = _re.compile(r"[^a-z0-9]+")
+        for pdf in batches:
+            for text in pdf["text"]:
+                toks = [t for t in pat.split(str(text).lower()) if t]
+                total += len(toks)
+                for t in toks:
+                    counters[t] = counters.get(t, 0) + 1
+                if len(counters) > cap:
+                    vals = sorted(counters.values())
+                    d = vals[len(counters) - cap]
+                    counters = {
+                        t: c - d for t, c in counters.items() if c > d
+                    }
+        rows = list(counters.items()) + [("__total__", total)]
+        yield _pd.DataFrame(rows, columns=["token", "wt"])
+
+    summaries = (
+        docs.select("text")
+        .mapInPandas(mg_summaries, "token string, wt long")
+        .groupBy("token")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    merged = {r["token"]: r["wt"] for r in summaries.collect()}
+    n_total = merged.pop("__total__", 0)
+    cand = spark.createDataFrame(
+        [(t,) for t in merged], "token string")
+
+    toks = docs.select(F.explode(F.expr(TOKENS)).alias("token"))
+    return (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > F.lit(n_total) / F.lit(float(k)))
+    )
