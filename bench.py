@@ -65,6 +65,7 @@ def main() -> None:
         "w3_partition_overwrite",
         "m3_upsert",
         "row_dml_stages",
+        "incr_rollup_maintain",
         # streaming ingest near-dup filter (3 micro-batches), staged:
         # the ~7 s streaming-engine + fixture fixed cost masked probe
         # regressions behind one number, so the line reports the
@@ -75,6 +76,7 @@ def main() -> None:
         # LLM pipeline operators
         "dedup_exact",
         "token_stats",
+        "heavy_hitter_tokens",
         "text_quality",
         "fingerprint",
         "minhash_lsh_near_dups",
@@ -178,11 +180,45 @@ def main() -> None:
         t.read().write.mode("overwrite").format("noop").save()
         return st
 
+    _INCR_MEASURES = {
+        "sum_qty": "CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DECIMAL(30,10))",
+        "revenue": ("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+                    "AS DECIMAL(30,10))) AS DECIMAL(30,10))"),
+        "n_rows": "COUNT(*)",
+    }
+
+    def _incr_setup(spark, d):
+        # fixture: base table with three append commits, rollup already
+        # maintained through v1; the operator under test is ONE
+        # incremental maintenance run folding the v2 delta (1/3 of the
+        # rows) — the per-new-commit cost a production deployment pays
+        # instead of a full recompute
+        from dagster_delta_spark.operators.incremental import maintain_rollup
+
+        base = DeltaSparkTable(spark, entry._scratch("bench-incr-base"))
+        rollup = DeltaSparkTable(spark, entry._scratch("bench-incr-roll"))
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
+        base.write(li.where("l_orderkey % 3 = 0"), WriteMode.error)   # v0
+        base.write(li.where("l_orderkey % 3 = 1"), WriteMode.append)  # v1
+        v = maintain_rollup(base, rollup, ["l_returnflag", "l_linestatus"],
+                            _INCR_MEASURES, -1)
+        base.write(li.where("l_orderkey % 3 = 2"), WriteMode.append)  # v2
+        return base, rollup, v
+
+    def _incr_run(spark, ctx):
+        from dagster_delta_spark.operators.incremental import maintain_rollup
+
+        base, rollup, v = ctx
+        maintain_rollup(base, rollup, ["l_returnflag", "l_linestatus"],
+                        _INCR_MEASURES, v)
+        rollup.read().write.mode("overwrite").format("noop").save()
+
     staged = {
         "m3_upsert": (_m3_setup, _m3_run),
         "w3_partition_overwrite": (_w3_setup, _w3_run),
         "stream_ingest_stages": (_ingest_setup, _ingest_run),
         "row_dml_stages": (_dml_setup, _dml_run),
+        "incr_rollup_maintain": (_incr_setup, _incr_run),
     }
 
     # Since r7 the rows-only registry entries wrap their operators in

@@ -3,6 +3,7 @@ from . import (  # noqa: F401
     curation,
     dedup,
     graph,
+    incremental,
     multimodal,
     pipeline,
     relational,

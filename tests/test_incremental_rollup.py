@@ -1,0 +1,114 @@
+"""Incremental materialized-rollup maintenance (operators/incremental.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagster_delta_spark import DeltaSparkTable, WriteMode
+from dagster_delta_spark.operators.incremental import (
+    maintain_rollup,
+    rollup_vs_recompute,
+)
+
+MEASURES = {"total": "SUM(CAST(v AS DECIMAL(30,10)))", "n": "COUNT(*)"}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_incremental_equals_recompute_with_inserts(spark, tmp_path):
+    """Three appends, the second introducing a brand-new group (insert
+    path) — the maintained rollup must equal a full recompute."""
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    chunks = [
+        [("a", 1.0), ("b", 2.0), ("a", 3.0)],
+        [("b", 5.0), ("c", 7.0)],  # c is new -> insert
+        [("a", 11.0)],
+    ]
+    v = -1
+    for i, rows in enumerate(chunks):
+        base.write(_df(spark, rows),
+                   WriteMode.error if i == 0 else WriteMode.append)
+        v = maintain_rollup(base, rollup, ["g"], MEASURES, v)
+    got = {(r["g"], float(r["total"]), r["n"])
+           for r in rollup.read().collect()}
+    assert got == {("a", 15.0, 3), ("b", 7.0, 2), ("c", 7.0, 1)}
+    assert rollup_vs_recompute(base, rollup, ["g"], MEASURES).count() == 0
+
+
+def test_noop_when_no_new_commits(spark, tmp_path):
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(_df(spark, [("a", 1.0)]), WriteMode.error)
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, -1)
+    rv = rollup.version()
+    assert maintain_rollup(base, rollup, ["g"], MEASURES, v) == v
+    assert rollup.version() == rv  # nothing committed
+
+
+def test_rewrite_commit_raises(spark, tmp_path):
+    """An overwrite on the base is not a pure delta: maintenance must
+    refuse instead of corrupting the rollup."""
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(_df(spark, [("a", 1.0)]), WriteMode.error)
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, -1)
+    base.write(_df(spark, [("a", 9.0)]), WriteMode.overwrite)
+    with pytest.raises(ValueError, match="rewrite"):
+        maintain_rollup(base, rollup, ["g"], MEASURES, v)
+
+
+def test_compaction_commit_is_transparent(spark, tmp_path):
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(_df(spark, [("a", 1.0)]), WriteMode.error)
+    base.write(_df(spark, [("a", 2.0)]), WriteMode.append)
+    base.optimize()  # compaction re-adds old rows; must contribute 0
+    base.write(_df(spark, [("b", 4.0)]), WriteMode.append)
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, -1)
+    assert v == base.version()
+    got = {(r["g"], float(r["total"]), r["n"])
+           for r in rollup.read().collect()}
+    assert got == {("a", 3.0, 2), ("b", 4.0, 1)}
+
+
+def test_null_group_keys_accumulate(spark, tmp_path):
+    """NULL is a real group: the null-safe join/merge keys must fold
+    null-keyed partials into one rollup row, not insert duplicates."""
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(_df(spark, [(None, 1.0), ("a", 2.0)]), WriteMode.error)
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, -1)
+    base.write(_df(spark, [(None, 10.0)]), WriteMode.append)
+    maintain_rollup(base, rollup, ["g"], MEASURES, v)
+    got = {(r["g"], float(r["total"]), r["n"])
+           for r in rollup.read().collect()}
+    assert got == {(None, 11.0, 2), ("a", 2.0, 1)}
+
+
+def test_validation_errors(spark, tmp_path):
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    with pytest.raises(ValueError, match="group column"):
+        maintain_rollup(base, rollup, [], MEASURES, -1)
+    with pytest.raises(ValueError, match="collide"):
+        maintain_rollup(base, rollup, ["g"], {"g": "COUNT(*)"}, -1)
+
+
+def test_audit_catches_corruption(spark, tmp_path):
+    """rollup_vs_recompute must flag a tampered rollup row."""
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(_df(spark, [("a", 1.0), ("b", 2.0)]), WriteMode.error)
+    maintain_rollup(base, rollup, ["g"], MEASURES, -1)
+    stored_type = rollup.read().schema["total"].dataType
+    tampered = rollup.read().withColumn(
+        "total",
+        F.when(F.col("g") == "a",
+               F.col("total") + 1).otherwise(F.col("total"))
+        .cast(stored_type),
+    )
+    rollup.write(tampered, WriteMode.overwrite)
+    bad = rollup_vs_recompute(base, rollup, ["g"], MEASURES)
+    assert bad.count() == 1
