@@ -288,7 +288,9 @@ def main() -> None:
     # split in docs/SCALE.md instead).
     from dagster_delta_spark.operators.dedup import (
         _shingle_stream,
+        minhash_bucket_index,
         minhash_signatures,
+        simhash_bucket_index,
         simhash_signatures,
     )
     from dagster_delta_spark.operators.similarity import (
@@ -301,7 +303,8 @@ def main() -> None:
     # skip the others (that would silently fold build cost into their
     # timed lines on single-pass runs)
     for build in (ivf_assignments, ivf_quantized_topk, lsh_signatures,
-                  _shingle_stream, minhash_signatures, simhash_signatures):
+                  _shingle_stream, minhash_signatures, simhash_signatures,
+                  minhash_bucket_index, simhash_bucket_index):
         try:
             build(spark, sf_dir).count()
         except Exception as exc:

@@ -112,6 +112,58 @@ def main() -> None:
             lambda df: f"{df.where('kept').count()} kept"
                        f" / {df.count()} docs")
 
+        from dagster_delta_spark.operators.textops import heavy_hitter_tokens
+
+        run("heavy_hitter_tokens",
+            lambda: heavy_hitter_tokens(spark, d),
+            lambda df: f"{df.count()} hitters")
+
+    # incremental rollup maintenance: 20x lineitem base (one big
+    # initial commit + one 5% append); compare ONE maintenance fold of
+    # the append against a full recompute over the whole base
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark.operators.incremental import maintain_rollup
+
+    d2 = tempfile.mkdtemp(prefix="dds-stress-incr-")
+    try:
+        li = spark.read.parquet(f"{args.sf_dir}/lineitem.parquet")
+        n = li.count()
+        wide = (
+            li.crossJoin(
+                spark.range(args.replicas).withColumnRenamed("id", "rep"))
+            .withColumn("l_orderkey",
+                        F.col("l_orderkey") + F.col("rep") * (n * 10))
+            .drop("rep")
+        )
+        base = DeltaSparkTable(spark, d2 + "/base")
+        rollup = DeltaSparkTable(spark, d2 + "/roll")
+        base.write(wide, WriteMode.error)                       # v0: 20x
+        keys = ["l_returnflag", "l_linestatus"]
+        measures = {
+            "sum_qty": ("CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))"
+                        " AS DECIMAL(30,10))"),
+            "n_rows": "COUNT(*)",
+        }
+        v = maintain_rollup(base, rollup, keys, measures, -1)
+        base.write(li, WriteMode.append)                        # v1: +5%
+        t0 = time.time()
+        maintain_rollup(base, rollup, keys, measures, v)
+        incr = time.time() - t0
+        t0 = time.time()
+        base.read().groupBy(*keys).agg(
+            *[F.expr(e).alias(c) for c, e in measures.items()]
+        ).write.mode("overwrite").format("noop").save()
+        full = time.time() - t0
+        print(f"incr_rollup_maintain (fold 5% append into 20x base): "
+              f"{incr:.1f} s vs full recompute {full:.1f} s "
+              f"({full / max(incr, 1e-9):.1f}x)")
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
     spark.stop()
 
 
