@@ -1137,7 +1137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r7: shallow clone zero-copy roundtrip (oracle-backed;
         # displaces q12_case_agg to the tail — its green record stands)
         "o_clone_zero_copy": o_clone_zero_copy,
-        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
+        # NEW in r7: Bloom-prefiltered decontamination (oracle-backed —
+        # identical output to decontaminate; displaces q14_promo_ratio
+        # to the tail, its green record stands)
+        "bloom_decontaminate": curation.bloom_decontaminate,
         # NEW in r7: incremental materialized-rollup maintenance over
         # the table log (oracle-backed; displaces q18_large_orders to
         # the tail — its green record stands)
@@ -1258,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": textops.deterministic_sample,
         "fingerprint": textops.fingerprint,
         "q18_large_orders": relational.q18_large_orders,
+        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
     }
 
 
@@ -1344,7 +1348,7 @@ def oracle_sql() -> dict[str, str]:
         "o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority "
         "FROM orders"
     )
-    return {
+    out = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sum_qty,
@@ -2789,6 +2793,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curate_corpus": _curate_corpus_oracle(),
     }
+    # bloom_decontaminate is decontaminate with a Bloom PREFILTER —
+    # exact verification strips the false positives, so the oracle is
+    # the identical overlap count
+    out["bloom_decontaminate"] = out["decontaminate"]
+    return out
 
 
 def _scrub_pii_oracle() -> str:

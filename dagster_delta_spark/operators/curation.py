@@ -90,6 +90,88 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_set: DataFrame = None,
+    ngram: int = _DECON_NGRAM,
+    max_overlap: int = 0,
+    bits_per_gram: int = 32,
+) -> DataFrame:
+    """``decontaminate`` for eval sets too large to broadcast as gram
+    strings — IDENTICAL output (the Bloom filter is a prefilter; an
+    exact verification join removes its false positives, so the DuckDB
+    oracle is the same plain overlap count).
+
+    The broadcast-semi-probe in ``decontaminate`` assumes the eval
+    gram set fits in a broadcast of *strings* (~50+ bytes/gram with
+    row overhead).  A full held-out suite at production scale can
+    reach billions of grams; this variant compresses the prefilter
+    side to a single-hash Bloom bitmap — ``bits_per_gram`` bits per
+    distinct eval gram packed into 64-bit words, i.e. ~4 bytes/gram at
+    the default: an order of magnitude smaller than the strings, which
+    extends the broadcast regime correspondingly (past even that, the
+    word-keyed bitmap join degrades gracefully to a shuffle whose
+    build side is the compact bitmap, never the gram strings).
+
+    Plan: (1) one aggregation packs eval gram hash positions into
+    ``(word, bits)`` via ``bit_or`` — m is rounded up to a power of
+    two so the position is ``xxhash64 & (m-1)``, no division; (2) the
+    corpus gram stream joins the broadcast bitmap on ``word`` and
+    keeps grams whose bit is set — with k=1 hash and 32 bits/gram the
+    false-positive rate is ~1-exp(-1/32) ≈ 3%, so ~97% of clean
+    corpus grams die map-side without touching a shuffle; (3) the
+    small survivor stream exact-joins the eval grams (removing the
+    ~3% FPs) and the per-doc ``countDistinct`` finishes as in
+    ``decontaminate``.  k=1 is deliberate: each extra hash is another
+    probe join over the corpus stream, and the verify pass makes
+    precision exact regardless — the FP rate only tunes how much
+    survives to the verify join.
+    """
+    if bits_per_gram < 1:
+        raise ValueError(f"bits_per_gram={bits_per_gram} must be >= 1")
+    docs = load(spark, sf_dir, "documents")
+    if eval_set is None:
+        eval_set = docs.where(F.col("doc_id") % 17 == 3)
+    eval_grams = _word_ngrams(eval_set, ngram).select("gram").distinct()
+    eval_grams = eval_grams.localCheckpoint()  # sized AND probed below
+    n_eval = eval_grams.count()
+    m = 1 << max(10, (max(1, n_eval * bits_per_gram) - 1).bit_length())
+    mask = m - 1
+    pos = f"(xxhash64(gram) & {mask}L)"
+    word_bit = [
+        F.expr(f"shiftright({pos}, 6)").alias("word"),
+        F.expr(f"shiftleft(1L, CAST({pos} & 63L AS INT))").alias("bit"),
+    ]
+    bloom = (
+        eval_grams.select(*word_bit)
+        .groupBy("word").agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    survivors = (
+        _word_ngrams(docs, ngram)
+        .select("doc_id", "gram", *word_bit)
+        .join(F.broadcast(bloom), "word")
+        .where(F.expr("(bits & bit) != 0"))
+        .select("doc_id", "gram")
+    )
+    overlaps = (
+        survivors.join(eval_grams, "gram")  # exact verify: FPs die here
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(overlaps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > max_overlap)
+            .alias("contaminated"),
+        )
+    )
+
+
 # deliberately simple, RE2-compatible patterns (both Spark's Java regex
 # and DuckDB's RE2 agree on them) so the redaction is oracle-checkable;
 # production swaps in its compliance-approved pattern pack

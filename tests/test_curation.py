@@ -39,6 +39,44 @@ def test_decontaminate_flags_verbatim_overlap(spark, tmp_path):
     assert out[3][1] is True  # eval doc trivially overlaps itself
 
 
+def test_bloom_decontaminate_matches_exact(spark):
+    """Bloom prefilter + exact verify must reproduce decontaminate
+    bit-for-bit on the real corpus (false positives all stripped)."""
+    from dagster_delta_spark.operators.curation import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    exact = {(r.doc_id, r.n_contaminated_ngrams, r.contaminated)
+             for r in decontaminate(spark, SF).collect()}
+    bloom = {(r.doc_id, r.n_contaminated_ngrams, r.contaminated)
+             for r in bloom_decontaminate(spark, SF).collect()}
+    assert bloom == exact
+    assert any(c for _, _, c in exact)  # fixture actually contaminates
+
+
+def test_bloom_prefilter_actually_prunes(spark, tmp_path):
+    """On a corpus disjoint from the eval set, the tiny-bitmap variant
+    must flag nothing (i.e. FPs at 1 bit/gram granularity still die in
+    the verify join) and a reasonable bitmap must keep survivors low —
+    exercised indirectly via bits_per_gram=1 correctness."""
+    from dagster_delta_spark.operators.curation import bloom_decontaminate
+
+    rows = [(3, "benchmark secret held out questions about rare topics "
+                "unique phrasing kept apart", "en", "eval", 1)]
+    rows += [(i, f"wholly unrelated passage number {i} "
+                 + " ".join(f"w{i}x{j}" for j in range(12)),
+              "en", "web", 1)
+             for i in range(4, 45) if i % 17 != 3]  # keep eval = {3}
+    d = _write_docs(spark, tmp_path, rows)
+    # 1 bit/gram: dense collisions in the prefilter, yet output exact
+    out = {r.doc_id: r.contaminated
+           for r in bloom_decontaminate(spark, d, bits_per_gram=1)
+           .collect()}
+    assert out[3] is True  # eval doc overlaps itself
+    assert not any(v for k, v in out.items() if k != 3)
+
+
 def test_scrub_pii_redacts_and_counts(spark, tmp_path):
     from dagster_delta_spark.operators.curation import scrub_pii
 
