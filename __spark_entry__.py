@@ -35,6 +35,7 @@ from dagster_delta_spark.operators import (
     classify,
     curation,
     dedup,
+    fuzzy,
     graph,
     incremental,
     multimodal,
@@ -1145,7 +1146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the table log (oracle-backed; displaces q18_large_orders to
         # the tail — its green record stands)
         "incremental_rollup_maintenance": incremental_rollup_maintenance,
-        "q22_anti_scalar": relational.q22_idle_rich_customers,
+        # NEW in r7: exact fuzzy self-join via symmetric-deletion
+        # candidates (oracle-backed; displaces q22_anti_scalar to the
+        # tail — its green record stands)
+        "fuzzy_name_matches": fuzzy.fuzzy_name_matches,
         # NEW in r7: Misra-Gries heavy hitters + exact verify pass
         # (oracle-backed; displaces fingerprint to the tail — its
         # green record stands)
@@ -1262,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": textops.fingerprint,
         "q18_large_orders": relational.q18_large_orders,
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
+        "q22_anti_scalar": relational.q22_idle_rich_customers,
     }
 
 
@@ -1638,6 +1643,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.c_mktsegment
         """,
         "o_compaction_roundtrip": "SELECT * FROM lineitem",
+        "fuzzy_name_matches": """
+            SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
         "incremental_rollup_maintenance": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))

@@ -77,6 +77,8 @@ def main() -> None:
         "dedup_exact",
         "token_stats",
         "heavy_hitter_tokens",
+        "fuzzy_name_matches",
+        "bloom_decontaminate",
         "text_quality",
         "fingerprint",
         "minhash_lsh_near_dups",

@@ -2,6 +2,7 @@ from . import (  # noqa: F401
     asof,
     curation,
     dedup,
+    fuzzy,
     graph,
     incremental,
     multimodal,

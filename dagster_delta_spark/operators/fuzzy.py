@@ -1,0 +1,129 @@
+"""Fuzzy string matching: exact edit-distance self-join at scale.
+
+Record-linkage primitive (dedup of names/titles/URLs differing by a
+typo).  The naive plan is the O(n^2) cross join with a levenshtein
+filter; this module uses the SYMMETRIC-DELETION candidate scheme
+(FastSS / SymSpell family): every string emits its deletion
+neighborhood — itself plus each variant with ``<= max_edit``
+characters deleted — and two strings within edit distance
+``max_edit`` are GUARANTEED to share at least one variant (any edit
+script of length k aligns all but <= k positions, and deleting the
+edited positions from both sides meets in the middle).  The variant
+equi-join generates candidates; an exact ``levenshtein`` verify makes
+precision exact, so output = the cross join's, at candidate cost.
+
+Scale shape: per string of length L the neighborhood is O(L) variants
+at ``max_edit=1`` (O(L^2) at 2) — a map-only explode; the join
+shuffles on the variant hash; bucket population is bounded by how
+many strings are 1 edit from a common core (real-world name data:
+tiny), with the same optional hot-bucket cap as the LSH family for
+adversarial inputs.  No Python UDFs anywhere: the neighborhood is a
+codegen'd ``transform(sequence(...))`` and the verify is Spark's
+built-in ``levenshtein``.
+
+No counterpart in the reference (I/O manager); candidate scheme from
+the published FastSS/SymSpell literature, Spark-first expression.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .relational import load
+
+
+def deletion_variants(
+    df: DataFrame, key_col: str, str_col: str, max_edit: int = 1
+) -> DataFrame:
+    """``(key, variant)`` deletion neighborhood, depth ``max_edit``.
+
+    Depth 1 emits the string plus each single-character deletion
+    (L+1 rows); depth 2 additionally every two-character deletion
+    (deduplicated).  Codegen-only: nested ``transform`` over index
+    sequences, flattened and ``array_distinct``-ed before the explode
+    so repeated characters don't fan out duplicate rows."""
+    if max_edit not in (1, 2):
+        raise ValueError(f"max_edit={max_edit} must be 1 or 2")
+    s = f"CAST({str_col} AS STRING)"
+    del1 = (
+        f"transform(sequence(1, length({s})), "
+        f"i -> concat(substring({s}, 1, i - 1), "
+        f"substring({s}, i + 1)))"
+    )
+    parts = [f"array({s})", del1]
+    if max_edit == 2:
+        # delete i then j (j in the shortened string): covers every
+        # unordered two-position deletion
+        parts.append(
+            f"flatten(transform({del1}, "
+            "d -> transform(sequence(1, length(d)), "
+            "j -> concat(substring(d, 1, j - 1), substring(d, j + 1)))))"
+        )
+    variants = f"array_distinct(concat({', '.join(parts)}))"
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.col(str_col).alias("s"),
+        F.explode(F.expr(variants)).alias("variant"),
+    )
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    key_col: str,
+    str_col: str,
+    max_edit: int = 1,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """All pairs ``(key_a, key_b, dist)`` with
+    ``levenshtein(s_a, s_b) <= max_edit`` and ``key_a < key_b`` —
+    EXACT (the deletion-neighborhood candidates provably cover every
+    qualifying pair; the levenshtein verify strips the rest), without
+    the O(n^2) cross join.
+
+    ``max_bucket_size`` optionally caps per-variant membership with
+    the LSH family's truncation (adversarial inputs — thousands of
+    strings one edit from a shared core — are inherently
+    quadratic-output; the cap bounds the candidate stage and
+    ``None``, the default, keeps the result exact)."""
+    from .dedup import _truncate_buckets
+
+    v = deletion_variants(df, key_col, str_col, max_edit)
+    if max_bucket_size is not None:
+        # reuse the (band, h)-keyed truncation: variants play h
+        v = (
+            _truncate_buckets(
+                v.withColumnRenamed("variant", "h")
+                .withColumn("band", F.lit(0))
+                .withColumnRenamed("key", "doc_id"),
+                max_bucket_size,
+            )
+            .withColumnRenamed("h", "variant")
+            .withColumnRenamed("doc_id", "key")
+        )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.variant") == F.col("b.variant"))
+               & (F.col("a.key") < F.col("b.key")))
+        # verify inline pre-distinct (the simhash lesson): candidates
+        # die in the join's codegen pipeline, the distinct shuffles
+        # only true matches x shared-variant multiplicity
+        .withColumn("dist", F.levenshtein(F.col("a.s"), F.col("b.s")))
+        .where(F.col("dist") <= max_edit)
+        .select(F.col("a.key").alias("key_a"),
+                F.col("b.key").alias("key_b"), "dist")
+        .distinct()
+    )
+
+
+def fuzzy_name_matches(
+    spark: SparkSession, sf_dir: str, max_edit: int = 1
+) -> DataFrame:
+    """Customer names within ``max_edit`` of each other — the registry
+    face of ``fuzzy_self_join`` (DuckDB oracle: the literal cross join
+    with a ``levenshtein`` predicate)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = fuzzy_self_join(cust, "c_custkey", "c_name", max_edit)
+    # BIGINT dist on both engines (DuckDB's levenshtein is BIGINT)
+    return out.select("key_a", "key_b", F.col("dist").cast("long").alias("dist"))

@@ -118,6 +118,13 @@ def main() -> None:
             lambda: heavy_hitter_tokens(spark, d),
             lambda df: f"{df.count()} hitters")
 
+        from dagster_delta_spark.operators.curation import bloom_decontaminate
+
+        run("bloom_decontaminate",
+            lambda: bloom_decontaminate(spark, d),
+            lambda df: f"{df.where('contaminated').count()} flagged"
+                       f" / {df.count()} docs")
+
     # incremental rollup maintenance: 20x lineitem base (one big
     # initial commit + one 5% append); compare ONE maintenance fold of
     # the append against a full recompute over the whole base
