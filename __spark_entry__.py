@@ -798,6 +798,28 @@ def mm_features(spark, sf_dir):
     return multimodal.multimodal_features(spark, sf_dir)
 
 
+def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path end-to-end: deterministic YUV4MPEG2 clips
+    encode worker-side, decode back (`video_features`), frame-sample
+    every 2nd frame (max 3) re-encoded as PPM images.  Every reported
+    value is a closed form of doc_id under binarize_video's generation
+    contract, recomputed INDEPENDENTLY by the DuckDB oracle — a codec,
+    header or sampler bug breaks parity."""
+    videos = multimodal.binarize_video(spark, sf_dir)
+    feats = multimodal.video_features(videos)
+    sampled = multimodal.frame_sample_video(videos, every_n=2, max_frames=3)
+    agg = sampled.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max(F.when(F.col("frame_idx") == 0,
+                     F.octet_length("payload"))).alias("first_frame_bytes"),
+    )
+    return feats.join(agg, "doc_id").select(
+        "doc_id", "n_frames", "width", "height", "fps", "duration_s",
+        "n_sampled", F.col("first_frame_bytes").cast("long")
+        .alias("first_frame_bytes"),
+    )
+
+
 def _kmeans_clusters(spark, sf_dir):
     """Cluster-balance report from the k-means coarse quantizer
     (rows-only: k-means training is not SQL-expressible).  Guard:
@@ -1172,7 +1194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
         "q10_returned_items": relational.q10_returned_items,
         "q16_anti_join": relational.q16_anti_join_parts,
-        "q13_custdist": relational.q13_order_count_distribution,
+        # NEW in r7: real y4m video decode + frame sampling, verified
+        # against closed forms (oracle-backed; displaces q13_custdist
+        # to the tail — its green record stands)
+        "multimodal_video_pipeline": multimodal_video_pipeline,
         "q15_top_supplier": relational.q15_top_supplier,
         "q20_excess_shipments": relational.q20_excess_shipments,
         "q21_sole_late_supplier": relational.q21_sole_late_supplier,
@@ -1267,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": relational.q18_large_orders,
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
+        "q13_custdist": relational.q13_order_count_distribution,
     }
 
 
@@ -2190,6 +2216,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT label, dim, avg(v) AS mean_v, count(*) AS n
             FROM exploded GROUP BY label, dim
+        """,
+        # real y4m decode + frame sampling vs the generation contract's
+        # closed forms (binarize_video docstring): n = 2+d%5, h = 4+d%5,
+        # w = 4+d%7, fps 25; sampling every 2nd frame capped at 3; first
+        # sampled frame re-encoded as PPM = "P6\\n{w} {h}\\n255\\n"+3hw
+        "multimodal_video_pipeline": """
+            SELECT doc_id,
+                   2 + doc_id % 5 AS n_frames,
+                   4 + doc_id % 7 AS width,
+                   4 + doc_id % 5 AS height,
+                   CAST(25 AS BIGINT) AS fps,
+                   CAST(2 + doc_id % 5 AS DOUBLE) / 25.0 AS duration_s,
+                   LEAST(CAST((2 + doc_id % 5 - 1) // 2 + 1 AS BIGINT),
+                         3) AS n_sampled,
+                   9 + length(CAST(4 + doc_id % 7 AS VARCHAR))
+                     + length(CAST(4 + doc_id % 5 AS VARCHAR))
+                     + 3 * (4 + doc_id % 7) * (4 + doc_id % 5)
+                       AS first_frame_bytes
+            FROM documents
         """,
         # multimodal metadata (plumbing contract)
         "multimodal_metadata": """

@@ -10,11 +10,15 @@ Codecs: formats with a pure-Python/numpy decode are REAL — binary PPM
 resized with nearest-neighbor numpy indexing (see ``decode_image`` /
 ``nn_resize``), and 16-bit PCM RIFF/WAVE is encoded/decoded/resampled
 with struct+numpy (``encode_wav`` / ``decode_wav`` / ``nn_resample``)
-with rate/duration/RMS/zero-crossing features.  Formats that
-genuinely need native libraries (JPEG/PNG/MP3/compressed-audio/video
-— no PIL/ffmpeg in this container) stay behind a clearly-marked
-``NotImplementedError`` stub; a real deployment swaps those for
-PIL/librosa/ffmpeg without touching the Spark-side plumbing.
+with rate/duration/RMS/zero-crossing features, and YUV4MPEG2 (y4m)
+video — raw C444 planes behind text headers, the format ffmpeg
+pipes — is encoded/decoded/frame-sampled with numpy (``encode_y4m``
+/ ``decode_y4m`` / ``frame_sample_video`` / ``video_features``).
+Formats that genuinely need native libraries
+(JPEG/PNG/MP3/compressed-audio/compressed-video — no PIL/ffmpeg in
+this container) stay behind a clearly-marked ``NotImplementedError``
+stub; a real deployment swaps those for PIL/librosa/ffmpeg without
+touching the Spark-side plumbing.
 """
 
 from __future__ import annotations
@@ -530,6 +534,192 @@ def resize_payloads(
             })
 
     return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy video codec: YUV4MPEG2 (y4m), C444 — real, not a stub.
+# y4m is raw planes behind text headers (the format ffmpeg pipes), so a
+# full decode needs nothing but numpy; compressed video (H.264/VP9/...)
+# remains the documented native-lib boundary in decode_stub/resize_stub.
+# ---------------------------------------------------------------------------
+
+Y4M_MEDIA_TYPE = "video/x-yuv4mpeg"
+
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """(n_frames, h, w, 3) uint8 planes -> YUV4MPEG2 C444 bytes:
+    stream header, then per frame ``FRAME\\n`` + the three raw planes
+    (plane-major, as the spec requires)."""
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3 or 0 in arr.shape:
+        raise ValueError(f"expected (n, h, w, 3) uint8, got {arr.shape}")
+    n, h, w, _ = arr.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode("ascii")]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        # interleaved (h, w, 3) -> plane-major Y, Cb, Cr
+        out.append(np.ascontiguousarray(
+            arr[f].transpose(2, 0, 1)).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """YUV4MPEG2 C444 bytes -> ((n_frames, h, w, 3) uint8, fps)."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii", "replace").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = fps = None
+    for tag in head[1:]:
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("F"):
+            fps = int(tag[1:].split(":")[0])
+        elif tag.startswith("C") and tag not in ("C444",):
+            raise ValueError(f"unsupported y4m colourspace {tag}")
+    if not w or not h or not fps:
+        raise ValueError(f"missing W/H/F in y4m header: {head}")
+    frame_bytes = 3 * h * w
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("corrupt y4m: FRAME marker missing")
+        start = fnl + 1
+        planes = np.frombuffer(
+            payload[start:start + frame_bytes], dtype=np.uint8)
+        if planes.size != frame_bytes:
+            raise ValueError("truncated y4m frame")
+        frames.append(planes.reshape(3, h, w).transpose(1, 2, 0))
+        pos = start + frame_bytes
+    return np.stack(frames), fps
+
+
+def binarize_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic video corpus: one deterministic y4m clip per document
+    (frame count, dims and pixels are pure functions of doc_id),
+    encoded worker-side in Arrow batches — the REAL video decode
+    path's corpus, mirroring ``binarize_images``/``binarize_audio``.
+    The generation contract (n = 2 + d%5, h = 4 + d%5, w = 4 + d%7,
+    pixel = (d*31 + f*7 + idx) % 256, fps 25) is what the driver
+    oracle recomputes in closed form."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, h, w = 2 + d % 5, 4 + d % 5, 4 + d % 7
+                idx = np.arange(h * w * 3).reshape(h, w, 3)
+                clip = np.stack([
+                    ((d * 31 + f * 7 + idx) % 256).astype(np.uint8)
+                    for f in range(n)
+                ])
+                payloads.append(encode_y4m(clip))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads],
+                "media_type": [Y4M_MEDIA_TYPE] * len(payloads),
+            })
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("media_type", StringType()),
+    ])
+    return docs.mapInPandas(_gen, schema)
+
+
+def frame_sample_video(
+    df: DataFrame, every_n: int = 2, max_frames: int = 3
+) -> DataFrame:
+    """REAL frame sampling: decode each y4m payload, keep every
+    ``every_n``-th frame up to ``max_frames``, and emit each sampled
+    frame re-encoded as a standalone PPM image row — the
+    video -> training-image extraction step, Arrow-batched with
+    bounded memory (one clip decoded at a time per worker)."""
+    if every_n < 1 or max_frames < 1:
+        raise ValueError(f"every_n={every_n}/max_frames={max_frames} "
+                         "must be >= 1")
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "payload": [],
+                    "img_height": [], "img_width": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                clip, _fps = decode_y4m(bytes(payload))
+                for k, fi in enumerate(range(0, clip.shape[0], every_n)):
+                    if k >= max_frames:
+                        break
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(fi)
+                    rows["payload"].append(encode_ppm(clip[fi]))
+                    rows["img_height"].append(clip.shape[1])
+                    rows["img_width"].append(clip.shape[2])
+            yield pd.DataFrame(rows)
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("img_height", LongType()),
+        StructField("img_width", LongType()),
+    ])
+    return df.mapInPandas(_sample, schema)
+
+
+def video_features(df: DataFrame) -> DataFrame:
+    """Per-clip structural + motion features from a REAL decode:
+    ``(doc_id, n_frames, width, height, fps, duration_s, motion)``
+    where motion is the mean absolute inter-frame pixel delta (0 for
+    single-frame clips)."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "width": [],
+                    "height": [], "fps": [], "duration_s": [],
+                    "motion": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                clip, fps = decode_y4m(bytes(payload))
+                n, h, w, _ = clip.shape
+                motion = 0.0
+                if n > 1:
+                    deltas = np.abs(
+                        clip[1:].astype(np.int16)
+                        - clip[:-1].astype(np.int16))
+                    motion = float(deltas.mean())
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(n)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["fps"].append(fps)
+                rows["duration_s"].append(n / float(fps))
+                rows["motion"].append(motion)
+            yield pd.DataFrame(rows)
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("fps", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("motion", DoubleType()),
+    ])
+    return df.mapInPandas(_feat, schema)
 
 
 def frame_sample_plan(

@@ -463,6 +463,70 @@ def test_image_codecs_roundtrip():
     assert (small[0, 0] == img[0, 0]).all()  # corner maps to corner
 
 
+def test_y4m_codec_roundtrip_and_rejects():
+    """YUV4MPEG2 encode/decode identity on random clips; malformed
+    headers, wrong colourspace and truncated frames all raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dagster_delta_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(13)
+    clip = rng.integers(0, 256, size=(4, 5, 7, 3), dtype=np.uint8)
+    out, fps = decode_y4m(encode_y4m(clip, fps=30))
+    assert fps == 30 and (out == clip).all()
+    with _pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"RIFF nonsense\n")
+    with _pytest.raises(ValueError, match="colourspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + b"\0" * 6)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_y4m(encode_y4m(clip)[:-5])
+    with _pytest.raises(ValueError, match="expected"):
+        encode_y4m(np.zeros((2, 3, 3), dtype=np.uint8))
+
+
+def test_video_frame_sampling_and_motion(spark):
+    """frame_sample_video extracts the right frames as decodable PPMs
+    (pixel-exact vs the generation contract) and video_features'
+    motion is the known constant-delta pattern's mean |delta|."""
+    import numpy as np
+
+    from dagster_delta_spark.operators.multimodal import (
+        binarize_video,
+        decode_ppm,
+        frame_sample_video,
+        video_features,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    videos = binarize_video(spark, sf).where("doc_id IN (3, 7, 11)")
+    feats = {r["doc_id"]: r for r in video_features(videos).collect()}
+    for d, r in feats.items():
+        assert r["n_frames"] == 2 + d % 5
+        assert (r["height"], r["width"]) == (4 + d % 5, 4 + d % 7)
+        assert r["duration_s"] == r["n_frames"] / 25.0
+        # pixel = (d*31 + f*7 + idx) % 256: inter-frame delta is +7
+        # with wraparound to -249 on idx where the sum crosses 256
+        n, h, w = r["n_frames"], r["height"], r["width"]
+        idx = np.arange(h * w * 3).reshape(h, w, 3)
+        clips = np.stack([(d * 31 + f * 7 + idx) % 256
+                          for f in range(n)]).astype(np.int16)
+        expect = float(np.abs(clips[1:] - clips[:-1]).mean()) if n > 1 else 0.0
+        assert abs(r["motion"] - expect) < 1e-9
+    sampled = frame_sample_video(videos, every_n=2, max_frames=3)
+    rows = sampled.where("doc_id = 7").orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2]  # n_frames=4 -> 0,2
+    d, fi = 7, 2
+    h, w = 4 + d % 5, 4 + d % 7
+    idx = np.arange(h * w * 3).reshape(h, w, 3)
+    want = ((d * 31 + fi * 7 + idx) % 256).astype(np.uint8)
+    got = decode_ppm(bytes(rows[1]["payload"]))
+    assert (got == want).all()  # sampled frame is pixel-exact
+
+
 def test_multimodal_real_image_features(spark):
     """The image half of multimodal_features carries REAL decoded
     dimensions (pure functions of doc_id), and resize_payloads
