@@ -377,6 +377,39 @@ def o_row_delete_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def o_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete (Delta deletion-vector analogue,
+    table.py:delete(use_dv=True)): the commit re-adds the same data
+    files with a (root, path, row_index) sidecar mask instead of
+    copying keep-rows — write cost ∝ deleted rows, zero data
+    rewritten.  In-line guards assert the merge-on-read contract
+    itself: the physical file set is unchanged, at least one deletion
+    vector exists, and a second DV delete unions into the mask.  The
+    returned read must equal the plain filtered oracle."""
+    t = DeltaSparkTable(spark, _scratch("dvdel"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    t.write(li, WriteMode.error)
+    before = {a.path for a in t.snapshot().files}
+    res = t.delete("l_quantity >= 45 AND l_returnflag = 'A'", use_dv=True)
+    if res["num_deleted_rows"] == 0:
+        raise AssertionError("DV DELETE matched no rows — scope is wrong")
+    res2 = t.delete("l_quantity <= 2 AND l_returnflag = 'N'", use_dv=True)
+    if res2["num_deleted_rows"] == 0:
+        raise AssertionError("second DV DELETE matched no rows")
+    snap = t.snapshot()
+    if {a.path for a in snap.files} - before:
+        raise AssertionError("DV delete rewrote data files")
+    if not any(a.dv_path for a in snap.files):
+        raise AssertionError("no deletion vector recorded")
+    masked = sum(a.dv_count for a in snap.files)
+    if masked != res["num_deleted_rows"] + res2["num_deleted_rows"]:
+        raise AssertionError(
+            f"dv_count {masked} != deleted "
+            f"{res['num_deleted_rows']} + {res2['num_deleted_rows']}")
+    return t.read()
+
+
 def o_row_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE (delta-rs ``DeltaTable.update`` analogue):
     expression assignments evaluated against the pre-update row, scoped
@@ -1198,7 +1231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against closed forms (oracle-backed; displaces q13_custdist
         # to the tail — its green record stands)
         "multimodal_video_pipeline": multimodal_video_pipeline,
-        "q15_top_supplier": relational.q15_top_supplier,
+        # NEW in r7: merge-on-read deletion vectors (oracle-backed;
+        # displaces q15_top_supplier to the tail — its green record
+        # stands)
+        "o_delete_dv": o_delete_dv,
         "q20_excess_shipments": relational.q20_excess_shipments,
         "q21_sole_late_supplier": relational.q21_sole_late_supplier,
         "event_funnel": _event_funnel,
@@ -1293,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
         "q13_custdist": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
     }
 
 
@@ -1697,6 +1734,12 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, n
             GROUP BY token, n.n
             HAVING count(*) > n.n / 32.0
+        """,
+        "o_delete_dv": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem
+            WHERE NOT (l_quantity >= 45 AND l_returnflag = 'A')
+              AND NOT (l_quantity <= 2 AND l_returnflag = 'N')
         """,
         "o_row_delete_restore": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

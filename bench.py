@@ -179,6 +179,11 @@ def main() -> None:
         t0 = time.perf_counter()
         t.update({"l_discount": "0.0"}, "l_returnflag = 'R'")
         st["row_update"] = time.perf_counter() - t0
+        # merge-on-read: same table, different scope — sidecar mask
+        # only, zero data rewritten (compare against row_delete)
+        t0 = time.perf_counter()
+        t.delete("l_quantity <= 2 AND l_returnflag = 'N'", use_dv=True)
+        st["row_delete_dv"] = time.perf_counter() - t0
         t.read().write.mode("overwrite").format("noop").save()
         return st
 

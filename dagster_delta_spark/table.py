@@ -523,7 +523,14 @@ class DeltaSparkTable:
         """Scan the given live files.  ``with_metadata=True`` prefixes
         ``__path``/``__ri`` columns from the hidden ``_metadata``
         struct — it must be projected per scan relation, BEFORE any
-        union, because ``_metadata`` does not survive a Union node."""
+        union, because ``_metadata`` does not survive a Union node.
+
+        Files carrying a DELETION VECTOR are filtered here — the one
+        choke point every consumer (read, merge, DELETE/UPDATE
+        discovery, CDC, OPTIMIZE, constraints) goes through, so a DV'd
+        row is invisible everywhere at once.  The filter is a
+        broadcast anti-join of (file, row_index) against the DV
+        sidecar rows; files without DVs pay nothing."""
         schema = StructType.fromJson(_json_loads(snap.schema_json))
         if not files:
             if with_metadata:
@@ -538,27 +545,79 @@ class DeltaSparkTable:
         # shallow-cloned files against their source root (each group
         # needs its own basePath for hive partition-dir discovery —
         # one mixed-root read would reject paths outside basePath)
-        by_root: dict[str, list[str]] = {}
+        by_root: dict[str, list[AddFile]] = {}
         for a in files:
             root = a.base or self.table_uri
-            by_root.setdefault(root, []).append(os.path.join(root, a.path))
+            by_root.setdefault(root, []).append(a)
         frames = []
-        for root, paths in by_root.items():
+        for root, group in by_root.items():
             reader = self.spark.read.schema(schema)
             if snap.partition_columns:
                 reader = reader.option("basePath", root)
-            df = reader.parquet(*paths)
-            if with_metadata:
+            df = reader.parquet(
+                *[os.path.join(root, a.path) for a in group])
+            dv_group = [a for a in group if a.dv_path]
+            if with_metadata or dv_group:
                 df = df.select(
                     F.col("_metadata.file_path").alias("__path"),
                     F.col("_metadata.row_index").alias("__ri"),
                     "*",
                 )
+            if dv_group:
+                df = self._apply_deletion_vectors(df, root, dv_group)
+                if not with_metadata:
+                    df = df.drop("__path", "__ri")
             frames.append(df)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+
+    def _apply_deletion_vectors(
+        self, df: DataFrame, root: str, dv_group: Sequence[AddFile]
+    ) -> DataFrame:
+        """Anti-join the scan (already carrying ``__path``/``__ri``)
+        against the group's DV sidecar rows.
+
+        Path identity: ``_metadata.file_path`` is a (possibly
+        percent-encoded) file URI, so both sides normalize to a plain
+        absolute path — the scan side with codegen'd
+        ``url_decode`` + scheme strip (the Spark twin of the
+        ``unquote(urlparse(p).path)`` rule ``_per_file_hits`` uses),
+        the mapping side driver-side from the known file list.  The
+        mapping frame is one row per DV'd file and the DV rows are
+        bounded by ``sum(dv_count)`` — both broadcast-sized by
+        construction."""
+        dv_paths = sorted({
+            os.path.join(a.dv_base or self.table_uri, a.dv_path)
+            for a in dv_group
+        })
+        # sidecar rows key on (root, path) — the data file's identity
+        # that survives CLONING (a clone re-keys log_key with its base,
+        # but the file's owning root + relative path never change)
+        mapping = self.spark.createDataFrame(
+            [(os.path.abspath(a.base or self.table_uri), a.path,
+              os.path.abspath(os.path.join(root, a.path)))
+             for a in dv_group],
+            "root string, path string, __norm string",
+        )
+        doomed = (
+            self.spark.read.parquet(*dv_paths)
+            .join(F.broadcast(mapping), ["root", "path"])
+            .select("__norm", F.col("row_index").alias("__ri"))
+        )
+        return (
+            df.withColumn(
+                # protect literal '+' before url_decode (which would
+                # form-decode it to a space; percent-escapes pass
+                # through untouched) — exactly Python unquote semantics
+                "__norm",
+                F.expr("regexp_replace(url_decode(replace(__path, '+', "
+                       "'%2B')), '^file:/*', '/')"),
+            )
+            .join(F.broadcast(doomed), ["__norm", "__ri"], "left_anti")
+            .drop("__norm")
+        )
 
     def read(
         self,
@@ -1323,8 +1382,12 @@ class DeltaSparkTable:
             ]
             if evolved:
                 actions.append(new_meta.to_action())
-            actions += [a.to_action() for a in adds]
+            # removes BEFORE adds: log replay applies actions in order,
+            # so a rewrite that re-adds a removed log_key (deletion
+            # vectors re-add the same data file with a new DV) must not
+            # have its add popped by its own remove
             actions += [r.remove_action(now) for r in removes]
+            actions += [a.to_action() for a in adds]
             new_files = {a.log_key: a for a in cur.files}
             for r in removes:
                 new_files.pop(r.log_key, None)
@@ -1404,6 +1467,7 @@ class DeltaSparkTable:
         *,
         partition_dnf: Optional[Sequence[DnfFilter]] = None,
         writer_properties: Optional[dict[str, Any]] = None,
+        use_dv: bool = False,
     ) -> dict[str, Any]:
         """Row-level DELETE (delta-rs ``DeltaTable.delete`` analogue —
         the reference's engine exposes it; dagster-delta users reach it
@@ -1416,7 +1480,19 @@ class DeltaSparkTable:
         files are dropped as metadata, and only partially-matched files
         are rewritten (keep-rows copy). At 100 TB a partition-scoped
         delete touches no data at all, and a needle predicate rewrites
-        only the files whose min/max straddle the needle."""
+        only the files whose min/max straddle the needle.
+
+        ``use_dv=True`` switches partially-matched files to
+        MERGE-ON-READ deletion vectors (the Delta DV analogue): instead
+        of copying the keep-rows, the commit re-adds the SAME data file
+        with a sidecar parquet of masked (file, row_index) positions —
+        write cost ∝ deleted rows, zero data rewritten — and every
+        read path filters through the one `_read_files` choke point.
+        Successive DV deletes on a file union their positions; a file
+        whose last live row dies is dropped as metadata like any fully
+        matched file; OPTIMIZE (or a later rewriting delete) compacts
+        the mask away naturally.  The write-cost/read-cost trade is the
+        user's dial — exactly Delta's."""
         snap = self.snapshot()
         schema = StructType.fromJson(_json_loads(snap.schema_json))
         params: dict[str, Any] = {}
@@ -1432,7 +1508,7 @@ class DeltaSparkTable:
                 operation_parameters={"predicate": "true"},
                 extra_metrics={
                     "num_deleted_rows": sum(
-                        a.num_records for a in snap.files),
+                        a.live_records for a in snap.files),
                     "num_copied_rows": 0,
                 },
             )
@@ -1452,7 +1528,7 @@ class DeltaSparkTable:
                     operation_parameters=params,
                     extra_metrics={
                         "num_deleted_rows": sum(
-                            a.num_records for a in candidates),
+                            a.live_records for a in candidates),
                         "num_copied_rows": 0,
                     },
                 )
@@ -1463,7 +1539,9 @@ class DeltaSparkTable:
 
         match = self._scoped_condition(predicate, partition_dnf)
         hits = self._per_file_hits(snap, candidates, match)
-        rows_by_key = {a.log_key: a.num_records for a in candidates}
+        # the discovery scan is DV-filtered, so hits count LIVE rows —
+        # a DV'd file whose remaining rows all match is a full drop
+        rows_by_key = {a.log_key: a.live_records for a in candidates}
         full = [a for a in candidates
                 if hits.get(a.log_key, 0) == rows_by_key[a.log_key]
                 and hits.get(a.log_key, 0) > 0]
@@ -1474,6 +1552,16 @@ class DeltaSparkTable:
             return {"version": snap.version, "num_deleted_rows": 0,
                     "num_copied_rows": 0, "num_added_files": 0,
                     "num_removed_files": 0, "rewritten_files": 0}
+
+        if partial and use_dv:
+            dv_adds = self._write_deletion_vector(snap, partial, match, hits)
+            return self._commit_rewrite(
+                snap, full + partial, dv_adds, "DELETE",
+                operation_parameters={**params, "mode": "deletion_vector"},
+                extra_metrics={"num_deleted_rows": deleted,
+                               "num_copied_rows": 0,
+                               "num_deletion_vectors": len(dv_adds)},
+            )
 
         adds: list[AddFile] = []
         copied = 0
@@ -1490,6 +1578,66 @@ class DeltaSparkTable:
             extra_metrics={"num_deleted_rows": deleted,
                            "num_copied_rows": copied},
         )
+
+    def _write_deletion_vector(
+        self,
+        snap: Snapshot,
+        partial: list[AddFile],
+        match,
+        hits: dict[str, int],
+    ) -> list[AddFile]:
+        """Write ONE DV sidecar parquet for this delete and return the
+        re-add entries: each partially-matched file keeps its physical
+        data untouched but points at the sidecar with an updated
+        ``dv_count``.  Prior DV positions (local or cloned) are folded
+        into the new sidecar so a file always has at most one live DV
+        reference."""
+        import dataclasses
+
+        rel = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
+        out_dir = os.path.join(self.table_uri, rel)
+        # sidecar identity is (root, path) — clone-stable, see
+        # _apply_deletion_vectors
+        mapping = self.spark.createDataFrame(
+            [(os.path.abspath(a.base or self.table_uri), a.path,
+              os.path.abspath(os.path.join(a.base or self.table_uri,
+                                           a.path)))
+             for a in partial],
+            "root string, path string, __norm string",
+        )
+        # matched LIVE positions (the scan is DV-filtered, so already-
+        # masked rows cannot re-enter)
+        tgt = self._read_files(snap, partial, with_metadata=True)
+        doomed = (
+            tgt.where(match)
+            .withColumn(
+                "__norm",
+                F.expr("regexp_replace(url_decode(replace(__path, '+', "
+                       "'%2B')), '^file:/*', '/')"),
+            )
+            .join(F.broadcast(mapping), "__norm")
+            .select("root", "path", F.col("__ri").alias("row_index"))
+        )
+        carried = [a for a in partial if a.dv_path]
+        if carried:
+            old = (
+                self.spark.read.parquet(*sorted({
+                    os.path.join(a.dv_base or self.table_uri, a.dv_path)
+                    for a in carried
+                }))
+                .join(F.broadcast(mapping.select("root", "path")),
+                      ["root", "path"])
+                .select("root", "path", "row_index")
+            )
+            doomed = doomed.unionByName(old)
+        doomed.write.mode("error").parquet(out_dir)
+        return [
+            dataclasses.replace(
+                a, dv_path=rel, dv_base=None,
+                dv_count=a.dv_count + hits[a.log_key],
+            )
+            for a in partial
+        ]
 
     def update(
         self,
@@ -1579,14 +1727,22 @@ class DeltaSparkTable:
         if version == cur.version:
             return {"version": cur.version, "num_restored_files": 0,
                     "num_removed_files": 0}
-        cur_keys = {a.log_key for a in cur.files}
+        cur_by_key = {a.log_key: a for a in cur.files}
         tgt_keys = {a.log_key for a in tgt.files}
-        re_adds = [a for a in tgt.files if a.log_key not in cur_keys]
+        # value-aware diff, not key-only: a deletion-vector commit
+        # re-adds the SAME log_key with different dv fields, so
+        # restoring across it must re-publish the target's entry
+        # (dataclass equality covers path/stats/dv alike)
+        re_adds = [a for a in tgt.files if cur_by_key.get(a.log_key) != a]
         removes = [a for a in cur.files if a.log_key not in tgt_keys]
         missing = [
             a.path for a in re_adds
             if not os.path.exists(
                 os.path.join(a.base or self.table_uri, a.path))
+        ] + [
+            a.dv_path for a in re_adds
+            if a.dv_path is not None and not os.path.exists(
+                os.path.join(a.dv_base or self.table_uri, a.dv_path))
         ]
         if missing:
             raise FileNotFoundError(
@@ -1803,7 +1959,7 @@ class DeltaSparkTable:
         snap = self.snapshot(version)
         files = self.pruned_files(snap, dnf)
         size = sum(a.size for a in files)
-        rows = sum(a.num_records for a in files)
+        rows = sum(a.live_records for a in files)
         return {
             "size_MB": size * 9.5367431640625e-07,  # same factor as handler.py:513
             "row_count": rows,
@@ -1848,7 +2004,13 @@ class DeltaSparkTable:
         src_root = os.path.abspath(self.table_uri)
         now = int(time.time() * 1000)
         adds = [
-            dataclasses.replace(a, base=a.base or src_root)
+            dataclasses.replace(
+                a, base=a.base or src_root,
+                # deletion vectors resolve like data: a source-local DV
+                # pins to the source root; a clone-local DV written
+                # later overrides with dv_base=None (clone root)
+                dv_base=(a.dv_base or src_root) if a.dv_path else None,
+            )
             for a in snap.files
         ]
         meta = Metadata(
@@ -1976,8 +2138,12 @@ class DeltaSparkTable:
             meta = metadata or cur.metadata
             if metadata is not None:
                 actions.append(metadata.to_action())
-            actions += [a.to_action() for a in adds]
+            # removes BEFORE adds: log replay applies actions in order,
+            # so a rewrite that re-adds a removed log_key (deletion
+            # vectors re-add the same data file with a new DV) must not
+            # have its add popped by its own remove
             actions += [r.remove_action(now) for r in removes]
+            actions += [a.to_action() for a in adds]
             new_files = {a.log_key: a for a in cur.files}
             for r in removes:
                 new_files.pop(r.log_key, None)
@@ -2109,7 +2275,7 @@ class DeltaSparkTable:
             "partitionColumns": list(snap.partition_columns),
             "numFiles": len(snap.files),
             "sizeInBytes": sum(a.size for a in snap.files),
-            "numRecords": sum(a.num_records for a in snap.files),
+            "numRecords": sum(a.live_records for a in snap.files),
             "properties": dict(snap.metadata.configuration),
             "version": snap.version,
         }

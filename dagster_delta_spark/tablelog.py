@@ -77,6 +77,20 @@ class AddFile:
     stats: dict[str, Any] = field(default_factory=dict)  # minValues/maxValues/nullCount
     modification_time: int = 0
     base: Optional[str] = None  # foreign root for shallow-cloned files
+    #: merge-on-read DELETION VECTOR (Delta DV analogue): ``dv_path``
+    #: is a parquet of (log_key, row_index) rows to EXCLUDE from this
+    #: file on read, relative to ``dv_base`` (default: the owning
+    #: table's root — a clone of a DV'd file pins dv_base to the
+    #: source root, same rule as ``base``).  ``dv_count`` is the
+    #: number of this file's rows the DV masks, so
+    #: ``live_records`` = num_records - dv_count without reading it.
+    dv_path: Optional[str] = None
+    dv_count: int = 0
+    dv_base: Optional[str] = None
+
+    @property
+    def live_records(self) -> int:
+        return self.num_records - self.dv_count
 
     def to_action(self) -> dict[str, Any]:
         add = {
@@ -92,6 +106,11 @@ class AddFile:
         # actually contain cloned files
         if self.base is not None:
             add["base"] = self.base
+        if self.dv_path is not None:
+            add["dvPath"] = self.dv_path
+            add["dvCount"] = self.dv_count
+            if self.dv_base is not None:
+                add["dvBase"] = self.dv_base
         return {"add": add}
 
     @staticmethod
@@ -104,6 +123,9 @@ class AddFile:
             stats=d.get("stats", {}),
             modification_time=d.get("modificationTime", 0),
             base=d.get("base"),
+            dv_path=d.get("dvPath"),
+            dv_count=d.get("dvCount", 0),
+            dv_base=d.get("dvBase"),
         )
 
     @property
@@ -313,6 +335,10 @@ def _load_checkpoint(table_uri: str, version: int) -> Optional[Snapshot]:
                     modification_time=row["modificationTime"],
                     # pre-clone checkpoints have no base column
                     base=row.get("base"),
+                    # pre-DV checkpoints have no dv columns
+                    dv_path=row.get("dvPath"),
+                    dv_count=row.get("dvCount") or 0,
+                    dv_base=row.get("dvBase"),
                 )
                 for row in t.to_pylist()
             ]
@@ -371,6 +397,10 @@ def write_checkpoint(table_uri: str, snap: Snapshot) -> None:
         ),
         # null for table-local files; the source root for cloned ones
         "base": pa.array([a.base for a in snap.files], pa.string()),
+        # deletion-vector sidecar reference (null when the file has none)
+        "dvPath": pa.array([a.dv_path for a in snap.files], pa.string()),
+        "dvCount": pa.array([a.dv_count for a in snap.files], pa.int64()),
+        "dvBase": pa.array([a.dv_base for a in snap.files], pa.string()),
     })
     table = table.replace_schema_metadata({
         b"dds.appTxns": json.dumps(snap.app_versions),
@@ -641,7 +671,11 @@ def classify_commit(operation: str) -> str:
     One definition so the two consumers can never drift."""
     if operation.startswith("OPTIMIZE"):
         return "compaction"
-    if operation in ("MERGE", "CREATE OR REPLACE", "WRITE overwrite"):
+    # DELETE/UPDATE/RESTORE re-add surviving/modified/old rows — their
+    # added files are NOT new-rows-only (a DELETE's keep-file copy or
+    # deletion-vector re-add would stream as phantom inserts)
+    if operation in ("MERGE", "CREATE OR REPLACE", "WRITE overwrite",
+                     "DELETE", "UPDATE", "RESTORE"):
         return "rewrite"
     return "append"
 
