@@ -2313,6 +2313,24 @@ class DeltaSparkTable:
                     continue
                 os.remove(abs_p)
                 deleted.append(rel)
+        # deletion-vector sidecars: each lives in its own dir under
+        # _dv/ (hidden from the data walk above); a sidecar superseded
+        # by a later delete/OPTIMIZE or dropped with its file is
+        # vacuumable once past retention.  Same time-travel caveat as
+        # data files — RESTORE across a vacuumed DV raises loudly.
+        dv_root = os.path.join(self.table_uri, "_dv")
+        live_dv = {a.dv_path for a in snap.files
+                   if a.dv_path and a.dv_base is None}
+        if os.path.isdir(dv_root):
+            for name in sorted(os.listdir(dv_root)):
+                rel = os.path.join("_dv", name)
+                abs_p = os.path.join(dv_root, name)
+                if rel in live_dv:
+                    continue
+                if os.path.getmtime(abs_p) * 1000 > cutoff:
+                    continue
+                shutil.rmtree(abs_p, ignore_errors=True)
+                deleted.append(rel)
         return deleted
 
 

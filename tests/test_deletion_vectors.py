@@ -142,6 +142,25 @@ def test_clone_carries_and_localizes_dvs(spark, tmp_path):
     assert all(a.base is not None for a in dv)        # foreign data
 
 
+def test_vacuum_reclaims_superseded_dvs(spark, tmp_path):
+    """A second DV delete supersedes the first sidecar; vacuum(0) must
+    reclaim it, keep the live one, and a restore across the vacuumed
+    DV must raise loudly."""
+    t = _t(spark, tmp_path)
+    t.delete("id < 3", use_dv=True)   # v1: sidecar A
+    t.delete("id < 6", use_dv=True)   # v2: sidecar B (folds A in)
+    live = {a.dv_path for a in t.snapshot().files if a.dv_path}
+    gone = t.vacuum(retention_ms=0)
+    assert any(d.startswith("_dv") for d in gone)
+    for rel in live:
+        assert os.path.exists(os.path.join(t.table_uri, rel))
+    assert _ids(t) == list(range(6, 20))  # live mask intact
+    with pytest.raises(FileNotFoundError, match="no longer on disk"):
+        t.restore(1)  # its sidecar was vacuumed
+    t.restore(0)  # no-DV version restores fine
+    assert _ids(t) == list(range(20))
+
+
 def test_stats_report_live_records(spark, tmp_path):
     t = _t(spark, tmp_path)
     t.delete("id < 10", use_dv=True)
