@@ -89,7 +89,8 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         for _step in range(steps):
             op = rnd.choice(["append", "overwrite", "upsert",
                              "delete_unmatched", "update_only",
-                             "dedup_insert", "optimize"])
+                             "dedup_insert", "optimize",
+                             "delete_dv", "delete_rw", "row_update"])
             if op == "optimize":
                 before = t.version()
                 t.optimize(target_file_size=1 << 20)
@@ -97,6 +98,32 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                     states.append(_model_state(model))
                 assert _table_state(t) == _model_state(model), (
                     f"trial {trial} step {_step} optimize"
+                )
+                continue
+            if op in ("delete_dv", "delete_rw"):
+                # row-level DELETE, merge-on-read (deletion vector)
+                # and rewrite flavors — interleaved with merges,
+                # compactions, checkpoints and time travel below
+                x = rnd.randint(0, 1000)
+                before = t.version()
+                t.delete(f"v >= {x}", use_dv=(op == "delete_dv"))
+                model = model[model["v"] < x].reset_index(drop=True)
+                if t.version() != before:  # no matches -> no commit
+                    states.append(_model_state(model))
+                assert _table_state(t) == _model_state(model), (
+                    f"trial {trial} step {_step} {op} v>={x}"
+                )
+                continue
+            if op == "row_update":
+                x = rnd.randint(0, 1000)
+                before = t.version()
+                t.update({"v": "v + 7"}, f"v >= {x}")
+                model = model.copy()
+                model.loc[model["v"] >= x, "v"] += 7
+                if t.version() != before:
+                    states.append(_model_state(model))
+                assert _table_state(t) == _model_state(model), (
+                    f"trial {trial} step {_step} row_update v>={x}"
                 )
                 continue
             sdf, pdf = _mk_df(spark, rnd)
