@@ -1706,6 +1706,7 @@ class DeltaSparkTable:
         *,
         partition_dnf: Optional[Sequence[DnfFilter]] = None,
         writer_properties: Optional[dict[str, Any]] = None,
+        use_dv: bool = False,
     ) -> dict[str, Any]:
         """Row-level UPDATE (delta-rs ``DeltaTable.update`` analogue).
         ``assignments`` maps column name → SQL expression (evaluated
@@ -1713,7 +1714,14 @@ class DeltaSparkTable:
         assigned values cast to the column's declared type.  Rows in
         scope (``predicate`` AND ``partition_dnf``; default all) are
         updated; only files containing a matching row are rewritten —
-        same touched-file-only shape as DELETE and MERGE."""
+        same touched-file-only shape as DELETE and MERGE.
+
+        ``use_dv=True`` = MERGE-ON-READ update (Delta's DV-based
+        update): matched rows are MASKED in place via deletion vectors
+        and their updated copies append as new files — write cost
+        ∝ updated rows instead of ∝ touched-file bytes.  A file whose
+        every live row matches needs no mask (plain remove); OPTIMIZE
+        compacts masks away as usual."""
         snap = self.snapshot()
         schema = StructType.fromJson(_json_loads(snap.schema_json))
         names = {f.name for f in schema.fields}
@@ -1743,6 +1751,47 @@ class DeltaSparkTable:
                     "num_copied_rows": 0, "num_added_files": 0,
                     "num_removed_files": 0, "rewritten_files": 0}
 
+        params: dict[str, Any] = {
+            "assignments": dict(assignments)}
+        if predicate is not None:
+            params["predicate"] = predicate
+        if partition_dnf:
+            params["partition_filter"] = dnf_to_sql(partition_dnf)
+
+        if use_dv:
+            # merge-on-read: mask matched rows, append updated copies
+            matched_df = self._read_files(snap, touched).where(match)
+            upd_cols = [
+                F.expr(assignments[f_.name]).cast(f_.dataType)
+                .alias(f_.name)
+                if f_.name in assignments else F.col(f_.name)
+                for f_ in schema.fields
+            ]
+            new_rows = matched_df.select(*upd_cols)
+            self._enforce_constraints(new_rows, snap.metadata.configuration)
+            new_adds = _stage_dataframe(
+                new_rows, self.table_uri, snap.partition_columns, schema,
+                _writer_options(writer_properties),
+            )
+            rows_by_key = {a.log_key: a.live_records for a in touched}
+            full = [a for a in touched
+                    if hits[a.log_key] == rows_by_key[a.log_key]]
+            part_files = [a for a in touched
+                          if hits[a.log_key] < rows_by_key[a.log_key]]
+            dv_adds = (
+                self._write_deletion_vector(snap, part_files, match, hits)
+                if part_files else []
+            )
+            return self._commit_rewrite(
+                snap, full + part_files, dv_adds + new_adds, "UPDATE",
+                operation_parameters={**params, "mode": "deletion_vector"},
+                extra_metrics={
+                    "num_updated_rows": updated,
+                    "num_copied_rows": 0,
+                    "num_deletion_vectors": len(dv_adds),
+                },
+            )
+
         src = self._read_files(snap, touched)
         out_cols = []
         for f_ in schema.fields:
@@ -1760,12 +1809,6 @@ class DeltaSparkTable:
             snap.partition_columns, schema,
             _writer_options(writer_properties),
         )
-        params: dict[str, Any] = {
-            "assignments": dict(assignments)}
-        if predicate is not None:
-            params["predicate"] = predicate
-        if partition_dnf:
-            params["partition_filter"] = dnf_to_sql(partition_dnf)
         copied = sum(a.num_records for a in adds) - updated
         return self._commit_rewrite(
             snap, touched, adds, "UPDATE",

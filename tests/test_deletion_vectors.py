@@ -161,6 +161,28 @@ def test_vacuum_reclaims_superseded_dvs(spark, tmp_path):
     assert _ids(t) == list(range(20))
 
 
+def test_dv_update_masks_and_appends(spark, tmp_path):
+    """Merge-on-read UPDATE: matched rows masked via DV, updated
+    copies appended; result equals the rewrite-flavored update."""
+    a = _t(spark, tmp_path, "a")
+    b = _t(spark, tmp_path, "b")
+    before = {x.path for x in a.snapshot().files}
+    res = a.update({"v": "v + 1"}, "id % 5 = 0", use_dv=True)
+    b.update({"v": "v + 1"}, "id % 5 = 0")
+    got = sorted((r["id"], r["v"]) for r in a.read().collect())
+    want = sorted((r["id"], r["v"]) for r in b.read().collect())
+    assert got == want and res["num_updated_rows"] == 4
+    snap = a.snapshot()
+    assert before <= {x.path for x in snap.files}  # originals kept
+    assert any(x.dv_path for x in snap.files)      # masked, not copied
+    assert res.get("num_deletion_vectors", 0) >= 1
+    # stacking: DV delete on a DV-updated table stays consistent
+    a.delete("v >= 150", use_dv=True)
+    assert sorted(r["id"] for r in a.read().collect()) == [
+        i for i in range(20)
+        if (i * 10 + (1 if i % 5 == 0 else 0)) < 150]
+
+
 def test_stats_report_live_records(spark, tmp_path):
     t = _t(spark, tmp_path)
     t.delete("id < 10", use_dv=True)

@@ -90,7 +90,8 @@ def test_random_op_sequences_match_model(spark, tmp_path):
             op = rnd.choice(["append", "overwrite", "upsert",
                              "delete_unmatched", "update_only",
                              "dedup_insert", "optimize",
-                             "delete_dv", "delete_rw", "row_update"])
+                             "delete_dv", "delete_rw", "row_update",
+                             "row_update_dv"])
             if op == "optimize":
                 before = t.version()
                 t.optimize(target_file_size=1 << 20)
@@ -114,10 +115,11 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                     f"trial {trial} step {_step} {op} v>={x}"
                 )
                 continue
-            if op == "row_update":
+            if op in ("row_update", "row_update_dv"):
                 x = rnd.randint(0, 1000)
                 before = t.version()
-                t.update({"v": "v + 7"}, f"v >= {x}")
+                t.update({"v": "v + 7"}, f"v >= {x}",
+                         use_dv=(op == "row_update_dv"))
                 model = model.copy()
                 model.loc[model["v"] >= x, "v"] += 7
                 if t.version() != before:
