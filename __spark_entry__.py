@@ -414,20 +414,32 @@ def o_row_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE (delta-rs ``DeltaTable.update`` analogue):
     expression assignments evaluated against the pre-update row, scoped
     by a predicate; only files containing a matching row are rewritten.
-    The oracle is the equivalent CASE projection."""
+    The oracle is the equivalent CASE projection.  The merge-on-read
+    flavor (``use_dv=True`` — matched rows masked via deletion vector,
+    updated copies appended) runs on a twin table in-line and must
+    match the rewrite flavor row-for-row, so one driver record covers
+    both update paths."""
     t = DeltaSparkTable(spark, _scratch("rowupd"))
+    t2 = DeltaSparkTable(spark, _scratch("rowupd-dv"))
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
         "l_returnflag")
+    assignments = {"l_discount": "0.0",
+                   "l_extendedprice": "l_extendedprice * 1.1"}
     t.write(li, WriteMode.error)
-    res = t.update(
-        {"l_discount": "0.0",
-         "l_extendedprice": "l_extendedprice * 1.1"},
-        "l_returnflag = 'R'",
-    )
+    t2.write(li, WriteMode.error)
+    res = t.update(assignments, "l_returnflag = 'R'")
     if res["num_updated_rows"] == 0:
         raise AssertionError("UPDATE matched no rows — scope is wrong")
-    return t.read()
+    res2 = t2.update(assignments, "l_returnflag = 'R'", use_dv=True)
+    if res2.get("num_deletion_vectors", 0) < 1:
+        raise AssertionError("DV UPDATE recorded no deletion vector")
+    out, out2 = t.read(), t2.read()
+    if out.exceptAll(out2).limit(1).count() or \
+            out2.exceptAll(out).limit(1).count():
+        raise AssertionError(
+            "merge-on-read UPDATE diverged from the rewrite flavor")
+    return out
 
 
 def o3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
