@@ -808,7 +808,19 @@ def _embedding_pca(spark, sf_dir):
                 f"distributed projection diverged from driver math "
                 f"for vec_id={r['vec_id']}"
             )
-    return proj
+    # driver-shaped output (the quantize_embeddings r6 fix): the raw
+    # ``proj array<double>`` column crashes the driver's pandas
+    # canonicalizer (round-7 red row: lists are unhashable under
+    # sort_values), so the recorded entry serializes it to a rounded
+    # CSV string — every projected value still participates in the
+    # value hash, and the guards above ran on the REAL array column
+    return proj.select(
+        "vec_id",
+        "label",
+        F.array_join(
+            F.transform("proj", lambda x: F.format_string("%.9f", x)), ","
+        ).alias("proj_csv"),
+    )
 
 
 def mm_features(spark, sf_dir):
