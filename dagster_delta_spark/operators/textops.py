@@ -518,11 +518,25 @@ def heavy_hitter_tokens(
         .mapInPandas(mg_summaries, "token string, wt long")
         .groupBy("token")
         .agg(F.sum("wt").alias("wt"))
+        # <= 4k x partitions + 1 rows; materialized once so the scalar
+        # total below and the candidate filter don't each re-run the
+        # corpus-wide sketch pass
+        .localCheckpoint()
     )
-    merged = {r["token"]: r["wt"] for r in summaries.collect()}
-    n_total = merged.pop("__total__", 0)
-    cand = spark.createDataFrame(
-        [(t,) for t in merged], "token string")
+    row = summaries.where(F.col("token") == "__total__").first()
+    n_total = int(row["wt"]) if row else 0
+    # distributed candidate thresholding: a merged MG weight undercounts
+    # a token by at most n/(4k+1), so every true heavy hitter
+    # (cnt > n/k) retains wt > n/k - n/(4k+1).  Filtering there keeps
+    # the superset guarantee while shrinking the broadcast side to the
+    # near-hitters — the full 4k x partitions merged set never makes a
+    # driver round-trip (at ~1e5 input partitions that hop would be
+    # ~1e7 rows through createDataFrame).  "__total__" cannot collide
+    # with a real token: the tokenizer splits on underscores.
+    thresh = n_total / float(k) - n_total / float(4 * k + 1)
+    cand = summaries.where(
+        (F.col("token") != "__total__") & (F.col("wt") >= thresh)
+    ).select("token")
 
     toks = docs.select(F.explode(F.expr(TOKENS)).alias("token"))
     return (
