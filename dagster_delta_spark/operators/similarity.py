@@ -866,6 +866,24 @@ def kmeans_clusters(
     )
 
 
+#: session cache of trained PCA bases, keyed
+#: (applicationId, corpus dir, fingerprint, "pca", k) -> numpy
+#: (mean, components, explained).  Same liveness contract as the
+#: centroid cache (_evict_stale drops dead-session and
+#: superseded-fingerprint entries); values are plain numpy tuples,
+#: nothing to unpersist.
+_PCA_CACHE: dict[tuple, tuple] = {}
+
+
+def pca_basis_table_uri(sf_dir: str, k: int) -> str:
+    """One persisted basis table per (corpus dir, k); retrains on
+    changed data append new versions — the IVF centroid contract
+    (``ivf_centroid_table_uri``) applied to the PCA family."""
+    key = f"{os.path.abspath(sf_dir)}|pca|{k}"
+    digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+    return os.path.join(_index_root(), f"pca_basis_{digest}")
+
+
 def embedding_pca(
     spark: SparkSession, sf_dir: str, k: int = 16
 ):
@@ -874,6 +892,15 @@ def embedding_pca(
     shares.  Returns ``(mean, components, explained)`` as numpy
     arrays — mean ``(d,)``, components ``(d, k)`` column-orthonormal,
     explained ``(k,)`` fractions in decreasing order.
+
+    The trained basis PERSISTS to a version-keyed ``DeltaSparkTable``
+    (``pca_basis_table_uri``, under ``DDS_INDEX_DIR``) whose commit
+    metadata records the corpus fingerprint — the same
+    train-once/load-thereafter contract as the IVF centroids, so a
+    query session's projection is map-only instead of re-aggregating
+    corpus moments per call.  A changed corpus triggers a retrain
+    committed as a new version; within a process the decoded numpy
+    basis is cached per (app, corpus, fingerprint, k).
 
     Scale shape (the 100 TB covariance recipe): one ``mapInPandas``
     pass emits ONE partial-moment row per Arrow batch — count, sum
@@ -886,9 +913,36 @@ def embedding_pca(
     """
     import numpy as np
 
+    from ..table import DeltaSparkTable
+
     d = _embedding_dim(spark, sf_dir)
     if not 1 <= k <= d:
         raise ValueError(f"k={k} must be in [1, {d}]")
+
+    fingerprint = _corpus_fingerprint(sf_dir)
+    key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        fingerprint, "pca", k,
+    )
+    cached = _PCA_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    index = DeltaSparkTable(spark, pca_basis_table_uri(sf_dir, k))
+    if index.exists():
+        meta = (index.history(limit=1)[0].get("userMetadata") or {})
+        if meta.get("corpus_fingerprint") == fingerprint:
+            rows = {(r["kind"], r["idx"]): np.asarray(r["vals"])
+                    for r in index.read().collect()}
+            basis = (
+                rows[("mean", 0)],
+                np.stack([rows[("comp", j)] for j in range(k)], axis=1),
+                rows[("expl", 0)],
+            )
+            from .dedup import _evict_stale
+            _evict_stale(_PCA_CACHE, key[0], key)
+            _PCA_CACHE[key] = basis
+            return basis
 
     def _moments(batches):
         import numpy as _np
@@ -924,7 +978,24 @@ def embedding_pca(
     components = evecs[:, order]
     total_var = float(np.clip(evals.sum(), 1e-30, None))
     explained = np.clip(evals[order], 0.0, None) / total_var
-    return mean, components, explained
+
+    # persist + session-cache: the basis is (2 + k) tiny rows — the
+    # component matrix decomposes column-per-row so any k rebuilds
+    # exactly (arrays round-trip as array<double>)
+    basis_rows = (
+        [("mean", 0, mean.tolist()), ("expl", 0, explained.tolist())]
+        + [("comp", j, components[:, j].tolist()) for j in range(k)]
+    )
+    index.write(
+        spark.createDataFrame(
+            basis_rows, "kind string, idx int, vals array<double>"),
+        commit_metadata={"corpus_fingerprint": fingerprint, "k": str(k)},
+    )
+    from .dedup import _evict_stale
+    _evict_stale(_PCA_CACHE, key[0], key)
+    basis = (mean, components, explained)
+    _PCA_CACHE[key] = basis
+    return basis
 
 
 def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
@@ -949,11 +1020,12 @@ def embedding_pca_project(
     for a few percent of variance).
 
     The basis comes from :func:`embedding_pca` (driver-side d x d
-    eigendecomposition over distributed partial moments) unless an
-    already-trained ``basis=(mean, components)`` is passed — callers
-    that train AND project (the registry guard, whitening pipelines)
-    should pass it through, or the moment pass over the corpus runs
-    twice.  Projection broadcasts the (d x k) basis inside an
+    eigendecomposition over distributed partial moments; persisted +
+    session-cached per corpus fingerprint since r8, so repeat calls
+    are map-only) unless an already-trained ``basis=(mean,
+    components)`` is passed through — callers that train AND project
+    in one breath (the registry guard, whitening pipelines) skip even
+    the first cache probe.  Projection broadcasts the (d x k) basis inside an
     Arrow-batched ``mapInPandas`` closure — map-only, no shuffle.
     Output: ``(vec_id, label, proj array<double>)`` with
     ``proj = (x - mean) @ components``.

@@ -1,6 +1,8 @@
 """LLM data-pipeline operators: sanity + internal consistency (the
 value-level correctness lives in the DuckDB oracle gate)."""
 
+import os
+
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -1180,6 +1182,37 @@ def test_embedding_pca_recovers_planted_direction(spark, tmp_path):
 
     with pytest.raises(ValueError, match="k="):
         embedding_pca(spark, str(dd), k=0)
+
+
+def test_embedding_pca_basis_persists_and_caches(spark, monkeypatch, tmp_path):
+    """The trained basis persists fingerprint-keyed under DDS_INDEX_DIR
+    (the IVF centroid contract): a cold-session-cache call loads the
+    stored basis bit-for-bit instead of retraining, and a warm call is
+    a dict hit."""
+    import numpy as np
+
+    from dagster_delta_spark.operators import similarity
+
+    monkeypatch.setenv("DDS_INDEX_DIR", str(tmp_path / "idx"))
+    sf = "/root/testdata/sf0.001"
+    similarity._PCA_CACHE.clear()
+    m1, c1, e1 = similarity.embedding_pca(spark, sf, k=4)
+    assert os.path.isdir(similarity.pca_basis_table_uri(sf, 4))
+
+    # cold session cache -> persisted load; eigh on this path means a
+    # retrain happened despite a fingerprint-matching stored basis
+    similarity._PCA_CACHE.clear()
+
+    def boom(*a, **k):
+        raise AssertionError("retrained despite persisted basis")
+
+    monkeypatch.setattr(np.linalg, "eigh", boom)
+    m2, c2, e2 = similarity.embedding_pca(spark, sf, k=4)
+    assert (m1 == m2).all() and (c1 == c2).all() and (e1 == e2).all()
+
+    # warm path: same tuple object back, no table read
+    _, c3, _ = similarity.embedding_pca(spark, sf, k=4)
+    assert c3 is c2
 
 
 def test_embedding_pca_entry_guard_fires(spark, monkeypatch):
