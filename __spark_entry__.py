@@ -128,6 +128,73 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance over CDC (rows-only: k-means
+    cell assignments are not SQL-expressible).
+
+    Fixture: the embeddings corpus lands in a transactional table as
+    two commits (2/3 bootstrap, 1/3 append).  ``build_ivf_index``
+    trains the coarse quantizer and assigns the bootstrap at v0;
+    ``maintain_ivf_index`` folds the v1 append by assigning ONLY the
+    new vectors against the STORED centroids — the indexed corpus is
+    never rescanned (at 100 TB the full re-assign per arrival is the
+    dominant recurring ANN cost this replaces).
+
+    Self-falsifying guards (r7 convention) — a rows-only record
+    certifies behavior, not just row production:
+
+    1. *exact rebuild parity*: the maintained inverted list equals a
+       from-scratch assignment of the full snapshot against the same
+       centroids (``ivf_index_vs_rebuild`` empty) — ghost or drifted
+       assignments break it;
+    2. *delta-only fold*: the maintenance commit appends exactly the
+       newly-arrived vectors;
+    3. *rewrite refusal*: an overwrite on the base must raise — a
+       silent fold would leave ghost vectors in the inverted list.
+
+    Output: per-cell occupancy split into bootstrap vs delta
+    contributions (deterministic: hash-seeded k-means init over a
+    fixed corpus)."""
+    emb_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    base = DeltaSparkTable(spark, _scratch("ann-base"))
+    index = DeltaSparkTable(spark, _scratch("ann-ivf"))
+    base.write(emb_src.where("vec_id % 3 < 2"), WriteMode.error)   # v0
+    incremental.build_ivf_index(base, index)
+    base.write(emb_src.where("vec_id % 3 = 2"), WriteMode.append)  # v1
+    n_before = index.read().count()
+    incremental.maintain_ivf_index(base, index)
+    n_delta = index.read().count() - n_before
+    appended = emb_src.where("vec_id % 3 = 2").count()
+    if n_delta != appended:
+        raise AssertionError(
+            f"maintenance folded {n_delta} rows for {appended} appended"
+        )
+    bad = incremental.ivf_index_vs_rebuild(base, index).count()
+    if bad:
+        raise AssertionError(
+            f"incremental index diverged from a from-scratch rebuild "
+            f"on {bad} vectors"
+        )
+    base.write(emb_src.where("vec_id < 10"), WriteMode.overwrite)
+    try:
+        incremental.maintain_ivf_index(base, index)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("maintenance silently folded a rewrite commit")
+    return (
+        index.read()
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("vec_id") % 3 == 2, 1).otherwise(0))
+            .cast("long").alias("n_from_delta"),
+        )
+        .orderBy("cell")
+    )
+
+
 def streaming_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Version-offset streaming source e2e (dds_table, Spark 4 Python
     DataSource API): three append commits stream out exactly once; the
@@ -1160,86 +1227,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verifies everything: an entry may sit past the cap only if
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
-    # that structurally cannot have one).  Round 7 window: the 44
-    # entries last recorded in r5 or earlier (their modules were
-    # rewritten by the r6 hardening sweep AFTER those records — the
-    # committed ledger lagged the code), plus this round's changed
-    # entries (LSH bucket caps, IVF auto-cells, the self-falsifying
-    # guards).  Local gate for the whole registry regardless of
-    # position: tools/check_oracles.py.
+    # that structurally cannot have one).  Round 8 window: the never-
+    # recorded + this-round-changed entries (PCA fix, new ANN index
+    # maintenance, multimodal_features conversion, heavy-hitter
+    # thresholding, the similarity.py family after the kmeans/PCA
+    # refactor), then the stalest committed records (r4 -> r5 -> r6
+    # cohorts); every r7-recorded head rotates to the tail.  Local
+    # gate for the whole registry regardless of position:
+    # tools/check_oracles.py.
     return {
-        # -------- first 50: the round-7 recording window --------
-        # changed THIS round: capped batch LSH + inline-verify simhash
+        # -------- first 50: the round-8 recording window --------
+        # fixed THIS round (driver-shaped CSV projection — the only
+        # entry with no successful record across r1-r7)
+        "embedding_pca_project": _embedding_pca,
+        # NEW in r8: incremental IVF index maintenance over CDC
+        # (rows-only + rebuild-parity / delta-only / rewrite-refusal
+        # guards)
+        "ann_index_maintain": ann_index_maintain,
+        # CONVERTED this round to oracle-backed closed forms (the
+        # video-pipeline technique); conversion re-demands a green row
+        "multimodal_features": mm_features,
+        # changed THIS round: distributed candidate thresholding
+        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
+        # similarity.py changed this round (kmeans refactor + PCA
+        # persistence): the ANN/embedding family re-records, stalest
+        # first (ann_lsh/near_dups_lsh/ann_recall r5, kmeans r6)
+        "ann_lsh_topk": ann_lsh,
+        "embedding_near_dups_lsh": _emb_neardup_lsh,
+        "ann_recall_report": _ann_recall,
+        "kmeans_clusters": _kmeans_clusters,
+        "ann_ivf_topk": _ivf_ann,
+        "ann_ivf_quantized_topk": _ivf_quantized,
+        "semantic_dedup": _semantic_dedup,
+        "cosine_topk": similarity.cosine_topk,
+        "embedding_near_dups": _embedding_near_dups_02,
+        "label_centroid_dims": _label_centroid_dims,
+        "quantize_embeddings": _quantize_embeddings,
+        # textops changed this round (heavy hitters) + r5/r6 records
+        "sketch_profile": _sketch_profile,
+        "stream_ingest_near_dup_filter": _stream_ingest_filter,
+        # stalest committed records: r4 cohort
+        "string_functions": relational.string_functions_probe,
+        "date_parts_rollup": relational.date_parts_rollup,
+        "q12_case_agg": relational.q12_priority_by_linestatus,
+        "source_summary": textops.source_summary,
+        "deterministic_sample": textops.deterministic_sample,
+        "fingerprint": textops.fingerprint,
+        "q18_large_orders": relational.q18_large_orders,
+        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
+        "q22_anti_scalar": relational.q22_idle_rich_customers,
+        # r5 cohort
+        "q13_custdist": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        # r6 cohort, table layer first (table.py grew DV/clone in r7
+        # after those records landed)
+        "w1_w4_error_ignore": w1_w4_error_ignore,
+        "w2_append": w2_append,
+        "w3_partition_overwrite": w3_partition_overwrite,
+        "w5_create_or_replace": w5_create_or_replace,
+        "m1_update_only": m1_update_only,
+        "m2_dedup_insert": m2_dedup_insert,
+        "m3_upsert": m3_upsert,
+        "m4_replace_delete": m4_replace_delete,
+        "s3_time_travel": s3_time_travel,
+        "p2_timewindow_read": p2_timewindow_read,
+        "o_compaction_roundtrip": o_compaction_roundtrip,
+        # r6 cohort, text/curation/streaming (modules reworked in r7)
+        "zipf_profile": textops.zipf_profile,
+        "streaming_hourly_rollup": streaming_rollup,
+        "streaming_sessionize": _streaming_sessionize,
+        "streaming_dedup": _streaming_dedup,
+        "curate_corpus": _curate_corpus,
+        "cross_source_contamination": curation.cross_source_contamination,
+        "pack_sequences": curation.pack_sequences,
+        "text_quality": textops.text_quality,
+        "lang_id": textops.lang_id,
+        "decontaminate": curation.decontaminate,
+        "token_stats": textops.token_stats,
+        # -------- past the cap: green/ok rows on committed record --
+        # r7-recorded heads rotate out; every entry below carries a
+        # CORRECTNESS_r06/r07 record (corpus_shuffle + the q-family
+        # r6 cohort re-enter in r9)
         "minhash_lsh_near_dups": minhash_lsh,
         "simhash_near_dups": simhash_pairs,
         "minhash_cluster_keep": _minhash_cluster,
-        # changed THIS round: IVF auto-scaled cells/nprobe
-        "ann_ivf_topk": _ivf_ann,
-        # NEW in r7: row-level DELETE + RESTORE (oracle-backed;
-        # displaces ann_ivf_quantized_topk to the tail — its r6
-        # rows-only record stands, the strongest verdict an
-        # oracle-less entry can get)
         "o_row_delete_restore": o_row_delete_restore,
-        # changed THIS round: self-falsifying guards in the entry
-        "semantic_dedup": _semantic_dedup,
-        # NEW in r7: row-level UPDATE (oracle-backed; displaces
-        # stream_ingest_near_dup_filter to the tail — its r6
-        # rows-only record stands and its guards are self-falsifying)
         "o_row_update": o_row_update,
-        # NEW in r7: duplicate-family connected components
-        # (oracle-backed — recursive-CTE twin; displaces
-        # sketch_profile to the tail, its rows-only record stands)
         "duplicate_components": graph.duplicate_components,
-        # NEW in r7: DSIR hashed-ngram importance resampling
-        # (oracle-backed; displaces ann_lsh_topk to the tail — its
-        # rows-only r6 record stands)
         "dsir_importance_sample": curation.dsir_importance_sample,
-        # NEW in r7: watermarked stream-stream interval join
-        # (oracle-backed; displaces embedding_near_dups_lsh to the
-        # tail — its rows-only record stands, and its exact twin
-        # embedding_near_dups is driver-green)
         "streaming_interval_join": _streaming_interval_join,
-        # NEW in r7: sliding-window streaming rollup (oracle-backed;
-        # displaces multimodal_features to the tail — its rows-only
-        # record stands and multimodal_metadata is driver-green)
         "streaming_sliding_rollup": _streaming_sliding_rollup,
-        # pre-r6-hardening records: oracle-backed tail (last recorded
-        # r1-r5; the r6 sweep touched their modules afterwards)
-        # NEW in r7: domain-balanced quality pruning (oracle-backed;
-        # displaces string_functions to the tail — its green record
-        # stands and the probe is exercised by the local gate)
         "quality_balanced_prune": curation.quality_balanced_prune,
-        # NEW in r7: distributed PCA (rows-only + in-entry guards:
-        # orthonormal basis, decreasing explained variance, sampled
-        # projection parity vs driver math; displaces
-        # date_parts_rollup to the tail — its green record stands)
-        "embedding_pca_project": _embedding_pca,
-        # NEW in r7: shallow clone zero-copy roundtrip (oracle-backed;
-        # displaces q12_case_agg to the tail — its green record stands)
         "o_clone_zero_copy": o_clone_zero_copy,
-        # NEW in r7: Bloom-prefiltered decontamination (oracle-backed —
-        # identical output to decontaminate; displaces q14_promo_ratio
-        # to the tail, its green record stands)
         "bloom_decontaminate": curation.bloom_decontaminate,
-        # NEW in r7: incremental materialized-rollup maintenance over
-        # the table log (oracle-backed; displaces q18_large_orders to
-        # the tail — its green record stands)
         "incremental_rollup_maintenance": incremental_rollup_maintenance,
-        # NEW in r7: exact fuzzy self-join via symmetric-deletion
-        # candidates (oracle-backed; displaces q22_anti_scalar to the
-        # tail — its green record stands)
         "fuzzy_name_matches": fuzzy.fuzzy_name_matches,
-        # NEW in r7: Misra-Gries heavy hitters + exact verify pass
-        # (oracle-backed; displaces fingerprint to the tail — its
-        # green record stands)
-        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
-        # NEW in r7: distributed Naive Bayes train+score
-        # (oracle-backed; displaces source_summary to the tail — its
-        # green record stands)
         "nb_classifier_scores": _nb_classifier,
-        # NEW in r7: exactly-once streaming sink (oracle-backed;
-        # displaces deterministic_sample to the tail — its green
-        # record stands)
         "streaming_exactly_once_sink": _streaming_exactly_once_sink,
         "dedup_exact": dedup.dedup_exact,
         "pj1_projection": pj1_projection,
@@ -1251,13 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
         "q10_returned_items": relational.q10_returned_items,
         "q16_anti_join": relational.q16_anti_join_parts,
-        # NEW in r7: real y4m video decode + frame sampling, verified
-        # against closed forms (oracle-backed; displaces q13_custdist
-        # to the tail — its green record stands)
         "multimodal_video_pipeline": multimodal_video_pipeline,
-        # NEW in r7: merge-on-read deletion vectors (oracle-backed;
-        # displaces q15_top_supplier to the tail — its green record
-        # stands)
         "o_delete_dv": o_delete_dv,
         "q20_excess_shipments": relational.q20_excess_shipments,
         "q21_sole_late_supplier": relational.q21_sole_late_supplier,
@@ -1272,40 +1349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_read_changes": cdc_read_changes,
         "unigram_quality": textops.unigram_quality,
         "streaming_table_source": streaming_table_source,
-        # NEW in r7: winnowed k-gram substring-dedup signal
-        # (oracle-backed — md5 fingerprints are engine-portable)
         "winnow_repeated_spans": dedup.winnow_repeated_spans,
         "winnow_doc_repetition": dedup.winnow_doc_repetition,
         "strip_repeated_spans": dedup.strip_repeated_spans,
-        # NEW in r7: near-dup-cluster-level split assignment
-        # (rows-only + planted-duplicate guard)
         "leakage_safe_splits": _leakage_safe_splits,
-        # NEW in r7: temperature-based source mixing (oracle-backed)
         "temperature_mixture_sample": curation.temperature_mixture_sample,
-        # -------- past the cap: green/ok rows on committed record --
-        # (kmeans_clusters / ann_recall_report rows-only records stand;
-        # their r7 changes re-record on the next rotation)
-        "kmeans_clusters": _kmeans_clusters,
-        "ann_recall_report": _ann_recall,
-        "cosine_topk": similarity.cosine_topk,
-        "embedding_near_dups": _embedding_near_dups_02,
-        "quantize_embeddings": _quantize_embeddings,
-        "zipf_profile": textops.zipf_profile,
-        "streaming_hourly_rollup": streaming_rollup,
-        "streaming_sessionize": _streaming_sessionize,
-        "streaming_dedup": _streaming_dedup,
-        "curate_corpus": _curate_corpus,
-        "cross_source_contamination": curation.cross_source_contamination,
-        "w1_w4_error_ignore": w1_w4_error_ignore,
-        "w2_append": w2_append,
-        "w3_partition_overwrite": w3_partition_overwrite,
-        "w5_create_or_replace": w5_create_or_replace,
-        "m1_update_only": m1_update_only,
-        "m2_dedup_insert": m2_dedup_insert,
-        "m3_upsert": m3_upsert,
-        "m4_replace_delete": m4_replace_delete,
-        "s3_time_travel": s3_time_travel,
-        "p2_timewindow_read": p2_timewindow_read,
+        "corpus_shuffle": curation.corpus_shuffle,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -1317,43 +1366,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": relational.events_json_props,
         "q17_scalar_subquery": relational.q17_small_quantity_revenue,
         "q11_important_parts": relational.q11_important_parts,
-        "pack_sequences": curation.pack_sequences,
-        "text_quality": textops.text_quality,
-        "lang_id": textops.lang_id,
-        "decontaminate": curation.decontaminate,
         "q7_nation_volume": relational.q7_nation_volume,
-        "label_centroid_dims": _label_centroid_dims,
         "multimodal_metadata": multimodal.multimodal_metadata,
         "salted_user_rollup": relational.salted_user_rollup,
         "price_distribution": price_distribution,
         "status_pivot": relational.status_pivot,
-        "o_compaction_roundtrip": o_compaction_roundtrip,
         "revenue_rollup_cube": revenue_rollup_cube,
         "set_ops_customers": relational.customer_order_set_ops,
         "asof_clicks_purchases": asof.clicks_asof_purchases,
         "range_join_bursts": asof.user_event_bursts,
-        "corpus_shuffle": curation.corpus_shuffle,
-        "token_stats": textops.token_stats,
-        # displaced from the r7 window by dsir_importance_sample /
-        # streaming_interval_join / duplicate_components; rows-only
-        # records stand
-        "ann_lsh_topk": ann_lsh,
-        "embedding_near_dups_lsh": _emb_neardup_lsh,
-        "sketch_profile": _sketch_profile,
-        "multimodal_features": mm_features,
-        "string_functions": relational.string_functions_probe,
-        "date_parts_rollup": relational.date_parts_rollup,
-        "q12_case_agg": relational.q12_priority_by_linestatus,
-        "ann_ivf_quantized_topk": _ivf_quantized,
-        "stream_ingest_near_dup_filter": _stream_ingest_filter,
-        "source_summary": textops.source_summary,
-        "deterministic_sample": textops.deterministic_sample,
-        "fingerprint": textops.fingerprint,
-        "q18_large_orders": relational.q18_large_orders,
-        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
-        "q22_anti_scalar": relational.q22_idle_rich_customers,
-        "q13_custdist": relational.q13_order_count_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
     }
 
 

@@ -66,6 +66,7 @@ def main() -> None:
         "m3_upsert",
         "row_dml_stages",
         "incr_rollup_maintain",
+        "ann_index_maintain",
         # streaming ingest near-dup filter (3 micro-batches), staged:
         # the ~7 s streaming-engine + fixture fixed cost masked probe
         # regressions behind one number, so the line reports the
@@ -220,12 +221,37 @@ def main() -> None:
                         _INCR_MEASURES, v)
         rollup.read().write.mode("overwrite").format("noop").save()
 
+    def _ann_maint_setup(spark, d):
+        # fixture: bootstrap index over 2/3 of the corpus plus one
+        # appended 1/3 delta; the operator under test is ONE
+        # maintenance fold (assign only the delta against the stored
+        # centroids) — the per-arrival cost that replaces a full
+        # re-train + re-assign
+        from dagster_delta_spark.operators import incremental as incr
+
+        src = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", "embedding")
+        base = DeltaSparkTable(spark, entry._scratch("bench-ann-base"))
+        index = DeltaSparkTable(spark, entry._scratch("bench-ann-ivf"))
+        base.write(src.where("vec_id % 3 < 2"), WriteMode.error)
+        incr.build_ivf_index(base, index)
+        base.write(src.where("vec_id % 3 = 2"), WriteMode.append)
+        return base, index
+
+    def _ann_maint_run(spark, ctx):
+        from dagster_delta_spark.operators import incremental as incr
+
+        base, index = ctx
+        incr.maintain_ivf_index(base, index)
+        index.read().write.mode("overwrite").format("noop").save()
+
     staged = {
         "m3_upsert": (_m3_setup, _m3_run),
         "w3_partition_overwrite": (_w3_setup, _w3_run),
         "stream_ingest_stages": (_ingest_setup, _ingest_run),
         "row_dml_stages": (_dml_setup, _dml_run),
         "incr_rollup_maintain": (_incr_setup, _incr_run),
+        "ann_index_maintain": (_ann_maint_setup, _ann_maint_run),
     }
 
     # Since r7 the rows-only registry entries wrap their operators in

@@ -31,7 +31,7 @@ delta-lake's Change Data Feed consumers); engine-native design.
 from __future__ import annotations
 
 from functools import reduce
-from typing import Mapping, Sequence
+from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -110,6 +110,127 @@ def maintain_rollup(
         ),
     )
     return head
+
+
+def _ivf_centroids_table(index: DeltaSparkTable) -> DeltaSparkTable:
+    """The index's coarse-quantizer centroids live in a sibling table
+    (assignments and centroids have different schemas and wildly
+    different sizes — mixing them in one table would force a kind
+    column into every 100 TB-scale assignment row)."""
+    return DeltaSparkTable(index.spark, index.table_uri + "_centroids")
+
+
+def build_ivf_index(
+    emb: DeltaSparkTable,
+    index: DeltaSparkTable,
+    n_cells: Optional[int] = None,
+    iters: int = 1,
+    train_sample_mod: int = 1,
+) -> int:
+    """Bootstrap an IVF index over a TRANSACTIONAL embeddings table:
+    train the coarse quantizer on the current snapshot
+    (``kmeans_centroids``), assign every vector, and persist BOTH
+    halves — centroids in a sibling table, the inverted-list
+    assignments ``(vec_id, cell)`` in ``index`` with the processed
+    base version in the commit metadata.  ``maintain_ivf_index``
+    resumes from that metadata.
+
+    ``n_cells=None`` applies the same ``1.5*sqrt(n)`` sizing rule as
+    the parquet-corpus path (``_auto_cells``).  Returns the processed
+    base version.  Zero-norm embeddings are excluded exactly as every
+    query path excludes them (``_with_norm``)."""
+    from .similarity import _assign_cells, _with_norm, kmeans_centroids
+
+    head = emb.version()
+    vectors = _with_norm(emb.read().select("vec_id", "embedding"))
+    if n_cells is None:
+        import math
+
+        n = vectors.count()
+        n_cells = max(4, min(65536, int(round(1.5 * math.sqrt(max(n, 1))))))
+    cents = kmeans_centroids(vectors, n_cells, iters, train_sample_mod)
+    meta = {"base_version": str(head), "n_cells": str(n_cells)}
+    _ivf_centroids_table(index).write(cents, commit_metadata=meta)
+    index.write(
+        _assign_cells(vectors, cents).select("vec_id", "cell"),
+        commit_metadata=meta,
+    )
+    return head
+
+
+def maintain_ivf_index(
+    emb: DeltaSparkTable,
+    index: DeltaSparkTable,
+    since_version: Optional[int] = None,
+) -> int:
+    """Fold embedding appends ``(since_version, head]`` into the IVF
+    index: assign ONLY the new vectors against the STORED centroids
+    (one broadcast map pass over the delta — the standard production
+    IVF refresh; centroid drift is a quality dial handled by periodic
+    ``build_ivf_index`` rebuilds) and append them to the inverted
+    list.  ``since_version=None`` resumes from the index's own commit
+    metadata, so steady-state maintenance is just
+    ``maintain_ivf_index(emb, index)`` per arrival.
+
+    Cost is O(delta x n_cells) comparisons + one append commit; the
+    indexed corpus is never rescanned.  Base REWRITES (overwrite /
+    merge / DELETE / UPDATE / RESTORE) are not pure deltas:
+    ``read_changes`` raises and the index needs a rebuild — silence
+    would leave ghost vectors in the inverted list.  Compaction-only
+    ranges are a metadata no-op (the lagging base_version is safe:
+    ``read_changes`` yields no rows for compaction commits, so a later
+    fold over a range containing them adds nothing twice).
+
+    Returns the new processed base version."""
+    from .similarity import _assign_cells, _with_norm
+
+    if since_version is None:
+        meta = index.history(limit=1)[0].get("userMetadata") or {}
+        if "base_version" not in meta:
+            raise ValueError(
+                "index table carries no base_version metadata — was it "
+                "created by build_ivf_index?"
+            )
+        since_version = int(meta["base_version"])
+    head = emb.version()
+    if head <= since_version:
+        return since_version
+    delta = emb.read_changes(since_version, head)
+    cents = _ivf_centroids_table(index).read()
+    assigned = _assign_cells(
+        _with_norm(delta.select("vec_id", "embedding")), cents
+    ).select("vec_id", "cell")
+    if assigned.isEmpty():
+        # compaction-only range: nothing to fold, nothing to commit
+        return head
+    index.write(
+        assigned,
+        WriteMode.append,
+        commit_metadata={"base_version": str(head)},
+    )
+    return head
+
+
+def ivf_index_vs_rebuild(
+    emb: DeltaSparkTable, index: DeltaSparkTable
+) -> DataFrame:
+    """Audit helper (the ``rollup_vs_recompute`` analogue): re-assign
+    the FULL current snapshot against the stored centroids and
+    full-outer-join with the stored inverted list — any row where the
+    two disagree.  Empty result == the incrementally-maintained index
+    is exactly the index a from-scratch assignment would build over
+    the same centroids."""
+    from .similarity import _assign_cells, _with_norm
+
+    fresh = _assign_cells(
+        _with_norm(emb.read().select("vec_id", "embedding")),
+        _ivf_centroids_table(index).read(),
+    ).select("vec_id", F.col("cell").alias("fresh_cell"))
+    stored = index.read().select("vec_id", F.col("cell").alias("stored_cell"))
+    return (
+        fresh.join(stored, "vec_id", "full_outer")
+        .where(~F.col("fresh_cell").eqNullSafe(F.col("stored_cell")))
+    )
 
 
 def rollup_vs_recompute(

@@ -467,6 +467,26 @@ def ivf_train_centroids(
                                 eager=False)
 
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    cents = kmeans_centroids(emb, n_cells, iters, train_sample_mod)
+    index.write(cents, commit_metadata={"corpus_fingerprint": fingerprint,
+                                        **params})
+    return _cache_store(_CENTROID_CACHE, key, index.read(), eager=False)
+
+
+def kmeans_centroids(
+    emb: DataFrame, n_cells: int, iters: int = 1, train_sample_mod: int = 1
+) -> DataFrame:
+    """Frame-level k-means coarse-quantizer training — the core of
+    :func:`ivf_train_centroids` (which wraps it in fingerprint-keyed
+    persistence), reusable on ANY normed embeddings frame: the CDC
+    index-maintenance bootstrap (``operators/incremental.py``) trains
+    on a transactional-table snapshot rather than a parquet corpus
+    dir.  ``emb`` must carry ``vec_id``/``embedding``/``norm``
+    (:func:`_with_norm`).  Returns the materialized
+    ``(cell, c_emb, c_norm)`` centroid frame; see
+    ``ivf_train_centroids``'s docstring for init/iteration shape."""
+    from pyspark.sql.window import Window
+
     if train_sample_mod > 1:
         # pmod: xxhash64 is signed, plain % would keep only half the sample
         emb = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(train_sample_mod)) == 0)
@@ -500,9 +520,7 @@ def ivf_train_centroids(
             .withColumn("c_norm", F.expr(norm_c))
             .localCheckpoint()
         )
-    index.write(cents, commit_metadata={"corpus_fingerprint": fingerprint,
-                                        **params})
-    return _cache_store(_CENTROID_CACHE, key, index.read(), eager=False)
+    return cents
 
 
 def ivf_assignments(

@@ -1,0 +1,158 @@
+"""Incremental IVF index maintenance over CDC (operators/incremental.py).
+
+The contract under test: appends fold into the inverted list by
+assigning ONLY the new vectors against the stored centroids, and the
+result is EXACTLY the index a from-scratch assignment would build over
+the same centroids (``ivf_index_vs_rebuild`` empty).  Rewrites refuse;
+compactions are transparent.
+"""
+
+import numpy as np
+import pytest
+
+from dagster_delta_spark import DeltaSparkTable, WriteMode
+from dagster_delta_spark.operators.incremental import (
+    build_ivf_index,
+    ivf_index_vs_rebuild,
+    maintain_ivf_index,
+)
+
+
+def _emb_df(spark, ids, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (int(i), [float(v) for v in rng.normal(size=d)])
+        for i in sorted(ids)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_incremental_index_equals_rebuild(spark, tmp_path):
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    emb.write(_emb_df(spark, range(40), seed=1), WriteMode.error)
+    v = build_ivf_index(emb, index, n_cells=4)
+    assert v == 0
+    # two maintenance rounds, resuming from the index's own metadata
+    emb.write(_emb_df(spark, range(40, 70), seed=2), WriteMode.append)
+    assert maintain_ivf_index(emb, index) == 1
+    emb.write(_emb_df(spark, range(70, 90), seed=4), WriteMode.append)
+    assert maintain_ivf_index(emb, index) == 2
+    assert index.read().count() == 90
+    assert index.read().select("vec_id").distinct().count() == 90
+    # the maintained index is bit-identical to a from-scratch
+    # assignment of the full snapshot against the same centroids
+    assert ivf_index_vs_rebuild(emb, index).count() == 0
+
+
+def test_maintain_is_noop_without_new_commits(spark, tmp_path):
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    emb.write(_emb_df(spark, range(20)), WriteMode.error)
+    build_ivf_index(emb, index, n_cells=4)
+    iv = index.version()
+    assert maintain_ivf_index(emb, index) == 0
+    assert index.version() == iv  # nothing committed
+
+
+def test_rewrite_commit_refuses(spark, tmp_path):
+    """An overwrite leaves ghost vectors in the inverted list if folded
+    silently — maintenance must raise (rebuild instead)."""
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    emb.write(_emb_df(spark, range(20)), WriteMode.error)
+    build_ivf_index(emb, index, n_cells=4)
+    emb.write(_emb_df(spark, range(10)), WriteMode.overwrite)
+    with pytest.raises(ValueError, match="rewrite"):
+        maintain_ivf_index(emb, index)
+    # the prescribed recovery: a rebuild retrains and reassigns
+    build_ivf_index(emb, index, n_cells=4)
+    assert index.read().count() == 10
+    assert ivf_index_vs_rebuild(emb, index).count() == 0
+
+
+def test_compaction_only_range_is_metadata_noop(spark, tmp_path):
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    emb.write(_emb_df(spark, range(20)), WriteMode.error)
+    emb.write(_emb_df(spark, range(20, 30)), WriteMode.append)
+    build_ivf_index(emb, index, n_cells=4)
+    iv = index.version()
+    emb.optimize()  # re-adds old rows; must contribute nothing
+    assert maintain_ivf_index(emb, index) == emb.version()
+    assert index.version() == iv  # no empty commit
+    # an append AFTER the compaction still folds exactly once even
+    # though the stored base_version lags over the compaction commit
+    emb.write(_emb_df(spark, range(30, 45), seed=9), WriteMode.append)
+    maintain_ivf_index(emb, index)
+    assert index.read().count() == 45
+    assert index.read().select("vec_id").distinct().count() == 45
+    assert ivf_index_vs_rebuild(emb, index).count() == 0
+
+
+def test_zero_norm_vectors_never_enter_the_index(spark, tmp_path):
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    emb.write(_emb_df(spark, range(10)), WriteMode.error)
+    build_ivf_index(emb, index, n_cells=4)
+    dead = spark.createDataFrame(
+        [(99, [0.0] * 8), (100, [1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    emb.write(dead, WriteMode.append)
+    maintain_ivf_index(emb, index)
+    got = {r["vec_id"] for r in index.read().collect()}
+    assert 100 in got and 99 not in got
+
+
+def test_maintain_requires_build_metadata(spark, tmp_path):
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    emb.write(_emb_df(spark, range(10)), WriteMode.error)
+    index.write(_emb_df(spark, range(3)))  # not a build_ivf_index table
+    with pytest.raises(ValueError, match="base_version"):
+        maintain_ivf_index(emb, index)
+
+
+def test_ann_index_maintain_entry_guard_fires(spark, monkeypatch):
+    """The rows-only registry entry falsifies: a maintenance path that
+    corrupts one assignment trips the rebuild-parity guard."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from dagster_delta_spark.operators import incremental as incr
+
+    sf = "/root/testdata/sf0.001"
+    entry.ann_index_maintain(spark, sf)  # healthy
+
+    real = incr.maintain_ivf_index
+
+    def tampering(emb, index, since_version=None):
+        v = real(emb, index, since_version)  # raises on rewrites as-is
+        bad = index.read().withColumn(
+            "cell",
+            F.when(F.col("vec_id") == 0, F.col("cell") + 1)
+            .otherwise(F.col("cell")),
+        )
+        index.write(bad, WriteMode.overwrite)
+        return v
+
+    monkeypatch.setattr(incr, "maintain_ivf_index", tampering)
+    with pytest.raises(AssertionError, match="diverged"):
+        entry.ann_index_maintain(spark, sf)
+
+
+def test_audit_catches_tampered_assignment(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    emb.write(_emb_df(spark, range(20)), WriteMode.error)
+    build_ivf_index(emb, index, n_cells=4)
+    tampered = index.read().withColumn(
+        "cell",
+        F.when(F.col("vec_id") == 0, F.col("cell") + 1)
+        .otherwise(F.col("cell")),
+    )
+    index.write(tampered, WriteMode.overwrite)
+    assert ivf_index_vs_rebuild(emb, index).count() == 1
