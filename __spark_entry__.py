@@ -891,11 +891,23 @@ def _embedding_pca(spark, sf_dir):
 
 
 def mm_features(spark, sf_dir):
-    """Multimodal feature extraction.  Guard: the pure-numpy codecs
-    the mapInPandas pipeline rides on must round-trip random payloads
-    bit-for-bit (PPM image, PCM WAV) and resize/resample to the
-    requested shape — a corrupted codec would silently produce garbage
-    features at any scale."""
+    """Multimodal feature extraction — ORACLE-BACKED since r8 via the
+    closed-forms technique proven on ``multimodal_video_pipeline``:
+    every reported value is a pure function of doc_id (or of the raw
+    text) under the binarize_* generation contracts, recomputed
+    INDEPENDENTLY by DuckDB (image dims/payload bytes/mean pixel from
+    the PPM contract, WAV byte layout / duration / RMS by re-deriving
+    the int16 sine samples, text byte length from utf-8) — the Spark
+    side must round-trip encode -> decode -> measure through the REAL
+    codecs, so a header, codec, or sampler bug breaks parity.  (RMS
+    needs no per-channel handling: the stereo second channel is a
+    roll — a permutation — of the first, so the full-array mean of
+    squares equals the mono one.)
+
+    Guard kept from r7: the codecs must also round-trip random
+    payloads bit-for-bit and resize/resample to the requested shape —
+    failure modes parity alone can't see (e.g. a decoder inverse to a
+    corrupted encoder)."""
     import numpy as np
 
     from dagster_delta_spark.operators.multimodal import (
@@ -919,7 +931,16 @@ def mm_features(spark, sf_dir):
         raise AssertionError("WAV codec round-trip corrupted the audio")
     if nn_resample(pcm, 40).shape != (40, 2):
         raise AssertionError("nn_resample returned the wrong shape")
-    return multimodal.multimodal_features(spark, sf_dir)
+    return multimodal.multimodal_features(spark, sf_dir).select(
+        "doc_id", "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("img_width").cast("long").alias("img_width"),
+        F.col("img_height").cast("long").alias("img_height"),
+        F.col("mean_pixel").cast("double").alias("mean_pixel"),
+        F.col("audio_rate").cast("long").alias("audio_rate"),
+        F.col("audio_seconds").cast("double").alias("audio_seconds"),
+        F.col("audio_rms").cast("double").alias("audio_rms"),
+    )
 
 
 def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2309,6 +2330,74 @@ def oracle_sql() -> dict[str, str]:
         # closed forms (binarize_video docstring): n = 2+d%5, h = 4+d%5,
         # w = 4+d%7, fps 25; sampling every 2nd frame capped at 3; first
         # sampled frame re-encoded as PPM = "P6\\n{w} {h}\\n255\\n"+3hw
+        # every value a pure function of doc_id (or raw text) under the
+        # binarize_* generation contracts — the Spark side must survive
+        # encode -> decode -> measure through the real PPM/WAV codecs.
+        # mean_pixel / audio_rms recompute the generated payloads
+        # directly (range() + the pixel/sine formulas); trunc() mirrors
+        # numpy's astype(int16) truncation toward zero.
+        "multimodal_features": """
+            WITH txt AS (
+                SELECT doc_id, 'text/plain' AS media_type,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                       CAST(NULL AS BIGINT) AS img_width,
+                       CAST(NULL AS BIGINT) AS img_height,
+                       CAST(NULL AS DOUBLE) AS mean_pixel,
+                       CAST(NULL AS BIGINT) AS audio_rate,
+                       CAST(NULL AS DOUBLE) AS audio_seconds,
+                       CAST(NULL AS DOUBLE) AS audio_rms
+                FROM documents
+            ), imgpx AS (
+                -- range() can't correlate in DuckDB: cross-join the
+                -- max pixel count (3*16*9 = 432) and filter per doc
+                SELECT d.doc_id,
+                       avg(CAST((d.doc_id * 31 + t.i) % 256 AS DOUBLE))
+                           AS mean_pixel
+                FROM documents d, range(432) t(i)
+                WHERE t.i < 3 * (4 + d.doc_id % 13) * (3 + d.doc_id % 7)
+                GROUP BY d.doc_id
+            ), img AS (
+                SELECT d.doc_id, 'image/x-portable-pixmap' AS media_type,
+                       CAST(9 + length(CAST(4 + d.doc_id % 13 AS VARCHAR))
+                              + length(CAST(3 + d.doc_id % 7 AS VARCHAR))
+                              + 3 * (4 + d.doc_id % 13) * (3 + d.doc_id % 7)
+                            AS BIGINT) AS n_bytes,
+                       CAST(4 + d.doc_id % 13 AS BIGINT) AS img_width,
+                       CAST(3 + d.doc_id % 7 AS BIGINT) AS img_height,
+                       p.mean_pixel,
+                       CAST(NULL AS BIGINT) AS audio_rate,
+                       CAST(NULL AS DOUBLE) AS audio_seconds,
+                       CAST(NULL AS DOUBLE) AS audio_rms
+                FROM documents d JOIN imgpx p USING (doc_id)
+            ), audrms AS (
+                -- max sample count is 400 + 799 = 1199
+                SELECT d.doc_id,
+                       sqrt(avg(pow(
+                           trunc(sin(2 * pi()
+                                     * (100.0 + (d.doc_id % 37) * 20.0)
+                                     * t.i / 8000.0) * 12000) / 32768.0,
+                           2))) AS audio_rms
+                FROM documents d, range(1200) t(i)
+                WHERE t.i < 400 + d.doc_id % 800
+                GROUP BY d.doc_id
+            ), aud AS (
+                SELECT d.doc_id, 'audio/wav' AS media_type,
+                       CAST(44 + (400 + d.doc_id % 800)
+                               * (1 + d.doc_id % 2) * 2
+                            AS BIGINT) AS n_bytes,
+                       CAST(NULL AS BIGINT) AS img_width,
+                       CAST(NULL AS BIGINT) AS img_height,
+                       CAST(NULL AS DOUBLE) AS mean_pixel,
+                       CAST(8000 AS BIGINT) AS audio_rate,
+                       CAST(400 + d.doc_id % 800 AS DOUBLE) / 8000.0
+                           AS audio_seconds,
+                       r.audio_rms
+                FROM documents d JOIN audrms r USING (doc_id)
+            )
+            SELECT * FROM txt
+            UNION ALL SELECT * FROM img
+            UNION ALL SELECT * FROM aud
+        """,
         "multimodal_video_pipeline": """
             SELECT doc_id,
                    2 + doc_id % 5 AS n_frames,
