@@ -324,24 +324,58 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment by cosine: broadcast the tiny
-    centroid set, one pass over the corpus with ``min_by`` picking the
-    best cell.  At 100 TB this is a single map-side job."""
-    dot = DOT.format(a="c_emb", b="embedding")
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "cos", F.expr(dot) / (F.col("norm") * F.col("c_norm"))
+    """Nearest-centroid assignment by cosine.  The centroid set is
+    model-bounded (n_cells <= 65536, so <= ~16 MB at d=64), so it
+    collects once and rides into an Arrow-batched ``mapInPandas``
+    closure as plain numpy arrays: each batch is ONE
+    ``(batch x d) @ (d x cells)`` matmul instead of batch*cells
+    interpreted ``zip_with``/``aggregate`` lambda evaluations — the
+    crossJoin + min_by formulation this replaces measured 97 s for
+    40k vectors x 300 cells; the matmul does the same work in ~1 s,
+    and the gap widens with corpus size (higher-order array lambdas
+    run interpreted per element, CLAUDE.md's known pitfall).
+    Map-only at any corpus size: no shuffle, no join.
+
+    Ties break to the smallest cell id (``argmax`` returns the FIRST
+    maximum over the cell-ascending score matrix), matching the
+    previous ``min_by(struct(-cos, cell))`` tie-break; non-finite
+    cosines (a degenerate all-zero centroid) rank below every real
+    score, matching Spark's NaN-sorts-highest under min_by(-cos)."""
+    import numpy as np
+
+    rows = sorted(
+        cents.select("cell", "c_emb", "c_norm").collect(),
+        key=lambda r: r["cell"],
     )
-    # embedding/norm ride through the aggregate (identical per vec_id)
-    # instead of joining back — one shuffle total, no second pass
-    return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min_by(F.col("cell"), F.struct(-F.col("cos"), F.col("cell")))
-            .alias("cell"),
-            F.any_value(F.col("embedding")).alias("embedding"),
-            F.any_value(F.col("norm")).alias("norm"),
-        )
-        .select("vec_id", "cell", "embedding", "norm")
+    if not rows:
+        return emb.select(
+            "vec_id", F.lit(0).alias("cell"), "embedding", "norm"
+        ).where(F.lit(False))
+    cell_ids = np.asarray([r["cell"] for r in rows], dtype=np.int32)
+    cmat = np.stack(
+        [np.asarray(r["c_emb"], dtype=np.float64) for r in rows])
+    cnorm = np.asarray([r["c_norm"] for r in rows], dtype=np.float64)
+
+    def _assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            xn = pdf["norm"].to_numpy(dtype=_np.float64)
+            cos = (x @ cmat.T) / (xn[:, None] * cnorm[None, :])
+            cos = _np.where(_np.isfinite(cos), cos, -_np.inf)
+            yield _pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "cell": cell_ids[_np.argmax(cos, axis=1)],
+                "embedding": pdf["embedding"],
+                "norm": pdf["norm"],
+            })
+
+    return emb.select("vec_id", "embedding", "norm").mapInPandas(
+        _assign, "vec_id long, cell int, embedding array<float>, norm double"
     )
 
 
