@@ -679,15 +679,55 @@ class DeltaSparkTable:
             .drop("__norm")
         )
 
+    def version_as_of(self, timestamp) -> int:
+        """Latest committed version whose commit timestamp is at or
+        before ``timestamp`` — the delta-rs ``load_with_datetime``
+        resolution rule, over log metadata only (no data reads).
+        ``timestamp`` is a ``datetime`` (naive means UTC) or epoch
+        milliseconds.  Raises if the table's first commit is later."""
+        from datetime import timezone
+
+        if isinstance(timestamp, datetime):
+            ts = timestamp
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            ts_ms = int(ts.timestamp() * 1000)
+        else:
+            ts_ms = int(timestamp)
+        best = -1
+        earliest = None
+        for info in tablelog.history(self.table_uri):
+            t = int(info.get("timestamp", 0))
+            earliest = t if earliest is None else min(earliest, t)
+            if t <= ts_ms and info["version"] > best:
+                best = info["version"]
+        if best < 0:
+            raise ValueError(
+                f"no commit at or before {timestamp!r} "
+                f"(earliest commit timestamp is {earliest} ms)"
+            )
+        return best
+
     def read(
         self,
         version: Optional[int] = None,
         columns: Optional[Sequence[str]] = None,
         dnf: Optional[Sequence[DnfFilter]] = None,
+        *,
+        timestamp_as_of=None,
     ) -> DataFrame:
         """Lazy scan with log-driven file pruning + pushed-down residual
         predicate + column projection (reference S1/S2, handler.py:519-551,
-        293-317)."""
+        293-317).  ``timestamp_as_of`` resolves to a version via
+        ``version_as_of`` (timestamp-based time travel, the delta-rs
+        ``load_with_datetime`` counterpart to the reference's
+        version-only dial)."""
+        if timestamp_as_of is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass version or timestamp_as_of, not both"
+                )
+            version = self.version_as_of(timestamp_as_of)
         snap = self.snapshot(version)
         files = self.pruned_files(snap, dnf)
         df = self._read_files(snap, files)

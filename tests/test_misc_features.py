@@ -685,3 +685,34 @@ def test_frame_sample_exact_multiple_boundary(spark):
     assert out[1] == (1, [b"x"])
     assert out[2] == (0, [])
     assert out[3] == (2, [b"y", b"y"])
+
+
+def test_timestamp_time_travel(spark, tmp_table):
+    """version_as_of / read(timestamp_as_of=...) — the delta-rs
+    load_with_datetime rule: latest version committed at or before the
+    timestamp, resolved from log metadata alone."""
+    import time
+    from datetime import datetime, timezone
+
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(spark.range(3).withColumnRenamed("id", "a"), WriteMode.error)
+    ts0 = int(t.history(limit=1)[0]["timestamp"])
+    time.sleep(0.02)  # distinct commit milliseconds
+    t.write(spark.range(5).withColumnRenamed("id", "a"), WriteMode.append)
+    ts1 = int(t.history(limit=1)[0]["timestamp"])
+
+    assert t.version_as_of(ts0) == 0
+    assert t.version_as_of(ts1) == 1
+    assert t.version_as_of(ts1 + 10_000) == 1  # after head -> head
+    assert t.read(timestamp_as_of=ts0).count() == 3
+    assert t.read(timestamp_as_of=ts1).count() == 8
+
+    # datetime forms: aware, and naive-means-UTC
+    aware = datetime.fromtimestamp(ts0 / 1000, tz=timezone.utc)
+    assert t.version_as_of(aware) == 0
+    assert t.version_as_of(aware.replace(tzinfo=None)) == 0
+
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.version_as_of(ts0 - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, timestamp_as_of=ts0)
