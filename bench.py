@@ -67,6 +67,7 @@ def main() -> None:
         "row_dml_stages",
         "incr_rollup_maintain",
         "ann_index_maintain",
+        "lsh_index_maintain",
         # streaming ingest near-dup filter (3 micro-batches), staged:
         # the ~7 s streaming-engine + fixture fixed cost masked probe
         # regressions behind one number, so the line reports the
@@ -245,6 +246,27 @@ def main() -> None:
         incr.maintain_ivf_index(base, index)
         index.read().write.mode("overwrite").format("noop").save()
 
+    def _lsh_maint_setup(spark, d):
+        # same shape as the ANN line: bootstrap bucket index + one
+        # appended 1/3 delta untimed, time ONE maintenance fold
+        from dagster_delta_spark.operators import incremental as incr
+
+        src = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "text")
+        base = DeltaSparkTable(spark, entry._scratch("bench-lsh-base"))
+        index = DeltaSparkTable(spark, entry._scratch("bench-lsh-idx"))
+        base.write(src.where("doc_id % 3 < 2"), WriteMode.error)
+        incr.build_lsh_index(base, index)
+        base.write(src.where("doc_id % 3 = 2"), WriteMode.append)
+        return base, index
+
+    def _lsh_maint_run(spark, ctx):
+        from dagster_delta_spark.operators import incremental as incr
+
+        base, index = ctx
+        incr.maintain_lsh_index(base, index)
+        index.read().write.mode("overwrite").format("noop").save()
+
     staged = {
         "m3_upsert": (_m3_setup, _m3_run),
         "w3_partition_overwrite": (_w3_setup, _w3_run),
@@ -252,6 +274,7 @@ def main() -> None:
         "row_dml_stages": (_dml_setup, _dml_run),
         "incr_rollup_maintain": (_incr_setup, _incr_run),
         "ann_index_maintain": (_ann_maint_setup, _ann_maint_run),
+        "lsh_index_maintain": (_lsh_maint_setup, _lsh_maint_run),
     }
 
     # Since r7 the rows-only registry entries wrap their operators in

@@ -1,4 +1,6 @@
-"""Incremental materialized-aggregate maintenance over the table log.
+"""Incremental maintenance over the table log: materialized
+aggregates, the IVF ANN index, and the MinHash-LSH bucket index all
+fold CDC deltas instead of rescanning their base tables.
 
 The 100 TB problem: a downstream rollup (revenue by dimension, token
 totals by source, ...) over an append-mostly fact table should not be
@@ -112,6 +114,117 @@ def maintain_rollup(
     return head
 
 
+def _resume_version(index: DeltaSparkTable) -> tuple[int, dict]:
+    """Processed base version + full metadata from the index table's
+    last commit — the resume point every maintain_* entry point shares."""
+    meta = index.history(limit=1)[0].get("userMetadata") or {}
+    if "base_version" not in meta:
+        raise ValueError(
+            "index table carries no base_version metadata — was it "
+            "created by its build_* function?"
+        )
+    return int(meta["base_version"]), meta
+
+
+def _lsh_doc_buckets(docs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, text) -> LSH bucket membership (doc_id, band, h) via
+    the SHARED shingle/signature/banding primitives (dedup.py), so the
+    persisted index can never band differently from the batch
+    operators or the streaming ingest filter.  Docs too short to
+    shingle (< 3 tokens) emit no rows on every path alike."""
+    from .dedup import _signatures_from_stream, band_buckets, shingles_of
+
+    sigs = _signatures_from_stream(shingles_of(docs), num_hashes)
+    return band_buckets(sigs, num_hashes, bands).select("doc_id", "band", "h")
+
+
+def build_lsh_index(
+    docs: DeltaSparkTable,
+    index: DeltaSparkTable,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> int:
+    """Bootstrap a persisted MinHash-LSH bucket index over a
+    TRANSACTIONAL documents table — the durable counterpart of the
+    session-cached ``minhash_bucket_index`` (and the batch twin of the
+    streaming ingest filter's bucket table).  Banding parameters land
+    in the commit metadata so maintenance reads them back instead of
+    trusting callers to repeat them.  Returns the processed base
+    version.
+
+    The index is stored UNTRUNCATED: hot-bucket caps
+    (``_truncate_buckets``) are a query-time candidate-generation
+    dial, not an index property — capping here would silently limit
+    every future consumer."""
+    head = docs.version()
+    buckets = _lsh_doc_buckets(
+        docs.read().select("doc_id", "text"), num_hashes, bands)
+    index.write(
+        buckets,
+        commit_metadata={
+            "base_version": str(head),
+            "num_hashes": str(num_hashes),
+            "bands": str(bands),
+        },
+    )
+    return head
+
+
+def maintain_lsh_index(
+    docs: DeltaSparkTable,
+    index: DeltaSparkTable,
+    since_version: Optional[int] = None,
+) -> int:
+    """Fold document appends ``(since_version, head]`` into the LSH
+    bucket index: shingle/sign/band ONLY the new documents (with the
+    banding parameters recorded at build time) and append their bucket
+    rows.  ``since_version=None`` resumes from the index's own commit
+    metadata.  Cost is O(delta); the indexed corpus is never
+    re-shingled.  Base rewrites raise (``read_changes`` — ghost bucket
+    rows would poison every downstream candidate join; rebuild
+    instead); compaction-only ranges are a metadata no-op, safe for
+    the same reason as the IVF path.  Returns the new processed base
+    version."""
+    v_meta, meta = _resume_version(index)
+    v0 = v_meta if since_version is None else since_version
+    num_hashes = int(meta.get("num_hashes", 64))
+    bands = int(meta.get("bands", 16))
+    head = docs.version()
+    if head <= v0:
+        return v0
+    delta = docs.read_changes(v0, head)
+    buckets = _lsh_doc_buckets(
+        delta.select("doc_id", "text"), num_hashes, bands)
+    if buckets.isEmpty():
+        return head
+    index.write(
+        buckets,
+        WriteMode.append,
+        commit_metadata={"base_version": str(head),
+                         "num_hashes": str(num_hashes),
+                         "bands": str(bands)},
+    )
+    return head
+
+
+def lsh_index_vs_rebuild(
+    docs: DeltaSparkTable, index: DeltaSparkTable
+) -> DataFrame:
+    """Audit helper: re-derive the full bucket membership from the
+    current snapshot (same banding parameters, from the index
+    metadata) and return the symmetric difference against the stored
+    index — empty == the incrementally-maintained index is exactly
+    what a from-scratch build would produce."""
+    _, meta = _resume_version(index)
+    fresh = _lsh_doc_buckets(
+        docs.read().select("doc_id", "text"),
+        int(meta.get("num_hashes", 64)), int(meta.get("bands", 16)))
+    stored = index.read().select("doc_id", "band", "h")
+    return fresh.exceptAll(stored).withColumn("side", F.lit("missing")) \
+        .unionByName(
+            stored.exceptAll(fresh).withColumn("side", F.lit("ghost")))
+
+
 def _ivf_centroids_table(index: DeltaSparkTable) -> DeltaSparkTable:
     """The index's coarse-quantizer centroids live in a sibling table
     (assignments and centroids have different schemas and wildly
@@ -185,13 +298,7 @@ def maintain_ivf_index(
     from .similarity import _assign_cells, _with_norm
 
     if since_version is None:
-        meta = index.history(limit=1)[0].get("userMetadata") or {}
-        if "base_version" not in meta:
-            raise ValueError(
-                "index table carries no base_version metadata — was it "
-                "created by build_ivf_index?"
-            )
-        since_version = int(meta["base_version"])
+        since_version, _ = _resume_version(index)
     head = emb.version()
     if head <= since_version:
         return since_version
