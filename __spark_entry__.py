@@ -1335,6 +1335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (displaces token_stats past the cap — its r6 green record
         # stands)
         "lsh_index_maintain": lsh_index_maintain,
+        # NEW in r8: global-token-budget corpus sampling via a
+        # two-level prefix sum (oracle-backed; displaces decontaminate
+        # past the cap — its r6 green record stands)
+        "token_budget_sample": curation.token_budget_sample,
         # CONVERTED this round to oracle-backed closed forms (the
         # video-pipeline technique); conversion re-demands a green row
         "multimodal_features": mm_features,
@@ -2950,6 +2954,28 @@ def oracle_sql() -> dict[str, str]:
                                              doc_id ASC) AS rnk
                 FROM scored
             ) WHERE rnk <= 100
+        """,
+        # the global-window cumsum is fine for DuckDB at oracle scale;
+        # the Spark side computes the SAME order (the bucket is a
+        # monotone prefix split of k) via a two-level prefix sum
+        "token_budget_sample": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS k
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY k, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS pre_total
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(pre_total AS BIGINT) AS pre_total,
+                   pre_total < 20000 AS kept
+            FROM c
         """,
         "temperature_mixture_sample": """
             WITH stats AS (

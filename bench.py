@@ -93,6 +93,7 @@ def main() -> None:
         "winnow_repeated_spans",
         "strip_repeated_spans",
         "corpus_shuffle",
+        "token_budget_sample",
         "dsir_importance_sample",
         "duplicate_components",
         "nb_classifier_scores",

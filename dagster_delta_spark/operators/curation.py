@@ -866,3 +866,81 @@ def quality_balanced_prune(
         "cutoff",
         (F.col("qscore") >= F.col("cutoff")).alias("kept"),
     )
+
+
+def token_budget_sample(
+    spark: SparkSession, sf_dir: str, budget_tokens: int = 20_000,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Sample documents in a deterministic shuffled order until a
+    GLOBAL token budget is reached — the standard "give me N tokens of
+    this corpus" downsampling step before a training run.  A document
+    is kept iff the running token total BEFORE it (in md5-of-doc_id
+    order, the engine-portable shuffle every sampling operator here
+    uses) is still under the budget, so exactly one document straddles
+    the boundary and the selection is reproducible across runs,
+    engines, and retries.
+
+    Scale shape — a global running sum WITHOUT a global window: a
+    naive ``Window.orderBy(key)`` collapses the corpus into one
+    partition.  Instead the order key's hex prefix buckets the corpus
+    (ordering by ``(bucket, key)`` == ordering by ``key``, since the
+    bucket IS a prefix of the key), per-bucket token sums aggregate to
+    a ``buckets``-row frame whose exclusive prefix sum broadcasts
+    back, and the intra-bucket running sum is a window WITHIN each
+    bucket — the classic two-level prefix sum: one tiny aggregate +
+    one partitioned window, no single-partition stage at any corpus
+    size.
+
+    Output: ``(doc_id, n_tokens, pre_total, kept)`` for every doc —
+    the full assignment, so capped tails are auditable (the
+    no-silent-caps rule)."""
+    from pyspark.sql.window import Window
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens={budget_tokens} must be >= 0")
+    if not 1 <= buckets <= 4096:
+        raise ValueError(f"buckets={buckets} must be in [1, 4096]")
+    # 3 hex chars cover 4096 buckets; taking a PREFIX of the order key
+    # keeps (bucket, key) ordering identical to key ordering
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"size({TOKENS})").cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    ).withColumn(
+        # MONOTONE range split of the 3-hex-char prefix (0..4095):
+        # floor(prefix * buckets / 4096).  A modulo here would break
+        # the (bucket, key) == (key) ordering equivalence the
+        # two-level prefix sum rests on.
+        "bucket",
+        F.expr(
+            "CAST(conv(substring(k, 1, 3), 16, 10) AS BIGINT) "
+            f"* {buckets} DIV 4096"
+        ),
+    )
+    per_bucket = docs.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens"))
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the offsets frame is <= `buckets` rows — the single-partition
+    # window is over THAT, not the corpus
+    offsets = per_bucket.withColumn(
+        "offset", F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)))
+    wi = (
+        Window.partitionBy("bucket").orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.withColumn(
+            "intra_pre", F.coalesce(F.sum("n_tokens").over(wi), F.lit(0)))
+        .join(F.broadcast(offsets.select("bucket", "offset")), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("offset") + F.col("intra_pre")).alias("pre_total"),
+            ((F.col("offset") + F.col("intra_pre"))
+             < F.lit(budget_tokens)).alias("kept"),
+        )
+    )

@@ -592,3 +592,43 @@ def test_quality_balanced_prune_per_source_quota(spark, tmp_path):
 
     with pytest.raises(ValueError, match="keep_frac"):
         quality_balanced_prune(spark, sf, keep_frac=0.0)
+
+
+def test_token_budget_sample_prefix_semantics(spark):
+    """kept == running-total-before-doc < budget, the running total is
+    a consistent prefix sum in md5 order, and the bucketed two-level
+    plan equals the single-bucket (trivially global) plan."""
+    from dagster_delta_spark.operators.curation import token_budget_sample
+
+    sf = "/root/testdata/sf0.001"
+    rows = token_budget_sample(spark, sf, budget_tokens=5000).collect()
+    rows.sort(key=lambda r: r["pre_total"])
+    run = 0
+    for r in rows:
+        assert r["pre_total"] == run
+        assert r["kept"] == (run < 5000)
+        run += r["n_tokens"]
+    kept_tokens = sum(r["n_tokens"] for r in rows if r["kept"])
+    # exactly one straddler: total kept crosses the budget by < one doc
+    assert kept_tokens >= 5000
+    assert kept_tokens - 5000 < max(r["n_tokens"] for r in rows)
+
+    single = {(r["doc_id"], r["pre_total"], r["kept"])
+              for r in token_budget_sample(spark, sf, 5000, buckets=1).collect()}
+    assert single == {(r["doc_id"], r["pre_total"], r["kept"]) for r in rows}
+
+
+def test_token_budget_sample_edges(spark):
+    import pytest as _pytest
+
+    from dagster_delta_spark.operators.curation import token_budget_sample
+
+    sf = "/root/testdata/sf0.001"
+    none = token_budget_sample(spark, sf, budget_tokens=0)
+    assert none.where("kept").count() == 0
+    allof = token_budget_sample(spark, sf, budget_tokens=10**12)
+    assert allof.where("NOT kept").count() == 0
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_sample(spark, sf, budget_tokens=-1)
+    with _pytest.raises(ValueError, match="buckets"):
+        token_budget_sample(spark, sf, buckets=0)
