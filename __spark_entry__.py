@@ -1339,6 +1339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-level prefix sum (oracle-backed; displaces decontaminate
         # past the cap — its r6 green record stands)
         "token_budget_sample": curation.token_budget_sample,
+        # NEW in r8: interpolated bigram-LM perplexity (oracle-backed;
+        # displaces lang_id past the cap — its r6 green record stands)
+        "bigram_perplexity": textops.bigram_perplexity,
         # CONVERTED this round to oracle-backed closed forms (the
         # video-pipeline technique); conversion re-demands a green row
         "multimodal_features": mm_features,
@@ -2954,6 +2957,45 @@ def oracle_sql() -> dict[str, str]:
                                              doc_id ASC) AS rnk
                 FROM scored
             ) WHERE rnk <= 100
+        """,
+        # interpolation weights written as (1.0 - 0.7), not 0.3 — the
+        # Spark side computes the complement in doubles and the two
+        # literals differ in the last ulp
+        "bigram_perplexity": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(range(0, len({_TOK}))) AS pos,
+                       unnest({_TOK}) AS tok
+                FROM documents
+            ), bi AS (
+                SELECT doc_id, tok, nxt FROM (
+                    SELECT doc_id, tok,
+                           lead(tok) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS nxt
+                    FROM toks
+                ) WHERE nxt IS NOT NULL
+            ), uni AS (
+                SELECT tok, count(*) AS c_uni FROM toks GROUP BY tok
+            ), big AS (
+                SELECT tok, nxt, count(*) AS c_big FROM bi
+                GROUP BY tok, nxt
+            ), tot AS (
+                SELECT sum(c_uni) AS n_corpus FROM uni
+            )
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   avg(-ln(0.7 * g.c_big / cu.c_uni
+                           + (1.0 - 0.7) * nu.c_uni / t.n_corpus))
+                       AS avg_neg_logprob,
+                   exp(avg(-ln(0.7 * g.c_big / cu.c_uni
+                               + (1.0 - 0.7) * nu.c_uni / t.n_corpus)))
+                       AS perplexity
+            FROM bi b
+            JOIN big g ON g.tok = b.tok AND g.nxt = b.nxt
+            JOIN uni cu ON cu.tok = b.tok
+            JOIN uni nu ON nu.tok = b.nxt
+            CROSS JOIN tot t
+            GROUP BY b.doc_id
         """,
         # the global-window cumsum is fine for DuckDB at oracle scale;
         # the Spark side computes the SAME order (the bucket is a

@@ -82,6 +82,7 @@ def main() -> None:
         "fuzzy_dedup_unique_names",
         "bloom_decontaminate",
         "text_quality",
+        "bigram_perplexity",
         "fingerprint",
         "minhash_lsh_near_dups",
         "simhash_near_dups",

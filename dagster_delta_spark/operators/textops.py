@@ -545,3 +545,68 @@ def heavy_hitter_tokens(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") > F.lit(n_total) / F.lit(float(k)))
     )
+
+
+def bigram_perplexity(
+    spark: SparkSession, sf_dir: str, lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram-LM perplexity per document — the step up
+    from ``unigram_quality`` toward the KenLM-style quality filters
+    production pipelines run: the corpus trains its own bigram +
+    unigram model, and each document scores
+    ``exp(-avg log(lam * P(w|v) + (1-lam) * P(w)))`` over its bigram
+    stream (docs with fewer than 2 tokens carry no bigrams and drop
+    out, like every shingle-based operator).  Repetitive/templated
+    text scores low perplexity, junk scores high — both tails are
+    filter targets.
+
+    Shape: positional explode once; the bigram stream derives via one
+    per-doc ``lead`` window; model counts are two map-side-combined
+    aggregates (token and token-pair); scoring joins the doc bigram
+    stream to the pair counts (shuffle on the pair), the context and
+    next-token unigram counts (AQE absorbs stopword-grade skew — the
+    count side is one row per token), and the 1-row corpus total
+    broadcasts.  Linear in corpus tokens, no Python in the plan, and
+    the model is never driver-materialized — at 100 TB the
+    vocabulary² pair space stays distributed."""
+    from pyspark.sql.window import Window
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam={lam} must be in [0, 1]")
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", "tok", "nxt")
+    )
+    # checkpoint both model sides: the scoring joins and the scalar
+    # total would otherwise re-tokenize the corpus per branch
+    uni = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+        .localCheckpoint(eager=False)
+    )
+    big = (
+        bi.groupBy("tok", "nxt").agg(F.count(F.lit(1)).alias("c_big"))
+        .localCheckpoint(eager=False)
+    )
+    total = uni.agg(F.sum("c_uni").alias("n_corpus"))
+    p = (
+        F.lit(lam) * F.col("c_big") / F.col("c_ctx")
+        + F.lit(1.0 - lam) * F.col("c_nxt") / F.col("n_corpus")
+    )
+    return (
+        bi.join(big, ["tok", "nxt"])
+        .join(uni.select(F.col("tok").alias("nxt"),
+                         F.col("c_uni").alias("c_nxt")), "nxt")
+        .join(uni.select("tok", F.col("c_uni").alias("c_ctx")), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.avg(-F.log(p)).alias("avg_neg_logprob"),
+        )
+        .withColumn("perplexity", F.exp("avg_neg_logprob"))
+    )

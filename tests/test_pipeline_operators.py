@@ -1315,3 +1315,38 @@ def test_bipartite_components_matches_union_find_fuzz(spark):
             ).collect()
         }
         assert got == want, (seed, got, want)
+
+
+def test_bigram_perplexity_hand_computed(spark, tmp_path):
+    """Exact interpolated probabilities on a 2-doc corpus, plus the
+    lam=0 unigram-only reduction and argument validation."""
+    import math
+
+    from dagster_delta_spark.operators.textops import bigram_perplexity
+
+    dd = tmp_path / "bp"
+    dd.mkdir()
+    spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    ).write.parquet(str(dd / "documents.parquet"))
+
+    rows = {r["doc_id"]: r for r in bigram_perplexity(spark, str(dd)).collect()}
+    # corpus: uni a:3 b:2 solo:1 (N=6); bigrams (a,b):2 (b,a):1
+    p_ab = 0.7 * 2 / 3 + 0.3 * 2 / 6
+    p_ba = 0.7 * 1 / 2 + 0.3 * 3 / 6
+    assert rows[1]["n_bigrams"] == 2
+    want1 = -(math.log(p_ab) + math.log(p_ba)) / 2
+    assert abs(rows[1]["avg_neg_logprob"] - want1) < 1e-12
+    assert abs(rows[1]["perplexity"] - math.exp(want1)) < 1e-12
+    assert rows[2]["n_bigrams"] == 1
+    assert abs(rows[2]["avg_neg_logprob"] + math.log(p_ab)) < 1e-12
+    assert 3 not in rows  # single-token doc has no bigrams
+
+    uni_only = {r["doc_id"]: r for r in
+                bigram_perplexity(spark, str(dd), lam=0.0).collect()}
+    want_uni = -(math.log(2 / 6) + math.log(3 / 6)) / 2
+    assert abs(uni_only[1]["avg_neg_logprob"] - want_uni) < 1e-12
+
+    with pytest.raises(ValueError, match="lam"):
+        bigram_perplexity(spark, str(dd), lam=1.5)
