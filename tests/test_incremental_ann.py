@@ -156,3 +156,68 @@ def test_audit_catches_tampered_assignment(spark, tmp_path):
     )
     index.write(tampered, WriteMode.overwrite)
     assert ivf_index_vs_rebuild(emb, index).count() == 1
+
+
+def test_maintenance_fuzz_random_commit_sequences(spark, tmp_path):
+    """Model check over random commit sequences: after every base
+    commit, maintenance must either refuse (iff a rewrite landed since
+    the last processed version) or leave the index exactly equal to a
+    from-scratch rebuild.  Covers append runs, interleaved
+    compactions, and rewrite recovery for BOTH index families."""
+    import random
+
+    from dagster_delta_spark.operators.incremental import (
+        build_lsh_index,
+        ivf_index_vs_rebuild,
+        lsh_index_vs_rebuild,
+        maintain_lsh_index,
+    )
+
+    rng = random.Random(1234)
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    ivf = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    docs = DeltaSparkTable(spark, str(tmp_path / "docs"))
+    lsh = DeltaSparkTable(spark, str(tmp_path / "lsh"))
+
+    def docs_df(ids):
+        rows = [(int(i), " ".join(
+            f"w{(i * 11 + j) % 40}" for j in range(12))) for i in ids]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    emb.write(_emb_df(spark, range(20), seed=0), WriteMode.error)
+    docs.write(docs_df(range(20)), WriteMode.error)
+    build_ivf_index(emb, ivf, n_cells=4)
+    build_lsh_index(docs, lsh, num_hashes=16, bands=4)
+    next_id = 20
+    dirty = False  # a rewrite landed since the indexes were last valid
+
+    for step in range(12):
+        op = rng.choice(["append", "append", "optimize", "rewrite"])
+        if op == "append":
+            ids = range(next_id, next_id + rng.randrange(1, 8))
+            next_id = ids.stop
+            emb.write(_emb_df(spark, ids, seed=step + 1), WriteMode.append)
+            docs.write(docs_df(ids), WriteMode.append)
+        elif op == "optimize":
+            emb.optimize()
+            docs.optimize()
+        else:
+            keep = range(0, rng.randrange(5, next_id))
+            emb.write(_emb_df(spark, keep, seed=99), WriteMode.overwrite)
+            docs.write(docs_df(keep), WriteMode.overwrite)
+            dirty = True
+
+        if dirty:
+            with pytest.raises(ValueError, match="rewrite"):
+                maintain_ivf_index(emb, ivf)
+            with pytest.raises(ValueError, match="rewrite"):
+                maintain_lsh_index(docs, lsh)
+            if rng.random() < 0.5:
+                build_ivf_index(emb, ivf, n_cells=4)
+                build_lsh_index(docs, lsh, num_hashes=16, bands=4)
+                dirty = False
+        else:
+            maintain_ivf_index(emb, ivf)
+            maintain_lsh_index(docs, lsh)
+            assert ivf_index_vs_rebuild(emb, ivf).count() == 0
+            assert lsh_index_vs_rebuild(docs, lsh).count() == 0
