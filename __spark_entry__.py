@@ -735,6 +735,57 @@ def minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_near_dups(spark, sf_dir)
 
 
+def _near_dup_decon(spark, sf_dir):
+    """Fuzzy (MinHash-candidate, exactly-verified) decontamination.
+    Guard: on a planted corpus a PARAPHRASE of an eval document
+    (suffix-extended — most word trigrams survive, exact 8-gram
+    decontamination of the tail region changes) must be flagged, while
+    a planted nonce document sharing no shingle with anything must NOT
+    be; soundness is asserted over the whole output (every reported
+    jaccard within [threshold, 1])."""
+    docs = relational.load(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+    src = (
+        docs.where((F.col("doc_id") % 17 == 3) & (F.length("text") > 100))
+        .orderBy(F.length("text").desc(), F.asc("doc_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    para_id, nonce_id = 10**9 + 1, 10**9 + 2
+    id_type = dict(docs.dtypes)["doc_id"]
+    plants = spark.createDataFrame(
+        [(para_id, src["text"] + " zq paraphrase suffix marker words"),
+         (nonce_id, " ".join(f"zxnonce{i}" for i in range(40)))],
+        "doc_id long, text string",
+    ).select(F.col("doc_id").cast(id_type).alias("doc_id"), "text")
+    flagged = curation.near_dup_decontaminate(
+        spark, sf_dir, docs=docs.unionByName(plants)
+    ).localCheckpoint()
+    rows = {
+        r["doc_id"]: r
+        for r in flagged.where(
+            F.col("doc_id").isin(para_id, nonce_id)).collect()
+    }
+    if para_id not in rows or rows[para_id]["jaccard"] < 0.5:
+        raise AssertionError(
+            f"near_dup_decontaminate missed the planted paraphrase of "
+            f"eval doc {src['doc_id']}: {rows.get(para_id)}"
+        )
+    if nonce_id in rows:
+        raise AssertionError(
+            f"near_dup_decontaminate flagged the shingle-disjoint "
+            f"nonce doc: {rows[nonce_id]}"
+        )
+    bad = flagged.where(
+        (F.col("jaccard") < 0.5) | (F.col("jaccard") > 1.0001)).count()
+    if bad:
+        raise AssertionError(
+            f"near_dup_decontaminate soundness violated: {bad} rows "
+            f"outside [threshold, 1]"
+        )
+    return curation.near_dup_decontaminate(spark, sf_dir)
+
+
 def _minhash_cluster(spark, sf_dir):
     """Cluster-level dedup.  Guard: structural contract of the output
     itself — every cluster has EXACTLY one keeper, the keeper is the
@@ -1347,6 +1398,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": mm_features,
         # changed THIS round: distributed candidate thresholding
         "heavy_hitter_tokens": textops.heavy_hitter_tokens,
+        # NEW in r8 (late): fuzzy decontamination — MinHash-banded
+        # candidates against the broadcast eval set, exactly-verified
+        # trigram Jaccard (rows-only + planted-paraphrase recall +
+        # nonce soundness guards; displaces pack_sequences past the
+        # cap — its r6 green record stands)
+        "near_dup_decontaminate": _near_dup_decon,
         # similarity.py changed this round (kmeans refactor + PCA
         # persistence): the ANN/embedding family re-records, stalest
         # first (ann_lsh/near_dups_lsh/ann_recall r5, kmeans r6)

@@ -81,6 +81,7 @@ def main() -> None:
         "heavy_hitter_tokens",
         "fuzzy_dedup_unique_names",
         "bloom_decontaminate",
+        "near_dup_decontaminate",
         "text_quality",
         "bigram_perplexity",
         "fingerprint",
@@ -285,6 +286,7 @@ def main() -> None:
     # time the OPERATOR: correctness enforcement lives in the driver
     # record and pytest, not in the throughput number.
     from dagster_delta_spark.operators import classify as _classify
+    from dagster_delta_spark.operators import curation as _curation
     from dagster_delta_spark.operators import dedup as _dedup
     from dagster_delta_spark.operators import similarity as _sim
     from dagster_delta_spark.operators.fuzzy import fuzzy_self_join
@@ -296,6 +298,7 @@ def main() -> None:
         return fuzzy_self_join(docs, "key", "s")
 
     direct = {
+        "near_dup_decontaminate": _curation.near_dup_decontaminate,
         "minhash_lsh_near_dups": _dedup.minhash_lsh_near_dups,
         "simhash_near_dups": _dedup.simhash_near_dups,
         "ann_lsh_topk": _sim.lsh_ann_topk,

@@ -172,6 +172,123 @@ def bloom_decontaminate(
     )
 
 
+def near_dup_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_set: DataFrame = None,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    docs: DataFrame = None,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag corpus documents whose
+    word-trigram Jaccard similarity to ANY eval document reaches
+    ``threshold`` — the near-duplicate complement of ``decontaminate``
+    (exact n-gram overlap misses paraphrased eval leakage: reorder a
+    clause and every 8-gram changes, but most trigram shingles
+    survive).  Returns one row per flagged corpus document:
+    ``(doc_id, matched_eval_id, jaccard)`` with the best-matching eval
+    document (ties break on the smaller eval id).
+
+    Plan — the corpus side is touched exactly the way the batch LSH
+    dedup family touches it, via the SHARED primitives (shingle
+    stream, ``_signatures_from_stream``, ``band_buckets`` — this
+    operator can never band differently from ``minhash_lsh_near_dups``
+    or the streaming ingest filter):
+
+    1. MinHash signatures for both sides; the eval side is thousands
+       of documents by construction, so its banded bucket table
+       broadcasts.
+    2. Corpus bands hash-join the broadcast eval buckets — candidate
+       (doc, eval) pairs are bucket collisions only, never a cross
+       product; the corpus cost is the linear signature scan.
+    3. Exact verification: candidate-restricted shingle intersection
+       against the (broadcast) eval shingle stream re-derives TRUE
+       Jaccard, so every emitted pair is exactly-verified — LSH only
+       bounds recall (a >= threshold pair missing every band is
+       unreported, the standard LSH tradeoff; at the 64/16 defaults a
+       0.7-Jaccard paraphrase collides in some band with p ~ 0.98).
+
+    ``eval_set`` defaults to the same deterministic stand-in as
+    ``decontaminate`` (``doc_id % 17 == 3``), whose members flag
+    themselves at Jaccard 1.0.  ``docs`` overrides the corpus frame
+    (guard fixtures plant paraphrases through it); overriding either
+    side bypasses the session shingle/signature caches.
+
+    At 100 TB: eval buckets and eval shingles stay broadcast-size;
+    corpus-side work is one linear signature pass plus a verify join
+    restricted to bucket-colliding docs.  No stage is quadratic in the
+    corpus."""
+    from pyspark.sql.window import Window
+
+    from .dedup import (
+        _shingle_sizes,
+        _shingle_stream,
+        _signatures_from_stream,
+        band_buckets,
+        shingles_of,
+    )
+
+    if docs is None:
+        docs = load(spark, sf_dir, "documents")
+        corpus_sh = _shingle_stream(spark, sf_dir)  # session-cached
+    else:
+        corpus_sh = shingles_of(docs)
+    if eval_set is None:
+        eval_set = docs.where(F.col("doc_id") % 17 == 3)
+    # small by construction; feeds banding AND the verify join
+    eval_sh = shingles_of(eval_set).localCheckpoint()
+    cand = (
+        band_buckets(_signatures_from_stream(corpus_sh, num_hashes),
+                     num_hashes, bands)
+        .join(
+            F.broadcast(
+                band_buckets(_signatures_from_stream(eval_sh, num_hashes),
+                             num_hashes, bands)
+                .withColumnRenamed("doc_id", "eval_id")
+            ),
+            ["band", "h"],
+        )
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    inter = (
+        corpus_sh.join(cand, "doc_id")
+        .join(
+            F.broadcast(
+                eval_sh.select(F.col("doc_id").alias("eval_id"), "sh")
+            ),
+            ["eval_id", "sh"],
+        )
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    esizes = eval_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_eval_sh")
+    ).withColumnRenamed("doc_id", "eval_id")
+    best = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("eval_id")
+    )
+    return (
+        inter.join(_shingle_sizes(corpus_sh), "doc_id")
+        .join(F.broadcast(esizes), "eval_id")
+        .withColumn(
+            "jaccard",
+            (F.col("n_common")
+             / (F.col("n_sh") + F.col("n_eval_sh") - F.col("n_common")))
+            .cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .withColumn("rnk", F.row_number().over(best))
+        .where(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            F.col("eval_id").alias("matched_eval_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 # deliberately simple, RE2-compatible patterns (both Spark's Java regex
 # and DuckDB's RE2 agree on them) so the redaction is oracle-checkable;
 # production swaps in its compliance-approved pattern pack

@@ -632,3 +632,75 @@ def test_token_budget_sample_edges(spark):
         token_budget_sample(spark, sf, budget_tokens=-1)
     with _pytest.raises(ValueError, match="buckets"):
         token_budget_sample(spark, sf, buckets=0)
+
+
+def test_near_dup_decontaminate_exact_jaccard(spark, tmp_path):
+    """Hand-computed trigram Jaccard on crafted docs: the paraphrase
+    (one appended token) scores 6/7 against the eval doc, the eval doc
+    self-matches at 1.0, and a shingle-disjoint doc is never flagged."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.operators.curation import near_dup_decontaminate
+
+    rows = [
+        (1, "a1 b2 c3 d4 e5 f6 g7 h8", "en", "eval", 1),   # 6 trigrams
+        (2, "a1 b2 c3 d4 e5 f6 g7 h8 x9", "en", "web", 1),  # +1 new trigram
+        (3, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "web", 1),     # disjoint
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{d}/documents.parquet").select(
+        "doc_id", "text")
+    out = {
+        r["doc_id"]: r
+        for r in near_dup_decontaminate(
+            spark, d, eval_set=docs.where(F.col("doc_id") == 1),
+            docs=docs, threshold=0.5,
+        ).collect()
+    }
+    assert out[1]["jaccard"] == 1.0 and out[1]["matched_eval_id"] == 1
+    assert out[2]["matched_eval_id"] == 1
+    assert out[2]["jaccard"] == pytest.approx(6 / 7, abs=1e-6)
+    assert 3 not in out
+
+
+def test_near_dup_decontaminate_threshold(spark, tmp_path):
+    """Raising the threshold above the true Jaccard removes the pair —
+    the exact verify stage, not the LSH probe, draws the line."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.operators.curation import near_dup_decontaminate
+
+    rows = [
+        (1, "a1 b2 c3 d4 e5 f6 g7 h8", "en", "eval", 1),
+        (2, "a1 b2 c3 d4 e5 f6 g7 h8 x9", "en", "web", 1),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{d}/documents.parquet").select(
+        "doc_id", "text")
+    out = near_dup_decontaminate(
+        spark, d, eval_set=docs.where(F.col("doc_id") == 1),
+        docs=docs, threshold=0.9,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_near_dup_decontaminate_best_match_and_default_eval(spark, tmp_path):
+    """With two eval docs the flagged doc reports its BEST match (and
+    ties break on the smaller eval id); the default eval set is the
+    deterministic doc_id % 17 == 3 stand-in."""
+    from dagster_delta_spark.operators.curation import near_dup_decontaminate
+
+    rows = [
+        # doc 3 and doc 20 are both eval (doc_id % 17 == 3)
+        (3, "a1 b2 c3 d4 e5 f6 g7 h8", "en", "eval", 1),
+        (20, "a1 b2 c3 d4 e5 f6 q1 q2 q3", "en", "eval", 1),
+        # closer to doc 3 (6/7) than to doc 20
+        (2, "a1 b2 c3 d4 e5 f6 g7 h8 x9", "en", "web", 1),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in near_dup_decontaminate(spark, d, threshold=0.3).collect()
+    }
+    assert out[2]["matched_eval_id"] == 3
+    assert out[3]["jaccard"] == 1.0 and out[20]["jaccard"] == 1.0

@@ -851,6 +851,22 @@ def test_rows_only_entry_guards_fire(spark, monkeypatch):
            lambda img, h, w: img,
            entry.mm_features, "wrong shape")
 
+    from dagster_delta_spark.operators import curation
+
+    real_ndd = curation.near_dup_decontaminate
+    expect(curation, "near_dup_decontaminate",
+           lambda s, d, **kw: real_ndd(s, d, **kw).where(
+               F.col("doc_id") < 10**9),
+           entry._near_dup_decon, "missed the planted paraphrase")
+    # the soundness side: an operator leaking a sub-threshold pair
+    # into its output must also die
+    expect(curation, "near_dup_decontaminate",
+           lambda s, d, **kw: real_ndd(s, d, **kw).unionByName(
+               s.createDataFrame(
+                   [(12345, 3, 0.01)],
+                   "doc_id bigint, matched_eval_id bigint, jaccard double")),
+           entry._near_dup_decon, "soundness violated")
+
 
 def test_winnowing_guarantee_and_edges(spark, tmp_path):
     """The MOSS winnowing guarantee: two docs sharing a token run of
