@@ -951,6 +951,33 @@ def _ivf_quantized(spark, sf_dir):
     return similarity.ivf_quantized_topk(spark, sf_dir)
 
 
+def _ivf_pq(spark, sf_dir):
+    """IVF-PQ two-stage ANN: ADC lookup-table scan over m-byte codes +
+    exact float rerank (rows-only: approximate by design).
+
+    Self-falsifying, the `_ivf_quantized` contract: with ``rerank``
+    covering every probed candidate the exact-rerank stage must
+    reproduce ``ivf_ann_topk``'s (q_id, rank) -> vec_id mapping
+    exactly (shared probe set, shared tie-break — PQ approximation
+    error can only reorder the shortlist, never the final scores), so
+    a rows-only record certifies the codebook/ADC path against its
+    unquantized anchor."""
+    anchor = {(r["q_id"], r["rank"]): r["vec_id"]
+              for r in similarity.ivf_ann_topk(spark, sf_dir).collect()}
+    full = {(r["q_id"], r["rank"]): r["vec_id"]
+            for r in similarity.ivf_pq_topk(
+                spark, sf_dir, rerank=10**9).collect()}
+    if full != anchor:
+        diff = {k: (anchor.get(k), full.get(k))
+                for k in set(anchor) | set(full)
+                if anchor.get(k) != full.get(k)}
+        raise AssertionError(
+            "IVF-PQ full-rerank diverged from ivf_ann_topk "
+            f"(anchor, pq) mismatches: {diff}"
+        )
+    return similarity.ivf_pq_topk(spark, sf_dir)
+
+
 def _embedding_pca(spark, sf_dir):
     """Distributed PCA projection (rows-only: eigenvectors are not
     SQL-expressible).
@@ -1413,6 +1440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "ann_ivf_topk": _ivf_ann,
         "ann_ivf_quantized_topk": _ivf_quantized,
+        # NEW in r8 (late): IVF-PQ — ADC lookup-table scan over m-byte
+        # product-quantization codes, exact rerank; same bit-parity
+        # guard as the SQ8 line (displaces cross_source_contamination
+        # ... pack_sequences past the cap on their r6 records)
+        "ann_ivf_pq_topk": _ivf_pq,
         "semantic_dedup": _semantic_dedup,
         "cosine_topk": similarity.cosine_topk,
         "embedding_near_dups": _embedding_near_dups_02,

@@ -91,6 +91,7 @@ def main() -> None:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_ivf_quantized_topk",
+        "ann_ivf_pq_topk",
         "near_dup_jaccard",
         "winnow_repeated_spans",
         "strip_repeated_spans",
@@ -304,6 +305,7 @@ def main() -> None:
         "ann_lsh_topk": _sim.lsh_ann_topk,
         "ann_ivf_topk": _sim.ivf_ann_topk,
         "ann_ivf_quantized_topk": _sim.ivf_quantized_topk,
+        "ann_ivf_pq_topk": _sim.ivf_pq_topk,
         # oracle-backed; the entry's extra accuracy-guard collect is
         # correctness enforcement, not operator throughput
         "nb_classifier_scores": _classify.nb_classifier_scores,
@@ -372,12 +374,14 @@ def main() -> None:
         ivf_assignments,
         ivf_quantized_topk,  # one query-shaped call caches the int8 scorer
         lsh_signatures,
+        pq_codes,  # codebook train + corpus encode (the PQ index build)
     )
 
     # each prebuild in its own try: one failing index build must not
     # skip the others (that would silently fold build cost into their
     # timed lines on single-pass runs)
-    for build in (ivf_assignments, ivf_quantized_topk, lsh_signatures,
+    for build in (ivf_assignments, ivf_quantized_topk, pq_codes,
+                  lsh_signatures,
                   _shingle_stream, minhash_signatures, simhash_signatures,
                   minhash_bucket_index, simhash_bucket_index):
         try:

@@ -727,6 +727,217 @@ def ivf_quantized_topk(
     return _topk(scored, k)
 
 
+def _pq_codebooks(
+    spark: SparkSession, sf_dir: str, m: int, nbits: int,
+    train_sample_mod: int = 4, iters: int = 8, sample_cap: int = 8192,
+):
+    """Product-quantization codebooks: per-subspace Lloyd's k-means on
+    a deterministic hash sample of the L2-NORMALIZED corpus.  Returns
+    ``(codebooks, d)`` with ``codebooks`` shaped ``(m, 2**nbits,
+    d/m)``.
+
+    Driver-side by design: PQ training touches ``sample_cap`` vectors
+    (8k x 64 floats = 4 MB) regardless of corpus size — the FAISS
+    recipe (codebooks need thousands of examples per subspace, not the
+    corpus), so this is a bounded collect, not a scale leak.  The
+    sample is the smallest-``xxhash64(vec_id)`` prefix: deterministic,
+    ingestion-order-free, and identical across sessions.  Cached per
+    (app, corpus fingerprint, params) next to the centroid cache."""
+    import numpy as np
+
+    k = 1 << nbits
+    key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        _corpus_fingerprint(sf_dir), "pqcb", m, nbits, train_sample_mod,
+        iters, sample_cap,
+    )
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .dedup import _evict_stale
+
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    rows = (
+        emb.where(F.xxhash64("vec_id") % train_sample_mod == 0)
+        .orderBy(F.xxhash64(F.lit("pq"), "vec_id"), "vec_id")
+        .limit(sample_cap)
+        .select("embedding", "norm")
+        .collect()
+    )
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    x /= np.asarray([r["norm"] for r in rows], dtype=np.float64)[:, None]
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+    codebooks = np.empty((m, k, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        # init: k distinct-ish sample rows (hash order already random)
+        cb = sub[:k].copy()
+        if len(sub) < k:
+            cb = np.concatenate([sub, np.zeros((k - len(sub), dsub))])
+        for _ in range(iters):
+            # argmin ||s - c||^2 == argmin (|c|^2 - 2 s.c), row-wise
+            assign = np.argmin(
+                (cb * cb).sum(1)[None, :] - 2.0 * (sub @ cb.T), axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():           # empty cluster keeps its codeword
+                    cb[c] = sub[mask].mean(axis=0)
+        codebooks[j] = cb
+    _evict_stale(_CENTROID_CACHE, key[0], key)
+    _CENTROID_CACHE[key] = (codebooks, d)
+    return codebooks, d
+
+
+def pq_codes(
+    spark: SparkSession, sf_dir: str, m: int = 8, nbits: int = 4,
+    n_cells: Optional[int] = None,
+) -> DataFrame:
+    """PQ-encode the corpus: ``(vec_id, cell, codes array<tinyint>)``
+    — each normalized vector's per-subspace nearest codeword index.
+
+    This is the index's compressed-storage half (with the IVF cell as
+    its coarse half): ``m`` bytes per vector vs ``4*d`` float32 — 32x
+    at d=64/m=8 — which is what lets a 100 TB corpus's scan structure
+    live in cluster memory.  Encoding is an Arrow-batched map-only
+    pass (one ``(batch x dsub) @ (dsub x k)`` matmul per subspace,
+    the ``_assign_cells`` pattern); session-cached + checkpointed per
+    corpus fingerprint like the SQ8 scorer table — in production it
+    is its own materialized asset maintained next to the centroids."""
+    n_cells = _resolve_cells(spark, sf_dir, n_cells)
+    key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        _corpus_fingerprint(sf_dir), "pqcodes", m, nbits, n_cells,
+    )
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
+    codebooks, _d = _pq_codebooks(spark, sf_dir, m, nbits)
+    assigned = ivf_assignments(spark, sf_dir, n_cells)
+    cb = codebooks  # (m, k, dsub); rides into the closure as numpy
+    cb_sq = (cb * cb).sum(axis=2)  # (m, k)
+
+    def _encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            x /= pdf["norm"].to_numpy(dtype=_np.float64)[:, None]
+            n, mm, dsub = len(x), cb.shape[0], cb.shape[2]
+            codes = _np.empty((n, mm), dtype=_np.int8)
+            for j in range(mm):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                codes[:, j] = _np.argmin(
+                    cb_sq[j][None, :] - 2.0 * (sub @ cb[j].T), axis=1)
+            yield _pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "codes": list(codes),
+            })
+
+    out = assigned.select("vec_id", "cell", "embedding", "norm").mapInPandas(
+        _encode, "vec_id long, cell int, codes array<tinyint>")
+    return _cache_store(_CENTROID_CACHE, key, out, eager=False)
+
+
+def ivf_pq_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
+    n_cells: Optional[int] = None, nprobe: Optional[int] = None,
+    m: int = 8, nbits: int = 4, rerank: int = 50,
+) -> DataFrame:
+    """Two-stage IVF-PQ ANN (the FAISS IVFPQ shape): stage 1 scores
+    probed candidates by asymmetric distance computation — the query
+    builds an ``(m x 2**nbits)`` lookup table of subspace dot products
+    once, and each candidate's approximate cosine is ``m`` table
+    lookups over its ``m``-byte code, no float vector read at all;
+    stage 2 exact-reranks the top ``rerank`` per query from the
+    full-precision table (shared epilogue with the SQ8 path).
+
+    Where SQ8 compresses 4x, PQ compresses ``4*d/m``x (32x here) —
+    the difference between an ANN scan structure that spills and one
+    that fits executor memory at 100 TB.  The LUTs for ``n_queries``
+    queries are a broadcast-size closure constant (queries x m x 2^nbits
+    doubles); scoring is Arrow-batched numpy ``take`` — map-only over
+    the probed cells, shuffle only at the per-query shortlist window.
+
+    Exactness anchor (unit-tested + entry guard): ``rerank`` >= the
+    probed population reproduces ``ivf_ann_topk`` bit-for-bit — the
+    probe set comes from the shared ``_probe_cells`` and the rerank
+    stage re-scores exactly, so PQ approximation error only affects
+    WHICH candidates make the shortlist, never their final scores."""
+    from pyspark.sql.window import Window
+
+    rerank = max(rerank, k)
+    n_cells = _resolve_cells(spark, sf_dir, n_cells)
+    nprobe = _resolve_nprobe(nprobe, n_cells)
+    cents = ivf_train_centroids(spark, sf_dir, n_cells)
+    assigned = ivf_assignments(spark, sf_dir, n_cells)
+    probes = _probe_cells(assigned, cents, n_queries, nprobe)
+    codes = pq_codes(spark, sf_dir, m, nbits, n_cells)
+    codebooks, _d = _pq_codebooks(spark, sf_dir, m, nbits)
+
+    # bounded by n_queries — the same collect _probe_cells' callers
+    # already pay for the probe broadcast
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    ).localCheckpoint()
+    import numpy as np
+
+    luts = {}
+    for r in queries.collect():
+        q = np.asarray(r["q_emb"], dtype=np.float64) / r["q_norm"]
+        mm, dsub = codebooks.shape[0], codebooks.shape[2]
+        luts[r["q_id"]] = np.stack([
+            codebooks[j] @ q[j * dsub:(j + 1) * dsub] for j in range(mm)
+        ])  # (m, k): lut[j, c] = q_sub_j . codeword_jc
+
+    def _adc(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes_mat = _np.stack(pdf["codes"].to_numpy()).astype(_np.int64)
+            qids = pdf["q_id"].to_numpy()
+            score = _np.empty(len(pdf))
+            cols = _np.arange(codes_mat.shape[1])
+            for q in _np.unique(qids):
+                mask = qids == q
+                # m lookups per candidate: lut[j, code_j] summed over j
+                score[mask] = luts[q][cols[None, :],
+                                      codes_mat[mask]].sum(axis=1)
+            yield _pd.DataFrame({
+                "q_id": pdf["q_id"], "vec_id": pdf["vec_id"],
+                "ascore": score,
+            })
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("ascore"), F.asc("vec_id"))
+    shortlist = (
+        codes.join(F.broadcast(probes.select("q_id", "cell")), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "codes")
+        .mapInPandas(_adc, "q_id long, vec_id long, ascore double")
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= rerank)
+        .select("q_id", "vec_id")
+    )
+    dot = DOT.format(a="q_emb", b="embedding")
+    scored = (
+        assigned.select("vec_id", "embedding", "norm")
+        .join(F.broadcast(shortlist.join(queries, "q_id")), "vec_id")
+        .withColumn("cosine", F.expr(dot) / (F.col("norm") * F.col("q_norm")))
+    )
+    return _topk(scored, k)
+
+
 def embedding_near_dups_lsh(
     spark: SparkSession, sf_dir: str, threshold: float = 0.2,
     planes: int = 6, tables: int = 4,

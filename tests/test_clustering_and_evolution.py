@@ -310,6 +310,45 @@ def test_ivf_quantized_topk(spark):
         assert len(ids & ivf_sets[q]) >= 3, (q, ids, ivf_sets[q])
 
 
+def test_ivf_pq_topk(spark):
+    """IVF-PQ two-stage ANN: with rerank covering every probed
+    candidate the exact-rerank stage reproduces ivf_ann_topk
+    bit-for-bit (PQ error only reorders the shortlist); the default
+    shortlist still yields k results per query whose membership
+    substantially tracks the unquantized path; codes are m int8
+    codeword indexes in [0, 2**nbits)."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_pq_topk,
+        pq_codes,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ivf = {(r["q_id"], r["rank"]): r["vec_id"]
+           for r in ivf_ann_topk(spark, sf).collect()}
+    full = {(r["q_id"], r["rank"]): r["vec_id"]
+            for r in ivf_pq_topk(spark, sf, rerank=10**9).collect()}
+    assert full == ivf
+    small = ivf_pq_topk(spark, sf, rerank=50).collect()
+    per_q = {}
+    for r in small:
+        per_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    ivf_sets = {}
+    for (q, _), v in ivf.items():
+        ivf_sets.setdefault(q, set()).add(v)
+    assert set(per_q) == set(ivf_sets)
+    for q, ids in per_q.items():
+        assert len(ids) == 5
+        assert len(ids & ivf_sets[q]) >= 3, (q, ids, ivf_sets[q])
+    bad = pq_codes(spark, sf).where(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 0) | (c > 15))
+    ).count()
+    assert bad == 0
+
+
 def test_zero_norm_embeddings_excluded_everywhere(spark, tmp_path):
     """A degenerate all-zero embedding must never appear as a neighbor
     or near-dup: its cosine is NaN, which Spark sorts ABOVE every real

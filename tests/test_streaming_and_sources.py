@@ -704,6 +704,13 @@ def test_entry_guards_fire_on_violation(spark, tmp_path, monkeypatch):
         entry._ivf_quantized(spark, sf)
     monkeypatch.undo()
 
+    # --- ivf_pq bit-parity guard: same perturbed anchor must fire ---
+    monkeypatch.setattr(similarity, "ivf_ann_topk", skewed_anchor)
+    with pytest.raises(AssertionError,
+                       match="IVF-PQ full-rerank diverged"):
+        entry._ivf_pq(spark, sf)
+    monkeypatch.undo()
+
     # --- semantic_dedup planted-duplicate guard: keep everything ---
     real_sd = similarity.semantic_dedup
 
