@@ -1037,10 +1037,12 @@ def ann_recall_report(
     spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5,
     min_ivf_margin: Optional[float] = 0.25,
     min_ivf_recall: float = 0.25,
+    min_pq_margin: Optional[float] = 0.3,
 ) -> DataFrame:
-    """Self-evaluating ANN quality: recall@k of the LSH and IVF paths
-    against brute force, per query — the dial-tuning report a pipeline
-    owner reads before trading accuracy for throughput.
+    """Self-evaluating ANN quality: recall@k of the LSH, IVF, and
+    IVF-PQ paths against brute force, per query — the dial-tuning
+    report a pipeline owner reads before trading accuracy for
+    throughput.
 
     Floor guard: raises ``RecallRegressionError`` when mean IVF
     recall@k signals a genuinely broken index — below the ABSOLUTE
@@ -1051,8 +1053,11 @@ def ann_recall_report(
     same-size fixtures), so a tight relative bound flags healthy
     indexes.  ``min_ivf_margin=None`` disables the relative check;
     ``min_ivf_recall=0`` disables the absolute floor (each guard is
-    independent).  The check reads the report's own aggregate (2
-    rows), not extra jobs."""
+    independent).  The PQ guard is relative to IVF (they share probe
+    sets, so PQ recall can only trail by shortlist error): mean PQ
+    recall below IVF minus ``min_pq_margin`` means broken codebooks
+    (measured gap at the default rerank is ~0.08).  The check reads
+    the report's own aggregate (3 rows), not extra jobs."""
     exact = cosine_topk(spark, sf_dir, k, n_queries).select(
         "q_id", F.col("vec_id").alias("exact_id")
     )
@@ -1072,10 +1077,12 @@ def ann_recall_report(
 
     lsh = recall_of(lsh_ann_topk(spark, sf_dir, k, n_queries), "lsh")
     ivf = recall_of(ivf_ann_topk(spark, sf_dir, k, n_queries), "ivf")
-    report = lsh.unionByName(ivf).select(
+    pq = recall_of(ivf_pq_topk(spark, sf_dir, k, n_queries), "ivf_pq")
+    report = lsh.unionByName(ivf).unionByName(pq).select(
         "method", "q_id", F.col("recall").cast("double").alias("recall")
     )
-    if min_ivf_margin is not None or min_ivf_recall > 0:
+    if (min_ivf_margin is not None or min_ivf_recall > 0
+            or min_pq_margin is not None):
         report = report.localCheckpoint()  # guard + caller share one run
         means = {
             r["method"]: r["r"]
@@ -1092,6 +1099,14 @@ def ann_recall_report(
                 f"{min_ivf_recall}, LSH {lsh_r:.3f} - {min_ivf_margin}) — "
                 "the coarse quantizer is mis-trained for this corpus "
                 "(stale centroid table? degenerate cells?)"
+            )
+        pq_r = means.get("ivf_pq", 0.0)
+        if min_pq_margin is not None and pq_r < ivf_r - min_pq_margin:
+            raise RecallRegressionError(
+                f"IVF-PQ recall@{k} {pq_r:.3f} trails IVF {ivf_r:.3f} by "
+                f"more than {min_pq_margin} — broken codebooks or ADC "
+                "scoring (they share probe sets, so only shortlist error "
+                "can separate them)"
             )
     return report
 

@@ -239,7 +239,12 @@ def test_ann_recall_floor_guard(spark):
     sf = "/root/testdata/sf0.01"
     with pytest.raises(RecallRegressionError):
         ann_recall_report(spark, sf, min_ivf_margin=-2.0)
-    assert ann_recall_report(spark, sf, min_ivf_margin=None).count() == 10
+    # PQ shares IVF's probe set, so an impossible relative bar (PQ
+    # must beat IVF by 2.0) must likewise raise
+    with pytest.raises(RecallRegressionError, match="IVF-PQ"):
+        ann_recall_report(spark, sf, min_pq_margin=-2.0)
+    assert ann_recall_report(spark, sf, min_ivf_margin=None,
+                             min_pq_margin=None).count() == 15
 
 
 def test_centroid_cache_evicts_on_corpus_rewrite(spark, tmp_path, monkeypatch):
