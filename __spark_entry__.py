@@ -32,6 +32,7 @@ from dagster_delta_spark import (
 )
 from dagster_delta_spark.operators import (
     asof,
+    bpe,
     classify,
     curation,
     dedup,
@@ -786,6 +787,31 @@ def _near_dup_decon(spark, sf_dir):
     return curation.near_dup_decontaminate(spark, sf_dir)
 
 
+def _bpe_stats(spark, sf_dir):
+    """Corpus-trained BPE subword stats (rows-only: the merge loop is
+    iterative, not SQL-expressible).  Guard 1: the subword round-trip
+    — concatenating every distinct word's subwords must reproduce the
+    word exactly (merges only glue adjacent symbols; one violation
+    means a broken encoder).  Guard 2: structural bounds over the
+    whole output — n_words <= n_subwords <= n_chars_tokenized and
+    compression in (0, 1]."""
+    viol = bpe.bpe_roundtrip_violations(spark, sf_dir)
+    if viol:
+        raise AssertionError(
+            f"bpe subword round-trip violated for {viol} distinct words"
+        )
+    out = bpe.bpe_token_stats(spark, sf_dir).localCheckpoint()
+    bad = out.where(
+        "n_subwords > n_chars_tokenized OR n_subwords < n_words "
+        "OR compression <= 0 OR compression > 1.0"
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"bpe_token_stats structural bounds violated on {bad} docs"
+        )
+    return out
+
+
 def _minhash_cluster(spark, sf_dir):
     """Cluster-level dedup.  Guard: structural contract of the output
     itself — every cluster has EXACTLY one keeper, the keeper is the
@@ -1431,6 +1457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nonce soundness guards; displaces pack_sequences past the
         # cap — its r6 green record stands)
         "near_dup_decontaminate": _near_dup_decon,
+        # NEW in r8 (late): corpus-trained BPE subword tokenizer
+        # (rows-only + round-trip / structural-bounds guards;
+        # displaces curate_corpus past the cap on its r6 record)
+        "bpe_token_stats": _bpe_stats,
         # similarity.py changed this round (kmeans refactor + PCA
         # persistence): the ANN/embedding family re-records, stalest
         # first (ann_lsh/near_dups_lsh/ann_recall r5, kmeans r6)

@@ -84,6 +84,7 @@ def main() -> None:
         "near_dup_decontaminate",
         "text_quality",
         "bigram_perplexity",
+        "bpe_token_stats",
         "fingerprint",
         "minhash_lsh_near_dups",
         "simhash_near_dups",
@@ -298,7 +299,10 @@ def main() -> None:
             F.md5(F.col("doc_id").cast("string")).alias("s"))
         return fuzzy_self_join(docs, "key", "s")
 
+    from dagster_delta_spark.operators import bpe as _bpe
+
     direct = {
+        "bpe_token_stats": _bpe.bpe_token_stats,
         "near_dup_decontaminate": _curation.near_dup_decontaminate,
         "minhash_lsh_near_dups": _dedup.minhash_lsh_near_dups,
         "simhash_near_dups": _dedup.simhash_near_dups,
@@ -376,12 +380,15 @@ def main() -> None:
         lsh_signatures,
         pq_codes,  # codebook train + corpus encode (the PQ index build)
     )
+    from dagster_delta_spark.operators.bpe import (
+        bpe_merges_df,  # the BPE merge-table learn (index build)
+    )
 
     # each prebuild in its own try: one failing index build must not
     # skip the others (that would silently fold build cost into their
     # timed lines on single-pass runs)
     for build in (ivf_assignments, ivf_quantized_topk, pq_codes,
-                  lsh_signatures,
+                  bpe_merges_df, lsh_signatures,
                   _shingle_stream, minhash_signatures, simhash_signatures,
                   minhash_bucket_index, simhash_bucket_index):
         try:

@@ -1,5 +1,6 @@
 from . import (  # noqa: F401
     asof,
+    bpe,
     curation,
     dedup,
     fuzzy,

@@ -867,6 +867,23 @@ def test_rows_only_entry_guards_fire(spark, monkeypatch):
                    "doc_id bigint, matched_eval_id bigint, jaccard double")),
            entry._near_dup_decon, "soundness violated")
 
+    from dagster_delta_spark.operators import bpe
+
+    # a corrupted encoder (drops each word's first subword) must trip
+    # the round-trip guard
+    real_enc = bpe.bpe_encode
+    expect(bpe, "bpe_encode",
+           lambda df, merges, **kw: real_enc(df, merges, **kw).withColumn(
+               "subwords", F.slice("subwords", 2, 10**6)),
+           entry._bpe_stats, "round-trip violated")
+
+    # inflated subword counts must trip the structural-bounds guard
+    real_stats = bpe.bpe_token_stats
+    expect(bpe, "bpe_token_stats",
+           lambda s, d, **kw: real_stats(s, d, **kw).withColumn(
+               "n_subwords", F.col("n_chars_tokenized") + 1),
+           entry._bpe_stats, "structural bounds violated")
+
 
 def test_winnowing_guarantee_and_edges(spark, tmp_path):
     """The MOSS winnowing guarantee: two docs sharing a token run of
