@@ -262,6 +262,71 @@ def lsh_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ code-index maintenance over CDC (rows-only:
+    codebook k-means is not SQL-expressible) — the THIRD index family
+    on the build/maintain/audit pattern (IVF inverted lists, LSH
+    buckets, now PQ codes: the compressed scan structure
+    ``ivf_pq_topk`` probes).
+
+    Fixture: the embeddings corpus lands in a transactional table as
+    two commits (2/3 bootstrap, 1/3 append).  ``build_pq_index``
+    learns codebooks on the bounded sample and encodes the bootstrap
+    at v0; ``maintain_pq_index`` folds the v1 append by encoding ONLY
+    the new vectors against the STORED codebooks.
+
+    Self-falsifying guards:
+
+    1. *exact rebuild parity*: the maintained code table equals a
+       from-scratch encode of the full snapshot against the same
+       codebooks (``pq_index_vs_rebuild`` empty);
+    2. *delta-only fold*: the maintenance commit appends exactly the
+       newly-arrived vectors;
+    3. *rewrite refusal*: an overwrite on the base must raise — ghost
+       codes would corrupt every ADC scan.
+
+    Output: occupancy of subspace 0's codewords split bootstrap vs
+    delta (deterministic: hash-sampled codebook training)."""
+    emb_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    base = DeltaSparkTable(spark, _scratch("pq-base"))
+    index = DeltaSparkTable(spark, _scratch("pq-idx"))
+    base.write(emb_src.where("vec_id % 3 < 2"), WriteMode.error)   # v0
+    incremental.build_pq_index(base, index)
+    base.write(emb_src.where("vec_id % 3 = 2"), WriteMode.append)  # v1
+    n_before = index.read().count()
+    incremental.maintain_pq_index(base, index)
+    n_delta = index.read().count() - n_before
+    appended = emb_src.where("vec_id % 3 = 2").count()
+    if n_delta != appended:
+        raise AssertionError(
+            f"maintenance folded {n_delta} rows for {appended} appended"
+        )
+    bad = incremental.pq_index_vs_rebuild(base, index).count()
+    if bad:
+        raise AssertionError(
+            f"incremental PQ index diverged from a from-scratch rebuild "
+            f"on {bad} vectors"
+        )
+    base.write(emb_src.where("vec_id < 10"), WriteMode.overwrite)
+    try:
+        incremental.maintain_pq_index(base, index)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("maintenance silently folded a rewrite commit")
+    return (
+        index.read()
+        .groupBy(F.element_at("codes", 1).cast("int").alias("code0"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("vec_id") % 3 == 2, 1).otherwise(0))
+            .cast("long").alias("n_from_delta"),
+        )
+        .orderBy("code0")
+    )
+
+
 def streaming_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Version-offset streaming source e2e (dds_table, Spark 4 Python
     DataSource API): three append commits stream out exactly once; the
@@ -1439,6 +1504,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (displaces token_stats past the cap — its r6 green record
         # stands)
         "lsh_index_maintain": lsh_index_maintain,
+        # NEW in r8 (late): the third index family on the
+        # build/maintain/audit contract — PQ codes (displaces
+        # text_quality's successor heads on their committed records)
+        "pq_index_maintain": pq_index_maintain,
         # NEW in r8: global-token-budget corpus sampling via a
         # two-level prefix sum (oracle-backed; displaces decontaminate
         # past the cap — its r6 green record stands)

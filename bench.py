@@ -68,6 +68,7 @@ def main() -> None:
         "incr_rollup_maintain",
         "ann_index_maintain",
         "lsh_index_maintain",
+        "pq_index_maintain",
         # streaming ingest near-dup filter (3 micro-batches), staged:
         # the ~7 s streaming-engine + fixture fixed cost masked probe
         # regressions behind one number, so the line reports the
@@ -251,6 +252,27 @@ def main() -> None:
         incr.maintain_ivf_index(base, index)
         index.read().write.mode("overwrite").format("noop").save()
 
+    def _pq_maint_setup(spark, d):
+        # same shape as the IVF/LSH lines: bootstrap the code index +
+        # one appended 1/3 delta untimed, time ONE maintenance fold
+        from dagster_delta_spark.operators import incremental as incr
+
+        src = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", "embedding")
+        base = DeltaSparkTable(spark, entry._scratch("bench-pq-base"))
+        index = DeltaSparkTable(spark, entry._scratch("bench-pq-idx"))
+        base.write(src.where("vec_id % 3 < 2"), WriteMode.error)
+        incr.build_pq_index(base, index)
+        base.write(src.where("vec_id % 3 = 2"), WriteMode.append)
+        return base, index
+
+    def _pq_maint_run(spark, ctx):
+        from dagster_delta_spark.operators import incremental as incr
+
+        base, index = ctx
+        incr.maintain_pq_index(base, index)
+        index.read().write.mode("overwrite").format("noop").save()
+
     def _lsh_maint_setup(spark, d):
         # same shape as the ANN line: bootstrap bucket index + one
         # appended 1/3 delta untimed, time ONE maintenance fold
@@ -280,6 +302,7 @@ def main() -> None:
         "incr_rollup_maintain": (_incr_setup, _incr_run),
         "ann_index_maintain": (_ann_maint_setup, _ann_maint_run),
         "lsh_index_maintain": (_lsh_maint_setup, _lsh_maint_run),
+        "pq_index_maintain": (_pq_maint_setup, _pq_maint_run),
     }
 
     # Since r7 the rows-only registry entries wrap their operators in

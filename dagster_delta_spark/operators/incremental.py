@@ -318,6 +318,108 @@ def maintain_ivf_index(
     return head
 
 
+def _pq_codebooks_table(index: DeltaSparkTable) -> DeltaSparkTable:
+    """PQ codebooks live in a sibling table (same rationale as the IVF
+    centroids: model rows vs 100 TB-scale code rows)."""
+    return DeltaSparkTable(index.spark, index.table_uri + "_codebooks")
+
+
+def build_pq_index(
+    emb: DeltaSparkTable,
+    index: DeltaSparkTable,
+    m: int = 8,
+    nbits: int = 4,
+    iters: int = 8,
+    train_sample_mod: int = 1,
+    sample_cap: int = 8192,
+) -> int:
+    """Bootstrap a product-quantization code index over a
+    TRANSACTIONAL embeddings table: learn per-subspace codebooks on
+    the deterministic bounded sample, encode every vector to m-byte
+    codes, persist codebooks (sibling table) + codes (``index``) with
+    the processed base version and the quantization params in the
+    commit metadata — the third index family on the
+    build/maintain/audit contract (IVF inverted lists, LSH buckets,
+    PQ codes).  Returns the processed base version."""
+    from .similarity import (
+        _codebooks_to_rows,
+        _learn_pq_codebooks,
+        _pq_encode,
+        _pq_sample_matrix,
+        _with_norm,
+    )
+
+    head = emb.version()
+    vectors = _with_norm(emb.read().select("vec_id", "embedding"))
+    x = _pq_sample_matrix(vectors, train_sample_mod, sample_cap)
+    cb = _learn_pq_codebooks(x, m, nbits, iters)
+    meta = {"base_version": str(head), "m": str(m), "nbits": str(nbits)}
+    _pq_codebooks_table(index).write(
+        emb.spark.createDataFrame(
+            _codebooks_to_rows(cb),
+            "subspace int, code int, vals array<double>"),
+        commit_metadata=meta,
+    )
+    index.write(_pq_encode(vectors, cb), commit_metadata=meta)
+    return head
+
+
+def maintain_pq_index(
+    emb: DeltaSparkTable,
+    index: DeltaSparkTable,
+    since_version: Optional[int] = None,
+) -> int:
+    """Fold embedding appends ``(since_version, head]`` into the PQ
+    code index: encode ONLY the new vectors against the STORED
+    codebooks (codebook drift, like centroid drift, is a quality dial
+    handled by periodic rebuilds) and append their code rows.
+    ``since_version=None`` resumes from the index's own commit
+    metadata.  Cost is O(delta); base rewrites raise via
+    ``read_changes`` (ghost codes would corrupt every ADC scan —
+    rebuild instead); compaction-only ranges are a metadata no-op.
+    Returns the new processed base version."""
+    from .similarity import _codebooks_from_rows, _pq_encode, _with_norm
+
+    v_meta, _meta = _resume_version(index)
+    v0 = v_meta if since_version is None else since_version
+    head = emb.version()
+    if head <= v0:
+        return v0
+    delta = emb.read_changes(v0, head)
+    cb = _codebooks_from_rows(_pq_codebooks_table(index).read().collect())
+    enc = _pq_encode(_with_norm(delta.select("vec_id", "embedding")), cb)
+    if enc.isEmpty():
+        return head
+    index.write(
+        enc,
+        WriteMode.append,
+        commit_metadata={"base_version": str(head)},
+    )
+    return head
+
+
+def pq_index_vs_rebuild(
+    emb: DeltaSparkTable, index: DeltaSparkTable
+) -> DataFrame:
+    """Audit helper: re-encode the full current snapshot against the
+    stored codebooks and return every vec_id whose stored codes differ
+    (or that exists on only one side).  Empty == the incrementally-
+    maintained code table is exactly what a from-scratch encode would
+    produce over the same codebooks."""
+    from .similarity import _codebooks_from_rows, _pq_encode, _with_norm
+
+    cb = _codebooks_from_rows(_pq_codebooks_table(index).read().collect())
+    fresh = _pq_encode(
+        _with_norm(emb.read().select("vec_id", "embedding")), cb
+    ).select("vec_id", F.col("codes").alias("fresh_codes"))
+    stored = index.read().select(
+        "vec_id", F.col("codes").alias("stored_codes"))
+    return (
+        fresh.join(stored, "vec_id", "full_outer")
+        .where(~F.col("fresh_codes").eqNullSafe(F.col("stored_codes")))
+    )
+
+
 def ivf_index_vs_rebuild(
     emb: DeltaSparkTable, index: DeltaSparkTable
 ) -> DataFrame:

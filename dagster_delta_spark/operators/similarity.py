@@ -727,38 +727,19 @@ def ivf_quantized_topk(
     return _topk(scored, k)
 
 
-def _pq_codebooks(
-    spark: SparkSession, sf_dir: str, m: int, nbits: int,
-    train_sample_mod: int = 4, iters: int = 8, sample_cap: int = 8192,
+def _pq_sample_matrix(
+    vectors: DataFrame, train_sample_mod: int, sample_cap: int,
 ):
-    """Product-quantization codebooks: per-subspace Lloyd's k-means on
-    a deterministic hash sample of the L2-NORMALIZED corpus.  Returns
-    ``(codebooks, d)`` with ``codebooks`` shaped ``(m, 2**nbits,
-    d/m)``.
-
-    Driver-side by design: PQ training touches ``sample_cap`` vectors
-    (8k x 64 floats = 4 MB) regardless of corpus size — the FAISS
-    recipe (codebooks need thousands of examples per subspace, not the
-    corpus), so this is a bounded collect, not a scale leak.  The
-    sample is the smallest-``xxhash64(vec_id)`` prefix: deterministic,
-    ingestion-order-free, and identical across sessions.  Cached per
-    (app, corpus fingerprint, params) next to the centroid cache."""
+    """Deterministic bounded training sample of an (embedding, norm)
+    frame as an L2-normalized numpy matrix — the smallest-
+    ``xxhash64('pq', vec_id)`` prefix of a 1/``train_sample_mod`` hash
+    sample: ingestion-order-free and identical across sessions and
+    partitionings.  Bounded collect by construction (``sample_cap`` x
+    d floats regardless of corpus size)."""
     import numpy as np
 
-    k = 1 << nbits
-    key = (
-        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
-        _corpus_fingerprint(sf_dir), "pqcb", m, nbits, train_sample_mod,
-        iters, sample_cap,
-    )
-    hit = _CENTROID_CACHE.get(key)
-    if hit is not None:
-        return hit
-    from .dedup import _evict_stale
-
-    emb = _with_norm(load(spark, sf_dir, "embeddings"))
     rows = (
-        emb.where(F.xxhash64("vec_id") % train_sample_mod == 0)
+        vectors.where(F.xxhash64("vec_id") % train_sample_mod == 0)
         .orderBy(F.xxhash64(F.lit("pq"), "vec_id"), "vec_id")
         .limit(sample_cap)
         .select("embedding", "norm")
@@ -766,6 +747,17 @@ def _pq_codebooks(
     )
     x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     x /= np.asarray([r["norm"] for r in rows], dtype=np.float64)[:, None]
+    return x
+
+
+def _learn_pq_codebooks(x, m: int, nbits: int, iters: int = 8):
+    """Per-subspace Lloyd's k-means over a normalized sample matrix —
+    the pure-numpy core shared by the parquet-corpus path and the
+    transactional index build (``incremental.build_pq_index``).
+    Returns codebooks shaped ``(m, 2**nbits, d/m)``."""
+    import numpy as np
+
+    k = 1 << nbits
     d = x.shape[1]
     if d % m != 0:
         raise ValueError(f"embedding dim {d} not divisible by m={m}")
@@ -786,9 +778,129 @@ def _pq_codebooks(
                 if mask.any():           # empty cluster keeps its codeword
                     cb[c] = sub[mask].mean(axis=0)
         codebooks[j] = cb
+    return codebooks
+
+
+def _codebooks_to_rows(codebooks) -> list:
+    """(subspace, code, vals) rows — the persistable form (arrays
+    round-trip as array<double>, the PCA-basis precedent)."""
+    return [
+        (j, c, codebooks[j, c].tolist())
+        for j in range(codebooks.shape[0])
+        for c in range(codebooks.shape[1])
+    ]
+
+
+def _codebooks_from_rows(rows):
+    """Inverse of ``_codebooks_to_rows`` (shape inferred from the max
+    subspace/code indexes — a partial table raises on the stack)."""
+    import numpy as np
+
+    by_key = {(r["subspace"], r["code"]): np.asarray(r["vals"]) for r in rows}
+    m = max(k[0] for k in by_key) + 1
+    k = max(k[1] for k in by_key) + 1
+    return np.stack([
+        np.stack([by_key[(j, c)] for c in range(k)]) for j in range(m)
+    ])
+
+
+def pq_codebook_table_uri(
+    sf_dir: str, m: int, nbits: int, train_sample_mod: int, iters: int,
+    sample_cap: int,
+) -> str:
+    """One persisted codebook table per (corpus dir, training params)
+    under ``DDS_INDEX_DIR`` — the IVF-centroid convention; retrains on
+    changed data land as new versions."""
+    key = (f"{os.path.abspath(sf_dir)}|pq|{m}|{nbits}|{train_sample_mod}"
+           f"|{iters}|{sample_cap}")
+    digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+    return os.path.join(_index_root(), f"pq_codebooks_{digest}")
+
+
+def _pq_codebooks(
+    spark: SparkSession, sf_dir: str, m: int, nbits: int,
+    train_sample_mod: int = 4, iters: int = 8, sample_cap: int = 8192,
+):
+    """Product-quantization codebooks for the parquet corpus: load the
+    persisted table when its corpus fingerprint matches (the
+    query-session path — no training job at all), else train on the
+    deterministic bounded sample (the FAISS recipe: codebooks need
+    thousands of examples per subspace, never the corpus) and persist.
+    Returns ``(codebooks, d)``; session-cached next to the centroid
+    cache."""
+    from ..table import DeltaSparkTable
+
+    key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        _corpus_fingerprint(sf_dir), "pqcb", m, nbits, train_sample_mod,
+        iters, sample_cap,
+    )
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .dedup import _evict_stale
+
+    fingerprint = _corpus_fingerprint(sf_dir)
+    table = DeltaSparkTable(spark, pq_codebook_table_uri(
+        sf_dir, m, nbits, train_sample_mod, iters, sample_cap))
+    codebooks = None
+    if table.exists():
+        meta = (table.history(limit=1)[0].get("userMetadata") or {})
+        if meta.get("corpus_fingerprint") == fingerprint:
+            codebooks = _codebooks_from_rows(table.read().collect())
+    if codebooks is None:
+        emb = _with_norm(load(spark, sf_dir, "embeddings"))
+        x = _pq_sample_matrix(emb, train_sample_mod, sample_cap)
+        codebooks = _learn_pq_codebooks(x, m, nbits, iters)
+        table.write(
+            spark.createDataFrame(
+                _codebooks_to_rows(codebooks),
+                "subspace int, code int, vals array<double>"),
+            commit_metadata={"corpus_fingerprint": fingerprint,
+                             "m": str(m), "nbits": str(nbits)},
+        )
+    d = codebooks.shape[0] * codebooks.shape[2]
     _evict_stale(_CENTROID_CACHE, key[0], key)
     _CENTROID_CACHE[key] = (codebooks, d)
     return codebooks, d
+
+
+def _pq_encode(vectors: DataFrame, codebooks,
+               extra_cols: tuple = ()) -> DataFrame:
+    """Encode an (vec_id, embedding, norm, *extra_cols) frame to
+    ``(vec_id, *extra_cols, codes array<tinyint>)`` — one Arrow batch
+    = one ``(batch x dsub) @ (dsub x k)`` matmul per subspace (the
+    ``_assign_cells`` pattern), map-only at any corpus size.  Shared
+    by ``pq_codes`` and the transactional index build/maintain."""
+    cb = codebooks  # rides into the closure as numpy
+    cb_sq = (cb * cb).sum(axis=2)  # (m, k)
+    extra = tuple(extra_cols)
+
+    def _encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            x /= pdf["norm"].to_numpy(dtype=_np.float64)[:, None]
+            n, mm, dsub = len(x), cb.shape[0], cb.shape[2]
+            codes = _np.empty((n, mm), dtype=_np.int8)
+            for j in range(mm):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                codes[:, j] = _np.argmin(
+                    cb_sq[j][None, :] - 2.0 * (sub @ cb[j].T), axis=1)
+            out = {"vec_id": pdf["vec_id"]}
+            for c in extra:
+                out[c] = pdf[c]
+            out["codes"] = list(codes)
+            yield _pd.DataFrame(out)
+
+    schema_extra = "".join(
+        f", {c} {dict(vectors.dtypes)[c]}" for c in extra)
+    return vectors.select("vec_id", *extra, "embedding", "norm").mapInPandas(
+        _encode, f"vec_id long{schema_extra}, codes array<tinyint>")
 
 
 def pq_codes(
@@ -816,32 +928,7 @@ def pq_codes(
         return hit
     codebooks, _d = _pq_codebooks(spark, sf_dir, m, nbits)
     assigned = ivf_assignments(spark, sf_dir, n_cells)
-    cb = codebooks  # (m, k, dsub); rides into the closure as numpy
-    cb_sq = (cb * cb).sum(axis=2)  # (m, k)
-
-    def _encode(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
-            x /= pdf["norm"].to_numpy(dtype=_np.float64)[:, None]
-            n, mm, dsub = len(x), cb.shape[0], cb.shape[2]
-            codes = _np.empty((n, mm), dtype=_np.int8)
-            for j in range(mm):
-                sub = x[:, j * dsub:(j + 1) * dsub]
-                codes[:, j] = _np.argmin(
-                    cb_sq[j][None, :] - 2.0 * (sub @ cb[j].T), axis=1)
-            yield _pd.DataFrame({
-                "vec_id": pdf["vec_id"],
-                "cell": pdf["cell"],
-                "codes": list(codes),
-            })
-
-    out = assigned.select("vec_id", "cell", "embedding", "norm").mapInPandas(
-        _encode, "vec_id long, cell int, codes array<tinyint>")
+    out = _pq_encode(assigned, codebooks, extra_cols=("cell",))
     return _cache_store(_CENTROID_CACHE, key, out, eager=False)
 
 

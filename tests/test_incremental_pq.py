@@ -1,0 +1,131 @@
+"""Incremental PQ code-index maintenance over CDC
+(operators/incremental.py) — the third index family on the
+build/maintain/audit contract.  Appends encode ONLY the new vectors
+against the stored codebooks; the result is exactly the code table a
+from-scratch encode would produce (``pq_index_vs_rebuild`` empty);
+rewrites refuse."""
+
+import numpy as np
+import pytest
+
+from dagster_delta_spark import DeltaSparkTable, WriteMode
+from dagster_delta_spark.operators.incremental import (
+    build_pq_index,
+    maintain_pq_index,
+    pq_index_vs_rebuild,
+)
+
+
+def _emb_df(spark, ids, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (int(i), [float(v) for v in rng.normal(size=d)])
+        for i in sorted(ids)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_incremental_pq_equals_rebuild(spark, tmp_path):
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "pq"))
+    emb.write(_emb_df(spark, range(40), seed=1), WriteMode.error)
+    assert build_pq_index(emb, index, m=4, nbits=3) == 0
+    emb.write(_emb_df(spark, range(40, 70), seed=2), WriteMode.append)
+    assert maintain_pq_index(emb, index) == 1
+    emb.write(_emb_df(spark, range(70, 90), seed=4), WriteMode.append)
+    assert maintain_pq_index(emb, index) == 2
+    out = index.read()
+    assert out.count() == 90
+    assert out.select("vec_id").distinct().count() == 90
+    # every code is m int8 indexes within [0, 2**nbits)
+    from pyspark.sql import functions as F
+
+    bad = out.where(
+        (F.size("codes") != 4)
+        | F.exists("codes", lambda c: (c < 0) | (c > 7))
+    ).count()
+    assert bad == 0
+    assert pq_index_vs_rebuild(emb, index).count() == 0
+
+
+def test_pq_maintain_noop_and_rewrite_refusal(spark, tmp_path):
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "pq"))
+    emb.write(_emb_df(spark, range(20)), WriteMode.error)
+    build_pq_index(emb, index, m=4, nbits=2)
+    iv = index.version()
+    assert maintain_pq_index(emb, index) == 0
+    assert index.version() == iv
+    emb.write(_emb_df(spark, range(10), seed=9), WriteMode.overwrite)
+    with pytest.raises(ValueError):
+        maintain_pq_index(emb, index)
+
+
+def test_pq_audit_catches_tampered_codes(spark, tmp_path):
+    """Corrupt one stored code row — the audit must surface exactly
+    that vec_id (a passing audit that cannot fail certifies
+    nothing)."""
+    from pyspark.sql import functions as F
+
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "pq"))
+    emb.write(_emb_df(spark, range(30)), WriteMode.error)
+    build_pq_index(emb, index, m=4, nbits=2)
+    tampered = index.read().withColumn(
+        "codes",
+        F.when(F.col("vec_id") == 7,
+               F.expr("transform(codes, c -> CAST((c + 1) % 4 AS TINYINT))"))
+        .otherwise(F.col("codes")),
+    )
+    index.write(tampered, WriteMode.overwrite,
+                commit_metadata={"base_version": "0"})
+    diffs = pq_index_vs_rebuild(emb, index).collect()
+    assert [r["vec_id"] for r in diffs] == [7]
+
+
+def test_pq_build_validates_subspaces(spark, tmp_path):
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "pq"))
+    emb.write(_emb_df(spark, range(10), d=8), WriteMode.error)
+    with pytest.raises(ValueError, match="not divisible"):
+        build_pq_index(emb, index, m=3)
+
+
+def test_pq_maintain_requires_build_metadata(spark, tmp_path):
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "pq"))
+    emb.write(_emb_df(spark, range(10)), WriteMode.error)
+    index.write(_emb_df(spark, range(3)))  # not built by build_pq_index
+    with pytest.raises(ValueError, match="base_version"):
+        maintain_pq_index(emb, index)
+
+
+def test_pq_index_maintain_entry_guard_fires(spark, monkeypatch):
+    """The rows-only registry entry falsifies: a maintenance path that
+    corrupts one code row trips the rebuild-parity guard."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from dagster_delta_spark.operators import incremental as incr
+
+    sf = "/root/testdata/sf0.001"
+    entry.pq_index_maintain(spark, sf)  # healthy
+
+    real = incr.maintain_pq_index
+
+    def tampering(emb, index, since_version=None):
+        v = real(emb, index, since_version)  # raises on rewrites as-is
+        bad = index.read().withColumn(
+            "codes",
+            F.when(F.col("vec_id") == 0,
+                   F.expr("transform(codes, "
+                          "c -> CAST((c + 1) % 16 AS TINYINT))"))
+            .otherwise(F.col("codes")),
+        )
+        index.write(bad, WriteMode.overwrite,
+                    commit_metadata={"base_version": "1"})
+        return v
+
+    monkeypatch.setattr(incr, "maintain_pq_index", tampering)
+    with pytest.raises(AssertionError, match="diverged"):
+        entry.pq_index_maintain(spark, sf)

@@ -61,6 +61,19 @@ def main() -> None:
             lambda: near_dup_decontaminate(spark, d),
             lambda df: f"{df.count()} flagged")
 
+        from dagster_delta_spark.operators.bpe import (
+            bpe_token_stats,
+            bpe_train,
+        )
+
+        t0 = time.perf_counter()
+        n_merges = len(bpe_train(spark, d))
+        print(f"bpe_train: {n_merges} merges | "
+              f"{time.perf_counter()-t0:.1f} s")
+        run("bpe_token_stats",
+            lambda: bpe_token_stats(spark, d),
+            lambda df: f"{df.count()} docs")
+
     # ---- IVF-PQ on the 20x embeddings corpus ----
     from dagster_delta_spark.operators import similarity as sim
 
@@ -109,6 +122,31 @@ def main() -> None:
                 for r in sim.ivf_pq_topk(spark, d2, rerank=10**9).collect()}
         print(f"full-rerank parity at {nv * args.replicas} vectors: "
               f"{full == anchor}")
+
+        # transactional PQ index: fold a 5% append vs full rebuild
+        from dagster_delta_spark import DeltaSparkTable, WriteMode
+        from dagster_delta_spark.operators import incremental as incr
+
+        wide_t = spark.read.parquet(f"{d2}/embeddings.parquet")
+        base = DeltaSparkTable(spark, f"{d2}/t_emb")
+        index = DeltaSparkTable(spark, f"{d2}/t_pq")
+        base.write(wide_t.where("vec_id % 20 != 0"), WriteMode.error)
+        t0 = time.perf_counter()
+        incr.build_pq_index(base, index)
+        t_build = time.perf_counter() - t0
+        base.write(wide_t.where("vec_id % 20 = 0"), WriteMode.append)
+        t0 = time.perf_counter()
+        incr.maintain_pq_index(base, index)
+        t_fold = time.perf_counter() - t0
+        rebuild = DeltaSparkTable(spark, f"{d2}/t_pq_rebuild")
+        t0 = time.perf_counter()
+        incr.build_pq_index(base, rebuild)
+        t_rebuild = time.perf_counter() - t0
+        n_diff = incr.pq_index_vs_rebuild(base, index).count()
+        print(f"pq index: build {t_build:.1f} s, 5% fold {t_fold:.1f} s "
+              f"vs rebuild {t_rebuild:.1f} s "
+              f"({t_rebuild / max(t_fold, 1e-9):.1f}x), parity diffs "
+              f"{n_diff}")
     finally:
         import shutil
 
