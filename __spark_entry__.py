@@ -1465,6 +1465,58 @@ def _streaming_exactly_once_sink(
     return t.read()
 
 
+def _streaming_index_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once streaming ingest WITH in-pipeline LSH index
+    maintenance (streaming/table_sink.py:index_maintaining_sink):
+    every micro-batch appends to the table via the txn ledger and
+    folds the new commit into the persisted bucket index — the index
+    is always current, with no separate maintenance job.
+
+    Oracle: the table contents (the corpus itself — a lost or doubled
+    batch breaks the hash match).  In-line guards: (1) the maintained
+    index's symmetric difference against a from-scratch build over
+    the final snapshot is EMPTY (``lsh_index_vs_rebuild``); (2) a
+    hand-replayed final micro-batch (the post-crash at-least-once
+    scenario) changes neither the table nor the index."""
+    from dagster_delta_spark.streaming import index_maintaining_sink
+
+    src = split_documents_fixture(sf_dir)
+    uri, idx_uri = _scratch("ixsink"), _scratch("ixsink-idx")
+    docs = spark.read.parquet(src)
+    sink = index_maintaining_sink(uri, idx_uri, "ixsink-pipeline")
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", _scratch("ixsink-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    t = DeltaSparkTable(spark, uri)
+    idx = DeltaSparkTable(spark, idx_uri)
+    bad = incremental.lsh_index_vs_rebuild(t, idx).count()
+    if bad:
+        raise AssertionError(
+            f"streamed index diverged from a from-scratch build on "
+            f"{bad} bucket rows"
+        )
+    last = t.last_txn_version("ixsink-pipeline")
+    if last is None:
+        raise AssertionError("sink recorded no txn ledger entry")
+    n, ni = t.read().count(), idx.read().count()
+    sink(docs, last)  # post-crash replay of the final micro-batch
+    if t.read().count() != n or idx.read().count() != ni:
+        raise AssertionError(
+            f"replay changed state: table {n} -> {t.read().count()}, "
+            f"index {ni} -> {idx.read().count()}"
+        )
+    return t.read()
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1508,6 +1560,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # build/maintain/audit contract — PQ codes (displaces
         # text_quality's successor heads on their committed records)
         "pq_index_maintain": pq_index_maintain,
+        # NEW in r8 (late): exactly-once streaming ingest with
+        # in-pipeline LSH index maintenance (ORACLE-BACKED on the
+        # table contents; index parity + replay no-op guards in-line)
+        "streaming_index_sink": _streaming_index_sink,
         # NEW in r8: global-token-budget corpus sampling via a
         # two-level prefix sum (oracle-backed; displaces decontaminate
         # past the cap — its r6 green record stands)
@@ -2056,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "streaming_exactly_once_sink": "SELECT doc_id, text FROM documents",
+        "streaming_index_sink": "SELECT doc_id, text FROM documents",
         "heavy_hitter_tokens": f"""
             WITH toks AS (
                 SELECT unnest({_TOK}) AS token FROM documents

@@ -51,3 +51,54 @@ def exactly_once_table_sink(
         )
 
     return sink
+
+
+def index_maintaining_sink(
+    table_uri: str,
+    index_uri: str,
+    app_id: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    partition_columns: Optional[Sequence[str]] = None,
+) -> Callable[[DataFrame, int], None]:
+    """``exactly_once_table_sink`` + CDC index maintenance in one
+    ``foreachBatch``: each micro-batch appends to the documents table
+    exactly once, then the persisted MinHash-LSH bucket index folds
+    the not-yet-indexed commits (``incremental.maintain_lsh_index``;
+    the first batch bootstraps via ``build_lsh_index``) — a streaming
+    ingest whose near-dup index is ALWAYS current, no separate
+    maintenance job to schedule or forget.
+
+    Crash/replay safety composes from the two idempotent halves: a
+    replayed batch's append no-ops on the txn ledger (table head
+    unchanged), and maintenance resumes from the index's own
+    ``base_version`` metadata, so an already-folded head is a no-op
+    too — the pair is exactly-once end-to-end without any shared
+    coordination beyond the table versions themselves.  An external
+    REWRITE of the table fails the stream loudly (``read_changes``
+    raises; rebuild the index instead) — silence would leave ghost
+    bucket rows.
+
+    Per-batch cost is O(batch): one append commit + shingling/banding
+    of only the new documents."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.incremental import (
+            build_lsh_index,
+            maintain_lsh_index,
+        )
+
+        spark = batch_df.sparkSession
+        table = DeltaSparkTable(spark, table_uri)
+        table.idempotent_append(
+            batch_df, app_id, batch_id,
+            partition_columns=partition_columns,
+        )
+        index = DeltaSparkTable(spark, index_uri)
+        if not index.exists():
+            build_lsh_index(table, index, num_hashes, bands)
+        else:
+            maintain_lsh_index(table, index)
+
+    return sink

@@ -887,3 +887,49 @@ def test_sliding_rollup_overlap_invariant(spark):
         & (F.col("ts") < w["window_start"] + F.expr("INTERVAL 2 HOURS"))
     ).count()
     assert batch_n == w["n_events"]
+
+
+def test_index_maintaining_sink_composition(spark, tmp_path):
+    """The exactly-once append + CDC index fold composition, driven
+    batch-by-batch: after 3 batches the index equals a from-scratch
+    build; a replayed batch changes nothing; an external rewrite of
+    the table fails the next batch loudly (rebuild, not silent ghost
+    rows)."""
+    import pytest
+
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark.operators.incremental import (
+        lsh_index_vs_rebuild,
+    )
+    from dagster_delta_spark.streaming import index_maintaining_sink
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    t_uri, i_uri = str(tmp_path / "t"), str(tmp_path / "i")
+    sink = index_maintaining_sink(t_uri, i_uri, "app")
+    for b in range(3):
+        sink(docs.where(f"doc_id % 3 = {b}"), b)
+    t = DeltaSparkTable(spark, t_uri)
+    idx = DeltaSparkTable(spark, i_uri)
+    assert t.read().count() == docs.count()
+    assert lsh_index_vs_rebuild(t, idx).count() == 0
+    n, ni = t.read().count(), idx.read().count()
+    sink(docs.where("doc_id % 3 = 2"), 2)  # post-crash replay
+    assert t.read().count() == n and idx.read().count() == ni
+    t.write(docs.where("doc_id < 50"), WriteMode.overwrite)
+    with pytest.raises(ValueError):
+        sink(docs.where("doc_id % 3 = 0"), 3)
+
+
+def test_streaming_index_sink_entry_guard_fires(spark, monkeypatch):
+    """A maintenance path that silently skips folding must trip the
+    entry's rebuild-parity guard."""
+    import pytest
+
+    import __spark_entry__ as entry
+    from dagster_delta_spark.operators import incremental as incr
+
+    monkeypatch.setattr(incr, "maintain_lsh_index",
+                        lambda docs, index, since_version=None: 0)
+    with pytest.raises(AssertionError, match="diverged"):
+        entry._streaming_index_sink(spark, "/root/testdata/sf0.001")
