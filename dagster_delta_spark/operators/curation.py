@@ -229,15 +229,21 @@ def near_dup_decontaminate(
         shingles_of,
     )
 
-    if docs is None:
+    default_corpus = docs is None
+    if default_corpus:
         docs = load(spark, sf_dir, "documents")
         corpus_sh = _shingle_stream(spark, sf_dir)  # session-cached
     else:
         corpus_sh = shingles_of(docs)
     if eval_set is None:
-        eval_set = docs.where(F.col("doc_id") % 17 == 3)
+        # the default eval stand-in is a corpus subset: filter its
+        # shingles out of the (already materialized) corpus stream
+        # instead of re-shingling the eval docs
+        eval_sh = corpus_sh.where(F.col("doc_id") % 17 == 3)
+    else:
+        eval_sh = shingles_of(eval_set)
     # small by construction; feeds banding AND the verify join
-    eval_sh = shingles_of(eval_set).localCheckpoint()
+    eval_sh = eval_sh.localCheckpoint()
     cand = (
         band_buckets(_signatures_from_stream(corpus_sh, num_hashes),
                      num_hashes, bands)
