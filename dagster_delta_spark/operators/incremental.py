@@ -115,15 +115,19 @@ def maintain_rollup(
 
 
 def _resume_version(index: DeltaSparkTable) -> tuple[int, dict]:
-    """Processed base version + full metadata from the index table's
-    last commit — the resume point every maintain_* entry point shares."""
-    meta = index.history(limit=1)[0].get("userMetadata") or {}
-    if "base_version" not in meta:
-        raise ValueError(
-            "index table carries no base_version metadata — was it "
-            "created by its build_* function?"
-        )
-    return int(meta["base_version"]), meta
+    """Processed base version + metadata from the index table's most
+    recent build/maintain commit — the resume point every maintain_*
+    entry point shares.  Walks past commits that carry no
+    ``base_version`` (OPTIMIZE / Z-order / vacuum on the index table
+    itself — housekeeping must not strand maintenance)."""
+    for h in index.history():
+        meta = h.get("userMetadata") or {}
+        if "base_version" in meta:
+            return int(meta["base_version"]), meta
+    raise ValueError(
+        "index table carries no base_version metadata — was it "
+        "created by its build_* function?"
+    )
 
 
 def _lsh_doc_buckets(docs: DataFrame, num_hashes: int, bands: int) -> DataFrame:

@@ -129,3 +129,21 @@ def test_pq_index_maintain_entry_guard_fires(spark, monkeypatch):
     monkeypatch.setattr(incr, "maintain_pq_index", tampering)
     with pytest.raises(AssertionError, match="diverged"):
         entry.pq_index_maintain(spark, sf)
+
+
+def test_index_housekeeping_survives_maintenance(spark, tmp_path):
+    """OPTIMIZE on the index table writes a commit WITHOUT
+    base_version metadata — resume must walk past it to the newest
+    maintenance commit instead of stranding the index (regression:
+    _resume_version read only history(1))."""
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "pq"))
+    emb.write(_emb_df(spark, range(20), seed=1), WriteMode.error)
+    build_pq_index(emb, index, m=4, nbits=2)
+    emb.write(_emb_df(spark, range(20, 30), seed=2), WriteMode.append)
+    maintain_pq_index(emb, index)
+    index.optimize()  # housekeeping commit, no base_version metadata
+    emb.write(_emb_df(spark, range(30, 40), seed=4), WriteMode.append)
+    assert maintain_pq_index(emb, index) == 2
+    assert index.read().count() == 40
+    assert pq_index_vs_rebuild(emb, index).count() == 0
