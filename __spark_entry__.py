@@ -1465,6 +1465,76 @@ def _streaming_exactly_once_sink(
     return t.read()
 
 
+def _ann_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query the CDC-maintained IVF + PQ index pair (rows-only:
+    approximate by design).  Fixture: both indexes built over a
+    2-commit transactional corpus and maintained through the append.
+
+    Self-falsifying guard: with ``rerank`` covering every probed
+    candidate, the ADC path's result must equal an INDEPENDENT exact
+    computation that never touches the PQ codes — probe the stored
+    centroids, take the stored inverted list's members in the probed
+    cells, score exact cosine, top-k.  Any corruption in the codes,
+    codebooks, ADC tables, or shortlist machinery breaks the match."""
+    from pyspark.sql.window import Window
+
+    from dagster_delta_spark.operators.similarity import (
+        DOT,
+        _probe_cells_for,
+        _resolve_nprobe,
+        _topk,
+        _with_norm,
+    )
+
+    emb_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    emb = DeltaSparkTable(spark, _scratch("annq-base"))
+    ivf = DeltaSparkTable(spark, _scratch("annq-ivf"))
+    pq = DeltaSparkTable(spark, _scratch("annq-pq"))
+    emb.write(emb_src.where("vec_id % 3 < 2"), WriteMode.error)
+    incremental.build_ivf_index(emb, ivf)
+    incremental.build_pq_index(emb, pq)
+    emb.write(emb_src.where("vec_id % 3 = 2"), WriteMode.append)
+    incremental.maintain_ivf_index(emb, ivf)
+    incremental.maintain_pq_index(emb, pq)
+
+    full = {(r["q_id"], r["rank"]): r["vec_id"]
+            for r in incremental.ann_query_maintained(
+                emb, ivf, pq, rerank=10**9).collect()}
+    # independent anchor: exact cosine over the probed cells' stored
+    # members — no PQ machinery involved
+    cents = DeltaSparkTable(spark, ivf.table_uri + "_centroids").read()
+    vectors = _with_norm(emb.read().select("vec_id", "embedding"))
+    queries = vectors.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    probes = _probe_cells_for(
+        queries, cents, _resolve_nprobe(None, cents.count()))
+    dot = DOT.format(a="q_emb", b="embedding")
+    anchor_df = _topk(
+        ivf.read().select("vec_id", "cell")
+        .join(vectors, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine",
+                    F.expr(dot) / (F.col("norm") * F.col("q_norm"))),
+        5,
+    )
+    anchor = {(r["q_id"], r["rank"]): r["vec_id"]
+              for r in anchor_df.collect()}
+    if full != anchor:
+        diff = {kk: (anchor.get(kk), full.get(kk))
+                for kk in set(anchor) | set(full)
+                if anchor.get(kk) != full.get(kk)}
+        raise AssertionError(
+            f"maintained-index ADC query diverged from the exact "
+            f"probed-cell anchor: {diff}"
+        )
+    return incremental.ann_query_maintained(emb, ivf, pq)
+
+
 def _streaming_index_sink(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1564,6 +1634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-pipeline LSH index maintenance (ORACLE-BACKED on the
         # table contents; index parity + replay no-op guards in-line)
         "streaming_index_sink": _streaming_index_sink,
+        # NEW in r8 (late): the production READ path over the
+        # maintained IVF+PQ indexes (rows-only + exact-anchor guard)
+        "ann_query_indexed": _ann_query_indexed,
         # NEW in r8: global-token-budget corpus sampling via a
         # two-level prefix sum (oracle-backed; displaces decontaminate
         # past the cap — its r6 green record stands)

@@ -69,6 +69,7 @@ def main() -> None:
         "ann_index_maintain",
         "lsh_index_maintain",
         "pq_index_maintain",
+        "ann_query_indexed",
         # streaming ingest near-dup filter (3 micro-batches), staged:
         # the ~7 s streaming-engine + fixture fixed cost masked probe
         # regressions behind one number, so the line reports the
@@ -273,6 +274,33 @@ def main() -> None:
         incr.maintain_pq_index(base, index)
         index.read().write.mode("overwrite").format("noop").save()
 
+    def _annq_setup(spark, d):
+        # fixture: both maintained indexes over the 2-commit corpus
+        # (untimed — index build is amortized pipeline cost); the
+        # operator under test is the QUERY: probe stored centroids,
+        # ADC-scan stored codes, exact-rerank the shortlist
+        from dagster_delta_spark.operators import incremental as incr
+
+        src = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", "embedding")
+        base = DeltaSparkTable(spark, entry._scratch("bench-annq-base"))
+        ivf = DeltaSparkTable(spark, entry._scratch("bench-annq-ivf"))
+        pq = DeltaSparkTable(spark, entry._scratch("bench-annq-pq"))
+        base.write(src.where("vec_id % 3 < 2"), WriteMode.error)
+        incr.build_ivf_index(base, ivf)
+        incr.build_pq_index(base, pq)
+        base.write(src.where("vec_id % 3 = 2"), WriteMode.append)
+        incr.maintain_ivf_index(base, ivf)
+        incr.maintain_pq_index(base, pq)
+        return base, ivf, pq
+
+    def _annq_run(spark, ctx):
+        from dagster_delta_spark.operators import incremental as incr
+
+        base, ivf, pq = ctx
+        incr.ann_query_maintained(base, ivf, pq).write.mode(
+            "overwrite").format("noop").save()
+
     def _lsh_maint_setup(spark, d):
         # same shape as the ANN line: bootstrap bucket index + one
         # appended 1/3 delta untimed, time ONE maintenance fold
@@ -303,6 +331,7 @@ def main() -> None:
         "ann_index_maintain": (_ann_maint_setup, _ann_maint_run),
         "lsh_index_maintain": (_lsh_maint_setup, _lsh_maint_run),
         "pq_index_maintain": (_pq_maint_setup, _pq_maint_run),
+        "ann_query_indexed": (_annq_setup, _annq_run),
     }
 
     # Since r7 the rows-only registry entries wrap their operators in

@@ -402,6 +402,53 @@ def maintain_pq_index(
     return head
 
 
+def ann_query_maintained(
+    emb: DeltaSparkTable,
+    ivf_index: DeltaSparkTable,
+    pq_index: DeltaSparkTable,
+    k: int = 5,
+    n_queries: int = 5,
+    nprobe: Optional[int] = None,
+    rerank: int = 50,
+) -> DataFrame:
+    """Query the CDC-MAINTAINED index pair end-to-end — the production
+    read path the build/maintain machinery exists for: probe the
+    STORED centroids, scan the STORED inverted list joined with the
+    STORED m-byte PQ codes via ADC lookup tables, exact-rerank the
+    shortlist from the embeddings table.  No training, assignment, or
+    encoding job runs at query time; the only full-precision vectors
+    read are queries x ``rerank`` shortlist rows.
+
+    Uses the SAME query core as ``similarity.ivf_pq_topk``
+    (``_pq_query_topk``), so probe ranking, ADC scoring, tie-breaks,
+    and the full-rerank exactness property are identical by
+    construction: with ``rerank`` covering the probed population the
+    result is exact cosine top-k over the probed cells' members."""
+    from .similarity import (
+        _codebooks_from_rows,
+        _pq_query_topk,
+        _resolve_nprobe,
+        _with_norm,
+    )
+
+    cents = _ivf_centroids_table(ivf_index).read()
+    listing = ivf_index.read().select("vec_id", "cell")
+    codes = pq_index.read().select("vec_id", "codes")
+    codebooks = _codebooks_from_rows(_pq_codebooks_table(pq_index)
+                                     .read().collect())
+    nprobe = _resolve_nprobe(nprobe, cents.count())
+    vectors = _with_norm(emb.read().select("vec_id", "embedding"))
+    queries = vectors.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    ).localCheckpoint()
+    return _pq_query_topk(
+        queries, cents, listing.join(codes, "vec_id"), vectors,
+        codebooks, k=k, nprobe=nprobe, rerank=rerank,
+    )
+
+
 def pq_index_vs_rebuild(
     emb: DeltaSparkTable, index: DeltaSparkTable
 ) -> DataFrame:

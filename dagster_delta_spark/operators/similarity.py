@@ -584,22 +584,15 @@ def ivf_assignments(
                         eager=False)
 
 
-def _probe_cells(
-    assigned: DataFrame, cents: DataFrame, n_queries: int, nprobe: int,
+def _probe_cells_for(
+    queries: DataFrame, cents: DataFrame, nprobe: int,
 ) -> DataFrame:
-    """Query vectors with their ``nprobe`` nearest centroid cells —
-    (q_id, q_emb, q_norm, cell), one row per probe.  Shared by
-    ``ivf_ann_topk`` and ``ivf_quantized_topk`` so their probe sets
-    (ranking AND tie-break) can never drift apart: the quantized
-    path's bit-for-bit-at-full-rerank contract depends on both
-    scanning the same cells."""
+    """Each query with its ``nprobe`` nearest centroid cells —
+    (q_id, q_emb, q_norm, cell), one row per probe — for an arbitrary
+    (q_id, q_emb, q_norm) queries frame (the maintained-index query
+    path supplies its own)."""
     from pyspark.sql.window import Window
 
-    queries = assigned.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
     dot_qc = DOT.format(a="q_emb", b="c_emb")
     wq = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cell"))
     return (
@@ -610,6 +603,23 @@ def _probe_cells(
         .where(F.col("probe_rank") <= nprobe)
         .select("q_id", "q_emb", "q_norm", "cell")
     )
+
+
+def _probe_cells(
+    assigned: DataFrame, cents: DataFrame, n_queries: int, nprobe: int,
+) -> DataFrame:
+    """Query vectors with their ``nprobe`` nearest centroid cells —
+    (q_id, q_emb, q_norm, cell), one row per probe.  Shared by
+    ``ivf_ann_topk`` and ``ivf_quantized_topk`` so their probe sets
+    (ranking AND tie-break) can never drift apart: the quantized
+    path's bit-for-bit-at-full-rerank contract depends on both
+    scanning the same cells."""
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    return _probe_cells_for(queries, cents, nprobe)
 
 
 def ivf_ann_topk(
@@ -964,21 +974,38 @@ def ivf_pq_topk(
     nprobe = _resolve_nprobe(nprobe, n_cells)
     cents = ivf_train_centroids(spark, sf_dir, n_cells)
     assigned = ivf_assignments(spark, sf_dir, n_cells)
-    probes = _probe_cells(assigned, cents, n_queries, nprobe)
     codes = pq_codes(spark, sf_dir, m, nbits, n_cells)
     codebooks, _d = _pq_codebooks(spark, sf_dir, m, nbits)
-
-    # bounded by n_queries — the same collect _probe_cells' callers
-    # already pay for the probe broadcast
     queries = assigned.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     ).localCheckpoint()
+    return _pq_query_topk(
+        queries, cents, codes,
+        assigned.select("vec_id", "embedding", "norm"),
+        codebooks, k=k, nprobe=nprobe, rerank=rerank,
+    )
+
+
+def _pq_query_topk(
+    queries: DataFrame, cents: DataFrame, codes_with_cell: DataFrame,
+    vectors: DataFrame, codebooks, *, k: int, nprobe: int, rerank: int,
+) -> DataFrame:
+    """The IVF-PQ query core over arbitrary index frames — shared by
+    the parquet-corpus path (``ivf_pq_topk``) and the maintained-index
+    path (``incremental.ann_query_maintained``) so their probe/ADC/
+    rerank semantics can never drift: ``queries`` (q_id, q_emb,
+    q_norm), ``cents`` (cell, c_emb, c_norm), ``codes_with_cell``
+    (vec_id, cell, codes), ``vectors`` (vec_id, embedding, norm)."""
+    from pyspark.sql.window import Window
+
+    rerank = max(rerank, k)
+    probes = _probe_cells_for(queries, cents, nprobe)
     import numpy as np
 
     luts = {}
-    for r in queries.collect():
+    for r in queries.collect():   # bounded by n_queries
         q = np.asarray(r["q_emb"], dtype=np.float64) / r["q_norm"]
         mm, dsub = codebooks.shape[0], codebooks.shape[2]
         luts[r["q_id"]] = np.stack([
@@ -1008,7 +1035,8 @@ def ivf_pq_topk(
 
     w = Window.partitionBy("q_id").orderBy(F.desc("ascore"), F.asc("vec_id"))
     shortlist = (
-        codes.join(F.broadcast(probes.select("q_id", "cell")), "cell")
+        codes_with_cell
+        .join(F.broadcast(probes.select("q_id", "cell")), "cell")
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", "codes")
         .mapInPandas(_adc, "q_id long, vec_id long, ascore double")
@@ -1018,7 +1046,7 @@ def ivf_pq_topk(
     )
     dot = DOT.format(a="q_emb", b="embedding")
     scored = (
-        assigned.select("vec_id", "embedding", "norm")
+        vectors
         .join(F.broadcast(shortlist.join(queries, "q_id")), "vec_id")
         .withColumn("cosine", F.expr(dot) / (F.col("norm") * F.col("q_norm")))
     )

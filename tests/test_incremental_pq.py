@@ -147,3 +147,82 @@ def test_index_housekeeping_survives_maintenance(spark, tmp_path):
     assert maintain_pq_index(emb, index) == 2
     assert index.read().count() == 40
     assert pq_index_vs_rebuild(emb, index).count() == 0
+
+
+def test_ann_query_maintained_full_rerank_is_exact(spark, tmp_path):
+    """With rerank covering the probed population, the maintained-
+    index ADC query equals exact cosine over the probed cells' stored
+    members — and results change ONLY in shortlist membership at
+    small rerank (every reported score is exact)."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.operators.incremental import (
+        ann_query_maintained,
+        build_ivf_index,
+        maintain_ivf_index,
+    )
+    from dagster_delta_spark.operators.similarity import (
+        DOT,
+        _probe_cells_for,
+        _topk,
+        _with_norm,
+    )
+
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    ivf = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    pq = DeltaSparkTable(spark, str(tmp_path / "pq"))
+    emb.write(_emb_df(spark, range(60), seed=1), WriteMode.error)
+    build_ivf_index(emb, ivf, n_cells=4)
+    build_pq_index(emb, pq, m=4, nbits=3)
+    emb.write(_emb_df(spark, range(60, 90), seed=2), WriteMode.append)
+    maintain_ivf_index(emb, ivf)
+    maintain_pq_index(emb, pq)
+
+    full = {(r["q_id"], r["rank"]): r["vec_id"]
+            for r in ann_query_maintained(
+                emb, ivf, pq, k=3, n_queries=3, nprobe=2,
+                rerank=10**9).collect()}
+    cents = DeltaSparkTable(spark, str(tmp_path / "ivf") + "_centroids").read()
+    vectors = _with_norm(emb.read().select("vec_id", "embedding"))
+    queries = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    dot = DOT.format(a="q_emb", b="embedding")
+    anchor_df = _topk(
+        ivf.read().select("vec_id", "cell")
+        .join(vectors, "vec_id")
+        .join(_probe_cells_for(queries, cents, 2), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine",
+                    F.expr(dot) / (F.col("norm") * F.col("q_norm"))),
+        3,
+    )
+    anchor = {(r["q_id"], r["rank"]): r["vec_id"]
+              for r in anchor_df.collect()}
+    assert full == anchor
+    # small rerank: still k results per query, exact scores
+    small = ann_query_maintained(emb, ivf, pq, k=3, n_queries=3,
+                                 nprobe=2, rerank=3).collect()
+    per_q = {}
+    for r in small:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert all(len(v) == 3 for v in per_q.values())
+
+
+def test_ann_query_indexed_entry_guard_fires(spark, monkeypatch):
+    """A query path returning shifted neighbor ids must trip the
+    exact-anchor guard."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from dagster_delta_spark.operators import incremental as incr
+
+    real = incr.ann_query_maintained
+    monkeypatch.setattr(
+        incr, "ann_query_maintained",
+        lambda e, i, p, **kw: real(e, i, p, **kw).withColumn(
+            "vec_id", F.col("vec_id") + 7))
+    with pytest.raises(AssertionError, match="diverged from the exact"):
+        entry._ann_query_indexed(spark, "/root/testdata/sf0.001")
