@@ -59,6 +59,19 @@ def _scratch(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"dds-{prefix}-") + "/t"
 
 
+def _bm25_query_values() -> str:
+    """Render textops.BM25_QUERIES as a DuckDB VALUES list of distinct
+    (qid, term) rows — the same derivation bm25_search applies."""
+    import re as _re
+
+    rows = []
+    for qid, qtext in textops.BM25_QUERIES:
+        toks = {t for t in _re.split(r"[^a-z0-9]+", qtext.lower()) if t}
+        for t in sorted(toks):
+            rows.append(f"({int(qid)}, '{t}')")
+    return ", ".join(rows)
+
+
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1681,9 +1694,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # textops changed this round (heavy hitters) + r5/r6 records
         "sketch_profile": _sketch_profile,
         "stream_ingest_near_dup_filter": _stream_ingest_filter,
+        # NEW in r8 (late): BM25 retrieval + PMI collocation mining —
+        # both oracle-backed (displace string_functions /
+        # date_parts_rollup to the tail on their standing green
+        # records)
+        "bm25_search": textops.bm25_search,
+        "pmi_collocations": textops.pmi_collocations,
         # stalest committed records: r4 cohort
-        "string_functions": relational.string_functions_probe,
-        "date_parts_rollup": relational.date_parts_rollup,
         "q12_case_agg": relational.q12_priority_by_linestatus,
         "source_summary": textops.source_summary,
         "deterministic_sample": textops.deterministic_sample,
@@ -1790,6 +1807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": relational.customer_order_set_ops,
         "asof_clicks_purchases": asof.clicks_asof_purchases,
         "range_join_bursts": asof.user_event_bursts,
+        # displaced to the tail in late r8 on standing green records
+        "string_functions": relational.string_functions_probe,
+        "date_parts_rollup": relational.date_parts_rollup,
     }
 
 
@@ -3065,6 +3085,79 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE n.n_name = 'NATION_2'
               AND s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+        """,
+        "bm25_search": f"""
+            WITH q(qid, term) AS (VALUES {_bm25_query_values()}),
+            tok AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), dl AS (
+                SELECT doc_id, CAST(len({_TOK}) AS DOUBLE) AS dl
+                FROM documents
+            ), stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(dl) AS avgdl
+                FROM dl
+            ), scored AS (
+                SELECT q.qid, t.doc_id,
+                       round(sum(
+                           ln(1.0 + (s.n_docs - d.df + 0.5)
+                                    / (d.df + 0.5))
+                           * t.tf * 2.2
+                           / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                                   / s.avgdl))
+                       ), 9) AS score
+                FROM q
+                JOIN tf t ON q.term = t.term
+                JOIN df d ON t.term = d.term
+                JOIN dl l ON t.doc_id = l.doc_id, stats s
+                GROUP BY q.qid, t.doc_id
+            )
+            SELECT qid, doc_id, score, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
+        "pmi_collocations": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), pairs AS (
+                SELECT unnest(CASE WHEN len(t) >= 2 THEN
+                           list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i+1])
+                           ELSE [] END) AS gram
+                FROM toks
+            ), c2 AS (
+                SELECT gram, count(*) AS n_pairs
+                FROM pairs GROUP BY gram HAVING count(*) >= 5
+            ), c1 AS (
+                SELECT tok, CAST(count(*) AS DOUBLE) AS c
+                FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+            ), tot AS (
+                SELECT (SELECT sum(c) FROM c1) AS t1,
+                       (SELECT CAST(count(*) AS DOUBLE) FROM pairs)
+                           AS t2
+            ), scored AS (
+                SELECT c2.gram, c2.n_pairs,
+                       round(ln((c2.n_pairs / tot.t2)
+                                / ((ca.c / tot.t1)
+                                   * (cb.c / tot.t1))), 9) AS pmi
+                FROM c2
+                JOIN c1 ca ON ca.tok = split_part(c2.gram, ' ', 1)
+                JOIN c1 cb ON cb.tok = split_part(c2.gram, ' ', 2),
+                tot
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY pmi DESC, gram ASC) AS INT) AS rank,
+                   gram, n_pairs, pmi
+            FROM scored
+            ORDER BY rank LIMIT 100
         """,
         "tfidf_top_terms": f"""
             WITH tok AS (

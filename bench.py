@@ -86,6 +86,8 @@ def main() -> None:
         "near_dup_decontaminate",
         "text_quality",
         "bigram_perplexity",
+        "bm25_search",
+        "pmi_collocations",
         "bpe_token_stats",
         "fingerprint",
         "minhash_lsh_near_dups",

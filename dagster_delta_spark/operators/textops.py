@@ -12,6 +12,8 @@ Tokenization contract (shared with the oracles): lowercase, split on
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -609,4 +611,182 @@ def bigram_perplexity(
             F.avg(-F.log(p)).alias("avg_neg_logprob"),
         )
         .withColumn("perplexity", F.exp("avg_neg_logprob"))
+    )
+
+
+# Default BM25 query set — module-level so the registry entry and its
+# DuckDB oracle render the SAME literals.  One deliberately
+# out-of-vocabulary term ("retrieval") exercises the unseen-term path
+# (contributes zero score; must not drop the query).
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join retrieval"),
+    (2, "window agg stream"),
+    (3, "fast scan filter column"),
+]
+
+
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: list[tuple[int, str]] | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Distributed BM25 full-text search: score every document against
+    a small query set and return the per-query top-k — the retrieval
+    primitive behind dataset search, eval-set mining, and
+    contamination triage (reference analogue: user-side text search
+    the io-manager feeds; the engine-native piece is the inverted
+    scoring plan).
+
+    Scoring (Lucene-style, always-positive idf; distinct query terms,
+    qtf ignored as in standard practice):
+
+        idf(t)       = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(q, d)  = sum_t idf(t) * tf * (k1+1)
+                               / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Plan: term frequencies and document frequencies are the same two
+    keyed aggregations ``tfidf_top_terms`` runs; the tiny query-term
+    relation broadcast-joins INTO the tf stream on term (so only
+    postings of query terms survive — the inverted-index probe,
+    pushed before the df join), document length joins on doc_id, and
+    the 2-row corpus stats (N, avgdl) ride a broadcast cross join.
+    The per-query top-k is a WindowGroupLimit — per-query state only,
+    never a global sort.  Out-of-vocabulary terms vanish in the inner
+    postings join, contributing 0.  All codegen, no Python."""
+    from pyspark.sql.window import Window
+
+    if queries is None:
+        queries = BM25_QUERIES
+    docs = load(spark, sf_dir, "documents")
+    qrows = []
+    for qid, qtext in queries:
+        toks = [t for t in re.split(r"[^a-z0-9]+", qtext.lower()) if t]
+        for t in sorted(set(toks)):
+            qrows.append((int(qid), t))
+    qterms = spark.createDataFrame(qrows, "qid int, term string")
+
+    terms = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("term"))
+    # checkpointed so the postings probe and the df aggregate share
+    # ONE tokenize+count pass instead of re-expanding the lineage
+    # (the bigram_perplexity model-side pattern)
+    tf = (
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # postings probe FIRST: df/doclen joins then touch only the
+    # query-term postings, not the whole vocabulary
+    postings = tf.join(F.broadcast(qterms), "term")
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(
+        "doc_id", F.expr(f"size({TOKENS})").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    # scores round to 9 decimals BEFORE ranking: near-ties become
+    # exact ties broken by doc_id, so top-k membership is deterministic
+    # across engines (libm ln() may differ from DuckDB's by an ulp)
+    scored = (
+        postings.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(idf * norm), 9).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select("qid", "doc_id", "score", "rank")
+    )
+
+
+def pmi_collocations(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-wide collocation mining: top-k adjacent word pairs by
+    pointwise mutual information — the phrase detector (word2phrase /
+    Mikolov-style) a tokenizer-training or boilerplate-analysis
+    pipeline runs before committing to a vocabulary.
+
+        pmi(x, y) = ln( P(x,y) / (P(x) P(y)) )
+                  = ln( (c_xy / T2) / ((c_x / T1) * (c_y / T1)) )
+
+    with T1 = total tokens, T2 = total adjacent pairs; pairs rarer
+    than ``min_count`` are noise-floored out BEFORE the unigram joins
+    (the classic discount against ln's explosion on hapax pairs).
+
+    Plan: one positional explode, the pair stream via per-doc lead();
+    unigram and pair counts are two map-side-combined aggregates; the
+    (filtered, small) pair-count relation joins the unigram counts
+    twice on the word key (AQE absorbs stopword-grade skew; the count
+    side is one row per word) and the 1-row totals broadcast; global
+    top-k plans TakeOrderedAndProject, never a single-task sort.
+    Linear in corpus tokens, all codegen."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("tok", "nxt")
+    )
+    uni = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+        .localCheckpoint(eager=False)
+    )
+    # UNFILTERED pair counts checkpoint once (vocabulary²-bounded):
+    # the min_count filter and the T2 total both read it, so the
+    # corpus-wide lead() window runs exactly once
+    cnt = (
+        pairs.groupBy("tok", "nxt").agg(F.count(F.lit(1)).alias("n_pairs"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = cnt.where(F.col("n_pairs") >= min_count)
+    totals = uni.agg(
+        F.sum("c_uni").cast("double").alias("t1"),
+    ).crossJoin(
+        cnt.agg(F.sum("n_pairs").cast("double").alias("t2")))
+    pmi = F.log(
+        (F.col("n_pairs") / F.col("t2"))
+        / ((F.col("c_a") / F.col("t1")) * (F.col("c_b") / F.col("t1")))
+    )
+    scored = (
+        c2.join(uni.select("tok", F.col("c_uni").alias("c_a")), "tok")
+        .join(
+            uni.select(F.col("tok").alias("nxt"),
+                       F.col("c_uni").alias("c_b")), "nxt")
+        .crossJoin(F.broadcast(totals))
+        # rounded before ranking — near-ties become exact ties broken
+        # by gram, so top-k membership is cross-engine deterministic
+        .select(
+            F.concat_ws(" ", "tok", "nxt").alias("gram"),
+            "n_pairs",
+            F.round(pmi, 9).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("pmi"), F.asc("gram")).limit(top_k)
+    rank = Window.orderBy(F.desc("pmi"), F.asc("gram"))
+    return (
+        top.withColumn("rank", F.row_number().over(rank).cast("int"))
+        .select("rank", "gram", "n_pairs", "pmi")
     )

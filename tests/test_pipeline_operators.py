@@ -1383,3 +1383,75 @@ def test_bigram_perplexity_hand_computed(spark, tmp_path):
 
     with pytest.raises(ValueError, match="lam"):
         bigram_perplexity(spark, str(dd), lam=1.5)
+
+
+def test_bm25_search_hand_computed(spark, tmp_path):
+    """Exact Lucene-style BM25 on a 3-doc corpus: per-term idf and
+    length normalization, OOV query terms score nothing, and top_k
+    truncates per query."""
+    import math
+
+    from dagster_delta_spark.operators.textops import bm25_search
+
+    dd = tmp_path / "bm25"
+    dd.mkdir()
+    spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat cat"), (3, "bird")],
+        "doc_id long, text string",
+    ).write.parquet(str(dd / "documents.parquet"))
+
+    out = bm25_search(
+        spark, str(dd),
+        queries=[(1, "cat"), (2, "cat bird"), (3, "zebra")],
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], {})[r["doc_id"]] = r
+
+    # N=3, avgdl=2; df(cat)=2, df(bird)=1; k1=1.2, b=0.75
+    idf_cat = math.log(1 + (3 - 2 + 0.5) / 2.5)
+    idf_bird = math.log(1 + (3 - 1 + 0.5) / 1.5)
+    s_cat_d1 = idf_cat * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / 2))
+    s_cat_d2 = idf_cat * 3 * 2.2 / (3 + 1.2 * (0.25 + 0.75 * 3 / 2))
+    s_bird_d3 = idf_bird * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 1 / 2))
+    assert abs(by_q[1][1]["score"] - round(s_cat_d1, 9)) < 1e-9
+    assert abs(by_q[1][2]["score"] - round(s_cat_d2, 9)) < 1e-9
+    # tf=3 outweighs the length penalty: doc 2 ranks first for "cat"
+    assert by_q[1][2]["rank"] == 1 and by_q[1][1]["rank"] == 2
+    assert 3 not in by_q[1]  # no 'cat' in doc 3
+    assert abs(by_q[2][3]["score"] - round(s_bird_d3, 9)) < 1e-9
+    assert 3 not in by_q  # fully OOV query returns no rows
+
+    top1 = bm25_search(
+        spark, str(dd), queries=[(1, "cat")], top_k=1).collect()
+    assert len(top1) == 1 and top1[0]["doc_id"] == 2
+
+
+def test_pmi_collocations_hand_computed(spark, tmp_path):
+    """Exact PMI values on a planted corpus: the true collocation
+    ranks first, ties break on gram ascending, and min_count floors
+    out rare pairs."""
+    import math
+
+    from dagster_delta_spark.operators.textops import pmi_collocations
+
+    dd = tmp_path / "pmi"
+    dd.mkdir()
+    spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "z z z")],
+        "doc_id long, text string",
+    ).write.parquet(str(dd / "documents.parquet"))
+
+    rows = pmi_collocations(spark, str(dd), min_count=2).collect()
+    got = {r["gram"]: r for r in rows}
+    # T1=9 tokens (x:3 y:3 z:3); pairs: (x y):3 (y x):2 (z z):2, T2=7
+    assert got["x y"]["n_pairs"] == 3
+    assert abs(got["x y"]["pmi"] - round(math.log(27 / 7), 9)) < 1e-9
+    assert abs(got["y x"]["pmi"] - round(math.log(18 / 7), 9)) < 1e-9
+    assert abs(got["z z"]["pmi"] - round(math.log(18 / 7), 9)) < 1e-9
+    # ranks: x y first; y x / z z tie on pmi, gram asc breaks it
+    assert got["x y"]["rank"] == 1
+    assert got["y x"]["rank"] == 2
+    assert got["z z"]["rank"] == 3
+
+    assert pmi_collocations(spark, str(dd), min_count=4).count() == 0
