@@ -1700,9 +1700,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # records)
         "bm25_search": textops.bm25_search,
         "pmi_collocations": textops.pmi_collocations,
+        # NEW in r8 (late): PPJoin prefix-filtered exact Jaccard —
+        # shares near_dup_jaccard's oracle (identical output contract;
+        # displaces q12_case_agg to the tail on its standing record)
+        "ppjoin_near_dups": dedup.ppjoin_near_dups,
+        # NEW in r8 (late): left-outer stream-stream interval join —
+        # eviction-driven null emission, oracle-backed (displaces
+        # source_summary to the tail on its standing record)
+        "streaming_interval_join_left": _streaming_interval_join_left,
         # stalest committed records: r4 cohort
-        "q12_case_agg": relational.q12_priority_by_linestatus,
-        "source_summary": textops.source_summary,
         "deterministic_sample": textops.deterministic_sample,
         "fingerprint": textops.fingerprint,
         "q18_large_orders": relational.q18_large_orders,
@@ -1810,6 +1816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced to the tail in late r8 on standing green records
         "string_functions": relational.string_functions_probe,
         "date_parts_rollup": relational.date_parts_rollup,
+        "q12_case_agg": relational.q12_priority_by_linestatus,
+        "source_summary": textops.source_summary,
     }
 
 
@@ -1862,6 +1870,24 @@ def _streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_interval_join_once(
         spark, sf_dir, table_name=f"ivj_{uuid.uuid4().hex[:8]}"
+    )
+
+
+def _streaming_interval_join_left(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join;
+    oracle-backed: the runner stages the fixture plus two far-future
+    sentinel batches so the watermark closes every real click's match
+    window and the eviction-driven null rows all emit — the append
+    output is then COMPLETE and equals the batch/DuckDB left-outer
+    twin exactly (sentinels filtered by negative user_id)."""
+    from dagster_delta_spark.streaming.events import (
+        run_interval_join_left_once,
+    )
+
+    return run_interval_join_left_once(
+        spark, sf_dir, table_name=f"ivjl_{uuid.uuid4().hex[:8]}"
     )
 
 
@@ -2082,6 +2108,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ev c JOIN ev p
               ON c.user_id = p.user_id
              AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+        """,
+        "streaming_interval_join_left": """
+            WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                        FROM events),
+            c AS (SELECT * FROM ev WHERE event_type = 'click'),
+            p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+            SELECT c.event_id AS click_id, c.user_id,
+                   c.ts AS click_ts, c.value AS click_value,
+                   p.event_id AS purchase_id, p.ts AS purchase_ts,
+                   p.value AS purchase_value
+            FROM c LEFT JOIN p
+              ON c.user_id = p.user_id
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
         """,
         "range_join_bursts": """
@@ -3580,6 +3619,10 @@ def oracle_sql() -> dict[str, str]:
     # exact verification strips the false positives, so the oracle is
     # the identical overlap count
     out["bloom_decontaminate"] = out["decontaminate"]
+    # ppjoin_near_dups is near_dup_jaccard with PREFIX-FILTERED
+    # candidate generation — exact verification restores the identical
+    # thresholded pair set, so the oracle is the same exact-Jaccard SQL
+    out["ppjoin_near_dups"] = out["near_dup_jaccard"]
     return out
 
 

@@ -98,6 +98,7 @@ def main() -> None:
         "ann_ivf_quantized_topk",
         "ann_ivf_pq_topk",
         "near_dup_jaccard",
+        "ppjoin_near_dups",
         "winnow_repeated_spans",
         "strip_repeated_spans",
         "corpus_shuffle",

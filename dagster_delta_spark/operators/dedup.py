@@ -941,3 +941,107 @@ def minhash_cluster_keep(
         F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
         (F.coalesce("component", F.col("doc_id")) == F.col("doc_id")).alias("keep"),
     )
+
+
+def ppjoin_near_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    max_prefix_df: Optional[int] = 1000,
+) -> DataFrame:
+    """Exact word-trigram Jaccard near-duplicate pairs via PREFIX
+    FILTERING (the PPJoin family — Xiao, Wang, Lin & Yuan 2011):
+    bit-for-bit the same output contract as ``near_dup_jaccard``, at a
+    candidate cost that scales with RARE-shingle co-occurrence instead
+    of every shared shingle.
+
+    Prefix principle: order every document's shingles by ascending
+    corpus document-frequency (rarest first; ties on the shingle).  If
+    ``J(a, b) >= t`` then a and b MUST share at least one shingle
+    inside their prefixes of length ``n - ceil(t * n) + 1`` — so the
+    candidate self-join runs only on the prefix stream, roughly a
+    ``(1 - t/(1+t))`` fraction of the corpus shingle volume, and the
+    shingles it joins on are by construction the LOW-df ones.  The
+    boilerplate shingles that dominate ``near_dup_jaccard``'s shared-
+    shingle expansion (df in the millions at 100 TB, zero signal) sort
+    to the END of every ordering and almost never enter a prefix.
+    Size filter ``t * |b| <= |a| <= |b| / t`` prunes candidates before
+    verification (J >= t bounds the size ratio).
+
+    Verification is exact: candidate pairs (distinct, already
+    size-filtered) rejoin the full shingle stream on (doc, shingle) to
+    count true intersections, then the shared
+    ``_jaccard_from_intersections`` epilogue thresholds — output
+    equals ``near_dup_jaccard(threshold)`` exactly, so the entry
+    shares its DuckDB oracle.
+
+    ``max_prefix_df`` is the same scale guard the LSH family carries:
+    a prefix bucket can only reach size d when a df=d shingle lands in
+    d prefixes (possible only if EVERY holder has it in-prefix), so
+    buckets are inherently rare-shingle-small; the cap drops
+    join-side rows of any pathological hotter bucket (> cap holders)
+    — those shingles still count in verification, and at the default
+    (1000, above the whole sf0.01 corpus df) the plan is exact for the
+    oracle.  Candidate emission is bounded at O(sum_prefix min(df,
+    cap)^2); verification cost is O(sum_cand |a| + |b|), driven by the
+    true-near-dup density, not the boilerplate density.
+    """
+    from pyspark.sql.window import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold={threshold} must be in (0, 1]")
+    ex = _shingle_stream(spark, sf_dir)
+    sizes = _shingle_sizes(ex)
+
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("sh_df"))
+    rk = Window.partitionBy("doc_id").orderBy(F.asc("sh_df"), F.asc("sh"))
+    ranked = (
+        ex.join(dfreq, "sh")
+        .withColumn("rnk", F.row_number().over(rk))
+        .join(sizes, "doc_id")
+        # prefix length n - ceil(t*n) + 1.  The 1e-9 backs out float
+        # inflation: 0.4 * 15 = 6.0000000000000003 in IEEE, and
+        # ceil'ing that to 7 would SHORTEN the prefix and silently
+        # drop pairs — exactness depends on the true rational ceil.
+        .where(F.col("rnk")
+               <= F.col("n_sh")
+               - F.ceil(threshold * F.col("n_sh") - 1e-9) + 1)
+        .select("doc_id", "sh", "n_sh", "sh_df")
+    )
+    if max_prefix_df is not None:
+        bw = Window.partitionBy("sh").orderBy("doc_id")
+        ranked = (
+            ranked.withColumn("bn", F.row_number().over(bw))
+            .where(F.col("bn") <= max_prefix_df)
+            .drop("bn")
+        )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # J >= t bounds the size ratio: t*|b| <= |a| (a smaller
+            # or equal side either way after the < ordering); epsilon
+            # for the same float-inflation reason as the prefix bound
+            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh") - 1e-9)
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh") - 1e-9),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # exact verification: count true intersections for candidates only
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "sh")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return _jaccard_from_intersections(inter, sizes, threshold,
+                                       extra_cols=("n_common",))

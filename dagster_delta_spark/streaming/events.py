@@ -384,3 +384,133 @@ def run_sliding_rollup_once(
     q.processAllAvailable()
     q.stop()
     return spark.table(table_name)
+
+
+def interval_join_left_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    upper: str = "4 hours",
+    watermark: str = "8 hours",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every click
+    emits — matched rows as soon as both sides arrive, UNMATCHED rows
+    (null purchase columns) only once the watermark has closed the
+    click's match window, because until then a matching purchase could
+    still arrive.  This is the fundamentally harder outer-join state
+    contract (eviction-driven null emission) the inner variant never
+    exercises; the state bound is the same ``watermark + upper``."""
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purchases.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            "c_user_id = p_user_id"
+            " AND purchase_ts >= click_ts"
+            f" AND purchase_ts <= click_ts + INTERVAL {upper}"
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        F.col("c_user_id").alias("user_id"),
+        "click_ts",
+        "click_value",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_interval_join_left_once(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "clicks_purchases_left",
+    upper: str = "4 hours",
+    watermark: str = "8 hours",
+) -> DataFrame:
+    """Execute the streaming LEFT OUTER interval join to a COMPLETE
+    result against the static fixture.
+
+    Unmatched left rows emit only at state eviction, and the watermark
+    that drives eviction is computed at each batch's END and applied
+    in the NEXT batch — so a plain one-batch run never emits them (the
+    final watermark still trails max event time by the delay).  The
+    runner therefore stages the fixture into a temp dir as three files
+    consumed as three ordered micro-batches:
+
+      1. the full real fixture (normalized ts — one batch, so no real
+         row is ever late relative to the watermark);
+      2. a sentinel pair (click + purchase, ``user_id = -1``) 30 days
+         past max real ts — processing it ADVANCES the watermark past
+         every real click's ``click_ts + upper``;
+      3. a second, later sentinel pair — a real batch that RUNS UNDER
+         the advanced watermark, evicting all real unmatched state and
+         emitting the null rows (no-data batches are not guaranteed to
+         have run before ``processAllAvailable`` returns).
+
+    Sentinels are filtered from the returned frame (negative
+    user_id), so the result equals the batch/DuckDB left-outer twin
+    exactly — which is what makes this entry ORACLE-BACKED."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.relational import load_events
+
+    ev = load_events(spark, sf_dir)
+    stage = _tempfile.mkdtemp(prefix="dds-sjleft-")
+    ev.coalesce(1).write.parquet(f"{stage}/real")
+    real = next(f for f in _os.listdir(f"{stage}/real")
+                if f.endswith(".parquet"))
+    _os.rename(f"{stage}/real/{real}", f"{stage}/a_real.parquet")
+
+    max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+    for i, days in enumerate((30, 60)):
+        sent = spark.createDataFrame(
+            [(-1 - 2 * i, "click"), (-2 - 2 * i, "purchase")],
+            "event_id long, event_type string",
+        ).select(
+            "event_id",
+            (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        ).select(ev.columns)  # exact column order of the real file
+        sent.coalesce(1).write.parquet(f"{stage}/s{i}")
+        sf = next(f for f in _os.listdir(f"{stage}/s{i}")
+                  if f.endswith(".parquet"))
+        _os.rename(f"{stage}/s{i}/{sf}", f"{stage}/b_sent{i}.parquet")
+        _shutil.rmtree(f"{stage}/s{i}")
+    _shutil.rmtree(f"{stage}/real")
+    # file-source order is modification time: real, sentinel1, sentinel2
+    now = _os.path.getmtime(f"{stage}/a_real.parquet")
+    _os.utime(f"{stage}/b_sent0.parquet", (now + 10, now + 10))
+    _os.utime(f"{stage}/b_sent1.parquet", (now + 20, now + 20))
+
+    def side(name_id, name_user, name_ts, name_val, etype):
+        return (
+            read_events_stream(spark, stage, 1, "*.parquet")
+            .where(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(name_id),
+                F.col("user_id").alias(name_user),
+                F.col("ts").alias(name_ts),
+                F.col("value").alias(name_val),
+            )
+        )
+
+    clicks = side("click_id", "c_user_id", "click_ts", "click_value",
+                  "click")
+    purchases = side("purchase_id", "p_user_id", "purchase_ts",
+                     "purchase_value", "purchase")
+    q = (
+        interval_join_left_stream(clicks, purchases, upper, watermark)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    _shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(table_name).where(F.col("user_id") >= 0)

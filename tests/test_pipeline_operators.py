@@ -1455,3 +1455,49 @@ def test_pmi_collocations_hand_computed(spark, tmp_path):
     assert got["z z"]["rank"] == 3
 
     assert pmi_collocations(spark, str(dd), min_count=4).count() == 0
+
+
+def test_ppjoin_equals_exact_jaccard(spark, tmp_path):
+    """PPJoin prefix filtering is EXACT: on planted near-dups plus a
+    randomized corpus, its thresholded pair set equals the self-join
+    Jaccard ground truth bit-for-bit at several thresholds."""
+    import random
+
+    from dagster_delta_spark.operators.dedup import (
+        near_dup_jaccard,
+        ppjoin_near_dups,
+    )
+
+    rng = random.Random(8)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = []
+    for i in range(40):
+        n = rng.randint(5, 14)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted: 3 shifted copies of doc 0 and an exact dup of doc 1
+    base = rows[0][1].split()
+    for j, off in enumerate((1, 2, 3)):
+        rows.append((100 + j, " ".join(base[off:] + base[:off])))
+    rows.append((200, rows[1][1]))
+    dd = tmp_path / "ppj"
+    dd.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).write.parquet(str(dd / "documents.parquet"))
+
+    for t in (0.2, 0.4, 0.75):
+        want = {
+            (r["doc_a"], r["doc_b"], r["n_common"], round(r["jaccard"], 12))
+            for r in near_dup_jaccard(
+                spark, str(dd), threshold=t, max_shingle_df=None
+            ).collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], r["n_common"], round(r["jaccard"], 12))
+            for r in ppjoin_near_dups(spark, str(dd), threshold=t).collect()
+        }
+        assert got == want, (t, got ^ want)
+    assert want, "fixture must produce pairs at the top threshold"
+
+    with pytest.raises(ValueError, match="threshold"):
+        ppjoin_near_dups(spark, str(dd), threshold=0.0)

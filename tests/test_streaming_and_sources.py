@@ -933,3 +933,44 @@ def test_streaming_index_sink_entry_guard_fires(spark, monkeypatch):
                         lambda docs, index, since_version=None: 0)
     with pytest.raises(AssertionError, match="diverged"):
         entry._streaming_index_sink(spark, "/root/testdata/sf0.001")
+
+
+def test_streaming_left_outer_interval_join(spark, tmp_path):
+    """The left-outer runner emits a COMPLETE result: matched rows
+    equal the inner join, unmatched clicks emit exactly once with null
+    purchase columns (eviction-driven by the sentinel-advanced
+    watermark), and out-of-window purchases do NOT match."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.streaming.events import (
+        run_interval_join_left_once,
+    )
+
+    dd = tmp_path / "sjl"
+    dd.mkdir()
+    rows = [
+        # user 1: click with an in-window purchase (2h later)
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, None),
+        (2, "2024-01-01 12:00:00", 1, "purchase", 5.0, None),
+        # user 2: click with an OUT-of-window purchase (5h later)
+        (3, "2024-01-01 10:00:00", 2, "click", 2.0, None),
+        (4, "2024-01-01 15:00:00", 2, "purchase", 6.0, None),
+        # user 3: click with no purchase at all
+        (5, "2024-01-01 10:00:00", 3, "click", 3.0, None),
+        # user 4: purchase BEFORE the click (no match)
+        (6, "2024-01-01 09:00:00", 4, "purchase", 7.0, None),
+        (7, "2024-01-01 10:00:00", 4, "click", 4.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(dd / "events.parquet"))
+
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in run_interval_join_left_once(
+            spark, str(dd), table_name="sjl_test").collect()
+    }
+    assert got == {(1, 2), (3, None), (5, None), (7, None)}
