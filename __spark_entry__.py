@@ -564,6 +564,46 @@ def o_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.read()
 
 
+def o_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING (delta-rs ALTER TABLE RENAME/DROP COLUMN parity,
+    table.py:rename_column/drop_column): physical names freeze at
+    first write, renames and drops are pure metadata commits, and a
+    re-added column of a dropped name reads NULL for pre-drop files
+    instead of resurrecting buried data.  Scenario: write slice 1 →
+    rename l_quantity->qty → append slice 2 under the new logical name
+    → drop l_returnflag → re-add it by appending slice 3 (schema
+    evolution assigns a FRESH physical).  In-line guards pin the
+    metadata-only contract (file sets unchanged across rename/drop)
+    and pre-rename time travel; the final read must equal the DuckDB
+    twin that rebuilds the same end state from raw lineitem."""
+    from dagster_delta_spark.config import SchemaMode
+
+    t = DeltaSparkTable(spark, _scratch("colmap"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    t.write(li.where("l_linenumber = 1"), WriteMode.error)          # v0
+    files0 = {a.path for a in t.snapshot().files}
+    t.rename_column("l_quantity", "qty")                            # v1
+    if {a.path for a in t.snapshot().files} != files0:
+        raise AssertionError("RENAME COLUMN must not touch data files")
+    if "l_quantity" not in t.read(version=0).columns:
+        raise AssertionError("pre-rename time travel lost the old name")
+    t.write(
+        li.where("l_linenumber = 2")
+        .withColumnRenamed("l_quantity", "qty"),
+        WriteMode.append)                                           # v2
+    files2 = {a.path for a in t.snapshot().files}
+    t.drop_column("l_returnflag")                                   # v3
+    if {a.path for a in t.snapshot().files} != files2:
+        raise AssertionError("DROP COLUMN must not touch data files")
+    t.write(
+        li.where("l_linenumber = 3")
+        .withColumnRenamed("l_quantity", "qty"),
+        WriteMode.append, schema_mode=SchemaMode.append)            # v4
+    return t.read().select(
+        "l_orderkey", "l_linenumber", "qty", "l_returnflag")
+
+
 def o_row_delete_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE + RESTORE (delta-rs ``DeltaTable.delete`` /
     ``.restore`` analogues): load lineitem, DELETE a predicate scope
@@ -1708,8 +1748,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eviction-driven null emission, oracle-backed (displaces
         # source_summary to the tail on its standing record)
         "streaming_interval_join_left": _streaming_interval_join_left,
+        # NEW in r8 (late): metadata-only column mapping
+        # (rename/drop/no-resurrection) — oracle-backed (displaces
+        # deterministic_sample to the tail on its standing record)
+        "o_column_mapping": o_column_mapping,
         # stalest committed records: r4 cohort
-        "deterministic_sample": textops.deterministic_sample,
         "fingerprint": textops.fingerprint,
         "q18_large_orders": relational.q18_large_orders,
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
@@ -1818,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts_rollup": relational.date_parts_rollup,
         "q12_case_agg": relational.q12_priority_by_linestatus,
         "source_summary": textops.source_summary,
+        "deterministic_sample": textops.deterministic_sample,
     }
 
 
@@ -2260,6 +2304,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE NOT (l_quantity >= 45 AND l_returnflag = 'A')
               AND NOT (l_quantity <= 2 AND l_returnflag = 'N')
+        """,
+        "o_column_mapping": """
+            SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+                   CAST(NULL AS VARCHAR) AS l_returnflag
+            FROM lineitem WHERE l_linenumber IN (1, 2)
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+                   l_returnflag
+            FROM lineitem WHERE l_linenumber = 3
         """,
         "o_row_delete_restore": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

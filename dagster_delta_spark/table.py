@@ -24,6 +24,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -49,6 +50,7 @@ from pyspark.sql.types import (
     NumericType,
     ShortType,
     StringType,
+    StructField,
     StructType,
     TimestampType,
 )
@@ -156,15 +158,76 @@ def _coerce_dnf_literal(value: Any, dtype: DataType) -> Any:
     return value
 
 
+#: table property holding the COLUMN MAPPING: JSON {logical: physical}
+#: for renamed columns only (absent key = identity).  Physical names
+#: are frozen at first write and never change — a rename is a pure
+#: metadata commit, and concurrent writers stay consistent because
+#: they stage against physicals that no rename can move.
+_COLMAP_KEY = "dds.columnMapping"
+#: JSON list of physical names RESERVED by dropped columns — a
+#: re-added column of the same logical name must get a fresh physical
+#: or it would silently resurrect the dropped column's old file data.
+_DROPPED_KEY = "dds.droppedPhysical"
+
+
+def _column_mapping(configuration: dict[str, str]) -> dict[str, str]:
+    raw = configuration.get(_COLMAP_KEY)
+    return _json_loads(raw) if raw else {}
+
+
+def _physical_schema(schema: StructType, mapping: dict[str, str]) -> StructType:
+    return StructType([
+        StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+        for f in schema.fields
+    ])
+
+
+def _evolve_mapping(
+    configuration: dict[str, str], schema: StructType
+) -> tuple[dict[str, str], dict[str, str]]:
+    """Column-mapping entries for a write against ``schema``: existing
+    entries pass through, and a NEW column whose name collides with a
+    RESERVED physical (a renamed-away original or a dropped column's
+    physical) gets a fresh unique physical — writing it under the
+    colliding name would silently resurrect the old column's file
+    data.  Returns (mapping for staging, configuration updates to
+    persist).  Unmapped tables return ({}, {}) — the zero-overhead
+    fast path."""
+    mapping = _column_mapping(configuration)
+    dropped = set(_json_loads(configuration.get(_DROPPED_KEY) or "[]"))
+    if not mapping and not dropped:
+        return {}, {}
+    reserved = set(mapping.values()) | dropped
+    out = dict(mapping)
+    changed = False
+    for f in schema.fields:
+        if f.name in out or f.name not in reserved:
+            continue
+        fresh = f"{f.name}_{uuid.uuid4().hex[:8]}"
+        while fresh in reserved:
+            fresh = f"{f.name}_{uuid.uuid4().hex[:8]}"
+        out[f.name] = fresh
+        reserved.add(fresh)
+        changed = True
+    updates = (
+        {_COLMAP_KEY: json.dumps(out, sort_keys=True)} if changed else {}
+    )
+    return out, updates
+
+
 def _file_matches(
     add: AddFile,
     dnf: Sequence[DnfFilter],
     schema: StructType,
     partition_columns: Sequence[str],
+    mapping: Optional[dict[str, str]] = None,
 ) -> bool:
     """Driver-side file pruning: exact partition-value match plus
     min/max data skipping (the Spark-side analogue of Delta data
-    skipping; reference relies on delta-rs for this)."""
+    skipping; reference relies on delta-rs for this).  ``mapping``
+    translates logical DNF column names to the PHYSICAL names footer
+    stats are keyed by (partition columns refuse renames, so their
+    branch never needs it)."""
     fields = {f.name: f.dataType for f in schema.fields}
     for name, op, value in dnf:
         dtype = fields.get(name)
@@ -193,8 +256,9 @@ def _file_matches(
         else:
             mins = add.stats.get("minValues", {})
             maxs = add.stats.get("maxValues", {})
-            lo = _coerce_stat(mins.get(name), dtype)
-            hi = _coerce_stat(maxs.get(name), dtype)
+            pname = mapping.get(name, name) if mapping else name
+            lo = _coerce_stat(mins.get(pname), dtype)
+            hi = _coerce_stat(maxs.get(pname), dtype)
             if lo is None or hi is None:
                 continue  # no stats -> cannot prune
             if op == "=" and (value < lo or value > hi):
@@ -392,11 +456,22 @@ def _stage_dataframe(
     partition_columns: Sequence[str],
     schema: StructType,
     writer_options: Optional[dict[str, str]] = None,
+    mapping: Optional[dict[str, str]] = None,
 ) -> list[AddFile]:
     """Write ``df`` (the distributed part) into a staging dir inside the
     table, then move the parquet files into place and return their add
     actions.  File names carry a fresh UUID from Spark, so moves never
-    collide and time travel keeps old files intact."""
+    collide and time travel keeps old files intact.
+
+    ``mapping`` (column mapping, {logical: physical}): files are
+    written under PHYSICAL column names so every file in the table —
+    pre- and post-rename — carries the same physical layout and the
+    read path's one aliasing projection recovers the logical view."""
+    if mapping:
+        df = df.select([
+            F.col(f.name).alias(mapping.get(f.name, f.name))
+            for f in schema.fields
+        ])
     staging = os.path.join(table_uri, f"_staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     for k, v in (writer_options or {}).items():
@@ -514,7 +589,8 @@ class DeltaSparkTable:
         schema = StructType.fromJson(_json_loads(snap.schema_json))
         return [
             a for a in snap.files
-            if _file_matches(a, dnf, schema, snap.partition_columns)
+            if _file_matches(a, dnf, schema, snap.partition_columns,
+                             _column_mapping(snap.metadata.configuration))
         ]
 
     def _read_files(
@@ -533,8 +609,16 @@ class DeltaSparkTable:
         discovery, CDC, OPTIMIZE, constraints) goes through, so a DV'd
         row is invisible everywhere at once.  The filter is a
         broadcast anti-join of (file, row_index) against the DV
-        sidecar rows; files without DVs pay nothing."""
+        sidecar rows; files without DVs pay nothing.
+
+        COLUMN MAPPING also resolves here: files are scanned under
+        their (frozen) PHYSICAL schema and one final projection
+        aliases physicals back to the snapshot's logical names — so
+        every consumer sees logical columns, and a rename needs no
+        file rewrite.  Unmapped tables skip the projection entirely."""
         schema = StructType.fromJson(_json_loads(snap.schema_json))
+        mapping = _column_mapping(snap.metadata.configuration)
+        read_schema = _physical_schema(schema, mapping) if mapping else schema
         if not files:
             if with_metadata:
                 out_schema = StructType(
@@ -564,7 +648,7 @@ class DeltaSparkTable:
             for dv_sub, sub in zip((False, True), subgroups):
                 if not sub:
                     continue
-                reader = self.spark.read.schema(schema)
+                reader = self.spark.read.schema(read_schema)
                 if snap.partition_columns:
                     reader = reader.option("basePath", root)
                 df = reader.parquet(
@@ -583,6 +667,13 @@ class DeltaSparkTable:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
+        if mapping:
+            pre = ["__path", "__ri"] if with_metadata else []
+            out = out.select(
+                *pre,
+                *[F.col(mapping.get(f.name, f.name)).alias(f.name)
+                  for f in schema.fields],
+            )
         return out
 
     #: characters that pass through Hadoop's Path->URI untouched — an
@@ -929,8 +1020,11 @@ class DeltaSparkTable:
                 if cluster_files
                 else out.repartitionByRange(*cols)
             ).sortWithinPartitions(*cluster_by)
+        stage_mapping, colmap_updates = _evolve_mapping(
+            snap.metadata.configuration if snap else {}, final_schema)
         adds = _stage_dataframe(out, self.table_uri, pcols, final_schema,
-                                _writer_options(writer_properties))
+                                _writer_options(writer_properties),
+                                mapping=stage_mapping)
         rows_written = sum(a.num_records for a in adds)
 
         for attempt in range(_COMMIT_RETRIES + 1):
@@ -988,6 +1082,7 @@ class DeltaSparkTable:
                 configuration=dict(
                     (snap.metadata.configuration if snap else {}),
                     **(table_configuration or {}),
+                    **colmap_updates,
                 ),
                 table_id=snap.metadata.table_id if snap else "",
                 created_time=snap.metadata.created_time if snap else 0,
@@ -1230,8 +1325,9 @@ class DeltaSparkTable:
                 try:
                     candidates = [
                         a for a in candidates
-                        if _file_matches(a, rng0, table_schema,
-                                         snap.partition_columns)
+                        if _file_matches(
+                            a, rng0, table_schema, snap.partition_columns,
+                            _column_mapping(snap.metadata.configuration))
                     ]
                 except TypeError:
                     pass  # incomparable stat/bound types: no pruning
@@ -1380,6 +1476,7 @@ class DeltaSparkTable:
             adds = _stage_dataframe(
                 result, self.table_uri, snap.partition_columns, table_schema,
                 _writer_options(writer_properties),
+                mapping=_column_mapping(snap.metadata.configuration),
             )
 
         rows_written = sum(a.num_records for a in adds)
@@ -1431,8 +1528,10 @@ class DeltaSparkTable:
                 if partition_dnf and fresh:
                     fresh = [
                         a for a in fresh
-                        if _file_matches(a, partition_dnf, table_schema,
-                                         cur.metadata.partition_columns)
+                        if _file_matches(
+                            a, partition_dnf, table_schema,
+                            cur.metadata.partition_columns,
+                            _column_mapping(cur.metadata.configuration))
                     ]
                 if fresh:
                     if mtype == MergeType.replace_delete_unmatched:
@@ -1452,7 +1551,9 @@ class DeltaSparkTable:
                                 conflict = any(
                                     _file_matches(
                                         a, rng, table_schema,
-                                        cur.metadata.partition_columns)
+                                        cur.metadata.partition_columns,
+                                        _column_mapping(
+                                            cur.metadata.configuration))
                                     for a in fresh
                                 )
                             except TypeError:
@@ -1670,6 +1771,7 @@ class DeltaSparkTable:
             adds = _stage_dataframe(
                 keep, self.table_uri, snap.partition_columns, schema,
                 _writer_options(writer_properties),
+                mapping=_column_mapping(snap.metadata.configuration),
             )
             copied = sum(a.num_records for a in adds)
         return self._commit_rewrite(
@@ -1812,6 +1914,7 @@ class DeltaSparkTable:
             new_adds = _stage_dataframe(
                 new_rows, self.table_uri, snap.partition_columns, schema,
                 _writer_options(writer_properties),
+                mapping=_column_mapping(snap.metadata.configuration),
             )
             rows_by_key = {a.log_key: a.live_records for a in touched}
             full = [a for a in touched
@@ -1848,6 +1951,7 @@ class DeltaSparkTable:
             updated_df, self.table_uri,
             snap.partition_columns, schema,
             _writer_options(writer_properties),
+            mapping=_column_mapping(snap.metadata.configuration),
         )
         copied = sum(a.num_records for a in adds) - updated
         return self._commit_rewrite(
@@ -1953,6 +2057,7 @@ class DeltaSparkTable:
         adds = _stage_dataframe(
             out, self.table_uri, pcols, final_schema,
             _writer_options(writer_properties),
+            mapping=_column_mapping(meta.configuration),
         )
         rows = sum(a.num_records for a in adds)
         now = int(time.time() * 1000)
@@ -2090,6 +2195,107 @@ class DeltaSparkTable:
             metadata=meta,
         )
 
+    # -- column mapping (delta-rs ALTER TABLE RENAME/DROP COLUMN parity) ----
+
+    def _check_column_alterable(self, snap: Snapshot, name: str) -> None:
+        if name in snap.metadata.partition_columns:
+            raise ValueError(
+                f"column {name!r} is a partition column; partition columns "
+                "cannot be renamed or dropped (hive directory names are "
+                "physical layout)")
+        ident = re.compile(rf"\b{re.escape(name)}\b")
+        for key, expr in snap.metadata.configuration.items():
+            if key.startswith(_CONSTRAINT_PREFIX) and ident.search(expr):
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK constraint "
+                    f"{key[len(_CONSTRAINT_PREFIX):]!r}; drop the "
+                    "constraint first")
+
+    def rename_column(self, old: str, new: str) -> dict[str, Any]:
+        """ALTER TABLE RENAME COLUMN — a pure METADATA commit (no file
+        is rewritten): the column's PHYSICAL name (the name its data
+        was first written under) is frozen forever, the logical schema
+        renames the field, and the mapping entry lets the read path
+        alias physical -> logical.  Works across time travel (each
+        snapshot reads under its own mapping), restore (files always
+        carry physicals), clone, DVs (positional), and concurrent
+        writers (they stage against physicals no rename can move).
+        Partition and constraint-referenced columns refuse."""
+        import dataclasses
+
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"invalid column name {new!r}")
+        snap = self.snapshot()
+        schema = StructType.fromJson(_json_loads(snap.schema_json))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"column {old!r} does not exist "
+                             f"(have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._check_column_alterable(snap, old)
+        mapping = _column_mapping(snap.metadata.configuration)
+        # the physical name survives the rename chain: a->b->c keeps
+        # physical 'a' (first-written name), never an intermediate
+        physical = mapping.pop(old, old)
+        mapping[new] = physical
+        new_schema = StructType([
+            StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema.fields
+        ])
+        cfg = dict(snap.metadata.configuration)
+        cfg[_COLMAP_KEY] = json.dumps(mapping, sort_keys=True)
+        meta = dataclasses.replace(
+            snap.metadata,
+            schema_json=new_schema.json(),
+            configuration=cfg,
+        )
+        return self._commit_rewrite(
+            snap, [], [], "RENAME COLUMN",
+            operation_parameters={"old": old, "new": new},
+            metadata=meta,
+        )
+
+    def drop_column(self, name: str) -> dict[str, Any]:
+        """ALTER TABLE DROP COLUMN — metadata-only: the field leaves
+        the logical schema; its file data stays on disk (older
+        snapshots still read it) but its PHYSICAL name is RESERVED, so
+        a later re-add of the same logical name gets a fresh physical
+        and reads null for pre-drop files instead of silently
+        resurrecting the dropped values (Delta's column-mapping drop
+        semantics)."""
+        import dataclasses
+
+        snap = self.snapshot()
+        schema = StructType.fromJson(_json_loads(snap.schema_json))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"column {name!r} does not exist "
+                             f"(have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        self._check_column_alterable(snap, name)
+        mapping = _column_mapping(snap.metadata.configuration)
+        physical = mapping.pop(name, name)
+        dropped = set(_json_loads(
+            snap.metadata.configuration.get(_DROPPED_KEY) or "[]"))
+        dropped.add(physical)
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != name])
+        cfg = dict(snap.metadata.configuration)
+        cfg[_COLMAP_KEY] = json.dumps(mapping, sort_keys=True)
+        cfg[_DROPPED_KEY] = json.dumps(sorted(dropped))
+        meta = dataclasses.replace(
+            snap.metadata,
+            schema_json=new_schema.json(),
+            configuration=cfg,
+        )
+        return self._commit_rewrite(
+            snap, [], [], "DROP COLUMN",
+            operation_parameters={"name": name},
+            metadata=meta,
+        )
+
     def partition_stats(
         self, dnf: Optional[Sequence[DnfFilter]] = None,
         version: Optional[int] = None,
@@ -2216,7 +2422,8 @@ class DeltaSparkTable:
                 .sortWithinPartitions(*cluster_by)
             )
             adds = _stage_dataframe(
-                df, self.table_uri, snap.partition_columns, schema
+                df, self.table_uri, snap.partition_columns, schema,
+                mapping=_column_mapping(snap.metadata.configuration),
             )
             return self._commit_rewrite(snap, to_rewrite, adds, "OPTIMIZE CLUSTER")
         groups: dict[tuple, list[AddFile]] = {}
@@ -2233,7 +2440,9 @@ class DeltaSparkTable:
         df = self._read_files(snap, to_rewrite).coalesce(
             max(1, sum(f.size for f in to_rewrite) // target_file_size + 1)
         )
-        adds = _stage_dataframe(df, self.table_uri, snap.partition_columns, schema)
+        adds = _stage_dataframe(
+            df, self.table_uri, snap.partition_columns, schema,
+            mapping=_column_mapping(snap.metadata.configuration))
         return self._commit_rewrite(snap, to_rewrite, adds, "OPTIMIZE")
 
     def _commit_rewrite(
@@ -2400,8 +2609,9 @@ class DeltaSparkTable:
             .sortWithinPartitions("__z")
             .drop(*[f"__zb{i}" for i in range(n)], "__z")
         )
-        adds = _stage_dataframe(ordered, self.table_uri, snap.partition_columns,
-                                schema)
+        adds = _stage_dataframe(
+            ordered, self.table_uri, snap.partition_columns, schema,
+            mapping=_column_mapping(snap.metadata.configuration))
         return self._commit_rewrite(snap, files, adds, "OPTIMIZE ZORDER")
 
     def describe_detail(self) -> dict[str, Any]:
