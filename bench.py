@@ -98,7 +98,7 @@ def main() -> None:
         "ann_ivf_quantized_topk",
         "ann_ivf_pq_topk",
         "near_dup_jaccard",
-        "ppjoin_near_dups",
+        "ppjoin_mixed_regime",
         "winnow_repeated_spans",
         "strip_repeated_spans",
         "corpus_shuffle",
@@ -325,7 +325,53 @@ def main() -> None:
         incr.maintain_lsh_index(base, index)
         index.read().write.mode("overwrite").format("noop").save()
 
+    _PPJOIN_FIXTURES: dict = {}
+
+    def _ppjoin_setup(spark, d):
+        # MIXED regime (the one prefix filtering exists for): 12
+        # unique md5 tokens per doc + a 6-token boilerplate run shared
+        # by ~n/20-doc cohorts (mid-df shingles below the pair cap,
+        # zero similarity signal) + 4% planted near-dup pairs.  The
+        # registry entry runs the flat bag-of-words documents corpus —
+        # the oracle anchor, but a NO-rare-shingle regime where prefix
+        # filtering structurally cannot prune (every shingle is
+        # boilerplate-grade; measured 5.3 s vs the grouped expansion's
+        # 1.3 s at sf0.1).  Fixture builds once per (pass-independent)
+        # sf dir; the shingle cache then makes both timed passes scan
+        # the same materialized stream, like the other dedup lines.
+        import tempfile
+
+        from pyspark.sql import functions as F
+        if d in _PPJOIN_FIXTURES:
+            return _PPJOIN_FIXTURES[d]
+        fx = tempfile.mkdtemp(prefix="dds-bench-ppj-")
+        base = spark.read.parquet(f"{d}/documents.parquet").select("doc_id")
+        src = F.when(
+            F.col("doc_id") % 25 < 2,
+            ((F.col("doc_id") / F.lit(25)).cast("long") * F.lit(25))
+            .cast("string"),
+        ).otherwise(F.col("doc_id").cast("string"))
+        cohort = (F.col("doc_id") % 20).cast("string")
+        docs = base.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                *[F.substring(F.md5(F.concat(src, F.lit(f":{i}"))), 1, 8)
+                  for i in range(12)],
+                *[F.concat(F.lit(f"boiler{i}x"), cohort) for i in range(6)],
+            ).alias("text"))
+        docs.write.mode("overwrite").parquet(f"{fx}/documents.parquet")
+        _PPJOIN_FIXTURES[d] = fx
+        return fx
+
+    def _ppjoin_run(spark, fx):
+        from dagster_delta_spark.operators.dedup import ppjoin_near_dups
+
+        ppjoin_near_dups(spark, fx).write.mode(
+            "overwrite").format("noop").save()
+
     staged = {
+        "ppjoin_mixed_regime": (_ppjoin_setup, _ppjoin_run),
         "m3_upsert": (_m3_setup, _m3_run),
         "w3_partition_overwrite": (_w3_setup, _w3_run),
         "stream_ingest_stages": (_ingest_setup, _ingest_run),
