@@ -24,8 +24,8 @@ def _mk_df(spark, rnd):
     )
 
 
-def _table_state(t):
-    return sorted((r["k"], r["v"]) for r in t.read().collect())
+def _table_state(t, vname="v"):
+    return sorted((r["k"], r[vname]) for r in t.read().collect())
 
 
 def _model_state(m):
@@ -85,19 +85,33 @@ def test_random_op_sequences_match_model(spark, tmp_path):
 
         # >= 12 steps so trials cross the checkpoint interval (10
         # commits) and time travel exercises the parquet checkpoint +
-        # JSON tail; optimize is a no-op on state but commits a version
+        # JSON tail; optimize is a no-op on state but commits a version.
+        # vname tracks the value column's CURRENT logical name — the
+        # rename op (metadata-only column mapping) interleaves with
+        # every other operation; the pandas model always holds "v",
+        # and the table boundary translates both ways.
+        vname = "v"
         for _step in range(steps):
             op = rnd.choice(["append", "overwrite", "upsert",
                              "delete_unmatched", "update_only",
                              "dedup_insert", "optimize",
                              "delete_dv", "delete_rw", "row_update",
-                             "row_update_dv"])
+                             "row_update_dv", "rename"])
+            if op == "rename":
+                new = f"v_{t.version() + 1}"
+                t.rename_column(vname, new)
+                vname = new
+                states.append(_model_state(model))
+                assert _table_state(t, vname) == _model_state(model), (
+                    f"trial {trial} step {_step} rename -> {new}"
+                )
+                continue
             if op == "optimize":
                 before = t.version()
                 t.optimize(target_file_size=1 << 20)
                 if t.version() != before:  # no-op compactions don't commit
                     states.append(_model_state(model))
-                assert _table_state(t) == _model_state(model), (
+                assert _table_state(t, vname) == _model_state(model), (
                     f"trial {trial} step {_step} optimize"
                 )
                 continue
@@ -107,28 +121,29 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 # compactions, checkpoints and time travel below
                 x = rnd.randint(0, 1000)
                 before = t.version()
-                t.delete(f"v >= {x}", use_dv=(op == "delete_dv"))
+                t.delete(f"{vname} >= {x}", use_dv=(op == "delete_dv"))
                 model = model[model["v"] < x].reset_index(drop=True)
                 if t.version() != before:  # no matches -> no commit
                     states.append(_model_state(model))
-                assert _table_state(t) == _model_state(model), (
+                assert _table_state(t, vname) == _model_state(model), (
                     f"trial {trial} step {_step} {op} v>={x}"
                 )
                 continue
             if op in ("row_update", "row_update_dv"):
                 x = rnd.randint(0, 1000)
                 before = t.version()
-                t.update({"v": "v + 7"}, f"v >= {x}",
+                t.update({vname: f"{vname} + 7"}, f"{vname} >= {x}",
                          use_dv=(op == "row_update_dv"))
                 model = model.copy()
                 model.loc[model["v"] >= x, "v"] += 7
                 if t.version() != before:
                     states.append(_model_state(model))
-                assert _table_state(t) == _model_state(model), (
+                assert _table_state(t, vname) == _model_state(model), (
                     f"trial {trial} step {_step} row_update v>={x}"
                 )
                 continue
             sdf, pdf = _mk_df(spark, rnd)
+            sdf = sdf.withColumnRenamed("v", vname)
             if op == "append":
                 t.write(sdf, WriteMode.append)
             elif op == "overwrite":
@@ -143,21 +158,23 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 pdf = pdf.drop_duplicates("k", keep="first")
             model = _apply_model(model, op, pdf)
             states.append(_model_state(model))
-            assert _table_state(t) == _model_state(model), (
+            assert _table_state(t, vname) == _model_state(model), (
                 f"trial {trial} step {_step} op {op}"
             )
 
-        # time travel reproduces every historical state (across the
-        # checkpoint boundary when the trial exceeded 10 commits)
+        # time travel reproduces every historical state — positional
+        # values, because each version reads under its OWN logical
+        # column name (pre-rename versions keep the old name)
         for version, want in enumerate(states):
-            got = sorted(
-                (r["k"], r["v"]) for r in t.read(version=version).collect()
-            )
+            df = t.read(version=version)
+            kcol, vcol = df.columns
+            got = sorted((r[kcol], r[vcol]) for r in df.collect())
             assert got == want, f"trial {trial} version {version}"
 
         # vacuum current-version-unreferenced files; live state intact
         t.vacuum(retention_ms=0)
-        assert _table_state(t) == _model_state(model), f"trial {trial} vacuum"
+        assert _table_state(t, vname) == _model_state(model), (
+            f"trial {trial} vacuum")
 
 
 # -- predicate-compiler properties (hypothesis) ------------------------------
