@@ -1752,8 +1752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (rename/drop/no-resurrection) — oracle-backed (displaces
         # deterministic_sample to the tail on its standing record)
         "o_column_mapping": o_column_mapping,
+        # NEW in r8 (late): full-outer stream-stream interval join —
+        # both-side eviction emission, oracle-backed (displaces
+        # fingerprint to the tail on its standing record)
+        "streaming_interval_join_full": _streaming_interval_join_full,
         # stalest committed records: r4 cohort
-        "fingerprint": textops.fingerprint,
         "q18_large_orders": relational.q18_large_orders,
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
@@ -1862,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_case_agg": relational.q12_priority_by_linestatus,
         "source_summary": textops.source_summary,
         "deterministic_sample": textops.deterministic_sample,
+        "fingerprint": textops.fingerprint,
     }
 
 
@@ -1932,6 +1936,22 @@ def _streaming_interval_join_left(
 
     return run_interval_join_left_once(
         spark, sf_dir, table_name=f"ivjl_{uuid.uuid4().hex[:8]}"
+    )
+
+
+def _streaming_interval_join_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join;
+    oracle-backed via the same sentinel staging as the left variant —
+    both sides' unmatched rows emit at eviction, so the append output
+    equals the batch/DuckDB full-outer twin exactly."""
+    from dagster_delta_spark.streaming.events import (
+        run_interval_join_full_once,
+    )
+
+    return run_interval_join_full_once(
+        spark, sf_dir, table_name=f"ivjf_{uuid.uuid4().hex[:8]}"
     )
 
 
@@ -2164,6 +2184,20 @@ def oracle_sql() -> dict[str, str]:
                    p.event_id AS purchase_id, p.ts AS purchase_ts,
                    p.value AS purchase_value
             FROM c LEFT JOIN p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+        """,
+        "streaming_interval_join_full": """
+            WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                        FROM events),
+            c AS (SELECT * FROM ev WHERE event_type = 'click'),
+            p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+            SELECT c.event_id AS click_id,
+                   COALESCE(c.user_id, p.user_id) AS user_id,
+                   c.ts AS click_ts, c.value AS click_value,
+                   p.event_id AS purchase_id, p.ts AS purchase_ts,
+                   p.value AS purchase_value
+            FROM c FULL JOIN p
               ON c.user_id = p.user_id
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
         """,

@@ -420,36 +420,58 @@ def interval_join_left_stream(
     )
 
 
-def run_interval_join_left_once(
-    spark: SparkSession,
-    sf_dir: str,
-    table_name: str = "clicks_purchases_left",
+def interval_join_full_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
     upper: str = "4 hours",
     watermark: str = "8 hours",
 ) -> DataFrame:
-    """Execute the streaming LEFT OUTER interval join to a COMPLETE
-    result against the static fixture.
+    """Watermarked stream-stream FULL OUTER interval join: matched
+    rows emit on arrival; unmatched CLICKS and unmatched PURCHASES
+    both emit with the other side null once the watermark closes
+    their window — two independent eviction contracts in one query
+    (``user_id`` coalesces across the sides, since either may be
+    null)."""
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purchases.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            "c_user_id = p_user_id"
+            " AND purchase_ts >= click_ts"
+            f" AND purchase_ts <= click_ts + INTERVAL {upper}"
+        ),
+        "fullOuter",
+    ).select(
+        "click_id",
+        F.coalesce("c_user_id", "p_user_id").alias("user_id"),
+        "click_ts",
+        "click_value",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
 
-    Unmatched left rows emit only at state eviction, and the watermark
-    that drives eviction is computed at each batch's END and applied
-    in the NEXT batch — so a plain one-batch run never emits them (the
-    final watermark still trails max event time by the delay).  The
-    runner therefore stages the fixture into a temp dir as three files
-    consumed as three ordered micro-batches:
+
+def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture for COMPLETE outer-join streaming
+    runs: a temp dir of three files consumed as three ordered
+    micro-batches —
 
       1. the full real fixture (normalized ts — one batch, so no real
          row is ever late relative to the watermark);
       2. a sentinel pair (click + purchase, ``user_id = -1``) 30 days
          past max real ts — processing it ADVANCES the watermark past
-         every real click's ``click_ts + upper``;
+         every real row's match window;
       3. a second, later sentinel pair — a real batch that RUNS UNDER
-         the advanced watermark, evicting all real unmatched state and
-         emitting the null rows (no-data batches are not guaranteed to
-         have run before ``processAllAvailable`` returns).
+         the advanced watermark, evicting all unmatched state and
+         emitting the null rows (no-data batches are not guaranteed
+         to have run before ``processAllAvailable`` returns).
 
-    Sentinels are filtered from the returned frame (negative
-    user_id), so the result equals the batch/DuckDB left-outer twin
-    exactly — which is what makes this entry ORACLE-BACKED."""
+    The watermark that drives eviction is computed at each batch's END
+    and applied in the NEXT batch, which is why a plain one-batch run
+    can never emit outer-join nulls.  Callers filter sentinels out by
+    negative user_id."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
@@ -457,7 +479,7 @@ def run_interval_join_left_once(
     from ..operators.relational import load_events
 
     ev = load_events(spark, sf_dir)
-    stage = _tempfile.mkdtemp(prefix="dds-sjleft-")
+    stage = _tempfile.mkdtemp(prefix="dds-sjstage-")
     ev.coalesce(1).write.parquet(f"{stage}/real")
     real = next(f for f in _os.listdir(f"{stage}/real")
                 if f.endswith(".parquet"))
@@ -486,6 +508,20 @@ def run_interval_join_left_once(
     now = _os.path.getmtime(f"{stage}/a_real.parquet")
     _os.utime(f"{stage}/b_sent0.parquet", (now + 10, now + 10))
     _os.utime(f"{stage}/b_sent1.parquet", (now + 20, now + 20))
+    return stage
+
+
+def _run_outer_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str,
+    join_fn,
+    upper: str,
+    watermark: str,
+) -> DataFrame:
+    import shutil as _shutil
+
+    stage = _stage_events_with_sentinels(spark, sf_dir)
 
     def side(name_id, name_user, name_ts, name_val, etype):
         return (
@@ -504,7 +540,7 @@ def run_interval_join_left_once(
     purchases = side("purchase_id", "p_user_id", "purchase_ts",
                      "purchase_value", "purchase")
     q = (
-        interval_join_left_stream(clicks, purchases, upper, watermark)
+        join_fn(clicks, purchases, upper, watermark)
         .writeStream.format("memory")
         .queryName(table_name)
         .outputMode("append")
@@ -514,3 +550,36 @@ def run_interval_join_left_once(
     q.stop()
     _shutil.rmtree(stage, ignore_errors=True)
     return spark.table(table_name).where(F.col("user_id") >= 0)
+
+
+def run_interval_join_left_once(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "clicks_purchases_left",
+    upper: str = "4 hours",
+    watermark: str = "8 hours",
+) -> DataFrame:
+    """Execute the streaming LEFT OUTER interval join to a COMPLETE
+    result against the static fixture (sentinel-staged; see
+    ``_stage_events_with_sentinels``) — equals the batch/DuckDB
+    left-outer twin exactly, which is what makes the registry entry
+    ORACLE-BACKED."""
+    return _run_outer_interval_join(
+        spark, sf_dir, table_name, interval_join_left_stream,
+        upper, watermark)
+
+
+def run_interval_join_full_once(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "clicks_purchases_full",
+    upper: str = "4 hours",
+    watermark: str = "8 hours",
+) -> DataFrame:
+    """Execute the streaming FULL OUTER interval join to a COMPLETE
+    result — both sides' unmatched rows emit at sentinel-driven
+    eviction, so the append output equals the batch full-outer twin
+    exactly."""
+    return _run_outer_interval_join(
+        spark, sf_dir, table_name, interval_join_full_stream,
+        upper, watermark)

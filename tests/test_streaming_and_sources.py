@@ -974,3 +974,35 @@ def test_streaming_left_outer_interval_join(spark, tmp_path):
             spark, str(dd), table_name="sjl_test").collect()
     }
     assert got == {(1, 2), (3, None), (5, None), (7, None)}
+
+
+def test_streaming_full_outer_interval_join(spark, tmp_path):
+    """FULL OUTER: matched rows, unmatched clicks AND unmatched
+    purchases all emit exactly once; user_id coalesces across sides."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.streaming.events import (
+        run_interval_join_full_once,
+    )
+
+    dd = tmp_path / "sjf"
+    dd.mkdir()
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, None),
+        (2, "2024-01-01 12:00:00", 1, "purchase", 5.0, None),  # match
+        (3, "2024-01-01 10:00:00", 2, "click", 2.0, None),     # no p
+        (4, "2024-01-01 03:00:00", 3, "purchase", 6.0, None),  # no c
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(dd / "events.parquet"))
+
+    got = {
+        (r["click_id"], r["purchase_id"], r["user_id"])
+        for r in run_interval_join_full_once(
+            spark, str(dd), table_name="sjf_test").collect()
+    }
+    assert got == {(1, 2, 1), (3, None, 2), (None, 4, 3)}
