@@ -604,6 +604,49 @@ def o_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "qty", "l_returnflag")
 
 
+def o_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS (Delta contract, table.py:write +
+    _enforce_generated): a declared ``d = CAST(ts AS DATE)`` derived
+    PARTITION column is computed for writes that omit it and
+    validated (null-safe) for writes that provide it.  Scenario:
+    create partitioned-by-d from half the events WITHOUT d (computed),
+    append the other half WITH a correct provided d (validated);
+    in-line guards assert the derived partition actually prunes and a
+    wrong provided value raises.  Final read equals the DuckDB twin
+    that derives d from raw events."""
+    from dagster_delta_spark.table import GeneratedColumnViolationError
+    from dagster_delta_spark.operators.relational import load_events
+
+    t = DeltaSparkTable(spark, _scratch("gencol"))
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "value")
+    cfg = {"dds.generatedColumns": '{"d": "CAST(ts AS DATE)"}'}
+    t.write(ev.where("event_id % 2 = 0"), WriteMode.error,
+            partition_columns=["d"], table_configuration=cfg)
+    snap = t.snapshot()
+    days = {a.partition_values.get("d") for a in snap.files}
+    if len(days) < 2:
+        raise AssertionError("fixture spans one day — pruning untestable")
+    one = sorted(d for d in days if d)[0]
+    pruned = t.pruned_files(snap, [("d", "=", one)])
+    if not (0 < len(pruned) < len(snap.files)):
+        raise AssertionError("derived partition column failed to prune")
+    t.write(
+        ev.where("event_id % 2 = 1")
+        .withColumn("d", F.expr("CAST(ts AS DATE)")),
+        WriteMode.append)
+    try:
+        t.write(
+            ev.where("event_id % 2 = 1").limit(5)
+            .withColumn("d", F.expr("CAST(ts AS DATE) + INTERVAL 1 DAY")
+                        .cast("date")),
+            WriteMode.append)
+    except GeneratedColumnViolationError:
+        pass
+    else:
+        raise AssertionError("wrong provided generated value must raise")
+    return t.read().select("event_id", "ts", "value", "d")
+
+
 def o_row_delete_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE + RESTORE (delta-rs ``DeltaTable.delete`` /
     ``.restore`` analogues): load lineitem, DELETE a predicate scope
@@ -1756,8 +1799,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both-side eviction emission, oracle-backed (displaces
         # fingerprint to the tail on its standing record)
         "streaming_interval_join_full": _streaming_interval_join_full,
+        # NEW in r8 (late): generated columns (derived partition col,
+        # compute-if-absent + validate-if-provided) — oracle-backed
+        # (displaces q18_large_orders to the tail on its standing
+        # record)
+        "o_generated_columns": o_generated_columns,
         # stalest committed records: r4 cohort
-        "q18_large_orders": relational.q18_large_orders,
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
         # r5 cohort
@@ -1866,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_summary": textops.source_summary,
         "deterministic_sample": textops.deterministic_sample,
         "fingerprint": textops.fingerprint,
+        "q18_large_orders": relational.q18_large_orders,
     }
 
 
@@ -2338,6 +2386,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE NOT (l_quantity >= 45 AND l_returnflag = 'A')
               AND NOT (l_quantity <= 2 AND l_returnflag = 'N')
+        """,
+        "o_generated_columns": """
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+            FROM events
         """,
         "o_column_mapping": """
             SELECT l_orderkey, l_linenumber, l_quantity AS qty,

@@ -88,6 +88,11 @@ class SchemaMismatchError(Exception):
     pass
 
 
+class GeneratedColumnViolationError(Exception):
+    """A write PROVIDED a generated column whose values disagree with
+    its generation expression."""
+
+
 class ConstraintViolationError(Exception):
     """Incoming rows violate a table CHECK constraint (delta-rs /
     Delta raise the same on their ``delta.constraints.*`` metadata)."""
@@ -168,6 +173,18 @@ _COLMAP_KEY = "dds.columnMapping"
 #: re-added column of the same logical name must get a fresh physical
 #: or it would silently resurrect the dropped column's old file data.
 _DROPPED_KEY = "dds.droppedPhysical"
+#: table property holding GENERATED COLUMNS: JSON {column: sql_expr}.
+#: Writes compute absent generated columns from the expression and
+#: VALIDATE provided ones against it (null-safe equality) — Delta's
+#: generated-column contract.  Declared via table_configuration at
+#: create/first-write time; typical use is a derived partition column
+#: (e.g. a date bucketing of an event timestamp).
+_GENCOL_KEY = "dds.generatedColumns"
+
+
+def _generated_columns(configuration: dict[str, str]) -> dict[str, str]:
+    raw = (configuration or {}).get(_GENCOL_KEY)
+    return _json_loads(raw) if raw else {}
 
 
 def _column_mapping(configuration: dict[str, str]) -> dict[str, str]:
@@ -950,6 +967,21 @@ class DeltaSparkTable:
             else (snap.partition_columns if snap else [])
         )
 
+        # generated columns: compute the ABSENT ones here (before
+        # schema reconciliation, so they join the committed schema);
+        # PROVIDED ones are validated against the expression after
+        # conform, alongside the CHECK constraints
+        gencols = _generated_columns({
+            **(snap.metadata.configuration if snap else {}),
+            **(table_configuration or {}),
+        })
+        gen_provided: dict[str, str] = {}
+        for c, gexpr in gencols.items():
+            if c in df.columns:
+                gen_provided[c] = gexpr
+            else:
+                df = df.withColumn(c, F.expr(gexpr))
+
         if mode == WriteMode.create_or_replace:
             return self._create_or_replace(
                 df.schema, pcols, table_configuration, commit_metadata
@@ -1013,6 +1045,8 @@ class DeltaSparkTable:
             **(snap.metadata.configuration if snap else {}),
             **(table_configuration or {}),
         })
+        if gen_provided:
+            self._enforce_generated(out, gen_provided)
         if cluster_by:
             cols = [F.col(c) for c in cluster_by]
             out = (
@@ -2036,6 +2070,18 @@ class DeltaSparkTable:
             return {"version": snap.version, "skipped": True,
                     "num_output_rows": 0}
 
+        # a streaming sink typically omits generated columns — compute
+        # them here so the exact-schema check below passes (provided
+        # ones validate like the batch write path)
+        gen_provided: dict[str, str] = {}
+        if snap is not None:
+            for c, gexpr in _generated_columns(
+                    snap.metadata.configuration).items():
+                if c in df.columns:
+                    gen_provided[c] = gexpr
+                else:
+                    df = df.withColumn(c, F.expr(gexpr))
+
         if snap is not None:
             final_schema = StructType.fromJson(_json_loads(snap.schema_json))
             if {f.name: f.dataType for f in df.schema.fields} != \
@@ -2054,6 +2100,8 @@ class DeltaSparkTable:
             )
         out = _conform(df, final_schema)
         self._enforce_constraints(out, meta.configuration)
+        if gen_provided:
+            self._enforce_generated(out, gen_provided)
         adds = _stage_dataframe(
             out, self.table_uri, pcols, final_schema,
             _writer_options(writer_properties),
@@ -2150,6 +2198,26 @@ class DeltaSparkTable:
             raise ConstraintViolationError(
                 f"CHECK constraint violation: {detail}")
 
+    def _enforce_generated(
+        self, df: DataFrame, gencols: dict[str, str]
+    ) -> None:
+        """ONE aggregation pass validating PROVIDED generated columns:
+        every row must satisfy ``col <=> expr`` (null-safe, so a null
+        value only passes where the expression is also null)."""
+        counts = df.select([
+            F.sum(
+                F.when(~F.col(c).eqNullSafe(F.expr(gexpr)), 1).otherwise(0)
+            ).alias(c)
+            for c, gexpr in gencols.items()
+        ]).collect()[0]
+        bad = {c: counts[c] for c in gencols if (counts[c] or 0) > 0}
+        if bad:
+            detail = ", ".join(
+                f"{c} ({bad[c]} row(s) != {gencols[c]!r})"
+                for c in sorted(bad))
+            raise GeneratedColumnViolationError(
+                f"generated column mismatch: {detail}")
+
     def add_constraint(self, name: str, expr: str) -> dict[str, Any]:
         """ADD CONSTRAINT: validates the expression against EXISTING
         rows (full scan, like Delta's ALTER TABLE ADD CONSTRAINT),
@@ -2210,6 +2278,17 @@ class DeltaSparkTable:
                     f"column {name!r} is referenced by CHECK constraint "
                     f"{key[len(_CONSTRAINT_PREFIX):]!r}; drop the "
                     "constraint first")
+        gencols = _generated_columns(snap.metadata.configuration)
+        if name in gencols:
+            raise ValueError(
+                f"column {name!r} is a generated column; its generation "
+                "expression is keyed by name — remove it from "
+                f"{_GENCOL_KEY!r} first")
+        for c, gexpr in gencols.items():
+            if ident.search(gexpr):
+                raise ValueError(
+                    f"column {name!r} is referenced by generated column "
+                    f"{c!r}'s expression {gexpr!r}")
 
     def rename_column(self, old: str, new: str) -> dict[str, Any]:
         """ALTER TABLE RENAME COLUMN — a pure METADATA commit (no file

@@ -1,0 +1,74 @@
+"""Generated columns (Delta generated-column contract): writes compute
+absent generated columns from their expression and VALIDATE provided
+ones (null-safe equality); the flagship use is a derived partition
+column, which then partition-prunes like any other."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagster_delta_spark import DeltaSparkTable, WriteMode
+from dagster_delta_spark.table import GeneratedColumnViolationError
+
+GEN_CFG = {"dds.generatedColumns": '{"d": "CAST(ts AS DATE)"}'}
+
+
+def _events(spark, n=6, day="2024-03-0"):
+    rows = [(i, f"{day}{1 + i % 3} 10:0{i}:00") for i in range(n)]
+    return spark.createDataFrame(rows, "id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+
+
+def test_absent_generated_column_is_computed(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_events(spark), WriteMode.error,
+            partition_columns=["d"], table_configuration=GEN_CFG)
+    out = t.read()
+    assert "d" in out.columns
+    assert out.where("d <> CAST(ts AS DATE)").count() == 0
+    # derived partition column prunes like any other
+    dnf = [("d", "=", "2024-03-01")]
+    assert len(t.pruned_files(t.snapshot(), dnf)) < len(t.snapshot().files)
+    assert t.read(dnf=dnf).count() == 2
+
+
+def test_provided_generated_column_validates(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_events(spark), WriteMode.error,
+            table_configuration=GEN_CFG)
+    ok = _events(spark, n=2).withColumn("d", F.expr("CAST(ts AS DATE)"))
+    t.write(ok, WriteMode.append)  # consistent values pass
+    bad = _events(spark, n=2).withColumn(
+        "d", F.expr("CAST(ts AS DATE) + INTERVAL 1 DAY").cast("date"))
+    with pytest.raises(GeneratedColumnViolationError, match="d"):
+        t.write(bad, WriteMode.append)
+    assert t.read().count() == 8  # failed write left no rows behind
+
+
+def test_append_without_generated_column_keeps_computing(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_events(spark), WriteMode.error, table_configuration=GEN_CFG)
+    t.write(_events(spark, n=3), WriteMode.append)  # no d column again
+    assert t.read().where("d <> CAST(ts AS DATE)").count() == 0
+    assert t.read().count() == 9
+
+
+def test_idempotent_append_computes_generated(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_events(spark), WriteMode.error, table_configuration=GEN_CFG)
+    res = t.idempotent_append(_events(spark, n=2), "app", 1)
+    assert res["num_output_rows"] == 2
+    assert t.read().where("d <> CAST(ts AS DATE)").count() == 0
+    # replay no-ops
+    assert t.idempotent_append(_events(spark, n=2), "app", 1)["skipped"]
+
+
+def test_rename_refusals_for_generated(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_events(spark), WriteMode.error, table_configuration=GEN_CFG)
+    with pytest.raises(ValueError, match="generated column"):
+        t.rename_column("d", "day")
+    with pytest.raises(ValueError, match="referenced by generated"):
+        t.rename_column("ts", "event_ts")
+    with pytest.raises(ValueError, match="generated column"):
+        t.drop_column("d")
+    t.rename_column("id", "event_id")  # unrelated columns still rename
