@@ -180,10 +180,22 @@ _DROPPED_KEY = "dds.droppedPhysical"
 #: create/first-write time; typical use is a derived partition column
 #: (e.g. a date bucketing of an event timestamp).
 _GENCOL_KEY = "dds.generatedColumns"
+#: table property holding COLUMN DEFAULTS: JSON {column: sql_expr}.
+#: A write that OMITS the column fills it from the expression (Delta's
+#: allowColumnDefaults contract); a write that provides it is taken
+#: as-is — unlike generated columns, no validation.  Defaults never
+#: rewrite history: files written before the column existed still
+#: read null.
+_COLDEFAULT_KEY = "dds.columnDefaults"
 
 
 def _generated_columns(configuration: dict[str, str]) -> dict[str, str]:
     raw = (configuration or {}).get(_GENCOL_KEY)
+    return _json_loads(raw) if raw else {}
+
+
+def _column_defaults(configuration: dict[str, str]) -> dict[str, str]:
+    raw = (configuration or {}).get(_COLDEFAULT_KEY)
     return _json_loads(raw) if raw else {}
 
 
@@ -971,16 +983,22 @@ class DeltaSparkTable:
         # schema reconciliation, so they join the committed schema);
         # PROVIDED ones are validated against the expression after
         # conform, alongside the CHECK constraints
-        gencols = _generated_columns({
+        merged_cfg = {
             **(snap.metadata.configuration if snap else {}),
             **(table_configuration or {}),
-        })
+        }
+        gencols = _generated_columns(merged_cfg)
         gen_provided: dict[str, str] = {}
         for c, gexpr in gencols.items():
             if c in df.columns:
                 gen_provided[c] = gexpr
             else:
                 df = df.withColumn(c, F.expr(gexpr))
+        # column DEFAULTS fill absent columns only — provided values
+        # pass through unvalidated (unlike generated columns)
+        for c, dexpr in _column_defaults(merged_cfg).items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(dexpr))
 
         if mode == WriteMode.create_or_replace:
             return self._create_or_replace(

@@ -72,3 +72,28 @@ def test_rename_refusals_for_generated(spark, tmp_path):
     with pytest.raises(ValueError, match="generated column"):
         t.drop_column("d")
     t.rename_column("id", "event_id")  # unrelated columns still rename
+
+
+def test_column_defaults_fill_absent_only(spark, tmp_path):
+    """Column DEFAULTS (allowColumnDefaults contract): an omitting
+    write fills from the expression, a providing write passes through
+    unvalidated, and history is never rewritten (pre-default files
+    read null for later-added columns)."""
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    cfg = {"dds.columnDefaults":
+           '{"status": "\'pending\'", "retries": "CAST(0 AS BIGINT)"}'}
+    t.write(
+        spark.createDataFrame([(1,)], "id long"),
+        WriteMode.error, table_configuration=cfg)
+    rows = t.read().collect()
+    assert rows[0]["status"] == "pending" and rows[0]["retries"] == 0
+    # providing write wins, no validation
+    t.write(
+        spark.createDataFrame([(2, "done", 5)],
+                              "id long, status string, retries long"),
+        WriteMode.append)
+    got = {r["id"]: (r["status"], r["retries"]) for r in t.read().collect()}
+    assert got == {1: ("pending", 0), 2: ("done", 5)}
+    # omitting write fills again
+    t.write(spark.createDataFrame([(3,)], "id long"), WriteMode.append)
+    assert {r["id"]: r["status"] for r in t.read().collect()}[3] == "pending"
