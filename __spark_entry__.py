@@ -647,6 +647,30 @@ def o_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "ts", "value", "d")
 
 
+def cdc_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL CDC feed (Delta CDF-style ``_change_type``,
+    table.py:read_changes(row_level=True)): merge-on-read commits are
+    exactly decodable — a DV DELETE's newly-masked rows (this commit's
+    sidecar minus the previous mask) emit as ``delete``, a DV UPDATE
+    emits ``update_preimage``/``update_postimage``, appends emit
+    ``insert``; copy-rewrites refuse.  Scenario: write lineitem
+    slice → DV-delete a predicate → DV-update a disjoint predicate →
+    append the complement slice; the full feed must equal the DuckDB
+    twin that derives every change row from raw lineitem."""
+    t = DeltaSparkTable(spark, _scratch("cdcrow"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    t.write(li.where("l_linenumber <= 4"), WriteMode.error)        # v0
+    t.delete("l_quantity >= 45 AND l_returnflag = 'A'",
+             use_dv=True)                                          # v1
+    t.update({"l_quantity": "l_quantity + 100"},
+             "l_quantity <= 2", use_dv=True)                       # v2
+    t.write(li.where("l_linenumber > 4"), WriteMode.append)        # v3
+    return t.read_changes(-1, row_level=True).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "_change_type", "_commit_version")
+
+
 def o_row_delete_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE + RESTORE (delta-rs ``DeltaTable.delete`` /
     ``.restore`` analogues): load lineitem, DELETE a predicate scope
@@ -1804,8 +1828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (displaces q18_large_orders to the tail on its standing
         # record)
         "o_generated_columns": o_generated_columns,
+        # NEW in r8 (late): row-level CDC feed decoded from
+        # merge-on-read commits — oracle-backed (displaces
+        # q14_promo_ratio to the tail on its standing record)
+        "cdc_row_changes": cdc_row_changes,
         # stalest committed records: r4 cohort
-        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
         # r5 cohort
         "q13_custdist": relational.q13_order_count_distribution,
@@ -1914,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": textops.deterministic_sample,
         "fingerprint": textops.fingerprint,
         "q18_large_orders": relational.q18_large_orders,
+        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
     }
 
 
@@ -2391,6 +2419,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
                    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
             FROM events
+        """,
+        "cdc_row_changes": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+                   'insert' AS _change_type,
+                   CAST(0 AS INTEGER) AS _commit_version
+            FROM lineitem WHERE l_linenumber <= 4
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+                   'delete', 1
+            FROM lineitem WHERE l_linenumber <= 4
+              AND l_quantity >= 45 AND l_returnflag = 'A'
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+                   'update_preimage', 2
+            FROM lineitem WHERE l_linenumber <= 4 AND l_quantity <= 2
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, l_quantity + 100,
+                   l_returnflag, 'update_postimage', 2
+            FROM lineitem WHERE l_linenumber <= 4 AND l_quantity <= 2
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+                   'insert', 3
+            FROM lineitem WHERE l_linenumber > 4
         """,
         "o_column_mapping": """
             SELECT l_orderkey, l_linenumber, l_quantity AS qty,

@@ -757,10 +757,27 @@ class DeltaSparkTable:
         # sidecar rows key on (root, path) — the data file's identity
         # that survives CLONING (a clone re-keys log_key with its base,
         # but the file's owning root + relative path never change)
+        pos = self.spark.read.parquet(*dv_paths)
+        return self._join_positions(df, dv_group, pos, "left_anti")
+
+    def _join_positions(
+        self,
+        df: DataFrame,
+        files: Sequence[AddFile],
+        pos: DataFrame,
+        how: str,
+    ) -> DataFrame:
+        """Join a ``__path``/``__ri``-bearing scan of ``files`` against
+        a ``(root, path, row_index)`` position frame: ``left_anti``
+        MASKS the positions (deletion vectors), ``inner`` SELECTS
+        exactly those rows (the row-level CDC feed).  Shares the
+        probed-URI-prefix fast path / normalization fallback with the
+        DV read (see class docstring of the caller)."""
         abs_by_file = [
             (os.path.abspath(a.base or self.table_uri), a.path,
-             os.path.abspath(os.path.join(root, a.path)))
-            for a in dv_group
+             os.path.abspath(os.path.join(
+                 a.base or self.table_uri, a.path)))
+            for a in files
         ]
         prefix = (
             self._probed_uri_prefix(abs_by_file[0][2])
@@ -772,18 +789,15 @@ class DeltaSparkTable:
                 [(r, p, prefix + ab) for r, p, ab in abs_by_file],
                 "root string, path string, __path string",
             )
-            doomed = (
-                self.spark.read.parquet(*dv_paths)
-                .join(F.broadcast(mapping), ["root", "path"])
+            keyed = (
+                pos.join(F.broadcast(mapping), ["root", "path"])
                 .select("__path", F.col("row_index").alias("__ri"))
             )
-            return df.join(F.broadcast(doomed), ["__path", "__ri"],
-                           "left_anti")
+            return df.join(F.broadcast(keyed), ["__path", "__ri"], how)
         mapping = self.spark.createDataFrame(
             abs_by_file, "root string, path string, __norm string")
-        doomed = (
-            self.spark.read.parquet(*dv_paths)
-            .join(F.broadcast(mapping), ["root", "path"])
+        keyed = (
+            pos.join(F.broadcast(mapping), ["root", "path"])
             .select("__norm", F.col("row_index").alias("__ri"))
         )
         return (
@@ -795,7 +809,7 @@ class DeltaSparkTable:
                 F.expr("regexp_replace(url_decode(replace(__path, '+', "
                        "'%2B')), '^file:/*', '/')"),
             )
-            .join(F.broadcast(doomed), ["__norm", "__ri"], "left_anti")
+            .join(F.broadcast(keyed), ["__norm", "__ri"], how)
             .drop("__norm")
         )
 
@@ -860,12 +874,57 @@ class DeltaSparkTable:
     def to_df(self) -> DataFrame:
         return self.read()
 
+    def _newly_masked_rows(
+        self,
+        snap: Snapshot,
+        re_adds: list[AddFile],
+        prev_by_key: dict[str, AddFile],
+    ) -> DataFrame:
+        """The rows a DV commit newly masked: this commit's sidecar
+        positions minus the pre-commit sidecar positions (sidecars
+        carry the full union mask), read back from the untouched data
+        files — the exact row-level DELETE/preimage feed.  Cost ∝ the
+        masked files' rows, never the table."""
+        import dataclasses
+
+        fk = self.spark.createDataFrame(
+            [(os.path.abspath(a.base or self.table_uri), a.path)
+             for a in re_adds],
+            "root string, path string")
+        new_paths = sorted({
+            os.path.join(a.dv_base or self.table_uri, a.dv_path)
+            for a in re_adds
+        })
+        pos = (self.spark.read.parquet(*new_paths)
+               .join(F.broadcast(fk), ["root", "path"]))
+        olds = [
+            prev_by_key[a.log_key] for a in re_adds
+            if a.log_key in prev_by_key and prev_by_key[a.log_key].dv_path
+        ]
+        if olds:
+            old_paths = sorted({
+                os.path.join(a.dv_base or self.table_uri, a.dv_path)
+                for a in olds
+            })
+            old_pos = (self.spark.read.parquet(*old_paths)
+                       .join(F.broadcast(fk), ["root", "path"]))
+            pos = pos.join(old_pos, ["root", "path", "row_index"],
+                           "left_anti")
+        clean = [
+            dataclasses.replace(a, dv_path=None, dv_count=0, dv_base=None)
+            for a in re_adds
+        ]
+        scan = self._read_files(snap, clean, with_metadata=True)
+        return self._join_positions(scan, clean, pos, "inner").drop(
+            "__path", "__ri")
+
     def read_changes(
         self,
         starting_version: int,
         ending_version: Optional[int] = None,
         *,
         allow_rewrites: bool = False,
+        row_level: bool = False,
     ) -> DataFrame:
         """Incremental scan: rows in files ADDED in versions
         ``(starting_version, ending_version]``, tagged with a
@@ -889,6 +948,22 @@ class DeltaSparkTable:
         - ``OPTIMIZE``/``ZORDER`` compactions add files whose rows are
           all old: always skipped, never an error.
 
+        ``row_level=True`` upgrades the feed to Delta-CDF-style
+        row-change semantics, adding a ``_change_type`` column:
+        appends emit ``insert`` rows; MERGE-ON-READ (deletion-vector)
+        DELETE commits emit their newly-masked rows as ``delete``
+        (sidecars carry the full union mask, so this commit's delta is
+        new-mask minus pre-commit mask — read back from the untouched
+        data files at exactly those positions); DV UPDATE commits emit
+        ``update_preimage`` (newly masked) + ``update_postimage`` (the
+        commit's fresh files); partition-scoped and fully-matched-file
+        deletes emit the dropped files' pre-commit LIVE rows.
+        COPY-REWRITE flavors (``use_dv=False`` DELETE/UPDATE, MERGE,
+        overwrite, RESTORE) are not row-level decodable and raise —
+        merge-on-read is precisely what makes row-level CDC cheap.
+        The feed needs superseded sidecars still on disk (vacuum
+        reclaims them past retention, like time travel).
+
         Cost: log metadata + a scan of ONLY the added files; no
         snapshot diff, no full-table read.  Late schema columns read as
         null for early files (same widening rule as ``read``).
@@ -902,33 +977,83 @@ class DeltaSparkTable:
             )
         end_snap = self.snapshot(end)
         parts: list[DataFrame] = []
+
+        def emit(df: DataFrame, v: int, change: str) -> None:
+            if row_level:
+                df = df.withColumn("_change_type", F.lit(change))
+            parts.append(df.withColumn("_commit_version", F.lit(v)))
+
         for v in range(starting_version + 1, end + 1):
             operation = ""
+            op_params: dict[str, Any] = {}
             adds: list[AddFile] = []
+            removed_keys: set[str] = set()
             for action in tablelog.read_version_actions(self.table_uri, v):
                 if "commitInfo" in action:
                     operation = action["commitInfo"].get("operation", "")
+                    op_params = action["commitInfo"].get(
+                        "operationParameters") or {}
                 elif "add" in action:
                     adds.append(AddFile.from_action(action["add"]))
+                elif "remove" in action:
+                    removed_keys.add(tablelog.remove_key(action["remove"]))
             kind = tablelog.classify_commit(operation)
             if kind == "compaction":
                 continue
             is_rewrite = v > 0 and kind == "rewrite"
-            if is_rewrite and not allow_rewrites:
+            base_op = operation.split(" ")[0]
+            # decodable flavors: DV commits self-identify via their
+            # "mode" parameter; a DELETE with no adds is pure metadata
+            # (partition-scoped / fully-matched files dropped) and its
+            # deleted rows are exactly the dropped files' live rows
+            is_dv = op_params.get("mode") == "deletion_vector"
+            decodable = is_dv or (base_op == "DELETE" and not adds)
+            if (row_level and is_rewrite
+                    and base_op in ("DELETE", "UPDATE") and decodable):
+                prev = self.snapshot(v - 1)
+                prev_by_key = {a.log_key: a for a in prev.files}
+                re_adds = [a for a in adds if a.log_key in removed_keys]
+                fresh = [a for a in adds if a.log_key not in removed_keys]
+                dropped = [
+                    prev_by_key[k]
+                    for k in removed_keys - {a.log_key for a in adds}
+                    if k in prev_by_key
+                ]
+                pre = []
+                if re_adds:
+                    pre.append(self._newly_masked_rows(
+                        end_snap, re_adds, prev_by_key))
+                if dropped:
+                    pre.append(self._read_files(end_snap, dropped))
+                pre_df = pre[0]
+                for p in pre[1:]:
+                    pre_df = pre_df.unionByName(p)
+                if base_op == "DELETE":
+                    emit(pre_df, v, "delete")
+                else:
+                    emit(pre_df, v, "update_preimage")
+                    if fresh:
+                        emit(self._read_files(end_snap, fresh), v,
+                             "update_postimage")
+                continue
+            if is_rewrite and (not allow_rewrites or row_level):
+                # the row-level feed has NO file-level escape hatch: a
+                # rewrite's added files re-add old rows, and labeling
+                # them "insert" would be wrong by construction
+                extra = (" (row_level decodes only merge-on-read "
+                         "DELETE/UPDATE)") if row_level else ""
                 raise ValueError(
                     f"version {v} is a data rewrite ({operation}); its added "
                     "files are not new-rows-only — pass allow_rewrites=True "
-                    "for a file-level feed, or read() the snapshot"
+                    f"for a file-level feed, or read() the snapshot{extra}"
                 )
             if adds:
-                parts.append(
-                    self._read_files(end_snap, adds)
-                    .withColumn("_commit_version", F.lit(v))
-                )
+                emit(self._read_files(end_snap, adds), v, "insert")
         if not parts:
-            schema = StructType.fromJson(_json_loads(end_snap.schema_json)).add(
-                "_commit_version", IntegerType(), False
-            )
+            schema = StructType.fromJson(_json_loads(end_snap.schema_json))
+            if row_level:
+                schema = schema.add("_change_type", StringType(), False)
+            schema = schema.add("_commit_version", IntegerType(), False)
             return self.spark.createDataFrame([], schema)
         out = parts[0]
         for p in parts[1:]:
