@@ -130,6 +130,62 @@ def _resume_version(index: DeltaSparkTable) -> tuple[int, dict]:
     )
 
 
+def _split_row_changes(base: DeltaSparkTable, v0: int, head: int):
+    """The base table's ``(v0, head]`` delta as (insert-side rows,
+    delete-side rows) from the ROW-LEVEL change feed: merge-on-read
+    DELETE/UPDATE commits decode into removals (delete /
+    update_preimage) and re-additions (update_postimage) instead of
+    refusing, so index maintenance survives them.  Copy-rewrites
+    (overwrite / merge / non-DV DML) still raise — rebuild, as
+    before."""
+    delta = base.read_changes(v0, head, row_level=True)
+    ins = delta.where(
+        F.col("_change_type").isin("insert", "update_postimage"))
+    dels = delta.where(
+        F.col("_change_type").isin("delete", "update_preimage"))
+    return ins, dels
+
+
+def _apply_index_deletions(
+    index: DeltaSparkTable,
+    dels: DataFrame,
+    id_col: str,
+    max_inlist: int = 10_000,
+) -> bool:
+    """Remove the deleted base ids' rows from an index table.  Small
+    delete sets (the per-commit norm) use a merge-on-read IN-list DV
+    delete — touched-file cost, no data rewritten; larger ones fall
+    back to ONE distributed anti-join rewrite so the id set never
+    materializes on the driver.  Returns True when anything was
+    removed (integral id columns only — every index family here keys
+    on a bigint doc/vec id)."""
+    ids = [r[0] for r in
+           dels.select(id_col).distinct().limit(max_inlist + 1).collect()]
+    if not ids:
+        return False
+    if len(ids) <= max_inlist:
+        index.delete(
+            f"{id_col} IN ({','.join(str(int(i)) for i in ids)})",
+            use_dv=True)
+        return True
+    survivors = index.read().join(
+        dels.select(id_col).distinct(), id_col, "left_anti")
+    index.write(survivors, WriteMode.overwrite)
+    return True
+
+
+def _advance_base_version(
+    index: DeltaSparkTable, head: int, extra: Optional[dict] = None
+) -> None:
+    """Commit an EMPTY append carrying the new base_version — the
+    marker a deletions-only fold needs so resume does not reprocess
+    the same delta forever."""
+    empty = index.spark.createDataFrame([], index.read().schema)
+    index.write(
+        empty, WriteMode.append,
+        commit_metadata={"base_version": str(head), **(extra or {})})
+
+
 def _lsh_doc_buckets(docs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc_id, text) -> LSH bucket membership (doc_id, band, h) via
     the SHARED shingle/signature/banding primitives (dedup.py), so the
@@ -196,17 +252,25 @@ def maintain_lsh_index(
     head = docs.version()
     if head <= v0:
         return v0
-    delta = docs.read_changes(v0, head)
+    # r8: merge-on-read deletes/updates on the base FOLD instead of
+    # refusing — the row-level feed decodes them; deletions apply
+    # FIRST, additions commit LAST with the base_version marker, so a
+    # crash between the two refolds idempotently (re-deleting is a
+    # no-op, the append never happened).  Copy-rewrites still raise.
+    ins, dels = _split_row_changes(docs, v0, head)
+    params = {"num_hashes": str(num_hashes), "bands": str(bands)}
+    removed = _apply_index_deletions(index, dels.select("doc_id"),
+                                     "doc_id")
     buckets = _lsh_doc_buckets(
-        delta.select("doc_id", "text"), num_hashes, bands)
+        ins.select("doc_id", "text"), num_hashes, bands)
     if buckets.isEmpty():
+        if removed:
+            _advance_base_version(index, head, params)
         return head
     index.write(
         buckets,
         WriteMode.append,
-        commit_metadata={"base_version": str(head),
-                         "num_hashes": str(num_hashes),
-                         "bands": str(bands)},
+        commit_metadata={"base_version": str(head), **params},
     )
     return head
 
@@ -290,10 +354,12 @@ def maintain_ivf_index(
     ``maintain_ivf_index(emb, index)`` per arrival.
 
     Cost is O(delta x n_cells) comparisons + one append commit; the
-    indexed corpus is never rescanned.  Base REWRITES (overwrite /
-    merge / DELETE / UPDATE / RESTORE) are not pure deltas:
-    ``read_changes`` raises and the index needs a rebuild — silence
-    would leave ghost vectors in the inverted list.  Compaction-only
+    indexed corpus is never rescanned.  MERGE-ON-READ deletes/updates
+    fold too (r8): the row-level feed decodes them, deleted vec_ids
+    leave the inverted list and updated vectors re-assign.
+    COPY-REWRITES (overwrite / merge / non-DV DML / RESTORE) are not
+    pure deltas: ``read_changes`` raises and the index needs a
+    rebuild — silence would leave ghost vectors.  Compaction-only
     ranges are a metadata no-op (the lagging base_version is safe:
     ``read_changes`` yields no rows for compaction commits, so a later
     fold over a range containing them adds nothing twice).
@@ -306,12 +372,16 @@ def maintain_ivf_index(
     head = emb.version()
     if head <= since_version:
         return since_version
-    delta = emb.read_changes(since_version, head)
+    ins, dels = _split_row_changes(emb, since_version, head)
+    removed = _apply_index_deletions(index, dels.select("vec_id"),
+                                     "vec_id")
     cents = _ivf_centroids_table(index).read()
     assigned = _assign_cells(
-        _with_norm(delta.select("vec_id", "embedding")), cents
+        _with_norm(ins.select("vec_id", "embedding")), cents
     ).select("vec_id", "cell")
     if assigned.isEmpty():
+        if removed:
+            _advance_base_version(index, head)
         # compaction-only range: nothing to fold, nothing to commit
         return head
     index.write(
@@ -378,10 +448,12 @@ def maintain_pq_index(
     codebooks (codebook drift, like centroid drift, is a quality dial
     handled by periodic rebuilds) and append their code rows.
     ``since_version=None`` resumes from the index's own commit
-    metadata.  Cost is O(delta); base rewrites raise via
-    ``read_changes`` (ghost codes would corrupt every ADC scan —
-    rebuild instead); compaction-only ranges are a metadata no-op.
-    Returns the new processed base version."""
+    metadata.  Cost is O(delta); merge-on-read deletes/updates fold
+    (deleted vec_ids' codes leave the index, updated vectors
+    re-encode); copy-rewrites raise via ``read_changes`` (ghost codes
+    would corrupt every ADC scan — rebuild instead); compaction-only
+    ranges are a metadata no-op.  Returns the new processed base
+    version."""
     from .similarity import _codebooks_from_rows, _pq_encode, _with_norm
 
     v_meta, _meta = _resume_version(index)
@@ -389,10 +461,14 @@ def maintain_pq_index(
     head = emb.version()
     if head <= v0:
         return v0
-    delta = emb.read_changes(v0, head)
+    ins, dels = _split_row_changes(emb, v0, head)
+    removed = _apply_index_deletions(index, dels.select("vec_id"),
+                                     "vec_id")
     cb = _codebooks_from_rows(_pq_codebooks_table(index).read().collect())
-    enc = _pq_encode(_with_norm(delta.select("vec_id", "embedding")), cb)
+    enc = _pq_encode(_with_norm(ins.select("vec_id", "embedding")), cb)
     if enc.isEmpty():
+        if removed:
+            _advance_base_version(index, head)
         return head
     index.write(
         enc,

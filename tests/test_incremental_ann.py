@@ -192,12 +192,18 @@ def test_maintenance_fuzz_random_commit_sequences(spark, tmp_path):
     dirty = False  # a rewrite landed since the indexes were last valid
 
     for step in range(12):
-        op = rng.choice(["append", "append", "optimize", "rewrite"])
+        op = rng.choice(
+            ["append", "append", "optimize", "rewrite", "delete_dv"])
         if op == "append":
             ids = range(next_id, next_id + rng.randrange(1, 8))
             next_id = ids.stop
             emb.write(_emb_df(spark, ids, seed=step + 1), WriteMode.append)
             docs.write(docs_df(ids), WriteMode.append)
+        elif op == "delete_dv":
+            # merge-on-read DML folds (r8) — stays clean, never dirty
+            x = rng.randrange(0, next_id)
+            emb.delete(f"vec_id = {x} OR vec_id = {x + 3}", use_dv=True)
+            docs.delete(f"doc_id = {x} OR doc_id = {x + 3}", use_dv=True)
         elif op == "optimize":
             emb.optimize()
             docs.optimize()
