@@ -671,6 +671,42 @@ def cdc_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_change_type", "_commit_version")
 
 
+def streaming_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL CDC as a STREAM (streaming/table_source.py,
+    ``option("readChangeFeed", "true")`` — the Delta CDF streaming
+    contract, derived from merge-on-read commits rather than stored
+    change files): the same scripted table as ``cdc_row_changes``
+    (write → DV delete → DV update → append), but every change row
+    arrives through Structured Streaming microbatches — DV sidecar
+    diffs are decoded executor-side with pyarrow positional takes.
+    The accumulated stream output must equal the batch row-level feed,
+    hence the shared DuckDB oracle."""
+    from dagster_delta_spark.streaming import DeltaSparkTableDataSource
+
+    spark.dataSource.register(DeltaSparkTableDataSource)
+    t = DeltaSparkTable(spark, _scratch("cdcstream"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    t.write(li.where("l_linenumber <= 4"), WriteMode.error)        # v0
+    t.delete("l_quantity >= 45 AND l_returnflag = 'A'",
+             use_dv=True)                                          # v1
+    t.update({"l_quantity": "l_quantity + 100"},
+             "l_quantity <= 2", use_dv=True)                       # v2
+    t.write(li.where("l_linenumber > 4"), WriteMode.append)        # v3
+    name = f"cdcfeed_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("dds_table").option("path", t.table_uri)
+        .option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "_change_type", "_commit_version")
+
+
 def o_row_delete_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE + RESTORE (delta-rs ``DeltaTable.delete`` /
     ``.restore`` analogues): load lineitem, DELETE a predicate scope
@@ -1832,6 +1868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge-on-read commits — oracle-backed (displaces
         # q14_promo_ratio to the tail on its standing record)
         "cdc_row_changes": cdc_row_changes,
+        # NEW in r8 (late): the STREAMING twin — dds_table source with
+        # readChangeFeed=true, same oracle (displaces
+        # streaming_hourly_rollup past the cap on its green r6 record)
+        "streaming_cdc_feed": streaming_cdc_feed,
         # stalest committed records: r4 cohort
         "q22_anti_scalar": relational.q22_idle_rich_customers,
         # r5 cohort
@@ -3814,6 +3854,9 @@ def oracle_sql() -> dict[str, str]:
     # candidate generation — exact verification restores the identical
     # thresholded pair set, so the oracle is the same exact-Jaccard SQL
     out["ppjoin_near_dups"] = out["near_dup_jaccard"]
+    # the streaming CDC feed must accumulate to EXACTLY the batch
+    # row-level feed over the same scripted commits — shared oracle
+    out["streaming_cdc_feed"] = out["cdc_row_changes"]
     return out
 
 

@@ -25,6 +25,15 @@ Usage::
     spark.dataSource.register(DeltaSparkTableDataSource)
     stream = (spark.readStream.format("dds_table")
               .option("path", table_uri).load())
+
+``option("readChangeFeed", "true")`` upgrades the stream to ROW-LEVEL
+CDC (the Delta CDF streaming contract, derived not stored — the
+streaming twin of ``read_changes(row_level=True)``): appends emit
+``insert`` rows, merge-on-read DELETE/UPDATE commits decode into
+``delete`` / ``update_preimage`` / ``update_postimage`` from the DV
+sidecar diffs executor-side (pyarrow positional take on the untouched
+data files), and copy-rewrites still fail the stream loudly.  Every
+microbatch row carries ``_change_type`` + ``_commit_version``.
 """
 
 from __future__ import annotations
@@ -48,12 +57,39 @@ class _AddedFile(InputPartition):
         self.partition_values = partition_values
 
 
+class _ChangeFile(InputPartition):
+    """One data file's contribution to a row-level CDC microbatch.
+
+    ``mode`` picks the executor-side position filter:
+    - ``all``: every row (append inserts, UPDATE postimage files)
+    - ``newly_masked``: new sidecar minus old sidecar — the rows this
+      DV commit masked (DELETE rows / UPDATE preimage)
+    - ``live``: every row minus the old sidecar — a dropped file's
+      pre-commit live rows (partition-scoped / fully-matched DELETE)
+    """
+
+    def __init__(self, path: str, partition_values: dict[str, str],
+                 change_type: str, commit_version: int, mode: str,
+                 root: str = "", relpath: str = "",
+                 new_dv: str = "", old_dv: str = ""):
+        self.path = path
+        self.partition_values = partition_values
+        self.change_type = change_type
+        self.commit_version = commit_version
+        self.mode = mode
+        self.root = root
+        self.relpath = relpath
+        self.new_dv = new_dv
+        self.old_dv = old_dv
+
+
 class DeltaSparkTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, table_uri: str,
-                 starting_version: int = 0):
+                 starting_version: int = 0, cdc: bool = False):
         self._schema = schema
         self._table_uri = table_uri
         self._initial = starting_version - 1
+        self._cdc = cdc
 
     # -- driver side: offsets are versions, partitions are added files --
 
@@ -71,29 +107,89 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             operation = ""
+            op_params: dict = {}
             adds = []
+            removed_keys: set[str] = set()
             for action in tablelog.read_version_actions(self._table_uri, v):
                 if "commitInfo" in action:
-                    operation = action["commitInfo"].get("operation", "")
+                    ci = action["commitInfo"]
+                    operation = ci.get("operation", "")
+                    op_params = ci.get("operationParameters") or {}
                 elif "add" in action:
                     adds.append(tablelog.AddFile.from_action(action["add"]))
+                elif self._cdc and "remove" in action:
+                    removed_keys.add(tablelog.remove_key(action["remove"]))
             kind = tablelog.classify_commit(operation)
             if kind == "compaction":
                 continue
             if v > 0 and kind == "rewrite":
+                base_op = operation.split(" ")[0]
+                is_dv = op_params.get("mode") == "deletion_vector"
+                if self._cdc and base_op in ("DELETE", "UPDATE") and (
+                        is_dv or (base_op == "DELETE" and not adds)):
+                    parts.extend(self._change_parts(
+                        v, base_op, adds, removed_keys))
+                    continue
                 raise ValueError(
                     f"version {v} is a data rewrite ({operation}); "
-                    "streaming requires an append-only source table"
+                    + ("the CDC stream decodes only merge-on-read "
+                       "DELETE/UPDATE" if self._cdc else
+                       "streaming requires an append-only source table")
                 )
-            parts.extend(
-                _AddedFile(
-                    # shallow-cloned files resolve against their
-                    # source root, not this table's
-                    os.path.join(a.base or self._table_uri, a.path),
-                    dict(a.partition_values),
+            if self._cdc:
+                parts.extend(
+                    self._change_part(a, v, "insert", "all") for a in adds)
+            else:
+                parts.extend(
+                    _AddedFile(
+                        # shallow-cloned files resolve against their
+                        # source root, not this table's
+                        os.path.join(a.base or self._table_uri, a.path),
+                        dict(a.partition_values),
+                    )
+                    for a in adds
                 )
-                for a in adds
-            )
+        return parts
+
+    # -- CDC decode (driver side): mirror of read_changes(row_level) --
+
+    def _change_part(self, a: tablelog.AddFile, v: int, change: str,
+                     mode: str, old: tablelog.AddFile = None
+                     ) -> _ChangeFile:
+        uri = self._table_uri
+        return _ChangeFile(
+            os.path.join(a.base or uri, a.path),
+            dict(a.partition_values), change, v, mode,
+            root=os.path.abspath(a.base or uri), relpath=a.path,
+            new_dv=(os.path.join(a.dv_base or uri, a.dv_path)
+                    if mode == "newly_masked" and a.dv_path else ""),
+            old_dv=(os.path.join(old.dv_base or uri, old.dv_path)
+                    if old is not None and old.dv_path else ""),
+        )
+
+    def _change_parts(self, v: int, base_op: str,
+                      adds: list, removed_keys: set[str]
+                      ) -> list[_ChangeFile]:
+        """Decode one merge-on-read DELETE/UPDATE commit into per-file
+        change partitions: re-added files (mask grew) emit their newly
+        masked rows, dropped files emit their pre-commit live rows, and
+        an UPDATE's fresh files are the postimage."""
+        prev = tablelog.load_snapshot(self._table_uri, v - 1)
+        prev_by_key = {a.log_key: a for a in prev.files}
+        pre = "delete" if base_op == "DELETE" else "update_preimage"
+        parts = []
+        for a in adds:
+            if a.log_key in removed_keys:
+                parts.append(self._change_part(
+                    a, v, pre, "newly_masked", prev_by_key.get(a.log_key)))
+            else:
+                parts.append(self._change_part(
+                    a, v, "update_postimage", "all"))
+        added = {a.log_key for a in adds}
+        for k in removed_keys - added:
+            old = prev_by_key.get(k)
+            if old is not None:
+                parts.append(self._change_part(old, v, pre, "live", old))
         return parts
 
     def commit(self, end: dict) -> None:
@@ -106,8 +202,14 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(self._schema)
+        full = to_arrow_schema(self._schema)
+        # in CDC mode the declared schema's last two fields are the
+        # synthesized _change_type/_commit_version, not file columns
+        target = (pa.schema(list(full)[:-2]) if self._cdc else full)
         tbl = pq.read_table(partition.path)
+        if self._cdc and partition.mode != "all":
+            keep = self._keep_positions(partition, tbl.num_rows)
+            tbl = tbl.take(pa.array(keep, type=pa.int64()))
         n = tbl.num_rows
         for name, val in partition.partition_values.items():
             field = target.field(name)
@@ -121,7 +223,37 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
                 tbl = tbl.append_column(field.name,
                                         pa.nulls(n, type=field.type))
         tbl = tbl.select(target.names).cast(target)
+        if self._cdc:
+            tbl = tbl.append_column(
+                "_change_type",
+                pa.array([partition.change_type] * n, type=pa.string()))
+            tbl = tbl.append_column(
+                "_commit_version",
+                pa.array([partition.commit_version] * n, type=pa.int32()))
         yield from tbl.to_batches()
+
+    @staticmethod
+    def _keep_positions(partition: _ChangeFile, num_rows: int) -> list[int]:
+        """Row indexes this change partition contributes, from the DV
+        sidecars (parquet of (root, path, row_index) union masks,
+        filtered to this file's identity).  Sidecar size ∝ masked rows
+        of the commit's touched files — never the table."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        def mask(dv_path: str) -> set[int]:
+            if not dv_path:
+                return set()
+            t = pq.read_table(
+                dv_path, columns=["root", "path", "row_index"])
+            m = pc.and_(pc.equal(t["root"], partition.root),
+                        pc.equal(t["path"], partition.relpath))
+            return set(t.filter(m)["row_index"].to_pylist())
+
+        old = mask(partition.old_dv)
+        if partition.mode == "newly_masked":
+            return sorted(mask(partition.new_dv) - old)
+        return sorted(set(range(num_rows)) - old)  # mode == "live"
 
 
 class DeltaSparkTableDataSource(DataSource):
@@ -137,14 +269,25 @@ class DeltaSparkTableDataSource(DataSource):
             raise ValueError("dds_table requires .option('path', table_uri)")
         return uri
 
+    def _cdc(self) -> bool:
+        return str(self.options.get("readChangeFeed", "")).lower() in (
+            "true", "1")
+
     def schema(self) -> StructType:
         import json
 
+        from pyspark.sql.types import IntegerType, StringType
+
         snap = tablelog.load_snapshot(self._uri())
-        return StructType.fromJson(json.loads(snap.schema_json))
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if self._cdc():
+            schema = schema.add("_change_type", StringType(), False).add(
+                "_commit_version", IntegerType(), False)
+        return schema
 
     def streamReader(self, schema: StructType) -> DeltaSparkTableStreamReader:
         return DeltaSparkTableStreamReader(
             schema, self._uri(),
             int(self.options.get("startingVersion", "0")),
+            cdc=self._cdc(),
         )

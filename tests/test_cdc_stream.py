@@ -1,0 +1,143 @@
+"""Row-level CDC streaming source (streaming/table_source.py,
+``option("readChangeFeed", "true")``) — the Delta CDF streaming
+contract, derived from merge-on-read commits instead of stored change
+files.  The invariant under test: the stream's accumulated output is
+EXACTLY ``read_changes(row_level=True)`` over the same version range.
+"""
+
+import pytest
+
+from dagster_delta_spark import DeltaSparkTable, WriteMode
+from dagster_delta_spark.streaming import DeltaSparkTableDataSource
+
+
+def _cdc_stream(spark, uri, name, checkpoint=None):
+    spark.dataSource.register(DeltaSparkTableDataSource)
+    w = (spark.readStream.format("dds_table").option("path", uri)
+         .option("readChangeFeed", "true").load()
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append"))
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
+
+
+def _rows(df, cols=("id", "v", "_change_type", "_commit_version")):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_equals_batch_row_level_feed(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "id long, v long"),
+        WriteMode.error)                                        # v0
+    t.delete("v >= 150", use_dv=True)                           # v1
+    t.update({"v": "v + 1"}, "id < 3", use_dv=True)             # v2
+    t.write(spark.createDataFrame(
+        [(i, i) for i in range(20, 25)], "id long, v long"),
+        WriteMode.append)                                       # v3
+    q = _cdc_stream(spark, t.table_uri, "cdc_eq_batch")
+    q.processAllAvailable()
+    q.stop()
+    got = _rows(spark.table("cdc_eq_batch"))
+    want = _rows(t.read_changes(-1, row_level=True))
+    assert got == want
+    assert {r[2] for r in got} == {
+        "insert", "delete", "update_preimage", "update_postimage"}
+
+
+def test_changes_arriving_while_live_emit_once(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame(
+        [(i, i) for i in range(10)], "id long, v long"), WriteMode.error)
+    q = _cdc_stream(spark, t.table_uri, "cdc_live")
+    q.processAllAvailable()
+    t.delete("id >= 8", use_dv=True)
+    t.optimize()  # compaction contributes nothing to the feed
+    t.write(spark.createDataFrame([(10, 10)], "id long, v long"),
+            WriteMode.append)
+    q.processAllAvailable()
+    q.stop()
+    got = _rows(spark.table("cdc_live"))
+    assert got.count((8, 8, "delete", 1)) == 1
+    assert got == _rows(t.read_changes(-1, row_level=True))
+
+
+def test_metadata_delete_emits_dropped_partition_rows(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b")], "id long, p string"),
+        WriteMode.error, partition_columns=["p"])
+    t.delete("p = 'b'")  # pure-metadata commit, no adds
+    q = _cdc_stream(spark, t.table_uri, "cdc_meta")
+    q.processAllAvailable()
+    q.stop()
+    got = _rows(spark.table("cdc_meta"),
+                cols=("_change_type", "id", "p"))
+    assert got == [("delete", 2, "b"), ("delete", 3, "b"),
+                   ("insert", 1, "a"), ("insert", 2, "b"),
+                   ("insert", 3, "b")]
+
+
+def test_copy_rewrite_fails_the_stream(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame(
+        [(i, i) for i in range(8)], "id long, v long").coalesce(1),
+        WriteMode.error)
+    q = _cdc_stream(spark, t.table_uri, "cdc_rw")
+    q.processAllAvailable()
+    t.delete("v = 3")  # partial-file copy rewrite
+    with pytest.raises(Exception, match="rewrite|DELETE"):
+        q.processAllAvailable()
+    q.stop()
+
+
+def test_checkpoint_restart_resumes_without_duplicates(spark, tmp_path):
+    spark.dataSource.register(DeltaSparkTableDataSource)
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    cp = str(tmp_path / "cp")
+    t.write(spark.createDataFrame(
+        [(i, i) for i in range(6)], "id long, v long"), WriteMode.error)
+    seen: list[tuple] = []
+
+    def start():
+        return (spark.readStream.format("dds_table")
+                .option("path", t.table_uri)
+                .option("readChangeFeed", "true").load()
+                .writeStream.foreachBatch(
+                    lambda df, _id: seen.extend(
+                        (r["id"], r["v"], r["_change_type"],
+                         r["_commit_version"]) for r in df.collect()))
+                .option("checkpointLocation", cp).start())
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(seen) == 6
+    t.delete("id < 2", use_dv=True)
+    q = start()  # restart from the checkpoint
+    q.processAllAvailable()
+    q.stop()
+    # the restart replays nothing — only the new commit arrives
+    assert len(seen) == 8
+    dels = sorted(r for r in seen if r[2] == "delete")
+    assert dels == [(0, 0, "delete", 1), (1, 1, "delete", 1)]
+    assert sum(1 for r in seen if r[2] == "insert") == 6  # not re-emitted
+
+
+def test_second_dv_delete_emits_only_newly_masked(spark, tmp_path):
+    """Sidecars carry the full union mask; the feed must diff against
+    the pre-commit mask or earlier deletes would re-emit."""
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame(
+        [(i, i) for i in range(10)], "id long, v long").coalesce(1),
+        WriteMode.error)
+    t.delete("id >= 8", use_dv=True)   # v1 masks 8,9
+    t.delete("id >= 6", use_dv=True)   # v2 union-masks 6..9; new: 6,7
+    q = _cdc_stream(spark, t.table_uri, "cdc_union")
+    q.processAllAvailable()
+    q.stop()
+    got = _rows(spark.table("cdc_union"))
+    dels = [r for r in got if r[2] == "delete"]
+    assert dels == [(6, 6, "delete", 2), (7, 7, "delete", 2),
+                    (8, 8, "delete", 1), (9, 9, "delete", 1)]
