@@ -193,9 +193,16 @@ def main() -> None:
         st["row_update"] = time.perf_counter() - t0
         # merge-on-read: same table, different scope — sidecar mask
         # only, zero data rewritten (compare against row_delete)
+        v_dv = t.version()
         t0 = time.perf_counter()
         t.delete("l_quantity <= 2 AND l_returnflag = 'N'", use_dv=True)
         st["row_delete_dv"] = time.perf_counter() - t0
+        # r8: row-level CDC decode of that DV commit — the newly-masked
+        # rows read back from the untouched files (positions join)
+        t0 = time.perf_counter()
+        (t.read_changes(v_dv, row_level=True)
+         .write.mode("overwrite").format("noop").save())
+        st["cdc_row_decode"] = time.perf_counter() - t0
         t.read().write.mode("overwrite").format("noop").save()
         return st
 

@@ -88,6 +88,23 @@ def main() -> None:
         f"full rebuild {t_rebuild:.1f} s ({t_rebuild / t_maint:.1f}x) | "
         f"parity mismatches {bad}"
     )
+
+    # r8: merge-on-read DML fold — a 2% DV delete + 0.1% DV update,
+    # consumed through the row-level change feed instead of forcing a
+    # rebuild.  The alternative cost is t_rebuild above.
+    emb.delete("vec_id % 50 = 1", use_dv=True)
+    emb.update(
+        {"embedding": "transform(embedding, x -> CAST(-x AS FLOAT))"},
+        "vec_id % 1000 = 2", use_dv=True)
+    t0 = time.perf_counter()
+    incr.maintain_ivf_index(emb, index)
+    t_dml = time.perf_counter() - t0
+    bad_dml = incr.ivf_index_vs_rebuild(emb, index).count()
+    print(
+        f"DV-DML fold (2% delete + 0.1% update) {t_dml:.1f} s "
+        f"vs {t_rebuild:.1f} s rebuild ({t_rebuild / t_dml:.1f}x) | "
+        f"index rows {index.read().count()} | parity mismatches {bad_dml}"
+    )
     spark.stop()
 
 
