@@ -106,11 +106,14 @@ def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain a stored (returnflag, linestatus) revenue rollup
-    incrementally across three append commits: each maintenance run
-    reads ONLY the new commit's files (read_changes) and merges
-    additive partials into the rollup — the base table is never
-    rescanned.  Final rollup must equal a full GROUP BY over all rows
-    (the DuckDB oracle)."""
+    incrementally across three append commits PLUS a merge-on-read
+    DELETE and UPDATE (r8): each maintenance run reads ONLY the new
+    commits' row-level changes (read_changes(row_level=True)) —
+    inserts add partials, DV deletes/update-preimages SUBTRACT them
+    (additive measures are invertible), update-postimages re-add.
+    The base table is never rescanned.  Final rollup must equal a
+    full GROUP BY over the surviving rows (the DuckDB oracle applies
+    the same delete filter + update CASE to raw lineitem)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     base = DeltaSparkTable(spark, _scratch("incr-base"))
@@ -132,7 +135,14 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             li.where(F.expr(f"l_orderkey % 3 = {chunk}")),
             WriteMode.error if chunk == 0 else WriteMode.append,
         )
-        v = incremental.maintain_rollup(base, rollup, keys, measures, v)
+        v = incremental.maintain_rollup(base, rollup, keys, measures, v,
+                                        count_col="n_rows")
+    # merge-on-read DML folds as signed partials (disjoint predicates:
+    # deleted rows have quantity >= 49, updated ones <= 1)
+    base.delete("l_quantity >= 49 AND l_returnflag = 'A'", use_dv=True)
+    base.update({"l_discount": "0.0"}, "l_quantity <= 1", use_dv=True)
+    v = incremental.maintain_rollup(base, rollup, keys, measures, v,
+                                    count_col="n_rows")
     return rollup.read().select(
         "l_returnflag",
         "l_linestatus",
@@ -1875,7 +1885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stalest committed records: r4 cohort
         "q22_anti_scalar": relational.q22_idle_rich_customers,
         # r5 cohort
-        "q13_custdist": relational.q13_order_count_distribution,
+        # (q13_custdist rotated to the tail on its green r5 record —
+        # maintain_rollup changed semantics in late r8, so its entry
+        # re-enters the window with the DV-DML scenario)
+        "incremental_rollup_maintenance": incremental_rollup_maintenance,
         "q15_top_supplier": relational.q15_top_supplier,
         # r6 cohort, table layer first (table.py grew DV/clone in r7
         # after those records landed)
@@ -1918,7 +1931,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_balanced_prune": curation.quality_balanced_prune,
         "o_clone_zero_copy": o_clone_zero_copy,
         "bloom_decontaminate": curation.bloom_decontaminate,
-        "incremental_rollup_maintenance": incremental_rollup_maintenance,
         "fuzzy_name_matches": fuzzy.fuzzy_name_matches,
         "nb_classifier_scores": _nb_classifier,
         "streaming_exactly_once_sink": _streaming_exactly_once_sink,
@@ -1982,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": textops.fingerprint,
         "q18_large_orders": relational.q18_large_orders,
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
+        "q13_custdist": relational.q13_order_count_distribution,
     }
 
 
@@ -2434,7 +2447,14 @@ def oracle_sql() -> dict[str, str]:
                                  AS DECIMAL(30,10)))
                         AS DOUBLE) AS revenue,
                    count(*) AS n_rows
-            FROM lineitem
+            FROM (
+                SELECT l_returnflag, l_linestatus, l_quantity,
+                       l_extendedprice,
+                       CASE WHEN l_quantity <= 1 THEN 0.0
+                            ELSE l_discount END AS l_discount
+                FROM lineitem
+                WHERE NOT (l_quantity >= 49 AND l_returnflag = 'A')
+            )
             GROUP BY l_returnflag, l_linestatus
         """,
         "streaming_exactly_once_sink": "SELECT doc_id, text FROM documents",

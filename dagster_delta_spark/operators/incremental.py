@@ -47,6 +47,7 @@ def maintain_rollup(
     group_cols: Sequence[str],
     measures: Mapping[str, str],
     since_version: int,
+    count_col: Optional[str] = None,
 ) -> int:
     """Fold base versions ``(since_version, head]`` into ``rollup``.
 
@@ -58,6 +59,18 @@ def maintain_rollup(
     ``DECIMAL(30,10)``, the exact-accumulation rule) and the combine
     re-casts to the stored column type on every run.
 
+    MERGE-ON-READ deletes/updates on the base fold too (r8): the
+    row-level change feed signs each partial — delete/update_preimage
+    rows NEGATE (additive measures are invertible: the partial over
+    removed rows times -1 is exactly the correction), insert/
+    update_postimage rows add.  Copy-rewrites still raise (rebuild).
+    ``count_col`` names the measure that counts rows (``count(*)``);
+    when given, groups whose count reaches 0 are DELETED from the
+    rollup instead of lingering as zero rows, keeping
+    ``rollup_vs_recompute`` exact under deletion.  Without it, fully
+    emptied groups remain with zeroed measures (documented drift from
+    a fresh recompute, which would omit them).
+
     Returns the new processed version (pass it back as
     ``since_version`` next run; no new commits -> no-op).
     """
@@ -66,12 +79,32 @@ def maintain_rollup(
     bad = set(measures) & set(group_cols)
     if bad:
         raise ValueError(f"measure names collide with group columns: {sorted(bad)}")
+    if count_col is not None and count_col not in measures:
+        raise ValueError(f"count_col {count_col!r} is not a measure")
     head = base.version()
     if head <= since_version:
         return since_version
-    delta = base.read_changes(since_version, head)
+    delta = base.read_changes(since_version, head, row_level=True)
     aggs = [F.expr(e).alias(c) for c, e in measures.items()]
-    partial = delta.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+    sign = F.when(
+        F.col("_change_type").isin("delete", "update_preimage"),
+        F.lit(-1),
+    ).otherwise(F.lit(1))
+    # per-(group, sign) partials, then one tiny signed combine — for an
+    # append-only delta the second aggregate sees |groups| rows
+    signed = delta.withColumn("_sign", sign).groupBy(
+        *[F.col(c) for c in group_cols], F.col("_sign")).agg(*aggs)
+    ptype = {f.name: f.dataType for f in signed.schema.fields
+             if f.name in measures}
+    partial = (
+        signed.select(
+            *group_cols,
+            *[(F.col(c) * F.col("_sign")).cast(ptype[c]).alias(c)
+              for c in measures],
+        )
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(*[F.sum(c).cast(ptype[c]).alias(c) for c in measures])
+    )
 
     if not rollup.exists():
         rollup.write(partial, WriteMode.error)
@@ -111,6 +144,11 @@ def maintain_rollup(
             predicate=" AND ".join(f"s.{k} <=> t.{k}" for k in group_cols),
         ),
     )
+    if count_col is not None:
+        # groups a deletion emptied: a fresh recompute would omit them,
+        # so drop their rows (merge-on-read — the merge just wrote
+        # these files; no second copy).  No matches -> no commit.
+        rollup.delete(f"{count_col} = 0", use_dv=True)
     return head
 
 

@@ -112,3 +112,68 @@ def test_audit_catches_corruption(spark, tmp_path):
     rollup.write(tampered, WriteMode.overwrite)
     bad = rollup_vs_recompute(base, rollup, ["g"], MEASURES)
     assert bad.count() == 1
+
+
+def test_dv_delete_folds_as_negative_partials(spark, tmp_path):
+    """r8: merge-on-read deletes subtract — the maintained rollup must
+    equal a full recompute, including the emptied group dropping out
+    when count_col is given."""
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(_df(spark, [("a", 1.0), ("b", 2.0), ("a", 3.0),
+                           ("c", 9.0)]), WriteMode.error)
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, -1, count_col="n")
+    base.delete("g = 'a' AND v > 2", use_dv=True)   # shrink a
+    base.delete("g = 'c'", use_dv=True)             # empty c entirely
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, v, count_col="n")
+    got = {(r["g"], float(r["total"]), r["n"])
+           for r in rollup.read().collect()}
+    assert got == {("a", 1.0, 1), ("b", 2.0, 1)}
+    assert rollup_vs_recompute(base, rollup, ["g"], MEASURES).count() == 0
+
+
+def test_dv_update_folds_preimage_and_postimage(spark, tmp_path):
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(_df(spark, [("a", 1.0), ("a", 3.0), ("b", 5.0)]),
+               WriteMode.error)
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, -1)
+    base.update({"v": "v + 100"}, "v >= 3", use_dv=True)
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, v)
+    got = {(r["g"], float(r["total"]), r["n"])
+           for r in rollup.read().collect()}
+    assert got == {("a", 104.0, 2), ("b", 105.0, 1)}
+    assert rollup_vs_recompute(base, rollup, ["g"], MEASURES).count() == 0
+
+
+def test_copy_rewrite_dml_still_raises(spark, tmp_path):
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(_df(spark, [("a", 1.0), ("a", 2.0)]).coalesce(1),
+               WriteMode.error)
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, -1)
+    base.delete("v = 1", use_dv=False)  # partial-file copy rewrite
+    with pytest.raises(ValueError, match="rewrite"):
+        maintain_rollup(base, rollup, ["g"], MEASURES, v)
+
+
+def test_count_col_must_be_a_measure(spark, tmp_path):
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    with pytest.raises(ValueError, match="count_col"):
+        maintain_rollup(base, rollup, ["g"], MEASURES, -1,
+                        count_col="missing")
+
+
+def test_emptied_group_without_count_col_zeroes(spark, tmp_path):
+    """The documented drift: without count_col an emptied group stays
+    as a zero row (a fresh recompute omits it)."""
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(_df(spark, [("a", 1.0), ("b", 2.0)]), WriteMode.error)
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, -1)
+    base.delete("g = 'a'", use_dv=True)
+    maintain_rollup(base, rollup, ["g"], MEASURES, v)
+    got = {(r["g"], float(r["total"]), r["n"])
+           for r in rollup.read().collect()}
+    assert got == {("a", 0.0, 0), ("b", 2.0, 1)}
