@@ -1753,6 +1753,74 @@ def _streaming_index_sink(
     return t.read()
 
 
+def streaming_rollup_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATERIALIZED VIEW (streaming/table_sink.py:
+    rollup_maintaining_sink): every micro-batch appends to the fact
+    table exactly once (txn ledger) and folds into a stored
+    (l_returnflag) aggregate via ``maintain_rollup`` resuming from the
+    rollup's own base_version metadata; after the stream, an
+    out-of-band merge-on-read DELETE folds into the view as NEGATIVE
+    partials on the next (empty) maintenance batch.
+
+    Oracle: the final rollup must equal a full GROUP BY over the
+    surviving lineitem rows.  In-line guards: a hand-replayed final
+    micro-batch changes nothing (exactly-once), and
+    ``rollup_vs_recompute`` is empty both before and after the DML
+    fold."""
+    from dagster_delta_spark.streaming import rollup_maintaining_sink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity")
+    src = _scratch("rollsink-src")
+    for chunk in range(3):
+        (li.where(F.expr(f"l_orderkey % 3 = {chunk}")).coalesce(1)
+         .write.mode("append").parquet(src))
+    measures = {
+        "sum_qty": ("CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) "
+                    "AS DECIMAL(30,10))"),
+        "n_rows": "COUNT(*)",
+    }
+    uri, r_uri = _scratch("rollsink"), _scratch("rollsink-roll")
+    sink = rollup_maintaining_sink(
+        uri, r_uri, "rollsink-pipeline", ["l_returnflag"], measures,
+        count_col="n_rows")
+    q = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", _scratch("rollsink-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    t = DeltaSparkTable(spark, uri)
+    roll = DeltaSparkTable(spark, r_uri)
+    keys, ms = ["l_returnflag"], measures
+    if incremental.rollup_vs_recompute(t, roll, keys, ms).count():
+        raise AssertionError("streamed rollup diverged from recompute")
+    last = t.last_txn_version("rollsink-pipeline")
+    if last is None:
+        raise AssertionError("sink recorded no txn ledger entry")
+    n = t.read().count()
+    state = sorted(map(tuple, roll.read().collect()))
+    sink(li, last)  # post-crash replay of the final micro-batch
+    if t.read().count() != n or sorted(
+            map(tuple, roll.read().collect())) != state:
+        raise AssertionError("replay changed the view")
+    # out-of-band merge-on-read correction: folds as negative partials
+    t.delete("l_quantity >= 48", use_dv=True)
+    sink(li.limit(0), last + 1)  # empty batch still maintains
+    if incremental.rollup_vs_recompute(t, roll, keys, ms).count():
+        raise AssertionError("DML fold diverged from recompute")
+    return roll.read().select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1889,7 +1957,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # maintain_rollup changed semantics in late r8, so its entry
         # re-enters the window with the DV-DML scenario)
         "incremental_rollup_maintenance": incremental_rollup_maintenance,
-        "q15_top_supplier": relational.q15_top_supplier,
+        # NEW in r8 (late): streaming materialized view — exactly-once
+        # ingest + incremental rollup fold + out-of-band DV-DML
+        # correction (displaces q15_top_supplier to the tail on its
+        # green r5 record)
+        "streaming_rollup_sink": streaming_rollup_sink,
         # r6 cohort, table layer first (table.py grew DV/clone in r7
         # after those records landed)
         "w1_w4_error_ignore": w1_w4_error_ignore,
@@ -1995,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": relational.q18_large_orders,
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
         "q13_custdist": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
     }
 
 
@@ -3877,6 +3950,17 @@ def oracle_sql() -> dict[str, str]:
     # the streaming CDC feed must accumulate to EXACTLY the batch
     # row-level feed over the same scripted commits — shared oracle
     out["streaming_cdc_feed"] = out["cdc_row_changes"]
+    # streaming materialized view: GROUP BY over the surviving rows
+    # (the sink's out-of-band DV delete removes l_quantity >= 48)
+    out["streaming_rollup_sink"] = """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
+                    AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_quantity < 48
+        GROUP BY l_returnflag
+    """
     return out
 
 

@@ -46,7 +46,7 @@ def maintain_rollup(
     rollup: DeltaSparkTable,
     group_cols: Sequence[str],
     measures: Mapping[str, str],
-    since_version: int,
+    since_version: Optional[int] = None,
     count_col: Optional[str] = None,
 ) -> int:
     """Fold base versions ``(since_version, head]`` into ``rollup``.
@@ -71,8 +71,10 @@ def maintain_rollup(
     emptied groups remain with zeroed measures (documented drift from
     a fresh recompute, which would omit them).
 
-    Returns the new processed version (pass it back as
-    ``since_version`` next run; no new commits -> no-op).
+    ``since_version=None`` resumes from the rollup's own commit
+    metadata (``base_version``, stamped on every create/merge — the
+    same contract as the index maintainers), so callers need no
+    external version bookkeeping.  Returns the new processed version.
     """
     if not group_cols:
         raise ValueError("maintain_rollup needs at least one group column")
@@ -81,6 +83,9 @@ def maintain_rollup(
         raise ValueError(f"measure names collide with group columns: {sorted(bad)}")
     if count_col is not None and count_col not in measures:
         raise ValueError(f"count_col {count_col!r} is not a measure")
+    if since_version is None:
+        since_version = (
+            _resume_version(rollup)[0] if rollup.exists() else -1)
     head = base.version()
     if head <= since_version:
         return since_version
@@ -106,8 +111,9 @@ def maintain_rollup(
         .agg(*[F.sum(c).cast(ptype[c]).alias(c) for c in measures])
     )
 
+    meta = {"base_version": str(head)}
     if not rollup.exists():
-        rollup.write(partial, WriteMode.error)
+        rollup.write(partial, WriteMode.error, commit_metadata=meta)
         return head
 
     stored = {f.name: f.dataType for f in rollup.read().schema.fields}
@@ -143,11 +149,16 @@ def maintain_rollup(
             MergeType.upsert,
             predicate=" AND ".join(f"s.{k} <=> t.{k}" for k in group_cols),
         ),
+        commit_metadata=meta,
     )
     if count_col is not None:
         # groups a deletion emptied: a fresh recompute would omit them,
         # so drop their rows (merge-on-read — the merge just wrote
-        # these files; no second copy).  No matches -> no commit.
+        # these files; no second copy).  No matches -> no commit.  A
+        # crash between the merge (which carries base_version) and
+        # this delete leaves zero rows behind — queries filtering
+        # count > 0 are unaffected and any later fold touching the
+        # group re-deletes; benign, unlike double-counting.
         rollup.delete(f"{count_col} = 0", use_dv=True)
     return head
 

@@ -16,6 +16,7 @@ from .ingest_dedup import (  # noqa: F401
 from .table_sink import (  # noqa: F401
     exactly_once_table_sink,
     index_maintaining_sink,
+    rollup_maintaining_sink,
 )
 from .table_source import (  # noqa: F401
     DeltaSparkTableDataSource,

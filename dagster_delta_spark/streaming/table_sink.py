@@ -102,3 +102,50 @@ def index_maintaining_sink(
             maintain_lsh_index(table, index)
 
     return sink
+
+
+def rollup_maintaining_sink(
+    table_uri: str,
+    rollup_uri: str,
+    app_id: str,
+    group_cols: Sequence[str],
+    measures: dict[str, str],
+    *,
+    count_col: Optional[str] = None,
+    partition_columns: Optional[Sequence[str]] = None,
+) -> Callable[[DataFrame, int], None]:
+    """``exactly_once_table_sink`` + incremental materialized-aggregate
+    maintenance in one ``foreachBatch``: each micro-batch appends to
+    the fact table exactly once, then the stored rollup folds the
+    not-yet-processed commits (``incremental.maintain_rollup``,
+    resuming from the rollup's own ``base_version`` metadata) — a
+    STREAMING MATERIALIZED VIEW whose base is transactional and whose
+    refresh cost is O(batch) + O(touched groups), never a rescan.
+
+    Because ``maintain_rollup`` consumes the row-level change feed,
+    merge-on-read DELETE/UPDATE issued on the fact table BETWEEN
+    micro-batches fold into the next maintenance run as signed
+    partials — out-of-band corrections keep the view exact without
+    pausing the stream.  Copy-rewrites fail the stream loudly
+    (rebuild the rollup).
+
+    Crash/replay safety composes exactly like ``index_maintaining_
+    sink``: the append no-ops on the txn ledger, maintenance no-ops on
+    an already-folded head — exactly-once end-to-end with no shared
+    coordination beyond the table versions."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.incremental import maintain_rollup
+
+        spark = batch_df.sparkSession
+        table = DeltaSparkTable(spark, table_uri)
+        table.idempotent_append(
+            batch_df, app_id, batch_id,
+            partition_columns=partition_columns,
+        )
+        maintain_rollup(
+            table, DeltaSparkTable(spark, rollup_uri),
+            group_cols, measures, count_col=count_col,
+        )
+
+    return sink

@@ -1006,3 +1006,44 @@ def test_streaming_full_outer_interval_join(spark, tmp_path):
             spark, str(dd), table_name="sjf_test").collect()
     }
     assert got == {(1, 2, 1), (3, None, 2), (None, 4, 3)}
+
+
+def test_rollup_maintaining_sink_composition(spark, tmp_path):
+    """Streaming materialized view: exactly-once append + incremental
+    rollup fold per batch, resuming from the rollup's own metadata.
+    After 3 batches the rollup equals a full recompute; a replayed
+    batch changes nothing; a merge-on-read delete issued between
+    batches folds into the next maintenance as negative partials."""
+    from dagster_delta_spark import DeltaSparkTable
+    from dagster_delta_spark.operators.incremental import (
+        rollup_vs_recompute,
+    )
+    from dagster_delta_spark.streaming import rollup_maintaining_sink
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity")
+    measures = {
+        "total": "SUM(CAST(l_quantity AS DECIMAL(30,10)))",
+        "n": "COUNT(*)",
+    }
+    t_uri, r_uri = str(tmp_path / "t"), str(tmp_path / "r")
+    sink = rollup_maintaining_sink(
+        t_uri, r_uri, "app", ["l_returnflag"], measures, count_col="n")
+    for b in range(3):
+        sink(li.where(f"l_orderkey % 3 = {b}"), b)
+    t = DeltaSparkTable(spark, t_uri)
+    roll = DeltaSparkTable(spark, r_uri)
+    assert t.read().count() == li.count()
+    assert rollup_vs_recompute(t, roll, ["l_returnflag"],
+                               measures).count() == 0
+    n, state = t.read().count(), sorted(
+        map(tuple, roll.read().collect()))
+    sink(li.where("l_orderkey % 3 = 2"), 2)  # post-crash replay
+    assert t.read().count() == n
+    assert sorted(map(tuple, roll.read().collect())) == state
+    # out-of-band merge-on-read correction folds on the next batch
+    t.delete("l_quantity >= 45", use_dv=True)
+    sink(li.limit(0), 3)  # empty batch still maintains
+    assert rollup_vs_recompute(t, roll, ["l_returnflag"],
+                               measures).count() == 0
