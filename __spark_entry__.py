@@ -10,6 +10,7 @@ for comparison against a relational oracle of the same end state.
 
 from __future__ import annotations
 
+import json as _json
 import os
 import sys
 import tempfile
@@ -715,6 +716,29 @@ def streaming_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
         "_change_type", "_commit_version")
+
+
+def o_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS (Delta GENERATED ALWAYS AS IDENTITY,
+    table.py:_assign_identity — strengthened to DENSE allocation:
+    per-partition counts prefix-summed on the driver, local index from
+    monotonically_increasing_id's low bits, zero shuffle; the
+    high-water mark advances in the SAME commit and concurrent
+    advances refuse with ConcurrentAppendError).  Scenario: two
+    appends of lineitem slices, neither providing ``rid``; the
+    allocated ids must be EXACTLY the dense sequence 1..N — which is
+    what DuckDB's row_number() over the same rows produces."""
+    t = DeltaSparkTable(spark, _scratch("idcols"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber")
+    cfg = {"dds.identityColumns": _json.dumps({"rid": {}})}
+    t.write(li.where("l_linenumber <= 4"), WriteMode.error,
+            table_configuration=cfg)
+    t.write(li.where("l_linenumber > 4"), WriteMode.append)
+    out = t.read()
+    if out.where("rid IS NULL").count():
+        raise AssertionError("identity column has nulls")
+    return out.select("rid")
 
 
 def o_row_delete_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1965,7 +1989,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 cohort, table layer first (table.py grew DV/clone in r7
         # after those records landed)
         "w1_w4_error_ignore": w1_w4_error_ignore,
-        "w2_append": w2_append,
+        # NEW in r8 (late): identity columns — dense GENERATED ALWAYS
+        # allocation (displaces w2_append to the tail on its green r6
+        # record)
+        "o_identity_columns": o_identity_columns,
         "w3_partition_overwrite": w3_partition_overwrite,
         "w5_create_or_replace": w5_create_or_replace,
         "m1_update_only": m1_update_only,
@@ -2068,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
         "q13_custdist": relational.q13_order_count_distribution,
         "q15_top_supplier": relational.q15_top_supplier,
+        "w2_append": w2_append,
     }
 
 
@@ -3950,6 +3978,12 @@ def oracle_sql() -> dict[str, str]:
     # the streaming CDC feed must accumulate to EXACTLY the batch
     # row-level feed over the same scripted commits — shared oracle
     out["streaming_cdc_feed"] = out["cdc_row_changes"]
+    # dense identity allocation == row_number over the same rows
+    out["o_identity_columns"] = """
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber)
+                    AS BIGINT) AS rid
+        FROM lineitem
+    """
     # streaming materialized view: GROUP BY over the surviving rows
     # (the sink's out-of-band DV delete removes l_quantity >= 48)
     out["streaming_rollup_sink"] = """

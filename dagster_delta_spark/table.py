@@ -187,6 +187,68 @@ _GENCOL_KEY = "dds.generatedColumns"
 #: rewrite history: files written before the column existed still
 #: read null.
 _COLDEFAULT_KEY = "dds.columnDefaults"
+#: table property holding IDENTITY COLUMNS: JSON
+#: {column: {"start": 1, "step": 1}} — Delta's GENERATED ALWAYS AS
+#: IDENTITY.  Writes must OMIT the column; the table assigns DENSE
+#: monotonically increasing values (stronger than Delta, which allows
+#: gaps).  The next unallocated value persists per column in the
+#: table configuration (``dds.identity.<col>.next``) and advances in
+#: the SAME commit as the data; a concurrent writer that raced the
+#: allocation fails with ConcurrentAppendError instead of minting
+#: duplicate ids — rerun the write to re-allocate.
+_IDENTITY_KEY = "dds.identityColumns"
+
+
+def _identity_columns(configuration: dict[str, str]) -> dict[str, dict]:
+    raw = (configuration or {}).get(_IDENTITY_KEY)
+    return _json_loads(raw) if raw else {}
+
+
+def _identity_next_key(col: str) -> str:
+    return f"dds.identity.{col}.next"
+
+
+def _assign_identity(
+    df: DataFrame, col: str, spec: dict, configuration: dict[str, str]
+) -> tuple[DataFrame, Optional[str], int]:
+    """Assign dense identity values ``next, next+step, ...`` to every
+    row.  The batch is pinned with localCheckpoint (the count pass and
+    the staged write must see identical row placement), per-partition
+    counts (bounded by the batch's partition count, never its rows)
+    prefix-sum on the driver, and each row's value is
+    ``next + (offset[pid] + local_index) * step`` — the local index
+    recovered from ``monotonically_increasing_id``'s low 33 bits, all
+    codegen'd, no shuffle.  Returns (df_with_ids, the configuration
+    value the allocation assumed (None on first allocation), the new
+    next value)."""
+    start = int(spec.get("start", 1))
+    step = int(spec.get("step", 1))
+    if step == 0:
+        raise ValueError(f"identity column {col}: step must be nonzero")
+    assumed = (configuration or {}).get(_identity_next_key(col))
+    nxt = int(assumed) if assumed is not None else start
+    df = df.localCheckpoint(eager=True)
+    counts = sorted(
+        (r["_pid"], r["count"])
+        for r in df.groupBy(
+            F.spark_partition_id().alias("_pid")).count().collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    omap = (
+        F.create_map(*[F.lit(x) for kv in offsets for x in kv])
+        if offsets else F.create_map()
+    )
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    out = df.withColumn(
+        col,
+        (F.lit(nxt)
+         + (omap[F.spark_partition_id()] + local) * F.lit(step)
+         ).cast("long"),
+    )
+    return out, assumed, nxt + acc * step
 
 
 def _generated_columns(configuration: dict[str, str]) -> dict[str, str]:
@@ -1130,6 +1192,22 @@ class DeltaSparkTable:
                 df.schema, pcols, table_configuration, commit_metadata
             )
 
+        # identity columns: GENERATED ALWAYS — allocate dense values
+        # from the persisted high-water mark; the mark advances in the
+        # same commit as the data (conflict-checked in the commit loop)
+        identity_assumed: dict[str, Optional[str]] = {}
+        identity_updates: dict[str, str] = {}
+        for c, ispec in _identity_columns(merged_cfg).items():
+            if c in df.columns:
+                raise ValueError(
+                    f"column {c} is GENERATED ALWAYS AS IDENTITY; "
+                    "writes must omit it"
+                )
+            df, assumed, new_next = _assign_identity(df, c, ispec,
+                                                     merged_cfg)
+            identity_assumed[_identity_next_key(c)] = assumed
+            identity_updates[_identity_next_key(c)] = str(new_next)
+
         # repartitioning an existing table is only legal when the whole
         # table is being replaced (full unscoped overwrite): any other
         # mode would silently rewrite Metadata.partition_columns while
@@ -1213,6 +1291,20 @@ class DeltaSparkTable:
                 return {"mode": "ignore", "version": head, "skipped": True}
             snap = tablelog.load_snapshot(self.table_uri) if exists else None
 
+            # a concurrent writer that advanced an identity high-water
+            # mark invalidates this write's allocation: the staged ids
+            # would duplicate the winner's.  Refuse (rerun re-allocates
+            # against the fresh mark) — never mint duplicate ids.
+            for ikey, iassumed in identity_assumed.items():
+                fresh_mark = (snap.metadata.configuration.get(ikey)
+                              if snap else None)
+                if fresh_mark != iassumed:
+                    raise ConcurrentAppendError(
+                        f"identity mark {ikey} advanced concurrently "
+                        f"({iassumed} -> {fresh_mark}); rerun the write "
+                        "to re-allocate ids"
+                    )
+
             removes: list[AddFile] = []
             if mode == WriteMode.overwrite and snap is not None:
                 if partition_dnf:
@@ -1260,6 +1352,7 @@ class DeltaSparkTable:
                     (snap.metadata.configuration if snap else {}),
                     **(table_configuration or {}),
                     **colmap_updates,
+                    **identity_updates,
                 ),
                 table_id=snap.metadata.table_id if snap else "",
                 created_time=snap.metadata.created_time if snap else 0,
@@ -2217,6 +2310,8 @@ class DeltaSparkTable:
         # them here so the exact-schema check below passes (provided
         # ones validate like the batch write path)
         gen_provided: dict[str, str] = {}
+        identity_assumed: dict[str, Optional[str]] = {}
+        identity_updates: dict[str, str] = {}
         if snap is not None:
             for c, gexpr in _generated_columns(
                     snap.metadata.configuration).items():
@@ -2224,6 +2319,17 @@ class DeltaSparkTable:
                     gen_provided[c] = gexpr
                 else:
                     df = df.withColumn(c, F.expr(gexpr))
+            for c, ispec in _identity_columns(
+                    snap.metadata.configuration).items():
+                if c in df.columns:
+                    raise ValueError(
+                        f"column {c} is GENERATED ALWAYS AS IDENTITY; "
+                        "writes must omit it"
+                    )
+                df, assumed, new_next = _assign_identity(
+                    df, c, ispec, snap.metadata.configuration)
+                identity_assumed[_identity_next_key(c)] = assumed
+                identity_updates[_identity_next_key(c)] = str(new_next)
 
         if snap is not None:
             final_schema = StructType.fromJson(_json_loads(snap.schema_json))
@@ -2261,6 +2367,26 @@ class DeltaSparkTable:
                 # files are unreferenced and vacuum will collect them
                 return {"version": cur.version, "skipped": True,
                         "num_output_rows": 0}
+            # identity conflict check — same contract as write()
+            for ikey, iassumed in identity_assumed.items():
+                fresh_mark = (cur.metadata.configuration.get(ikey)
+                              if cur else None)
+                if fresh_mark != iassumed:
+                    raise ConcurrentAppendError(
+                        f"identity mark {ikey} advanced concurrently "
+                        f"({iassumed} -> {fresh_mark}); rerun the batch "
+                        "to re-allocate ids"
+                    )
+            commit_meta = meta if cur is None else cur.metadata
+            if identity_updates and cur is not None:
+                commit_meta = Metadata(
+                    schema_json=commit_meta.schema_json,
+                    partition_columns=list(commit_meta.partition_columns),
+                    configuration={**commit_meta.configuration,
+                                   **identity_updates},
+                    table_id=commit_meta.table_id,
+                    created_time=commit_meta.created_time,
+                )
             actions: list[dict[str, Any]] = [
                 CommitInfo(
                     operation="STREAMING UPDATE",
@@ -2274,6 +2400,8 @@ class DeltaSparkTable:
             ]
             if cur is None:
                 actions.append(meta.to_action())
+            elif identity_updates:
+                actions.append(commit_meta.to_action())
             actions.append(
                 {"txn": {"appId": app_id, "version": batch_version}})
             actions += [a.to_action() for a in adds]
@@ -2287,7 +2415,7 @@ class DeltaSparkTable:
             try:
                 tablelog.commit(
                     self.table_uri, v, actions,
-                    Snapshot(v, meta if cur is None else cur.metadata,
+                    Snapshot(v, commit_meta,
                              list(new_files.values()), now,
                              app_versions=app_versions),
                 )
@@ -2432,6 +2560,11 @@ class DeltaSparkTable:
                 raise ValueError(
                     f"column {name!r} is referenced by generated column "
                     f"{c!r}'s expression {gexpr!r}")
+        if name in _identity_columns(snap.metadata.configuration):
+            raise ValueError(
+                f"column {name!r} is an identity column; its spec and "
+                f"high-water mark are keyed by name — remove it from "
+                f"{_IDENTITY_KEY!r} first")
 
     def rename_column(self, old: str, new: str) -> dict[str, Any]:
         """ALTER TABLE RENAME COLUMN — a pure METADATA commit (no file

@@ -1,0 +1,120 @@
+"""Identity columns (table.py, ``dds.identityColumns`` — Delta's
+GENERATED ALWAYS AS IDENTITY, strengthened to DENSE allocation).
+
+Contract: writes omit the column; the table assigns
+``next, next+step, ...`` with the high-water mark advancing in the
+SAME commit as the data; providing the column raises; a concurrent
+writer that advanced the mark mid-write fails loudly instead of
+minting duplicates.
+"""
+
+import json
+
+import pytest
+
+from dagster_delta_spark import DeltaSparkTable, WriteMode
+from dagster_delta_spark.tablelog import ConcurrentAppendError
+
+IDCFG = {"dds.identityColumns": json.dumps({"rid": {}})}
+
+
+def _df(spark, n, base=0):
+    return spark.createDataFrame(
+        [(base + i, f"v{base + i}") for i in range(n)],
+        "k long, s string")
+
+
+def test_dense_allocation_across_appends(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 7), WriteMode.error, table_configuration=IDCFG)
+    t.write(_df(spark, 5, base=7), WriteMode.append)
+    rows = t.read().collect()
+    assert sorted(r["rid"] for r in rows) == list(range(1, 13))
+    # ids are per-row stable: distinct business keys got distinct ids
+    assert len({(r["k"], r["rid"]) for r in rows}) == 12
+
+
+def test_start_and_step(spark, tmp_path):
+    cfg = {"dds.identityColumns": json.dumps(
+        {"rid": {"start": 100, "step": 10}})}
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 3), WriteMode.error, table_configuration=cfg)
+    t.write(_df(spark, 2, base=3), WriteMode.append)
+    assert sorted(r["rid"] for r in t.read().collect()) == [
+        100, 110, 120, 130, 140]
+
+
+def test_providing_the_column_raises(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 3), WriteMode.error, table_configuration=IDCFG)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.write(t.read(), WriteMode.append)
+
+
+def test_overwrite_keeps_the_mark_monotonic(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 6), WriteMode.error, table_configuration=IDCFG)
+    t.write(_df(spark, 4), WriteMode.overwrite)
+    # replaced rows get FRESH ids past the old mark — never reused
+    assert sorted(r["rid"] for r in t.read().collect()) == [7, 8, 9, 10]
+
+
+def test_concurrent_mark_advance_refuses(spark, tmp_path, monkeypatch):
+    """A writer that raced the allocation must fail, not duplicate:
+    sneak a real append between this write's allocation and its
+    commit by advancing the mark from inside _assign_identity."""
+    import dagster_delta_spark.table as tmod
+
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 3), WriteMode.error, table_configuration=IDCFG)
+
+    real = tmod._assign_identity
+    state = {"armed": True}
+
+    def sneaky(df, col, spec, cfg):
+        out = real(df, col, spec, cfg)
+        if state["armed"]:
+            state["armed"] = False  # the sneaky append allocates sanely
+            DeltaSparkTable(spark, str(tmp_path / "t")).write(
+                _df(spark, 2, base=90), WriteMode.append)
+        return out
+
+    monkeypatch.setattr(tmod, "_assign_identity", sneaky)
+    with pytest.raises(ConcurrentAppendError, match="identity mark"):
+        t.write(_df(spark, 2, base=50), WriteMode.append)
+    # no duplicate ids ever became visible
+    ids = [r["rid"] for r in t.read().collect()]
+    assert sorted(ids) == list(range(1, 6))
+
+
+def test_idempotent_append_assigns_and_replay_noops(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 4), WriteMode.error, table_configuration=IDCFG)
+    t.idempotent_append(_df(spark, 3, base=4), "app", 0)
+    got = sorted(r["rid"] for r in t.read().collect())
+    assert got == list(range(1, 8))
+    res = t.idempotent_append(_df(spark, 3, base=4), "app", 0)  # replay
+    assert res["skipped"]
+    assert sorted(r["rid"] for r in t.read().collect()) == got
+    t.idempotent_append(_df(spark, 2, base=7), "app", 1)
+    assert sorted(r["rid"] for r in t.read().collect()) == list(range(1, 10))
+
+
+def test_identity_column_refuses_rename_drop(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 3), WriteMode.error, table_configuration=IDCFG)
+    with pytest.raises(ValueError, match="identity"):
+        t.rename_column("rid", "rid2")
+    with pytest.raises(ValueError, match="identity"):
+        t.drop_column("rid")
+
+
+def test_identity_survives_dml_and_time_travel(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 8), WriteMode.error, table_configuration=IDCFG)
+    t.delete("rid <= 2", use_dv=True)
+    t.write(_df(spark, 2, base=8), WriteMode.append)
+    assert sorted(r["rid"] for r in t.read().collect()) == [
+        3, 4, 5, 6, 7, 8, 9, 10]
+    assert sorted(r["rid"] for r in t.read(version=0).collect()) == list(
+        range(1, 9))
