@@ -85,11 +85,18 @@ class _ChangeFile(InputPartition):
 
 class DeltaSparkTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, table_uri: str,
-                 starting_version: int = 0, cdc: bool = False):
+                 starting_version: int = 0, cdc: bool = False,
+                 column_mapping: dict[str, str] | None = None):
         self._schema = schema
         self._table_uri = table_uri
         self._initial = starting_version - 1
         self._cdc = cdc
+        # logical -> physical (column-mapped tables write under frozen
+        # physical names; captured at stream start — a mid-stream
+        # RENAME changes the logical schema, which Structured
+        # Streaming never evolves mid-run anyway)
+        self._phys_to_logical = {
+            p: l for l, p in (column_mapping or {}).items()}
 
     # -- driver side: offsets are versions, partitions are added files --
 
@@ -207,6 +214,9 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
         # synthesized _change_type/_commit_version, not file columns
         target = (pa.schema(list(full)[:-2]) if self._cdc else full)
         tbl = pq.read_table(partition.path)
+        if self._phys_to_logical:
+            tbl = tbl.rename_columns([
+                self._phys_to_logical.get(c, c) for c in tbl.column_names])
         if self._cdc and partition.mode != "all":
             keep = self._keep_positions(partition, tbl.num_rows)
             tbl = tbl.take(pa.array(keep, type=pa.int64()))
@@ -286,8 +296,12 @@ class DeltaSparkTableDataSource(DataSource):
         return schema
 
     def streamReader(self, schema: StructType) -> DeltaSparkTableStreamReader:
+        from ..table import _column_mapping
+
+        snap = tablelog.load_snapshot(self._uri())
         return DeltaSparkTableStreamReader(
             schema, self._uri(),
             int(self.options.get("startingVersion", "0")),
             cdc=self._cdc(),
+            column_mapping=_column_mapping(snap.metadata.configuration),
         )

@@ -2266,11 +2266,30 @@ class DeltaSparkTable:
                 f"RESTORE to version {version} references {len(missing)} "
                 f"data file(s) no longer on disk (vacuumed?): "
                 f"{missing[:3]}")
+        # identity high-water marks never regress: the restore removes
+        # the rows allocated after the target, but those ids live on in
+        # HISTORY (time travel) — re-minting them would duplicate ids
+        # across versions of the same table
+        restored_meta = tgt.metadata
+        mark_fixes = {
+            k: v for k, v in cur.metadata.configuration.items()
+            if k.startswith("dds.identity.") and k.endswith(".next")
+            and (k not in tgt.metadata.configuration
+                 or int(v) > int(tgt.metadata.configuration[k]))
+        }
+        if mark_fixes:
+            restored_meta = Metadata(
+                schema_json=tgt.metadata.schema_json,
+                partition_columns=list(tgt.metadata.partition_columns),
+                configuration={**tgt.metadata.configuration, **mark_fixes},
+                table_id=tgt.metadata.table_id,
+                created_time=tgt.metadata.created_time,
+            )
         res = self._commit_rewrite(
             cur, removes, re_adds, "RESTORE",
             operation_parameters={"version": version},
             extra_metrics={"num_restored_files": len(re_adds)},
-            metadata=tgt.metadata,
+            metadata=restored_meta,
         )
         return res
 

@@ -141,3 +141,32 @@ def test_second_dv_delete_emits_only_newly_masked(spark, tmp_path):
     dels = [r for r in got if r[2] == "delete"]
     assert dels == [(6, 6, "delete", 2), (7, 7, "delete", 2),
                     (8, 8, "delete", 1), (9, 9, "delete", 1)]
+
+
+def test_column_mapped_table_streams_logical_names(spark, tmp_path):
+    """Regression: files of a renamed column carry the frozen PHYSICAL
+    name — the source must translate, not null-fill the logical name
+    as a late column (plain and CDC modes)."""
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+            WriteMode.error)
+    t.rename_column("v", "val")
+    t.write(spark.createDataFrame([(3, 30)], "id long, val long"),
+            WriteMode.append)
+    spark.dataSource.register(DeltaSparkTableDataSource)
+    q = (spark.readStream.format("dds_table").option("path", t.table_uri)
+         .load().writeStream.format("memory").queryName("map_plain")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    assert sorted((r["id"], r["val"]) for r in
+                  spark.table("map_plain").collect()) == [
+        (1, 10), (2, 20), (3, 30)]
+    t.delete("val = 20", use_dv=True)
+    q = _cdc_stream(spark, t.table_uri, "map_cdc")
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r["_change_type"], r["id"], r["val"])
+                 for r in spark.table("map_cdc").collect())
+    assert got == [("delete", 2, 20), ("insert", 1, 10),
+                   ("insert", 2, 20), ("insert", 3, 30)]

@@ -118,3 +118,19 @@ def test_identity_survives_dml_and_time_travel(spark, tmp_path):
         3, 4, 5, 6, 7, 8, 9, 10]
     assert sorted(r["rid"] for r in t.read(version=0).collect()) == list(
         range(1, 9))
+
+
+def test_restore_never_regresses_the_mark(spark, tmp_path):
+    """Ids allocated after the restore target live on in HISTORY;
+    restoring must carry the high-water mark forward, never re-mint."""
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 3), WriteMode.error, table_configuration=IDCFG)  # v0
+    t.write(_df(spark, 4, base=3), WriteMode.append)                    # v1
+    t.restore(0)                                                        # v2
+    assert sorted(r["rid"] for r in t.read().collect()) == [1, 2, 3]
+    t.write(_df(spark, 2, base=7), WriteMode.append)                    # v3
+    # fresh ids continue past the HISTORICAL allocation, not past v0's
+    assert sorted(r["rid"] for r in t.read().collect()) == [1, 2, 3, 8, 9]
+    # history still reads its own ids
+    assert sorted(r["rid"] for r in t.read(version=1).collect()) == list(
+        range(1, 8))
