@@ -197,6 +197,16 @@ _COLDEFAULT_KEY = "dds.columnDefaults"
 #: allocation fails with ConcurrentAppendError instead of minting
 #: duplicate ids — rerun the write to re-allocate.
 _IDENTITY_KEY = "dds.identityColumns"
+#: table property holding NOT NULL columns: JSON [column, ...] —
+#: Delta's column invariants.  Enforced in the SAME single aggregation
+#: pass as CHECK constraints on every write/merge/update; a write that
+#: omits the column fails too (conform null-fills it, which violates).
+_NOTNULL_KEY = "dds.notNullColumns"
+
+
+def _not_null_columns(configuration: dict[str, str]) -> list[str]:
+    raw = (configuration or {}).get(_NOTNULL_KEY)
+    return _json_loads(raw) if raw else []
 
 
 def _identity_columns(configuration: dict[str, str]) -> dict[str, dict]:
@@ -2471,6 +2481,10 @@ class DeltaSparkTable:
             for k, v in (configuration or {}).items()
             if k.startswith(_CONSTRAINT_PREFIX)
         }
+        checks.update({
+            f"NOT NULL {c}": f"{c} IS NOT NULL"
+            for c in _not_null_columns(configuration)
+        })
         if not checks:
             return
         counts = df.select([

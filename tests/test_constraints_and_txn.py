@@ -211,3 +211,41 @@ def test_exactly_once_sink_end_to_end(spark, tmp_path):
         df.where(F.col("id") % 3 == 2), "pipeline-x", last)
     assert r["skipped"]
     assert t.read().count() == 90
+
+
+def test_not_null_columns_enforced_on_all_write_paths(spark, tmp_path):
+    """dds.notNullColumns (Delta column invariants): nulls refuse on
+    write, merge, and UPDATE; an omitting write fails too (conform
+    null-fills the column, which violates)."""
+    import json
+
+    import pytest
+
+    from dagster_delta_spark import (
+        ConstraintViolationError,
+        DeltaSparkTable,
+        MergeConfig,
+        MergeType,
+        WriteMode,
+    )
+
+    cfg = {"dds.notNullColumns": json.dumps(["v"])}
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+            WriteMode.error, table_configuration=cfg)
+    with pytest.raises(ConstraintViolationError, match="NOT NULL v"):
+        t.write(spark.createDataFrame([(3, None)], "id long, v long"),
+                WriteMode.append)
+    with pytest.raises(ConstraintViolationError, match="NOT NULL v"):
+        t.write(spark.createDataFrame([(4,)], "id long"),
+                WriteMode.append, schema_mode="append")
+    with pytest.raises(ConstraintViolationError, match="NOT NULL v"):
+        t.merge(
+            spark.createDataFrame([(1, None)], "id long, v long"),
+            MergeConfig(MergeType.upsert, predicate="s.id = t.id"))
+    with pytest.raises(ConstraintViolationError, match="NOT NULL v"):
+        t.update({"v": "NULL"}, "id = 1")
+    # clean rows still flow
+    t.write(spark.createDataFrame([(5, 50)], "id long, v long"),
+            WriteMode.append)
+    assert t.read().count() == 3
