@@ -78,10 +78,18 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         t = DeltaSparkTable(spark, str(tmp_path / f"t{trial}"))
         model = pd.DataFrame(columns=["k", "v"]).astype("int64")
         states = []
+        hist = []  # (model copy, vname) per committed version — the
+        # RESTORE op's oracle
+        vname = "v"
+
+        def _snap():
+            states.append(_model_state(model))
+            hist.append((model.copy(), vname))
+
         sdf, pdf = _mk_df(spark, rnd)
         t.write(sdf, WriteMode.overwrite)
         model = _apply_model(model, "overwrite", pdf)
-        states.append(_model_state(model))
+        _snap()
 
         # >= 12 steps so trials cross the checkpoint interval (10
         # commits) and time travel exercises the parquet checkpoint +
@@ -96,12 +104,23 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                              "delete_unmatched", "update_only",
                              "dedup_insert", "optimize",
                              "delete_dv", "delete_rw", "row_update",
-                             "row_update_dv", "rename"])
+                             "row_update_dv", "rename", "restore"])
+            if op == "restore":
+                r = rnd.randrange(0, len(states))
+                before = t.version()
+                t.restore(r)
+                if t.version() != before:  # restore-to-head is a no-op
+                    model, vname = hist[r][0].copy(), hist[r][1]
+                    _snap()
+                assert _table_state(t, vname) == _model_state(model), (
+                    f"trial {trial} step {_step} restore -> {r}"
+                )
+                continue
             if op == "rename":
                 new = f"v_{t.version() + 1}"
                 t.rename_column(vname, new)
                 vname = new
-                states.append(_model_state(model))
+                _snap()
                 assert _table_state(t, vname) == _model_state(model), (
                     f"trial {trial} step {_step} rename -> {new}"
                 )
@@ -110,7 +129,7 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 before = t.version()
                 t.optimize(target_file_size=1 << 20)
                 if t.version() != before:  # no-op compactions don't commit
-                    states.append(_model_state(model))
+                    _snap()
                 assert _table_state(t, vname) == _model_state(model), (
                     f"trial {trial} step {_step} optimize"
                 )
@@ -124,7 +143,7 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 t.delete(f"{vname} >= {x}", use_dv=(op == "delete_dv"))
                 model = model[model["v"] < x].reset_index(drop=True)
                 if t.version() != before:  # no matches -> no commit
-                    states.append(_model_state(model))
+                    _snap()
                 assert _table_state(t, vname) == _model_state(model), (
                     f"trial {trial} step {_step} {op} v>={x}"
                 )
@@ -137,7 +156,7 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 model = model.copy()
                 model.loc[model["v"] >= x, "v"] += 7
                 if t.version() != before:
-                    states.append(_model_state(model))
+                    _snap()
                 assert _table_state(t, vname) == _model_state(model), (
                     f"trial {trial} step {_step} row_update v>={x}"
                 )
@@ -157,7 +176,7 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 t.merge(src, MergeConfig(mt, predicate="s.k = t.k"))
                 pdf = pdf.drop_duplicates("k", keep="first")
             model = _apply_model(model, op, pdf)
-            states.append(_model_state(model))
+            _snap()
             assert _table_state(t, vname) == _model_state(model), (
                 f"trial {trial} step {_step} op {op}"
             )
