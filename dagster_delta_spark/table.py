@@ -1504,6 +1504,14 @@ class DeltaSparkTable:
             }
 
         snap = self.snapshot()
+        if _identity_columns(snap.metadata.configuration):
+            # a merge-inserted row cannot allocate (the insert subset is
+            # decided inside the join) and conform would null-fill the
+            # id — refuse instead of silently minting NULL identities
+            raise ValueError(
+                "MERGE is not supported on tables with identity columns"
+                " — append new rows with write() so ids allocate"
+            )
         table_schema = StructType.fromJson(_json_loads(snap.schema_json))
         evolved = False
         if schema_mode == SchemaMode.append:
@@ -2154,6 +2162,13 @@ class DeltaSparkTable:
                 f"are {sorted(names)}")
         if not assignments:
             raise ValueError("UPDATE requires at least one assignment")
+        ident = sorted(
+            set(assignments)
+            & set(_identity_columns(snap.metadata.configuration)))
+        if ident:
+            raise ValueError(
+                f"column(s) {ident} are GENERATED ALWAYS AS IDENTITY; "
+                "UPDATE cannot assign them")
 
         candidates = (
             self.pruned_files(snap, partition_dnf)

@@ -134,3 +134,19 @@ def test_restore_never_regresses_the_mark(spark, tmp_path):
     # history still reads its own ids
     assert sorted(r["rid"] for r in t.read(version=1).collect()) == list(
         range(1, 8))
+
+
+def test_merge_and_identity_update_refuse(spark, tmp_path):
+    """MERGE would null-fill inserted ids and UPDATE could overwrite
+    them — both refuse with pointed errors."""
+    from dagster_delta_spark import MergeConfig, MergeType
+
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 3), WriteMode.error, table_configuration=IDCFG)
+    with pytest.raises(ValueError, match="identity"):
+        t.merge(_df(spark, 2, base=3),
+                MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.update({"rid": "rid + 100"}, "k = 1")
+    t.update({"s": "'patched'"}, "k = 1")  # non-identity columns fine
+    assert t.read().where("s = 'patched'").count() == 1
