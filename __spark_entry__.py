@@ -718,6 +718,56 @@ def streaming_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_change_type", "_commit_version")
 
 
+def cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION (streaming/table_sink.py:cdc_replicating_sink —
+    the canonical Change-Data-Feed consumer): a replica table fed ONLY
+    by the source's row-level change stream must converge to the
+    source's live contents.  Source script: keyed lineitem slice →
+    DV delete → DV update → append; the stream reduces each batch to
+    the latest change per key, applies deletes merge-on-read and
+    upserts via MERGE (idempotent apply — no txn ledger needed).
+    Oracle: the replica equals DuckDB's derivation of the surviving
+    rows from raw lineitem.  In-line guard: replica == source.read()
+    exactly (a drifted replica raises before returning).  The
+    replication KEY is an IDENTITY COLUMN on the source (the
+    synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    no natural key exists — exactly the case identity columns solve;
+    the replica receives rid as plain data)."""
+    from dagster_delta_spark.streaming import (
+        DeltaSparkTableDataSource,
+        cdc_replicating_sink,
+    )
+
+    spark.dataSource.register(DeltaSparkTableDataSource)
+    src = DeltaSparkTable(spark, _scratch("cdcrep-src"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_returnflag", "l_linenumber")
+    src.write(li.where("l_linenumber <= 4"), WriteMode.error,
+              table_configuration={
+                  "dds.identityColumns": _json.dumps({"rid": {}})})  # v0
+    src.delete("l_quantity >= 45 AND l_returnflag = 'A'",
+               use_dv=True)                                        # v1
+    src.update({"l_quantity": "l_quantity + 100"},
+               "l_quantity <= 2", use_dv=True)                     # v2
+    src.write(li.where("l_linenumber > 4"), WriteMode.append)      # v3
+    dst_uri = _scratch("cdcrep-dst")
+    q = (
+        spark.readStream.format("dds_table").option("path", src.table_uri)
+        .option("readChangeFeed", "true").load()
+        .writeStream.foreachBatch(cdc_replicating_sink(dst_uri, ["rid"]))
+        .option("checkpointLocation", _scratch("cdcrep-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    dst = DeltaSparkTable(spark, dst_uri)
+    drift = (dst.read().exceptAll(src.read()).count()
+             + src.read().exceptAll(dst.read()).count())
+    if drift:
+        raise AssertionError(f"replica drifted from source on {drift} rows")
+    return dst.read().select("l_quantity", "l_returnflag", "l_linenumber")
+
+
 def o_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDENTITY COLUMNS (Delta GENERATED ALWAYS AS IDENTITY,
     table.py:_assign_identity — strengthened to DENSE allocation:
@@ -1993,9 +2043,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # allocation (displaces w2_append to the tail on its green r6
         # record)
         "o_identity_columns": o_identity_columns,
+        # NEW in r8 (late): CDC replication — the canonical CDF
+        # consumer (displaces m1_update_only to the tail on its green
+        # r6 record)
+        "cdc_replicate": cdc_replicate,
         "w3_partition_overwrite": w3_partition_overwrite,
         "w5_create_or_replace": w5_create_or_replace,
-        "m1_update_only": m1_update_only,
         "m2_dedup_insert": m2_dedup_insert,
         "m3_upsert": m3_upsert,
         "m4_replace_delete": m4_replace_delete,
@@ -2096,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_custdist": relational.q13_order_count_distribution,
         "q15_top_supplier": relational.q15_top_supplier,
         "w2_append": w2_append,
+        "m1_update_only": m1_update_only,
     }
 
 
@@ -3978,6 +4032,18 @@ def oracle_sql() -> dict[str, str]:
     # the streaming CDC feed must accumulate to EXACTLY the batch
     # row-level feed over the same scripted commits — shared oracle
     out["streaming_cdc_feed"] = out["cdc_row_changes"]
+    # the replica's surviving rows, derived from raw lineitem: the
+    # DV delete removes (qty >= 45 & 'A'), the DV update bumps
+    # qty <= 2 among survivors by 100
+    out["cdc_replicate"] = """
+        SELECT CASE WHEN l_quantity <= 2 AND l_linenumber <= 4
+                    THEN l_quantity + 100 ELSE l_quantity END
+                   AS l_quantity,
+               l_returnflag, l_linenumber
+        FROM lineitem
+        WHERE NOT (l_quantity >= 45 AND l_returnflag = 'A'
+                   AND l_linenumber <= 4)
+    """
     # dense identity allocation == row_number over the same rows
     out["o_identity_columns"] = """
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber)

@@ -20,8 +20,10 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
+from ..config import MergeConfig, MergeType, WriteMode
 from ..table import DeltaSparkTable
 
 
@@ -149,3 +151,92 @@ def rollup_maintaining_sink(
         )
 
     return sink
+
+
+def cdc_replicating_sink(
+    target_uri: str,
+    key_cols: Sequence[str],
+    *,
+    max_inlist: int = 10_000,
+    partition_columns: Optional[Sequence[str]] = None,
+) -> Callable[[DataFrame, int], None]:
+    """Apply a row-level CDC stream (the ``dds_table`` source with
+    ``readChangeFeed=true``) to a REPLICA table — the canonical CDF
+    consumer: the replica converges to the source's live contents
+    without ever rescanning it.
+
+    Each micro-batch reduces to the LATEST change per key
+    (``_commit_version`` order; within a DV UPDATE's commit the
+    postimage wins over its preimage), then applies deletes as a
+    merge-on-read DELETE (IN-list up to ``max_inlist`` keys; one
+    distributed anti-join rewrite past that — the key set never blows
+    up the driver) and upserts via MERGE.  The apply is IDEMPOTENT by
+    construction — re-deleting masked rows is a no-op and re-upserting
+    the same values is a fixed point — so a replayed batch after a
+    crash (even a partially applied one) converges with no txn ledger
+    needed; Structured Streaming's in-order batches do the rest.
+
+    ``key_cols`` is the source's primary key (unique per live row).
+    Cost per batch is O(changes) + touched replica files."""
+    keys = list(key_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        target = DeltaSparkTable(spark, target_uri)
+        pri = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1)).otherwise(F.lit(0))
+        latest = (
+            batch_df.withColumn("_pri", pri)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(*keys).orderBy(
+                        F.col("_commit_version").desc(),
+                        F.col("_pri").desc())))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_pri", "_commit_version")
+        )
+        dels = latest.where(
+            F.col("_change_type").isin("delete", "update_preimage"))
+        ups = latest.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type")
+        if not target.exists():
+            target.write(ups, WriteMode.error,
+                         partition_columns=partition_columns)
+            return
+        key_rows = dels.select(*keys).distinct().limit(
+            max_inlist + 1).collect()
+        if key_rows:
+            if len(key_rows) <= max_inlist:
+                pred = " OR ".join(
+                    "(" + " AND ".join(
+                        f"{k} = {_sql_lit(r[k])}" for k in keys) + ")"
+                    for r in key_rows)
+                target.delete(pred, use_dv=True)
+            else:
+                survivors = target.read().join(
+                    dels.select(*keys).distinct(), keys, "left_anti")
+                target.write(survivors, WriteMode.overwrite)
+        if ups.take(1):
+            target.merge(
+                ups,
+                MergeConfig(
+                    MergeType.upsert,
+                    predicate=" AND ".join(
+                        f"s.{k} <=> t.{k}" for k in keys)))
+
+    return sink
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"

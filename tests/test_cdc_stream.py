@@ -170,3 +170,66 @@ def test_column_mapped_table_streams_logical_names(spark, tmp_path):
                  for r in spark.table("map_cdc").collect())
     assert got == [("delete", 2, 20), ("insert", 1, 10),
                    ("insert", 2, 20), ("insert", 3, 30)]
+
+
+def test_cdc_replication_converges_to_source(spark, tmp_path):
+    """The canonical CDF consumer: a replica fed only by the change
+    stream equals the source's live contents after every sync —
+    across DV deletes, DV updates, appends, and a replayed batch."""
+    from dagster_delta_spark.streaming import cdc_replicating_sink
+
+    src = DeltaSparkTable(spark, str(tmp_path / "src"))
+    src.write(spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "id long, v long"),
+        WriteMode.error)
+    src.delete("v >= 150", use_dv=True)
+    src.update({"v": "v + 1"}, "id < 3", use_dv=True)
+
+    sink = cdc_replicating_sink(str(tmp_path / "dst"), ["id"])
+    spark.dataSource.register(DeltaSparkTableDataSource)
+
+    def sync():
+        q = (spark.readStream.format("dds_table")
+             .option("path", src.table_uri)
+             .option("readChangeFeed", "true").load()
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "cp"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+    def state(t):
+        return sorted((r["id"], r["v"]) for r in t.read().collect())
+
+    sync()
+    dst = DeltaSparkTable(spark, str(tmp_path / "dst"))
+    assert state(dst) == state(src)
+    # more commits arrive; the next sync folds only the delta
+    src.write(spark.createDataFrame(
+        [(i, i) for i in range(20, 25)], "id long, v long"),
+        WriteMode.append)
+    src.delete("id = 1", use_dv=True)
+    src.update({"v": "0"}, "id = 21", use_dv=True)
+    sync()
+    assert state(dst) == state(src)
+    # a replayed batch is a fixed point (idempotent apply)
+    feed = src.read_changes(-1, row_level=True)
+    before = state(dst)
+    sink(feed, 999)
+    assert state(dst) == before
+
+
+def test_cdc_replication_large_delete_falls_back(spark, tmp_path):
+    from dagster_delta_spark.streaming import cdc_replicating_sink
+
+    src = DeltaSparkTable(spark, str(tmp_path / "src"))
+    src.write(spark.createDataFrame(
+        [(i, i) for i in range(40)], "id long, v long"), WriteMode.error)
+    src.delete("id >= 10", use_dv=True)
+    sink = cdc_replicating_sink(str(tmp_path / "dst"), ["id"],
+                                max_inlist=5)
+    sink(src.read_changes(-1, row_level=True).where(
+        "_change_type = 'insert'"), 0)
+    sink(src.read_changes(0, row_level=True), 1)  # 30 deletes > cap
+    dst = DeltaSparkTable(spark, str(tmp_path / "dst"))
+    assert sorted(r["id"] for r in dst.read().collect()) == list(range(10))
