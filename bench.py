@@ -66,6 +66,7 @@ def main() -> None:
         "m3_upsert",
         "row_dml_stages",
         "incr_rollup_maintain",
+        "cdc_apply",
         "ann_index_maintain",
         "lsh_index_maintain",
         "pq_index_maintain",
@@ -377,7 +378,40 @@ def main() -> None:
         ppjoin_near_dups(spark, fx).write.mode(
             "overwrite").format("noop").save()
 
+    def _cdc_apply_setup(spark, d):
+        # fixture: identity-keyed source with a DV delete, DV update,
+        # and an append past v0, plus a replica already converged
+        # through v0; the operator under test is ONE replication apply
+        # of the (v0, head] row-level feed — decode + latest-per-key
+        # reduce + merge-on-read delete + MERGE upsert
+        import json as _j
+
+        from dagster_delta_spark.streaming import cdc_replicating_sink
+
+        src = DeltaSparkTable(spark, entry._scratch("bench-cdcrep-src"))
+        li = spark.read.parquet(f"{d}/lineitem.parquet").select(
+            "l_quantity", "l_returnflag", "l_linenumber")
+        src.write(li.where("l_linenumber <= 4"), WriteMode.error,
+                  table_configuration={
+                      "dds.identityColumns": _j.dumps({"rid": {}})})
+        dst_uri = entry._scratch("bench-cdcrep-dst")
+        sink = cdc_replicating_sink(dst_uri, ["rid"])
+        sink(src.read_changes(-1, row_level=True), 0)  # converge v0
+        src.delete("l_quantity >= 45 AND l_returnflag = 'A'",
+                   use_dv=True)
+        src.update({"l_quantity": "l_quantity + 100"},
+                   "l_quantity <= 2", use_dv=True)
+        src.write(li.where("l_linenumber > 4"), WriteMode.append)
+        return sink, src.read_changes(0, row_level=True), dst_uri
+
+    def _cdc_apply_run(spark, ctx):
+        sink, feed, dst_uri = ctx
+        sink(feed, 1)
+        DeltaSparkTable(spark, dst_uri).read().write.mode(
+            "overwrite").format("noop").save()
+
     staged = {
+        "cdc_apply": (_cdc_apply_setup, _cdc_apply_run),
         "ppjoin_mixed_regime": (_ppjoin_setup, _ppjoin_run),
         "m3_upsert": (_m3_setup, _m3_run),
         "w3_partition_overwrite": (_w3_setup, _w3_run),

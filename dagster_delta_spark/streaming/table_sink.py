@@ -181,8 +181,6 @@ def cdc_replicating_sink(
     keys = list(key_cols)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
         spark = batch_df.sparkSession
         target = DeltaSparkTable(spark, target_uri)
         pri = F.when(
@@ -198,7 +196,15 @@ def cdc_replicating_sink(
                         F.col("_pri").desc())))
             .where(F.col("_rn") == 1)
             .drop("_rn", "_pri", "_commit_version")
+            # pin the reduced batch: the apply reads it several times
+            # (emptiness probe, delete keys, merge source) and the CDC
+            # decode behind it is a multi-file positions join worth
+            # paying exactly once; size is the BATCH's net changes,
+            # never the table
+            .localCheckpoint(eager=True)
         )
+        if not latest.take(1):
+            return
         dels = latest.where(
             F.col("_change_type").isin("delete", "update_preimage"))
         ups = latest.where(
@@ -211,16 +217,22 @@ def cdc_replicating_sink(
         key_rows = dels.select(*keys).distinct().limit(
             max_inlist + 1).collect()
         if key_rows:
-            if len(key_rows) <= max_inlist:
+            if len(key_rows) > max_inlist:
+                survivors = target.read().join(
+                    dels.select(*keys).distinct(), keys, "left_anti")
+                target.write(survivors, WriteMode.overwrite)
+            elif len(keys) == 1:
+                # single-key fast path: IN lowers to an InSet, where an
+                # OR-chain would cost Catalyst quadratic analysis and a
+                # per-row interpreted walk in the delete's hit scan
+                vals = ",".join(_sql_lit(r[keys[0]]) for r in key_rows)
+                target.delete(f"{keys[0]} IN ({vals})", use_dv=True)
+            else:
                 pred = " OR ".join(
                     "(" + " AND ".join(
                         f"{k} = {_sql_lit(r[k])}" for k in keys) + ")"
                     for r in key_rows)
                 target.delete(pred, use_dv=True)
-            else:
-                survivors = target.read().join(
-                    dels.select(*keys).distinct(), keys, "left_anti")
-                target.write(survivors, WriteMode.overwrite)
         if ups.take(1):
             target.merge(
                 ups,
