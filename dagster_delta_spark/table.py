@@ -980,8 +980,10 @@ class DeltaSparkTable:
             })
             old_pos = (self.spark.read.parquet(*old_paths)
                        .join(F.broadcast(fk), ["root", "path"]))
-            pos = pos.join(old_pos, ["root", "path", "row_index"],
-                           "left_anti")
+            # the pre-commit mask is sidecar-sized (∝ masked rows) —
+            # broadcast the diff instead of a sort-merge exchange
+            pos = pos.join(F.broadcast(old_pos),
+                           ["root", "path", "row_index"], "left_anti")
         clean = [
             dataclasses.replace(a, dv_path=None, dv_count=0, dv_base=None)
             for a in re_adds
