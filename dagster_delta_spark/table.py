@@ -967,17 +967,26 @@ class DeltaSparkTable:
             os.path.join(a.dv_base or self.table_uri, a.dv_path)
             for a in re_adds
         })
-        pos = (self.spark.read.parquet(*new_paths)
-               .join(F.broadcast(fk), ["root", "path"]))
         olds = [
             prev_by_key[a.log_key] for a in re_adds
             if a.log_key in prev_by_key and prev_by_key[a.log_key].dv_path
         ]
+        old_paths = sorted({
+            os.path.join(a.dv_base or self.table_uri, a.dv_path)
+            for a in olds
+        })
+        gone = [p for p in (*new_paths, *old_paths)
+                if not os.path.exists(p)]
+        if gone:
+            raise ValueError(
+                f"row-level decode needs {len(gone)} deletion-vector "
+                f"sidecar(s) no longer on disk (vacuumed past "
+                f"retention?): {gone[:3]} — read() the snapshot for a "
+                "backfill and resume the feed from a later version"
+            )
+        pos = (self.spark.read.parquet(*new_paths)
+               .join(F.broadcast(fk), ["root", "path"]))
         if olds:
-            old_paths = sorted({
-                os.path.join(a.dv_base or self.table_uri, a.dv_path)
-                for a in olds
-            })
             old_pos = (self.spark.read.parquet(*old_paths)
                        .join(F.broadcast(fk), ["root", "path"]))
             # the pre-commit mask is sidecar-sized (∝ masked rows) —

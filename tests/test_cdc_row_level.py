@@ -97,3 +97,19 @@ def test_empty_range_schema_has_change_type(spark, tmp_path):
     df2 = t.read_changes(t.version(), row_level=True)
     assert df2.columns == ["id", "v", "_change_type", "_commit_version"]
     assert df2.count() == 0
+
+
+def test_vacuumed_sidecar_fails_decode_pointedly(spark, tmp_path):
+    """The feed needs superseded sidecars; once vacuum reclaims them
+    the decode must raise a pointed error, not a cryptic read
+    failure — and the live snapshot stays unaffected."""
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame(
+        [(i, i) for i in range(10)], "id long, v long").coalesce(1),
+        WriteMode.error)
+    t.delete("id >= 8", use_dv=True)   # v1: sidecar A
+    t.delete("id >= 6", use_dv=True)   # v2: sidecar B supersedes A
+    t.vacuum(retention_ms=0)           # reclaims A
+    with pytest.raises(ValueError, match="sidecar"):
+        t.read_changes(1, row_level=True).collect()
+    assert t.read().count() == 6       # snapshot reads only need B
