@@ -164,7 +164,7 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
                      mode: str, old: tablelog.AddFile = None
                      ) -> _ChangeFile:
         uri = self._table_uri
-        return _ChangeFile(
+        part = _ChangeFile(
             os.path.join(a.base or uri, a.path),
             dict(a.partition_values), change, v, mode,
             root=os.path.abspath(a.base or uri), relpath=a.path,
@@ -173,6 +173,20 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
             old_dv=(os.path.join(old.dv_base or uri, old.dv_path)
                     if old is not None and old.dv_path else ""),
         )
+        gone = [p for p in (part.new_dv, part.old_dv)
+                if p and not os.path.exists(p)]
+        if gone:
+            # fail on the DRIVER with the recovery path, not as a
+            # cryptic executor read error (same contract as the batch
+            # feed's check in table.py:_newly_masked_rows)
+            raise ValueError(
+                f"CDC decode of version {v} needs deletion-vector "
+                f"sidecar(s) no longer on disk (vacuumed past "
+                f"retention?): {gone} — read() the snapshot for a "
+                "backfill and restart the stream from a later "
+                "startingVersion"
+            )
+        return part
 
     def _change_parts(self, v: int, base_op: str,
                       adds: list, removed_keys: set[str]

@@ -233,3 +233,17 @@ def test_cdc_replication_large_delete_falls_back(spark, tmp_path):
     sink(src.read_changes(0, row_level=True), 1)  # 30 deletes > cap
     dst = DeltaSparkTable(spark, str(tmp_path / "dst"))
     assert sorted(r["id"] for r in dst.read().collect()) == list(range(10))
+
+
+def test_vacuumed_sidecar_fails_the_stream_pointedly(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame(
+        [(i, i) for i in range(10)], "id long, v long").coalesce(1),
+        WriteMode.error)
+    t.delete("id >= 8", use_dv=True)
+    t.delete("id >= 6", use_dv=True)
+    t.vacuum(retention_ms=0)  # reclaims the superseded sidecar
+    q = _cdc_stream(spark, t.table_uri, "cdc_vac")
+    with pytest.raises(Exception, match="vacuumed|sidecar"):
+        q.processAllAvailable()
+    q.stop()
