@@ -397,10 +397,15 @@ def main() -> None:
         dst_uri = entry._scratch("bench-cdcrep-dst")
         sink = cdc_replicating_sink(dst_uri, ["rid"])
         sink(src.read_changes(-1, row_level=True), 0)  # converge v0
-        src.delete("l_quantity >= 45 AND l_returnflag = 'A'",
+        # narrower wave than the registry entry: ~3k delete keys at
+        # sf0.1 stays under the sink's 10k IN-list cap, so the line
+        # measures the same (decode + reduce + DV delete + merge)
+        # composition at every SF instead of flipping to the anti-join
+        # rewrite path past sf0.05
+        src.delete("l_quantity >= 49 AND l_returnflag = 'A'",
                    use_dv=True)
         src.update({"l_quantity": "l_quantity + 100"},
-                   "l_quantity <= 2", use_dv=True)
+                   "l_quantity <= 1", use_dv=True)
         src.write(li.where("l_linenumber > 4"), WriteMode.append)
         return sink, src.read_changes(0, row_level=True), dst_uri
 
