@@ -2593,6 +2593,110 @@ class DeltaSparkTable:
             metadata=meta,
         )
 
+    def add_columns(self, columns: dict[str, str]) -> dict[str, Any]:
+        """ALTER TABLE ADD COLUMNS (delta-rs ``alter.add_columns``
+        analogue): a pure METADATA commit — existing files read the new
+        columns as NULL (the same late-column widening rule every read
+        path already applies).  ``columns`` maps name -> Spark SQL type
+        string.  Name collisions with live columns refuse; a re-added
+        previously-DROPPED name gets a fresh physical via the column
+        mapping (no resurrection of buried values)."""
+        snap = self.snapshot()
+        schema = StructType.fromJson(_json_loads(snap.schema_json))
+        live = {f.name for f in schema.fields}
+        dup = sorted(set(columns) & live)
+        if dup:
+            raise ValueError(f"column(s) {dup} already exist")
+        from pyspark.sql.types import _parse_datatype_string
+
+        for name, typ in columns.items():
+            schema = schema.add(name, _parse_datatype_string(typ), True)
+        _, colmap_updates = _evolve_mapping(
+            snap.metadata.configuration, schema)
+        import dataclasses
+
+        meta = dataclasses.replace(
+            snap.metadata,
+            schema_json=schema.json(),
+            configuration={**snap.metadata.configuration,
+                           **colmap_updates},
+        )
+        return self._commit_rewrite(
+            snap, [], [], "ADD COLUMNS",
+            operation_parameters={"columns": json.dumps(columns)},
+            metadata=meta,
+        )
+
+    def set_properties(self, properties: dict[str, str]) -> dict[str, Any]:
+        """ALTER TABLE SET TBLPROPERTIES — a metadata commit merging
+        ``properties`` into the table configuration.  CHECK constraints
+        go through ``add_constraint`` (it validates existing rows);
+        setting one here refuses."""
+        bad = [k for k in properties if k.startswith(_CONSTRAINT_PREFIX)]
+        if bad:
+            raise ValueError(
+                f"{bad} are CHECK constraints — use add_constraint, "
+                "which validates existing rows")
+        snap = self.snapshot()
+        import dataclasses
+
+        meta = dataclasses.replace(
+            snap.metadata,
+            configuration={**snap.metadata.configuration, **properties},
+        )
+        return self._commit_rewrite(
+            snap, [], [], "SET TBLPROPERTIES",
+            operation_parameters={"properties": json.dumps(properties)},
+            metadata=meta,
+        )
+
+    def unset_properties(
+        self, keys: Sequence[str], *, raise_if_missing: bool = True
+    ) -> dict[str, Any]:
+        snap = self.snapshot()
+        cfg = dict(snap.metadata.configuration)
+        missing = [k for k in keys if k not in cfg]
+        if missing and raise_if_missing:
+            raise ValueError(f"propert{'y' if len(missing)==1 else 'ies'} "
+                             f"{missing} not set")
+        for k in keys:
+            cfg.pop(k, None)
+        import dataclasses
+
+        meta = dataclasses.replace(snap.metadata, configuration=cfg)
+        return self._commit_rewrite(
+            snap, [], [], "UNSET TBLPROPERTIES",
+            operation_parameters={"properties": json.dumps(list(keys))},
+            metadata=meta,
+        )
+
+    def fsck(self, dry_run: bool = False) -> dict[str, Any]:
+        """FSCK REPAIR TABLE (delta-rs ``FsckBuilder`` analogue):
+        drop log entries whose data file — or whose deletion-vector
+        sidecar — no longer exists on disk, so reads stop failing on
+        externally-deleted files.  ``dry_run=True`` only reports.
+        Driver-side existence probes ∝ live files (the same budget as
+        snapshot loading); nothing is scanned."""
+        snap = self.snapshot()
+        doomed = []
+        for a in snap.files:
+            data = os.path.join(a.base or self.table_uri, a.path)
+            dv = (os.path.join(a.dv_base or self.table_uri, a.dv_path)
+                  if a.dv_path else None)
+            if not os.path.exists(data) or (dv and not os.path.exists(dv)):
+                doomed.append(a)
+        if dry_run or not doomed:
+            return {"version": snap.version, "dry_run": dry_run,
+                    "num_removed_files": len(doomed),
+                    "removed": [a.path for a in doomed]}
+        res = self._commit_rewrite(
+            snap, doomed, [], "FSCK",
+            operation_parameters={"dry_run": "false"},
+            extra_metrics={"num_removed_files": len(doomed)},
+        )
+        res["removed"] = [a.path for a in doomed]
+        return res
+
     # -- column mapping (delta-rs ALTER TABLE RENAME/DROP COLUMN parity) ----
 
     def _check_column_alterable(self, snap: Snapshot, name: str) -> None:

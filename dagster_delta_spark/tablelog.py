@@ -674,8 +674,10 @@ def classify_commit(operation: str) -> str:
     # DELETE/UPDATE/RESTORE re-add surviving/modified/old rows — their
     # added files are NOT new-rows-only (a DELETE's keep-file copy or
     # deletion-vector re-add would stream as phantom inserts)
+    # FSCK drops lost files: rows disappear with no decodable change
+    # feed, so incremental consumers must refuse and rebuild
     if operation in ("MERGE", "CREATE OR REPLACE", "WRITE overwrite",
-                     "DELETE", "UPDATE", "RESTORE"):
+                     "DELETE", "UPDATE", "RESTORE", "FSCK"):
         return "rewrite"
     return "append"
 
