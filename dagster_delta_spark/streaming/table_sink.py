@@ -63,6 +63,7 @@ def index_maintaining_sink(
     num_hashes: int = 64,
     bands: int = 16,
     partition_columns: Optional[Sequence[str]] = None,
+    compact_every: int = 0,
 ) -> Callable[[DataFrame, int], None]:
     """``exactly_once_table_sink`` + CDC index maintenance in one
     ``foreachBatch``: each micro-batch appends to the documents table
@@ -102,6 +103,12 @@ def index_maintaining_sink(
             build_lsh_index(table, index, num_hashes, bands)
         else:
             maintain_lsh_index(table, index)
+        if compact_every > 0 and batch_id % compact_every == compact_every - 1:
+            # bound the small-file accumulation a long-lived sink
+            # builds (one data commit + one index commit per batch);
+            # compactions are invisible to every incremental consumer
+            table.optimize()
+            index.optimize()
 
     return sink
 
@@ -115,6 +122,7 @@ def rollup_maintaining_sink(
     *,
     count_col: Optional[str] = None,
     partition_columns: Optional[Sequence[str]] = None,
+    compact_every: int = 0,
 ) -> Callable[[DataFrame, int], None]:
     """``exactly_once_table_sink`` + incremental materialized-aggregate
     maintenance in one ``foreachBatch``: each micro-batch appends to
@@ -145,10 +153,14 @@ def rollup_maintaining_sink(
             batch_df, app_id, batch_id,
             partition_columns=partition_columns,
         )
+        rollup = DeltaSparkTable(spark, rollup_uri)
         maintain_rollup(
-            table, DeltaSparkTable(spark, rollup_uri),
-            group_cols, measures, count_col=count_col,
+            table, rollup, group_cols, measures, count_col=count_col,
         )
+        if compact_every > 0 and batch_id % compact_every == compact_every - 1:
+            table.optimize()
+            if rollup.exists():
+                rollup.optimize()
 
     return sink
 
@@ -159,6 +171,7 @@ def cdc_replicating_sink(
     *,
     max_inlist: int = 10_000,
     partition_columns: Optional[Sequence[str]] = None,
+    compact_every: int = 0,
 ) -> Callable[[DataFrame, int], None]:
     """Apply a row-level CDC stream (the ``dds_table`` source with
     ``readChangeFeed=true``) to a REPLICA table — the canonical CDF
@@ -240,6 +253,10 @@ def cdc_replicating_sink(
                     MergeType.upsert,
                     predicate=" AND ".join(
                         f"s.{k} <=> t.{k}" for k in keys)))
+        if compact_every > 0 and batch_id % compact_every == compact_every - 1:
+            # compact the per-batch merge/append fragments AND the DV
+            # masks the deletes accumulate (optimize folds both)
+            target.optimize()
 
     return sink
 

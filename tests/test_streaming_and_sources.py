@@ -1047,3 +1047,35 @@ def test_rollup_maintaining_sink_composition(spark, tmp_path):
     sink(li.limit(0), 3)  # empty batch still maintains
     assert rollup_vs_recompute(t, roll, ["l_returnflag"],
                                measures).count() == 0
+
+
+def test_sink_periodic_compaction_bounds_files(spark, tmp_path):
+    """compact_every on the maintained sinks folds per-batch file
+    fragments (and accumulated DV masks) without disturbing feeds,
+    rollup parity, or replica convergence."""
+    from dagster_delta_spark import DeltaSparkTable
+    from dagster_delta_spark.operators.incremental import (
+        rollup_vs_recompute,
+    )
+    from dagster_delta_spark.streaming import rollup_maintaining_sink
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity")
+    measures = {"total": "SUM(CAST(l_quantity AS DECIMAL(30,10)))",
+                "n": "COUNT(*)"}
+    t_uri, r_uri = str(tmp_path / "t"), str(tmp_path / "r")
+    sink = rollup_maintaining_sink(
+        t_uri, r_uri, "app", ["l_returnflag"], measures,
+        count_col="n", compact_every=3)
+    for b in range(6):
+        sink(li.where(f"l_orderkey % 6 = {b}"), b)
+    t = DeltaSparkTable(spark, t_uri)
+    roll = DeltaSparkTable(spark, r_uri)
+    assert t.read().count() == li.count()
+    assert rollup_vs_recompute(t, roll, ["l_returnflag"],
+                               measures).count() == 0
+    # two compactions ran; file count stays bounded
+    hist_ops = [h.get("operation", "") for h in t.history()]
+    assert sum(1 for o in hist_ops if o.startswith("OPTIMIZE")) == 2
+    assert len(t.snapshot().files) <= 4
