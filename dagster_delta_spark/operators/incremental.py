@@ -109,10 +109,19 @@ def maintain_rollup(
         )
         .groupBy(*[F.col(c) for c in group_cols])
         .agg(*[F.sum(c).cast(ptype[c]).alias(c) for c in measures])
+        # pin the per-group partials: they feed the touched semi-join,
+        # the combine join, and the merge — one frame of |groups| rows
+        # instead of three row-level CDC decodes
+        .localCheckpoint(eager=True)
     )
 
     meta = {"base_version": str(head)}
     if not rollup.exists():
+        if count_col is not None:
+            # a delta whose deletions fully cancel a group nets to a
+            # zero row a fresh recompute would omit — same contract as
+            # the merge branch's post-delete
+            partial = partial.where(F.col(count_col) != 0)
         rollup.write(partial, WriteMode.error, commit_metadata=meta)
         return head
 
@@ -186,8 +195,12 @@ def _split_row_changes(base: DeltaSparkTable, v0: int, head: int):
     update_preimage) and re-additions (update_postimage) instead of
     refusing, so index maintenance survives them.  Copy-rewrites
     (overwrite / merge / non-DV DML) still raise — rebuild, as
-    before."""
-    delta = base.read_changes(v0, head, row_level=True)
+    before.  The decoded delta is PINNED (localCheckpoint): the
+    deletion collect, the insert-side fold, and the occasional
+    anti-join fallback would otherwise each re-run the multi-file DV
+    positions decode; size is the delta's rows, never the table."""
+    delta = base.read_changes(v0, head, row_level=True).localCheckpoint(
+        eager=True)
     ins = delta.where(
         F.col("_change_type").isin("insert", "update_postimage"))
     dels = delta.where(

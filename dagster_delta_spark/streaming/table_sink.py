@@ -237,13 +237,21 @@ def cdc_replicating_sink(
             elif len(keys) == 1:
                 # single-key fast path: IN lowers to an InSet, where an
                 # OR-chain would cost Catalyst quadratic analysis and a
-                # per-row interpreted walk in the delete's hit scan
-                vals = ",".join(_sql_lit(r[keys[0]]) for r in key_rows)
-                target.delete(f"{keys[0]} IN ({vals})", use_dv=True)
+                # per-row interpreted walk in the delete's hit scan.
+                # IN(NULL) never matches — null keys get their own term
+                vals = [_sql_lit(r[keys[0]]) for r in key_rows
+                        if r[keys[0]] is not None]
+                terms = []
+                if vals:
+                    terms.append(f"{keys[0]} IN ({','.join(vals)})")
+                if len(vals) < len(key_rows):
+                    terms.append(f"{keys[0]} IS NULL")
+                target.delete(" OR ".join(terms), use_dv=True)
             else:
+                # null-safe equality so NULL key components match
                 pred = " OR ".join(
                     "(" + " AND ".join(
-                        f"{k} = {_sql_lit(r[k])}" for k in keys) + ")"
+                        f"{k} <=> {_sql_lit(r[k])}" for k in keys) + ")"
                     for r in key_rows)
                 target.delete(pred, use_dv=True)
         if ups.take(1):
@@ -268,4 +276,7 @@ def _sql_lit(v) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    # Spark string literals treat backslash as an escape — double it
+    # BEFORE quote-doubling or 'C:\tmp' parses as 'C:<TAB>mp'
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    return f"'{s}'"

@@ -1108,13 +1108,18 @@ class DeltaSparkTable:
                         end_snap, re_adds, prev_by_key))
                 if dropped:
                     pre.append(self._read_files(end_snap, dropped))
-                pre_df = pre[0]
-                for p in pre[1:]:
-                    pre_df = pre_df.unionByName(p)
+                # a zero-matched DML still commits (no adds, no
+                # removes) — it contributes nothing, but must not wedge
+                # the feed
+                pre_df = None
+                for p in pre:
+                    pre_df = p if pre_df is None else pre_df.unionByName(p)
                 if base_op == "DELETE":
-                    emit(pre_df, v, "delete")
+                    if pre_df is not None:
+                        emit(pre_df, v, "delete")
                 else:
-                    emit(pre_df, v, "update_preimage")
+                    if pre_df is not None:
+                        emit(pre_df, v, "update_preimage")
                     if fresh:
                         emit(self._read_files(end_snap, fresh), v,
                              "update_postimage")
@@ -2629,15 +2634,36 @@ class DeltaSparkTable:
 
     def set_properties(self, properties: dict[str, str]) -> dict[str, Any]:
         """ALTER TABLE SET TBLPROPERTIES — a metadata commit merging
-        ``properties`` into the table configuration.  CHECK constraints
-        go through ``add_constraint`` (it validates existing rows);
-        setting one here refuses."""
+        ``properties`` into the table configuration.  Guard rails for
+        properties that ARE machinery: CHECK constraints go through
+        ``add_constraint`` (it validates existing rows); the column
+        mapping and its dropped-physical ledger are owned by
+        rename/drop_column (hand-editing would expose buried data);
+        identity specs refuse on a populated table (no high-water
+        initialization → duplicate ids); NOT NULL declarations
+        validate existing rows here, same as a CHECK would."""
         bad = [k for k in properties if k.startswith(_CONSTRAINT_PREFIX)]
         if bad:
             raise ValueError(
                 f"{bad} are CHECK constraints — use add_constraint, "
                 "which validates existing rows")
+        owned = {_COLMAP_KEY, _DROPPED_KEY} & set(properties)
+        if owned:
+            raise ValueError(
+                f"{sorted(owned)} are owned by rename_column/"
+                "drop_column — setting them directly can resurrect "
+                "dropped data")
         snap = self.snapshot()
+        if _IDENTITY_KEY in properties and snap.files:
+            raise ValueError(
+                f"{_IDENTITY_KEY} on a populated table has no "
+                "high-water initialization — the next write would "
+                "allocate ids that may duplicate existing values; "
+                "declare identity columns at create time")
+        if _NOTNULL_KEY in properties and snap.files:
+            self._enforce_constraints(
+                self._read_files(snap, snap.files),
+                {_NOTNULL_KEY: properties[_NOTNULL_KEY]})
         import dataclasses
 
         meta = dataclasses.replace(
@@ -2653,6 +2679,16 @@ class DeltaSparkTable:
     def unset_properties(
         self, keys: Sequence[str], *, raise_if_missing: bool = True
     ) -> dict[str, Any]:
+        owned = {_COLMAP_KEY, _DROPPED_KEY} & set(keys)
+        if owned:
+            raise ValueError(
+                f"{sorted(owned)} are owned by rename_column/"
+                "drop_column — unsetting them breaks every read of the "
+                "mapped columns")
+        bad = [k for k in keys if k.startswith(_CONSTRAINT_PREFIX)]
+        if bad:
+            raise ValueError(f"{bad} are CHECK constraints — use "
+                             "drop_constraint")
         snap = self.snapshot()
         cfg = dict(snap.metadata.configuration)
         missing = [k for k in keys if k not in cfg]

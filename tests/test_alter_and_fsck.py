@@ -104,3 +104,48 @@ def test_fsck_catches_lost_dv_sidecar(spark, tmp_path):
     assert t.fsck(dry_run=True)["num_removed_files"] == 1
     t.fsck()
     assert t.read().count() == 0  # the masked file itself was dropped
+
+
+def test_property_machinery_guard_rails(spark, tmp_path):
+    """Properties that ARE machinery can't be installed unvalidated:
+    NOT NULL validates existing rows, identity refuses on populated
+    tables, and the column-mapping ledger is untouchable."""
+    import json
+
+    t = _t(spark, tmp_path)
+    t.write(spark.createDataFrame([(9, None)], "id long, v long"),
+            WriteMode.append)
+    from dagster_delta_spark import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError):
+        t.set_properties({"dds.notNullColumns": json.dumps(["v"])})
+    with pytest.raises(ValueError, match="high-water|populated"):
+        t.set_properties({"dds.identityColumns": json.dumps({"rid": {}})})
+    t.rename_column("v", "val")
+    with pytest.raises(ValueError, match="rename_column"):
+        t.set_properties({"dds.columnMapping": "{}"})
+    with pytest.raises(ValueError, match="rename_column"):
+        t.unset_properties(["dds.columnMapping"])
+    with pytest.raises(ValueError, match="drop_constraint"):
+        t.unset_properties(["dds.constraints.c1"])
+
+
+def test_rollup_first_build_drops_cancelled_groups(spark, tmp_path):
+    """A first maintain_rollup over a history whose deletions already
+    cancelled a group must not persist the zero row (count_col
+    contract holds on the create path too)."""
+    from dagster_delta_spark.operators.incremental import (
+        maintain_rollup,
+        rollup_vs_recompute,
+    )
+
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "g string, v double"), WriteMode.error)
+    base.delete("g = 'a'", use_dv=True)  # cancels group a pre-build
+    measures = {"total": "SUM(CAST(v AS DECIMAL(30,10)))",
+                "n": "COUNT(*)"}
+    maintain_rollup(base, rollup, ["g"], measures, -1, count_col="n")
+    assert {r["g"] for r in rollup.read().collect()} == {"b"}
+    assert rollup_vs_recompute(base, rollup, ["g"], measures).count() == 0

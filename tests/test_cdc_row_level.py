@@ -113,3 +113,19 @@ def test_vacuumed_sidecar_fails_decode_pointedly(spark, tmp_path):
     with pytest.raises(ValueError, match="sidecar"):
         t.read_changes(1, row_level=True).collect()
     assert t.read().count() == 6       # snapshot reads only need B
+
+
+def test_zero_matched_delete_commit_does_not_wedge_the_feed(spark, tmp_path):
+    """An unscoped DELETE on an already-empty table commits a DML
+    version with no adds and no removes; the row-level feed must skip
+    it, not crash — a wedged feed strands every CDC consumer."""
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 1)], "id long, v long"),
+            WriteMode.error)                                   # v0
+    t.delete()                                                 # v1: all
+    t.delete()                                                 # v2: no-op DML commit
+    t.write(spark.createDataFrame([(2, 2)], "id long, v long"),
+            WriteMode.append)                                  # v3
+    rows = sorted((r["_change_type"], r["id"], r["_commit_version"])
+                  for r in t.read_changes(-1, row_level=True).collect())
+    assert rows == [("delete", 1, 1), ("insert", 1, 0), ("insert", 2, 3)]

@@ -247,3 +247,23 @@ def test_vacuumed_sidecar_fails_the_stream_pointedly(spark, tmp_path):
     with pytest.raises(Exception, match="vacuumed|sidecar"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_replication_handles_hostile_string_and_null_keys(spark, tmp_path):
+    """Backslashes must not act as SQL escapes in the delete predicate,
+    and NULL key values must still delete (IN(NULL) never matches)."""
+    from dagster_delta_spark.streaming import cdc_replicating_sink
+
+    src = DeltaSparkTable(spark, str(tmp_path / "src"))
+    rows = [("C:\\tmp", 1), ("it's", 2), (None, 3), ("plain", 4),
+            ("trail\\", 5)]
+    src.write(spark.createDataFrame(rows, "k string, v long"),
+              WriteMode.error)
+    sink = cdc_replicating_sink(str(tmp_path / "dst"), ["k"])
+    sink(src.read_changes(-1, row_level=True), 0)
+    src.delete("v IN (1, 3, 5)", use_dv=True)  # backslash + null keys
+    sink(src.read_changes(0, row_level=True), 1)
+    dst = DeltaSparkTable(spark, str(tmp_path / "dst"))
+    got = sorted([(r["k"], r["v"]) for r in dst.read().collect()],
+                 key=str)
+    assert got == sorted([("it's", 2), ("plain", 4)], key=str)
