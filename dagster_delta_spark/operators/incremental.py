@@ -279,8 +279,12 @@ def build_lsh_index(
     dial, not an index property — capping here would silently limit
     every future consumer."""
     head = docs.version()
+    # pin the snapshot AT head: a commit racing between version() and
+    # an unpinned read() would be indexed yet uncovered by
+    # base_version, double-folding on the next maintain
     buckets = _lsh_doc_buckets(
-        docs.read().select("doc_id", "text"), num_hashes, bands)
+        docs.read(version=head).select("doc_id", "text"),
+        num_hashes, bands)
     index.write(
         buckets,
         commit_metadata={
@@ -323,8 +327,10 @@ def maintain_lsh_index(
     params = {"num_hashes": str(num_hashes), "bands": str(bands)}
     removed = _apply_index_deletions(index, dels.select("doc_id"),
                                      "doc_id")
+    # pinned: isEmpty() and the staged write share one banding pass
     buckets = _lsh_doc_buckets(
-        ins.select("doc_id", "text"), num_hashes, bands)
+        ins.select("doc_id", "text"), num_hashes, bands
+    ).localCheckpoint(eager=True)
     if buckets.isEmpty():
         if removed:
             _advance_base_version(index, head, params)
@@ -385,7 +391,8 @@ def build_ivf_index(
     from .similarity import _assign_cells, _with_norm, kmeans_centroids
 
     head = emb.version()
-    vectors = _with_norm(emb.read().select("vec_id", "embedding"))
+    vectors = _with_norm(
+        emb.read(version=head).select("vec_id", "embedding"))
     if n_cells is None:
         import math
 
@@ -438,9 +445,10 @@ def maintain_ivf_index(
     removed = _apply_index_deletions(index, dels.select("vec_id"),
                                      "vec_id")
     cents = _ivf_centroids_table(index).read()
+    # pinned: isEmpty() and the staged write share one assignment pass
     assigned = _assign_cells(
         _with_norm(ins.select("vec_id", "embedding")), cents
-    ).select("vec_id", "cell")
+    ).select("vec_id", "cell").localCheckpoint(eager=True)
     if assigned.isEmpty():
         if removed:
             _advance_base_version(index, head)
@@ -486,7 +494,8 @@ def build_pq_index(
     )
 
     head = emb.version()
-    vectors = _with_norm(emb.read().select("vec_id", "embedding"))
+    vectors = _with_norm(
+        emb.read(version=head).select("vec_id", "embedding"))
     x = _pq_sample_matrix(vectors, train_sample_mod, sample_cap)
     cb = _learn_pq_codebooks(x, m, nbits, iters)
     meta = {"base_version": str(head), "m": str(m), "nbits": str(nbits)}
@@ -527,7 +536,10 @@ def maintain_pq_index(
     removed = _apply_index_deletions(index, dels.select("vec_id"),
                                      "vec_id")
     cb = _codebooks_from_rows(_pq_codebooks_table(index).read().collect())
-    enc = _pq_encode(_with_norm(ins.select("vec_id", "embedding")), cb)
+    # pinned: isEmpty() and the staged write share one encode pass
+    enc = _pq_encode(
+        _with_norm(ins.select("vec_id", "embedding")), cb
+    ).localCheckpoint(eager=True)
     if enc.isEmpty():
         if removed:
             _advance_base_version(index, head)

@@ -679,7 +679,13 @@ def bm25_search(
     # postings probe FIRST: df/doclen joins then touch only the
     # query-term postings, not the whole vocabulary
     postings = tf.join(F.broadcast(qterms), "term")
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df is needed ONLY for the query terms: semi-join before the
+    # aggregate so the broadcast is |query terms|, not the vocabulary
+    df = (
+        tf.join(F.broadcast(qterms.select("term").distinct()),
+                "term", "left_semi")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
     dl = docs.select(
         "doc_id", F.expr(f"size({TOKENS})").cast("double").alias("dl"))
     stats = dl.agg(

@@ -1371,13 +1371,58 @@ class DeltaSparkTable:
                     StructType.fromJson(_json_loads(snap.schema_json)),
                     final_schema,
                 )
+            # column mapping re-validates against the FRESH
+            # configuration: a concurrent RENAME/DROP (or a racing
+            # writer re-adding the same dropped name) can invalidate
+            # the physicals this write already STAGED under — refuse
+            # rather than resurrect old columns or alias two logicals
+            # onto one physical.  Staged assignments are pinned (the
+            # parquet files exist under those names); only conflicts
+            # raise.
+            fresh_cfg = dict(
+                (snap.metadata.configuration if snap else {}),
+                **(table_configuration or {}),
+            )
+            fresh_base = _column_mapping(fresh_cfg)
+            fresh_dropped = set(_json_loads(
+                fresh_cfg.get(_DROPPED_KEY) or "[]"))
+            taken = set(fresh_base.values()) | fresh_dropped
+            commit_map = dict(fresh_base)
+            for f in final_schema.fields:
+                staged_phys = stage_mapping.get(f.name, f.name)
+                if f.name in fresh_base:
+                    if fresh_base[f.name] != staged_phys:
+                        raise ConcurrentAppendError(
+                            f"column mapping for {f.name!r} changed "
+                            "concurrently (rename/drop or a racing "
+                            "re-add); rerun the write to restage")
+                elif staged_phys != f.name:
+                    # staged under a minted physical: keep it, unless a
+                    # concurrent writer reserved it meanwhile
+                    if staged_phys in taken:
+                        raise ConcurrentAppendError(
+                            f"physical name {staged_phys!r} was "
+                            "reserved concurrently; rerun the write")
+                    commit_map[f.name] = staged_phys
+                    taken.add(staged_phys)
+                elif f.name in taken:
+                    # staged under the bare logical name, but a
+                    # concurrent drop/rename reserved that physical —
+                    # committing would resurrect the old column's data
+                    raise ConcurrentAppendError(
+                        f"column {f.name!r}'s physical name was "
+                        "reserved concurrently (drop/rename raced this "
+                        "write); rerun the write to restage")
+            fresh_colmap_updates = (
+                {_COLMAP_KEY: json.dumps(commit_map, sort_keys=True)}
+                if commit_map != fresh_base else {}
+            )
             meta = Metadata(
                 schema_json=committed_schema.json(),
                 partition_columns=pcols,
                 configuration=dict(
-                    (snap.metadata.configuration if snap else {}),
-                    **(table_configuration or {}),
-                    **colmap_updates,
+                    fresh_cfg,
+                    **fresh_colmap_updates,
                     **identity_updates,
                 ),
                 table_id=snap.metadata.table_id if snap else "",
@@ -1528,6 +1573,41 @@ class DeltaSparkTable:
                 "MERGE is not supported on tables with identity columns"
                 " — append new rows with write() so ids allocate"
             )
+        # generated columns under MERGE: matched-update takes source
+        # values for source-present columns and keeps target values
+        # otherwise, so consistency of the WRITTEN rows follows from
+        # consistency of the SOURCE rows iff the source carries every
+        # generated column AND every column its expression reads —
+        # require that, then validate the source in one agg pass.
+        # (A source omitting the generated column would write a stale
+        # or null value silently.)
+        merge_gencols = _generated_columns(snap.metadata.configuration)
+        if merge_gencols:
+            src_cols_set = set(source.columns)
+            tbl_cols = [
+                f.name for f in StructType.fromJson(
+                    _json_loads(snap.schema_json)).fields]
+            provided: dict[str, str] = {}
+            for gcol, gexpr in merge_gencols.items():
+                missing_dep = [
+                    c for c in tbl_cols
+                    if c not in src_cols_set
+                    and re.search(rf"\b{re.escape(c)}\b", gexpr)
+                ]
+                if missing_dep:
+                    raise ValueError(
+                        f"MERGE on a table with generated column "
+                        f"{gcol!r} needs its source column(s) "
+                        f"{missing_dep} in the merge source — without "
+                        "them the written rows' derivation cannot be "
+                        "established")
+                if gcol in src_cols_set:
+                    provided[gcol] = gexpr
+                else:
+                    source = source.withColumn(gcol, F.expr(gexpr))
+                    src_cols_set.add(gcol)
+            if provided:
+                self._enforce_generated(source, provided)
         table_schema = StructType.fromJson(_json_loads(snap.schema_json))
         evolved = False
         if schema_mode == SchemaMode.append:
@@ -2185,6 +2265,29 @@ class DeltaSparkTable:
             raise ValueError(
                 f"column(s) {ident} are GENERATED ALWAYS AS IDENTITY; "
                 "UPDATE cannot assign them")
+        # generated columns: direct assignment refuses; assigning a
+        # SOURCE column recomputes its dependents on the post-update
+        # row (Delta's behavior) — otherwise an updated ts would leave
+        # a stale derived partition column behind
+        gencols = _generated_columns(snap.metadata.configuration)
+        gen_direct = sorted(set(assignments) & set(gencols))
+        if gen_direct:
+            raise ValueError(
+                f"column(s) {gen_direct} are generated; UPDATE their "
+                "source columns instead — the generation expression "
+                "recomputes them")
+        if gencols:
+            user = dict(assignments)
+            refs = re.compile(
+                "|".join(rf"\b{re.escape(a)}\b" for a in user))
+            assignments = dict(assignments)
+            for gcol, gexpr in gencols.items():
+                if refs.search(gexpr):
+                    # SIMULTANEOUS substitution of assigned names with
+                    # their (pre-update) expressions — sequential subs
+                    # would rewrite names inside already-inserted exprs
+                    assignments[gcol] = refs.sub(
+                        lambda m: f"({user[m.group(0)]})", gexpr)
 
         candidates = (
             self.pruned_files(snap, partition_dnf)
@@ -2311,21 +2414,24 @@ class DeltaSparkTable:
         # the rows allocated after the target, but those ids live on in
         # HISTORY (time travel) — re-minting them would duplicate ids
         # across versions of the same table
-        restored_meta = tgt.metadata
-        mark_fixes = {
-            k: v for k, v in cur.metadata.configuration.items()
-            if k.startswith("dds.identity.") and k.endswith(".next")
-            and (k not in tgt.metadata.configuration
-                 or int(v) > int(tgt.metadata.configuration[k]))
-        }
-        if mark_fixes:
-            restored_meta = Metadata(
+        def restored_meta(fresh: Snapshot) -> Metadata:
+            mark_fixes = {
+                k: v for k, v in fresh.metadata.configuration.items()
+                if k.startswith("dds.identity.") and k.endswith(".next")
+                and (k not in tgt.metadata.configuration
+                     or int(v) > int(tgt.metadata.configuration[k]))
+            }
+            if not mark_fixes:
+                return tgt.metadata
+            return Metadata(
                 schema_json=tgt.metadata.schema_json,
                 partition_columns=list(tgt.metadata.partition_columns),
-                configuration={**tgt.metadata.configuration, **mark_fixes},
+                configuration={**tgt.metadata.configuration,
+                               **mark_fixes},
                 table_id=tgt.metadata.table_id,
                 created_time=tgt.metadata.created_time,
             )
+
         res = self._commit_rewrite(
             cur, removes, re_adds, "RESTORE",
             operation_parameters={"version": version},
@@ -2390,6 +2496,13 @@ class DeltaSparkTable:
                     df, c, ispec, snap.metadata.configuration)
                 identity_assumed[_identity_next_key(c)] = assumed
                 identity_updates[_identity_next_key(c)] = str(new_next)
+            # column DEFAULTS fill absent columns, same as write() —
+            # without this a default-omitting streaming sink dies on
+            # the exact-schema check
+            for c, dexpr in _column_defaults(
+                    snap.metadata.configuration).items():
+                if c not in df.columns:
+                    df = df.withColumn(c, F.expr(dexpr))
 
         if snap is not None:
             final_schema = StructType.fromJson(_json_loads(snap.schema_json))
@@ -2568,14 +2681,13 @@ class DeltaSparkTable:
             self._read_files(snap, snap.files), {key: expr})
         import dataclasses
 
-        meta = dataclasses.replace(
-            snap.metadata,
-            configuration={**snap.metadata.configuration, key: expr},
-        )
         return self._commit_rewrite(
             snap, [], [], "ADD CONSTRAINT",
             operation_parameters={"name": name, "expr": expr},
-            metadata=meta,
+            metadata=lambda cur: dataclasses.replace(
+                cur.metadata,
+                configuration={**cur.metadata.configuration, key: expr},
+            ),
         )
 
     def drop_constraint(
@@ -2589,13 +2701,15 @@ class DeltaSparkTable:
             return {"version": snap.version}
         import dataclasses
 
-        cfg = dict(snap.metadata.configuration)
-        cfg.pop(key)
-        meta = dataclasses.replace(snap.metadata, configuration=cfg)
+        def build(cur: Snapshot) -> Metadata:
+            cfg = dict(cur.metadata.configuration)
+            cfg.pop(key, None)
+            return dataclasses.replace(cur.metadata, configuration=cfg)
+
         return self._commit_rewrite(
             snap, [], [], "DROP CONSTRAINT",
             operation_parameters={"name": name},
-            metadata=meta,
+            metadata=build,
         )
 
     def add_columns(self, columns: dict[str, str]) -> dict[str, Any]:
@@ -2606,30 +2720,34 @@ class DeltaSparkTable:
         string.  Name collisions with live columns refuse; a re-added
         previously-DROPPED name gets a fresh physical via the column
         mapping (no resurrection of buried values)."""
-        snap = self.snapshot()
-        schema = StructType.fromJson(_json_loads(snap.schema_json))
-        live = {f.name for f in schema.fields}
-        dup = sorted(set(columns) & live)
-        if dup:
-            raise ValueError(f"column(s) {dup} already exist")
         from pyspark.sql.types import _parse_datatype_string
 
-        for name, typ in columns.items():
-            schema = schema.add(name, _parse_datatype_string(typ), True)
-        _, colmap_updates = _evolve_mapping(
-            snap.metadata.configuration, schema)
         import dataclasses
 
-        meta = dataclasses.replace(
-            snap.metadata,
-            schema_json=schema.json(),
-            configuration={**snap.metadata.configuration,
-                           **colmap_updates},
-        )
+        def build(cur: Snapshot) -> Metadata:
+            schema = StructType.fromJson(_json_loads(cur.schema_json))
+            live = {f.name for f in schema.fields}
+            dup = sorted(set(columns) & live)
+            if dup:
+                raise ValueError(f"column(s) {dup} already exist")
+            for name, typ in columns.items():
+                schema = schema.add(name, _parse_datatype_string(typ),
+                                    True)
+            _, colmap_updates = _evolve_mapping(
+                cur.metadata.configuration, schema)
+            return dataclasses.replace(
+                cur.metadata,
+                schema_json=schema.json(),
+                configuration={**cur.metadata.configuration,
+                               **colmap_updates},
+            )
+
+        snap = self.snapshot()
+        build(snap)  # eager validation
         return self._commit_rewrite(
             snap, [], [], "ADD COLUMNS",
             operation_parameters={"columns": json.dumps(columns)},
-            metadata=meta,
+            metadata=build,
         )
 
     def set_properties(self, properties: dict[str, str]) -> dict[str, Any]:
@@ -2666,14 +2784,14 @@ class DeltaSparkTable:
                 {_NOTNULL_KEY: properties[_NOTNULL_KEY]})
         import dataclasses
 
-        meta = dataclasses.replace(
-            snap.metadata,
-            configuration={**snap.metadata.configuration, **properties},
-        )
         return self._commit_rewrite(
             snap, [], [], "SET TBLPROPERTIES",
             operation_parameters={"properties": json.dumps(properties)},
-            metadata=meta,
+            metadata=lambda cur: dataclasses.replace(
+                cur.metadata,
+                configuration={**cur.metadata.configuration,
+                               **properties},
+            ),
         )
 
     def unset_properties(
@@ -2695,15 +2813,18 @@ class DeltaSparkTable:
         if missing and raise_if_missing:
             raise ValueError(f"propert{'y' if len(missing)==1 else 'ies'} "
                              f"{missing} not set")
-        for k in keys:
-            cfg.pop(k, None)
         import dataclasses
 
-        meta = dataclasses.replace(snap.metadata, configuration=cfg)
+        def build(cur: Snapshot) -> Metadata:
+            fresh = dict(cur.metadata.configuration)
+            for k in keys:
+                fresh.pop(k, None)
+            return dataclasses.replace(cur.metadata, configuration=fresh)
+
         return self._commit_rewrite(
             snap, [], [], "UNSET TBLPROPERTIES",
             operation_parameters={"properties": json.dumps(list(keys))},
-            metadata=meta,
+            metadata=build,
         )
 
     def fsck(self, dry_run: bool = False) -> dict[str, Any]:
@@ -2764,6 +2885,16 @@ class DeltaSparkTable:
                 f"column {name!r} is an identity column; its spec and "
                 f"high-water mark are keyed by name — remove it from "
                 f"{_IDENTITY_KEY!r} first")
+        defaults = _column_defaults(snap.metadata.configuration)
+        if name in defaults:
+            raise ValueError(
+                f"column {name!r} has a column default keyed by name — "
+                f"remove it from {_COLDEFAULT_KEY!r} first")
+        for c, dexpr in defaults.items():
+            if ident.search(dexpr):
+                raise ValueError(
+                    f"column {name!r} is referenced by column {c!r}'s "
+                    f"default expression {dexpr!r}")
 
     def rename_column(self, old: str, new: str) -> dict[str, Any]:
         """ALTER TABLE RENAME COLUMN — a pure METADATA commit (no file
@@ -2779,35 +2910,41 @@ class DeltaSparkTable:
 
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
             raise ValueError(f"invalid column name {new!r}")
+
+        def build(s: Snapshot) -> Metadata:
+            schema = StructType.fromJson(_json_loads(s.schema_json))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"column {old!r} does not exist "
+                                 f"(have {names})")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            self._check_column_alterable(s, old)
+            mapping = _column_mapping(s.metadata.configuration)
+            # the physical name survives the rename chain: a->b->c
+            # keeps physical 'a' (first-written name), never an
+            # intermediate
+            physical = mapping.pop(old, old)
+            mapping[new] = physical
+            new_schema = StructType([
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old else f
+                for f in schema.fields
+            ])
+            cfg = dict(s.metadata.configuration)
+            cfg[_COLMAP_KEY] = json.dumps(mapping, sort_keys=True)
+            return dataclasses.replace(
+                s.metadata,
+                schema_json=new_schema.json(),
+                configuration=cfg,
+            )
+
         snap = self.snapshot()
-        schema = StructType.fromJson(_json_loads(snap.schema_json))
-        names = [f.name for f in schema.fields]
-        if old not in names:
-            raise ValueError(f"column {old!r} does not exist "
-                             f"(have {names})")
-        if new in names:
-            raise ValueError(f"column {new!r} already exists")
-        self._check_column_alterable(snap, old)
-        mapping = _column_mapping(snap.metadata.configuration)
-        # the physical name survives the rename chain: a->b->c keeps
-        # physical 'a' (first-written name), never an intermediate
-        physical = mapping.pop(old, old)
-        mapping[new] = physical
-        new_schema = StructType([
-            StructField(new, f.dataType, f.nullable) if f.name == old else f
-            for f in schema.fields
-        ])
-        cfg = dict(snap.metadata.configuration)
-        cfg[_COLMAP_KEY] = json.dumps(mapping, sort_keys=True)
-        meta = dataclasses.replace(
-            snap.metadata,
-            schema_json=new_schema.json(),
-            configuration=cfg,
-        )
+        build(snap)  # eager validation against the planning snapshot
         return self._commit_rewrite(
             snap, [], [], "RENAME COLUMN",
             operation_parameters={"old": old, "new": new},
-            metadata=meta,
+            metadata=build,
         )
 
     def drop_column(self, name: str) -> dict[str, Any]:
@@ -2820,34 +2957,37 @@ class DeltaSparkTable:
         semantics)."""
         import dataclasses
 
+        def build(s: Snapshot) -> Metadata:
+            schema = StructType.fromJson(_json_loads(s.schema_json))
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise ValueError(f"column {name!r} does not exist "
+                                 f"(have {names})")
+            if len(names) == 1:
+                raise ValueError("cannot drop the table's only column")
+            self._check_column_alterable(s, name)
+            mapping = _column_mapping(s.metadata.configuration)
+            physical = mapping.pop(name, name)
+            dropped = set(_json_loads(
+                s.metadata.configuration.get(_DROPPED_KEY) or "[]"))
+            dropped.add(physical)
+            new_schema = StructType(
+                [f for f in schema.fields if f.name != name])
+            cfg = dict(s.metadata.configuration)
+            cfg[_COLMAP_KEY] = json.dumps(mapping, sort_keys=True)
+            cfg[_DROPPED_KEY] = json.dumps(sorted(dropped))
+            return dataclasses.replace(
+                s.metadata,
+                schema_json=new_schema.json(),
+                configuration=cfg,
+            )
+
         snap = self.snapshot()
-        schema = StructType.fromJson(_json_loads(snap.schema_json))
-        names = [f.name for f in schema.fields]
-        if name not in names:
-            raise ValueError(f"column {name!r} does not exist "
-                             f"(have {names})")
-        if len(names) == 1:
-            raise ValueError("cannot drop the table's only column")
-        self._check_column_alterable(snap, name)
-        mapping = _column_mapping(snap.metadata.configuration)
-        physical = mapping.pop(name, name)
-        dropped = set(_json_loads(
-            snap.metadata.configuration.get(_DROPPED_KEY) or "[]"))
-        dropped.add(physical)
-        new_schema = StructType(
-            [f for f in schema.fields if f.name != name])
-        cfg = dict(snap.metadata.configuration)
-        cfg[_COLMAP_KEY] = json.dumps(mapping, sort_keys=True)
-        cfg[_DROPPED_KEY] = json.dumps(sorted(dropped))
-        meta = dataclasses.replace(
-            snap.metadata,
-            schema_json=new_schema.json(),
-            configuration=cfg,
-        )
+        build(snap)  # eager validation
         return self._commit_rewrite(
             snap, [], [], "DROP COLUMN",
             operation_parameters={"name": name},
-            metadata=meta,
+            metadata=build,
         )
 
     def partition_stats(
@@ -3007,7 +3147,7 @@ class DeltaSparkTable:
         operation: str,
         operation_parameters: Optional[dict[str, Any]] = None,
         extra_metrics: Optional[dict[str, Any]] = None,
-        metadata: Optional[Metadata] = None,
+        metadata: Optional[Any] = None,
     ) -> dict[str, Any]:
         """Commit a compaction/clustering rewrite.
 
@@ -3016,7 +3156,12 @@ class DeltaSparkTable:
         rewrite planned against — a concurrent append between planning
         and commit must survive in the published snapshot.  If any file
         this rewrite replaces was itself removed concurrently, the
-        rewrite aborts (its output would resurrect deleted rows)."""
+        rewrite aborts (its output would resurrect deleted rows).
+
+        ``metadata`` may be a CALLABLE of the fresh snapshot: metadata
+        commits (rename/drop column, constraints, properties) rebuild
+        their change against the retry's head instead of clobbering
+        whatever a concurrent writer evolved in between."""
         now = int(time.time() * 1000)
         remove_paths = {r.log_key for r in removes}
         for attempt in range(_COMMIT_RETRIES + 1):
@@ -3041,9 +3186,10 @@ class DeltaSparkTable:
                     operation_metrics=metrics,
                 ).to_action(),
             ]
-            meta = metadata or cur.metadata
+            meta = (metadata(cur) if callable(metadata)
+                    else (metadata or cur.metadata))
             if metadata is not None:
-                actions.append(metadata.to_action())
+                actions.append(meta.to_action())
             # removes BEFORE adds: log replay applies actions in order,
             # so a rewrite that re-adds a removed log_key (deletion
             # vectors re-add the same data file with a new DV) must not

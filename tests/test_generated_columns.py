@@ -97,3 +97,63 @@ def test_column_defaults_fill_absent_only(spark, tmp_path):
     # omitting write fills again
     t.write(spark.createDataFrame([(3,)], "id long"), WriteMode.append)
     assert {r["id"]: r["status"] for r in t.read().collect()}[3] == "pending"
+
+
+def test_update_recomputes_generated_and_refuses_direct(spark, tmp_path):
+    """UPDATE of a generation-source column recomputes the derived
+    column on the post-update row; assigning the generated column
+    directly refuses (review-found gap: both previously bypassed the
+    invariant entirely)."""
+    import json
+
+    cfg = {"dds.generatedColumns": json.dumps(
+        {"d": "CAST(ts AS DATE)"})}
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "2024-01-10 10:00:00"), (2, "2024-02-20 10:00:00")],
+            "id long, s string",
+        ).selectExpr("id", "CAST(s AS TIMESTAMP) AS ts"),
+        WriteMode.error, table_configuration=cfg)
+    with pytest.raises(ValueError, match="generated"):
+        t.update({"d": "DATE'1970-01-01'"}, "id = 1")
+    t.update({"ts": "ts + INTERVAL 30 DAYS"}, "id = 1")
+    rows = {r["id"]: (r["ts"], r["d"]) for r in t.read().collect()}
+    assert str(rows[1][1]) == "2024-02-09"   # recomputed, not stale
+    assert str(rows[2][1]) == "2024-02-20"
+    # the invariant holds table-wide
+    assert t.read().where("d <> CAST(ts AS DATE)").count() == 0
+
+
+def test_merge_enforces_generated_consistency(spark, tmp_path):
+    """MERGE requires the generation sources in the merge source,
+    computes absent generated columns, and validates provided ones —
+    a source carrying a lying derived value refuses."""
+    import json
+
+    from dagster_delta_spark import MergeConfig, MergeType
+    from dagster_delta_spark.table import GeneratedColumnViolationError
+
+    cfg = {"dds.generatedColumns": json.dumps(
+        {"d": "CAST(ts AS DATE)"})}
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "2024-01-10 10:00:00")], "id long, s string"
+    ).selectExpr("id", "CAST(s AS TIMESTAMP) AS ts")
+    t.write(base, WriteMode.error, table_configuration=cfg)
+    # source omits d but carries ts: d computes, upsert lands
+    src = spark.createDataFrame(
+        [(1, "2024-03-05 09:00:00"), (2, "2024-04-01 09:00:00")],
+        "id long, s string").selectExpr(
+        "id", "CAST(s AS TIMESTAMP) AS ts")
+    t.merge(src, MergeConfig(MergeType.upsert, predicate="s.id = t.id"))
+    assert t.read().where("d <> CAST(ts AS DATE)").count() == 0
+    assert t.read().count() == 2
+    # source missing the GENERATION SOURCE column refuses
+    with pytest.raises(ValueError, match="source column"):
+        t.merge(spark.createDataFrame([(1,)], "id long"),
+                MergeConfig(MergeType.upsert, predicate="s.id = t.id"))
+    # a lying provided derived value refuses
+    bad = src.selectExpr("id", "ts", "DATE'1970-01-01' AS d")
+    with pytest.raises(GeneratedColumnViolationError):
+        t.merge(bad, MergeConfig(MergeType.upsert, predicate="s.id = t.id"))

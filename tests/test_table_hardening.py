@@ -401,3 +401,74 @@ def test_storage_confs_scoped_per_bucket(spark, tmp_path):
     h = spark.sparkContext._jsc.hadoopConfiguration()
     assert h.get("fs.s3a.bucket.bucket-a.access.key") == "KEY_A"
     assert h.get("fs.s3a.bucket.bucket-b.access.key") == "KEY_B"
+
+
+def test_rename_retry_preserves_concurrent_schema_evolution(
+    spark, tmp_path, monkeypatch
+):
+    """A metadata commit (RENAME COLUMN) that loses the race to a
+    schema-evolving append must rebuild against the fresh snapshot on
+    retry — committing its stale metadata would vanish the new column
+    while its files stay live."""
+    from dagster_delta_spark import tablelog
+
+    uri = str(tmp_path / "t")
+    DeltaSparkTable(spark, uri).write(
+        spark.createDataFrame([(1, "x")], "k long, a string"),
+        WriteMode.error)
+    evolver = DeltaSparkTable(spark, uri)
+    real = tablelog.commit
+    state = {"armed": True}
+
+    def racing(uri_, version, actions, snapshot):
+        op = actions[0].get("commitInfo", {}).get("operation", "")
+        if op == "RENAME COLUMN" and state["armed"]:
+            state["armed"] = False
+            evolver.write(
+                spark.createDataFrame([(2, "y", 9.0)],
+                                      "k long, a string, b double"),
+                WriteMode.append, schema_mode=SchemaMode.append)
+            raise VersionConflictError("injected race")
+        return real(uri_, version, actions, snapshot)
+
+    monkeypatch.setattr(tablelog, "commit", racing)
+    DeltaSparkTable(spark, uri).rename_column("a", "aa")
+    monkeypatch.setattr(tablelog, "commit", real)
+    t = DeltaSparkTable(spark, uri)
+    assert [f.name for f in t.schema().fields] == ["k", "aa", "b"]
+    rows = {(r["k"], r["aa"]): r["b"] for r in t.read().collect()}
+    assert rows[(2, "y")] == 9.0  # evolved column survived the retry
+
+
+def test_write_retry_refuses_concurrent_drop_of_staged_column(
+    spark, tmp_path, monkeypatch
+):
+    """A DROP COLUMN racing a write reserves the staged column's
+    physical name; committing anyway would resurrect the dropped data
+    under the re-added logical — the retry must refuse loudly."""
+    from dagster_delta_spark import tablelog
+
+    uri = str(tmp_path / "t")
+    DeltaSparkTable(spark, uri).write(
+        spark.createDataFrame([(1, 10)], "k long, v long"),
+        WriteMode.error)
+    real = tablelog.commit
+    state = {"armed": True}
+
+    def racing(uri_, version, actions, snapshot):
+        op = actions[0].get("commitInfo", {}).get("operation", "")
+        if op.startswith("WRITE append") and state["armed"]:
+            state["armed"] = False
+            DeltaSparkTable(spark, uri).drop_column("v")
+            raise VersionConflictError("injected race")
+        return real(uri_, version, actions, snapshot)
+
+    monkeypatch.setattr(tablelog, "commit", racing)
+    with pytest.raises(ConcurrentAppendError, match="reserved"):
+        DeltaSparkTable(spark, uri).write(
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            WriteMode.append)
+    monkeypatch.setattr(tablelog, "commit", real)
+    # the drop won; v is gone and nothing resurrected it
+    t = DeltaSparkTable(spark, uri)
+    assert [f.name for f in t.schema().fields] == ["k"]
