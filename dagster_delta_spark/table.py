@@ -1301,7 +1301,9 @@ class DeltaSparkTable:
                 if cluster_files
                 else out.repartitionByRange(*cols)
             ).sortWithinPartitions(*cluster_by)
-        stage_mapping, colmap_updates = _evolve_mapping(
+        # planning-time mapping for STAGING only; the committed updates
+        # re-derive against the fresh head inside the retry loop
+        stage_mapping, _ = _evolve_mapping(
             snap.metadata.configuration if snap else {}, final_schema)
         adds = _stage_dataframe(out, self.table_uri, pcols, final_schema,
                                 _writer_options(writer_properties),
@@ -1592,7 +1594,8 @@ class DeltaSparkTable:
                 missing_dep = [
                     c for c in tbl_cols
                     if c not in src_cols_set
-                    and re.search(rf"\b{re.escape(c)}\b", gexpr)
+                    and re.search(rf"\b{re.escape(c)}\b", gexpr,
+                                  re.IGNORECASE)
                 ]
                 if missing_dep:
                     raise ValueError(
@@ -2265,10 +2268,16 @@ class DeltaSparkTable:
             raise ValueError(
                 f"column(s) {ident} are GENERATED ALWAYS AS IDENTITY; "
                 "UPDATE cannot assign them")
-        # generated columns: direct assignment refuses; assigning a
-        # SOURCE column recomputes its dependents on the post-update
-        # row (Delta's behavior) — otherwise an updated ts would leave
-        # a stale derived partition column behind
+        # generated columns: direct assignment refuses; updated rows
+        # RECOMPUTE every generated column over the post-update
+        # projection (Delta's behavior) — expression-text substitution
+        # was tried and rejected: it corrupts string literals, misses
+        # case-insensitive references, and can't chase transitive
+        # generated-on-generated dependencies.  Recomputation in
+        # declaration order is exact for all three (the same order
+        # write() computes absent columns in, so any constructible
+        # config is dependency-ordered), and is idempotent for rows
+        # whose derivation already held.
         gencols = _generated_columns(snap.metadata.configuration)
         gen_direct = sorted(set(assignments) & set(gencols))
         if gen_direct:
@@ -2276,18 +2285,6 @@ class DeltaSparkTable:
                 f"column(s) {gen_direct} are generated; UPDATE their "
                 "source columns instead — the generation expression "
                 "recomputes them")
-        if gencols:
-            user = dict(assignments)
-            refs = re.compile(
-                "|".join(rf"\b{re.escape(a)}\b" for a in user))
-            assignments = dict(assignments)
-            for gcol, gexpr in gencols.items():
-                if refs.search(gexpr):
-                    # SIMULTANEOUS substitution of assigned names with
-                    # their (pre-update) expressions — sequential subs
-                    # would rewrite names inside already-inserted exprs
-                    assignments[gcol] = refs.sub(
-                        lambda m: f"({user[m.group(0)]})", gexpr)
 
         candidates = (
             self.pruned_files(snap, partition_dnf)
@@ -2324,6 +2321,11 @@ class DeltaSparkTable:
                 for f_ in schema.fields
             ]
             new_rows = matched_df.select(*upd_cols)
+            dtypes = {f_.name: f_.dataType for f_ in schema.fields}
+            for gcol, gexpr in gencols.items():
+                # recompute over the POST-update projection
+                new_rows = new_rows.withColumn(
+                    gcol, F.expr(gexpr).cast(dtypes[gcol]))
             self._enforce_constraints(new_rows, snap.metadata.configuration)
             new_adds = _stage_dataframe(
                 new_rows, self.table_uri, snap.partition_columns, schema,
@@ -2359,7 +2361,18 @@ class DeltaSparkTable:
                     .otherwise(F.col(f_.name)).alias(f_.name))
             else:
                 out_cols.append(F.col(f_.name))
-        updated_df = src.select(*out_cols)
+        updated_df = src.select(*out_cols, match.alias("__m"))
+        dtypes = {f_.name: f_.dataType for f_ in schema.fields}
+        for gcol, gexpr in gencols.items():
+            # matched rows recompute over the post-update projection;
+            # unmatched rows in the rewritten file keep their value
+            updated_df = updated_df.withColumn(
+                gcol,
+                F.when(F.col("__m"),
+                       F.expr(gexpr).cast(dtypes[gcol]))
+                .otherwise(F.col(gcol)))
+        updated_df = updated_df.drop("__m").select(
+            *[f_.name for f_ in schema.fields])
         self._enforce_constraints(updated_df, snap.metadata.configuration)
         adds = _stage_dataframe(
             updated_df, self.table_uri,
@@ -2862,7 +2875,7 @@ class DeltaSparkTable:
                 f"column {name!r} is a partition column; partition columns "
                 "cannot be renamed or dropped (hive directory names are "
                 "physical layout)")
-        ident = re.compile(rf"\b{re.escape(name)}\b")
+        ident = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
         for key, expr in snap.metadata.configuration.items():
             if key.startswith(_CONSTRAINT_PREFIX) and ident.search(expr):
                 raise ValueError(

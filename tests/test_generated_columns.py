@@ -157,3 +157,30 @@ def test_merge_enforces_generated_consistency(spark, tmp_path):
     bad = src.selectExpr("id", "ts", "DATE'1970-01-01' AS d")
     with pytest.raises(GeneratedColumnViolationError):
         t.merge(bad, MergeConfig(MergeType.upsert, predicate="s.id = t.id"))
+
+
+def test_update_recompute_survives_literals_chains_and_case(
+        spark, tmp_path):
+    """The recompute happens over the post-update PROJECTION, not by
+    expression-text substitution — string literals containing a source
+    column's name stay intact, generated-on-generated chains recompute
+    transitively, and case-insensitive references still count."""
+    import json
+
+    cfg = {"dds.generatedColumns": json.dumps({
+        # literal 'v=' contains the assigned column's name
+        "tag": "concat('v=', CAST(v AS STRING))",
+        # chained: depends on a generated column, referenced in CAPS
+        "tag2": "upper(TAG)",
+    })}
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 7), (2, 9)], "id long, v long"),
+            WriteMode.error, table_configuration=cfg)
+    t.update({"v": "v + 100"}, "id = 1")
+    rows = {r["id"]: (r["tag"], r["tag2"]) for r in t.read().collect()}
+    assert rows[1] == ("v=107", "V=107")
+    assert rows[2] == ("v=9", "V=9")
+    # DV flavor takes the other staging path — same contract
+    t.update({"v": "v + 1000"}, "id = 2", use_dv=True)
+    rows = {r["id"]: (r["tag"], r["tag2"]) for r in t.read().collect()}
+    assert rows[2] == ("v=1009", "V=1009")
