@@ -267,3 +267,61 @@ def test_replication_handles_hostile_string_and_null_keys(spark, tmp_path):
     got = sorted([(r["k"], r["v"]) for r in dst.read().collect()],
                  key=str)
     assert got == sorted([("it's", 2), ("plain", 4)], key=str)
+
+
+def test_cdc_replication_fuzz_random_dml_sequences(spark, tmp_path):
+    """Model check for the newest subsystem: random merge-on-read DML
+    sequences on the source, synced through the real CDC stream after
+    every few commits — the replica must equal the source EXACTLY at
+    every sync point, and compactions must not disturb the feed."""
+    import random
+
+    from dagster_delta_spark.streaming import cdc_replicating_sink
+
+    rng = random.Random(4321)
+    src = DeltaSparkTable(spark, str(tmp_path / "src"))
+    src.write(spark.createDataFrame(
+        [(i, i * 10) for i in range(30)], "id long, v long"),
+        WriteMode.error)
+    next_id = 30
+    sink = cdc_replicating_sink(str(tmp_path / "dst"), ["id"],
+                                compact_every=4)
+    cp = str(tmp_path / "cp")
+
+    def sync():
+        spark.dataSource.register(DeltaSparkTableDataSource)
+        q = (spark.readStream.format("dds_table")
+             .option("path", src.table_uri)
+             .option("readChangeFeed", "true").load()
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", cp).start())
+        q.processAllAvailable()
+        q.stop()
+
+    def state(t):
+        return sorted((r["id"], r["v"]) for r in t.read().collect())
+
+    sync()
+    dst = DeltaSparkTable(spark, str(tmp_path / "dst"))
+    assert state(dst) == state(src)
+    for step in range(10):
+        op = rng.choice(["append", "delete", "update", "optimize"])
+        if op == "append":
+            n = rng.randrange(1, 6)
+            src.write(spark.createDataFrame(
+                [(next_id + j, (next_id + j) * 10) for j in range(n)],
+                "id long, v long"), WriteMode.append)
+            next_id += n
+        elif op == "delete":
+            x = rng.randrange(0, next_id * 10)
+            src.delete(f"v >= {x}", use_dv=True)
+        elif op == "update":
+            x = rng.randrange(0, next_id)
+            src.update({"v": "v + 7"}, f"id % 5 = {x % 5}", use_dv=True)
+        else:
+            src.optimize()
+        if step % 2 == 1:  # sync every other step: multi-commit batches
+            sync()
+            assert state(dst) == state(src), f"step {step} op {op}"
+    sync()
+    assert state(dst) == state(src)
