@@ -151,6 +151,18 @@ def maintain_rollup(
         partial.alias("d")
         .join(touched.alias("r"), key_eq, "left")
         .select(*combined_cols)
+        # pinned like partial: the merge consumes it, and the
+        # emptied-group probe below reuses it without re-running the
+        # touched join — |delta groups| rows either way
+        .localCheckpoint(eager=True)
+    )
+    # probe BEFORE the merge commits: on the common no-deletion path
+    # this skips a whole commit + rollup file scan per maintenance run
+    # (the delete's discovery pass would rescan the rollup's files
+    # every time even when nothing emptied)
+    emptied = (
+        count_col is not None
+        and bool(combined.where(F.col(count_col) <= 0).take(1))
     )
     rollup.merge(
         combined,
@@ -160,14 +172,14 @@ def maintain_rollup(
         ),
         commit_metadata=meta,
     )
-    if count_col is not None:
+    if emptied:
         # groups a deletion emptied: a fresh recompute would omit them,
         # so drop their rows (merge-on-read — the merge just wrote
-        # these files; no second copy).  No matches -> no commit.  A
-        # crash between the merge (which carries base_version) and
-        # this delete leaves zero rows behind — queries filtering
-        # count > 0 are unaffected and any later fold touching the
-        # group re-deletes; benign, unlike double-counting.
+        # these files; no second copy).  A crash between the merge
+        # (which carries base_version) and this delete leaves zero
+        # rows behind — queries filtering count > 0 are unaffected and
+        # any later fold touching the group re-deletes; benign, unlike
+        # double-counting.
         rollup.delete(f"{count_col} = 0", use_dv=True)
     return head
 

@@ -749,7 +749,8 @@ def _pq_sample_matrix(
     import numpy as np
 
     rows = (
-        vectors.where(F.xxhash64("vec_id") % train_sample_mod == 0)
+        vectors.where(
+            F.pmod(F.xxhash64("vec_id"), F.lit(train_sample_mod)) == 0)
         .orderBy(F.xxhash64(F.lit("pq"), "vec_id"), "vec_id")
         .limit(sample_cap)
         .select("embedding", "norm")
@@ -767,6 +768,15 @@ def _learn_pq_codebooks(x, m: int, nbits: int, iters: int = 8):
     Returns codebooks shaped ``(m, 2**nbits, d/m)``."""
     import numpy as np
 
+    if not 1 <= nbits <= 7:
+        # codes persist as array<tinyint> (signed int8): nbits=8 would
+        # produce codewords up to 255 that wrap negative and silently
+        # mis-score every ADC scan while rebuild-parity audits still
+        # pass (both sides wrap identically) — refuse at train time.
+        raise ValueError(
+            f"nbits={nbits} out of range [1, 7]: PQ codes are stored as "
+            "signed int8 (array<tinyint>); use m x nbits<=7 subspaces "
+            "instead of wider codewords")
     k = 1 << nbits
     d = x.shape[1]
     if d % m != 0:
@@ -882,6 +892,12 @@ def _pq_encode(vectors: DataFrame, codebooks,
     = one ``(batch x dsub) @ (dsub x k)`` matmul per subspace (the
     ``_assign_cells`` pattern), map-only at any corpus size.  Shared
     by ``pq_codes`` and the transactional index build/maintain."""
+    if codebooks.shape[1] > 128:
+        # the train path refuses nbits>7; this catches a persisted
+        # codebook table written by a foreign/older build
+        raise ValueError(
+            f"codebook k={codebooks.shape[1]} exceeds 128: codes are "
+            "signed int8 and would wrap negative")
     cb = codebooks  # rides into the closure as numpy
     cb_sq = (cb * cb).sum(axis=2)  # (m, k)
     extra = tuple(extra_cols)

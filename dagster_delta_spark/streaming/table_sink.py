@@ -18,6 +18,9 @@ replay folds it with ``max``.
 
 from __future__ import annotations
 
+import datetime
+import decimal
+import math
 from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -274,8 +277,24 @@ def _sql_lit(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr(inf) -> 'inf' is not a SQL literal; Spark spells these
+        # double('infinity') / double('nan')
+        if math.isinf(v):
+            return f"double('{'-' if v < 0 else ''}infinity')"
+        if math.isnan(v):
+            return "double('nan')"
         return repr(v)
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    # datetime is a date subclass — check it first; typed literals
+    # beat the quoted-string path's reliance on implicit casts
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
     # Spark string literals treat backslash as an escape — double it
     # BEFORE quote-doubling or 'C:\tmp' parses as 'C:<TAB>mp'
     s = str(v).replace("\\", "\\\\").replace("'", "''")

@@ -202,6 +202,13 @@ _IDENTITY_KEY = "dds.identityColumns"
 #: pass as CHECK constraints on every write/merge/update; a write that
 #: omits the column fails too (conform null-fills it, which violates).
 _NOTNULL_KEY = "dds.notNullColumns"
+#: table property pinning a CDC retention floor: vacuum keeps every
+#: data file and deletion-vector sidecar referenced by the last N
+#: versions' snapshots, whatever retention_ms says — so a change feed
+#: lagging <= N versions can always decode, and an over-aggressive
+#: vacuum surfaces at vacuum time (files reported as retained) instead
+#: of as a decode failure in the consumer.
+_CDC_RETAIN_KEY = "dds.cdcRetainVersions"
 
 
 def _not_null_columns(configuration: dict[str, str]) -> list[str]:
@@ -1107,6 +1114,27 @@ class DeltaSparkTable:
                     pre.append(self._newly_masked_rows(
                         end_snap, re_adds, prev_by_key))
                 if dropped:
+                    # dropped files' LIVE rows apply their pre-commit
+                    # DV sidecars — same vacuumed-sidecar check as
+                    # _newly_masked_rows, so a reclaimed sidecar is a
+                    # pointed feed error, not a raw executor path error
+                    gone = [
+                        p for p in sorted({
+                            os.path.join(a.dv_base or self.table_uri,
+                                         a.dv_path)
+                            for a in dropped if a.dv_path
+                        })
+                        if not os.path.exists(p)
+                    ]
+                    if gone:
+                        raise ValueError(
+                            f"row-level decode needs {len(gone)} "
+                            f"deletion-vector sidecar(s) no longer on "
+                            f"disk (vacuumed past retention?): "
+                            f"{gone[:3]} — read() the snapshot for a "
+                            "backfill and resume the feed from a later "
+                            "version"
+                        )
                     pre.append(self._read_files(end_snap, dropped))
                 # a zero-matched DML still commits (no adds, no
                 # removes) — it contributes nothing, but must not wedge
@@ -2795,6 +2823,18 @@ class DeltaSparkTable:
             self._enforce_constraints(
                 self._read_files(snap, snap.files),
                 {_NOTNULL_KEY: properties[_NOTNULL_KEY]})
+        if _CDC_RETAIN_KEY in properties:
+            # a malformed value would break every later vacuum —
+            # validate at SET time
+            try:
+                window = int(properties[_CDC_RETAIN_KEY])
+            except (TypeError, ValueError):
+                window = -1
+            if window < 0:
+                raise ValueError(
+                    f"{_CDC_RETAIN_KEY} must be a non-negative integer "
+                    f"(versions of CDC history vacuum must retain), got "
+                    f"{properties[_CDC_RETAIN_KEY]!r}")
         import dataclasses
 
         return self._commit_rewrite(
@@ -3348,12 +3388,33 @@ class DeltaSparkTable:
 
     def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
         """Delete data files no longer referenced by the current
-        snapshot and older than the retention window."""
+        snapshot and older than the retention window.
+
+        If the table sets ``dds.cdcRetainVersions = N``, every data
+        file and deletion-vector sidecar referenced by the snapshots
+        of the last N versions is RETAINED regardless of
+        ``retention_ms`` — a registered change-feed consumer lagging
+        at most N versions can always decode, and an over-aggressive
+        vacuum is corrected here (operator-visible: the files simply
+        survive) instead of failing at decode time in the consumer."""
         snap = self.snapshot()
         # cloned (foreign-base) files live OUTSIDE this table's
         # directory — they are never deletion candidates here, and
         # their relative paths must not shadow same-named local junk
         live = {a.path for a in snap.files if a.base is None}
+        live_dv = {a.dv_path for a in snap.files
+                   if a.dv_path and a.dv_base is None}
+        raw_retain = snap.metadata.configuration.get(_CDC_RETAIN_KEY)
+        if raw_retain is not None:
+            # CDC retention floor: union the protected window's live
+            # sets — log replay only, one snapshot per protected
+            # version, no data reads
+            window = int(raw_retain)
+            for v in range(max(0, snap.version - window), snap.version):
+                old = self.snapshot(v)
+                live |= {a.path for a in old.files if a.base is None}
+                live_dv |= {a.dv_path for a in old.files
+                            if a.dv_path and a.dv_base is None}
         cutoff = time.time() * 1000 - retention_ms
         deleted = []
         for dirpath, _dn, filenames in os.walk(self.table_uri):
@@ -3385,8 +3446,6 @@ class DeltaSparkTable:
         # vacuumable once past retention.  Same time-travel caveat as
         # data files — RESTORE across a vacuumed DV raises loudly.
         dv_root = os.path.join(self.table_uri, "_dv")
-        live_dv = {a.dv_path for a in snap.files
-                   if a.dv_path and a.dv_base is None}
         if os.path.isdir(dv_root):
             for name in sorted(os.listdir(dv_root)):
                 rel = os.path.join("_dv", name)

@@ -115,6 +115,48 @@ def test_vacuumed_sidecar_fails_decode_pointedly(spark, tmp_path):
     assert t.read().count() == 6       # snapshot reads only need B
 
 
+def test_vacuumed_sidecar_on_dropped_file_fails_pointedly(spark, tmp_path):
+    """r9: the metadata-delete decode reads dropped files' pre-commit
+    DV sidecars — a reclaimed sidecar must raise the same pointed
+    driver-side error as the re-add path, not a raw executor path
+    error mid-collect."""
+    import shutil
+
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame(
+        [(i, i) for i in range(10)], "id long, v long").coalesce(1),
+        WriteMode.error)                                       # v0
+    t.delete("id >= 8", use_dv=True)   # v1: sidecar on the file
+    t.delete()                         # v2: metadata delete drops it
+    import os
+    dv = [a for a in t.snapshot(1).files if a.dv_path][0]
+    shutil.rmtree(os.path.join(t.table_uri, dv.dv_path))
+    with pytest.raises(ValueError, match="sidecar"):
+        t.read_changes(1, row_level=True)
+
+
+def test_cdc_retain_versions_pins_vacuum(spark, tmp_path):
+    """r9: dds.cdcRetainVersions = N makes vacuum keep every file and
+    sidecar the last N versions' snapshots reference, whatever
+    retention_ms says — a feed lagging <= N versions always decodes."""
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame(
+        [(i, i) for i in range(10)], "id long, v long").coalesce(1),
+        WriteMode.error)                                       # v0
+    t.set_properties({"dds.cdcRetainVersions": "4"})           # v1
+    t.delete("id >= 8", use_dv=True)   # v2: sidecar A
+    t.delete("id >= 6", use_dv=True)   # v3: sidecar B supersedes A
+    assert t.vacuum(retention_ms=0) == []    # A pinned by v2's snapshot
+    rows = sorted((r["_commit_version"], r["id"])
+                  for r in t.read_changes(1, row_level=True).collect())
+    assert rows == [(2, 8), (2, 9), (3, 6), (3, 7)]
+    # malformed values refuse at SET time, not at the next vacuum
+    with pytest.raises(ValueError, match="cdcRetainVersions"):
+        t.set_properties({"dds.cdcRetainVersions": "lots"})
+    with pytest.raises(ValueError, match="cdcRetainVersions"):
+        t.set_properties({"dds.cdcRetainVersions": "-1"})
+
+
 def test_zero_matched_delete_commit_does_not_wedge_the_feed(spark, tmp_path):
     """An unscoped DELETE on an already-empty table commits a DML
     version with no adds and no removes; the row-level feed must skip

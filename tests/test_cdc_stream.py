@@ -325,3 +325,39 @@ def test_cdc_replication_fuzz_random_dml_sequences(spark, tmp_path):
             assert state(dst) == state(src), f"step {step} op {op}"
     sync()
     assert state(dst) == state(src)
+
+
+def test_sql_lit_renders_executable_typed_literals(spark):
+    """r9: every key type the replication delete predicate can see
+    must render as a literal Spark parses AND that round-trips the
+    value — non-finite floats and temporal types especially (repr(inf)
+    is not SQL; quoted strings would lean on implicit casts)."""
+    import datetime
+    import decimal
+    import math
+
+    from dagster_delta_spark.streaming.table_sink import _sql_lit
+
+    row = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"{_sql_lit(v)} AS c{i}"
+            for i, v in enumerate([
+                None, True, -7, 2.5, float("inf"), float("-inf"),
+                float("nan"), decimal.Decimal("12.3400"), "O'Brien\\x",
+            ])
+        )
+    ).head()
+    assert row[0] is None and row[1] is True and row[2] == -7
+    assert row[3] == 2.5 and math.isinf(row[4]) and row[4] > 0
+    assert math.isinf(row[5]) and row[5] < 0 and math.isnan(row[6])
+    assert float(row[7]) == 12.34 and row[8] == "O'Brien\\x"
+    ts = spark.sql(
+        f"SELECT typeof({_sql_lit(datetime.date(2024, 2, 29))}) AS dt, "
+        f"CAST({_sql_lit(datetime.date(2024, 2, 29))} AS STRING) AS ds, "
+        f"typeof({_sql_lit(datetime.datetime(2024, 2, 29, 12, 30, 45, 123456))}) AS tt, "
+        f"CAST({_sql_lit(datetime.datetime(2024, 2, 29, 12, 30, 45, 123456))} AS STRING) AS tss"
+    ).head()
+    assert ts["dt"] == "date" and ts["ds"] == "2024-02-29"
+    assert ts["tt"] == "timestamp"
+    assert ts["tss"] == "2024-02-29 12:30:45.123456"

@@ -226,3 +226,29 @@ def test_ann_query_indexed_entry_guard_fires(spark, monkeypatch):
             "vec_id", F.col("vec_id") + 7))
     with pytest.raises(AssertionError, match="diverged from the exact"):
         entry._ann_query_indexed(spark, "/root/testdata/sf0.001")
+
+
+def test_pq_nbits_beyond_int8_refuses(spark, tmp_path):
+    """r9: codes persist as array<tinyint> (signed int8) — nbits=8
+    (k=256, the common FAISS setting) would wrap codewords negative
+    and mis-score every ADC scan while rebuild-parity audits still
+    pass; training must refuse, and a foreign oversized codebook must
+    refuse at encode time."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dagster_delta_spark.operators.similarity import (
+        _learn_pq_codebooks,
+        _pq_encode,
+    )
+
+    x = np.random.RandomState(0).randn(64, 16)
+    with _pytest.raises(ValueError, match="nbits"):
+        _learn_pq_codebooks(x, m=4, nbits=8)
+    with _pytest.raises(ValueError, match="nbits"):
+        _learn_pq_codebooks(x, m=4, nbits=0)
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 16, 4.0 * (i + 1)) for i in range(4)],
+        "vec_id long, embedding array<double>, norm double")
+    with _pytest.raises(ValueError, match="int8"):
+        _pq_encode(vecs, np.zeros((4, 256, 4)))

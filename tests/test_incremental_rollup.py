@@ -165,6 +165,28 @@ def test_count_col_must_be_a_measure(spark, tmp_path):
                         count_col="missing")
 
 
+def test_no_deletion_skips_the_empty_group_commit(spark, tmp_path):
+    """r9: with count_col set but nothing emptied, maintenance commits
+    ONLY the merge — the per-run delete commit (and its rollup file
+    scan) fires only when a group actually reached zero."""
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(_df(spark, [("a", 1.0), ("b", 2.0)]), WriteMode.error)
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, -1, count_col="n")
+    base.write(_df(spark, [("a", 3.0)]), WriteMode.append)
+    rv = rollup.version()
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, v, count_col="n")
+    assert rollup.version() == rv + 1  # merge only, no delete commit
+    # …and the emptied path still drops the group (merge + delete)
+    base.delete("g = 'b'", use_dv=True)
+    rv = rollup.version()
+    maintain_rollup(base, rollup, ["g"], MEASURES, v, count_col="n")
+    assert rollup.version() == rv + 2
+    got = {(r["g"], float(r["total"]), r["n"])
+           for r in rollup.read().collect()}
+    assert got == {("a", 4.0, 2)}
+
+
 def test_emptied_group_without_count_col_zeroes(spark, tmp_path):
     """The documented drift: without count_col an emptied group stays
     as a zero row (a fresh recompute omits it)."""
