@@ -230,6 +230,7 @@ def cdc_replicating_sink(
             target.write(ups, WriteMode.error,
                          partition_columns=partition_columns)
             return
+        _conform_replica_schema(target, ups)
         key_rows = dels.select(*keys).distinct().limit(
             max_inlist + 1).collect()
         if key_rows:
@@ -270,6 +271,42 @@ def cdc_replicating_sink(
             target.optimize()
 
     return sink
+
+
+def _conform_replica_schema(target: DeltaSparkTable, ups: DataFrame) -> None:
+    """Mid-feed SOURCE SCHEMA EVOLUTION, resolved at apply time instead
+    of surfacing as a MERGE schema mismatch: columns the feed carries
+    that the replica lacks (the source ran ``add_columns``; the feed
+    picks them up on stream restart) widen the replica with the same
+    metadata-only commit; a type conflict, or a replica column the feed
+    no longer carries (the source dropped it), refuses with a pointed
+    error — silently null-filling or narrowing a replica would corrupt
+    every downstream consumer."""
+    tgt = {f.name: f.dataType for f in target.read().schema.fields}
+    src = {f.name: f.dataType for f in ups.schema.fields}
+    conflicts = sorted(
+        n for n in src.keys() & tgt.keys() if src[n] != tgt[n])
+    if conflicts:
+        detail = ", ".join(
+            f"{n}: feed={src[n].simpleString()} "
+            f"replica={tgt[n].simpleString()}" for n in conflicts)
+        raise ValueError(
+            f"CDC replication: feed/replica column type conflict "
+            f"({detail}) — the source's schema diverged incompatibly; "
+            "recreate the replica from a fresh snapshot")
+    gone = sorted(tgt.keys() - src.keys())
+    if gone:
+        raise ValueError(
+            f"CDC replication: replica column(s) {gone} are no longer "
+            "in the feed (dropped on the source?) — drop them on the "
+            "replica or recreate it from a fresh snapshot")
+    new = {f.name: f.dataType.simpleString()
+           for f in ups.schema.fields if f.name not in tgt}
+    if new:
+        # the source's ADD COLUMNS replays as the same metadata-only
+        # commit; pre-evolution replica files read the columns as NULL,
+        # exactly like the source's own pre-evolution files
+        target.add_columns(new)
 
 
 def _sql_lit(v) -> str:

@@ -361,3 +361,55 @@ def test_sql_lit_renders_executable_typed_literals(spark):
     assert ts["dt"] == "date" and ts["ds"] == "2024-02-29"
     assert ts["tt"] == "timestamp"
     assert ts["tss"] == "2024-02-29 12:30:45.123456"
+
+
+def test_replication_widens_replica_on_source_add_columns(spark, tmp_path):
+    """r9: a mid-feed add_columns on the source (picked up on stream
+    restart) widens the replica with the same metadata-only commit —
+    pre-evolution replica rows read the column as NULL, exactly like
+    the source's own pre-evolution files."""
+    from dagster_delta_spark.streaming import cdc_replicating_sink
+
+    src = DeltaSparkTable(spark, str(tmp_path / "src"))
+    src.write(spark.createDataFrame(
+        [(i, i * 10) for i in range(6)], "id long, v long"),
+        WriteMode.error)
+    sink = cdc_replicating_sink(str(tmp_path / "dst"), ["id"])
+    sink(src.read_changes(-1, row_level=True), 0)
+    v = src.version()
+    src.add_columns({"tag": "string"})
+    src.write(spark.createDataFrame(
+        [(10, 100, "x")], "id long, v long, tag string"),
+        WriteMode.append)
+    src.delete("id = 0", use_dv=True)
+    sink(src.read_changes(v, row_level=True), 1)
+    dst = DeltaSparkTable(spark, str(tmp_path / "dst"))
+    assert sorted(
+        (r["id"], r["v"], r["tag"]) for r in dst.read().collect()
+    ) == sorted(
+        (r["id"], r["v"], r["tag"]) for r in src.read().collect()
+    )
+
+
+def test_replication_refuses_type_conflict_and_dropped_column(
+        spark, tmp_path):
+    """r9: incompatible source evolution fails the apply with a pointed
+    error, not a MERGE schema mismatch."""
+    from dagster_delta_spark.streaming import cdc_replicating_sink
+
+    src = DeltaSparkTable(spark, str(tmp_path / "src"))
+    src.write(spark.createDataFrame(
+        [(1, 10)], "id long, v long"), WriteMode.error)
+    sink = cdc_replicating_sink(str(tmp_path / "dst"), ["id"])
+    sink(src.read_changes(-1, row_level=True), 0)
+    # conflicting type: same column name, different type in the feed
+    src2 = DeltaSparkTable(spark, str(tmp_path / "src2"))
+    src2.write(spark.createDataFrame(
+        [(2, "s")], "id long, v string"), WriteMode.error)
+    with pytest.raises(ValueError, match="type conflict.*replica=bigint"):
+        sink(src2.read_changes(-1, row_level=True), 1)
+    # dropped column: the feed no longer carries a replica column
+    src3 = DeltaSparkTable(spark, str(tmp_path / "src3"))
+    src3.write(spark.createDataFrame([(3,)], "id long"), WriteMode.error)
+    with pytest.raises(ValueError, match="no longer in the feed"):
+        sink(src3.read_changes(-1, row_level=True), 2)
