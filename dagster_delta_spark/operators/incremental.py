@@ -655,6 +655,215 @@ def ivf_index_vs_rebuild(
     )
 
 
+def _best_cos_scores(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cos) — each vector's cosine to its NEAREST centroid:
+    the assignment-quality signal the drift audits aggregate.  Same
+    Arrow-batched matmul shape as ``_assign_cells`` (centroids are
+    model-bounded and ride into the closure as numpy); map-only at any
+    corpus size."""
+    import numpy as np
+
+    rows = sorted(
+        cents.select("cell", "c_emb", "c_norm").collect(),
+        key=lambda r: r["cell"],
+    )
+    cmat = np.stack([np.asarray(r["c_emb"], dtype=np.float64) for r in rows])
+    cnorm = np.asarray([r["c_norm"] for r in rows], dtype=np.float64)
+
+    def _score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            xn = pdf["norm"].to_numpy(dtype=_np.float64)
+            cos = (x @ cmat.T) / (xn[:, None] * cnorm[None, :])
+            cos = _np.where(_np.isfinite(cos), cos, -_np.inf)
+            yield _pd.DataFrame({
+                "vec_id": pdf["vec_id"], "cos": cos.max(axis=1)})
+
+    return vectors.select("vec_id", "embedding", "norm").mapInPandas(
+        _score, "vec_id long, cos double")
+
+
+def _pq_recon_scores(vectors: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, cos) — cosine between each normalized vector and its
+    PQ reconstruction (per-subspace nearest codeword, concatenated):
+    the codebook-fit signal the PQ drift audit aggregates.  Encoding
+    is deterministic, so scoring re-encodes instead of joining the
+    stored codes (parity with the stored table is ``pq_index_vs_
+    rebuild``'s job, not this one's)."""
+    cb = codebooks
+    cb_sq = (cb * cb).sum(axis=2)
+
+    def _score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            x /= pdf["norm"].to_numpy(dtype=_np.float64)[:, None]
+            n, mm, dsub = len(x), cb.shape[0], cb.shape[2]
+            recon = _np.empty_like(x)
+            for j in range(mm):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                codes = _np.argmin(
+                    cb_sq[j][None, :] - 2.0 * (sub @ cb[j].T), axis=1)
+                recon[:, j * dsub:(j + 1) * dsub] = cb[j][codes]
+            rnorm = _np.sqrt((recon * recon).sum(axis=1))
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                cos = (x * recon).sum(axis=1) / rnorm
+            cos = _np.where(_np.isfinite(cos), cos, 0.0)
+            yield _pd.DataFrame({"vec_id": pdf["vec_id"], "cos": cos})
+
+    return vectors.select("vec_id", "embedding", "norm").mapInPandas(
+        _score, "vec_id long, cos double")
+
+
+def _cohort_quality(
+    index: DeltaSparkTable,
+    id_col: str,
+    scored: DataFrame,
+    retrained: DataFrame,
+) -> DataFrame:
+    """Shared drift-audit epilogue: tag each scored vector by whether
+    its id was indexed at BOOTSTRAP (the index's version-0 rows — a
+    pure delta by construction) or FOLDED later, aggregate mean/min
+    quality per cohort, and append an ``all_retrained`` row scoring
+    the same corpus against a freshly trained model.  One grouped
+    aggregate over (vectors x 2) rows; the id set never visits the
+    driver."""
+    boot = (
+        index.read_changes(-1, 0)
+        .select(F.col(id_col).alias("vec_id")).distinct()
+        .withColumn("_boot", F.lit(True))
+    )
+    # NOT broadcast: the bootstrap id set is corpus-sized, not
+    # model-sized — let AQE pick the join strategy
+    tagged = scored.join(boot, "vec_id", "left").select(
+        F.when(F.col("_boot").isNotNull(), F.lit("bootstrap"))
+        .otherwise(F.lit("folded")).alias("cohort"),
+        "cos",
+    )
+    per_cohort = tagged.unionByName(
+        tagged.select(F.lit("all").alias("cohort"), "cos")
+    ).unionByName(
+        retrained.select(F.lit("all_retrained").alias("cohort"), "cos")
+    )
+    return per_cohort.groupBy("cohort").agg(
+        F.count("*").alias("n"),
+        F.avg("cos").alias("mean_cos"),
+        F.min("cos").alias("min_cos"),
+    )
+
+
+def ivf_index_drift(
+    emb: DeltaSparkTable,
+    index: DeltaSparkTable,
+    iters: int = 1,
+    train_sample_mod: int = 1,
+) -> DataFrame:
+    """DRIFT AUDIT for the CDC-maintained IVF index: how well do the
+    STORED centroids still fit the corpus, and what would a rebuild
+    buy?  Maintenance folds new vectors against centroids trained at
+    bootstrap; as the data distribution shifts, folded cohorts assign
+    with ever-lower cosine and recall decays silently — ``ivf_index_
+    vs_rebuild`` can't see it (it checks the fold is FAITHFUL to the
+    stored centroids, not that the centroids are still any good).
+
+    Returns one row per cohort: ``bootstrap`` / ``folded`` / ``all``
+    scored against the STORED centroids, plus ``all_retrained`` — the
+    same corpus against centroids freshly trained on the CURRENT
+    snapshot (the rebuild candidate; same ``kmeans_centroids`` recipe
+    and sizing as the bootstrap).  Read the result with
+    ``index_drift_metrics``: ``cohort_decay`` (bootstrap minus folded
+    mean assignment cosine) localizes WHERE quality degraded,
+    ``rebuild_gain`` (retrained minus stored, over all vectors) prices
+    the rebuild.  Cost: two map-only scoring passes + one bounded
+    k-means train — run it on maintenance cadence, not per fold.
+    Threshold guidance: docs/SCALE.md (rebuild at rebuild_gain > 0.02
+    or cohort_decay > 0.05 on unit-normalized corpora)."""
+    from .similarity import _with_norm, kmeans_centroids
+
+    _resume_version(index)  # refuse indexes not built by build_*
+    cents = _ivf_centroids_table(index).read()
+    vectors = _with_norm(
+        emb.read().select("vec_id", "embedding")).localCheckpoint()
+    # the stored quantizer IS the model of record — size the rebuild
+    # candidate from it (maintain commits don't restate n_cells)
+    n_cells = cents.count()
+    fresh = kmeans_centroids(vectors, n_cells, iters, train_sample_mod)
+    return _cohort_quality(
+        index, "vec_id",
+        _best_cos_scores(vectors, cents),
+        _best_cos_scores(vectors, fresh),
+    )
+
+
+def pq_index_drift(
+    emb: DeltaSparkTable,
+    index: DeltaSparkTable,
+    iters: int = 8,
+    train_sample_mod: int = 1,
+    sample_cap: int = 8192,
+) -> DataFrame:
+    """DRIFT AUDIT for the CDC-maintained PQ code index — the ADC-side
+    twin of ``ivf_index_drift``: reconstruction cosine of each vector
+    under the STORED codebooks, by cohort, against codebooks freshly
+    trained on the current snapshot.  A distribution shift the stored
+    codebooks can't span shows up as the folded cohort's
+    reconstruction cosine dropping below the bootstrap cohort's (and a
+    widening ADC-vs-exact gap at query time); ``rebuild_gain`` prices
+    the re-encode.  Same output shape and metrics helper as the IVF
+    audit."""
+    from .similarity import (
+        _codebooks_from_rows,
+        _learn_pq_codebooks,
+        _pq_sample_matrix,
+        _with_norm,
+    )
+
+    _resume_version(index)  # refuse indexes not built by build_*
+    cb = _codebooks_from_rows(_pq_codebooks_table(index).read().collect())
+    vectors = _with_norm(
+        emb.read().select("vec_id", "embedding")).localCheckpoint()
+    # quantization params come from the stored codebooks' shape —
+    # (m, 2**nbits, d/m) — not from metadata maintain commits restate
+    m, nbits = cb.shape[0], int(cb.shape[1]).bit_length() - 1
+    x = _pq_sample_matrix(vectors, train_sample_mod, sample_cap)
+    fresh = _learn_pq_codebooks(x, m, nbits, iters)
+    return _cohort_quality(
+        index, "vec_id",
+        _pq_recon_scores(vectors, cb),
+        _pq_recon_scores(vectors, fresh),
+    )
+
+
+def index_drift_metrics(drift: DataFrame) -> dict:
+    """Collapse a drift-audit frame (4 rows) into decision scalars:
+    ``cohort_decay`` = bootstrap mean minus folded mean (how much
+    worse post-bootstrap data fits the stored model; 0 when nothing
+    folded yet) and ``rebuild_gain`` = retrained mean minus stored
+    mean over all vectors (what a rebuild buys).  Both in cosine
+    units on [-2, 2]; see docs/SCALE.md for thresholds."""
+    rows = {r["cohort"]: r for r in drift.collect()}
+    boot, folded = rows.get("bootstrap"), rows.get("folded")
+    return {
+        "n_bootstrap": boot["n"] if boot else 0,
+        "n_folded": folded["n"] if folded else 0,
+        "mean_cos_all": rows["all"]["mean_cos"],
+        "cohort_decay": (
+            (boot["mean_cos"] - folded["mean_cos"])
+            if boot and folded else 0.0),
+        "rebuild_gain": (
+            rows["all_retrained"]["mean_cos"] - rows["all"]["mean_cos"]),
+    }
+
+
 def rollup_vs_recompute(
     base: DeltaSparkTable,
     rollup: DeltaSparkTable,
