@@ -1501,34 +1501,134 @@ def split_documents_fixture(sf_dir: str, n_batches: int = 3) -> str:
 
 def _stream_ingest_filter(spark, sf_dir):
     """Online MinHash near-dup ingest filter over the documents corpus
-    split into three arrival batches (rows-only: streaming two-table
-    state).  Batch files are fixture setup; the operator under test is
-    the per-micro-batch sign/probe/append pipeline.
+    split into three arrival batches.  Batch files are fixture setup;
+    the operator under test is the per-micro-batch sign/probe/append
+    pipeline (streaming/ingest_dedup.py).
 
-    Self-falsifying (r7) — the two soundness halves of the filter are
-    asserted in-entry, so a rows-only record certifies behavior:
-
-    1. *Accepted-set bucket disjointness*: no (band, h) bucket in the
-       state index is held by two accepted docs — if it were, the
-       second holder should have been dropped (cross-batch) or lost
-       the within-batch min-id race.
-    2. *Rejection witnesses*: every REJECTED doc shares at least one
-       bucket with an accepted doc (cross-batch collision) or with a
-       smaller-id doc of its own arrival batch (within-batch survivor
-       rule) — recomputed from scratch with the batch signature
-       pipeline, so a filter that drops docs without evidence fails
-       here."""
+    ORACLE-BACKED since r9 via the PORTABLE-HASH dial: every hash in
+    the signature pipeline derives from md5 (``PORTABLE_H64`` —
+    identical in Spark and DuckDB, unlike xxhash64), so the oracle
+    recomputes the ENTIRE filter in SQL — trigram shingles, 8-seed
+    minhash signatures, 4-band bucket hashes, the band=-1
+    exact-content pseudo-bucket, and the sequential accept rule
+    (dropped iff any bucket has an accepted holder from an earlier
+    batch or a smaller same-batch doc_id), unrolled over the three
+    arrival batches.  The production path keeps xxhash64 (benched as
+    ``stream_ingest_{sign,probe,commit}``); md5 is the verification
+    dial.  The accepted-set bucket-disjointness guard stays in-entry
+    (it checks the PERSISTED state table, which the oracle cannot
+    see)."""
     from dagster_delta_spark.streaming import stream_ingest_near_dup_filter
 
     n_batches = 3
     uri = _scratch("ingest")
     t = stream_ingest_near_dup_filter(
         spark, split_documents_fixture(sf_dir, n_batches), uri,
-        max_files_per_trigger=1
+        num_hashes=8, bands=4, max_files_per_trigger=1,
+        portable_hash=True,
     )
     accepted = t.read().select("doc_id").localCheckpoint()
-    _assert_ingest_soundness(spark, sf_dir, uri, accepted, n_batches)
-    return accepted
+    # state-side invariant the contents oracle can't observe: no
+    # (band, h) bucket in the persisted index has two accepted holders
+    state = DeltaSparkTable(spark, uri + "_buckets").read()
+    shared = (
+        state.groupBy("band", "h")
+        .agg(F.countDistinct("doc_id").alias("n_holders"))
+        .where(F.col("n_holders") > 1)
+        .count()
+    )
+    if shared:
+        raise AssertionError(
+            f"ingest filter accepted bucket-colliding docs: {shared} "
+            "(band, h) buckets have more than one accepted holder"
+        )
+    return accepted.orderBy("doc_id")
+
+
+def _ingest_filter_oracle_sql(
+    n_hashes: int = 8, bands: int = 4, n_batches: int = 3
+) -> str:
+    """DuckDB twin of ``_stream_ingest_filter``: recompute the
+    portable-hash bucket set (trigram shingles -> per-seed md5 minhash
+    -> banded slice hash, band=-1 exact-content pseudo-bucket for
+    docs with < 3 tokens) and unroll the sequential accept rule over
+    the ``n_batches`` arrival batches (batch = doc_id % n): a doc is
+    dropped iff any of its buckets is held by an ACCEPTED doc of an
+    earlier batch or by a SMALLER doc_id of its own batch (whether or
+    not that smaller holder itself survives — the probe's min_doc
+    rule).  Parameters must match the entry's filter invocation."""
+    h = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+    r = n_hashes // bands
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    seed_h = h.format(x="CAST(i AS VARCHAR) || ':' || CAST(h0 AS VARCHAR)")
+    slice_h = h.format(
+        x=f"array_to_string(list_slice(sig, b * {r} + 1, b * {r} + {r}), ',')"
+    )
+    batches = []
+    acc_union = []
+    for b in range(n_batches):
+        prev = (
+            f", a{b - 1} AS (SELECT band, h FROM a{b - 2} UNION ALL "
+            f"SELECT band, h FROM allb WHERE doc_id IN "
+            f"(SELECT doc_id FROM acc{b - 1}))"
+            if b >= 2 else ""
+        )
+        cross = (
+            f"EXISTS (SELECT 1 FROM a{b - 1} x "
+            f"WHERE x.band = bb.band AND x.h = bb.h) OR "
+            if b >= 1 else ""
+        )
+        batches.append(f"""{prev}, drop{b} AS (
+            SELECT DISTINCT bb.doc_id FROM allb bb
+            WHERE bb.batch = {b} AND ({cross}
+                EXISTS (SELECT 1 FROM allb o WHERE o.batch = {b}
+                        AND o.band = bb.band AND o.h = bb.h
+                        AND o.doc_id < bb.doc_id))
+        ), acc{b} AS (
+            SELECT DISTINCT doc_id FROM allb WHERE batch = {b}
+            AND doc_id NOT IN (SELECT doc_id FROM drop{b})
+        )""")
+        acc_union.append(f"SELECT doc_id FROM acc{b}")
+    # a0 (the accepted bucket set after batch 0) is defined inline here
+    # because the b>=2 template above only emits a{b-1} from a{b-2}
+    a0 = (", a0 AS (SELECT band, h FROM allb WHERE doc_id IN "
+          "(SELECT doc_id FROM acc0))") if n_batches >= 2 else ""
+    body = batches[0] + a0 + "".join(batches[1:])
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, doc_id % {n_batches} AS batch,
+                   {_TOK} AS toks
+            FROM documents
+        ), shx AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= 3 THEN
+                    list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END)) AS sh
+            FROM d
+        ), h0 AS (
+            SELECT doc_id, {h.format(x='sh')} AS h0 FROM shx
+        ), mins AS (
+            SELECT doc_id, i, min({seed_h}) AS mh
+            FROM h0, range({n_hashes}) t(i)
+            GROUP BY doc_id, i
+        ), sig AS (
+            SELECT doc_id, list(mh ORDER BY i) AS sig
+            FROM mins GROUP BY doc_id
+        ), lsh AS (
+            SELECT doc_id, CAST(b AS INT) AS band, {slice_h} AS h
+            FROM sig, range({bands}) t(b)
+        ), short AS (
+            SELECT doc_id, -1 AS band, {h.format(x=norm)} AS h
+            FROM d WHERE doc_id NOT IN (SELECT doc_id FROM sig)
+        ), allb AS (
+            SELECT a.doc_id, d.batch, a.band, a.h
+            FROM (SELECT * FROM lsh UNION ALL SELECT * FROM short) a
+            JOIN d USING (doc_id)
+        ){body}
+        SELECT doc_id FROM ({' UNION ALL '.join(acc_union)})
+        ORDER BY doc_id
+    """
 
 
 def _assert_ingest_soundness(
@@ -1906,6 +2006,135 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
+def o_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True multi-column Z-ORDER (delta-rs ``optimize.z_order``
+    analogue; table.py:zorder): rewrite the table sorted along the
+    interleaved-bit space-filling curve so BOTH listed columns get
+    tight per-file min/max ranges — single-column range clustering
+    only skips on its leading column.
+
+    ORACLE-BACKED on contents: the layout rewrite must preserve the
+    rows exactly (the oracle is the same projection straight off
+    lineitem).  The LAYOUT property the oracle cannot see is asserted
+    in-entry: before z-order the random layout leaves every file
+    matching a mid-range point predicate on either column; after, the
+    same predicates must prune at least half the files on BOTH
+    columns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+    )
+    t = DeltaSparkTable(spark, _scratch("zorder"))
+    t.write(li.repartition(16), WriteMode.error)
+
+    def matching(col: str) -> int:
+        snap = t.snapshot()
+        lo, hi = t.read().agg(
+            F.min(col), F.max(col)).head()
+        mid = type(lo)((lo + hi) / 2) if lo is not None else 0
+        return len(t.pruned_files(snap, [(col, "=", mid)]))
+
+    total = len(t.snapshot().files)
+    before = {c: matching(c) for c in ("l_orderkey", "l_partkey")}
+    t.zorder(["l_orderkey", "l_partkey"], num_files=16)
+    after = {c: matching(c) for c in ("l_orderkey", "l_partkey")}
+    for c in ("l_orderkey", "l_partkey"):
+        if not (after[c] < before[c] and 2 * after[c] <= total):
+            raise AssertionError(
+                f"z-order did not tighten data skipping on {c}: "
+                f"{before[c]}/{total} files matched before, "
+                f"{after[c]} after"
+            )
+    return t.read()
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style structural quality rules (textops.py:
+    gopher_quality_filter) — oracle-backed: every rule is an integer
+    cross-multiplication, so keep flags are bit-exact across
+    engines."""
+    return textops.gopher_quality_filter(spark, sf_dir)
+
+
+def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift audit over the CDC-maintained IVF index (rows-only:
+    k-means assignment quality is not SQL-expressible).
+
+    ``ivf_index_vs_rebuild`` proves a fold is FAITHFUL to the stored
+    centroids; this audit measures whether the centroids are still any
+    GOOD (``incremental.ivf_index_drift``): per-cohort assignment
+    cosine against the stored model, plus the same corpus against a
+    freshly retrained one — the evidence behind the periodic-rebuild
+    cadence (docs/SCALE.md thresholds).
+
+    Fixture: deterministic axis-clustered vectors (ids from the
+    embeddings table, count-scaled) — bootstrap on axes 0/1, the fold
+    on axes 8/9, a distribution shift the stored centroids never saw.
+
+    Self-falsifying guards (the rows-only convention):
+
+    1. *detection*: the shifted fold must show cohort_decay > 0.2 and
+       rebuild_gain > 0.05 — an audit blind to this shift is broken;
+    2. *control*: a same-distribution fold on a second index must stay
+       quiet (|cohort_decay| < 0.05, rebuild_gain < 0.02) — an audit
+       that flags everything is as useless as one that flags nothing;
+    3. *faithfulness is orthogonal*: ``ivf_index_vs_rebuild`` stays
+       empty on the DRIFTED index — drift is a model property, the
+       fold itself remains exact."""
+    import numpy as np
+
+    n = min(
+        400,
+        max(120,
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").count() // 10),
+    )
+    d = 16
+    rng = np.random.default_rng(11)
+
+    def clustered(ids, dims):
+        rows = []
+        for i in ids:
+            a = np.zeros(d)
+            a[dims[i % len(dims)]] = 1.0
+            v = a + rng.normal(scale=0.05, size=d)
+            rows.append((int(i), [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    emb = DeltaSparkTable(spark, _scratch("drift-emb"))
+    index = DeltaSparkTable(spark, _scratch("drift-ivf"))
+    emb.write(clustered(range(n), [0, 1]), WriteMode.error)
+    incremental.build_ivf_index(emb, index, n_cells=4, iters=4)
+    emb.write(clustered(range(n, 2 * n), [8, 9]), WriteMode.append)
+    incremental.maintain_ivf_index(emb, index)
+    drift = incremental.ivf_index_drift(emb, index, iters=4)
+    m = incremental.index_drift_metrics(drift)
+    if not (m["cohort_decay"] > 0.2 and m["rebuild_gain"] > 0.05):
+        raise AssertionError(
+            f"drift audit failed to detect the shifted fold: {m}")
+    if incremental.ivf_index_vs_rebuild(emb, index).count():
+        raise AssertionError(
+            "fold faithfulness broke under drift — vs_rebuild non-empty")
+    ctrl_emb = DeltaSparkTable(spark, _scratch("drift-ctrl-emb"))
+    ctrl_ix = DeltaSparkTable(spark, _scratch("drift-ctrl-ivf"))
+    ctrl_emb.write(clustered(range(n), [0, 1, 2, 3]), WriteMode.error)
+    incremental.build_ivf_index(ctrl_emb, ctrl_ix, n_cells=4, iters=4)
+    ctrl_emb.write(clustered(range(n, 2 * n), [0, 1, 2, 3]),
+                   WriteMode.append)
+    incremental.maintain_ivf_index(ctrl_emb, ctrl_ix)
+    mc = incremental.index_drift_metrics(
+        incremental.ivf_index_drift(ctrl_emb, ctrl_ix, iters=4))
+    if not (abs(mc["cohort_decay"]) < 0.05 and mc["rebuild_gain"] < 0.02):
+        raise AssertionError(
+            f"drift audit false-alarmed on a same-distribution fold: {mc}")
+    return drift.select(
+        "cohort", "n",
+        F.round("mean_cos", 6).alias("mean_cos"),
+        F.round("min_cos", 6).alias("min_cos"),
+    ).orderBy("cohort")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver records exactly the FIRST 50 dict
     # entries in CORRECTNESS_r{N}.json (confirmed rounds 1-6).  The
@@ -1922,130 +2151,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate for the whole registry regardless of position:
     # tools/check_oracles.py.
     return {
-        # -------- first 50: the round-8 recording window --------
-        # fixed THIS round (driver-shaped CSV projection — the only
-        # entry with no successful record across r1-r7)
+        # -------- first 50: the round-9 recording window --------
+        # CONVERTED this round to oracle-backed (portable md5 hash —
+        # the oracle recomputes the whole filter in SQL); conversion
+        # re-demands a green row, so it leads the window
+        "stream_ingest_near_dup_filter": _stream_ingest_filter,
+        # stalest committed records first: the r4 cohort (records
+        # predate four rounds of relational/textops churn)
+        "string_functions": relational.string_functions_probe,
+        "date_parts_rollup": relational.date_parts_rollup,
+        "q12_case_agg": relational.q12_priority_by_linestatus,
+        "source_summary": textops.source_summary,
+        "deterministic_sample": textops.deterministic_sample,
+        "fingerprint": textops.fingerprint,
+        "q18_large_orders": relational.q18_large_orders,
+        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
+        # r5 cohort
+        "q13_custdist": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        # r6 cohort: the q-family + events/streaming entries whose
+        # standing records predate the r7/r8 relational.py churn
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_q19_filter_aggs": q6_q19_filter_aggs,
+        "topk_window": relational.top_orders_per_status,
+        "events_hourly_rollup": relational.events_hourly_rollup,
+        "events_sessionize": relational.events_sessionize,
+        "q4_exists_semi": relational.q4_order_priority_exists,
+        "events_json_props": relational.events_json_props,
+        "q17_scalar_subquery": relational.q17_small_quantity_revenue,
+        "q11_important_parts": relational.q11_important_parts,
+        "q7_nation_volume": relational.q7_nation_volume,
+        "set_ops_customers": relational.customer_order_set_ops,
+        "asof_clicks_purchases": asof.clicks_asof_purchases,
+        "range_join_bursts": asof.user_event_bursts,
+        "corpus_shuffle": curation.corpus_shuffle,
+        "multimodal_metadata": multimodal.multimodal_metadata,
+        "salted_user_rollup": relational.salted_user_rollup,
+        "price_distribution": price_distribution,
+        "status_pivot": relational.status_pivot,
+        "revenue_rollup_cube": revenue_rollup_cube,
+        "cross_source_contamination": curation.cross_source_contamination,
+        "curate_corpus": _curate_corpus,
+        "decontaminate": curation.decontaminate,
+        "pack_sequences": curation.pack_sequences,
+        "text_quality": textops.text_quality,
+        "lang_id": textops.lang_id,
+        "token_stats": textops.token_stats,
+        "streaming_hourly_rollup": streaming_rollup,
+        "streaming_sessionize": _streaming_sessionize,
+        "streaming_dedup": _streaming_dedup,
+        "w2_append": w2_append,
+        "m1_update_only": m1_update_only,
+        # NEW in r9: true multi-column Z-order (interleaved-bit curve;
+        # oracle-backed on contents, skipping guard in-entry)
+        "o_zorder_clustering": o_zorder_clustering,
+        # NEW in r9: Gopher structural quality rules — integer
+        # cross-multiplied thresholds, oracle-backed
+        "gopher_quality_filter": gopher_quality_filter,
+        # NEW in r9: IVF index drift audit (rows-only + detection /
+        # control / faithfulness guards) — makes the rebuild cadence
+        # of the maintained ANN family evidence-driven
+        "ann_index_drift_audit": ann_index_drift_audit,
+        # (positions 48-50 hold r8-recorded heads; any further NEW r9
+        # entries must swap in before them)
+        # -------- past the cap: green/ok rows on committed record --
+        # every r8-window head rotates out on its committed
+        # CORRECTNESS_r08 record; the remaining tail keeps its order
         "embedding_pca_project": _embedding_pca,
-        # NEW in r8: incremental IVF index maintenance over CDC
-        # (rows-only + rebuild-parity / delta-only / rewrite-refusal
-        # guards)
         "ann_index_maintain": ann_index_maintain,
-        # NEW in r8: the same pattern for the LSH bucket index
-        # (displaces token_stats past the cap — its r6 green record
-        # stands)
         "lsh_index_maintain": lsh_index_maintain,
-        # NEW in r8 (late): the third index family on the
-        # build/maintain/audit contract — PQ codes (displaces
-        # text_quality's successor heads on their committed records)
         "pq_index_maintain": pq_index_maintain,
-        # NEW in r8 (late): exactly-once streaming ingest with
-        # in-pipeline LSH index maintenance (ORACLE-BACKED on the
-        # table contents; index parity + replay no-op guards in-line)
         "streaming_index_sink": _streaming_index_sink,
-        # NEW in r8 (late): the production READ path over the
-        # maintained IVF+PQ indexes (rows-only + exact-anchor guard)
         "ann_query_indexed": _ann_query_indexed,
-        # NEW in r8: global-token-budget corpus sampling via a
-        # two-level prefix sum (oracle-backed; displaces decontaminate
-        # past the cap — its r6 green record stands)
         "token_budget_sample": curation.token_budget_sample,
-        # NEW in r8: interpolated bigram-LM perplexity (oracle-backed;
-        # displaces lang_id past the cap — its r6 green record stands)
         "bigram_perplexity": textops.bigram_perplexity,
-        # CONVERTED this round to oracle-backed closed forms (the
-        # video-pipeline technique); conversion re-demands a green row
         "multimodal_features": mm_features,
-        # changed THIS round: distributed candidate thresholding
         "heavy_hitter_tokens": textops.heavy_hitter_tokens,
-        # NEW in r8 (late): fuzzy decontamination — MinHash-banded
-        # candidates against the broadcast eval set, exactly-verified
-        # trigram Jaccard (rows-only + planted-paraphrase recall +
-        # nonce soundness guards; displaces pack_sequences past the
-        # cap — its r6 green record stands)
         "near_dup_decontaminate": _near_dup_decon,
-        # NEW in r8 (late): corpus-trained BPE subword tokenizer
-        # (rows-only + round-trip / structural-bounds guards;
-        # displaces curate_corpus past the cap on its r6 record)
         "bpe_token_stats": _bpe_stats,
-        # similarity.py changed this round (kmeans refactor + PCA
-        # persistence): the ANN/embedding family re-records, stalest
-        # first (ann_lsh/near_dups_lsh/ann_recall r5, kmeans r6)
         "ann_lsh_topk": ann_lsh,
         "embedding_near_dups_lsh": _emb_neardup_lsh,
         "ann_recall_report": _ann_recall,
         "kmeans_clusters": _kmeans_clusters,
         "ann_ivf_topk": _ivf_ann,
         "ann_ivf_quantized_topk": _ivf_quantized,
-        # NEW in r8 (late): IVF-PQ — ADC lookup-table scan over m-byte
-        # product-quantization codes, exact rerank; same bit-parity
-        # guard as the SQ8 line (displaces cross_source_contamination
-        # ... pack_sequences past the cap on their r6 records)
         "ann_ivf_pq_topk": _ivf_pq,
         "semantic_dedup": _semantic_dedup,
         "cosine_topk": similarity.cosine_topk,
         "embedding_near_dups": _embedding_near_dups_02,
         "label_centroid_dims": _label_centroid_dims,
         "quantize_embeddings": _quantize_embeddings,
-        # textops changed this round (heavy hitters) + r5/r6 records
         "sketch_profile": _sketch_profile,
-        "stream_ingest_near_dup_filter": _stream_ingest_filter,
-        # NEW in r8 (late): BM25 retrieval + PMI collocation mining —
-        # both oracle-backed (displace string_functions /
-        # date_parts_rollup to the tail on their standing green
-        # records)
         "bm25_search": textops.bm25_search,
         "pmi_collocations": textops.pmi_collocations,
-        # NEW in r8 (late): PPJoin prefix-filtered exact Jaccard —
-        # shares near_dup_jaccard's oracle (identical output contract;
-        # displaces q12_case_agg to the tail on its standing record)
         "ppjoin_near_dups": dedup.ppjoin_near_dups,
-        # NEW in r8 (late): left-outer stream-stream interval join —
-        # eviction-driven null emission, oracle-backed (displaces
-        # source_summary to the tail on its standing record)
         "streaming_interval_join_left": _streaming_interval_join_left,
-        # NEW in r8 (late): metadata-only column mapping
-        # (rename/drop/no-resurrection) — oracle-backed (displaces
-        # deterministic_sample to the tail on its standing record)
         "o_column_mapping": o_column_mapping,
-        # NEW in r8 (late): full-outer stream-stream interval join —
-        # both-side eviction emission, oracle-backed (displaces
-        # fingerprint to the tail on its standing record)
         "streaming_interval_join_full": _streaming_interval_join_full,
-        # NEW in r8 (late): generated columns (derived partition col,
-        # compute-if-absent + validate-if-provided) — oracle-backed
-        # (displaces q18_large_orders to the tail on its standing
-        # record)
         "o_generated_columns": o_generated_columns,
-        # NEW in r8 (late): row-level CDC feed decoded from
-        # merge-on-read commits — oracle-backed (displaces
-        # q14_promo_ratio to the tail on its standing record)
         "cdc_row_changes": cdc_row_changes,
-        # NEW in r8 (late): the STREAMING twin — dds_table source with
-        # readChangeFeed=true, same oracle (displaces
-        # streaming_hourly_rollup past the cap on its green r6 record)
         "streaming_cdc_feed": streaming_cdc_feed,
-        # stalest committed records: r4 cohort
         "q22_anti_scalar": relational.q22_idle_rich_customers,
-        # r5 cohort
-        # (q13_custdist rotated to the tail on its green r5 record —
-        # maintain_rollup changed semantics in late r8, so its entry
-        # re-enters the window with the DV-DML scenario)
         "incremental_rollup_maintenance": incremental_rollup_maintenance,
-        # NEW in r8 (late): streaming materialized view — exactly-once
-        # ingest + incremental rollup fold + out-of-band DV-DML
-        # correction (displaces q15_top_supplier to the tail on its
-        # green r5 record)
         "streaming_rollup_sink": streaming_rollup_sink,
-        # r6 cohort, table layer first (table.py grew DV/clone in r7
-        # after those records landed)
         "w1_w4_error_ignore": w1_w4_error_ignore,
-        # NEW in r8 (late): identity columns — dense GENERATED ALWAYS
-        # allocation (displaces w2_append to the tail on its green r6
-        # record)
         "o_identity_columns": o_identity_columns,
-        # NEW in r8 (late): CDC replication — the canonical CDF
-        # consumer (displaces m1_update_only to the tail on its green
-        # r6 record)
         "cdc_replicate": cdc_replicate,
         "w3_partition_overwrite": w3_partition_overwrite,
         "w5_create_or_replace": w5_create_or_replace,
@@ -2055,22 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_time_travel": s3_time_travel,
         "p2_timewindow_read": p2_timewindow_read,
         "o_compaction_roundtrip": o_compaction_roundtrip,
-        # r6 cohort, text/curation/streaming (modules reworked in r7)
         "zipf_profile": textops.zipf_profile,
-        "streaming_hourly_rollup": streaming_rollup,
-        "streaming_sessionize": _streaming_sessionize,
-        "streaming_dedup": _streaming_dedup,
-        "curate_corpus": _curate_corpus,
-        "cross_source_contamination": curation.cross_source_contamination,
-        "pack_sequences": curation.pack_sequences,
-        "text_quality": textops.text_quality,
-        "lang_id": textops.lang_id,
-        "decontaminate": curation.decontaminate,
-        "token_stats": textops.token_stats,
-        # -------- past the cap: green/ok rows on committed record --
-        # r7-recorded heads rotate out; every entry below carries a
-        # CORRECTNESS_r06/r07 record (corpus_shuffle + the q-family
-        # r6 cohort re-enter in r9)
         "minhash_lsh_near_dups": minhash_lsh,
         "simhash_near_dups": simhash_pairs,
         "minhash_cluster_keep": _minhash_cluster,
@@ -2116,40 +2313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_repeated_spans": dedup.strip_repeated_spans,
         "leakage_safe_splits": _leakage_safe_splits,
         "temperature_mixture_sample": curation.temperature_mixture_sample,
-        "corpus_shuffle": curation.corpus_shuffle,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "q6_q19_filter_aggs": q6_q19_filter_aggs,
-        "topk_window": relational.top_orders_per_status,
-        "events_hourly_rollup": relational.events_hourly_rollup,
-        "events_sessionize": relational.events_sessionize,
-        "q4_exists_semi": relational.q4_order_priority_exists,
-        "events_json_props": relational.events_json_props,
-        "q17_scalar_subquery": relational.q17_small_quantity_revenue,
-        "q11_important_parts": relational.q11_important_parts,
-        "q7_nation_volume": relational.q7_nation_volume,
-        "multimodal_metadata": multimodal.multimodal_metadata,
-        "salted_user_rollup": relational.salted_user_rollup,
-        "price_distribution": price_distribution,
-        "status_pivot": relational.status_pivot,
-        "revenue_rollup_cube": revenue_rollup_cube,
-        "set_ops_customers": relational.customer_order_set_ops,
-        "asof_clicks_purchases": asof.clicks_asof_purchases,
-        "range_join_bursts": asof.user_event_bursts,
-        # displaced to the tail in late r8 on standing green records
-        "string_functions": relational.string_functions_probe,
-        "date_parts_rollup": relational.date_parts_rollup,
-        "q12_case_agg": relational.q12_priority_by_linestatus,
-        "source_summary": textops.source_summary,
-        "deterministic_sample": textops.deterministic_sample,
-        "fingerprint": textops.fingerprint,
-        "q18_large_orders": relational.q18_large_orders,
-        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
-        "q13_custdist": relational.q13_order_count_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "w2_append": w2_append,
-        "m1_update_only": m1_update_only,
     }
 
 
@@ -3144,6 +3307,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN sized sb ON i.doc_b = sb.doc_id
             WHERE CAST(i.n_common AS DOUBLE)
                   / (sa.n_sh + sb.n_sh - i.n_common) >= 0.4
+        """,
+        # the streaming ingest filter, recomputed whole in SQL: the
+        # portable (md5-derived) hash makes the minhash signatures,
+        # band buckets, and the sequential 3-batch accept rule
+        # engine-independent — see _stream_ingest_filter
+        "stream_ingest_near_dup_filter": _ingest_filter_oracle_sql(),
+        # z-order preserves contents exactly; the layout property is
+        # guarded in-entry (the oracle can't see file boundaries)
+        "o_zorder_clustering": """
+            SELECT l_orderkey, l_partkey,
+                   CAST(l_quantity AS DOUBLE) AS l_quantity,
+                   CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+            FROM lineitem
+        """,
+        # every rule is an integer cross-multiplication — keep flags
+        # are bit-exact across engines (see textops.gopher_quality_filter)
+        "gopher_quality_filter": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_TOK} AS toks,
+                       list_filter(string_split(text, chr(10)),
+                                   l -> trim(l) <> '') AS lines
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       coalesce(list_sum(list_transform(toks,
+                           x -> len(x))), 0) AS n_word_chars,
+                       len(lines) AS n_lines,
+                       len(list_filter(lines, l -> trim(l) LIKE '-%'
+                           OR trim(l) LIKE '*%')) AS bullet_lines,
+                       len(list_filter(lines,
+                           l -> trim(l) LIKE '%...')) AS ellipsis_lines,
+                       len(list_filter(toks,
+                           x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+                       len(regexp_extract_all(text,
+                           '#|\\.\\.\\.')) AS n_symbols,
+                       len(list_intersect(toks,
+                           ['the', 'a', 'of', 'and', 'to', 'in',
+                            'is', 'that'])) AS stop_hits
+                FROM t
+            )
+            SELECT doc_id, n_words, n_lines, bullet_lines, ellipsis_lines,
+                   alpha_words, n_symbols, stop_hits,
+                   (n_words >= 20 AND n_words <= 100000
+                    AND 3 * n_words <= n_word_chars
+                    AND n_word_chars <= 10 * n_words
+                    AND 10 * bullet_lines <= 9 * n_lines
+                    AND 10 * ellipsis_lines <= 3 * n_lines
+                    AND 5 * alpha_words >= 4 * n_words
+                    AND stop_hits >= 2
+                    AND 10 * n_symbols <= n_words) AS keep
+            FROM c
         """,
         # similarity
         "cosine_topk": f"""

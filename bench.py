@@ -71,6 +71,8 @@ def main() -> None:
         "lsh_index_maintain",
         "pq_index_maintain",
         "ann_query_indexed",
+        "ann_drift_audit",
+        "zorder_cluster",
         # streaming ingest near-dup filter (3 micro-batches), staged:
         # the ~7 s streaming-engine + fixture fixed cost masked probe
         # regressions behind one number, so the line reports the
@@ -86,6 +88,7 @@ def main() -> None:
         "bloom_decontaminate",
         "near_dup_decontaminate",
         "text_quality",
+        "gopher_quality_filter",
         "bigram_perplexity",
         "bm25_search",
         "pmi_collocations",
@@ -415,7 +418,44 @@ def main() -> None:
         DeltaSparkTable(spark, dst_uri).read().write.mode(
             "overwrite").format("noop").save()
 
+    def _drift_setup(spark, d):
+        # fixture: maintained REAL-corpus index (bootstrap 2/3 + one
+        # folded 1/3); the operator under test is ONE drift audit —
+        # two map-only scoring passes + one bounded retrain, the
+        # maintenance-cadence cost SCALE.md budgets
+        from dagster_delta_spark.operators import incremental as incr
+
+        src = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", "embedding")
+        base = DeltaSparkTable(spark, entry._scratch("bench-drift-base"))
+        index = DeltaSparkTable(spark, entry._scratch("bench-drift-ivf"))
+        base.write(src.where("vec_id % 3 < 2"), WriteMode.error)
+        incr.build_ivf_index(base, index)
+        base.write(src.where("vec_id % 3 = 2"), WriteMode.append)
+        incr.maintain_ivf_index(base, index)
+        return base, index
+
+    def _drift_run(spark, ctx):
+        from dagster_delta_spark.operators import incremental as incr
+
+        base, index = ctx
+        incr.index_drift_metrics(incr.ivf_index_drift(base, index))
+
+    def _zorder_setup(spark, d):
+        # fixture: a randomly-laid-out 16-file table (untimed write);
+        # the operator under test is the z-order rewrite itself
+        li = spark.read.parquet(f"{d}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        t = DeltaSparkTable(spark, entry._scratch("bench-zorder"))
+        t.write(li.repartition(16), WriteMode.error)
+        return t
+
+    def _zorder_run(spark, t):
+        t.zorder(["l_orderkey", "l_partkey"], num_files=16)
+
     staged = {
+        "ann_drift_audit": (_drift_setup, _drift_run),
+        "zorder_cluster": (_zorder_setup, _zorder_run),
         "cdc_apply": (_cdc_apply_setup, _cdc_apply_run),
         "ppjoin_mixed_regime": (_ppjoin_setup, _ppjoin_run),
         "m3_upsert": (_m3_setup, _m3_run),

@@ -796,3 +796,70 @@ def pmi_collocations(
         top.withColumn("rank", F.row_number().over(rank).cast("int"))
         .select("rank", "gram", "n_pairs", "pmi")
     )
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    the repetition-free half; repetition rules live in
+    ``repetition_quality``): per-document structural heuristics and
+    one final keep flag.
+
+    Every rule compares INTEGER counts cross-multiplied against the
+    rule's rational threshold (``5 * alpha_words >= 4 * n_words``
+    instead of ``alpha_ratio >= 0.8``), so the keep flags are exact in
+    any engine — a float-ratio formulation could flip a borderline doc
+    between Spark and the DuckDB oracle.  Ratios are emitted rounded
+    for reporting only; the flags never read them.
+
+    Rules (thresholds from the paper, adapted to the corpus scale):
+    word count in [20, 100000]; mean word length in [3, 10] chars;
+    <= 90% of lines start with a bullet; <= 30% of lines end with an
+    ellipsis; >= 80% of words contain an alphabetic character; >= 2
+    distinct required stopwords present; <= 10% of words are hash/
+    ellipsis symbols.  One map-side pass over the corpus + one
+    grouped aggregate for the stopword probe; no shuffle carries
+    text."""
+    docs = load(spark, sf_dir, "documents")
+    required = ["the", "a", "of", "and", "to", "in", "is", "that"]
+    toks = TOKENS
+    lines = "filter(split(text, '\\n'), l -> trim(l) <> '')"
+    per_doc = docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_words"),
+        F.expr(
+            f"aggregate({toks}, 0L, (a, x) -> a + length(x))"
+        ).alias("n_word_chars"),
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        F.expr(
+            f"size(filter({lines}, l -> trim(l) LIKE '-%' "
+            f"OR trim(l) LIKE '*%'))"
+        ).cast("long").alias("bullet_lines"),
+        F.expr(
+            f"size(filter({lines}, l -> trim(l) LIKE '%...'))"
+        ).cast("long").alias("ellipsis_lines"),
+        F.expr(
+            f"size(filter({toks}, x -> x rlike '[a-z]'))"
+        ).cast("long").alias("alpha_words"),
+        F.expr(
+            "regexp_count(text, '#|\\\\.\\\\.\\\\.')"
+        ).cast("long").alias("n_symbols"),
+        F.expr(
+            "size(array_intersect("
+            f"{toks}, array({', '.join(repr(w) for w in required)})))"
+        ).cast("long").alias("stop_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= 20) & (F.col("n_words") <= 100000)
+        & (3 * F.col("n_words") <= F.col("n_word_chars"))
+        & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+        & (10 * F.col("bullet_lines") <= 9 * F.col("n_lines"))
+        & (10 * F.col("ellipsis_lines") <= 3 * F.col("n_lines"))
+        & (5 * F.col("alpha_words") >= 4 * F.col("n_words"))
+        & (F.col("stop_hits") >= 2)
+        & (10 * F.col("n_symbols") <= F.col("n_words"))
+    )
+    return per_doc.select(
+        "doc_id", "n_words", "n_lines", "bullet_lines", "ellipsis_lines",
+        "alpha_words", "n_symbols", "stop_hits",
+        keep.alias("keep"),
+    )

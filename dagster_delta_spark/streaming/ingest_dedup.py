@@ -41,6 +41,63 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: cross-engine 64-bit hash: the top 60 bits of md5, as a positive
+#: bigint.  Spark (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+#: (`('0x' || substr(md5(x),1,15))::BIGINT`) compute the identical
+#: value — unlike xxhash64, which only Spark implements — so a filter
+#: run under this hash is recomputable by the DuckDB oracle in SQL.
+PORTABLE_H64 = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def portable_doc_buckets(
+    docs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, text) -> the full (doc_id, band, h) bucket set with
+    every hash derived from md5 (``PORTABLE_H64``) instead of
+    xxhash64: same STRUCTURE as the production pipeline — distinct
+    word-trigram shingles -> per-seed minhash signature -> banded
+    slice hash, plus the band=-1 exact-content pseudo-bucket for
+    unshingleable docs — but cross-engine recomputable, which is what
+    makes the ingest filter's kept-set ORACLE-VERIFIABLE end-to-end
+    (`__spark_entry__._stream_ingest_filter`).  md5 costs ~3x
+    xxhash64, so the production filter keeps xxhash64 and this
+    variant is the verification dial."""
+    from ..operators.dedup import shingles_of
+    from ..operators.textops import NORM_TEXT
+
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be >= 1 and divide "
+            f"num_hashes={num_hashes} exactly")
+    r = num_hashes // bands
+    ex = shingles_of(docs).select(
+        "doc_id", F.expr(PORTABLE_H64.format(x="sh")).alias("h0"))
+    aggs = [
+        F.min(F.expr(PORTABLE_H64.format(
+            x=f"concat('{i}', ':', CAST(h0 AS STRING))"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = ex.groupBy("doc_id").agg(*aggs).select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    slice_h = PORTABLE_H64.format(
+        x=f"concat_ws(',', slice(sig, b * {r} + 1, {r}))")
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band', b, 'h', {slice_h}))"
+    )
+    lsh = sigs.select(
+        "doc_id", F.explode(F.expr(band_expr)).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"),
+             F.col("bh.h").alias("h"))
+    short = docs.join(sigs.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.lit(-1).alias("band"),
+        F.expr(PORTABLE_H64.format(x=NORM_TEXT)).alias("h"),
+    )
+    return lsh.unionByName(short)
+
+
 def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc_id, sig) -> (doc_id, band, h): THE shared banding scheme —
     the online filter and the batch LSH operators must bucket
@@ -57,6 +114,7 @@ def sign_batch(
     num_hashes: int = 64,
     bands: int = 16,
     epoch: str = "",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """SIGN stage of the ingest filter: one micro-batch's LSH bucket
     rows, eagerly materialized (``batch_df`` should already be
@@ -66,21 +124,28 @@ def sign_batch(
     LSH evidence — each gets ONE exact-content pseudo-bucket
     (band -1) so they are exact-deduped against other short docs
     and, crucially, still reach kept_ids instead of being silently
-    lost by the probe's inner join."""
+    lost by the probe's inner join.
+
+    ``portable_hash=True`` swaps every hash for the md5-derived
+    ``PORTABLE_H64`` (same structure) so an external engine can
+    recompute the bucket set — the oracle-verification dial."""
     from ..operators.dedup import _signatures_from_stream, shingles_of
     from ..operators.textops import NORM_TEXT
 
-    sigs = _signatures_from_stream(shingles_of(batch_df), num_hashes)
-    lsh_buckets = _band_buckets(sigs, num_hashes, bands)
-    short = batch_df.join(
-        sigs.select("doc_id"), "doc_id", "left_anti"
-    ).select(
-        "doc_id",
-        F.lit(-1).alias("band"),
-        F.xxhash64(F.expr(NORM_TEXT)).alias("h"),
-    )
+    if portable_hash:
+        allb = portable_doc_buckets(batch_df, num_hashes, bands)
+    else:
+        sigs = _signatures_from_stream(shingles_of(batch_df), num_hashes)
+        short = batch_df.join(
+            sigs.select("doc_id"), "doc_id", "left_anti"
+        ).select(
+            "doc_id",
+            F.lit(-1).alias("band"),
+            F.xxhash64(F.expr(NORM_TEXT)).alias("h"),
+        )
+        allb = _band_buckets(sigs, num_hashes, bands).unionByName(short)
     return (
-        lsh_buckets.unionByName(short)
+        allb
         .withColumn("batch_id", F.lit(batch_id))
         .withColumn("epoch", F.lit(epoch))
         .localCheckpoint()
@@ -163,6 +228,7 @@ def ingest_batch(
     bands: int = 16,
     epoch: str = "",
     stage_times: Optional[dict] = None,
+    portable_hash: bool = False,
 ) -> None:
     """Process ONE micro-batch of the ingest filter (the foreachBatch
     body, module-level so the crash-recovery protocol is unit-testable
@@ -199,7 +265,8 @@ def ingest_batch(
 
     t0 = _time.perf_counter()
     batch_df = batch_df.localCheckpoint()  # small; read 3x below
-    buckets = sign_batch(batch_df, batch_id, num_hashes, bands, epoch)
+    buckets = sign_batch(batch_df, batch_id, num_hashes, bands, epoch,
+                         portable_hash=portable_hash)
     t0 = mark("sign", t0)
     survivors = survivors_of(buckets, batch_id, bucket_table, epoch)
     if stage_times is not None:
@@ -275,6 +342,7 @@ def stream_ingest_near_dup_filter(
     max_files_per_trigger: int = 1,
     compact_every: int = 0,
     stage_times: Optional[dict] = None,
+    portable_hash: bool = False,
 ) -> "DeltaSparkTable":
     """Run the streaming near-dup ingest filter over a directory of
     document parquet files; returns the accepted-documents table
@@ -319,7 +387,7 @@ def stream_ingest_near_dup_filter(
         ingest_batch(
             batch_df, batch_id, docs_table, bucket_table, last,
             num_hashes=num_hashes, bands=bands, epoch=epoch,
-            stage_times=stage_times,
+            stage_times=stage_times, portable_hash=portable_hash,
         )
         if compact_every > 0 and (batch_id + 1) % compact_every == 0:
             bucket_table.optimize()
