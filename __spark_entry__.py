@@ -2214,7 +2214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # control / faithfulness guards) — makes the rebuild cadence
         # of the maintained ANN family evidence-driven
         "ann_index_drift_audit": ann_index_drift_audit,
-        # (positions 48-50 hold r8-recorded heads; any further NEW r9
+        # NEW in r9: BM25 + dense-cosine hybrid retrieval fused by
+        # Reciprocal Rank Fusion — oracle-backed end-to-end (both legs
+        # and the fusion are SQL twins)
+        "hybrid_search_rrf": similarity.hybrid_search_rrf,
+        # (positions 49-50 hold r8-recorded heads; any further NEW r9
         # entries must swap in before them)
         # -------- past the cap: green/ok rows on committed record --
         # every r8-window head rotates out on its committed
@@ -3782,6 +3786,79 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (PARTITION BY qid
                             ORDER BY score DESC, doc_id ASC) AS rank
                 FROM scored
+            ) WHERE rank <= 10
+        """,
+        # both legs re-derived independently: BM25 with the query
+        # DOCS' distinct tokens as terms, exact cosine over the
+        # aligned embeddings; fusion = 1/(60+rank) summed, rounded,
+        # doc_id tie-break — mirrors similarity.hybrid_search_rrf
+        "hybrid_search_rrf": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), qterms AS (
+                SELECT doc_id AS qid, unnest(list_distinct(t)) AS term
+                FROM toks WHERE doc_id < 5
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+                GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), dl AS (
+                SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+            ), stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(dl) AS avgdl
+                FROM dl
+            ), s_scored AS (
+                SELECT q.qid AS q_id, t.doc_id,
+                       round(sum(
+                           ln(1.0 + (s.n_docs - d.df + 0.5)
+                                    / (d.df + 0.5))
+                           * t.tf * 2.2
+                           / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                                   / s.avgdl))
+                       ), 9) AS score
+                FROM qterms q
+                JOIN tf t ON q.term = t.term
+                JOIN df d ON t.term = d.term
+                JOIN dl l ON t.doc_id = l.doc_id, stats s
+                WHERE q.qid <> t.doc_id
+                GROUP BY q.qid, t.doc_id
+            ), sparse AS (
+                SELECT q_id, doc_id, rank FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY score DESC, doc_id ASC) AS rank
+                    FROM s_scored
+                ) WHERE rank <= 20
+            ), d_scored AS (
+                SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+                       ({dot.format(a='q.embedding', b='e.embedding')})
+                       / (({norm.format(a='q.embedding')})
+                          * ({norm.format(a='e.embedding')})) AS cosine
+                FROM embeddings q, embeddings e
+                WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+            ), dense AS (
+                SELECT q_id, doc_id, rank FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, doc_id ASC) AS rank
+                    FROM d_scored
+                ) WHERE rank <= 20
+            ), fused AS (
+                SELECT coalesce(s.q_id, de.q_id) AS q_id,
+                       coalesce(s.doc_id, de.doc_id) AS doc_id,
+                       round(coalesce(1.0 / (60 + s.rank), 0)
+                             + coalesce(1.0 / (60 + de.rank), 0),
+                             9) AS rrf_score
+                FROM sparse s
+                FULL OUTER JOIN dense de
+                  ON s.q_id = de.q_id AND s.doc_id = de.doc_id
+            )
+            SELECT q_id, doc_id, rrf_score, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY rrf_score DESC, doc_id ASC) AS rank
+                FROM fused
             ) WHERE rank <= 10
         """,
         "pmi_collocations": f"""

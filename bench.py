@@ -91,6 +91,7 @@ def main() -> None:
         "gopher_quality_filter",
         "bigram_perplexity",
         "bm25_search",
+        "hybrid_search_rrf",
         "pmi_collocations",
         "bpe_token_stats",
         "fingerprint",

@@ -1468,3 +1468,73 @@ def embedding_pca_project(
         .select("vec_id", "label", "embedding")
         .mapInPandas(_project, "vec_id long, label int, proj array<double>")
     )
+
+
+def hybrid_search_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    inner_k: int = 20,
+    top_k: int = 10,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: fuse a SPARSE
+    ranking (BM25 over the query document's distinct tokens,
+    ``textops.bm25_search``) and a DENSE ranking (exact cosine over
+    the aligned embeddings, :func:`cosine_topk`) as
+
+        rrf(q, d) = sum over systems s of 1 / (k_rrf + rank_s(q, d))
+
+    — the standard zero-tuning fusion (Cormack et al. 2009) modern
+    retrieval stacks run over lexical + vector legs.  Each leg keeps
+    its own top-``inner_k``; a doc absent from a leg contributes 0.
+    Scores round to 9 decimals before the final ranking so top-k
+    membership is cross-engine deterministic (the BM25 leg's own
+    rounding convention); ties break on doc_id.
+
+    Plan: both legs are the already-audited plans (inverted-postings
+    probe; broadcast-query brute-force cosine); the fusion is one
+    full-outer join of two (queries x inner_k)-row frames and a
+    per-query WindowGroupLimit — fusion cost is rank-table-sized,
+    never corpus-sized, at any scale."""
+    from .textops import bm25_search
+
+    docs = load(spark, sf_dir, "documents")
+    qdocs = (
+        docs.where(F.col("doc_id") < n_queries)
+        .select("doc_id", "text").collect()
+    )  # bounded: n_queries rows
+    sparse = bm25_search(
+        spark, sf_dir,
+        queries=[(r["doc_id"], r["text"]) for r in qdocs],
+        top_k=inner_k, exclude_qid_doc=True,
+    ).select(
+        F.col("qid").cast("long").alias("q_id"),
+        "doc_id",
+        F.col("rank").alias("r_sparse"),
+    )
+    dense = cosine_topk(spark, sf_dir, k=inner_k, n_queries=n_queries) \
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank").alias("r_dense"),
+        )
+    contrib = (
+        F.when(F.col("r_sparse").isNotNull(),
+               1.0 / (k_rrf + F.col("r_sparse"))).otherwise(F.lit(0.0))
+        + F.when(F.col("r_dense").isNotNull(),
+                 1.0 / (k_rrf + F.col("r_dense"))).otherwise(F.lit(0.0))
+    )
+    fused = (
+        sparse.join(dense, ["q_id", "doc_id"], "full_outer")
+        .select("q_id", "doc_id", F.round(contrib, 9).alias("rrf_score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select("q_id", "doc_id", "rrf_score", "rank")
+    )

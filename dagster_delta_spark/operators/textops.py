@@ -632,6 +632,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 10,
+    exclude_qid_doc: bool = False,
 ) -> DataFrame:
     """Distributed BM25 full-text search: score every document against
     a small query set and return the per-query top-k — the retrieval
@@ -710,6 +711,11 @@ def bm25_search(
         .groupBy("qid", "doc_id")
         .agg(F.round(F.sum(idf * norm), 9).alias("score"))
     )
+    if exclude_qid_doc:
+        # doc-as-query callers (hybrid_search_rrf): the query doc
+        # itself is a degenerate perfect match — drop it BEFORE
+        # ranking so it doesn't consume a top-k slot
+        scored = scored.where(F.col("qid") != F.col("doc_id"))
     w = Window.partitionBy("qid").orderBy(
         F.desc("score"), F.asc("doc_id"))
     return (

@@ -115,3 +115,55 @@ def test_portable_ingest_filter_matches_production_structure(
     assert by_doc[2] == {-1} and by_doc[3] == {-1}
     with pytest.raises(ValueError, match="divide"):
         portable_doc_buckets(docs, 8, 3)
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    """RRF membership and score law: every fused row's score must
+    equal the recomputed 1/(60+rank) contributions of the two legs,
+    the query doc itself never appears, and a doc ranked by BOTH legs
+    outscores one ranked by a single leg at equal rank."""
+    from dagster_delta_spark.operators import similarity, textops
+
+    sf = "/root/testdata/sf0.001"
+    out = similarity.hybrid_search_rrf(spark, sf, n_queries=3,
+                                       inner_k=10, top_k=5)
+    rows = out.collect()
+    assert rows and all(r["q_id"] != r["doc_id"] for r in rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    qd = {r["doc_id"]: r["text"] for r in
+          docs.where("doc_id < 3").collect()}
+    sparse = {
+        (r["qid"], r["doc_id"]): r["rank"]
+        for r in textops.bm25_search(
+            spark, sf, queries=sorted(qd.items()), top_k=10,
+            exclude_qid_doc=True).collect()
+    }
+    dense = {
+        (r["q_id"], r["vec_id"]): r["rank"]
+        for r in similarity.cosine_topk(spark, sf, k=10,
+                                        n_queries=3).collect()
+    }
+    for r in rows:
+        key = (r["q_id"], r["doc_id"])
+        expect = 0.0
+        if key in sparse:
+            expect += 1.0 / (60 + sparse[key])
+        if key in dense:
+            expect += 1.0 / (60 + dense[key])
+        assert abs(r["rrf_score"] - round(expect, 9)) < 1e-12, (key, r)
+        assert expect > 0.0  # fused rows come from at least one leg
+
+
+def test_bm25_exclude_qid_doc(spark):
+    from dagster_delta_spark.operators import textops
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    q = [(r["doc_id"], r["text"]) for r in docs.where("doc_id < 2").collect()]
+    with_self = textops.bm25_search(spark, sf, queries=q, top_k=5)
+    without = textops.bm25_search(spark, sf, queries=q, top_k=5,
+                                  exclude_qid_doc=True)
+    ws = {(r["qid"], r["doc_id"]) for r in with_self.collect()}
+    wo = {(r["qid"], r["doc_id"]) for r in without.collect()}
+    assert (0, 0) in ws and (1, 1) in ws   # a doc is its own best match
+    assert all(q != d for q, d in wo)
