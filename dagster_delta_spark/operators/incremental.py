@@ -851,6 +851,10 @@ def index_drift_metrics(drift: DataFrame) -> dict:
     mean over all vectors (what a rebuild buys).  Both in cosine
     units on [-2, 2]; see docs/SCALE.md for thresholds."""
     rows = {r["cohort"]: r for r in drift.collect()}
+    if "all" not in rows:
+        raise ValueError(
+            "drift frame has no scored vectors — is the corpus empty "
+            "(or every embedding zero-norm)?")
     boot, folded = rows.get("bootstrap"), rows.get("folded")
     return {
         "n_bootstrap": boot["n"] if boot else 0,

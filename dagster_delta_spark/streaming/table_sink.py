@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import json
 import math
 from typing import Callable, Optional, Sequence
 
@@ -282,7 +283,15 @@ def _conform_replica_schema(target: DeltaSparkTable, ups: DataFrame) -> None:
     no longer carries (the source dropped it), refuses with a pointed
     error — silently null-filling or narrowing a replica would corrupt
     every downstream consumer."""
-    tgt = {f.name: f.dataType for f in target.read().schema.fields}
+    from pyspark.sql.types import StructType
+
+    # the snapshot's logical schema, straight from the log — no scan
+    # plan built per batch
+    tgt = {
+        f.name: f.dataType
+        for f in StructType.fromJson(
+            json.loads(target.snapshot().schema_json)).fields
+    }
     src = {f.name: f.dataType for f in ups.schema.fields}
     conflicts = sorted(
         n for n in src.keys() & tgt.keys() if src[n] != tgt[n])

@@ -3408,8 +3408,19 @@ class DeltaSparkTable:
         if raw_retain is not None:
             # CDC retention floor: union the protected window's live
             # sets — log replay only, one snapshot per protected
-            # version, no data reads
-            window = int(raw_retain)
+            # version, no data reads.  set_properties validates the
+            # value, but create-time table_configuration bypasses it —
+            # fail pointedly rather than reclaim files a feed needs.
+            try:
+                window = int(raw_retain)
+            except (TypeError, ValueError):
+                window = -1
+            if window < 0:
+                raise ValueError(
+                    f"table property {_CDC_RETAIN_KEY} is malformed "
+                    f"({raw_retain!r}); fix it with set_properties "
+                    "before vacuuming — reclaiming files under a "
+                    "broken retention floor could strand CDC consumers")
             for v in range(max(0, snap.version - window), snap.version):
                 old = self.snapshot(v)
                 live |= {a.path for a in old.files if a.base is None}

@@ -413,3 +413,79 @@ def test_replication_refuses_type_conflict_and_dropped_column(
     src3.write(spark.createDataFrame([(3,)], "id long"), WriteMode.error)
     with pytest.raises(ValueError, match="no longer in the feed"):
         sink(src3.read_changes(-1, row_level=True), 2)
+
+
+def test_cdc_replication_fuzz_with_evolution_and_vacuum(spark, tmp_path):
+    """r9 extension of the DML fuzz: interleave mid-feed ADD COLUMNS
+    on the source (the stream restarts at every sync, so each wave's
+    evolution is picked up) and aggressive retention_ms=0 vacuums
+    pinned by dds.cdcRetainVersions — the replica must converge to the
+    source exactly at every sync point, and no decode may ever hit a
+    reclaimed sidecar."""
+    import random
+
+    from dagster_delta_spark.streaming import cdc_replicating_sink
+
+    rng = random.Random(987)
+    src = DeltaSparkTable(spark, str(tmp_path / "src"))
+    src.write(spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "id long, v long"),
+        WriteMode.error)
+    # deep floor: every commit in this short fuzz stays decodable
+    src.set_properties({"dds.cdcRetainVersions": "200"})
+    next_id, next_col = 20, 0
+    added: list[str] = []
+    sink = cdc_replicating_sink(str(tmp_path / "dst"), ["id"])
+    cp = str(tmp_path / "cp")
+
+    def sync():
+        spark.dataSource.register(DeltaSparkTableDataSource)
+        q = (spark.readStream.format("dds_table")
+             .option("path", src.table_uri)
+             .option("readChangeFeed", "true").load()
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", cp).start())
+        q.processAllAvailable()
+        q.stop()
+
+    def state(t):
+        cols = ["id", "v"] + added
+        return sorted(
+            (tuple(r[c] for c in cols) for r in t.read().collect()),
+            key=str)
+
+    def append(n):
+        nonlocal next_id
+        base_cols = "id long, v long"
+        rows = []
+        for j in range(n):
+            rows.append(tuple(
+                [next_id + j, (next_id + j) * 10]
+                + [f"x{next_id + j}" for _ in added]))
+        schema = base_cols + "".join(f", {c} string" for c in added)
+        src.write(spark.createDataFrame(rows, schema), WriteMode.append)
+        next_id += n
+
+    sync()
+    dst = DeltaSparkTable(spark, str(tmp_path / "dst"))
+    assert state(dst) == state(src)
+    for step in range(8):
+        op = rng.choice(["append", "delete", "evolve", "vacuum",
+                         "update"])
+        if op == "append":
+            append(rng.randrange(1, 5))
+        elif op == "delete":
+            src.delete(f"id % 7 = {rng.randrange(7)}", use_dv=True)
+        elif op == "update":
+            src.update({"v": "v + 3"}, f"id % 5 = {rng.randrange(5)}",
+                       use_dv=True)
+        elif op == "evolve":
+            col = f"tag{next_col}"
+            next_col += 1
+            src.add_columns({col: "string"})
+            added.append(col)
+            append(2)  # carry the new column into the feed
+        else:
+            assert src.vacuum(retention_ms=0) == []  # floor pins all
+        sync()
+        assert state(dst) == state(src), f"step {step} op {op}"
