@@ -83,6 +83,11 @@ def maintain_rollup(
         raise ValueError(f"measure names collide with group columns: {sorted(bad)}")
     if count_col is not None and count_col not in measures:
         raise ValueError(f"count_col {count_col!r} is not a measure")
+    # start BEFORE the resume read: any foreign maintenance commit
+    # after this point lands in the detection interval — there is no
+    # interleave that silently double-folds (a commit before this
+    # point is reflected in the resume version instead)
+    rollup_start = rollup.version() if rollup.exists() else -1
     if since_version is None:
         since_version = (
             _resume_version(rollup)[0] if rollup.exists() else -1)
@@ -172,6 +177,7 @@ def maintain_rollup(
         ),
         commit_metadata=meta,
     )
+    _check_single_maintainer(rollup, rollup_start, rollup.version())
     if emptied:
         # groups a deletion emptied: a fresh recompute would omit them,
         # so drop their rows (merge-on-read — the merge just wrote
@@ -182,6 +188,46 @@ def maintain_rollup(
         # double-counting.
         rollup.delete(f"{count_col} = 0", use_dv=True)
     return head
+
+
+def _check_single_maintainer(
+    target: DeltaSparkTable, start_version: int, end_version: int
+) -> None:
+    """Maintenance folds assume a SINGLE maintainer per target (the
+    standard contract for incremental index/view refresh — delta-rs
+    documents the same for concurrent OPTIMIZE).  Two maintainers
+    racing the same delta both read the same resume point and both
+    apply their partials: the rollup double-counts, the index grows
+    duplicate rows — and every individual commit looks healthy, so
+    nothing else would notice until an audit.
+
+    Detection over prevention: prevention needs either a strandable
+    claim protocol (a crash between claim and fold permanently skips
+    the delta) or CAS-serialized multi-commit folds; detection is one
+    log-metadata walk.  Any commit in the OPEN interval
+    (start_version, end_version) carrying ``base_version`` metadata is
+    another maintainer's fold landing between our resume read and our
+    commit — raise loudly with the prescribed recovery instead of
+    leaving silent double-folds (``*_vs_rebuild`` /
+    ``rollup_vs_recompute`` confirm, a rebuild repairs).  Our own
+    intermediate commits (DV deletions on the target) carry no
+    ``base_version``, so they never false-positive."""
+    from .. import tablelog
+
+    foreign = [
+        h["version"]
+        for h in tablelog.history(target.table_uri)
+        if start_version < h["version"] < end_version
+        and "base_version" in (h.get("userMetadata") or {})
+    ]
+    if foreign:
+        raise tablelog.ConcurrentAppendError(
+            f"another maintenance run committed version(s) {foreign} of "
+            f"{target.table_uri} while this fold was in flight — the "
+            "same delta was applied twice.  Run the vs_rebuild/"
+            "vs_recompute audit and rebuild the target; run ONE "
+            "maintainer per index/rollup"
+        )
 
 
 def _resume_version(index: DeltaSparkTable) -> tuple[int, dict]:
@@ -323,6 +369,8 @@ def maintain_lsh_index(
     instead); compaction-only ranges are a metadata no-op, safe for
     the same reason as the IVF path.  Returns the new processed base
     version."""
+    index_start = index.version()  # BEFORE the resume read (see
+    # _check_single_maintainer: no interleave escapes the interval)
     v_meta, meta = _resume_version(index)
     v0 = v_meta if since_version is None else since_version
     num_hashes = int(meta.get("num_hashes", 64))
@@ -346,12 +394,14 @@ def maintain_lsh_index(
     if buckets.isEmpty():
         if removed:
             _advance_base_version(index, head, params)
+            _check_single_maintainer(index, index_start, index.version())
         return head
     index.write(
         buckets,
         WriteMode.append,
         commit_metadata={"base_version": str(head), **params},
     )
+    _check_single_maintainer(index, index_start, index.version())
     return head
 
 
@@ -448,6 +498,8 @@ def maintain_ivf_index(
     Returns the new processed base version."""
     from .similarity import _assign_cells, _with_norm
 
+    index_start = index.version()  # BEFORE the resume read (see
+    # _check_single_maintainer: no interleave escapes the interval)
     if since_version is None:
         since_version, _ = _resume_version(index)
     head = emb.version()
@@ -464,6 +516,7 @@ def maintain_ivf_index(
     if assigned.isEmpty():
         if removed:
             _advance_base_version(index, head)
+            _check_single_maintainer(index, index_start, index.version())
         # compaction-only range: nothing to fold, nothing to commit
         return head
     index.write(
@@ -471,6 +524,7 @@ def maintain_ivf_index(
         WriteMode.append,
         commit_metadata={"base_version": str(head)},
     )
+    _check_single_maintainer(index, index_start, index.version())
     return head
 
 
@@ -539,6 +593,8 @@ def maintain_pq_index(
     version."""
     from .similarity import _codebooks_from_rows, _pq_encode, _with_norm
 
+    index_start = index.version()  # BEFORE the resume read (see
+    # _check_single_maintainer: no interleave escapes the interval)
     v_meta, _meta = _resume_version(index)
     v0 = v_meta if since_version is None else since_version
     head = emb.version()
@@ -555,12 +611,14 @@ def maintain_pq_index(
     if enc.isEmpty():
         if removed:
             _advance_base_version(index, head)
+            _check_single_maintainer(index, index_start, index.version())
         return head
     index.write(
         enc,
         WriteMode.append,
         commit_metadata={"base_version": str(head)},
     )
+    _check_single_maintainer(index, index_start, index.version())
     return head
 
 
@@ -625,11 +683,20 @@ def pq_index_vs_rebuild(
     fresh = _pq_encode(
         _with_norm(emb.read().select("vec_id", "embedding")), cb
     ).select("vec_id", F.col("codes").alias("fresh_codes"))
-    stored = index.read().select(
-        "vec_id", F.col("codes").alias("stored_codes"))
+    # multiplicity-aware (r9): a double-folded delta leaves duplicate
+    # rows whose values all LOOK right — an equality join alone is
+    # blind to them, so the audit groups the stored side and flags
+    # n_rows != 1 too (the concurrent-maintenance failure mode)
+    stored = index.read().groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.first("codes").alias("stored_codes"),
+    )
     return (
         fresh.join(stored, "vec_id", "full_outer")
-        .where(~F.col("fresh_codes").eqNullSafe(F.col("stored_codes")))
+        .where(
+            ~F.col("fresh_codes").eqNullSafe(F.col("stored_codes"))
+            | (F.coalesce(F.col("n_rows"), F.lit(0)) != 1)
+        )
     )
 
 
@@ -648,10 +715,20 @@ def ivf_index_vs_rebuild(
         _with_norm(emb.read().select("vec_id", "embedding")),
         _ivf_centroids_table(index).read(),
     ).select("vec_id", F.col("cell").alias("fresh_cell"))
-    stored = index.read().select("vec_id", F.col("cell").alias("stored_cell"))
+    # multiplicity-aware (r9): duplicate inverted-list rows from a
+    # double-folded delta carry the RIGHT cell, so the equality join
+    # alone never sees them — group the stored side and flag
+    # n_rows != 1 as a mismatch too
+    stored = index.read().groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cell").alias("stored_cell"),
+    )
     return (
         fresh.join(stored, "vec_id", "full_outer")
-        .where(~F.col("fresh_cell").eqNullSafe(F.col("stored_cell")))
+        .where(
+            ~F.col("fresh_cell").eqNullSafe(F.col("stored_cell"))
+            | (F.coalesce(F.col("n_rows"), F.lit(0)) != 1)
+        )
     )
 
 

@@ -489,3 +489,33 @@ def test_cdc_replication_fuzz_with_evolution_and_vacuum(spark, tmp_path):
             assert src.vacuum(retention_ms=0) == []  # floor pins all
         sync()
         assert state(dst) == state(src), f"step {step} op {op}"
+
+
+def test_sql_lit_string_roundtrip_property(spark):
+    """Property: any printable string key must round-trip through the
+    rendered literal — quotes, backslashes, newlines, unicode, and
+    regex/SQL metacharacters included (the replication delete
+    predicate is built from live key values; one bad escape deletes
+    the wrong rows or fails the stream)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from dagster_delta_spark.streaming.table_sink import _sql_lit
+
+    cases = []
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.text(min_size=0, max_size=40))
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    # one Spark round-trip for all generated examples (per-example
+    # spark.sql calls would take minutes)
+    uniq = sorted(set(cases))
+    row = spark.sql(
+        "SELECT " + ", ".join(
+            f"{_sql_lit(s)} AS c{i}" for i, s in enumerate(uniq))
+    ).head()
+    for i, s in enumerate(uniq):
+        assert row[i] == s, repr(s)

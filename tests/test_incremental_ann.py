@@ -227,3 +227,35 @@ def test_maintenance_fuzz_random_commit_sequences(spark, tmp_path):
             maintain_lsh_index(docs, lsh)
             assert ivf_index_vs_rebuild(emb, ivf).count() == 0
             assert lsh_index_vs_rebuild(docs, lsh).count() == 0
+
+
+def test_concurrent_index_maintenance_detected(spark, tmp_path, monkeypatch):
+    """r9: a second maintainer folding the same delta mid-flight
+    leaves duplicate index rows; the single-maintainer check raises
+    after the commit and vs_rebuild confirms the damage."""
+    import dagster_delta_spark.operators.incremental as incr
+    from dagster_delta_spark.tablelog import ConcurrentAppendError
+
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    emb.write(_emb_df(spark, range(20)), WriteMode.error)
+    build_ivf_index(emb, index, n_cells=4)
+    emb.write(_emb_df(spark, range(20, 30)), WriteMode.append)
+
+    emb2 = DeltaSparkTable(spark, emb.table_uri)
+    index2 = DeltaSparkTable(spark, index.table_uri)
+    real = incr._split_row_changes
+    fired = []
+
+    def racing(b, v0, head):
+        out = real(b, v0, head)
+        if not fired:
+            fired.append(1)
+            incr.maintain_ivf_index(emb2, index2)  # B completes mid-A
+        return out
+
+    monkeypatch.setattr(incr, "_split_row_changes", racing)
+    with pytest.raises(ConcurrentAppendError, match="another maintenance"):
+        maintain_ivf_index(emb, index)
+    monkeypatch.undo()
+    assert ivf_index_vs_rebuild(emb, index).count() > 0  # duplicates

@@ -199,3 +199,45 @@ def test_emptied_group_without_count_col_zeroes(spark, tmp_path):
     got = {(r["g"], float(r["total"]), r["n"])
            for r in rollup.read().collect()}
     assert got == {("a", 0.0, 0), ("b", 2.0, 1)}
+
+
+def test_concurrent_rollup_maintenance_detected(spark, tmp_path, monkeypatch):
+    """r9: two maintainers racing the same delta double-count the
+    rollup with every individual commit looking healthy — the
+    post-commit single-maintainer check must raise loudly with the
+    rebuild recovery (detection, since prevention would need a
+    strandable claim protocol)."""
+    from dagster_delta_spark.table import DeltaSparkTable as T
+    from dagster_delta_spark.tablelog import ConcurrentAppendError
+
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(_df(spark, [("a", 1.0), ("b", 2.0)]), WriteMode.error)
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, -1)
+    base.write(_df(spark, [("a", 3.0)]), WriteMode.append)
+
+    base2 = DeltaSparkTable(spark, base.table_uri)
+    rollup2 = DeltaSparkTable(spark, rollup.table_uri)
+    real_merge = T.merge
+    fired = []
+
+    def racing_merge(self, *a, **kw):
+        if not fired and self.table_uri == rollup.table_uri:
+            fired.append(1)
+            # maintainer B folds the SAME delta while A is mid-flight
+            maintain_rollup(base2, rollup2, ["g"], MEASURES, v)
+        return real_merge(self, *a, **kw)
+
+    monkeypatch.setattr(T, "merge", racing_merge)
+    with pytest.raises(ConcurrentAppendError, match="another maintenance"):
+        maintain_rollup(base, rollup, ["g"], MEASURES, v)
+    monkeypatch.undo()
+    # THIS interleave happens to be benign (A's combined values were
+    # pinned before B's merge, and the upsert SETS values), so the
+    # audit is clean — the check still raises because the
+    # single-maintainer contract was violated and other interleaves
+    # of the same race do corrupt (see the index twin of this test)
+    from dagster_delta_spark.operators.incremental import (
+        rollup_vs_recompute,
+    )
+    assert rollup_vs_recompute(base, rollup, ["g"], MEASURES).count() == 0
