@@ -2081,7 +2081,11 @@ def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
        that flags everything is as useless as one that flags nothing;
     3. *faithfulness is orthogonal*: ``ivf_index_vs_rebuild`` stays
        empty on the DRIFTED index — drift is a model property, the
-       fold itself remains exact."""
+       fold itself remains exact;
+    4. *the PQ family sees it too*: ``pq_index_drift`` over a PQ code
+       index maintained on the same fixture must detect the shift
+       through its reconstruction-cosine lens (decay > 0.05,
+       rebuild_gain > 0.02)."""
     import numpy as np
 
     n = min(
@@ -2104,10 +2108,13 @@ def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = DeltaSparkTable(spark, _scratch("drift-emb"))
     index = DeltaSparkTable(spark, _scratch("drift-ivf"))
+    pq = DeltaSparkTable(spark, _scratch("drift-pq"))
     emb.write(clustered(range(n), [0, 1]), WriteMode.error)
     incremental.build_ivf_index(emb, index, n_cells=4, iters=4)
+    incremental.build_pq_index(emb, pq, m=4, nbits=3)
     emb.write(clustered(range(n, 2 * n), [8, 9]), WriteMode.append)
     incremental.maintain_ivf_index(emb, index)
+    incremental.maintain_pq_index(emb, pq)
     drift = incremental.ivf_index_drift(emb, index, iters=4)
     m = incremental.index_drift_metrics(drift)
     if not (m["cohort_decay"] > 0.2 and m["rebuild_gain"] > 0.05):
@@ -2116,6 +2123,12 @@ def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     if incremental.ivf_index_vs_rebuild(emb, index).count():
         raise AssertionError(
             "fold faithfulness broke under drift — vs_rebuild non-empty")
+    # the PQ family sees the same shift through its reconstruction lens
+    mp = incremental.index_drift_metrics(
+        incremental.pq_index_drift(emb, pq))
+    if not (mp["cohort_decay"] > 0.05 and mp["rebuild_gain"] > 0.02):
+        raise AssertionError(
+            f"PQ drift audit failed to detect the shifted fold: {mp}")
     ctrl_emb = DeltaSparkTable(spark, _scratch("drift-ctrl-emb"))
     ctrl_ix = DeltaSparkTable(spark, _scratch("drift-ctrl-ivf"))
     ctrl_emb.write(clustered(range(n), [0, 1, 2, 3]), WriteMode.error)
