@@ -86,11 +86,19 @@ class _ChangeFile(InputPartition):
 class DeltaSparkTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, table_uri: str,
                  starting_version: int = 0, cdc: bool = False,
-                 column_mapping: dict[str, str] | None = None):
+                 column_mapping: dict[str, str] | None = None,
+                 max_versions_per_batch: int | None = None):
         self._schema = schema
         self._table_uri = table_uri
         self._initial = starting_version - 1
         self._cdc = cdc
+        self._max_versions = max_versions_per_batch
+        #: newest offset this reader has planned or replayed — the
+        #: pacing anchor (see latestOffset).  Starts at the
+        #: startingVersion anchor: Spark may call latestOffset before
+        #: initialOffset, and an unanchored first call would hand out
+        #: the whole backlog in one batch.
+        self._last_end: int | None = self._initial
         # logical -> physical (column-mapped tables write under frozen
         # physical names; captured at stream start — a mid-stream
         # RENAME changes the logical schema, which Structured
@@ -105,12 +113,33 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
         # (a compacted-then-vacuumed prefix has no surviving original
         # files to stream; start after the compaction and read() the
         # snapshot for the backfill)
+        self._last_end = self._initial
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
-        return {"version": tablelog.latest_version(self._table_uri)}
+        """Head version, paced by ``maxVersionsPerBatch`` when set: a
+        lagging consumer drains its backlog in bounded microbatches
+        instead of one giant catch-up batch (the Python DataSource API
+        has no admission-control hook, so pacing tracks the newest
+        offset this reader has handed out, planned, or replayed).
+        Restart safety (verified empirically, and by the pacing test's
+        restart leg): Spark replays the checkpointed batch through
+        ``partitions`` BEFORE the first post-restart poll, so the
+        anchor is already at the checkpointed offset when this runs —
+        pacing never moves offsets backward and never re-emits."""
+        head = tablelog.latest_version(self._table_uri)
+        if self._max_versions is not None and self._last_end is not None:
+            head = min(head, self._last_end + self._max_versions)
+        if self._last_end is None or head > self._last_end:
+            self._last_end = head
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # anchor pacing on every planned/replayed batch (start AND
+        # end: on restart the checkpointed start is the true position)
+        anchor = max(start["version"], end["version"])
+        if self._last_end is None or anchor > self._last_end:
+            self._last_end = anchor
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             operation = ""
@@ -297,11 +326,22 @@ class DeltaSparkTableDataSource(DataSource):
         return str(self.options.get("readChangeFeed", "")).lower() in (
             "true", "1")
 
+    def _max_versions(self) -> int | None:
+        raw = self.options.get("maxVersionsPerBatch")
+        if raw is None:
+            return None
+        cap = int(raw)
+        if cap < 1:
+            raise ValueError(
+                f"maxVersionsPerBatch must be >= 1, got {raw!r}")
+        return cap
+
     def schema(self) -> StructType:
         import json
 
         from pyspark.sql.types import IntegerType, StringType
 
+        self._max_versions()  # validate at load() time, not first batch
         snap = tablelog.load_snapshot(self._uri())
         schema = StructType.fromJson(json.loads(snap.schema_json))
         if self._cdc():
@@ -318,4 +358,5 @@ class DeltaSparkTableDataSource(DataSource):
             int(self.options.get("startingVersion", "0")),
             cdc=self._cdc(),
             column_mapping=_column_mapping(snap.metadata.configuration),
+            max_versions_per_batch=self._max_versions(),
         )
