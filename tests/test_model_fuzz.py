@@ -102,7 +102,7 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         for _step in range(steps):
             op = rnd.choice(["append", "overwrite", "upsert",
                              "delete_unmatched", "update_only",
-                             "dedup_insert", "optimize",
+                             "dedup_insert", "optimize", "zorder",
                              "delete_dv", "delete_rw", "row_update",
                              "row_update_dv", "rename", "restore"])
             if op == "restore":
@@ -132,6 +132,18 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                     _snap()
                 assert _table_state(t, vname) == _model_state(model), (
                     f"trial {trial} step {_step} optimize"
+                )
+                continue
+            if op == "zorder":
+                # r9: the space-filling-curve rewrite is a compaction
+                # for every consumer — state, time travel, and the
+                # restore oracle must all see through it
+                before = t.version()
+                t.zorder(["k", vname], num_files=2)
+                if t.version() != before:  # empty table -> no commit
+                    _snap()
+                assert _table_state(t, vname) == _model_state(model), (
+                    f"trial {trial} step {_step} zorder"
                 )
                 continue
             if op in ("delete_dv", "delete_rw"):
