@@ -291,17 +291,21 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
         sidecars (parquet of (root, path, row_index) union masks,
         filtered to this file's identity).  Sidecar size ∝ masked rows
         of the commit's touched files — never the table."""
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         def mask(dv_path: str) -> set[int]:
             if not dv_path:
                 return set()
+            # (root, path) pushed into the parquet read: sidecars are
+            # written sorted by file identity, so row-group stats
+            # prune everything but this file's positions — the decode
+            # reads O(this file's mask), not O(the commit's mask),
+            # per touched file
             t = pq.read_table(
-                dv_path, columns=["root", "path", "row_index"])
-            m = pc.and_(pc.equal(t["root"], partition.root),
-                        pc.equal(t["path"], partition.relpath))
-            return set(t.filter(m)["row_index"].to_pylist())
+                dv_path, columns=["row_index"],
+                filters=[("root", "=", partition.root),
+                         ("path", "=", partition.relpath)])
+            return set(t["row_index"].to_pylist())
 
         old = mask(partition.old_dv)
         if partition.mode == "newly_masked":

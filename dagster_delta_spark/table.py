@@ -2247,7 +2247,13 @@ class DeltaSparkTable:
                 .select("root", "path", "row_index")
             )
             doomed = doomed.unionByName(old)
-        doomed.write.mode("error").parquet(out_dir)
+        # sorted by file identity: per-row-group min/max stats on
+        # (root, path) become disjoint ranges, so a consumer probing
+        # ONE file's positions (the streaming CDC decode reads the
+        # sidecar once per touched file) prunes to that file's row
+        # groups instead of scanning the whole commit's mask
+        doomed.sortWithinPartitions("root", "path", "row_index") \
+            .write.mode("error").parquet(out_dir)
         return [
             dataclasses.replace(
                 a, dv_path=rel, dv_base=None,
