@@ -214,12 +214,14 @@ def _check_single_maintainer(
     ``base_version``, so they never false-positive."""
     from .. import tablelog
 
-    foreign = [
-        h["version"]
-        for h in tablelog.history(target.table_uri)
-        if start_version < h["version"] < end_version
-        and "base_version" in (h.get("userMetadata") or {})
-    ]
+    foreign = []
+    # read ONLY the interval's commit infos (a full history() walk
+    # would cost O(total commits) log reads per fold)
+    for v in range(start_version + 1, end_version):
+        for action in tablelog.read_version_actions(target.table_uri, v):
+            info = action.get("commitInfo")
+            if info and "base_version" in (info.get("userMetadata") or {}):
+                foreign.append(v)
     if foreign:
         raise tablelog.ConcurrentAppendError(
             f"another maintenance run committed version(s) {foreign} of "
