@@ -164,12 +164,29 @@ def maintain_rollup(
     # probe BEFORE the merge commits: on the common no-deletion path
     # this skips a whole commit + rollup file scan per maintenance run
     # (the delete's discovery pass would rescan the rollup's files
-    # every time even when nothing emptied)
-    emptied = (
-        count_col is not None
-        and bool(combined.where(F.col(count_col) <= 0).take(1))
+    # every time even when nothing emptied).  Two triggers:
+    # (a) this delta emptied a group (the combined partials probe);
+    # (b) a PREVIOUS run crashed between its merge and its delete,
+    #     leaving count=0 rows behind — visible in the rollup's file
+    #     stats for free (driver-side min-values walk, no data read;
+    #     absent stats count as "might", which just runs the delete).
+    # Without (b) the leftover would persist until its group was
+    # touched again, failing rollup_vs_recompute indefinitely.
+    def _stats_may_hold_zero() -> bool:
+        for a in rollup.snapshot().files:
+            raw = (a.stats.get("minValues") or {}).get(count_col)
+            try:
+                if raw is None or float(raw) <= 0:
+                    return True
+            except (TypeError, ValueError):
+                return True
+        return False
+
+    emptied = count_col is not None and (
+        bool(combined.where(F.col(count_col) <= 0).take(1))
+        or _stats_may_hold_zero()
     )
-    rollup.merge(
+    merge_res = rollup.merge(
         combined,
         MergeConfig(
             MergeType.upsert,
@@ -177,7 +194,8 @@ def maintain_rollup(
         ),
         commit_metadata=meta,
     )
-    _check_single_maintainer(rollup, rollup_start, rollup.version())
+    _check_single_maintainer(rollup, rollup_start,
+                             int(merge_res["version"]))
     if emptied:
         # groups a deletion emptied: a fresh recompute would omit them,
         # so drop their rows (merge-on-read — the merge just wrote
@@ -298,14 +316,18 @@ def _apply_index_deletions(
 
 def _advance_base_version(
     index: DeltaSparkTable, head: int, extra: Optional[dict] = None
-) -> None:
+) -> int:
     """Commit an EMPTY append carrying the new base_version — the
     marker a deletions-only fold needs so resume does not reprocess
-    the same delta forever."""
+    the same delta forever.  Returns the committed version (the
+    single-maintainer check's interval end — a re-read of
+    ``version()`` could already include a racer's later commit and
+    false-positive on our own)."""
     empty = index.spark.createDataFrame([], index.read().schema)
-    index.write(
+    res = index.write(
         empty, WriteMode.append,
         commit_metadata={"base_version": str(head), **(extra or {})})
+    return int(res["version"])
 
 
 def _lsh_doc_buckets(docs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -395,15 +417,15 @@ def maintain_lsh_index(
     ).localCheckpoint(eager=True)
     if buckets.isEmpty():
         if removed:
-            _advance_base_version(index, head, params)
-            _check_single_maintainer(index, index_start, index.version())
+            marker_v = _advance_base_version(index, head, params)
+            _check_single_maintainer(index, index_start, marker_v)
         return head
-    index.write(
+    res = index.write(
         buckets,
         WriteMode.append,
         commit_metadata={"base_version": str(head), **params},
     )
-    _check_single_maintainer(index, index_start, index.version())
+    _check_single_maintainer(index, index_start, int(res["version"]))
     return head
 
 
@@ -517,16 +539,16 @@ def maintain_ivf_index(
     ).select("vec_id", "cell").localCheckpoint(eager=True)
     if assigned.isEmpty():
         if removed:
-            _advance_base_version(index, head)
-            _check_single_maintainer(index, index_start, index.version())
+            marker_v = _advance_base_version(index, head)
+            _check_single_maintainer(index, index_start, marker_v)
         # compaction-only range: nothing to fold, nothing to commit
         return head
-    index.write(
+    res = index.write(
         assigned,
         WriteMode.append,
         commit_metadata={"base_version": str(head)},
     )
-    _check_single_maintainer(index, index_start, index.version())
+    _check_single_maintainer(index, index_start, int(res["version"]))
     return head
 
 
@@ -612,15 +634,15 @@ def maintain_pq_index(
     ).localCheckpoint(eager=True)
     if enc.isEmpty():
         if removed:
-            _advance_base_version(index, head)
-            _check_single_maintainer(index, index_start, index.version())
+            marker_v = _advance_base_version(index, head)
+            _check_single_maintainer(index, index_start, marker_v)
         return head
-    index.write(
+    res = index.write(
         enc,
         WriteMode.append,
         commit_metadata={"base_version": str(head)},
     )
-    _check_single_maintainer(index, index_start, index.version())
+    _check_single_maintainer(index, index_start, int(res["version"]))
     return head
 
 
@@ -803,22 +825,63 @@ def _pq_recon_scores(vectors: DataFrame, codebooks) -> DataFrame:
         _score, "vec_id long, cos double")
 
 
+def _bootstrap_ids(emb: DeltaSparkTable, index: DeltaSparkTable) -> DataFrame:
+    """The ids the index's most recent BOOTSTRAP covered: the base
+    table's vec_ids at the build commit's ``base_version``.  Derived
+    from the BASE table's history, not the index's version-0 files —
+    a compacted + vacuumed index has no original v0 files left, and
+    an index REBUILD resets the cohort boundary to its own build.
+    The bootstrap commit is the newest rewrite-flavored commit
+    carrying ``base_version`` (builds overwrite; folds append; DV
+    deletions carry no base_version)."""
+    from .. import tablelog
+
+    boot_base = None
+    for h in tablelog.history(index.table_uri):
+        meta = h.get("userMetadata") or {}
+        if "base_version" in meta and (
+            h["version"] == 0
+            or tablelog.classify_commit(h.get("operation", "")) == "rewrite"
+        ):
+            boot_base = int(meta["base_version"])
+            break
+    if boot_base is None:
+        raise ValueError(
+            "index has no bootstrap commit (base_version on a "
+            "rewrite) — was it created by its build_* function?")
+    snap = emb.snapshot(boot_base)
+    import os as _os
+
+    gone = [
+        a.path for a in snap.files
+        if not _os.path.exists(
+            _os.path.join(a.base or emb.table_uri, a.path))
+    ]
+    if gone:
+        raise ValueError(
+            f"drift cohorts need the base table's version {boot_base} "
+            f"snapshot, but {len(gone)} of its files were vacuumed "
+            f"(e.g. {gone[:2]}) — rebuild the index to reset the "
+            "cohort boundary, or audit with a fresh bootstrap")
+    return emb._read_files(snap, list(snap.files)).select("vec_id")
+
+
 def _cohort_quality(
+    emb: DeltaSparkTable,
     index: DeltaSparkTable,
-    id_col: str,
     scored: DataFrame,
     retrained: DataFrame,
 ) -> DataFrame:
     """Shared drift-audit epilogue: tag each scored vector by whether
-    its id was indexed at BOOTSTRAP (the index's version-0 rows — a
-    pure delta by construction) or FOLDED later, aggregate mean/min
-    quality per cohort, and append an ``all_retrained`` row scoring
-    the same corpus against a freshly trained model.  One grouped
-    aggregate over (vectors x 2) rows; the id set never visits the
-    driver."""
+    its id was covered by the index's BOOTSTRAP build (present in the
+    base table at the build's base_version — see ``_bootstrap_ids``)
+    or FOLDED later, aggregate mean/min quality per cohort, and append
+    an ``all_retrained`` row scoring the same corpus against a freshly
+    trained model.  One grouped aggregate over (vectors x 2) rows; the
+    id set never visits the driver."""
     boot = (
-        index.read_changes(-1, 0)
-        .select(F.col(id_col).alias("vec_id")).distinct()
+        _bootstrap_ids(emb, index)
+        .distinct()
         .withColumn("_boot", F.lit(True))
     )
     # NOT broadcast: the bootstrap id set is corpus-sized, not
@@ -877,7 +940,7 @@ def ivf_index_drift(
     n_cells = cents.count()
     fresh = kmeans_centroids(vectors, n_cells, iters, train_sample_mod)
     return _cohort_quality(
-        index, "vec_id",
+        emb, index,
         _best_cos_scores(vectors, cents),
         _best_cos_scores(vectors, fresh),
     )
@@ -916,7 +979,7 @@ def pq_index_drift(
     x = _pq_sample_matrix(vectors, train_sample_mod, sample_cap)
     fresh = _learn_pq_codebooks(x, m, nbits, iters)
     return _cohort_quality(
-        index, "vec_id",
+        emb, index,
         _pq_recon_scores(vectors, cb),
         _pq_recon_scores(vectors, fresh),
     )

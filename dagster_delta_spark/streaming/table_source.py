@@ -87,11 +87,23 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, table_uri: str,
                  starting_version: int = 0, cdc: bool = False,
                  column_mapping: dict[str, str] | None = None,
-                 max_versions_per_batch: int | None = None):
+                 max_versions_per_batch: int | None = None,
+                 pinned_version: int = -1,
+                 pinned_schema_json: str = ""):
         self._schema = schema
         self._table_uri = table_uri
         self._initial = starting_version - 1
         self._cdc = cdc
+        #: the table state this run's schema was derived from: a
+        #: schema- or mapping-changing metaData commit NEWER than this
+        #: fails the stream loudly (see partitions) — silently reading
+        #: post-evolution files under the pinned schema would DROP new
+        #: columns' values (or miss renamed physicals) for every row
+        #: until a restart, permanently desyncing CDC consumers whose
+        #: checkpoints then skip those versions
+        self._pinned_version = pinned_version
+        self._pinned_schema_json = pinned_schema_json
+        self._pinned_mapping = dict(column_mapping or {})
         self._max_versions = max_versions_per_batch
         #: newest offset this reader has planned or replayed — the
         #: pacing anchor (see latestOffset).  Starts at the
@@ -155,6 +167,8 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
                     adds.append(tablelog.AddFile.from_action(action["add"]))
                 elif self._cdc and "remove" in action:
                     removed_keys.add(tablelog.remove_key(action["remove"]))
+                elif "metaData" in action and v > self._pinned_version:
+                    self._refuse_if_evolved(v, action["metaData"])
             kind = tablelog.classify_commit(operation)
             if kind == "compaction":
                 continue
@@ -186,6 +200,32 @@ class DeltaSparkTableStreamReader(DataSourceStreamReader):
                     for a in adds
                 )
         return parts
+
+    def _refuse_if_evolved(self, v: int, meta_action: dict) -> None:
+        """Fail the stream at a schema- or column-mapping-changing
+        commit NEWER than the run's pin point, BEFORE any of its (or
+        any later version's) data emits — the checkpoint stops short
+        of ``v``, so a restart re-derives the schema and replans from
+        exactly here with nothing lost.  Reading on under the pinned
+        schema would silently drop new columns' values (the executor
+        read selects the pinned names) or miss renamed physicals.
+        Config-only metaData commits (table properties) pass."""
+        from ..table import _column_mapping
+
+        new_meta = tablelog.Metadata.from_action(meta_action)
+        if (new_meta.schema_json == self._pinned_schema_json
+                and _column_mapping(new_meta.configuration)
+                == self._pinned_mapping):
+            return
+        raise ValueError(
+            f"version {v} changed the source's schema or column "
+            "mapping while this stream was running (pinned at version "
+            f"{self._pinned_version}); Structured Streaming never "
+            "evolves a running query's schema, and reading on would "
+            "silently drop or misread the changed columns — restart "
+            "the stream (the checkpoint resumes exactly here under "
+            "the new schema)"
+        )
 
     # -- CDC decode (driver side): mirror of read_changes(row_level) --
 
@@ -363,4 +403,6 @@ class DeltaSparkTableDataSource(DataSource):
             cdc=self._cdc(),
             column_mapping=_column_mapping(snap.metadata.configuration),
             max_versions_per_batch=self._max_versions(),
+            pinned_version=snap.version,
+            pinned_schema_json=snap.schema_json,
         )

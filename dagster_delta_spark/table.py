@@ -3427,11 +3427,26 @@ class DeltaSparkTable:
                     f"({raw_retain!r}); fix it with set_properties "
                     "before vacuuming — reclaiming files under a "
                     "broken retention floor could strand CDC consumers")
-            for v in range(max(0, snap.version - window), snap.version):
-                old = self.snapshot(v)
-                live |= {a.path for a in old.files if a.base is None}
-                live_dv |= {a.dv_path for a in old.files
-                            if a.dv_path and a.dv_base is None}
+            # the union of live sets over [lo, head] = live(lo) plus
+            # every file ADDED inside the window (a file live at some
+            # window version was either live at lo or added after) —
+            # ONE checkpoint-accelerated snapshot replay + an action
+            # walk, not a full replay per protected version
+            lo = max(0, snap.version - window)
+            old = self.snapshot(lo)
+            live |= {a.path for a in old.files if a.base is None}
+            live_dv |= {a.dv_path for a in old.files
+                        if a.dv_path and a.dv_base is None}
+            for v in range(lo + 1, snap.version):
+                for action in tablelog.read_version_actions(
+                        self.table_uri, v):
+                    if "add" not in action:
+                        continue
+                    a = AddFile.from_action(action["add"])
+                    if a.base is None:
+                        live.add(a.path)
+                    if a.dv_path and a.dv_base is None:
+                        live_dv.add(a.dv_path)
         cutoff = time.time() * 1000 - retention_ms
         deleted = []
         for dirpath, _dn, filenames in os.walk(self.table_uri):

@@ -567,3 +567,53 @@ def test_max_versions_per_batch_paces_the_stream(spark, tmp_path):
         (spark.readStream.format("dds_table")
          .option("path", t.table_uri)
          .option("maxVersionsPerBatch", "0").load())
+
+
+def test_mid_stream_schema_evolution_fails_loudly_then_recovers(
+        spark, tmp_path):
+    """r9 review fix: rows committed after a source add_columns but
+    before a stream restart were read under the pinned schema — the
+    new column's values were silently DROPPED and the checkpoint moved
+    past them, permanently desyncing the replica.  The source must
+    fail at the evolution commit (before its data emits); a restart
+    then replans from exactly there under the new schema and the
+    replica converges with every value intact."""
+    from dagster_delta_spark.streaming import cdc_replicating_sink
+
+    src = DeltaSparkTable(spark, str(tmp_path / "src"))
+    src.write(spark.createDataFrame(
+        [(i, i * 10) for i in range(4)], "id long, v long"),
+        WriteMode.error)
+    sink = cdc_replicating_sink(str(tmp_path / "dst"), ["id"])
+    spark.dataSource.register(DeltaSparkTableDataSource)
+
+    def stream():
+        return (spark.readStream.format("dds_table")
+                .option("path", src.table_uri)
+                .option("readChangeFeed", "true").load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", str(tmp_path / "cp"))
+                .start())
+
+    q = stream()
+    q.processAllAvailable()
+    # evolution + data WHILE the stream is live: the old behavior
+    # delivered (10, 100, NULL) and moved the checkpoint past it
+    src.add_columns({"tag": "string"})
+    src.write(spark.createDataFrame(
+        [(10, 100, "precious")], "id long, v long, tag string"),
+        WriteMode.append)
+    with pytest.raises(Exception, match="schema or column mapping"):
+        q.processAllAvailable()
+    q.stop()
+    # restart: replans the evolution + data under the new schema
+    q = stream()
+    q.processAllAvailable()
+    q.stop()
+    dst = DeltaSparkTable(spark, str(tmp_path / "dst"))
+    assert sorted(
+        (r["id"], r["v"], r["tag"]) for r in dst.read().collect()
+    ) == sorted(
+        (r["id"], r["v"], r["tag"]) for r in src.read().collect()
+    )
+    assert ("precious" in {r["tag"] for r in dst.read().collect()})

@@ -241,3 +241,37 @@ def test_concurrent_rollup_maintenance_detected(spark, tmp_path, monkeypatch):
         rollup_vs_recompute,
     )
     assert rollup_vs_recompute(base, rollup, ["g"], MEASURES).count() == 0
+
+
+def test_crash_leftover_zero_row_self_heals(spark, tmp_path, monkeypatch):
+    """r9: a crash between the merge and the emptied-group delete
+    leaves a count=0 row; the NEXT fold must clean it even when its
+    own delta empties nothing (the file-stats probe), or
+    rollup_vs_recompute fails forever."""
+    from dagster_delta_spark.table import DeltaSparkTable as T
+
+    base = DeltaSparkTable(spark, str(tmp_path / "base"))
+    rollup = DeltaSparkTable(spark, str(tmp_path / "roll"))
+    base.write(_df(spark, [("a", 1.0), ("b", 2.0)]), WriteMode.error)
+    v = maintain_rollup(base, rollup, ["g"], MEASURES, -1, count_col="n")
+    base.delete("g = 'a'", use_dv=True)  # empties group a
+
+    real_delete = T.delete
+
+    def crashing_delete(self, *a, **kw):
+        raise RuntimeError("simulated crash before the emptied delete")
+
+    monkeypatch.setattr(T, "delete", crashing_delete)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        maintain_rollup(base, rollup, ["g"], MEASURES, v, count_col="n")
+    monkeypatch.setattr(T, "delete", real_delete)
+    got = {(r["g"], r["n"]) for r in rollup.read().collect()}
+    assert ("a", 0) in got  # the leftover
+    # resume point advanced with the merge; the next fold's delta
+    # touches only b — the stats probe must still clean group a
+    base.write(_df(spark, [("b", 5.0)]), WriteMode.append)
+    maintain_rollup(base, rollup, ["g"], MEASURES, count_col="n")
+    got = {(r["g"], float(r["total"]), r["n"])
+           for r in rollup.read().collect()}
+    assert got == {("b", 7.0, 2)}
+    assert rollup_vs_recompute(base, rollup, ["g"], MEASURES).count() == 0

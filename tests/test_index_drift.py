@@ -107,3 +107,86 @@ def test_drift_audit_refuses_foreign_index(spark, tmp_path):
         [(1, 1)], "vec_id long, cell int"), WriteMode.error)
     with pytest.raises(ValueError, match="base_version"):
         ivf_index_drift(emb, index)
+
+
+def test_drift_audit_survives_index_compaction_and_vacuum(spark, tmp_path):
+    """r9 review fix: cohorts derive from the BASE table's history, so
+    housekeeping (optimize + vacuum) on the INDEX table — which
+    destroys its original version-0 files — must not break the audit."""
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    d = 16
+    emb.write(
+        _clustered(spark, range(60), _axes(d, [0, 1]), d, seed=9)
+        .repartition(4),
+        WriteMode.error)
+    build_ivf_index(emb, index, n_cells=4, iters=4)
+    emb.write(
+        _clustered(spark, range(60, 120), _axes(d, [8, 9]), d, seed=10),
+        WriteMode.append)
+    maintain_ivf_index(emb, index)
+    index.optimize(target_file_size=1 << 20)   # rewrites v0's files
+    assert index.vacuum(retention_ms=0)        # reclaims the originals
+    m = index_drift_metrics(ivf_index_drift(emb, index, iters=4))
+    assert m["n_bootstrap"] == 60 and m["n_folded"] == 60
+    assert m["cohort_decay"] > 0.2 and m["rebuild_gain"] > 0.05
+
+
+def test_drift_audit_points_at_vacuumed_base_history(spark, tmp_path):
+    """When the BASE table's bootstrap-era files are gone, the audit
+    must fail with the rebuild recovery, not a raw executor error."""
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    d = 16
+    emb.write(_clustered(spark, range(40), _axes(d, [0, 1]), d, seed=11),
+              WriteMode.error)
+    build_ivf_index(emb, index, n_cells=4, iters=4)
+    emb.write(_clustered(spark, range(40, 80), _axes(d, [0, 1]), d,
+                         seed=12), WriteMode.append)
+    maintain_ivf_index(emb, index)
+    emb.optimize(target_file_size=1 << 20)
+    emb.vacuum(retention_ms=0)  # bootstrap-era base files gone
+    with pytest.raises(ValueError, match="vacuumed"):
+        ivf_index_drift(emb, index, iters=4)
+
+
+def test_pq_recon_scores_pin_the_production_encoder(spark, tmp_path):
+    """r9 review pin: _pq_recon_scores re-derives nearest codewords
+    with the same math as similarity._pq_encode; if either side's
+    tie-break, dtype, or normalization changes without the other, the
+    audit would score a different encoder than the one that produced
+    the stored codes.  Reconstructing from _pq_encode's OWN codes must
+    give bit-identical cosines."""
+    import numpy as np
+
+    from dagster_delta_spark.operators.incremental import _pq_recon_scores
+    from dagster_delta_spark.operators.similarity import (
+        _learn_pq_codebooks,
+        _pq_encode,
+        _with_norm,
+    )
+
+    rng = np.random.default_rng(21)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(64)],
+        "vec_id long, embedding array<float>")
+    normed = _with_norm(vecs)
+    cb = _learn_pq_codebooks(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  / r["norm"] for r in normed.collect()]),
+        m=4, nbits=3)
+    audit = {r["vec_id"]: r["cos"]
+             for r in _pq_recon_scores(normed, cb).collect()}
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in _pq_encode(normed, cb).collect()}
+    raw = {r["vec_id"]: (np.asarray(r["embedding"], dtype=np.float64),
+                         r["norm"]) for r in normed.collect()}
+    for vid, cs in codes.items():
+        recon = np.concatenate([cb[j][c] for j, c in enumerate(cs)])
+        x = raw[vid][0] / raw[vid][1]
+        want = float(x @ recon / np.sqrt(recon @ recon))
+        # 1e-9 pins CODEWORD IDENTITY (a different codeword moves the
+        # cosine by orders of magnitude more) while allowing float
+        # summation-order reassociation between the batched and the
+        # per-vector dot product
+        assert abs(audit[vid] - want) < 1e-9, vid
