@@ -85,11 +85,18 @@ def _evict_stale(
 
 
 
-def band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, sig) -> (doc_id, band, h): one xxhash64 bucket per
-    signature slice.  THE banding scheme — shared by the batch LSH
-    operators and the streaming ingest filter so they can never band
-    differently."""
+def band_buckets(
+    sigs: DataFrame, num_hashes: int, bands: int,
+    hash_sql: str = "xxhash64({x})",
+) -> DataFrame:
+    """(doc_id, sig) -> (doc_id, band, h): one bucket per signature
+    slice.  THE banding scheme — shared by the batch LSH operators and
+    the streaming ingest filter so they can never band differently.
+    ``hash_sql`` (a ``{x}`` template) swaps the slice hash — the
+    portable (md5) oracle dial routes through HERE, so the banding
+    structure itself can never fork (streaming/ingest_dedup.py:
+    portable_doc_buckets); the default renders the exact historical
+    xxhash64 expression."""
     if bands < 1 or num_hashes % bands != 0:
         # bands > num_hashes would make every slice empty: every doc
         # hashes to xxhash64('') and the bucket join degenerates to the
@@ -100,11 +107,11 @@ def band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             f"{num_hashes} exactly"
         )
     rows_per_band = num_hashes // bands
+    slice_x = (f"concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
+               f"{rows_per_band}))")
     band_expr = (
         f"transform(sequence(0, {bands - 1}), "
-        f"b -> named_struct('band', b, 'h', "
-        f"xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
-        f"{rows_per_band})))))"
+        f"b -> named_struct('band', b, 'h', {hash_sql.format(x=slice_x)}))"
     )
     return sigs.select(
         "doc_id", F.explode(F.expr(band_expr)).alias("bh")
@@ -312,13 +319,22 @@ def minhash_signatures(
     return sigs
 
 
-def _signatures_from_stream(stream: DataFrame, num_hashes: int) -> DataFrame:
+def _signatures_from_stream(
+    stream: DataFrame, num_hashes: int,
+    base_hash=None, seed_hash=None,
+) -> DataFrame:
     # hash the (variable-length) shingle string once; the per-seed
     # hashes then run over a fixed 8-byte long — ~20x cheaper than
-    # re-hashing the string per seed
-    ex = stream.select("doc_id", F.xxhash64("sh").alias("h0"))
+    # re-hashing the string per seed.  ``base_hash(col_name)`` /
+    # ``seed_hash(i)`` (Column factories) swap the hash family — the
+    # portable md5 oracle dial routes through HERE so the signature
+    # STRUCTURE can never fork from production; defaults are the
+    # exact historical xxhash64 expressions.
+    h0 = base_hash("sh") if base_hash else F.xxhash64("sh")
+    ex = stream.select("doc_id", h0.alias("h0"))
+    mk = seed_hash or (lambda i: F.xxhash64(F.lit(i), F.col("h0")))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
+        F.min(mk(i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     g = ex.groupBy("doc_id").agg(*aggs)

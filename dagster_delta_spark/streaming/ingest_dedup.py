@@ -61,36 +61,27 @@ def portable_doc_buckets(
     makes the ingest filter's kept-set ORACLE-VERIFIABLE end-to-end
     (`__spark_entry__._stream_ingest_filter`).  md5 costs ~3x
     xxhash64, so the production filter keeps xxhash64 and this
-    variant is the verification dial."""
-    from ..operators.dedup import shingles_of
+    variant is the verification dial.
+
+    The pipeline DELEGATES to the shared primitives
+    (``_signatures_from_stream`` / ``band_buckets``) with the hash
+    family swapped via their hash parameters — the structure (shingle
+    rule, seeding, slice scheme, short-doc pseudo-bucket) literally
+    cannot fork from the xxhash64 production path."""
+    from ..operators.dedup import (
+        _signatures_from_stream,
+        band_buckets,
+        shingles_of,
+    )
     from ..operators.textops import NORM_TEXT
 
-    if bands < 1 or num_hashes % bands != 0:
-        raise ValueError(
-            f"bands={bands} must be >= 1 and divide "
-            f"num_hashes={num_hashes} exactly")
-    r = num_hashes // bands
-    ex = shingles_of(docs).select(
-        "doc_id", F.expr(PORTABLE_H64.format(x="sh")).alias("h0"))
-    aggs = [
-        F.min(F.expr(PORTABLE_H64.format(
-            x=f"concat('{i}', ':', CAST(h0 AS STRING))"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = ex.groupBy("doc_id").agg(*aggs).select(
-        "doc_id",
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    sigs = _signatures_from_stream(
+        shingles_of(docs), num_hashes,
+        base_hash=lambda c: F.expr(PORTABLE_H64.format(x=c)),
+        seed_hash=lambda i: F.expr(PORTABLE_H64.format(
+            x=f"concat('{i}', ':', CAST(h0 AS STRING))")),
     )
-    slice_h = PORTABLE_H64.format(
-        x=f"concat_ws(',', slice(sig, b * {r} + 1, {r}))")
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), "
-        f"b -> named_struct('band', b, 'h', {slice_h}))"
-    )
-    lsh = sigs.select(
-        "doc_id", F.explode(F.expr(band_expr)).alias("bh")
-    ).select("doc_id", F.col("bh.band").alias("band"),
-             F.col("bh.h").alias("h"))
+    lsh = band_buckets(sigs, num_hashes, bands, hash_sql=PORTABLE_H64)
     short = docs.join(sigs.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id", F.lit(-1).alias("band"),
         F.expr(PORTABLE_H64.format(x=NORM_TEXT)).alias("h"),
