@@ -1024,9 +1024,16 @@ def _leakage_safe_splits(spark, sf_dir):
 
 
 def minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs.  Guard: a planted exact duplicate
-    (Jaccard 1.0 -> identical signature -> collides in EVERY band)
-    must be recovered on the scratch corpus."""
+    """MinHash+LSH near-dup pairs.  ORACLE-BACKED since r10 via the
+    portable md5 hash dial (``dedup.portable_hash_family`` — the r9
+    ingest-filter conversion technique): the DuckDB twin recomputes
+    the ENTIRE operator in SQL — trigram shingles, 64-seed minhash
+    signatures, 16-band bucket hashes, candidate pairs, and the exact
+    trigram-Jaccard verification at threshold 0.4.  The production
+    path keeps xxhash64 (benched as ``minhash``); the in-entry
+    planted-duplicate guard still exercises THAT path (Jaccard 1.0 ->
+    identical signature -> collides in EVERY band) so both hash
+    families stay covered."""
     d, orig, planted = _planted_dup_docs(spark, sf_dir)
     found = {
         (r["doc_a"], r["doc_b"])
@@ -1038,7 +1045,7 @@ def minhash_lsh(spark, sf_dir):
             f"minhash_lsh_near_dups missed the planted exact duplicate "
             f"({orig}, {planted}); found only {sorted(found)[:10]}"
         )
-    return dedup.minhash_lsh_near_dups(spark, sf_dir)
+    return dedup.minhash_lsh_near_dups(spark, sf_dir, portable_hash=True)
 
 
 def _near_dup_decon(spark, sf_dir):
@@ -1118,11 +1125,16 @@ def _bpe_stats(spark, sf_dir):
 
 
 def _minhash_cluster(spark, sf_dir):
-    """Cluster-level dedup.  Guard: structural contract of the output
-    itself — every cluster has EXACTLY one keeper, the keeper is the
+    """Cluster-level dedup.  ORACLE-BACKED since r10 via the portable
+    md5 hash dial: the DuckDB twin recomputes the bucket graph in SQL
+    and propagates min labels with a recursive CTE (the
+    ``duplicate_components`` precedent), so components — not just
+    structure — are cross-engine verified.  The structural guard
+    stays: every cluster has EXACTLY one keeper, the keeper is the
     cluster's min doc_id (== cluster_id), and coverage is total (one
     row per corpus doc)."""
-    out = dedup.minhash_cluster_keep(spark, sf_dir).localCheckpoint()
+    out = dedup.minhash_cluster_keep(
+        spark, sf_dir, portable_hash=True).localCheckpoint()
     bad = (
         out.groupBy("cluster_id")
         .agg(
@@ -1160,10 +1172,14 @@ def simhash_pairs(spark, sf_dir):
 
 
 def ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH ANN.  Guard: on the planted-duplicate corpus the
-    exact copy of query vector ``orig`` shares every bucket with it,
-    so it MUST come back as that query's rank-1 neighbor (cosine 1 vs
-    a fixture max of ~0.51)."""
+    """Hyperplane-LSH ANN.  ORACLE-BACKED since r10 via the portable
+    md5-parity dial (``similarity.lsh_signatures(portable_hash=)``):
+    coefficients, ordered signed-sum folds, bucket bits, multiprobe
+    masks, candidates and the exact cosine rerank are all recomputed
+    by the DuckDB twin.  Guard (production xxhash64 path): on the
+    planted-duplicate corpus the exact copy of query vector ``orig``
+    shares every bucket with it, so it MUST come back as that query's
+    rank-1 neighbor (cosine 1 vs a fixture max of ~0.51)."""
     d, orig, planted = _planted_dup_embeddings(spark, sf_dir)
     top1 = {
         r["q_id"]: r["vec_id"]
@@ -1175,7 +1191,7 @@ def ann_lsh(spark, sf_dir):
             f"lsh_ann_topk missed the planted duplicate of query "
             f"{orig}: rank-1 was {top1.get(orig)}, expected {planted}"
         )
-    return similarity.lsh_ann_topk(spark, sf_dir)
+    return similarity.lsh_ann_topk(spark, sf_dir, portable_hash=True)
 
 
 def _ann_recall(spark, sf_dir):
@@ -1186,9 +1202,12 @@ def _ann_recall(spark, sf_dir):
 
 
 def _emb_neardup_lsh(spark, sf_dir):
-    """LSH-bucketed embedding near-dups.  Guard: the planted exact
-    copy shares every bucket with its original, so the pair must
-    surface with cosine ~1 at any threshold below 1."""
+    """LSH-bucketed embedding near-dups.  ORACLE-BACKED since r10 via
+    the portable md5-parity dial (see ``ann_lsh``): the DuckDB twin
+    recomputes bucket collisions and the exact cosine verification.
+    Guard (production xxhash64 path): the planted exact copy shares
+    every bucket with its original, so the pair must surface with
+    cosine ~1 at any threshold below 1."""
     d, orig, planted = _planted_dup_embeddings(spark, sf_dir)
     hit = (
         similarity.embedding_near_dups_lsh(spark, d, threshold=0.9)
@@ -1200,7 +1219,8 @@ def _emb_neardup_lsh(spark, sf_dir):
             f"embedding_near_dups_lsh missed the planted duplicate pair "
             f"({orig}, {planted}): {hit}"
         )
-    return similarity.embedding_near_dups_lsh(spark, sf_dir)
+    return similarity.embedding_near_dups_lsh(
+        spark, sf_dir, portable_hash=True)
 
 
 def _semantic_dedup(spark, sf_dir):
@@ -1628,6 +1648,234 @@ def _ingest_filter_oracle_sql(
         ){body}
         SELECT doc_id FROM ({' UNION ALL '.join(acc_union)})
         ORDER BY doc_id
+    """
+
+
+def _portable_minhash_ctes(num_hashes: int = 64, bands: int = 16) -> str:
+    """Shared DuckDB CTE prefix for the batch MinHash-LSH oracles:
+    documents -> distinct word-trigram shingles (``sized``/``ex``) ->
+    portable md5 minhash signatures -> banded bucket memberships
+    (``lsh``).  Mirrors ``dedup.minhash_bucket_index(portable_hash=
+    True)`` — same shingle rule, seeding, and slice scheme as the
+    ingest-filter oracle (r9), at the batch family's production dials
+    (64 hashes x 16 bands)."""
+    h = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+    r = num_hashes // bands
+    seed_h = h.format(x="CAST(i AS VARCHAR) || ':' || CAST(h0 AS VARCHAR)")
+    slice_h = h.format(
+        x=f"array_to_string(list_slice(sig, b * {r} + 1, b * {r} + {r}), ',')"
+    )
+    return f"""t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        sh AS (
+            SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+                list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END) AS shingles
+            FROM t
+        ),
+        sized AS (
+            SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh
+            WHERE len(shingles) > 0
+        ),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sized),
+        h0 AS (SELECT doc_id, {h.format(x='s')} AS h0 FROM ex),
+        mins AS (
+            SELECT doc_id, i, min({seed_h}) AS mh
+            FROM h0, range({num_hashes}) t(i) GROUP BY doc_id, i
+        ),
+        sig AS (
+            SELECT doc_id, list(mh ORDER BY i) AS sig
+            FROM mins GROUP BY doc_id
+        ),
+        lsh AS (
+            SELECT doc_id, CAST(b AS INT) AS band, {slice_h} AS h
+            FROM sig, range({bands}) t(b)
+        )"""
+
+
+def _minhash_lsh_oracle_sql(threshold: float = 0.4) -> str:
+    """DuckDB twin of ``minhash_lsh``: portable bucket memberships ->
+    distinct candidate pairs sharing a (band, h) bucket -> exact
+    trigram-Jaccard verification restricted to candidates (the same
+    two-stage plan the Spark operator runs)."""
+    return f"""
+        WITH {_portable_minhash_ctes()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM lsh a JOIN lsh b
+              ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b,
+                   count(*) AS n_common
+            FROM ex ea JOIN ex eb
+              ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+            JOIN cand c ON c.doc_a = ea.doc_id AND c.doc_b = eb.doc_id
+            GROUP BY ea.doc_id, eb.doc_id
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_common AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sized sa ON i.doc_a = sa.doc_id
+        JOIN sized sb ON i.doc_b = sb.doc_id
+        WHERE CAST(i.n_common AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - i.n_common) >= {threshold}
+    """
+
+
+def _minhash_cluster_oracle_sql() -> str:
+    """DuckDB twin of ``_minhash_cluster``: portable bucket
+    memberships -> min-label propagation over the doc<->bucket graph
+    as a recursive CTE (the ``duplicate_components`` precedent) ->
+    total coverage with singleton clusters for docs carrying no
+    shared bucket."""
+    return f"""
+        WITH RECURSIVE {_portable_minhash_ctes()},
+        shared AS (
+            SELECT band, h FROM lsh GROUP BY band, h
+            HAVING count(DISTINCT doc_id) >= 2
+        ),
+        m AS (
+            SELECT DISTINCT l.doc_id, l.band, l.h
+            FROM lsh l JOIN shared s ON l.band = s.band AND l.h = s.h
+        ),
+        reach(doc_id, lab) AS (
+            SELECT doc_id, doc_id FROM m
+            UNION
+            SELECT b.doc_id, r.lab FROM reach r
+            JOIN m a ON a.doc_id = r.doc_id
+            JOIN m b ON b.band = a.band AND b.h = a.h
+        ),
+        comp AS (
+            SELECT doc_id, min(lab) AS cluster_id
+            FROM reach GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
+def _portable_hyperplane_ctes(planes: int = 6, tables: int = 4) -> str:
+    """Shared DuckDB CTE prefix for the hyperplane-LSH oracles:
+    embeddings (zero-norm excluded) -> per-plane ordered signed-sum
+    folds under md5 parity -> per-table packed bucket bits ->
+    flattened (vec_id, t_idx, bucket) memberships (``flat``).
+    Mirrors ``similarity.lsh_signatures(portable_hash=True)`` — the
+    ordered ``list_sum`` fold adds the same doubles in the same
+    sequence as Spark's ``aggregate`` lambda, and the sign test
+    rounds to 9 decimals in both engines."""
+    h = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+    norm = (
+        "sqrt(list_sum(list_transform(range(1, len(embedding) + 1), "
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+    )
+
+    def p_sql(p: int) -> str:
+        par = h.format(x=f"'{p}:' || CAST(i - 1 AS VARCHAR)")
+        return (
+            f"list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CASE WHEN ({par}) % 2 = 0 "
+            f"THEN CAST(embedding[i] AS DOUBLE) "
+            f"ELSE -CAST(embedding[i] AS DOUBLE) END))"
+        )
+
+    def bucket_sql(t: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN round({p_sql(t * planes + j)}, 9) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(planes)
+        )
+        return f"({bits})"
+
+    buckets = ", ".join(f"{bucket_sql(t)} AS b{t}" for t in range(tables))
+    flat_union = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, norm, {t} AS t_idx, b{t} AS bucket "
+        f"FROM hsig"
+        for t in range(tables)
+    )
+    return f"""e AS (
+            SELECT vec_id, embedding, {norm} AS norm
+            FROM embeddings WHERE {norm} > 0
+        ),
+        hsig AS (SELECT vec_id, embedding, norm, {buckets} FROM e),
+        flat AS ({flat_union})"""
+
+
+def _lsh_ann_oracle_sql(
+    k: int = 5, n_queries: int = 5, planes: int = 6, tables: int = 4
+) -> str:
+    """DuckDB twin of ``ann_lsh``: portable hyperplane buckets ->
+    multiprobe (exact bucket + every Hamming-1 neighbor) -> distinct
+    candidates -> exact cosine rerank with the shared (cosine DESC,
+    vec_id ASC) tie-break."""
+    dot = (
+        "list_sum(list_transform(range(1, len(q_emb) + 1), "
+        "i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+    )
+    probes = ", ".join(
+        ["q_bucket0"] + [f"xor(q_bucket0, {1 << b})" for b in range(planes)]
+    )
+    return f"""
+        WITH {_portable_hyperplane_ctes(planes, tables)},
+        q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm,
+                   t_idx AS q_t_idx, bucket AS q_bucket0
+            FROM flat WHERE vec_id < {n_queries}
+        ),
+        probes AS (
+            SELECT q_id, q_emb, q_norm, q_t_idx,
+                   unnest([{probes}]) AS q_bucket
+            FROM q
+        ),
+        cand AS (
+            SELECT DISTINCT q.q_id, q.q_emb, q.q_norm,
+                   f.vec_id, f.embedding, f.norm
+            FROM flat f JOIN probes q
+              ON f.t_idx = q.q_t_idx AND f.bucket = q.q_bucket
+             AND f.vec_id <> q.q_id
+        ),
+        scored AS (
+            SELECT q_id, vec_id,
+                   ({dot}) / (norm * q_norm) AS cosine
+            FROM cand
+        )
+        SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cosine DESC,
+                                                  vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _emb_neardup_lsh_oracle_sql(
+    threshold: float = 0.2, planes: int = 6, tables: int = 4
+) -> str:
+    """DuckDB twin of ``_emb_neardup_lsh``: candidate pairs share a
+    portable hyperplane bucket in any table; exact cosine verifies at
+    the threshold."""
+    dot = (
+        "list_sum(list_transform(range(1, len(emb_a) + 1), "
+        "i -> CAST(emb_a[i] AS DOUBLE) * CAST(emb_b[i] AS DOUBLE)))"
+    )
+    return f"""
+        WITH {_portable_hyperplane_ctes(planes, tables)},
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, a.embedding AS emb_a,
+                   a.norm AS norm_a, b.vec_id AS id_b,
+                   b.embedding AS emb_b, b.norm AS norm_b
+            FROM flat a JOIN flat b
+              ON a.t_idx = b.t_idx AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM (
+            SELECT id_a, id_b,
+                   ({dot}) / (norm_a * norm_b) AS cosine
+            FROM cand
+        ) WHERE cosine >= {threshold}
     """
 
 
@@ -2155,139 +2403,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verifies everything: an entry may sit past the cap only if
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
-    # that structurally cannot have one).  Round 8 window: the never-
-    # recorded + this-round-changed entries (PCA fix, new ANN index
-    # maintenance, multimodal_features conversion, heavy-hitter
-    # thresholding, the similarity.py family after the kmeans/PCA
-    # refactor), then the stalest committed records (r4 -> r5 -> r6
-    # cohorts); every r7-recorded head rotates to the tail.  Local
-    # gate for the whole registry regardless of position:
-    # tools/check_oracles.py.
+    # that structurally cannot have one).  Round 10 window: the four
+    # portable-hash conversions (rows-only -> oracle-backed re-demands
+    # a green row) + the entire r7-stale cohort — after r10 records
+    # land, every entry's newest record is r8+.  Local gate for the
+    # whole registry regardless of position: tools/check_oracles.py.
     return {
-        # -------- first 50: the round-9 recording window --------
-        # CONVERTED this round to oracle-backed (portable md5 hash —
-        # the oracle recomputes the whole filter in SQL); conversion
-        # re-demands a green row, so it leads the window
-        "stream_ingest_near_dup_filter": _stream_ingest_filter,
-        # stalest committed records first: the r4 cohort (records
-        # predate four rounds of relational/textops churn)
-        "string_functions": relational.string_functions_probe,
-        "date_parts_rollup": relational.date_parts_rollup,
-        "q12_case_agg": relational.q12_priority_by_linestatus,
-        "source_summary": textops.source_summary,
-        "deterministic_sample": textops.deterministic_sample,
-        "fingerprint": textops.fingerprint,
-        "q18_large_orders": relational.q18_large_orders,
-        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
-        # r5 cohort
-        "q13_custdist": relational.q13_order_count_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
-        # r6 cohort: the q-family + events/streaming entries whose
-        # standing records predate the r7/r8 relational.py churn
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "q6_q19_filter_aggs": q6_q19_filter_aggs,
-        "topk_window": relational.top_orders_per_status,
-        "events_hourly_rollup": relational.events_hourly_rollup,
-        "events_sessionize": relational.events_sessionize,
-        "q4_exists_semi": relational.q4_order_priority_exists,
-        "events_json_props": relational.events_json_props,
-        "q17_scalar_subquery": relational.q17_small_quantity_revenue,
-        "q11_important_parts": relational.q11_important_parts,
-        "q7_nation_volume": relational.q7_nation_volume,
-        "set_ops_customers": relational.customer_order_set_ops,
-        "asof_clicks_purchases": asof.clicks_asof_purchases,
-        "range_join_bursts": asof.user_event_bursts,
-        "corpus_shuffle": curation.corpus_shuffle,
-        "multimodal_metadata": multimodal.multimodal_metadata,
-        "salted_user_rollup": relational.salted_user_rollup,
-        "price_distribution": price_distribution,
-        "status_pivot": relational.status_pivot,
-        "revenue_rollup_cube": revenue_rollup_cube,
-        "cross_source_contamination": curation.cross_source_contamination,
-        "curate_corpus": _curate_corpus,
-        "decontaminate": curation.decontaminate,
-        "pack_sequences": curation.pack_sequences,
-        "text_quality": textops.text_quality,
-        "lang_id": textops.lang_id,
-        "token_stats": textops.token_stats,
-        "streaming_hourly_rollup": streaming_rollup,
-        "streaming_sessionize": _streaming_sessionize,
-        "streaming_dedup": _streaming_dedup,
-        "w2_append": w2_append,
-        "m1_update_only": m1_update_only,
-        # NEW in r9: true multi-column Z-order (interleaved-bit curve;
-        # oracle-backed on contents, skipping guard in-entry)
-        "o_zorder_clustering": o_zorder_clustering,
-        # NEW in r9: Gopher structural quality rules — integer
-        # cross-multiplied thresholds, oracle-backed
-        "gopher_quality_filter": gopher_quality_filter,
-        # NEW in r9: IVF index drift audit (rows-only + detection /
-        # control / faithfulness guards) — makes the rebuild cadence
-        # of the maintained ANN family evidence-driven
-        "ann_index_drift_audit": ann_index_drift_audit,
-        # NEW in r9: BM25 + dense-cosine hybrid retrieval fused by
-        # Reciprocal Rank Fusion — oracle-backed end-to-end (both legs
-        # and the fusion are SQL twins)
-        "hybrid_search_rrf": similarity.hybrid_search_rrf,
-        # (positions 49-50 hold r8-recorded heads; any further NEW r9
-        # entries must swap in before them)
-        # -------- past the cap: green/ok rows on committed record --
-        # every r8-window head rotates out on its committed
-        # CORRECTNESS_r08 record; the remaining tail keeps its order
-        "embedding_pca_project": _embedding_pca,
-        "ann_index_maintain": ann_index_maintain,
-        "lsh_index_maintain": lsh_index_maintain,
-        "pq_index_maintain": pq_index_maintain,
-        "streaming_index_sink": _streaming_index_sink,
-        "ann_query_indexed": _ann_query_indexed,
-        "token_budget_sample": curation.token_budget_sample,
-        "bigram_perplexity": textops.bigram_perplexity,
-        "multimodal_features": mm_features,
-        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
-        "near_dup_decontaminate": _near_dup_decon,
-        "bpe_token_stats": _bpe_stats,
+        # -------- first 50: the round-10 recording window --------
+        # Four CONVERTED entries lead (rows-only -> oracle-backed via
+        # the portable md5 hash dial, r9 ingest-filter technique);
+        # conversion re-demands a green row, so each sits in-window.
+        "minhash_lsh_near_dups": minhash_lsh,
+        "minhash_cluster_keep": _minhash_cluster,
         "ann_lsh_topk": ann_lsh,
         "embedding_near_dups_lsh": _emb_neardup_lsh,
-        "ann_recall_report": _ann_recall,
-        "kmeans_clusters": _kmeans_clusters,
-        "ann_ivf_topk": _ivf_ann,
-        "ann_ivf_quantized_topk": _ivf_quantized,
-        "ann_ivf_pq_topk": _ivf_pq,
-        "semantic_dedup": _semantic_dedup,
-        "cosine_topk": similarity.cosine_topk,
-        "embedding_near_dups": _embedding_near_dups_02,
-        "label_centroid_dims": _label_centroid_dims,
-        "quantize_embeddings": _quantize_embeddings,
-        "sketch_profile": _sketch_profile,
-        "bm25_search": textops.bm25_search,
-        "pmi_collocations": textops.pmi_collocations,
-        "ppjoin_near_dups": dedup.ppjoin_near_dups,
-        "streaming_interval_join_left": _streaming_interval_join_left,
-        "o_column_mapping": o_column_mapping,
-        "streaming_interval_join_full": _streaming_interval_join_full,
-        "o_generated_columns": o_generated_columns,
-        "cdc_row_changes": cdc_row_changes,
-        "streaming_cdc_feed": streaming_cdc_feed,
-        "q22_anti_scalar": relational.q22_idle_rich_customers,
-        "incremental_rollup_maintenance": incremental_rollup_maintenance,
-        "streaming_rollup_sink": streaming_rollup_sink,
-        "w1_w4_error_ignore": w1_w4_error_ignore,
-        "o_identity_columns": o_identity_columns,
-        "cdc_replicate": cdc_replicate,
-        "w3_partition_overwrite": w3_partition_overwrite,
-        "w5_create_or_replace": w5_create_or_replace,
-        "m2_dedup_insert": m2_dedup_insert,
-        "m3_upsert": m3_upsert,
-        "m4_replace_delete": m4_replace_delete,
-        "s3_time_travel": s3_time_travel,
-        "p2_timewindow_read": p2_timewindow_read,
-        "o_compaction_roundtrip": o_compaction_roundtrip,
-        "zipf_profile": textops.zipf_profile,
-        "minhash_lsh_near_dups": minhash_lsh,
+        # the r7-stale cohort: every remaining entry whose newest
+        # committed record is CORRECTNESS_r07 (45 entries incl. the
+        # two converted minhash heads above)
         "simhash_near_dups": simhash_pairs,
-        "minhash_cluster_keep": _minhash_cluster,
         "o_row_delete_restore": o_row_delete_restore,
         "o_row_update": o_row_update,
         "duplicate_components": graph.duplicate_components,
@@ -2330,6 +2463,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_repeated_spans": dedup.strip_repeated_spans,
         "leakage_safe_splits": _leakage_safe_splits,
         "temperature_mixture_sample": curation.temperature_mixture_sample,
+        # (positions 48-50 reserved: NEW r10 entries insert HERE,
+        # before the tail, so their first record lands in-window)
+        # -------- past the cap: green/ok rows on committed record --
+        # every r8/r9-window head rotates out on its committed
+        # CORRECTNESS_r08/r09 record
+        "stream_ingest_near_dup_filter": _stream_ingest_filter,
+        "string_functions": relational.string_functions_probe,
+        "date_parts_rollup": relational.date_parts_rollup,
+        "q12_case_agg": relational.q12_priority_by_linestatus,
+        "source_summary": textops.source_summary,
+        "deterministic_sample": textops.deterministic_sample,
+        "fingerprint": textops.fingerprint,
+        "q18_large_orders": relational.q18_large_orders,
+        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
+        "q13_custdist": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_q19_filter_aggs": q6_q19_filter_aggs,
+        "topk_window": relational.top_orders_per_status,
+        "events_hourly_rollup": relational.events_hourly_rollup,
+        "events_sessionize": relational.events_sessionize,
+        "q4_exists_semi": relational.q4_order_priority_exists,
+        "events_json_props": relational.events_json_props,
+        "q17_scalar_subquery": relational.q17_small_quantity_revenue,
+        "q11_important_parts": relational.q11_important_parts,
+        "q7_nation_volume": relational.q7_nation_volume,
+        "set_ops_customers": relational.customer_order_set_ops,
+        "asof_clicks_purchases": asof.clicks_asof_purchases,
+        "range_join_bursts": asof.user_event_bursts,
+        "corpus_shuffle": curation.corpus_shuffle,
+        "multimodal_metadata": multimodal.multimodal_metadata,
+        "salted_user_rollup": relational.salted_user_rollup,
+        "price_distribution": price_distribution,
+        "status_pivot": relational.status_pivot,
+        "revenue_rollup_cube": revenue_rollup_cube,
+        "cross_source_contamination": curation.cross_source_contamination,
+        "curate_corpus": _curate_corpus,
+        "decontaminate": curation.decontaminate,
+        "pack_sequences": curation.pack_sequences,
+        "text_quality": textops.text_quality,
+        "lang_id": textops.lang_id,
+        "token_stats": textops.token_stats,
+        "streaming_hourly_rollup": streaming_rollup,
+        "streaming_sessionize": _streaming_sessionize,
+        "streaming_dedup": _streaming_dedup,
+        "w2_append": w2_append,
+        "m1_update_only": m1_update_only,
+        "o_zorder_clustering": o_zorder_clustering,
+        "gopher_quality_filter": gopher_quality_filter,
+        "ann_index_drift_audit": ann_index_drift_audit,
+        "hybrid_search_rrf": similarity.hybrid_search_rrf,
+        "embedding_pca_project": _embedding_pca,
+        "ann_index_maintain": ann_index_maintain,
+        "lsh_index_maintain": lsh_index_maintain,
+        "pq_index_maintain": pq_index_maintain,
+        "streaming_index_sink": _streaming_index_sink,
+        "ann_query_indexed": _ann_query_indexed,
+        "token_budget_sample": curation.token_budget_sample,
+        "bigram_perplexity": textops.bigram_perplexity,
+        "multimodal_features": mm_features,
+        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
+        "near_dup_decontaminate": _near_dup_decon,
+        "bpe_token_stats": _bpe_stats,
+        "ann_recall_report": _ann_recall,
+        "kmeans_clusters": _kmeans_clusters,
+        "ann_ivf_topk": _ivf_ann,
+        "ann_ivf_quantized_topk": _ivf_quantized,
+        "ann_ivf_pq_topk": _ivf_pq,
+        "semantic_dedup": _semantic_dedup,
+        "cosine_topk": similarity.cosine_topk,
+        "embedding_near_dups": _embedding_near_dups_02,
+        "label_centroid_dims": _label_centroid_dims,
+        "quantize_embeddings": _quantize_embeddings,
+        "sketch_profile": _sketch_profile,
+        "bm25_search": textops.bm25_search,
+        "pmi_collocations": textops.pmi_collocations,
+        "ppjoin_near_dups": dedup.ppjoin_near_dups,
+        "streaming_interval_join_left": _streaming_interval_join_left,
+        "o_column_mapping": o_column_mapping,
+        "streaming_interval_join_full": _streaming_interval_join_full,
+        "o_generated_columns": o_generated_columns,
+        "cdc_row_changes": cdc_row_changes,
+        "streaming_cdc_feed": streaming_cdc_feed,
+        "q22_anti_scalar": relational.q22_idle_rich_customers,
+        "incremental_rollup_maintenance": incremental_rollup_maintenance,
+        "streaming_rollup_sink": streaming_rollup_sink,
+        "w1_w4_error_ignore": w1_w4_error_ignore,
+        "o_identity_columns": o_identity_columns,
+        "cdc_replicate": cdc_replicate,
+        "w3_partition_overwrite": w3_partition_overwrite,
+        "w5_create_or_replace": w5_create_or_replace,
+        "m2_dedup_insert": m2_dedup_insert,
+        "m3_upsert": m3_upsert,
+        "m4_replace_delete": m4_replace_delete,
+        "s3_time_travel": s3_time_travel,
+        "p2_timewindow_read": p2_timewindow_read,
+        "o_compaction_roundtrip": o_compaction_roundtrip,
+        "zipf_profile": textops.zipf_profile,
     }
 
 
@@ -3330,6 +3563,14 @@ def oracle_sql() -> dict[str, str]:
         # band buckets, and the sequential 3-batch accept rule
         # engine-independent — see _stream_ingest_filter
         "stream_ingest_near_dup_filter": _ingest_filter_oracle_sql(),
+        # r10 conversions: the batch LSH family under the same
+        # portable md5 dial — the whole pipeline (signatures, banding,
+        # candidates, exact verify / component propagation) recomputed
+        # in SQL
+        "minhash_lsh_near_dups": _minhash_lsh_oracle_sql(),
+        "minhash_cluster_keep": _minhash_cluster_oracle_sql(),
+        "ann_lsh_topk": _lsh_ann_oracle_sql(),
+        "embedding_near_dups_lsh": _emb_neardup_lsh_oracle_sql(),
         # z-order preserves contents exactly; the layout property is
         # guarded in-entry (the oracle can't see file boundaries)
         "o_zorder_clustering": """

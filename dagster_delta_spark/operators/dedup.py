@@ -85,6 +85,34 @@ def _evict_stale(
 
 
 
+#: cross-engine 64-bit hash: the top 60 bits of md5, as a positive
+#: bigint.  Spark (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+#: (`('0x' || substr(md5(x),1,15))::BIGINT`) compute the identical
+#: value — unlike xxhash64, which only Spark implements — so a
+#: near-dup pipeline run under this hash is recomputable by the
+#: DuckDB oracle in SQL.  Lives HERE (the operators layer) because
+#: both the batch LSH family and the streaming ingest filter dial
+#: through it; streaming/ingest_dedup re-exports it.
+PORTABLE_H64 = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def portable_hash_family():
+    """The md5-derived cross-engine hash family as the
+    ``(base_hash, seed_hash, hash_sql)`` triple consumed by
+    ``_signatures_from_stream`` / ``band_buckets`` — ONE rendering
+    shared by the batch operators' ``portable_hash=True`` dials and
+    the streaming ingest filter (``portable_doc_buckets``), so the
+    DuckDB oracles and every Spark portable path hash identically by
+    construction.  md5 costs ~3x xxhash64; production paths keep
+    xxhash64 and this family is the verification dial."""
+    return (
+        lambda c: F.expr(PORTABLE_H64.format(x=c)),
+        lambda i: F.expr(PORTABLE_H64.format(
+            x=f"concat('{i}', ':', CAST(h0 AS STRING))")),
+        PORTABLE_H64,
+    )
+
+
 def band_buckets(
     sigs: DataFrame, num_hashes: int, bands: int,
     hash_sql: str = "xxhash64({x})",
@@ -283,6 +311,7 @@ def near_dup_jaccard(
 def minhash_signatures(
     spark: SparkSession, sf_dir: str, num_hashes: int = 64,
     stream: Optional[DataFrame] = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash signatures: ``sig[i] = min over shingles of
     xxhash64(i, shingle)``.
@@ -305,13 +334,18 @@ def minhash_signatures(
     key = (
         spark.sparkContext.applicationId, os.path.abspath(sf_dir),
         corpus_fingerprint(sf_dir, "documents"), num_hashes,
+        "md5" if portable_hash else "xx",
     )
     caching = os.environ.get("DDS_SHINGLE_CACHE", "1") != "0"
     if caching and key in _MINHASH_SIG_CACHE:
         return _MINHASH_SIG_CACHE[key]
     if stream is None:
         stream = _shingle_stream(spark, sf_dir)
-    sigs = _signatures_from_stream(stream, num_hashes)
+    base_hash = seed_hash = None
+    if portable_hash:
+        base_hash, seed_hash, _ = portable_hash_family()
+    sigs = _signatures_from_stream(
+        stream, num_hashes, base_hash=base_hash, seed_hash=seed_hash)
     if caching:
         sigs = sigs.localCheckpoint()
         _evict_stale(_MINHASH_SIG_CACHE, key[0], key)
@@ -486,6 +520,7 @@ def minhash_lsh_near_dups(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: Optional[int] = 1000,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-verified.
 
@@ -502,6 +537,13 @@ def minhash_lsh_near_dups(
     duplicate-set size, so small-scale results are identical to the
     uncapped plan (``None``); audit overflow with
     ``lsh_bucket_overflow``.
+
+    ``portable_hash=True`` runs the identical pipeline under the
+    md5-derived ``PORTABLE_H64`` family (``portable_hash_family``)
+    so a DuckDB oracle can recompute the whole operator — signatures,
+    banding, candidates, exact verification — in SQL (the r9
+    streaming-ingest-filter conversion technique); production keeps
+    xxhash64.
     """
     # the shingle stream arrives materialized (and session-cached) —
     # signatures and exact verification both reuse its checkpoint
@@ -510,7 +552,8 @@ def minhash_lsh_near_dups(
     # the truncated bucket table is the LSH index: session-cached so
     # repeat queries pay only the candidate join + verify
     buckets = minhash_bucket_index(
-        spark, sf_dir, num_hashes, bands, max_bucket_size, stream=stream)
+        spark, sf_dir, num_hashes, bands, max_bucket_size, stream=stream,
+        portable_hash=portable_hash)
     candidates = _bucket_candidate_pairs(buckets, None)
     # exact verification restricted to candidate docs: semi-filter the
     # shingle stream to candidate ids, count common shingles per
@@ -639,15 +682,27 @@ def minhash_bucket_index(
     spark: SparkSession, sf_dir: str, num_hashes: int = 64,
     bands: int = 16, max_bucket_size: Optional[int] = 1000,
     stream: Optional[DataFrame] = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Truncated MinHash LSH bucket index ``(doc_id, band, h)``,
     session-cached (see ``_LSH_BUCKET_CACHE``); the batch twin of the
-    streaming ingest filter's persisted bucket table."""
-    sigs = minhash_signatures(spark, sf_dir, num_hashes, stream=stream)
+    streaming ingest filter's persisted bucket table.
+    ``portable_hash=True`` builds the index under the md5-derived
+    ``PORTABLE_H64`` family (same structure, cross-engine
+    recomputable — the oracle dial); the cache key carries the
+    family so the two indexes never alias."""
+    sigs = minhash_signatures(
+        spark, sf_dir, num_hashes, stream=stream,
+        portable_hash=portable_hash)
+    hash_sql = (portable_hash_family()[2] if portable_hash
+                else "xxhash64({x})")
     return _cached_truncated_buckets(
-        spark, sf_dir, ("minhash", num_hashes, bands, max_bucket_size),
+        spark, sf_dir,
+        ("minhash", num_hashes, bands, max_bucket_size,
+         "md5" if portable_hash else "xx"),
         lambda: _truncate_buckets(
-            band_buckets(sigs, num_hashes, bands), max_bucket_size),
+            band_buckets(sigs, num_hashes, bands, hash_sql=hash_sql),
+            max_bucket_size),
     )
 
 
@@ -899,17 +954,22 @@ def strip_repeated_spans(
 
 
 def minhash_buckets(
-    spark: SparkSession, sf_dir: str, num_hashes: int = 64, bands: int = 16
+    spark: SparkSession, sf_dir: str, num_hashes: int = 64,
+    bands: int = 16, portable_hash: bool = False,
 ) -> DataFrame:
     """(doc_id, band, h) LSH bucket memberships."""
-    sigs = minhash_signatures(spark, sf_dir, num_hashes)
-    return band_buckets(sigs, num_hashes, bands)
+    sigs = minhash_signatures(spark, sf_dir, num_hashes,
+                              portable_hash=portable_hash)
+    hash_sql = (portable_hash_family()[2] if portable_hash
+                else "xxhash64({x})")
+    return band_buckets(sigs, num_hashes, bands, hash_sql=hash_sql)
 
 
 def minhash_cluster_keep(
     spark: SparkSession, sf_dir: str,
     num_hashes: int = 64, bands: int = 16,
     iterations: Optional[int] = None, max_iterations: int = 50,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Cluster-level dedup without pairwise blowup.
 
@@ -936,12 +996,17 @@ def minhash_cluster_keep(
     dedup upstream is responsible for byte-identical short docs.
 
     Returns (doc_id, cluster_id, keep) covering EVERY document.
+    ``portable_hash=True`` swaps in the md5-derived ``PORTABLE_H64``
+    family so the bucket graph — and therefore the components — is
+    recomputable by the DuckDB oracle (recursive-CTE propagation).
     """
     from .graph import bipartite_components
 
     # materialize bucket memberships once — the iteration would
     # otherwise recompute the whole signature pipeline per round
-    buckets = minhash_buckets(spark, sf_dir, num_hashes, bands).localCheckpoint()
+    buckets = minhash_buckets(
+        spark, sf_dir, num_hashes, bands,
+        portable_hash=portable_hash).localCheckpoint()
     # buckets is distinct (doc_id, band, h) by construction and just
     # materialized -> prepared membership (no re-distinct shuffle)
     labels = bipartite_components(

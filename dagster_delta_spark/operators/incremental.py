@@ -330,6 +330,62 @@ def _advance_base_version(
     return int(res["version"])
 
 
+def _maybe_drift_audit(
+    emb: DeltaSparkTable,
+    index: DeltaSparkTable,
+    kind: str,
+    fold_idx: int,
+    audit_every: Optional[int],
+    head: int,
+) -> Optional[dict]:
+    """Run the drift audit on the maintenance cadence (every
+    ``audit_every``-th fold since bootstrap/rebuild — SCALE.md
+    recommends N≈5-10) and RECORD the decision scalars as an empty
+    commit on the index table, so a scheduler reads them from the log
+    (``last_drift_audit``) instead of re-running the audit.  The
+    audit commit carries NO ``base_version`` key: resume walks past
+    it and the single-maintainer check ignores it by design.  Returns
+    the metrics dict when the audit ran, else None."""
+    if not audit_every or fold_idx % audit_every != 0:
+        return None
+    drift = (ivf_index_drift(emb, index) if kind == "ivf"
+             else pq_index_drift(emb, index))
+    metrics = index_drift_metrics(drift)
+    empty = index.spark.createDataFrame([], index.read().schema)
+    index.write(
+        empty, WriteMode.append,
+        commit_metadata={
+            "drift_audit": kind,
+            "audited_version": str(head),
+            "fold_idx": str(fold_idx),
+            "cohort_decay": repr(float(metrics["cohort_decay"])),
+            "rebuild_gain": repr(float(metrics["rebuild_gain"])),
+            "mean_cos_all": repr(float(metrics["mean_cos_all"])),
+        },
+    )
+    return metrics
+
+
+def last_drift_audit(index: DeltaSparkTable) -> Optional[dict]:
+    """Most recent recorded drift audit on the index table (written
+    by ``maintain_*_index(audit_every=N)``), or None if no audit has
+    run — the scheduler-facing read: compare ``rebuild_gain`` /
+    ``cohort_decay`` against the SCALE.md thresholds (rebuild at
+    gain > 0.02 or decay > 0.05) without re-running the audit."""
+    for h in index.history():
+        meta = h.get("userMetadata") or {}
+        if "drift_audit" in meta:
+            return {
+                "kind": meta["drift_audit"],
+                "audited_version": int(meta["audited_version"]),
+                "fold_idx": int(meta["fold_idx"]),
+                "cohort_decay": float(meta["cohort_decay"]),
+                "rebuild_gain": float(meta["rebuild_gain"]),
+                "mean_cos_all": float(meta["mean_cos_all"]),
+            }
+    return None
+
+
 def _lsh_doc_buckets(docs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc_id, text) -> LSH bucket membership (doc_id, band, h) via
     the SHARED shingle/signature/banding primitives (dedup.py), so the
@@ -498,6 +554,7 @@ def maintain_ivf_index(
     emb: DeltaSparkTable,
     index: DeltaSparkTable,
     since_version: Optional[int] = None,
+    audit_every: Optional[int] = None,
 ) -> int:
     """Fold embedding appends ``(since_version, head]`` into the IVF
     index: assign ONLY the new vectors against the STORED centroids
@@ -519,13 +576,21 @@ def maintain_ivf_index(
     ``read_changes`` yields no rows for compaction commits, so a later
     fold over a range containing them adds nothing twice).
 
+    ``audit_every=N`` makes the SCALE.md drift-audit cadence
+    executable: every Nth fold since bootstrap/rebuild runs
+    ``ivf_index_drift`` and records its decision scalars as an empty
+    audit commit (read them back with ``last_drift_audit``).
+
     Returns the new processed base version."""
     from .similarity import _assign_cells, _with_norm
 
     index_start = index.version()  # BEFORE the resume read (see
     # _check_single_maintainer: no interleave escapes the interval)
+    v_meta, meta = _resume_version(index)
     if since_version is None:
-        since_version, _ = _resume_version(index)
+        since_version = v_meta
+    # fold counter since bootstrap/rebuild (build commits carry none)
+    fold_idx = int(meta.get("fold_idx", "0")) + 1
     head = emb.version()
     if head <= since_version:
         return since_version
@@ -539,16 +604,21 @@ def maintain_ivf_index(
     ).select("vec_id", "cell").localCheckpoint(eager=True)
     if assigned.isEmpty():
         if removed:
-            marker_v = _advance_base_version(index, head)
+            marker_v = _advance_base_version(
+                index, head, {"fold_idx": str(fold_idx)})
             _check_single_maintainer(index, index_start, marker_v)
+            _maybe_drift_audit(emb, index, "ivf", fold_idx,
+                               audit_every, head)
         # compaction-only range: nothing to fold, nothing to commit
         return head
     res = index.write(
         assigned,
         WriteMode.append,
-        commit_metadata={"base_version": str(head)},
+        commit_metadata={"base_version": str(head),
+                         "fold_idx": str(fold_idx)},
     )
     _check_single_maintainer(index, index_start, int(res["version"]))
+    _maybe_drift_audit(emb, index, "ivf", fold_idx, audit_every, head)
     return head
 
 
@@ -603,6 +673,7 @@ def maintain_pq_index(
     emb: DeltaSparkTable,
     index: DeltaSparkTable,
     since_version: Optional[int] = None,
+    audit_every: Optional[int] = None,
 ) -> int:
     """Fold embedding appends ``(since_version, head]`` into the PQ
     code index: encode ONLY the new vectors against the STORED
@@ -613,14 +684,17 @@ def maintain_pq_index(
     (deleted vec_ids' codes leave the index, updated vectors
     re-encode); copy-rewrites raise via ``read_changes`` (ghost codes
     would corrupt every ADC scan — rebuild instead); compaction-only
-    ranges are a metadata no-op.  Returns the new processed base
+    ranges are a metadata no-op.  ``audit_every=N`` runs
+    ``pq_index_drift`` every Nth fold and records the scalars (see
+    ``maintain_ivf_index``).  Returns the new processed base
     version."""
     from .similarity import _codebooks_from_rows, _pq_encode, _with_norm
 
     index_start = index.version()  # BEFORE the resume read (see
     # _check_single_maintainer: no interleave escapes the interval)
-    v_meta, _meta = _resume_version(index)
+    v_meta, meta = _resume_version(index)
     v0 = v_meta if since_version is None else since_version
+    fold_idx = int(meta.get("fold_idx", "0")) + 1
     head = emb.version()
     if head <= v0:
         return v0
@@ -634,15 +708,20 @@ def maintain_pq_index(
     ).localCheckpoint(eager=True)
     if enc.isEmpty():
         if removed:
-            marker_v = _advance_base_version(index, head)
+            marker_v = _advance_base_version(
+                index, head, {"fold_idx": str(fold_idx)})
             _check_single_maintainer(index, index_start, marker_v)
+            _maybe_drift_audit(emb, index, "pq", fold_idx,
+                               audit_every, head)
         return head
     res = index.write(
         enc,
         WriteMode.append,
-        commit_metadata={"base_version": str(head)},
+        commit_metadata={"base_version": str(head),
+                         "fold_idx": str(fold_idx)},
     )
     _check_single_maintainer(index, index_start, int(res["version"]))
+    _maybe_drift_audit(emb, index, "pq", fold_idx, audit_every, head)
     return head
 
 

@@ -153,7 +153,8 @@ _LSH_SIG_CACHE: dict[tuple, DataFrame] = {}
 
 
 def lsh_signatures(
-    spark: SparkSession, sf_dir: str, planes: int = 6, tables: int = 4
+    spark: SparkSession, sf_dir: str, planes: int = 6, tables: int = 4,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Multi-table random-hyperplane signatures.
 
@@ -164,13 +165,27 @@ def lsh_signatures(
     plane).  ``tables`` independent buckets trade memory for recall,
     classic multi-table LSH.  Returns a MATERIALIZED (localCheckpoint)
     frame, session-cached per (app, corpus, fingerprint, planes,
-    tables)."""
+    tables, hash family).
+
+    ``portable_hash=True`` is the oracle dial (the r9 ingest-filter
+    technique, applied to the embedding family): coefficients become
+    ±1 from md5 parity (``PORTABLE_H64`` — cross-engine), the signed
+    sum becomes an ORDERED per-row array fold (both engines then add
+    the same doubles in the same sequence, so the sum is
+    bit-identical), and the sign test quantizes to 9 decimals first
+    (``round(p, 9) > 0``) so a sum within 5e-10 of the hyperplane
+    cannot flip the bucket on a final-ulp divergence.  Structure —
+    plane seeding, bit packing, table layout — is shared with the
+    production path; only the hash family and fold order swap.  The
+    fold runs interpreted (map-only, no shuffle), fine for
+    verification corpora; production keeps the codegen'd aggregate."""
     # corpus fingerprint in the key: an in-session rewrite of
     # embeddings.parquet must miss the cache (same contract as load()
     # and the IVF centroid cache), not serve stale checkpoints
     key = (
         spark.sparkContext.applicationId, os.path.abspath(sf_dir),
         _corpus_fingerprint(sf_dir), planes, tables,
+        "md5" if portable_hash else "xx",
     )
     if not 1 <= planes <= 62:
         # shiftleft wraps its shift amount mod 64: plane 63+ would
@@ -184,20 +199,45 @@ def lsh_signatures(
         return _LSH_SIG_CACHE[key]
     emb = load(spark, sf_dir, "embeddings")
     total = planes * tables
-    ex = emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
-    aggs = [
-        F.sum(
-            F.when((F.xxhash64(F.lit(p), F.col("dim")) % 2) == 0, F.col("v"))
-            .otherwise(-F.col("v"))
-        ).alias(f"p{p}")
-        for p in range(total)
-    ]
-    g = ex.groupBy("vec_id").agg(*aggs)
+    if portable_hash:
+        from .dedup import PORTABLE_H64
+
+        # ordered per-row fold: no shuffle, deterministic summation
+        # order — the cross-engine contract (see docstring)
+        def p_expr(p: int) -> str:
+            parity = PORTABLE_H64.format(
+                x=f"concat('{p}', ':', CAST(i AS STRING))")
+            return (
+                "aggregate(zip_with(embedding, "
+                "sequence(0, size(embedding) - 1), "
+                f"(v, i) -> CASE WHEN pmod({parity}, 2) = 0 "
+                "THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END), "
+                "0D, (acc, x) -> acc + x)"
+            )
+
+        g = emb.select(
+            "vec_id",
+            *[F.expr(p_expr(p)).alias(f"p{p}") for p in range(total)],
+        )
+        sign = "round(p{p}, 9) > 0"
+    else:
+        ex = emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "v"))
+        aggs = [
+            F.sum(
+                F.when((F.xxhash64(F.lit(p), F.col("dim")) % 2) == 0,
+                       F.col("v"))
+                .otherwise(-F.col("v"))
+            ).alias(f"p{p}")
+            for p in range(total)
+        ]
+        g = ex.groupBy("vec_id").agg(*aggs)
+        sign = "p{p} > 0"
     bucket_exprs = []
     for t in range(tables):
         bits = " | ".join(
-            f"(CASE WHEN p{t * planes + j} > 0 THEN shiftleft(1L, {j}) "
-            f"ELSE 0L END)"
+            f"(CASE WHEN {sign.format(p=t * planes + j)} "
+            f"THEN shiftleft(1L, {j}) ELSE 0L END)"
             for j in range(planes)
         )
         bucket_exprs.append(f"({bits})")
@@ -217,6 +257,7 @@ def lsh_signatures(
 def lsh_ann_topk(
     spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
     planes: int = 6, tables: int = 4, multiprobe: int = 1,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share any of the query's
     per-table hyperplane buckets; exact cosine re-ranks candidates.
@@ -230,10 +271,16 @@ def lsh_ann_topk(
     (``sum_{i<=r} C(planes, i)`` probes per table); the corpus index is
     untouched, so recall rises without extra tables or index memory —
     the classic multi-probe LSH trade.  ``multiprobe=0`` probes the
-    exact bucket only."""
+    exact bucket only.
+
+    ``portable_hash=True`` buckets under the md5-parity dial (see
+    ``lsh_signatures``) so the whole query — buckets, probes,
+    candidates, cosine rerank — is recomputable by the DuckDB
+    oracle."""
     from itertools import combinations
 
-    sigs = lsh_signatures(spark, sf_dir, planes, tables)  # carries norm
+    sigs = lsh_signatures(spark, sf_dir, planes, tables,
+                          portable_hash=portable_hash)  # carries norm
     flat = sigs.select(
         "vec_id", "embedding", "norm",
         F.posexplode("buckets").alias("t_idx", "bucket"),
@@ -1071,14 +1118,16 @@ def _pq_query_topk(
 
 def embedding_near_dups_lsh(
     spark: SparkSession, sf_dir: str, threshold: float = 0.2,
-    planes: int = 6, tables: int = 4,
+    planes: int = 6, tables: int = 4, portable_hash: bool = False,
 ) -> DataFrame:
     """LSH-bucketed embedding near-duplicates — the scale path for
     ``embedding_near_dups``: candidate pairs share a hyperplane bucket
     in any table (collision probability rises with cosine), exact
     cosine verifies.  Output precision is exact; recall is the
-    planes/tables dial."""
-    sigs = _with_norm(lsh_signatures(spark, sf_dir, planes, tables))
+    planes/tables dial.  ``portable_hash=True`` buckets under the
+    md5-parity dial (``lsh_signatures``) for the DuckDB oracle."""
+    sigs = _with_norm(lsh_signatures(spark, sf_dir, planes, tables,
+                                     portable_hash=portable_hash))
     flat = sigs.select(
         "vec_id", "embedding", "norm",
         F.posexplode("buckets").alias("t_idx", "bucket"),

@@ -41,12 +41,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-#: cross-engine 64-bit hash: the top 60 bits of md5, as a positive
-#: bigint.  Spark (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
-#: (`('0x' || substr(md5(x),1,15))::BIGINT`) compute the identical
-#: value — unlike xxhash64, which only Spark implements — so a filter
-#: run under this hash is recomputable by the DuckDB oracle in SQL.
-PORTABLE_H64 = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+# the cross-engine md5-derived hash family lives with the batch
+# primitives it dials (operators/dedup.py) since r10; re-exported here
+# for backward compatibility (r9 name)
+from ..operators.dedup import PORTABLE_H64  # noqa: F401
 
 
 def portable_doc_buckets(
@@ -71,17 +69,17 @@ def portable_doc_buckets(
     from ..operators.dedup import (
         _signatures_from_stream,
         band_buckets,
+        portable_hash_family,
         shingles_of,
     )
     from ..operators.textops import NORM_TEXT
 
+    base_hash, seed_hash, hash_sql = portable_hash_family()
     sigs = _signatures_from_stream(
         shingles_of(docs), num_hashes,
-        base_hash=lambda c: F.expr(PORTABLE_H64.format(x=c)),
-        seed_hash=lambda i: F.expr(PORTABLE_H64.format(
-            x=f"concat('{i}', ':', CAST(h0 AS STRING))")),
+        base_hash=base_hash, seed_hash=seed_hash,
     )
-    lsh = band_buckets(sigs, num_hashes, bands, hash_sql=PORTABLE_H64)
+    lsh = band_buckets(sigs, num_hashes, bands, hash_sql=hash_sql)
     short = docs.join(sigs.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id", F.lit(-1).alias("band"),
         F.expr(PORTABLE_H64.format(x=NORM_TEXT)).alias("h"),

@@ -190,3 +190,63 @@ def test_pq_recon_scores_pin_the_production_encoder(spark, tmp_path):
         # summation-order reassociation between the batched and the
         # per-vector dot product
         assert abs(audit[vid] - want) < 1e-9, vid
+
+
+def test_audit_every_cadence_records_metrics(spark, tmp_path):
+    """maintain_ivf_index(audit_every=2): fold 1 records no audit,
+    fold 2 records one — the SCALE.md cadence is executable, and the
+    recorded scalars match a directly-run audit."""
+    from dagster_delta_spark.operators.incremental import last_drift_audit
+
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    d = 16
+    anchors = _axes(d, [0, 1])
+    emb.write(_clustered(spark, range(40), anchors, d, seed=7),
+              WriteMode.error)
+    build_ivf_index(emb, index, n_cells=4, iters=4)
+    assert last_drift_audit(index) is None
+
+    emb.write(_clustered(spark, range(40, 60), anchors, d, seed=8),
+              WriteMode.append)
+    maintain_ivf_index(emb, index, audit_every=2)   # fold 1: no audit
+    assert last_drift_audit(index) is None
+
+    emb.write(_clustered(spark, range(60, 80), anchors, d, seed=9),
+              WriteMode.append)
+    maintain_ivf_index(emb, index, audit_every=2)   # fold 2: audits
+    rec = last_drift_audit(index)
+    assert rec is not None and rec["kind"] == "ivf"
+    assert rec["fold_idx"] == 2
+    assert rec["audited_version"] == emb.version()
+    # same-distribution folds: the recorded scalars sit inside the
+    # SCALE.md "no rebuild" region
+    assert abs(rec["cohort_decay"]) < 0.05
+    assert rec["rebuild_gain"] < 0.02
+    # the audit commit must not disturb maintenance resume: a further
+    # fold still applies exactly its own delta
+    emb.write(_clustered(spark, range(80, 90), anchors, d, seed=10),
+              WriteMode.append)
+    maintain_ivf_index(emb, index, audit_every=2)
+    assert index.read().count() == 90
+
+
+def test_audit_every_pq_and_marker_path(spark, tmp_path):
+    """The PQ maintainer shares the cadence; a deletions-only fold
+    (marker advance) counts as a fold and can trigger the audit."""
+    from dagster_delta_spark.operators.incremental import last_drift_audit
+
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "pq"))
+    d = 16
+    anchors = _axes(d, [0, 1])
+    emb.write(_clustered(spark, range(40), anchors, d, seed=11),
+              WriteMode.error)
+    build_pq_index(emb, index, m=4, nbits=3)
+    # deletions-only delta: DV-delete a few rows, no inserts
+    emb.delete("vec_id < 3", use_dv=True)
+    maintain_pq_index(emb, index, audit_every=1)
+    rec = last_drift_audit(index)
+    assert rec is not None and rec["kind"] == "pq"
+    assert rec["fold_idx"] == 1
+    assert index.read().where("vec_id < 3").count() == 0
