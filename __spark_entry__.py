@@ -2123,6 +2123,89 @@ def _ann_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.ann_query_maintained(emb, ivf, pq)
 
 
+def o_identity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-UPSERT into an IDENTITY table (r10 — closes the last
+    table-layer ergonomic gap: Delta's merge-with-identity): matched
+    rows KEEP their ids, not-matched inserts allocate DENSE ids
+    continuing from the high-water mark, in the same commit
+    (table.py merge: ``_assign_identity`` on the insert branch +
+    mark-advance metaData action; a racing allocator raises
+    ConcurrentAppendError — tests/test_identity_columns.py).
+
+    Determinism contract for the oracle: the base write is a SINGLE
+    sorted partition, so base ids are exactly row_number() over
+    o_orderkey — which DuckDB reproduces.  Insert ids are dense but
+    their pairing with keys is partition-order-dependent, so the
+    output carries ``orig_rid`` (the id when it predates the merge,
+    NULL for inserts) + an ``inserted`` flag, and the in-entry guard
+    asserts the part the oracle cannot see: the full rid set is
+    exactly 1..N with every insert above the pre-merge mark."""
+    t = DeltaSparkTable(spark, _scratch("idmerge"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.col("o_totalprice").cast("double")
+        .alias("o_totalprice"))
+    cfg = {"dds.identityColumns": _json.dumps({"rid": {}})}
+    t.write(
+        orders.where("o_orderkey % 4 != 3").orderBy("o_orderkey")
+        .coalesce(1),
+        WriteMode.error, table_configuration=cfg,
+    )
+    n0 = t.read().count()
+    src = orders.where("o_orderkey % 2 = 1").select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    t.merge(src, MergeConfig(MergeType.upsert,
+                             predicate="s.o_orderkey = t.o_orderkey"))
+    out = t.read().localCheckpoint()
+    rids = sorted(r["rid"] for r in out.select("rid").collect())
+    n = out.count()
+    ins_rids = [r["rid"] for r in out.where(f"rid > {n0}").collect()]
+    n_ins = out.where("o_orderkey % 4 = 3").count()
+    if rids != list(range(1, n + 1)) or len(ins_rids) != n_ins:
+        raise AssertionError(
+            f"merge identity allocation broke density: n={n} n0={n0} "
+            f"inserts={n_ins} got {len(ins_rids)} above-mark ids; "
+            f"head {rids[:5]} tail {rids[-5:]}"
+        )
+    return out.select(
+        "o_orderkey", "o_totalprice",
+        F.when(F.col("rid") <= n0, F.col("rid")).alias("orig_rid"),
+        (F.col("rid") > n0).alias("inserted"),
+    )
+
+
+def hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + dense retrieval whose dense leg reads the
+    CDC-MAINTAINED IVF + PQ index pair
+    (incremental.hybrid_search_maintained) — the production read path
+    behind the oracle-backed exact form.  Fixture: both indexes built
+    over a 2-commit transactional corpus and maintained through the
+    append (same shape as ann_query_indexed).
+
+    ORACLE-BACKED: run at full dials (nprobe/rerank covering the
+    corpus) the dense leg is exact cosine over the STORED inverted
+    lists, so the fused output equals hybrid_search_rrf's — and
+    shares its DuckDB twin.  The oracle still verifies the index
+    machinery for real: a fold that lost or doubled vectors changes
+    the inverted list and breaks the match even at full probe.  The
+    approximate dials of the same read path are recorded by
+    ann_query_indexed (rows-only, exact-anchor guarded); production
+    parity at full dials is additionally pinned by
+    tests/test_r10_entries.py."""
+    emb_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    emb = DeltaSparkTable(spark, _scratch("hybq-base"))
+    ivf = DeltaSparkTable(spark, _scratch("hybq-ivf"))
+    pq = DeltaSparkTable(spark, _scratch("hybq-pq"))
+    emb.write(emb_src.where("vec_id % 3 < 2"), WriteMode.error)
+    incremental.build_ivf_index(emb, ivf)
+    incremental.build_pq_index(emb, pq)
+    emb.write(emb_src.where("vec_id % 3 = 2"), WriteMode.append)
+    incremental.maintain_ivf_index(emb, ivf)
+    incremental.maintain_pq_index(emb, pq)
+    return incremental.hybrid_search_maintained(
+        spark, sf_dir, emb, ivf, pq, nprobe=10**9, rerank=10**9)
+
+
 def _streaming_index_sink(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2463,7 +2546,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_repeated_spans": dedup.strip_repeated_spans,
         "leakage_safe_splits": _leakage_safe_splits,
         "temperature_mixture_sample": curation.temperature_mixture_sample,
-        # (positions 48-50 reserved: NEW r10 entries insert HERE,
+        # NEW in r10: hybrid retrieval over the MAINTAINED IVF+PQ
+        # indexes at full dials — oracle-backed (shares the exact
+        # form's twin; the inverted list is load-bearing even at full
+        # probe)
+        "hybrid_search_indexed": hybrid_search_indexed,
+        # NEW in r10: merge-upsert into an identity table (inserts
+        # allocate dense ids in the same commit) — oracle-backed
+        "o_identity_merge": o_identity_merge,
+        # (position 50 reserved: further NEW r10 entries insert HERE,
         # before the tail, so their first record lands in-window)
         # -------- past the cap: green/ok rows on committed record --
         # every r8/r9-window head rotates out on its committed
@@ -4589,6 +4680,34 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE NOT (l_quantity >= 45 AND l_returnflag = 'A'
                    AND l_linenumber <= 4)
+    """
+    # the maintained-index hybrid at full dials: the dense leg is
+    # exact cosine over the STORED inverted lists == brute force, so
+    # the fused output equals the exact form's — shared oracle (a
+    # fold that lost/doubled vectors breaks the match even here)
+    out["hybrid_search_indexed"] = out["hybrid_search_rrf"]
+    # merge-with-identity: base ids are row_number over the sorted
+    # single-partition base write; matched rows keep them, inserts
+    # carry NULL orig_rid + the inserted flag (their dense above-mark
+    # allocation is the in-entry guard's half of the contract)
+    out["o_identity_merge"] = """
+        WITH base AS (
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS tp,
+                   row_number() OVER (ORDER BY o_orderkey) AS rid
+            FROM orders WHERE o_orderkey % 4 <> 3
+        )
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 1 THEN tp * 2 ELSE tp END
+                   AS o_totalprice,
+               CAST(rid AS BIGINT) AS orig_rid,
+               FALSE AS inserted
+        FROM base
+        UNION ALL
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) * 2
+                   AS o_totalprice,
+               CAST(NULL AS BIGINT) AS orig_rid,
+               TRUE AS inserted
+        FROM orders WHERE o_orderkey % 4 = 3
     """
     # dense identity allocation == row_number over the same rows
     out["o_identity_columns"] = """

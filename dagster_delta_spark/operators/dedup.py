@@ -107,8 +107,11 @@ def portable_hash_family():
     xxhash64 and this family is the verification dial."""
     return (
         lambda c: F.expr(PORTABLE_H64.format(x=c)),
-        lambda i: F.expr(PORTABLE_H64.format(
-            x=f"concat('{i}', ':', CAST(h0 AS STRING))")),
+        # seed factory over the exploded INT seed column + h0 — the
+        # rendered value ('<seed>:<h0>') is exactly what the DuckDB
+        # oracles recompute (CAST(i AS VARCHAR) || ':' || CAST(h0 ...))
+        lambda c: F.expr(PORTABLE_H64.format(
+            x=f"concat(CAST({c} AS STRING), ':', CAST(h0 AS STRING))")),
         PORTABLE_H64,
     )
 
@@ -316,12 +319,13 @@ def minhash_signatures(
     """MinHash signatures: ``sig[i] = min over shingles of
     xxhash64(i, shingle)``.
 
-    Shape: explode shingles once, hash with ``num_hashes`` literal
-    seeds as independent ``min`` aggregates in a single groupBy — all
-    inside whole-stage codegen with map-side partial aggregation, one
-    shuffle on doc_id.  (A nested array-lambda formulation is ~100x
-    slower: higher-order functions run interpreted and re-evaluate the
-    hash per seed.)
+    Shape: hash each shingle once, explode the seed dimension, one
+    map-side-combined ``min`` aggregate keyed (doc_id, seed), regroup
+    to the array — see ``_signatures_from_stream`` for why this beats
+    the former 64-separate-aggregates plan by ~30% with bit-identical
+    output.  (A nested array-lambda formulation is ~100x slower:
+    higher-order functions run interpreted and re-evaluate the hash
+    per seed.)
 
     Session-cached per (app, corpus, fingerprint, num_hashes) like the
     shingle stream it derives from (constant-size per doc: 64 longs —
@@ -360,20 +364,37 @@ def _signatures_from_stream(
     # hash the (variable-length) shingle string once; the per-seed
     # hashes then run over a fixed 8-byte long — ~20x cheaper than
     # re-hashing the string per seed.  ``base_hash(col_name)`` /
-    # ``seed_hash(i)`` (Column factories) swap the hash family — the
-    # portable md5 oracle dial routes through HERE so the signature
-    # STRUCTURE can never fork from production; defaults are the
-    # exact historical xxhash64 expressions.
+    # ``seed_hash(seed_col)`` (Column factories; the seed factory
+    # reads the INT seed column named ``seed_col`` plus ``h0``) swap
+    # the hash family — the portable md5 oracle dial routes through
+    # HERE so the signature STRUCTURE can never fork from production;
+    # defaults are the exact historical xxhash64 expressions.
+    #
+    # Plan shape (r10): explode the seed dimension into ROWS and run
+    # ONE min aggregate keyed (doc_id, i), then regroup to the
+    # signature array.  The former 64-separate-min-aggregates
+    # formulation never entered whole-stage codegen (64 aggregate
+    # functions) and evaluated 64 interpreted hash exprs per shingle
+    # row in the agg update path — measured 5.2 s -> 3.6 s (-30%) on
+    # the 3-batch sf0.1 sign stage with BIT-IDENTICAL output
+    # (xxhash64 of an INT column equals xxhash64 of the same INT
+    # literal; parity pinned by tests/test_r10_entries.py).  Both
+    # aggregates combine map-side, so shuffle volume stays
+    # ~num_hashes longs per doc either way; seeds explode AFTER the
+    # base hash, so the string is still hashed once.
     h0 = base_hash("sh") if base_hash else F.xxhash64("sh")
     ex = stream.select("doc_id", h0.alias("h0"))
-    mk = seed_hash or (lambda i: F.xxhash64(F.lit(i), F.col("h0")))
-    aggs = [
-        F.min(mk(i)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    g = ex.groupBy("doc_id").agg(*aggs)
-    return g.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    mk = seed_hash or (lambda c: F.xxhash64(F.col(c), F.col("h0")))
+    seeded = ex.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("i"),
+        "h0",
+    )
+    mins = seeded.groupBy("doc_id", "i").agg(F.min(mk("i")).alias("mh"))
+    return (
+        mins.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
+        .select("doc_id", F.expr("transform(s, x -> x.mh)").alias("sig"))
     )
 
 

@@ -772,6 +772,63 @@ def ann_query_maintained(
     )
 
 
+def hybrid_search_maintained(
+    spark,
+    sf_dir: str,
+    emb: DeltaSparkTable,
+    ivf_index: DeltaSparkTable,
+    pq_index: DeltaSparkTable,
+    n_queries: int = 5,
+    inner_k: int = 20,
+    top_k: int = 10,
+    k_rrf: int = 60,
+    nprobe: Optional[int] = None,
+    rerank: int = 50,
+) -> DataFrame:
+    """Hybrid BM25 + dense retrieval over the MAINTAINED indexes —
+    the production form of ``similarity.hybrid_search_rrf``: the
+    sparse leg is the same inverted-postings BM25 probe, but the
+    dense leg reads the CDC-maintained IVF + PQ index pair
+    (``ann_query_maintained`` — stored centroids, stored inverted
+    lists, m-byte ADC scan, bounded exact rerank) instead of
+    brute-force cosine over raw embeddings.  Both forms fuse through
+    the SHARED ``_rrf_fuse`` epilogue, so fusion semantics cannot
+    fork; with ``nprobe``/``rerank`` covering the corpus the dense
+    leg equals brute force exactly and the fused output equals the
+    oracle-backed exact form bit-for-bit (the registry entry's
+    guard).  At scale the dense leg reads O(probed cells x m bytes)
+    instead of O(corpus x d floats)."""
+    from pyspark.sql import functions as F
+
+    from .relational import load
+    from .similarity import _rrf_fuse
+    from .textops import bm25_search
+
+    docs = load(spark, sf_dir, "documents")
+    qdocs = (
+        docs.where(F.col("doc_id") < n_queries)
+        .select("doc_id", "text").collect()
+    )  # bounded: n_queries rows
+    sparse = bm25_search(
+        spark, sf_dir,
+        queries=[(r["doc_id"], r["text"]) for r in qdocs],
+        top_k=inner_k, exclude_qid_doc=True,
+    ).select(
+        F.col("qid").cast("long").alias("q_id"),
+        "doc_id",
+        F.col("rank").alias("r_sparse"),
+    )
+    dense = ann_query_maintained(
+        emb, ivf_index, pq_index,
+        k=inner_k, n_queries=n_queries, nprobe=nprobe, rerank=rerank,
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("r_dense"),
+    )
+    return _rrf_fuse(sparse, dense, k_rrf, top_k)
+
+
 def pq_index_vs_rebuild(
     emb: DeltaSparkTable, index: DeltaSparkTable
 ) -> DataFrame:

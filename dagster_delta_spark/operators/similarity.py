@@ -1568,6 +1568,22 @@ def hybrid_search_rrf(
             F.col("vec_id").alias("doc_id"),
             F.col("rank").alias("r_dense"),
         )
+    return _rrf_fuse(sparse, dense, k_rrf, top_k)
+
+
+def _rrf_fuse(
+    sparse: DataFrame, dense: DataFrame, k_rrf: int, top_k: int
+) -> DataFrame:
+    """THE Reciprocal-Rank-Fusion epilogue — one definition shared by
+    the exact oracle-backed form (``hybrid_search_rrf``) and the
+    maintained-index production path
+    (``incremental.hybrid_search_maintained``), so the two can never
+    fuse differently.  Inputs: ``(q_id, doc_id, r_sparse)`` and
+    ``(q_id, doc_id, r_dense)`` rank tables; a doc absent from a leg
+    contributes 0.  Scores round to 9 decimals before ranking (the
+    cross-engine determinism convention); ties break on doc_id.  One
+    full-outer join of two rank tables + a per-query
+    WindowGroupLimit — rank-table-sized at any scale."""
     contrib = (
         F.when(F.col("r_sparse").isNotNull(),
                1.0 / (k_rrf + F.col("r_sparse"))).otherwise(F.lit(0.0))

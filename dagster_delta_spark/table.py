@@ -1595,14 +1595,22 @@ class DeltaSparkTable:
             }
 
         snap = self.snapshot()
-        if _identity_columns(snap.metadata.configuration):
-            # a merge-inserted row cannot allocate (the insert subset is
-            # decided inside the join) and conform would null-fill the
-            # id — refuse instead of silently minting NULL identities
-            raise ValueError(
-                "MERGE is not supported on tables with identity columns"
-                " — append new rows with write() so ids allocate"
-            )
+        merge_idcols = _identity_columns(snap.metadata.configuration)
+        if merge_idcols:
+            # GENERATED ALWAYS: the source may never provide the
+            # column (same contract as write()); matched updates keep
+            # the target's id automatically (identity is not a source
+            # column, so updated_row() takes the target value), and
+            # the not-matched insert branch allocates dense ids below
+            # — Delta's merge-with-identity semantics
+            bad_src = sorted(set(merge_idcols) & set(source.columns))
+            if bad_src:
+                raise ValueError(
+                    f"identity column(s) {bad_src} are GENERATED "
+                    "ALWAYS — a MERGE source cannot provide them; "
+                    "drop them from the source and let inserts "
+                    "allocate"
+                )
         # generated columns under MERGE: matched-update takes source
         # values for source-present columns and keeps target values
         # otherwise, so consistency of the WRITTEN rows follows from
@@ -1869,8 +1877,21 @@ class DeltaSparkTable:
         else:
             # M2: target rows never rewritten
             pass
+        merge_id_assumed: dict[str, Optional[str]] = {}
+        merge_id_updates: dict[str, str] = {}
         if needs_insert:
-            branches.append(joined.where(s_only).select(*inserted_row()))
+            ins_b = joined.where(s_only).select(*inserted_row())
+            # identity allocation for merge-inserts: the same
+            # prefix-sum allocator as write(), on the insert branch
+            # only (matched/carried rows keep their target ids); the
+            # mark advances in the SAME merge commit, and a racing
+            # allocator fails the commit loudly (checked per retry)
+            for c, ispec in merge_idcols.items() if merge_idcols else ():
+                ins_b, assumed, new_next = _assign_identity(
+                    ins_b, c, ispec, snap.metadata.configuration)
+                merge_id_assumed[_identity_next_key(c)] = assumed
+                merge_id_updates[_identity_next_key(c)] = str(new_next)
+            branches.append(ins_b)
 
         result: Optional[DataFrame] = None
         for b in branches:
@@ -1980,7 +2001,27 @@ class DeltaSparkTable:
                             "snapshot may contain matching keys; re-run the "
                             "merge against the new table state"
                         )
+            # identity conflict check — same contract as write(): a
+            # concurrent writer that advanced the mark invalidates
+            # this merge's insert allocation
+            for ikey, iassumed in merge_id_assumed.items():
+                fresh_mark = cur.metadata.configuration.get(ikey)
+                if fresh_mark != iassumed:
+                    raise ConcurrentAppendError(
+                        f"identity mark {ikey} advanced concurrently "
+                        f"({iassumed} -> {fresh_mark}); rerun the "
+                        "merge to re-allocate ids"
+                    )
             new_meta = snap.metadata if evolved else cur.metadata
+            if merge_id_updates:
+                new_meta = Metadata(
+                    schema_json=new_meta.schema_json,
+                    partition_columns=new_meta.partition_columns,
+                    configuration=dict(new_meta.configuration,
+                                       **merge_id_updates),
+                    table_id=new_meta.table_id,
+                    created_time=new_meta.created_time,
+                )
             actions: list[dict[str, Any]] = [
                 CommitInfo(
                     operation="MERGE",
@@ -1996,7 +2037,7 @@ class DeltaSparkTable:
                     user_metadata=commit_metadata,
                 ).to_action(),
             ]
-            if evolved:
+            if evolved or merge_id_updates:
                 actions.append(new_meta.to_action())
             # removes BEFORE adds: log replay applies actions in order,
             # so a rewrite that re-adds a removed log_key (deletion

@@ -136,17 +136,72 @@ def test_restore_never_regresses_the_mark(spark, tmp_path):
         range(1, 8))
 
 
-def test_merge_and_identity_update_refuse(spark, tmp_path):
-    """MERGE would null-fill inserted ids and UPDATE could overwrite
-    them — both refuse with pointed errors."""
+def test_merge_source_identity_and_update_refuse(spark, tmp_path):
+    """A MERGE source providing a GENERATED ALWAYS identity column
+    refuses (same contract as write), and UPDATE cannot assign the
+    column — both with pointed errors."""
+    from pyspark.sql import functions as F
+
     from dagster_delta_spark import MergeConfig, MergeType
 
     t = DeltaSparkTable(spark, str(tmp_path / "t"))
     t.write(_df(spark, 3), WriteMode.error, table_configuration=IDCFG)
-    with pytest.raises(ValueError, match="identity"):
-        t.merge(_df(spark, 2, base=3),
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.merge(_df(spark, 2, base=3).withColumn("rid", F.lit(99)),
                 MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
     with pytest.raises(ValueError, match="IDENTITY"):
         t.update({"rid": "rid + 100"}, "k = 1")
     t.update({"s": "'patched'"}, "k = 1")  # non-identity columns fine
     assert t.read().where("s = 'patched'").count() == 1
+
+
+def test_merge_upsert_allocates_identity_for_inserts(spark, tmp_path):
+    """Merge-upsert into an identity table: matched rows KEEP their
+    ids, not-matched inserts allocate dense ids continuing from the
+    high-water mark — in the same commit as the data."""
+    from dagster_delta_spark import MergeConfig, MergeType
+
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 3), WriteMode.error, table_configuration=IDCFG)
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert sorted(before.values()) == [1, 2, 3]
+    # k=2 matches (update), k=3/4 insert
+    t.merge(_df(spark, 3, base=2),
+            MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
+    after = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert after[2] == before[2]                  # matched keeps id
+    assert sorted(after.values()) == [1, 2, 3, 4, 5]   # dense
+    assert {after[3], after[4]} == {4, 5}         # inserts allocated
+    # mark advanced in the same commit: a further append continues
+    t.write(_df(spark, 1, base=9), WriteMode.append)
+    assert sorted(r["rid"] for r in t.read().collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_merge_identity_concurrent_mark_advance_raises(spark, tmp_path, monkeypatch):
+    """A writer that advances the identity mark between merge planning
+    and commit invalidates the allocation — the merge must raise, not
+    mint duplicate ids."""
+    import dagster_delta_spark.table as tmod
+    from dagster_delta_spark import MergeConfig, MergeType
+
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 3), WriteMode.error, table_configuration=IDCFG)
+
+    real = tmod._assign_identity
+    state = {"armed": True}
+
+    def sneaky(df, col, spec, configuration):
+        out = real(df, col, spec, configuration)
+        if state["armed"]:
+            state["armed"] = False  # the racing append allocates sanely
+            DeltaSparkTable(spark, str(tmp_path / "t")).write(
+                _df(spark, 2, base=50), WriteMode.append)
+        return out
+
+    monkeypatch.setattr(tmod, "_assign_identity", sneaky)
+    with pytest.raises(ConcurrentAppendError, match="identity mark"):
+        t.merge(_df(spark, 2, base=10),
+                MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
+    # no duplicate ids ever became visible
+    ids = [r["rid"] for r in t.read().collect()]
+    assert sorted(ids) == list(range(1, 6))
