@@ -1155,9 +1155,14 @@ def _minhash_cluster(spark, sf_dir):
 
 
 def simhash_pairs(spark, sf_dir):
-    """SimHash Hamming-neighbor pairs.  Guard: a planted exact
-    duplicate (identical token multiset -> identical signature) must
-    surface at Hamming distance 0 on the scratch corpus."""
+    """SimHash Hamming-neighbor pairs.  ORACLE-BACKED since r10 via
+    the portable md5 token hash: signatures are pure integer vote
+    counts, so the DuckDB twin recomputes the whole operator —
+    per-bit votes, 64-bit signature, pigeonhole banding, candidate
+    pairs, popcount verify — with zero cross-engine hazard.  Guard
+    (production xxhash64 path): a planted exact duplicate (identical
+    token multiset -> identical signature) must surface at Hamming
+    distance 0 on the scratch corpus."""
     d, orig, planted = _planted_dup_docs(spark, sf_dir)
     found = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
@@ -1168,7 +1173,7 @@ def simhash_pairs(spark, sf_dir):
             f"simhash_near_dups missed the planted exact duplicate "
             f"({orig}, {planted}) at Hamming 0; found {found}"
         )
-    return dedup.simhash_near_dups(spark, sf_dir)
+    return dedup.simhash_near_dups(spark, sf_dir, portable_hash=True)
 
 
 def ann_lsh(spark, sf_dir):
@@ -1755,6 +1760,61 @@ def _minhash_cluster_oracle_sql() -> str:
                coalesce(c.cluster_id, d.doc_id) AS cluster_id,
                coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
         FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 8) -> str:
+    """DuckDB twin of ``simhash_pairs``: per-token md5 hash (the
+    portable dial) -> per-bit vote counts -> 64-bit signature (bits
+    60-63 never set: the portable hash is 60-bit) -> the SAME
+    ``max_hamming + 1``-band pigeonhole chunking as
+    ``simhash_bucket_index`` -> banded candidate pairs -> exact
+    popcount verify.  Pure integer arithmetic end-to-end — no
+    cross-engine float hazard anywhere."""
+    h = "CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)"
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    chunks = []
+    off = 0
+    for b in range(n_bands):
+        width = base + (1 if b < rem else 0)
+        chunks.append(
+            f"SELECT doc_id, simhash, {b} AS band, "
+            f"(simhash >> {off}) & {(1 << width) - 1} AS chunk FROM sig"
+        )
+        off += width
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_slice({_TOK}, 1, 32767) AS toks
+            FROM documents
+        ),
+        ex AS (
+            SELECT doc_id, {h} AS h
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        ),
+        votes AS (
+            SELECT doc_id, j,
+                   sum((h >> j) & 1) AS cnt, count(*) AS tot
+            FROM ex, range(60) r(j)
+            GROUP BY doc_id, j
+        ),
+        sig AS (
+            SELECT doc_id,
+                   sum(CASE WHEN 2 * cnt > tot
+                       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id
+        ),
+        banded AS ({' UNION ALL '.join(chunks)}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        FROM pairs WHERE hamming <= {max_hamming}
     """
 
 
@@ -3662,6 +3722,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_cluster_keep": _minhash_cluster_oracle_sql(),
         "ann_lsh_topk": _lsh_ann_oracle_sql(),
         "embedding_near_dups_lsh": _emb_neardup_lsh_oracle_sql(),
+        "simhash_near_dups": _simhash_oracle_sql(),
         # z-order preserves contents exactly; the layout property is
         # guarded in-entry (the oracle can't see file boundaries)
         "o_zorder_clustering": """

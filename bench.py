@@ -73,6 +73,10 @@ def main() -> None:
         "ann_query_indexed",
         "ann_drift_audit",
         "zorder_cluster",
+        # r10: merge-upsert with identity allocation on the insert
+        # branch, and the hybrid query over the maintained indexes
+        "identity_merge",
+        "hybrid_search_indexed",
         # streaming ingest near-dup filter (3 micro-batches), staged:
         # the ~7 s streaming-engine + fixture fixed cost masked probe
         # regressions behind one number, so the line reports the
@@ -454,8 +458,54 @@ def main() -> None:
     def _zorder_run(spark, t):
         t.zorder(["l_orderkey", "l_partkey"], num_files=16)
 
+    def _hybq_setup(spark, d):
+        # fixture: the maintained IVF+PQ index pair (untimed —
+        # ann_query_indexed's shape); the operator under test is the
+        # HYBRID query at production dials: inverted-postings BM25 leg
+        # + indexed dense leg (stored centroids/lists/codes, ADC scan,
+        # bounded rerank) + shared RRF fusion
+        return (d, *_annq_setup(spark, d))
+
+    def _hybq_run(spark, ctx):
+        from dagster_delta_spark.operators import incremental as incr
+
+        d, base, ivf, pq = ctx
+        incr.hybrid_search_maintained(
+            spark, d, base, ivf, pq).write.mode(
+            "overwrite").format("noop").save()
+
+    def _idmerge_setup(spark, d):
+        # fixture: the identity base table (sorted single-partition
+        # write, untimed); the operator under test is ONE merge-upsert
+        # that updates matched rows AND allocates dense ids for the
+        # insert branch (prefix-sum allocator + mark-advance commit)
+        import json as _j
+
+        orders = spark.read.parquet(f"{d}/orders.parquet").select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        t = DeltaSparkTable(spark, entry._scratch("bench-idmerge"))
+        t.write(
+            orders.where("o_orderkey % 4 != 3").orderBy("o_orderkey")
+            .coalesce(1),
+            WriteMode.error,
+            table_configuration={
+                "dds.identityColumns": _j.dumps({"rid": {}})})
+        src = orders.where("o_orderkey % 2 = 1").select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"))
+        return t, src
+
+    def _idmerge_run(spark, ctx):
+        t, src = ctx
+        t.merge(src, MergeConfig(
+            MergeType.upsert, predicate="s.o_orderkey = t.o_orderkey"))
+        t.read().write.mode("overwrite").format("noop").save()
+
     staged = {
         "ann_drift_audit": (_drift_setup, _drift_run),
+        "hybrid_search_indexed": (_hybq_setup, _hybq_run),
+        "identity_merge": (_idmerge_setup, _idmerge_run),
         "zorder_cluster": (_zorder_setup, _zorder_run),
         "cdc_apply": (_cdc_apply_setup, _cdc_apply_run),
         "ppjoin_mixed_regime": (_ppjoin_setup, _ppjoin_run),

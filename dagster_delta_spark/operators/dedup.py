@@ -600,7 +600,9 @@ def minhash_lsh_near_dups(
     return _jaccard_from_intersections(inter, sizes, threshold)
 
 
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_signatures(
+    spark: SparkSession, sf_dir: str, portable_hash: bool = False,
+) -> DataFrame:
     """64-bit SimHash per document: each token votes ±1 on each bit of
     its xxhash64; the signature is the sign vector.
 
@@ -608,13 +610,22 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sum((h >> j) & 1)`` aggregates in one groupBy (bit j is set iff
     set-bit count exceeds half the tokens).  One shuffle on doc_id
     with map-side combine.  Session-cached per (app, corpus,
-    fingerprint) — one long per doc; ``DDS_SHINGLE_CACHE=0``
-    disables."""
+    fingerprint, hash family) — one long per doc;
+    ``DDS_SHINGLE_CACHE=0`` disables.
+
+    ``portable_hash=True`` derives the per-token hash from md5
+    (``PORTABLE_H64``) so the whole signature — and therefore the
+    banded candidate join and the Hamming verify — is recomputable by
+    the DuckDB oracle.  The portable hash is 60-bit (top 60 bits of
+    md5 as a positive bigint), so signature bits 60-63 never vote set
+    under it — pure integer vote counting either way, no cross-engine
+    hazard."""
     from .relational import corpus_fingerprint
 
     key = (
         spark.sparkContext.applicationId, os.path.abspath(sf_dir),
         corpus_fingerprint(sf_dir, "documents"),
+        "md5" if portable_hash else "xx",
     )
     caching = os.environ.get("DDS_SHINGLE_CACHE", "1") != "0"
     if caching and key in _SIMHASH_SIG_CACHE:
@@ -625,11 +636,13 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum would cross the sign bit (ANSI overflow).  A 32k-token prefix
     # is a faithful near-dup fingerprint; extremely long docs should be
     # chunked upstream anyway (chunk_documents).
+    tok_hash = (F.expr(PORTABLE_H64.format(x="tok")) if portable_hash
+                else F.xxhash64("tok"))
     ex = (
         docs.select("doc_id",
                     F.explode(F.expr(f"slice({TOKENS}, 1, 32767)"))
                     .alias("tok"))
-        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .select("doc_id", tok_hash.alias("h"))
     )
     # pack 4 x 15-bit bit-counters per 64-bit sum -> 16 aggregates
     # instead of 64 (~6x faster agg).  15-bit lanes (offsets 0/15/30/45)
@@ -662,6 +675,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_bucket_index(
     spark: SparkSession, sf_dir: str, max_hamming: int = 8,
     max_bucket_size: Optional[int] = 1000,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Truncated SimHash banding index ``(doc_id, simhash, band, h)``,
     session-cached (see ``_LSH_BUCKET_CACHE``): ``max_hamming + 1``
@@ -685,9 +699,11 @@ def simhash_bucket_index(
            if width < 64 else "simhash)")  # 2^64-1 overflows a long literal
         for b, off, width in offsets
     )
-    sigs = simhash_signatures(spark, sf_dir)
+    sigs = simhash_signatures(spark, sf_dir, portable_hash=portable_hash)
     return _cached_truncated_buckets(
-        spark, sf_dir, ("simhash", max_hamming, max_bucket_size),
+        spark, sf_dir,
+        ("simhash", max_hamming, max_bucket_size,
+         "md5" if portable_hash else "xx"),
         lambda: _truncate_buckets(
             sigs.select(
                 "doc_id", "simhash",
@@ -730,6 +746,7 @@ def minhash_bucket_index(
 def simhash_near_dups(
     spark: SparkSession, sf_dir: str, max_hamming: int = 8,
     max_bucket_size: Optional[int] = 1000,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Hamming-neighbor pairs via banded join + exact popcount verify.
 
@@ -764,8 +781,13 @@ def simhash_near_dups(
     output by definition; route them through
     ``minhash_cluster_keep``).  Audit with ``lsh_bucket_overflow``;
     ``None`` restores the unconditional plan."""
+    # portable_hash=True signs under the md5-derived PORTABLE_H64
+    # token hash (integer vote counting — exactly cross-engine) so
+    # the DuckDB oracle recomputes signatures, banding, candidates,
+    # and the popcount verify in SQL
     banded = simhash_bucket_index(spark, sf_dir, max_hamming,
-                                  max_bucket_size)
+                                  max_bucket_size,
+                                  portable_hash=portable_hash)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
