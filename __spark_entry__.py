@@ -1050,7 +1050,10 @@ def minhash_lsh(spark, sf_dir):
 
 def _near_dup_decon(spark, sf_dir):
     """Fuzzy (MinHash-candidate, exactly-verified) decontamination.
-    Guard: on a planted corpus a PARAPHRASE of an eval document
+    ORACLE-BACKED since r10 via the portable md5 dial (the returned
+    frame; the DuckDB twin recomputes candidates, exact verification,
+    and the best-match-per-doc reduction end-to-end).
+    Guard (production xxhash64 path): on a planted corpus a PARAPHRASE of an eval document
     (suffix-extended — most word trigrams survive, exact 8-gram
     decontamination of the tail region changes) must be flagged, while
     a planted nonce document sharing no shingle with anything must NOT
@@ -1096,7 +1099,8 @@ def _near_dup_decon(spark, sf_dir):
             f"near_dup_decontaminate soundness violated: {bad} rows "
             f"outside [threshold, 1]"
         )
-    return curation.near_dup_decontaminate(spark, sf_dir)
+    return curation.near_dup_decontaminate(
+        spark, sf_dir, portable_hash=True)
 
 
 def _bpe_stats(spark, sf_dir):
@@ -1760,6 +1764,49 @@ def _minhash_cluster_oracle_sql() -> str:
                coalesce(c.cluster_id, d.doc_id) AS cluster_id,
                coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
         FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
+def _near_dup_decon_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin of ``_near_dup_decon``: the portable minhash CTEs
+    over the corpus (the default eval stand-in is the ``doc_id % 17
+    == 3`` corpus subset, so its shingles/signatures/buckets are the
+    corpus rows filtered) -> candidate (doc, eval) bucket collisions
+    -> exact trigram-Jaccard verification -> best match per doc
+    (jaccard DESC, eval_id ASC), rounded to 6 like the operator."""
+    return f"""
+        WITH {_portable_minhash_ctes()},
+        cand AS (
+            SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
+            FROM lsh c JOIN lsh e
+              ON c.band = e.band AND c.h = e.h
+             AND e.doc_id % 17 = 3
+        ),
+        inter AS (
+            SELECT cx.doc_id, ex2.doc_id AS eval_id,
+                   count(*) AS n_common
+            FROM ex cx
+            JOIN cand ON cand.doc_id = cx.doc_id
+            JOIN ex ex2
+              ON ex2.doc_id = cand.eval_id AND ex2.s = cx.s
+            GROUP BY cx.doc_id, ex2.doc_id
+        ),
+        scored AS (
+            SELECT i.doc_id, i.eval_id,
+                   CAST(i.n_common AS DOUBLE)
+                       / (sc.n_sh + se.n_sh - i.n_common) AS jaccard
+            FROM inter i
+            JOIN sized sc ON i.doc_id = sc.doc_id
+            JOIN sized se ON i.eval_id = se.doc_id
+        )
+        SELECT doc_id, eval_id AS matched_eval_id,
+               round(jaccard, 6) AS jaccard
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY jaccard DESC, eval_id ASC) AS rnk
+            FROM scored WHERE jaccard >= {threshold}
+        ) WHERE rnk = 1
     """
 
 
@@ -2614,8 +2661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r10: merge-upsert into an identity table (inserts
         # allocate dense ids in the same commit) — oracle-backed
         "o_identity_merge": o_identity_merge,
-        # (position 50 reserved: further NEW r10 entries insert HERE,
-        # before the tail, so their first record lands in-window)
+        # CONVERTED late r10 (portable dial; conversion re-demands a
+        # green row, so it takes window position 50)
+        "near_dup_decontaminate": _near_dup_decon,
         # -------- past the cap: green/ok rows on committed record --
         # every r8/r9-window head rotates out on its committed
         # CORRECTNESS_r08/r09 record
@@ -2677,7 +2725,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_perplexity": textops.bigram_perplexity,
         "multimodal_features": mm_features,
         "heavy_hitter_tokens": textops.heavy_hitter_tokens,
-        "near_dup_decontaminate": _near_dup_decon,
         "bpe_token_stats": _bpe_stats,
         "ann_recall_report": _ann_recall,
         "kmeans_clusters": _kmeans_clusters,
@@ -3723,6 +3770,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _lsh_ann_oracle_sql(),
         "embedding_near_dups_lsh": _emb_neardup_lsh_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
+        "near_dup_decontaminate": _near_dup_decon_oracle_sql(),
         # z-order preserves contents exactly; the layout property is
         # guarded in-entry (the oracle can't see file boundaries)
         "o_zorder_clustering": """

@@ -180,6 +180,7 @@ def near_dup_decontaminate(
     num_hashes: int = 64,
     bands: int = 16,
     docs: DataFrame = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """FUZZY benchmark decontamination: flag corpus documents whose
     word-trigram Jaccard similarity to ANY eval document reaches
@@ -218,7 +219,12 @@ def near_dup_decontaminate(
     At 100 TB: eval buckets and eval shingles stay broadcast-size;
     corpus-side work is one linear signature pass plus a verify join
     restricted to bucket-colliding docs.  No stage is quadratic in the
-    corpus."""
+    corpus.
+
+    ``portable_hash=True`` (r10) routes every hash through the shared
+    md5 family (``dedup.portable_hash_family``) so the DuckDB oracle
+    recomputes candidates AND verification end-to-end — same dial as
+    the batch LSH family; production keeps xxhash64."""
     from pyspark.sql.window import Window
 
     from .dedup import (
@@ -226,8 +232,18 @@ def near_dup_decontaminate(
         _shingle_stream,
         _signatures_from_stream,
         band_buckets,
+        portable_hash_family,
         shingles_of,
     )
+
+    base_hash = seed_hash = None
+    hash_sql = "xxhash64({x})"
+    if portable_hash:
+        base_hash, seed_hash, hash_sql = portable_hash_family()
+
+    def sigs_of(stream):
+        return _signatures_from_stream(
+            stream, num_hashes, base_hash=base_hash, seed_hash=seed_hash)
 
     default_corpus = docs is None
     if default_corpus:
@@ -245,12 +261,12 @@ def near_dup_decontaminate(
     # small by construction; feeds banding AND the verify join
     eval_sh = eval_sh.localCheckpoint()
     cand = (
-        band_buckets(_signatures_from_stream(corpus_sh, num_hashes),
-                     num_hashes, bands)
+        band_buckets(sigs_of(corpus_sh), num_hashes, bands,
+                     hash_sql=hash_sql)
         .join(
             F.broadcast(
-                band_buckets(_signatures_from_stream(eval_sh, num_hashes),
-                             num_hashes, bands)
+                band_buckets(sigs_of(eval_sh), num_hashes, bands,
+                             hash_sql=hash_sql)
                 .withColumnRenamed("doc_id", "eval_id")
             ),
             ["band", "h"],
