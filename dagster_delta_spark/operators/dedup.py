@@ -322,8 +322,8 @@ def minhash_signatures(
     Shape: hash each shingle once, explode the seed dimension, one
     map-side-combined ``min`` aggregate keyed (doc_id, seed), regroup
     to the array — see ``_signatures_from_stream`` for why this beats
-    the former 64-separate-aggregates plan by ~30% with bit-identical
-    output.  (A nested array-lambda formulation is ~100x slower:
+    the former 64-separate-aggregates plan by ~30% on well-partitioned
+    inputs with bit-identical output.  (A nested array-lambda formulation is ~100x slower:
     higher-order functions run interpreted and re-evaluate the hash
     per seed.)
 
@@ -375,8 +375,11 @@ def _signatures_from_stream(
     # signature array.  The former 64-separate-min-aggregates
     # formulation never entered whole-stage codegen (64 aggregate
     # functions) and evaluated 64 interpreted hash exprs per shingle
-    # row in the agg update path — measured 5.2 s -> 3.6 s (-30%) on
-    # the 3-batch sf0.1 sign stage with BIT-IDENTICAL output
+    # row in the agg update path — -30% on well-partitioned batch
+    # inputs (0.97 -> 0.74 s signature stage at sf0.1 batch sizes);
+    # neutral inside the one-file-per-trigger streaming pipeline,
+    # whose per-batch fixed costs dominate (SCALE.md sign-stage
+    # section).  Output is BIT-IDENTICAL
     # (xxhash64 of an INT column equals xxhash64 of the same INT
     # literal; parity pinned by tests/test_r10_entries.py).  Both
     # aggregates combine map-side, so shuffle volume stays

@@ -1545,7 +1545,13 @@ def hybrid_search_rrf(
     probe; broadcast-query brute-force cosine); the fusion is one
     full-outer join of two (queries x inner_k)-row frames and a
     per-query WindowGroupLimit — fusion cost is rank-table-sized,
-    never corpus-sized, at any scale."""
+    never corpus-sized, at any scale.
+
+    This is the EXACT, oracle-backed form.  The production read path
+    at corpus scale is ``incremental.hybrid_search_maintained`` (r10):
+    the dense leg reads the CDC-maintained IVF+PQ indexes instead of
+    brute-force cosine, fused through the shared ``_rrf_fuse``
+    epilogue — bit-identical to this form at full nprobe/rerank."""
     from .textops import bm25_search
 
     docs = load(spark, sf_dir, "documents")
