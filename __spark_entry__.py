@@ -2652,7 +2652,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_doc_repetition": dedup.winnow_doc_repetition,
         "strip_repeated_spans": dedup.strip_repeated_spans,
         "leakage_safe_splits": _leakage_safe_splits,
-        "temperature_mixture_sample": curation.temperature_mixture_sample,
         # NEW in r10: hybrid retrieval over the MAINTAINED IVF+PQ
         # indexes at full dials — oracle-backed (shares the exact
         # form's twin; the inverted list is load-bearing even at full
@@ -2662,12 +2661,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # allocate dense ids in the same commit) — oracle-backed
         "o_identity_merge": o_identity_merge,
         # CONVERTED late r10 (portable dial; conversion re-demands a
-        # green row, so it takes window position 50)
+        # green row, so it takes a window slot)
         "near_dup_decontaminate": _near_dup_decon,
+        # NEW late r10: embedding-space decontamination (cosine vs the
+        # broadcast eval set, best match per vector) — oracle-backed;
+        # displaces temperature_mixture_sample (green r7 record
+        # stands) to the tail
+        "embedding_decontaminate": similarity.embedding_decontaminate,
         # -------- past the cap: green/ok rows on committed record --
         # every r8/r9-window head rotates out on its committed
         # CORRECTNESS_r08/r09 record
         "stream_ingest_near_dup_filter": _stream_ingest_filter,
+        "temperature_mixture_sample": curation.temperature_mixture_sample,
         "string_functions": relational.string_functions_probe,
         "date_parts_rollup": relational.date_parts_rollup,
         "q12_case_agg": relational.q12_priority_by_linestatus,
@@ -3836,6 +3841,34 @@ def oracle_sql() -> dict[str, str]:
                                                       vec_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        # embedding-space decontamination: broadcast-eval cosine scan
+        # + best match per vector; the ordered-fold dot/norm macros
+        # make the doubles bit-identical cross-engine
+        "embedding_decontaminate": f"""
+            WITH e AS (
+                SELECT vec_id, embedding,
+                       {norm.format(a='embedding')} AS nrm
+                FROM embeddings
+                WHERE {norm.format(a='embedding')} > 0
+            ), ev AS (
+                SELECT vec_id AS eval_id, embedding AS eval_emb,
+                       nrm AS eval_nrm
+                FROM e WHERE vec_id % 17 = 3
+            ), scored AS (
+                SELECT c.vec_id, ev.eval_id,
+                       ({dot.format(a='c.embedding', b='ev.eval_emb')})
+                           / (c.nrm * ev.eval_nrm) AS cosine
+                FROM e c, ev
+            )
+            SELECT vec_id, eval_id AS matched_eval_id,
+                   round(cosine, 9) AS cosine
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY cosine DESC, eval_id ASC) AS rnk
+                FROM scored WHERE cosine >= 0.4
+            ) WHERE rnk = 1
         """,
         "embedding_near_dups": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

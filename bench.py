@@ -91,6 +91,7 @@ def main() -> None:
         "fuzzy_dedup_unique_names",
         "bloom_decontaminate",
         "near_dup_decontaminate",
+        "embedding_decontaminate",
         "text_quality",
         "gopher_quality_filter",
         "bigram_perplexity",

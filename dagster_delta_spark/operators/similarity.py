@@ -343,6 +343,65 @@ def embedding_near_dups(
     )
 
 
+def embedding_decontaminate(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4,
+    eval_mod: int = 17, eval_rem: int = 3,
+) -> DataFrame:
+    """EMBEDDING-LEVEL benchmark decontamination — the representation-
+    space complement of the lexical decontaminators (exact n-gram
+    overlap in ``curation.decontaminate``, trigram-Jaccard in
+    ``curation.near_dup_decontaminate``): flag corpus vectors whose
+    cosine to ANY eval vector reaches ``threshold``.  A paraphrase
+    that rewrites every shingle still lands near its source in
+    embedding space, so this is the leakage signal lexical methods
+    structurally cannot see.  Returns one row per flagged corpus
+    vector: ``(vec_id, matched_eval_id, cosine)`` with the
+    best-matching eval vector (ties break on the smaller eval id);
+    eval-set members flag themselves at cosine 1.
+
+    Eval stand-in: ``vec_id % eval_mod == eval_rem`` (the same
+    deterministic rule the lexical decontaminators use on doc_id, so
+    the three operators audit the same leakage scenario from three
+    angles).
+
+    Plan: the eval side is a fixed fraction of a BOUNDED benchmark
+    set by construction, so it broadcasts; the corpus side is ONE
+    linear scan scoring ``|eval|`` codegen'd dot products per vector
+    — map-only, no shuffle until the per-vector best-match aggregate
+    (keyed vec_id, map-side combined).  Exact, and exactly
+    SQL-expressible: the ordered-fold DOT/NORM give bit-identical
+    doubles cross-engine (the cosine_topk precedent), so the entry is
+    oracle-backed.  At 100 TB: broadcast eval (even 1M x 1 KB vectors
+    fits executor memory), one pass over the corpus, cost
+    O(corpus x |eval| x d) FLOPs — embarrassingly parallel; an
+    IVF-bucketed variant would trade exactness for FLOPs if |eval|
+    grew unbounded, but benchmark suites do not."""
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    ev = (
+        emb.where(F.pmod(F.col("vec_id"), F.lit(eval_mod)) == eval_rem)
+        .select(F.col("vec_id").alias("eval_id"),
+                F.col("embedding").alias("eval_emb"),
+                F.col("norm").alias("eval_norm"))
+    )
+    dot = DOT.format(a="embedding", b="eval_emb")
+    scored = (
+        emb.join(F.broadcast(ev))   # corpus x broadcast eval
+        .withColumn("cosine",
+                    F.expr(dot) / (F.col("norm") * F.col("eval_norm")))
+        .where(F.col("cosine") >= threshold)
+    )
+    from pyspark.sql.window import Window
+
+    best = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("eval_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(best))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", F.col("eval_id").alias("matched_eval_id"),
+                F.round(F.col("cosine").cast("double"), 9).alias("cosine"))
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of embeddings — element-wise mean over an
     array column via posexplode + re-assembly (the distributed way;
