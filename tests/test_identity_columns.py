@@ -205,3 +205,57 @@ def test_merge_identity_concurrent_mark_advance_raises(spark, tmp_path, monkeypa
     # no duplicate ids ever became visible
     ids = [r["rid"] for r in t.read().collect()]
     assert sorted(ids) == list(range(1, 6))
+
+
+def test_identity_merge_fuzz_dense_and_stable(spark, tmp_path):
+    """Randomized interleaving of appends and merge-upserts /
+    dedup-inserts on an identity table.  Invariants after EVERY step:
+    the rid set is exactly the dense 1..N, every pre-existing key
+    keeps its rid (updates never reassign), and values match a plain
+    dict model."""
+    import random
+
+    from dagster_delta_spark import MergeConfig, MergeType
+
+    rnd = random.Random(77)
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    keyspace = list(range(200))
+    rnd.shuffle(keyspace)
+    fresh = iter(keyspace)
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, s string")
+
+    vals = {}
+    first = [(next(fresh), "v0") for _ in range(4)]
+    t.write(df_of(first), WriteMode.error, table_configuration=IDCFG)
+    vals.update(dict(first))
+    rids = {r["k"]: r["rid"] for r in t.read().collect()}
+
+    for step in range(10):
+        op = rnd.choice(["append", "upsert", "dedup_insert"])
+        if op == "append":
+            rows = [(next(fresh), f"a{step}") for _ in range(rnd.randint(1, 3))]
+            t.write(df_of(rows), WriteMode.append)
+            vals.update(dict(rows))
+        else:
+            matched = rnd.sample(sorted(vals), rnd.randint(0, min(3, len(vals))))
+            new = [next(fresh) for _ in range(rnd.randint(0, 3))]
+            rows = [(k, f"m{step}") for k in matched + new]
+            if not rows:
+                continue
+            t.merge(df_of(rows), MergeConfig(
+                MergeType.upsert if op == "upsert"
+                else MergeType.deduplicate_insert,
+                predicate="s.k = t.k"))
+            if op == "upsert":
+                vals.update(dict(rows))
+            else:  # dedup_insert: matched targets untouched
+                vals.update({k: v for k, v in rows if k not in vals})
+        got = {r["k"]: (r["rid"], r["s"]) for r in t.read().collect()}
+        assert {k: v for k, (_, v) in got.items()} == vals, (step, op)
+        all_rids = sorted(r for r, _ in got.values())
+        assert all_rids == list(range(1, len(vals) + 1)), (step, op)
+        for k, rid in rids.items():
+            assert got[k][0] == rid, (step, op, k)
+        rids = {k: r for k, (r, _) in got.items()}
