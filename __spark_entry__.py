@@ -2495,6 +2495,48 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.gopher_quality_filter(spark, sf_dir)
 
 
+def o_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM FILTER indexes (``dds.bloomFilterColumns``;
+    table.py:_make_stats_harvester builds the bitmaps at stats-harvest
+    time, _file_matches probes them — the Delta/Databricks
+    bloom-filter-index analogue): a point predicate on a
+    high-cardinality key skips files whose min/max range cannot prune.
+
+    ORACLE-BACKED on contents: the probed read must return exactly the
+    mid-range order's lineitems (the oracle re-derives the same
+    mid-key via a scalar subquery).  The SKIPPING property the oracle
+    cannot see is asserted in-entry: lineitems are hash-scattered on
+    l_partkey so every file's l_orderkey [min,max] spans the probe key
+    — min/max stats alone must keep ALL files while the bloom probe
+    keeps at most half.  Soundness is structural (a bloom only ever
+    skips on a definite miss), so the guard can only fail by the
+    bitmaps not being built or not being probed."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    t = DeltaSparkTable(spark, _scratch("bloom"))
+    cfg = {"dds.bloomFilterColumns": _json.dumps(
+        {"l_orderkey": {"fpp": 0.01, "maxBits": 1 << 20}})}
+    t.write(li.repartition(24, "l_partkey"), WriteMode.error,
+            table_configuration=cfg)
+    # the same mid-range key the oracle's scalar subquery picks
+    avg = li.agg(F.avg("l_orderkey")).head()[0]
+    key = int(li.where(F.col("l_orderkey") >= avg)
+              .agg(F.min("l_orderkey")).head()[0])
+    snap = t.snapshot()
+    dnf = [("l_orderkey", "=", key)]
+    total = len(snap.files)
+    stats_only = len(t.pruned_files(snap, dnf, use_bloom=False))
+    with_bloom = len(t.pruned_files(snap, dnf))
+    if not (stats_only == total and 2 * with_bloom <= total):
+        raise AssertionError(
+            f"bloom skipping ineffective: bloom kept {with_bloom}/"
+            f"{total} files (min/max alone kept {stats_only})")
+    return t.read(dnf=dnf).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
 def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift audit over the CDC-maintained IVF index (rows-only:
     k-means assignment quality is not SQL-expressible).
@@ -2611,6 +2653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # committed record is CORRECTNESS_r07 (45 entries incl. the
         # two converted minhash heads above)
         "simhash_near_dups": simhash_pairs,
+        # NEW this round (oracle-backed): per-file bloom-filter index
+        # skipping — in-window per the first-50 rule (displaced
+        # q2_min_cost_supplier, green r7 record stands, to the tail)
+        "o_bloom_skipping": o_bloom_skipping,
         "o_row_delete_restore": o_row_delete_restore,
         "o_row_update": o_row_update,
         "duplicate_components": graph.duplicate_components,
@@ -2628,7 +2674,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_stats": o3_stats,
         "near_dup_jaccard": dedup.near_dup_jaccard,
         "order_lineitem_rollup": relational.order_lineitem_rollup,
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q8_market_share": relational.q8_market_share,
         "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
         "q10_returned_items": relational.q10_returned_items,
@@ -2683,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_ratio": relational.q14_promo_revenue_ratio,
         "q13_custdist": relational.q13_order_count_distribution,
         "q15_top_supplier": relational.q15_top_supplier,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -3783,6 +3829,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_quantity AS DOUBLE) AS l_quantity,
                    CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
             FROM lineitem
+        """,
+        # the probed bloom-indexed read must return exactly the
+        # mid-range order's rows (the skipping property is the
+        # in-entry guard; contents are the oracle's half)
+        "o_bloom_skipping": """
+            SELECT l_orderkey, l_linenumber, l_partkey,
+                   CAST(l_quantity AS DOUBLE) AS l_quantity
+            FROM lineitem
+            WHERE l_orderkey = (
+                SELECT MIN(l_orderkey) FROM lineitem
+                WHERE l_orderkey >= (SELECT AVG(l_orderkey) FROM lineitem)
+            )
         """,
         # every rule is an integer cross-multiplication — keep flags
         # are bit-exact across engines (see textops.gopher_quality_filter)

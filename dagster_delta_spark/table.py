@@ -209,6 +209,107 @@ _NOTNULL_KEY = "dds.notNullColumns"
 #: vacuum surfaces at vacuum time (files reported as retained) instead
 #: of as a decode failure in the consumer.
 _CDC_RETAIN_KEY = "dds.cdcRetainVersions"
+#: table property declaring per-file BLOOM FILTER indexes (the Delta
+#: / Databricks bloom-filter-index analogue, re-expressed for the JSON
+#: log): JSON ``{column: {"fpp": 0.01, "maxBits": 131072}}``.  Every
+#: staged file gets a per-column bitmap built from its distinct values
+#: at footer-stats-harvest time and carried INLINE in
+#: ``AddFile.stats["bloom"]``; point (``=`` / ``in``) predicates probe
+#: it in ``_file_matches`` to skip files whose min/max range cannot
+#: prune (high-cardinality keys scattered across files).  Sound by
+#: construction: a bloom only ever says "definitely absent" — a
+#: saturated or missing bitmap degrades to no skipping, never to a
+#: wrong result.  Bitmaps cap at ``maxBits`` (default 16 KiB) so the
+#: log stays bounded; parquet-native row-group bloom filters
+#: (``parquet.bloom.filter.enabled#col``) are written alongside so the
+#: scan skips row groups inside the files the log could not skip.
+_BLOOM_KEY = "dds.bloomFilterColumns"
+_BLOOM_DEFAULT_FPP = 0.01
+_BLOOM_DEFAULT_MAX_BITS = 1 << 17  # 16 KiB bitmap / column / file
+#: types a bloom index supports: exact canonical string rendering on
+#: both the build side (harvester) and the probe side (driver literal)
+_BLOOM_SUPPORTED_TYPES = (ByteType, ShortType, IntegerType, LongType,
+                          StringType)
+
+
+def _bloom_columns(configuration: Optional[dict[str, str]]) -> dict[str, dict]:
+    """Parse ``dds.bloomFilterColumns`` -> {column: {"fpp", "maxBits"}}.
+    Raises on malformed specs so a bad property fails every write
+    loudly instead of silently indexing nothing."""
+    raw = (configuration or {}).get(_BLOOM_KEY)
+    if not raw:
+        return {}
+    try:
+        spec = json.loads(raw)
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"{_BLOOM_KEY} must be JSON {{column: {{fpp, maxBits}}}}, "
+            f"got {raw!r}: {exc}")
+    if not isinstance(spec, dict):
+        raise ValueError(
+            f"{_BLOOM_KEY} must be a JSON object keyed by column, "
+            f"got {raw!r}")
+    out: dict[str, dict] = {}
+    for col, opts in spec.items():
+        opts = opts or {}
+        try:
+            fpp = float(opts.get("fpp", _BLOOM_DEFAULT_FPP))
+            max_bits = int(opts.get("maxBits", _BLOOM_DEFAULT_MAX_BITS))
+        except (TypeError, ValueError) as exc:
+            raise ValueError(
+                f"{_BLOOM_KEY}[{col!r}] has non-numeric options: {exc}")
+        if not 0.0 < fpp < 0.5:
+            raise ValueError(
+                f"{_BLOOM_KEY}[{col!r}].fpp must be in (0, 0.5), got {fpp}")
+        if max_bits < 64:
+            raise ValueError(
+                f"{_BLOOM_KEY}[{col!r}].maxBits must be >= 64, got {max_bits}")
+        out[col] = {"fpp": fpp, "maxBits": max_bits}
+    return out
+
+
+def _bloom_render(value: Any) -> Optional[str]:
+    """Canonical string a value hashes under — MUST stay in lockstep
+    with the harvester's nested twin in ``_make_stats_harvester``
+    (nested there so cloudpickle ships it by value; parity is pinned
+    by tests/test_bloom_skipping.py)."""
+    if isinstance(value, bool):  # bool is an int subclass; not indexed
+        return None
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, str):
+        return value
+    return None
+
+
+def _bloom_maybe_contains(entry: dict, value: Any, dtype: DataType) -> bool:
+    """Probe one file's bloom entry. True = cannot rule the value out
+    (including every unsupported/undecodable case — soundness means
+    only a definite miss skips)."""
+    import base64
+    import hashlib
+
+    if not isinstance(dtype, _BLOOM_SUPPORTED_TYPES):
+        return True
+    canonical = _bloom_render(value)
+    if canonical is None:
+        return True
+    try:
+        bits = base64.b64decode(entry["b64"])
+        m = int(entry["m"])
+        k = int(entry["k"])
+    except (KeyError, TypeError, ValueError):
+        return True  # undecodable entry -> no skip
+    if m <= 0 or k <= 0 or len(bits) * 8 < m:
+        return True
+    digest = hashlib.md5(canonical.encode("utf-8")).digest()
+    h1 = int.from_bytes(digest[:8], "big")
+    h2 = int.from_bytes(digest[8:], "big") | 1  # odd: full-cycle stride
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
 
 
 def _not_null_columns(configuration: dict[str, str]) -> list[str]:
@@ -329,13 +430,17 @@ def _file_matches(
     schema: StructType,
     partition_columns: Sequence[str],
     mapping: Optional[dict[str, str]] = None,
+    use_bloom: bool = True,
 ) -> bool:
     """Driver-side file pruning: exact partition-value match plus
     min/max data skipping (the Spark-side analogue of Delta data
-    skipping; reference relies on delta-rs for this).  ``mapping``
-    translates logical DNF column names to the PHYSICAL names footer
-    stats are keyed by (partition columns refuse renames, so their
-    branch never needs it)."""
+    skipping; reference relies on delta-rs for this), plus per-file
+    BLOOM probes for ``=`` / ``in`` predicates on columns declared in
+    ``dds.bloomFilterColumns`` (``use_bloom=False`` measures what
+    min/max alone would keep).  ``mapping`` translates logical DNF
+    column names to the PHYSICAL names footer stats are keyed by
+    (partition columns refuse renames, so their branch never needs
+    it)."""
     fields = {f.name: f.dataType for f in schema.fields}
     for name, op, value in dnf:
         dtype = fields.get(name)
@@ -365,6 +470,15 @@ def _file_matches(
             mins = add.stats.get("minValues", {})
             maxs = add.stats.get("maxValues", {})
             pname = mapping.get(name, name) if mapping else name
+            bloom = (add.stats.get("bloom") or {}).get(pname) \
+                if use_bloom else None
+            if bloom is not None and op == "=":
+                if not _bloom_maybe_contains(bloom, value, dtype):
+                    return False
+            if bloom is not None and op == "in":
+                if not any(_bloom_maybe_contains(bloom, v, dtype)
+                           for v in list(value)):
+                    return False
             lo = _coerce_stat(mins.get(pname), dtype)
             hi = _coerce_stat(maxs.get(pname), dtype)
             if lo is None or hi is None:
@@ -434,10 +548,14 @@ def _merge_equi_keys(
 _DISTRIBUTED_STATS_THRESHOLD = 32
 
 
-def _make_stats_harvester():
+def _make_stats_harvester(bloom_phys: Optional[dict[str, dict]] = None):
     """Build a fully self-contained footer-stats function: numRecords +
     per-column min/max/nullCount from the parquet footer (row-group
-    metadata only — no data read).
+    metadata only — no data read).  ``bloom_phys`` ({physical column:
+    {"fpp", "maxBits"}}) additionally builds per-file BLOOM bitmaps
+    from those columns' distinct values (one column read each — the
+    only part of the harvest that touches data, and the file was just
+    written so it is page-hot).
 
     Nested rather than module-level so cloudpickle serializes it by
     value and executors don't need this repo on their PYTHONPATH (see
@@ -503,16 +621,63 @@ def _make_stats_harvester():
                 mins[name] = render(col_min)
                 maxs[name] = render(col_max)
                 nulls[name] = col_nulls
-        return abs_path, (
-            num_rows,
-            {"minValues": mins, "maxValues": maxs, "nullCount": nulls},
-        )
+        stats = {"minValues": mins, "maxValues": maxs, "nullCount": nulls}
+        if bloom_phys:
+            import base64 as _b64
+            import hashlib as _hashlib
+            import math as _math
+
+            # canonical rendering: the by-value twin of the module's
+            # _bloom_render — parity pinned by tests/test_bloom_skipping
+            def canon(v):
+                if isinstance(v, bool):
+                    return None
+                if isinstance(v, int):
+                    return str(v)
+                if isinstance(v, str):
+                    return v
+                return None
+
+            pf = pq_.ParquetFile(abs_path)
+            blooms: dict = {}
+            for col, opts in bloom_phys.items():
+                if col not in names:
+                    continue
+                import pyarrow.compute as pc_
+                uniq = pc_.unique(
+                    pf.read(columns=[col]).column(0).combine_chunks()
+                ).to_pylist()
+                rendered = [canon(v) for v in uniq if v is not None]
+                if any(r is None for r in rendered):
+                    continue  # unsupported value shape -> no bloom, no skip
+                n = max(1, len(rendered))
+                m = int(_math.ceil(
+                    -n * _math.log(opts["fpp"]) / (_math.log(2) ** 2)))
+                m = ((max(64, min(m, opts["maxBits"])) + 7) // 8) * 8
+                k = max(1, min(16, round(m / n * _math.log(2))))
+                buf = bytearray(m // 8)
+                for s in rendered:
+                    d = _hashlib.md5(s.encode("utf-8")).digest()
+                    h1 = int.from_bytes(d[:8], "big")
+                    h2 = int.from_bytes(d[8:], "big") | 1
+                    for i in range(k):
+                        pos = (h1 + i * h2) % m
+                        buf[pos >> 3] |= 1 << (pos & 7)
+                blooms[col] = {
+                    "b64": _b64.b64encode(bytes(buf)).decode("ascii"),
+                    "m": m,
+                    "k": k,
+                }
+            if blooms:
+                stats["bloom"] = blooms
+        return abs_path, (num_rows, stats)
 
     return harvest
 
 
 def _harvest_stats(
-    spark: SparkSession, paths: Sequence[str]
+    spark: SparkSession, paths: Sequence[str],
+    bloom_phys: Optional[dict[str, dict]] = None,
 ) -> dict[str, tuple[int, dict]]:
     """Footer stats for every staged file.  Small commits stay on the
     driver; past the threshold the footer reads fan out as a Spark job
@@ -520,7 +685,7 @@ def _harvest_stats(
     the commit bottleneck — docs/SCALE.md)."""
     if not paths:
         return {}
-    harvest = _make_stats_harvester()
+    harvest = _make_stats_harvester(bloom_phys)
     sc = spark.sparkContext
     # the fan-out has executors open staging paths written by the
     # driver; _stage_dataframe stages on the driver's local filesystem,
@@ -565,6 +730,7 @@ def _stage_dataframe(
     schema: StructType,
     writer_options: Optional[dict[str, str]] = None,
     mapping: Optional[dict[str, str]] = None,
+    bloom_spec: Optional[dict[str, dict]] = None,
 ) -> list[AddFile]:
     """Write ``df`` (the distributed part) into a staging dir inside the
     table, then move the parquet files into place and return their add
@@ -574,16 +740,28 @@ def _stage_dataframe(
     ``mapping`` (column mapping, {logical: physical}): files are
     written under PHYSICAL column names so every file in the table —
     pre- and post-rename — carries the same physical layout and the
-    read path's one aliasing projection recovers the logical view."""
+    read path's one aliasing projection recovers the logical view.
+
+    ``bloom_spec`` ({LOGICAL column: {"fpp", "maxBits"}}, from
+    ``dds.bloomFilterColumns``): the stats harvest builds per-file
+    bloom bitmaps (keyed by PHYSICAL name, like min/max), and the
+    parquet writer gets ``parquet.bloom.filter.enabled#col`` so the
+    files carry native row-group blooms for the scan layer too."""
     if mapping:
         df = df.select([
             F.col(f.name).alias(mapping.get(f.name, f.name))
             for f in schema.fields
         ])
+    bloom_phys = {
+        (mapping.get(c, c) if mapping else c): opts
+        for c, opts in (bloom_spec or {}).items()
+    }
     staging = os.path.join(table_uri, f"_staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     for k, v in (writer_options or {}).items():
         writer = writer.option(k, v)
+    for c in bloom_phys:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     if partition_columns:
         writer = writer.partitionBy(*partition_columns)
     writer.parquet(staging)
@@ -600,7 +778,8 @@ def _stage_dataframe(
                 fn,
             ))
 
-    stats_by_path = _harvest_stats(df.sparkSession, [s[0] for s in staged])
+    stats_by_path = _harvest_stats(
+        df.sparkSession, [s[0] for s in staged], bloom_phys or None)
 
     adds: list[AddFile] = []
     now = int(time.time() * 1000)
@@ -690,15 +869,20 @@ class DeltaSparkTable:
     # -- read path (S1/S2/P5/PJ1) ---------------------------------------------
 
     def pruned_files(
-        self, snap: Snapshot, dnf: Optional[Sequence[DnfFilter]]
+        self, snap: Snapshot, dnf: Optional[Sequence[DnfFilter]],
+        use_bloom: bool = True,
     ) -> list[AddFile]:
+        """Files surviving driver-side pruning.  ``use_bloom=False``
+        disables the per-file bloom probes — the what-would-min/max-
+        alone-keep measurement the bloom entry's skipping guard uses."""
         if not dnf:
             return list(snap.files)
         schema = StructType.fromJson(_json_loads(snap.schema_json))
         return [
             a for a in snap.files
             if _file_matches(a, dnf, schema, snap.partition_columns,
-                             _column_mapping(snap.metadata.configuration))
+                             _column_mapping(snap.metadata.configuration),
+                             use_bloom=use_bloom)
         ]
 
     def _read_files(
@@ -1316,6 +1500,12 @@ class DeltaSparkTable:
             )
 
         out = _conform(df, final_schema)
+        if _BLOOM_KEY in (table_configuration or {}):
+            # create-time (or explicitly re-supplied) bloom spec:
+            # validate against the schema this write commits, the same
+            # checks set_properties runs
+            self._validate_bloom_spec(
+                _bloom_columns(table_configuration), final_schema, pcols)
         self._enforce_constraints(out, {
             **(snap.metadata.configuration if snap else {}),
             **(table_configuration or {}),
@@ -1335,7 +1525,8 @@ class DeltaSparkTable:
             snap.metadata.configuration if snap else {}, final_schema)
         adds = _stage_dataframe(out, self.table_uri, pcols, final_schema,
                                 _writer_options(writer_properties),
-                                mapping=stage_mapping)
+                                mapping=stage_mapping,
+                                bloom_spec=_bloom_columns(merged_cfg))
         rows_written = sum(a.num_records for a in adds)
 
         for attempt in range(_COMMIT_RETRIES + 1):
@@ -1913,6 +2104,7 @@ class DeltaSparkTable:
                 result, self.table_uri, snap.partition_columns, table_schema,
                 _writer_options(writer_properties),
                 mapping=_column_mapping(snap.metadata.configuration),
+                bloom_spec=_bloom_columns(snap.metadata.configuration),
             )
 
         rows_written = sum(a.num_records for a in adds)
@@ -2228,6 +2420,7 @@ class DeltaSparkTable:
                 keep, self.table_uri, snap.partition_columns, schema,
                 _writer_options(writer_properties),
                 mapping=_column_mapping(snap.metadata.configuration),
+                bloom_spec=_bloom_columns(snap.metadata.configuration),
             )
             copied = sum(a.num_records for a in adds)
         return self._commit_rewrite(
@@ -2406,6 +2599,7 @@ class DeltaSparkTable:
                 new_rows, self.table_uri, snap.partition_columns, schema,
                 _writer_options(writer_properties),
                 mapping=_column_mapping(snap.metadata.configuration),
+                bloom_spec=_bloom_columns(snap.metadata.configuration),
             )
             rows_by_key = {a.log_key: a.live_records for a in touched}
             full = [a for a in touched
@@ -2454,6 +2648,7 @@ class DeltaSparkTable:
             snap.partition_columns, schema,
             _writer_options(writer_properties),
             mapping=_column_mapping(snap.metadata.configuration),
+            bloom_spec=_bloom_columns(snap.metadata.configuration),
         )
         copied = sum(a.num_records for a in adds) - updated
         return self._commit_rewrite(
@@ -2616,6 +2811,7 @@ class DeltaSparkTable:
             out, self.table_uri, pcols, final_schema,
             _writer_options(writer_properties),
             mapping=_column_mapping(meta.configuration),
+            bloom_spec=_bloom_columns(meta.configuration),
         )
         rows = sum(a.num_records for a in adds)
         now = int(time.time() * 1000)
@@ -2870,6 +3066,15 @@ class DeltaSparkTable:
             self._enforce_constraints(
                 self._read_files(snap, snap.files),
                 {_NOTNULL_KEY: properties[_NOTNULL_KEY]})
+        if _BLOOM_KEY in properties:
+            # malformed specs / unsupported columns would fail every
+            # later write — validate at SET time.  Setting on a
+            # populated table is allowed: existing files simply carry
+            # no bitmap (no skipping, still sound); OPTIMIZE rewrites
+            # backfill them.
+            spec = _bloom_columns({_BLOOM_KEY: properties[_BLOOM_KEY]})
+            schema = StructType.fromJson(_json_loads(snap.schema_json))
+            self._validate_bloom_spec(spec, schema, snap.partition_columns)
         if _CDC_RETAIN_KEY in properties:
             # a malformed value would break every later vacuum —
             # validate at SET time
@@ -2956,6 +3161,35 @@ class DeltaSparkTable:
 
     # -- column mapping (delta-rs ALTER TABLE RENAME/DROP COLUMN parity) ----
 
+    @staticmethod
+    def _validate_bloom_spec(
+        spec: dict[str, dict],
+        schema: StructType,
+        partition_columns: Sequence[str],
+    ) -> None:
+        """A bloom column must exist, carry a supported (integral or
+        string) type, and not be a partition column (partition pruning
+        is already exact there)."""
+        fields = {f.name: f.dataType for f in schema.fields}
+        for col in spec:
+            dtype = fields.get(col)
+            if dtype is None:
+                raise ValueError(
+                    f"{_BLOOM_KEY} references unknown column {col!r} "
+                    f"(have {sorted(fields)})")
+            if not isinstance(dtype, _BLOOM_SUPPORTED_TYPES):
+                raise ValueError(
+                    f"{_BLOOM_KEY}[{col!r}]: type "
+                    f"{dtype.simpleString()} is not bloom-indexable "
+                    "(supported: byte/short/int/long/string — types "
+                    "with an exact canonical rendering on both the "
+                    "build and probe side)")
+            if col in partition_columns:
+                raise ValueError(
+                    f"{_BLOOM_KEY}[{col!r}] is a partition column; "
+                    "partition pruning is already exact — bloom "
+                    "indexes are for high-cardinality data columns")
+
     def _check_column_alterable(self, snap: Snapshot, name: str) -> None:
         if name in snap.metadata.partition_columns:
             raise ValueError(
@@ -2985,6 +3219,10 @@ class DeltaSparkTable:
                 f"column {name!r} is an identity column; its spec and "
                 f"high-water mark are keyed by name — remove it from "
                 f"{_IDENTITY_KEY!r} first")
+        if name in _bloom_columns(snap.metadata.configuration):
+            raise ValueError(
+                f"column {name!r} has a bloom filter index keyed by "
+                f"name — unset it from {_BLOOM_KEY!r} first")
         defaults = _column_defaults(snap.metadata.configuration)
         if name in defaults:
             raise ValueError(
@@ -3218,6 +3456,7 @@ class DeltaSparkTable:
             adds = _stage_dataframe(
                 df, self.table_uri, snap.partition_columns, schema,
                 mapping=_column_mapping(snap.metadata.configuration),
+                bloom_spec=_bloom_columns(snap.metadata.configuration),
             )
             return self._commit_rewrite(snap, to_rewrite, adds, "OPTIMIZE CLUSTER")
         groups: dict[tuple, list[AddFile]] = {}
@@ -3236,7 +3475,8 @@ class DeltaSparkTable:
         )
         adds = _stage_dataframe(
             df, self.table_uri, snap.partition_columns, schema,
-            mapping=_column_mapping(snap.metadata.configuration))
+            mapping=_column_mapping(snap.metadata.configuration),
+            bloom_spec=_bloom_columns(snap.metadata.configuration))
         return self._commit_rewrite(snap, to_rewrite, adds, "OPTIMIZE")
 
     def _commit_rewrite(
@@ -3411,7 +3651,8 @@ class DeltaSparkTable:
         )
         adds = _stage_dataframe(
             ordered, self.table_uri, snap.partition_columns, schema,
-            mapping=_column_mapping(snap.metadata.configuration))
+            mapping=_column_mapping(snap.metadata.configuration),
+            bloom_spec=_bloom_columns(snap.metadata.configuration))
         return self._commit_rewrite(snap, files, adds, "OPTIMIZE ZORDER")
 
     def describe_detail(self) -> dict[str, Any]:
