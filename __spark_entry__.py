@@ -56,6 +56,44 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _STOPS_EN = "'the', 'a', 'of', 'and', 'is', 'to', 'in'"
 
 
+_BIGRAM_PPL_SQL = f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(range(0, len({_TOK}))) AS pos,
+                       unnest({_TOK}) AS tok
+                FROM documents
+            ), bi AS (
+                SELECT doc_id, tok, nxt FROM (
+                    SELECT doc_id, tok,
+                           lead(tok) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS nxt
+                    FROM toks
+                ) WHERE nxt IS NOT NULL
+            ), uni AS (
+                SELECT tok, count(*) AS c_uni FROM toks GROUP BY tok
+            ), big AS (
+                SELECT tok, nxt, count(*) AS c_big FROM bi
+                GROUP BY tok, nxt
+            ), tot AS (
+                SELECT sum(c_uni) AS n_corpus FROM uni
+            )
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   avg(-ln(0.7 * g.c_big / cu.c_uni
+                           + (1.0 - 0.7) * nu.c_uni / t.n_corpus))
+                       AS avg_neg_logprob,
+                   exp(avg(-ln(0.7 * g.c_big / cu.c_uni
+                               + (1.0 - 0.7) * nu.c_uni / t.n_corpus)))
+                       AS perplexity
+            FROM bi b
+            JOIN big g ON g.tok = b.tok AND g.nxt = b.nxt
+            JOIN uni cu ON cu.tok = b.tok
+            JOIN uni nu ON nu.tok = b.nxt
+            CROSS JOIN tot t
+            GROUP BY b.doc_id
+        """
+
+
 def _scratch(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"dds-{prefix}-") + "/t"
 
@@ -2495,6 +2533,25 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.gopher_quality_filter(spark, sf_dir)
 
 
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup (dedup.py:
+    line_dedup_corpus) — keep each distinct line's globally FIRST
+    occurrence (by (doc_id, pos)), reassemble docs from surviving
+    lines.  ORACLE-BACKED: the winner rule and the regroup are exact
+    relational operations; the oracle recomputes chunking, the
+    first-occurrence window, and the ordered reassembly in SQL."""
+    return dedup.line_dedup_corpus(spark, sf_dir)
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (textops.py:
+    ccnet_perplexity_buckets) — ORACLE-BACKED end to end: the bigram-LM
+    score reuses bigram_perplexity's audited plan, ranking orders by
+    (round(ppl, 9), doc_id), and the tercile is the exact NTILE
+    allocation — the oracle just runs NTILE(3) over the same order."""
+    return textops.ccnet_perplexity_buckets(spark, sf_dir)
+
+
 def o_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file BLOOM FILTER indexes (``dds.bloomFilterColumns``;
     table.py:_make_stats_harvester builds the bitmaps at stats-harvest
@@ -2657,6 +2714,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skipping — in-window per the first-50 rule (displaced
         # q2_min_cost_supplier, green r7 record stands, to the tail)
         "o_bloom_skipping": o_bloom_skipping,
+        # NEW this round (oracle-backed): CCNet-style cross-doc line
+        # dedup — displaced q8_market_share (green r7 record stands)
+        "line_dedup_corpus": line_dedup_corpus,
+        # NEW this round (oracle-backed): CCNet perplexity terciles —
+        # displaced q9_profit_by_nation_year (green r7 record stands)
+        "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
         "o_row_delete_restore": o_row_delete_restore,
         "o_row_update": o_row_update,
         "duplicate_components": graph.duplicate_components,
@@ -2674,8 +2737,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_stats": o3_stats,
         "near_dup_jaccard": dedup.near_dup_jaccard,
         "order_lineitem_rollup": relational.order_lineitem_rollup,
-        "q8_market_share": relational.q8_market_share,
-        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
         "q10_returned_items": relational.q10_returned_items,
         "q16_anti_join": relational.q16_anti_join_parts,
         "multimodal_video_pipeline": multimodal_video_pipeline,
@@ -2729,6 +2790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_custdist": relational.q13_order_count_distribution,
         "q15_top_supplier": relational.q15_top_supplier,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q8_market_share": relational.q8_market_share,
+        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -3830,6 +3893,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
             FROM lineitem
         """,
+        # first-occurrence winner per line + ordered reassembly,
+        # recomputed end-to-end (chunking included) in SQL
+        "line_dedup_corpus": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS t, len({_TOK}) AS n
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, t,
+                       CAST(ceil(n / 8.0) AS BIGINT) AS n_lines
+                FROM t WHERE n > 0
+            ), ex AS (
+                SELECT doc_id, n_lines, t,
+                       unnest(range(0, n_lines)) AS i
+                FROM sized
+            ), lx AS (
+                SELECT doc_id, n_lines, CAST(i AS INT) AS pos,
+                       array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ')
+                           AS line
+                FROM ex
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY line ORDER BY doc_id, pos) AS rn
+                FROM lx
+            )
+            SELECT doc_id, n_lines,
+                   COUNT(*) AS n_kept,
+                   n_lines - COUNT(*) AS n_dropped,
+                   string_agg(line, chr(10) ORDER BY pos) AS kept_text
+            FROM ranked WHERE rn = 1
+            GROUP BY doc_id, n_lines
+        """,
         # the probed bloom-indexed read must return exactly the
         # mid-range order's rows (the skipping property is the
         # in-entry guard; contents are the oracle's half)
@@ -4654,41 +4748,27 @@ def oracle_sql() -> dict[str, str]:
         # interpolation weights written as (1.0 - 0.7), not 0.3 — the
         # Spark side computes the complement in doubles and the two
         # literals differ in the last ulp
-        "bigram_perplexity": f"""
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(range(0, len({_TOK}))) AS pos,
-                       unnest({_TOK}) AS tok
-                FROM documents
-            ), bi AS (
-                SELECT doc_id, tok, nxt FROM (
-                    SELECT doc_id, tok,
-                           lead(tok) OVER (PARTITION BY doc_id
-                                           ORDER BY pos) AS nxt
-                    FROM toks
-                ) WHERE nxt IS NOT NULL
-            ), uni AS (
-                SELECT tok, count(*) AS c_uni FROM toks GROUP BY tok
-            ), big AS (
-                SELECT tok, nxt, count(*) AS c_big FROM bi
-                GROUP BY tok, nxt
-            ), tot AS (
-                SELECT sum(c_uni) AS n_corpus FROM uni
+        "bigram_perplexity": _BIGRAM_PPL_SQL,
+        # NTILE(3) over the 9-decimal-rounded score — the Spark side
+        # recomputes the same allocation via exact integer arithmetic
+        # and a two-level prefix-sum rank (no per-language global sort)
+        "ccnet_perplexity_buckets": f"""
+            WITH ppl AS ({_BIGRAM_PPL_SQL}),
+            scored AS (
+                SELECT p.doc_id, d.lang, p.perplexity,
+                       round(p.perplexity, 9) AS r
+                FROM ppl p JOIN documents d USING (doc_id)
+            ), ranked AS (
+                SELECT doc_id, lang, perplexity,
+                       NTILE(3) OVER (PARTITION BY lang
+                                      ORDER BY r, doc_id) AS bucket
+                FROM scored
             )
-            SELECT b.doc_id,
-                   CAST(count(*) AS BIGINT) AS n_bigrams,
-                   avg(-ln(0.7 * g.c_big / cu.c_uni
-                           + (1.0 - 0.7) * nu.c_uni / t.n_corpus))
-                       AS avg_neg_logprob,
-                   exp(avg(-ln(0.7 * g.c_big / cu.c_uni
-                               + (1.0 - 0.7) * nu.c_uni / t.n_corpus)))
-                       AS perplexity
-            FROM bi b
-            JOIN big g ON g.tok = b.tok AND g.nxt = b.nxt
-            JOIN uni cu ON cu.tok = b.tok
-            JOIN uni nu ON nu.tok = b.nxt
-            CROSS JOIN tot t
-            GROUP BY b.doc_id
+            SELECT doc_id, lang, perplexity, CAST(bucket AS INT) AS bucket,
+                   CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS label,
+                   bucket <= 2 AS kept
+            FROM ranked
         """,
         # the global-window cumsum is fine for DuckDB at oracle scale;
         # the Spark side computes the SAME order (the bucket is a

@@ -1172,3 +1172,85 @@ def ppjoin_near_dups(
     )
     return _jaccard_from_intersections(inter, sizes, threshold,
                                        extra_cols=("n_common",))
+
+
+def line_dedup_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    line_words: int = 8,
+) -> DataFrame:
+    """CCNet-style cross-document LINE dedup (Wenzek et al. 2020): hash
+    every line of every document, keep only each distinct line's
+    globally FIRST occurrence (ordered by (doc_id, position)), and
+    reassemble documents from their surviving lines — the pass that
+    strips boilerplate (headers, footers, navigation, license blocks)
+    repeated across a web crawl.  Documents whose every line is a
+    repeat disappear entirely (they contain no novel text).
+
+    The synthetic corpus is single-line, so lines are derived by
+    deterministic re-chunking: ``line_words``-word non-overlapping
+    windows over the normalized token stream (real corpora split on
+    ``\\n`` instead — the dedup skeleton downstream is identical and is
+    what this operator is about).
+
+    Scale shape (the reason this is NOT a window function): the winner
+    per line is ``min(struct(doc_id, pos))`` under a ``groupBy(line)``
+    — a hash aggregate with map-side partial combine, so a boilerplate
+    line repeated a billion times costs one partial per input
+    partition, never a billion-row sort partition the way
+    ``row_number() OVER (PARTITION BY line)`` would.  The winner rows
+    ARE the kept occurrences (the group key carries the text), so no
+    join back is needed.  One skew-immune shuffle on the line, one
+    regroup shuffle on doc_id.  Reference scope: ASML-Labs/
+    dagster-delta has no corpus operators; this extends the LLM
+    curation family (SURVEY §2 extension surface)."""
+    if line_words < 1:
+        raise ValueError(f"line_words must be >= 1, got {line_words}")
+    docs = load(spark, sf_dir, "documents")
+    w = int(line_words)
+    sized = (
+        docs.select("doc_id", F.expr(TOKENS).alias("t"))
+        .withColumn("n", F.size("t"))
+        .where(F.col("n") > 0)
+        .withColumn(
+            "n_lines",
+            F.expr(f"CAST(ceil(n / CAST({w} AS DOUBLE)) AS BIGINT)"),
+        )
+    )
+    lines = sized.select(
+        "doc_id",
+        "n_lines",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(n_lines AS INT) - 1), "
+                f"i -> array_join(slice(t, i * {w} + 1, {w}), ' '))"
+            )
+        ).alias("pos", "line"),
+    )
+    winners = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos", "n_lines")).alias("w")
+    )
+    kept = winners.select(
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.pos").alias("pos"),
+        F.col("w.n_lines").alias("n_lines"),
+        "line",
+    )
+    return (
+        kept.groupBy("doc_id", "n_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.expr("transform(sort_array(collect_list("
+                       "struct(pos, line))), x -> x.line)"),
+                "\n",
+            ).alias("kept_text"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            (F.col("n_lines") - F.col("n_kept")).alias("n_dropped"),
+            "kept_text",
+        )
+    )

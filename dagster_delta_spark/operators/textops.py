@@ -614,6 +614,81 @@ def bigram_perplexity(
     )
 
 
+def ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str, lam: float = 0.7,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    language's documents by LM perplexity and split them into
+    head/middle/tail TERCILES — head (most fluent third) feeds
+    training, tail is the filter target, middle is kept for recall.
+    The LM is the corpus-trained interpolated bigram model
+    (``bigram_perplexity``); docs with < 2 tokens carry no bigrams and
+    drop out, same as there.
+
+    Exactness: ranking orders by (perplexity rounded to 9 decimals,
+    doc_id) — the cross-engine-deterministic pre-ranking convention —
+    and the tercile is the closed-form SQL NTILE allocation (first
+    ``n % 3`` buckets take one extra row) recomputed with exact
+    integer arithmetic, so the assignment is bit-identical to the
+    oracle's ``NTILE(3) OVER (PARTITION BY lang ORDER BY r, doc_id)``.
+
+    Scale shape — exact per-language NTILE without a per-language
+    global sort (CCNet's own implementation sorts each language's
+    shard list centrally; at 100 TB the biggest language would be one
+    sort partition): rows bucket by ``floor(r)`` (a monotone split of
+    the order key, so bucket-then-intra ordering equals total
+    ordering), per-(lang, bucket) counts collapse to a tiny frame
+    whose per-language exclusive prefix sum broadcasts back as rank
+    offsets, and the intra-bucket rank is a window WITHIN (lang,
+    bucket) — the token_budget_sample two-level prefix sum, applied
+    to ranking.  No single-partition stage at any corpus size."""
+    from pyspark.sql.window import Window
+
+    ppl = bigram_perplexity(spark, sf_dir, lam).select(
+        "doc_id", "perplexity")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = (
+        ppl.join(docs, "doc_id")
+        .withColumn("r", F.round("perplexity", 9))
+        .withColumn("pb", F.floor("r").cast("long"))
+    )
+    counts = scored.groupBy("lang", "pb").agg(
+        F.count(F.lit(1)).alias("c"))
+    # langs x integer-perplexity-buckets rows — tiny at any scale
+    wo = (
+        Window.partitionBy("lang").orderBy("pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(wo), F.lit(0)))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    wi = Window.partitionBy("lang", "pb").orderBy("r", "doc_id")
+    ranked = (
+        scored.withColumn("ir", F.row_number().over(wi) - F.lit(1))
+        .join(F.broadcast(offsets.select("lang", "pb", "off")),
+              ["lang", "pb"])
+        .join(F.broadcast(totals), "lang")
+        .withColumn("rank0", F.col("off") + F.col("ir"))
+    )
+    # the standard NTILE(3) allocation, exact integers; greatest(q, 1)
+    # keeps the dead ELSE branch from dividing by zero under ANSI when
+    # a language has fewer than 3 documents
+    bucket = F.expr(
+        "CASE WHEN rank0 < (n_lang % 3) * ((n_lang DIV 3) + 1) "
+        "THEN rank0 DIV ((n_lang DIV 3) + 1) + 1 "
+        "ELSE (n_lang % 3) + 1 + (rank0 - (n_lang % 3) * "
+        "((n_lang DIV 3) + 1)) DIV greatest(n_lang DIV 3, 1) END"
+    ).cast("int")
+    return ranked.select(
+        "doc_id", "lang", "perplexity", bucket.alias("bucket"),
+    ).select(
+        "*",
+        F.expr("CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+               "ELSE 'tail' END").alias("label"),
+        (F.col("bucket") <= 2).alias("kept"),
+    )
+
+
 # Default BM25 query set — module-level so the registry entry and its
 # DuckDB oracle render the SAME literals.  One deliberately
 # out-of-vocabulary term ("retrieval") exercises the unseen-term path
