@@ -2543,6 +2543,39 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup_corpus(spark, sf_dir)
 
 
+def o_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-predicate replaceWhere (table.py:replace_where — the
+    Databricks Delta replaceWhere on ANY column; partition-only
+    replaceWhere is w3_partition_overwrite): atomically delete the
+    matching slice and insert its replacement in ONE commit.
+
+    ORACLE-BACKED on contents: the replacement re-derives from
+    lineitem (matching rows with l_discount forced to 0.5), so the
+    final table is a single CASE projection the oracle recomputes.
+    In-entry guards pin what the oracle cannot see: exactly one
+    commit happened (atomicity), the operation is REPLACE WHERE, and
+    the deleted-row metric equals the matching count."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+    )
+    t = DeltaSparkTable(spark, _scratch("rw"))
+    t.write(li.repartition(8), WriteMode.error)
+    repl = (li.where(F.col("l_quantity") <= 10)
+            .withColumn("l_discount", F.lit(0.5)))
+    res = t.replace_where(repl, "l_quantity <= 10")
+    n_match = li.where(F.col("l_quantity") <= 10).count()
+    if not (t.version() == 1 and res["num_deleted_rows"] == n_match):
+        raise AssertionError(
+            f"replace_where not atomic/exact: version {t.version()}, "
+            f"deleted {res['num_deleted_rows']} != {n_match}")
+    from dagster_delta_spark import tablelog as _tl
+    if _tl.history(t.table_uri, 1)[0]["operation"] != "REPLACE WHERE":
+        raise AssertionError("head commit is not REPLACE WHERE")
+    return t.read()
+
+
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (textops.py:
     ccnet_perplexity_buckets) — ORACLE-BACKED end to end: the bigram-LM
@@ -2720,6 +2753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW this round (oracle-backed): CCNet perplexity terciles —
         # displaced q9_profit_by_nation_year (green r7 record stands)
         "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+        # NEW this round (oracle-backed): arbitrary-predicate
+        # replaceWhere — displaced q10_returned_items (green r7 record)
+        "o_replace_where": o_replace_where,
         "o_row_delete_restore": o_row_delete_restore,
         "o_row_update": o_row_update,
         "duplicate_components": graph.duplicate_components,
@@ -2737,7 +2773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_stats": o3_stats,
         "near_dup_jaccard": dedup.near_dup_jaccard,
         "order_lineitem_rollup": relational.order_lineitem_rollup,
-        "q10_returned_items": relational.q10_returned_items,
         "q16_anti_join": relational.q16_anti_join_parts,
         "multimodal_video_pipeline": multimodal_video_pipeline,
         "o_delete_dv": o_delete_dv,
@@ -2792,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q8_market_share": relational.q8_market_share,
         "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
+        "q10_returned_items": relational.q10_returned_items,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -3891,6 +3927,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_partkey,
                    CAST(l_quantity AS DOUBLE) AS l_quantity,
                    CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+            FROM lineitem
+        """,
+        # delete-matching + insert-replacement in one commit == one
+        # CASE projection of the source (replacement derives from the
+        # matching rows themselves); atomicity is the in-entry guard
+        "o_replace_where": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS DOUBLE) AS l_quantity,
+                   CASE WHEN CAST(l_quantity AS DOUBLE) <= 10 THEN 0.5
+                        ELSE CAST(l_discount AS DOUBLE) END AS l_discount
             FROM lineitem
         """,
         # first-occurrence winner per line + ordered reassembly,

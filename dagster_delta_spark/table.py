@@ -2430,6 +2430,119 @@ class DeltaSparkTable:
                            "num_copied_rows": copied},
         )
 
+    def replace_where(
+        self,
+        df: DataFrame,
+        predicate: str,
+        *,
+        use_dv: bool = False,
+        writer_properties: Optional[dict[str, Any]] = None,
+    ) -> dict[str, Any]:
+        """Arbitrary-predicate replaceWhere (the Databricks Delta
+        ``replaceWhere`` that accepts ANY column, not just partition
+        columns — ``write(mode=overwrite, partition_dnf=...)`` covers
+        the partition-only classic): atomically delete every existing
+        row matching ``predicate`` and insert ``df``, in ONE commit —
+        readers see the old slice or the new slice, never both and
+        never neither.
+
+        Write conformance (Delta's rule): every incoming row must
+        satisfy ``predicate`` — checked in one early-exit scan BEFORE
+        any file moves, so a mis-scoped replacement cannot silently
+        widen itself.  NULL predicate results count as non-matching on
+        both sides (SQL DELETE semantics, via the same null-safe
+        condition DELETE/UPDATE use).
+
+        Scale shape = DELETE's: one discovery scan counts matches per
+        file; fully-matched files drop as metadata; only
+        partially-matched files rewrite their keep-rows
+        (``use_dv=True`` switches those to merge-on-read deletion
+        vectors — write cost ∝ replaced rows, zero old data copied).
+        The commit classifies as a REWRITE for incremental consumers
+        (tablelog.classify_commit), exactly like overwrite/MERGE.
+
+        Identity tables refuse (inserts would need id allocation —
+        route through write/merge, which allocate); generated columns
+        compute-if-absent / validate-if-provided, same as write."""
+        if not predicate or not str(predicate).strip():
+            raise ValueError(
+                "replace_where requires a non-empty predicate; use "
+                "write(mode=overwrite) to replace the whole table")
+        snap = self.snapshot()
+        schema = StructType.fromJson(_json_loads(snap.schema_json))
+        cfg = snap.metadata.configuration
+        if _identity_columns(cfg):
+            raise ValueError(
+                "replace_where on an identity table is not supported: "
+                "inserted rows need id allocation — use write(append) "
+                "or merge, which allocate from the high-water mark")
+        gencols = _generated_columns(cfg)
+        gen_provided: dict[str, str] = {}
+        for c, gexpr in gencols.items():
+            if c in df.columns:
+                gen_provided[c] = gexpr
+            else:
+                df = df.withColumn(c, F.expr(gexpr))
+        for c, dexpr in _column_defaults(cfg).items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(dexpr))
+        out = _conform(df, schema)
+        match_in = F.expr(predicate).eqNullSafe(F.lit(True))
+        if out.where(~match_in).limit(1).head() is not None:
+            raise ValueError(
+                f"replace_where data must all match the predicate "
+                f"{predicate!r}; found non-matching row(s) — widen the "
+                "predicate or filter the input")
+        self._enforce_constraints(out, cfg)
+        if gen_provided:
+            self._enforce_generated(out, gen_provided)
+
+        match = self._scoped_condition(predicate, None)
+        candidates = list(snap.files)
+        hits = (self._per_file_hits(snap, candidates, match)
+                if candidates else {})
+        rows_by_key = {a.log_key: a.live_records for a in candidates}
+        full = [a for a in candidates
+                if hits.get(a.log_key, 0) == rows_by_key[a.log_key]
+                and hits.get(a.log_key, 0) > 0]
+        partial = [a for a in candidates
+                   if 0 < hits.get(a.log_key, 0) < rows_by_key[a.log_key]]
+        deleted = sum(hits.values())
+
+        adds: list[AddFile] = []
+        copied = 0
+        if partial and use_dv:
+            adds += self._write_deletion_vector(snap, partial, match, hits)
+        elif partial:
+            keep = self._read_files(snap, partial).where(~match)
+            keep_adds = _stage_dataframe(
+                keep, self.table_uri, snap.partition_columns, schema,
+                _writer_options(writer_properties),
+                mapping=_column_mapping(cfg),
+                bloom_spec=_bloom_columns(cfg),
+            )
+            copied = sum(a.num_records for a in keep_adds)
+            adds += keep_adds
+        new_adds = _stage_dataframe(
+            out, self.table_uri, snap.partition_columns, schema,
+            _writer_options(writer_properties),
+            mapping=_column_mapping(cfg),
+            bloom_spec=_bloom_columns(cfg),
+        )
+        adds += new_adds
+        params: dict[str, Any] = {"predicate": predicate}
+        if partial and use_dv:
+            params["mode"] = "deletion_vector"
+        return self._commit_rewrite(
+            snap, full + partial, adds, "REPLACE WHERE",
+            operation_parameters=params,
+            extra_metrics={
+                "num_deleted_rows": deleted,
+                "num_copied_rows": copied,
+                "num_inserted_rows": sum(a.num_records for a in new_adds),
+            },
+        )
+
     def _write_deletion_vector(
         self,
         snap: Snapshot,

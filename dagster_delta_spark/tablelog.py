@@ -677,7 +677,8 @@ def classify_commit(operation: str) -> str:
     # FSCK drops lost files: rows disappear with no decodable change
     # feed, so incremental consumers must refuse and rebuild
     if operation in ("MERGE", "CREATE OR REPLACE", "WRITE overwrite",
-                     "DELETE", "UPDATE", "RESTORE", "FSCK"):
+                     "DELETE", "UPDATE", "RESTORE", "FSCK",
+                     "REPLACE WHERE"):
         return "rewrite"
     return "append"
 

@@ -104,7 +104,8 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                              "delete_unmatched", "update_only",
                              "dedup_insert", "optimize", "zorder",
                              "delete_dv", "delete_rw", "row_update",
-                             "row_update_dv", "rename", "restore"])
+                             "row_update_dv", "rename", "restore",
+                             "replace_where"])
             if op == "restore":
                 r = rnd.randrange(0, len(states))
                 before = t.version()
@@ -158,6 +159,27 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                     _snap()
                 assert _table_state(t, vname) == _model_state(model), (
                     f"trial {trial} step {_step} {op} v>={x}"
+                )
+                continue
+            if op == "replace_where":
+                # r10: atomic slice swap on the (never-renamed) key
+                # column, both copy-rewrite and DV flavors — model is
+                # drop-matching + append-replacement
+                x = rnd.randint(0, 20)
+                sdf, pdf = _mk_df(spark, rnd)
+                sdf = sdf.withColumnRenamed("v", vname)
+                repl_s = sdf.where(f"k < {x}")
+                repl_p = pdf[pdf["k"] < x]
+                before = t.version()
+                t.replace_where(repl_s, f"k < {x}",
+                                use_dv=rnd.random() < 0.5)
+                model = pd.concat(
+                    [model[model["k"] >= x], repl_p],
+                    ignore_index=True)
+                if t.version() != before:
+                    _snap()
+                assert _table_state(t, vname) == _model_state(model), (
+                    f"trial {trial} step {_step} replace_where k<{x}"
                 )
                 continue
             if op in ("row_update", "row_update_dv"):
