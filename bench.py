@@ -77,6 +77,12 @@ def main() -> None:
         # branch, and the hybrid query over the maintained indexes
         "identity_merge",
         "hybrid_search_indexed",
+        # r10 (late): bloom-index point lookup, atomic replace_where,
+        # CCNet line dedup + perplexity terciles
+        "bloom_point_lookup",
+        "replace_where",
+        "line_dedup_corpus",
+        "ccnet_perplexity_buckets",
         # streaming ingest near-dup filter (3 micro-batches), staged:
         # the ~7 s streaming-engine + fixture fixed cost masked probe
         # regressions behind one number, so the line reports the
@@ -475,6 +481,50 @@ def main() -> None:
             spark, d, base, ivf, pq).write.mode(
             "overwrite").format("noop").save()
 
+    def _bloom_setup(spark, d):
+        # fixture: the bloom-indexed 24-file table (untimed write +
+        # bitmap harvest); the operator under test is the point-lookup
+        # READ — driver-side bloom probe pruning + the residual scan
+        import json as _j
+
+        li = spark.read.parquet(f"{d}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_quantity").cast("double").alias("l_quantity"))
+        t = DeltaSparkTable(spark, entry._scratch("bench-bloom"))
+        t.write(
+            li.repartition(24),  # round-robin scatters every key range
+            WriteMode.error,
+            table_configuration={"dds.bloomFilterColumns": _j.dumps(
+                {"l_orderkey": {"fpp": 0.01, "maxBits": 1 << 20}})})
+        avg = li.agg(F.avg("l_orderkey")).head()[0]
+        key = int(li.where(F.col("l_orderkey") >= avg)
+                  .agg(F.min("l_orderkey")).head()[0])
+        return t, key
+
+    def _bloom_run(spark, ctx):
+        t, key = ctx
+        t.read(dnf=[("l_orderkey", "=", key)]).write.mode(
+            "overwrite").format("noop").save()
+
+    def _rw_setup(spark, d):
+        # fixture: the 8-file base table (untimed); the operator under
+        # test is ONE atomic replace_where (discovery scan + keep-row
+        # rewrite of partial files + replacement insert, one commit)
+        li = spark.read.parquet(f"{d}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            F.col("l_discount").cast("double").alias("l_discount"))
+        t = DeltaSparkTable(spark, entry._scratch("bench-rw"))
+        t.write(li.repartition(8), WriteMode.error)
+        repl = (li.where(F.col("l_quantity") <= 10)
+                .withColumn("l_discount", F.lit(0.5)))
+        return t, repl
+
+    def _rw_run(spark, ctx):
+        t, repl = ctx
+        t.replace_where(repl, "l_quantity <= 10")
+        t.read().write.mode("overwrite").format("noop").save()
+
     def _idmerge_setup(spark, d):
         # fixture: the identity base table (sorted single-partition
         # write, untimed); the operator under test is ONE merge-upsert
@@ -504,6 +554,8 @@ def main() -> None:
         t.read().write.mode("overwrite").format("noop").save()
 
     staged = {
+        "bloom_point_lookup": (_bloom_setup, _bloom_run),
+        "replace_where": (_rw_setup, _rw_run),
         "ann_drift_audit": (_drift_setup, _drift_run),
         "hybrid_search_indexed": (_hybq_setup, _hybq_run),
         "identity_merge": (_idmerge_setup, _idmerge_run),
