@@ -2543,6 +2543,49 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup_corpus(spark, sf_dir)
 
 
+def o_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-compaction + optimized writes (table.py:_maybe_auto_compact
+    — the Delta autoOptimize analogue): small appends accumulate until
+    the post-commit hook folds them into target-size files in its own
+    OPTIMIZE commit.
+
+    ORACLE-BACKED on contents: ten modulo-slices of lineitem appended
+    one at a time must read back as exactly lineitem, compaction or
+    not.  The LAYOUT property the oracle cannot see is asserted
+    in-entry: at least one append reports a follow-up compaction, the
+    final live file count is far below the ~40 files the appends
+    staged, and the head history records the OPTIMIZE commit."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    t = DeltaSparkTable(spark, _scratch("autocompact"))
+    cfg = {"dds.autoCompact": "true",
+           "dds.autoCompact.minFiles": "12",
+           "dds.autoCompact.targetFileSize": str(64 << 20)}
+    compactions = 0
+    staged_files = 0
+    for i in range(10):
+        res = t.write(
+            li.where(F.col("l_orderkey") % 10 == i).repartition(4),
+            WriteMode.error if i == 0 else WriteMode.append,
+            table_configuration=cfg if i == 0 else None,
+        )
+        staged_files += res["num_added_files"]
+        if res.get("auto_compact_version") is not None:
+            compactions += 1
+    final_files = len(t.snapshot().files)
+    if not (compactions >= 1 and final_files * 2 <= staged_files):
+        raise AssertionError(
+            f"auto-compaction ineffective: {compactions} compactions, "
+            f"{final_files} live files vs {staged_files} staged")
+    from dagster_delta_spark import tablelog as _tl
+    ops = [h["operation"] for h in _tl.history(t.table_uri)]
+    if "OPTIMIZE" not in ops:
+        raise AssertionError("no OPTIMIZE commit in history")
+    return t.read()
+
+
 def o_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-predicate replaceWhere (table.py:replace_where — the
     Databricks Delta replaceWhere on ANY column; partition-only
@@ -2756,6 +2799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW this round (oracle-backed): arbitrary-predicate
         # replaceWhere — displaced q10_returned_items (green r7 record)
         "o_replace_where": o_replace_where,
+        # NEW this round (oracle-backed): autoCompact/optimizeWrite —
+        # displaced q16_anti_join (green r7 record stands)
+        "o_auto_compact": o_auto_compact,
         "o_row_delete_restore": o_row_delete_restore,
         "o_row_update": o_row_update,
         "duplicate_components": graph.duplicate_components,
@@ -2773,7 +2819,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_stats": o3_stats,
         "near_dup_jaccard": dedup.near_dup_jaccard,
         "order_lineitem_rollup": relational.order_lineitem_rollup,
-        "q16_anti_join": relational.q16_anti_join_parts,
         "multimodal_video_pipeline": multimodal_video_pipeline,
         "o_delete_dv": o_delete_dv,
         "q20_excess_shipments": relational.q20_excess_shipments,
@@ -2828,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": relational.q8_market_share,
         "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
         "q10_returned_items": relational.q10_returned_items,
+        "q16_anti_join": relational.q16_anti_join_parts,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -3927,6 +3973,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_partkey,
                    CAST(l_quantity AS DOUBLE) AS l_quantity,
                    CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+            FROM lineitem
+        """,
+        # ten appends + auto-compactions must read back as exactly the
+        # source; the layout property is the in-entry guard
+        "o_auto_compact": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS DOUBLE) AS l_quantity
             FROM lineitem
         """,
         # delete-matching + insert-replacement in one commit == one

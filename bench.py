@@ -81,6 +81,7 @@ def main() -> None:
         # CCNet line dedup + perplexity terciles
         "bloom_point_lookup",
         "replace_where",
+        "auto_compact_append",
         "line_dedup_corpus",
         "ccnet_perplexity_buckets",
         # streaming ingest near-dup filter (3 micro-batches), staged:
@@ -525,6 +526,32 @@ def main() -> None:
         t.replace_where(repl, "l_quantity <= 10")
         t.read().write.mode("overwrite").format("noop").save()
 
+    def _ac_setup(spark, d):
+        # fixture: 15 one-file appends below the minFiles=16 trigger
+        # (untimed); the operator under test is the 16th append PLUS
+        # the synchronous auto-compaction it fires — the streaming
+        # small-file treadmill cost, as one number
+        import json as _j
+
+        li = spark.read.parquet(f"{d}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_quantity").cast("double").alias("l_quantity"))
+        t = DeltaSparkTable(spark, entry._scratch("bench-ac"))
+        cfg = {"dds.autoCompact": "true",
+               "dds.autoCompact.minFiles": "16",
+               "dds.autoCompact.targetFileSize": str(64 << 20)}
+        for i in range(15):
+            t.write(li.where(F.col("l_orderkey") % 16 == i).coalesce(1),
+                    WriteMode.error if i == 0 else WriteMode.append,
+                    table_configuration=cfg if i == 0 else None)
+        last = li.where(F.col("l_orderkey") % 16 == 15).coalesce(1)
+        return t, last
+
+    def _ac_run(spark, ctx):
+        t, last = ctx
+        res = t.write(last, WriteMode.append)
+        assert res.get("auto_compact_version") is not None
+
     def _idmerge_setup(spark, d):
         # fixture: the identity base table (sorted single-partition
         # write, untimed); the operator under test is ONE merge-upsert
@@ -556,6 +583,7 @@ def main() -> None:
     staged = {
         "bloom_point_lookup": (_bloom_setup, _bloom_run),
         "replace_where": (_rw_setup, _rw_run),
+        "auto_compact_append": (_ac_setup, _ac_run),
         "ann_drift_audit": (_drift_setup, _drift_run),
         "hybrid_search_indexed": (_hybq_setup, _hybq_run),
         "identity_merge": (_idmerge_setup, _idmerge_run),

@@ -232,6 +232,48 @@ _BLOOM_SUPPORTED_TYPES = (ByteType, ShortType, IntegerType, LongType,
                           StringType)
 
 
+#: Delta autoOptimize analogues.  ``dds.optimizeWrite`` = "true"
+#: hash-colocates incoming rows on the partition columns before
+#: staging, so every write lands ONE file per hive partition instead
+#: of one per task per partition — the small-file fix at the source
+#: (huge single partitions stay one file; use cluster_by for range
+#: splitting).  ``dds.autoCompact`` = "true" runs a synchronous
+#: OPTIMIZE as its own follow-up commit whenever a write/merge leaves
+#: >= ``dds.autoCompact.minFiles`` (default 50) files under
+#: ``dds.autoCompact.targetFileSize`` (default 128 MiB) — the
+#: streaming-ingest small-file treadmill handled at the table, not by
+#: an external janitor job.
+_OPTWRITE_KEY = "dds.optimizeWrite"
+_AUTOCOMPACT_KEY = "dds.autoCompact"
+_AUTOCOMPACT_MINFILES_KEY = "dds.autoCompact.minFiles"
+_AUTOCOMPACT_TARGET_KEY = "dds.autoCompact.targetFileSize"
+
+
+def _auto_compact_spec(
+    configuration: Optional[dict[str, str]],
+) -> Optional[tuple[int, int]]:
+    """(min_files, target_file_size) when auto-compaction is on, else
+    None.  Malformed numbers raise — at SET time via set_properties,
+    and pointedly at trigger time otherwise."""
+    cfg = configuration or {}
+    if str(cfg.get(_AUTOCOMPACT_KEY, "")).lower() != "true":
+        return None
+    try:
+        min_files = int(cfg.get(_AUTOCOMPACT_MINFILES_KEY, 50))
+        target = int(cfg.get(_AUTOCOMPACT_TARGET_KEY, 128 * 1024 * 1024))
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"{_AUTOCOMPACT_MINFILES_KEY}/{_AUTOCOMPACT_TARGET_KEY} "
+            f"must be integers: {exc}")
+    if min_files < 2:
+        raise ValueError(
+            f"{_AUTOCOMPACT_MINFILES_KEY} must be >= 2, got {min_files}")
+    if target < 1:
+        raise ValueError(
+            f"{_AUTOCOMPACT_TARGET_KEY} must be >= 1, got {target}")
+    return min_files, target
+
+
 def _bloom_columns(configuration: Optional[dict[str, str]]) -> dict[str, dict]:
     """Parse ``dds.bloomFilterColumns`` -> {column: {"fpp", "maxBits"}}.
     Raises on malformed specs so a bad property fails every write
@@ -1519,6 +1561,12 @@ class DeltaSparkTable:
                 if cluster_files
                 else out.repartitionByRange(*cols)
             ).sortWithinPartitions(*cluster_by)
+        elif (pcols
+              and str(merged_cfg.get(_OPTWRITE_KEY, "")).lower() == "true"):
+            # optimizeWrite: one shuffle colocates each hive
+            # partition's rows so the staged write emits one file per
+            # partition value, not one per task per partition
+            out = out.repartition(*[F.col(c) for c in pcols])
         # planning-time mapping for STAGING only; the committed updates
         # re-derive against the fresh head inside the retry loop
         stage_mapping, _ = _evolve_mapping(
@@ -1683,13 +1731,19 @@ class DeltaSparkTable:
                     actions,
                     Snapshot(new_version, meta, list(new_files.values()), now),
                 )
-                return {
+                res = {
                     "mode": mode.value,
                     "version": new_version,
                     "num_output_rows": rows_written,
                     "num_added_files": len(adds),
                     "num_removed_files": len(removes),
                 }
+                ac = self._maybe_auto_compact(meta.configuration)
+                if ac:
+                    res["auto_compacted_files"] = ac.get(
+                        "rewritten_files", 0)
+                    res["auto_compact_version"] = ac.get("version")
+                return res
             except VersionConflictError:
                 if attempt >= _COMMIT_RETRIES:
                     raise
@@ -2248,13 +2302,19 @@ class DeltaSparkTable:
                     self.table_uri, v, actions,
                     Snapshot(v, new_meta, list(new_files.values()), now),
                 )
-                return {
+                res = {
                     "mode": "merge",
                     "version": v,
                     "num_output_rows": rows_written,
                     "num_added_files": len(adds),
                     "num_removed_files": len(removes),
                 }
+                ac = self._maybe_auto_compact(new_meta.configuration)
+                if ac:
+                    res["auto_compacted_files"] = ac.get(
+                        "rewritten_files", 0)
+                    res["auto_compact_version"] = ac.get("version")
+                return res
             except VersionConflictError:
                 if attempt >= _COMMIT_RETRIES:
                     raise
@@ -3188,6 +3248,12 @@ class DeltaSparkTable:
             spec = _bloom_columns({_BLOOM_KEY: properties[_BLOOM_KEY]})
             schema = StructType.fromJson(_json_loads(snap.schema_json))
             self._validate_bloom_spec(spec, schema, snap.partition_columns)
+        if {_AUTOCOMPACT_KEY, _AUTOCOMPACT_MINFILES_KEY,
+                _AUTOCOMPACT_TARGET_KEY} & set(properties):
+            # malformed knobs would fail every later write at trigger
+            # time — validate the merged spec at SET time
+            _auto_compact_spec({
+                **snap.metadata.configuration, **properties})
         if _CDC_RETAIN_KEY in properties:
             # a malformed value would break every later vacuum —
             # validate at SET time
@@ -3536,6 +3602,29 @@ class DeltaSparkTable:
         tablelog.commit(
             target_uri, 0, actions, Snapshot(0, meta, adds, now))
         return target
+
+    def _maybe_auto_compact(
+        self, configuration: Optional[dict[str, str]]
+    ) -> Optional[dict[str, Any]]:
+        """Post-commit auto-compaction (the Delta autoCompact
+        analogue): when the just-committed table holds >= minFiles
+        files under targetFileSize, run a synchronous OPTIMIZE as its
+        own follow-up commit.  Best-effort by design — a concurrent
+        writer beating the compaction must not fail the WRITE that
+        already succeeded (Delta's auto-compact swallows the same
+        race; the next write simply re-triggers)."""
+        spec = _auto_compact_spec(configuration)
+        if not spec:
+            return None
+        min_files, target = spec
+        snap = self.snapshot()
+        small = [a for a in snap.files if a.size < target]
+        if len(small) < min_files:
+            return None
+        try:
+            return self.optimize(target_file_size=target)
+        except (VersionConflictError, ConcurrentAppendError):
+            return None
 
     def optimize(
         self,

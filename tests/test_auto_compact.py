@@ -1,0 +1,93 @@
+"""Delta autoOptimize analogues: dds.optimizeWrite (one file per hive
+partition per write) and dds.autoCompact (post-commit synchronous
+OPTIMIZE when small files accumulate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagster_delta_spark import (
+    DeltaSparkTable,
+    MergeConfig,
+    MergeType,
+    WriteMode,
+    tablelog,
+)
+
+AC_CFG = {
+    "dds.autoCompact": "true",
+    "dds.autoCompact.minFiles": "8",
+    "dds.autoCompact.targetFileSize": str(1 << 20),
+}
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p"))
+
+
+def test_auto_compact_triggers_and_preserves_rows(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(_df(spark, 0, 10).repartition(4), WriteMode.error,
+            table_configuration=AC_CFG)
+    for i in range(1, 4):
+        res = t.write(_df(spark, i * 10, i * 10 + 10).repartition(4),
+                      WriteMode.append)
+    # 16 small files accumulated >= minFiles=8 -> the last write
+    # reports its follow-up compaction
+    assert res.get("auto_compacted_files", 0) > 0
+    assert res["auto_compact_version"] == res["version"] + 1
+    assert len(t.snapshot().files) < 16
+    assert tablelog.history(t.table_uri, 1)[0]["operation"] == "OPTIMIZE"
+    assert t.read().count() == 40
+    assert t.read().agg(F.sum("k")).head()[0] == sum(range(40))
+
+
+def test_auto_compact_below_threshold_is_silent(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(_df(spark, 0, 10).repartition(4), WriteMode.error,
+            table_configuration=AC_CFG)
+    res = t.write(_df(spark, 10, 12).repartition(2), WriteMode.append)
+    assert "auto_compact_version" not in res  # 6 files < minFiles=8
+    assert len(t.snapshot().files) == 6
+
+
+def test_auto_compact_after_merge(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(_df(spark, 0, 20).repartition(7), WriteMode.error,
+            table_configuration=AC_CFG)
+    src = _df(spark, 15, 30).repartition(5)
+    res = t.merge(src, MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
+    assert res.get("auto_compact_version") is not None
+    assert t.read().count() == 30
+
+
+def test_auto_compact_validation(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(_df(spark, 0, 5), WriteMode.error)
+    with pytest.raises(ValueError, match="minFiles"):
+        t.set_properties({"dds.autoCompact": "true",
+                          "dds.autoCompact.minFiles": "1"})
+    with pytest.raises(ValueError, match="integers"):
+        t.set_properties({"dds.autoCompact": "true",
+                          "dds.autoCompact.targetFileSize": "big"})
+    # knobs without autoCompact=true are inert and legal
+    t.set_properties({"dds.autoCompact.minFiles": "10"})
+
+
+def test_optimize_write_one_file_per_partition(spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    cfg = {"dds.optimizeWrite": "true"}
+    t.write(_df(spark, 0, 1000).repartition(8), WriteMode.error,
+            partition_columns=["p"], table_configuration=cfg)
+    by_part: dict = {}
+    for a in t.snapshot().files:
+        by_part.setdefault(a.partition_values["p"], 0)
+        by_part[a.partition_values["p"]] += 1
+    assert set(by_part) == {"0", "1", "2", "3"}
+    assert all(n == 1 for n in by_part.values()), by_part
+    assert t.read().count() == 1000
+    # control: without the property the same write fans out
+    t2 = DeltaSparkTable(spark, tmp_table + "-ctl")
+    t2.write(_df(spark, 0, 1000).repartition(8), WriteMode.error,
+             partition_columns=["p"])
+    assert len(t2.snapshot().files) > 4
