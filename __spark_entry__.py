@@ -1304,10 +1304,18 @@ def _semantic_dedup(spark, sf_dir):
 
 
 def _ivf_ann(spark, sf_dir):
-    """IVF ANN.  Guard: probing EVERY cell removes the approximation,
-    so full-probe IVF must reproduce brute-force cosine_topk exactly
-    (same k, same tie-break) — a mis-trained quantizer, a broken
-    assignment join, or a drifted tie-break all fail here."""
+    """IVF ANN — ORACLE-BACKED since r10 via the portable k-means dial
+    (similarity.ivf_ann_topk_portable): portable-md5 init, ordered-fold
+    cosines rounded to 9, SQL probe + rerank — the DuckDB twin unrolls
+    training, assignment, the per-query nprobe cell choice, and the
+    shared (cosine DESC, vec_id) top-k.
+
+    The PRODUCTION path (persisted centroids + Arrow matmul,
+    similarity.ivf_ann_topk) still runs first under its original
+    guard: probing EVERY cell removes the approximation, so full-probe
+    IVF must reproduce brute-force cosine_topk exactly (same k, same
+    tie-break) — a mis-trained quantizer, a broken assignment join, or
+    a drifted tie-break all fail here."""
     exact = {(r["q_id"], r["rank"]): r["vec_id"]
              for r in similarity.cosine_topk(spark, sf_dir).collect()}
     full = {(r["q_id"], r["rank"]): r["vec_id"]
@@ -1320,7 +1328,7 @@ def _ivf_ann(spark, sf_dir):
         raise AssertionError(
             f"full-probe IVF diverged from brute force: {diff}"
         )
-    return similarity.ivf_ann_topk(spark, sf_dir)
+    return similarity.ivf_ann_topk_portable(spark, sf_dir)
 
 
 def _ivf_quantized(spark, sf_dir):
@@ -1508,13 +1516,20 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_clusters(spark, sf_dir):
-    """Cluster-balance report from the k-means coarse quantizer
-    (rows-only: k-means training is not SQL-expressible).  Guard:
-    populations must sum to the (non-zero-norm) corpus and every
-    cluster's compactness stats must be coherent cosines
-    (min <= mean <= 1)."""
-    out = similarity.kmeans_clusters(spark, sf_dir).localCheckpoint()
-    rows = out.collect()   # one row per cell — tiny
+    """Cluster-balance report from the k-means coarse quantizer —
+    ORACLE-BACKED since r10 via the portable dial
+    (similarity.kmeans_clusters_portable): portable-md5 init order,
+    ordered-fold cosines rounded to 9 pre-argmax, Lloyd means rounded
+    to 9 — the DuckDB twin unrolls the same single iteration and lands
+    on the same clusters (the LSH family's conversion technique
+    applied to k-means training itself).
+
+    The PRODUCTION path (xxhash64 init + Arrow-matmul assignment,
+    similarity.kmeans_clusters) still runs first under its original
+    coherence guards: populations must sum to the non-zero-norm
+    corpus and every cluster's compactness stats must be coherent
+    cosines (min <= mean <= 1)."""
+    rows = similarity.kmeans_clusters(spark, sf_dir).collect()  # tiny
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.where(
         F.expr(similarity.NORM.format(a="embedding")) > 0).count()
@@ -1526,7 +1541,7 @@ def _kmeans_clusters(spark, sf_dir):
             f"kmeans_clusters incoherent: populations {total} != {n} "
             f"or bad stats rows {bad[:3]}"
         )
-    return out
+    return similarity.kmeans_clusters_portable(spark, sf_dir)
 
 
 def _quantize_embeddings(spark, sf_dir):
@@ -2802,6 +2817,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW this round (oracle-backed): autoCompact/optimizeWrite —
         # displaced q16_anti_join (green r7 record stands)
         "o_auto_compact": o_auto_compact,
+        # CONVERTED this round (rows-only -> oracle-backed via the
+        # portable dial): k-means clustering — in-window per the
+        # conversion rule; displaced q20_excess_shipments (green r7)
+        "kmeans_clusters": _kmeans_clusters,
+        # CONVERTED: IVF ANN via the same dial — displaced
+        # q21_sole_late_supplier (green r7 record stands)
+        "ann_ivf_topk": _ivf_ann,
         "o_row_delete_restore": o_row_delete_restore,
         "o_row_update": o_row_update,
         "duplicate_components": graph.duplicate_components,
@@ -2821,8 +2843,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_lineitem_rollup": relational.order_lineitem_rollup,
         "multimodal_video_pipeline": multimodal_video_pipeline,
         "o_delete_dv": o_delete_dv,
-        "q20_excess_shipments": relational.q20_excess_shipments,
-        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
         "event_funnel": _event_funnel,
         "ngram_frequency": textops.ngram_frequency,
         "tfidf_top_terms": textops.tfidf_top_terms,
@@ -2874,6 +2894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
         "q10_returned_items": relational.q10_returned_items,
         "q16_anti_join": relational.q16_anti_join_parts,
+        "q20_excess_shipments": relational.q20_excess_shipments,
+        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -2923,8 +2945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": textops.heavy_hitter_tokens,
         "bpe_token_stats": _bpe_stats,
         "ann_recall_report": _ann_recall,
-        "kmeans_clusters": _kmeans_clusters,
-        "ann_ivf_topk": _ivf_ann,
         "ann_ivf_quantized_topk": _ivf_quantized,
         "ann_ivf_pq_topk": _ivf_pq,
         "semantic_dedup": _semantic_dedup,
@@ -3061,6 +3081,75 @@ def _label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.avg("v").alias("mean_v"), F.count(F.lit(1)).alias("n"))
     )
+
+
+
+#: shared DuckDB CTE chain of the portable k-means dial (init ->
+#: assignment -> one Lloyd update -> final assignment); s1 carries
+#: (vec_id, embedding, norm, cell, cos) so both the cluster report and
+#: the IVF query path build on the same trained model
+_DOT_DUCK = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM_DUCK = (
+    "sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+_KM_CTE = f"""emb AS (
+                SELECT vec_id, embedding,
+                       {_NORM_DUCK.format(a='embedding')} AS norm
+                FROM embeddings
+                WHERE {_NORM_DUCK.format(a='embedding')} > 0
+            ), hashed AS (
+                SELECT vec_id, embedding, norm,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS h
+                FROM emb
+            ), init AS (
+                SELECT row_number() OVER (ORDER BY h, vec_id) AS cell,
+                       embedding AS c_emb, norm AS c_norm
+                FROM hashed
+                QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 8
+            ), a0 AS (
+                SELECT e.vec_id, e.embedding, e.norm, c.cell,
+                       round(({_DOT_DUCK.format(a='c.c_emb',
+                                                b='e.embedding')})
+                             / (e.norm * c.c_norm), 9) AS cos
+                FROM emb e CROSS JOIN init c
+            ), s0 AS (
+                SELECT vec_id, embedding, norm, cell FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY cos DESC, cell) AS rn
+                    FROM a0
+                ) WHERE rn = 1
+            ), upd AS (
+                SELECT cell, i AS dim,
+                       round(avg(CAST(embedding[i] AS DOUBLE)), 9)
+                           AS mean_v
+                FROM s0, unnest(range(1, len(embedding) + 1)) AS t(i)
+                GROUP BY cell, i
+            ), c1 AS (
+                SELECT cell, list(mean_v ORDER BY dim) AS c_emb
+                FROM upd GROUP BY cell
+            ), c1n AS (
+                SELECT cell, c_emb, {_NORM_DUCK.format(a='c_emb')} AS c_norm
+                FROM c1
+            ), a1 AS (
+                SELECT e.vec_id, e.embedding, e.norm, c.cell,
+                       round(({_DOT_DUCK.format(a='c.c_emb',
+                                                b='e.embedding')})
+                             / (e.norm * c.c_norm), 9) AS cos
+                FROM emb e CROSS JOIN c1n c
+            ), s1 AS (
+                SELECT vec_id, embedding, norm, cell, cos FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY cos DESC, cell) AS rn
+                    FROM a1
+                ) WHERE rn = 1
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3974,6 +4063,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_quantity AS DOUBLE) AS l_quantity,
                    CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
             FROM lineitem
+        """,
+        # k-means unrolled in SQL (the portable dial's single Lloyd
+        # iteration): portable-md5 init order, ordered-fold cosines
+        # rounded to 9 pre-argmax, per-dim means rounded to 9 — every
+        # number bit-identical or 9-decimal-quantized cross-engine
+        "kmeans_clusters": f"""
+            WITH {_KM_CTE}
+            SELECT CAST(cell AS INT) AS cell,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                   round(avg(cos), 9) AS mean_cos,
+                   round(min(cos), 9) AS min_cos
+            FROM s1 GROUP BY cell ORDER BY cell
+        """,
+        # the same trained model, extended through the query path:
+        # per-query top-nprobe cells by rounded centroid cosine, exact
+        # rounded rerank over the probed cells' members, shared
+        # (cosine DESC, vec_id) tie-break
+        "ann_ivf_topk": f"""
+            WITH {_KM_CTE}, q AS (
+                SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+                FROM emb WHERE vec_id < 5
+            ), probes AS (
+                SELECT q_id, q_emb, q_norm, cell FROM (
+                    SELECT q.q_id, q.q_emb, q.q_norm, c.cell,
+                           row_number() OVER (
+                               PARTITION BY q.q_id
+                               ORDER BY round(
+                                   ({_DOT_DUCK.format(a='c.c_emb',
+                                                      b='q.q_emb')})
+                                   / (q.q_norm * c.c_norm), 9) DESC,
+                               c.cell) AS rn
+                    FROM q CROSS JOIN c1n c
+                ) WHERE rn <= 2
+            ), cand AS (
+                SELECT p.q_id, s.vec_id,
+                       round(({_DOT_DUCK.format(a='p.q_emb',
+                                                b='s.embedding')})
+                             / (s.norm * p.q_norm), 9) AS cosine
+                FROM probes p JOIN s1 s USING (cell)
+                WHERE s.vec_id <> p.q_id
+            )
+            SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM cand
+            ) WHERE rank <= 5
         """,
         # ten appends + auto-compactions must read back as exactly the
         # source; the layout property is the in-entry guard

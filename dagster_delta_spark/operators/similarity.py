@@ -1350,6 +1350,158 @@ def ann_recall_report(
     return report
 
 
+def _assign_cells_exact(
+    emb: DataFrame, cents: DataFrame, with_cos: bool = False,
+) -> DataFrame:
+    """PORTABLE (oracle-dial) nearest-centroid assignment: pure
+    Spark-SQL ordered-fold arithmetic (the DOT/NORM macros, the same
+    expressions the DuckDB oracles replay bit-for-bit), cosine rounded
+    to 9 decimals pre-argmax, ties to the smallest cell.  The
+    production path is the Arrow-batched float64 matmul
+    (``_assign_cells``); this crossJoin-shaped twin exists so k-means
+    itself becomes SQL-replayable at oracle dials — it is NOT the
+    scale path (the matmul replaced exactly this shape at 97 s vs
+    ~1 s for 40k x 300)."""
+    from pyspark.sql.window import Window
+
+    dot = DOT.format(a="c_emb", b="embedding")
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "cos",
+        F.round(F.expr(dot) / (F.col("norm") * F.col("c_norm")), 9),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cell"))
+    out = scored.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    cols = ["vec_id", "cell", "embedding", "norm"]
+    if with_cos:
+        cols.append("cos")
+    return out.select(*cols)
+
+
+def _portable_centroids(
+    spark: SparkSession, sf_dir: str, n_cells: int, train_iters: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(non-zero-norm corpus, trained centroids) for the portable
+    k-means dial: portable-md5 init order, ordered-fold assignment
+    cosines rounded to 9 pre-argmax, Lloyd means rounded to 9 — every
+    number either bit-identical cross-engine or quantized at the
+    repo's 9-decimal convention, so a DuckDB twin unrolling the same
+    iterations lands on the same model."""
+    from pyspark.sql.window import Window
+
+    from .dedup import PORTABLE_H64
+
+    if train_iters < 0:
+        raise ValueError(f"train_iters must be >= 0, got {train_iters}")
+    emb = _with_norm(load(spark, sf_dir, "embeddings")).where(
+        F.col("norm") > 0)
+    h = F.expr(PORTABLE_H64.format(x="CAST(vec_id AS STRING)"))
+    cents = (
+        emb.withColumn("h", h)
+        .orderBy("h", "vec_id")
+        .limit(int(n_cells))
+        .select(
+            F.row_number().over(Window.orderBy("h", "vec_id"))
+            .alias("cell"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(train_iters):
+        assigned = _assign_cells_exact(emb, cents)
+        cents = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 9)
+                 .alias("mean_v"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v")))
+                 .alias("pairs"))
+            .select("cell",
+                    F.expr("transform(pairs, p -> p.mean_v)")
+                    .alias("c_emb"))
+            .withColumn("c_norm", F.expr(NORM.format(a="c_emb")))
+            .localCheckpoint()
+        )
+    return emb, cents
+
+
+def ivf_ann_topk_portable(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
+    n_cells: int = 8, nprobe: int = 2, train_iters: int = 1,
+) -> DataFrame:
+    """SQL-replayable IVF ANN (the portable k-means dial extended
+    through the query path): portable centroids, exact-SQL
+    assignments, per-query top-``nprobe`` cells by rounded centroid
+    cosine (ties to the smallest cell), exact rounded-cosine rerank
+    over the probed cells' members with the shared (cosine DESC,
+    vec_id) tie-break.  Every stage is the relational formulation the
+    DuckDB oracle unrolls — production IVF stays ``ivf_ann_topk``
+    (persisted centroids, Arrow matmul, session caches)."""
+    from pyspark.sql.window import Window
+
+    emb, cents = _portable_centroids(spark, sf_dir, n_cells, train_iters)
+    assigned = _assign_cells_exact(emb, cents)
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    qdot = DOT.format(a="c_emb", b="q_emb")
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("qcos").desc(), F.col("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", F.round(
+            F.expr(qdot) / (F.col("q_norm") * F.col("c_norm")), 9))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "q_emb", "q_norm", "cell")
+    )
+    dot = DOT.format(a="q_emb", b="embedding")
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", F.round(
+            F.expr(dot) / (F.col("norm") * F.col("q_norm")), 9))
+    )
+    return _topk(scored, k)
+
+
+def kmeans_clusters_portable(
+    spark: SparkSession, sf_dir: str, n_cells: int = 8,
+    train_iters: int = 1,
+) -> DataFrame:
+    """The SQL-replayable k-means dial behind the ``kmeans_clusters``
+    oracle (the LSH family's portable-md5 technique applied to
+    clustering): init takes the ``n_cells`` lowest
+    (portable-md5(vec_id), vec_id) vectors, every assignment is the
+    ordered-fold cosine rounded to 9 pre-argmax (``_assign_cells_exact``),
+    and each Lloyd update stores per-dimension means rounded to 9 —
+    every number either bit-identical cross-engine (ordered folds) or
+    quantized at the repo's 9-decimal pre-ranking convention, so a
+    DuckDB twin unrolls the same iterations and lands on the same
+    clusters.  Zero-norm vectors are excluded (cosine undefined), the
+    same population rule the production report's guard counts.
+
+    Production clustering stays ``kmeans_clusters`` (xxhash64 init +
+    Arrow matmul); this dial exists for verification, like every
+    other portable hash path."""
+    emb, cents = _portable_centroids(spark, sf_dir, n_cells, train_iters)
+    final = _assign_cells_exact(emb, cents, with_cos=True)
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("cos"), 9).alias("mean_cos"),
+            F.round(F.min("cos"), 9).alias("min_cos"),
+        )
+        .orderBy("cell")
+    )
+
+
 def kmeans_clusters(
     spark: SparkSession, sf_dir: str, n_cells: Optional[int] = None,
     train_iters: int = 1,

@@ -1,0 +1,78 @@
+"""The portable (SQL-replayable) k-means dial behind the r10
+kmeans_clusters / ann_ivf_topk oracle conversions
+(similarity._portable_centroids / kmeans_clusters_portable /
+ivf_ann_topk_portable).  Cross-engine parity runs in
+tools/check_oracles.py; these pin the Spark-side semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagster_delta_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_portable_kmeans_population_and_coherence(spark):
+    rows = similarity.kmeans_clusters_portable(spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.where(
+        F.expr(similarity.NORM.format(a="embedding")) > 0).count()
+    assert sum(r["n_vectors"] for r in rows) == n
+    assert len(rows) <= 8
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["min_cos"] <= r["mean_cos"] <= 1.0 + 1e-9
+    assert [r["cell"] for r in rows] == sorted(r["cell"] for r in rows)
+
+
+def test_portable_kmeans_deterministic(spark):
+    a = similarity.kmeans_clusters_portable(spark, SF).collect()
+    b = similarity.kmeans_clusters_portable(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_portable_ivf_full_probe_equals_rounded_brute_force(spark):
+    """nprobe >= n_cells removes the approximation: the portable IVF
+    must reproduce the brute-force top-k under the SAME rounded-cosine
+    ordering (the portable dial's quantization, ties by vec_id)."""
+    full = {(r["q_id"], r["rank"]): r["vec_id"]
+            for r in similarity.ivf_ann_topk_portable(
+                spark, SF, nprobe=8).collect()}
+    emb = similarity._with_norm(
+        spark.read.parquet(f"{SF}/embeddings.parquet")).where(
+        F.col("norm") > 0)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"))
+    dot = similarity.DOT.format(a="q_emb", b="embedding")
+    scored = (emb.crossJoin(q)
+              .where(F.col("vec_id") != F.col("q_id"))
+              .withColumn("cosine", F.round(
+                  F.expr(dot) / (F.col("norm") * F.col("q_norm")), 9)))
+    exact = {(r["q_id"], r["rank"]): r["vec_id"]
+             for r in similarity._topk(scored, 5).collect()}
+    assert full == exact
+
+
+def test_portable_ivf_probe_subsets_candidates(spark):
+    """nprobe=1 answers come from the query's own nearest cell only —
+    every returned id must share the query's probed cell."""
+    out = similarity.ivf_ann_topk_portable(spark, SF, nprobe=1)
+    emb, cents = similarity._portable_centroids(spark, SF, 8, 1)
+    cells = {r["vec_id"]: r["cell"]
+             for r in similarity._assign_cells_exact(emb, cents).collect()}
+    # a query's nearest cell IS its own assignment cell (same rounded
+    # argmax), so nprobe=1 candidates share the query's cell
+    for r in out.collect():
+        assert cells[r["vec_id"]] == cells[r["q_id"]]
+
+
+def test_portable_kmeans_validates_iters(spark):
+    with pytest.raises(ValueError, match="train_iters"):
+        similarity.kmeans_clusters_portable(spark, SF, train_iters=-1)
+
+
+def test_portable_kmeans_zero_iters_uses_init(spark):
+    rows = similarity.kmeans_clusters_portable(
+        spark, SF, train_iters=0).collect()
+    assert rows and sum(r["n_vectors"] for r in rows) > 0
