@@ -1271,11 +1271,15 @@ def _emb_neardup_lsh(spark, sf_dir):
 
 
 def _semantic_dedup(spark, sf_dir):
-    """SemDeDup-style cluster-bounded near-dup pruning (rows-only:
-    k-means cells + float cosine aren't SQL-expressible).  The fixture
-    embeddings carry no true semantic dups (max pairwise cosine
-    ~0.51), so the registry entry runs at a low threshold to exercise
-    the drop path on driver data.
+    """SemDeDup-style cluster-bounded near-dup pruning — ORACLE-BACKED
+    since r10 via the portable k-means dial
+    (similarity.semantic_dedup_portable): the greedy drop rule was
+    always relational; the portable cells + rounded in-cell cosines
+    make the whole pass SQL-replayable.  The fixture embeddings carry
+    no true semantic dups (max pairwise cosine ~0.51), so the entry
+    runs at a low threshold to exercise the drop path on driver data.
+    The PRODUCTION quantizer path still runs first under the planted
+    guard below.
 
     Self-falsifying (r7): before returning, the entry PLANTS an exact
     duplicate of the smallest vec_id into a scratch copy of the corpus
@@ -1300,7 +1304,7 @@ def _semantic_dedup(spark, sf_dir):
             f"(expected drop in favour of {lo}, which got "
             f"keep={orig['keep']})"
         )
-    return similarity.semantic_dedup(spark, sf_dir, threshold=0.4)
+    return similarity.semantic_dedup_portable(spark, sf_dir, threshold=0.4)
 
 
 def _ivf_ann(spark, sf_dir):
@@ -2824,6 +2828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CONVERTED: IVF ANN via the same dial — displaced
         # q21_sole_late_supplier (green r7 record stands)
         "ann_ivf_topk": _ivf_ann,
+        # CONVERTED: SemDeDup via the same dial — displaced
+        # event_funnel (green r7 record stands)
+        "semantic_dedup": _semantic_dedup,
         "o_row_delete_restore": o_row_delete_restore,
         "o_row_update": o_row_update,
         "duplicate_components": graph.duplicate_components,
@@ -2843,7 +2850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_lineitem_rollup": relational.order_lineitem_rollup,
         "multimodal_video_pipeline": multimodal_video_pipeline,
         "o_delete_dv": o_delete_dv,
-        "event_funnel": _event_funnel,
         "ngram_frequency": textops.ngram_frequency,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "repetition_quality": textops.repetition_quality,
@@ -2896,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_anti_join": relational.q16_anti_join_parts,
         "q20_excess_shipments": relational.q20_excess_shipments,
         "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+        "event_funnel": _event_funnel,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -2947,7 +2954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": _ann_recall,
         "ann_ivf_quantized_topk": _ivf_quantized,
         "ann_ivf_pq_topk": _ivf_pq,
-        "semantic_dedup": _semantic_dedup,
         "cosine_topk": similarity.cosine_topk,
         "embedding_near_dups": _embedding_near_dups_02,
         "label_centroid_dims": _label_centroid_dims,
@@ -4075,6 +4081,27 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(cos), 9) AS mean_cos,
                    round(min(cos), 9) AS min_cos
             FROM s1 GROUP BY cell ORDER BY cell
+        """,
+        # the same trained model under the one-pass SemDeDup rule:
+        # drop iff some smaller-id in-cell near-dup exists (in-cell
+        # pair cosines rounded to 9 before the threshold test)
+        "semantic_dedup": f"""
+            WITH {_KM_CTE}, dropped AS (
+                SELECT id_b AS vec_id, MIN(id_a) AS dup_of,
+                       MAX(cosine) AS max_cosine
+                FROM (
+                    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                           round(({_DOT_DUCK.format(a='a.embedding',
+                                                    b='b.embedding')})
+                                 / (a.norm * b.norm), 9) AS cosine
+                    FROM s1 a JOIN s1 b
+                      ON a.cell = b.cell AND a.vec_id < b.vec_id
+                ) WHERE cosine >= 0.4
+                GROUP BY id_b
+            )
+            SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+                   d.dup_of IS NULL AS keep, d.dup_of, d.max_cosine
+            FROM s1 s LEFT JOIN dropped d USING (vec_id)
         """,
         # the same trained model, extended through the query path:
         # per-query top-nprobe cells by rounded centroid cosine, exact

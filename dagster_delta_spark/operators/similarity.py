@@ -1272,6 +1272,51 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_portable(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95,
+    n_cells: int = 8, train_iters: int = 1,
+) -> DataFrame:
+    """SQL-replayable SemDeDup (the portable k-means dial under the
+    one-pass greedy rule): cells from ``_portable_centroids`` +
+    ``_assign_cells_exact``, in-cell pair cosines rounded to 9 before
+    the threshold test, drop iff some smaller-id in-cell near-dup
+    exists.  The rule itself was always relational — only the k-means
+    cells kept this rows-only; production stays ``semantic_dedup``
+    (persisted xxhash64/matmul quantizer)."""
+    emb, cents = _portable_centroids(spark, sf_dir, n_cells, train_iters)
+    assigned = _assign_cells_exact(emb, cents)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"), F.col("norm").alias("norm_a"),
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"), F.col("norm").alias("norm_b"),
+    )
+    dot = DOT.format(a="emb_a", b="emb_b")
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(
+            F.expr(dot) / (F.col("norm_a") * F.col("norm_b")), 9))
+        .where(F.col("cosine") >= threshold)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(
+            F.min("id_a").alias("dup_of"),
+            F.max("cosine").cast("double").alias("max_cosine"),
+        )
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of", "max_cosine",
+        )
+    )
+
+
 def ann_recall_report(
     spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5,
     min_ivf_margin: Optional[float] = 0.25,

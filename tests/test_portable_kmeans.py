@@ -76,3 +76,34 @@ def test_portable_kmeans_zero_iters_uses_init(spark):
     rows = similarity.kmeans_clusters_portable(
         spark, SF, train_iters=0).collect()
     assert rows and sum(r["n_vectors"] for r in rows) > 0
+
+
+def test_portable_semantic_dedup_rule(spark):
+    """Hand-verify the one-pass greedy rule on the portable cells: a
+    vector is dropped iff SOME smaller-id in-cell vector has rounded
+    cosine >= threshold, and dup_of is the smallest such id."""
+    t = 0.4
+    out = {r["vec_id"]: r for r in
+           similarity.semantic_dedup_portable(
+               spark, SF, threshold=t).collect()}
+    emb, cents = similarity._portable_centroids(spark, SF, 8, 1)
+    rows = similarity._assign_cells_exact(emb, cents).collect()
+    import numpy as np
+    by_id = {r["vec_id"]: (r["cell"],
+                           np.asarray(r["embedding"], dtype=np.float64),
+                           float(r["norm"])) for r in rows}
+    ids = sorted(by_id)
+    for i in ids:
+        ci, vi, ni = by_id[i]
+        dups = []
+        for j in ids:
+            if j >= i:
+                break
+            cj, vj, nj = by_id[j]
+            if cj == ci and round(float(vi @ vj) / (ni * nj), 9) >= t:
+                dups.append(j)
+        r = out[i]
+        if dups:
+            assert not r["keep"] and r["dup_of"] == min(dups), (i, r)
+        else:
+            assert r["keep"] and r["dup_of"] is None, (i, r)
