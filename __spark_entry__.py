@@ -1358,7 +1358,10 @@ def _ivf_quantized(spark, sf_dir):
             "IVF-SQ8 full-rerank diverged from ivf_ann_topk "
             f"(anchor, quantized) mismatches: {diff}"
         )
-    return similarity.ivf_quantized_topk(spark, sf_dir)
+    # ORACLE-BACKED since r10: the portable dial through the two-stage
+    # quantized path (int8 affine codes were already oracle-proven by
+    # quantize_embeddings; the portable cells complete the pipeline)
+    return similarity.ivf_quantized_topk_portable(spark, sf_dir)
 
 
 def _ivf_pq(spark, sf_dir):
@@ -2831,6 +2834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CONVERTED: SemDeDup via the same dial — displaced
         # event_funnel (green r7 record stands)
         "semantic_dedup": _semantic_dedup,
+        # CONVERTED: IVF-SQ8 via the same dial — displaced
+        # ngram_frequency (green r7 record stands)
+        "ann_ivf_quantized_topk": _ivf_quantized,
         "o_row_delete_restore": o_row_delete_restore,
         "o_row_update": o_row_update,
         "duplicate_components": graph.duplicate_components,
@@ -2850,7 +2856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_lineitem_rollup": relational.order_lineitem_rollup,
         "multimodal_video_pipeline": multimodal_video_pipeline,
         "o_delete_dv": o_delete_dv,
-        "ngram_frequency": textops.ngram_frequency,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "repetition_quality": textops.repetition_quality,
         "scrub_pii": curation.scrub_pii,
@@ -2903,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_shipments": relational.q20_excess_shipments,
         "q21_sole_late_supplier": relational.q21_sole_late_supplier,
         "event_funnel": _event_funnel,
+        "ngram_frequency": textops.ngram_frequency,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -2952,7 +2958,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": textops.heavy_hitter_tokens,
         "bpe_token_stats": _bpe_stats,
         "ann_recall_report": _ann_recall,
-        "ann_ivf_quantized_topk": _ivf_quantized,
         "ann_ivf_pq_topk": _ivf_pq,
         "cosine_topk": similarity.cosine_topk,
         "embedding_near_dups": _embedding_near_dups_02,
@@ -4136,6 +4141,91 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY q_id
                     ORDER BY cosine DESC, vec_id ASC) AS rank
                 FROM cand
+            ) WHERE rank <= 5
+        """,
+        # the portable model through the TWO-STAGE quantized path:
+        # exact per-dim double stats -> integer int8 codes ->
+        # bit-identical float32 dequant -> rounded stage-1 shortlist
+        # (rerank=50) -> exact rounded rerank, shared tie-breaks
+        "ann_ivf_quantized_topk": f"""
+            WITH {_KM_CTE}, ex AS (
+                SELECT CAST(unnest(range(0, len(embedding))) AS INT)
+                           AS dim,
+                       unnest(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE))) AS v
+                FROM embeddings
+            ), dimstats AS (
+                SELECT dim, min(v) AS lo, max(v) AS hi FROM ex
+                GROUP BY dim
+            ), sarr AS (
+                SELECT list(struct_pack(dim := dim, lo := lo, hi := hi)
+                            ORDER BY dim) AS st
+                FROM dimstats
+            ), qq AS (
+                SELECT vec_id,
+                       list_transform(range(1, len(embedding) + 1),
+                           i -> CAST(round(
+                               (CAST(embedding[i] AS DOUBLE) - st[i].lo) /
+                               (CASE WHEN st[i].hi > st[i].lo
+                                THEN (st[i].hi - st[i].lo) / 255.0
+                                ELSE 1.0 END)) - 128 AS INT)) AS qembedding,
+                       st
+                FROM embeddings, sarr
+            ), aq AS (
+                SELECT vec_id,
+                       list_transform(range(1, len(qembedding) + 1),
+                           i -> CAST((CAST(qembedding[i] AS DOUBLE) + 128)
+                                * (CASE WHEN st[i].hi > st[i].lo
+                                   THEN (st[i].hi - st[i].lo) / 255.0
+                                   ELSE 1.0 END)
+                                + st[i].lo AS REAL)) AS aemb
+                FROM qq
+            ), aqn AS (
+                SELECT vec_id, aemb,
+                       {_NORM_DUCK.format(a='aemb')} AS anorm
+                FROM aq
+            ), q AS (
+                SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+                FROM emb WHERE vec_id < 5
+            ), probes AS (
+                SELECT q_id, q_emb, q_norm, cell FROM (
+                    SELECT q.q_id, q.q_emb, q.q_norm, c.cell,
+                           row_number() OVER (
+                               PARTITION BY q.q_id
+                               ORDER BY round(
+                                   ({_DOT_DUCK.format(a='c.c_emb',
+                                                      b='q.q_emb')})
+                                   / (q.q_norm * c.c_norm), 9) DESC,
+                               c.cell) AS rn
+                    FROM q CROSS JOIN c1n c
+                ) WHERE rn <= 2
+            ), shortlist AS (
+                SELECT q_id, vec_id, q_emb, q_norm FROM (
+                    SELECT p.q_id, s.vec_id, p.q_emb, p.q_norm,
+                           row_number() OVER (
+                               PARTITION BY p.q_id
+                               ORDER BY round(
+                                   ({_DOT_DUCK.format(a='p.q_emb',
+                                                      b='a.aemb')})
+                                   / (a.anorm * p.q_norm), 9) DESC,
+                               s.vec_id ASC) AS r
+                    FROM probes p
+                    JOIN s1 s USING (cell)
+                    JOIN aqn a ON a.vec_id = s.vec_id
+                    WHERE s.vec_id <> p.q_id
+                ) WHERE r <= 50
+            ), rer AS (
+                SELECT sl.q_id, sl.vec_id,
+                       round(({_DOT_DUCK.format(a='sl.q_emb',
+                                                b='s.embedding')})
+                             / (s.norm * sl.q_norm), 9) AS cosine
+                FROM shortlist sl JOIN s1 s USING (vec_id)
+            )
+            SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM rer
             ) WHERE rank <= 5
         """,
         # ten appends + auto-compactions must read back as exactly the

@@ -1272,6 +1272,69 @@ def semantic_dedup(
     )
 
 
+def ivf_quantized_topk_portable(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
+    n_cells: int = 8, nprobe: int = 2, rerank: int = 50,
+    train_iters: int = 1,
+) -> DataFrame:
+    """SQL-replayable IVF-SQ8 (the portable dial through the two-stage
+    quantized path): portable cells, the oracle-proven int8 affine
+    quantize/dequantize (``quantized_embeddings_with_stats`` — exact
+    per-dim double stats, integer codes, bit-identical float32
+    dequant), stage-1 shortlist by rounded dequantized cosine, exact
+    rounded rerank.  Production stays ``ivf_quantized_topk``
+    (persisted centroids + session-cached int8 table)."""
+    from pyspark.sql.window import Window
+
+    from .curation import quantized_embeddings_with_stats
+
+    rerank = max(rerank, k)
+    emb, cents = _portable_centroids(spark, sf_dir, n_cells, train_iters)
+    assigned = _assign_cells_exact(emb, cents)
+    qtab = (
+        quantized_embeddings_with_stats(spark, sf_dir)
+        .select("vec_id", F.expr(_DEQUANT).alias("aemb"))
+        .withColumn("anorm", F.expr(NORM.format(a="aemb")))
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    qdot = DOT.format(a="c_emb", b="q_emb")
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("qcos").desc(), F.col("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", F.round(
+            F.expr(qdot) / (F.col("q_norm") * F.col("c_norm")), 9))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "q_emb", "q_norm", "cell")
+    )
+    adot = DOT.format(a="q_emb", b="aemb")
+    ws = Window.partitionBy("q_id").orderBy(
+        F.desc("acos"), F.asc("vec_id"))
+    shortlist = (
+        assigned.select("vec_id", "cell").join(qtab, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("acos", F.round(
+            F.expr(adot) / (F.col("anorm") * F.col("q_norm")), 9))
+        .withColumn("r", F.row_number().over(ws))
+        .where(F.col("r") <= rerank)
+        .select("q_id", "vec_id", "q_emb", "q_norm")
+    )
+    dot = DOT.format(a="q_emb", b="embedding")
+    scored = (
+        assigned.select("vec_id", "embedding", "norm")
+        .join(F.broadcast(shortlist), "vec_id")
+        .withColumn("cosine", F.round(
+            F.expr(dot) / (F.col("norm") * F.col("q_norm")), 9))
+    )
+    return _topk(scored, k)
+
+
 def semantic_dedup_portable(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95,
     n_cells: int = 8, train_iters: int = 1,

@@ -107,3 +107,15 @@ def test_portable_semantic_dedup_rule(spark):
             assert not r["keep"] and r["dup_of"] == min(dups), (i, r)
         else:
             assert r["keep"] and r["dup_of"] is None, (i, r)
+
+
+def test_portable_sq8_full_rerank_equals_portable_ivf(spark):
+    """rerank covering every probed candidate removes the stage-1
+    approximation: portable IVF-SQ8 must reproduce the portable IVF
+    (q_id, rank) -> vec_id mapping exactly."""
+    anchor = {(r["q_id"], r["rank"]): r["vec_id"]
+              for r in similarity.ivf_ann_topk_portable(spark, SF).collect()}
+    full = {(r["q_id"], r["rank"]): r["vec_id"]
+            for r in similarity.ivf_quantized_topk_portable(
+                spark, SF, rerank=10**9).collect()}
+    assert full == anchor
