@@ -1388,7 +1388,11 @@ def _ivf_pq(spark, sf_dir):
             "IVF-PQ full-rerank diverged from ivf_ann_topk "
             f"(anchor, pq) mismatches: {diff}"
         )
-    return similarity.ivf_pq_topk(spark, sf_dir)
+    # ORACLE-BACKED since r10: the portable dial through product
+    # quantization — per-subspace codebooks train in long format (the
+    # subspace is DATA, so the DuckDB twin needs no unrolling), ADC
+    # scores are rounded per-subspace dot sums, rerank is exact
+    return similarity.ivf_pq_topk_portable(spark, sf_dir)
 
 
 def _embedding_pca(spark, sf_dir):
@@ -2837,6 +2841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CONVERTED: IVF-SQ8 via the same dial — displaced
         # ngram_frequency (green r7 record stands)
         "ann_ivf_quantized_topk": _ivf_quantized,
+        # CONVERTED: IVF-PQ via the same dial (PQ training in long
+        # format) — displaced tfidf_top_terms (green r7 record stands)
+        "ann_ivf_pq_topk": _ivf_pq,
         "o_row_delete_restore": o_row_delete_restore,
         "o_row_update": o_row_update,
         "duplicate_components": graph.duplicate_components,
@@ -2856,7 +2863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_lineitem_rollup": relational.order_lineitem_rollup,
         "multimodal_video_pipeline": multimodal_video_pipeline,
         "o_delete_dv": o_delete_dv,
-        "tfidf_top_terms": textops.tfidf_top_terms,
         "repetition_quality": textops.repetition_quality,
         "scrub_pii": curation.scrub_pii,
         "stratified_sample": curation.stratified_sample,
@@ -2909,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_late_supplier": relational.q21_sole_late_supplier,
         "event_funnel": _event_funnel,
         "ngram_frequency": textops.ngram_frequency,
+        "tfidf_top_terms": textops.tfidf_top_terms,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -2958,7 +2965,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": textops.heavy_hitter_tokens,
         "bpe_token_stats": _bpe_stats,
         "ann_recall_report": _ann_recall,
-        "ann_ivf_pq_topk": _ivf_pq,
         "cosine_topk": similarity.cosine_topk,
         "embedding_near_dups": _embedding_near_dups_02,
         "label_centroid_dims": _label_centroid_dims,
@@ -4220,6 +4226,119 @@ def oracle_sql() -> dict[str, str]:
                                                 b='s.embedding')})
                              / (s.norm * sl.q_norm), 9) AS cosine
                 FROM shortlist sl JOIN s1 s USING (vec_id)
+            )
+            SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM rer
+            ) WHERE rank <= 5
+        """,
+        # PQ training replayed in LONG FORMAT (subspace is data): the
+        # portable init order slices into per-subspace codebooks, one
+        # Lloyd round under ordered-fold L2 rounded to 9 (emptied
+        # codes keep their init codeword), ADC = rounded per-subspace
+        # dot sums, exact rounded rerank shares the IVF epilogue
+        "ann_ivf_pq_topk": f"""
+            WITH {_KM_CTE}, sv AS (
+                SELECT vec_id, j AS subspace,
+                       list_transform(embedding[j * 8 + 1 : j * 8 + 8],
+                                      x -> CAST(x AS DOUBLE) / norm)
+                           AS svec
+                FROM emb, unnest(range(0, 8)) AS t(j)
+            ), ini AS (
+                SELECT row_number() OVER (ORDER BY h, vec_id) AS code,
+                       vec_id
+                FROM hashed
+                QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16
+            ), cb0 AS (
+                SELECT s.subspace, i.code, s.svec AS cvec
+                FROM ini i JOIN sv s ON s.vec_id = i.vec_id
+            ), asg0 AS (
+                SELECT vec_id, subspace, code FROM (
+                    SELECT s.vec_id, s.subspace, c.code,
+                           row_number() OVER (
+                               PARTITION BY s.vec_id, s.subspace
+                               ORDER BY round(list_sum(list_transform(
+                                   range(1, len(s.svec) + 1),
+                                   i -> (s.svec[i] - c.cvec[i])
+                                        * (s.svec[i] - c.cvec[i]))), 9)
+                                   ASC,
+                               c.code ASC) AS rn
+                    FROM sv s JOIN cb0 c USING (subspace)
+                ) WHERE rn = 1
+            ), updp AS (
+                SELECT a.subspace, a.code, i AS dim,
+                       round(avg(s.svec[i]), 9) AS mean_v
+                FROM asg0 a
+                JOIN sv s USING (vec_id, subspace),
+                     unnest(range(1, 9)) AS t(i)
+                GROUP BY a.subspace, a.code, i
+            ), cb1 AS (
+                SELECT c0.subspace, c0.code,
+                       coalesce(u.cvec, c0.cvec) AS cvec
+                FROM cb0 c0 LEFT JOIN (
+                    SELECT subspace, code,
+                           list(mean_v ORDER BY dim) AS cvec
+                    FROM updp GROUP BY subspace, code) u
+                  ON u.subspace = c0.subspace AND u.code = c0.code
+            ), pcodes AS (
+                SELECT vec_id, subspace, code FROM (
+                    SELECT s.vec_id, s.subspace, c.code,
+                           row_number() OVER (
+                               PARTITION BY s.vec_id, s.subspace
+                               ORDER BY round(list_sum(list_transform(
+                                   range(1, len(s.svec) + 1),
+                                   i -> (s.svec[i] - c.cvec[i])
+                                        * (s.svec[i] - c.cvec[i]))), 9)
+                                   ASC,
+                               c.code ASC) AS rn
+                    FROM sv s JOIN cb1 c USING (subspace)
+                ) WHERE rn = 1
+            ), q AS (
+                SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+                FROM emb WHERE vec_id < 5
+            ), probes AS (
+                SELECT q_id, cell FROM (
+                    SELECT q.q_id, c.cell,
+                           row_number() OVER (
+                               PARTITION BY q.q_id
+                               ORDER BY round(
+                                   ({_DOT_DUCK.format(a='c.c_emb',
+                                                      b='q.q_emb')})
+                                   / (q.q_norm * c.c_norm), 9) DESC,
+                               c.cell) AS rn
+                    FROM q CROSS JOIN c1n c
+                ) WHERE rn <= 2
+            ), adc AS (
+                SELECT p.q_id, s.vec_id,
+                       round(sum(list_sum(list_transform(
+                           range(1, len(qs.svec) + 1),
+                           i -> qs.svec[i] * cb.cvec[i]))), 9) AS acos
+                FROM probes p
+                JOIN s1 s USING (cell)
+                JOIN pcodes pc ON pc.vec_id = s.vec_id
+                JOIN cb1 cb ON cb.subspace = pc.subspace
+                           AND cb.code = pc.code
+                JOIN sv qs ON qs.vec_id = p.q_id
+                          AND qs.subspace = pc.subspace
+                WHERE s.vec_id <> p.q_id
+                GROUP BY p.q_id, s.vec_id
+            ), shortlist AS (
+                SELECT q_id, vec_id FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY q_id
+                        ORDER BY acos DESC, vec_id ASC) AS r
+                    FROM adc
+                ) WHERE r <= 50
+            ), rer AS (
+                SELECT sl.q_id, sl.vec_id,
+                       round(({_DOT_DUCK.format(a='q.q_emb',
+                                                b='s.embedding')})
+                             / (s.norm * q.q_norm), 9) AS cosine
+                FROM shortlist sl
+                JOIN s1 s USING (vec_id)
+                JOIN q ON q.q_id = sl.q_id
             )
             SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
                 SELECT *, row_number() OVER (

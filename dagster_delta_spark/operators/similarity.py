@@ -1335,6 +1335,144 @@ def ivf_quantized_topk_portable(
     return _topk(scored, k)
 
 
+def ivf_pq_topk_portable(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
+    n_cells: int = 8, nprobe: int = 2, rerank: int = 50,
+    m: int = 8, pq_k: int = 16, train_iters: int = 1,
+) -> DataFrame:
+    """SQL-replayable IVF-PQ (the portable dial through product
+    quantization): per-subspace codebooks train with the SAME portable
+    recipe as the coarse quantizer — init from the ``pq_k`` lowest
+    (portable-md5(vec_id), vec_id) vectors' NORMALIZED subvectors, one
+    Lloyd round under ordered-fold L2 rounded to 9 pre-argmin (ties to
+    the smallest code; an emptied code keeps its init codeword, the
+    production rule) — then candidates score by ADC (the sum of
+    per-subspace query-codeword dots, rounded to 9) and the exact
+    rounded rerank shares the IVF epilogue.  Subspace is DATA (long
+    format), so the DuckDB twin needs no per-subspace unrolling.
+
+    Production stays ``ivf_pq_topk`` (driver-sample numpy codebooks,
+    Arrow LUT scan, persisted codes); this dial exists so PQ training
+    itself is oracle-verifiable."""
+    from pyspark.sql.window import Window
+
+    from .dedup import PORTABLE_H64
+
+    rerank = max(rerank, k)
+    emb, cents = _portable_centroids(spark, sf_dir, n_cells, train_iters)
+    assigned = _assign_cells_exact(emb, cents)
+    d = len(emb.select("embedding").head()["embedding"])
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    # normalized subvectors, long format: (vec_id, subspace, svec)
+    sv = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {m - 1}), j -> "
+            f"transform(slice(embedding, j * {dsub} + 1, {dsub}), "
+            f"x -> CAST(x AS DOUBLE) / norm))"
+        )).alias("subspace", "svec"),
+    )
+    h = F.expr(PORTABLE_H64.format(x="CAST(vec_id AS STRING)"))
+    ini = (
+        emb.withColumn("h", h)
+        .orderBy("h", "vec_id").limit(int(pq_k))
+        .select(
+            F.row_number().over(Window.orderBy("h", "vec_id"))
+            .alias("code"),
+            "vec_id",
+        )
+    )
+    cb = ini.join(sv, "vec_id").select(
+        "subspace", "code", F.col("svec").alias("cvec")
+    ).localCheckpoint()
+
+    l2 = ("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), "
+          "0D, (acc, v) -> acc + v)")
+    wa = Window.partitionBy("vec_id", "subspace").orderBy(
+        F.col("dist2").asc(), F.col("code").asc())
+
+    def assign_codes(codebook: DataFrame) -> DataFrame:
+        return (
+            sv.join(codebook, "subspace")
+            .withColumn("dist2", F.round(F.expr(l2), 9))
+            .withColumn("rn", F.row_number().over(wa))
+            .where("rn = 1")
+            .select("vec_id", "subspace", "code")
+        )
+
+    for _ in range(train_iters):
+        asg = assign_codes(cb)
+        upd = (
+            asg.join(sv, ["vec_id", "subspace"])
+            .select("subspace", "code",
+                    F.posexplode("svec").alias("dim", "v"))
+            .groupBy("subspace", "code", "dim")
+            .agg(F.round(F.avg("v"), 9).alias("mean_v"))
+            .groupBy("subspace", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v")))
+                 .alias("pairs"))
+            .select("subspace", "code",
+                    F.expr("transform(pairs, p -> p.mean_v)")
+                    .alias("cvec_new"))
+        )
+        cb = (
+            cb.join(upd, ["subspace", "code"], "left")
+            .select("subspace", "code",
+                    F.coalesce("cvec_new", "cvec").alias("cvec"))
+            .localCheckpoint()
+        )
+    codes = assign_codes(cb)
+
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    qdot = DOT.format(a="c_emb", b="q_emb")
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("qcos").desc(), F.col("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", F.round(
+            F.expr(qdot) / (F.col("q_norm") * F.col("c_norm")), 9))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "q_emb", "q_norm", "cell")
+    )
+    qsv = sv.withColumnRenamed("vec_id", "q_id").withColumnRenamed(
+        "svec", "qsvec")
+    sdot = ("aggregate(zip_with(qsvec, cvec, (x, y) -> x * y), "
+            "0D, (acc, v) -> acc + v)")
+    ws = Window.partitionBy("q_id").orderBy(
+        F.desc("acos"), F.asc("vec_id"))
+    shortlist = (
+        probes.select("q_id", "cell")
+        .join(assigned.select("vec_id", "cell"), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .join(codes, "vec_id")
+        .join(cb, ["subspace", "code"])
+        .join(qsv, ["q_id", "subspace"])
+        .withColumn("dotj", F.expr(sdot))
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("dotj"), 9).alias("acos"))
+        .withColumn("r", F.row_number().over(ws))
+        .where(F.col("r") <= rerank)
+        .join(queries, "q_id")
+        .select("q_id", "vec_id", "q_emb", "q_norm")
+    )
+    dot = DOT.format(a="q_emb", b="embedding")
+    scored = (
+        assigned.select("vec_id", "embedding", "norm")
+        .join(F.broadcast(shortlist), "vec_id")
+        .withColumn("cosine", F.round(
+            F.expr(dot) / (F.col("norm") * F.col("q_norm")), 9))
+    )
+    return _topk(scored, k)
+
+
 def semantic_dedup_portable(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95,
     n_cells: int = 8, train_iters: int = 1,

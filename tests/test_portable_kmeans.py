@@ -119,3 +119,20 @@ def test_portable_sq8_full_rerank_equals_portable_ivf(spark):
             for r in similarity.ivf_quantized_topk_portable(
                 spark, SF, rerank=10**9).collect()}
     assert full == anchor
+
+
+def test_portable_pq_full_rerank_equals_portable_ivf(spark):
+    """rerank covering every probed candidate removes the ADC
+    approximation: portable IVF-PQ must reproduce the portable IVF
+    (q_id, rank) -> vec_id mapping exactly."""
+    anchor = {(r["q_id"], r["rank"]): r["vec_id"]
+              for r in similarity.ivf_ann_topk_portable(spark, SF).collect()}
+    full = {(r["q_id"], r["rank"]): r["vec_id"]
+            for r in similarity.ivf_pq_topk_portable(
+                spark, SF, rerank=10**9).collect()}
+    assert full == anchor
+
+
+def test_portable_pq_validates_dims(spark):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.ivf_pq_topk_portable(spark, SF, m=7)
