@@ -1242,10 +1242,17 @@ def ann_lsh(spark, sf_dir):
 
 
 def _ann_recall(spark, sf_dir):
-    """ANN recall self-report; the built-in floor guard raises on a
+    """ANN recall self-report — ORACLE-BACKED since r10: the recorded
+    report is ``ann_recall_report_portable`` (recall@5 of the
+    md5-parity LSH, portable-k-means IVF, and long-format PQ legs
+    against brute force — every id set individually oracle-verified,
+    so the DuckDB twin composes the three legs' own oracle queries and
+    re-counts the hits).  The PRODUCTION report (k=10, production
+    indexes) still runs first; its built-in floor guard raises on a
     genuinely collapsed index (absolute recall floor + loose
     IVF-vs-LSH margin — see ann_recall_report)."""
-    return similarity.ann_recall_report(spark, sf_dir)
+    similarity.ann_recall_report(spark, sf_dir)  # floor guards fire inside
+    return similarity.ann_recall_report_portable(spark, sf_dir)
 
 
 def _emb_neardup_lsh(spark, sf_dir):
@@ -2844,6 +2851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CONVERTED: IVF-PQ via the same dial (PQ training in long
         # format) — displaced tfidf_top_terms (green r7 record stands)
         "ann_ivf_pq_topk": _ivf_pq,
+        # CONVERTED: the recall report composes the three converted
+        # legs — displaced repetition_quality (green r7 record stands)
+        "ann_recall_report": _ann_recall,
         "o_row_delete_restore": o_row_delete_restore,
         "o_row_update": o_row_update,
         "duplicate_components": graph.duplicate_components,
@@ -2863,7 +2873,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_lineitem_rollup": relational.order_lineitem_rollup,
         "multimodal_video_pipeline": multimodal_video_pipeline,
         "o_delete_dv": o_delete_dv,
-        "repetition_quality": textops.repetition_quality,
         "scrub_pii": curation.scrub_pii,
         "stratified_sample": curation.stratified_sample,
         "chunk_documents": curation.chunk_documents,
@@ -2916,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _event_funnel,
         "ngram_frequency": textops.ngram_frequency,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "repetition_quality": textops.repetition_quality,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -2964,7 +2974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": mm_features,
         "heavy_hitter_tokens": textops.heavy_hitter_tokens,
         "bpe_token_stats": _bpe_stats,
-        "ann_recall_report": _ann_recall,
         "cosine_topk": similarity.cosine_topk,
         "embedding_near_dups": _embedding_near_dups_02,
         "label_centroid_dims": _label_centroid_dims,
@@ -5476,6 +5485,29 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_quantity < 48
         GROUP BY l_returnflag
+    """
+    # composed AFTER the dict literal so it can embed the three legs'
+    # own oracle queries verbatim (each leg's WITH nests inside a
+    # parenthesized CTE body): recall@5 of portable LSH / IVF / PQ
+    # against brute force — identical integer hit counts over
+    # cross-engine-deterministic id sets
+    recall_leg = """
+        SELECT '{label}' AS method, e.q_id,
+               CAST(count(a.vec_id) AS DOUBLE) / 5 AS recall
+        FROM exact e LEFT JOIN {leg} a
+          ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+        GROUP BY e.q_id
+    """
+    out["ann_recall_report"] = f"""
+        WITH exact AS ({out['cosine_topk']}),
+             lshq AS ({out['ann_lsh_topk']}),
+             ivfq AS ({out['ann_ivf_topk']}),
+             pqq AS ({out['ann_ivf_pq_topk']})
+        {recall_leg.format(label='lsh', leg='lshq')}
+        UNION ALL
+        {recall_leg.format(label='ivf', leg='ivfq')}
+        UNION ALL
+        {recall_leg.format(label='ivf_pq', leg='pqq')}
     """
     return out
 

@@ -1518,6 +1518,54 @@ def semantic_dedup_portable(
     )
 
 
+def _recall_of(
+    exact: DataFrame, approx: DataFrame, label: str, k: int,
+) -> DataFrame:
+    """Per-query recall@k of ``approx`` ids against the ``exact``
+    (q_id, exact_id) frame — ONE definition shared by the production
+    report and the portable (oracle-dial) report so their recall
+    arithmetic can never drift."""
+    hits = exact.alias("e").join(
+        approx.select(F.col("q_id").alias("aq"),
+                      F.col("vec_id").alias("approx_id")),
+        (F.col("e.q_id") == F.col("aq"))
+        & (F.col("e.exact_id") == F.col("approx_id")),
+        "left",
+    )
+    return (
+        hits.groupBy(F.col("e.q_id").alias("q_id"))
+        .agg((F.count("approx_id") / F.lit(k)).alias("recall"))
+        .withColumn("method", F.lit(label))
+    )
+
+
+def ann_recall_report_portable(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
+) -> DataFrame:
+    """SQL-replayable ANN recall report: the three legs are the
+    PORTABLE dials (md5-parity LSH, portable-k-means IVF, long-format
+    PQ) against the oracle-green brute-force ``cosine_topk`` — every
+    id set is individually cross-engine-deterministic, so the recall
+    fractions (hits/k over identical integer counts) replay exactly.
+    k=5 matches the legs' oracle dials; the production report
+    (``ann_recall_report``, k=10, production indexes, floor guards)
+    remains the operational health check."""
+    exact = cosine_topk(spark, sf_dir, k, n_queries).select(
+        "q_id", F.col("vec_id").alias("exact_id"))
+    legs = [
+        ("lsh", lsh_ann_topk(spark, sf_dir, k, n_queries,
+                             portable_hash=True)),
+        ("ivf", ivf_ann_topk_portable(spark, sf_dir, k, n_queries)),
+        ("ivf_pq", ivf_pq_topk_portable(spark, sf_dir, k, n_queries)),
+    ]
+    out = None
+    for label, approx in legs:
+        r = _recall_of(exact, approx, label, k)
+        out = r if out is None else out.unionByName(r)
+    return out.select(
+        "method", "q_id", F.col("recall").cast("double").alias("recall"))
+
+
 def ann_recall_report(
     spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5,
     min_ivf_margin: Optional[float] = 0.25,
@@ -1546,19 +1594,9 @@ def ann_recall_report(
     exact = cosine_topk(spark, sf_dir, k, n_queries).select(
         "q_id", F.col("vec_id").alias("exact_id")
     )
+
     def recall_of(approx: DataFrame, label: str) -> DataFrame:
-        hits = exact.alias("e").join(
-            approx.select(F.col("q_id").alias("aq"),
-                          F.col("vec_id").alias("approx_id")),
-            (F.col("e.q_id") == F.col("aq"))
-            & (F.col("e.exact_id") == F.col("approx_id")),
-            "left",
-        )
-        return (
-            hits.groupBy(F.col("e.q_id").alias("q_id"))
-            .agg((F.count("approx_id") / F.lit(k)).alias("recall"))
-            .withColumn("method", F.lit(label))
-        )
+        return _recall_of(exact, approx, label, k)
 
     lsh = recall_of(lsh_ann_topk(spark, sf_dir, k, n_queries), "lsh")
     ivf = recall_of(ivf_ann_topk(spark, sf_dir, k, n_queries), "ivf")

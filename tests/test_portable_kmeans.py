@@ -136,3 +136,13 @@ def test_portable_pq_full_rerank_equals_portable_ivf(spark):
 def test_portable_pq_validates_dims(spark):
     with pytest.raises(ValueError, match="not divisible"):
         similarity.ivf_pq_topk_portable(spark, SF, m=7)
+
+
+def test_portable_recall_report_shape(spark):
+    rows = similarity.ann_recall_report_portable(spark, SF).collect()
+    assert len(rows) == 15  # 3 methods x 5 queries
+    assert {r["method"] for r in rows} == {"lsh", "ivf", "ivf_pq"}
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    # recall is hits/5 over integer hit counts
+    assert all(abs(r["recall"] * 5 - round(r["recall"] * 5)) < 1e-12
+               for r in rows)
