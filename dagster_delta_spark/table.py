@@ -3876,9 +3876,13 @@ class DeltaSparkTable:
             "version": snap.version,
         }
 
-    def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+    def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000,
+               *, dry_run: bool = False) -> list[str]:
         """Delete data files no longer referenced by the current
         snapshot and older than the retention window.
+        ``dry_run=True`` (Delta's VACUUM DRY RUN) returns the exact
+        list the real run would reclaim without touching a file —
+        the operator's look-before-you-leap dial.
 
         If the table sets ``dds.cdcRetainVersions = N``, every data
         file and deletion-vector sidecar referenced by the snapshots
@@ -3954,7 +3958,8 @@ class DeltaSparkTable:
                     continue
                 if os.path.getmtime(abs_p) * 1000 > cutoff:
                     continue
-                os.remove(abs_p)
+                if not dry_run:
+                    os.remove(abs_p)
                 deleted.append(rel)
         # deletion-vector sidecars: each lives in its own dir under
         # _dv/ (hidden from the data walk above); a sidecar superseded
@@ -3970,7 +3975,8 @@ class DeltaSparkTable:
                     continue
                 if os.path.getmtime(abs_p) * 1000 > cutoff:
                     continue
-                shutil.rmtree(abs_p, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(abs_p, ignore_errors=True)
                 deleted.append(rel)
         return deleted
 

@@ -392,3 +392,23 @@ def test_read_jsonl_surfaces_corrupt_lines_with_explicit_schema(
     assert "_corrupt_record" in df.columns
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("not json")
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    import os
+
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 10).selectExpr("id AS k"), WriteMode.error)
+    t.write(spark.range(10, 20).selectExpr("id AS k"), WriteMode.overwrite)
+    would = t.vacuum(retention_ms=0, dry_run=True)
+    assert would  # v0's files are unreferenced now
+    # nothing touched: every reported file still on disk, reads intact
+    for rel in would:
+        assert os.path.exists(os.path.join(t.table_uri, rel)), rel
+    assert t.read(version=0).count() == 10  # time travel still works
+    # the real run reclaims exactly the reported set
+    assert sorted(t.vacuum(retention_ms=0)) == sorted(would)
+    for rel in would:
+        assert not os.path.exists(os.path.join(t.table_uri, rel)), rel
