@@ -87,7 +87,11 @@ def test_random_op_sequences_match_model(spark, tmp_path):
             hist.append((model.copy(), vname))
 
         sdf, pdf = _mk_df(spark, rnd)
-        t.write(sdf, WriteMode.overwrite)
+        # r10: a bloom index on the (never-renamed) key column rides
+        # through every op — each staged rewrite rebuilds bitmaps, and
+        # a point read through the probe must agree with the model
+        t.write(sdf, WriteMode.overwrite, table_configuration={
+            "dds.bloomFilterColumns": '{"k": {}}'})
         model = _apply_model(model, "overwrite", pdf)
         _snap()
 
@@ -223,6 +227,16 @@ def test_random_op_sequences_match_model(spark, tmp_path):
             kcol, vcol = df.columns
             got = sorted((r[kcol], r[vcol]) for r in df.collect())
             assert got == want, f"trial {trial} version {version}"
+
+        # bloom-probed point reads agree with the model on present AND
+        # absent keys (soundness: a bitmap may only skip definite
+        # misses, whatever op sequence produced the files)
+        for key in (rnd.choice(KEYS), 10**6):
+            got = sorted(r["k"] for r in t.read(
+                dnf=[("k", "=", key)]).collect())
+            want = sorted(
+                int(k) for k in model["k"] if int(k) == key)
+            assert got == want, f"trial {trial} bloom probe k={key}"
 
         # vacuum current-version-unreferenced files; live state intact
         t.vacuum(retention_ms=0)
