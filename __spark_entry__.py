@@ -1058,7 +1058,11 @@ def _leakage_safe_splits(spark, sf_dir):
             f"planted duplicate straddles splits: {rows[orig]} vs "
             f"{rows[planted]}"
         )
-    return curation.leakage_safe_splits(spark, sf_dir)
+    # ORACLE-BACKED since late r10: the portable md5 dial through
+    # minhash_cluster_keep (recursive-CTE components) + the already-
+    # portable representative fingerprint and bucket thresholds
+    return curation.leakage_safe_splits(spark, sf_dir,
+                                        portable_hash=True)
 
 
 def minhash_lsh(spark, sf_dir):
@@ -4078,6 +4082,25 @@ def oracle_sql() -> dict[str, str]:
         # in SQL
         "minhash_lsh_near_dups": _minhash_lsh_oracle_sql(),
         "minhash_cluster_keep": _minhash_cluster_oracle_sql(),
+        # cluster-level splits = the component oracle + the portable
+        # md5 representative fingerprint + assign_splits' thresholds
+        "leakage_safe_splits": f"""
+            WITH clusters AS ({_minhash_cluster_oracle_sql()}),
+            reps AS (
+                SELECT c.cluster_id, md5({_NORM}) AS rep_fp
+                FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+                WHERE c.keep
+            )
+            SELECT c.doc_id, c.cluster_id,
+                   CAST('0x' || substring(r.rep_fp, 1, 4) AS INTEGER)
+                       AS bucket,
+                   CASE WHEN CAST('0x' || substring(r.rep_fp, 1, 4)
+                                  AS INTEGER) < 52428 THEN 'train'
+                        WHEN CAST('0x' || substring(r.rep_fp, 1, 4)
+                                  AS INTEGER) < 58982 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM clusters c JOIN reps r USING (cluster_id)
+        """,
         "ann_lsh_topk": _lsh_ann_oracle_sql(),
         "embedding_near_dups_lsh": _emb_neardup_lsh_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),

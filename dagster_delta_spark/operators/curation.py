@@ -538,6 +538,7 @@ def leakage_safe_splits(
     val_pct: int = 10,
     num_hashes: int = 64,
     bands: int = 16,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Train/val/test assignment at the NEAR-DUP-CLUSTER level:
     ``assign_splits`` is leakage-proof against exact duplicates
@@ -550,10 +551,14 @@ def leakage_safe_splits(
     ``assign_splits`` — so whole duplicate clusters move between
     splits as a unit and near-dup leakage is structurally impossible.
 
-    Output: ``(doc_id, cluster_id, bucket, split)``.  Rows-only in the
-    driver gate (cluster labels derive from xxhash LSH banding); the
-    registry entry self-verifies by planting a near-duplicate and
-    asserting it lands in its original's cluster AND split.
+    Output: ``(doc_id, cluster_id, bucket, split)``.  ORACLE-BACKED
+    since late r10 via ``portable_hash=True`` (the md5 dial through
+    ``minhash_cluster_keep`` — its recursive-CTE component oracle plus
+    the already-portable md5 representative fingerprint and conv
+    bucket thresholds make the whole assignment SQL-replayable); the
+    production path keeps xxhash64, and the registry entry still
+    plants a near-duplicate against it and asserts it lands in its
+    original's cluster AND split.
 
     Scale shape: clustering is the linear label-propagation pass
     (O(docs x bands) per round); the split itself adds one tiny
@@ -561,7 +566,8 @@ def leakage_safe_splits(
     from .dedup import minhash_cluster_keep
     from .textops import NORM_TEXT
 
-    clusters = minhash_cluster_keep(spark, sf_dir, num_hashes, bands)
+    clusters = minhash_cluster_keep(spark, sf_dir, num_hashes, bands,
+                                    portable_hash=portable_hash)
     docs = load(spark, sf_dir, "documents")
     reps = (
         clusters.where(F.col("keep"))
