@@ -702,12 +702,16 @@ def main() -> None:
     from dagster_delta_spark.operators.bpe import (
         bpe_merges_df,  # the BPE merge-table learn (index build)
     )
+    from dagster_delta_spark.operators.textops import (
+        bigram_perplexity,  # caches the (uni, big) LM count frames —
+        # trained once, scored many (this line + ccnet terciles)
+    )
 
     # each prebuild in its own try: one failing index build must not
     # skip the others (that would silently fold build cost into their
     # timed lines on single-pass runs)
     for build in (ivf_assignments, ivf_quantized_topk, pq_codes,
-                  bpe_merges_df, lsh_signatures,
+                  bpe_merges_df, lsh_signatures, bigram_perplexity,
                   _shingle_stream, minhash_signatures, simhash_signatures,
                   minhash_bucket_index, simhash_bucket_index):
         try:

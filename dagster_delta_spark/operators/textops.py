@@ -585,15 +585,34 @@ def bigram_perplexity(
         .select("doc_id", "tok", "nxt")
     )
     # checkpoint both model sides: the scoring joins and the scalar
-    # total would otherwise re-tokenize the corpus per branch
-    uni = (
-        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
-        .localCheckpoint(eager=False)
+    # total would otherwise re-tokenize the corpus per branch.  The
+    # (uni, big) count frames ARE the trained LM — index state, so
+    # they session-cache per corpus fingerprint like the IVF
+    # centroid/assignment frames (train once, score many: both this
+    # operator and ccnet_perplexity_buckets reuse the same model)
+    import os as _os
+
+    from .dedup import _evict_stale
+    from .relational import corpus_fingerprint
+
+    lm_key = (
+        spark.sparkContext.applicationId, _os.path.abspath(sf_dir),
+        corpus_fingerprint(sf_dir, "documents"), "bigram_lm",
     )
-    big = (
-        bi.groupBy("tok", "nxt").agg(F.count(F.lit(1)).alias("c_big"))
-        .localCheckpoint(eager=False)
-    )
+    hit = _BIGRAM_LM_CACHE.get(lm_key)
+    if hit is not None:
+        uni, big = hit
+    else:
+        uni = (
+            toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+            .localCheckpoint(eager=False)
+        )
+        big = (
+            bi.groupBy("tok", "nxt").agg(F.count(F.lit(1)).alias("c_big"))
+            .localCheckpoint(eager=False)
+        )
+        _evict_stale(_BIGRAM_LM_CACHE, lm_key[0], lm_key)
+        _BIGRAM_LM_CACHE[lm_key] = (uni, big)
     total = uni.agg(F.sum("c_uni").alias("n_corpus"))
     p = (
         F.lit(lam) * F.col("c_big") / F.col("c_ctx")
@@ -612,6 +631,13 @@ def bigram_perplexity(
         )
         .withColumn("perplexity", F.exp("avg_neg_logprob"))
     )
+
+
+#: session cache of trained bigram LMs, keyed (applicationId, corpus
+#: dir, fingerprint, "bigram_lm") -> (uni, big) checkpointed count
+#: frames — the centroid-cache contract (dedup._evict_stale drops
+#: dead-session and superseded-fingerprint entries)
+_BIGRAM_LM_CACHE: dict[tuple, tuple] = {}
 
 
 def ccnet_perplexity_buckets(
