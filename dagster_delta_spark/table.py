@@ -3049,9 +3049,20 @@ class DeltaSparkTable:
                              list(new_files.values()), now,
                              app_versions=app_versions),
                 )
-                return {"version": v, "skipped": False,
-                        "num_output_rows": rows,
-                        "num_added_files": len(adds)}
+                res = {"version": v, "skipped": False,
+                       "num_output_rows": rows,
+                       "num_added_files": len(adds)}
+                # autoCompact: the streaming exactly-once sink is
+                # precisely where the small-file treadmill lives —
+                # the follow-up OPTIMIZE is its own commit (a
+                # compaction, so the change feed skips it) and a lost
+                # race never fails the batch that already committed
+                ac = self._maybe_auto_compact(commit_meta.configuration)
+                if ac:
+                    res["auto_compacted_files"] = ac.get(
+                        "rewritten_files", 0)
+                    res["auto_compact_version"] = ac.get("version")
+                return res
             except VersionConflictError:
                 if attempt >= _COMMIT_RETRIES:
                     raise

@@ -91,3 +91,29 @@ def test_optimize_write_one_file_per_partition(spark, tmp_table):
     t2.write(_df(spark, 0, 1000).repartition(8), WriteMode.error,
              partition_columns=["p"])
     assert len(t2.snapshot().files) > 4
+
+
+def test_auto_compact_in_streaming_sink_path(spark, tmp_table):
+    """idempotent_append (the exactly-once foreachBatch core) fires
+    the same post-commit compaction — the streaming small-file
+    treadmill handled at the table — and the change feed still reads
+    a pure delta (compaction commits are skipped, replays no-op)."""
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(_df(spark, 0, 5).coalesce(1), WriteMode.error,
+            table_configuration=AC_CFG)
+    compactions = 0
+    for b in range(1, 10):
+        res = t.idempotent_append(
+            _df(spark, b * 5, b * 5 + 5).coalesce(1), "app", b)
+        if res.get("auto_compact_version") is not None:
+            compactions += 1
+    assert compactions >= 1
+    assert len(t.snapshot().files) < 10
+    # replayed batch after compaction: still exactly-once
+    replay = t.idempotent_append(_df(spark, 5, 10).coalesce(1), "app", 1)
+    assert replay["skipped"]
+    assert t.read().count() == 50
+    # the incremental feed sees each batch exactly once — the
+    # interleaved OPTIMIZE commits contribute nothing
+    feed = t.read_changes(0)
+    assert feed.count() == 45  # batches 1..9 (v0 excluded by starting_version)
