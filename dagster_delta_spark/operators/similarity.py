@@ -1296,22 +1296,7 @@ def ivf_quantized_topk_portable(
         .select("vec_id", F.expr(_DEQUANT).alias("aemb"))
         .withColumn("anorm", F.expr(NORM.format(a="aemb")))
     )
-    queries = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    qdot = DOT.format(a="c_emb", b="q_emb")
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("qcos").desc(), F.col("cell"))
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("qcos", F.round(
-            F.expr(qdot) / (F.col("q_norm") * F.col("c_norm")), 9))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("q_id", "q_emb", "q_norm", "cell")
-    )
+    _queries, probes = _portable_probes(emb, cents, n_queries, nprobe)
     adot = DOT.format(a="q_emb", b="aemb")
     ws = Window.partitionBy("q_id").orderBy(
         F.desc("acos"), F.asc("vec_id"))
@@ -1426,22 +1411,7 @@ def ivf_pq_topk_portable(
         )
     codes = assign_codes(cb)
 
-    queries = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    qdot = DOT.format(a="c_emb", b="q_emb")
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("qcos").desc(), F.col("cell"))
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("qcos", F.round(
-            F.expr(qdot) / (F.col("q_norm") * F.col("c_norm")), 9))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("q_id", "q_emb", "q_norm", "cell")
-    )
+    queries, probes = _portable_probes(emb, cents, n_queries, nprobe)
     qsv = sv.withColumnRenamed("vec_id", "q_id").withColumnRenamed(
         "svec", "qsvec")
     sdot = ("aggregate(zip_with(qsvec, cvec, (x, y) -> x * y), "
@@ -1712,22 +1682,17 @@ def _portable_centroids(
     return emb, cents
 
 
-def ivf_ann_topk_portable(
-    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
-    n_cells: int = 8, nprobe: int = 2, train_iters: int = 1,
-) -> DataFrame:
-    """SQL-replayable IVF ANN (the portable k-means dial extended
-    through the query path): portable centroids, exact-SQL
-    assignments, per-query top-``nprobe`` cells by rounded centroid
-    cosine (ties to the smallest cell), exact rounded-cosine rerank
-    over the probed cells' members with the shared (cosine DESC,
-    vec_id) tie-break.  Every stage is the relational formulation the
-    DuckDB oracle unrolls — production IVF stays ``ivf_ann_topk``
-    (persisted centroids, Arrow matmul, session caches)."""
+def _portable_probes(
+    emb: DataFrame, cents: DataFrame, n_queries: int, nprobe: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(queries, probes) for the portable IVF query dials — ONE
+    definition of the per-query top-``nprobe`` cell choice (rounded
+    centroid cosine DESC, ties to the smallest cell) shared by the
+    plain / SQ8 / PQ portable paths so a tie-break or rounding change
+    can never make their Spark sides diverge from each other (their
+    DuckDB twins share the probes CTE shape the same way)."""
     from pyspark.sql.window import Window
 
-    emb, cents = _portable_centroids(spark, sf_dir, n_cells, train_iters)
-    assigned = _assign_cells_exact(emb, cents)
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -1744,6 +1709,24 @@ def ivf_ann_topk_portable(
         .where(F.col("rn") <= nprobe)
         .select("q_id", "q_emb", "q_norm", "cell")
     )
+    return queries, probes
+
+
+def ivf_ann_topk_portable(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
+    n_cells: int = 8, nprobe: int = 2, train_iters: int = 1,
+) -> DataFrame:
+    """SQL-replayable IVF ANN (the portable k-means dial extended
+    through the query path): portable centroids, exact-SQL
+    assignments, per-query top-``nprobe`` cells by rounded centroid
+    cosine (ties to the smallest cell), exact rounded-cosine rerank
+    over the probed cells' members with the shared (cosine DESC,
+    vec_id) tie-break.  Every stage is the relational formulation the
+    DuckDB oracle unrolls — production IVF stays ``ivf_ann_topk``
+    (persisted centroids, Arrow matmul, session caches)."""
+    emb, cents = _portable_centroids(spark, sf_dir, n_cells, train_iters)
+    assigned = _assign_cells_exact(emb, cents)
+    _queries, probes = _portable_probes(emb, cents, n_queries, nprobe)
     dot = DOT.format(a="q_emb", b="embedding")
     scored = (
         assigned.join(F.broadcast(probes), "cell")

@@ -673,10 +673,13 @@ def ccnet_perplexity_buckets(
     ppl = bigram_perplexity(spark, sf_dir, lam).select(
         "doc_id", "perplexity")
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    # scored feeds BOTH the counts aggregate and the ranked window —
+    # checkpoint so the perplexity-scoring joins run one pass, not two
     scored = (
         ppl.join(docs, "doc_id")
         .withColumn("r", F.round("perplexity", 9))
         .withColumn("pb", F.floor("r").cast("long"))
+        .localCheckpoint(eager=False)
     )
     counts = scored.groupBy("lang", "pb").agg(
         F.count(F.lit(1)).alias("c"))

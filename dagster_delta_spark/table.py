@@ -31,6 +31,7 @@ import shutil
 import time
 import uuid
 from datetime import date, datetime
+from functools import lru_cache
 from decimal import Decimal
 from typing import Any, Optional, Sequence
 from urllib.parse import unquote
@@ -324,12 +325,25 @@ def _bloom_render(value: Any) -> Optional[str]:
     return None
 
 
+@lru_cache(maxsize=4096)
+def _bloom_digest(canonical: str) -> tuple[int, int]:
+    """(h1, h2) double-hashing seeds of a canonical probe value —
+    memoized because the digest depends only on the LITERAL, while the
+    driver pruning loop probes it against every candidate file (10k
+    files x an in-list would otherwise md5 the same values 10k
+    times)."""
+    import hashlib
+
+    d = hashlib.md5(canonical.encode("utf-8")).digest()
+    # odd h2: full-cycle stride
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+
 def _bloom_maybe_contains(entry: dict, value: Any, dtype: DataType) -> bool:
     """Probe one file's bloom entry. True = cannot rule the value out
     (including every unsupported/undecodable case — soundness means
     only a definite miss skips)."""
     import base64
-    import hashlib
 
     if not isinstance(dtype, _BLOOM_SUPPORTED_TYPES):
         return True
@@ -344,9 +358,7 @@ def _bloom_maybe_contains(entry: dict, value: Any, dtype: DataType) -> bool:
         return True  # undecodable entry -> no skip
     if m <= 0 or k <= 0 or len(bits) * 8 < m:
         return True
-    digest = hashlib.md5(canonical.encode("utf-8")).digest()
-    h1 = int.from_bytes(digest[:8], "big")
-    h2 = int.from_bytes(digest[8:], "big") | 1  # odd: full-cycle stride
+    h1, h2 = _bloom_digest(canonical)
     for i in range(k):
         pos = (h1 + i * h2) % m
         if not (bits[pos >> 3] >> (pos & 7)) & 1:
@@ -1548,6 +1560,12 @@ class DeltaSparkTable:
             # checks set_properties runs
             self._validate_bloom_spec(
                 _bloom_columns(table_configuration), final_schema, pcols)
+        if {_AUTOCOMPACT_KEY, _AUTOCOMPACT_MINFILES_KEY,
+                _AUTOCOMPACT_TARGET_KEY} & set(table_configuration or {}):
+            # create-time autoCompact knobs: validate BEFORE staging —
+            # a malformed value must fail the write up front, not
+            # commit-then-raise inside the post-commit hook
+            _auto_compact_spec(merged_cfg)
         self._enforce_constraints(out, {
             **(snap.metadata.configuration if snap else {}),
             **(table_configuration or {}),
@@ -2447,16 +2465,8 @@ class DeltaSparkTable:
                     "num_removed_files": 0, "rewritten_files": 0}
 
         match = self._scoped_condition(predicate, partition_dnf)
-        hits = self._per_file_hits(snap, candidates, match)
-        # the discovery scan is DV-filtered, so hits count LIVE rows —
-        # a DV'd file whose remaining rows all match is a full drop
-        rows_by_key = {a.log_key: a.live_records for a in candidates}
-        full = [a for a in candidates
-                if hits.get(a.log_key, 0) == rows_by_key[a.log_key]
-                and hits.get(a.log_key, 0) > 0]
-        partial = [a for a in candidates
-                   if 0 < hits.get(a.log_key, 0) < rows_by_key[a.log_key]]
-        deleted = sum(hits.values())
+        hits, full, partial, deleted = self._dml_discovery(
+            snap, candidates, match)
         if not full and not partial:
             return {"version": snap.version, "num_deleted_rows": 0,
                     "num_copied_rows": 0, "num_added_files": 0,
@@ -2489,6 +2499,25 @@ class DeltaSparkTable:
             extra_metrics={"num_deleted_rows": deleted,
                            "num_copied_rows": copied},
         )
+
+    def _dml_discovery(
+        self, snap: Snapshot, candidates: Sequence[AddFile], match,
+    ) -> tuple[dict[str, int], list[AddFile], list[AddFile], int]:
+        """Shared per-file match classification for DELETE and
+        REPLACE WHERE — (hits, fully-matched files, partially-matched
+        files, total matched rows).  ONE definition so the two DML
+        paths' discovery semantics can never drift.  The discovery
+        scan is DV-filtered, so hits count LIVE rows — a DV'd file
+        whose remaining rows all match is a full drop."""
+        hits = (self._per_file_hits(snap, candidates, match)
+                if candidates else {})
+        rows_by_key = {a.log_key: a.live_records for a in candidates}
+        full = [a for a in candidates
+                if hits.get(a.log_key, 0) == rows_by_key[a.log_key]
+                and hits.get(a.log_key, 0) > 0]
+        partial = [a for a in candidates
+                   if 0 < hits.get(a.log_key, 0) < rows_by_key[a.log_key]]
+        return hits, full, partial, sum(hits.values())
 
     def replace_where(
         self,
@@ -2546,7 +2575,10 @@ class DeltaSparkTable:
         for c, dexpr in _column_defaults(cfg).items():
             if c not in df.columns:
                 df = df.withColumn(c, F.expr(dexpr))
-        out = _conform(df, schema)
+        # one compute of the caller's (possibly expensive) input feeds
+        # the conformance probe, the constraint pass, the optional
+        # generated-column validation AND the staged write
+        out = _conform(df, schema).localCheckpoint(eager=False)
         match_in = F.expr(predicate).eqNullSafe(F.lit(True))
         if out.where(~match_in).limit(1).head() is not None:
             raise ValueError(
@@ -2558,16 +2590,16 @@ class DeltaSparkTable:
             self._enforce_generated(out, gen_provided)
 
         match = self._scoped_condition(predicate, None)
-        candidates = list(snap.files)
-        hits = (self._per_file_hits(snap, candidates, match)
-                if candidates else {})
-        rows_by_key = {a.log_key: a.live_records for a in candidates}
-        full = [a for a in candidates
-                if hits.get(a.log_key, 0) == rows_by_key[a.log_key]
-                and hits.get(a.log_key, 0) > 0]
-        partial = [a for a in candidates
-                   if 0 < hits.get(a.log_key, 0) < rows_by_key[a.log_key]]
-        deleted = sum(hits.values())
+        hits, full, partial, deleted = self._dml_discovery(
+            snap, list(snap.files), match)
+        if not full and not partial and out.limit(1).head() is None:
+            # nothing matched AND nothing to insert: committing would
+            # publish an empty REWRITE version that forces every
+            # incremental consumer to refuse/rebuild for a no-op
+            # (delete() guards the same way)
+            return {"version": snap.version, "num_deleted_rows": 0,
+                    "num_copied_rows": 0, "num_inserted_rows": 0,
+                    "num_added_files": 0, "num_removed_files": 0}
 
         adds: list[AddFile] = []
         copied = 0
@@ -3629,13 +3661,28 @@ class DeltaSparkTable:
             return None
         min_files, target = spec
         snap = self.snapshot()
-        small = [a for a in snap.files if a.size < target]
-        if len(small) < min_files:
+        # mirror optimize()'s ACTUAL rewrite rule (size < target//2,
+        # >= 2 per partition group) so the trigger never fires a
+        # guaranteed no-op planning pass, and never on files optimize
+        # would leave in place
+        groups: dict[tuple, int] = {}
+        for a in snap.files:
+            if a.size < target // 2:
+                key = tuple(sorted(a.partition_values.items()))
+                groups[key] = groups.get(key, 0) + 1
+        if sum(n for n in groups.values() if n > 1) < min_files:
             return None
         try:
-            return self.optimize(target_file_size=target)
-        except (VersionConflictError, ConcurrentAppendError):
+            res = self.optimize(target_file_size=target)
+        except (VersionConflictError, ConcurrentAppendError,
+                ConcurrentDeleteError):
+            # ANY lost race (incl. a concurrent compaction of the same
+            # small files raising ConcurrentDeleteError) must not fail
+            # the write that already committed — the next write simply
+            # re-triggers
             return None
+        # only report a compaction that actually committed
+        return res if res.get("rewritten_files", 0) > 0 else None
 
     def optimize(
         self,

@@ -117,3 +117,48 @@ def test_auto_compact_in_streaming_sink_path(spark, tmp_table):
     # interleaved OPTIMIZE commits contribute nothing
     feed = t.read_changes(0)
     assert feed.count() == 45  # batches 1..9 (v0 excluded by starting_version)
+
+
+def test_auto_compact_lost_race_never_fails_the_write(spark, tmp_table,
+                                                      monkeypatch):
+    """ANY concurrency error from the follow-up optimize (incl.
+    ConcurrentDeleteError from a racing compaction) is swallowed — the
+    write that already committed must not fail (review finding r10)."""
+    from dagster_delta_spark.tablelog import ConcurrentDeleteError
+
+    t = DeltaSparkTable(spark, tmp_table)
+    t.write(_df(spark, 0, 10).repartition(4), WriteMode.error,
+            table_configuration=AC_CFG)
+
+    def boom(*a, **kw):
+        raise ConcurrentDeleteError("racing compaction won")
+
+    monkeypatch.setattr(DeltaSparkTable, "optimize", boom)
+    res = t.write(_df(spark, 10, 60).repartition(8), WriteMode.append)
+    assert "auto_compact_version" not in res
+    assert t.read().count() == 60  # the append committed
+
+
+def test_auto_compact_create_time_validation_fails_before_commit(
+        spark, tmp_table):
+    t = DeltaSparkTable(spark, tmp_table)
+    with pytest.raises(ValueError, match="integers"):
+        t.write(_df(spark, 0, 5), WriteMode.error, table_configuration={
+            "dds.autoCompact": "true",
+            "dds.autoCompact.minFiles": "fifty"})
+    assert not t.exists()  # refused BEFORE anything committed
+
+
+def test_auto_compact_never_reports_a_noop(spark, tmp_table):
+    """Files in [target/2, target) are not compactable by optimize's
+    own rule — the trigger must not fire (and never report a
+    compaction version that did not commit)."""
+    t = DeltaSparkTable(spark, tmp_table)
+    cfg = {"dds.autoCompact": "true",
+           "dds.autoCompact.minFiles": "2",
+           "dds.autoCompact.targetFileSize": "10"}  # target//2 = 5 bytes
+    t.write(_df(spark, 0, 10).repartition(4), WriteMode.error,
+            table_configuration=cfg)
+    res = t.write(_df(spark, 10, 20).repartition(4), WriteMode.append)
+    assert "auto_compact_version" not in res
+    assert t.version() == 1  # no phantom OPTIMIZE commit

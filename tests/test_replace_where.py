@@ -127,3 +127,15 @@ def test_replace_where_generated_columns(spark, tmp_table):
     with pytest.raises(GeneratedColumnViolationError, match="generated"):
         t.replace_where(
             spark.createDataFrame([(5, 11)], "k bigint, d bigint"), "k >= 2")
+
+
+def test_replace_where_noop_commits_nothing(spark, tmp_table):
+    """Zero matches + empty replacement: no commit — an empty REWRITE
+    version would force every incremental consumer to rebuild for a
+    no-op (review finding r10; delete() guards the same way)."""
+    t = _base(spark, tmp_table)
+    empty = spark.createDataFrame([], "k bigint, g bigint, v double")
+    res = t.replace_where(empty, "g = 99")
+    assert t.version() == 0 and res["num_deleted_rows"] == 0
+    # feeds keep working — no rewrite was published
+    assert t.read_changes(-1).count() == 100
