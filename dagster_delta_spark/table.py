@@ -1747,7 +1747,14 @@ class DeltaSparkTable:
                     self.table_uri,
                     new_version,
                     actions,
-                    Snapshot(new_version, meta, list(new_files.values()), now),
+                    # carry the txn ledger forward: a checkpoint
+                    # written at this version must not wipe streaming
+                    # exactly-once state (same rule for every commit
+                    # path below)
+                    Snapshot(new_version, meta, list(new_files.values()),
+                             now,
+                             app_versions=dict(snap.app_versions)
+                             if snap else {}),
                 )
                 res = {
                     "mode": mode.value,
@@ -1803,7 +1810,10 @@ class DeltaSparkTable:
             v = head + 1
             try:
                 tablelog.commit(
-                    self.table_uri, v, actions, Snapshot(v, meta, [], now))
+                    self.table_uri, v, actions,
+                    Snapshot(v, meta, [], now,
+                             app_versions=dict(snap.app_versions)
+                             if snap else {}))
                 return {"mode": "create_or_replace", "version": v,
                         "num_output_rows": 0}
             except VersionConflictError:
@@ -2318,7 +2328,8 @@ class DeltaSparkTable:
             try:
                 tablelog.commit(
                     self.table_uri, v, actions,
-                    Snapshot(v, new_meta, list(new_files.values()), now),
+                    Snapshot(v, new_meta, list(new_files.values()), now,
+                             app_versions=dict(cur.app_versions)),
                 )
                 res = {
                     "mode": "merge",
@@ -3805,7 +3816,8 @@ class DeltaSparkTable:
             try:
                 tablelog.commit(
                     self.table_uri, v, actions,
-                    Snapshot(v, meta, list(new_files.values()), now),
+                    Snapshot(v, meta, list(new_files.values()), now,
+                             app_versions=dict(cur.app_versions)),
                 )
                 return {"rewritten_files": len(removes), "version": v,
                         **metrics}

@@ -249,3 +249,26 @@ def test_not_null_columns_enforced_on_all_write_paths(spark, tmp_path):
     t.write(spark.createDataFrame([(5, 50)], "id long, v long"),
             WriteMode.append)
     assert t.read().count() == 3
+
+
+def test_txn_ledger_survives_checkpoints_at_rewrite_versions(spark, tmp_path):
+    """REGRESSION (found via the auto-compact feature): every commit
+    path must carry the SetTransaction ledger into the Snapshot it
+    publishes — a parquet checkpoint written at an OPTIMIZE/WRITE/
+    MERGE version used to persist an EMPTY ledger, so replayed
+    streaming batches older than the checkpoint re-appended (observed:
+    50 rows became 55).  Exactly-once must survive any interleaving of
+    maintenance commits with the checkpoint interval (10)."""
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    df = lambda lo, hi: spark.range(lo, hi).selectExpr("id AS k")
+    t.write(df(0, 5).coalesce(1), WriteMode.error)
+    for b in range(1, 9):
+        t.idempotent_append(df(b * 5, b * 5 + 5).coalesce(1), "app", b)
+    for _ in range(5):  # OPTIMIZE commits cross the v10 checkpoint
+        t.optimize(cluster_by=["k"], num_files=2)
+    assert t.snapshot().app_versions == {"app": 8}
+    replay = t.idempotent_append(df(5, 10).coalesce(1), "app", 1)
+    assert replay["skipped"]
+    assert t.read().count() == 45
