@@ -599,6 +599,189 @@ def _merge_equi_keys(
     return pairs
 
 
+#: sentinel: a token that did not parse as a plain SQL literal
+_NO_LITERAL = object()
+
+_DML_NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+_DML_STR_RE = re.compile(r"^'(?:[^']|'')*'$", re.S)
+_DML_TYPED_RE = re.compile(
+    r"^(?:date|timestamp)\s+('(?:[^']|'')*')$", re.I | re.S)
+_DML_CMP_RE = re.compile(r"^(\w+)\s*(=|<=|>=|<|>)\s*(.+)$", re.S)
+_DML_IN_RE = re.compile(r"^(\w+)\s+in\s*\((.+)\)$", re.I | re.S)
+
+
+def _blank_string_literals(s: str) -> Optional[str]:
+    """``s`` with every quoted string literal replaced by a space, so
+    keyword guards never trigger on (or miss because of) literal
+    content.  None on an unterminated quote — malformed for our
+    purposes; callers skip extraction."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            q = ch
+            i += 1
+            while i < n:
+                if s[i] == q:
+                    if q == "'" and i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            if i >= n:
+                return None
+            out.append(" ")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _top_level_split(s: str, sep: str) -> Optional[list[str]]:
+    """Split ``s`` on top-level occurrences of ``sep`` — an alphabetic
+    keyword (case-insensitive, word-bounded) or a single character —
+    ignoring content inside string literals and parenthesized groups.
+    None on an unterminated quote."""
+    parts: list[str] = []
+    depth, start, i, n = 0, 0, 0, len(s)
+    word = sep.isalpha()
+    low = s.lower()
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            q = ch
+            i += 1
+            while i < n:
+                if s[i] == q:
+                    if q == "'" and i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            if i >= n:
+                return None
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            if word:
+                if (low.startswith(sep, i)
+                        and (i == 0
+                             or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+                        and (i + len(sep) >= n
+                             or not (s[i + len(sep)].isalnum()
+                                     or s[i + len(sep)] == "_"))):
+                    parts.append(s[start:i])
+                    i += len(sep)
+                    start = i
+                    continue
+            elif ch == sep:
+                parts.append(s[start:i])
+                start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+def _parse_sql_literal(tok: str) -> Any:
+    """A plain SQL literal as a Python value, or ``_NO_LITERAL``.
+    Handles quoted strings (with ``''`` escapes), ``DATE``/
+    ``TIMESTAMP`` typed literals (the string payload — the DNF
+    coercion parses it against the column type), numbers, and
+    booleans.  Column references, expressions, and anything else
+    deliberately fail."""
+    tok = tok.strip()
+    m = _DML_TYPED_RE.match(tok)
+    if m:
+        tok = m.group(1)
+    if _DML_STR_RE.match(tok):
+        return tok[1:-1].replace("''", "'")
+    if _DML_NUM_RE.match(tok):
+        try:
+            return int(tok)
+        except ValueError:
+            return float(tok)
+    low = tok.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    return _NO_LITERAL
+
+
+def _predicate_prune_dnf(
+    predicate: Optional[str], schema: StructType
+) -> list[DnfFilter]:
+    """Conservative file-pruning conjuncts extracted from a row-level
+    DML predicate: top-level AND'ed ``col = lit`` / ``col IN (...)`` /
+    range comparisons against plain literals become DnfFilters that
+    feed the SAME driver-side pruner the read path uses
+    (``pruned_files`` → partition values, min/max stats, per-file
+    blooms) BEFORE the DML discovery scan — a point DELETE on a
+    bloom-indexed key then scans only the files that might hold the
+    key instead of every live file (Delta's DML data skipping).
+
+    Soundness rules (same school as ``_merge_equi_keys``): dropping a
+    conjunct only WIDENS the candidate set, so every unparsable
+    fragment is simply ignored; ``OR``/``NOT``/``!``/``<>`` outside
+    string literals, or any backslash (escape-sequence ambiguity),
+    disables extraction entirely (a negated comparison DOES match
+    out-of-stats rows); literals that don't coerce to the column type
+    are skipped (ANSI errors row-side; pruning must not pre-empt
+    that); names not matching a schema field exactly fall through to
+    ``_file_matches``' own skip-unknown rule.  Extraction can never
+    error — its result only ever SHRINKS the discovery scan."""
+    if not predicate:
+        return []
+    if "\\" in predicate:
+        return []
+    blanked = _blank_string_literals(predicate)
+    if blanked is None:
+        return []
+    if re.search(r"\bor\b|\bnot\b|!|<>", blanked, re.I):
+        return []
+    parts = _top_level_split(predicate, "and")
+    if parts is None:
+        return []
+    fields = {f.name: f.dataType for f in schema.fields}
+    out: list[DnfFilter] = []
+    for raw in parts:
+        frag = _strip_balanced_parens(raw)
+        m = _DML_IN_RE.match(frag)
+        if m:
+            name, body = m.group(1), m.group(2)
+            dtype = fields.get(name)
+            toks = _top_level_split(body, ",")
+            if dtype is None or toks is None:
+                continue
+            vals = [_parse_sql_literal(t) for t in toks]
+            if not vals or any(v is _NO_LITERAL for v in vals):
+                continue
+            try:
+                for v in vals:
+                    _coerce_dnf_literal(v, dtype)
+            except ValueError:
+                continue
+            out.append((name, "in", vals))
+            continue
+        m = _DML_CMP_RE.match(frag)
+        if m:
+            name, op, rest = m.groups()
+            dtype = fields.get(name)
+            val = _parse_sql_literal(rest)
+            if dtype is None or val is _NO_LITERAL:
+                continue
+            try:
+                _coerce_dnf_literal(val, dtype)
+            except ValueError:
+                continue
+            out.append((name, op, val))
+    return out
+
+
 _DISTRIBUTED_STATS_THRESHOLD = 32
 
 
@@ -2451,10 +2634,8 @@ class DeltaSparkTable:
                 },
             )
 
-        candidates = (
-            self.pruned_files(snap, partition_dnf)
-            if partition_dnf else list(snap.files)
-        )
+        candidates = self._dml_candidates(
+            snap, schema, predicate, partition_dnf)
         if predicate is None:
             # DNF-only scope: partition-column conjuncts decide whole
             # files; only files kept alive by STATS pruning (data-column
@@ -2504,12 +2685,35 @@ class DeltaSparkTable:
                 bloom_spec=_bloom_columns(snap.metadata.configuration),
             )
             copied = sum(a.num_records for a in adds)
-        return self._commit_rewrite(
-            snap, full + partial, adds, "DELETE",
-            operation_parameters=params,
-            extra_metrics={"num_deleted_rows": deleted,
-                           "num_copied_rows": copied},
+        return self._dml_compacting(
+            self._commit_rewrite(
+                snap, full + partial, adds, "DELETE",
+                operation_parameters=params,
+                extra_metrics={"num_deleted_rows": deleted,
+                               "num_copied_rows": copied},
+            ),
+            snap.metadata.configuration,
         )
+
+    def _dml_candidates(
+        self,
+        snap: Snapshot,
+        schema: StructType,
+        predicate: Optional[str],
+        partition_dnf: Optional[Sequence[DnfFilter]] = None,
+    ) -> list[AddFile]:
+        """Candidate files for a DML discovery scan: the explicit
+        partition DNF plus whatever pruning conjuncts
+        ``_predicate_prune_dnf`` can soundly extract from the row-level
+        predicate, fed through the read path's driver-side pruner
+        (partition values + min/max stats + blooms).  Files pruned
+        here provably contain no matching row, so they are untouched
+        survivors — the discovery scan shrinks from every-live-file to
+        only the files that might match."""
+        dnf = list(partition_dnf or []) + _predicate_prune_dnf(
+            predicate, schema)
+        return (self.pruned_files(snap, dnf) if dnf
+                else list(snap.files))
 
     def _dml_discovery(
         self, snap: Snapshot, candidates: Sequence[AddFile], match,
@@ -2602,7 +2806,7 @@ class DeltaSparkTable:
 
         match = self._scoped_condition(predicate, None)
         hits, full, partial, deleted = self._dml_discovery(
-            snap, list(snap.files), match)
+            snap, self._dml_candidates(snap, schema, predicate), match)
         if not full and not partial and out.limit(1).head() is None:
             # nothing matched AND nothing to insert: committing would
             # publish an empty REWRITE version that forces every
@@ -2636,14 +2840,18 @@ class DeltaSparkTable:
         params: dict[str, Any] = {"predicate": predicate}
         if partial and use_dv:
             params["mode"] = "deletion_vector"
-        return self._commit_rewrite(
-            snap, full + partial, adds, "REPLACE WHERE",
-            operation_parameters=params,
-            extra_metrics={
-                "num_deleted_rows": deleted,
-                "num_copied_rows": copied,
-                "num_inserted_rows": sum(a.num_records for a in new_adds),
-            },
+        return self._dml_compacting(
+            self._commit_rewrite(
+                snap, full + partial, adds, "REPLACE WHERE",
+                operation_parameters=params,
+                extra_metrics={
+                    "num_deleted_rows": deleted,
+                    "num_copied_rows": copied,
+                    "num_inserted_rows": sum(
+                        a.num_records for a in new_adds),
+                },
+            ),
+            cfg,
         )
 
     def _write_deletion_vector(
@@ -2770,10 +2978,8 @@ class DeltaSparkTable:
                 "source columns instead — the generation expression "
                 "recomputes them")
 
-        candidates = (
-            self.pruned_files(snap, partition_dnf)
-            if partition_dnf else list(snap.files)
-        )
+        candidates = self._dml_candidates(
+            snap, schema, predicate, partition_dnf)
         if not candidates:
             return {"version": snap.version, "num_updated_rows": 0,
                     "num_copied_rows": 0, "num_added_files": 0,
@@ -2826,14 +3032,18 @@ class DeltaSparkTable:
                 self._write_deletion_vector(snap, part_files, match, hits)
                 if part_files else []
             )
-            return self._commit_rewrite(
-                snap, full + part_files, dv_adds + new_adds, "UPDATE",
-                operation_parameters={**params, "mode": "deletion_vector"},
-                extra_metrics={
-                    "num_updated_rows": updated,
-                    "num_copied_rows": 0,
-                    "num_deletion_vectors": len(dv_adds),
-                },
+            return self._dml_compacting(
+                self._commit_rewrite(
+                    snap, full + part_files, dv_adds + new_adds, "UPDATE",
+                    operation_parameters={**params,
+                                          "mode": "deletion_vector"},
+                    extra_metrics={
+                        "num_updated_rows": updated,
+                        "num_copied_rows": 0,
+                        "num_deletion_vectors": len(dv_adds),
+                    },
+                ),
+                snap.metadata.configuration,
             )
 
         src = self._read_files(snap, touched)
@@ -2867,11 +3077,14 @@ class DeltaSparkTable:
             bloom_spec=_bloom_columns(snap.metadata.configuration),
         )
         copied = sum(a.num_records for a in adds) - updated
-        return self._commit_rewrite(
-            snap, touched, adds, "UPDATE",
-            operation_parameters=params,
-            extra_metrics={"num_updated_rows": updated,
-                           "num_copied_rows": copied},
+        return self._dml_compacting(
+            self._commit_rewrite(
+                snap, touched, adds, "UPDATE",
+                operation_parameters=params,
+                extra_metrics={"num_updated_rows": updated,
+                               "num_copied_rows": copied},
+            ),
+            snap.metadata.configuration,
         )
 
     def restore(self, version: int) -> dict[str, Any]:
@@ -3656,6 +3869,22 @@ class DeltaSparkTable:
         tablelog.commit(
             target_uri, 0, actions, Snapshot(0, meta, adds, now))
         return target
+
+    def _dml_compacting(
+        self, res: dict[str, Any], configuration: Optional[dict[str, str]]
+    ) -> dict[str, Any]:
+        """Attach post-commit auto-compaction to a committed DML
+        result: copy-rewrite DELETE/UPDATE/REPLACE WHERE (and DV
+        updates, whose updated copies append as new files) fragment
+        files exactly like writes do, so they get the same
+        ``dds.autoCompact`` follow-up the write/merge/streaming-sink
+        paths already fire (Databricks triggers autoCompact after DML
+        too).  Best-effort on races, like the write hook."""
+        ac = self._maybe_auto_compact(configuration)
+        if ac:
+            res["auto_compacted_files"] = ac.get("rewritten_files", 0)
+            res["auto_compact_version"] = ac.get("version")
+        return res
 
     def _maybe_auto_compact(
         self, configuration: Optional[dict[str, str]]
