@@ -2236,16 +2236,26 @@ def _streaming_exactly_once_sink(
 
 
 def _ann_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query the CDC-maintained IVF + PQ index pair (rows-only:
-    approximate by design).  Fixture: both indexes built over a
-    2-commit transactional corpus and maintained through the append.
+    """Query the CDC-maintained IVF + PQ index pair.  Fixture: both
+    indexes built over a 2-commit transactional corpus and maintained
+    through the append.
 
-    Self-falsifying guard: with ``rerank`` covering every probed
-    candidate, the ADC path's result must equal an INDEPENDENT exact
-    computation that never touches the PQ codes — probe the stored
-    centroids, take the stored inverted list's members in the probed
-    cells, score exact cosine, top-k.  Any corruption in the codes,
-    codebooks, ADC tables, or shortlist machinery breaks the match."""
+    ORACLE-BACKED (r11, the hybrid_search_indexed pattern): at full
+    dials (nprobe/rerank covering the corpus) the shared
+    ``_pq_query_topk`` core is exact cosine top-k over the STORED
+    inverted lists joined with the STORED codes, so the returned frame
+    equals brute-force ``cosine_topk`` — and shares its DuckDB twin.
+    The oracle verifies the index machinery for real: a maintenance
+    fold that lost or doubled a vector changes the stored listing and
+    breaks the hash match even at full probe.
+
+    The PRODUCTION dials run FIRST under the original self-falsifying
+    guard: with ``rerank`` covering every probed candidate, the ADC
+    path's result must equal an INDEPENDENT exact computation that
+    never touches the PQ codes — probe the stored centroids, take the
+    stored inverted list's members in the probed cells, score exact
+    cosine, top-k.  Any corruption in the codes, codebooks, ADC
+    tables, or shortlist machinery breaks the match."""
     from pyspark.sql.window import Window
 
     from dagster_delta_spark.operators.similarity import (
@@ -2302,7 +2312,10 @@ def _ann_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"maintained-index ADC query diverged from the exact "
             f"probed-cell anchor: {diff}"
         )
-    return incremental.ann_query_maintained(emb, ivf, pq)
+    # the oracle-facing return: full dials == exact cosine top-k over
+    # the stored index (cosine_topk's DuckDB twin)
+    return incremental.ann_query_maintained(
+        emb, ivf, pq, nprobe=10**9, rerank=10**9)
 
 
 def o_identity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5469,6 +5482,13 @@ def oracle_sql() -> dict[str, str]:
     # the fused output equals the exact form's — shared oracle (a
     # fold that lost/doubled vectors breaks the match even here)
     out["hybrid_search_indexed"] = out["hybrid_search_rrf"]
+    # the plain maintained-index query at full dials: the shared
+    # _pq_query_topk core degenerates to exact cosine top-k over the
+    # STORED inverted lists == brute force, so it shares cosine_topk's
+    # twin (same k/n_queries/tie-break); a maintenance fold that lost
+    # or doubled a vector changes the stored listing and breaks the
+    # match even at full probe
+    out["ann_query_indexed"] = out["cosine_topk"]
     # merge-with-identity: base ids are row_number over the sorted
     # single-partition base write; matched rows keep them, inserts
     # carry NULL orig_rid + the inserted flag (their dense above-mark
