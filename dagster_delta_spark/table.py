@@ -2740,6 +2740,7 @@ class DeltaSparkTable:
         predicate: str,
         *,
         use_dv: bool = False,
+        dry_run: bool = False,
         writer_properties: Optional[dict[str, Any]] = None,
     ) -> dict[str, Any]:
         """Arbitrary-predicate replaceWhere (the Databricks Delta
@@ -2764,6 +2765,14 @@ class DeltaSparkTable:
         vectors — write cost ∝ replaced rows, zero old data copied).
         The commit classifies as a REWRITE for incremental consumers
         (tablelog.classify_commit), exactly like overwrite/MERGE.
+
+        ``dry_run=True`` (mirrors vacuum's): run the FULL validation
+        surface — write conformance, constraints, generated-column
+        checks, discovery — and report what the commit WOULD do
+        (rows deleted/copied/inserted, files dropped/rewritten)
+        without moving a byte or publishing a version.  The
+        operability probe users reach for before an
+        arbitrary-predicate rewrite.
 
         Identity tables refuse (inserts would need id allocation —
         route through write/merge, which allocate); generated columns
@@ -2814,7 +2823,25 @@ class DeltaSparkTable:
             # (delete() guards the same way)
             return {"version": snap.version, "num_deleted_rows": 0,
                     "num_copied_rows": 0, "num_inserted_rows": 0,
-                    "num_added_files": 0, "num_removed_files": 0}
+                    "num_added_files": 0, "num_removed_files": 0,
+                    **({"dry_run": True} if dry_run else {})}
+        if dry_run:
+            # full validation + discovery ran above; report the
+            # would-be commit without moving a byte
+            return {
+                "version": snap.version,
+                "dry_run": True,
+                "num_deleted_rows": deleted,
+                "num_copied_rows": sum(
+                    a.live_records for a in partial) - sum(
+                    hits.get(a.log_key, 0) for a in partial),
+                "num_inserted_rows": out.count(),
+                "num_removed_files": len(full) + len(partial),
+                "full_file_drops": len(full),
+                "partial_rewrites": len(partial),
+                "mode": ("deletion_vector" if partial and use_dv
+                         else "copy"),
+            }
 
         adds: list[AddFile] = []
         copied = 0

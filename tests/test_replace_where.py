@@ -139,3 +139,48 @@ def test_replace_where_noop_commits_nothing(spark, tmp_table):
     assert t.version() == 0 and res["num_deleted_rows"] == 0
     # feeds keep working — no rewrite was published
     assert t.read_changes(-1).count() == 100
+
+
+def test_replace_where_dry_run_reports_without_committing(spark,
+                                                          tmp_table):
+    t = _base(spark, tmp_table)
+    repl = spark.createDataFrame(
+        [(1000 + i, i, -1.0) for i in range(3)],
+        "k bigint, g bigint, v double")
+    res = t.replace_where(repl, "g < 3", dry_run=True)
+    assert res["dry_run"] is True
+    assert res["num_deleted_rows"] == 30
+    assert res["num_inserted_rows"] == 3
+    # g = k % 10 is scattered across all 4 files: every file is a
+    # partial rewrite carrying its 70 keep-rows, none drops whole
+    assert res["num_copied_rows"] == 70
+    assert res["full_file_drops"] == 0
+    assert res["partial_rewrites"] == 4
+    assert res["full_file_drops"] + res["partial_rewrites"] \
+        == res["num_removed_files"]
+    assert res["mode"] == "copy"
+    # NOTHING moved: same version, same contents
+    assert t.version() == 0
+    assert t.read().count() == 100
+    # dv flavor reports its mode
+    res = t.replace_where(repl, "g < 3", dry_run=True, use_dv=True)
+    assert res["mode"] == "deletion_vector"
+    assert t.version() == 0
+    # the real run then matches the dry report
+    real = t.replace_where(repl, "g < 3")
+    assert real["num_deleted_rows"] == 30
+    assert real["num_inserted_rows"] == 3
+
+
+def test_replace_where_dry_run_still_validates(spark, tmp_table):
+    t = _base(spark, tmp_table)
+    stray = spark.createDataFrame([(1, 7, 0.0)],
+                                  "k bigint, g bigint, v double")
+    with pytest.raises(ValueError, match="must all match"):
+        t.replace_where(stray, "g < 3", dry_run=True)
+    # no-op dry run reports and commits nothing
+    empty = spark.createDataFrame([], "k bigint, g bigint, v double")
+    res = t.replace_where(empty, "g = 999", dry_run=True)
+    assert res.get("dry_run") is True
+    assert res["num_deleted_rows"] == 0
+    assert t.version() == 0
