@@ -2818,120 +2818,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verifies everything: an entry may sit past the cap only if
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
-    # that structurally cannot have one).  Round 10 window: the four
-    # portable-hash conversions (rows-only -> oracle-backed re-demands
-    # a green row) + the entire r7-stale cohort — after r10 records
-    # land, every entry's newest record is r8+.  Local gate for the
+    # that structurally cannot have one).  Round 11 window: the 12
+    # remaining r7-recorded entries + the full 38-entry r8-recorded
+    # cohort (incl. ann_query_indexed, converted to oracle-backed in
+    # r11 — conversion re-demands a green row) — after r11 records
+    # land, every entry's newest record is r9+.  Local gate for the
     # whole registry regardless of position: tools/check_oracles.py.
     return {
-        # -------- first 50: the round-10 recording window --------
-        # Four CONVERTED entries lead (rows-only -> oracle-backed via
-        # the portable md5 hash dial, r9 ingest-filter technique);
-        # conversion re-demands a green row, so each sits in-window.
-        "minhash_lsh_near_dups": minhash_lsh,
-        "minhash_cluster_keep": _minhash_cluster,
-        "ann_lsh_topk": ann_lsh,
-        "embedding_near_dups_lsh": _emb_neardup_lsh,
-        # the r7-stale cohort: every remaining entry whose newest
-        # committed record is CORRECTNESS_r07 (45 entries incl. the
-        # two converted minhash heads above)
-        "simhash_near_dups": simhash_pairs,
-        # NEW this round (oracle-backed): per-file bloom-filter index
-        # skipping — in-window per the first-50 rule (displaced
-        # q2_min_cost_supplier, green r7 record stands, to the tail)
-        "o_bloom_skipping": o_bloom_skipping,
-        # NEW this round (oracle-backed): CCNet-style cross-doc line
-        # dedup — displaced q8_market_share (green r7 record stands)
-        "line_dedup_corpus": line_dedup_corpus,
-        # NEW this round (oracle-backed): CCNet perplexity terciles —
-        # displaced q9_profit_by_nation_year (green r7 record stands)
-        "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
-        # NEW this round (oracle-backed): arbitrary-predicate
-        # replaceWhere — displaced q10_returned_items (green r7 record)
-        "o_replace_where": o_replace_where,
-        # NEW this round (oracle-backed): autoCompact/optimizeWrite —
-        # displaced q16_anti_join (green r7 record stands)
-        "o_auto_compact": o_auto_compact,
-        # CONVERTED this round (rows-only -> oracle-backed via the
-        # portable dial): k-means clustering — in-window per the
-        # conversion rule; displaced q20_excess_shipments (green r7)
-        "kmeans_clusters": _kmeans_clusters,
-        # CONVERTED: IVF ANN via the same dial — displaced
-        # q21_sole_late_supplier (green r7 record stands)
-        "ann_ivf_topk": _ivf_ann,
-        # CONVERTED: SemDeDup via the same dial — displaced
-        # event_funnel (green r7 record stands)
-        "semantic_dedup": _semantic_dedup,
-        # CONVERTED: IVF-SQ8 via the same dial — displaced
-        # ngram_frequency (green r7 record stands)
-        "ann_ivf_quantized_topk": _ivf_quantized,
-        # CONVERTED: IVF-PQ via the same dial (PQ training in long
-        # format) — displaced tfidf_top_terms (green r7 record stands)
-        "ann_ivf_pq_topk": _ivf_pq,
-        # CONVERTED: the recall report composes the three converted
-        # legs — displaced repetition_quality (green r7 record stands)
-        "ann_recall_report": _ann_recall,
-        "o_row_delete_restore": o_row_delete_restore,
-        "o_row_update": o_row_update,
-        "duplicate_components": graph.duplicate_components,
-        "dsir_importance_sample": curation.dsir_importance_sample,
-        "streaming_interval_join": _streaming_interval_join,
-        "streaming_sliding_rollup": _streaming_sliding_rollup,
-        "quality_balanced_prune": curation.quality_balanced_prune,
-        "o_clone_zero_copy": o_clone_zero_copy,
-        "bloom_decontaminate": curation.bloom_decontaminate,
-        "fuzzy_name_matches": fuzzy.fuzzy_name_matches,
-        "nb_classifier_scores": _nb_classifier,
-        "streaming_exactly_once_sink": _streaming_exactly_once_sink,
-        "dedup_exact": dedup.dedup_exact,
-        "pj1_projection": pj1_projection,
-        "o3_stats": o3_stats,
-        "near_dup_jaccard": dedup.near_dup_jaccard,
-        "order_lineitem_rollup": relational.order_lineitem_rollup,
-        "multimodal_video_pipeline": multimodal_video_pipeline,
-        "o_delete_dv": o_delete_dv,
-        "scrub_pii": curation.scrub_pii,
-        "stratified_sample": curation.stratified_sample,
-        "chunk_documents": curation.chunk_documents,
-        "assign_splits": curation.assign_splits,
-        "cdc_read_changes": cdc_read_changes,
-        "unigram_quality": textops.unigram_quality,
-        "streaming_table_source": streaming_table_source,
-        "winnow_repeated_spans": dedup.winnow_repeated_spans,
-        "winnow_doc_repetition": dedup.winnow_doc_repetition,
-        "strip_repeated_spans": dedup.strip_repeated_spans,
-        "leakage_safe_splits": _leakage_safe_splits,
-        # NEW in r10: hybrid retrieval over the MAINTAINED IVF+PQ
-        # indexes at full dials — oracle-backed (shares the exact
-        # form's twin; the inverted list is load-bearing even at full
-        # probe)
-        "hybrid_search_indexed": hybrid_search_indexed,
-        # NEW in r10: merge-upsert into an identity table (inserts
-        # allocate dense ids in the same commit) — oracle-backed
-        "o_identity_merge": o_identity_merge,
-        # CONVERTED late r10 (portable dial; conversion re-demands a
-        # green row, so it takes a window slot)
-        "near_dup_decontaminate": _near_dup_decon,
-        # NEW late r10: embedding-space decontamination (cosine vs the
-        # broadcast eval set, best match per vector) — oracle-backed;
-        # displaces temperature_mixture_sample (green r7 record
-        # stands) to the tail
-        "embedding_decontaminate": similarity.embedding_decontaminate,
-        # -------- past the cap: green/ok rows on committed record --
-        # every r8/r9-window head rotates out on its committed
-        # CORRECTNESS_r08/r09 record
-        "stream_ingest_near_dup_filter": _stream_ingest_filter,
+        # -------- first 50: the round-11 recording window --------
+        # Record-freshness rotation (r11): the 12 entries whose
+        # newest committed record is CORRECTNESS_r07 (the tails
+        # displaced during r10) lead, then the entire 38-entry
+        # r8-recorded cohort — including ann_query_indexed, whose
+        # r11 conversion to oracle-backed re-demands a green row.
+        # 12 + 38 = exactly 50; after r11 records land every
+        # entry's newest record is r9+.
         "temperature_mixture_sample": curation.temperature_mixture_sample,
-        "string_functions": relational.string_functions_probe,
-        "date_parts_rollup": relational.date_parts_rollup,
-        "q12_case_agg": relational.q12_priority_by_linestatus,
-        "source_summary": textops.source_summary,
-        "deterministic_sample": textops.deterministic_sample,
-        "fingerprint": textops.fingerprint,
-        "q18_large_orders": relational.q18_large_orders,
-        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
-        "q13_custdist": relational.q13_order_count_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q8_market_share": relational.q8_market_share,
         "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
@@ -2943,6 +2845,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_frequency": textops.ngram_frequency,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "repetition_quality": textops.repetition_quality,
+        # the r8-recorded cohort (38 entries; rows-only entries
+        # re-record their guard-verified no_oracle rows, and
+        # ann_query_indexed records its first green row post-
+        # conversion)
+        "lsh_index_maintain": lsh_index_maintain,
+        "pq_index_maintain": pq_index_maintain,
+        "streaming_index_sink": _streaming_index_sink,
+        "ann_query_indexed": _ann_query_indexed,
+        "token_budget_sample": curation.token_budget_sample,
+        "bigram_perplexity": textops.bigram_perplexity,
+        "multimodal_features": mm_features,
+        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
+        "bpe_token_stats": _bpe_stats,
+        "cosine_topk": similarity.cosine_topk,
+        "embedding_near_dups": _embedding_near_dups_02,
+        "label_centroid_dims": _label_centroid_dims,
+        "quantize_embeddings": _quantize_embeddings,
+        "sketch_profile": _sketch_profile,
+        "bm25_search": textops.bm25_search,
+        "pmi_collocations": textops.pmi_collocations,
+        "ppjoin_near_dups": dedup.ppjoin_near_dups,
+        "streaming_interval_join_left": _streaming_interval_join_left,
+        "o_column_mapping": o_column_mapping,
+        "streaming_interval_join_full": _streaming_interval_join_full,
+        "o_generated_columns": o_generated_columns,
+        "cdc_row_changes": cdc_row_changes,
+        "streaming_cdc_feed": streaming_cdc_feed,
+        "q22_anti_scalar": relational.q22_idle_rich_customers,
+        "incremental_rollup_maintenance": incremental_rollup_maintenance,
+        "streaming_rollup_sink": streaming_rollup_sink,
+        "w1_w4_error_ignore": w1_w4_error_ignore,
+        "o_identity_columns": o_identity_columns,
+        "cdc_replicate": cdc_replicate,
+        "w3_partition_overwrite": w3_partition_overwrite,
+        "w5_create_or_replace": w5_create_or_replace,
+        "m2_dedup_insert": m2_dedup_insert,
+        "m3_upsert": m3_upsert,
+        "m4_replace_delete": m4_replace_delete,
+        "s3_time_travel": s3_time_travel,
+        "p2_timewindow_read": p2_timewindow_read,
+        "o_compaction_roundtrip": o_compaction_roundtrip,
+        "zipf_profile": textops.zipf_profile,
+        # -------- past the cap: green/ok rows on committed ------
+        # -------- record (r9 first, then the all-green r10) -----
+        "stream_ingest_near_dup_filter": _stream_ingest_filter,
+        "string_functions": relational.string_functions_probe,
+        "date_parts_rollup": relational.date_parts_rollup,
+        "q12_case_agg": relational.q12_priority_by_linestatus,
+        "source_summary": textops.source_summary,
+        "deterministic_sample": textops.deterministic_sample,
+        "fingerprint": textops.fingerprint,
+        "q18_large_orders": relational.q18_large_orders,
+        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
+        "q13_custdist": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -2982,44 +2939,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": similarity.hybrid_search_rrf,
         "embedding_pca_project": _embedding_pca,
         "ann_index_maintain": ann_index_maintain,
-        "lsh_index_maintain": lsh_index_maintain,
-        "pq_index_maintain": pq_index_maintain,
-        "streaming_index_sink": _streaming_index_sink,
-        "ann_query_indexed": _ann_query_indexed,
-        "token_budget_sample": curation.token_budget_sample,
-        "bigram_perplexity": textops.bigram_perplexity,
-        "multimodal_features": mm_features,
-        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
-        "bpe_token_stats": _bpe_stats,
-        "cosine_topk": similarity.cosine_topk,
-        "embedding_near_dups": _embedding_near_dups_02,
-        "label_centroid_dims": _label_centroid_dims,
-        "quantize_embeddings": _quantize_embeddings,
-        "sketch_profile": _sketch_profile,
-        "bm25_search": textops.bm25_search,
-        "pmi_collocations": textops.pmi_collocations,
-        "ppjoin_near_dups": dedup.ppjoin_near_dups,
-        "streaming_interval_join_left": _streaming_interval_join_left,
-        "o_column_mapping": o_column_mapping,
-        "streaming_interval_join_full": _streaming_interval_join_full,
-        "o_generated_columns": o_generated_columns,
-        "cdc_row_changes": cdc_row_changes,
-        "streaming_cdc_feed": streaming_cdc_feed,
-        "q22_anti_scalar": relational.q22_idle_rich_customers,
-        "incremental_rollup_maintenance": incremental_rollup_maintenance,
-        "streaming_rollup_sink": streaming_rollup_sink,
-        "w1_w4_error_ignore": w1_w4_error_ignore,
-        "o_identity_columns": o_identity_columns,
-        "cdc_replicate": cdc_replicate,
-        "w3_partition_overwrite": w3_partition_overwrite,
-        "w5_create_or_replace": w5_create_or_replace,
-        "m2_dedup_insert": m2_dedup_insert,
-        "m3_upsert": m3_upsert,
-        "m4_replace_delete": m4_replace_delete,
-        "s3_time_travel": s3_time_travel,
-        "p2_timewindow_read": p2_timewindow_read,
-        "o_compaction_roundtrip": o_compaction_roundtrip,
-        "zipf_profile": textops.zipf_profile,
+        "minhash_lsh_near_dups": minhash_lsh,
+        "minhash_cluster_keep": _minhash_cluster,
+        "ann_lsh_topk": ann_lsh,
+        "embedding_near_dups_lsh": _emb_neardup_lsh,
+        "simhash_near_dups": simhash_pairs,
+        "o_bloom_skipping": o_bloom_skipping,
+        "line_dedup_corpus": line_dedup_corpus,
+        "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+        "o_replace_where": o_replace_where,
+        "o_auto_compact": o_auto_compact,
+        "kmeans_clusters": _kmeans_clusters,
+        "ann_ivf_topk": _ivf_ann,
+        "semantic_dedup": _semantic_dedup,
+        "ann_ivf_quantized_topk": _ivf_quantized,
+        "ann_ivf_pq_topk": _ivf_pq,
+        "ann_recall_report": _ann_recall,
+        "o_row_delete_restore": o_row_delete_restore,
+        "o_row_update": o_row_update,
+        "duplicate_components": graph.duplicate_components,
+        "dsir_importance_sample": curation.dsir_importance_sample,
+        "streaming_interval_join": _streaming_interval_join,
+        "streaming_sliding_rollup": _streaming_sliding_rollup,
+        "quality_balanced_prune": curation.quality_balanced_prune,
+        "o_clone_zero_copy": o_clone_zero_copy,
+        "bloom_decontaminate": curation.bloom_decontaminate,
+        "fuzzy_name_matches": fuzzy.fuzzy_name_matches,
+        "nb_classifier_scores": _nb_classifier,
+        "streaming_exactly_once_sink": _streaming_exactly_once_sink,
+        "dedup_exact": dedup.dedup_exact,
+        "pj1_projection": pj1_projection,
+        "o3_stats": o3_stats,
+        "near_dup_jaccard": dedup.near_dup_jaccard,
+        "order_lineitem_rollup": relational.order_lineitem_rollup,
+        "multimodal_video_pipeline": multimodal_video_pipeline,
+        "o_delete_dv": o_delete_dv,
+        "scrub_pii": curation.scrub_pii,
+        "stratified_sample": curation.stratified_sample,
+        "chunk_documents": curation.chunk_documents,
+        "assign_splits": curation.assign_splits,
+        "cdc_read_changes": cdc_read_changes,
+        "unigram_quality": textops.unigram_quality,
+        "streaming_table_source": streaming_table_source,
+        "winnow_repeated_spans": dedup.winnow_repeated_spans,
+        "winnow_doc_repetition": dedup.winnow_doc_repetition,
+        "strip_repeated_spans": dedup.strip_repeated_spans,
+        "leakage_safe_splits": _leakage_safe_splits,
+        "hybrid_search_indexed": hybrid_search_indexed,
+        "o_identity_merge": o_identity_merge,
+        "near_dup_decontaminate": _near_dup_decon,
+        "embedding_decontaminate": similarity.embedding_decontaminate,
     }
 
 
