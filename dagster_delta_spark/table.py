@@ -24,6 +24,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -1612,6 +1613,8 @@ class DeltaSparkTable:
         cluster_by: Optional[Sequence[str]] = None,
         cluster_files: Optional[int] = None,
         writer_properties: Optional[dict[str, str]] = None,
+        _copy_txns: Optional[dict[str, int]] = None,
+        _copy_txns_expected: Optional[dict[str, Optional[int]]] = None,
     ) -> dict[str, Any]:
         """All write modes (reference handle_output dispatch,
         handler.py:190-262).
@@ -1801,6 +1804,20 @@ class DeltaSparkTable:
                         "to re-allocate ids"
                     )
 
+            # copy_into file-ledger guard: a racing COPY INTO that
+            # loaded one of this write's source files between discovery
+            # and commit would make the file land twice — refuse, the
+            # rerun's discovery pass skips it (exactly-once per file)
+            for ckey, expected in (_copy_txns_expected or {}).items():
+                fresh_rec = (snap.app_versions.get(ckey)
+                             if snap else None)
+                if fresh_rec != expected:
+                    raise ConcurrentAppendError(
+                        f"copy_into source file ledger entry {ckey} "
+                        f"changed concurrently ({expected} -> "
+                        f"{fresh_rec}); rerun copy_into to re-discover"
+                    )
+
             removes: list[AddFile] = []
             if mode == WriteMode.overwrite and snap is not None:
                 if partition_dnf:
@@ -1917,6 +1934,11 @@ class DeltaSparkTable:
                 meta.to_action(),
             ]
             actions += [a.to_action() for a in adds]
+            if _copy_txns:
+                actions += [
+                    {"txn": {"appId": k, "version": v}}
+                    for k, v in sorted(_copy_txns.items())
+                ]
             now = int(time.time() * 1000)
             actions += [r.remove_action(now) for r in removes]
             new_files = {a.log_key: a for a in (snap.files if snap else [])}
@@ -1924,6 +1946,11 @@ class DeltaSparkTable:
                 new_files.pop(r.log_key, None)
             for a in adds:
                 new_files[a.log_key] = a
+            app_versions = dict(snap.app_versions) if snap else {}
+            # copy_into ledger entries set directly (not max-folded):
+            # a FORCE reload records the file's new mtime even when it
+            # moved backwards
+            app_versions.update(_copy_txns or {})
             new_version = head + 1
             try:
                 tablelog.commit(
@@ -1936,8 +1963,7 @@ class DeltaSparkTable:
                     # path below)
                     Snapshot(new_version, meta, list(new_files.values()),
                              now,
-                             app_versions=dict(snap.app_versions)
-                             if snap else {}),
+                             app_versions=app_versions),
                 )
                 res = {
                     "mode": mode.value,
@@ -3351,6 +3377,145 @@ class DeltaSparkTable:
                     raise
                 time.sleep(_COMMIT_BACKOFF_BASE * (2**attempt) + _jitter())
         raise AssertionError("unreachable")
+
+    # -- COPY INTO (file-level exactly-once batch ingest) --------------------
+
+    def copy_into(
+        self,
+        source,
+        *,
+        file_format: str = "parquet",
+        reader_options: Optional[dict[str, str]] = None,
+        pattern: Optional[str] = None,
+        force: bool = False,
+        dry_run: bool = False,
+        partition_columns: Optional[Sequence[str]] = None,
+        schema_mode: Optional[SchemaMode] = None,
+        writer_properties: Optional[dict[str, str]] = None,
+        commit_metadata: Optional[dict[str, str]] = None,
+    ) -> dict[str, Any]:
+        """Idempotent file-level batch ingest (Delta's ``COPY INTO``).
+
+        ``source`` is a landing directory (walked recursively, Spark's
+        hidden-file rule: ``.``/``_``-prefixed names skipped) or an
+        explicit list of file paths.  Every ingested file is recorded
+        in the table's SetTransaction ledger under
+        ``dds.copyInto:<sha1(path)>`` with the file's mtime (ms), so a
+        re-run loads only files the ledger has never seen — restartable
+        ingest jobs append each landing file exactly once.  The ledger
+        rides the existing txn machinery: it survives checkpoints and
+        the already-loaded re-check runs INSIDE the commit retry loop,
+        so two jobs racing the same landing directory cannot double-
+        load a file (the loser raises ``ConcurrentAppendError`` and its
+        rerun skips).
+
+        A previously-loaded file that has since been MODIFIED (mtime
+        changed) raises a pointed error instead of silently skipping —
+        ``force=True`` re-loads it (appending its rows again) and
+        re-records the new mtime.  ``dry_run`` reports what a real run
+        would load/skip without reading any data.
+
+        Scale note: the ledger is O(ingested files) — the same order as
+        the table's own AddFile list — and lives in the log/checkpoint,
+        never on the data path.  Discovery is a driver-side listing of
+        the landing source, exactly like Delta's.
+        """
+        opts = dict(reader_options or {})
+        if isinstance(source, (list, tuple)):
+            cand = [str(p) for p in source]
+        else:
+            cand = []
+            for root, dirs, names in os.walk(str(source)):
+                dirs[:] = [d for d in dirs
+                           if not d.startswith((".", "_"))]
+                for n in names:
+                    if not n.startswith((".", "_")):
+                        cand.append(os.path.join(root, n))
+        if pattern is not None:
+            import fnmatch
+            cand = [p for p in cand
+                    if fnmatch.fnmatch(os.path.basename(p), pattern)]
+        files: list[tuple[str, int]] = []
+        for p in sorted(cand):
+            try:
+                st = os.stat(p)
+            except OSError as exc:
+                raise FileNotFoundError(
+                    f"copy_into source file {p!r} is not readable: {exc}"
+                ) from None
+            files.append((os.path.abspath(p), st.st_mtime_ns // 1_000_000))
+        if not files:
+            raise ValueError(
+                f"copy_into found no source files under {source!r}"
+                + (f" matching {pattern!r}" if pattern else "")
+            )
+
+        exists = self.exists()
+        snap = self.snapshot() if exists else None
+        ledger = snap.app_versions if snap else {}
+
+        def app_id(path: str) -> str:
+            return (tablelog.COPY_INTO_APP_PREFIX
+                    + hashlib.sha1(path.encode()).hexdigest())
+
+        to_load: list[tuple[str, int]] = []
+        skipped = 0
+        modified: list[str] = []
+        expected: dict[str, Optional[int]] = {}
+        for path, mtime in files:
+            rec = ledger.get(app_id(path))
+            if rec is None:
+                to_load.append((path, mtime))
+                expected[app_id(path)] = None
+            elif rec == mtime:
+                skipped += 1
+            elif force:
+                to_load.append((path, mtime))
+                expected[app_id(path)] = rec
+            else:
+                modified.append(path)
+        if modified and not force:
+            shown = ", ".join(repr(p) for p in modified[:5])
+            raise ValueError(
+                f"copy_into: {len(modified)} previously-loaded file(s) "
+                f"have been modified since ingest ({shown}"
+                + (", ..." if len(modified) > 5 else "")
+                + "); pass force=True to re-load them (their rows append "
+                "again) or restore the original files"
+            )
+
+        if dry_run:
+            return {
+                "dry_run": True,
+                "files_loaded": len(to_load),
+                "files_skipped": skipped,
+                "version": snap.version if snap else -1,
+            }
+        if not to_load:
+            return {
+                "version": snap.version if snap else -1,
+                "files_loaded": 0,
+                "files_skipped": skipped,
+                "num_output_rows": 0,
+            }
+
+        df = (self.spark.read.format(file_format).options(**opts)
+              .load([p for p, _ in to_load]))
+        res = self.write(
+            df,
+            mode=WriteMode.append,
+            partition_columns=partition_columns,
+            schema_mode=schema_mode,
+            writer_properties=writer_properties,
+            commit_metadata=commit_metadata,
+            _copy_txns={app_id(p): m for p, m in to_load},
+            _copy_txns_expected=expected,
+        )
+        res.update({
+            "files_loaded": len(to_load),
+            "files_skipped": skipped,
+        })
+        return res
 
     # -- CHECK constraints (delta-rs add_constraint parity) -----------------
 

@@ -40,6 +40,11 @@ from typing import Any, Optional
 CHECKPOINT_INTERVAL = 10
 LOG_DIR = "_spark_delta_log"
 LAST_CHECKPOINT = "_last_checkpoint"
+#: SetTransaction appId namespace for the copy_into file ledger — one
+#: entry per ingested source file, version = the file's mtime (ms).
+#: Carried through checkpoints like every other txn; last-write-wins
+#: on replay (see load_snapshot) so FORCE reloads re-record mtimes.
+COPY_INTO_APP_PREFIX = "dds.copyInto:"
 
 
 class TableNotFoundError(Exception):
@@ -587,8 +592,16 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
                 files.pop(remove_key(action["remove"]), None)
             elif "txn" in action:
                 t = action["txn"]
-                app_versions[t["appId"]] = max(
-                    app_versions.get(t["appId"], -1), t["version"])
+                if t["appId"].startswith(COPY_INTO_APP_PREFIX):
+                    # copy_into file-ledger entries are last-write-wins
+                    # (replay is version-ordered): a FORCE reload must
+                    # record the file's new mtime even when it moved
+                    # backwards — max-folding would pin the old one and
+                    # every later run would see a phantom modification
+                    app_versions[t["appId"]] = t["version"]
+                else:
+                    app_versions[t["appId"]] = max(
+                        app_versions.get(t["appId"], -1), t["version"])
             elif "commitInfo" in action:
                 ts = action["commitInfo"].get("timestamp", ts)
 
