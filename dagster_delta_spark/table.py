@@ -4367,6 +4367,50 @@ class DeltaSparkTable:
             "version": snap.version,
         }
 
+    def cleanup_metadata(
+        self,
+        retention_ms: int = 30 * 24 * 3600 * 1000,
+        *,
+        dry_run: bool = False,
+    ) -> dict[str, Any]:
+        """Expire old commit files and superseded checkpoints —
+        Delta's ``delta.logRetentionDuration`` cleanup, the metadata
+        sibling of :meth:`vacuum`.  Without it a long-running table's
+        JSON log grows unboundedly (at one commit per streaming batch
+        that is thousands of files per day at scale, and the directory
+        listing in ``latest_version`` is O(log files)).
+
+        Keeps everything a replay can still need: the boundary is the
+        newest checkpoint whose deletable prefix is older than
+        ``retention_ms``, clamped below ``head -
+        dds.cdcRetainVersions`` so CDC feed decodes and vacuum's
+        retention-floor walk keep their commit files.  Time travel,
+        ``read_changes`` and streaming resumes below the boundary
+        raise :class:`~.tablelog.LogTruncatedError` pointedly;
+        ``history()`` simply ends at the boundary.  ``dry_run``
+        reports what would be removed without deleting."""
+        snap = self.snapshot()
+        raw_retain = snap.metadata.configuration.get(_CDC_RETAIN_KEY)
+        floor = 0
+        if raw_retain is not None:
+            try:
+                floor = int(raw_retain)
+            except (TypeError, ValueError):
+                floor = -1
+            if floor < 0:
+                raise ValueError(
+                    f"table property {_CDC_RETAIN_KEY} is malformed "
+                    f"({raw_retain!r}); fix it with set_properties "
+                    "before cleaning up metadata — truncating the log "
+                    "under a broken retention floor could strand CDC "
+                    "consumers")
+        return tablelog.cleanup_log(
+            self.table_uri,
+            retention_ms=retention_ms,
+            floor_versions=floor,
+            dry_run=dry_run,
+        )
+
     def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000,
                *, dry_run: bool = False) -> list[str]:
         """Delete data files no longer referenced by the current

@@ -47,6 +47,14 @@ LAST_CHECKPOINT = "_last_checkpoint"
 COPY_INTO_APP_PREFIX = "dds.copyInto:"
 
 
+class LogTruncatedError(Exception):
+    """The requested version's commit file was deleted by log
+    retention (``cleanup_metadata``) — the version is older than the
+    earliest replayable checkpoint.  Pointed so a time-travel read,
+    ``read_changes``, or a streaming resume below the boundary fails
+    with the cause and the earliest version that still works."""
+
+
 class TableNotFoundError(Exception):
     pass
 
@@ -258,7 +266,10 @@ def _legacy_checkpoint_path(table_uri: str, version: int) -> str:
 
 
 def table_exists(table_uri: str) -> bool:
-    return os.path.isfile(_version_path(table_uri, 0))
+    # version 0 is the fast path; a log-retention-cleaned table no
+    # longer has it, so fall back to the directory listing
+    return (os.path.isfile(_version_path(table_uri, 0))
+            or latest_version(table_uri) >= 0)
 
 
 def latest_version(table_uri: str) -> int:
@@ -276,9 +287,38 @@ def latest_version(table_uri: str) -> int:
     return best
 
 
+def earliest_version(table_uri: str) -> int:
+    """Earliest commit file still in the log (0 unless
+    ``cleanup_metadata`` has truncated it), or -1 if no table."""
+    d = _log_dir(table_uri)
+    if not os.path.isdir(d):
+        return -1
+    best = -1
+    for name in os.listdir(d):
+        if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+            try:
+                v = int(name[:-5])
+            except ValueError:
+                continue
+            if best < 0 or v < best:
+                best = v
+    return best
+
+
 def read_version_actions(table_uri: str, version: int) -> list[dict[str, Any]]:
-    with open(_version_path(table_uri, version), "r", encoding="utf-8") as f:
-        return [json.loads(line) for line in f if line.strip()]
+    try:
+        with open(_version_path(table_uri, version), "r",
+                  encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+    except FileNotFoundError:
+        if os.path.isdir(_log_dir(table_uri)):
+            raise LogTruncatedError(
+                f"version {version} of {table_uri} is no longer in the "
+                "log (removed by cleanup_metadata log retention); the "
+                f"earliest available version is "
+                f"{earliest_version(table_uri)}"
+            ) from None
+        raise
 
 
 def _best_checkpoint_version(table_uri: str, target: int) -> Optional[int]:
@@ -675,6 +715,104 @@ def commit(
                       file=sys.stderr)
 
 
+def cleanup_log(
+    table_uri: str,
+    *,
+    retention_ms: int,
+    floor_versions: int = 0,
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """Physically delete expired commit files and superseded
+    checkpoints (Delta's ``delta.logRetentionDuration`` cleanup).
+
+    Picks the boundary B = the newest on-disk checkpoint version such
+    that (a) the newest commit file BELOW it is older than
+    ``retention_ms`` (commit mtimes are version-ordered, so checking
+    the newest deletable file covers them all), and (b) B is at most
+    ``head - floor_versions`` (the CDC retention floor's protected
+    window keeps its JSON so feed decodes and vacuum's floor walk keep
+    working).  Deletes every commit file ``< B`` and every checkpoint
+    ``< B``; version B stays fully replayable (checkpoint B + JSON
+    tail), anything below raises :class:`LogTruncatedError`.
+
+    Crash-safe ordering: checkpoints below B go first (while all JSON
+    survives, everything is still replayable from version 0), then
+    JSON from high to low (a crash leaves a contiguous [0, m] prefix —
+    every surviving version is still replayable; rerunning finishes).
+
+    Scale note: the log directory listing and the deletions are
+    O(commits being removed) driver-side metadata work — no data files
+    are touched (that is vacuum's job) and no snapshot replays run.
+    """
+    d = _log_dir(table_uri)
+    head = latest_version(table_uri)
+    if head < 0:
+        raise TableNotFoundError(f"no table at {table_uri}")
+    limit = head - max(0, floor_versions)
+    cutoff = time.time() * 1000 - retention_ms
+
+    versions: list[int] = []
+    ckpts: list[int] = []
+    for name in os.listdir(d):
+        try:
+            if name.endswith(".checkpoint.parquet") or name.endswith(
+                    ".checkpoint.json"):
+                ckpts.append(int(name.split(".", 1)[0]))
+            elif name.endswith(".json"):
+                versions.append(int(name[:-5]))
+        except ValueError:
+            continue
+    versions.sort()
+
+    def _mtime_ms(path: str) -> Optional[float]:
+        try:
+            return os.stat(path).st_mtime_ns / 1e6
+        except OSError:
+            return None
+
+    boundary: Optional[int] = None
+    for c in sorted(set(ckpts)):
+        if c <= 0 or c > limit:
+            continue
+        below = [v for v in versions if v < c]
+        if below:
+            mt = _mtime_ms(_version_path(table_uri, below[-1]))
+            if mt is not None and mt > cutoff:
+                continue  # the newest deletable commit is too young
+        boundary = c
+
+    doomed_json = [v for v in versions
+                   if boundary is not None and v < boundary]
+    doomed_ckpts = sorted({c for c in ckpts
+                           if boundary is not None and c < boundary})
+    if dry_run or boundary is None:
+        return {
+            "dry_run": dry_run,
+            "boundary_version": boundary,
+            "deleted_commits": len(doomed_json),
+            "deleted_checkpoints": len(doomed_ckpts),
+        }
+    for c in doomed_ckpts:
+        for p in (_checkpoint_path(table_uri, c),
+                  _legacy_checkpoint_path(table_uri, c)):
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+    for v in sorted(doomed_json, reverse=True):
+        try:
+            os.unlink(_version_path(table_uri, v))
+        except FileNotFoundError:
+            pass
+    _fsync_dir(d)
+    return {
+        "dry_run": False,
+        "boundary_version": boundary,
+        "deleted_commits": len(doomed_json),
+        "deleted_checkpoints": len(doomed_ckpts),
+    }
+
+
 def classify_commit(operation: str) -> str:
     """Incremental-consumption contract shared by
     ``DeltaSparkTable.read_changes`` and the ``dds_table`` streaming
@@ -705,7 +843,13 @@ def history(table_uri: str, limit: Optional[int] = None) -> list[dict[str, Any]]
     out = []
     for v in range(head, -1, -1):
         info: dict[str, Any] = {"version": v}
-        for action in read_version_actions(table_uri, v):
+        try:
+            actions = read_version_actions(table_uri, v)
+        except LogTruncatedError:
+            # log retention removed everything below here — history
+            # simply ends at the cleanup boundary, like Delta's
+            break
+        for action in actions:
             if "commitInfo" in action:
                 info.update(action["commitInfo"])
         out.append(info)
