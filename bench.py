@@ -84,6 +84,10 @@ def main() -> None:
         "auto_compact_append",
         "line_dedup_corpus",
         "ccnet_perplexity_buckets",
+        # r11: file-level exactly-once ingest (1 new + 2 skipped
+        # landing files) and log retention truncation (metadata-only)
+        "copy_into",
+        "log_cleanup",
         # streaming ingest near-dup filter (3 micro-batches), staged:
         # the ~7 s streaming-engine + fixture fixed cost masked probe
         # regressions behind one number, so the line reports the
@@ -120,6 +124,7 @@ def main() -> None:
         "strip_repeated_spans",
         "corpus_shuffle",
         "token_budget_sample",
+        "unimax_sample",
         "dsir_importance_sample",
         "duplicate_components",
         "nb_classifier_scores",
@@ -580,7 +585,55 @@ def main() -> None:
             MergeType.upsert, predicate="s.o_orderkey = t.o_orderkey"))
         t.read().write.mode("overwrite").format("noop").save()
 
+    def _copy_into_setup(spark, d):
+        import os as _os
+        import shutil as _shutil
+
+        li = spark.read.parquet(f"{d}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_quantity").cast("double").alias("l_quantity"))
+        root = entry._scratch("bench-copyinto").rsplit("/", 1)[0]
+        land = f"{root}/landing"
+        _os.makedirs(land, exist_ok=True)
+        for i in range(3):
+            tmp = f"{land}/_s{i}"
+            (li.where(F.col("l_orderkey") % 3 == i)
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = [f for f in _os.listdir(tmp)
+                    if f.endswith(".parquet")][0]
+            _os.replace(f"{tmp}/{part}", f"{land}/slice{i}.parquet")
+            _shutil.rmtree(tmp, ignore_errors=True)
+        t = DeltaSparkTable(spark, f"{root}/t")
+        # ledger pre-populated with 2 of the 3 landing files: the
+        # timed stage is one incremental run (discover + skip 2 +
+        # load 1)
+        t.copy_into([f"{land}/slice0.parquet", f"{land}/slice1.parquet"])
+        return t, land
+
+    def _copy_into_run(spark, ctx):
+        t, land = ctx
+        res = t.copy_into(land)
+        assert res["files_loaded"] == 1 and res["files_skipped"] == 2
+
+    def _log_cleanup_setup(spark, d):
+        od = spark.read.parquet(f"{d}/orders.parquet").select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        t = DeltaSparkTable(spark, entry._scratch("bench-logclean"))
+        for i in range(12):
+            t.write(od.where(F.col("o_orderkey") % 12 == i),
+                    WriteMode.error if i == 0 else WriteMode.append)
+        import time as _t
+        _t.sleep(0.02)
+        return t
+
+    def _log_cleanup_run(spark, t):
+        res = t.cleanup_metadata(retention_ms=0)
+        assert res["boundary_version"] == 10
+
     staged = {
+        "copy_into": (_copy_into_setup, _copy_into_run),
+        "log_cleanup": (_log_cleanup_setup, _log_cleanup_run),
         "bloom_point_lookup": (_bloom_setup, _bloom_run),
         "replace_where": (_rw_setup, _rw_run),
         "auto_compact_append": (_ac_setup, _ac_run),

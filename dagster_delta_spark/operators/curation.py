@@ -1013,6 +1013,114 @@ def quality_balanced_prune(
     )
 
 
+def unimax_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_docs: int = 701,
+    max_epochs: int = 2,
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): spread a total
+    document budget UNIFORMLY across languages, capping each language
+    at ``max_epochs`` passes over its data — the fairer alternative to
+    temperature sampling (no hyperparameter that over-epochs the
+    tail).  Integer variant, exact in both engines:
+
+    - per language ``l``: ``n_l`` docs, ``cap_l = n_l * max_epochs``;
+    - rank languages by ``(cap_l, lang)`` ascending; the CAPPED set is
+      the prefix where ``B - P_{i-1} >= cap_i * (L - i + 1)`` (``P`` =
+      cap prefix sum).  This closed form equals the sequential
+      "give each remaining language an equal share" fold because the
+      slack ``B - P_{i-1} - cap_i*(L-i+1)`` is non-increasing along
+      the ascending sort — the capped set is always a prefix;
+    - the ``L - k`` uncapped languages get ``q = (B - P_k) // (L-k)``
+      docs each, the first ``r = (B - P_k) % (L-k)`` of them (in rank
+      order) one extra — all integer arithmetic, so Spark and DuckDB
+      agree bit-for-bit;
+    - per doc: ``copies = alloc // n_l``, plus one for the
+      ``alloc % n_l`` docs ranked first by ``(md5(doc_id), doc_id)``
+      within the language (the deterministic-hash convention every
+      sampler here uses).
+
+    Output: every doc with ``(doc_id, lang, copies)`` — zero-copy docs
+    included so capped languages are auditable, like
+    ``temperature_mixture_sample``.
+
+    Scale shape: the water-filling runs on the languages frame (a few
+    hundred rows at any corpus size — the single-partition window is
+    bounded by design) and broadcasts back; the per-doc rank avoids a
+    per-language global sort via the ccnet two-level prefix-sum trick
+    (bucket by the md5's first 2 hex chars — a monotone split of the
+    order key — then offset + intra-bucket window), so the dominant
+    language never concentrates on one reducer."""
+    from pyspark.sql.window import Window
+
+    if budget_docs <= 0 or max_epochs <= 0:
+        raise ValueError("budget_docs and max_epochs must be positive")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    stats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    # --- water-filling over the tiny language frame ---
+    wl = Window.orderBy("cap", "lang")
+    wp = wl.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (
+        stats.withColumn("cap", F.col("n_l") * F.lit(max_epochs))
+        .withColumn("i", F.row_number().over(wl))
+        .withColumn("p_prev",
+                    F.coalesce(F.sum("cap").over(wp), F.lit(0)))
+    )
+    totals = ranked.agg(F.count(F.lit(1)).alias("n_langs"))
+    flagged = (
+        ranked.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "capped",
+            F.lit(budget_docs) - F.col("p_prev")
+            >= F.col("cap") * (F.col("n_langs") - F.col("i") + 1))
+    )
+    pool = flagged.agg(
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("k"),
+        F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(0))
+        .alias("p_k"),
+    )
+    alloc = (
+        flagged.withColumn("__b", F.lit(budget_docs))
+        .crossJoin(F.broadcast(pool))
+        .withColumn("free", F.col("n_langs") - F.col("k"))
+        .withColumn("q", F.expr("(__b - p_k) div greatest(free, 1)"))
+        .withColumn("r", F.expr("(__b - p_k) % greatest(free, 1)"))
+        .withColumn(
+            "alloc",
+            F.when(F.col("capped"), F.col("cap")).otherwise(
+                F.col("q")
+                + F.when(F.col("i") - F.col("k") <= F.col("r"),
+                         F.lit(1)).otherwise(F.lit(0))))
+        .select("lang", "n_l", "alloc")
+    )
+    # --- per-doc copies: two-level rank within language ---
+    bucketed = docs.withColumn("b2", F.substring("h", 1, 2))
+    counts = bucketed.groupBy("lang", "b2").agg(
+        F.count(F.lit(1)).alias("c"))
+    wo = (Window.partitionBy("lang").orderBy("b2")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(wo), F.lit(0)))
+    wi = Window.partitionBy("lang", "b2").orderBy("h", "doc_id")
+    return (
+        bucketed.withColumn("ir", F.row_number().over(wi) - F.lit(1))
+        .join(F.broadcast(offsets.select("lang", "b2", "off")),
+              ["lang", "b2"])
+        .join(F.broadcast(alloc), "lang")
+        .select(
+            "doc_id", "lang",
+            (F.expr("alloc div n_l")
+             + F.when(F.col("off") + F.col("ir") < F.col("alloc") % F.col("n_l"),
+                      F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("copies"),
+        )
+    )
+
+
 def token_budget_sample(
     spark: SparkSession, sf_dir: str, budget_tokens: int = 20_000,
     buckets: int = 1024,

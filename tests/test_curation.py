@@ -704,3 +704,48 @@ def test_near_dup_decontaminate_best_match_and_default_eval(spark, tmp_path):
     }
     assert out[2]["matched_eval_id"] == 3
     assert out[3]["jaccard"] == 1.0 and out[20]["jaccard"] == 1.0
+
+
+def test_unimax_sample_water_filling(spark):
+    """UniMax integer water-filling at sf0.01: fr/de hit the 2-epoch
+    cap, es/zh/en split the remainder uniformly with es (first
+    uncapped in rank order) taking the +1 — the closed form equals the
+    sequential fold."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark.operators.curation import unimax_sample
+
+    out = unimax_sample(spark, "/root/testdata/sf0.01",
+                        budget_docs=701, max_epochs=2)
+    per_lang = {
+        r["lang"]: (r["alloc"], r["n"])
+        for r in out.groupBy("lang").agg(
+            F.sum("copies").alias("alloc"),
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    # caps: fr 64*2=128, de 70*2=140 (both capped); uncapped get
+    # (701-268)//3 = 144, remainder 1 goes to es
+    assert per_lang["fr"][0] == 128 and per_lang["de"][0] == 140
+    assert per_lang["es"][0] == 145
+    assert per_lang["zh"][0] == 144 and per_lang["en"][0] == 144
+    # budget conserved exactly; every doc present (audit rows)
+    assert sum(a for a, _ in per_lang.values()) == 701
+    assert out.count() == 500
+    # per-language cap respected and copies bounded by max_epochs+...
+    assert out.agg(F.max("copies")).first()[0] <= 2
+    assert out.agg(F.min("copies")).first()[0] >= 0
+
+
+def test_unimax_sample_all_capped_and_validation(spark):
+    from dagster_delta_spark.operators.curation import unimax_sample
+    from pyspark.sql import functions as F
+
+    # a budget above total capacity: every language exhausts its cap
+    out = unimax_sample(spark, "/root/testdata/sf0.001",
+                        budget_docs=10**9, max_epochs=3)
+    per = out.groupBy("lang").agg(
+        F.sum("copies").alias("a"), F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["a"] == 3 * r["n"] for r in per)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        unimax_sample(spark, "/root/testdata/sf0.001", budget_docs=0)
