@@ -259,10 +259,22 @@ def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental MinHash-LSH bucket-index maintenance over CDC
-    (rows-only: xxhash64 banding is not DuckDB-expressible) — the
-    second index family on the build/maintain/audit pattern proven by
-    ``ann_index_maintain``.
+    """Incremental MinHash-LSH bucket-index maintenance over CDC —
+    the second index family on the build/maintain/audit pattern proven
+    by ``ann_index_maintain``.
+
+    ORACLE-BACKED since r11 via the portable md5 dial: the hash family
+    is an INDEX property recorded at build time
+    (``incremental.build_lsh_index(hash_family="portable")``;
+    maintenance resumes it from the index metadata like the banding
+    params), so a second build/fold/return pass runs the SAME
+    maintenance machinery under the cross-engine family and returns
+    the STORED index rows — the DuckDB twin recomputes
+    shingle -> 64-seed minhash -> 16-band buckets over the final base
+    contents, so a fold that dropped, doubled or mis-banded one
+    document breaks the hash match.  The production (xxhash64) path
+    keeps ALL its guards below, exactly the batch-LSH conversion
+    pattern (r10).
 
     Fixture: the documents corpus lands in a transactional table as
     two commits (2/3 bootstrap, 1/3 append).  ``build_lsh_index``
@@ -313,15 +325,17 @@ def lsh_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     else:
         raise AssertionError("maintenance silently folded a rewrite commit")
-    return (
-        index.read()
-        .groupBy("band")
-        .agg(
-            F.countDistinct("h").alias("n_buckets"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-        )
-        .orderBy("band")
-    )
+    # oracle leg: the same bootstrap-then-fold script under the
+    # portable family; the returned STORED rows must equal the twin's
+    # from-scratch recompute over the final base contents
+    base_p = DeltaSparkTable(spark, _scratch("lsh-base-p"))
+    index_p = DeltaSparkTable(spark, _scratch("lsh-idx-p"))
+    base_p.write(src.where("doc_id % 3 < 2"), WriteMode.error)
+    incremental.build_lsh_index(base_p, index_p, hash_family="portable")
+    base_p.write(src.where("doc_id % 3 = 2"), WriteMode.append)
+    incremental.maintain_lsh_index(base_p, index_p)
+    return index_p.read().select(
+        "doc_id", F.col("band").cast("int").alias("band"), "h")
 
 
 def pq_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4171,6 +4185,13 @@ def oracle_sql() -> dict[str, str]:
         # candidates, exact verify / component propagation) recomputed
         # in SQL
         "minhash_lsh_near_dups": _minhash_lsh_oracle_sql(),
+        # the maintained (bootstrap + CDC-fold) portable LSH index's
+        # STORED rows == a from-scratch recompute over the final base
+        # contents; production xxhash64 guards run first in-entry
+        "lsh_index_maintain": f"""
+            WITH {_portable_minhash_ctes()}
+            SELECT doc_id, band, h FROM lsh
+        """,
         "minhash_cluster_keep": _minhash_cluster_oracle_sql(),
         # cluster-level splits = the component oracle + the portable
         # md5 representative fingerprint + assign_splits' thresholds

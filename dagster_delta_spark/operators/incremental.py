@@ -386,16 +386,33 @@ def last_drift_audit(index: DeltaSparkTable) -> Optional[dict]:
     return None
 
 
-def _lsh_doc_buckets(docs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _lsh_doc_buckets(
+    docs: DataFrame, num_hashes: int, bands: int,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """(doc_id, text) -> LSH bucket membership (doc_id, band, h) via
     the SHARED shingle/signature/banding primitives (dedup.py), so the
     persisted index can never band differently from the batch
     operators or the streaming ingest filter.  Docs too short to
-    shingle (< 3 tokens) emit no rows on every path alike."""
-    from .dedup import _signatures_from_stream, band_buckets, shingles_of
+    shingle (< 3 tokens) emit no rows on every path alike.
+    ``hash_family`` swaps in the portable md5 dial
+    (``dedup.portable_hash_family`` — the oracle-recomputable family);
+    it is an INDEX property recorded at build time, never a per-call
+    choice, so one index can never mix families."""
+    from .dedup import (_signatures_from_stream, band_buckets,
+                        portable_hash_family, shingles_of)
 
-    sigs = _signatures_from_stream(shingles_of(docs), num_hashes)
-    return band_buckets(sigs, num_hashes, bands).select("doc_id", "band", "h")
+    base_hash = seed_hash = None
+    hash_sql = "xxhash64({x})"
+    if hash_family == "portable":
+        base_hash, seed_hash, hash_sql = portable_hash_family()
+    elif hash_family != "xxhash64":
+        raise ValueError(f"unknown LSH hash family {hash_family!r}")
+    sigs = _signatures_from_stream(
+        shingles_of(docs), num_hashes,
+        base_hash=base_hash, seed_hash=seed_hash)
+    return band_buckets(sigs, num_hashes, bands,
+                        hash_sql=hash_sql).select("doc_id", "band", "h")
 
 
 def build_lsh_index(
@@ -403,6 +420,7 @@ def build_lsh_index(
     index: DeltaSparkTable,
     num_hashes: int = 64,
     bands: int = 16,
+    hash_family: str = "xxhash64",
 ) -> int:
     """Bootstrap a persisted MinHash-LSH bucket index over a
     TRANSACTIONAL documents table — the durable counterpart of the
@@ -422,13 +440,14 @@ def build_lsh_index(
     # base_version, double-folding on the next maintain
     buckets = _lsh_doc_buckets(
         docs.read(version=head).select("doc_id", "text"),
-        num_hashes, bands)
+        num_hashes, bands, hash_family)
     index.write(
         buckets,
         commit_metadata={
             "base_version": str(head),
             "num_hashes": str(num_hashes),
             "bands": str(bands),
+            "hash_family": hash_family,
         },
     )
     return head
@@ -455,6 +474,7 @@ def maintain_lsh_index(
     v0 = v_meta if since_version is None else since_version
     num_hashes = int(meta.get("num_hashes", 64))
     bands = int(meta.get("bands", 16))
+    hash_family = meta.get("hash_family", "xxhash64")
     head = docs.version()
     if head <= v0:
         return v0
@@ -464,12 +484,13 @@ def maintain_lsh_index(
     # crash between the two refolds idempotently (re-deleting is a
     # no-op, the append never happened).  Copy-rewrites still raise.
     ins, dels = _split_row_changes(docs, v0, head)
-    params = {"num_hashes": str(num_hashes), "bands": str(bands)}
+    params = {"num_hashes": str(num_hashes), "bands": str(bands),
+              "hash_family": hash_family}
     removed = _apply_index_deletions(index, dels.select("doc_id"),
                                      "doc_id")
     # pinned: isEmpty() and the staged write share one banding pass
     buckets = _lsh_doc_buckets(
-        ins.select("doc_id", "text"), num_hashes, bands
+        ins.select("doc_id", "text"), num_hashes, bands, hash_family
     ).localCheckpoint(eager=True)
     if buckets.isEmpty():
         if removed:
@@ -496,7 +517,8 @@ def lsh_index_vs_rebuild(
     _, meta = _resume_version(index)
     fresh = _lsh_doc_buckets(
         docs.read().select("doc_id", "text"),
-        int(meta.get("num_hashes", 64)), int(meta.get("bands", 16)))
+        int(meta.get("num_hashes", 64)), int(meta.get("bands", 16)),
+        meta.get("hash_family", "xxhash64"))
     stored = index.read().select("doc_id", "band", "h")
     return fresh.exceptAll(stored).withColumn("side", F.lit("missing")) \
         .unionByName(

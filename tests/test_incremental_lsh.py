@@ -145,3 +145,41 @@ def test_lsh_index_maintain_entry_guard_fires(spark, monkeypatch):
     monkeypatch.setattr(incr, "maintain_lsh_index", tampering)
     with pytest.raises(AssertionError, match="diverged"):
         entry.lsh_index_maintain(spark, sf)
+
+
+def test_lsh_index_hash_family_is_an_index_property(spark, tmp_path):
+    """A portable-built index resumes the portable family from its own
+    metadata — maintenance can never mix hash families, and the
+    rebuild audit re-derives under the recorded family."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark.operators import incremental
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[F.concat(F.lit(f"w{j}x"),
+                                    (F.col("id") % 7).cast("string"))
+                           for j in range(6)]).alias("text"))
+    base = DeltaSparkTable(spark, str(tmp_path / "b"))
+    idx = DeltaSparkTable(spark, str(tmp_path / "i"))
+    base.write(docs.where("doc_id < 25"), WriteMode.error)
+    incremental.build_lsh_index(base, idx, num_hashes=8, bands=4,
+                                hash_family="portable")
+    base.write(docs.where("doc_id >= 25"), WriteMode.append)
+    incremental.maintain_lsh_index(base, idx)
+    # the fold used the recorded family: rebuild parity holds under it
+    assert incremental.lsh_index_vs_rebuild(base, idx).count() == 0
+    # and the folded rows really are md5-derived (a portable h equals
+    # the PORTABLE_H64 recompute of its own banding; spot-check via
+    # a direct recompute of the full membership)
+    from dagster_delta_spark.operators.incremental import _lsh_doc_buckets
+    fresh = _lsh_doc_buckets(base.read(), 8, 4, "portable")
+    assert fresh.exceptAll(
+        idx.read().select("doc_id", "band", "h")).count() == 0
+
+    # unknown family refuses at build time
+    import pytest as _pt
+    idx2 = DeltaSparkTable(spark, str(tmp_path / "i2"))
+    with _pt.raises(ValueError, match="hash family"):
+        incremental.build_lsh_index(base, idx2, hash_family="sha9")
