@@ -192,8 +192,20 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental IVF index maintenance over CDC (rows-only: k-means
-    cell assignments are not SQL-expressible).
+    """Incremental IVF index maintenance over CDC.
+
+    ORACLE-BACKED since r11: the assignment family is an INDEX
+    property recorded at build time
+    (``incremental.build_ivf_index(assignment="portable")`` — the LSH
+    ``hash_family`` pattern), so after the production guards below a
+    second bootstrap-then-fold pass runs the SAME maintenance
+    machinery under the portable dial (md5-ordered k-means init, one
+    ordered-fold Lloyd round, exact rounded-cosine assignment) and
+    returns the STORED inverted list; the DuckDB twin retrains on the
+    bootstrap subset and re-assigns the full final corpus, so a fold
+    that dropped, doubled or mis-assigned one vector breaks the hash
+    match.  Production (xxhash64 k-means + Arrow matmul) keeps ALL
+    its guards.
 
     Fixture: the embeddings corpus lands in a transactional table as
     two commits (2/3 bootstrap, 1/3 append).  ``build_ivf_index``
@@ -203,8 +215,7 @@ def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     never rescanned (at 100 TB the full re-assign per arrival is the
     dominant recurring ANN cost this replaces).
 
-    Self-falsifying guards (r7 convention) — a rows-only record
-    certifies behavior, not just row production:
+    Production guards (r7 convention):
 
     1. *exact rebuild parity*: the maintained inverted list equals a
        from-scratch assignment of the full snapshot against the same
@@ -213,11 +224,7 @@ def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. *delta-only fold*: the maintenance commit appends exactly the
        newly-arrived vectors;
     3. *rewrite refusal*: an overwrite on the base must raise — a
-       silent fold would leave ghost vectors in the inverted list.
-
-    Output: per-cell occupancy split into bootstrap vs delta
-    contributions (deterministic: hash-seeded k-means init over a
-    fixed corpus)."""
+       silent fold would leave ghost vectors in the inverted list."""
     emb_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding")
     base = DeltaSparkTable(spark, _scratch("ann-base"))
@@ -246,16 +253,18 @@ def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     else:
         raise AssertionError("maintenance silently folded a rewrite commit")
-    return (
-        index.read()
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.when(F.col("vec_id") % 3 == 2, 1).otherwise(0))
-            .cast("long").alias("n_from_delta"),
-        )
-        .orderBy("cell")
-    )
+    # oracle leg: the same bootstrap-then-fold script under the
+    # portable family; the returned STORED inverted list must equal
+    # the twin's retrain-on-bootstrap + assign-final recompute
+    base_p = DeltaSparkTable(spark, _scratch("ann-base-p"))
+    index_p = DeltaSparkTable(spark, _scratch("ann-ivf-p"))
+    base_p.write(emb_src.where("vec_id % 3 < 2"), WriteMode.error)
+    incremental.build_ivf_index(base_p, index_p, n_cells=8, iters=1,
+                                assignment="portable")
+    base_p.write(emb_src.where("vec_id % 3 = 2"), WriteMode.append)
+    incremental.maintain_ivf_index(base_p, index_p)
+    return index_p.read().select(
+        "vec_id", F.col("cell").cast("int").alias("cell"))
 
 
 def lsh_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3286,6 +3295,72 @@ _KM_CTE = f"""emb AS (
             )"""
 
 
+def _ivf_maint_oracle_sql() -> str:
+    """DuckDB twin of the converted ``ann_index_maintain``: retrain
+    the portable k-means on the BOOTSTRAP subset (vec_id % 3 < 2 —
+    exactly what ``build_ivf_index(assignment="portable")`` saw at
+    v0), then assign the FULL final corpus against those centroids —
+    build assigned the bootstrap and maintenance assigned the delta
+    against the same stored model, so the union equals one global
+    assignment."""
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, embedding,
+                   {_NORM_DUCK.format(a='embedding')} AS norm
+            FROM embeddings
+            WHERE {_NORM_DUCK.format(a='embedding')} > 0
+        ), tr AS (
+            SELECT * FROM emb WHERE vec_id % 3 < 2
+        ), hashed AS (
+            SELECT vec_id, embedding, norm,
+                   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                   1, 15))::BIGINT AS h
+            FROM tr
+        ), init AS (
+            SELECT row_number() OVER (ORDER BY h, vec_id) AS cell,
+                   embedding AS c_emb, norm AS c_norm
+            FROM hashed
+            QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 8
+        ), a0 AS (
+            SELECT e.vec_id, e.embedding, e.norm, c.cell,
+                   round(({_DOT_DUCK.format(a='c.c_emb',
+                                            b='e.embedding')})
+                         / (e.norm * c.c_norm), 9) AS cos
+            FROM tr e CROSS JOIN init c
+        ), s0 AS (
+            SELECT vec_id, embedding, norm, cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY cos DESC, cell) AS rn
+                FROM a0
+            ) WHERE rn = 1
+        ), upd AS (
+            SELECT cell, i AS dim,
+                   round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS mean_v
+            FROM s0, unnest(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY cell, i
+        ), c1 AS (
+            SELECT cell, list(mean_v ORDER BY dim) AS c_emb
+            FROM upd GROUP BY cell
+        ), c1n AS (
+            SELECT cell, c_emb, {_NORM_DUCK.format(a='c_emb')} AS c_norm
+            FROM c1
+        ), af AS (
+            SELECT e.vec_id, c.cell,
+                   round(({_DOT_DUCK.format(a='c.c_emb',
+                                            b='e.embedding')})
+                         / (e.norm * c.c_norm), 9) AS cos
+            FROM emb e CROSS JOIN c1n c
+        )
+        SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY cos DESC, cell) AS rn
+            FROM af
+        ) WHERE rn = 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     dot = (
         "list_sum(list_transform(range(1, len({a}) + 1), "
@@ -4185,6 +4260,10 @@ def oracle_sql() -> dict[str, str]:
         # candidates, exact verify / component propagation) recomputed
         # in SQL
         "minhash_lsh_near_dups": _minhash_lsh_oracle_sql(),
+        # the maintained (bootstrap + CDC-fold) portable IVF index's
+        # STORED inverted list == retrain-on-bootstrap + assign-final;
+        # production matmul guards run first in-entry
+        "ann_index_maintain": _ivf_maint_oracle_sql(),
         # the maintained (bootstrap + CDC-fold) portable LSH index's
         # STORED rows == a from-scratch recompute over the final base
         # contents; production xxhash64 guards run first in-entry

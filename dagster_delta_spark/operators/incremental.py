@@ -539,6 +539,7 @@ def build_ivf_index(
     n_cells: Optional[int] = None,
     iters: int = 1,
     train_sample_mod: int = 1,
+    assignment: str = "matmul",
 ) -> int:
     """Bootstrap an IVF index over a TRANSACTIONAL embeddings table:
     train the coarse quantizer on the current snapshot
@@ -551,9 +552,27 @@ def build_ivf_index(
     ``n_cells=None`` applies the same ``1.5*sqrt(n)`` sizing rule as
     the parquet-corpus path (``_auto_cells``).  Returns the processed
     base version.  Zero-norm embeddings are excluded exactly as every
-    query path excludes them (``_with_norm``)."""
-    from .similarity import _assign_cells, _with_norm, kmeans_centroids
+    query path excludes them (``_with_norm``).
 
+    ``assignment`` is an INDEX property recorded at build time (the
+    LSH ``hash_family`` pattern): ``"matmul"`` (default) trains with
+    the production xxhash64-seeded k-means and assigns via the
+    Arrow-batched float64 matmul — the scale path; ``"portable"``
+    trains and assigns with the cross-engine dial
+    (``_portable_centroids_from`` + ``_assign_cells_exact``: md5 init
+    order, ordered-fold cosines rounded to 9) so the STORED index is
+    SQL-recomputable — the oracle dial, never the scale path.
+    Maintenance and the rebuild audit resume the recorded family."""
+    from .similarity import (
+        _assign_cells,
+        _assign_cells_exact,
+        _portable_centroids_from,
+        _with_norm,
+        kmeans_centroids,
+    )
+
+    if assignment not in ("matmul", "portable"):
+        raise ValueError(f"unknown IVF assignment family {assignment!r}")
     head = emb.version()
     vectors = _with_norm(
         emb.read(version=head).select("vec_id", "embedding"))
@@ -562,11 +581,17 @@ def build_ivf_index(
 
         n = vectors.count()
         n_cells = max(4, min(65536, int(round(1.5 * math.sqrt(max(n, 1))))))
-    cents = kmeans_centroids(vectors, n_cells, iters, train_sample_mod)
-    meta = {"base_version": str(head), "n_cells": str(n_cells)}
+    if assignment == "portable":
+        cents = _portable_centroids_from(vectors, n_cells, iters)
+        assigned = _assign_cells_exact(vectors, cents)
+    else:
+        cents = kmeans_centroids(vectors, n_cells, iters, train_sample_mod)
+        assigned = _assign_cells(vectors, cents)
+    meta = {"base_version": str(head), "n_cells": str(n_cells),
+            "assignment": assignment}
     _ivf_centroids_table(index).write(cents, commit_metadata=meta)
     index.write(
-        _assign_cells(vectors, cents).select("vec_id", "cell"),
+        assigned.select("vec_id", "cell"),
         commit_metadata=meta,
     )
     return head
@@ -604,7 +629,7 @@ def maintain_ivf_index(
     audit commit (read them back with ``last_drift_audit``).
 
     Returns the new processed base version."""
-    from .similarity import _assign_cells, _with_norm
+    from .similarity import _assign_cells, _assign_cells_exact, _with_norm
 
     index_start = index.version()  # BEFORE the resume read (see
     # _check_single_maintainer: no interleave escapes the interval)
@@ -613,6 +638,12 @@ def maintain_ivf_index(
         since_version = v_meta
     # fold counter since bootstrap/rebuild (build commits carry none)
     fold_idx = int(meta.get("fold_idx", "0")) + 1
+    # the assignment family is an index property (recorded at build,
+    # threaded through every fold commit) — one index never mixes the
+    # matmul and portable assignment rules
+    assign_family = meta.get("assignment", "matmul")
+    assign_fn = (_assign_cells_exact if assign_family == "portable"
+                 else _assign_cells)
     head = emb.version()
     if head <= since_version:
         return since_version
@@ -621,13 +652,14 @@ def maintain_ivf_index(
                                      "vec_id")
     cents = _ivf_centroids_table(index).read()
     # pinned: isEmpty() and the staged write share one assignment pass
-    assigned = _assign_cells(
+    assigned = assign_fn(
         _with_norm(ins.select("vec_id", "embedding")), cents
     ).select("vec_id", "cell").localCheckpoint(eager=True)
     if assigned.isEmpty():
         if removed:
             marker_v = _advance_base_version(
-                index, head, {"fold_idx": str(fold_idx)})
+                index, head, {"fold_idx": str(fold_idx),
+                              "assignment": assign_family})
             _check_single_maintainer(index, index_start, marker_v)
             _maybe_drift_audit(emb, index, "ivf", fold_idx,
                                audit_every, head)
@@ -637,7 +669,8 @@ def maintain_ivf_index(
         assigned,
         WriteMode.append,
         commit_metadata={"base_version": str(head),
-                         "fold_idx": str(fold_idx)},
+                         "fold_idx": str(fold_idx),
+                         "assignment": assign_family},
     )
     _check_single_maintainer(index, index_start, int(res["version"]))
     _maybe_drift_audit(emb, index, "ivf", fold_idx, audit_every, head)
@@ -891,9 +924,13 @@ def ivf_index_vs_rebuild(
     two disagree.  Empty result == the incrementally-maintained index
     is exactly the index a from-scratch assignment would build over
     the same centroids."""
-    from .similarity import _assign_cells, _with_norm
+    from .similarity import _assign_cells, _assign_cells_exact, _with_norm
 
-    fresh = _assign_cells(
+    _, meta = _resume_version(index)
+    assign_fn = (_assign_cells_exact
+                 if meta.get("assignment", "matmul") == "portable"
+                 else _assign_cells)
+    fresh = assign_fn(
         _with_norm(emb.read().select("vec_id", "embedding")),
         _ivf_centroids_table(index).read(),
     ).select("vec_id", F.col("cell").alias("fresh_cell"))

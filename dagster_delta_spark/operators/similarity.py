@@ -1636,19 +1636,30 @@ def _portable_centroids(
     spark: SparkSession, sf_dir: str, n_cells: int, train_iters: int,
 ) -> tuple[DataFrame, DataFrame]:
     """(non-zero-norm corpus, trained centroids) for the portable
-    k-means dial: portable-md5 init order, ordered-fold assignment
-    cosines rounded to 9 pre-argmax, Lloyd means rounded to 9 — every
-    number either bit-identical cross-engine or quantized at the
-    repo's 9-decimal convention, so a DuckDB twin unrolling the same
-    iterations lands on the same model."""
+    k-means dial over the parquet embeddings corpus — delegates to
+    :func:`_portable_centroids_from`, the frame-level core the
+    CDC-maintained IVF index's portable dial also trains with."""
+    emb = _with_norm(load(spark, sf_dir, "embeddings")).where(
+        F.col("norm") > 0)
+    return emb, _portable_centroids_from(emb, n_cells, train_iters)
+
+
+def _portable_centroids_from(
+    emb: DataFrame, n_cells: int, train_iters: int,
+) -> DataFrame:
+    """Trained centroids for the portable k-means dial over an
+    arbitrary ``(vec_id, embedding, norm)`` frame (zero-norm rows
+    already excluded): portable-md5 init order, ordered-fold
+    assignment cosines rounded to 9 pre-argmax, Lloyd means rounded to
+    9 — every number either bit-identical cross-engine or quantized at
+    the repo's 9-decimal convention, so a DuckDB twin unrolling the
+    same iterations lands on the same model."""
     from pyspark.sql.window import Window
 
     from .dedup import PORTABLE_H64
 
     if train_iters < 0:
         raise ValueError(f"train_iters must be >= 0, got {train_iters}")
-    emb = _with_norm(load(spark, sf_dir, "embeddings")).where(
-        F.col("norm") > 0)
     h = F.expr(PORTABLE_H64.format(x="CAST(vec_id AS STRING)"))
     cents = (
         emb.withColumn("h", h)
@@ -1679,7 +1690,7 @@ def _portable_centroids(
             .withColumn("c_norm", F.expr(NORM.format(a="c_emb")))
             .localCheckpoint()
         )
-    return emb, cents
+    return cents
 
 
 def _portable_probes(

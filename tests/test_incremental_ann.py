@@ -259,3 +259,41 @@ def test_concurrent_index_maintenance_detected(spark, tmp_path, monkeypatch):
         maintain_ivf_index(emb, index)
     monkeypatch.undo()
     assert ivf_index_vs_rebuild(emb, index).count() > 0  # duplicates
+
+
+def test_ivf_assignment_family_is_an_index_property(spark, tmp_path):
+    """A portable-built IVF index folds and audits under the portable
+    assignment rule resumed from its own metadata — one index never
+    mixes the matmul and exact-rounded-cosine families."""
+    from pyspark.sql import functions as F
+    import pytest as _pt
+
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark.operators import incremental
+
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (3 + j) + F.lit(j)).cast("float")
+                  for j in range(4)]).alias("embedding"))
+    base = DeltaSparkTable(spark, str(tmp_path / "b"))
+    idx = DeltaSparkTable(spark, str(tmp_path / "i"))
+    base.write(emb.where("vec_id < 40"), WriteMode.error)
+    incremental.build_ivf_index(base, idx, n_cells=4, iters=1,
+                                assignment="portable")
+    base.write(emb.where("vec_id >= 40"), WriteMode.append)
+    incremental.maintain_ivf_index(base, idx)
+    # rebuild parity under the RECORDED family (exact assignment)
+    assert incremental.ivf_index_vs_rebuild(base, idx).count() == 0
+    # the fold really used the exact rule: recompute directly
+    from dagster_delta_spark.operators.similarity import (
+        _assign_cells_exact, _with_norm)
+    cents = incremental._ivf_centroids_table(idx).read()
+    fresh = _assign_cells_exact(
+        _with_norm(base.read().select("vec_id", "embedding")), cents
+    ).select("vec_id", "cell")
+    assert fresh.exceptAll(idx.read().select("vec_id", "cell")).count() == 0
+
+    with _pt.raises(ValueError, match="assignment family"):
+        incremental.build_ivf_index(
+            base, DeltaSparkTable(spark, str(tmp_path / "i2")),
+            assignment="approximate")
