@@ -348,11 +348,23 @@ def lsh_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental PQ code-index maintenance over CDC (rows-only:
-    codebook k-means is not SQL-expressible) — the THIRD index family
-    on the build/maintain/audit pattern (IVF inverted lists, LSH
-    buckets, now PQ codes: the compressed scan structure
+    """Incremental PQ code-index maintenance over CDC — the THIRD
+    index family on the build/maintain/audit pattern (IVF inverted
+    lists, LSH buckets, now PQ codes: the compressed scan structure
     ``ivf_pq_topk`` probes).
+
+    ORACLE-BACKED since r11 by the recorded-family pattern (LSH
+    hash_family / IVF assignment): ``build_pq_index(family=
+    "portable")`` trains long-format portable codebooks
+    (``_portable_pq_train``: md5-ordered init, Lloyd under ordered-
+    fold L2 rounded to 9) and packs the portable assignment into the
+    SAME (vec_id, codes array<tinyint>) storage shape; maintenance
+    and the rebuild audit resume the family from the index metadata.
+    After the production guards below, a second bootstrap-then-fold
+    pass runs portable and returns the stored codes EXPLODED to
+    (vec_id, subspace, code); the DuckDB twin retrains on the
+    bootstrap subset and encodes the full final corpus — a fold that
+    dropped, doubled or mis-coded one vector breaks the hash match.
 
     Fixture: the embeddings corpus lands in a transactional table as
     two commits (2/3 bootstrap, 1/3 append).  ``build_pq_index``
@@ -360,7 +372,7 @@ def pq_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     at v0; ``maintain_pq_index`` folds the v1 append by encoding ONLY
     the new vectors against the STORED codebooks.
 
-    Self-falsifying guards:
+    Production guards:
 
     1. *exact rebuild parity*: the maintained code table equals a
        from-scratch encode of the full snapshot against the same
@@ -368,10 +380,7 @@ def pq_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. *delta-only fold*: the maintenance commit appends exactly the
        newly-arrived vectors;
     3. *rewrite refusal*: an overwrite on the base must raise — ghost
-       codes would corrupt every ADC scan.
-
-    Output: occupancy of subspace 0's codewords split bootstrap vs
-    delta (deterministic: hash-sampled codebook training)."""
+       codes would corrupt every ADC scan."""
     emb_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding")
     base = DeltaSparkTable(spark, _scratch("pq-base"))
@@ -400,16 +409,20 @@ def pq_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     else:
         raise AssertionError("maintenance silently folded a rewrite commit")
-    return (
-        index.read()
-        .groupBy(F.element_at("codes", 1).cast("int").alias("code0"))
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.when(F.col("vec_id") % 3 == 2, 1).otherwise(0))
-            .cast("long").alias("n_from_delta"),
-        )
-        .orderBy("code0")
-    )
+    # oracle leg: the same bootstrap-then-fold script under the
+    # portable family; the returned STORED codes must equal the
+    # twin's retrain-on-bootstrap + encode-final recompute
+    base_p = DeltaSparkTable(spark, _scratch("pq-base-p"))
+    index_p = DeltaSparkTable(spark, _scratch("pq-idx-p"))
+    base_p.write(emb_src.where("vec_id % 3 < 2"), WriteMode.error)
+    incremental.build_pq_index(base_p, index_p, m=8, nbits=4, iters=1,
+                               family="portable")
+    base_p.write(emb_src.where("vec_id % 3 = 2"), WriteMode.append)
+    incremental.maintain_pq_index(base_p, index_p)
+    return index_p.read().select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    ).select("vec_id", "subspace",
+             F.col("code").cast("int").alias("code"))
 
 
 def streaming_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3361,6 +3374,79 @@ def _ivf_maint_oracle_sql() -> str:
     """
 
 
+def _pq_maint_oracle_sql() -> str:
+    """DuckDB twin of the converted ``pq_index_maintain``: retrain the
+    portable PQ codebooks on the BOOTSTRAP subset (vec_id % 3 < 2 —
+    what ``build_pq_index(family="portable")`` saw at v0, one Lloyd
+    round under ordered-fold L2 rounded to 9, emptied codes keep their
+    init codewords), then encode the FULL final corpus against them —
+    build encoded the bootstrap, maintenance the delta, against the
+    same stored codebooks, so the union equals one global encode."""
+    l2 = ("round(list_sum(list_transform(range(1, len(s.svec) + 1), "
+          "i -> (s.svec[i] - c.cvec[i]) * (s.svec[i] - c.cvec[i]))), 9)")
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, embedding,
+                   {_NORM_DUCK.format(a='embedding')} AS norm
+            FROM embeddings
+            WHERE {_NORM_DUCK.format(a='embedding')} > 0
+        ), sv AS (
+            SELECT vec_id, j AS subspace,
+                   list_transform(embedding[j * 8 + 1 : j * 8 + 8],
+                                  x -> CAST(x AS DOUBLE) / norm) AS svec
+            FROM emb, unnest(range(0, 8)) AS t(j)
+        ), tr AS (
+            SELECT vec_id FROM emb WHERE vec_id % 3 < 2
+        ), svt AS (
+            SELECT s.* FROM sv s JOIN tr USING (vec_id)
+        ), hashed AS (
+            SELECT e.vec_id,
+                   ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)),
+                                   1, 15))::BIGINT AS h
+            FROM emb e JOIN tr USING (vec_id)
+        ), ini AS (
+            SELECT row_number() OVER (ORDER BY h, vec_id) AS code,
+                   vec_id
+            FROM hashed
+            QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16
+        ), cb0 AS (
+            SELECT s.subspace, i.code, s.svec AS cvec
+            FROM ini i JOIN svt s ON s.vec_id = i.vec_id
+        ), asg0 AS (
+            SELECT vec_id, subspace, code FROM (
+                SELECT s.vec_id, s.subspace, c.code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.subspace
+                           ORDER BY {l2} ASC, c.code ASC) AS rn
+                FROM svt s JOIN cb0 c USING (subspace)
+            ) WHERE rn = 1
+        ), updp AS (
+            SELECT a.subspace, a.code, i AS dim,
+                   round(avg(s.svec[i]), 9) AS mean_v
+            FROM asg0 a
+            JOIN svt s USING (vec_id, subspace),
+                 unnest(range(1, 9)) AS t(i)
+            GROUP BY a.subspace, a.code, i
+        ), cb1 AS (
+            SELECT c0.subspace, c0.code,
+                   coalesce(u.cvec, c0.cvec) AS cvec
+            FROM cb0 c0 LEFT JOIN (
+                SELECT subspace, code,
+                       list(mean_v ORDER BY dim) AS cvec
+                FROM updp GROUP BY subspace, code) u
+              ON u.subspace = c0.subspace AND u.code = c0.code
+        )
+        SELECT vec_id, CAST(subspace AS INT) AS subspace,
+               CAST(code AS INT) AS code FROM (
+            SELECT s.vec_id, s.subspace, c.code,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.subspace
+                       ORDER BY {l2} ASC, c.code ASC) AS rn
+            FROM sv s JOIN cb1 c USING (subspace)
+        ) WHERE rn = 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     dot = (
         "list_sum(list_transform(range(1, len({a}) + 1), "
@@ -4264,6 +4350,10 @@ def oracle_sql() -> dict[str, str]:
         # STORED inverted list == retrain-on-bootstrap + assign-final;
         # production matmul guards run first in-entry
         "ann_index_maintain": _ivf_maint_oracle_sql(),
+        # the maintained (bootstrap + CDC-fold) portable PQ index's
+        # STORED codes == retrain-on-bootstrap + encode-final;
+        # production numpy-codebook guards run first in-entry
+        "pq_index_maintain": _pq_maint_oracle_sql(),
         # the maintained (bootstrap + CDC-fold) portable LSH index's
         # STORED rows == a from-scratch recompute over the final base
         # contents; production xxhash64 guards run first in-entry

@@ -691,6 +691,7 @@ def build_pq_index(
     iters: int = 8,
     train_sample_mod: int = 1,
     sample_cap: int = 8192,
+    family: str = "numpy",
 ) -> int:
     """Bootstrap a product-quantization code index over a
     TRANSACTIONAL embeddings table: learn per-subspace codebooks on
@@ -699,21 +700,48 @@ def build_pq_index(
     the processed base version and the quantization params in the
     commit metadata — the third index family on the
     build/maintain/audit contract (IVF inverted lists, LSH buckets,
-    PQ codes).  Returns the processed base version."""
+    PQ codes).  Returns the processed base version.
+
+    ``family`` is an INDEX property (the LSH/IVF recorded-family
+    pattern): ``"numpy"`` (default) is the production path —
+    driver-sample numpy k-means codebooks + the Arrow-batched matmul
+    encode; ``"portable"`` trains and encodes with the cross-engine
+    dial (``_portable_pq_train`` / ``_portable_pq_assign`` on the
+    FULL snapshot, ``pq_k = 2**nbits`` codes numbered from 1, L2
+    rounded to 9) so the stored codes are SQL-recomputable — the
+    oracle dial, never the scale path.  Maintenance and the rebuild
+    audit resume the recorded family."""
     from .similarity import (
         _codebooks_to_rows,
         _learn_pq_codebooks,
+        _pack_portable_codes,
+        _portable_pq_train,
+        _portable_subvectors,
         _pq_encode,
         _pq_sample_matrix,
         _with_norm,
     )
 
+    if family not in ("numpy", "portable"):
+        raise ValueError(f"unknown PQ family {family!r}")
     head = emb.version()
     vectors = _with_norm(
         emb.read(version=head).select("vec_id", "embedding"))
+    meta = {"base_version": str(head), "m": str(m), "nbits": str(nbits),
+            "family": family}
+    if family == "portable":
+        sv = _portable_subvectors(vectors, m)
+        cb_df = _portable_pq_train(vectors, sv, 2 ** nbits, iters)
+        _pq_codebooks_table(index).write(
+            cb_df.select("subspace", "code",
+                         F.col("cvec").alias("vals")),
+            commit_metadata=meta,
+        )
+        index.write(_pack_portable_codes(sv, cb_df, m),
+                    commit_metadata=meta)
+        return head
     x = _pq_sample_matrix(vectors, train_sample_mod, sample_cap)
     cb = _learn_pq_codebooks(x, m, nbits, iters)
-    meta = {"base_version": str(head), "m": str(m), "nbits": str(nbits)}
     _pq_codebooks_table(index).write(
         emb.spark.createDataFrame(
             _codebooks_to_rows(cb),
@@ -743,28 +771,46 @@ def maintain_pq_index(
     ``pq_index_drift`` every Nth fold and records the scalars (see
     ``maintain_ivf_index``).  Returns the new processed base
     version."""
-    from .similarity import _codebooks_from_rows, _pq_encode, _with_norm
+    from .similarity import (
+        _codebooks_from_rows,
+        _pack_portable_codes,
+        _portable_subvectors,
+        _pq_encode,
+        _with_norm,
+    )
 
     index_start = index.version()  # BEFORE the resume read (see
     # _check_single_maintainer: no interleave escapes the interval)
     v_meta, meta = _resume_version(index)
     v0 = v_meta if since_version is None else since_version
     fold_idx = int(meta.get("fold_idx", "0")) + 1
+    # the encode family is an index property (recorded at build) —
+    # one index never mixes numpy-matmul and portable-L2 codes
+    family = meta.get("family", "numpy")
     head = emb.version()
     if head <= v0:
         return v0
     ins, dels = _split_row_changes(emb, v0, head)
     removed = _apply_index_deletions(index, dels.select("vec_id"),
                                      "vec_id")
-    cb = _codebooks_from_rows(_pq_codebooks_table(index).read().collect())
+    delta = _with_norm(ins.select("vec_id", "embedding"))
     # pinned: isEmpty() and the staged write share one encode pass
-    enc = _pq_encode(
-        _with_norm(ins.select("vec_id", "embedding")), cb
-    ).localCheckpoint(eager=True)
+    if family == "portable":
+        m = int(meta.get("m", "8"))
+        cb_df = _pq_codebooks_table(index).read().select(
+            "subspace", "code", F.col("vals").alias("cvec"))
+        enc = _pack_portable_codes(
+            _portable_subvectors(delta, m), cb_df, m,
+        ).localCheckpoint(eager=True)
+    else:
+        cb = _codebooks_from_rows(
+            _pq_codebooks_table(index).read().collect())
+        enc = _pq_encode(delta, cb).localCheckpoint(eager=True)
+    params = {"fold_idx": str(fold_idx), "family": family,
+              "m": meta.get("m", "8"), "nbits": meta.get("nbits", "4")}
     if enc.isEmpty():
         if removed:
-            marker_v = _advance_base_version(
-                index, head, {"fold_idx": str(fold_idx)})
+            marker_v = _advance_base_version(index, head, params)
             _check_single_maintainer(index, index_start, marker_v)
             _maybe_drift_audit(emb, index, "pq", fold_idx,
                                audit_every, head)
@@ -772,8 +818,7 @@ def maintain_pq_index(
     res = index.write(
         enc,
         WriteMode.append,
-        commit_metadata={"base_version": str(head),
-                         "fold_idx": str(fold_idx)},
+        commit_metadata={"base_version": str(head), **params},
     )
     _check_single_maintainer(index, index_start, int(res["version"]))
     _maybe_drift_audit(emb, index, "pq", fold_idx, audit_every, head)
@@ -892,12 +937,27 @@ def pq_index_vs_rebuild(
     (or that exists on only one side).  Empty == the incrementally-
     maintained code table is exactly what a from-scratch encode would
     produce over the same codebooks."""
-    from .similarity import _codebooks_from_rows, _pq_encode, _with_norm
+    from .similarity import (
+        _codebooks_from_rows,
+        _pack_portable_codes,
+        _portable_subvectors,
+        _pq_encode,
+        _with_norm,
+    )
 
-    cb = _codebooks_from_rows(_pq_codebooks_table(index).read().collect())
-    fresh = _pq_encode(
-        _with_norm(emb.read().select("vec_id", "embedding")), cb
-    ).select("vec_id", F.col("codes").alias("fresh_codes"))
+    _, meta = _resume_version(index)
+    vectors = _with_norm(emb.read().select("vec_id", "embedding"))
+    if meta.get("family", "numpy") == "portable":
+        m = int(meta.get("m", "8"))
+        cb_df = _pq_codebooks_table(index).read().select(
+            "subspace", "code", F.col("vals").alias("cvec"))
+        fresh = _pack_portable_codes(
+            _portable_subvectors(vectors, m), cb_df, m)
+    else:
+        cb = _codebooks_from_rows(
+            _pq_codebooks_table(index).read().collect())
+        fresh = _pq_encode(vectors, cb)
+    fresh = fresh.select("vec_id", F.col("codes").alias("fresh_codes"))
     # multiplicity-aware (r9): a double-folded delta leaves duplicate
     # rows whose values all LOOK right — an equality join alone is
     # blind to them, so the audit groups the stored side and flags

@@ -1320,6 +1320,117 @@ def ivf_quantized_topk_portable(
     return _topk(scored, k)
 
 
+def _portable_subvectors(emb: DataFrame, m: int) -> DataFrame:
+    """Normalized subvectors in LONG format — ``(vec_id, subspace,
+    svec)`` — for the portable PQ dial (subspace is data, so the
+    DuckDB twins need no per-subspace unrolling).  An empty input
+    (compaction-only maintenance delta) yields an empty frame with
+    the right schema — the slicing width is irrelevant with no rows."""
+    head_row = emb.select("embedding").head()
+    d = len(head_row["embedding"]) if head_row is not None else m
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+    return emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {m - 1}), j -> "
+            f"transform(slice(embedding, j * {dsub} + 1, {dsub}), "
+            f"x -> CAST(x AS DOUBLE) / norm))"
+        )).alias("subspace", "svec"),
+    )
+
+
+def _portable_pq_assign(sv: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment under the portable rule: ordered-
+    fold L2 rounded to 9 pre-argmin, ties to the smallest code —
+    ``(vec_id, subspace, code)``."""
+    from pyspark.sql.window import Window
+
+    l2 = ("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), "
+          "0D, (acc, v) -> acc + v)")
+    wa = Window.partitionBy("vec_id", "subspace").orderBy(
+        F.col("dist2").asc(), F.col("code").asc())
+    return (
+        sv.join(cb, "subspace")
+        .withColumn("dist2", F.round(F.expr(l2), 9))
+        .withColumn("rn", F.row_number().over(wa))
+        .where("rn = 1")
+        .select("vec_id", "subspace", "code")
+    )
+
+
+def _portable_pq_train(
+    emb_train: DataFrame, sv_train: DataFrame, pq_k: int,
+    train_iters: int,
+) -> DataFrame:
+    """Portable PQ codebooks ``(subspace, code, cvec)``: init from the
+    ``pq_k`` lowest (portable-md5(vec_id), vec_id) TRAIN vectors'
+    normalized subvectors, then ``train_iters`` Lloyd rounds under the
+    portable L2 rule (means rounded to 9; an emptied code keeps its
+    init codeword — the production rule).  ``sv_train`` must be
+    ``_portable_subvectors(emb_train, m)`` — passed in so a caller
+    that also encodes the train frame shares one subvector pass."""
+    from pyspark.sql.window import Window
+
+    from .dedup import PORTABLE_H64
+
+    h = F.expr(PORTABLE_H64.format(x="CAST(vec_id AS STRING)"))
+    ini = (
+        emb_train.withColumn("h", h)
+        .orderBy("h", "vec_id").limit(int(pq_k))
+        .select(
+            F.row_number().over(Window.orderBy("h", "vec_id"))
+            .alias("code"),
+            "vec_id",
+        )
+    )
+    cb = ini.join(sv_train, "vec_id").select(
+        "subspace", "code", F.col("svec").alias("cvec")
+    ).localCheckpoint()
+    for _ in range(train_iters):
+        asg = _portable_pq_assign(sv_train, cb)
+        upd = (
+            asg.join(sv_train, ["vec_id", "subspace"])
+            .select("subspace", "code",
+                    F.posexplode("svec").alias("dim", "v"))
+            .groupBy("subspace", "code", "dim")
+            .agg(F.round(F.avg("v"), 9).alias("mean_v"))
+            .groupBy("subspace", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v")))
+                 .alias("pairs"))
+            .select("subspace", "code",
+                    F.expr("transform(pairs, p -> p.mean_v)")
+                    .alias("cvec_new"))
+        )
+        cb = (
+            cb.join(upd, ["subspace", "code"], "left")
+            .select("subspace", "code",
+                    F.coalesce("cvec_new", "cvec").alias("cvec"))
+            .localCheckpoint()
+        )
+    return cb
+
+
+def _pack_portable_codes(sv: DataFrame, cb: DataFrame, m: int) -> DataFrame:
+    """Portable assignment packed to the production storage shape —
+    ``(vec_id, codes array<tinyint>)``, codes ordered by subspace —
+    so a portable-family PQ index table is schema-identical to a
+    numpy-family one (consumers and the multiplicity-aware rebuild
+    audit need no branching)."""
+    return (
+        _portable_pq_assign(sv, cb)
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("subspace", "code")))
+             .alias("pairs"))
+        .select(
+            "vec_id",
+            F.expr("transform(pairs, p -> CAST(p.code AS TINYINT))")
+            .alias("codes"),
+        )
+    )
+
+
 def ivf_pq_topk_portable(
     spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5,
     n_cells: int = 8, nprobe: int = 2, rerank: int = 50,
@@ -1341,75 +1452,12 @@ def ivf_pq_topk_portable(
     itself is oracle-verifiable."""
     from pyspark.sql.window import Window
 
-    from .dedup import PORTABLE_H64
-
     rerank = max(rerank, k)
     emb, cents = _portable_centroids(spark, sf_dir, n_cells, train_iters)
     assigned = _assign_cells_exact(emb, cents)
-    d = len(emb.select("embedding").head()["embedding"])
-    if d % m != 0:
-        raise ValueError(f"embedding dim {d} not divisible by m={m}")
-    dsub = d // m
-
-    # normalized subvectors, long format: (vec_id, subspace, svec)
-    sv = emb.select(
-        "vec_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {m - 1}), j -> "
-            f"transform(slice(embedding, j * {dsub} + 1, {dsub}), "
-            f"x -> CAST(x AS DOUBLE) / norm))"
-        )).alias("subspace", "svec"),
-    )
-    h = F.expr(PORTABLE_H64.format(x="CAST(vec_id AS STRING)"))
-    ini = (
-        emb.withColumn("h", h)
-        .orderBy("h", "vec_id").limit(int(pq_k))
-        .select(
-            F.row_number().over(Window.orderBy("h", "vec_id"))
-            .alias("code"),
-            "vec_id",
-        )
-    )
-    cb = ini.join(sv, "vec_id").select(
-        "subspace", "code", F.col("svec").alias("cvec")
-    ).localCheckpoint()
-
-    l2 = ("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), "
-          "0D, (acc, v) -> acc + v)")
-    wa = Window.partitionBy("vec_id", "subspace").orderBy(
-        F.col("dist2").asc(), F.col("code").asc())
-
-    def assign_codes(codebook: DataFrame) -> DataFrame:
-        return (
-            sv.join(codebook, "subspace")
-            .withColumn("dist2", F.round(F.expr(l2), 9))
-            .withColumn("rn", F.row_number().over(wa))
-            .where("rn = 1")
-            .select("vec_id", "subspace", "code")
-        )
-
-    for _ in range(train_iters):
-        asg = assign_codes(cb)
-        upd = (
-            asg.join(sv, ["vec_id", "subspace"])
-            .select("subspace", "code",
-                    F.posexplode("svec").alias("dim", "v"))
-            .groupBy("subspace", "code", "dim")
-            .agg(F.round(F.avg("v"), 9).alias("mean_v"))
-            .groupBy("subspace", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v")))
-                 .alias("pairs"))
-            .select("subspace", "code",
-                    F.expr("transform(pairs, p -> p.mean_v)")
-                    .alias("cvec_new"))
-        )
-        cb = (
-            cb.join(upd, ["subspace", "code"], "left")
-            .select("subspace", "code",
-                    F.coalesce("cvec_new", "cvec").alias("cvec"))
-            .localCheckpoint()
-        )
-    codes = assign_codes(cb)
+    sv = _portable_subvectors(emb, m)
+    cb = _portable_pq_train(emb, sv, pq_k, train_iters)
+    codes = _portable_pq_assign(sv, cb)
 
     queries, probes = _portable_probes(emb, cents, n_queries, nprobe)
     qsv = sv.withColumnRenamed("vec_id", "q_id").withColumnRenamed(

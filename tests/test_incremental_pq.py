@@ -252,3 +252,40 @@ def test_pq_nbits_beyond_int8_refuses(spark, tmp_path):
         "vec_id long, embedding array<double>, norm double")
     with _pytest.raises(ValueError, match="int8"):
         _pq_encode(vecs, np.zeros((4, 256, 4)))
+
+
+def test_pq_family_is_an_index_property(spark, tmp_path):
+    """A portable-built PQ index folds and audits under the portable
+    encode rule resumed from its own metadata; codes pack to the same
+    (vec_id, codes array<tinyint>) shape as the numpy family."""
+    from pyspark.sql import functions as F
+    import pytest as _pt
+
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark.operators import incremental
+
+    emb = spark.range(48).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") + j) % 5 + F.lit(0.5)).cast("float")
+                  for j in range(8)]).alias("embedding"))
+    base = DeltaSparkTable(spark, str(tmp_path / "b"))
+    idx = DeltaSparkTable(spark, str(tmp_path / "i"))
+    base.write(emb.where("vec_id < 32"), WriteMode.error)
+    incremental.build_pq_index(base, idx, m=4, nbits=2, iters=1,
+                               family="portable")
+    base.write(emb.where("vec_id >= 32"), WriteMode.append)
+    incremental.maintain_pq_index(base, idx)
+    # rebuild parity under the RECORDED family
+    assert incremental.pq_index_vs_rebuild(base, idx).count() == 0
+    out = idx.read()
+    assert out.count() == 48
+    assert dict(out.dtypes)["codes"] == "array<tinyint>"
+    # portable codes are 1..2**nbits
+    rng = out.select(F.explode("codes").alias("c")).agg(
+        F.min("c"), F.max("c")).first()
+    assert rng[0] >= 1 and rng[1] <= 4
+
+    with _pt.raises(ValueError, match="PQ family"):
+        incremental.build_pq_index(
+            base, DeltaSparkTable(spark, str(tmp_path / "i2")),
+            family="torch")
