@@ -98,6 +98,25 @@ def _scratch(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"dds-{prefix}-") + "/t"
 
 
+def _stage_landing_file(df, land_dir: str, name: str) -> str:
+    """Write ``df`` as ONE parquet file ``<land_dir>/<name>`` — the
+    landing-file producer the copy_into entry, bench fixture and tests
+    all share (one staging convention, fixed in one place)."""
+    import os as _os
+    import shutil as _shutil
+
+    tmp = _os.path.join(land_dir, f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    parts = [f for f in _os.listdir(tmp) if f.endswith(".parquet")]
+    if not parts:
+        raise AssertionError(f"no part file staged for {name!r}")
+    dst = _os.path.join(land_dir, name)
+    _os.replace(_os.path.join(tmp, parts[0]), dst)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return dst
+
+
+
 def _bm25_query_values() -> str:
     """Render textops.BM25_QUERIES as a DuckDB VALUES list of distinct
     (qid, term) rows — the same derivation bm25_search applies."""
@@ -2685,7 +2704,6 @@ def o_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-run loaded/skipped counts, the no-op rerun not committing a
     version, and dry_run reporting without loading."""
     import os as _os
-    import shutil as _shutil
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber",
@@ -2696,12 +2714,8 @@ def o_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.makedirs(land, exist_ok=True)
 
     def _land(name: str, mod: int) -> None:
-        tmp = f"{land}/_stage_{name}"
-        (li.where(F.col("l_orderkey") % 3 == mod)
-         .coalesce(1).write.mode("overwrite").parquet(tmp))
-        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
-        _os.replace(f"{tmp}/{part}", f"{land}/{name}")
-        _shutil.rmtree(tmp, ignore_errors=True)
+        _stage_landing_file(
+            li.where(F.col("l_orderkey") % 3 == mod), land, name)
 
     _land("slice0.parquet", 0)
     _land("slice1.parquet", 1)
@@ -3017,7 +3031,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m2_dedup_insert": m2_dedup_insert,
         "m3_upsert": m3_upsert,
         "m4_replace_delete": m4_replace_delete,
-        "s3_time_travel": s3_time_travel,
+        # CONVERTED this round (rows-only -> oracle-backed; the
+        # conversion re-demands a green row, so it takes a window
+        # slot — displaced s3_time_travel, whose green r8 record
+        # stands, to the tail)
+        "ann_index_maintain": ann_index_maintain,
         # NEW this round (all oracle-backed — in-window per the
         # first-50 rule; displaced p2_timewindow_read,
         # o_compaction_roundtrip and zipf_profile, whose green r8
@@ -3030,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_sample": curation.unimax_sample,
         # -------- past the cap: green/ok rows on committed ------
         # -------- record (r9 first, then the all-green r10) -----
+        "s3_time_travel": s3_time_travel,
         "p2_timewindow_read": p2_timewindow_read,
         "o_compaction_roundtrip": o_compaction_roundtrip,
         "zipf_profile": textops.zipf_profile,
@@ -3082,7 +3101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_drift_audit": ann_index_drift_audit,
         "hybrid_search_rrf": similarity.hybrid_search_rrf,
         "embedding_pca_project": _embedding_pca,
-        "ann_index_maintain": ann_index_maintain,
         "minhash_lsh_near_dups": minhash_lsh,
         "minhash_cluster_keep": _minhash_cluster,
         "ann_lsh_topk": ann_lsh,
@@ -3405,7 +3423,7 @@ def _pq_maint_oracle_sql() -> str:
                                    1, 15))::BIGINT AS h
             FROM emb e JOIN tr USING (vec_id)
         ), ini AS (
-            SELECT row_number() OVER (ORDER BY h, vec_id) AS code,
+            SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code,
                    vec_id
             FROM hashed
             QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16
@@ -4559,7 +4577,8 @@ def oracle_sql() -> dict[str, str]:
                            AS svec
                 FROM emb, unnest(range(0, 8)) AS t(j)
             ), ini AS (
-                SELECT row_number() OVER (ORDER BY h, vec_id) AS code,
+                SELECT row_number() OVER (ORDER BY h, vec_id) - 1
+                           AS code,
                        vec_id
                 FROM hashed
                 QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16

@@ -587,7 +587,6 @@ def main() -> None:
 
     def _copy_into_setup(spark, d):
         import os as _os
-        import shutil as _shutil
 
         li = spark.read.parquet(f"{d}/lineitem.parquet").select(
             "l_orderkey", "l_linenumber",
@@ -596,13 +595,9 @@ def main() -> None:
         land = f"{root}/landing"
         _os.makedirs(land, exist_ok=True)
         for i in range(3):
-            tmp = f"{land}/_s{i}"
-            (li.where(F.col("l_orderkey") % 3 == i)
-             .coalesce(1).write.mode("overwrite").parquet(tmp))
-            part = [f for f in _os.listdir(tmp)
-                    if f.endswith(".parquet")][0]
-            _os.replace(f"{tmp}/{part}", f"{land}/slice{i}.parquet")
-            _shutil.rmtree(tmp, ignore_errors=True)
+            entry._stage_landing_file(
+                li.where(F.col("l_orderkey") % 3 == i),
+                land, f"slice{i}.parquet")
         t = DeltaSparkTable(spark, f"{root}/t")
         # ledger pre-populated with 2 of the 3 landing files: the
         # timed stage is one incremental run (discover + skip 2 +

@@ -724,6 +724,13 @@ def build_pq_index(
 
     if family not in ("numpy", "portable"):
         raise ValueError(f"unknown PQ family {family!r}")
+    if not 1 <= int(nbits) <= 7:
+        # validated BEFORE any write (both families): codes are signed
+        # int8, and failing after the codebooks table committed would
+        # strand a half-built index
+        raise ValueError(
+            f"nbits={nbits} out of [1, 7]: codes are stored as signed "
+            "int8 (max 128 codewords)")
     head = emb.version()
     vectors = _with_norm(
         emb.read(version=head).select("vec_id", "embedding"))

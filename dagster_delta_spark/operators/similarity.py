@@ -1380,7 +1380,10 @@ def _portable_pq_train(
         emb_train.withColumn("h", h)
         .orderBy("h", "vec_id").limit(int(pq_k))
         .select(
-            F.row_number().over(Window.orderBy("h", "vec_id"))
+            # 0-based like the production numpy codebooks: codes
+            # 0..pq_k-1 fit signed int8 at the documented nbits<=7
+            # ceiling (1-based 128 would overflow the TINYINT pack)
+            (F.row_number().over(Window.orderBy("h", "vec_id")) - 1)
             .alias("code"),
             "vec_id",
         )

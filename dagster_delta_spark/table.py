@@ -713,6 +713,27 @@ def _parse_sql_literal(tok: str) -> Any:
     return _NO_LITERAL
 
 
+def _prunable_literal(value, dtype: DataType) -> bool:
+    """Type-class compatibility gate for DML pruning conjuncts: the
+    pruner's stats/bloom/partition comparisons run in the COLUMN's
+    type, so a literal is only prunable when SQL would compare in
+    that same type.  A string literal casts to any column type (the
+    SQL rule — ``_coerce_dnf_literal`` validates the parse); a
+    numeric literal may prune only numeric columns (Spark evaluates
+    ``string_col = 5`` by casting the STRING side to a number, while
+    the pruner would compare ``str(5)`` lexicographically against
+    string stats — a file holding '05' would be pruned as a definite
+    miss and the matching row would silently survive a DELETE); a
+    boolean literal only boolean columns."""
+    if isinstance(value, bool):
+        return isinstance(dtype, BooleanType)
+    if isinstance(value, str):
+        return True
+    if isinstance(value, (int, float)):
+        return isinstance(dtype, NumericType)
+    return False
+
+
 def _predicate_prune_dnf(
     predicate: Optional[str], schema: StructType
 ) -> list[DnfFilter]:
@@ -730,8 +751,11 @@ def _predicate_prune_dnf(
     fragment is simply ignored; ``OR``/``NOT``/``!``/``<>`` outside
     string literals, or any backslash (escape-sequence ambiguity),
     disables extraction entirely (a negated comparison DOES match
-    out-of-stats rows); literals that don't coerce to the column type
-    are skipped (ANSI errors row-side; pruning must not pre-empt
+    out-of-stats rows); literals whose TYPE CLASS doesn't match the
+    column's are skipped (``_prunable_literal`` — SQL compares
+    ``string_col = 5`` numerically while stats compare as strings),
+    as are literals that don't coerce to the column type
+    (ANSI errors row-side; pruning must not pre-empt
     that); names not matching a schema field exactly fall through to
     ``_file_matches``' own skip-unknown rule.  Extraction can never
     error — its result only ever SHRINKS the discovery scan."""
@@ -761,6 +785,8 @@ def _predicate_prune_dnf(
             vals = [_parse_sql_literal(t) for t in toks]
             if not vals or any(v is _NO_LITERAL for v in vals):
                 continue
+            if not all(_prunable_literal(v, dtype) for v in vals):
+                continue
             try:
                 for v in vals:
                     _coerce_dnf_literal(v, dtype)
@@ -774,6 +800,8 @@ def _predicate_prune_dnf(
             dtype = fields.get(name)
             val = _parse_sql_literal(rest)
             if dtype is None or val is _NO_LITERAL:
+                continue
+            if not _prunable_literal(val, dtype):
                 continue
             try:
                 _coerce_dnf_literal(val, dtype)
@@ -3400,19 +3428,21 @@ class DeltaSparkTable:
         hidden-file rule: ``.``/``_``-prefixed names skipped) or an
         explicit list of file paths.  Every ingested file is recorded
         in the table's SetTransaction ledger under
-        ``dds.copyInto:<sha1(path)>`` with the file's mtime (ms), so a
-        re-run loads only files the ledger has never seen — restartable
-        ingest jobs append each landing file exactly once.  The ledger
+        ``dds.copyInto:<sha1(path)>`` with a fingerprint of its
+        (mtime_ns, size), so a re-run loads only files the ledger has
+        never seen — restartable ingest jobs append each landing file
+        exactly once, and an emptied landing zone (loaded files
+        archived away) is a no-op run, not an error.  The ledger
         rides the existing txn machinery: it survives checkpoints and
         the already-loaded re-check runs INSIDE the commit retry loop,
         so two jobs racing the same landing directory cannot double-
         load a file (the loser raises ``ConcurrentAppendError`` and its
         rerun skips).
 
-        A previously-loaded file that has since been MODIFIED (mtime
-        changed) raises a pointed error instead of silently skipping —
-        ``force=True`` re-loads it (appending its rows again) and
-        re-records the new mtime.  ``dry_run`` reports what a real run
+        A previously-loaded file that has since been MODIFIED
+        (mtime or size changed) raises a pointed error instead of
+        silently skipping — ``force=True`` re-loads it (appending its
+        rows again) and re-records the new fingerprint.  ``dry_run`` reports what a real run
         would load/skip without reading any data.
 
         Scale note: the ledger is O(ingested files) — the same order as
@@ -3422,8 +3452,15 @@ class DeltaSparkTable:
         """
         opts = dict(reader_options or {})
         if isinstance(source, (list, tuple)):
+            if not source:
+                raise ValueError(
+                    "copy_into got an empty explicit file list")
             cand = [str(p) for p in source]
         else:
+            if not os.path.isdir(str(source)):
+                raise FileNotFoundError(
+                    f"copy_into landing directory {source!r} does not "
+                    "exist")
             cand = []
             for root, dirs, names in os.walk(str(source)):
                 dirs[:] = [d for d in dirs
@@ -3443,16 +3480,31 @@ class DeltaSparkTable:
                 raise FileNotFoundError(
                     f"copy_into source file {p!r} is not readable: {exc}"
                 ) from None
-            files.append((os.path.abspath(p), st.st_mtime_ns // 1_000_000))
-        if not files:
-            raise ValueError(
-                f"copy_into found no source files under {source!r}"
-                + (f" matching {pattern!r}" if pattern else "")
-            )
+            # ledger value = 56-bit fingerprint of (mtime_ns, size):
+            # a content rewrite that lands inside the same millisecond
+            # (fast regeneration, timestamp-preserving rsync of a
+            # different file) still changes it, where a raw ms-mtime
+            # would silently skip the changed file
+            fp = int.from_bytes(
+                hashlib.sha1(
+                    f"{st.st_mtime_ns}:{st.st_size}".encode()
+                ).digest()[:7], "big")
+            files.append((os.path.abspath(p), fp))
 
         exists = self.exists()
         snap = self.snapshot() if exists else None
         ledger = snap.app_versions if snap else {}
+        if not files:
+            # an emptied landing zone is the ROUTINE state of a
+            # restartable ingest whose loaded files get archived away
+            # — a no-op run, not an error (explicit empty lists still
+            # raise above: those are caller bugs)
+            return {
+                "version": snap.version if snap else -1,
+                "files_loaded": 0,
+                "files_skipped": 0,
+                "num_output_rows": 0,
+            }
 
         def app_id(path: str) -> str:
             return (tablelog.COPY_INTO_APP_PREFIX
@@ -3462,15 +3514,15 @@ class DeltaSparkTable:
         skipped = 0
         modified: list[str] = []
         expected: dict[str, Optional[int]] = {}
-        for path, mtime in files:
+        for path, fp in files:
             rec = ledger.get(app_id(path))
             if rec is None:
-                to_load.append((path, mtime))
+                to_load.append((path, fp))
                 expected[app_id(path)] = None
-            elif rec == mtime:
+            elif rec == fp:
                 skipped += 1
             elif force:
-                to_load.append((path, mtime))
+                to_load.append((path, fp))
                 expected[app_id(path)] = rec
             else:
                 modified.append(path)

@@ -41,9 +41,10 @@ CHECKPOINT_INTERVAL = 10
 LOG_DIR = "_spark_delta_log"
 LAST_CHECKPOINT = "_last_checkpoint"
 #: SetTransaction appId namespace for the copy_into file ledger — one
-#: entry per ingested source file, version = the file's mtime (ms).
-#: Carried through checkpoints like every other txn; last-write-wins
-#: on replay (see load_snapshot) so FORCE reloads re-record mtimes.
+#: entry per ingested source file, version = a 56-bit fingerprint of
+#: the file's (mtime_ns, size).  Carried through checkpoints like
+#: every other txn; last-write-wins on replay (see load_snapshot) so
+#: FORCE reloads re-record fingerprints.
 COPY_INTO_APP_PREFIX = "dds.copyInto:"
 
 

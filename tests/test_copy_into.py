@@ -1,6 +1,7 @@
 """COPY INTO — file-level exactly-once batch ingest
 (table.py:copy_into).  Each landing file is recorded in the
-SetTransaction ledger (dds.copyInto:<sha1(path)> -> mtime ms), so
+SetTransaction ledger (dds.copyInto:<sha1(path)> -> a fingerprint
+of (mtime_ns, size)), so
 re-runs skip already-loaded files; the re-check runs inside write()'s
 commit retry loop so racing jobs cannot double-load."""
 
@@ -16,19 +17,15 @@ from dagster_delta_spark.tablelog import ConcurrentAppendError
 
 
 def _land(spark, d, name, lo, hi, extra_col=False):
-    """Write one single-file parquet landing file [lo, hi) under d."""
+    """Write one single-file parquet landing file [lo, hi) under d
+    (the shared staging helper — one convention, fixed in one place)."""
+    import __spark_entry__ as entry
+
     df = spark.range(lo, hi).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
     if extra_col:
         df = df.withColumn("tag", F.lit("x"))
-    tmp = os.path.join(d, f"_stage_{name}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-    dst = os.path.join(d, name)
-    os.replace(os.path.join(tmp, part), dst)
-    import shutil
-    shutil.rmtree(tmp, ignore_errors=True)
-    return dst
+    return entry._stage_landing_file(df, d, name)
 
 
 def test_copy_into_loads_once(spark, tmp_table, tmp_path):
@@ -134,11 +131,43 @@ def test_copy_into_dry_run(spark, tmp_table, tmp_path):
     assert not t.exists()
 
 
-def test_copy_into_empty_source_raises(spark, tmp_table, tmp_path):
+def test_copy_into_empty_and_missing_sources(spark, tmp_table, tmp_path):
+    """An emptied landing zone (loaded files archived away) is the
+    ROUTINE state of a restartable ingest — a no-op run; a missing
+    directory or an empty explicit list is a caller bug and raises."""
     land = str(tmp_path / "landing")
     os.makedirs(land)
     t = DeltaSparkTable(spark, tmp_table)
-    with pytest.raises(ValueError, match="no source files"):
+    r = t.copy_into(land)  # empty dir before any load: no-op
+    assert r == {"version": -1, "files_loaded": 0,
+                 "files_skipped": 0, "num_output_rows": 0}
+    assert not t.exists()
+    # load a file, archive it away, rerun: still a no-op
+    p = _land(spark, land, "a.parquet", 0, 5)
+    t.copy_into(land)
+    os.unlink(p)
+    r2 = t.copy_into(land)
+    assert r2["files_loaded"] == 0 and t.read().count() == 5
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        t.copy_into(str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="empty explicit"):
+        t.copy_into([])
+
+
+def test_copy_into_same_mtime_different_size_detected(
+        spark, tmp_table, tmp_path):
+    """The ledger fingerprints (mtime_ns, size): a content rewrite
+    that preserves the timestamp still raises the modified-file
+    error instead of silently skipping."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    p = _land(spark, land, "a.parquet", 0, 10)
+    st = os.stat(p)
+    t = DeltaSparkTable(spark, tmp_table)
+    t.copy_into(land)
+    _land(spark, land, "a.parquet", 100, 120)  # different size
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))  # restore mtime
+    with pytest.raises(ValueError, match="modified since ingest"):
         t.copy_into(land)
 
 

@@ -270,3 +270,46 @@ def test_auto_compact_fires_after_update_and_replace_where(spark,
     assert res["num_inserted_rows"] == 100
     assert "auto_compact_version" in res
     assert t2.read().count() == 8000
+
+
+def test_numeric_literal_on_string_column_never_prunes(spark, tmp_table):
+    """r11 review finding: SQL evaluates `string_col = 5` by casting
+    the STRING side numerically, but stats/bloom pruning would compare
+    str(5) lexicographically — a file whose only value is '05' would
+    be pruned as a definite miss and the row would silently survive
+    the DELETE.  Type-class-mismatched literals must not prune."""
+    from pyspark.sql import functions as F
+
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark.table import _predicate_prune_dnf
+
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.createDataFrame(
+        [("05", 1), ("99", 2)], "name string, v bigint")
+    t.write(df.repartition(2, "name"), WriteMode.error)
+    # extraction refuses the mismatched conjunct entirely
+    schema = t.schema()
+    assert _predicate_prune_dnf("name = 5", schema) == []
+    assert _predicate_prune_dnf("name IN (1, 2)", schema) == []
+    assert _predicate_prune_dnf("v = 1", schema) == [("v", "=", 1)]
+    # the string literal still prunes (same type class)
+    assert _predicate_prune_dnf("name = '05'", schema) \
+        == [("name", "=", "05")]
+    # end-to-end: the numeric-literal delete matches through the cast
+    t.delete("name = 5")
+    assert [r["name"] for r in t.read().collect()] == ["99"]
+
+
+def test_bool_literal_only_prunes_boolean_columns(spark, tmp_table):
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark.table import _predicate_prune_dnf
+
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.createDataFrame(
+        [(True, "x"), (False, "y")], "flag boolean, s string")
+    t.write(df, WriteMode.error)
+    schema = t.schema()
+    assert _predicate_prune_dnf("flag = true", schema) \
+        == [("flag", "=", True)]
+    # boolean literal against a string column: no pruning
+    assert _predicate_prune_dnf("s = true", schema) == []

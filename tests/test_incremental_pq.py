@@ -280,10 +280,19 @@ def test_pq_family_is_an_index_property(spark, tmp_path):
     out = idx.read()
     assert out.count() == 48
     assert dict(out.dtypes)["codes"] == "array<tinyint>"
-    # portable codes are 1..2**nbits
+    # portable codes are 0-based like the numpy family: 0..2**nbits-1
     rng = out.select(F.explode("codes").alias("c")).agg(
         F.min("c"), F.max("c")).first()
-    assert rng[0] >= 1 and rng[1] <= 4
+    assert rng[0] >= 0 and rng[1] <= 3
+
+    # nbits validates BEFORE any write — no half-built index
+    with _pt.raises(ValueError, match="nbits"):
+        incremental.build_pq_index(
+            base, DeltaSparkTable(spark, str(tmp_path / "i3")),
+            nbits=8, family="portable")
+    assert not DeltaSparkTable(spark, str(tmp_path / "i3")).exists()
+    assert not DeltaSparkTable(
+        spark, str(tmp_path / "i3") + "_codebooks").exists()
 
     with _pt.raises(ValueError, match="PQ family"):
         incremental.build_pq_index(

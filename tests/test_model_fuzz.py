@@ -12,6 +12,7 @@ from dagster_delta_spark import (
     MergeType,
     WriteMode,
 )
+from dagster_delta_spark.tablelog import LogTruncatedError
 
 KEYS = list(range(20))
 
@@ -86,6 +87,7 @@ def test_random_op_sequences_match_model(spark, tmp_path):
             states.append(_model_state(model))
             hist.append((model.copy(), vname))
 
+        boundary = 0  # r11: log-cleanup truncation floor
         sdf, pdf = _mk_df(spark, rnd)
         # r10: a bloom index on the (never-renamed) key column rides
         # through every op — each staged rewrite rebuilds bitmaps, and
@@ -109,9 +111,59 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                              "dedup_insert", "optimize", "zorder",
                              "delete_dv", "delete_rw", "row_update",
                              "row_update_dv", "rename", "restore",
-                             "replace_where"])
+                             "replace_where", "copy_into",
+                             "log_cleanup"])
+            if op == "log_cleanup":
+                # r11: log retention interleaves with everything —
+                # state and every version >= the boundary must be
+                # unaffected; versions below it raise (checked in the
+                # restore op and the final time-travel sweep)
+                res = t.cleanup_metadata(retention_ms=0)
+                if res["boundary_version"] is not None:
+                    boundary = max(boundary, res["boundary_version"])
+                assert _table_state(t, vname) == _model_state(model), (
+                    f"trial {trial} step {_step} log_cleanup"
+                )
+                continue
+            if op == "copy_into":
+                # r11: file-level exactly-once ingest — every earlier
+                # landing file skips via the ledger (survives renames,
+                # restores and checkpoints), only the fresh file loads
+                import os as _os
+
+                import __spark_entry__ as entry
+                sdf, pdf = _mk_df(spark, rnd)
+                sdf = sdf.withColumnRenamed("v", vname)
+                land = str(tmp_path / f"land{trial}")
+                _os.makedirs(land, exist_ok=True)
+                n_prev = len([f for f in _os.listdir(land)
+                              if f.endswith(".parquet")])
+                entry._stage_landing_file(
+                    sdf, land, f"file{n_prev}.parquet")
+                res = t.copy_into(land)
+                assert res["files_loaded"] == 1, res
+                assert res["files_skipped"] == n_prev, res
+                model = _apply_model(model, "append", pdf)
+                _snap()
+                assert _table_state(t, vname) == _model_state(model), (
+                    f"trial {trial} step {_step} copy_into"
+                )
+                continue
             if op == "restore":
                 r = rnd.randrange(0, len(states))
+                if r < boundary:
+                    # the target's commit files are gone — restore
+                    # must fail pointedly, state untouched
+                    try:
+                        t.restore(r)
+                    except LogTruncatedError:
+                        pass
+                    else:
+                        raise AssertionError(
+                            f"restore({r}) below boundary {boundary} "
+                            "succeeded")
+                    assert _table_state(t, vname) == _model_state(model)
+                    continue
                 before = t.version()
                 t.restore(r)
                 if t.version() != before:  # restore-to-head is a no-op
@@ -223,6 +275,17 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         # values, because each version reads under its OWN logical
         # column name (pre-rename versions keep the old name)
         for version, want in enumerate(states):
+            if version < boundary:
+                # log retention removed this version's commit files —
+                # time travel must raise the pointed error, never
+                # return wrong data
+                try:
+                    t.read(version=version)
+                except LogTruncatedError:
+                    continue
+                raise AssertionError(
+                    f"trial {trial} version {version} below cleanup "
+                    f"boundary {boundary} still readable")
             df = t.read(version=version)
             kcol, vcol = df.columns
             got = sorted((r[kcol], r[vcol]) for r in df.collect())
