@@ -4417,6 +4417,9 @@ class DeltaSparkTable:
             "numRecords": sum(a.live_records for a in snap.files),
             "properties": dict(snap.metadata.configuration),
             "version": snap.version,
+            # log-retention visibility (r11): the oldest version still
+            # replayable — 0 until cleanup_metadata truncates
+            "earliestVersion": tablelog.earliest_version(self.table_uri),
         }
 
     def cleanup_metadata(

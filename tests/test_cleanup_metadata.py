@@ -139,3 +139,12 @@ def test_streaming_resume_below_boundary_pointed(spark, tmp_table):
     t.cleanup_metadata(retention_ms=0)
     with pytest.raises(LogTruncatedError):
         tablelog.read_version_actions(t.table_uri, 2)
+
+
+def test_describe_detail_reports_earliest_version(spark, tmp_table):
+    t = _grow(spark, tmp_table, 25)
+    assert t.describe_detail()["earliestVersion"] == 0
+    time.sleep(0.05)
+    t.cleanup_metadata(retention_ms=0)
+    d = t.describe_detail()
+    assert d["earliestVersion"] == 20 and d["version"] == 24

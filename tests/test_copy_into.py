@@ -235,3 +235,40 @@ def test_copy_into_concurrent_ledger_guard(spark, tmp_table, tmp_path):
         t.write(df, WriteMode.append,
                 _copy_txns={key: 1},
                 _copy_txns_expected={key: None})
+
+
+def test_copy_into_two_threads_exactly_once(spark, tmp_table, tmp_path):
+    """Two REAL driver threads race the same landing directory: the
+    put-if-absent commit + the in-loop ledger re-check guarantee each
+    file's rows land exactly once — the loser raises
+    ConcurrentAppendError and its rerun skips everything."""
+    import threading
+
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    _land(spark, land, "a.parquet", 0, 50)
+    _land(spark, land, "b.parquet", 50, 120)
+    t = DeltaSparkTable(spark, tmp_table)
+    results, errors = [], []
+
+    def worker():
+        for _ in range(5):  # retry loop: rerun after a lost race
+            try:
+                results.append(t.copy_into(land))
+                return
+            except ConcurrentAppendError:
+                continue
+        errors.append("retries exhausted")
+
+    threads = [threading.Thread(target=worker) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert len(results) == 2
+    # exactly-once: 120 rows total, no key duplicated
+    out = t.read()
+    assert out.count() == 120
+    assert out.groupBy("k").count().where("count > 1").count() == 0
+    assert sum(r["files_loaded"] for r in results) == 2
