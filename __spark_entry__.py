@@ -2784,6 +2784,57 @@ def o_log_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def o_convert_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA (table.py:convert_to_table): an existing
+    hive-partitioned parquet directory becomes a transactional table
+    IN PLACE — one footer-harvest + version-0 commit, no data rewrite
+    (the 100 TB onboarding path).
+
+    ORACLE-BACKED on contents: a partitioned plain-parquet copy of
+    orders converts, then a partition-scoped DELETE runs through the
+    converted metadata — final contents equal the oracle's filter of
+    orders.  In-entry guards pin what the oracle cannot see: the data
+    files' mtimes are untouched by the conversion, the table is at
+    version 0 with the layout's partition column, partition pruning
+    through the harvested metadata touches only the matching slice,
+    and dry_run commits nothing."""
+    import os as _os
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    root = _scratch("convert").rsplit("/", 1)[0] + "/plain"
+    od.repartition(4).write.mode("overwrite").partitionBy(
+        "o_orderstatus").parquet(root)
+    mtimes = {}
+    for dp, _dn, fns in _os.walk(root):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                p = _os.path.join(dp, fn)
+                mtimes[p] = _os.stat(p).st_mtime_ns
+    from dagster_delta_spark import convert_to_table
+    from dagster_delta_spark import tablelog as _tl
+    dry = convert_to_table(spark, root, dry_run=True)
+    if dry["num_rows"] != od.count() or _tl.table_exists(root):
+        raise AssertionError(f"dry_run wrong or committed: {dry}")
+    t = convert_to_table(spark, root)
+    if t.version() != 0:
+        raise AssertionError("conversion is not a single version-0 commit")
+    if list(t.snapshot().partition_columns) != ["o_orderstatus"]:
+        raise AssertionError("layout partition column not detected")
+    for p, mt in mtimes.items():
+        if _os.stat(p).st_mtime_ns != mt:
+            raise AssertionError(f"conversion rewrote data file {p}")
+    pruned = t.pruned_files(t.snapshot(), [("o_orderstatus", "=", "P")])
+    if not (0 < len(pruned) < len(t.snapshot().files)):
+        raise AssertionError("harvested metadata does not prune")
+    # the converted table is fully transactional: partition-scoped DML
+    t.delete("o_orderstatus = 'P'")
+    return t.read()
+
+
 def o_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-predicate replaceWhere (table.py:replace_where — the
     Databricks Delta replaceWhere on ANY column; partition-only
@@ -3030,7 +3081,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_create_or_replace": w5_create_or_replace,
         "m2_dedup_insert": m2_dedup_insert,
         "m3_upsert": m3_upsert,
-        "m4_replace_delete": m4_replace_delete,
+        # NEW this round (oracle-backed): CONVERT TO DELTA — in-place
+        # onboarding of an existing parquet directory; displaced
+        # m4_replace_delete (green r8 record stands) to the tail
+        "o_convert_to_table": o_convert_to_table,
         # CONVERTED this round (rows-only -> oracle-backed; the
         # conversion re-demands a green row, so it takes a window
         # slot — displaced s3_time_travel, whose green r8 record
@@ -3049,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -------- past the cap: green/ok rows on committed ------
         # -------- record (r9 first, then the all-green r10) -----
         "s3_time_travel": s3_time_travel,
+        "m4_replace_delete": m4_replace_delete,
         "p2_timewindow_read": p2_timewindow_read,
         "o_compaction_roundtrip": o_compaction_roundtrip,
         "zipf_profile": textops.zipf_profile,
@@ -4684,6 +4739,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    CAST(l_quantity AS DOUBLE) AS l_quantity
             FROM lineitem
+        """,
+        # in-place conversion + a partition-scoped delete through the
+        # harvested metadata == the source filtered; version-0 /
+        # untouched-mtimes / pruning / dry_run are the in-entry guards
+        "o_convert_to_table": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderstatus <> 'P'
         """,
         # three landing slices ingested exactly once across three
         # copy_into runs == the source; the ledger/no-op/dry_run

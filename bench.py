@@ -85,9 +85,12 @@ def main() -> None:
         "line_dedup_corpus",
         "ccnet_perplexity_buckets",
         # r11: file-level exactly-once ingest (1 new + 2 skipped
-        # landing files) and log retention truncation (metadata-only)
+        # landing files), log retention truncation (metadata-only),
+        # and in-place parquet-directory conversion (footer harvest +
+        # one commit — the 100 TB onboarding path, no data rewrite)
         "copy_into",
         "log_cleanup",
+        "convert_to_table",
         # streaming ingest near-dup filter (3 micro-batches), staged:
         # the ~7 s streaming-engine + fixture fixed cost masked probe
         # regressions behind one number, so the line reports the
@@ -626,7 +629,20 @@ def main() -> None:
         res = t.cleanup_metadata(retention_ms=0)
         assert res["boundary_version"] == 10
 
+    def _convert_setup(spark, d):
+        root = entry._scratch("bench-convert").rsplit("/", 1)[0] + "/p"
+        (spark.read.parquet(f"{d}/orders.parquet")
+         .repartition(8).write.mode("overwrite")
+         .partitionBy("o_orderstatus").parquet(root))
+        return root
+
+    def _convert_run(spark, root):
+        from dagster_delta_spark import convert_to_table
+        t = convert_to_table(spark, root)
+        assert t.version() == 0
+
     staged = {
+        "convert_to_table": (_convert_setup, _convert_run),
         "copy_into": (_copy_into_setup, _copy_into_run),
         "log_cleanup": (_log_cleanup_setup, _log_cleanup_run),
         "bloom_point_lookup": (_bloom_setup, _bloom_run),

@@ -25,6 +25,7 @@ from .config import (
 from .plans.slices import TablePartitionDimension, TableSlice, TimeWindow
 from .table import (
     DeltaSparkTable,
+    convert_to_table,
     MergeMultipleMatchesError,
     ConstraintViolationError,
     SchemaMismatchError,
@@ -36,6 +37,7 @@ __all__ = [
     "AzureConfig",
     "ClientConfig",
     "DeltaSparkTable",
+    "convert_to_table",
     "GcsConfig",
     "LocalConfig",
     "MergeConfig",

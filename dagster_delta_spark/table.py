@@ -4582,3 +4582,158 @@ def _json_loads(s: str) -> dict[str, Any]:
     import json
 
     return json.loads(s)
+
+
+def convert_to_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_columns: Optional[Sequence[str]] = None,
+    partition_schema: Optional[dict[str, str]] = None,
+    table_configuration: Optional[dict[str, str]] = None,
+    dry_run: bool = False,
+) -> DeltaSparkTable:
+    """``CONVERT TO DELTA`` analogue: register an EXISTING parquet
+    directory as a transactional table IN PLACE — the data files stay
+    exactly where they are; the conversion is a directory walk, a
+    footer-stats harvest (distributed past the same threshold as every
+    write commit), and ONE version-0 commit.  At 100 TB this is the
+    onboarding path: minutes of metadata work instead of rewriting the
+    dataset through a staged write.
+
+    Hive-style partition directories (``col=value``, url-encoded,
+    ``__HIVE_DEFAULT_PARTITION__`` for null) are decoded with the SAME
+    rules the staged-write path uses, so a converted table's partition
+    pruning, scoped overwrites and DML discovery behave identically to
+    a born-transactional one.  ``partition_columns`` may be given
+    explicitly (validated against the layout) or inferred from the
+    directory structure; a ragged layout (files at different partition
+    depths or with different keys) refuses.  Partition columns type as
+    STRING unless ``partition_schema`` names their types
+    (``{"year": "int"}``).
+
+    ``dry_run`` reports what version 0 would contain without
+    committing.  Refuses if the directory already holds a table log.
+    """
+    root = str(path)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"no directory at {root!r}")
+    if tablelog.table_exists(root):
+        raise TableExistsError(
+            f"{root!r} already has a transaction log; convert_to_table "
+            "only onboards plain parquet directories")
+
+    rel_files: list[tuple[str, str]] = []  # (abs, rel)
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames
+                       if not d.startswith((".", "_"))
+                       or "=" in d]  # keep hive dirs, skip _staging/log
+        for fn in filenames:
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                ab = os.path.join(dirpath, fn)
+                rel_files.append((ab, os.path.relpath(ab, root)))
+    if not rel_files:
+        raise ValueError(f"no parquet files under {root!r} to convert")
+    rel_files.sort(key=lambda t: t[1])
+
+    # decode hive partition dirs with the staged-write rules
+    part_values_by_rel: dict[str, dict[str, Optional[str]]] = {}
+    key_seqs = set()
+    for _ab, rel in rel_files:
+        comps = rel.split(os.sep)[:-1]
+        pv: dict[str, Optional[str]] = {}
+        for comp in comps:
+            k, eq, v = comp.partition("=")
+            if not eq:
+                raise ValueError(
+                    f"non-hive subdirectory {comp!r} under {root!r} "
+                    "(expected col=value); move foreign files out or "
+                    "convert a clean directory")
+            pv[k] = None if v == HIVE_DEFAULT_PARTITION else unquote(v)
+        part_values_by_rel[rel] = pv
+        key_seqs.add(tuple(pv))
+    if len(key_seqs) != 1:
+        raise ValueError(
+            f"ragged partition layout under {root!r}: files carry "
+            f"different partition key sequences {sorted(key_seqs)}")
+    layout_cols = list(next(iter(key_seqs)))
+    if partition_columns is not None:
+        if list(partition_columns) != layout_cols:
+            raise ValueError(
+                f"partition_columns {list(partition_columns)} do not "
+                f"match the directory layout {layout_cols}")
+    pcols = layout_cols
+
+    # data schema from the files themselves (ONE footer read — no
+    # partition-type inference), partition columns appended with
+    # caller-declared types (default string): the hive directory names
+    # are strings, and silently re-typing them through Spark's
+    # partition inference would make the converted schema depend on
+    # the VALUES present at convert time (Delta's CONVERT takes the
+    # partition schema explicitly for the same reason)
+    from pyspark.sql.types import _parse_datatype_string
+
+    data_schema = spark.read.parquet(rel_files[0][0]).schema
+    bad_keys = set(partition_schema or {}) - set(pcols)
+    if bad_keys:
+        raise ValueError(
+            f"partition_schema names non-partition column(s) "
+            f"{sorted(bad_keys)}; layout partitions are {pcols}")
+    fields = list(data_schema.fields)
+    for c in pcols:
+        typ = (partition_schema or {}).get(c, "string")
+        fields.append(StructField(c, _parse_datatype_string(typ)))
+    schema = StructType(fields)
+    cfg = dict(table_configuration or {})
+
+    stats_by_path = _harvest_stats(
+        spark, [ab for ab, _ in rel_files],
+        _bloom_columns(cfg) or None)
+    adds: list[AddFile] = []
+    now = int(time.time() * 1000)
+    total_rows = 0
+    for ab, rel in rel_files:
+        num_rows, stats = stats_by_path[ab]
+        if num_rows == 0:
+            continue
+        total_rows += num_rows
+        st = os.stat(ab)
+        adds.append(AddFile(
+            path=rel.replace(os.sep, "/"),
+            size=st.st_size,
+            num_records=num_rows,
+            partition_values=part_values_by_rel[rel],
+            stats=stats,
+            modification_time=st.st_mtime_ns // 1_000_000,
+        ))
+    if dry_run:
+        return {  # type: ignore[return-value]
+            "dry_run": True,
+            "num_files": len(adds),
+            "num_rows": total_rows,
+            "partition_columns": pcols,
+        }
+
+    meta = Metadata(
+        schema_json=schema.json(),
+        partition_columns=pcols,
+        configuration=cfg,
+    )
+    t = DeltaSparkTable(spark, root)
+    if _BLOOM_KEY in cfg:
+        t._validate_bloom_spec(_bloom_columns(cfg), schema, pcols)
+    actions: list[dict[str, Any]] = [
+        CommitInfo(
+            operation="CONVERT",
+            operation_parameters={"numFiles": len(adds)},
+            operation_metrics={
+                "num_added_files": len(adds),
+                "num_output_rows": total_rows,
+            },
+        ).to_action(),
+        meta.to_action(),
+    ]
+    actions += [a.to_action() for a in adds]
+    tablelog.commit(root, 0, actions,
+                    Snapshot(0, meta, adds, now))
+    return t

@@ -1,0 +1,147 @@
+"""CONVERT TO DELTA analogue (table.py:convert_to_table): register an
+existing parquet directory as a transactional table IN PLACE — data
+files untouched, one version-0 commit of harvested metadata."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagster_delta_spark import (
+    DeltaSparkTable,
+    TableExistsError,
+    WriteMode,
+    convert_to_table,
+)
+
+
+def _plain_dir(spark, d, partitioned=False, rows=100):
+    df = spark.range(rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 1.5).alias("v"))
+    w = df.repartition(3).write.mode("overwrite")
+    if partitioned:
+        w = w.partitionBy("g")
+    w.parquet(d)
+    # drop Spark's _SUCCESS marker noise? leave it — conversion must
+    # skip _/.-prefixed files on its own
+    return df
+
+
+def test_convert_flat_directory(spark, tmp_path):
+    d = str(tmp_path / "plain")
+    _plain_dir(spark, d)
+    before = {
+        f: os.stat(os.path.join(d, f)).st_mtime_ns
+        for f in os.listdir(d) if f.endswith(".parquet")
+    }
+    t = convert_to_table(spark, d)
+    # in place: version 0, same files, untouched mtimes
+    assert t.version() == 0
+    assert t.read().count() == 100
+    after = {
+        f: os.stat(os.path.join(d, f)).st_mtime_ns
+        for f in os.listdir(d) if f.endswith(".parquet")
+    }
+    assert after == before
+    # it is a full table now: append + time travel + delete work
+    t.write(spark.range(100, 110).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 1.5).alias("v")), WriteMode.append)
+    assert t.read().count() == 110 and t.read(version=0).count() == 100
+    t.delete("k >= 105")
+    assert t.read().count() == 105
+
+
+def test_convert_partitioned_directory_prunes(spark, tmp_path):
+    d = str(tmp_path / "part")
+    _plain_dir(spark, d, partitioned=True)
+    t = convert_to_table(spark, d)
+    snap = t.snapshot()
+    assert list(snap.partition_columns) == ["g"]
+    # hive values decoded; pruning touches only the matching slice
+    pruned = t.pruned_files(snap, [("g", "=", "1")])
+    assert 0 < len(pruned) < len(snap.files)
+    assert all(f.partition_values["g"] == "1" for f in pruned)
+    assert t.read(dnf=[("g", "=", "1")]).count() == 25
+    # partition-scoped overwrite behaves like a born-transactional one
+    repl = spark.range(1000, 1003).select(
+        F.col("id").alias("k"), F.lit("1").alias("g"),
+        F.lit(0.0).alias("v"))
+    t.write(repl, WriteMode.overwrite, partition_dnf=[("g", "=", "1")])
+    assert t.read().count() == 78
+    assert t.read(version=0).count() == 100
+
+
+def test_convert_explicit_partition_columns_validated(spark, tmp_path):
+    d = str(tmp_path / "part2")
+    _plain_dir(spark, d, partitioned=True)
+    with pytest.raises(ValueError, match="do not match"):
+        convert_to_table(spark, d, partition_columns=["k"])
+    t = convert_to_table(spark, d, partition_columns=["g"])
+    assert t.read().count() == 100
+
+
+def test_convert_refusals_and_dry_run(spark, tmp_path):
+    d = str(tmp_path / "r")
+    _plain_dir(spark, d)
+    res = convert_to_table(spark, d, dry_run=True)
+    assert res["dry_run"] and res["num_rows"] == 100
+    assert res["partition_columns"] == []
+    assert not DeltaSparkTable(spark, d).exists()
+    t = convert_to_table(spark, d)
+    with pytest.raises(TableExistsError, match="transaction log"):
+        convert_to_table(spark, d)
+    with pytest.raises(FileNotFoundError):
+        convert_to_table(spark, str(tmp_path / "nope"))
+    e = str(tmp_path / "empty")
+    os.makedirs(e)
+    with pytest.raises(ValueError, match="no parquet files"):
+        convert_to_table(spark, e)
+
+
+def test_convert_ragged_layout_refuses(spark, tmp_path):
+    d = str(tmp_path / "ragged")
+    _plain_dir(spark, d, partitioned=True)
+    # drop a stray flat file at the root: mixed depths must refuse
+    stray = spark.range(3).select(
+        F.col("id").alias("k"), F.lit("9").alias("g"),
+        F.lit(0.0).alias("v"))
+    import __spark_entry__ as entry
+    entry._stage_landing_file(stray, d, "stray.parquet")
+    with pytest.raises(ValueError, match="ragged|non-hive"):
+        convert_to_table(spark, d)
+
+
+def test_convert_stats_enable_skipping(spark, tmp_path):
+    d = str(tmp_path / "stats")
+    # three files with disjoint k ranges
+    for i in range(3):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("k"))
+        import __spark_entry__ as entry
+        entry._stage_landing_file(df, d, f"f{i}.parquet")
+    t = convert_to_table(spark, d)
+    pruned = t.pruned_files(t.snapshot(), [("k", "=", 250)])
+    assert len(pruned) == 1
+    # and a point delete's discovery uses the harvested stats too
+    t.delete("k = 250")
+    assert t.read().count() == 299
+
+
+def test_convert_partition_schema_types(spark, tmp_path):
+    d = str(tmp_path / "typed")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("year"))
+    df.write.mode("overwrite").partitionBy("year").parquet(d)
+    t = convert_to_table(spark, d, partition_schema={"year": "bigint"})
+    sch = dict(t.read().dtypes)
+    assert sch["year"] == "bigint"
+    assert t.read(dnf=[("year", "=", 1)]).count() == 10
+    # naming a non-partition column refuses
+    d2 = str(tmp_path / "typed2")
+    df.write.mode("overwrite").partitionBy("year").parquet(d2)
+    with pytest.raises(ValueError, match="non-partition"):
+        convert_to_table(spark, d2, partition_schema={"k": "int"})
