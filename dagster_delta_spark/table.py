@@ -3168,14 +3168,24 @@ class DeltaSparkTable:
             snap.metadata.configuration,
         )
 
-    def restore(self, version: int) -> dict[str, Any]:
+    def restore(self, version: Optional[int] = None, *,
+                timestamp_as_of=None) -> dict[str, Any]:
         """RESTORE the table to an earlier version as a NEW commit
         (delta-rs ``DeltaTable.restore`` analogue): re-add the target
         snapshot's files missing from the head, remove head files the
         target doesn't have, and restore the target's metadata (schema
         and configuration).  Pure metadata — no bytes move — so history
         is preserved and the restore itself is time-travelable.  Raises
-        if a file the target references was vacuumed away."""
+        if a file the target references was vacuumed away.
+
+        ``timestamp_as_of`` (Delta's ``RESTORE ... TIMESTAMP AS OF``)
+        resolves through the same rule as reads: the latest version
+        committed at or before the timestamp (``version_as_of``)."""
+        if (version is None) == (timestamp_as_of is None):
+            raise ValueError(
+                "restore needs exactly one of version / timestamp_as_of")
+        if timestamp_as_of is not None:
+            version = self.version_as_of(timestamp_as_of)
         cur = self.snapshot()
         tgt = self.snapshot(version)
         if version == cur.version:

@@ -181,3 +181,28 @@ def test_delete_update_on_clone_stay_local(spark, tmp_table):
     # restore the clone back to its birth state
     cl.restore(0)
     assert cl.read().count() == 100
+
+
+def test_restore_timestamp_as_of(spark, tmp_table):
+    """RESTORE ... TIMESTAMP AS OF resolves via the read rule (latest
+    version committed at or before the timestamp)."""
+    from pyspark.sql import functions as F
+    import pytest as _pt
+
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+    from dagster_delta_spark import tablelog
+
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.range(5).select(F.col("id").alias("k"))
+    t.write(df, WriteMode.error)
+    t.write(df, WriteMode.append)
+    # timestamp of version 0's commit from the log
+    ts0 = [h for h in tablelog.history(t.table_uri)
+           if h["version"] == 0][0]["timestamp"]
+    res = t.restore(timestamp_as_of=ts0)
+    assert res["version"] == 2  # the restore is its own commit
+    assert t.read().count() == 5
+    with _pt.raises(ValueError, match="exactly one"):
+        t.restore()
+    with _pt.raises(ValueError, match="exactly one"):
+        t.restore(0, timestamp_as_of=ts0)
