@@ -145,3 +145,31 @@ def test_convert_partition_schema_types(spark, tmp_path):
     df.write.mode("overwrite").partitionBy("year").parquet(d2)
     with pytest.raises(ValueError, match="non-partition"):
         convert_to_table(spark, d2, partition_schema={"k": "int"})
+
+
+def test_convert_feeds_cdc_and_streaming_consumers(spark, tmp_path):
+    """A converted table's version-0 CONVERT commit classifies as an
+    append (like a created table's WRITE error), so incremental
+    consumers see the onboarded rows as inserts and later appends
+    flow normally."""
+    from dagster_delta_spark import tablelog
+
+    d = str(tmp_path / "cdc")
+    _plain_dir(spark, d, rows=40)
+    t = convert_to_table(spark, d)
+    assert tablelog.classify_commit("CONVERT") == "append"
+    first = t.read_changes(-1, 0)
+    assert first.count() == 40
+    assert set(r["_commit_version"] for r in
+               first.select("_commit_version").distinct().collect()) \
+        == {0}
+    t.write(spark.range(100, 105).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 1.5).alias("v")), WriteMode.append)
+    assert t.read_changes(0, 1).count() == 5
+    # row-level CDC decodes the converted history too
+    rl = t.read_changes(0, 1, row_level=True)
+    assert set(r["_change_type"] for r in
+               rl.select("_change_type").distinct().collect()) \
+        == {"insert"}
