@@ -173,3 +173,19 @@ def test_convert_feeds_cdc_and_streaming_consumers(spark, tmp_path):
     assert set(r["_change_type"] for r in
                rl.select("_change_type").distinct().collect()) \
         == {"insert"}
+
+
+def test_convert_then_deletion_vectors_and_optimize(spark, tmp_path):
+    """Merge-on-read DVs, OPTIMIZE and vacuum all work on a converted
+    table — the onboarded files are ordinary table-local AddFiles."""
+    d = str(tmp_path / "dv")
+    _plain_dir(spark, d, rows=60)
+    t = convert_to_table(spark, d)
+    t.delete("k >= 50", use_dv=True)
+    assert t.read().count() == 50
+    assert any(f.dv_path for f in t.snapshot().files)
+    t.optimize(target_file_size=1 << 20)  # compacts the DV away
+    assert t.read().count() == 50
+    assert not any(f.dv_path for f in t.snapshot().files)
+    t.vacuum(retention_ms=0)
+    assert t.read().count() == 50

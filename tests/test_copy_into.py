@@ -272,3 +272,31 @@ def test_copy_into_two_threads_exactly_once(spark, tmp_table, tmp_path):
     assert out.count() == 120
     assert out.groupBy("k").count().where("count > 1").count() == 0
     assert sum(r["files_loaded"] for r in results) == 2
+
+
+def test_copy_into_partitioned_table(spark, tmp_table, tmp_path):
+    """Ingest into a hive-partitioned table: staged files land under
+    the partition dirs and pruning sees them."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    _land(spark, land, "a.parquet", 0, 12)
+    t = DeltaSparkTable(spark, tmp_table)
+    base = spark.range(100, 103).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t.write(base.withColumn("p", F.col("k") % 2),
+            WriteMode.error, partition_columns=["p"])
+    # landing file lacks p? it must conform... stage it WITH p
+    os.unlink(os.path.join(land, "a.parquet"))
+    import __spark_entry__ as entry
+    entry._stage_landing_file(
+        spark.range(12).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            (F.col("id") % 2).alias("p")),
+        land, "a.parquet")
+    r = t.copy_into(land)
+    assert r["files_loaded"] == 1
+    assert t.read().count() == 15
+    snap = t.snapshot()
+    pruned = t.pruned_files(snap, [("p", "=", "1")])
+    assert all(f.partition_values.get("p") == "1" for f in pruned)
+    assert t.read(dnf=[("p", "=", 1)]).count() == 7
