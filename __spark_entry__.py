@@ -2819,8 +2819,9 @@ def o_convert_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     dry = convert_to_table(spark, root, dry_run=True)
     if dry["num_rows"] != od.count() or _tl.table_exists(root):
         raise AssertionError(f"dry_run wrong or committed: {dry}")
-    t = convert_to_table(spark, root)
-    if t.version() != 0:
+    res = convert_to_table(spark, root)
+    t = DeltaSparkTable(spark, root)
+    if res["version"] != 0 or t.version() != 0:
         raise AssertionError("conversion is not a single version-0 commit")
     if list(t.snapshot().partition_columns) != ["o_orderstatus"]:
         raise AssertionError("layout partition column not detected")

@@ -638,8 +638,8 @@ def main() -> None:
 
     def _convert_run(spark, root):
         from dagster_delta_spark import convert_to_table
-        t = convert_to_table(spark, root)
-        assert t.version() == 0
+        res = convert_to_table(spark, root)
+        assert res["version"] == 0
 
     staged = {
         "convert_to_table": (_convert_setup, _convert_run),

@@ -4602,7 +4602,7 @@ def convert_to_table(
     partition_schema: Optional[dict[str, str]] = None,
     table_configuration: Optional[dict[str, str]] = None,
     dry_run: bool = False,
-) -> DeltaSparkTable:
+) -> dict[str, Any]:
     """``CONVERT TO DELTA`` analogue: register an EXISTING parquet
     directory as a transactional table IN PLACE — the data files stay
     exactly where they are; the conversion is a directory walk, a
@@ -4622,8 +4622,21 @@ def convert_to_table(
     STRING unless ``partition_schema`` names their types
     (``{"year": "int"}``).
 
+    Validation runs UP FRONT (before the footer harvest, and on
+    ``dry_run`` too): the data files must agree on one schema (a
+    drifted directory refuses — reads under one imposed schema would
+    silently drop or null-fill the drifted columns; normalize it or
+    load through ``spark.read`` + ``write()``), partition columns must
+    not collide with data columns, and ``table_configuration`` may not
+    carry row-semantics machinery keys (identity / constraints /
+    NOT NULL / generated columns / defaults / column mapping) — those
+    validate against ROWS, which conversion never reads; set them with
+    ``set_properties`` afterwards, which runs the right checks.
+
     ``dry_run`` reports what version 0 would contain without
     committing.  Refuses if the directory already holds a table log.
+    Returns a result dict either way (``DeltaSparkTable(spark, path)``
+    is the handle after a real run).
     """
     root = str(path)
     if not os.path.isdir(root):
@@ -4689,6 +4702,13 @@ def convert_to_table(
         raise ValueError(
             f"partition_schema names non-partition column(s) "
             f"{sorted(bad_keys)}; layout partitions are {pcols}")
+    collide = set(pcols) & {f.name for f in data_schema.fields}
+    if collide:
+        raise ValueError(
+            f"partition column(s) {sorted(collide)} also exist INSIDE "
+            f"the data files under {root!r}; committing both would "
+            "produce a duplicate-column schema every read rejects — "
+            "drop the physical column or convert as unpartitioned")
     fields = list(data_schema.fields)
     for c in pcols:
         typ = (partition_schema or {}).get(c, "string")
@@ -4696,8 +4716,69 @@ def convert_to_table(
     schema = StructType(fields)
     cfg = dict(table_configuration or {})
 
+    # machinery keys validate against ROWS (identity marks, CHECK /
+    # NOT NULL passes, generated-column derivations, column-mapping
+    # physicals) — conversion reads no rows, so committing them would
+    # advertise guarantees version 0 never established.  Refuse
+    # pointedly; set_properties afterwards runs the right checks.
+    _CONVERT_FORBIDDEN = (_IDENTITY_KEY, _NOTNULL_KEY, _GENCOL_KEY,
+                          _COLDEFAULT_KEY, _COLMAP_KEY, _DROPPED_KEY)
+    bad_cfg = sorted(
+        k for k in cfg
+        if k in _CONVERT_FORBIDDEN or k.startswith(_CONSTRAINT_PREFIX))
+    if bad_cfg:
+        raise ValueError(
+            f"table_configuration key(s) {bad_cfg} cannot be set at "
+            "convert time (they assert row-level guarantees the "
+            "conversion never checked); convert first, then "
+            "set_properties / add_constraint, which validate")
+    if {_AUTOCOMPACT_KEY, _AUTOCOMPACT_MINFILES_KEY,
+            _AUTOCOMPACT_TARGET_KEY} & set(cfg):
+        _auto_compact_spec(cfg)  # malformed knobs fail NOW, not later
+    if _CDC_RETAIN_KEY in cfg:
+        try:
+            ok = int(cfg[_CDC_RETAIN_KEY]) >= 0
+        except (TypeError, ValueError):
+            ok = False
+        if not ok:
+            raise ValueError(
+                f"{_CDC_RETAIN_KEY} must be a non-negative integer, "
+                f"got {cfg[_CDC_RETAIN_KEY]!r}")
+    if _BLOOM_KEY in cfg:
+        # validated BEFORE the harvest (which would build the bitmaps)
+        # and on dry_run too — the write path's pre-staging rule
+        DeltaSparkTable(spark, root)._validate_bloom_spec(
+            _bloom_columns(cfg), schema, pcols)
+
+    # cross-file schema agreement: the harvest opens every footer
+    # anyway, and ONE imposed schema over a drifted directory silently
+    # drops or null-fills the drifted columns on read.  Exact
+    # (name, type) signatures — heterogeneous-but-compatible layouts
+    # should be normalized through spark.read + write() instead.
+    def _footer_sig(abs_path: str) -> tuple:
+        import pyarrow.parquet as pq_
+
+        sch = pq_.ParquetFile(abs_path).schema_arrow
+        return tuple((f.name, str(f.type)) for f in sch)
+
+    paths = [ab for ab, _ in rel_files]
+    if len(paths) <= _DISTRIBUTED_STATS_THRESHOLD:
+        sigs = set(map(_footer_sig, paths))
+    else:
+        sc = spark.sparkContext
+        slices = max(1, min(len(paths), sc.defaultParallelism * 4))
+        sigs = set(sc.parallelize(paths, slices).map(_footer_sig)
+                   .distinct().collect())
+    if len(sigs) != 1:
+        raise ValueError(
+            f"the parquet files under {root!r} carry "
+            f"{len(sigs)} different schemas; conversion imposes ONE "
+            "schema on every file, which would silently drop or "
+            "null-fill the drifted columns — normalize the directory "
+            "or load it through spark.read + write() (mergeSchema)")
+
     stats_by_path = _harvest_stats(
-        spark, [ab for ab, _ in rel_files],
+        spark, paths,
         _bloom_columns(cfg) or None)
     adds: list[AddFile] = []
     now = int(time.time() * 1000)
@@ -4717,7 +4798,7 @@ def convert_to_table(
             modification_time=st.st_mtime_ns // 1_000_000,
         ))
     if dry_run:
-        return {  # type: ignore[return-value]
+        return {
             "dry_run": True,
             "num_files": len(adds),
             "num_rows": total_rows,
@@ -4729,9 +4810,6 @@ def convert_to_table(
         partition_columns=pcols,
         configuration=cfg,
     )
-    t = DeltaSparkTable(spark, root)
-    if _BLOOM_KEY in cfg:
-        t._validate_bloom_spec(_bloom_columns(cfg), schema, pcols)
     actions: list[dict[str, Any]] = [
         CommitInfo(
             operation="CONVERT",
@@ -4746,4 +4824,10 @@ def convert_to_table(
     actions += [a.to_action() for a in adds]
     tablelog.commit(root, 0, actions,
                     Snapshot(0, meta, adds, now))
-    return t
+    return {
+        "dry_run": False,
+        "version": 0,
+        "num_files": len(adds),
+        "num_rows": total_rows,
+        "partition_columns": pcols,
+    }

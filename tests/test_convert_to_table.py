@@ -36,7 +36,8 @@ def test_convert_flat_directory(spark, tmp_path):
         f: os.stat(os.path.join(d, f)).st_mtime_ns
         for f in os.listdir(d) if f.endswith(".parquet")
     }
-    t = convert_to_table(spark, d)
+    convert_to_table(spark, d)
+    t = DeltaSparkTable(spark, d)
     # in place: version 0, same files, untouched mtimes
     assert t.version() == 0
     assert t.read().count() == 100
@@ -58,7 +59,8 @@ def test_convert_flat_directory(spark, tmp_path):
 def test_convert_partitioned_directory_prunes(spark, tmp_path):
     d = str(tmp_path / "part")
     _plain_dir(spark, d, partitioned=True)
-    t = convert_to_table(spark, d)
+    convert_to_table(spark, d)
+    t = DeltaSparkTable(spark, d)
     snap = t.snapshot()
     assert list(snap.partition_columns) == ["g"]
     # hive values decoded; pruning touches only the matching slice
@@ -80,7 +82,8 @@ def test_convert_explicit_partition_columns_validated(spark, tmp_path):
     _plain_dir(spark, d, partitioned=True)
     with pytest.raises(ValueError, match="do not match"):
         convert_to_table(spark, d, partition_columns=["k"])
-    t = convert_to_table(spark, d, partition_columns=["g"])
+    convert_to_table(spark, d, partition_columns=["g"])
+    t = DeltaSparkTable(spark, d)
     assert t.read().count() == 100
 
 
@@ -91,7 +94,8 @@ def test_convert_refusals_and_dry_run(spark, tmp_path):
     assert res["dry_run"] and res["num_rows"] == 100
     assert res["partition_columns"] == []
     assert not DeltaSparkTable(spark, d).exists()
-    t = convert_to_table(spark, d)
+    convert_to_table(spark, d)
+    t = DeltaSparkTable(spark, d)
     with pytest.raises(TableExistsError, match="transaction log"):
         convert_to_table(spark, d)
     with pytest.raises(FileNotFoundError):
@@ -123,7 +127,8 @@ def test_convert_stats_enable_skipping(spark, tmp_path):
             F.col("id").alias("k"))
         import __spark_entry__ as entry
         entry._stage_landing_file(df, d, f"f{i}.parquet")
-    t = convert_to_table(spark, d)
+    convert_to_table(spark, d)
+    t = DeltaSparkTable(spark, d)
     pruned = t.pruned_files(t.snapshot(), [("k", "=", 250)])
     assert len(pruned) == 1
     # and a point delete's discovery uses the harvested stats too
@@ -136,7 +141,8 @@ def test_convert_partition_schema_types(spark, tmp_path):
     df = spark.range(20).select(
         F.col("id").alias("k"), (F.col("id") % 2).alias("year"))
     df.write.mode("overwrite").partitionBy("year").parquet(d)
-    t = convert_to_table(spark, d, partition_schema={"year": "bigint"})
+    convert_to_table(spark, d, partition_schema={"year": "bigint"})
+    t = DeltaSparkTable(spark, d)
     sch = dict(t.read().dtypes)
     assert sch["year"] == "bigint"
     assert t.read(dnf=[("year", "=", 1)]).count() == 10
@@ -156,7 +162,8 @@ def test_convert_feeds_cdc_and_streaming_consumers(spark, tmp_path):
 
     d = str(tmp_path / "cdc")
     _plain_dir(spark, d, rows=40)
-    t = convert_to_table(spark, d)
+    convert_to_table(spark, d)
+    t = DeltaSparkTable(spark, d)
     assert tablelog.classify_commit("CONVERT") == "append"
     first = t.read_changes(-1, 0)
     assert first.count() == 40
@@ -180,7 +187,8 @@ def test_convert_then_deletion_vectors_and_optimize(spark, tmp_path):
     table — the onboarded files are ordinary table-local AddFiles."""
     d = str(tmp_path / "dv")
     _plain_dir(spark, d, rows=60)
-    t = convert_to_table(spark, d)
+    convert_to_table(spark, d)
+    t = DeltaSparkTable(spark, d)
     t.delete("k >= 50", use_dv=True)
     assert t.read().count() == 50
     assert any(f.dv_path for f in t.snapshot().files)
@@ -189,3 +197,61 @@ def test_convert_then_deletion_vectors_and_optimize(spark, tmp_path):
     assert not any(f.dv_path for f in t.snapshot().files)
     t.vacuum(retention_ms=0)
     assert t.read().count() == 50
+
+
+def test_convert_validation_surface(spark, tmp_path):
+    """Review-hardened validation: machinery config keys refuse (row
+    semantics were never checked), schema drift refuses, dup partition
+    columns refuse, bloom spec validates on dry_run too."""
+    import __spark_entry__ as entry
+
+    d = str(tmp_path / "val")
+    _plain_dir(spark, d, rows=10)
+    # machinery keys can't ride a conversion
+    for bad in ({"dds.identityColumns": '{"id": {}}'},
+                {"dds.constraints.c1": "k > 0"},
+                {"dds.notNullColumns": '["k"]'},
+                {"dds.columnMapping": "{}"}):
+        with pytest.raises(ValueError, match="convert time"):
+            convert_to_table(spark, d, table_configuration=bad)
+    # malformed operational knobs fail at convert time, not later
+    with pytest.raises(ValueError):
+        convert_to_table(spark, d, table_configuration={
+            "dds.autoCompact": "true",
+            "dds.autoCompact.minFiles": "soon"})
+    with pytest.raises(ValueError, match="non-negative"):
+        convert_to_table(spark, d, table_configuration={
+            "dds.cdcRetainVersions": "-3"})
+    # bloom spec on a missing column refuses even on dry_run
+    with pytest.raises(ValueError):
+        convert_to_table(spark, d, dry_run=True, table_configuration={
+            "dds.bloomFilterColumns": '{"nope": {}}'})
+    assert not DeltaSparkTable(spark, d).exists()
+
+    # cross-file schema drift refuses
+    d2 = str(tmp_path / "drift")
+    entry._stage_landing_file(
+        spark.range(5).select(F.col("id").alias("k")), d2, "a.parquet")
+    entry._stage_landing_file(
+        spark.range(5).select(F.col("id").alias("k"),
+                              F.lit(1.0).alias("w")), d2, "b.parquet")
+    with pytest.raises(ValueError, match="different schemas"):
+        convert_to_table(spark, d2)
+
+    # a partition column that ALSO lives inside the files refuses
+    d3 = str(tmp_path / "collide")
+    os.makedirs(os.path.join(d3, "g=1"))
+    entry._stage_landing_file(
+        spark.range(5).select(F.col("id").alias("k"),
+                              F.lit("1").alias("g")),
+        os.path.join(d3, "g=1"), "a.parquet")
+    with pytest.raises(ValueError, match="also exist INSIDE"):
+        convert_to_table(spark, d3)
+
+    # a valid bloom spec DOES convert and probes
+    d4 = str(tmp_path / "bloomed")
+    _plain_dir(spark, d4, rows=30)
+    convert_to_table(spark, d4, table_configuration={
+        "dds.bloomFilterColumns": '{"k": {}}'})
+    t = DeltaSparkTable(spark, d4)
+    assert t.read(dnf=[("k", "=", 7)]).count() == 1
