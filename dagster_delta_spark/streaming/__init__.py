@@ -14,6 +14,7 @@ from .ingest_dedup import (  # noqa: F401
     stream_ingest_near_dup_filter,
 )
 from .table_sink import (  # noqa: F401
+    auto_ingest_once,
     cdc_replicating_sink,
     exactly_once_table_sink,
     index_maintaining_sink,

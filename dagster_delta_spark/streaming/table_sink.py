@@ -345,3 +345,61 @@ def _sql_lit(v) -> str:
     # BEFORE quote-doubling or 'C:\tmp' parses as 'C:<TAB>mp'
     s = str(v).replace("\\", "\\\\").replace("'", "''")
     return f"'{s}'"
+
+
+def auto_ingest_once(
+    spark,
+    landing_dir: str,
+    table_uri: str,
+    checkpoint_dir: str,
+    app_id: str,
+    *,
+    schema=None,
+    max_files_per_trigger: Optional[int] = None,
+    partition_columns: Optional[Sequence[str]] = None,
+    timeout_s: int = 180,
+) -> dict:
+    """One incremental landing-zone ingest run — the Auto Loader
+    shape: Spark's file streaming source discovers landing files and
+    tracks the processed set in ``checkpoint_dir``'s file-source log,
+    so a RE-RUN with the same checkpoint reads only files that arrived
+    since the last run; the exactly-once table sink (txn ledger)
+    dedupes any post-crash micro-batch replay.  Together: each landing
+    file's rows land exactly once across any number of restarts.
+
+    ``schema`` defaults to a one-off batch inference over the landing
+    dir (pass it explicitly on wide directories — inference lists and
+    opens footers).  ``trigger(availableNow)`` drains the backlog in
+    bounded batches and stops; call again on the next schedule tick.
+
+    Scale shape: discovery is the file source's incremental listing
+    (O(new files) against its compacted log), the data plane is one
+    distributed parquet append per micro-batch, and the ledger adds
+    one integer per app id — the copy_into trade-offs, with Spark
+    owning discovery instead of the table ledger owning per-file
+    identity (use copy_into when per-file audit/FORCE semantics
+    matter; use this for continuous pipelines)."""
+    if schema is None:
+        schema = spark.read.parquet(landing_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger))
+    before = DeltaSparkTable(spark, table_uri)
+    rows_before = before.read().count() if before.exists() else 0
+    q = (
+        reader.parquet(landing_dir)
+        .writeStream
+        .foreachBatch(exactly_once_table_sink(
+            table_uri, app_id, partition_columns=partition_columns))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    t = DeltaSparkTable(spark, table_uri)
+    rows_after = t.read().count() if t.exists() else 0
+    return {
+        "rows_ingested": rows_after - rows_before,
+        "version": t.version() if t.exists() else -1,
+    }

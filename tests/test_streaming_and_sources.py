@@ -1079,3 +1079,35 @@ def test_sink_periodic_compaction_bounds_files(spark, tmp_path):
     hist_ops = [h.get("operation", "") for h in t.history()]
     assert sum(1 for o in hist_ops if o.startswith("OPTIMIZE")) == 2
     assert len(t.snapshot().files) <= 4
+
+
+def test_auto_ingest_incremental_and_replay(spark, tmp_path):
+    """auto_ingest_once: re-runs with one checkpoint ingest only new
+    landing files; a hand-replayed micro-batch no-ops (txn ledger)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from dagster_delta_spark import DeltaSparkTable
+    from dagster_delta_spark.streaming import auto_ingest_once
+
+    land = str(tmp_path / "land")
+    import os
+    os.makedirs(land)
+    df = spark.range(30).select(F.col("id").alias("k"),
+                                (F.col("id") % 3).alias("p"))
+    entry._stage_landing_file(df.where("k < 20"), land, "a.parquet")
+    uri, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    r1 = auto_ingest_once(spark, land, uri, ckpt, "ai",
+                          schema=df.schema, max_files_per_trigger=1,
+                          partition_columns=["p"])
+    assert r1["rows_ingested"] == 20
+    t = DeltaSparkTable(spark, uri)
+    assert list(t.snapshot().partition_columns) == ["p"]
+    entry._stage_landing_file(df.where("k >= 20"), land, "b.parquet")
+    r2 = auto_ingest_once(spark, land, uri, ckpt, "ai",
+                          schema=df.schema)
+    assert r2["rows_ingested"] == 10 and t.read().count() == 30
+    # post-crash at-least-once replay of the last batch: ledger no-ops
+    last = t.last_txn_version("ai")
+    redo = t.idempotent_append(df.where("k >= 20"), "ai", last)
+    assert redo["skipped"] and t.read().count() == 30
