@@ -396,7 +396,24 @@ def auto_ingest_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        # timed out with the drain still running: stop the query so it
+        # doesn't leak past the return, then fail pointedly — counting
+        # rows under a live stream would under-report rows_ingested
+        # and a silent partial answer is worse than an error (the
+        # checkpoint + txn ledger make the re-run safe)
+        try:
+            q.stop()
+        finally:
+            pass
+        raise TimeoutError(
+            f"auto_ingest_once: availableNow drain did not finish "
+            f"within timeout_s={timeout_s}; the streaming query was "
+            f"stopped. Re-run with a larger timeout — the file-source "
+            f"checkpoint and exactly-once sink make the retry resume "
+            f"where this run left off."
+        )
     t = DeltaSparkTable(spark, table_uri)
     rows_after = t.read().count() if t.exists() else 0
     return {

@@ -3451,9 +3451,11 @@ class DeltaSparkTable:
 
         A previously-loaded file that has since been MODIFIED
         (mtime or size changed) raises a pointed error instead of
-        silently skipping — ``force=True`` re-loads it (appending its
-        rows again) and re-records the new fingerprint.  ``dry_run`` reports what a real run
-        would load/skip without reading any data.
+        silently skipping.  ``force=True`` matches Delta's COPY INTO
+        FORCE: EVERY offered file re-loads regardless of prior
+        ingestion — modified AND unmodified — appending its rows again
+        and re-recording the fresh fingerprint.  ``dry_run`` reports
+        what a real run would load/skip without reading any data.
 
         Scale note: the ledger is O(ingested files) — the same order as
         the table's own AddFile list — and lives in the log/checkpoint,
@@ -3529,11 +3531,15 @@ class DeltaSparkTable:
             if rec is None:
                 to_load.append((path, fp))
                 expected[app_id(path)] = None
-            elif rec == fp:
-                skipped += 1
             elif force:
+                # Delta COPY INTO force semantics: re-load EVERY
+                # offered file, modified or not (checked before the
+                # fingerprint-match skip — an unmodified file must not
+                # silently win the skip branch under force)
                 to_load.append((path, fp))
                 expected[app_id(path)] = rec
+            elif rec == fp:
+                skipped += 1
             else:
                 modified.append(path)
         if modified and not force:
@@ -4648,9 +4654,15 @@ def convert_to_table(
 
     rel_files: list[tuple[str, str]] = []  # (abs, rel)
     for dirpath, dirnames, filenames in os.walk(root):
+        # Spark's hidden-file rule, applied unconditionally: readers
+        # skip ALL dot/underscore-prefixed dirs, including ones that
+        # happen to contain '=' ('.tmp=1', '_bak=x') — a stray hidden
+        # dir must neither make conversion refuse as ragged nor
+        # ingest files Spark itself would never read.  (A genuine
+        # '_col=...' partition layout is equally invisible to Spark
+        # readers, so skipping it here is consistent, not lossy.)
         dirnames[:] = [d for d in dirnames
-                       if not d.startswith((".", "_"))
-                       or "=" in d]  # keep hive dirs, skip _staging/log
+                       if not d.startswith((".", "_"))]
         for fn in filenames:
             if fn.endswith(".parquet") and not fn.startswith((".", "_")):
                 ab = os.path.join(dirpath, fn)

@@ -255,3 +255,28 @@ def test_convert_validation_surface(spark, tmp_path):
         "dds.bloomFilterColumns": '{"k": {}}'})
     t = DeltaSparkTable(spark, d4)
     assert t.read(dnf=[("k", "=", 7)]).count() == 1
+
+
+def test_convert_skips_hidden_dirs_even_with_equals(spark, tmp_path):
+    """A stray HIDDEN dir whose name contains '=' ('.tmp=1',
+    '_bak=x') is skipped like any other hidden dir — Spark readers
+    never descend into it, so conversion must neither refuse as
+    ragged nor ingest its files (r12 ADVICE fix)."""
+    d = str(tmp_path / "part")
+    _plain_dir(spark, d, partitioned=True)
+    expected = spark.read.parquet(d).count()
+    for hidden in (".tmp=1", "_bak=x"):
+        hd = os.path.join(d, hidden)
+        os.makedirs(hd)
+        spark.range(5).select(
+            F.col("id").alias("zz")).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(hd, "inner"))
+    convert_to_table(spark, d)
+    t = DeltaSparkTable(spark, d)
+    assert t.read().count() == expected == 100
+    assert list(t.snapshot().partition_columns) == ["g"]
+    # no AddFile points into a hidden dir
+    assert not any("=1" in f.path and f.path.startswith(".")
+                   for f in t.snapshot().files)
+    assert not any(f.path.startswith(("_", "."))
+                   for f in t.snapshot().files)

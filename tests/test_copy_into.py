@@ -300,3 +300,23 @@ def test_copy_into_partitioned_table(spark, tmp_table, tmp_path):
     pruned = t.pruned_files(snap, [("p", "=", "1")])
     assert all(f.partition_values.get("p") == "1" for f in pruned)
     assert t.read(dnf=[("p", "=", 1)]).count() == 7
+
+
+def test_copy_into_force_reloads_unmodified(spark, tmp_table, tmp_path):
+    """Delta COPY INTO FORCE semantics: force=True re-loads EVERY
+    offered file, including ones whose fingerprint still matches the
+    ledger (r12 ADVICE fix — the rec == fp skip used to win before
+    the force branch, silently partial-reloading)."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    _land(spark, land, "a.parquet", 0, 10)
+    _land(spark, land, "b.parquet", 10, 14)
+    t = DeltaSparkTable(spark, tmp_table)
+    t.copy_into(land)
+    assert t.read().count() == 14
+    r = t.copy_into(land, force=True)
+    assert r["files_loaded"] == 2 and r["files_skipped"] == 0
+    assert t.read().count() == 28
+    # ledger still consistent afterwards: a plain rerun skips both
+    r2 = t.copy_into(land)
+    assert r2["files_loaded"] == 0 and r2["files_skipped"] == 2

@@ -1111,3 +1111,41 @@ def test_auto_ingest_incremental_and_replay(spark, tmp_path):
     last = t.last_txn_version("ai")
     redo = t.idempotent_append(df.where("k >= 20"), "ai", last)
     assert redo["skipped"] and t.read().count() == 30
+
+
+def test_auto_ingest_timeout_stops_and_raises(spark, tmp_path, monkeypatch):
+    """auto_ingest_once on an awaitTermination timeout must STOP the
+    query and raise, not count rows under a live stream (r12 ADVICE
+    fix — the boolean result used to be ignored, leaking the query
+    and under-reporting rows_ingested)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQuery
+
+    import __spark_entry__ as entry
+    from dagster_delta_spark.streaming import auto_ingest_once
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    df = spark.range(10).select(F.col("id").alias("k"))
+    entry._stage_landing_file(df, land, "a.parquet")
+
+    stopped = []
+    real_await = StreamingQuery.awaitTermination
+    monkeypatch.setattr(
+        StreamingQuery, "awaitTermination",
+        lambda self, timeout=None: False)
+    real_stop = StreamingQuery.stop
+    monkeypatch.setattr(
+        StreamingQuery, "stop",
+        lambda self: (stopped.append(True), real_stop(self))[1])
+
+    import pytest as _pytest
+    with _pytest.raises(TimeoutError, match="did not finish"):
+        auto_ingest_once(
+            spark, land, str(tmp_path / "t"), str(tmp_path / "ck"),
+            "ai_to", schema=df.schema, timeout_s=1)
+    assert stopped, "timeout path must stop the leaked query"
+    monkeypatch.setattr(StreamingQuery, "awaitTermination", real_await)
+    monkeypatch.setattr(StreamingQuery, "stop", real_stop)
