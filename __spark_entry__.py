@@ -595,12 +595,32 @@ def m4_replace_delete(spark, sf_dir):
 
 def s3_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: version=0 read returns pre-append contents (reference
-    resource contract, test_delta_table_resource.py:39-71)."""
+    resource contract, test_delta_table_resource.py:39-71), now also
+    exercising the TIMESTAMP dial (r11 APIs): the v0 commit's
+    timestamp resolves back to version 0 via ``version_as_of``, a
+    ``read(timestamp_as_of=...)`` matches the version read row-for-
+    row, and ``restore(timestamp_as_of=...)`` (RESTORE TIMESTAMP AS
+    OF) rewinds the head so the returned frame is a PLAIN ``read()``
+    of the restored table — the oracle (orders with status 'F') now
+    value-checks the whole timestamp-restore path."""
     t = DeltaSparkTable(spark, _scratch("s3"))
     orders = _orders(spark, sf_dir)
     t.write(orders.where("o_orderstatus = 'F'"), WriteMode.error)
     t.write(orders.where("o_orderstatus = 'O'"), WriteMode.append)
-    return t.read(version=0)
+    ts = {h["version"]: int(h["timestamp"]) for h in t.history()}
+    if not ts[0] < ts[1]:
+        # same-millisecond commits would make timestamp resolution
+        # ambiguous; surface loudly instead of recording a fluke
+        raise AssertionError(
+            f"fixture commits share a millisecond ({ts}); "
+            "timestamp_as_of resolution would be ambiguous")
+    if t.version_as_of(ts[0]) != 0:
+        raise AssertionError("version_as_of(ts(v0)) must resolve to 0")
+    n_v0 = t.read(version=0).count()
+    if t.read(timestamp_as_of=ts[0]).count() != n_v0:
+        raise AssertionError("timestamp_as_of read != version-0 read")
+    t.restore(timestamp_as_of=ts[0])
+    return t.read()
 
 
 def p2_timewindow_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,6 +658,45 @@ def o_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.write(li.repartition(16), WriteMode.error)
     t.optimize(target_file_size=256 * 1024 * 1024)
     return t.read()
+
+
+def o_write_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8+W9+W10 driver-verified in one entry (reference contract:
+    dd tests test_metadata_inputs.py:38-96 — custom_metadata echoed
+    from history(1), writer compression reflected in the data files'
+    ``.zstd`` suffix, data round-trips exactly).  Write two orders
+    slices with a table property, per-commit userMetadata, and
+    ``writer_properties={"compression": "zstd"}``, then return the
+    per-status counts read BACK from the table alongside closed-form
+    echo columns: the property from ``describe_detail``, each
+    commit's userName from ``history()``, and an all-files-zstd flag
+    from the add actions.  The DuckDB twin recomputes the counts from
+    raw orders and pins the echoes as literals — a dropped property,
+    lost userMetadata, or silently ignored codec all hash-mismatch."""
+    t = DeltaSparkTable(spark, _scratch("wopt"))
+    orders = _orders(spark, sf_dir)
+    t.write(orders.where("o_orderstatus <> 'O'"), WriteMode.error,
+            table_configuration={"pipeline.owner": "data-eng"},
+            commit_metadata={"userName": "John Doe"},
+            writer_properties={"compression": "zstd"})
+    t.write(orders.where("o_orderstatus = 'O'"), WriteMode.append,
+            commit_metadata={"userName": "Jane Roe", "jobId": "r12"},
+            writer_properties={"compression": "zstd"})
+    det = t.describe_detail()
+    hist = t.history()  # newest first
+    um_v1 = (hist[0].get("userMetadata") or {}).get("userName", "")
+    um_v0 = (hist[-1].get("userMetadata") or {}).get("userName", "")
+    all_zstd = bool(t.snapshot().files) and all(
+        a.path.endswith(".zstd.parquet") for a in t.snapshot().files)
+    return (
+        t.read().groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("prop_owner",
+                    F.lit(det["properties"].get("pipeline.owner", "")))
+        .withColumn("um_v0", F.lit(um_v0))
+        .withColumn("um_v1", F.lit(um_v1))
+        .withColumn("all_zstd", F.lit(all_zstd))
+    )
 
 
 def o_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3064,100 +3123,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verifies everything: an entry may sit past the cap only if
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
-    # that structurally cannot have one).  Round 11 window: the 12
-    # remaining r7-recorded entries + the full 38-entry r8-recorded
-    # cohort (incl. ann_query_indexed, converted to oracle-backed in
-    # r11 — conversion re-demands a green row) — after r11 records
-    # land, every entry's newest record is r9+.  Local gate for the
-    # whole registry regardless of position: tools/check_oracles.py.
+    # that structurally cannot have one).  Round 12 window: the 6
+    # r8-recorded heads + the new o_write_options entry + 43 of the
+    # 49 r9-recorded entries (incl. ann_index_drift_audit, converted
+    # to oracle-backed in r12 — conversion re-demands a green row) —
+    # after r12 records land, the stalest cohort is the 6 deferred
+    # r9 entries at the head of the tail.  Local gate for the whole
+    # registry regardless of position: tools/check_oracles.py.
     return {
-        # -------- first 50: the round-11 recording window --------
-        # Record-freshness rotation (r11): the 12 entries whose
-        # newest committed record is CORRECTNESS_r07 (the tails
-        # displaced during r10) lead, then the entire 38-entry
-        # r8-recorded cohort — including ann_query_indexed, whose
-        # r11 conversion to oracle-backed re-demands a green row.
-        # 12 + 38 = exactly 50; after r11 records land every
-        # entry's newest record is r9+.
-        "temperature_mixture_sample": curation.temperature_mixture_sample,
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
-        "q8_market_share": relational.q8_market_share,
-        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
-        "q10_returned_items": relational.q10_returned_items,
-        "q16_anti_join": relational.q16_anti_join_parts,
-        "q20_excess_shipments": relational.q20_excess_shipments,
-        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
-        "event_funnel": _event_funnel,
-        "ngram_frequency": textops.ngram_frequency,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        "repetition_quality": textops.repetition_quality,
-        # the r8-recorded cohort (38 entries; rows-only entries
-        # re-record their guard-verified no_oracle rows, and
-        # ann_query_indexed records its first green row post-
-        # conversion)
-        "lsh_index_maintain": lsh_index_maintain,
-        "pq_index_maintain": pq_index_maintain,
-        "streaming_index_sink": _streaming_index_sink,
-        "ann_query_indexed": _ann_query_indexed,
-        "token_budget_sample": curation.token_budget_sample,
-        "bigram_perplexity": textops.bigram_perplexity,
-        "multimodal_features": mm_features,
-        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
-        "bpe_token_stats": _bpe_stats,
-        "cosine_topk": similarity.cosine_topk,
-        "embedding_near_dups": _embedding_near_dups_02,
-        "label_centroid_dims": _label_centroid_dims,
-        "quantize_embeddings": _quantize_embeddings,
-        "sketch_profile": _sketch_profile,
-        "bm25_search": textops.bm25_search,
-        "pmi_collocations": textops.pmi_collocations,
-        "ppjoin_near_dups": dedup.ppjoin_near_dups,
-        "streaming_interval_join_left": _streaming_interval_join_left,
-        "o_column_mapping": o_column_mapping,
-        "streaming_interval_join_full": _streaming_interval_join_full,
-        "o_generated_columns": o_generated_columns,
-        "cdc_row_changes": cdc_row_changes,
-        "streaming_cdc_feed": streaming_cdc_feed,
-        "q22_anti_scalar": relational.q22_idle_rich_customers,
-        "incremental_rollup_maintenance": incremental_rollup_maintenance,
-        "streaming_rollup_sink": streaming_rollup_sink,
-        "w1_w4_error_ignore": w1_w4_error_ignore,
-        "o_identity_columns": o_identity_columns,
-        "cdc_replicate": cdc_replicate,
-        "w3_partition_overwrite": w3_partition_overwrite,
-        # NEW this round (oracle-backed): Auto Loader-lite incremental
-        # landing ingest — displaced w5_create_or_replace (green r8
-        # record stands) to the tail
-        "streaming_auto_ingest": streaming_auto_ingest,
-        "m2_dedup_insert": m2_dedup_insert,
-        "m3_upsert": m3_upsert,
-        # NEW this round (oracle-backed): CONVERT TO DELTA — in-place
-        # onboarding of an existing parquet directory; displaced
-        # m4_replace_delete (green r8 record stands) to the tail
-        "o_convert_to_table": o_convert_to_table,
-        # CONVERTED this round (rows-only -> oracle-backed; the
-        # conversion re-demands a green row, so it takes a window
-        # slot — displaced s3_time_travel, whose green r8 record
-        # stands, to the tail)
-        "ann_index_maintain": ann_index_maintain,
-        # NEW this round (all oracle-backed — in-window per the
-        # first-50 rule; displaced p2_timewindow_read,
-        # o_compaction_roundtrip and zipf_profile, whose green r8
-        # records stand, to the tail):
-        # file-level exactly-once batch ingest (Delta's COPY INTO)
-        "o_copy_into": o_copy_into,
-        # log retention cleanup (delta.logRetentionDuration analogue)
-        "o_log_cleanup": o_log_cleanup,
-        # UniMax language-capped budget allocation (integer variant)
-        "unimax_sample": curation.unimax_sample,
-        # -------- past the cap: green/ok rows on committed ------
-        # -------- record (r9 first, then the all-green r10) -----
+        # -------- first 50: the round-12 recording window --------
+        # Record-freshness rotation (r12): the 6 entries whose
+        # newest committed record is CORRECTNESS_r08 lead, then
+        # the NEW o_write_options entry (W8/W9/W10 driver-
+        # verified), then 43 of the 49 r9-recorded entries —
+        # including ann_index_drift_audit, whose r12 conversion
+        # to oracle-backed re-demands a green row.  6+1+43 = 50;
+        # the 6 deferred r9 entries lead the r13 window.
         "s3_time_travel": s3_time_travel,
         "m4_replace_delete": m4_replace_delete,
         "w5_create_or_replace": w5_create_or_replace,
         "p2_timewindow_read": p2_timewindow_read,
         "o_compaction_roundtrip": o_compaction_roundtrip,
         "zipf_profile": textops.zipf_profile,
+        "o_write_options": o_write_options,
         "stream_ingest_near_dup_filter": _stream_ingest_filter,
         "string_functions": relational.string_functions_probe,
         "date_parts_rollup": relational.date_parts_rollup,
@@ -3200,11 +3188,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_rollup": streaming_rollup,
         "streaming_sessionize": _streaming_sessionize,
         "streaming_dedup": _streaming_dedup,
+        "ann_index_drift_audit": ann_index_drift_audit,
+        # -------- past the cap: green/ok rows on committed ------
+        # -------- records (deferred r9 first, then r10, r11) ----
         "w2_append": w2_append,
         "m1_update_only": m1_update_only,
         "o_zorder_clustering": o_zorder_clustering,
         "gopher_quality_filter": gopher_quality_filter,
-        "ann_index_drift_audit": ann_index_drift_audit,
         "hybrid_search_rrf": similarity.hybrid_search_rrf,
         "embedding_pca_project": _embedding_pca,
         "minhash_lsh_near_dups": minhash_lsh,
@@ -3257,6 +3247,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_identity_merge": o_identity_merge,
         "near_dup_decontaminate": _near_dup_decon,
         "embedding_decontaminate": similarity.embedding_decontaminate,
+        "temperature_mixture_sample": curation.temperature_mixture_sample,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q8_market_share": relational.q8_market_share,
+        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
+        "q10_returned_items": relational.q10_returned_items,
+        "q16_anti_join": relational.q16_anti_join_parts,
+        "q20_excess_shipments": relational.q20_excess_shipments,
+        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+        "event_funnel": _event_funnel,
+        "ngram_frequency": textops.ngram_frequency,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "repetition_quality": textops.repetition_quality,
+        "lsh_index_maintain": lsh_index_maintain,
+        "pq_index_maintain": pq_index_maintain,
+        "streaming_index_sink": _streaming_index_sink,
+        "ann_query_indexed": _ann_query_indexed,
+        "token_budget_sample": curation.token_budget_sample,
+        "bigram_perplexity": textops.bigram_perplexity,
+        "multimodal_features": mm_features,
+        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
+        "bpe_token_stats": _bpe_stats,
+        "cosine_topk": similarity.cosine_topk,
+        "embedding_near_dups": _embedding_near_dups_02,
+        "label_centroid_dims": _label_centroid_dims,
+        "quantize_embeddings": _quantize_embeddings,
+        "sketch_profile": _sketch_profile,
+        "bm25_search": textops.bm25_search,
+        "pmi_collocations": textops.pmi_collocations,
+        "ppjoin_near_dups": dedup.ppjoin_near_dups,
+        "streaming_interval_join_left": _streaming_interval_join_left,
+        "o_column_mapping": o_column_mapping,
+        "streaming_interval_join_full": _streaming_interval_join_full,
+        "o_generated_columns": o_generated_columns,
+        "cdc_row_changes": cdc_row_changes,
+        "streaming_cdc_feed": streaming_cdc_feed,
+        "q22_anti_scalar": relational.q22_idle_rich_customers,
+        "incremental_rollup_maintenance": incremental_rollup_maintenance,
+        "streaming_rollup_sink": streaming_rollup_sink,
+        "w1_w4_error_ignore": w1_w4_error_ignore,
+        "o_identity_columns": o_identity_columns,
+        "cdc_replicate": cdc_replicate,
+        "w3_partition_overwrite": w3_partition_overwrite,
+        "streaming_auto_ingest": streaming_auto_ingest,
+        "m2_dedup_insert": m2_dedup_insert,
+        "m3_upsert": m3_upsert,
+        "o_convert_to_table": o_convert_to_table,
+        "ann_index_maintain": ann_index_maintain,
+        "o_copy_into": o_copy_into,
+        "o_log_cleanup": o_log_cleanup,
+        "unimax_sample": curation.unimax_sample,
     }
 
 
@@ -3902,6 +3942,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.c_mktsegment
         """,
         "o_compaction_roundtrip": "SELECT * FROM lineitem",
+        "o_write_options": """
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   'data-eng' AS prop_owner,
+                   'John Doe' AS um_v0, 'Jane Roe' AS um_v1,
+                   TRUE AS all_zstd
+            FROM orders GROUP BY o_orderstatus
+        """,
         "fuzzy_name_matches": """
             SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
                    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
