@@ -3026,8 +3026,20 @@ def o_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drift audit over the CDC-maintained IVF index (rows-only:
-    k-means assignment quality is not SQL-expressible).
+    """Drift audit over the CDC-maintained IVF index.
+
+    ORACLE-BACKED since r12 via the recorded-family pattern (the r11
+    playbook): ``ivf_index_drift`` resumes the index's assignment
+    family, so after the production (matmul-family) guards below a
+    second bootstrap-then-fold pass runs the SAME audit machinery
+    under the PORTABLE dial on the real embeddings corpus and returns
+    its 4-cohort drift frame — stored centroids are the portable
+    k-means retrained by the twin on the bootstrap subset, the
+    rebuild candidate is the same recipe over the final corpus, per-
+    vector scores are the ordered-fold rounded-9 best cosine, cohort
+    membership is the fixture's deterministic split, and the means
+    accumulate in DECIMAL(20,9) (order-independent) — so the DuckDB
+    twin recomputes every cell of the frame exactly.
 
     ``ivf_index_vs_rebuild`` proves a fold is FAITHFUL to the stored
     centroids; this audit measures whether the centroids are still any
@@ -3040,7 +3052,8 @@ def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings table, count-scaled) — bootstrap on axes 0/1, the fold
     on axes 8/9, a distribution shift the stored centroids never saw.
 
-    Self-falsifying guards (the rows-only convention):
+    Production-family guards (kept from the rows-only era — they run
+    BEFORE the oracle leg and exercise the matmul/numpy paths):
 
     1. *detection*: the shifted fold must show cohort_decay > 0.2 and
        rebuild_gain > 0.05 — an audit blind to this shift is broken;
@@ -3109,7 +3122,23 @@ def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (abs(mc["cohort_decay"]) < 0.05 and mc["rebuild_gain"] < 0.02):
         raise AssertionError(
             f"drift audit false-alarmed on a same-distribution fold: {mc}")
-    return drift.select(
+    # oracle leg (r12 conversion): the same bootstrap-then-fold-then-
+    # audit machinery under the PORTABLE family on the real embeddings
+    # corpus (2/3 bootstrap, 1/3 fold — no planted shift: the twin
+    # value-checks the MACHINERY; shift DETECTION is the guards'
+    # job above).  iters=1 both at build and in the audit's retrain
+    # so the twin unrolls exactly one Lloyd round per model.
+    emb_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    base_p = DeltaSparkTable(spark, _scratch("drift-base-p"))
+    index_p = DeltaSparkTable(spark, _scratch("drift-ivf-p"))
+    base_p.write(emb_src.where("vec_id % 3 < 2"), WriteMode.error)
+    incremental.build_ivf_index(base_p, index_p, n_cells=8, iters=1,
+                                assignment="portable")
+    base_p.write(emb_src.where("vec_id % 3 = 2"), WriteMode.append)
+    incremental.maintain_ivf_index(base_p, index_p)
+    drift_p = incremental.ivf_index_drift(base_p, index_p, iters=1)
+    return drift_p.select(
         "cohort", "n",
         F.round("mean_cos", 6).alias("mean_cos"),
         F.round("min_cos", 6).alias("min_cos"),
@@ -3535,6 +3564,98 @@ def _ivf_maint_oracle_sql() -> str:
                 ORDER BY cos DESC, cell) AS rn
             FROM af
         ) WHERE rn = 1
+    """
+
+
+def _km1_block(src: str, sfx: str, n_cells: int = 8) -> str:
+    """One-Lloyd-round portable-k-means CTE chain over training source
+    ``{src}`` (already norm>0-filtered), suffixed ``{sfx}`` so two
+    models can coexist in one query — the parameterized form of the
+    ``_KM_CTE`` recipe (md5 init order, rounded-9 assignment cosines,
+    rounded-9 Lloyd means).  Ends at ``c1n{sfx}``: (cell, c_emb,
+    c_norm), the trained model."""
+    return f"""hashed{sfx} AS (
+            SELECT vec_id, embedding, norm,
+                   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                   1, 15))::BIGINT AS h
+            FROM {src}
+        ), init{sfx} AS (
+            SELECT row_number() OVER (ORDER BY h, vec_id) AS cell,
+                   embedding AS c_emb, norm AS c_norm
+            FROM hashed{sfx}
+            QUALIFY row_number() OVER (ORDER BY h, vec_id)
+                <= {n_cells}
+        ), a0{sfx} AS (
+            SELECT e.vec_id, e.embedding, e.norm, c.cell,
+                   round(({_DOT_DUCK.format(a='c.c_emb',
+                                            b='e.embedding')})
+                         / (e.norm * c.c_norm), 9) AS cos
+            FROM {src} e CROSS JOIN init{sfx} c
+        ), s0{sfx} AS (
+            SELECT vec_id, embedding, norm, cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY cos DESC, cell) AS rn
+                FROM a0{sfx}
+            ) WHERE rn = 1
+        ), upd{sfx} AS (
+            SELECT cell, i AS dim,
+                   round(avg(CAST(embedding[i] AS DOUBLE)), 9)
+                       AS mean_v
+            FROM s0{sfx}, unnest(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY cell, i
+        ), c1{sfx} AS (
+            SELECT cell, list(mean_v ORDER BY dim) AS c_emb
+            FROM upd{sfx} GROUP BY cell
+        ), c1n{sfx} AS (
+            SELECT cell, c_emb, {_NORM_DUCK.format(a='c_emb')} AS c_norm
+            FROM c1{sfx}
+        )"""
+
+
+def _drift_oracle_sql() -> str:
+    """DuckDB twin of the converted ``ann_index_drift_audit``: the
+    STORED model is the portable k-means retrained on the BOOTSTRAP
+    subset (vec_id % 3 < 2 — what ``build_ivf_index(
+    assignment="portable")`` saw at v0, one Lloyd round), the rebuild
+    candidate is the same recipe over the FULL final corpus, each
+    vector's score is its best rounded-9 cosine against a model, and
+    cohorts are the fixture's deterministic split (bootstrap ids ARE
+    the v0 subset).  Means accumulate in DECIMAL(20,9) exactly as the
+    Spark side does, so every cell of the 4-row frame matches."""
+    best = (
+        "SELECT e.vec_id, e.norm, "
+        "max(round(({dot}) / (e.norm * c.c_norm), 9)) AS cos "
+        "FROM emb e CROSS JOIN {model} c GROUP BY e.vec_id, e.norm"
+    )
+    dot = _DOT_DUCK.format(a='c.c_emb', b='e.embedding')
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, embedding,
+                   {_NORM_DUCK.format(a='embedding')} AS norm
+            FROM embeddings
+            WHERE {_NORM_DUCK.format(a='embedding')} > 0
+        ), tr AS (
+            SELECT * FROM emb WHERE vec_id % 3 < 2
+        ), {_km1_block('tr', '_b')},
+        {_km1_block('emb', '_f')},
+        stored_sc AS (
+            {best.format(dot=dot, model='c1n_b')}
+        ), fresh_sc AS (
+            {best.format(dot=dot, model='c1n_f')}
+        ), tagged AS (
+            SELECT CASE WHEN vec_id % 3 < 2 THEN 'bootstrap'
+                        ELSE 'folded' END AS cohort, cos
+            FROM stored_sc
+            UNION ALL SELECT 'all' AS cohort, cos FROM stored_sc
+            UNION ALL SELECT 'all_retrained' AS cohort, cos
+            FROM fresh_sc
+        )
+        SELECT cohort, count(*) AS n,
+               round(CAST(sum(CAST(cos AS DECIMAL(20,9))) AS DOUBLE)
+                     / count(*), 6) AS mean_cos,
+               round(min(cos), 6) AS min_cos
+        FROM tagged GROUP BY cohort
     """
 
 
@@ -4521,6 +4642,7 @@ def oracle_sql() -> dict[str, str]:
         # STORED inverted list == retrain-on-bootstrap + assign-final;
         # production matmul guards run first in-entry
         "ann_index_maintain": _ivf_maint_oracle_sql(),
+        "ann_index_drift_audit": _drift_oracle_sql(),
         # the maintained (bootstrap + CDC-fold) portable PQ index's
         # STORED codes == retrain-on-bootstrap + encode-final;
         # production numpy-codebook guards run first in-entry

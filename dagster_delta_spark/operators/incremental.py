@@ -1158,9 +1158,15 @@ def _cohort_quality(
     ).unionByName(
         retrained.select(F.lit("all_retrained").alias("cohort"), "cos")
     )
+    # mean via an exact DECIMAL(20,9) accumulator: order-independent
+    # (float avg depends on partition fold order) and therefore
+    # cross-engine deterministic — the portable dial's DuckDB twin
+    # replays the identical sum; the 1e-9 quantization is far below
+    # every decision threshold (SCALE.md: 0.02/0.05)
     return per_cohort.groupBy("cohort").agg(
-        F.count("*").alias("n"),
-        F.avg("cos").alias("mean_cos"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("cos").cast("decimal(20,9)")).cast("double")
+         / F.count(F.lit(1))).alias("mean_cos"),
         F.min("cos").alias("min_cos"),
     )
 
@@ -1190,21 +1196,43 @@ def ivf_index_drift(
     the rebuild.  Cost: two map-only scoring passes + one bounded
     k-means train — run it on maintenance cadence, not per fold.
     Threshold guidance: docs/SCALE.md (rebuild at rebuild_gain > 0.02
-    or cohort_decay > 0.05 on unit-normalized corpora)."""
-    from .similarity import _with_norm, kmeans_centroids
+    or cohort_decay > 0.05 on unit-normalized corpora).
 
-    _resume_version(index)  # refuse indexes not built by build_*
+    The audit RESUMES the index's recorded assignment family (r12,
+    like maintenance and the vs_rebuild audit): a ``"portable"``-built
+    index retrains the rebuild candidate with
+    ``_portable_centroids_from`` and scores through the ordered-fold
+    rounded cosine (``_assign_cells_exact``) — every number in the
+    drift frame then has a closed form a DuckDB twin replays exactly.
+    The ``"matmul"`` family keeps the production numpy paths."""
+    from .similarity import (
+        _assign_cells_exact,
+        _portable_centroids_from,
+        _with_norm,
+        kmeans_centroids,
+    )
+
+    # refuse indexes not built by build_*; resume the family dial
+    _v, meta = _resume_version(index)
+    family = meta.get("assignment", "matmul")
     cents = _ivf_centroids_table(index).read()
     vectors = _with_norm(
         emb.read().select("vec_id", "embedding")).localCheckpoint()
     # the stored quantizer IS the model of record — size the rebuild
     # candidate from it (maintain commits don't restate n_cells)
     n_cells = cents.count()
-    fresh = kmeans_centroids(vectors, n_cells, iters, train_sample_mod)
+    if family == "portable":
+        fresh = _portable_centroids_from(vectors, n_cells, iters)
+
+        def score(v, c):
+            return _assign_cells_exact(v, c, with_cos=True).select(
+                "vec_id", "cos")
+    else:
+        fresh = kmeans_centroids(vectors, n_cells, iters,
+                                 train_sample_mod)
+        score = _best_cos_scores
     return _cohort_quality(
-        emb, index,
-        _best_cos_scores(vectors, cents),
-        _best_cos_scores(vectors, fresh),
+        emb, index, score(vectors, cents), score(vectors, fresh),
     )
 
 

@@ -250,3 +250,38 @@ def test_audit_every_pq_and_marker_path(spark, tmp_path):
     assert rec is not None and rec["kind"] == "pq"
     assert rec["fold_idx"] == 1
     assert index.read().where("vec_id < 3").count() == 0
+
+
+def test_ivf_drift_resumes_portable_family(spark, tmp_path):
+    """r12: the drift audit resumes the index's recorded assignment
+    family.  On a portable-built index every per-vector score is the
+    ordered-fold cosine rounded to 9 decimals, so the frame's min_cos
+    lands exactly on the 1e-9 grid, the mean accumulates in
+    DECIMAL(20,9) (order-independent), and a re-run is bit-identical
+    — the property the entry's DuckDB twin relies on."""
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    d = 16
+    emb.write(_clustered(spark, range(40), _axes(d, [0, 1]), d, seed=3),
+              WriteMode.error)
+    build_ivf_index(emb, index, n_cells=4, iters=1,
+                    assignment="portable")
+    emb.write(_clustered(spark, range(40, 60), _axes(d, [0, 1]), d,
+                         seed=4), WriteMode.append)
+    maintain_ivf_index(emb, index)
+
+    rows1 = sorted(ivf_index_drift(emb, index, iters=1).collect(),
+                   key=lambda r: r["cohort"])
+    rows2 = sorted(ivf_index_drift(emb, index, iters=1).collect(),
+                   key=lambda r: r["cohort"])
+    assert [r.asDict() for r in rows1] == [r.asDict() for r in rows2]
+    assert {r["cohort"] for r in rows1} == {
+        "bootstrap", "folded", "all", "all_retrained"}
+    for r in rows1:
+        grid = r["min_cos"] * 1e9
+        assert abs(grid - round(grid)) < 1e-3, (
+            f"{r['cohort']} min_cos {r['min_cos']} not on the "
+            "rounded-9 grid — portable scoring not in effect")
+    # metrics helper still reads the decimal-exact means
+    m = index_drift_metrics(ivf_index_drift(emb, index, iters=1))
+    assert abs(m["cohort_decay"]) < 0.2 and m["n_folded"] == 20
