@@ -91,9 +91,20 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         sdf, pdf = _mk_df(spark, rnd)
         # r10: a bloom index on the (never-renamed) key column rides
         # through every op — each staged rewrite rebuilds bitmaps, and
-        # a point read through the probe must agree with the model
-        t.write(sdf, WriteMode.overwrite, table_configuration={
-            "dds.bloomFilterColumns": '{"k": {}}'})
+        # a point read through the probe must agree with the model.
+        # r12: odd trials START from a convert_to_table'd plain
+        # parquet directory (one version-0 commit over in-place files)
+        # so CONVERT-then-DML/CDC/restore/vacuum interleavings get the
+        # full sweep, not just the targeted integration tests.
+        if trial % 2 == 1:
+            from dagster_delta_spark import convert_to_table
+
+            sdf.coalesce(2).write.parquet(t.table_uri)
+            convert_to_table(spark, t.table_uri, table_configuration={
+                "dds.bloomFilterColumns": '{"k": {}}'})
+        else:
+            t.write(sdf, WriteMode.overwrite, table_configuration={
+                "dds.bloomFilterColumns": '{"k": {}}'})
         model = _apply_model(model, "overwrite", pdf)
         _snap()
 
@@ -112,7 +123,7 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                              "delete_dv", "delete_rw", "row_update",
                              "row_update_dv", "rename", "restore",
                              "replace_where", "copy_into",
-                             "log_cleanup"])
+                             "log_cleanup", "auto_ingest"])
             if op == "log_cleanup":
                 # r11: log retention interleaves with everything —
                 # state and every version >= the boundary must be
@@ -123,6 +134,37 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                     boundary = max(boundary, res["boundary_version"])
                 assert _table_state(t, vname) == _model_state(model), (
                     f"trial {trial} step {_step} log_cleanup"
+                )
+                continue
+            if op == "auto_ingest":
+                # r12: Auto Loader-lite drain interleaves with every
+                # other op — the file-source checkpoint survives
+                # renames/restores (processed landing files never
+                # re-emit, so a rewound table never double-ingests),
+                # and the drained batch is a plain model append
+                import os as _os
+
+                import __spark_entry__ as entry
+                from dagster_delta_spark.streaming import (
+                    auto_ingest_once,
+                )
+                sdf, pdf = _mk_df(spark, rnd)
+                sdf = sdf.withColumnRenamed("v", vname)
+                ailand = str(tmp_path / f"ailand{trial}")
+                _os.makedirs(ailand, exist_ok=True)
+                n_prev = len([f for f in _os.listdir(ailand)
+                              if f.endswith(".parquet")])
+                entry._stage_landing_file(
+                    sdf, ailand, f"file{n_prev}.parquet")
+                res = auto_ingest_once(
+                    spark, ailand, t.table_uri,
+                    str(tmp_path / f"aick{trial}"), f"fuzz-ai{trial}",
+                    schema=sdf.schema)
+                assert res["rows_ingested"] == len(pdf), res
+                model = _apply_model(model, "append", pdf)
+                _snap()
+                assert _table_state(t, vname) == _model_state(model), (
+                    f"trial {trial} step {_step} auto_ingest"
                 )
                 continue
             if op == "copy_into":
