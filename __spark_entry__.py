@@ -56,8 +56,10 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _STOPS_EN = "'the', 'a', 'of', 'and', 'is', 'to', 'in'"
 
 
-_BIGRAM_PPL_SQL = f"""
-            WITH toks AS (
+#: the corpus-trained bigram/unigram LM model CTEs — shared by the
+#: bigram_perplexity and doremi_domain_weights twins (one definition
+#: of the model, like textops._bigram_scored_stream on the Spark side)
+_LM_CTES = f"""toks AS (
                 SELECT doc_id,
                        unnest(range(0, len({_TOK}))) AS pos,
                        unnest({_TOK}) AS tok
@@ -76,7 +78,10 @@ _BIGRAM_PPL_SQL = f"""
                 GROUP BY tok, nxt
             ), tot AS (
                 SELECT sum(c_uni) AS n_corpus FROM uni
-            )
+            )"""
+
+_BIGRAM_PPL_SQL = f"""
+            WITH {_LM_CTES}
             SELECT b.doc_id,
                    CAST(count(*) AS BIGINT) AS n_bigrams,
                    avg(-ln(0.7 * g.c_big / cu.c_uni
@@ -91,6 +96,51 @@ _BIGRAM_PPL_SQL = f"""
             JOIN uni nu ON nu.tok = b.nxt
             CROSS JOIN tot t
             GROUP BY b.doc_id
+        """
+
+# DuckDB twin of doremi_domain_weights (defaults: eta=0.5, T=8,
+# smoothing=0.1, lam=0.7): per-doc excess = clip(unigram NLL -
+# interpolated-bigram NLL) rounded to 9, per-domain mean rounded to
+# 9, then the 8-term exponentiated-gradient iterate average with the
+# 0.1-uniform mix
+_DOREMI_SQL = f"""
+            WITH {_LM_CTES},
+            per_doc AS (
+                SELECT b.doc_id,
+                       avg(-ln(0.7 * g.c_big / cu.c_uni
+                               + (1.0 - 0.7) * nu.c_uni / t.n_corpus))
+                           AS nll_ref,
+                       avg(-ln(nu.c_uni / t.n_corpus)) AS nll_proxy
+                FROM bi b
+                JOIN big g ON g.tok = b.tok AND g.nxt = b.nxt
+                JOIN uni cu ON cu.tok = b.tok
+                JOIN uni nu ON nu.tok = b.nxt
+                CROSS JOIN tot t
+                GROUP BY b.doc_id
+            ), ex AS (
+                SELECT d.source,
+                       round(greatest(0.0, p.nll_proxy - p.nll_ref), 9)
+                           AS excess
+                FROM per_doc p JOIN documents d USING (doc_id)
+            ), dom AS (
+                SELECT source, count(*) AS n_docs,
+                       round(avg(excess), 9) AS l_excess
+                FROM ex GROUP BY source
+            ), kk AS (
+                SELECT count(*) AS k FROM dom
+            ), it AS (
+                SELECT source, n_docs, l_excess, s.t AS t,
+                       exp(0.5 * s.t * l_excess) AS m
+                FROM dom, unnest(range(1, 9)) AS s(t)
+            ), z AS (
+                SELECT t, sum(m) AS z FROM it GROUP BY t
+            )
+            SELECT i.source, i.n_docs,
+                   round(i.l_excess, 6) AS excess_loss,
+                   round(0.9 * sum(i.m / z.z) / 8 + 0.1 / kk.k, 6)
+                       AS weight
+            FROM it i JOIN z USING (t) CROSS JOIN kk
+            GROUP BY i.source, i.n_docs, i.l_excess, kk.k
         """
 
 
@@ -658,6 +708,23 @@ def o_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.write(li.repartition(16), WriteMode.error)
     t.optimize(target_file_size=256 * 1024 * 1024)
     return t.read()
+
+
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-weight solver (static-proxy instantiation,
+    curation.doremi_domain_weights): per-domain excess loss from the
+    shared bigram/unigram LM scoring pass, then the exponentiated-
+    gradient iterate average with uniform smoothing.  In-line guard:
+    the weights are a distribution (sum to 1 within 6-decimal
+    rounding); the DuckDB twin replays the scoring, the clip, and the
+    8-term iterate fold exactly."""
+    out = curation.doremi_domain_weights(spark, sf_dir).localCheckpoint()
+    s = out.agg(F.sum("weight")).collect()[0][0]
+    if abs(s - 1.0) > 1e-4:
+        raise AssertionError(
+            f"domain weights sum to {s}, not 1 — the solver's softmax "
+            "normalization or smoothing mix is broken")
+    return out
 
 
 def o_write_options(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3212,14 +3279,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": curation.decontaminate,
         "pack_sequences": curation.pack_sequences,
         "text_quality": textops.text_quality,
-        "lang_id": textops.lang_id,
         "token_stats": textops.token_stats,
         "streaming_hourly_rollup": streaming_rollup,
         "streaming_sessionize": _streaming_sessionize,
         "streaming_dedup": _streaming_dedup,
         "ann_index_drift_audit": ann_index_drift_audit,
+        # NEW this round (oracle-backed): DoReMi-style domain-weight
+        # solver — displaced lang_id (green r9 record stands) to the
+        # tail, where it leads the r13 refresh with the deferred six
+        "doremi_domain_weights": doremi_domain_weights,
         # -------- past the cap: green/ok rows on committed ------
         # -------- records (deferred r9 first, then r10, r11) ----
+        "lang_id": textops.lang_id,
         "w2_append": w2_append,
         "m1_update_only": m1_update_only,
         "o_zorder_clustering": o_zorder_clustering,
@@ -4991,6 +5062,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_totalprice AS DOUBLE) AS o_totalprice
             FROM orders
         """,
+        "doremi_domain_weights": _DOREMI_SQL,
         # UniMax integer water-filling replayed end-to-end: the capped
         # prefix closed form, the uniform split with deterministic
         # remainder, and the per-doc md5-rank epoch top-up

@@ -132,6 +132,9 @@ def main() -> None:
         "corpus_shuffle",
         "token_budget_sample",
         "unimax_sample",
+        # r12: DoReMi domain weights (scoring pass over the cached
+        # bigram LM + the K-row exponentiated-gradient solver)
+        "doremi_domain_weights",
         "dsir_importance_sample",
         "duplicate_components",
         "nb_classifier_scores",

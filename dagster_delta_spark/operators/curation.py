@@ -1013,6 +1013,94 @@ def quality_balanced_prune(
     )
 
 
+def doremi_domain_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    eta: float = 0.5,
+    steps: int = 8,
+    smoothing: float = 0.1,
+    lam: float = 0.7,
+) -> DataFrame:
+    """DoReMi-style domain-weight solver (Xie et al. 2023, Algorithm
+    1) under a STATIC proxy/reference pair: per-domain excess loss =
+    mean over the domain's documents of ``textops.doc_excess_loss``
+    (weak unigram proxy NLL minus strong bigram reference NLL, clipped
+    at zero — how much headroom a model has on that domain), then the
+    exponentiated-gradient iteration DoReMi runs per training step:
+
+    - ``alpha_t ∝ alpha_{t-1} * exp(eta * excess)`` from a uniform
+      ``alpha_0`` — with static losses the t-th iterate is the closed
+      form ``softmax(eta * t * excess)``, and each iterate DIFFERS
+      (the temperature sharpens with t), so DoReMi's final answer —
+      the AVERAGE over iterates, smoothed with the uniform
+      distribution — is a genuine T-term fold, not a single softmax;
+    - ``weight_d = (1 - smoothing) * (1/T) * sum_t alpha_t[d]
+      + smoothing / K`` over the ``K`` domains.
+
+    The full published algorithm re-trains the proxy between steps;
+    with a fixed proxy this is the one-round instantiation — the
+    per-domain losses are honest corpus statistics and the solver is
+    the real DoReMi update, exact in both engines (excess rounded to
+    9 pre-exponentiation; the iteration lives on the K-row domain
+    frame).
+
+    Output: every domain with ``(source, n_docs, excess_loss,
+    weight)`` — weights sum to 1 (within rounding), and domains whose
+    docs all dropped from the LM stream (< 2 tokens) are absent, like
+    every bigram-based operator.
+
+    Scale shape: one corpus-linear scoring pass (the shared
+    ``_bigram_scored_stream``), one (source) aggregate, then the
+    entire solver runs on the K-row domain frame (domain cardinality
+    is bounded by construction — sources, not documents); K*T rows
+    peak.  No driver materialization, no corpus shuffle beyond the
+    scoring join."""
+    from .textops import doc_excess_loss
+
+    if eta <= 0:
+        raise ValueError(f"eta must be positive, got {eta}")
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    if not 0 <= smoothing < 1:
+        raise ValueError(f"smoothing={smoothing} out of [0, 1)")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    dom = (
+        docs.join(doc_excess_loss(spark, sf_dir, lam), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("excess"), 9).alias("l_excess"),
+        )
+        .localCheckpoint(eager=False)  # solver + K probe share one
+        # scoring pass
+    )
+    k = dom.count()
+    if k == 0:
+        raise ValueError(
+            "no scorable documents (every doc has < 2 tokens) — "
+            "domain weights are undefined")
+    iters = dom.select(
+        "source", "n_docs", "l_excess",
+        F.explode(F.sequence(F.lit(1), F.lit(int(steps)))).alias("t"),
+    ).withColumn(
+        "m", F.exp(F.lit(float(eta)) * F.col("t") * F.col("l_excess")))
+    z = iters.groupBy("t").agg(F.sum("m").alias("z"))
+    return (
+        iters.join(F.broadcast(z), "t")
+        .groupBy("source", "n_docs", "l_excess")
+        .agg((F.sum(F.col("m") / F.col("z")) / F.lit(float(steps)))
+             .alias("a_bar"))
+        .select(
+            "source", "n_docs",
+            F.round("l_excess", 6).alias("excess_loss"),
+            F.round(
+                F.lit(1.0 - smoothing) * F.col("a_bar")
+                + F.lit(smoothing / k), 6,
+            ).alias("weight"),
+        )
+    )
+
+
 def unimax_sample(
     spark: SparkSession,
     sf_dir: str,

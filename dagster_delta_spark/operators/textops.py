@@ -549,18 +549,13 @@ def heavy_hitter_tokens(
     )
 
 
-def bigram_perplexity(
-    spark: SparkSession, sf_dir: str, lam: float = 0.7,
-) -> DataFrame:
-    """Interpolated bigram-LM perplexity per document — the step up
-    from ``unigram_quality`` toward the KenLM-style quality filters
-    production pipelines run: the corpus trains its own bigram +
-    unigram model, and each document scores
-    ``exp(-avg log(lam * P(w|v) + (1-lam) * P(w)))`` over its bigram
-    stream (docs with fewer than 2 tokens carry no bigrams and drop
-    out, like every shingle-based operator).  Repetitive/templated
-    text scores low perplexity, junk scores high — both tails are
-    filter targets.
+def _bigram_scored_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's bigram stream joined with the corpus-trained LM
+    counts — the shared scoring frame under ``bigram_perplexity`` and
+    ``doc_excess_loss``: columns (doc_id, tok, nxt, c_big, c_ctx,
+    c_nxt, n_corpus).  The (uni, big) count frames ARE the trained LM
+    — index state, session-cached per corpus fingerprint like the IVF
+    centroid/assignment frames (train once, score many).
 
     Shape: positional explode once; the bigram stream derives via one
     per-doc ``lead`` window; model counts are two map-side-combined
@@ -573,8 +568,6 @@ def bigram_perplexity(
     vocabulary² pair space stays distributed."""
     from pyspark.sql.window import Window
 
-    if not 0.0 <= lam <= 1.0:
-        raise ValueError(f"lam={lam} must be in [0, 1]")
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
@@ -614,22 +607,86 @@ def bigram_perplexity(
         _evict_stale(_BIGRAM_LM_CACHE, lm_key[0], lm_key)
         _BIGRAM_LM_CACHE[lm_key] = (uni, big)
     total = uni.agg(F.sum("c_uni").alias("n_corpus"))
-    p = (
-        F.lit(lam) * F.col("c_big") / F.col("c_ctx")
-        + F.lit(1.0 - lam) * F.col("c_nxt") / F.col("n_corpus")
-    )
     return (
         bi.join(big, ["tok", "nxt"])
         .join(uni.select(F.col("tok").alias("nxt"),
                          F.col("c_uni").alias("c_nxt")), "nxt")
         .join(uni.select("tok", F.col("c_uni").alias("c_ctx")), "tok")
         .crossJoin(F.broadcast(total))
+    )
+
+
+def _interp_logprob(lam: float):
+    """-log of the interpolated bigram probability over the scored
+    stream's count columns — ONE definition shared by every consumer
+    so the LM's smoothing rule cannot drift between operators."""
+    p = (
+        F.lit(lam) * F.col("c_big") / F.col("c_ctx")
+        + F.lit(1.0 - lam) * F.col("c_nxt") / F.col("n_corpus")
+    )
+    return -F.log(p)
+
+
+def bigram_perplexity(
+    spark: SparkSession, sf_dir: str, lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram-LM perplexity per document — the step up
+    from ``unigram_quality`` toward the KenLM-style quality filters
+    production pipelines run: the corpus trains its own bigram +
+    unigram model, and each document scores
+    ``exp(-avg log(lam * P(w|v) + (1-lam) * P(w)))`` over its bigram
+    stream (docs with fewer than 2 tokens carry no bigrams and drop
+    out, like every shingle-based operator).  Repetitive/templated
+    text scores low perplexity, junk scores high — both tails are
+    filter targets.  Scale shape: ``_bigram_scored_stream``."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam={lam} must be in [0, 1]")
+    return (
+        _bigram_scored_stream(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.avg(-F.log(p)).alias("avg_neg_logprob"),
+            F.avg(_interp_logprob(lam)).alias("avg_neg_logprob"),
         )
         .withColumn("perplexity", F.exp("avg_neg_logprob"))
+    )
+
+
+def doc_excess_loss(
+    spark: SparkSession, sf_dir: str, lam: float = 0.7,
+) -> DataFrame:
+    """Per-document EXCESS LOSS for DoReMi-style domain reweighting
+    (Xie et al. 2023): the document's negative log-likelihood under a
+    WEAK proxy model (the unigram LM — what an under-trained model
+    knows) minus its NLL under the stronger REFERENCE (the
+    interpolated bigram LM), clipped at zero and rounded to 9
+    decimals.  High excess marks text the weak model handles much
+    worse than the strong one — learnable signal, the domains DoReMi
+    upweights; near-zero excess marks text that is either trivial
+    (both models fit it) or noise (neither does).  Both NLLs score
+    the SAME bigram stream against the SAME trained counts, so the
+    gap isolates model capacity, not tokenization.
+
+    Output: (doc_id, excess).  Docs with < 2 tokens carry no bigrams
+    and drop out, exactly like ``bigram_perplexity``.  One grouped
+    aggregate over the shared scored stream — same scale shape."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam={lam} must be in [0, 1]")
+    nll_uni = -F.log(F.col("c_nxt") / F.col("n_corpus"))
+    return (
+        _bigram_scored_stream(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.avg(_interp_logprob(lam)).alias("nll_ref"),
+            F.avg(nll_uni).alias("nll_proxy"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.greatest(F.lit(0.0),
+                           F.col("nll_proxy") - F.col("nll_ref")), 9,
+            ).alias("excess"),
+        )
     )
 
 

@@ -1,0 +1,110 @@
+"""r12 additions: the o_write_options W8/W9/W10 entry surface, the
+timestamp dial in s3_time_travel, and the DoReMi-style domain-weight
+solver.
+
+The new entries' VALUE correctness is the driver's oracle gate
+(tools/check_oracles.py); these tests pin the structural contracts the
+gate can't see — validation surfaces, the excess-loss clip, weight
+normalization under parameter sweeps, and the temperature ordering the
+solver must respect.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dagster_delta_spark.operators.curation import doremi_domain_weights
+from dagster_delta_spark.operators.textops import (
+    bigram_perplexity,
+    doc_excess_loss,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_doc_excess_loss_clipped_and_rounded(spark):
+    ex = doc_excess_loss(spark, SF).collect()
+    assert len(ex) > 0
+    for r in ex:
+        assert r["excess"] >= 0.0, "excess loss must be clipped at 0"
+        grid = r["excess"] * 1e9
+        assert abs(grid - round(grid)) < 1e-3, (
+            "excess must land on the rounded-9 grid")
+    # same doc population as the bigram scorer (docs with < 2 tokens
+    # drop from both)
+    n_ppl = bigram_perplexity(spark, SF).count()
+    assert len(ex) == n_ppl
+
+
+def test_doremi_weights_are_a_distribution(spark):
+    rows = doremi_domain_weights(spark, SF).collect()
+    assert len(rows) > 1
+    total = sum(r["weight"] for r in rows)
+    assert math.isclose(total, 1.0, abs_tol=1e-4)
+    assert all(r["weight"] > 0 for r in rows), (
+        "uniform smoothing must keep every domain's weight positive")
+    assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_doremi_upweights_higher_excess(spark):
+    """The exponentiated-gradient average is monotone in the excess
+    loss: a domain with strictly higher excess must never get a
+    strictly lower weight (ties allowed at 6-decimal rounding)."""
+    rows = doremi_domain_weights(spark, SF).collect()
+    by_excess = sorted(rows, key=lambda r: r["excess_loss"])
+    for a, b in zip(by_excess, by_excess[1:]):
+        if b["excess_loss"] > a["excess_loss"]:
+            assert b["weight"] >= a["weight"], (
+                f"{b['source']} (excess {b['excess_loss']}) got weight "
+                f"{b['weight']} < {a['source']}'s {a['weight']}")
+
+
+def test_doremi_parameter_dials(spark):
+    """smoothing=0 is the pure iterate average; larger eta sharpens
+    toward the argmax domain; steps=1 equals one softmax step mixed
+    with uniform.  Each still normalizes."""
+    base = {r["source"]: r["weight"]
+            for r in doremi_domain_weights(spark, SF).collect()}
+    sharp = {r["source"]: r["weight"]
+             for r in doremi_domain_weights(
+                 spark, SF, eta=2.0, smoothing=0.0).collect()}
+    assert math.isclose(sum(sharp.values()), 1.0, abs_tol=1e-4)
+    top = max(base, key=base.get)
+    assert sharp[top] >= base[top], (
+        "raising eta must concentrate weight on the highest-excess "
+        "domain")
+    one = doremi_domain_weights(spark, SF, steps=1).collect()
+    assert math.isclose(sum(r["weight"] for r in one), 1.0,
+                        abs_tol=1e-4)
+
+
+def test_doremi_validation_surface(spark):
+    with pytest.raises(ValueError, match="eta"):
+        doremi_domain_weights(spark, SF, eta=0.0)
+    with pytest.raises(ValueError, match="steps"):
+        doremi_domain_weights(spark, SF, steps=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        doremi_domain_weights(spark, SF, smoothing=1.0)
+    with pytest.raises(ValueError, match="lam"):
+        doremi_domain_weights(spark, SF, lam=1.5)
+
+
+def test_write_options_entry_contract(spark):
+    """The o_write_options entry's echo columns come from the REAL
+    table metadata: drop the zstd writer property and the all_zstd
+    flag must flip (the closed-form oracle would then mismatch) —
+    proving the flag measures the files, not the request."""
+    import __spark_entry__ as entry
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+
+    t = DeltaSparkTable(spark, entry._scratch("wopt-test"))
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    t.write(orders.limit(50), WriteMode.error,
+            commit_metadata={"userName": "John Doe"})
+    snap = t.snapshot()
+    assert not any(a.path.endswith(".zstd.parquet")
+                   for a in snap.files), (
+        "snappy default write must NOT produce zstd-suffixed files")
+    hist = t.history()
+    assert (hist[0].get("userMetadata") or {})["userName"] == "John Doe"
