@@ -1588,16 +1588,31 @@ def _ivf_pq(spark, sf_dir):
 
 
 def _embedding_pca(spark, sf_dir):
-    """Distributed PCA projection (rows-only: eigenvectors are not
-    SQL-expressible).
+    """Distributed PCA projection.
 
-    Self-falsifying (r7 convention): the entry asserts the linear-
-    algebra contract in-line — the trained basis must be
-    column-orthonormal with explained-variance shares decreasing in
-    [0, 1], and a sample of the DISTRIBUTED projections must equal
-    the driver-side ``(x - mean) @ components`` recomputation to
-    1e-9 — so a rows-only record certifies the moment aggregation
-    and the Arrow projection path, not just row production."""
+    ORACLE-BACKED since r12 via the recorded-family pattern: after
+    the production guards below (numpy eigendecomposition over
+    distributed partial moments, persisted basis), the entry re-runs
+    PCA under the PORTABLE dial — top-2 components by POWER ITERATION
+    with deflation (``similarity.portable_pca_project``), every fold
+    decimal-exact over rounded-9 terms — and returns that projection;
+    the DuckDB twin (``_pca_oracle_sql``) unrolls the identical 8
+    matrix-vector steps per component, so the distributed moment
+    aggregation, the iteration folds, and the projection arithmetic
+    are value-checked cross-engine end-to-end.  Parity is exact by
+    construction (both engines compute the same iterate sequence on
+    the same 1e-9 grid); how close the iterates get to true
+    eigenvectors depends on the spectral gap — the synthetic corpus
+    is near-isotropic (λ1/λ2 ≈ 1.02), where eigenvectors are
+    ill-defined for ANY method, so convergence is pinned separately
+    on a spiked corpus (test_r12_entries) and the production eigh
+    guards below certify the real PCA contract.
+
+    Production guards (kept from the rows-only era): the trained
+    basis must be column-orthonormal with explained-variance shares
+    decreasing in [0, 1], and a sample of the DISTRIBUTED projections
+    must equal the driver-side ``(x - mean) @ components``
+    recomputation to 1e-9."""
     import numpy as np
 
     k = 16
@@ -1628,13 +1643,16 @@ def _embedding_pca(spark, sf_dir):
                 f"distributed projection diverged from driver math "
                 f"for vec_id={r['vec_id']}"
             )
+    # oracle leg (r12 conversion): the portable power-iteration
+    # projection — the returned frame the DuckDB twin recomputes.
     # driver-shaped output (the quantize_embeddings r6 fix): the raw
     # ``proj array<double>`` column crashes the driver's pandas
     # canonicalizer (round-7 red row: lists are unhashable under
     # sort_values), so the recorded entry serializes it to a rounded
     # CSV string — every projected value still participates in the
     # value hash, and the guards above ran on the REAL array column
-    return proj.select(
+    proj_p = similarity.portable_pca_project(spark, sf_dir, k=2, iters=8)
+    return proj_p.select(
         "vec_id",
         "label",
         F.array_join(
@@ -3279,11 +3297,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": curation.decontaminate,
         "pack_sequences": curation.pack_sequences,
         "text_quality": textops.text_quality,
-        "token_stats": textops.token_stats,
         "streaming_hourly_rollup": streaming_rollup,
         "streaming_sessionize": _streaming_sessionize,
         "streaming_dedup": _streaming_dedup,
         "ann_index_drift_audit": ann_index_drift_audit,
+        # CONVERTED this round (rows-only -> oracle-backed via the
+        # portable power-iteration dial; conversion re-demands a
+        # green row, so it takes a window slot — displaced
+        # token_stats, green r9 record stands)
+        "embedding_pca_project": _embedding_pca,
         # NEW this round (oracle-backed): DoReMi-style domain-weight
         # solver — displaced lang_id (green r9 record stands) to the
         # tail, where it leads the r13 refresh with the deferred six
@@ -3291,12 +3313,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -------- past the cap: green/ok rows on committed ------
         # -------- records (deferred r9 first, then r10, r11) ----
         "lang_id": textops.lang_id,
+        "token_stats": textops.token_stats,
         "w2_append": w2_append,
         "m1_update_only": m1_update_only,
         "o_zorder_clustering": o_zorder_clustering,
         "gopher_quality_filter": gopher_quality_filter,
         "hybrid_search_rrf": similarity.hybrid_search_rrf,
-        "embedding_pca_project": _embedding_pca,
         "minhash_lsh_near_dups": minhash_lsh,
         "minhash_cluster_keep": _minhash_cluster,
         "ann_lsh_topk": ann_lsh,
@@ -3728,6 +3750,103 @@ def _drift_oracle_sql() -> str:
                round(min(cos), 6) AS min_cos
         FROM tagged GROUP BY cohort
     """
+
+
+def _pca_oracle_sql(k: int = 2, iters: int = 8) -> str:
+    """DuckDB twin of the converted ``embedding_pca_project``: unroll
+    the portable power iteration (``similarity.portable_pca_project``)
+    — rounded-9 moments with decimal-exact sums, ``iters``
+    matrix-vector steps per component with rounded-9 normalizes,
+    Rayleigh eigenvalue, rank-1 deflation between components, then the
+    centered projection — every expression the byte-for-byte SQL twin
+    of the Spark frames.  Dimension-agnostic (d = the mean frame's
+    row count); n comes from the embeddings table itself."""
+    nn = "(SELECT count(*) FROM embeddings)"
+    blocks = [f"""x9 AS MATERIALIZED (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                                  e -> round(CAST(e AS DOUBLE), 9)) AS x
+            FROM embeddings
+        ), dims AS MATERIALIZED (
+            SELECT vec_id, t.i AS i, x[t.i + 1] AS xi
+            FROM x9, unnest(range(0, len(x))) AS t(i)
+        ), mu AS MATERIALIZED (
+            SELECT i,
+                   round(CAST(sum(CAST(xi AS DECIMAL(20,9)))
+                              AS DOUBLE) / {nn}, 12) AS mu
+            FROM dims GROUP BY i
+        ), cen AS MATERIALIZED (
+            SELECT d.vec_id, d.i, d.xi - m.mu AS ci
+            FROM dims d JOIN mu m USING (i)
+        ), cov_0 AS MATERIALIZED (
+            SELECT a.i, b.i AS j,
+                   round(CAST(sum(CAST(a.ci AS DECIMAL(15,12))
+                              * CAST(b.ci AS DECIMAL(15,12)))
+                         AS DOUBLE) / ({nn} - 1), 9) AS c
+            FROM cen a JOIN cen b USING (vec_id)
+            GROUP BY a.i, b.i
+        )"""]
+    for c in range(k):
+        blocks.append(f"""v_{c}_0 AS MATERIALIZED (
+            SELECT i, round(sqrt(i + 2), 9) AS val FROM mu
+        )""")
+        for t in range(1, iters + 1):
+            blocks.append(f"""w_{c}_{t} AS MATERIALIZED (
+            SELECT cv.i AS i,
+                   round(CAST(sum(CAST(cv.c AS DECIMAL(12,9))
+                              * CAST(v.val AS DECIMAL(10,9)))
+                         AS DOUBLE), 9) AS w
+            FROM cov_{c} cv JOIN v_{c}_{t - 1} v ON v.i = cv.j
+            GROUP BY cv.i
+        ), s_{c}_{t} AS MATERIALIZED (
+            SELECT sqrt(CAST(sum(CAST(w AS DECIMAL(12,9))
+                             * CAST(w AS DECIMAL(12,9))) AS DOUBLE))
+                       AS s
+            FROM w_{c}_{t}
+        ), v_{c}_{t} AS MATERIALIZED (
+            SELECT i, round(w / s, 9) + 0.0 AS val
+            FROM w_{c}_{t}, s_{c}_{t}
+        )""")
+        blocks.append(f"""wf_{c} AS MATERIALIZED (
+            SELECT cv.i AS i,
+                   round(CAST(sum(CAST(cv.c AS DECIMAL(12,9))
+                              * CAST(v.val AS DECIMAL(10,9)))
+                         AS DOUBLE), 9) AS w
+            FROM cov_{c} cv JOIN v_{c}_{iters} v ON v.i = cv.j
+            GROUP BY cv.i
+        ), lam_{c} AS MATERIALIZED (
+            SELECT round(CAST(sum(CAST(v.val AS DECIMAL(10,9))
+                              * CAST(w.w AS DECIMAL(12,9)))
+                         AS DOUBLE), 9) AS lam
+            FROM wf_{c} w JOIN v_{c}_{iters} v USING (i)
+        ), cov_{c + 1} AS MATERIALIZED (
+            SELECT cv.i, cv.j,
+                   round(CAST(CAST(cv.c AS DECIMAL(12,9))
+                              - CAST(l.lam AS DECIMAL(12,9))
+                              * CAST(vi.val AS DECIMAL(10,9))
+                              * CAST(vj.val AS DECIMAL(10,9))
+                         AS DOUBLE), 9) AS c
+            FROM cov_{c} cv
+            JOIN v_{c}_{iters} vi ON vi.i = cv.i
+            JOIN v_{c}_{iters} vj ON vj.i = cv.j
+            CROSS JOIN lam_{c} l
+        )""")
+        blocks.append(f"""p_{c} AS MATERIALIZED (
+            SELECT cen.vec_id,
+                   round(CAST(sum(CAST(cen.ci AS DECIMAL(15,12))
+                              * CAST(v.val AS DECIMAL(10,9)))
+                         AS DOUBLE), 9) + 0.0 AS p
+            FROM cen JOIN v_{c}_{iters} v USING (i)
+            GROUP BY cen.vec_id
+        )""")
+    csv = " || ',' || ".join(
+        f"printf('%.9f', p_{c}.p)" for c in range(k))
+    joins = " ".join(
+        f"JOIN p_{c} ON p_{c}.vec_id = e.vec_id" for c in range(k))
+    return ("WITH " + ",\n        ".join(blocks) + f"""
+        SELECT e.vec_id, e.label, {csv} AS proj_csv
+        FROM embeddings e {joins}
+    """)
 
 
 def _pq_maint_oracle_sql() -> str:
@@ -5063,6 +5182,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "doremi_domain_weights": _DOREMI_SQL,
+        "embedding_pca_project": _pca_oracle_sql(),
         # UniMax integer water-filling replayed end-to-end: the capped
         # prefix closed form, the uniform split with deterministic
         # remainder, and the per-doc md5-rank epoch top-up

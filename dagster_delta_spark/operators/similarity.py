@@ -1873,6 +1873,203 @@ def kmeans_clusters(
 _PCA_CACHE: dict[tuple, tuple] = {}
 
 
+def _portable_pca_cov(emb_df: DataFrame):
+    """(n, dims, mu, cov) frames for the PORTABLE PCA dial over a
+    (vec_id, embedding) frame — every aggregate accumulates in
+    DECIMAL (order-independent) over rounded-9 terms, so the
+    covariance matrix is bit-identical cross-engine: components round
+    to 9 on load, the mean is the exact decimal sum divided by n
+    (rounded at 12, where small-factor n quotients are EXACT),
+    centered products multiply in exact DECIMAL before the exact
+    covariance sum.  ``dims`` is the exploded (vec_id, i, xi) frame
+    the projection pass reuses."""
+    n = emb_df.count()
+    if n < 2:
+        raise ValueError("PCA needs at least 2 embeddings")
+    x9 = emb_df.select(
+        "vec_id",
+        F.expr("transform(embedding, e -> round(CAST(e AS DOUBLE), 9))")
+        .alias("x"),
+    )
+    dims = x9.select(
+        "vec_id", F.posexplode("x").alias("i", "xi")
+    ).localCheckpoint(eager=False)
+    mu = (
+        dims.groupBy("i")
+        .agg(F.expr(
+            f"round(CAST(sum(CAST(xi AS DECIMAL(20,9))) AS DOUBLE)"
+            f" / {n}, 12)").alias("mu"))
+        .localCheckpoint(eager=False)
+    )
+    cen = dims.join(mu, "i").select(
+        "vec_id", "i", (F.col("xi") - F.col("mu")).alias("ci"))
+    # products multiply in EXACT DECIMAL, never round-then-sum: the
+    # factors are grid values (nearest doubles of 9-decimal numbers),
+    # so DECIMAL(.,9) casts are exact and the (.,18)-scale product is
+    # exact in both engines — round(x*y, 9) instead would land
+    # exactly ON half boundaries whenever the product's decimal tail
+    # is .5e-9 (e.g. any c * 0.125), where Spark's HALF_UP and
+    # DuckDB's double-rounding disagree (measured: 7/64 components
+    # off after one power-iteration step)
+    cov = (
+        cen.alias("a")
+        .join(cen.alias("b"), "vec_id")
+        .select(
+            F.col("a.i").alias("i"), F.col("b.i").alias("j"),
+            F.expr("CAST(a.ci AS DECIMAL(15,12))"
+                   " * CAST(b.ci AS DECIMAL(15,12))").alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.expr(
+            f"round(CAST(sum(p) AS DOUBLE) / {n - 1}, 9)").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    return n, dims, mu, cov
+
+
+def _portable_power_iteration(cov, d: int, iters: int):
+    """One portable power-iteration pass over a (i, j, c) covariance
+    frame: T matrix-vector steps, each a decimal-exact fold of
+    rounded-9 products with a rounded-9 normalize (``+ 0.0``
+    canonicalizes −0.0 so the CSV render agrees cross-engine).
+    Returns (v, lam_frame, deflated_cov) — the component frame
+    (i, val), the 1-row Rayleigh eigenvalue, and the rank-1-deflated
+    covariance for the next component.  Every expression here has a
+    byte-for-byte SQL twin (the _pca_oracle_sql generator)."""
+    spark = cov.sparkSession
+    # UNNORMALIZED generic start (the first normalize absorbs the
+    # scale): sqrt(i+2) has a full irrational decimal tail per
+    # coordinate, so every downstream product/sum is boundary-free —
+    # a constant 1/sqrt(d) start (= 0.125 at d=64) collapsed products
+    # onto the exact-half grid where the engines' round() disagree
+    v = spark.range(d).select(
+        F.col("id").cast("int").alias("i"),
+        F.expr("round(sqrt(id + 2), 9)").alias("val"),
+    ).localCheckpoint(eager=False)
+
+    def _mv(vf):
+        # exact-decimal products (see _portable_pca_cov's note): both
+        # factors are grid values, so the DECIMAL casts are exact and
+        # the scale-18 sum is order-independent AND boundary-free
+        return (
+            cov.join(vf, cov["j"] == vf["i"])
+            .select(cov["i"].alias("wi"),
+                    F.expr("CAST(c AS DECIMAL(12,9))"
+                           " * CAST(val AS DECIMAL(10,9))").alias("t"))
+            .groupBy("wi")
+            .agg(F.expr(
+                "round(CAST(sum(t) AS DOUBLE), 9)").alias("w"))
+            .select(F.col("wi").alias("i"), "w")
+        )
+
+    for _ in range(iters):
+        w = _mv(v)
+        s = w.agg(F.expr(
+            "sqrt(CAST(sum(CAST(w AS DECIMAL(12,9))"
+            " * CAST(w AS DECIMAL(12,9))) AS DOUBLE))").alias("s"))
+        v = (
+            w.crossJoin(F.broadcast(s))
+            .select("i", F.expr("round(w / s, 9) + 0.0").alias("val"))
+            .localCheckpoint(eager=True)
+        )
+    w = _mv(v)
+    lam = (
+        w.join(v, "i")
+        .agg(F.expr(
+            "round(CAST(sum(CAST(val AS DECIMAL(10,9))"
+            " * CAST(w AS DECIMAL(12,9))) AS DOUBLE), 9)").alias("lam"))
+        .localCheckpoint(eager=True)
+    )
+    deflated = (
+        cov.join(v.select(F.col("i"), F.col("val").alias("vi")), "i")
+        .join(v.select(F.col("i").alias("j"), F.col("val").alias("vj")),
+              "j")
+        .crossJoin(F.broadcast(lam))
+        .select("i", "j",
+                F.expr(
+                    "round(CAST(CAST(c AS DECIMAL(12,9))"
+                    " - CAST(lam AS DECIMAL(12,9))"
+                    " * CAST(vi AS DECIMAL(10,9))"
+                    " * CAST(vj AS DECIMAL(10,9)) AS DOUBLE), 9)")
+                .alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    return v, lam, deflated
+
+
+def portable_pca_project(
+    spark: SparkSession, sf_dir: str, k: int = 2, iters: int = 8,
+) -> DataFrame:
+    """PCA projection under the PORTABLE dial (the oracle-conversion
+    pattern): top-``k`` principal components by power iteration with
+    deflation, every fold decimal-exact over rounded-9 terms — the
+    whole computation (moments, T matrix-vector steps per component,
+    Rayleigh eigenvalue, rank-1 deflation, projection) is replayed
+    bit-for-bit by a DuckDB twin that unrolls the same iterations.
+    NOT the scale path: production is ``embedding_pca`` (driver
+    eigendecomposition of distributed partial moments, persisted
+    basis) — this dial exists so the PCA entry is value-checkable
+    cross-engine.  Convergence is irrelevant to parity: both engines
+    compute the identical iterate sequence, rounded to the same grid;
+    how CLOSE the iterates get to true eigenvectors depends on the
+    corpus's spectral gap (the synthetic embeddings are near-
+    isotropic, λ1/λ2 ≈ 1.02, where eigenvectors are numerically
+    ill-defined for ANY method — eigh included — so the iteration
+    converges on spiked spectra and is a deterministic Krylov
+    direction on flat ones; test_r12_entries pins the spiked case).
+
+    Output: (vec_id, label, proj array<double>) with proj[c] = the
+    centered dot with component c, rounded to 9 (−0.0 canonicalized).
+    Scale shape: the corpus is touched twice (moment pass, projection
+    pass); the iteration itself runs on the d- and d²-row model
+    frames only."""
+    emb = load(spark, sf_dir, "embeddings")
+    proj = _portable_pca_project_frame(
+        emb.select("vec_id", "embedding"), k, iters)
+    return proj.join(emb.select("vec_id", "label"), "vec_id").select(
+        "vec_id", "label", "proj")
+
+
+def _portable_pca_project_frame(
+    emb_df: DataFrame, k: int, iters: int,
+) -> DataFrame:
+    """Frame-level core of :func:`portable_pca_project` over a
+    (vec_id, embedding) frame — the spiked-corpus convergence test
+    drives this directly.  Returns (vec_id, proj array<double>)."""
+    d_row = emb_df.select(F.size("embedding").alias("d")).first()
+    if d_row is None or d_row["d"] is None or d_row["d"] < 1:
+        raise ValueError("embedding frame is empty or first row null")
+    d = int(d_row["d"])
+    if not 1 <= k <= d:
+        raise ValueError(f"k={k} must be in [1, {d}]")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    n, dims, mu, cov = _portable_pca_cov(emb_df)
+    comps = []
+    for _c in range(k):
+        v, _lam, cov = _portable_power_iteration(cov, d, iters)
+        comps.append(v)
+    cen = dims.join(mu, "i").select(
+        "vec_id", "i", (F.col("xi") - F.col("mu")).alias("ci"))
+    projs = None
+    for c, v in enumerate(comps):
+        pc = (
+            cen.join(F.broadcast(v), "i")
+            .select("vec_id",
+                    F.expr("CAST(ci AS DECIMAL(15,12))"
+                           " * CAST(val AS DECIMAL(10,9))").alias("t"))
+            .groupBy("vec_id")
+            .agg(F.expr(
+                "round(CAST(sum(t) AS DOUBLE), 9) + 0.0")
+                .alias(f"p{c}"))
+        )
+        projs = pc if projs is None else projs.join(pc, "vec_id")
+    return projs.select(
+        "vec_id",
+        F.array(*[F.col(f"p{c}") for c in range(k)]).alias("proj"),
+    )
+
+
 def pca_basis_table_uri(sf_dir: str, k: int) -> str:
     """One persisted basis table per (corpus dir, k); retrains on
     changed data append new versions — the IVF centroid contract

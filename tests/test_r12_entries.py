@@ -108,3 +108,73 @@ def test_write_options_entry_contract(spark):
         "snappy default write must NOT produce zstd-suffixed files")
     hist = t.history()
     assert (hist[0].get("userMetadata") or {})["userName"] == "John Doe"
+
+
+def test_portable_pca_deterministic_on_flat_spectrum(spark):
+    """On the (near-isotropic) synthetic embeddings, eigenvectors are
+    numerically ill-defined for ANY method — what the oracle
+    conversion rests on is that a re-run of the portable iteration is
+    BIT-identical and on the rounded-9 grid."""
+    from dagster_delta_spark.operators.similarity import (
+        portable_pca_project,
+    )
+
+    rows1 = sorted(
+        portable_pca_project(spark, SF, k=2, iters=8).collect(),
+        key=lambda r: r["vec_id"])
+    rows2 = sorted(
+        portable_pca_project(spark, SF, k=2, iters=8).collect(),
+        key=lambda r: r["vec_id"])
+    assert [tuple(r["proj"]) for r in rows1] == [
+        tuple(r["proj"]) for r in rows2]
+    for r in rows1[:50]:
+        for x in r["proj"]:
+            grid = x * 1e9
+            assert abs(grid - round(grid)) < 1e-3
+
+
+def test_portable_pca_converges_on_spiked_spectrum(spark):
+    """Where the spectrum HAS a gap, the portable power iteration must
+    find the real principal axes: a corpus spiked along e0 (strong)
+    and e1 (weaker) over small isotropic noise must project with
+    component 0 ≈ ±x[0]-centered and component 1 ≈ ±x[1]-centered
+    (|corr| > 0.99 against the planted axes)."""
+    import numpy as np
+
+    from dagster_delta_spark.operators.similarity import (
+        _portable_pca_project_frame,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 300
+    rows = []
+    for i in range(n):
+        x = rng.normal(scale=0.05, size=d)
+        x[0] += rng.normal(scale=1.0)    # dominant axis
+        x[1] += rng.normal(scale=0.45)   # second axis
+        rows.append((i, [float(v) for v in x]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["proj"]
+        for r in _portable_pca_project_frame(emb, k=2, iters=8).collect()
+    }
+    raw = np.array([rows[i][1] for i in range(n)], dtype=np.float64)
+    cen = raw - raw.mean(axis=0)
+    for c in range(2):
+        a = np.array([got[i][c] for i in range(n)])
+        b = cen[:, c]
+        corr = abs(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert corr > 0.99, (
+            f"portable component {c} missed the planted axis "
+            f"({corr:.4f})")
+
+
+def test_portable_pca_validation(spark):
+    from dagster_delta_spark.operators.similarity import (
+        portable_pca_project,
+    )
+
+    with pytest.raises(ValueError, match="k="):
+        portable_pca_project(spark, SF, k=0)
+    with pytest.raises(ValueError, match="iters"):
+        portable_pca_project(spark, SF, iters=0)
