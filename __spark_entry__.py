@@ -78,24 +78,30 @@ _LM_CTES = f"""toks AS (
                 GROUP BY tok, nxt
             ), tot AS (
                 SELECT sum(c_uni) AS n_corpus FROM uni
+            ), scored AS (
+                SELECT b.doc_id, g.c_big, cu.c_uni AS c_ctx,
+                       nu.c_uni AS c_nxt, t.n_corpus
+                FROM bi b
+                JOIN big g ON g.tok = b.tok AND g.nxt = b.nxt
+                JOIN uni cu ON cu.tok = b.tok
+                JOIN uni nu ON nu.tok = b.nxt
+                CROSS JOIN tot t
             )"""
+
+#: the interpolated-bigram NLL over the scored stream's count columns
+#: — ONE definition shared by the bigram_perplexity and doremi twins,
+#: mirroring textops._interp_logprob on the Spark side
+_INTERP_NLL = ("-ln(0.7 * c_big / c_ctx"
+               " + (1.0 - 0.7) * c_nxt / n_corpus)")
 
 _BIGRAM_PPL_SQL = f"""
             WITH {_LM_CTES}
-            SELECT b.doc_id,
+            SELECT doc_id,
                    CAST(count(*) AS BIGINT) AS n_bigrams,
-                   avg(-ln(0.7 * g.c_big / cu.c_uni
-                           + (1.0 - 0.7) * nu.c_uni / t.n_corpus))
-                       AS avg_neg_logprob,
-                   exp(avg(-ln(0.7 * g.c_big / cu.c_uni
-                               + (1.0 - 0.7) * nu.c_uni / t.n_corpus)))
-                       AS perplexity
-            FROM bi b
-            JOIN big g ON g.tok = b.tok AND g.nxt = b.nxt
-            JOIN uni cu ON cu.tok = b.tok
-            JOIN uni nu ON nu.tok = b.nxt
-            CROSS JOIN tot t
-            GROUP BY b.doc_id
+                   avg({_INTERP_NLL}) AS avg_neg_logprob,
+                   exp(avg({_INTERP_NLL})) AS perplexity
+            FROM scored
+            GROUP BY doc_id
         """
 
 # DuckDB twin of doremi_domain_weights (defaults: eta=0.5, T=8,
@@ -106,17 +112,11 @@ _BIGRAM_PPL_SQL = f"""
 _DOREMI_SQL = f"""
             WITH {_LM_CTES},
             per_doc AS (
-                SELECT b.doc_id,
-                       avg(-ln(0.7 * g.c_big / cu.c_uni
-                               + (1.0 - 0.7) * nu.c_uni / t.n_corpus))
-                           AS nll_ref,
-                       avg(-ln(nu.c_uni / t.n_corpus)) AS nll_proxy
-                FROM bi b
-                JOIN big g ON g.tok = b.tok AND g.nxt = b.nxt
-                JOIN uni cu ON cu.tok = b.tok
-                JOIN uni nu ON nu.tok = b.nxt
-                CROSS JOIN tot t
-                GROUP BY b.doc_id
+                SELECT doc_id,
+                       avg({_INTERP_NLL}) AS nll_ref,
+                       avg(-ln(c_nxt / n_corpus)) AS nll_proxy
+                FROM scored
+                GROUP BY doc_id
             ), ex AS (
                 SELECT d.source,
                        round(greatest(0.0, p.nll_proxy - p.nll_ref), 9)
@@ -753,8 +753,9 @@ def o_write_options(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = t.history()  # newest first
     um_v1 = (hist[0].get("userMetadata") or {}).get("userName", "")
     um_v0 = (hist[-1].get("userMetadata") or {}).get("userName", "")
-    all_zstd = bool(t.snapshot().files) and all(
-        a.path.endswith(".zstd.parquet") for a in t.snapshot().files)
+    files = t.snapshot().files
+    all_zstd = bool(files) and all(
+        a.path.endswith(".zstd.parquet") for a in files)
     return (
         t.read().groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_rows"))

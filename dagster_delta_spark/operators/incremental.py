@@ -1158,6 +1158,13 @@ def _cohort_quality(
     ).unionByName(
         retrained.select(F.lit("all_retrained").alias("cohort"), "cos")
     )
+    # degenerate scores (NaN from a 0/0 cosine, ±inf from the matmul
+    # scorer's zero-norm guard) are EXCLUDED from the quality stats —
+    # the _with_norm philosophy — and must be: under Spark 4 ANSI
+    # mode a non-finite double crashes the DECIMAL cast below instead
+    # of propagating visibly
+    per_cohort = per_cohort.where(
+        ~F.isnan("cos") & (F.abs("cos") != float("inf")))
     # mean via an exact DECIMAL(20,9) accumulator: order-independent
     # (float avg depends on partition fold order) and therefore
     # cross-engine deterministic — the portable dial's DuckDB twin
@@ -1222,6 +1229,16 @@ def ivf_index_drift(
     # candidate from it (maintain commits don't restate n_cells)
     n_cells = cents.count()
     if family == "portable":
+        if train_sample_mod != 1:
+            # the portable trainer is full-train by definition (its
+            # DuckDB twin replays every row); silently dropping the
+            # caller's sampling dial would retrain a different model
+            # than requested — refuse pointedly instead
+            raise ValueError(
+                "train_sample_mod is not supported for a "
+                "portable-family index (the portable k-means trains "
+                "on the full corpus so its oracle twin can replay "
+                "it); pass train_sample_mod=1")
         fresh = _portable_centroids_from(vectors, n_cells, iters)
 
         def score(v, c):

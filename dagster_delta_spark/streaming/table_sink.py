@@ -405,7 +405,9 @@ def auto_ingest_once(
         # checkpoint + txn ledger make the re-run safe)
         try:
             q.stop()
-        finally:
+        except Exception:
+            # the query may already be dead (raced termination, py4j
+            # hiccup) — the pointed TimeoutError below must win
             pass
         raise TimeoutError(
             f"auto_ingest_once: availableNow drain did not finish "

@@ -4654,15 +4654,17 @@ def convert_to_table(
 
     rel_files: list[tuple[str, str]] = []  # (abs, rel)
     for dirpath, dirnames, filenames in os.walk(root):
-        # Spark's hidden-file rule, applied unconditionally: readers
-        # skip ALL dot/underscore-prefixed dirs, including ones that
-        # happen to contain '=' ('.tmp=1', '_bak=x') — a stray hidden
-        # dir must neither make conversion refuse as ragged nor
-        # ingest files Spark itself would never read.  (A genuine
-        # '_col=...' partition layout is equally invisible to Spark
-        # readers, so skipping it here is consistent, not lossy.)
+        # Spark's EXACT hidden-dir rule (verified against 4.1.2's
+        # HadoopFSUtils and empirically): dot-prefixed dirs are always
+        # skipped — even '.tmp=1' — but underscore-prefixed dirs are
+        # skipped ONLY when they contain no '=', because '_col=...'
+        # hive partition dirs (a column named '_col') ARE read by
+        # Spark.  Anything looser refuses stray hidden dirs as
+        # ragged; anything stricter silently drops a '_'-named
+        # partition column's data from the converted table.
         dirnames[:] = [d for d in dirnames
-                       if not d.startswith((".", "_"))]
+                       if not (d.startswith(".")
+                               or (d.startswith("_") and "=" not in d))]
         for fn in filenames:
             if fn.endswith(".parquet") and not fn.startswith((".", "_")):
                 ab = os.path.join(dirpath, fn)

@@ -257,26 +257,36 @@ def test_convert_validation_surface(spark, tmp_path):
     assert t.read(dnf=[("k", "=", 7)]).count() == 1
 
 
-def test_convert_skips_hidden_dirs_even_with_equals(spark, tmp_path):
-    """A stray HIDDEN dir whose name contains '=' ('.tmp=1',
-    '_bak=x') is skipped like any other hidden dir — Spark readers
-    never descend into it, so conversion must neither refuse as
-    ragged nor ingest its files (r12 ADVICE fix)."""
+def test_convert_hidden_dir_rule_matches_spark(spark, tmp_path):
+    """Conversion's directory walk mirrors Spark's EXACT hidden-dir
+    rule (r12): dot-prefixed dirs skip even with '=' in the name
+    ('.tmp=1' — a stray hidden dir must neither refuse as ragged nor
+    ingest files Spark never reads), but '_col=...' hive dirs are
+    REAL partition directories Spark does read — skipping them would
+    silently drop a '_'-named partition column's data."""
     d = str(tmp_path / "part")
     _plain_dir(spark, d, partitioned=True)
     expected = spark.read.parquet(d).count()
-    for hidden in (".tmp=1", "_bak=x"):
-        hd = os.path.join(d, hidden)
-        os.makedirs(hd)
-        spark.range(5).select(
-            F.col("id").alias("zz")).coalesce(1).write.mode(
-            "overwrite").parquet(os.path.join(hd, "inner"))
+    hd = os.path.join(d, ".tmp=1")
+    os.makedirs(hd)
+    spark.range(5).select(
+        F.col("id").alias("zz")).coalesce(1).write.mode(
+        "overwrite").parquet(os.path.join(hd, "inner"))
     convert_to_table(spark, d)
     t = DeltaSparkTable(spark, d)
     assert t.read().count() == expected == 100
     assert list(t.snapshot().partition_columns) == ["g"]
-    # no AddFile points into a hidden dir
-    assert not any("=1" in f.path and f.path.startswith(".")
-                   for f in t.snapshot().files)
     assert not any(f.path.startswith(("_", "."))
                    for f in t.snapshot().files)
+
+    # underscore partition column: Spark reads it, so convert must too
+    d2 = str(tmp_path / "upart")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("_g"))
+    df.write.partitionBy("_g").parquet(d2)
+    assert spark.read.parquet(d2).count() == 40  # Spark's own rule
+    convert_to_table(spark, d2)
+    t2 = DeltaSparkTable(spark, d2)
+    assert t2.read().count() == 40
+    assert list(t2.snapshot().partition_columns) == ["_g"]

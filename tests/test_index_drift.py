@@ -285,3 +285,18 @@ def test_ivf_drift_resumes_portable_family(spark, tmp_path):
     # metrics helper still reads the decimal-exact means
     m = index_drift_metrics(ivf_index_drift(emb, index, iters=1))
     assert abs(m["cohort_decay"]) < 0.2 and m["n_folded"] == 20
+
+
+def test_ivf_drift_portable_refuses_sampling_dial(spark, tmp_path):
+    """r12 review fix: the portable family trains full-corpus by
+    definition (its oracle twin replays every row) — a non-default
+    train_sample_mod must refuse pointedly, not silently drop."""
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    index = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    d = 16
+    emb.write(_clustered(spark, range(30), _axes(d, [0, 1]), d, seed=5),
+              WriteMode.error)
+    build_ivf_index(emb, index, n_cells=4, iters=1,
+                    assignment="portable")
+    with pytest.raises(ValueError, match="train_sample_mod"):
+        ivf_index_drift(emb, index, iters=1, train_sample_mod=4)
