@@ -65,8 +65,8 @@ _LM_CTES = f"""toks AS (
                        unnest({_TOK}) AS tok
                 FROM documents
             ), bi AS (
-                SELECT doc_id, tok, nxt FROM (
-                    SELECT doc_id, tok,
+                SELECT doc_id, pos, tok, nxt FROM (
+                    SELECT doc_id, pos, tok,
                            lead(tok) OVER (PARTITION BY doc_id
                                            ORDER BY pos) AS nxt
                     FROM toks
@@ -79,7 +79,7 @@ _LM_CTES = f"""toks AS (
             ), tot AS (
                 SELECT sum(c_uni) AS n_corpus FROM uni
             ), scored AS (
-                SELECT b.doc_id, g.c_big, cu.c_uni AS c_ctx,
+                SELECT b.doc_id, b.pos, g.c_big, cu.c_uni AS c_ctx,
                        nu.c_uni AS c_nxt, t.n_corpus
                 FROM bi b
                 JOIN big g ON g.tok = b.tok AND g.nxt = b.nxt
@@ -93,6 +93,31 @@ _LM_CTES = f"""toks AS (
 #: mirroring textops._interp_logprob on the Spark side
 _INTERP_NLL = ("-ln(0.7 * c_big / c_ctx"
                " + (1.0 - 0.7) * c_nxt / n_corpus)")
+
+# RHO-1-style Selective Language Modeling twin (defaults keep_frac=
+# 0.4, lam=0.7): per-position excess = clip(unigram NLL - bigram NLL)
+# rounded to 9; selection = the exact global top floor(0.4*N) in
+# (excess DESC, doc_id, pos) order — the oracle ranks with a plain
+# window (DuckDB sorts globally; the Spark side uses the two-level
+# prefix-sum rank for scale)
+_RHO_SQL = f"""
+            WITH {_LM_CTES},
+            ex AS (
+                SELECT doc_id, pos,
+                       round(greatest(0.0,
+                             -ln(c_nxt / n_corpus)
+                             - ({_INTERP_NLL})), 9) AS excess
+                FROM scored
+            ), nk AS (
+                SELECT CAST(floor(0.4 * count(*)) AS BIGINT) AS n_keep
+                FROM ex
+            )
+            SELECT e.doc_id, e.pos, e.excess,
+                   (row_number() OVER (
+                        ORDER BY e.excess DESC, e.doc_id, e.pos) - 1)
+                       < nk.n_keep AS selected
+            FROM ex e CROSS JOIN nk
+        """
 
 _BIGRAM_PPL_SQL = f"""
             WITH {_LM_CTES}
@@ -708,6 +733,29 @@ def o_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.write(li.repartition(16), WriteMode.error)
     t.optimize(target_file_size=256 * 1024 * 1024)
     return t.read()
+
+
+def selective_token_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-1-style selective-LM token mask
+    (textops.selective_token_mask): per-position excess loss over the
+    shared LM scoring pass, exact global top-40% selection via the
+    two-level prefix-sum rank.  In-line guard: the selected count
+    equals floor(0.4 * N) EXACTLY (the rank-based cutoff admits no
+    off-by-one drift); the DuckDB twin replays scoring, clip, and the
+    (excess DESC, doc_id, pos) cutoff with a plain global window."""
+    out = textops.selective_token_mask(spark, sf_dir).localCheckpoint()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("selected").cast("long")).alias("k"),
+    ).collect()[0]
+    import math as _math
+
+    want = _math.floor(0.4 * agg["n"])
+    if agg["k"] != want:
+        raise AssertionError(
+            f"selected {agg['k']} of {agg['n']} positions; the exact "
+            f"top-fraction cutoff demands {want}")
+    return out
 
 
 def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3298,7 +3346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": curation.decontaminate,
         "pack_sequences": curation.pack_sequences,
         "text_quality": textops.text_quality,
-        "streaming_hourly_rollup": streaming_rollup,
         "streaming_sessionize": _streaming_sessionize,
         "streaming_dedup": _streaming_dedup,
         "ann_index_drift_audit": ann_index_drift_audit,
@@ -3311,8 +3358,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # solver — displaced lang_id (green r9 record stands) to the
         # tail, where it leads the r13 refresh with the deferred six
         "doremi_domain_weights": doremi_domain_weights,
+        # NEW this round (oracle-backed): RHO-1 selective-LM token
+        # mask — displaced streaming_hourly_rollup (green r9 record
+        # stands) to the tail
+        "selective_token_mask": selective_token_mask,
         # -------- past the cap: green/ok rows on committed ------
         # -------- records (deferred r9 first, then r10, r11) ----
+        "streaming_hourly_rollup": streaming_rollup,
         "lang_id": textops.lang_id,
         "token_stats": textops.token_stats,
         "w2_append": w2_append,
@@ -5183,6 +5235,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "doremi_domain_weights": _DOREMI_SQL,
+        "selective_token_mask": _RHO_SQL,
         "embedding_pca_project": _pca_oracle_sql(),
         # UniMax integer water-filling replayed end-to-end: the capped
         # prefix closed form, the uniform split with deterministic

@@ -133,8 +133,11 @@ def main() -> None:
         "token_budget_sample",
         "unimax_sample",
         # r12: DoReMi domain weights (scoring pass over the cached
-        # bigram LM + the K-row exponentiated-gradient solver)
+        # bigram LM + the K-row exponentiated-gradient solver) and the
+        # RHO-1 selective-LM token mask (same scoring pass + the
+        # two-level exact top-fraction rank)
         "doremi_domain_weights",
+        "selective_token_mask",
         "dsir_importance_sample",
         "duplicate_components",
         "nb_classifier_scores",
@@ -707,8 +710,13 @@ def main() -> None:
 
     from dagster_delta_spark.operators import bpe as _bpe
 
+    from dagster_delta_spark.operators import textops as _textops
+
     direct = {
         "bpe_token_stats": _bpe.bpe_token_stats,
+        # oracle-backed; the entry's exact-count guard collect is
+        # correctness enforcement, not operator throughput
+        "selective_token_mask": _textops.selective_token_mask,
         "near_dup_decontaminate": _curation.near_dup_decontaminate,
         "minhash_lsh_near_dups": _dedup.minhash_lsh_near_dups,
         "simhash_near_dups": _dedup.simhash_near_dups,

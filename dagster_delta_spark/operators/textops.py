@@ -575,7 +575,10 @@ def _bigram_scored_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = (
         toks.withColumn("nxt", F.lead("tok").over(w))
         .where(F.col("nxt").isNotNull())
-        .select("doc_id", "tok", "nxt")
+        # pos = the CONTEXT token's position: rides along so per-token
+        # consumers (selective_token_mask) can address the scored
+        # position; the per-doc aggregates simply ignore it
+        .select("doc_id", "pos", "tok", "nxt")
     )
     # checkpoint both model sides: the scoring joins and the scalar
     # total would otherwise re-tokenize the corpus per branch.  The
@@ -686,6 +689,77 @@ def doc_excess_loss(
                 F.greatest(F.lit(0.0),
                            F.col("nll_proxy") - F.col("nll_ref")), 9,
             ).alias("excess"),
+        )
+    )
+
+
+def selective_token_mask(
+    spark: SparkSession, sf_dir: str,
+    keep_frac: float = 0.4, lam: float = 0.7,
+) -> DataFrame:
+    """RHO-1-style Selective Language Modeling mask (Lin et al. 2024,
+    "Not All Tokens Are What You Need"): score every token position
+    by its EXCESS LOSS — NLL under the weak proxy (unigram LM) minus
+    NLL under the stronger reference (interpolated bigram LM),
+    clipped at zero, rounded to 9 — and SELECT exactly the global
+    top-``keep_frac`` fraction; training then computes loss only on
+    the selected positions (the learnable tokens), skipping both
+    trivial text (every model fits it) and noise (no model does).
+    The published method scores with a trained reference model per
+    batch; this is the static-proxy corpus instantiation, the same
+    pairing ``doc_excess_loss`` uses at document granularity.
+
+    Selection is EXACT, not approximate: the cutoff is the
+    ``floor(keep_frac * N)``-th token in (excess DESC, doc_id, pos)
+    order, with no global sort — the ccnet two-level prefix-sum rank
+    (coarse monotone value-bucket ``floor(excess * 8)``, bucket-count
+    offsets, intra-bucket window), so the dominant low-excess mass
+    never concentrates on one reducer.  Output: one row per scored
+    position ``(doc_id, pos, excess, selected)`` — positions of the
+    CONTEXT token in the bigram stream; docs with < 2 tokens carry no
+    scored positions, like every bigram operator.
+
+    Scale shape: one corpus-linear scoring pass (the shared
+    ``_bigram_scored_stream``), one tiny bucket-count aggregate
+    broadcast back, one intra-bucket window — no corpus-wide sort,
+    no driver materialization."""
+    from pyspark.sql.window import Window
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac={keep_frac} out of (0, 1]")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam={lam} must be in [0, 1]")
+    nll_uni = -F.log(F.col("c_nxt") / F.col("n_corpus"))
+    scored = (
+        _bigram_scored_stream(spark, sf_dir)
+        .select(
+            "doc_id", "pos",
+            F.round(
+                F.greatest(F.lit(0.0), nll_uni - _interp_logprob(lam)),
+                9,
+            ).alias("excess"),
+        )
+        # feeds the bucket counts AND the ranked window — one pass
+        .localCheckpoint(eager=False)
+        .withColumn("pb", F.floor(F.col("excess") * 8).cast("long"))
+    )
+    counts = scored.groupBy("pb").agg(F.count(F.lit(1)).alias("c"))
+    wo = (Window.orderBy(F.col("pb").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(wo), F.lit(0)))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    wi = Window.partitionBy("pb").orderBy(
+        F.col("excess").desc(), "doc_id", "pos")
+    return (
+        scored.withColumn("ir", F.row_number().over(wi) - F.lit(1))
+        .join(F.broadcast(offsets.select("pb", "off")), "pb")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", F.col("pos").cast("long").alias("pos"), "excess",
+            (F.col("off") + F.col("ir")
+             < F.floor(F.lit(float(keep_frac)) * F.col("n_total"))
+             .cast("long")).alias("selected"),
         )
     )
 

@@ -178,3 +178,35 @@ def test_portable_pca_validation(spark):
         portable_pca_project(spark, SF, k=0)
     with pytest.raises(ValueError, match="iters"):
         portable_pca_project(spark, SF, iters=0)
+
+
+def test_selective_token_mask_exact_cutoff(spark):
+    """RHO-1 mask: selection is the EXACT global top fraction in
+    (excess DESC, doc_id, pos) order — every selected row's excess is
+    >= every unselected row's (the value cutoff), the count is
+    floor(keep_frac*N) exactly, and boundary ties resolve by the
+    deterministic (doc_id, pos) order."""
+    from dagster_delta_spark.operators.textops import (
+        selective_token_mask,
+    )
+
+    rows = selective_token_mask(spark, SF, keep_frac=0.25).collect()
+    n = len(rows)
+    sel = [r for r in rows if r["selected"]]
+    unsel = [r for r in rows if not r["selected"]]
+    assert len(sel) == int(0.25 * n) or len(sel) == n * 25 // 100
+    assert min(r["excess"] for r in sel) >= max(
+        (r["excess"] for r in unsel), default=float("-inf")) or (
+        # ties across the cutoff are legal; then the boundary value
+        # appears on both sides and (doc_id, pos) splits it
+        min(r["excess"] for r in sel)
+        == max(r["excess"] for r in unsel))
+    # full keep selects everything
+    allsel = selective_token_mask(spark, SF, keep_frac=1.0).collect()
+    assert all(r["selected"] for r in allsel)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep_frac"):
+        selective_token_mask(spark, SF, keep_frac=0.0)
+    with _pytest.raises(ValueError, match="lam"):
+        selective_token_mask(spark, SF, lam=-0.1)
