@@ -727,10 +727,34 @@ def pj1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """optimize() compaction preserves exact table contents."""
+    """optimize() compaction preserves exact table contents — since
+    r12 including the PARTITION-SCOPED form (Delta's OPTIMIZE ...
+    WHERE): a scoped pass compacts ONLY the matching partition
+    (in-line guards: out-of-scope partitions' files are bit-identical
+    untouched, the scoped partition's small files actually merged),
+    then a full pass; the oracle still value-checks every row."""
     t = DeltaSparkTable(spark, _scratch("compact"))
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    t.write(li.repartition(16), WriteMode.error)
+    t.write(li.repartition(16), WriteMode.error,
+            partition_columns=["l_returnflag"])
+
+    def files_by_scope(flag_eq_a: bool):
+        return {
+            a.path for a in t.snapshot().files
+            if (a.partition_values.get("l_returnflag") == "A")
+            == flag_eq_a
+        }
+
+    out_before = files_by_scope(False)
+    in_before = files_by_scope(True)
+    t.optimize(target_file_size=256 * 1024 * 1024,
+               partition_dnf=[("l_returnflag", "=", "A")])
+    if files_by_scope(False) != out_before:
+        raise AssertionError(
+            "scoped OPTIMIZE touched out-of-scope partitions")
+    if len(files_by_scope(True)) >= len(in_before):
+        raise AssertionError(
+            "scoped OPTIMIZE did not compact the scoped partition")
     t.optimize(target_file_size=256 * 1024 * 1024)
     return t.read()
 

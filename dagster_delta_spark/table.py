@@ -4189,6 +4189,7 @@ class DeltaSparkTable:
         target_file_size: int = 128 * 1024 * 1024,
         cluster_by: Optional[Sequence[str]] = None,
         num_files: Optional[int] = None,
+        partition_dnf: Optional[Sequence[DnfFilter]] = None,
     ) -> dict[str, Any]:
         """Compaction, optionally with range-clustering.
 
@@ -4198,11 +4199,34 @@ class DeltaSparkTable:
         optimization) — per-file min/max footers become tight disjoint
         ranges, so data skipping on those columns prunes most files.
         Not in the reference (delta-rs exposes optimize); essential at
-        scale."""
+        scale.
+
+        ``partition_dnf`` scopes either mode to matching partitions —
+        Delta's ``OPTIMIZE ... WHERE``: at 100 TB compaction runs on
+        the partitions a pipeline just wrote (e.g. today's date), not
+        the whole table, so the maintenance bill is O(fresh data).
+        Like Delta, only PARTITION-column predicates are accepted
+        (a data-column scope would force a row scan to decide file
+        membership — the opposite of a metadata-scoped maintenance
+        op); unscoped files are untouched and invisible to the
+        rewrite commit."""
         snap = self.snapshot()
         schema = StructType.fromJson(_json_loads(snap.schema_json))
+        scoped = list(snap.files)
+        op_params: Optional[dict[str, Any]] = None
+        if partition_dnf:
+            pcols = set(snap.partition_columns)
+            bad = [n for n, _op, _v in partition_dnf if n not in pcols]
+            if bad:
+                raise ValueError(
+                    f"optimize(partition_dnf=...) accepts only "
+                    f"partition-column predicates (Delta's OPTIMIZE "
+                    f"WHERE rule); {sorted(set(bad))} are not in "
+                    f"partition columns {sorted(pcols)}")
+            scoped = self.pruned_files(snap, partition_dnf)
+            op_params = {"predicate": dnf_to_sql(partition_dnf)}
         if cluster_by:
-            to_rewrite = list(snap.files)
+            to_rewrite = scoped
             if not to_rewrite:
                 return {"rewritten_files": 0, "version": snap.version}
             n = num_files or max(
@@ -4218,9 +4242,11 @@ class DeltaSparkTable:
                 mapping=_column_mapping(snap.metadata.configuration),
                 bloom_spec=_bloom_columns(snap.metadata.configuration),
             )
-            return self._commit_rewrite(snap, to_rewrite, adds, "OPTIMIZE CLUSTER")
+            return self._commit_rewrite(
+                snap, to_rewrite, adds, "OPTIMIZE CLUSTER",
+                operation_parameters=op_params)
         groups: dict[tuple, list[AddFile]] = {}
-        for a in snap.files:
+        for a in scoped:
             key = tuple(sorted(a.partition_values.items()))
             groups.setdefault(key, []).append(a)
         to_rewrite = []
@@ -4237,7 +4263,8 @@ class DeltaSparkTable:
             df, self.table_uri, snap.partition_columns, schema,
             mapping=_column_mapping(snap.metadata.configuration),
             bloom_spec=_bloom_columns(snap.metadata.configuration))
-        return self._commit_rewrite(snap, to_rewrite, adds, "OPTIMIZE")
+        return self._commit_rewrite(snap, to_rewrite, adds, "OPTIMIZE",
+                                    operation_parameters=op_params)
 
     def _commit_rewrite(
         self,

@@ -395,3 +395,52 @@ def test_lsh_planes_validated_and_quantized_rerank_floor(spark):
     counts = [r["n"] for r in out.groupBy("q_id").count()
               .withColumnRenamed("count", "n").collect()]
     assert counts and all(c == 8 for c in counts)
+
+
+def test_optimize_where_partition_scope(spark, tmp_table):
+    """OPTIMIZE ... WHERE (r12): a partition-scoped compaction
+    rewrites only the matching partition's small files; out-of-scope
+    partitions are bit-identical untouched, contents survive exactly,
+    and the scoped cluster_by form works too.  Non-partition
+    predicates refuse pointedly (Delta's OPTIMIZE WHERE rule)."""
+    import pytest
+
+    t = DeltaSparkTable(spark, tmp_table)
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") * 7919 % 3000).alias("v"))
+    t.write(df.repartition(6), WriteMode.overwrite,
+            partition_columns=["p"])
+    want = sorted(r["k"] for r in t.read().collect())
+
+    def files_of(pv):
+        return {a.path for a in t.snapshot().files
+                if a.partition_values.get("p") == pv}
+
+    out0, out2 = files_of("0"), files_of("2")
+    n1 = len(files_of("1"))
+    res = t.optimize(target_file_size=1 << 26,
+                     partition_dnf=[("p", "=", "1")])
+    assert res["version"] > 0
+    assert files_of("0") == out0 and files_of("2") == out2
+    assert len(files_of("1")) < n1
+    assert sorted(r["k"] for r in t.read().collect()) == want
+
+    # scoped clustering: only p=2's layout changes
+    out0 = files_of("0")
+    t.optimize(cluster_by=["v"], num_files=2,
+               partition_dnf=[("p", "=", "2")])
+    assert files_of("0") == out0
+    assert len(files_of("2")) <= 2
+    assert sorted(r["k"] for r in t.read().collect()) == want
+    # skipping got tight inside the scoped partition only
+    snap = t.snapshot()
+    in2 = [a for a in snap.files if a.partition_values.get("p") == "2"]
+    kept = [a for a in in2
+            if any(f.path == a.path for f in t.pruned_files(
+                snap, [("v", ">=", 2500), ("p", "=", "2")]))]
+    assert len(kept) < len(in2)
+
+    with pytest.raises(ValueError, match="partition-column"):
+        t.optimize(partition_dnf=[("v", ">=", 100)])
