@@ -113,9 +113,10 @@ _RHO_SQL = f"""
                 FROM ex
             )
             SELECT e.doc_id, e.pos, e.excess,
-                   (row_number() OVER (
+                   (e.excess > 0 AND
+                    (row_number() OVER (
                         ORDER BY e.excess DESC, e.doc_id, e.pos) - 1)
-                       < nk.n_keep AS selected
+                        < nk.n_keep) AS selected
             FROM ex e CROSS JOIN nk
         """
 
@@ -771,14 +772,17 @@ def selective_token_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = out.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("selected").cast("long")).alias("k"),
+        F.sum((F.col("excess") > 0).cast("long")).alias("n_pos"),
     ).collect()[0]
-    import math as _math
-
-    want = _math.floor(0.4 * agg["n"])
+    # exact decimal floor, like the operator (binary 0.4*n is fine,
+    # but the contract is the decimal one); zero-excess positions are
+    # never selected, so the cutoff caps at the positive count
+    want = min(4 * agg["n"] // 10, agg["n_pos"])
     if agg["k"] != want:
         raise AssertionError(
-            f"selected {agg['k']} of {agg['n']} positions; the exact "
-            f"top-fraction cutoff demands {want}")
+            f"selected {agg['k']} of {agg['n']} positions "
+            f"({agg['n_pos']} positive); the exact top-fraction "
+            f"cutoff demands {want}")
     return out
 
 

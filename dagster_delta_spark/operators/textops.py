@@ -551,9 +551,11 @@ def heavy_hitter_tokens(
 
 def _bigram_scored_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each document's bigram stream joined with the corpus-trained LM
-    counts — the shared scoring frame under ``bigram_perplexity`` and
-    ``doc_excess_loss``: columns (doc_id, tok, nxt, c_big, c_ctx,
-    c_nxt, n_corpus).  The (uni, big) count frames ARE the trained LM
+    counts — the shared scoring frame under ``bigram_perplexity``,
+    ``doc_excess_loss`` and ``selective_token_mask``: columns
+    (doc_id, pos, tok, nxt, c_big, c_ctx, c_nxt, n_corpus), where
+    ``pos`` is the CONTEXT token's position — (doc_id, pos) is the
+    stream's addressable key for per-token consumers.  The (uni, big) count frames ARE the trained LM
     — index state, session-cached per corpus fingerprint like the IVF
     centroid/assignment frames (train once, score many).
 
@@ -711,18 +713,25 @@ def selective_token_mask(
 
     Selection is EXACT, not approximate: the cutoff is the
     ``floor(keep_frac * N)``-th token in (excess DESC, doc_id, pos)
-    order, with no global sort — the ccnet two-level prefix-sum rank
-    (coarse monotone value-bucket ``floor(excess * 8)``, bucket-count
-    offsets, intra-bucket window), so the dominant low-excess mass
-    never concentrates on one reducer.  Output: one row per scored
-    position ``(doc_id, pos, excess, selected)`` — positions of the
-    CONTEXT token in the bigram stream; docs with < 2 tokens carry no
-    scored positions, like every bigram operator.
+    order (``keep_frac`` quantized at 9 decimals and multiplied in
+    exact DECIMAL — a binary-float product would floor 0.3*10 to 2),
+    with no global sort — the ccnet two-level prefix-sum rank (coarse
+    monotone value-bucket ``floor(excess * 8)``, bucket-count
+    offsets, intra-bucket window) over the POSITIVE-excess positions
+    only.  Zero-excess positions are NEVER selected (they carry no
+    learnable signal — RHO-1's own rule) and never enter the window,
+    which is also what keeps the rank skew-safe: clipping creates a
+    point mass at exactly 0.0 that would otherwise sort on one
+    reducer; the continuous positive mass spreads across the value
+    buckets.  Output: one row per scored position ``(doc_id, pos,
+    excess, selected)`` — positions of the CONTEXT token in the
+    bigram stream; docs with < 2 tokens carry no scored positions,
+    like every bigram operator.
 
     Scale shape: one corpus-linear scoring pass (the shared
     ``_bigram_scored_stream``), one tiny bucket-count aggregate
-    broadcast back, one intra-bucket window — no corpus-wide sort,
-    no driver materialization."""
+    broadcast back, one intra-bucket window over positive-excess
+    rows — no corpus-wide sort, no driver materialization."""
     from pyspark.sql.window import Window
 
     if not 0.0 < keep_frac <= 1.0:
@@ -743,25 +752,34 @@ def selective_token_mask(
         .localCheckpoint(eager=False)
         .withColumn("pb", F.floor(F.col("excess") * 8).cast("long"))
     )
-    counts = scored.groupBy("pb").agg(F.count(F.lit(1)).alias("c"))
+    pos_rows = scored.where(F.col("excess") > 0)
+    counts = pos_rows.groupBy("pb").agg(F.count(F.lit(1)).alias("c"))
     wo = (Window.orderBy(F.col("pb").desc())
           .rowsBetween(Window.unboundedPreceding, -1))
     offsets = counts.withColumn(
         "off", F.coalesce(F.sum("c").over(wo), F.lit(0)))
-    total = counts.agg(F.sum("c").alias("n_total"))
+    # the cutoff fraction applies to ALL scored positions (N), in
+    # exact decimal arithmetic
+    total = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    n_keep = F.floor(
+        F.lit(float(keep_frac)).cast("decimal(10,9)")
+        * F.col("n_total")).cast("long")
     wi = Window.partitionBy("pb").orderBy(
         F.col("excess").desc(), "doc_id", "pos")
-    return (
-        scored.withColumn("ir", F.row_number().over(wi) - F.lit(1))
+    ranked = (
+        pos_rows.withColumn("ir", F.row_number().over(wi) - F.lit(1))
         .join(F.broadcast(offsets.select("pb", "off")), "pb")
         .crossJoin(F.broadcast(total))
         .select(
-            "doc_id", F.col("pos").cast("long").alias("pos"), "excess",
-            (F.col("off") + F.col("ir")
-             < F.floor(F.lit(float(keep_frac)) * F.col("n_total"))
-             .cast("long")).alias("selected"),
+            "doc_id", "pos", "excess",
+            (F.col("off") + F.col("ir") < n_keep).alias("selected"),
         )
     )
+    zeros = scored.where(~(F.col("excess") > 0)).select(
+        "doc_id", "pos", "excess", F.lit(False).alias("selected"))
+    return ranked.unionByName(zeros).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        "excess", "selected")
 
 
 #: session cache of trained bigram LMs, keyed (applicationId, corpus

@@ -4223,6 +4223,18 @@ class DeltaSparkTable:
                     f"partition-column predicates (Delta's OPTIMIZE "
                     f"WHERE rule); {sorted(set(bad))} are not in "
                     f"partition columns {sorted(pcols)}")
+            # operators must be ones the partition matcher actually
+            # applies — an unknown op would constrain NOTHING and the
+            # scope would silently widen to the whole table (the
+            # opposite of a maintenance scope's contract)
+            bad_ops = sorted({
+                op for _n, op, _v in partition_dnf
+                if op not in ("=", "in", ">=", ">", "<", "<=")})
+            if bad_ops:
+                raise ValueError(
+                    f"optimize(partition_dnf=...) supports operators "
+                    f"=, in, >=, >, <, <= on partition values; got "
+                    f"{bad_ops}")
             scoped = self.pruned_files(snap, partition_dnf)
             op_params = {"predicate": dnf_to_sql(partition_dnf)}
         if cluster_by:

@@ -192,18 +192,24 @@ def test_selective_token_mask_exact_cutoff(spark):
 
     rows = selective_token_mask(spark, SF, keep_frac=0.25).collect()
     n = len(rows)
+    n_pos = sum(1 for r in rows if r["excess"] > 0)
     sel = [r for r in rows if r["selected"]]
     unsel = [r for r in rows if not r["selected"]]
-    assert len(sel) == int(0.25 * n) or len(sel) == n * 25 // 100
+    # exact decimal cutoff, capped by the positive-excess population
+    assert len(sel) == min(n * 25 // 100, n_pos)
+    # value cutoff: a boundary tie resolves by (doc_id, pos), so the
+    # boundary value may appear on both sides — never a strictly
+    # smaller value selected over a larger one
     assert min(r["excess"] for r in sel) >= max(
-        (r["excess"] for r in unsel), default=float("-inf")) or (
-        # ties across the cutoff are legal; then the boundary value
-        # appears on both sides and (doc_id, pos) splits it
-        min(r["excess"] for r in sel)
-        == max(r["excess"] for r in unsel))
-    # full keep selects everything
+        (r["excess"] for r in unsel), default=float("-inf"))
+    # full keep selects every POSITIVE position; zero-excess never
     allsel = selective_token_mask(spark, SF, keep_frac=1.0).collect()
-    assert all(r["selected"] for r in allsel)
+    assert all(r["selected"] == (r["excess"] > 0) for r in allsel)
+    # the 0.3 regression (binary 0.3*N floors one short of the exact
+    # decimal cutoff whenever N is a multiple of 10)
+    r30 = selective_token_mask(spark, SF, keep_frac=0.3).collect()
+    k30 = sum(1 for r in r30 if r["selected"])
+    assert k30 == min(len(r30) * 3 // 10, n_pos)
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="keep_frac"):
