@@ -149,8 +149,11 @@ _DOREMI_SQL = f"""
                            AS excess
                 FROM per_doc p JOIN documents d USING (doc_id)
             ), dom AS (
+                -- exact DECIMAL(20,9) sum -> double -> /n -> round 9:
+                -- the order-independent mean twinning the Spark side
                 SELECT source, count(*) AS n_docs,
-                       round(avg(excess), 9) AS l_excess
+                       round(CAST(sum(CAST(excess AS DECIMAL(20,9)))
+                                  AS DOUBLE) / count(*), 9) AS l_excess
                 FROM ex GROUP BY source
             ), kk AS (
                 SELECT count(*) AS k FROM dom

@@ -959,9 +959,10 @@ def quality_balanced_prune(
     percent_rank window, which sorts every document of a source
     inside one task).  The cutoff per source is the largest
     gridpoint whose from-the-top cumulative count covers
-    ``ceil(keep_frac * n_source)`` — computed with a window over the
-    tiny histogram, broadcast back, and applied as a map-side
-    comparison.  Everything is deterministic integer/grid math, so
+    ``ceil(keep_frac * n_source)`` — the shared exact rank's
+    histogram case (``ranking.exact_rank`` with the gridpoint as
+    both bucket and order key), broadcast back, and applied as a
+    map-side comparison.  Everything is deterministic integer/grid math, so
     the DuckDB twin agrees exactly (grid rounding BEFORE the cutoff
     comparison keeps boundary docs engine-agreed, the
     temperature_mixture_sample precedent).
@@ -973,8 +974,7 @@ def quality_balanced_prune(
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac={keep_frac} must be in (0, 1]")
-    from pyspark.sql.window import Window
-
+    from .ranking import exact_rank
     from .textops import with_text_quality
 
     docs = load(spark, sf_dir, "documents")
@@ -990,12 +990,15 @@ def quality_balanced_prune(
         F.count(F.lit(1)).alias("cnt")
     )
     tot = hist.groupBy("source").agg(F.sum("cnt").alias("n_source"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("qscore"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # inclusive from-the-top cum = exclusive prefix (histogram case:
+    # the gridpoint IS the bucket, one row per bucket) + own count
+    cum = (
+        exact_rank(hist, [], "qscore", group_cols=["source"],
+                   weight_col="cnt", bucket_desc=True,
+                   out_col="cum_excl")
+        .withColumn("cum", F.col("cum_excl") + F.col("cnt"))
+        .join(tot, "source")
     )
-    cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(tot, "source")
     cut = (
         cum.where(
             F.col("cum")
@@ -1069,7 +1072,16 @@ def doremi_domain_weights(
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("excess"), 9).alias("l_excess"),
+            # mean via the exact DECIMAL(20,9) accumulator (the
+            # _cohort_quality convention): excess is already rounded
+            # to 9 so the cast is exact, the sum order-independent,
+            # and both engines round the IDENTICAL quotient double —
+            # float avg() folds in partition order and could land
+            # either side of a .5e-9 boundary nondeterministically
+            F.round(
+                F.sum(F.col("excess").cast("decimal(20,9)"))
+                .cast("double") / F.count(F.lit(1)), 9,
+            ).alias("l_excess"),
         )
         .localCheckpoint(eager=False)  # solver + K probe share one
         # scoring pass
@@ -1136,11 +1148,14 @@ def unimax_sample(
     Scale shape: the water-filling runs on the languages frame (a few
     hundred rows at any corpus size — the single-partition window is
     bounded by design) and broadcasts back; the per-doc rank avoids a
-    per-language global sort via the ccnet two-level prefix-sum trick
-    (bucket by the md5's first 2 hex chars — a monotone split of the
-    order key — then offset + intra-bucket window), so the dominant
-    language never concentrates on one reducer."""
+    per-language global sort via the shared two-level exact rank
+    (``ranking.exact_rank``; bucket by the md5's first 2 hex chars —
+    a monotone split of the order key — then offset + intra-bucket
+    window), so the dominant language never concentrates on one
+    reducer."""
     from pyspark.sql.window import Window
+
+    from .ranking import exact_rank
 
     if budget_docs <= 0 or max_epochs <= 0:
         raise ValueError("budget_docs and max_epochs must be positive")
@@ -1187,22 +1202,13 @@ def unimax_sample(
     )
     # --- per-doc copies: two-level rank within language ---
     bucketed = docs.withColumn("b2", F.substring("h", 1, 2))
-    counts = bucketed.groupBy("lang", "b2").agg(
-        F.count(F.lit(1)).alias("c"))
-    wo = (Window.partitionBy("lang").orderBy("b2")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("c").over(wo), F.lit(0)))
-    wi = Window.partitionBy("lang", "b2").orderBy("h", "doc_id")
     return (
-        bucketed.withColumn("ir", F.row_number().over(wi) - F.lit(1))
-        .join(F.broadcast(offsets.select("lang", "b2", "off")),
-              ["lang", "b2"])
+        exact_rank(bucketed, ["h", "doc_id"], "b2", group_cols=["lang"])
         .join(F.broadcast(alloc), "lang")
         .select(
             "doc_id", "lang",
             (F.expr("alloc div n_l")
-             + F.when(F.col("off") + F.col("ir") < F.col("alloc") % F.col("n_l"),
+             + F.when(F.col("rank0") < F.col("alloc") % F.col("n_l"),
                       F.lit(1)).otherwise(F.lit(0)))
             .cast("long").alias("copies"),
         )
@@ -1229,14 +1235,14 @@ def token_budget_sample(
     bucket IS a prefix of the key), per-bucket token sums aggregate to
     a ``buckets``-row frame whose exclusive prefix sum broadcasts
     back, and the intra-bucket running sum is a window WITHIN each
-    bucket — the classic two-level prefix sum: one tiny aggregate +
-    one partitioned window, no single-partition stage at any corpus
-    size.
+    bucket — the shared two-level prefix sum (``ranking.exact_rank``
+    with a weight column): one tiny aggregate + one partitioned
+    window, no single-partition stage at any corpus size.
 
     Output: ``(doc_id, n_tokens, pre_total, kept)`` for every doc —
     the full assignment, so capped tails are auditable (the
     no-silent-caps rule)."""
-    from pyspark.sql.window import Window
+    from .ranking import exact_rank
 
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens={budget_tokens} must be >= 0")
@@ -1259,29 +1265,15 @@ def token_budget_sample(
             f"* {buckets} DIV 4096"
         ),
     )
-    per_bucket = docs.groupBy("bucket").agg(
-        F.sum("n_tokens").alias("bucket_tokens"))
-    wb = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     # the offsets frame is <= `buckets` rows — the single-partition
     # window is over THAT, not the corpus
-    offsets = per_bucket.withColumn(
-        "offset", F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)))
-    wi = (
-        Window.partitionBy("bucket").orderBy("k", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     return (
-        docs.withColumn(
-            "intra_pre", F.coalesce(F.sum("n_tokens").over(wi), F.lit(0)))
-        .join(F.broadcast(offsets.select("bucket", "offset")), "bucket")
+        exact_rank(docs, ["k", "doc_id"], "bucket",
+                   weight_col="n_tokens", out_col="pre_total")
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("offset") + F.col("intra_pre")).alias("pre_total"),
-            ((F.col("offset") + F.col("intra_pre"))
-             < F.lit(budget_tokens)).alias("kept"),
+            "pre_total",
+            (F.col("pre_total") < F.lit(budget_tokens)).alias("kept"),
         )
     )

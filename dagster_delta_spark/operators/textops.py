@@ -715,10 +715,10 @@ def selective_token_mask(
     ``floor(keep_frac * N)``-th token in (excess DESC, doc_id, pos)
     order (``keep_frac`` quantized at 9 decimals and multiplied in
     exact DECIMAL — a binary-float product would floor 0.3*10 to 2),
-    with no global sort — the ccnet two-level prefix-sum rank (coarse
-    monotone value-bucket ``floor(excess * 8)``, bucket-count
-    offsets, intra-bucket window) over the POSITIVE-excess positions
-    only.  Zero-excess positions are NEVER selected (they carry no
+    with no global sort — the shared two-level exact rank
+    (``ranking.exact_rank``; coarse monotone value-bucket
+    ``floor(excess * 8)``, bucket-count offsets, intra-bucket window)
+    over the POSITIVE-excess positions only.  Zero-excess positions are NEVER selected (they carry no
     learnable signal — RHO-1's own rule) and never enter the window,
     which is also what keeps the rank skew-safe: clipping creates a
     point mass at exactly 0.0 that would otherwise sort on one
@@ -732,8 +732,6 @@ def selective_token_mask(
     ``_bigram_scored_stream``), one tiny bucket-count aggregate
     broadcast back, one intra-bucket window over positive-excess
     rows — no corpus-wide sort, no driver materialization."""
-    from pyspark.sql.window import Window
-
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac={keep_frac} out of (0, 1]")
     if not 0.0 <= lam <= 1.0:
@@ -752,27 +750,25 @@ def selective_token_mask(
         .localCheckpoint(eager=False)
         .withColumn("pb", F.floor(F.col("excess") * 8).cast("long"))
     )
+    from .ranking import exact_rank
+
     pos_rows = scored.where(F.col("excess") > 0)
-    counts = pos_rows.groupBy("pb").agg(F.count(F.lit(1)).alias("c"))
-    wo = (Window.orderBy(F.col("pb").desc())
-          .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("c").over(wo), F.lit(0)))
     # the cutoff fraction applies to ALL scored positions (N), in
     # exact decimal arithmetic
     total = scored.agg(F.count(F.lit(1)).alias("n_total"))
     n_keep = F.floor(
         F.lit(float(keep_frac)).cast("decimal(10,9)")
         * F.col("n_total")).cast("long")
-    wi = Window.partitionBy("pb").orderBy(
-        F.col("excess").desc(), "doc_id", "pos")
     ranked = (
-        pos_rows.withColumn("ir", F.row_number().over(wi) - F.lit(1))
-        .join(F.broadcast(offsets.select("pb", "off")), "pb")
+        exact_rank(
+            pos_rows,
+            [F.col("excess").desc(), "doc_id", "pos"],
+            "pb", bucket_desc=True,
+        )
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id", "pos", "excess",
-            (F.col("off") + F.col("ir") < n_keep).alias("selected"),
+            (F.col("rank0") < n_keep).alias("selected"),
         )
     )
     zeros = scored.where(~(F.col("excess") > 0)).select(
@@ -812,12 +808,13 @@ def ccnet_perplexity_buckets(
     shard list centrally; at 100 TB the biggest language would be one
     sort partition): rows bucket by ``floor(r)`` (a monotone split of
     the order key, so bucket-then-intra ordering equals total
-    ordering), per-(lang, bucket) counts collapse to a tiny frame
-    whose per-language exclusive prefix sum broadcasts back as rank
-    offsets, and the intra-bucket rank is a window WITHIN (lang,
-    bucket) — the token_budget_sample two-level prefix sum, applied
-    to ranking.  No single-partition stage at any corpus size."""
-    from pyspark.sql.window import Window
+    ordering) and rank through the shared two-level exact rank
+    (``ranking.exact_rank``) — per-(lang, bucket) counts collapse to
+    a tiny frame whose per-language exclusive prefix sum broadcasts
+    back as rank offsets, and the intra-bucket rank is a window
+    WITHIN (lang, bucket).  No single-partition stage at any corpus
+    size."""
+    from .ranking import exact_rank
 
     ppl = bigram_perplexity(spark, sf_dir, lam).select(
         "doc_id", "perplexity")
@@ -830,23 +827,12 @@ def ccnet_perplexity_buckets(
         .withColumn("pb", F.floor("r").cast("long"))
         .localCheckpoint(eager=False)
     )
-    counts = scored.groupBy("lang", "pb").agg(
-        F.count(F.lit(1)).alias("c"))
     # langs x integer-perplexity-buckets rows — tiny at any scale
-    wo = (
-        Window.partitionBy("lang").orderBy("pb")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("c").over(wo), F.lit(0)))
-    totals = counts.groupBy("lang").agg(F.sum("c").alias("n_lang"))
-    wi = Window.partitionBy("lang", "pb").orderBy("r", "doc_id")
+    totals = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang"))
     ranked = (
-        scored.withColumn("ir", F.row_number().over(wi) - F.lit(1))
-        .join(F.broadcast(offsets.select("lang", "pb", "off")),
-              ["lang", "pb"])
+        exact_rank(scored, ["r", "doc_id"], "pb", group_cols=["lang"])
         .join(F.broadcast(totals), "lang")
-        .withColumn("rank0", F.col("off") + F.col("ir"))
     )
     # the standard NTILE(3) allocation, exact integers; greatest(q, 1)
     # keeps the dead ELSE branch from dividing by zero under ANSI when
