@@ -445,6 +445,79 @@ def lsh_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("band").cast("int").alias("band"), "h")
 
 
+def bm25_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 postings-index maintenance over CDC — the
+    FOURTH index family on the build/maintain/audit pattern (IVF
+    inverted lists, LSH buckets, PQ codes, now text postings:
+    ``incremental.build_bm25_index`` / ``maintain_bm25_index``).  At
+    100 TB the BM25 leg of hybrid search was the only remaining
+    recompute-from-scratch structure — every query re-tokenized the
+    corpus; the maintained index folds O(delta) per arrival instead.
+
+    ORACLE-BACKED directly (no portable dial needed): postings are
+    exact integer term frequencies under the fixed tokenizer, so the
+    DuckDB twin recomputes tf + per-doc length sentinels from the
+    FINAL base contents — a fold that dropped, doubled or mis-counted
+    one document's postings breaks the hash match.
+
+    Fixture: the documents corpus lands as two commits (2/3
+    bootstrap, 1/3 append); maintenance folds the append by
+    tokenizing ONLY the new documents, then a merge-on-read DV DELETE
+    (doc_id % 7 = 3) folds through the row-level feed — deleted
+    docs' postings AND length sentinels leave the index (df, N and
+    avgdl all shrink — a ghost sentinel would skew every score).
+
+    Self-falsifying guards:
+
+    1. *delta-only fold*: every row the append-maintenance commit
+       added belongs to an appended document;
+    2. *exact rebuild parity* after the DV fold:
+       ``bm25_index_vs_rebuild`` symmetric difference is empty;
+    3. *rewrite refusal*: an overwrite on the base must raise —
+       ghost postings would inflate df and surface deleted docs in
+       every search.
+
+    The maintained READ path (``bm25_query_maintained``, shared
+    ``_bm25_score_core`` epilogue) is exercised by the
+    hybrid_search_indexed entry's sparse leg and pinned bit-for-bit
+    against ``bm25_search`` in tests/test_bm25_index.py.
+
+    Output: the STORED index rows (doc_id, term, tf, dl) — postings
+    plus '' sentinel rows."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    base = DeltaSparkTable(spark, _scratch("bm25-base"))
+    index = DeltaSparkTable(spark, _scratch("bm25-idx"))
+    base.write(src.where("doc_id % 3 < 2"), WriteMode.error)   # v0
+    incremental.build_bm25_index(base, index)
+    base.write(src.where("doc_id % 3 = 2"), WriteMode.append)  # v1
+    n_before = index.read().count()
+    incremental.maintain_bm25_index(base, index)
+    n_added = index.read().count() - n_before
+    from_delta = index.read().where("doc_id % 3 = 2").count()
+    if n_added != from_delta:
+        raise AssertionError(
+            f"maintenance added {n_added} rows but {from_delta} belong "
+            f"to the delta — bootstrap rows double-folded"
+        )
+    base.delete("doc_id % 7 = 3", use_dv=True)                 # v2 (DV)
+    incremental.maintain_bm25_index(base, index)
+    bad = incremental.bm25_index_vs_rebuild(base, index).count()
+    if bad:
+        raise AssertionError(
+            f"incremental BM25 index diverged from a from-scratch "
+            f"rebuild on {bad} rows"
+        )
+    base.write(src.where("doc_id < 10"), WriteMode.overwrite)
+    try:
+        incremental.maintain_bm25_index(base, index)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("maintenance silently folded a rewrite commit")
+    return index.read().select("doc_id", "term", "tf", "dl")
+
+
 def pq_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental PQ code-index maintenance over CDC — the THIRD
     index family on the build/maintain/audit pattern (IVF inverted
@@ -2694,23 +2767,26 @@ def o_identity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid BM25 + dense retrieval whose dense leg reads the
-    CDC-MAINTAINED IVF + PQ index pair
-    (incremental.hybrid_search_maintained) — the production read path
-    behind the oracle-backed exact form.  Fixture: both indexes built
-    over a 2-commit transactional corpus and maintained through the
-    append (same shape as ann_query_indexed).
+    """Hybrid BM25 + dense retrieval where BOTH legs read
+    CDC-MAINTAINED indexes (incremental.hybrid_search_maintained):
+    the dense leg the IVF + PQ pair, and (since r13) the sparse leg
+    the maintained BM25 postings index
+    (``bm25_query_maintained`` — no corpus re-tokenize at query
+    time).  Fixture: all THREE indexes built over 2-commit
+    transactional corpora and maintained through the appends (same
+    shape as ann_query_indexed).
 
     ORACLE-BACKED: run at full dials (nprobe/rerank covering the
     corpus) the dense leg is exact cosine over the STORED inverted
-    lists, so the fused output equals hybrid_search_rrf's — and
-    shares its DuckDB twin.  The oracle still verifies the index
-    machinery for real: a fold that lost or doubled vectors changes
-    the inverted list and breaks the match even at full probe.  The
-    approximate dials of the same read path are recorded by
-    ann_query_indexed (rows-only, exact-anchor guarded); production
-    parity at full dials is additionally pinned by
-    tests/test_r10_entries.py."""
+    lists, and the sparse leg shares ``_bm25_score_core`` with the
+    from-scratch form over an index covering the same corpus — so
+    the fused output equals hybrid_search_rrf's and shares its DuckDB
+    twin.  The oracle still verifies the index machinery for real: a
+    fold that lost or doubled vectors OR postings changes a leg's
+    ranking and breaks the match even at full probe.  The approximate
+    dials of the same read path are recorded by ann_query_indexed
+    (rows-only, exact-anchor guarded); production parity at full
+    dials is additionally pinned by tests/test_r10_entries.py."""
     emb_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding")
     emb = DeltaSparkTable(spark, _scratch("hybq-base"))
@@ -2722,8 +2798,17 @@ def hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb.write(emb_src.where("vec_id % 3 = 2"), WriteMode.append)
     incremental.maintain_ivf_index(emb, ivf)
     incremental.maintain_pq_index(emb, pq)
+    docs_src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    dt = DeltaSparkTable(spark, _scratch("hybq-docs"))
+    bm = DeltaSparkTable(spark, _scratch("hybq-bm25"))
+    dt.write(docs_src.where("doc_id % 3 < 2"), WriteMode.error)
+    incremental.build_bm25_index(dt, bm)
+    dt.write(docs_src.where("doc_id % 3 = 2"), WriteMode.append)
+    incremental.maintain_bm25_index(dt, bm)
     return incremental.hybrid_search_maintained(
-        spark, sf_dir, emb, ivf, pq, nprobe=10**9, rerank=10**9)
+        spark, sf_dir, emb, ivf, pq, nprobe=10**9, rerank=10**9,
+        bm25_index=bm)
 
 
 def _streaming_index_sink(
@@ -3317,84 +3402,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verifies everything: an entry may sit past the cap only if
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
-    # that structurally cannot have one).  Round 12 window: the 6
-    # r8-recorded heads + the new o_write_options entry + 43 of the
-    # 49 r9-recorded entries (incl. ann_index_drift_audit, converted
-    # to oracle-backed in r12 — conversion re-demands a green row) —
-    # after r12 records land, the stalest cohort is the 6 deferred
-    # r9 entries at the head of the tail.  Local gate for the whole
+    # that structurally cannot have one).  Round 13 window: the 8
+    # r9-recorded heads + 42 of the 50 r10-recorded entries — after
+    # r13 records land, the stalest cohort is the 8 deferred r10
+    # entries at the head of the tail.  Local gate for the whole
     # registry regardless of position: tools/check_oracles.py.
     return {
-        # -------- first 50: the round-12 recording window --------
-        # Record-freshness rotation (r12): the 6 entries whose
-        # newest committed record is CORRECTNESS_r08 lead, then
-        # the NEW o_write_options entry (W8/W9/W10 driver-
-        # verified), then 43 of the 49 r9-recorded entries —
-        # including ann_index_drift_audit, whose r12 conversion
-        # to oracle-backed re-demands a green row.  6+1+43 = 50;
-        # the 6 deferred r9 entries lead the r13 window.
-        "s3_time_travel": s3_time_travel,
-        "m4_replace_delete": m4_replace_delete,
-        "w5_create_or_replace": w5_create_or_replace,
-        "p2_timewindow_read": p2_timewindow_read,
-        "o_compaction_roundtrip": o_compaction_roundtrip,
-        "zipf_profile": textops.zipf_profile,
-        "o_write_options": o_write_options,
-        "stream_ingest_near_dup_filter": _stream_ingest_filter,
-        "string_functions": relational.string_functions_probe,
-        "date_parts_rollup": relational.date_parts_rollup,
-        "q12_case_agg": relational.q12_priority_by_linestatus,
-        "source_summary": textops.source_summary,
-        "deterministic_sample": textops.deterministic_sample,
-        "fingerprint": textops.fingerprint,
-        "q18_large_orders": relational.q18_large_orders,
-        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
-        "q13_custdist": relational.q13_order_count_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "q6_q19_filter_aggs": q6_q19_filter_aggs,
-        "topk_window": relational.top_orders_per_status,
-        "events_hourly_rollup": relational.events_hourly_rollup,
-        "events_sessionize": relational.events_sessionize,
-        "q4_exists_semi": relational.q4_order_priority_exists,
-        "events_json_props": relational.events_json_props,
-        "q17_scalar_subquery": relational.q17_small_quantity_revenue,
-        "q11_important_parts": relational.q11_important_parts,
-        "q7_nation_volume": relational.q7_nation_volume,
-        "set_ops_customers": relational.customer_order_set_ops,
-        "asof_clicks_purchases": asof.clicks_asof_purchases,
-        "range_join_bursts": asof.user_event_bursts,
-        "corpus_shuffle": curation.corpus_shuffle,
-        "multimodal_metadata": multimodal.multimodal_metadata,
-        "salted_user_rollup": relational.salted_user_rollup,
-        "price_distribution": price_distribution,
-        "status_pivot": relational.status_pivot,
-        "revenue_rollup_cube": revenue_rollup_cube,
-        "cross_source_contamination": curation.cross_source_contamination,
-        "curate_corpus": _curate_corpus,
-        "decontaminate": curation.decontaminate,
-        "pack_sequences": curation.pack_sequences,
-        "text_quality": textops.text_quality,
-        "streaming_sessionize": _streaming_sessionize,
-        "streaming_dedup": _streaming_dedup,
-        "ann_index_drift_audit": ann_index_drift_audit,
-        # CONVERTED this round (rows-only -> oracle-backed via the
-        # portable power-iteration dial; conversion re-demands a
-        # green row, so it takes a window slot — displaced
-        # token_stats, green r9 record stands)
-        "embedding_pca_project": _embedding_pca,
-        # NEW this round (oracle-backed): DoReMi-style domain-weight
-        # solver — displaced lang_id (green r9 record stands) to the
-        # tail, where it leads the r13 refresh with the deferred six
-        "doremi_domain_weights": doremi_domain_weights,
-        # NEW this round (oracle-backed): RHO-1 selective-LM token
-        # mask — displaced streaming_hourly_rollup (green r9 record
-        # stands) to the tail
-        "selective_token_mask": selective_token_mask,
-        # -------- past the cap: green/ok rows on committed ------
-        # -------- records (deferred r9 first, then r10, r11) ----
+        # -------- first 50: the round-13 recording window --------
+        # Record-freshness rotation (r13): the 8 entries whose
+        # newest committed record is CORRECTNESS_r09 lead, then
+        # 42 of the 50 r10-recorded entries.  8 + 42 = 50; the 8
+        # deferred r10 entries (winnow/strip spans, leakage splits,
+        # hybrid_search_indexed, identity merge, near-dup/embedding
+        # decontaminate) lead the r14 window.  NEW r13 entries
+        # displace the tail of the r10 section (displaced heads
+        # keep their committed r10 records).
         "streaming_hourly_rollup": streaming_rollup,
         "lang_id": textops.lang_id,
         "token_stats": textops.token_stats,
@@ -3443,13 +3465,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": curation.chunk_documents,
         "assign_splits": curation.assign_splits,
         "cdc_read_changes": cdc_read_changes,
+        # NEW r13 (oracle-backed): the FOURTH CDC-maintained index
+        # family — BM25 postings; displaced unigram_quality (green
+        # r10 record stands) to the tail
+        "bm25_index_maintain": bm25_index_maintain,
+        # CHANGED r13 (sparse leg now reads the maintained postings
+        # index) — a changed entry re-demands a green row, so it
+        # rotates in; displaced streaming_table_source (green r10
+        # record stands)
+        "hybrid_search_indexed": hybrid_search_indexed,
+        # -------- past the cap: green/ok rows on committed ------
+        # -------- records (deferred r10 first, then r11, r12) ---
         "unigram_quality": textops.unigram_quality,
         "streaming_table_source": streaming_table_source,
         "winnow_repeated_spans": dedup.winnow_repeated_spans,
         "winnow_doc_repetition": dedup.winnow_doc_repetition,
         "strip_repeated_spans": dedup.strip_repeated_spans,
         "leakage_safe_splits": _leakage_safe_splits,
-        "hybrid_search_indexed": hybrid_search_indexed,
         "o_identity_merge": o_identity_merge,
         "near_dup_decontaminate": _near_dup_decon,
         "embedding_decontaminate": similarity.embedding_decontaminate,
@@ -3503,6 +3535,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_copy_into": o_copy_into,
         "o_log_cleanup": o_log_cleanup,
         "unimax_sample": curation.unimax_sample,
+        "s3_time_travel": s3_time_travel,
+        "m4_replace_delete": m4_replace_delete,
+        "w5_create_or_replace": w5_create_or_replace,
+        "p2_timewindow_read": p2_timewindow_read,
+        "o_compaction_roundtrip": o_compaction_roundtrip,
+        "zipf_profile": textops.zipf_profile,
+        "o_write_options": o_write_options,
+        "stream_ingest_near_dup_filter": _stream_ingest_filter,
+        "string_functions": relational.string_functions_probe,
+        "date_parts_rollup": relational.date_parts_rollup,
+        "q12_case_agg": relational.q12_priority_by_linestatus,
+        "source_summary": textops.source_summary,
+        "deterministic_sample": textops.deterministic_sample,
+        "fingerprint": textops.fingerprint,
+        "q18_large_orders": relational.q18_large_orders,
+        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
+        "q13_custdist": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_q19_filter_aggs": q6_q19_filter_aggs,
+        "topk_window": relational.top_orders_per_status,
+        "events_hourly_rollup": relational.events_hourly_rollup,
+        "events_sessionize": relational.events_sessionize,
+        "q4_exists_semi": relational.q4_order_priority_exists,
+        "events_json_props": relational.events_json_props,
+        "q17_scalar_subquery": relational.q17_small_quantity_revenue,
+        "q11_important_parts": relational.q11_important_parts,
+        "q7_nation_volume": relational.q7_nation_volume,
+        "set_ops_customers": relational.customer_order_set_ops,
+        "asof_clicks_purchases": asof.clicks_asof_purchases,
+        "range_join_bursts": asof.user_event_bursts,
+        "corpus_shuffle": curation.corpus_shuffle,
+        "multimodal_metadata": multimodal.multimodal_metadata,
+        "salted_user_rollup": relational.salted_user_rollup,
+        "price_distribution": price_distribution,
+        "status_pivot": relational.status_pivot,
+        "revenue_rollup_cube": revenue_rollup_cube,
+        "cross_source_contamination": curation.cross_source_contamination,
+        "curate_corpus": _curate_corpus,
+        "decontaminate": curation.decontaminate,
+        "pack_sequences": curation.pack_sequences,
+        "text_quality": textops.text_quality,
+        "streaming_sessionize": _streaming_sessionize,
+        "streaming_dedup": _streaming_dedup,
+        "ann_index_drift_audit": ann_index_drift_audit,
+        "embedding_pca_project": _embedding_pca,
+        "doremi_domain_weights": doremi_domain_weights,
+        "selective_token_mask": selective_token_mask,
     }
 
 
@@ -4927,6 +5009,29 @@ def oracle_sql() -> dict[str, str]:
         "lsh_index_maintain": f"""
             WITH {_portable_minhash_ctes()}
             SELECT doc_id, band, h FROM lsh
+        """,
+        # the stored BM25 index over the FINAL base contents (full
+        # corpus minus the DV-deleted doc_id % 7 = 3 rows): exact
+        # integer postings + the '' per-doc length sentinels — no
+        # portable dial needed, term frequencies are engine-exact
+        "bm25_index_maintain": f"""
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 7 <> 3
+            ), tok AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM base
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY doc_id, term
+            ), dl AS (
+                SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS dl
+                FROM base
+            )
+            SELECT t.doc_id, t.term, t.tf, l.dl
+            FROM tf t JOIN dl l USING (doc_id)
+            UNION ALL
+            SELECT doc_id, '' AS term, CAST(0 AS BIGINT) AS tf, dl
+            FROM dl
         """,
         "minhash_cluster_keep": _minhash_cluster_oracle_sql(),
         # cluster-level splits = the component oracle + the portable

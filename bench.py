@@ -70,6 +70,8 @@ def main() -> None:
         "ann_index_maintain",
         "lsh_index_maintain",
         "pq_index_maintain",
+        # r13: the FOURTH maintained index family — BM25 postings
+        "bm25_index_maintain",
         "ann_query_indexed",
         "ann_drift_audit",
         "zorder_cluster",
@@ -485,20 +487,53 @@ def main() -> None:
         t.zorder(["l_orderkey", "l_partkey"], num_files=16)
 
     def _hybq_setup(spark, d):
-        # fixture: the maintained IVF+PQ index pair (untimed —
-        # ann_query_indexed's shape); the operator under test is the
-        # HYBRID query at production dials: inverted-postings BM25 leg
-        # + indexed dense leg (stored centroids/lists/codes, ADC scan,
-        # bounded rerank) + shared RRF fusion
-        return (d, *_annq_setup(spark, d))
+        # fixture: the maintained IVF+PQ index pair plus the
+        # maintained BM25 postings index (untimed — index builds are
+        # amortized pipeline cost); the operator under test is the
+        # HYBRID query at production dials: stored-postings BM25 leg
+        # (no corpus re-tokenize) + indexed dense leg (stored
+        # centroids/lists/codes, ADC scan, bounded rerank) + shared
+        # RRF fusion
+        from dagster_delta_spark.operators import incremental as incr
+
+        docs_src = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "text")
+        dt = DeltaSparkTable(spark, entry._scratch("bench-hybq-docs"))
+        bm = DeltaSparkTable(spark, entry._scratch("bench-hybq-bm25"))
+        dt.write(docs_src, WriteMode.error)
+        incr.build_bm25_index(dt, bm)
+        return (d, *_annq_setup(spark, d), bm)
 
     def _hybq_run(spark, ctx):
         from dagster_delta_spark.operators import incremental as incr
 
-        d, base, ivf, pq = ctx
+        d, base, ivf, pq, bm = ctx
         incr.hybrid_search_maintained(
-            spark, d, base, ivf, pq).write.mode(
+            spark, d, base, ivf, pq, bm25_index=bm).write.mode(
             "overwrite").format("noop").save()
+
+    def _bm25_maint_setup(spark, d):
+        # same shape as the ANN/LSH/PQ lines: bootstrap the postings
+        # index + one appended 1/3 delta untimed, time ONE maintenance
+        # fold (tokenize only the delta — the per-arrival cost that
+        # replaces re-tokenizing the corpus per query)
+        from dagster_delta_spark.operators import incremental as incr
+
+        src = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "text")
+        base = DeltaSparkTable(spark, entry._scratch("bench-bm25-base"))
+        index = DeltaSparkTable(spark, entry._scratch("bench-bm25-idx"))
+        base.write(src.where("doc_id % 3 < 2"), WriteMode.error)
+        incr.build_bm25_index(base, index)
+        base.write(src.where("doc_id % 3 = 2"), WriteMode.append)
+        return base, index
+
+    def _bm25_maint_run(spark, ctx):
+        from dagster_delta_spark.operators import incremental as incr
+
+        base, index = ctx
+        incr.maintain_bm25_index(base, index)
+        index.read().write.mode("overwrite").format("noop").save()
 
     def _bloom_setup(spark, d):
         # fixture: the bloom-indexed 24-file table (untimed write +
@@ -688,6 +723,7 @@ def main() -> None:
         "ann_index_maintain": (_ann_maint_setup, _ann_maint_run),
         "lsh_index_maintain": (_lsh_maint_setup, _lsh_maint_run),
         "pq_index_maintain": (_pq_maint_setup, _pq_maint_run),
+        "bm25_index_maintain": (_bm25_maint_setup, _bm25_maint_run),
         "ann_query_indexed": (_annq_setup, _annq_run),
     }
 

@@ -1,6 +1,7 @@
 """Incremental maintenance over the table log: materialized
-aggregates, the IVF ANN index, and the MinHash-LSH bucket index all
-fold CDC deltas instead of rescanning their base tables.
+aggregates and the four index families (IVF inverted lists, MinHash-
+LSH buckets, PQ codes, BM25 text postings) all fold CDC deltas
+instead of rescanning their base tables.
 
 The 100 TB problem: a downstream rollup (revenue by dimension, token
 totals by source, ...) over an append-mostly fact table should not be
@@ -525,6 +526,153 @@ def lsh_index_vs_rebuild(
             stored.exceptAll(fresh).withColumn("side", F.lit("ghost")))
 
 
+def _bm25_index_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> the BM25 index rows: one posting
+    ``(doc_id, term, tf, dl)`` per distinct term of the doc, PLUS one
+    SENTINEL row ``(doc_id, '', 0, dl)`` per document.  The sentinel
+    carries zero-token docs (they have no postings but still shape N
+    and avgdl — ``bm25_search`` counts every document) and makes the
+    per-doc length readable without touching the postings; '' can
+    never collide with a real term (tokens are non-empty [a-z0-9]+
+    runs).  One table holds the whole index state, so maintenance
+    keeps the LSH family's crash-idempotent commit ordering —
+    a doc-stats sibling would need its own resume marker and a crash
+    between the two appends would strand them out of sync."""
+    from .textops import TOKENS
+
+    toks = docs.select(
+        "doc_id", F.expr(TOKENS).alias("toks"),
+    ).localCheckpoint(eager=False)  # tf + sentinel share one tokenize
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    sent = toks.select(
+        "doc_id",
+        F.lit("").alias("term"),
+        F.lit(0).cast("long").alias("tf"),
+        F.size("toks").cast("long").alias("dl"),
+    )
+    return tf.select("doc_id", "term", "tf", "dl").unionByName(sent)
+
+
+def build_bm25_index(
+    docs: DeltaSparkTable, index: DeltaSparkTable
+) -> int:
+    """Bootstrap a persisted BM25 inverted index (postings + per-doc
+    length sentinels, see ``_bm25_index_rows``) over a TRANSACTIONAL
+    documents table — the FOURTH index family on the
+    build/maintain/audit contract (IVF inverted lists, LSH buckets,
+    PQ codes, now text postings).  At 100 TB the BM25 leg of hybrid
+    search was the only remaining recompute-from-scratch structure:
+    every query re-tokenized the corpus.  Unlike the ANN families
+    there is no model state and no hash family — term frequencies
+    are exact integers under the fixed tokenizer, so the stored index
+    is SQL-recomputable as-is (no portable dial needed).  Returns the
+    processed base version."""
+    head = docs.version()
+    # pin the snapshot AT head (the build_lsh_index race rule)
+    rows = _bm25_index_rows(
+        docs.read(version=head).select("doc_id", "text"))
+    index.write(rows, commit_metadata={"base_version": str(head)})
+    return head
+
+
+def maintain_bm25_index(
+    docs: DeltaSparkTable,
+    index: DeltaSparkTable,
+    since_version: Optional[int] = None,
+) -> int:
+    """Fold document changes ``(since_version, head]`` into the BM25
+    postings index: tokenize ONLY the new/updated documents and append
+    their posting + sentinel rows; merge-on-read deletes/updates fold
+    (deleted doc_ids' rows leave via a DV IN-list delete, updated docs
+    re-tokenize).  Deletions apply FIRST, additions commit LAST with
+    the ``base_version`` marker — a crash between the two refolds
+    idempotently.  Copy-rewrites raise via ``read_changes`` (ghost
+    postings would inflate df and surface deleted docs in every
+    search; rebuild instead); compaction-only ranges are a metadata
+    no-op.  Cost is O(delta); the indexed corpus is never
+    re-tokenized.  Returns the new processed base version."""
+    index_start = index.version()  # BEFORE the resume read (see
+    # _check_single_maintainer: no interleave escapes the interval)
+    v_meta, _meta = _resume_version(index)
+    v0 = v_meta if since_version is None else since_version
+    head = docs.version()
+    if head <= v0:
+        return v0
+    ins, dels = _split_row_changes(docs, v0, head)
+    removed = _apply_index_deletions(index, dels.select("doc_id"),
+                                     "doc_id")
+    # pinned: isEmpty() and the staged write share one tokenize pass
+    rows = _bm25_index_rows(
+        ins.select("doc_id", "text")).localCheckpoint(eager=True)
+    if rows.isEmpty():
+        if removed:
+            marker_v = _advance_base_version(index, head)
+            _check_single_maintainer(index, index_start, marker_v)
+        return head
+    res = index.write(
+        rows, WriteMode.append,
+        commit_metadata={"base_version": str(head)},
+    )
+    _check_single_maintainer(index, index_start, int(res["version"]))
+    return head
+
+
+def bm25_index_vs_rebuild(
+    docs: DeltaSparkTable, index: DeltaSparkTable
+) -> DataFrame:
+    """Audit helper: re-derive postings + sentinels from the current
+    snapshot and return the symmetric difference against the stored
+    index — empty == the incrementally-maintained index is exactly
+    what a from-scratch build would produce.  ``exceptAll`` is
+    multiplicity-aware by construction: a double-folded delta's
+    duplicate rows surface as ghosts."""
+    fresh = _bm25_index_rows(docs.read().select("doc_id", "text"))
+    stored = index.read().select("doc_id", "term", "tf", "dl")
+    return fresh.exceptAll(stored).withColumn("side", F.lit("missing")) \
+        .unionByName(
+            stored.exceptAll(fresh).withColumn("side", F.lit("ghost")))
+
+
+def bm25_query_maintained(
+    index: DeltaSparkTable,
+    queries: Optional[list] = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    exclude_qid_doc: bool = False,
+) -> DataFrame:
+    """BM25 search over the CDC-MAINTAINED postings index — the
+    production read path: term frequencies, document lengths, N and
+    avgdl all come from the STORED index; no tokenize job runs at
+    query time.  Runs the SAME parsing + scoring epilogue as
+    ``textops.bm25_search`` (``_bm25_query_terms`` /
+    ``_bm25_score_core``), so over an index covering the same corpus
+    the two return identical rows bit-for-bit — the
+    ``ann_query_maintained`` shared-core contract.  At 100 TB the df
+    aggregate and postings probe touch only the query terms' rows;
+    the only corpus-wide read is the O(docs) sentinel scan for
+    (N, avgdl)."""
+    from .textops import BM25_QUERIES, _bm25_query_terms, _bm25_score_core
+
+    if queries is None:
+        queries = BM25_QUERIES
+    qterms = _bm25_query_terms(index.spark, queries)
+    idx = index.read()
+    tf = idx.where(F.col("term") != "").select("doc_id", "term", "tf")
+    dl = idx.where(F.col("term") == "").select(
+        "doc_id", F.col("dl").cast("double").alias("dl"))
+    return _bm25_score_core(tf, dl, qterms, k1, b, top_k,
+                            exclude_qid_doc)
+
+
 def _ivf_centroids_table(index: DeltaSparkTable) -> DeltaSparkTable:
     """The index's coarse-quantizer centroids live in a sibling table
     (assignments and centroids have different schemas and wildly
@@ -891,20 +1039,27 @@ def hybrid_search_maintained(
     k_rrf: int = 60,
     nprobe: Optional[int] = None,
     rerank: int = 50,
+    bm25_index: Optional[DeltaSparkTable] = None,
 ) -> DataFrame:
     """Hybrid BM25 + dense retrieval over the MAINTAINED indexes —
     the production form of ``similarity.hybrid_search_rrf``: the
-    sparse leg is the same inverted-postings BM25 probe, but the
-    dense leg reads the CDC-maintained IVF + PQ index pair
-    (``ann_query_maintained`` — stored centroids, stored inverted
-    lists, m-byte ADC scan, bounded exact rerank) instead of
-    brute-force cosine over raw embeddings.  Both forms fuse through
-    the SHARED ``_rrf_fuse`` epilogue, so fusion semantics cannot
-    fork; with ``nprobe``/``rerank`` covering the corpus the dense
-    leg equals brute force exactly and the fused output equals the
-    oracle-backed exact form bit-for-bit (the registry entry's
-    guard).  At scale the dense leg reads O(probed cells x m bytes)
-    instead of O(corpus x d floats)."""
+    sparse leg probes the CDC-maintained postings index when
+    ``bm25_index`` is given (``bm25_query_maintained`` — stored
+    postings/lengths, no corpus re-tokenize; it shares
+    ``_bm25_score_core`` with the from-scratch form, so over the same
+    corpus the legs are identical bit-for-bit) and falls back to the
+    from-scratch ``bm25_search`` otherwise; the dense leg reads the
+    CDC-maintained IVF + PQ index pair (``ann_query_maintained`` —
+    stored centroids, stored inverted lists, m-byte ADC scan, bounded
+    exact rerank) instead of brute-force cosine over raw embeddings.
+    Both forms fuse through the SHARED ``_rrf_fuse`` epilogue, so
+    fusion semantics cannot fork; with ``nprobe``/``rerank`` covering
+    the corpus the dense leg equals brute force exactly and the fused
+    output equals the oracle-backed exact form bit-for-bit (the
+    registry entry's guard).  At scale the dense leg reads O(probed
+    cells x m bytes) instead of O(corpus x d floats), and with all
+    four indexes maintained NO leg rescans or re-tokenizes the
+    corpus."""
     from pyspark.sql import functions as F
 
     from .relational import load
@@ -916,11 +1071,15 @@ def hybrid_search_maintained(
         docs.where(F.col("doc_id") < n_queries)
         .select("doc_id", "text").collect()
     )  # bounded: n_queries rows
-    sparse = bm25_search(
-        spark, sf_dir,
-        queries=[(r["doc_id"], r["text"]) for r in qdocs],
-        top_k=inner_k, exclude_qid_doc=True,
-    ).select(
+    q = [(r["doc_id"], r["text"]) for r in qdocs]
+    if bm25_index is not None:
+        sparse_ranked = bm25_query_maintained(
+            bm25_index, queries=q, top_k=inner_k, exclude_qid_doc=True)
+    else:
+        sparse_ranked = bm25_search(
+            spark, sf_dir, queries=q,
+            top_k=inner_k, exclude_qid_doc=True)
+    sparse = sparse_ranked.select(
         F.col("qid").cast("long").alias("q_id"),
         "doc_id",
         F.col("rank").alias("r_sparse"),

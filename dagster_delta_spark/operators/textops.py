@@ -864,58 +864,44 @@ BM25_QUERIES: list[tuple[int, str]] = [
 ]
 
 
-def bm25_search(
-    spark: SparkSession,
-    sf_dir: str,
-    queries: list[tuple[int, str]] | None = None,
-    k1: float = 1.2,
-    b: float = 0.75,
-    top_k: int = 10,
-    exclude_qid_doc: bool = False,
-) -> DataFrame:
-    """Distributed BM25 full-text search: score every document against
-    a small query set and return the per-query top-k — the retrieval
-    primitive behind dataset search, eval-set mining, and
-    contamination triage (reference analogue: user-side text search
-    the io-manager feeds; the engine-native piece is the inverted
-    scoring plan).
-
-    Scoring (Lucene-style, always-positive idf; distinct query terms,
-    qtf ignored as in standard practice):
-
-        idf(t)       = ln(1 + (N - df + 0.5) / (df + 0.5))
-        score(q, d)  = sum_t idf(t) * tf * (k1+1)
-                               / (tf + k1 * (1 - b + b * dl/avgdl))
-
-    Plan: term frequencies and document frequencies are the same two
-    keyed aggregations ``tfidf_top_terms`` runs; the tiny query-term
-    relation broadcast-joins INTO the tf stream on term (so only
-    postings of query terms survive — the inverted-index probe,
-    pushed before the df join), document length joins on doc_id, and
-    the 2-row corpus stats (N, avgdl) ride a broadcast cross join.
-    The per-query top-k is a WindowGroupLimit — per-query state only,
-    never a global sort.  Out-of-vocabulary terms vanish in the inner
-    postings join, contributing 0.  All codegen, no Python."""
-    from pyspark.sql.window import Window
-
-    if queries is None:
-        queries = BM25_QUERIES
-    docs = load(spark, sf_dir, "documents")
+def _bm25_query_terms(spark: SparkSession,
+                      queries: list[tuple[int, str]]) -> DataFrame:
+    """(qid, query text) -> distinct (qid, term) rows under the SAME
+    tokenization rule as the corpus (lowercase, [a-z0-9]+ runs) — the
+    one place query parsing lives, shared by ``bm25_search`` and the
+    maintained-index probe so the two can never tokenize queries
+    differently."""
     qrows = []
     for qid, qtext in queries:
         toks = [t for t in re.split(r"[^a-z0-9]+", qtext.lower()) if t]
         for t in sorted(set(toks)):
             qrows.append((int(qid), t))
-    qterms = spark.createDataFrame(qrows, "qid int, term string")
+    return spark.createDataFrame(qrows, "qid int, term string")
 
-    terms = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("term"))
-    # checkpointed so the postings probe and the df aggregate share
-    # ONE tokenize+count pass instead of re-expanding the lineage
-    # (the bigram_perplexity model-side pattern)
-    tf = (
-        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+
+def _bm25_score_core(
+    tf: DataFrame,
+    dl: DataFrame,
+    qterms: DataFrame,
+    k1: float,
+    b: float,
+    top_k: int,
+    exclude_qid_doc: bool,
+) -> DataFrame:
+    """The BM25 scoring epilogue SHARED by the from-scratch search
+    (``bm25_search``) and the maintained-index probe
+    (``incremental.bm25_query_maintained``) — one definition of idf,
+    length norm, rounding and ranking, so the two paths cannot fork
+    (the ``_pq_query_topk`` / ``_rrf_fuse`` pattern).
+
+    Inputs: ``tf`` = (doc_id, term, tf) term frequencies, ``dl`` =
+    (doc_id, dl double) document lengths INCLUDING zero-token docs
+    (they shape N and avgdl), ``qterms`` = (qid, term).  The postings
+    probe broadcast-joins the tiny query-term relation into ``tf``
+    first, df aggregates over query-term postings only, and the
+    per-query top-k is a WindowGroupLimit — per-query state only."""
+    from pyspark.sql.window import Window
+
     # postings probe FIRST: df/doclen joins then touch only the
     # query-term postings, not the whole vocabulary
     postings = tf.join(F.broadcast(qterms), "term")
@@ -926,8 +912,6 @@ def bm25_search(
                 "term", "left_semi")
         .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     )
-    dl = docs.select(
-        "doc_id", F.expr(f"size({TOKENS})").cast("double").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -962,6 +946,61 @@ def bm25_search(
         .where(F.col("rank") <= top_k)
         .select("qid", "doc_id", "score", "rank")
     )
+
+
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: list[tuple[int, str]] | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    exclude_qid_doc: bool = False,
+) -> DataFrame:
+    """Distributed BM25 full-text search: score every document against
+    a small query set and return the per-query top-k — the retrieval
+    primitive behind dataset search, eval-set mining, and
+    contamination triage (reference analogue: user-side text search
+    the io-manager feeds; the engine-native piece is the inverted
+    scoring plan).
+
+    Scoring (Lucene-style, always-positive idf; distinct query terms,
+    qtf ignored as in standard practice):
+
+        idf(t)       = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(q, d)  = sum_t idf(t) * tf * (k1+1)
+                               / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Plan: term frequencies and document frequencies are the same two
+    keyed aggregations ``tfidf_top_terms`` runs; the tiny query-term
+    relation broadcast-joins INTO the tf stream on term (so only
+    postings of query terms survive — the inverted-index probe,
+    pushed before the df join), document length joins on doc_id, and
+    the 2-row corpus stats (N, avgdl) ride a broadcast cross join.
+    The per-query top-k is a WindowGroupLimit — per-query state only,
+    never a global sort.  Out-of-vocabulary terms vanish in the inner
+    postings join, contributing 0.  All codegen, no Python.
+
+    Scoring, query parsing and ranking live in the shared
+    ``_bm25_query_terms`` / ``_bm25_score_core`` helpers — the
+    CDC-maintained postings probe (``incremental.
+    bm25_query_maintained``) runs the SAME epilogue over stored
+    postings, so the two paths agree by construction."""
+    if queries is None:
+        queries = BM25_QUERIES
+    docs = load(spark, sf_dir, "documents")
+    qterms = _bm25_query_terms(spark, queries)
+    terms = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("term"))
+    # checkpointed so the postings probe and the df aggregate share
+    # ONE tokenize+count pass instead of re-expanding the lineage
+    # (the bigram_perplexity model-side pattern)
+    tf = (
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = docs.select(
+        "doc_id", F.expr(f"size({TOKENS})").cast("double").alias("dl"))
+    return _bm25_score_core(tf, dl, qterms, k1, b, top_k, exclude_qid_doc)
 
 
 def pmi_collocations(

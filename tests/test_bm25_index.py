@@ -1,0 +1,157 @@
+"""CDC-maintained BM25 postings index (operators/incremental.py:
+build_bm25_index / maintain_bm25_index / bm25_query_maintained) —
+the fourth index family on the build/maintain/audit contract.
+
+Contract under test: appends fold O(delta) (new docs tokenized, the
+indexed corpus never re-tokenized), merge-on-read DELETE/UPDATE folds
+through the row-level feed (postings AND length sentinels leave /
+re-enter), copy-rewrites refuse, the maintained read path equals the
+from-scratch ``bm25_search`` bit-for-bit over the same corpus, and
+zero-token documents still shape N/avgdl via their sentinel rows.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+from dagster_delta_spark import DeltaSparkTable, WriteMode
+from dagster_delta_spark.operators.incremental import (
+    bm25_index_vs_rebuild,
+    bm25_query_maintained,
+    build_bm25_index,
+    maintain_bm25_index,
+)
+
+
+def _docs_df(spark, ids):
+    rows = [(int(i), " ".join(f"w{(i * 11 + j) % 40}" for j in range(12)))
+            for i in ids]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _mk(spark, tmp_path, ids):
+    docs = DeltaSparkTable(spark, str(tmp_path / "docs"))
+    idx = DeltaSparkTable(spark, str(tmp_path / "idx"))
+    docs.write(_docs_df(spark, ids), WriteMode.error)
+    build_bm25_index(docs, idx)
+    return docs, idx
+
+
+def test_build_then_append_fold_matches_rebuild(spark, tmp_path):
+    docs, idx = _mk(spark, tmp_path, range(20))
+    n0 = idx.read().count()
+    # one sentinel per doc; every doc here has 12 tokens
+    assert idx.read().where("term = ''").count() == 20
+    docs.write(_docs_df(spark, range(20, 30)), WriteMode.append)
+    assert maintain_bm25_index(docs, idx) == docs.version()
+    added = idx.read().where("doc_id >= 20")
+    assert idx.read().count() - n0 == added.count()  # delta-only
+    assert bm25_index_vs_rebuild(docs, idx).count() == 0
+    # idempotent resume: nothing new -> no-op at same version
+    assert maintain_bm25_index(docs, idx) == docs.version()
+
+
+def test_dv_delete_and_update_fold(spark, tmp_path):
+    docs, idx = _mk(spark, tmp_path, range(30))
+    docs.delete("doc_id % 5 = 0", use_dv=True)
+    docs.update({"text": "'replaced text tokens'"}, "doc_id = 7",
+                use_dv=True)
+    docs.write(_docs_df(spark, range(30, 35)), WriteMode.append)
+    maintain_bm25_index(docs, idx)
+    assert bm25_index_vs_rebuild(docs, idx).count() == 0
+    ids = {r["doc_id"] for r in idx.read().select("doc_id").collect()}
+    assert not {i for i in range(30) if i % 5 == 0} & ids  # no ghosts
+    assert 7 in ids and 34 in ids
+    # the updated doc re-tokenized: its postings are the new text's
+    terms = {r["term"] for r in idx.read()
+             .where("doc_id = 7 AND term <> ''").collect()}
+    assert terms == {"replaced", "text", "tokens"}
+
+
+def test_deletions_only_fold_advances_marker(spark, tmp_path):
+    docs, idx = _mk(spark, tmp_path, range(10))
+    docs.delete("doc_id < 3", use_dv=True)
+    head = docs.version()
+    assert maintain_bm25_index(docs, idx) == head
+    assert bm25_index_vs_rebuild(docs, idx).count() == 0
+    # resume advanced past the deletions-only delta (marker commit)
+    assert maintain_bm25_index(docs, idx) == head
+
+
+def test_rewrite_refuses(spark, tmp_path):
+    docs, idx = _mk(spark, tmp_path, range(10))
+    docs.write(_docs_df(spark, range(5)), WriteMode.overwrite)
+    with pytest.raises(ValueError):
+        maintain_bm25_index(docs, idx)
+
+
+def test_query_parity_with_bm25_search(spark, tmp_path):
+    from dagster_delta_spark.operators.textops import bm25_search
+
+    docs = DeltaSparkTable(spark, str(tmp_path / "docs"))
+    idx = DeltaSparkTable(spark, str(tmp_path / "idx"))
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    # build 2/3 + maintain 1/3 so the PARITY check also covers a fold
+    docs.write(src.where("doc_id % 3 < 2"), WriteMode.error)
+    build_bm25_index(docs, idx)
+    docs.write(src.where("doc_id % 3 = 2"), WriteMode.append)
+    maintain_bm25_index(docs, idx)
+    got = sorted(map(tuple, bm25_query_maintained(idx).collect()))
+    want = sorted(map(tuple, bm25_search(spark, SF_DIR).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_zero_token_docs_shape_stats(spark, tmp_path):
+    rows = [(0, "alpha beta alpha"), (1, "beta gamma"), (2, "!!! ???")]
+    docs = DeltaSparkTable(spark, str(tmp_path / "docs"))
+    idx = DeltaSparkTable(spark, str(tmp_path / "idx"))
+    docs.write(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        WriteMode.error)
+    build_bm25_index(docs, idx)
+    # the zero-token doc carries ONLY its sentinel (dl = 0)
+    d2 = idx.read().where("doc_id = 2").collect()
+    assert [(r["term"], r["tf"], r["dl"]) for r in d2] == [("", 0, 0)]
+    res = {(r["qid"], r["doc_id"]): r["score"]
+           for r in bm25_query_maintained(
+               idx, queries=[(1, "alpha")], top_k=10).collect()}
+    assert set(res) == {(1, 0)}
+    # N = 3 and avgdl = (3 + 2 + 0) / 3 feed the score: recompute the
+    # closed form and compare (idf = ln(1 + (3 - 1 + 0.5) / 1.5))
+    import math
+    idf = math.log(1.0 + (3.0 - 1.0 + 0.5) / 1.5)
+    avgdl = 5.0 / 3.0
+    want = round(idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / avgdl)), 9)
+    assert res[(1, 0)] == pytest.approx(want, abs=1e-9)
+
+
+def test_hybrid_maintained_sparse_leg_parity(spark, tmp_path):
+    """hybrid_search_maintained(bm25_index=...) == the same call
+    without it, when the index covers the same corpus."""
+    import numpy as np
+
+    from dagster_delta_spark.operators.incremental import (
+        build_ivf_index, build_pq_index, hybrid_search_maintained)
+
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    ivf = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    pq = DeltaSparkTable(spark, str(tmp_path / "pq"))
+    emb_src = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    emb.write(emb_src, WriteMode.error)
+    build_ivf_index(emb, ivf)
+    build_pq_index(emb, pq)
+    docs = DeltaSparkTable(spark, str(tmp_path / "docs"))
+    bm = DeltaSparkTable(spark, str(tmp_path / "bm"))
+    docs.write(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"),
+        WriteMode.error)
+    build_bm25_index(docs, bm)
+    kw = dict(n_queries=3, nprobe=10**9, rerank=10**9)
+    a = sorted(map(tuple, hybrid_search_maintained(
+        spark, SF_DIR, emb, ivf, pq, bm25_index=bm, **kw).collect()))
+    b = sorted(map(tuple, hybrid_search_maintained(
+        spark, SF_DIR, emb, ivf, pq, **kw).collect()))
+    assert a == b and len(a) > 0
