@@ -754,7 +754,17 @@ def s3_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, and ``restore(timestamp_as_of=...)`` (RESTORE TIMESTAMP AS
     OF) rewinds the head so the returned frame is a PLAIN ``read()``
     of the restored table — the oracle (orders with status 'F') now
-    value-checks the whole timestamp-restore path."""
+    value-checks the whole timestamp-restore path.
+
+    r13 composition: a metadata-only RENAME COLUMN lands between the
+    append and the restore, so the timestamp restore crosses a
+    COLUMN-MAPPED metadata commit — RESTORE re-publishes the
+    target's metadata, the rename is undone (in-line guard: the
+    renamed head reads ``total_price``, the restored head reads
+    ``o_totalprice`` again with v0's row count), and the frozen
+    physical names must still resolve every surviving file.  The
+    oracle is unchanged: a restore that leaked the rename or broke
+    the mapping changes the returned schema or values."""
     t = DeltaSparkTable(spark, _scratch("s3"))
     orders = _orders(spark, sf_dir)
     t.write(orders.where("o_orderstatus = 'F'"), WriteMode.error)
@@ -771,8 +781,18 @@ def s3_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_v0 = t.read(version=0).count()
     if t.read(timestamp_as_of=ts[0]).count() != n_v0:
         raise AssertionError("timestamp_as_of read != version-0 read")
+    t.rename_column("o_totalprice", "total_price")  # v2, metadata-only
+    if "total_price" not in t.read().columns:
+        raise AssertionError("rename did not take effect at head")
     t.restore(timestamp_as_of=ts[0])
-    return t.read()
+    out = t.read()
+    if "o_totalprice" not in out.columns or "total_price" in out.columns:
+        raise AssertionError(
+            "restore across the rename must re-publish v0's logical "
+            f"names, got {out.columns}")
+    if out.count() != n_v0:
+        raise AssertionError("restored row count != version-0 count")
+    return out
 
 
 def p2_timewindow_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3464,7 +3484,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": curation.stratified_sample,
         "chunk_documents": curation.chunk_documents,
         "assign_splits": curation.assign_splits,
-        "cdc_read_changes": cdc_read_changes,
+        # CHANGED r13 (timestamp restore now composes with a column-
+        # mapping rename) — re-demands a green row, rotated forward
+        # from the r12 tail; displaced cdc_read_changes (green r10
+        # record stands)
+        "s3_time_travel": s3_time_travel,
         # NEW r13 (oracle-backed): the FOURTH CDC-maintained index
         # family — BM25 postings; displaced unigram_quality (green
         # r10 record stands) to the tail
@@ -3478,6 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -------- records (deferred r10 first, then r11, r12) ---
         "unigram_quality": textops.unigram_quality,
         "streaming_table_source": streaming_table_source,
+        "cdc_read_changes": cdc_read_changes,
         "winnow_repeated_spans": dedup.winnow_repeated_spans,
         "winnow_doc_repetition": dedup.winnow_doc_repetition,
         "strip_repeated_spans": dedup.strip_repeated_spans,
@@ -3535,7 +3560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_copy_into": o_copy_into,
         "o_log_cleanup": o_log_cleanup,
         "unimax_sample": curation.unimax_sample,
-        "s3_time_travel": s3_time_travel,
         "m4_replace_delete": m4_replace_delete,
         "w5_create_or_replace": w5_create_or_replace,
         "p2_timewindow_read": p2_timewindow_read,

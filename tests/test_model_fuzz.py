@@ -455,3 +455,93 @@ def test_read_changes_matches_append_model(spark, tmp_path):
                 for cv in batches if cv > start for k, v in batches[cv]
             )
             assert got == want, f"trial {trial} resume from {start}"
+
+
+def test_scoped_optimize_interleaves_dml_cdc_rollup(spark, tmp_path):
+    """r13: OPTIMIZE ... WHERE (partition-scoped bin-pack AND scoped
+    cluster_by) interleaved with appends and merge-on-read
+    DELETE/UPDATE on a PARTITIONED table — the interleaving class the
+    r10 ledger-wipe bug taught.  Invariants per step: table state
+    matches the pandas model, a scoped pass never touches
+    out-of-scope partitions' files, and a CDC-maintained rollup
+    folding after EVERY step (compactions skipped, DV DML signed)
+    equals a fresh recompute; at the end the row-level CDC feed
+    replays the whole history into exactly the final state."""
+    from dagster_delta_spark.operators.incremental import (
+        maintain_rollup,
+        rollup_vs_recompute,
+    )
+
+    measures = {"n": "count(*)", "sv": "sum(v)"}
+    rnd = random.Random(4242)
+    for trial in range(2):
+        t = DeltaSparkTable(spark, str(tmp_path / f"so{trial}"))
+        rollup = DeltaSparkTable(spark, str(tmp_path / f"so{trial}r"))
+
+        def mk():
+            rows = [(k, rnd.randint(0, 1000), k % 3)
+                    for k in rnd.sample(KEYS, rnd.randint(1, 10))]
+            return (
+                spark.createDataFrame(rows, "k bigint, v bigint, p bigint"),
+                pd.DataFrame(rows, columns=["k", "v", "p"]),
+            )
+
+        sdf, model = mk()
+        t.write(sdf, WriteMode.error, partition_columns=["p"])
+        maintain_rollup(t, rollup, ["p"], measures, count_col="n")
+
+        def out_files(scope):
+            return {
+                a.path for a in t.snapshot().files
+                if a.partition_values.get("p") != str(scope)
+            }
+
+        for _step in range(14):
+            op = rnd.choice(["append", "append", "delete_dv",
+                             "update_dv", "opt_scoped",
+                             "opt_cluster_scoped", "opt_full"])
+            if op == "append":
+                sdf, pdf = mk()
+                t.write(sdf, WriteMode.append)
+                model = pd.concat([model, pdf], ignore_index=True)
+            elif op == "delete_dv":
+                x = rnd.randint(0, 1000)
+                t.delete(f"v >= {x}", use_dv=True)
+                model = model[model["v"] < x].reset_index(drop=True)
+            elif op == "update_dv":
+                x = rnd.randint(0, 1000)
+                t.update({"v": "v + 7"}, f"v < {x}", use_dv=True)
+                model.loc[model["v"] < x, "v"] += 7
+            else:
+                scope = rnd.randrange(3)
+                before = out_files(scope)
+                dnf = None if op == "opt_full" else [("p", "=", scope)]
+                cluster = ["k"] if op == "opt_cluster_scoped" else None
+                t.optimize(target_file_size=1 << 20,
+                           cluster_by=cluster, partition_dnf=dnf)
+                if dnf is not None:
+                    assert out_files(scope) == before, (
+                        f"trial {trial} step {_step} {op} touched "
+                        f"out-of-scope partitions")
+            got = sorted((r["k"], r["v"], r["p"])
+                         for r in t.read().collect())
+            want = sorted(map(tuple,
+                              model[["k", "v", "p"]]
+                              .itertuples(index=False)))
+            assert got == want, f"trial {trial} step {_step} {op}"
+            maintain_rollup(t, rollup, ["p"], measures, count_col="n")
+            assert rollup_vs_recompute(
+                t, rollup, ["p"], measures).count() == 0, (
+                f"trial {trial} step {_step} {op} rollup drift")
+        # the row-level feed sees through every scoped compaction:
+        # inserts + postimages minus deletes + preimages == state
+        feed = t.read_changes(-1, row_level=True).collect()
+        net = {}
+        for r in feed:
+            key = (r["k"], r["v"], r["p"])
+            d = 1 if r["_change_type"] in ("insert",
+                                           "update_postimage") else -1
+            net[key] = net.get(key, 0) + d
+        replayed = sorted(
+            k for k, c in net.items() for _ in range(c) if c > 0)
+        assert replayed == want, f"trial {trial} CDC replay mismatch"
