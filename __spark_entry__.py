@@ -939,6 +939,81 @@ def o_write_options(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def o_protocol_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROTOCOL VERSION / TABLE FEATURE gate (delta-rs
+    InvalidProtocolVersionException parity; tablelog.py:Protocol,
+    check_read_support/check_write_support): every table this engine
+    creates stamps a protocol action at version 0 declaring the
+    reader/writer capability contract (minReaderVersion=3 with
+    deletionVectors+columnMapping, minWriterVersion=7 with the
+    identity/generated/constraints/invariants writer set), the
+    protocol rides checkpoints so log truncation cannot lose it, and
+    tables demanding a FUTURE format refuse pointedly instead of
+    silently mis-decoding.
+
+    In-line guards:
+
+    1. a hand-crafted future-READER table (minReaderVersion=99,
+       unknown reader feature) refuses ``read()`` with
+       UnsupportedProtocolError;
+    2. a future-WRITER-only table still reads but refuses ``write()``;
+    3. the version-0 commit actually contains the protocol action.
+
+    Output: per-status order counts read back from a protocol-stamped
+    table, with the protocol scalars as closed-form echo columns (the
+    o_write_options pattern) — a missing or malformed protocol action
+    changes the echoes and hash-mismatches."""
+    from dagster_delta_spark import tablelog as tl
+
+    t = DeltaSparkTable(spark, _scratch("proto"))
+    orders = _orders(spark, sf_dir)
+    t.write(orders.where("o_orderstatus <> 'O'"), WriteMode.error)
+    t.write(orders.where("o_orderstatus = 'O'"), WriteMode.append)
+    if not any("protocol" in a
+               for a in tl.read_version_actions(t.table_uri, 0)):
+        raise AssertionError("version 0 carries no protocol action")
+    p = t.snapshot().protocol
+
+    fut_r = DeltaSparkTable(spark, _scratch("proto-futr"))
+    fut_r.write(orders.limit(5), WriteMode.error)
+    tl.commit(fut_r.table_uri, 1, [
+        tl.Protocol(99, 99, ["futureMagic"], ["futureMagic"]).to_action(),
+        tl.CommitInfo("UPGRADE").to_action()])
+    try:
+        fut_r.read().count()
+    except tl.UnsupportedProtocolError:
+        pass
+    else:
+        raise AssertionError("future-reader table was read")
+
+    fut_w = DeltaSparkTable(spark, _scratch("proto-futw"))
+    fut_w.write(orders.limit(5), WriteMode.error)
+    tl.commit(fut_w.table_uri, 1, [
+        tl.Protocol(1, 99, [], ["futureWriterMagic"]).to_action(),
+        tl.CommitInfo("UPGRADE").to_action()])
+    if fut_w.read().count() != 5:
+        raise AssertionError("future-WRITER table must still read")
+    try:
+        fut_w.write(orders.limit(1), WriteMode.append)
+    except tl.UnsupportedProtocolError:
+        pass
+    else:
+        raise AssertionError("wrote to a future-writer table")
+
+    return (
+        t.read().groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("min_reader", F.lit(p.min_reader_version))
+        .withColumn("min_writer", F.lit(p.min_writer_version))
+        .withColumn("reads_dv",
+                    F.lit("deletionVectors" in p.reader_features))
+        .withColumn("reads_colmap",
+                    F.lit("columnMapping" in p.reader_features))
+        .withColumn("writes_identity",
+                    F.lit("identityColumns" in p.writer_features))
+    )
+
+
 def o_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shallow CLONE preserves exact contents with zero data copy,
     and clone-local writes diverge: write orders, clone it, overwrite
@@ -3483,7 +3558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": curation.scrub_pii,
         "stratified_sample": curation.stratified_sample,
         "chunk_documents": curation.chunk_documents,
-        "assign_splits": curation.assign_splits,
+        # NEW r13 (oracle-backed): protocol version / table-feature
+        # gate — future-format tables refuse pointedly; displaced
+        # assign_splits (green r10 record stands) to the tail
+        "o_protocol_versions": o_protocol_versions,
         # CHANGED r13 (timestamp restore now composes with a column-
         # mapping rename) — re-demands a green row, rotated forward
         # from the r12 tail; displaced cdc_read_changes (green r10
@@ -3503,6 +3581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_quality": textops.unigram_quality,
         "streaming_table_source": streaming_table_source,
         "cdc_read_changes": cdc_read_changes,
+        "assign_splits": curation.assign_splits,
         "winnow_repeated_spans": dedup.winnow_repeated_spans,
         "winnow_doc_repetition": dedup.winnow_doc_repetition,
         "strip_repeated_spans": dedup.strip_repeated_spans,
@@ -5033,6 +5112,18 @@ def oracle_sql() -> dict[str, str]:
         "lsh_index_maintain": f"""
             WITH {_portable_minhash_ctes()}
             SELECT doc_id, band, h FROM lsh
+        """,
+        # closed-form protocol echo (the o_write_options pattern):
+        # counts from raw orders, the engine's protocol constants as
+        # literals — guards (future-table refusals, v0 action) are
+        # in-entry
+        "o_protocol_versions": """
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   3 AS min_reader, 7 AS min_writer,
+                   TRUE AS reads_dv, TRUE AS reads_colmap,
+                   TRUE AS writes_identity
+            FROM orders GROUP BY o_orderstatus
         """,
         # the stored BM25 index over the FINAL base contents (full
         # corpus minus the DV-deleted doc_id % 7 = 3 rows): exact

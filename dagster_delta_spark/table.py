@@ -1991,7 +1991,9 @@ class DeltaSparkTable:
                     # path below)
                     Snapshot(new_version, meta, list(new_files.values()),
                              now,
-                             app_versions=app_versions),
+                             app_versions=app_versions,
+                             protocol=snap.protocol
+                             if snap else tablelog.Protocol()),
                 )
                 res = {
                     "mode": mode.value,
@@ -2050,7 +2052,9 @@ class DeltaSparkTable:
                     self.table_uri, v, actions,
                     Snapshot(v, meta, [], now,
                              app_versions=dict(snap.app_versions)
-                             if snap else {}))
+                             if snap else {},
+                             protocol=snap.protocol
+                             if snap else tablelog.Protocol()))
                 return {"mode": "create_or_replace", "version": v,
                         "num_output_rows": 0}
             except VersionConflictError:
@@ -2177,6 +2181,7 @@ class DeltaSparkTable:
                 ),
                 snap.files,
                 snap.timestamp,
+                protocol=snap.protocol,
             )
         if merge_config.error_on_type_mismatch:
             tgt_types = {f.name: f.dataType.simpleString() for f in table_schema.fields}
@@ -2566,7 +2571,8 @@ class DeltaSparkTable:
                 tablelog.commit(
                     self.table_uri, v, actions,
                     Snapshot(v, new_meta, list(new_files.values()), now,
-                             app_versions=dict(cur.app_versions)),
+                             app_versions=dict(cur.app_versions),
+                             protocol=cur.protocol),
                 )
                 res = {
                     "mode": "merge",
@@ -3394,7 +3400,9 @@ class DeltaSparkTable:
                     self.table_uri, v, actions,
                     Snapshot(v, commit_meta,
                              list(new_files.values()), now,
-                             app_versions=app_versions),
+                             app_versions=app_versions,
+                             protocol=cur.protocol
+                             if cur else tablelog.Protocol()),
                 )
                 res = {"version": v, "skipped": False,
                        "num_output_rows": rows,
@@ -4345,7 +4353,8 @@ class DeltaSparkTable:
                 tablelog.commit(
                     self.table_uri, v, actions,
                     Snapshot(v, meta, list(new_files.values()), now,
-                             app_versions=dict(cur.app_versions)),
+                             app_versions=dict(cur.app_versions),
+                             protocol=cur.protocol),
                 )
                 return {"rewritten_files": len(removes), "version": v,
                         **metrics}
@@ -4475,6 +4484,11 @@ class DeltaSparkTable:
             # log-retention visibility (r11): the oldest version still
             # replayable — 0 until cleanup_metadata truncates
             "earliestVersion": tablelog.earliest_version(self.table_uri),
+            # protocol gate (r13): what reader/writer the table demands
+            "minReaderVersion": snap.protocol.min_reader_version,
+            "minWriterVersion": snap.protocol.min_writer_version,
+            "readerFeatures": sorted(snap.protocol.reader_features),
+            "writerFeatures": sorted(snap.protocol.writer_features),
         }
 
     def cleanup_metadata(

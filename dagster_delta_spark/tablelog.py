@@ -74,6 +74,35 @@ class ConcurrentAppendError(Exception):
     anyway could lose the new rows' updates or insert duplicate keys."""
 
 
+class UnsupportedProtocolError(Exception):
+    """The table's protocol action demands a newer reader or writer
+    than this engine implements (Delta's InvalidProtocolVersionException
+    analogue).  Reading a future format would silently mis-decode it
+    (e.g. an unknown row-filter feature makes every masked row
+    reappear); writing to one could corrupt invariants a newer writer
+    maintains.  Refuse loudly instead."""
+
+
+#: Protocol versions + table features THIS engine implements —
+#: the delta-rs reader/writer gate analogue.  Feature names follow
+#: the public Delta table-features vocabulary where the semantics
+#: match what the engine actually does.
+CURRENT_READER_VERSION = 3
+CURRENT_WRITER_VERSION = 7
+SUPPORTED_READER_FEATURES = frozenset({
+    # merge-on-read sidecar masks applied in _read_files
+    "deletionVectors",
+    # frozen physical names; logical renames/drops are metadata-only
+    "columnMapping",
+})
+SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset({
+    "identityColumns",     # dense GENERATED ALWAYS ids + marks
+    "generatedColumns",    # compute-if-absent / validate-if-provided
+    "checkConstraints",    # dds.constraints.* single-pass enforcement
+    "invariants",          # dds.notNullColumns
+})
+
+
 @dataclass
 class AddFile:
     """A live data file. ``partition_values`` are string-rendered (the
@@ -170,6 +199,81 @@ def remove_key(remove: dict[str, Any]) -> str:
 
 
 @dataclass
+class Protocol:
+    """Protocol action: the reader/writer capability contract a table
+    demands (the public Delta protocol action's shape).  Tables this
+    engine creates declare its full capability set at version 0
+    (``default_protocol``); tables written before the gate existed
+    carry no protocol action and replay to these permissive defaults
+    — grandfathered, like Delta's protocol (1, 2) legacy floor."""
+
+    min_reader_version: int = 1
+    min_writer_version: int = 2
+    reader_features: list[str] = field(default_factory=list)
+    writer_features: list[str] = field(default_factory=list)
+
+    def to_action(self) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "minReaderVersion": self.min_reader_version,
+            "minWriterVersion": self.min_writer_version,
+        }
+        if self.reader_features or self.min_reader_version >= 3:
+            d["readerFeatures"] = sorted(self.reader_features)
+        if self.writer_features or self.min_writer_version >= 7:
+            d["writerFeatures"] = sorted(self.writer_features)
+        return {"protocol": d}
+
+    @staticmethod
+    def from_action(d: dict[str, Any]) -> "Protocol":
+        return Protocol(
+            min_reader_version=int(d.get("minReaderVersion", 1)),
+            min_writer_version=int(d.get("minWriterVersion", 2)),
+            reader_features=list(d.get("readerFeatures") or []),
+            writer_features=list(d.get("writerFeatures") or []),
+        )
+
+
+def default_protocol() -> Protocol:
+    """The protocol this engine stamps on tables it creates."""
+    return Protocol(
+        CURRENT_READER_VERSION, CURRENT_WRITER_VERSION,
+        sorted(SUPPORTED_READER_FEATURES),
+        sorted(SUPPORTED_WRITER_FEATURES),
+    )
+
+
+def check_read_support(p: Protocol, table_uri: str) -> None:
+    """Refuse to materialize a snapshot whose protocol this engine
+    cannot READ faithfully — version gate first, then the feature
+    list (a future reader feature could change how existing bytes
+    decode, e.g. a new deletion encoding)."""
+    unknown = sorted(set(p.reader_features) - SUPPORTED_READER_FEATURES)
+    if p.min_reader_version > CURRENT_READER_VERSION or unknown:
+        raise UnsupportedProtocolError(
+            f"table {table_uri} requires minReaderVersion="
+            f"{p.min_reader_version} with reader features "
+            f"{sorted(p.reader_features)}; this engine supports "
+            f"reader version {CURRENT_READER_VERSION} with "
+            f"{sorted(SUPPORTED_READER_FEATURES)} "
+            f"(unsupported: {unknown or 'version'})")
+
+
+def check_write_support(p: Protocol, table_uri: str) -> None:
+    """Refuse to COMMIT to a table whose protocol demands writer
+    capabilities this engine lacks — a naive write could break an
+    invariant only newer writers maintain."""
+    unknown = sorted(set(p.writer_features) - SUPPORTED_WRITER_FEATURES)
+    if p.min_writer_version > CURRENT_WRITER_VERSION or unknown:
+        raise UnsupportedProtocolError(
+            f"table {table_uri} requires minWriterVersion="
+            f"{p.min_writer_version} with writer features "
+            f"{sorted(p.writer_features)}; this engine supports "
+            f"writer version {CURRENT_WRITER_VERSION} with "
+            f"{sorted(SUPPORTED_WRITER_FEATURES)} "
+            f"(unsupported: {unknown or 'version'})")
+
+
+@dataclass
 class Metadata:
     """Table metadata action: schema + partitioning + properties."""
 
@@ -240,6 +344,9 @@ class Snapshot:
     files: list[AddFile]
     timestamp: int = 0
     app_versions: dict[str, int] = field(default_factory=dict)
+    # protocol-action-less legacy tables replay to the permissive
+    # defaults; tables this engine creates carry default_protocol()
+    protocol: Protocol = field(default_factory=Protocol)
 
     @property
     def schema_json(self) -> str:
@@ -393,6 +500,11 @@ def _load_checkpoint(table_uri: str, version: int) -> Optional[Snapshot]:
                 timestamp=ts,
                 # pre-txn checkpoints have no ledger
                 app_versions=json.loads(meta.get(b"dds.appTxns", b"{}")),
+                # pre-gate checkpoints have no protocol -> defaults;
+                # it MUST ride checkpoints: log retention truncates
+                # the version-0 JSON that carried the action
+                protocol=Protocol.from_action(
+                    json.loads(meta.get(b"dds.protocol", b"{}"))),
             )
         except Exception:
             import sys
@@ -454,6 +566,8 @@ def write_checkpoint(table_uri: str, snap: Snapshot) -> None:
             snap.metadata.to_action()["metaData"]
         ).encode(),
         b"dds.timestamp": str(snap.timestamp).encode(),
+        b"dds.protocol": json.dumps(
+            snap.protocol.to_action()["protocol"]).encode(),
     })
     pq.write_table(table, tmp, compression="zstd")
     _fsync_path(tmp)
@@ -535,6 +649,11 @@ def _copy_snapshot(snap: Snapshot) -> Snapshot:
         ],
         timestamp=snap.timestamp,
         app_versions=dict(snap.app_versions),
+        protocol=replace(
+            snap.protocol,
+            reader_features=list(snap.protocol.reader_features),
+            writer_features=list(snap.protocol.writer_features),
+        ),
     )
 
 
@@ -599,6 +718,7 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
     files: dict[str, AddFile] = {}
     app_versions: dict[str, int] = {}
     ts = 0
+    protocol = Protocol()
 
     cp_version = _read_last_checkpoint(table_uri)
     cp = (
@@ -621,11 +741,14 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
         app_versions = dict(cp.app_versions)
         ts = cp.timestamp
         start = cp_version + 1
+        protocol = cp.protocol
 
     for v in range(start, target + 1):
         for action in read_version_actions(table_uri, v):
             if "metaData" in action:
                 metadata = Metadata.from_action(action["metaData"])
+            elif "protocol" in action:
+                protocol = Protocol.from_action(action["protocol"])
             elif "add" in action:
                 a = AddFile.from_action(action["add"])
                 files[a.log_key] = a
@@ -648,9 +771,12 @@ def load_snapshot(table_uri: str, version: Optional[int] = None) -> Snapshot:
 
     if metadata is None:
         raise TableNotFoundError(f"no metaData action found for {table_uri}")
+    # the READER gate: refuse before caching — a future-format
+    # snapshot must never be materialized, even once
+    check_read_support(protocol, table_uri)
     snap = Snapshot(version=target, metadata=metadata,
                     files=list(files.values()), timestamp=ts,
-                    app_versions=app_versions)
+                    app_versions=app_versions, protocol=protocol)
     _cache_put(table_uri, target, snap)
     return snap
 
@@ -669,6 +795,21 @@ def commit(
     :class:`VersionConflictError` for the optimistic-retry loop in
     ``table.py``.
     """
+    if snapshot_after is not None:
+        if version == 0 and not any("protocol" in a for a in actions):
+            # stamp the engine's capability contract at creation —
+            # every version-0 path (write / create_or_replace / clone
+            # / convert_to_table) funnels through here, so none can
+            # forget the action
+            proto = default_protocol()
+            actions = [proto.to_action()] + list(actions)
+            snapshot_after.protocol = proto
+        # the WRITER gate: refuse BEFORE publishing — committing to a
+        # future-writer table could break invariants only newer
+        # writers maintain.  snapshot_after carries the table's
+        # protocol forward (or the upgrade this commit itself makes),
+        # so checking it covers both.
+        check_write_support(snapshot_after.protocol, table_uri)
     log_dir = _log_dir(table_uri)
     os.makedirs(log_dir, exist_ok=True)
     path = _version_path(table_uri, version)

@@ -111,6 +111,10 @@ AUDITED = [
     # exact top-fraction cutoff via bucket-count offsets (no global
     # sort; the only window partitions by the coarse value bucket)
     "selective_token_mask",
+    # r13: the maintained BM25 postings index — the stored rows the
+    # maintenance folds produce (the query-path plan is audited via
+    # bm25_search, which shares the scoring epilogue)
+    "bm25_index_maintain",
 ]
 
 KEEP = re.compile(
