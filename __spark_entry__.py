@@ -939,6 +939,64 @@ def o_write_options(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def o_append_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-ONLY freeze (Delta's ``delta.appendOnly``;
+    table.py:_refuse_append_only): a table created with
+    ``dds.appendOnly=true`` accepts appends and insert-only merges
+    but refuses every operation that removes or rewrites live rows —
+    the audit-log / event-stream contract.
+
+    In-line guards: with two slices of orders appended, overwrite /
+    DELETE (both flavors) / UPDATE / replace_where / RESTORE / upsert
+    MERGE all raise pointedly and leave the contents bit-identical;
+    a malformed property value refuses at SET time; UNSET re-enables
+    DML (proven on a scratch copy so the returned table stays
+    frozen).  Oracle: the full orders relation — any refusal that
+    silently leaked a mutation breaks the hash match."""
+    t = DeltaSparkTable(spark, _scratch("aponly"))
+    orders = _orders(spark, sf_dir)
+    t.write(orders.where("o_orderstatus <> 'O'"), WriteMode.error,
+            table_configuration={"dds.appendOnly": "true"})
+    t.write(orders.where("o_orderstatus = 'O'"), WriteMode.append)
+    n = t.read().count()
+    refusals = [
+        lambda: t.write(orders.limit(1), WriteMode.overwrite),
+        lambda: t.delete("o_orderkey = 1"),
+        lambda: t.delete("o_orderkey = 1", use_dv=True),
+        lambda: t.update({"o_totalprice": "o_totalprice"},
+                         "o_orderkey = 1"),
+        lambda: t.replace_where(orders.where("o_orderkey = 1"),
+                                "o_orderkey = 1"),
+        lambda: t.restore(0),
+        lambda: t.merge(orders.limit(2), MergeConfig(
+            MergeType.upsert, predicate="s.o_orderkey = t.o_orderkey")),
+    ]
+    for op in refusals:
+        try:
+            op()
+        except ValueError as e:
+            if "append-only" not in str(e):
+                raise
+        else:
+            raise AssertionError("append-only table accepted a mutation")
+    if t.read().count() != n:
+        raise AssertionError("a refused mutation changed the contents")
+    try:
+        t.set_properties({"dds.appendOnly": "maybe"})
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("malformed dds.appendOnly accepted")
+    # UNSET re-enables — proven on a clone so the returned table
+    # stays frozen end-to-end
+    cl = t.clone(_scratch("aponly-clone"))
+    cl.unset_properties(["dds.appendOnly"])
+    cl.delete("o_orderkey % 2 = 0")
+    if t.read().count() != n:
+        raise AssertionError("clone DML leaked into the frozen source")
+    return t.read()
+
+
 def o_protocol_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROTOCOL VERSION / TABLE FEATURE gate (delta-rs
     InvalidProtocolVersionException parity; tablelog.py:Protocol,
@@ -3557,11 +3615,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_delete_dv": o_delete_dv,
         "scrub_pii": curation.scrub_pii,
         "stratified_sample": curation.stratified_sample,
-        "chunk_documents": curation.chunk_documents,
         # NEW r13 (oracle-backed): protocol version / table-feature
         # gate — future-format tables refuse pointedly; displaced
         # assign_splits (green r10 record stands) to the tail
         "o_protocol_versions": o_protocol_versions,
+        # NEW r13 (oracle-backed): dds.appendOnly DML/overwrite
+        # freeze; displaced chunk_documents (green r10 record
+        # stands) to the tail
+        "o_append_only": o_append_only,
         # CHANGED r13 (timestamp restore now composes with a column-
         # mapping rename) — re-demands a green row, rotated forward
         # from the r12 tail; displaced cdc_read_changes (green r10
@@ -3582,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_table_source": streaming_table_source,
         "cdc_read_changes": cdc_read_changes,
         "assign_splits": curation.assign_splits,
+        "chunk_documents": curation.chunk_documents,
         "winnow_repeated_spans": dedup.winnow_repeated_spans,
         "winnow_doc_repetition": dedup.winnow_doc_repetition,
         "strip_repeated_spans": dedup.strip_repeated_spans,
@@ -5113,6 +5175,10 @@ def oracle_sql() -> dict[str, str]:
             WITH {_portable_minhash_ctes()}
             SELECT doc_id, band, h FROM lsh
         """,
+        # the frozen table's exact contents — every refused mutation
+        # (overwrite/DELETE/UPDATE/replace_where/RESTORE/upsert) must
+        # have left the two appended slices bit-identical
+        "o_append_only": "SELECT * FROM orders",
         # closed-form protocol echo (the o_write_options pattern):
         # counts from raw orders, the engine's protocol constants as
         # literals — guards (future-table refusals, v0 action) are

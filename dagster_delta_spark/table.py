@@ -211,6 +211,13 @@ _NOTNULL_KEY = "dds.notNullColumns"
 #: vacuum surfaces at vacuum time (files reported as retained) instead
 #: of as a decode failure in the consumer.
 _CDC_RETAIN_KEY = "dds.cdcRetainVersions"
+#: table property freezing the table append-only (Delta's
+#: ``delta.appendOnly``): overwrite / replace / DELETE / UPDATE /
+#: row-modifying MERGE / RESTORE refuse pointedly while set —
+#: the audit-log / event-stream contract.  Compaction (OPTIMIZE /
+#: Z-order / auto-compact), vacuum, appends, insert-only merges and
+#: metadata commits stay allowed: none removes a live row.
+_APPEND_ONLY_KEY = "dds.appendOnly"
 #: table property declaring per-file BLOOM FILTER indexes (the Delta
 #: / Databricks bloom-filter-index analogue, re-expressed for the JSON
 #: log): JSON ``{column: {"fpp": 0.01, "maxBits": 131072}}``.  Every
@@ -249,6 +256,32 @@ _OPTWRITE_KEY = "dds.optimizeWrite"
 _AUTOCOMPACT_KEY = "dds.autoCompact"
 _AUTOCOMPACT_MINFILES_KEY = "dds.autoCompact.minFiles"
 _AUTOCOMPACT_TARGET_KEY = "dds.autoCompact.targetFileSize"
+
+
+def _append_only(configuration: Optional[dict[str, str]]) -> bool:
+    """True when the table is frozen append-only.  Malformed values
+    raise — at SET time via set_properties, and pointedly at use time
+    otherwise (a typo'd 'ture' silently unfreezing an audit table is
+    the failure mode this refuses)."""
+    raw = (configuration or {}).get(_APPEND_ONLY_KEY)
+    if raw is None:
+        return False
+    v = str(raw).strip().lower()
+    if v not in ("true", "false"):
+        raise ValueError(
+            f"table property {_APPEND_ONLY_KEY} must be 'true' or "
+            f"'false', got {raw!r}")
+    return v == "true"
+
+
+def _refuse_append_only(
+    table_uri: str, configuration: Optional[dict[str, str]], op: str
+) -> None:
+    if _append_only(configuration):
+        raise ValueError(
+            f"{op} refused: table {table_uri} is append-only "
+            f"({_APPEND_ONLY_KEY}=true) and {op} removes or rewrites "
+            "existing rows; UNSET the property first")
 
 
 def _auto_compact_spec(
@@ -1736,6 +1769,11 @@ class DeltaSparkTable:
         # doesn't strand a full set of staged-and-moved orphan files
         # (the same check re-runs inside the commit loop against the
         # fresh snapshot, which is the exactness guarantee)
+        if mode == WriteMode.overwrite and snap is not None:
+            # the append-only freeze: both full and partition-scoped
+            # overwrite remove live rows
+            _refuse_append_only(
+                self.table_uri, snap.metadata.configuration, "overwrite")
         if mode == WriteMode.overwrite and partition_dnf and snap is not None:
             bad = [
                 name for name, _op, _v in partition_dnf
@@ -1780,6 +1818,8 @@ class DeltaSparkTable:
             # a malformed value must fail the write up front, not
             # commit-then-raise inside the post-commit hook
             _auto_compact_spec(merged_cfg)
+        if _APPEND_ONLY_KEY in (table_configuration or {}):
+            _append_only(table_configuration)  # malformed value fails NOW
         self._enforce_constraints(out, {
             **(snap.metadata.configuration if snap else {}),
             **(table_configuration or {}),
@@ -2035,6 +2075,10 @@ class DeltaSparkTable:
         for attempt in range(_COMMIT_RETRIES + 1):
             head = tablelog.latest_version(self.table_uri)
             snap = tablelog.load_snapshot(self.table_uri) if head >= 0 else None
+            if snap is not None:
+                _refuse_append_only(
+                    self.table_uri, snap.metadata.configuration,
+                    "create_or_replace")
             now = int(time.time() * 1000)
             actions: list[dict[str, Any]] = [
                 CommitInfo(
@@ -2109,6 +2153,11 @@ class DeltaSparkTable:
             }
 
         snap = self.snapshot()
+        if merge_config.merge_type != MergeType.deduplicate_insert:
+            # only the insert-only strategy leaves existing rows alone
+            _refuse_append_only(
+                self.table_uri, snap.metadata.configuration,
+                f"merge({merge_config.merge_type.value})")
         merge_idcols = _identity_columns(snap.metadata.configuration)
         if merge_idcols:
             # GENERATED ALWAYS: the source may never provide the
@@ -2675,6 +2724,8 @@ class DeltaSparkTable:
         the mask away naturally.  The write-cost/read-cost trade is the
         user's dial — exactly Delta's."""
         snap = self.snapshot()
+        _refuse_append_only(
+            self.table_uri, snap.metadata.configuration, "DELETE")
         schema = StructType.fromJson(_json_loads(snap.schema_json))
         params: dict[str, Any] = {}
         if predicate is not None:
@@ -2842,6 +2893,8 @@ class DeltaSparkTable:
                 "replace_where requires a non-empty predicate; use "
                 "write(mode=overwrite) to replace the whole table")
         snap = self.snapshot()
+        _refuse_append_only(
+            self.table_uri, snap.metadata.configuration, "replace_where")
         schema = StructType.fromJson(_json_loads(snap.schema_json))
         cfg = snap.metadata.configuration
         if _identity_columns(cfg):
@@ -3031,6 +3084,8 @@ class DeltaSparkTable:
         every live row matches needs no mask (plain remove); OPTIMIZE
         compacts masks away as usual."""
         snap = self.snapshot()
+        _refuse_append_only(
+            self.table_uri, snap.metadata.configuration, "UPDATE")
         schema = StructType.fromJson(_json_loads(snap.schema_json))
         names = {f.name for f in schema.fields}
         bad = sorted(set(assignments) - names)
@@ -3193,6 +3248,8 @@ class DeltaSparkTable:
         if timestamp_as_of is not None:
             version = self.version_as_of(timestamp_as_of)
         cur = self.snapshot()
+        _refuse_append_only(
+            self.table_uri, cur.metadata.configuration, "RESTORE")
         tgt = self.snapshot(version)
         if version == cur.version:
             return {"version": cur.version, "num_restored_files": 0,
@@ -3789,6 +3846,10 @@ class DeltaSparkTable:
             # time — validate the merged spec at SET time
             _auto_compact_spec({
                 **snap.metadata.configuration, **properties})
+        if _APPEND_ONLY_KEY in properties:
+            # malformed values must fail at SET time, not silently
+            # unfreeze (or freeze) at the next DML
+            _append_only({_APPEND_ONLY_KEY: properties[_APPEND_ONLY_KEY]})
         if _CDC_RETAIN_KEY in properties:
             # a malformed value would break every later vacuum —
             # validate at SET time

@@ -100,6 +100,7 @@ SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset({
     "generatedColumns",    # compute-if-absent / validate-if-provided
     "checkConstraints",    # dds.constraints.* single-pass enforcement
     "invariants",          # dds.notNullColumns
+    "appendOnly",          # dds.appendOnly DML/overwrite freeze
 })
 
 

@@ -1,0 +1,93 @@
+"""dds.appendOnly (Delta's delta.appendOnly): the DML/overwrite
+freeze for audit-log / event-stream tables.  Frozen tables refuse
+overwrite, create_or_replace, DELETE, UPDATE, replace_where,
+row-modifying MERGE and RESTORE pointedly; appends, insert-only
+merges, compaction, vacuum and metadata commits stay allowed; UNSET
+re-enables; malformed values fail at SET/create time."""
+
+import pytest
+
+from dagster_delta_spark import (
+    DeltaSparkTable,
+    MergeConfig,
+    MergeType,
+    WriteMode,
+)
+
+
+def _df(spark, lo=0, hi=5):
+    return spark.range(lo, hi).withColumnRenamed("id", "a")
+
+
+def _frozen(spark, tmp_path, name="t"):
+    t = DeltaSparkTable(spark, str(tmp_path / name))
+    t.write(_df(spark), WriteMode.error,
+            table_configuration={"dds.appendOnly": "true"})
+    return t
+
+
+def test_refusals(spark, tmp_path):
+    t = _frozen(spark, tmp_path)
+    for op in [
+        lambda: t.write(_df(spark), WriteMode.overwrite),
+        lambda: t.write(_df(spark), WriteMode.overwrite,
+                        partition_dnf=[]),
+        lambda: t.delete("a = 1"),
+        lambda: t.delete("a = 1", use_dv=True),
+        lambda: t.update({"a": "a + 1"}, "a = 1"),
+        lambda: t.replace_where(_df(spark, 0, 1), "a = 0"),
+        lambda: t.restore(0),
+        lambda: t.merge(_df(spark, 0, 2),
+                        MergeConfig(MergeType.upsert,
+                                    predicate="s.a = t.a")),
+        lambda: t.merge(_df(spark, 0, 2),
+                        MergeConfig(MergeType.update_only,
+                                    predicate="s.a = t.a")),
+    ]:
+        with pytest.raises(ValueError, match="append-only"):
+            op()
+    assert t.read().count() == 5  # nothing slipped through
+
+
+def test_create_or_replace_refuses(spark, tmp_path):
+    t = _frozen(spark, tmp_path)
+    with pytest.raises(ValueError, match="append-only"):
+        t.write(_df(spark), WriteMode.create_or_replace)
+
+
+def test_allowed_operations(spark, tmp_path):
+    t = _frozen(spark, tmp_path)
+    t.write(_df(spark, 5, 8), WriteMode.append)
+    t.merge(_df(spark, 6, 10),
+            MergeConfig(MergeType.deduplicate_insert,
+                        predicate="s.a = t.a"))
+    assert t.read().count() == 10  # 0..9, inserts only
+    t.optimize(target_file_size=1 << 20)  # compaction keeps all rows
+    t.zorder(["a"], num_files=1)
+    t.vacuum(retention_ms=0)
+    t.set_properties({"owner": "audit"})  # metadata commits fine
+    assert sorted(r["a"] for r in t.read().collect()) == list(range(10))
+
+
+def test_unset_reenables_and_set_freezes_later(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark), WriteMode.error)
+    t.delete("a = 0")  # unfrozen: fine
+    t.set_properties({"dds.appendOnly": "true"})
+    with pytest.raises(ValueError, match="append-only"):
+        t.delete("a = 1")
+    t.unset_properties(["dds.appendOnly"])
+    t.delete("a = 1")
+    assert sorted(r["a"] for r in t.read().collect()) == [2, 3, 4]
+
+
+def test_malformed_value_fails_at_set_and_create(spark, tmp_path):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark), WriteMode.error)
+    with pytest.raises(ValueError, match="dds.appendOnly"):
+        t.set_properties({"dds.appendOnly": "ture"})
+    t2 = DeltaSparkTable(spark, str(tmp_path / "t2"))
+    with pytest.raises(ValueError, match="dds.appendOnly"):
+        t2.write(_df(spark), WriteMode.error,
+                 table_configuration={"dds.appendOnly": "yes"})
+    assert not t2.exists()
