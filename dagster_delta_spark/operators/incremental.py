@@ -267,7 +267,10 @@ def _resume_version(index: DeltaSparkTable) -> tuple[int, dict]:
     )
 
 
-def _split_row_changes(base: DeltaSparkTable, v0: int, head: int):
+def _split_row_changes(
+    base: DeltaSparkTable, v0: int, head: int,
+    id_col: Optional[str] = None,
+):
     """The base table's ``(v0, head]`` delta as (insert-side rows,
     delete-side rows) from the ROW-LEVEL change feed: merge-on-read
     DELETE/UPDATE commits decode into removals (delete /
@@ -277,13 +280,33 @@ def _split_row_changes(base: DeltaSparkTable, v0: int, head: int):
     before.  The decoded delta is PINNED (localCheckpoint): the
     deletion collect, the insert-side fold, and the occasional
     anti-join fallback would otherwise each re-run the multi-file DV
-    positions decode; size is the delta's rows, never the table."""
+    positions decode; size is the delta's rows, never the table.
+
+    ``id_col`` NETS the window per id (r13): one maintenance window
+    can span a row's insert AND its later DV delete/update — the
+    index applies deletions first (a no-op for a row it never
+    indexed), so without netting the superseded insert-side row
+    would fold in as a ghost.  Rule: keep only insert-side rows at
+    or after the id's LAST delete-side commit (``>=`` because a DV
+    UPDATE's preimage and postimage share one commit; a pure DELETE
+    commit carries no insert side, so nothing of that id survives).
+    Ids with no delete-side rows pass through untouched, preserving
+    multiplicity for pure appends."""
     delta = base.read_changes(v0, head, row_level=True).localCheckpoint(
         eager=True)
     ins = delta.where(
         F.col("_change_type").isin("insert", "update_postimage"))
     dels = delta.where(
         F.col("_change_type").isin("delete", "update_preimage"))
+    if id_col is not None:
+        last_del = dels.groupBy(id_col).agg(
+            F.max("_commit_version").alias("__last_del_v"))
+        ins = (
+            ins.join(last_del, id_col, "left")
+            .where(F.col("__last_del_v").isNull()
+                   | (F.col("_commit_version") >= F.col("__last_del_v")))
+            .drop("__last_del_v")
+        )
     return ins, dels
 
 
@@ -484,7 +507,7 @@ def maintain_lsh_index(
     # FIRST, additions commit LAST with the base_version marker, so a
     # crash between the two refolds idempotently (re-deleting is a
     # no-op, the append never happened).  Copy-rewrites still raise.
-    ins, dels = _split_row_changes(docs, v0, head)
+    ins, dels = _split_row_changes(docs, v0, head, "doc_id")
     params = {"num_hashes": str(num_hashes), "bands": str(bands),
               "hash_family": hash_family}
     removed = _apply_index_deletions(index, dels.select("doc_id"),
@@ -606,7 +629,7 @@ def maintain_bm25_index(
     head = docs.version()
     if head <= v0:
         return v0
-    ins, dels = _split_row_changes(docs, v0, head)
+    ins, dels = _split_row_changes(docs, v0, head, "doc_id")
     removed = _apply_index_deletions(index, dels.select("doc_id"),
                                      "doc_id")
     # pinned: isEmpty() and the staged write share one tokenize pass
@@ -795,7 +818,8 @@ def maintain_ivf_index(
     head = emb.version()
     if head <= since_version:
         return since_version
-    ins, dels = _split_row_changes(emb, since_version, head)
+    ins, dels = _split_row_changes(emb, since_version, head,
+                                   "vec_id")
     removed = _apply_index_deletions(index, dels.select("vec_id"),
                                      "vec_id")
     cents = _ivf_centroids_table(index).read()
@@ -945,7 +969,7 @@ def maintain_pq_index(
     head = emb.version()
     if head <= v0:
         return v0
-    ins, dels = _split_row_changes(emb, v0, head)
+    ins, dels = _split_row_changes(emb, v0, head, "vec_id")
     removed = _apply_index_deletions(index, dels.select("vec_id"),
                                      "vec_id")
     delta = _with_norm(ins.select("vec_id", "embedding"))

@@ -42,6 +42,7 @@ def exact_rank(
     weight_col: Optional[str] = None,
     out_col: str = "rank0",
     bucket_desc: bool = False,
+    counts: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Add ``out_col`` = the EXCLUSIVE rank (number of strictly
     preceding rows) — or, with ``weight_col``, the exclusive running
@@ -64,13 +65,21 @@ def exact_rank(
     the full order key (histogram case) needs no ``order_cols``:
     every bucket holds one aggregated row and ``out_col`` is the pure
     bucket-level exclusive prefix sum.
+
+    ``counts`` optionally supplies the per-(group, bucket) frame
+    precomputed by the caller (columns ``group_cols + [bucket_col,
+    "__c"]``) — for callers that ALSO need those counts (per-group
+    totals, cutoffs), so the corpus is aggregated once, not once per
+    consumer.
     """
     group_cols = list(group_cols)
-    w_count = (
-        F.sum(F.col(weight_col)) if weight_col is not None
-        else F.count(F.lit(1))
-    )
-    counts = df.groupBy(*group_cols, bucket_col).agg(w_count.alias("__c"))
+    if counts is None:
+        w_count = (
+            F.sum(F.col(weight_col)) if weight_col is not None
+            else F.count(F.lit(1))
+        )
+        counts = df.groupBy(*group_cols, bucket_col).agg(
+            w_count.alias("__c"))
     from pyspark.sql.window import Window
 
     bucket_order = (

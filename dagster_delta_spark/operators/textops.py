@@ -827,11 +827,15 @@ def ccnet_perplexity_buckets(
         .withColumn("pb", F.floor("r").cast("long"))
         .localCheckpoint(eager=False)
     )
-    # langs x integer-perplexity-buckets rows — tiny at any scale
-    totals = scored.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_lang"))
+    # ONE corpus aggregate feeds both the rank offsets and the
+    # per-language totals (the counts frame is langs x integer-
+    # perplexity-buckets rows — tiny at any scale)
+    counts = scored.groupBy("lang", "pb").agg(
+        F.count(F.lit(1)).alias("__c"))
+    totals = counts.groupBy("lang").agg(F.sum("__c").alias("n_lang"))
     ranked = (
-        exact_rank(scored, ["r", "doc_id"], "pb", group_cols=["lang"])
+        exact_rank(scored, ["r", "doc_id"], "pb", group_cols=["lang"],
+                   counts=counts)
         .join(F.broadcast(totals), "lang")
     )
     # the standard NTILE(3) allocation, exact integers; greatest(q, 1)

@@ -274,6 +274,14 @@ def _append_only(configuration: Optional[dict[str, str]]) -> bool:
     return v == "true"
 
 
+#: _commit_rewrite operations that remove or rewrite live rows — the
+#: set the per-retry append-only re-check refuses (OPTIMIZE / ZORDER /
+#: FSCK / SET-UNSET TBLPROPERTIES flow through the same loop and are
+#: allowed on frozen tables)
+_APPEND_ONLY_FORBIDDEN_OPS = frozenset(
+    {"DELETE", "UPDATE", "RESTORE", "REPLACE WHERE"})
+
+
 def _refuse_append_only(
     table_uri: str, configuration: Optional[dict[str, str]], op: str
 ) -> None:
@@ -1696,6 +1704,13 @@ class DeltaSparkTable:
             return {"mode": "ignore", "version": head, "skipped": True}
 
         snap = tablelog.load_snapshot(self.table_uri) if exists else None
+        if snap is not None:
+            # writer-protocol gate BEFORE the distributed staging job
+            # (the pre-staging-validation rule): a future-writer table
+            # must refuse up front, not strand a full set of staged
+            # files per attempt.  tablelog.commit re-checks at publish
+            # time as the exactness backstop.
+            tablelog.check_write_support(snap.protocol, self.table_uri)
         table_schema = (
             StructType.fromJson(_json_loads(snap.schema_json)) if snap else None
         )
@@ -1888,6 +1903,13 @@ class DeltaSparkTable:
 
             removes: list[AddFile] = []
             if mode == WriteMode.overwrite and snap is not None:
+                # re-checked against the FRESH head (the colmap/
+                # identity-mark convention): a concurrent
+                # SET dds.appendOnly=true must not race an in-flight
+                # overwrite past the freeze
+                _refuse_append_only(
+                    self.table_uri, snap.metadata.configuration,
+                    "overwrite")
                 if partition_dnf:
                     # scoped overwrite may only reference real partition
                     # columns: stats-based (min/max) file matching is a
@@ -2153,6 +2175,7 @@ class DeltaSparkTable:
             }
 
         snap = self.snapshot()
+        tablelog.check_write_support(snap.protocol, self.table_uri)
         if merge_config.merge_type != MergeType.deduplicate_insert:
             # only the insert-only strategy leaves existing rows alone
             _refuse_append_only(
@@ -2485,6 +2508,13 @@ class DeltaSparkTable:
         for attempt in range(_COMMIT_RETRIES + 1):
             head = tablelog.latest_version(self.table_uri)
             cur = tablelog.load_snapshot(self.table_uri)
+            if merge_config.merge_type != MergeType.deduplicate_insert:
+                # re-checked per retry (the colmap convention): a
+                # concurrent SET dds.appendOnly=true must not race a
+                # row-modifying merge past the freeze
+                _refuse_append_only(
+                    self.table_uri, cur.metadata.configuration,
+                    f"merge({merge_config.merge_type.value})")
             if head != snap.version:
                 # write-conflict check: the merge was planned against
                 # ``snap``; if a concurrent commit removed any file this
@@ -2724,6 +2754,7 @@ class DeltaSparkTable:
         the mask away naturally.  The write-cost/read-cost trade is the
         user's dial — exactly Delta's."""
         snap = self.snapshot()
+        tablelog.check_write_support(snap.protocol, self.table_uri)
         _refuse_append_only(
             self.table_uri, snap.metadata.configuration, "DELETE")
         schema = StructType.fromJson(_json_loads(snap.schema_json))
@@ -2893,6 +2924,7 @@ class DeltaSparkTable:
                 "replace_where requires a non-empty predicate; use "
                 "write(mode=overwrite) to replace the whole table")
         snap = self.snapshot()
+        tablelog.check_write_support(snap.protocol, self.table_uri)
         _refuse_append_only(
             self.table_uri, snap.metadata.configuration, "replace_where")
         schema = StructType.fromJson(_json_loads(snap.schema_json))
@@ -3084,6 +3116,7 @@ class DeltaSparkTable:
         every live row matches needs no mask (plain remove); OPTIMIZE
         compacts masks away as usual."""
         snap = self.snapshot()
+        tablelog.check_write_support(snap.protocol, self.table_uri)
         _refuse_append_only(
             self.table_uri, snap.metadata.configuration, "UPDATE")
         schema = StructType.fromJson(_json_loads(snap.schema_json))
@@ -4280,6 +4313,7 @@ class DeltaSparkTable:
         op); unscoped files are untouched and invisible to the
         rewrite commit."""
         snap = self.snapshot()
+        tablelog.check_write_support(snap.protocol, self.table_uri)
         schema = StructType.fromJson(_json_loads(snap.schema_json))
         scoped = list(snap.files)
         op_params: Optional[dict[str, Any]] = None
@@ -4375,6 +4409,14 @@ class DeltaSparkTable:
         for attempt in range(_COMMIT_RETRIES + 1):
             head = tablelog.latest_version(self.table_uri)
             cur = tablelog.load_snapshot(self.table_uri)
+            if operation in _APPEND_ONLY_FORBIDDEN_OPS:
+                # re-checked per retry against the fresh head: a
+                # concurrent SET dds.appendOnly=true must not race an
+                # in-flight DML past the freeze (compactions, FSCK and
+                # metadata commits are allowed ops and skip this)
+                _refuse_append_only(
+                    self.table_uri, cur.metadata.configuration,
+                    operation)
             missing = remove_paths - {a.log_key for a in cur.files}
             if missing:
                 raise ConcurrentDeleteError(
@@ -4444,6 +4486,7 @@ class DeltaSparkTable:
         (2) rewrite ordered by the interleaved key.  Numeric columns
         only."""
         snap = self.snapshot()
+        tablelog.check_write_support(snap.protocol, self.table_uri)
         schema = StructType.fromJson(_json_loads(snap.schema_json))
         fields = {f.name: f.dataType for f in schema.fields}
         if not columns:

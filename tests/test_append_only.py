@@ -91,3 +91,43 @@ def test_malformed_value_fails_at_set_and_create(spark, tmp_path):
         t2.write(_df(spark), WriteMode.error,
                  table_configuration={"dds.appendOnly": "yes"})
     assert not t2.exists()
+
+
+def _race_freeze(spark, t, monkeypatch):
+    """Patch tablelog.commit so the FIRST non-SET commit loses its
+    version to a rival that freezes the table — the TOCTOU window the
+    per-retry re-check closes."""
+    import dagster_delta_spark.tablelog as tl
+
+    real_commit = tl.commit
+    state = {"fired": False}
+
+    def racing_commit(uri, version, actions, snapshot_after=None):
+        ops = [a["commitInfo"]["operation"] for a in actions
+               if "commitInfo" in a]
+        if not state["fired"] and "SET TBLPROPERTIES" not in ops:
+            state["fired"] = True
+            DeltaSparkTable(spark, t.table_uri).set_properties(
+                {"dds.appendOnly": "true"})
+            raise tl.VersionConflictError("rival froze the table")
+        return real_commit(uri, version, actions, snapshot_after)
+
+    monkeypatch.setattr(tl, "commit", racing_commit)
+
+
+def test_freeze_racing_delete_refuses(spark, tmp_path, monkeypatch):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark), WriteMode.error)
+    _race_freeze(spark, t, monkeypatch)
+    with pytest.raises(ValueError, match="append-only"):
+        t.delete("a = 1")
+    assert t.read().count() == 5
+
+
+def test_freeze_racing_overwrite_refuses(spark, tmp_path, monkeypatch):
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark), WriteMode.error)
+    _race_freeze(spark, t, monkeypatch)
+    with pytest.raises(ValueError, match="append-only"):
+        t.write(_df(spark), WriteMode.overwrite)
+    assert t.read().count() == 5

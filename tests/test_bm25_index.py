@@ -155,3 +155,31 @@ def test_hybrid_maintained_sparse_leg_parity(spark, tmp_path):
     b = sorted(map(tuple, hybrid_search_maintained(
         spark, SF_DIR, emb, ivf, pq, **kw).collect()))
     assert a == b and len(a) > 0
+
+
+def test_insert_then_delete_same_window_nets_out(spark, tmp_path):
+    """r13 review fix: one maintenance window spanning a doc's INSERT
+    and its later DV delete must net out — deletions-first only
+    protects docs already indexed; without per-id netting the
+    superseded insert would fold in as a ghost posting."""
+    docs, idx = _mk(spark, tmp_path, range(10))
+    docs.write(_docs_df(spark, [77]), WriteMode.append)   # insert X
+    docs.delete("doc_id = 77", use_dv=True)               # ...then kill X
+    docs.write(_docs_df(spark, [88]), WriteMode.append)
+    maintain_bm25_index(docs, idx)  # ONE window spans both
+    ids = {r["doc_id"] for r in idx.read().select("doc_id").collect()}
+    assert 77 not in ids and 88 in ids
+    assert bm25_index_vs_rebuild(docs, idx).count() == 0
+
+
+def test_insert_then_update_same_window_keeps_last(spark, tmp_path):
+    docs, idx = _mk(spark, tmp_path, range(10))
+    docs.write(_docs_df(spark, [55]), WriteMode.append)
+    docs.update({"text": "'fresh words only'"}, "doc_id = 55",
+                use_dv=True)
+    maintain_bm25_index(docs, idx)
+    rows = idx.read().where("doc_id = 55 AND term <> ''").collect()
+    assert {r["term"] for r in rows} == {"fresh", "words", "only"}
+    # exactly one sentinel — the superseded insert didn't double-fold
+    assert idx.read().where("doc_id = 55 AND term = ''").count() == 1
+    assert bm25_index_vs_rebuild(docs, idx).count() == 0

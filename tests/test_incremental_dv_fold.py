@@ -151,3 +151,34 @@ def test_copy_rewrite_dml_still_refuses(spark, tmp_path):
         maintain_ivf_index(emb, ivf)
     build_ivf_index(emb, ivf, n_cells=4)  # prescribed recovery
     assert ivf_index_vs_rebuild(emb, ivf).count() == 0
+
+
+def test_insert_then_delete_same_window_nets_out_all_families(
+    spark, tmp_path
+):
+    """r13 review fix (shared _split_row_changes netting): a window
+    spanning a vector's insert AND its DV delete must not fold the
+    superseded insert into any index family."""
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    ivf = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    pq = DeltaSparkTable(spark, str(tmp_path / "pq"))
+    emb.write(_emb_df(spark, range(30), seed=1), WriteMode.error)
+    build_ivf_index(emb, ivf, n_cells=4)
+    build_pq_index(emb, pq, m=4, nbits=4)
+    emb.write(_emb_df(spark, range(30, 40), seed=2), WriteMode.append)
+    emb.delete("vec_id >= 35", use_dv=True)  # kills half the insert
+    maintain_ivf_index(emb, ivf)
+    maintain_pq_index(emb, pq)
+    assert ivf_index_vs_rebuild(emb, ivf).count() == 0
+    assert pq_index_vs_rebuild(emb, pq).count() == 0
+    ivf_ids = {r["vec_id"] for r in ivf.read().select("vec_id").collect()}
+    assert not ivf_ids & set(range(35, 40)) and 34 in ivf_ids
+
+    docs = DeltaSparkTable(spark, str(tmp_path / "docs"))
+    lsh = DeltaSparkTable(spark, str(tmp_path / "lsh"))
+    docs.write(_docs_df(spark, range(20)), WriteMode.error)
+    build_lsh_index(docs, lsh)
+    docs.write(_docs_df(spark, range(20, 26)), WriteMode.append)
+    docs.delete("doc_id >= 23", use_dv=True)
+    maintain_lsh_index(docs, lsh)
+    assert lsh_index_vs_rebuild(docs, lsh).count() == 0
