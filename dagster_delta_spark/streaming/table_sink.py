@@ -68,14 +68,17 @@ def index_maintaining_sink(
     bands: int = 16,
     partition_columns: Optional[Sequence[str]] = None,
     compact_every: int = 0,
+    kind: str = "lsh",
 ) -> Callable[[DataFrame, int], None]:
     """``exactly_once_table_sink`` + CDC index maintenance in one
     ``foreachBatch``: each micro-batch appends to the documents table
-    exactly once, then the persisted MinHash-LSH bucket index folds
-    the not-yet-indexed commits (``incremental.maintain_lsh_index``;
-    the first batch bootstraps via ``build_lsh_index``) — a streaming
-    ingest whose near-dup index is ALWAYS current, no separate
-    maintenance job to schedule or forget.
+    exactly once, then the persisted index folds the not-yet-indexed
+    commits — a streaming ingest whose index is ALWAYS current, no
+    separate maintenance job to schedule or forget.  ``kind`` picks
+    the family: ``"lsh"`` (default — MinHash-LSH buckets,
+    ``incremental.maintain_lsh_index``, banding params below) or
+    ``"bm25"`` (text postings, ``incremental.maintain_bm25_index``);
+    the first batch bootstraps via the family's ``build_*``.
 
     Crash/replay safety composes from the two idempotent halves: a
     replayed batch's append no-ops on the txn ledger (table head
@@ -88,11 +91,15 @@ def index_maintaining_sink(
     bucket rows.
 
     Per-batch cost is O(batch): one append commit + shingling/banding
-    of only the new documents."""
+    (or tokenizing) of only the new documents."""
+    if kind not in ("lsh", "bm25"):
+        raise ValueError(f"unknown index kind {kind!r} (lsh | bm25)")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.incremental import (
+            build_bm25_index,
             build_lsh_index,
+            maintain_bm25_index,
             maintain_lsh_index,
         )
 
@@ -104,7 +111,12 @@ def index_maintaining_sink(
         )
         index = DeltaSparkTable(spark, index_uri)
         if not index.exists():
-            build_lsh_index(table, index, num_hashes, bands)
+            if kind == "bm25":
+                build_bm25_index(table, index)
+            else:
+                build_lsh_index(table, index, num_hashes, bands)
+        elif kind == "bm25":
+            maintain_bm25_index(table, index)
         else:
             maintain_lsh_index(table, index)
         if compact_every > 0 and batch_id % compact_every == compact_every - 1:

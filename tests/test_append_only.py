@@ -131,3 +131,92 @@ def test_freeze_racing_overwrite_refuses(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="append-only"):
         t.write(_df(spark), WriteMode.overwrite)
     assert t.read().count() == 5
+
+
+def test_restore_to_frozen_version_refreezes(spark, tmp_path):
+    """RESTORE re-publishes the target's metadata INCLUDING
+    configuration — restoring an unfrozen table to a version where
+    dds.appendOnly was set re-freezes it (and restore FROM a frozen
+    head refuses outright, checked above)."""
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark), WriteMode.error)                      # v0
+    t.set_properties({"dds.appendOnly": "true"})              # v1 frozen
+    frozen_v = t.version()
+    t.unset_properties(["dds.appendOnly"])                    # v2 thawed
+    t.delete("a = 0")                                         # v3 (allowed)
+    t.restore(frozen_v)                                       # re-freeze
+    assert t.read().count() == 5  # v1 contents back
+    with pytest.raises(ValueError, match="append-only"):
+        t.delete("a = 1")
+
+
+def test_freeze_fuzz_model(spark, tmp_path):
+    """Random {append, freeze, thaw, delete, update, overwrite,
+    restore} sequences against a tiny model tracking (rows, frozen):
+    frozen tables refuse every mutation and keep exact state; restore
+    carries the target's frozen flag."""
+    import random
+
+    rnd = random.Random(77)
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 3), WriteMode.error)
+    rows = {0, 1, 2}
+    frozen = False
+    hist = [(set(rows), frozen)]  # per committed version
+    nxt = 100
+    for step in range(40):
+        op = rnd.choice(["append", "freeze", "thaw", "delete",
+                         "update", "overwrite", "restore"])
+        if op == "append":
+            t.write(_df(spark, nxt, nxt + 2), WriteMode.append)
+            rows |= {nxt, nxt + 1}
+            nxt += 2
+            hist.append((set(rows), frozen))
+        elif op == "freeze":
+            if frozen:
+                continue
+            t.set_properties({"dds.appendOnly": "true"})
+            frozen = True
+            hist.append((set(rows), frozen))
+        elif op == "thaw":
+            if not frozen:
+                continue
+            t.unset_properties(["dds.appendOnly"])
+            frozen = False
+            hist.append((set(rows), frozen))
+        elif op == "restore":
+            r = rnd.randrange(len(hist))
+            if frozen:
+                with pytest.raises(ValueError, match="append-only"):
+                    t.restore(r)
+            else:
+                before = t.version()
+                t.restore(r)
+                if t.version() != before:
+                    rows, frozen = set(hist[r][0]), hist[r][1]
+                    hist.append((set(rows), frozen))
+        else:
+            if not rows:
+                continue
+            victim = min(rows)
+            if op == "delete":
+                act = lambda: t.delete(f"a = {victim}")
+            elif op == "update":
+                act = lambda: t.update({"a": "a"}, f"a = {victim}")
+            else:
+                act = lambda: t.write(_df(spark, 0, 1),
+                                      WriteMode.overwrite)
+            if frozen:
+                with pytest.raises(ValueError, match="append-only"):
+                    act()
+            else:
+                before = t.version()
+                act()
+                if op == "delete":
+                    rows.discard(victim)
+                elif op == "overwrite":
+                    rows = {0}
+                if t.version() != before:
+                    hist.append((set(rows), frozen))
+        got = {r["a"] for r in t.read().collect()}
+        assert got == rows, f"step {step} {op}: {got} != {rows}"

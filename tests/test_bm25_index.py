@@ -183,3 +183,47 @@ def test_insert_then_update_same_window_keeps_last(spark, tmp_path):
     # exactly one sentinel — the superseded insert didn't double-fold
     assert idx.read().where("doc_id = 55 AND term = ''").count() == 1
     assert bm25_index_vs_rebuild(docs, idx).count() == 0
+
+
+def test_streaming_bm25_index_sink(spark, tmp_path):
+    """index_maintaining_sink(kind='bm25'): exactly-once streaming
+    ingest with per-batch postings maintenance — the stored index
+    always equals a from-scratch build, and a replayed final batch
+    changes neither table nor index."""
+    import os
+
+    from dagster_delta_spark.streaming import index_maintaining_sink
+
+    src = str(tmp_path / "land")
+    os.makedirs(src)
+    docs = _docs_df(spark, range(12))
+    for i in range(3):
+        docs.where(f"doc_id % 3 = {i}").coalesce(1).write.mode(
+            "append").parquet(src)
+    uri, idx_uri = str(tmp_path / "t"), str(tmp_path / "idx")
+    sink = index_maintaining_sink(uri, idx_uri, "bm25-pipe",
+                                  kind="bm25")
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    t = DeltaSparkTable(spark, uri)
+    idx = DeltaSparkTable(spark, idx_uri)
+    assert t.read().count() == 12
+    assert bm25_index_vs_rebuild(t, idx).count() == 0
+    last = t.last_txn_version("bm25-pipe")
+    n, ni = t.read().count(), idx.read().count()
+    sink(spark.read.parquet(src), last)  # post-crash replay
+    assert t.read().count() == n and idx.read().count() == ni
+
+
+def test_index_sink_unknown_kind_refuses(spark, tmp_path):
+    from dagster_delta_spark.streaming import index_maintaining_sink
+
+    with pytest.raises(ValueError, match="unknown index kind"):
+        index_maintaining_sink("a", "b", "c", kind="ivf")
