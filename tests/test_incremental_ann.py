@@ -247,8 +247,8 @@ def test_concurrent_index_maintenance_detected(spark, tmp_path, monkeypatch):
     real = incr._split_row_changes
     fired = []
 
-    def racing(b, v0, head):
-        out = real(b, v0, head)
+    def racing(b, v0, head, *args, **kwargs):
+        out = real(b, v0, head, *args, **kwargs)
         if not fired:
             fired.append(1)
             incr.maintain_ivf_index(emb2, index2)  # B completes mid-A
