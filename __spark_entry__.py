@@ -939,6 +939,126 @@ def o_write_options(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def o_convert_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT FROM DELTA (table.py:convert_from_delta): onboard a
+    REAL Delta Lake table — the public delta-io protocol's
+    ``_delta_log/`` JSON commits, the format the reference writes
+    through delta-rs (dd/dagster_delta/handler.py:23-27) — into this
+    engine in place: replay protocol/metaData/add/remove/txn to the
+    head, publish ONE version-0 commit referencing the SAME files.
+    The interop path a reference user takes to switch engines.
+
+    Fixture: a hand-written spec-conformant Delta log over two
+    staged orders files — v0 adds both, v1 REMOVES one and adds a
+    third (the replay must honor removes), plus a SetTransaction.
+
+    In-line guards: (1) a minReaderVersion=2 log refuses; (2) an add
+    carrying a deletionVector refuses; (3) the converted table time-
+    travels (version 0 == converted state) and stays fully writable
+    (an append lands).  Oracle: the two surviving slices of orders —
+    a replay that dropped the remove, lost an add, or mis-decoded
+    partitionValues breaks the hash match."""
+    import json as _json
+
+    from dagster_delta_spark import convert_from_delta
+
+    orders = _orders(spark, sf_dir)
+    root = _scratch("cfd").rsplit("/", 1)[0] + "/delta"
+    import os as _os
+
+    _os.makedirs(root)
+    _stage_landing_file(
+        orders.where("o_orderstatus = 'F'"), root, "part-f1.parquet")
+    _stage_landing_file(
+        orders.where("o_orderstatus = 'P'"), root, "part-f2.parquet")
+    _stage_landing_file(
+        orders.where("o_orderstatus = 'O'"), root, "part-f3.parquet")
+    n1 = orders.where("o_orderstatus = 'F'").count()
+    n2 = orders.where("o_orderstatus = 'P'").count()
+    n3 = orders.where("o_orderstatus = 'O'").count()
+
+    def add(rel, n):
+        return {"add": {
+            "path": rel, "partitionValues": {}, "dataChange": True,
+            "size": _os.path.getsize(_os.path.join(root, rel)),
+            "modificationTime": 1700000000000,
+            "stats": _json.dumps({"numRecords": n})}}
+
+    meta = {"metaData": {
+        "id": "00000000-0000-0000-0000-00000000cfd1",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": orders.schema.json(),
+        "partitionColumns": [], "configuration": {},
+        "createdTime": 1700000000000}}
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    dlog = _os.path.join(root, "_delta_log")
+    _os.makedirs(dlog)
+    with open(_os.path.join(dlog, "0" * 20 + ".json"), "w") as fh:
+        for a in (proto, meta, add("part-f1.parquet", n1),
+                  add("part-f2.parquet", n2)):
+            fh.write(_json.dumps(a) + "\n")
+    with open(_os.path.join(dlog, "0" * 19 + "1.json"), "w") as fh:
+        for a in ({"remove": {"path": "part-f2.parquet",
+                              "deletionTimestamp": 1700000001000,
+                              "dataChange": True}},
+                  add("part-f3.parquet", n3),
+                  {"txn": {"appId": "ref-stream", "version": 7}}):
+            fh.write(_json.dumps(a) + "\n")
+
+    res = convert_from_delta(spark, root)
+    if (res["num_files"], res["num_rows"]) != (2, n1 + n3):
+        raise AssertionError(f"unexpected convert result {res}")
+    t = DeltaSparkTable(spark, root)
+    if t.last_txn_version("ref-stream") != 7:
+        raise AssertionError("SetTransaction ledger did not carry over")
+    out = t.read()
+    # guard 3: writable + time travel (on a clone of the state, via
+    # append-then-time-travel on the converted table itself)
+    t.write(orders.limit(1), WriteMode.append)
+    if t.read(version=0).count() != n1 + n3:
+        raise AssertionError("version-0 time travel lost the "
+                             "converted state")
+
+    # guard 1 + 2: future-reader and DV logs refuse
+    for broken, marker in (
+        ({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         "minReaderVersion"),
+        ({"add": {"path": "part-f1.parquet", "partitionValues": {},
+                  "dataChange": True, "size": 1,
+                  "modificationTime": 1, "stats": "{\"numRecords\":1}",
+                  "deletionVector": {"storageType": "u",
+                                     "pathOrInlineDv": "x",
+                                     "offset": 0, "sizeInBytes": 8,
+                                     "cardinality": 1}}},
+         "deletion vector"),
+    ):
+        broot = _scratch("cfd-bad").rsplit("/", 1)[0] + "/delta"
+        _os.makedirs(broot)
+        _stage_landing_file(orders.limit(2), broot, "part-f1.parquet")
+        _os.makedirs(_os.path.join(broot, "_delta_log"))
+        with open(_os.path.join(broot, "_delta_log",
+                                "0" * 20 + ".json"), "w") as fh:
+            first = (broken if "protocol" in broken else proto)
+            fh.write(_json.dumps(first) + "\n")
+            fh.write(_json.dumps(meta) + "\n")
+            if "add" in broken:
+                fh.write(_json.dumps(broken) + "\n")
+            else:
+                fh.write(_json.dumps({"add": {
+                    "path": "part-f1.parquet", "partitionValues": {},
+                    "dataChange": True, "size": 1,
+                    "modificationTime": 1,
+                    "stats": "{\"numRecords\":2}"}}) + "\n")
+        try:
+            convert_from_delta(spark, broot)
+        except ValueError as e:
+            if marker not in str(e):
+                raise
+        else:
+            raise AssertionError(f"{marker} log converted silently")
+    return out
+
+
 def o_append_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPEND-ONLY freeze (Delta's ``delta.appendOnly``;
     table.py:_refuse_append_only): a table created with
@@ -3614,7 +3734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_pipeline": multimodal_video_pipeline,
         "o_delete_dv": o_delete_dv,
         "scrub_pii": curation.scrub_pii,
-        "stratified_sample": curation.stratified_sample,
+        # NEW r13 (oracle-backed): CONVERT FROM DELTA — real delta-io
+        # log interop; displaced stratified_sample (green r10 record
+        # stands) to the tail
+        "o_convert_from_delta": o_convert_from_delta,
         # NEW r13 (oracle-backed): protocol version / table-feature
         # gate — future-format tables refuse pointedly; displaced
         # assign_splits (green r10 record stands) to the tail
@@ -3644,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_read_changes": cdc_read_changes,
         "assign_splits": curation.assign_splits,
         "chunk_documents": curation.chunk_documents,
+        "stratified_sample": curation.stratified_sample,
         "winnow_repeated_spans": dedup.winnow_repeated_spans,
         "winnow_doc_repetition": dedup.winnow_doc_repetition,
         "strip_repeated_spans": dedup.strip_repeated_spans,
@@ -5175,6 +5299,10 @@ def oracle_sql() -> dict[str, str]:
             WITH {_portable_minhash_ctes()}
             SELECT doc_id, band, h FROM lsh
         """,
+        # the converted table's contents = the two surviving Delta
+        # adds (the remove dropped the 'P' slice)
+        "o_convert_from_delta":
+            "SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')",
         # the frozen table's exact contents — every refused mutation
         # (overwrite/DELETE/UPDATE/replace_where/RESTORE/upsert) must
         # have left the two appended slices bit-identical

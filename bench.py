@@ -93,6 +93,8 @@ def main() -> None:
         "copy_into",
         "log_cleanup",
         "convert_to_table",
+        # r13: real delta-io log onboarding (replay + 1 commit)
+        "convert_from_delta",
         # r12: one zstd append with table properties + commit
         # userMetadata (the W8/W9/W10 write path; fixture = the
         # pre-created table, timed = one optioned append)
@@ -701,8 +703,62 @@ def main() -> None:
         res = convert_to_table(spark, root)
         assert res["version"] == 0
 
+    def _cfd_setup(spark, d):
+        # fixture: staged orders files + a hand-written spec-
+        # conformant Delta log (2 commits, one remove); the operator
+        # under test is the log replay + ONE version-0 commit — the
+        # real-Delta onboarding path, no data rewrite
+        import json as _j
+        import os as _os
+
+        root = entry._scratch("bench-cfd").rsplit("/", 1)[0] + "/delta"
+        _os.makedirs(root)
+        orders = spark.read.parquet(f"{d}/orders.parquet")
+        rels = []
+        for i, st in enumerate(("F", "P", "O")):
+            rel = f"part-f{i}.parquet"
+            entry._stage_landing_file(
+                orders.where(f"o_orderstatus = '{st}'"), root, rel)
+            rels.append((rel, orders.where(
+                f"o_orderstatus = '{st}'").count()))
+
+        def add(rel, n):
+            return {"add": {
+                "path": rel, "partitionValues": {}, "dataChange": True,
+                "size": _os.path.getsize(_os.path.join(root, rel)),
+                "modificationTime": 1700000000000,
+                "stats": _j.dumps({"numRecords": n})}}
+
+        dlog = _os.path.join(root, "_delta_log")
+        _os.makedirs(dlog)
+        with open(_os.path.join(dlog, "0" * 20 + ".json"), "w") as fh:
+            fh.write(_j.dumps({"protocol": {"minReaderVersion": 1,
+                                            "minWriterVersion": 2}})
+                     + "\n")
+            fh.write(_j.dumps({"metaData": {
+                "id": "00000000-0000-0000-0000-0000000bench",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": orders.schema.json(),
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 1700000000000}}) + "\n")
+            for rel, n in rels[:2]:
+                fh.write(_j.dumps(add(rel, n)) + "\n")
+        with open(_os.path.join(dlog, "0" * 19 + "1.json"), "w") as fh:
+            fh.write(_j.dumps({"remove": {
+                "path": rels[1][0],
+                "deletionTimestamp": 1700000001000,
+                "dataChange": True}}) + "\n")
+            fh.write(_j.dumps(add(*rels[2])) + "\n")
+        return root
+
+    def _cfd_run(spark, root):
+        from dagster_delta_spark import convert_from_delta
+        res = convert_from_delta(spark, root)
+        assert res["version"] == 0 and res["num_files"] == 2
+
     staged = {
         "convert_to_table": (_convert_setup, _convert_run),
+        "convert_from_delta": (_cfd_setup, _cfd_run),
         "copy_into": (_copy_into_setup, _copy_into_run),
         "log_cleanup": (_log_cleanup_setup, _log_cleanup_run),
         "write_options": (_write_options_setup, _write_options_run),

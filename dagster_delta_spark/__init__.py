@@ -25,6 +25,7 @@ from .config import (
 from .plans.slices import TablePartitionDimension, TableSlice, TimeWindow
 from .table import (
     DeltaSparkTable,
+    convert_from_delta,
     convert_to_table,
     MergeMultipleMatchesError,
     ConstraintViolationError,
@@ -37,6 +38,7 @@ __all__ = [
     "AzureConfig",
     "ClientConfig",
     "DeltaSparkTable",
+    "convert_from_delta",
     "convert_to_table",
     "GcsConfig",
     "LocalConfig",

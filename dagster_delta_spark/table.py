@@ -5002,3 +5002,216 @@ def convert_to_table(
         "num_rows": total_rows,
         "partition_columns": pcols,
     }
+
+
+def convert_from_delta(
+    spark: SparkSession,
+    path: str,
+    *,
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """Onboard a REAL Delta Lake table (the public delta-io protocol's
+    ``_delta_log/`` JSON commits — what delta-rs, and therefore the
+    reference I/O manager (dd/dagster_delta/handler.py:23-27), writes)
+    into this engine's format IN PLACE: replay the Delta log's
+    protocol / metaData / add / remove / txn actions to the head
+    state, then publish ONE version-0 commit in OUR log referencing
+    the SAME data files — no bytes move.  The interop story: a user
+    of the reference can point this engine at their existing Delta
+    tables and keep querying.
+
+    Honest scope (refusals are pointed, never silent):
+
+    - JSON-tail logs only — a log whose version-0 commit was cleaned
+      up (checkpoint-only replay) refuses; read it with a Delta
+      reader and re-land, or convert before log cleanup.
+    - ``minReaderVersion`` must be 1.  Version 2 (column mapping —
+      physical names hide in schema field metadata this engine does
+      not decode) and version 3+ (feature tables) refuse, as does an
+      explicit ``delta.columnMapping.mode`` in the configuration.
+    - adds carrying ``deletionVector`` refuse (Delta's roaring-bitmap
+      DV encoding is not this engine's sidecar format; a silent
+      convert would resurrect every masked row).
+    - absolute/URI add paths (shallow clones) refuse; every relative
+      add must exist on disk under ``path``.
+
+    What carries over: the schema (Delta's ``schemaString`` IS the
+    Spark StructType JSON this engine stores), partition columns and
+    values, ``delta.appendOnly`` (mapped to ``dds.appendOnly``), the
+    remaining configuration keys verbatim (inert provenance),
+    SetTransaction app versions (streaming exactly-once ledgers
+    resume), and per-file stats SANITIZED for pruning soundness:
+    numRecords and nullCount always; minValues/maxValues only for
+    integral / float / string / boolean columns — Delta renders
+    dates, timestamps and decimals differently than this engine's
+    harvester, and a rendering mismatch in ``_file_matches`` could
+    mis-prune (dropped entries merely cost skipping, never
+    correctness).
+
+    The original ``_delta_log`` stays untouched, but after
+    conversion THIS engine's log is the table: commits a Delta
+    writer makes afterwards are not reflected here.  ``dry_run``
+    reports without committing."""
+    root = str(path)
+    dlog = os.path.join(root, "_delta_log")
+    if not os.path.isdir(dlog):
+        raise FileNotFoundError(f"no Delta log at {dlog!r}")
+    if tablelog.table_exists(root):
+        raise TableExistsError(
+            f"{root!r} already has a {tablelog.LOG_DIR} transaction "
+            "log; convert_from_delta only onboards tables not yet "
+            "converted")
+    versions = sorted(
+        int(n[:-5]) for n in os.listdir(dlog)
+        if n.endswith(".json") and n[:-5].isdigit())
+    if not versions:
+        raise ValueError(f"no JSON commits under {dlog!r}")
+    if versions[0] != 0 or versions != list(range(len(versions))):
+        raise ValueError(
+            f"Delta log under {dlog!r} is not a contiguous JSON tail "
+            f"from version 0 (found {versions[:3]}...); checkpoint-"
+            "only replay is not supported — convert before log "
+            "cleanup, or re-land through a Delta reader")
+
+    meta_action: Optional[dict[str, Any]] = None
+    files: dict[str, dict[str, Any]] = {}
+    app_versions: dict[str, int] = {}
+    for v in versions:
+        with open(os.path.join(dlog, f"{v:020d}.json"),
+                  encoding="utf-8") as f:
+            actions = [json.loads(line) for line in f if line.strip()]
+        for action in actions:
+            if "protocol" in action:
+                mrv = int(action["protocol"].get("minReaderVersion", 1))
+                if mrv != 1:
+                    raise ValueError(
+                        f"Delta table at {root!r} requires "
+                        f"minReaderVersion={mrv}; convert_from_delta "
+                        "supports reader version 1 only (2 = column "
+                        "mapping, 3+ = table features — both change "
+                        "how existing bytes decode)")
+            elif "metaData" in action:
+                meta_action = action["metaData"]
+            elif "add" in action:
+                a = action["add"]
+                if a.get("deletionVector"):
+                    raise ValueError(
+                        f"add action for {a.get('path')!r} carries a "
+                        "deletion vector; Delta's DV encoding is not "
+                        "this engine's sidecar format and a silent "
+                        "convert would resurrect the masked rows — "
+                        "compact the table with a Delta writer "
+                        "(OPTIMIZE) first")
+                rel = unquote(a["path"])
+                if "://" in a["path"] or os.path.isabs(rel):
+                    raise ValueError(
+                        f"add path {a['path']!r} is absolute (shallow "
+                        "clone?); only table-relative files convert")
+                files[rel] = a
+            elif "remove" in action:
+                files.pop(unquote(action["remove"]["path"]), None)
+            elif "txn" in action:
+                t = action["txn"]
+                app_versions[t["appId"]] = max(
+                    app_versions.get(t["appId"], -1), int(t["version"]))
+    if meta_action is None:
+        raise ValueError(f"Delta log under {dlog!r} has no metaData "
+                         "action — not a valid table")
+    dcfg = dict(meta_action.get("configuration") or {})
+    cm = dcfg.get("delta.columnMapping.mode")
+    if cm and cm != "none":
+        raise ValueError(
+            f"delta.columnMapping.mode={cm!r}: column-mapped Delta "
+            "tables store physical names in schema field metadata "
+            "this engine does not decode — refuse rather than read "
+            "the wrong columns")
+    schema = StructType.fromJson(_json_loads(meta_action["schemaString"]))
+    pcols = list(meta_action.get("partitionColumns") or [])
+    cfg = dict(dcfg)
+    if "delta.appendOnly" in cfg:
+        cfg[_APPEND_ONLY_KEY] = cfg.pop("delta.appendOnly")
+        _append_only(cfg)  # malformed value fails NOW
+
+    # stats sanitation: keep min/max only where both engines render
+    # values identically (see docstring)
+    safe_minmax = {
+        f.name for f in schema.fields
+        if isinstance(f.dataType, (ByteType, ShortType, IntegerType,
+                                   LongType, FloatType, DoubleType,
+                                   StringType, BooleanType))
+    }
+    adds: list[AddFile] = []
+    total_rows = 0
+    now = int(time.time() * 1000)
+    for rel in sorted(files):
+        a = files[rel]
+        ab = os.path.join(root, rel)
+        if not os.path.isfile(ab):
+            raise FileNotFoundError(
+                f"Delta log references {rel!r} but the file is gone "
+                f"(vacuumed?); the converted table would be unreadable")
+        raw_stats = a.get("stats")
+        st = (_json_loads(raw_stats) if isinstance(raw_stats, str)
+              else (raw_stats or {}))
+        num = st.get("numRecords")
+        if num is None:
+            import pyarrow.parquet as pq_
+
+            num = pq_.ParquetFile(ab).metadata.num_rows
+        stats: dict[str, Any] = {"numRecords": int(num)}
+        if st.get("nullCount"):
+            stats["nullCount"] = dict(st["nullCount"])
+        for key in ("minValues", "maxValues"):
+            kept = {c: val for c, val in (st.get(key) or {}).items()
+                    if c in safe_minmax}
+            if kept:
+                stats[key] = kept
+        total_rows += int(num)
+        adds.append(AddFile(
+            path=rel.replace(os.sep, "/"),
+            size=int(a.get("size") or os.path.getsize(ab)),
+            num_records=int(num),
+            partition_values=dict(a.get("partitionValues") or {}),
+            stats=stats,
+            modification_time=int(a.get("modificationTime")
+                                  or os.stat(ab).st_mtime_ns // 1_000_000),
+        ))
+    if dry_run:
+        return {
+            "dry_run": True,
+            "num_files": len(adds),
+            "num_rows": total_rows,
+            "partition_columns": pcols,
+            "delta_version": versions[-1],
+        }
+    meta = Metadata(
+        schema_json=schema.json(),
+        partition_columns=pcols,
+        configuration=cfg,
+    )
+    actions_out: list[dict[str, Any]] = [
+        CommitInfo(
+            operation="CONVERT FROM DELTA",
+            operation_parameters={
+                "numFiles": len(adds),
+                "deltaVersion": versions[-1],
+            },
+            operation_metrics={
+                "num_added_files": len(adds),
+                "num_output_rows": total_rows,
+            },
+        ).to_action(),
+        meta.to_action(),
+    ]
+    actions_out += [a.to_action() for a in adds]
+    tablelog.commit(root, 0, actions_out,
+                    Snapshot(0, meta, adds, now,
+                             app_versions=app_versions))
+    return {
+        "dry_run": False,
+        "version": 0,
+        "num_files": len(adds),
+        "num_rows": total_rows,
+        "partition_columns": pcols,
+        "delta_version": versions[-1],
+    }
