@@ -5203,6 +5203,12 @@ def convert_from_delta(
         ).to_action(),
         meta.to_action(),
     ]
+    # carried SetTransaction ledgers must live in the COMMIT, not just
+    # the cached snapshot — a cold-cache replay of version 0 would
+    # otherwise lose them and a resumed upstream stream would
+    # double-append
+    actions_out += [{"txn": {"appId": k, "version": v}}
+                    for k, v in sorted(app_versions.items())]
     actions_out += [a.to_action() for a in adds]
     tablelog.commit(root, 0, actions_out,
                     Snapshot(0, meta, adds, now,

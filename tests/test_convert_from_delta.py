@@ -95,8 +95,16 @@ def test_basic_convert_with_removes_and_txn(spark, tmp_path):
     t = DeltaSparkTable(spark, root)
     got = sorted(r["a"] for r in t.read().collect())
     assert got == list(range(0, 5)) + list(range(9, 12))
-    # the SetTransaction ledger carried over
+    # the SetTransaction ledger carried over — and survives a
+    # COLD-CACHE replay of the committed version-0 JSON (the ledger
+    # must live in the commit's txn actions, not just the cached
+    # snapshot)
     assert t.last_txn_version("upstream-stream") == 41
+    from dagster_delta_spark import tablelog as tl
+
+    tl._SNAPSHOT_CACHE.clear()
+    assert DeltaSparkTable(spark, root).last_txn_version(
+        "upstream-stream") == 41
     # and the converted table is fully writable
     t.write(_df(spark, 100, 102), WriteMode.append)
     assert t.read().count() == 10
