@@ -196,6 +196,52 @@ def _stage_landing_file(df, land_dir: str, name: str) -> str:
 
 
 
+def _delta_protocol_action(mrv: int = 1, mwv: int = 2) -> dict:
+    """Spec-conformant Delta protocol action — ONE fixture encoding
+    of the public delta-io log shared by the o_convert_from_delta
+    entry, bench._cfd_setup and tests/test_convert_from_delta.py
+    (the _stage_landing_file rule: a spec detail fixed once)."""
+    return {"protocol": {"minReaderVersion": mrv,
+                         "minWriterVersion": mwv}}
+
+
+def _delta_meta_action(schema_json: str, pcols=(), cfg=None) -> dict:
+    return {"metaData": {
+        "id": "00000000-0000-0000-0000-0000000f1x7e",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_json,
+        "partitionColumns": list(pcols),
+        "configuration": dict(cfg or {}),
+        "createdTime": 1700000000000,
+    }}
+
+
+def _delta_add_action(root: str, rel: str, n: int,
+                      pv=None, extra_stats=None, **kw) -> dict:
+    import json as _json
+    import os as _os
+
+    return {"add": {
+        "path": rel, "partitionValues": dict(pv or {}),
+        "dataChange": True,
+        "size": _os.path.getsize(_os.path.join(root, rel)),
+        "modificationTime": 1700000000000,
+        "stats": _json.dumps({"numRecords": n, **(extra_stats or {})}),
+        **kw,
+    }}
+
+
+def _write_delta_commit(root: str, version: int, actions) -> None:
+    import json as _json
+    import os as _os
+
+    d = _os.path.join(root, "_delta_log")
+    _os.makedirs(d, exist_ok=True)
+    with open(_os.path.join(d, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+
+
 def _bm25_query_values() -> str:
     """Render textops.BM25_QUERIES as a DuckDB VALUES list of distinct
     (qid, term) rows — the same derivation bm25_search applies."""
@@ -958,8 +1004,6 @@ def o_convert_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an append lands).  Oracle: the two surviving slices of orders —
     a replay that dropped the remove, lost an add, or mis-decoded
     partitionValues breaks the hash match."""
-    import json as _json
-
     from dagster_delta_spark import convert_from_delta
 
     orders = _orders(spark, sf_dir)
@@ -977,33 +1021,18 @@ def o_convert_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = orders.where("o_orderstatus = 'P'").count()
     n3 = orders.where("o_orderstatus = 'O'").count()
 
-    def add(rel, n):
-        return {"add": {
-            "path": rel, "partitionValues": {}, "dataChange": True,
-            "size": _os.path.getsize(_os.path.join(root, rel)),
-            "modificationTime": 1700000000000,
-            "stats": _json.dumps({"numRecords": n})}}
-
-    meta = {"metaData": {
-        "id": "00000000-0000-0000-0000-00000000cfd1",
-        "format": {"provider": "parquet", "options": {}},
-        "schemaString": orders.schema.json(),
-        "partitionColumns": [], "configuration": {},
-        "createdTime": 1700000000000}}
-    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-    dlog = _os.path.join(root, "_delta_log")
-    _os.makedirs(dlog)
-    with open(_os.path.join(dlog, "0" * 20 + ".json"), "w") as fh:
-        for a in (proto, meta, add("part-f1.parquet", n1),
-                  add("part-f2.parquet", n2)):
-            fh.write(_json.dumps(a) + "\n")
-    with open(_os.path.join(dlog, "0" * 19 + "1.json"), "w") as fh:
-        for a in ({"remove": {"path": "part-f2.parquet",
-                              "deletionTimestamp": 1700000001000,
-                              "dataChange": True}},
-                  add("part-f3.parquet", n3),
-                  {"txn": {"appId": "ref-stream", "version": 7}}):
-            fh.write(_json.dumps(a) + "\n")
+    meta = _delta_meta_action(orders.schema.json())
+    proto = _delta_protocol_action()
+    _write_delta_commit(root, 0, [
+        proto, meta,
+        _delta_add_action(root, "part-f1.parquet", n1),
+        _delta_add_action(root, "part-f2.parquet", n2)])
+    _write_delta_commit(root, 1, [
+        {"remove": {"path": "part-f2.parquet",
+                    "deletionTimestamp": 1700000001000,
+                    "dataChange": True}},
+        _delta_add_action(root, "part-f3.parquet", n3),
+        {"txn": {"appId": "ref-stream", "version": 7}}])
 
     res = convert_from_delta(spark, root)
     if (res["num_files"], res["num_rows"]) != (2, n1 + n3):
@@ -1035,20 +1064,11 @@ def o_convert_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         broot = _scratch("cfd-bad").rsplit("/", 1)[0] + "/delta"
         _os.makedirs(broot)
         _stage_landing_file(orders.limit(2), broot, "part-f1.parquet")
-        _os.makedirs(_os.path.join(broot, "_delta_log"))
-        with open(_os.path.join(broot, "_delta_log",
-                                "0" * 20 + ".json"), "w") as fh:
-            first = (broken if "protocol" in broken else proto)
-            fh.write(_json.dumps(first) + "\n")
-            fh.write(_json.dumps(meta) + "\n")
-            if "add" in broken:
-                fh.write(_json.dumps(broken) + "\n")
-            else:
-                fh.write(_json.dumps({"add": {
-                    "path": "part-f1.parquet", "partitionValues": {},
-                    "dataChange": True, "size": 1,
-                    "modificationTime": 1,
-                    "stats": "{\"numRecords\":2}"}}) + "\n")
+        _write_delta_commit(broot, 0, [
+            broken if "protocol" in broken else proto,
+            meta,
+            broken if "add" in broken
+            else _delta_add_action(broot, "part-f1.parquet", 2)])
         try:
             convert_from_delta(spark, broot)
         except ValueError as e:

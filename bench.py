@@ -704,11 +704,11 @@ def main() -> None:
         assert res["version"] == 0
 
     def _cfd_setup(spark, d):
-        # fixture: staged orders files + a hand-written spec-
-        # conformant Delta log (2 commits, one remove); the operator
-        # under test is the log replay + ONE version-0 commit — the
-        # real-Delta onboarding path, no data rewrite
-        import json as _j
+        # fixture: staged orders files + a spec-conformant Delta log
+        # built from the SHARED fixture helpers (entry/bench/tests use
+        # one spec encoding); the operator under test is the log
+        # replay + ONE version-0 commit — the real-Delta onboarding
+        # path, no data rewrite
         import os as _os
 
         root = entry._scratch("bench-cfd").rsplit("/", 1)[0] + "/delta"
@@ -721,34 +721,16 @@ def main() -> None:
                 orders.where(f"o_orderstatus = '{st}'"), root, rel)
             rels.append((rel, orders.where(
                 f"o_orderstatus = '{st}'").count()))
-
-        def add(rel, n):
-            return {"add": {
-                "path": rel, "partitionValues": {}, "dataChange": True,
-                "size": _os.path.getsize(_os.path.join(root, rel)),
-                "modificationTime": 1700000000000,
-                "stats": _j.dumps({"numRecords": n})}}
-
-        dlog = _os.path.join(root, "_delta_log")
-        _os.makedirs(dlog)
-        with open(_os.path.join(dlog, "0" * 20 + ".json"), "w") as fh:
-            fh.write(_j.dumps({"protocol": {"minReaderVersion": 1,
-                                            "minWriterVersion": 2}})
-                     + "\n")
-            fh.write(_j.dumps({"metaData": {
-                "id": "00000000-0000-0000-0000-0000000bench",
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": orders.schema.json(),
-                "partitionColumns": [], "configuration": {},
-                "createdTime": 1700000000000}}) + "\n")
-            for rel, n in rels[:2]:
-                fh.write(_j.dumps(add(rel, n)) + "\n")
-        with open(_os.path.join(dlog, "0" * 19 + "1.json"), "w") as fh:
-            fh.write(_j.dumps({"remove": {
-                "path": rels[1][0],
-                "deletionTimestamp": 1700000001000,
-                "dataChange": True}}) + "\n")
-            fh.write(_j.dumps(add(*rels[2])) + "\n")
+        entry._write_delta_commit(root, 0, [
+            entry._delta_protocol_action(),
+            entry._delta_meta_action(orders.schema.json()),
+            entry._delta_add_action(root, *rels[0]),
+            entry._delta_add_action(root, *rels[1])])
+        entry._write_delta_commit(root, 1, [
+            {"remove": {"path": rels[1][0],
+                        "deletionTimestamp": 1700000001000,
+                        "dataChange": True}},
+            entry._delta_add_action(root, *rels[2])])
         return root
 
     def _cfd_run(spark, root):

@@ -94,6 +94,10 @@ def index_maintaining_sink(
     (or tokenizing) of only the new documents."""
     if kind not in ("lsh", "bm25"):
         raise ValueError(f"unknown index kind {kind!r} (lsh | bm25)")
+    if kind == "bm25" and (num_hashes, bands) != (64, 16):
+        raise ValueError(
+            "num_hashes/bands are LSH banding knobs; a bm25 postings "
+            "index has none — drop them rather than silently ignore")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.incremental import (

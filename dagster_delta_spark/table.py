@@ -5076,6 +5076,7 @@ def convert_from_delta(
     meta_action: Optional[dict[str, Any]] = None
     files: dict[str, dict[str, Any]] = {}
     app_versions: dict[str, int] = {}
+    writer_features: set[str] = set()
     for v in versions:
         with open(os.path.join(dlog, f"{v:020d}.json"),
                   encoding="utf-8") as f:
@@ -5090,24 +5091,17 @@ def convert_from_delta(
                         "supports reader version 1 only (2 = column "
                         "mapping, 3+ = table features — both change "
                         "how existing bytes decode)")
+                writer_features = set(
+                    action["protocol"].get("writerFeatures") or [])
             elif "metaData" in action:
                 meta_action = action["metaData"]
             elif "add" in action:
+                # validation happens over the SURVIVING head state
+                # below, not per historical action — a long-removed
+                # DV'd or absolute-path file must not refuse a table
+                # whose head is perfectly convertible
                 a = action["add"]
-                if a.get("deletionVector"):
-                    raise ValueError(
-                        f"add action for {a.get('path')!r} carries a "
-                        "deletion vector; Delta's DV encoding is not "
-                        "this engine's sidecar format and a silent "
-                        "convert would resurrect the masked rows — "
-                        "compact the table with a Delta writer "
-                        "(OPTIMIZE) first")
-                rel = unquote(a["path"])
-                if "://" in a["path"] or os.path.isabs(rel):
-                    raise ValueError(
-                        f"add path {a['path']!r} is absolute (shallow "
-                        "clone?); only table-relative files convert")
-                files[rel] = a
+                files[unquote(a["path"])] = a
             elif "remove" in action:
                 files.pop(unquote(action["remove"]["path"]), None)
             elif "txn" in action:
@@ -5125,12 +5119,54 @@ def convert_from_delta(
             "tables store physical names in schema field metadata "
             "this engine does not decode — refuse rather than read "
             "the wrong columns")
+    # WRITER-side contracts must convert or refuse, never silently
+    # drop — the original table's writers enforced them and this
+    # engine's writers take over after conversion:
+    # (a) feature-protocol tables: only features with an exact
+    #     engine equivalent pass;
+    # (b) per-field invariants / generation expressions / identity
+    #     specs hide in schema FIELD metadata — refuse (no reliable
+    #     translation without evaluating them);
+    # (c) delta.constraints.* MAP to dds.constraints.* (same
+    #     expression-per-key shape, enforced on every future write;
+    #     existing rows were checked by the Delta writer that
+    #     committed them).
+    unmappable = sorted(writer_features
+                        - {"appendOnly", "checkConstraints",
+                           "invariants"})
+    if unmappable:
+        raise ValueError(
+            f"Delta table at {root!r} declares writer feature(s) "
+            f"{unmappable} this engine cannot honor; converting "
+            "would silently drop a guarantee its writers enforced")
     schema = StructType.fromJson(_json_loads(meta_action["schemaString"]))
+    for fld in schema.fields:
+        bad_md = sorted(
+            k for k in (fld.metadata or {})
+            if k == "delta.invariants"
+            or k == "delta.generationExpression"
+            or k.startswith("delta.identity."))
+        if bad_md:
+            raise ValueError(
+                f"column {fld.name!r} carries writer-enforced field "
+                f"metadata {bad_md} (invariant / generated / identity "
+                "column); this engine cannot translate it reliably — "
+                "converting would stop enforcing it on future writes")
     pcols = list(meta_action.get("partitionColumns") or [])
+    foreign_dds = sorted(k for k in dcfg if k.startswith("dds."))
+    if foreign_dds:
+        raise ValueError(
+            f"source Delta configuration carries engine-namespace "
+            f"key(s) {foreign_dds}; machinery keys cannot arrive via "
+            "a foreign log unvalidated — convert without them, then "
+            "set_properties (which runs the right checks)")
     cfg = dict(dcfg)
     if "delta.appendOnly" in cfg:
         cfg[_APPEND_ONLY_KEY] = cfg.pop("delta.appendOnly")
         _append_only(cfg)  # malformed value fails NOW
+    for k in [k for k in cfg if k.startswith("delta.constraints.")]:
+        cfg[_CONSTRAINT_PREFIX + k[len("delta.constraints."):]] = \
+            cfg.pop(k)
 
     # stats sanitation: keep min/max only where both engines render
     # values identically (see docstring)
@@ -5140,24 +5176,87 @@ def convert_from_delta(
                                    LongType, FloatType, DoubleType,
                                    StringType, BooleanType))
     }
+    # ---- head-state validation (over SURVIVING files only) ----
+    for rel in sorted(files):
+        a = files[rel]
+        if a.get("deletionVector"):
+            raise ValueError(
+                f"live file {rel!r} carries a deletion vector; "
+                "Delta's DV encoding is not this engine's sidecar "
+                "format and a silent convert would resurrect the "
+                "masked rows — compact the table with a Delta writer "
+                "(OPTIMIZE) first")
+        if "://" in a["path"] or os.path.isabs(rel):
+            raise ValueError(
+                f"live add path {a['path']!r} is absolute (shallow "
+                "clone?); only table-relative files convert")
+        if not os.path.isfile(os.path.join(root, rel)):
+            raise FileNotFoundError(
+                f"Delta log references {rel!r} but the file is gone "
+                f"(vacuumed?); the converted table would be unreadable")
+        # the read path recovers partition columns from HIVE directory
+        # names (basePath discovery), while pruning uses the log's
+        # partitionValues — the two must agree or a partitioned read
+        # returns NULL partition columns against non-NULL pruning
+        # values.  Delta writes hive layout by default; randomized /
+        # flat layouts refuse rather than silently misread.
+        pv = dict(a.get("partitionValues") or {})
+        comps = rel.split("/")[:-1]
+        layout: dict[str, Optional[str]] = {}
+        for comp in comps:
+            k, eq, v = comp.partition("=")
+            if eq:
+                layout[k] = (None if v == HIVE_DEFAULT_PARTITION
+                             else unquote(v))
+        if list(layout) != pcols or any(
+                layout.get(c) != pv.get(c) for c in pcols):
+            raise ValueError(
+                f"file {rel!r} does not encode its partition values "
+                f"{pv} as hive {'/'.join(c + '=...' for c in pcols)} "
+                "directories; this engine's reads recover partition "
+                "columns from the directory layout — rewrite through "
+                "a hive-layout writer first")
+
+    # numRecords: from the log's stats where present; files without
+    # stats fall back to a parquet footer read — batched through a
+    # Spark job past the same threshold as every stats harvest (a
+    # serial driver loop over a big stats-less table would be the
+    # convert bottleneck)
+    def _raw_stats(a: dict[str, Any]) -> dict[str, Any]:
+        raw = a.get("stats")
+        return (_json_loads(raw) if isinstance(raw, str)
+                else (raw or {}))
+
+    no_stats = [rel for rel in files
+                if _raw_stats(files[rel]).get("numRecords") is None]
+    footer_counts: dict[str, int] = {}
+    if no_stats:
+        def _count(rel: str) -> tuple[str, int]:
+            import pyarrow.parquet as pq_
+
+            return rel, pq_.ParquetFile(
+                os.path.join(root, rel)).metadata.num_rows
+
+        sc = spark.sparkContext
+        if (len(no_stats) <= _DISTRIBUTED_STATS_THRESHOLD
+                or not sc.master.startswith("local")):
+            footer_counts = dict(map(_count, no_stats))
+        else:
+            slices = max(1, min(len(no_stats),
+                                sc.defaultParallelism * 4))
+            footer_counts = dict(
+                sc.parallelize(no_stats, slices).map(_count).collect())
+
     adds: list[AddFile] = []
     total_rows = 0
     now = int(time.time() * 1000)
     for rel in sorted(files):
         a = files[rel]
         ab = os.path.join(root, rel)
-        if not os.path.isfile(ab):
-            raise FileNotFoundError(
-                f"Delta log references {rel!r} but the file is gone "
-                f"(vacuumed?); the converted table would be unreadable")
-        raw_stats = a.get("stats")
-        st = (_json_loads(raw_stats) if isinstance(raw_stats, str)
-              else (raw_stats or {}))
+        st = _raw_stats(a)
         num = st.get("numRecords")
         if num is None:
-            import pyarrow.parquet as pq_
-
-            num = pq_.ParquetFile(ab).metadata.num_rows
+            num = footer_counts[rel]
         stats: dict[str, Any] = {"numRecords": int(num)}
         if st.get("nullCount"):
             stats["nullCount"] = dict(st["nullCount"])

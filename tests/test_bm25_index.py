@@ -227,3 +227,11 @@ def test_index_sink_unknown_kind_refuses(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown index kind"):
         index_maintaining_sink("a", "b", "c", kind="ivf")
+
+
+def test_index_sink_bm25_refuses_lsh_knobs(spark):
+    from dagster_delta_spark.streaming import index_maintaining_sink
+
+    with pytest.raises(ValueError, match="banding knobs"):
+        index_maintaining_sink("a", "b", "c", kind="bm25",
+                               num_hashes=128, bands=32)

@@ -34,37 +34,26 @@ def _stage_file(spark, df, root, rel):
     return dst
 
 
+# ONE spec encoding of the delta-io fixture log, shared with the
+# o_convert_from_delta entry and bench._cfd_setup
+import __spark_entry__ as _entry
+
+
 def _write_log(root, commits):
-    d = os.path.join(root, "_delta_log")
-    os.makedirs(d, exist_ok=True)
     for v, actions in enumerate(commits):
-        with open(os.path.join(d, f"{v:020d}.json"), "w") as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
+        _entry._write_delta_commit(root, v, actions)
 
 
 def _proto(mrv=1, mwv=2):
-    return {"protocol": {"minReaderVersion": mrv, "minWriterVersion": mwv}}
+    return _entry._delta_protocol_action(mrv, mwv)
 
 
 def _meta(spark, df, pcols=(), cfg=None):
-    return {"metaData": {
-        "id": "11111111-2222-3333-4444-555555555555",
-        "format": {"provider": "parquet", "options": {}},
-        "schemaString": df.schema.json(),
-        "partitionColumns": list(pcols),
-        "configuration": cfg or {},
-        "createdTime": 1700000000000,
-    }}
+    return _entry._delta_meta_action(df.schema.json(), pcols, cfg)
 
 
 def _add(root, rel, n, pv=None, extra_stats=None, **kw):
-    st = {"numRecords": n, **(extra_stats or {})}
-    d = {"path": rel, "partitionValues": pv or {}, "dataChange": True,
-         "size": os.path.getsize(os.path.join(root, rel)),
-         "modificationTime": 1700000000000,
-         "stats": json.dumps(st), **kw}
-    return {"add": d}
+    return _entry._delta_add_action(root, rel, n, pv, extra_stats, **kw)
 
 
 def _df(spark, lo, hi):
@@ -237,3 +226,138 @@ def test_dry_run(spark, tmp_path):
     assert res == {"dry_run": True, "num_files": 1, "num_rows": 4,
                    "partition_columns": [], "delta_version": 0}
     assert not DeltaSparkTable(spark, root).exists()
+
+
+def test_historically_removed_dv_and_abs_adds_convert(spark, tmp_path):
+    """Refusals fire on the SURVIVING head state, not historical
+    actions: a DV'd or absolute-path file that was since removed must
+    not permanently refuse the table."""
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 4), root, "f1.parquet")
+    _stage_file(spark, _df(spark, 4, 6), root, "f2.parquet")
+    _write_log(root, [
+        [_proto(), _meta(spark, _df(spark, 0, 1)),
+         _add(root, "f1.parquet", 4),
+         _add(root, "f2.parquet", 2,
+              deletionVector={"storageType": "u", "pathOrInlineDv": "x",
+                              "offset": 1, "sizeInBytes": 8,
+                              "cardinality": 1}),
+         {"add": {"path": "s3://bucket/gone.parquet",
+                  "partitionValues": {}, "size": 1,
+                  "modificationTime": 1, "dataChange": True,
+                  "stats": "{\"numRecords\": 1}"}}],
+        # the offenders leave; a clean re-add of f2 lands
+        [{"remove": {"path": "f2.parquet", "deletionTimestamp": 2,
+                     "dataChange": True}},
+         {"remove": {"path": "s3://bucket/gone.parquet",
+                     "deletionTimestamp": 2, "dataChange": True}},
+         _add(root, "f2.parquet", 2)],
+    ])
+    res = convert_from_delta(spark, root)
+    assert res["num_files"] == 2 and res["num_rows"] == 6
+    assert DeltaSparkTable(spark, root).read().count() == 6
+
+
+def test_delta_constraints_map_and_enforce(spark, tmp_path):
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 1, 5), root, "f1.parquet")
+    _write_log(root, [[
+        _proto(),
+        _meta(spark, _df(spark, 0, 1),
+              cfg={"delta.constraints.positive_a": "a > 0"}),
+        _add(root, "f1.parquet", 4),
+    ]])
+    convert_from_delta(spark, root)
+    t = DeltaSparkTable(spark, root)
+    props = t.describe_detail()["properties"]
+    assert props["dds.constraints.positive_a"] == "a > 0"
+    assert "delta.constraints.positive_a" not in props
+    from dagster_delta_spark import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError):
+        t.write(_df(spark, -3, -1), WriteMode.append)
+    t.write(_df(spark, 5, 7), WriteMode.append)  # valid rows land
+
+
+def test_writer_contract_refusals(spark, tmp_path):
+    def mk(root):
+        os.makedirs(root)
+        _stage_file(spark, _df(spark, 0, 4), root, "f1.parquet")
+
+    # unmappable writer FEATURE
+    r1 = str(tmp_path / "d1")
+    mk(r1)
+    p = _proto(mrv=1, mwv=7)
+    p["protocol"]["writerFeatures"] = ["appendOnly", "rowTracking"]
+    _write_log(r1, [[p, _meta(spark, _df(spark, 0, 1)),
+                     _add(r1, "f1.parquet", 4)]])
+    with pytest.raises(ValueError, match="rowTracking"):
+        convert_from_delta(spark, r1)
+
+    # mappable feature set passes
+    r2 = str(tmp_path / "d2")
+    mk(r2)
+    p2 = _proto(mrv=1, mwv=7)
+    p2["protocol"]["writerFeatures"] = ["appendOnly", "checkConstraints"]
+    _write_log(r2, [[p2, _meta(spark, _df(spark, 0, 1)),
+                     _add(r2, "f1.parquet", 4)]])
+    assert convert_from_delta(spark, r2)["num_rows"] == 4
+
+    # per-field writer metadata (invariant / generated / identity)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    for md, marker in (
+        ({"delta.invariants": '{"expression":{"expression":"a > 0"}}'},
+         "invariant"),
+        ({"delta.generationExpression": "a + 1"}, "generated"),
+        ({"delta.identity.start": 1}, "identity"),
+    ):
+        r = str(tmp_path / f"dm{marker}")
+        mk(r)
+        sch = StructType([StructField("a", LongType(), True, md)])
+        _write_log(r, [[
+            _proto(),
+            _entry._delta_meta_action(sch.json()),
+            _add(r, "f1.parquet", 4)]])
+        with pytest.raises(ValueError, match="field metadata"):
+            convert_from_delta(spark, r)
+
+    # foreign engine-namespace key
+    r3 = str(tmp_path / "d3")
+    mk(r3)
+    _write_log(r3, [[_proto(),
+                     _meta(spark, _df(spark, 0, 1),
+                           cfg={"dds.identityColumns": '{"a": {}}'}),
+                     _add(r3, "f1.parquet", 4)]])
+    with pytest.raises(ValueError, match="engine-namespace"):
+        convert_from_delta(spark, r3)
+
+
+def test_non_hive_layout_partitioned_refuses(spark, tmp_path):
+    """Delta makes log partitionValues authoritative; this engine's
+    reads recover partition columns from hive directories — a
+    partitioned table whose files don't encode them must refuse."""
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    data = spark.range(0, 3).selectExpr("id AS a")
+    _stage_file(spark, data, root, "flat-f1.parquet")  # no p=x/ dir
+    pdf = spark.range(0, 1).selectExpr("id AS a", "'x' AS p")
+    _write_log(root, [[
+        _proto(), _meta(spark, pdf, pcols=["p"]),
+        _add(root, "flat-f1.parquet", 3, pv={"p": "x"}),
+    ]])
+    with pytest.raises(ValueError, match="hive"):
+        convert_from_delta(spark, root)
+
+
+def test_stats_less_adds_fall_back_to_footers(spark, tmp_path):
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 4), root, "f1.parquet")
+    a = _add(root, "f1.parquet", 0)
+    del a["add"]["stats"]  # delta-rs can write stats-less adds
+    _write_log(root, [[_proto(), _meta(spark, _df(spark, 0, 1)), a]])
+    res = convert_from_delta(spark, root)
+    assert res["num_rows"] == 4  # counted from the parquet footer
