@@ -92,21 +92,48 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         # r10: a bloom index on the (never-renamed) key column rides
         # through every op — each staged rewrite rebuilds bitmaps, and
         # a point read through the probe must agree with the model.
-        # r12: odd trials START from a convert_to_table'd plain
+        # r12: trial % 3 == 1 STARTS from a convert_to_table'd plain
         # parquet directory (one version-0 commit over in-place files)
         # so CONVERT-then-DML/CDC/restore/vacuum interleavings get the
         # full sweep, not just the targeted integration tests.
-        if trial % 2 == 1:
+        # r13: trial % 3 == 2 starts from a convert_from_delta'd
+        # REAL-format Delta log (replayed adds; bloom set post-convert
+        # via set_properties — engine-namespace keys can't arrive
+        # through a foreign log) so converted-Delta tables take the
+        # same sweep.
+        if trial % 3 == 1:
             from dagster_delta_spark import convert_to_table
 
             sdf.coalesce(2).write.parquet(t.table_uri)
             convert_to_table(spark, t.table_uri, table_configuration={
                 "dds.bloomFilterColumns": '{"k": {}}'})
+        elif trial % 3 == 2:
+            import os as _os
+
+            import __spark_entry__ as entry
+            from dagster_delta_spark import convert_from_delta
+
+            _os.makedirs(t.table_uri, exist_ok=True)
+            entry._stage_landing_file(sdf, t.table_uri, "f0.parquet")
+            entry._write_delta_commit(t.table_uri, 0, [
+                entry._delta_protocol_action(),
+                entry._delta_meta_action(sdf.schema.json()),
+                entry._delta_add_action(t.table_uri, "f0.parquet",
+                                        len(pdf)),
+            ])
+            convert_from_delta(spark, t.table_uri)
+            t.set_properties({"dds.bloomFilterColumns": '{"k": {}}'})
         else:
             t.write(sdf, WriteMode.overwrite, table_configuration={
                 "dds.bloomFilterColumns": '{"k": {}}'})
         model = _apply_model(model, "overwrite", pdf)
         _snap()
+        if trial % 3 == 2:
+            # the delta start commits TWICE (convert v0 + the bloom
+            # set_properties v1) — hist indexes by version, so record
+            # the identical-contents v1 too or every later restore
+            # would rewind one version off
+            _snap()
 
         # >= 12 steps so trials cross the checkpoint interval (10
         # commits) and time travel exercises the parquet checkpoint +
