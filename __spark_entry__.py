@@ -3695,93 +3695,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verifies everything: an entry may sit past the cap only if
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
-    # that structurally cannot have one).  Round 13 window: the 8
-    # r9-recorded heads + 42 of the 50 r10-recorded entries — after
-    # r13 records land, the stalest cohort is the 8 deferred r10
+    # that structurally cannot have one).  Round 14 window: the 13
+    # r10-recorded heads + 37 of the 50 r11-recorded entries — after
+    # r14 records land, the stalest cohort is the 13 deferred r11
     # entries at the head of the tail.  Local gate for the whole
     # registry regardless of position: tools/check_oracles.py.
     return {
-        # -------- first 50: the round-13 recording window --------
-        # Record-freshness rotation (r13): the 8 entries whose
-        # newest committed record is CORRECTNESS_r09 lead, then
-        # 42 of the 50 r10-recorded entries.  8 + 42 = 50; the 8
-        # deferred r10 entries (winnow/strip spans, leakage splits,
-        # hybrid_search_indexed, identity merge, near-dup/embedding
-        # decontaminate) lead the r14 window.  NEW r13 entries
-        # displace the tail of the r10 section (displaced heads
-        # keep their committed r10 records).
-        "streaming_hourly_rollup": streaming_rollup,
-        "lang_id": textops.lang_id,
-        "token_stats": textops.token_stats,
-        "w2_append": w2_append,
-        "m1_update_only": m1_update_only,
-        "o_zorder_clustering": o_zorder_clustering,
-        "gopher_quality_filter": gopher_quality_filter,
-        "hybrid_search_rrf": similarity.hybrid_search_rrf,
-        "minhash_lsh_near_dups": minhash_lsh,
-        "minhash_cluster_keep": _minhash_cluster,
-        "ann_lsh_topk": ann_lsh,
-        "embedding_near_dups_lsh": _emb_neardup_lsh,
-        "simhash_near_dups": simhash_pairs,
-        "o_bloom_skipping": o_bloom_skipping,
-        "line_dedup_corpus": line_dedup_corpus,
-        "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
-        "o_replace_where": o_replace_where,
-        "o_auto_compact": o_auto_compact,
-        "kmeans_clusters": _kmeans_clusters,
-        "ann_ivf_topk": _ivf_ann,
-        "semantic_dedup": _semantic_dedup,
-        "ann_ivf_quantized_topk": _ivf_quantized,
-        "ann_ivf_pq_topk": _ivf_pq,
-        "ann_recall_report": _ann_recall,
-        "o_row_delete_restore": o_row_delete_restore,
-        "o_row_update": o_row_update,
-        "duplicate_components": graph.duplicate_components,
-        "dsir_importance_sample": curation.dsir_importance_sample,
-        "streaming_interval_join": _streaming_interval_join,
-        "streaming_sliding_rollup": _streaming_sliding_rollup,
-        "quality_balanced_prune": curation.quality_balanced_prune,
-        "o_clone_zero_copy": o_clone_zero_copy,
-        "bloom_decontaminate": curation.bloom_decontaminate,
-        "fuzzy_name_matches": fuzzy.fuzzy_name_matches,
-        "nb_classifier_scores": _nb_classifier,
-        "streaming_exactly_once_sink": _streaming_exactly_once_sink,
-        "dedup_exact": dedup.dedup_exact,
-        "pj1_projection": pj1_projection,
-        "o3_stats": o3_stats,
-        "near_dup_jaccard": dedup.near_dup_jaccard,
-        "order_lineitem_rollup": relational.order_lineitem_rollup,
-        "multimodal_video_pipeline": multimodal_video_pipeline,
-        "o_delete_dv": o_delete_dv,
-        "scrub_pii": curation.scrub_pii,
-        # NEW r13 (oracle-backed): CONVERT FROM DELTA — real delta-io
-        # log interop; displaced stratified_sample (green r10 record
-        # stands) to the tail
-        "o_convert_from_delta": o_convert_from_delta,
-        # NEW r13 (oracle-backed): protocol version / table-feature
-        # gate — future-format tables refuse pointedly; displaced
-        # assign_splits (green r10 record stands) to the tail
-        "o_protocol_versions": o_protocol_versions,
-        # NEW r13 (oracle-backed): dds.appendOnly DML/overwrite
-        # freeze; displaced chunk_documents (green r10 record
-        # stands) to the tail
-        "o_append_only": o_append_only,
-        # CHANGED r13 (timestamp restore now composes with a column-
-        # mapping rename) — re-demands a green row, rotated forward
-        # from the r12 tail; displaced cdc_read_changes (green r10
-        # record stands)
-        "s3_time_travel": s3_time_travel,
-        # NEW r13 (oracle-backed): the FOURTH CDC-maintained index
-        # family — BM25 postings; displaced unigram_quality (green
-        # r10 record stands) to the tail
-        "bm25_index_maintain": bm25_index_maintain,
-        # CHANGED r13 (sparse leg now reads the maintained postings
-        # index) — a changed entry re-demands a green row, so it
-        # rotates in; displaced streaming_table_source (green r10
-        # record stands)
-        "hybrid_search_indexed": hybrid_search_indexed,
-        # -------- past the cap: green/ok rows on committed ------
-        # -------- records (deferred r10 first, then r11, r12) ---
+        # -------- first 50: the round-14 recording window --------
+        # Record-freshness rotation (r14): the 13 entries whose
+        # newest committed record is CORRECTNESS_r10 lead, then 37
+        # of the 50 r11-recorded entries.  13 + 37 = 50; the 13
+        # deferred r11 entries (streaming_rollup_sink .. unimax)
+        # lead the r15 window.  NEW r14 entries displace the tail
+        # of the r11 section (displaced heads keep their committed
+        # r11 records).
         "unigram_quality": textops.unigram_quality,
         "streaming_table_source": streaming_table_source,
         "cdc_read_changes": cdc_read_changes,
@@ -3832,6 +3759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc_feed": streaming_cdc_feed,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
         "incremental_rollup_maintenance": incremental_rollup_maintenance,
+        # -------- past the cap: green/ok rows on committed ------
+        # -------- records (deferred r11 first, then r12, r13) ---
         "streaming_rollup_sink": streaming_rollup_sink,
         "w1_w4_error_ignore": w1_w4_error_ignore,
         "o_identity_columns": o_identity_columns,
@@ -3845,6 +3774,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_copy_into": o_copy_into,
         "o_log_cleanup": o_log_cleanup,
         "unimax_sample": curation.unimax_sample,
+        "streaming_hourly_rollup": streaming_rollup,
+        "lang_id": textops.lang_id,
+        "token_stats": textops.token_stats,
+        "w2_append": w2_append,
+        "m1_update_only": m1_update_only,
+        "o_zorder_clustering": o_zorder_clustering,
+        "gopher_quality_filter": gopher_quality_filter,
+        "hybrid_search_rrf": similarity.hybrid_search_rrf,
+        "minhash_lsh_near_dups": minhash_lsh,
+        "minhash_cluster_keep": _minhash_cluster,
+        "ann_lsh_topk": ann_lsh,
+        "embedding_near_dups_lsh": _emb_neardup_lsh,
+        "simhash_near_dups": simhash_pairs,
+        "o_bloom_skipping": o_bloom_skipping,
+        "line_dedup_corpus": line_dedup_corpus,
+        "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+        "o_replace_where": o_replace_where,
+        "o_auto_compact": o_auto_compact,
+        "kmeans_clusters": _kmeans_clusters,
+        "ann_ivf_topk": _ivf_ann,
+        "semantic_dedup": _semantic_dedup,
+        "ann_ivf_quantized_topk": _ivf_quantized,
+        "ann_ivf_pq_topk": _ivf_pq,
+        "ann_recall_report": _ann_recall,
+        "o_row_delete_restore": o_row_delete_restore,
+        "o_row_update": o_row_update,
+        "duplicate_components": graph.duplicate_components,
+        "dsir_importance_sample": curation.dsir_importance_sample,
+        "streaming_interval_join": _streaming_interval_join,
+        "streaming_sliding_rollup": _streaming_sliding_rollup,
+        "quality_balanced_prune": curation.quality_balanced_prune,
+        "o_clone_zero_copy": o_clone_zero_copy,
+        "bloom_decontaminate": curation.bloom_decontaminate,
+        "fuzzy_name_matches": fuzzy.fuzzy_name_matches,
+        "nb_classifier_scores": _nb_classifier,
+        "streaming_exactly_once_sink": _streaming_exactly_once_sink,
+        "dedup_exact": dedup.dedup_exact,
+        "pj1_projection": pj1_projection,
+        "o3_stats": o3_stats,
+        "near_dup_jaccard": dedup.near_dup_jaccard,
+        "order_lineitem_rollup": relational.order_lineitem_rollup,
+        "multimodal_video_pipeline": multimodal_video_pipeline,
+        "o_delete_dv": o_delete_dv,
+        "scrub_pii": curation.scrub_pii,
+        "o_convert_from_delta": o_convert_from_delta,
+        "o_protocol_versions": o_protocol_versions,
+        "o_append_only": o_append_only,
+        "s3_time_travel": s3_time_travel,
+        "bm25_index_maintain": bm25_index_maintain,
+        "hybrid_search_indexed": hybrid_search_indexed,
         "m4_replace_delete": m4_replace_delete,
         "w5_create_or_replace": w5_create_or_replace,
         "p2_timewindow_read": p2_timewindow_read,

@@ -291,7 +291,19 @@ def _split_row_changes(
     UPDATE's preimage and postimage share one commit; a pure DELETE
     commit carries no insert side, so nothing of that id survives).
     Ids with no delete-side rows pass through untouched, preserving
-    multiplicity for pure appends."""
+    multiplicity for pure appends.
+
+    UNIQUE-ID CONTRACT (r14): every CDC-maintained index family keys
+    deletions on ``id_col`` — ``_apply_index_deletions`` removes ALL
+    index rows of a deleted id, and the netting rule keeps only
+    post-delete insert-side rows.  A base table with DUPLICATE live
+    rows per id breaks both (a DV delete of ONE duplicate would
+    silently evict the survivors from the index).  Rather than trust
+    the contract blindly, folds with a non-empty delete side verify
+    it: for each touched id, the post-netting insert-side count must
+    equal the id's live multiplicity at ``head`` (a semi-join-pruned
+    scan of just those ids).  A mismatch raises — rebuild the index;
+    the base table needs unique ids to be index-maintainable."""
     delta = base.read_changes(v0, head, row_level=True).localCheckpoint(
         eager=True)
     ins = delta.where(
@@ -307,7 +319,49 @@ def _split_row_changes(
                    | (F.col("_commit_version") >= F.col("__last_del_v")))
             .drop("__last_del_v")
         )
+        _verify_unique_id_contract(base, head, ins, dels, id_col)
     return ins, dels
+
+
+def _verify_unique_id_contract(
+    base: DeltaSparkTable, head: int,
+    ins: DataFrame, dels: DataFrame, id_col: str,
+) -> None:
+    """Refuse a fold that would mis-index a duplicate-id base (see
+    the unique-id contract in ``_split_row_changes``).  Invariant:
+    after the fold, an id touched by a delete-side row holds exactly
+    its post-netting insert-side rows in the index — so that count
+    must equal the id's live multiplicity at ``head``.  Unique-id
+    bases always satisfy this (pure delete → 0/0, DV update → 1/1,
+    insert-then-delete in one window → 0/0); a partially-deleted
+    duplicate id fails it.  Cost: one scan of the base pruned to the
+    touched ids (semi join → stats/bloom skipping applies), only on
+    folds that saw deletions."""
+    touched = dels.select(id_col).distinct()
+    if touched.isEmpty():
+        return
+    live = (
+        base.read(version=head).join(touched, id_col, "semi")
+        .groupBy(id_col).agg(F.count("*").alias("__live"))
+    )
+    fold = (
+        ins.join(touched, id_col, "semi")
+        .groupBy(id_col).agg(F.count("*").alias("__fold"))
+    )
+    bad = (
+        live.join(fold, id_col, "full")
+        .where(F.coalesce(F.col("__live"), F.lit(0))
+               != F.coalesce(F.col("__fold"), F.lit(0)))
+        .limit(3).collect()
+    )
+    if bad:
+        raise ValueError(
+            "index maintenance requires unique ids: id(s) "
+            f"{[r[0] for r in bad]} in {base.table_uri} have live "
+            "multiplicity != the window's foldable rows (a DV DELETE/"
+            "UPDATE touched one of several duplicate rows per id).  "
+            "Deduplicate the base or rebuild the index from scratch"
+        )
 
 
 def _apply_index_deletions(

@@ -3366,6 +3366,13 @@ class DeltaSparkTable:
         sink is not the place for silent evolution)."""
         exists = self.exists()
         snap = self.snapshot() if exists else None
+        if snap is not None:
+            # writer-protocol gate BEFORE staging (the pre-staging-
+            # validation rule every other data-writing path follows):
+            # a future-writer table must refuse up front, not strand a
+            # full micro-batch file set per replay until vacuum.
+            # tablelog.commit re-checks at publish time as backstop.
+            tablelog.check_write_support(snap.protocol, self.table_uri)
         if (snap is not None
                 and snap.app_versions.get(app_id, -1) >= batch_version):
             return {"version": snap.version, "skipped": True,
@@ -5038,7 +5045,12 @@ def convert_from_delta(
     What carries over: the schema (Delta's ``schemaString`` IS the
     Spark StructType JSON this engine stores), partition columns and
     values, ``delta.appendOnly`` (mapped to ``dds.appendOnly``), the
-    remaining configuration keys verbatim (inert provenance),
+    remaining configuration keys verbatim (inert provenance) EXCEPT
+    behavior-claiming ones — ``delta.enableChangeDataFeed``,
+    ``delta.enableDeletionVectors``, ``delta.autoOptimize.*`` are
+    STRIPPED (this engine does not run that machinery; carrying the
+    claim would misdescribe the table) and reported in the result's
+    ``dropped_configuration``,
     SetTransaction app versions (streaming exactly-once ledgers
     resume), and per-file stats SANITIZED for pruning soundness:
     numRecords and nullCount always; minValues/maxValues only for
@@ -5167,6 +5179,20 @@ def convert_from_delta(
     for k in [k for k in cfg if k.startswith("delta.constraints.")]:
         cfg[_CONSTRAINT_PREFIX + k[len("delta.constraints."):]] = \
             cfg.pop(k)
+    # BEHAVIOR-CLAIMING delta.* keys describe machinery this engine
+    # does not run (no _change_data is written here, no Delta
+    # auto-optimize service fires) — carrying them verbatim would
+    # misdescribe the converted table's behavior to anyone reading
+    # describe_detail.  Strip them and report what was dropped; the
+    # engine's own equivalents (row-level CDC is always derivable,
+    # dds.autoCompact/dds.optimizeWrite) are opt-in via
+    # set_properties, which runs the right validation.
+    dropped_cfg = {
+        k: cfg.pop(k) for k in sorted(cfg)
+        if k in ("delta.enableChangeDataFeed",
+                 "delta.enableDeletionVectors")
+        or k.startswith("delta.autoOptimize.")
+    }
 
     # stats sanitation: keep min/max only where both engines render
     # values identically (see docstring)
@@ -5191,6 +5217,19 @@ def convert_from_delta(
                 f"live add path {a['path']!r} is absolute (shallow "
                 "clone?); only table-relative files convert")
         if not os.path.isfile(os.path.join(root, rel)):
+            # the spec says add paths are URL-encoded (we unquote
+            # above); a nonconforming writer that stored raw paths
+            # with literal %XX sequences would land here — check the
+            # RAW path so the error names the actual cause instead
+            # of a misleading "vacuumed?"
+            if rel != a["path"] and os.path.isfile(
+                    os.path.join(root, a["path"])):
+                raise ValueError(
+                    f"add path {a['path']!r} exists on disk verbatim "
+                    "but not URL-decoded — the writer did not "
+                    "URL-encode its paths as the Delta spec requires; "
+                    "this engine cannot disambiguate literal %XX "
+                    "sequences, refuse rather than guess")
             raise FileNotFoundError(
                 f"Delta log references {rel!r} but the file is gone "
                 f"(vacuumed?); the converted table would be unreadable")
@@ -5215,7 +5254,9 @@ def convert_from_delta(
                 f"{pv} as hive {'/'.join(c + '=...' for c in pcols)} "
                 "directories; this engine's reads recover partition "
                 "columns from the directory layout — rewrite through "
-                "a hive-layout writer first")
+                "a hive-layout writer first.  (If the values contain "
+                "literal %XX sequences, a non-URL-encoding writer may "
+                "be the cause — the spec requires encoded paths)")
 
     # numRecords: from the log's stats where present; files without
     # stats fall back to a parquet footer read — batched through a
@@ -5282,6 +5323,7 @@ def convert_from_delta(
             "num_rows": total_rows,
             "partition_columns": pcols,
             "delta_version": versions[-1],
+            "dropped_configuration": dropped_cfg,
         }
     meta = Metadata(
         schema_json=schema.json(),
@@ -5319,4 +5361,5 @@ def convert_from_delta(
         "num_rows": total_rows,
         "partition_columns": pcols,
         "delta_version": versions[-1],
+        "dropped_configuration": dropped_cfg,
     }

@@ -795,6 +795,15 @@ def commit(
     how open-source Delta commits on those stores too.  Raises
     :class:`VersionConflictError` for the optimistic-retry loop in
     ``table.py``.
+
+    GATE CONTRACT: the writer-protocol gate and the version-0 protocol
+    stamp run ONLY when ``snapshot_after`` is provided.  Every
+    table-layer commit path passes it; a ``snapshot_after=None`` call
+    is the deliberate low-level escape hatch (protocol-upgrade tooling
+    and tests crafting future-format tables use it) and BYPASSES both.
+    New callers committing data actions MUST pass ``snapshot_after``
+    — without it the commit neither refuses future-writer tables nor
+    stamps a protocol on version 0.
     """
     if snapshot_after is not None:
         if version == 0 and not any("protocol" in a for a in actions):
