@@ -242,6 +242,73 @@ def _write_delta_commit(root: str, version: int, actions) -> None:
             fh.write(_json.dumps(a) + "\n")
 
 
+def _write_delta_checkpoint(root: str, version: int, actions) -> None:
+    """Spec-shaped CLASSIC single-part checkpoint parquet (one action
+    per row, map-typed partitionValues/configuration exactly like real
+    Delta checkpoints) + the ``_last_checkpoint`` pointer — the ONE
+    fixture encoding shared by the o_convert_delta_checkpoint entry,
+    bench and tests (same rule as _delta_*_action)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    dv_t = _pa.struct([
+        ("storageType", _pa.string()), ("pathOrInlineDv", _pa.string()),
+        ("offset", _pa.int32()), ("sizeInBytes", _pa.int32()),
+        ("cardinality", _pa.int64())])
+    schema = _pa.schema([
+        ("protocol", _pa.struct([
+            ("minReaderVersion", _pa.int32()),
+            ("minWriterVersion", _pa.int32()),
+            ("readerFeatures", _pa.list_(_pa.string())),
+            ("writerFeatures", _pa.list_(_pa.string()))])),
+        ("metaData", _pa.struct([
+            ("id", _pa.string()),
+            ("format", _pa.struct([("provider", _pa.string())])),
+            ("schemaString", _pa.string()),
+            ("partitionColumns", _pa.list_(_pa.string())),
+            ("configuration", _pa.map_(_pa.string(), _pa.string())),
+            ("createdTime", _pa.int64())])),
+        ("add", _pa.struct([
+            ("path", _pa.string()),
+            ("partitionValues", _pa.map_(_pa.string(), _pa.string())),
+            ("size", _pa.int64()), ("modificationTime", _pa.int64()),
+            ("dataChange", _pa.bool_()), ("stats", _pa.string()),
+            ("deletionVector", dv_t)])),
+        ("remove", _pa.struct([
+            ("path", _pa.string()), ("deletionTimestamp", _pa.int64()),
+            ("dataChange", _pa.bool_())])),
+        ("txn", _pa.struct([
+            ("appId", _pa.string()), ("version", _pa.int64())])),
+    ])
+    rows = []
+    for action in actions:
+        row: dict = {k: None for k in
+                     ("protocol", "metaData", "add", "remove", "txn")}
+        ((kind, payload),) = action.items()
+        payload = dict(payload)
+        if kind == "add":
+            payload.setdefault("stats", None)
+            payload.setdefault("deletionVector", None)
+            payload["partitionValues"] = sorted(
+                (payload.get("partitionValues") or {}).items())
+        if kind == "metaData":
+            payload["configuration"] = sorted(
+                (payload.get("configuration") or {}).items())
+            payload["format"] = {"provider": "parquet"}
+        row[kind] = payload
+        rows.append(row)
+    d = _os.path.join(root, "_delta_log")
+    _os.makedirs(d, exist_ok=True)
+    _pq.write_table(
+        _pa.Table.from_pylist(rows, schema=schema),
+        _os.path.join(d, f"{version:020d}.checkpoint.parquet"))
+    with open(_os.path.join(d, "_last_checkpoint"), "w") as fh:
+        _json.dump({"version": version, "size": len(actions)}, fh)
+
+
 def _bm25_query_values() -> str:
     """Render textops.BM25_QUERIES as a DuckDB VALUES list of distinct
     (qid, term) rows — the same derivation bm25_search applies."""
@@ -1048,9 +1115,12 @@ def o_convert_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("version-0 time travel lost the "
                              "converted state")
 
-    # guard 1 + 2: future-reader and DV logs refuse
+    # guard 1 + 2: future-reader and corrupted-DV logs refuse (r14:
+    # reader versions 2-3 with columnMapping/deletionVectors features
+    # now CONVERT — see o_convert_delta_colmap / o_convert_delta_dv —
+    # so the refusal guards moved to version 4 and a broken DV)
     for broken, marker in (
-        ({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        ({"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}},
          "minReaderVersion"),
         ({"add": {"path": "part-f1.parquet", "partitionValues": {},
                   "dataChange": True, "size": 1,

@@ -27,6 +27,7 @@ from .table import (
     DeltaSparkTable,
     convert_from_delta,
     convert_to_table,
+    export_delta_log,
     MergeMultipleMatchesError,
     ConstraintViolationError,
     SchemaMismatchError,
@@ -40,6 +41,7 @@ __all__ = [
     "DeltaSparkTable",
     "convert_from_delta",
     "convert_to_table",
+    "export_delta_log",
     "GcsConfig",
     "LocalConfig",
     "MergeConfig",

@@ -1,0 +1,470 @@
+"""Public delta-io protocol interop primitives.
+
+Everything in this module implements PUBLIC specifications so
+``convert_from_delta`` / ``export_delta_log`` can exchange tables with
+real Delta Lake writers (delta-rs — what the reference I/O manager
+uses, dd/dagster_delta/handler.py:23-27 — and delta-spark):
+
+- **Z85** (ZeroMQ base85, the alphabet Delta's spec mandates for
+  deletion-vector encoding) — RFC-less but frozen in the delta-io
+  PROTOCOL.md "Deletion Vector Format" section.
+- **32-bit RoaringBitmap portable serialization** (the public
+  RoaringFormatSpec: cookie 12346/12347, descriptive header, array /
+  bitset / run containers) and Delta's **RoaringBitmapArray
+  "portable" format** on top (magic 1681511377, 8-byte count,
+  implicit keys).
+- **Deletion-vector descriptors** (storageType ``i``/``u``/``p``,
+  offset/sizeInBytes/cardinality, the 1-byte-version + 4-byte-BE-size
+  + CRC32 on-disk framing).
+- **Classic single-part checkpoint parquet** reading (one row per
+  action; ``_last_checkpoint`` pointer) via pyarrow.
+
+Decoders VERIFY everything the spec lets them verify (magic, CRC,
+cardinality, version byte) and raise :class:`DeltaInteropError`
+pointedly — a convert must never silently resurrect masked rows.
+Encoders exist so fixtures/tests and the export path can produce
+spec-conformant bytes; the decode side round-trips them, which is the
+strongest interop proof available in this sandbox (no network, no
+delta-rs package).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+import zlib
+from typing import Any, Optional
+
+__all__ = [
+    "DeltaInteropError",
+    "z85_encode",
+    "z85_decode",
+    "serialize_roaring_array",
+    "deserialize_roaring_array",
+    "decode_deletion_vector",
+    "inline_dv_descriptor",
+    "write_dv_file",
+    "find_classic_checkpoint",
+    "read_checkpoint_actions",
+]
+
+
+class DeltaInteropError(ValueError):
+    """A Delta artifact this engine cannot decode safely."""
+
+
+# ---------------------------------------------------------------------------
+# Z85 (ZeroMQ base85) — the alphabet the Delta spec fixes for DVs
+# ---------------------------------------------------------------------------
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def z85_encode(data: bytes) -> str:
+    """Z85-encode ``data``; zero-pads to a 4-byte multiple as Delta's
+    DV writers do (consumers slice back via ``sizeInBytes``)."""
+    if len(data) % 4:
+        data = data + b"\x00" * (4 - len(data) % 4)
+    out: list[str] = []
+    for i in range(0, len(data), 4):
+        (word,) = struct.unpack(">I", data[i:i + 4])
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_CHARS[word % 85])
+            word //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise DeltaInteropError(
+            f"Z85 payload length {len(text)} is not a multiple of 5 — "
+            "not a spec-conformant deletion-vector encoding")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        word = 0
+        for ch in text[i:i + 5]:
+            if ch not in _Z85_INDEX:
+                raise DeltaInteropError(
+                    f"character {ch!r} is outside the Z85 alphabet")
+            word = word * 85 + _Z85_INDEX[ch]
+        if word > 0xFFFFFFFF:
+            raise DeltaInteropError("Z85 quintet overflows 32 bits")
+        out += struct.pack(">I", word)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# 32-bit RoaringBitmap portable serialization (RoaringFormatSpec)
+# ---------------------------------------------------------------------------
+
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+_NO_OFFSET_THRESHOLD = 4
+_ARRAY_MAX = 4096
+
+
+def _serialize_roaring32(values: list[int]) -> bytes:
+    """Serialize sorted distinct uint32 values.  Emits the
+    no-run-container layout (cookie 12346) with array or bitset
+    containers — every spec-conformant reader accepts it."""
+    containers: dict[int, list[int]] = {}
+    for v in values:
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    n = len(keys)
+    body = bytearray()
+    body += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+    for k in keys:
+        body += struct.pack("<HH", k, len(containers[k]) - 1)
+    # offset header (always present for cookie 12346)
+    off = len(body) + 4 * n
+    sizes = []
+    for k in keys:
+        card = len(containers[k])
+        sizes.append(2 * card if card <= _ARRAY_MAX else 8192)
+    for sz in sizes:
+        body += struct.pack("<I", off)
+        off += sz
+    for k in keys:
+        vals = containers[k]
+        if len(vals) <= _ARRAY_MAX:
+            body += struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            bits = bytearray(8192)
+            for v in vals:
+                bits[v >> 3] |= 1 << (v & 7)
+            body += bits
+    return bytes(body)
+
+
+def _deserialize_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """Decode one 32-bit roaring bitmap at ``pos``; returns (sorted
+    values, next position).  Handles all three container types and
+    both cookies."""
+    if pos + 4 > len(buf):
+        raise DeltaInteropError("roaring bitmap truncated (cookie)")
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    run_flags = b""
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        flag_bytes = (n + 7) // 8
+        run_flags = buf[pos:pos + flag_bytes]
+        if len(run_flags) != flag_bytes:
+            raise DeltaInteropError("roaring bitmap truncated (run flags)")
+        pos += flag_bytes
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+    else:
+        raise DeltaInteropError(
+            f"unknown roaring serialization cookie {cookie}")
+    keys: list[int] = []
+    cards: list[int] = []
+    for _ in range(n):
+        k, cm1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        keys.append(k)
+        cards.append(cm1 + 1)
+    has_offsets = (cookie == _SERIAL_COOKIE_NO_RUN
+                   or n >= _NO_OFFSET_THRESHOLD)
+    if has_offsets:
+        pos += 4 * n  # offsets are an optimization; sequential read
+    values: list[int] = []
+    for i in range(n):
+        base = keys[i] << 16
+        is_run = bool(run_flags and (run_flags[i >> 3] >> (i & 7)) & 1)
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(base + start + j for j in range(length + 1))
+        elif cards[i] > _ARRAY_MAX:
+            bits = buf[pos:pos + 8192]
+            if len(bits) != 8192:
+                raise DeltaInteropError(
+                    "roaring bitmap truncated (bitset container)")
+            pos += 8192
+            for byte_i, b in enumerate(bits):
+                while b:
+                    low = b & -b
+                    values.append(base + (byte_i << 3)
+                                  + low.bit_length() - 1)
+                    b ^= low
+        else:
+            vals = struct.unpack_from(f"<{cards[i]}H", buf, pos)
+            pos += 2 * cards[i]
+            values.extend(base + v for v in vals)
+    return values, pos
+
+
+_DV_MAGIC = 1681511377
+
+
+def serialize_roaring_array(indexes: list[int]) -> bytes:
+    """Delta's portable RoaringBitmapArray: 64-bit row indexes split
+    into high-32 bitmap key (implicit, by array position) and low-32
+    bitmap value.  Empty bitmaps fill key gaps per spec."""
+    if any(i < 0 for i in indexes):
+        raise DeltaInteropError("row indexes must be non-negative")
+    by_key: dict[int, list[int]] = {}
+    for i in sorted(set(indexes)):
+        by_key.setdefault(i >> 32, []).append(i & 0xFFFFFFFF)
+    n = (max(by_key) + 1) if by_key else 0
+    out = bytearray(struct.pack("<iq", _DV_MAGIC, n))
+    for k in range(n):
+        out += _serialize_roaring32(by_key.get(k, []))
+    return bytes(out)
+
+
+def deserialize_roaring_array(data: bytes) -> list[int]:
+    if len(data) < 12:
+        raise DeltaInteropError(
+            f"deletion vector payload is {len(data)} bytes — shorter "
+            "than the magic + count header")
+    magic, n = struct.unpack_from("<iq", data, 0)
+    if magic != _DV_MAGIC:
+        raise DeltaInteropError(
+            f"deletion vector magic number {magic} != {_DV_MAGIC} — "
+            "not Delta's portable RoaringBitmapArray format")
+    if n < 0 or n > 1 << 31:
+        raise DeltaInteropError(f"implausible bitmap count {n}")
+    pos = 12
+    values: list[int] = []
+    for key in range(n):
+        vals, pos = _deserialize_roaring32(data, pos)
+        values.extend((key << 32) + v for v in vals)
+    return values
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector descriptors + on-disk framing
+# ---------------------------------------------------------------------------
+
+
+def _dv_file_path(root: str, path_or_inline: str) -> str:
+    """Resolve a storageType='u' descriptor: the LAST 20 chars are the
+    Z85-encoded 16-byte UUID, anything before is a directory prefix."""
+    if len(path_or_inline) < 20:
+        raise DeltaInteropError(
+            f"pathOrInlineDv {path_or_inline!r} too short for an "
+            "encoded UUID")
+    import uuid as _uuid
+
+    prefix, enc = path_or_inline[:-20], path_or_inline[-20:]
+    raw = z85_decode(enc)[:16]
+    name = f"deletion_vector_{_uuid.UUID(bytes=raw)}.bin"
+    return os.path.join(root, prefix, name) if prefix else os.path.join(
+        root, name)
+
+
+def decode_deletion_vector(root: str, dv: dict[str, Any]) -> list[int]:
+    """Masked row indexes (sorted) from a Delta ``deletionVector``
+    descriptor.  Verifies the file version byte, the 4-byte big-endian
+    size prefix against ``sizeInBytes``, the CRC-32 trailer, and the
+    decoded cardinality against ``cardinality`` — a mismatch anywhere
+    refuses rather than resurrecting or over-masking rows."""
+    st = dv.get("storageType")
+    size = int(dv.get("sizeInBytes", -1))
+    card = int(dv.get("cardinality", -1))
+    if st == "i":
+        data = z85_decode(dv["pathOrInlineDv"])
+        if size > len(data) or size < 0:
+            raise DeltaInteropError(
+                f"inline DV sizeInBytes={size} exceeds the decoded "
+                f"payload ({len(data)} bytes)")
+        data = data[:size]
+    elif st in ("u", "p"):
+        fpath = (dv["pathOrInlineDv"][len("file://"):]
+                 if str(dv["pathOrInlineDv"]).startswith("file://")
+                 else dv["pathOrInlineDv"])
+        if st == "u":
+            fpath = _dv_file_path(root, dv["pathOrInlineDv"])
+        if not os.path.isfile(fpath):
+            raise DeltaInteropError(
+                f"deletion-vector file {fpath!r} is missing")
+        with open(fpath, "rb") as f:
+            blob = f.read()
+        if not blob or blob[0] != 1:
+            raise DeltaInteropError(
+                f"DV file {fpath!r} has format version "
+                f"{blob[0] if blob else '<empty>'}; only version 1 is "
+                "specified")
+        off = int(dv.get("offset") or 0)
+        if off + 8 > len(blob):
+            raise DeltaInteropError(
+                f"DV offset {off} is outside {fpath!r}")
+        (dsize,) = struct.unpack_from(">I", blob, off)
+        if dsize != size:
+            raise DeltaInteropError(
+                f"DV size prefix {dsize} != descriptor sizeInBytes "
+                f"{size} at offset {off} of {fpath!r}")
+        data = blob[off + 4:off + 4 + dsize]
+        if len(data) != dsize:
+            raise DeltaInteropError(f"DV data truncated in {fpath!r}")
+        (crc,) = struct.unpack_from(">I", blob, off + 4 + dsize)
+        if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+            raise DeltaInteropError(
+                f"DV checksum mismatch in {fpath!r} — corrupted "
+                "deletion vector")
+    else:
+        raise DeltaInteropError(
+            f"deletion-vector storageType {st!r} is not in the spec "
+            "(i=inline, u=relative file, p=absolute file)")
+    values = deserialize_roaring_array(data)
+    if card >= 0 and len(values) != card:
+        raise DeltaInteropError(
+            f"decoded DV cardinality {len(values)} != descriptor "
+            f"cardinality {card}")
+    return values
+
+
+def inline_dv_descriptor(indexes: list[int]) -> dict[str, Any]:
+    """Spec-conformant inline (storageType='i') descriptor for
+    fixtures and tests."""
+    data = serialize_roaring_array(indexes)
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data),
+        "offset": None,
+        "sizeInBytes": len(data),
+        "cardinality": len(set(indexes)),
+    }
+
+
+def write_dv_file(root: str, indexes: list[int],
+                  prefix: str = "") -> dict[str, Any]:
+    """Write a storageType='u' DV file under ``root`` and return its
+    descriptor (fixture-side twin of :func:`decode_deletion_vector`)."""
+    import uuid as _uuid
+
+    u = _uuid.uuid4()
+    data = serialize_roaring_array(indexes)
+    blob = (b"\x01" + struct.pack(">I", len(data)) + data
+            + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    d = os.path.join(root, prefix) if prefix else root
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"deletion_vector_{u}.bin"), "wb") as f:
+        f.write(blob)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": prefix + z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(set(indexes)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Classic checkpoint parquet
+# ---------------------------------------------------------------------------
+
+_CLASSIC_CP = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_MULTIPART_CP = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+_V2_CP = re.compile(r"^(\d{20})\.checkpoint\.[0-9a-zA-Z-]+\.(parquet|json)$")
+
+
+def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, str]]:
+    """Newest decodable checkpoint under ``dlog``: (version, file
+    path) for a classic single-part checkpoint, honoring the
+    ``_last_checkpoint`` pointer when present.  Multi-part and v2
+    (UUID-named) checkpoints refuse pointedly — silently skipping
+    them could replay from an older state a cleaned log no longer
+    completes."""
+    names = os.listdir(dlog)
+    classic = {int(m.group(1)): n for n in names
+               for m in [_CLASSIC_CP.match(n)] if m}
+    multi = sorted({int(m.group(1)) for n in names
+                    for m in [_MULTIPART_CP.match(n)] if m})
+    v2 = sorted({int(m.group(1)) for n in names
+                 for m in [_V2_CP.match(n)]
+                 if m and not _MULTIPART_CP.match(n)})
+    last = os.path.join(dlog, "_last_checkpoint")
+    pointer: Optional[int] = None
+    if os.path.isfile(last):
+        with open(last, encoding="utf-8") as f:
+            lc = json.load(f)
+        pointer = int(lc["version"])
+        if lc.get("parts"):
+            raise DeltaInteropError(
+                f"_last_checkpoint points at a {lc['parts']}-part "
+                "multi-part checkpoint; only classic single-part "
+                "checkpoints are supported — re-checkpoint with "
+                "delta.checkpoint.writeStatsAsStruct defaults or "
+                "convert from a JSON-complete log")
+    best = max(classic) if classic else None
+    if pointer is not None and pointer in classic:
+        best = pointer
+    if best is None:
+        if multi:
+            raise DeltaInteropError(
+                f"only multi-part checkpoint(s) at version(s) "
+                f"{multi} found; multi-part replay is not supported")
+        if v2:
+            raise DeltaInteropError(
+                f"only v2 (UUID-named) checkpoint(s) at version(s) "
+                f"{v2} found; v2 checkpoint replay is not supported")
+        return None
+    return best, os.path.join(dlog, classic[best])
+
+
+def _plain(value: Any) -> Any:
+    """pyarrow row scalars → JSON-shaped values: MapArray rows arrive
+    as [(k, v), ...] — fold to dict; structs arrive as dicts already."""
+    if isinstance(value, list) and value and all(
+            isinstance(t, tuple) and len(t) == 2 for t in value):
+        return {k: _plain(v) for k, v in value}
+    if isinstance(value, dict):
+        return {k: _plain(v) for k, v in value.items()}
+    return value
+
+
+def read_checkpoint_actions(path: str) -> list[dict[str, Any]]:
+    """Decode a classic checkpoint parquet into the same action dicts
+    a JSON commit holds (one non-null action struct per row).  Parsed
+    convenience columns (``stats_parsed`` / ``partitionValues_parsed``)
+    and ``commitInfo``/``domainMetadata`` rows are ignored — the JSON
+    fields carry the canonical state."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    cols = [c for c in ("protocol", "metaData", "add", "remove", "txn")
+            if c in tbl.column_names]
+    if not cols:
+        raise DeltaInteropError(
+            f"checkpoint {path!r} has none of the action columns "
+            "(protocol/metaData/add/remove/txn)")
+    actions: list[dict[str, Any]] = []
+    rows = tbl.select(cols).to_pylist()
+    for row in rows:
+        present = [(c, row[c]) for c in cols if row[c] is not None]
+        if len(present) > 1:
+            raise DeltaInteropError(
+                f"checkpoint row carries {len(present)} actions "
+                f"({[c for c, _ in present]}); the spec requires "
+                "exactly one per row")
+        if present:
+            c, v = present[0]
+            v = _plain(v)
+            if c == "add":
+                # checkpoints may carry struct-typed stats_parsed
+                # INSIDE add (writeStatsAsStruct) — drop non-spec
+                # subfields; 'stats' stays the canonical JSON string
+                v = {k: val for k, val in v.items()
+                     if k in ("path", "partitionValues", "size",
+                              "modificationTime", "dataChange",
+                              "stats", "tags", "deletionVector",
+                              "baseRowId", "defaultRowCommitVersion",
+                              "clusteringProvider")}
+            actions.append({c: v})
+    return actions

@@ -31,7 +31,7 @@ import re
 import shutil
 import time
 import uuid
-from datetime import date, datetime
+from datetime import date, datetime, timedelta
 from functools import lru_cache
 from decimal import Decimal
 from typing import Any, Optional, Sequence
@@ -40,6 +40,7 @@ from urllib.parse import unquote
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     ByteType,
     DataType,
@@ -59,7 +60,7 @@ from pyspark.sql.types import (
 
 from .config import MergeConfig, MergeType, SchemaMode, WriteMode
 from .plans.predicates import DnfFilter, dnf_to_column, dnf_to_sql
-from . import tablelog
+from . import delta_interop, tablelog
 from .tablelog import (
     AddFile,
     CommitInfo,
@@ -171,6 +172,10 @@ def _coerce_dnf_literal(value: Any, dtype: DataType) -> Any:
 #: metadata commit, and concurrent writers stay consistent because
 #: they stage against physicals that no rename can move.
 _COLMAP_KEY = "dds.columnMapping"
+#: Delta reader features this engine can decode on convert_from_delta
+#: (columnMapping -> dds.columnMapping; deletionVectors -> sidecar
+#: masks via delta_interop).  Everything else refuses pointedly.
+_DELTA_READER_FEATURES = {"columnMapping", "deletionVectors"}
 #: JSON list of physical names RESERVED by dropped columns — a
 #: re-added column of the same logical name must get a fresh physical
 #: or it would silently resurrect the dropped column's old file data.
@@ -4373,8 +4378,12 @@ class DeltaSparkTable:
             groups.setdefault(key, []).append(a)
         to_rewrite = []
         for _key, files in groups.items():
-            small = [f for f in files if f.size < target_file_size // 2]
-            if len(small) > 1:
+            # DV-masked files always qualify (Delta OPTIMIZE parity:
+            # compaction is how merge-on-read masks leave the table —
+            # a LONE masked file must still compact)
+            small = [f for f in files
+                     if f.size < target_file_size // 2 or f.dv_path]
+            if len(small) > 1 or any(f.dv_path for f in small):
                 to_rewrite.extend(small)
         if not to_rewrite:
             return {"rewritten_files": 0, "version": snap.version}
@@ -5027,18 +5036,29 @@ def convert_from_delta(
     of the reference can point this engine at their existing Delta
     tables and keep querying.
 
+    r14 widened the decodable surface (delta_interop.py implements the
+    public spec bits): CLASSIC CHECKPOINT REPLAY (a log whose early
+    JSON commits aged out replays ``_last_checkpoint`` + the
+    checkpoint parquet + the contiguous JSON tail — the common aged
+    delta-rs table), DELETION VECTORS (the roaring-bitmap DV decodes
+    — Z85 inline and on-disk framings, CRC/cardinality verified —
+    into this engine's own sidecar masks; masked rows stay masked),
+    and COLUMN MAPPING mode=name (physical names translate into
+    ``dds.columnMapping``), plus date/timestamp stats re-rendering.
+
     Honest scope (refusals are pointed, never silent):
 
-    - JSON-tail logs only — a log whose version-0 commit was cleaned
-      up (checkpoint-only replay) refuses; read it with a Delta
-      reader and re-land, or convert before log cleanup.
-    - ``minReaderVersion`` must be 1.  Version 2 (column mapping —
-      physical names hide in schema field metadata this engine does
-      not decode) and version 3+ (feature tables) refuse, as does an
-      explicit ``delta.columnMapping.mode`` in the configuration.
-    - adds carrying ``deletionVector`` refuse (Delta's roaring-bitmap
-      DV encoding is not this engine's sidecar format; a silent
-      convert would resurrect every masked row).
+    - multi-part and v2 (UUID-named) checkpoints refuse; a JSON tail
+      that is contiguous neither from version 0 nor from a classic
+      checkpoint refuses.
+    - ``minReaderVersion`` ≤ 3 with reader features ⊆ {columnMapping,
+      deletionVectors}; anything newer refuses.
+    - ``delta.columnMapping.mode='id'`` refuses (parquet-field-id
+      resolution), as do column-mapped tables with partition columns
+      or nested types, and physical-name field metadata without
+      mode=name.
+    - corrupted deletion vectors (bad magic / CRC / cardinality /
+      out-of-range row index) refuse.
     - absolute/URI add paths (shallow clones) refuse; every relative
       add must exist on disk under ``path``.
 
@@ -5076,42 +5096,75 @@ def convert_from_delta(
     versions = sorted(
         int(n[:-5]) for n in os.listdir(dlog)
         if n.endswith(".json") and n[:-5].isdigit())
-    if not versions:
-        raise ValueError(f"no JSON commits under {dlog!r}")
-    if versions[0] != 0 or versions != list(range(len(versions))):
-        raise ValueError(
-            f"Delta log under {dlog!r} is not a contiguous JSON tail "
-            f"from version 0 (found {versions[:3]}...); checkpoint-"
-            "only replay is not supported — convert before log "
-            "cleanup, or re-land through a Delta reader")
+    json_complete = bool(versions) and versions[0] == 0 and \
+        versions == list(range(len(versions)))
+    # replay plan: either the full JSON log from version 0, or a
+    # classic single-part CHECKPOINT plus the contiguous JSON tail
+    # after it (what a delta-rs table looks like once log cleanup has
+    # aged out the early JSON commits — the common aged-table shape)
+    batches: list[list[dict[str, Any]]] = []
+    if json_complete:
+        replay_versions = versions
+    else:
+        cp = delta_interop.find_classic_checkpoint(dlog)
+        if cp is None:
+            raise ValueError(
+                f"Delta log under {dlog!r} is neither a contiguous "
+                f"JSON tail from version 0 (found {versions[:3]}...) "
+                "nor checkpointed; cannot reconstruct the head state")
+        cpv, cppath = cp
+        tail = [v for v in versions if v > cpv]
+        if tail != list(range(cpv + 1, cpv + 1 + len(tail))):
+            raise ValueError(
+                f"JSON commits after checkpoint version {cpv} are not "
+                f"contiguous ({tail[:4]}...); the head state cannot "
+                "be reconstructed")
+        batches.append(delta_interop.read_checkpoint_actions(cppath))
+        replay_versions = tail
+    for v in replay_versions:
+        with open(os.path.join(dlog, f"{v:020d}.json"),
+                  encoding="utf-8") as f:
+            batches.append([json.loads(line) for line in f
+                            if line.strip()])
+    if versions:
+        head_delta_version = versions[-1]
+    else:
+        head_delta_version = cpv  # checkpoint-only log, no JSON tail
 
     meta_action: Optional[dict[str, Any]] = None
     files: dict[str, dict[str, Any]] = {}
     app_versions: dict[str, int] = {}
     writer_features: set[str] = set()
-    for v in versions:
-        with open(os.path.join(dlog, f"{v:020d}.json"),
-                  encoding="utf-8") as f:
-            actions = [json.loads(line) for line in f if line.strip()]
+    for actions in batches:
         for action in actions:
             if "protocol" in action:
-                mrv = int(action["protocol"].get("minReaderVersion", 1))
-                if mrv != 1:
+                p = action["protocol"]
+                mrv = int(p.get("minReaderVersion", 1))
+                reader_features = set(p.get("readerFeatures") or [])
+                # legacy reader versions imply their feature
+                if mrv == 2:
+                    reader_features.add("columnMapping")
+                if mrv > 3:
                     raise ValueError(
                         f"Delta table at {root!r} requires "
-                        f"minReaderVersion={mrv}; convert_from_delta "
-                        "supports reader version 1 only (2 = column "
-                        "mapping, 3+ = table features — both change "
-                        "how existing bytes decode)")
-                writer_features = set(
-                    action["protocol"].get("writerFeatures") or [])
+                        f"minReaderVersion={mrv}; this engine decodes "
+                        "reader versions 1-3 only")
+                unsupported_r = sorted(
+                    reader_features - _DELTA_READER_FEATURES)
+                if unsupported_r:
+                    raise ValueError(
+                        f"Delta table at {root!r} requires reader "
+                        f"feature(s) {unsupported_r} this engine does "
+                        "not decode; converting would misread the "
+                        "existing bytes")
+                writer_features = set(p.get("writerFeatures") or [])
             elif "metaData" in action:
                 meta_action = action["metaData"]
             elif "add" in action:
                 # validation happens over the SURVIVING head state
                 # below, not per historical action — a long-removed
-                # DV'd or absolute-path file must not refuse a table
-                # whose head is perfectly convertible
+                # absolute-path file must not refuse a table whose
+                # head is perfectly convertible
                 a = action["add"]
                 files[unquote(a["path"])] = a
             elif "remove" in action:
@@ -5124,13 +5177,15 @@ def convert_from_delta(
         raise ValueError(f"Delta log under {dlog!r} has no metaData "
                          "action — not a valid table")
     dcfg = dict(meta_action.get("configuration") or {})
-    cm = dcfg.get("delta.columnMapping.mode")
-    if cm and cm != "none":
+    cm = dcfg.pop("delta.columnMapping.mode", None)
+    dcfg.pop("delta.columnMapping.maxColumnId", None)
+    if cm and cm not in ("none", "name"):
         raise ValueError(
-            f"delta.columnMapping.mode={cm!r}: column-mapped Delta "
-            "tables store physical names in schema field metadata "
-            "this engine does not decode — refuse rather than read "
-            "the wrong columns")
+            f"delta.columnMapping.mode={cm!r}: only 'name' mode "
+            "translates to this engine's frozen-physical-name column "
+            "mapping ('id' mode resolves columns by parquet field id, "
+            "which this engine's reads do not do)")
+    colmap_mode = cm == "name"
     # WRITER-side contracts must convert or refuse, never silently
     # drop — the original table's writers enforced them and this
     # engine's writers take over after conversion:
@@ -5145,7 +5200,8 @@ def convert_from_delta(
     #     committed them).
     unmappable = sorted(writer_features
                         - {"appendOnly", "checkConstraints",
-                           "invariants"})
+                           "invariants", "columnMapping",
+                           "deletionVectors"})
     if unmappable:
         raise ValueError(
             f"Delta table at {root!r} declares writer feature(s) "
@@ -5165,6 +5221,54 @@ def convert_from_delta(
                 "column); this engine cannot translate it reliably — "
                 "converting would stop enforcing it on future writes")
     pcols = list(meta_action.get("partitionColumns") or [])
+    # column mapping (mode=name): physical names live in schema field
+    # metadata — translate into this engine's frozen-physical-name
+    # colmap (dds.columnMapping, the o_column_mapping machinery) and
+    # strip the delta.columnMapping.* metadata from the stored schema.
+    # Scope: flat top-level mappings over unpartitioned tables (our
+    # own colmap refuses partition columns too; nested physical names
+    # would need per-level read aliasing this engine does not do).
+    delta_colmap: dict[str, str] = {}
+    if not colmap_mode:
+        # defensive: physical-name metadata with the mode unset (or
+        # 'none') means the log is internally inconsistent — reading
+        # logical names against physically-named file columns would
+        # return all-NULL data
+        for fld in schema.fields:
+            phys = (fld.metadata or {}).get(
+                "delta.columnMapping.physicalName")
+            if phys and phys != fld.name:
+                raise ValueError(
+                    f"column {fld.name!r} carries physical name "
+                    f"{phys!r} but delta.columnMapping.mode is "
+                    f"{cm!r}; refusing an internally inconsistent "
+                    "log rather than reading the wrong columns")
+    if colmap_mode:
+        if pcols:
+            raise ValueError(
+                "column-mapped Delta tables with partition columns do "
+                "not convert: partition directories carry PHYSICAL "
+                "names while this engine's partition machinery (and "
+                "its own column mapping) works on logical ones")
+        new_fields = []
+        for fld in schema.fields:
+            if not isinstance(fld.dataType, (  # flat columns only
+                    ByteType, ShortType, IntegerType, LongType,
+                    FloatType, DoubleType, DecimalType, StringType,
+                    BooleanType, DateType, TimestampType, BinaryType)):
+                raise ValueError(
+                    f"column-mapped convert: column {fld.name!r} has "
+                    f"nested type {fld.dataType.simpleString()}; "
+                    "physical names inside nested types do not map "
+                    "to this engine's top-level column mapping")
+            md = dict(fld.metadata or {})
+            phys = md.pop("delta.columnMapping.physicalName", None)
+            md.pop("delta.columnMapping.id", None)
+            if phys and phys != fld.name:
+                delta_colmap[fld.name] = str(phys)
+            new_fields.append(StructField(
+                fld.name, fld.dataType, fld.nullable, md))
+        schema = StructType(new_fields)
     foreign_dds = sorted(k for k in dcfg if k.startswith("dds."))
     if foreign_dds:
         raise ValueError(
@@ -5193,25 +5297,74 @@ def convert_from_delta(
                  "delta.enableDeletionVectors")
         or k.startswith("delta.autoOptimize.")
     }
+    if delta_colmap:
+        cfg[_COLMAP_KEY] = json.dumps(delta_colmap, sort_keys=True)
 
-    # stats sanitation: keep min/max only where both engines render
-    # values identically (see docstring)
+    # stats sanitation: min/max carry over where both engines render
+    # values identically (keyed on PHYSICAL names for column-mapped
+    # tables — this engine's stats convention too); date/timestamp
+    # values RE-RENDER from Delta's format to ours (r14 — recovers
+    # file skipping on time-partitioned converts): dates are
+    # format-identical, timestamps parse Delta's ISO/'Z' rendering and
+    # maxValues widen by 999 µs when millisecond-truncated (Delta
+    # writers may truncate — widening keeps pruning sound).
+    # Unparseable values drop (costs skipping, never correctness).
+    phys_of = {f.name: delta_colmap.get(f.name, f.name)
+               for f in schema.fields}
     safe_minmax = {
-        f.name for f in schema.fields
+        phys_of[f.name] for f in schema.fields
         if isinstance(f.dataType, (ByteType, ShortType, IntegerType,
                                    LongType, FloatType, DoubleType,
                                    StringType, BooleanType))
     }
+    date_cols = {phys_of[f.name] for f in schema.fields
+                 if isinstance(f.dataType, DateType)}
+    ts_cols = {phys_of[f.name] for f in schema.fields
+               if isinstance(f.dataType, TimestampType)}
+
+    def _rerender_stat(col: str, val: Any, is_max: bool) -> Optional[Any]:
+        if col in safe_minmax:
+            return val
+        if col in date_cols:
+            try:
+                return date.fromisoformat(str(val)[:10]).isoformat()
+            except ValueError:
+                return None
+        if col in ts_cols:
+            s = str(val).replace("T", " ")
+            for suffix in ("Z", "+00:00"):
+                if s.endswith(suffix):
+                    s = s[: -len(suffix)]
+            for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+                        "%Y-%m-%d"):
+                try:
+                    ts = datetime.strptime(s, fmt)
+                    break
+                except ValueError:
+                    continue
+            else:
+                return None
+            if is_max and ts.microsecond % 1000 == 0:
+                ts += timedelta(microseconds=999)
+            return ts.isoformat(sep=" ")
+        return None
     # ---- head-state validation (over SURVIVING files only) ----
+    # Delta deletion vectors DECODE into this engine's sidecar-mask
+    # format (delta_interop: Z85 + portable roaring bitmap, CRC and
+    # cardinality verified) — masked rows stay masked, OPTIMIZE
+    # compacts them away later like any native DV.
+    dv_positions: dict[str, list[int]] = {}
     for rel in sorted(files):
         a = files[rel]
         if a.get("deletionVector"):
-            raise ValueError(
-                f"live file {rel!r} carries a deletion vector; "
-                "Delta's DV encoding is not this engine's sidecar "
-                "format and a silent convert would resurrect the "
-                "masked rows — compact the table with a Delta writer "
-                "(OPTIMIZE) first")
+            try:
+                dv_positions[rel] = delta_interop.decode_deletion_vector(
+                    root, a["deletionVector"])
+            except delta_interop.DeltaInteropError as e:
+                raise ValueError(
+                    f"cannot convert {root!r}: live file {rel!r} "
+                    f"carries an undecodable deletion vector — {e}"
+                ) from e
         if "://" in a["path"] or os.path.isabs(rel):
             raise ValueError(
                 f"live add path {a['path']!r} is absolute (shallow "
@@ -5288,6 +5441,33 @@ def convert_from_delta(
             footer_counts = dict(
                 sc.parallelize(no_stats, slices).map(_count).collect())
 
+    # decoded Delta DVs land in ONE sidecar parquet (same shape the
+    # engine's own DV deletes write: (root, path, row_index) sorted by
+    # file identity so positional probes prune to their row groups) —
+    # written only on a real convert, never dry_run
+    dv_rel: Optional[str] = None
+    if dv_positions and not dry_run:
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        dv_rel = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
+        os.makedirs(os.path.join(root, dv_rel))
+        aroot = os.path.abspath(root)
+        roots: list[str] = []
+        paths: list[str] = []
+        ris: list[int] = []
+        for rel in sorted(dv_positions):
+            p = rel.replace(os.sep, "/")
+            for ri in dv_positions[rel]:
+                roots.append(aroot)
+                paths.append(p)
+                ris.append(ri)
+        pq_.write_table(
+            pa.table({"root": pa.array(roots, pa.string()),
+                      "path": pa.array(paths, pa.string()),
+                      "row_index": pa.array(ris, pa.int64())}),
+            os.path.join(root, dv_rel, "part-00000.parquet"))
+
     adds: list[AddFile] = []
     total_rows = 0
     now = int(time.time() * 1000)
@@ -5302,11 +5482,20 @@ def convert_from_delta(
         if st.get("nullCount"):
             stats["nullCount"] = dict(st["nullCount"])
         for key in ("minValues", "maxValues"):
-            kept = {c: val for c, val in (st.get(key) or {}).items()
-                    if c in safe_minmax}
+            kept = {}
+            for c, val in (st.get(key) or {}).items():
+                rv = _rerender_stat(c, val, key == "maxValues")
+                if rv is not None:
+                    kept[c] = rv
             if kept:
                 stats[key] = kept
-        total_rows += int(num)
+        masked = dv_positions.get(rel)
+        if masked and masked[-1] >= int(num):
+            raise ValueError(
+                f"deletion vector of {rel!r} masks row index "
+                f"{masked[-1]} but the file has only {num} rows — "
+                "corrupted descriptor, refusing to convert")
+        total_rows += int(num) - (len(masked) if masked else 0)
         adds.append(AddFile(
             path=rel.replace(os.sep, "/"),
             size=int(a.get("size") or os.path.getsize(ab)),
@@ -5315,6 +5504,8 @@ def convert_from_delta(
             stats=stats,
             modification_time=int(a.get("modificationTime")
                                   or os.stat(ab).st_mtime_ns // 1_000_000),
+            dv_path=dv_rel if masked else None,
+            dv_count=len(masked) if masked else 0,
         ))
     if dry_run:
         return {
@@ -5322,7 +5513,7 @@ def convert_from_delta(
             "num_files": len(adds),
             "num_rows": total_rows,
             "partition_columns": pcols,
-            "delta_version": versions[-1],
+            "delta_version": head_delta_version,
             "dropped_configuration": dropped_cfg,
         }
     meta = Metadata(
@@ -5335,7 +5526,7 @@ def convert_from_delta(
             operation="CONVERT FROM DELTA",
             operation_parameters={
                 "numFiles": len(adds),
-                "deltaVersion": versions[-1],
+                "deltaVersion": head_delta_version,
             },
             operation_metrics={
                 "num_added_files": len(adds),
@@ -5360,6 +5551,179 @@ def convert_from_delta(
         "num_files": len(adds),
         "num_rows": total_rows,
         "partition_columns": pcols,
-        "delta_version": versions[-1],
+        "delta_version": head_delta_version,
         "dropped_configuration": dropped_cfg,
     }
+
+
+def export_delta_log(
+    spark: SparkSession,
+    path: str,
+    *,
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """EXPORT the table's HEAD SNAPSHOT as a real delta-io
+    ``_delta_log`` (the reverse of :func:`convert_from_delta`):
+    publish ONE version-0 Delta commit — protocol / metaData / add
+    actions per the public spec, URL-encoded paths, JSON-string stats
+    — referencing the SAME data files in place, so delta-rs (every
+    reference user, dd/dagster_delta/handler.py:23-27), delta-spark
+    and DuckDB's delta extension can read a table this engine
+    produced.  No bytes move.
+
+    This is a SNAPSHOT export: commits either engine makes afterwards
+    are not reflected in the other log (same one-way contract as
+    convert_from_delta, in the other direction).
+
+    What carries over: the schema (Spark StructType JSON IS Delta's
+    ``schemaString``), partition columns + hive layout (identical
+    conventions), ``dds.appendOnly`` → ``delta.appendOnly``,
+    ``dds.constraints.*`` → ``delta.constraints.*``, SetTransaction
+    ledgers, and per-file stats re-sanitized to the integral / float
+    / string / boolean set both formats render identically
+    (numRecords and nullCount always).  Remaining ``dds.*`` machinery
+    keys are STRIPPED (engine-internal; a foreign reader must not see
+    them as table contracts) and reported in ``dropped_configuration``.
+
+    Honest refusals (pointed, never silent):
+
+    - live files carrying this engine's DELETION-VECTOR sidecars
+      (exporting Delta-format DVs needs writer feature tables; run
+      OPTIMIZE first — it compacts masks away);
+    - COLUMN-MAPPED tables (physical-name field metadata would need
+      reader-v2 export; rename-free tables export fine);
+    - shallow CLONES (files outside the table root cannot be
+      table-relative adds);
+    - identity / generated / default / NOT-NULL column contracts
+      (Delta carries them in field metadata this export does not
+      fabricate — a foreign writer would silently stop enforcing);
+    - an existing ``_delta_log`` under ``path`` (never clobber a
+      real Delta log).
+    """
+    root = str(path)
+    dlog = os.path.join(root, "_delta_log")
+    if os.path.exists(dlog):
+        raise TableExistsError(
+            f"{dlog!r} already exists; refusing to clobber a Delta "
+            "log (exports are one-shot snapshots — remove it first "
+            "to re-export)")
+    snap = tablelog.load_snapshot(root)
+    cfg = dict(snap.metadata.configuration)
+    contract_keys = sorted(
+        k for k in cfg
+        if k in (_IDENTITY_KEY, _GENCOL_KEY, _NOTNULL_KEY,
+                 _COLDEFAULT_KEY))
+    if _COLMAP_KEY in cfg or _DROPPED_KEY in cfg:
+        raise ValueError(
+            "column-mapped tables do not export: Delta stores "
+            "physical names in schema field metadata this export "
+            "does not fabricate — a foreign reader would read the "
+            "wrong (logical) column names from physically-named "
+            "files")
+    if contract_keys:
+        raise ValueError(
+            f"table carries writer contract(s) {contract_keys} that "
+            "Delta expresses as field metadata this export does not "
+            "fabricate; a foreign writer would silently stop "
+            "enforcing them — unset the properties first if a "
+            "snapshot export is really wanted")
+    dv_files = sorted(a.path for a in snap.files if a.dv_path)
+    if dv_files:
+        raise ValueError(
+            f"{len(dv_files)} live file(s) carry deletion-vector "
+            f"masks (e.g. {dv_files[0]!r}); exporting Delta DVs needs "
+            "a feature-protocol table this export does not write — "
+            "run optimize() first, it compacts masks away")
+    cloned = sorted(a.path for a in snap.files if a.base)
+    if cloned:
+        raise ValueError(
+            f"{len(cloned)} live file(s) live outside the table root "
+            f"(shallow clone, e.g. {cloned[0]!r}); Delta adds must be "
+            "table-relative — copy the data in (OPTIMIZE) first")
+
+    schema = StructType.fromJson(_json_loads(snap.schema_json))
+    safe_minmax = {
+        f.name for f in schema.fields
+        if isinstance(f.dataType, (ByteType, ShortType, IntegerType,
+                                   LongType, FloatType, DoubleType,
+                                   StringType, BooleanType))
+    }
+    out_cfg: dict[str, str] = {}
+    dropped_cfg: dict[str, str] = {}
+    for k, v in sorted(cfg.items()):
+        if k == _APPEND_ONLY_KEY:
+            out_cfg["delta.appendOnly"] = v
+        elif k.startswith(_CONSTRAINT_PREFIX):
+            out_cfg["delta.constraints."
+                    + k[len(_CONSTRAINT_PREFIX):]] = v
+        elif k.startswith("dds."):
+            dropped_cfg[k] = v
+        else:
+            out_cfg[k] = v
+    min_writer = 3 if any(
+        k.startswith("delta.constraints.") for k in out_cfg) else 2
+
+    from urllib.parse import quote
+
+    adds_out: list[dict[str, Any]] = []
+    total_rows = 0
+    for a in sorted(snap.files, key=lambda f: f.path):
+        st: dict[str, Any] = {"numRecords": a.num_records}
+        nulls = a.stats.get("nullCount")
+        if nulls:
+            st["nullCount"] = dict(nulls)
+        for key in ("minValues", "maxValues"):
+            kept = {c: v for c, v in (a.stats.get(key) or {}).items()
+                    if c in safe_minmax}
+            if kept:
+                st[key] = kept
+        total_rows += a.num_records
+        adds_out.append({"add": {
+            # '=' stays raw (hive partition dirs) — real Delta
+            # writers do the same; the import side unquotes
+            "path": quote(a.path, safe="/="),
+            "partitionValues": dict(a.partition_values),
+            "size": a.size,
+            "modificationTime": a.modification_time,
+            "dataChange": True,
+            "stats": json.dumps(st, separators=(",", ":")),
+        }})
+
+    if dry_run:
+        return {"dry_run": True, "num_files": len(adds_out),
+                "num_rows": total_rows,
+                "dropped_configuration": dropped_cfg}
+
+    actions: list[dict[str, Any]] = [
+        {"commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": "CONVERT",
+            "operationParameters": {"numFiles": str(len(adds_out))},
+            "engineInfo": "dagster-delta-spark export_delta_log",
+        }},
+        {"protocol": {"minReaderVersion": 1,
+                      "minWriterVersion": min_writer}},
+        {"metaData": {
+            "id": snap.metadata.table_id or str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": snap.schema_json,
+            "partitionColumns": list(snap.partition_columns),
+            "configuration": out_cfg,
+            "createdTime": snap.metadata.created_time
+            or int(time.time() * 1000),
+        }},
+    ]
+    actions += [{"txn": {"appId": k, "version": v}}
+                for k, v in sorted(snap.app_versions.items())]
+    actions += adds_out
+    os.makedirs(dlog)
+    tmp = os.path.join(dlog, f".00.json.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        for action in actions:
+            f.write(json.dumps(action, separators=(",", ":")) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(dlog, f"{0:020d}.json"))
+    return {"dry_run": False, "delta_version": 0,
+            "num_files": len(adds_out), "num_rows": total_rows,
+            "dropped_configuration": dropped_cfg}

@@ -127,9 +127,11 @@ def test_partitioned_and_stats_sanitized(spark, tmp_path):
     assert {r["p"] for r in t.read().select("p").collect()} == {"x", "y"}
     # partition pruning works off the carried partitionValues
     assert t.read(dnf=[("p", "=", "x")]).count() == 3
-    # date min/max dropped (rendering risk), int/string kept
+    # date min/max RE-RENDER (r14 — format-identical, validated);
+    # int/string keep as before
     a = [f for f in t.snapshot().files if f.path == "p=x/f1.parquet"][0]
-    assert "dt" not in a.stats["minValues"]
+    assert a.stats["minValues"]["dt"] == "2024-01-05"
+    assert a.stats["maxValues"]["dt"] == "2024-01-05"
     assert a.stats["minValues"]["a"] == 0
     assert a.stats["nullCount"] == {"a": 0}
 
@@ -155,12 +157,23 @@ def test_append_only_maps_and_refusals(spark, tmp_path):
 
 
 @pytest.mark.parametrize("breaker,match", [
-    (lambda r, s: [_proto(mrv=2), _meta(s, _df(s, 0, 1)),
-                   _add(r, "f1.parquet", 4)], "minReaderVersion=2"),
-    (lambda r, s: [_proto(),
+    (lambda r, s: [_proto(mrv=4), _meta(s, _df(s, 0, 1)),
+                   _add(r, "f1.parquet", 4)], "minReaderVersion=4"),
+    # reader FEATURES outside {columnMapping, deletionVectors} refuse
+    (lambda r, s: [{"protocol": {"minReaderVersion": 3,
+                                 "minWriterVersion": 7,
+                                 "readerFeatures": ["v2Checkpoint"],
+                                 "writerFeatures": ["v2Checkpoint"]}},
+                   _meta(s, _df(s, 0, 1)),
+                   _add(r, "f1.parquet", 4)], "reader"),
+    # 'id' column mapping resolves by parquet field id — refuses
+    # ('name' mode converts since r14, see test_convert_colmap)
+    (lambda r, s: [_proto(mrv=2),
                    _meta(s, _df(s, 0, 1),
-                         cfg={"delta.columnMapping.mode": "name"}),
+                         cfg={"delta.columnMapping.mode": "id"}),
                    _add(r, "f1.parquet", 4)], "columnMapping"),
+    # an UNDECODABLE deletion vector refuses (valid ones convert
+    # since r14, see test_convert_deletion_vectors)
     (lambda r, s: [_proto(), _meta(s, _df(s, 0, 1)),
                    _add(r, "f1.parquet", 4,
                         deletionVector={"storageType": "u",
@@ -224,7 +237,8 @@ def test_dry_run(spark, tmp_path):
                        _add(root, "f1.parquet", 4)]])
     res = convert_from_delta(spark, root, dry_run=True)
     assert res == {"dry_run": True, "num_files": 1, "num_rows": 4,
-                   "partition_columns": [], "delta_version": 0}
+                   "partition_columns": [], "delta_version": 0,
+                   "dropped_configuration": {}}
     assert not DeltaSparkTable(spark, root).exists()
 
 
@@ -361,3 +375,263 @@ def test_stats_less_adds_fall_back_to_footers(spark, tmp_path):
     _write_log(root, [[_proto(), _meta(spark, _df(spark, 0, 1)), a]])
     res = convert_from_delta(spark, root)
     assert res["num_rows"] == 4  # counted from the parquet footer
+
+
+# ---------------------------------------------------------------------------
+# r14: checkpoint replay, deletion vectors, column mapping, ts stats
+# ---------------------------------------------------------------------------
+
+
+def test_convert_checkpoint_replay(spark, tmp_path):
+    """An aged delta-rs table: early JSON commits cleaned up, state
+    reconstructs from _last_checkpoint + checkpoint parquet + the
+    contiguous JSON tail."""
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 5), root, "part-f1.parquet")
+    _stage_file(spark, _df(spark, 5, 9), root, "part-f2.parquet")
+    _stage_file(spark, _df(spark, 9, 12), root, "part-f3.parquet")
+    # checkpoint at v2 carries the folded state incl. a remove
+    # tombstone (must be ignored) and a txn ledger
+    _entry._write_delta_checkpoint(root, 2, [
+        _proto(), _meta(spark, _df(spark, 0, 1)),
+        _add(root, "part-f1.parquet", 5),
+        _add(root, "part-f2.parquet", 4),
+        {"remove": {"path": "part-old.parquet",
+                    "deletionTimestamp": 1, "dataChange": True}},
+        {"txn": {"appId": "up", "version": 3}},
+    ])
+    # JSON tail v3..v4 (v0..v2 JSON aged out)
+    _entry._write_delta_commit(root, 3, [
+        {"remove": {"path": "part-f2.parquet",
+                    "deletionTimestamp": 2, "dataChange": True}},
+        _add(root, "part-f3.parquet", 3)])
+    _entry._write_delta_commit(root, 4, [
+        {"txn": {"appId": "up", "version": 9}}])
+    res = convert_from_delta(spark, root)
+    assert (res["num_files"], res["num_rows"]) == (2, 8)
+    assert res["delta_version"] == 4
+    t = DeltaSparkTable(spark, root)
+    assert sorted(r["a"] for r in t.read().collect()) == \
+        list(range(0, 5)) + list(range(9, 12))
+    assert t.last_txn_version("up") == 9
+
+    # checkpoint-ONLY log (no JSON tail at all) also converts
+    r2 = str(tmp_path / "d2")
+    os.makedirs(r2)
+    _stage_file(spark, _df(spark, 0, 4), r2, "f1.parquet")
+    _entry._write_delta_checkpoint(r2, 10, [
+        _proto(), _meta(spark, _df(spark, 0, 1)),
+        _add(r2, "f1.parquet", 4)])
+    res2 = convert_from_delta(spark, r2)
+    assert res2["num_rows"] == 4 and res2["delta_version"] == 10
+
+
+def test_checkpoint_refusals(spark, tmp_path):
+    import json as _json
+
+    # multi-part pointer refuses
+    root = str(tmp_path / "d")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _stage_file(spark, _df(spark, 0, 4), root, "f1.parquet")
+    with open(os.path.join(root, "_delta_log", "_last_checkpoint"),
+              "w") as f:
+        _json.dump({"version": 2, "size": 9, "parts": 2}, f)
+    with pytest.raises(ValueError, match="multi-part"):
+        convert_from_delta(spark, root)
+
+    # v2 UUID-named checkpoint (and nothing else) refuses
+    r2 = str(tmp_path / "d2")
+    dlog = os.path.join(r2, "_delta_log")
+    os.makedirs(dlog)
+    _stage_file(spark, _df(spark, 0, 4), r2, "f1.parquet")
+    open(os.path.join(
+        dlog, "0" * 19 + "2.checkpoint."
+        "0f1d7e70-0f1d-4e70-8f1d-7e700f1d7e70.parquet"), "w").close()
+    with pytest.raises(ValueError, match="v2"):
+        convert_from_delta(spark, r2)
+
+    # gap between checkpoint and JSON tail refuses
+    r3 = str(tmp_path / "d3")
+    os.makedirs(r3)
+    _stage_file(spark, _df(spark, 0, 4), r3, "f1.parquet")
+    _entry._write_delta_checkpoint(r3, 2, [
+        _proto(), _meta(spark, _df(spark, 0, 1)),
+        _add(r3, "f1.parquet", 4)])
+    _entry._write_delta_commit(r3, 5, [
+        {"txn": {"appId": "x", "version": 1}}])
+    with pytest.raises(ValueError, match="not.*contiguous|contiguous"):
+        convert_from_delta(spark, r3)
+
+
+def test_convert_deletion_vectors(spark, tmp_path):
+    """Delta DV adds decode into this engine's sidecar masks: masked
+    rows are absent from reads, live counts and stats stay sound,
+    OPTIMIZE compacts the masks away."""
+    from dagster_delta_spark import delta_interop as di
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 10), root, "f1.parquet")
+    _stage_file(spark, _df(spark, 10, 16), root, "f2.parquet")
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}}
+    # f1: inline DV masking rows 1,3,5; f2: on-disk DV masking row 0
+    dv1 = di.inline_dv_descriptor([1, 3, 5])
+    dv2 = di.write_dv_file(root, [0], prefix="ab")
+    _write_log(root, [[
+        proto, _meta(spark, _df(spark, 0, 1)),
+        _add(root, "f1.parquet", 10, deletionVector=dv1),
+        _add(root, "f2.parquet", 6, deletionVector=dv2),
+    ]])
+    res = convert_from_delta(spark, root)
+    assert res["num_rows"] == 16 - 3 - 1
+    t = DeltaSparkTable(spark, root)
+    got = sorted(r["a"] for r in t.read().collect())
+    assert got == [0, 2, 4, 6, 7, 8, 9] + list(range(11, 16))
+    # physical numRecords kept; live_records reflects the mask
+    by_path = {f.path: f for f in t.snapshot().files}
+    assert by_path["f1.parquet"].num_records == 10
+    assert by_path["f1.parquet"].dv_count == 3
+    assert by_path["f2.parquet"].live_records == 5
+    # row-level DML on the converted table still works (the sidecar
+    # is a first-class native DV)
+    t.delete("a = 2", use_dv=True)
+    assert sorted(r["a"] for r in t.read().collect()) == \
+        [0, 4, 6, 7, 8, 9] + list(range(11, 16))
+    res_opt = t.optimize()
+    assert t.read().count() == 11
+    assert all(f.dv_count == 0 for f in t.snapshot().files)
+
+    # corrupted descriptors refuse: cardinality mismatch + row index
+    # out of range
+    for dv, marker in [
+        ({**di.inline_dv_descriptor([1, 3]), "cardinality": 7},
+         "cardinality"),
+        (di.inline_dv_descriptor([99]), "masks row index"),
+    ]:
+        rb = str(tmp_path / f"bad{marker[:4]}")
+        os.makedirs(rb)
+        _stage_file(spark, _df(spark, 0, 4), rb, "f1.parquet")
+        _write_log(rb, [[proto, _meta(spark, _df(spark, 0, 1)),
+                         _add(rb, "f1.parquet", 4, deletionVector=dv)]])
+        with pytest.raises(ValueError, match=marker):
+            convert_from_delta(spark, rb)
+
+
+def test_convert_column_mapping(spark, tmp_path):
+    """mode=name converts: physical file columns read back under
+    logical names, stats stay keyed physical and prune through the
+    mapping, future writes stage physicals."""
+    from pyspark.sql.types import LongType, StringType, StructField, \
+        StructType
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    # files carry PHYSICAL column names
+    pdf = spark.range(0, 6).selectExpr(
+        "id AS `col-aaaa`", "CAST(id AS STRING) AS `col-bbbb`")
+    _stage_file(spark, pdf.where("`col-aaaa` < 3"), root, "f1.parquet")
+    _stage_file(spark, pdf.where("`col-aaaa` >= 3"), root, "f2.parquet")
+    sch = StructType([
+        StructField("a", LongType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaaa"}),
+        StructField("s", StringType(), True, {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-bbbb"}),
+    ])
+    _write_log(root, [[
+        _proto(mrv=2, mwv=5),
+        _entry._delta_meta_action(
+            sch.json(), cfg={"delta.columnMapping.mode": "name",
+                             "delta.columnMapping.maxColumnId": "2"}),
+        _add(root, "f1.parquet", 3,
+             extra_stats={"minValues": {"col-aaaa": 0},
+                          "maxValues": {"col-aaaa": 2}}),
+        _add(root, "f2.parquet", 3,
+             extra_stats={"minValues": {"col-aaaa": 3},
+                          "maxValues": {"col-aaaa": 5}}),
+    ]])
+    convert_from_delta(spark, root)
+    t = DeltaSparkTable(spark, root)
+    out = t.read()
+    assert set(out.columns) == {"a", "s"}
+    assert sorted(r["a"] for r in out.collect()) == list(range(6))
+    # stats prune through the mapping on the LOGICAL name
+    snap = t.snapshot()
+    assert len(t.pruned_files(snap, [("a", "<", 2)])) == 1
+    # future writes stage physical names
+    t.write(spark.range(100, 102).selectExpr(
+        "id AS a", "CAST(id AS STRING) AS s"), WriteMode.append)
+    assert t.read().count() == 8
+    newest = max(t.snapshot().files, key=lambda f: f.modification_time)
+    import pyarrow.parquet as pq
+
+    phys = pq.ParquetFile(
+        os.path.join(root, newest.path)).schema_arrow.names
+    assert "col-aaaa" in phys and "a" not in phys
+    # rename machinery stays coherent post-convert
+    t.rename_column("s", "s2")
+    assert set(t.read().columns) == {"a", "s2"}
+
+    # partitioned colmap refuses
+    r2 = str(tmp_path / "dp")
+    os.makedirs(r2)
+    _stage_file(spark, pdf.limit(2), r2, "p=1/f1.parquet")
+    _write_log(r2, [[
+        _proto(mrv=2, mwv=5),
+        _entry._delta_meta_action(
+            sch.json(), pcols=["p"],
+            cfg={"delta.columnMapping.mode": "name"}),
+        _add(r2, "p=1/f1.parquet", 2, pv={"p": "1"}),
+    ]])
+    with pytest.raises(ValueError, match="partition"):
+        convert_from_delta(spark, r2)
+
+    # physicalName metadata WITHOUT mode=name refuses (inconsistent)
+    r3 = str(tmp_path / "dm")
+    os.makedirs(r3)
+    _stage_file(spark, pdf.limit(2), r3, "f1.parquet")
+    _write_log(r3, [[
+        _proto(), _entry._delta_meta_action(sch.json()),
+        _add(r3, "f1.parquet", 2),
+    ]])
+    with pytest.raises(ValueError, match="inconsistent"):
+        convert_from_delta(spark, r3)
+
+
+def test_convert_timestamp_stats_prune(spark, tmp_path):
+    """Delta's ISO/'Z' timestamp stats re-render on convert and the
+    converted table file-skips on a timestamp predicate."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    df = spark.sql(
+        "SELECT TIMESTAMP'2024-01-01 05:00:00' + make_interval(0,0,0,0,"
+        "CAST(id AS INT),0,0) AS ts, id AS a FROM range(0, 4)")
+    _stage_file(spark, df.where("a < 2"), root, "f1.parquet")
+    _stage_file(spark, df.where("a >= 2"), root, "f2.parquet")
+    _write_log(root, [[
+        _proto(), _meta(spark, df.limit(0)),
+        _add(root, "f1.parquet", 2, extra_stats={
+            "minValues": {"ts": "2024-01-01T05:00:00.000Z", "a": 0},
+            "maxValues": {"ts": "2024-01-01T06:00:00.000Z", "a": 1}}),
+        _add(root, "f2.parquet", 2, extra_stats={
+            "minValues": {"ts": "2024-01-01T07:00:00.000Z", "a": 2},
+            "maxValues": {"ts": "2024-01-01T08:00:00.000Z", "a": 3}}),
+    ]])
+    convert_from_delta(spark, root)
+    t = DeltaSparkTable(spark, root)
+    snap = t.snapshot()
+    # re-rendered to this engine's format; max widened by 999 us
+    f1 = [f for f in snap.files if f.path == "f1.parquet"][0]
+    assert f1.stats["minValues"]["ts"] == "2024-01-01 05:00:00"
+    assert f1.stats["maxValues"]["ts"] == "2024-01-01 06:00:00.000999"
+    # the pruning payoff: a timestamp range predicate skips f2
+    kept = t.pruned_files(
+        snap, [("ts", "<=", "2024-01-01 05:30:00")])
+    assert [f.path for f in kept] == ["f1.parquet"]
+    assert t.read(
+        dnf=[("ts", "<=", "2024-01-01 05:30:00")]).count() == 1

@@ -1,0 +1,161 @@
+"""export_delta_log: publishing a real delta-io ``_delta_log`` over a
+dds table so delta-rs / delta-spark / DuckDB-delta can read it.
+
+The strongest interop pin available in this sandbox is the full
+ROUND TRIP through our own spec-conformant importer: export a table,
+copy data + ``_delta_log`` (without our log) to a fresh root,
+``convert_from_delta`` it back, and require bit-identical contents —
+both directions share only the public spec, not code paths."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from dagster_delta_spark import (
+    DeltaSparkTable,
+    TableExistsError,
+    WriteMode,
+    convert_from_delta,
+    export_delta_log,
+)
+from dagster_delta_spark.tablelog import LOG_DIR
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS a", "CAST(id * 2 AS DOUBLE) AS b",
+        "CAST(id AS STRING) AS s")
+
+
+def _round_trip(spark, src_root, tmp_path, name="rt"):
+    """Copy data + _delta_log (NOT our log) to a fresh root and
+    convert back through the importer."""
+    dst = str(tmp_path / name)
+    shutil.copytree(src_root, dst,
+                    ignore=shutil.ignore_patterns(LOG_DIR, "_dv"))
+    convert_from_delta(spark, dst)
+    return DeltaSparkTable(spark, dst)
+
+
+def test_export_and_round_trip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, root)
+    t.write(_df(spark, 0, 6), WriteMode.overwrite)
+    t.write(_df(spark, 6, 10), WriteMode.append)
+    t.delete("a >= 8")  # copy-rewrite delete (no DV) keeps exportable
+    t.idempotent_append(_df(spark, 20, 22), "up", 5)
+
+    res = export_delta_log(spark, root)
+    assert res["num_rows"] == 10 and res["delta_version"] == 0
+
+    # the log is spec-shaped: one JSON action per line, stats strings
+    with open(os.path.join(root, "_delta_log",
+                           "0" * 20 + ".json")) as f:
+        actions = [json.loads(line) for line in f]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds.count("protocol") == 1 and kinds.count("metaData") == 1
+    adds = [a["add"] for a in actions if "add" in a]
+    assert all(isinstance(a["stats"], str) for a in adds)
+    assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == 10
+
+    back = _round_trip(spark, root, tmp_path)
+    assert sorted(r["a"] for r in back.read().collect()) == \
+        sorted(r["a"] for r in DeltaSparkTable(spark, root)
+               .read().collect())
+    # stats survived the round trip (int column min/max)
+    assert any("a" in f.stats.get("minValues", {})
+               for f in back.snapshot().files)
+    # SetTransaction ledger carried
+    assert back.last_txn_version("up") == 5
+
+
+def test_export_partitioned_and_properties(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, root)
+    df = spark.range(0, 8).selectExpr(
+        "id AS a", "CAST(id % 2 AS STRING) AS p")
+    t.write(df, WriteMode.overwrite, partition_columns=["p"],
+            table_configuration={"dds.appendOnly": "true",
+                                 "custom.key": "v"})
+    t.add_constraint("positive_a", "a >= 0")
+    res = export_delta_log(spark, root)
+    assert res["num_rows"] == 8
+
+    with open(os.path.join(root, "_delta_log",
+                           "0" * 20 + ".json")) as f:
+        actions = [json.loads(line) for line in f]
+    meta = [a["metaData"] for a in actions if "metaData" in a][0]
+    assert meta["partitionColumns"] == ["p"]
+    assert meta["configuration"]["delta.appendOnly"] == "true"
+    assert meta["configuration"]["delta.constraints.positive_a"] == \
+        "a >= 0"
+    assert meta["configuration"]["custom.key"] == "v"
+    assert not any(k.startswith("dds.")
+                   for k in meta["configuration"])
+    proto = [a["protocol"] for a in actions if "protocol" in a][0]
+    assert proto["minWriterVersion"] == 3  # constraints need v3
+
+    back = _round_trip(spark, root, tmp_path)
+    assert back.read(dnf=[("p", "=", "1")]).count() == 4
+    # contracts survived: appendOnly + constraint enforce again
+    with pytest.raises(ValueError, match="append-only"):
+        back.delete("a = 1")
+    props = back.describe_detail()["properties"]
+    assert props["dds.constraints.positive_a"] == "a >= 0"
+
+
+def test_export_refusals(spark, tmp_path):
+    # DV-masked files refuse; OPTIMIZE clears the refusal
+    root = str(tmp_path / "dv")
+    t = DeltaSparkTable(spark, root)
+    # one physical file so the DV delete masks (a multi-file layout
+    # where every live row of a file matches gets a plain remove)
+    t.write(_df(spark, 0, 8).coalesce(1), WriteMode.overwrite)
+    t.delete("a = 3", use_dv=True)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        export_delta_log(spark, root)
+    t.optimize()
+    assert export_delta_log(spark, root, dry_run=True)["num_rows"] == 7
+
+    # identity contract refuses
+    r2 = str(tmp_path / "ident")
+    t2 = DeltaSparkTable(spark, r2)
+    t2.write(spark.range(0, 3).selectExpr("id AS a"),
+             WriteMode.overwrite,
+             table_configuration={
+                 "dds.identityColumns": '{"rid": {"start": 1}}'})
+    with pytest.raises(ValueError, match="contract"):
+        export_delta_log(spark, r2)
+
+    # column mapping refuses
+    r3 = str(tmp_path / "cm")
+    t3 = DeltaSparkTable(spark, r3)
+    t3.write(_df(spark, 0, 3), WriteMode.overwrite)
+    t3.rename_column("s", "s2")
+    with pytest.raises(ValueError, match="column-mapped"):
+        export_delta_log(spark, r3)
+
+    # shallow clone refuses
+    r4 = str(tmp_path / "clone")
+    t.clone(r4)
+    with pytest.raises(ValueError, match="clone"):
+        export_delta_log(spark, r4)
+
+    # existing _delta_log refuses (never clobber)
+    r5 = str(tmp_path / "has")
+    t5 = DeltaSparkTable(spark, r5)
+    t5.write(_df(spark, 0, 2), WriteMode.overwrite)
+    os.makedirs(os.path.join(r5, "_delta_log"))
+    with pytest.raises(TableExistsError):
+        export_delta_log(spark, r5)
+
+
+def test_export_dry_run_writes_nothing(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, root)
+    t.write(_df(spark, 0, 4), WriteMode.overwrite)
+    res = export_delta_log(spark, root, dry_run=True)
+    assert res["dry_run"] and res["num_rows"] == 4
+    assert not os.path.exists(os.path.join(root, "_delta_log"))
