@@ -1149,6 +1149,327 @@ def o_convert_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def o_convert_delta_checkpoint(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """CHECKPOINT REPLAY convert (table.py:convert_from_delta +
+    delta_interop.read_checkpoint_actions): the aged delta-rs table
+    shape — early JSON commits cleaned up, the head state
+    reconstructs from ``_last_checkpoint`` + the classic checkpoint
+    parquet + the contiguous JSON tail.  Real Delta writers
+    checkpoint every 10 commits and age JSON out after 30 days, so
+    this is the COMMON production convert path (the JSON-from-0 path
+    o_convert_from_delta pins is the young-table case).
+
+    Fixture: a spec-shaped checkpoint parquet at version 2 (map-typed
+    partitionValues/configuration like real checkpoints) folding two
+    adds + a stale remove tombstone (must be ignored) + a txn ledger;
+    JSON v3 removes one file and adds a third; JSON v4 advances the
+    txn.  No JSON exists at or below v2.
+
+    In-line guards: (1) the replay saw the tail (delta_version == 4,
+    txn ledger at its v4 value, not the checkpoint's); (2) a
+    multi-part ``_last_checkpoint`` pointer refuses pointedly.
+    Oracle: the surviving slices — a replay that used only the
+    checkpoint (or only the tail) breaks the hash match."""
+    from dagster_delta_spark import convert_from_delta
+
+    orders = _orders(spark, sf_dir)
+    import os as _os
+
+    root = _scratch("ccp").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(root)
+    n = {}
+    for st, fname in (("F", "part-f1.parquet"), ("P", "part-f2.parquet"),
+                      ("O", "part-f3.parquet")):
+        _stage_landing_file(
+            orders.where(f"o_orderstatus = '{st}'"), root, fname)
+        n[st] = orders.where(f"o_orderstatus = '{st}'").count()
+    _write_delta_checkpoint(root, 2, [
+        _delta_protocol_action(),
+        _delta_meta_action(orders.schema.json()),
+        _delta_add_action(root, "part-f1.parquet", n["F"]),
+        _delta_add_action(root, "part-f2.parquet", n["P"]),
+        {"remove": {"path": "part-older.parquet",
+                    "deletionTimestamp": 1, "dataChange": True}},
+        {"txn": {"appId": "ref-stream", "version": 3}},
+    ])
+    _write_delta_commit(root, 3, [
+        {"remove": {"path": "part-f2.parquet",
+                    "deletionTimestamp": 2, "dataChange": True}},
+        _delta_add_action(root, "part-f3.parquet", n["O"])])
+    _write_delta_commit(root, 4, [
+        {"txn": {"appId": "ref-stream", "version": 9}}])
+
+    res = convert_from_delta(spark, root)
+    if (res["delta_version"], res["num_rows"]) != (4, n["F"] + n["O"]):
+        raise AssertionError(f"checkpoint replay went wrong: {res}")
+    t = DeltaSparkTable(spark, root)
+    if t.last_txn_version("ref-stream") != 9:
+        raise AssertionError("txn ledger did not fold checkpoint+tail")
+
+    # guard 2: a multi-part pointer refuses
+    import json as _json
+
+    broot = _scratch("ccp-bad").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(_os.path.join(broot, "_delta_log"))
+    _stage_landing_file(orders.limit(2), broot, "f1.parquet")
+    with open(_os.path.join(broot, "_delta_log", "_last_checkpoint"),
+              "w") as fh:
+        _json.dump({"version": 2, "size": 4, "parts": 2}, fh)
+    try:
+        convert_from_delta(spark, broot)
+    except ValueError as e:
+        if "multi-part" not in str(e):
+            raise
+    else:
+        raise AssertionError("multi-part checkpoint converted silently")
+    return t.read()
+
+
+def o_convert_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR convert (table.py:convert_from_delta +
+    delta_interop.decode_deletion_vector): a Delta table whose adds
+    carry roaring-bitmap deletion vectors — default-on in recent
+    Delta writers — decodes the masks (Z85 inline AND on-disk framed,
+    CRC/cardinality verified) into this engine's own sidecar format.
+    Masked rows never surface; the converted table's DVs are
+    first-class (DML/OPTIMIZE/CDC all treat them natively).
+
+    Fixture: two single-partition files staged SORTED by o_orderkey
+    (row position == orderkey rank, which is what makes the masked
+    set value-predictable for the oracle): the 'F' slice with an
+    INLINE DV masking its first 10 positions, the rest with a
+    FILE-based DV (prefixed path) masking its first 5.
+
+    In-line guards: physical num_records keep the pre-mask counts
+    while live_records subtract the masks; a descriptor whose
+    cardinality lies refuses.  Oracle: orders minus the 10 smallest
+    'F' orderkeys and 5 smallest non-'F' orderkeys — an off-by-one in
+    the roaring decode or a dropped mask breaks the hash."""
+    from dagster_delta_spark import convert_from_delta, delta_interop
+
+    orders = _orders(spark, sf_dir)
+    import os as _os
+
+    root = _scratch("cdv").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(root)
+    f_df = orders.where("o_orderstatus = 'F'") \
+        .repartition(1).sortWithinPartitions("o_orderkey")
+    r_df = orders.where("o_orderstatus <> 'F'") \
+        .repartition(1).sortWithinPartitions("o_orderkey")
+    _stage_landing_file(f_df, root, "part-f.parquet")
+    _stage_landing_file(r_df, root, "part-r.parquet")
+    nf = orders.where("o_orderstatus = 'F'").count()
+    nr = orders.where("o_orderstatus <> 'F'").count()
+    dv_f = delta_interop.inline_dv_descriptor(list(range(10)))
+    dv_r = delta_interop.write_dv_file(root, list(range(5)),
+                                       prefix="ab")
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}}
+    _write_delta_commit(root, 0, [
+        proto, _delta_meta_action(orders.schema.json()),
+        _delta_add_action(root, "part-f.parquet", nf,
+                          deletionVector=dv_f),
+        _delta_add_action(root, "part-r.parquet", nr,
+                          deletionVector=dv_r)])
+    res = convert_from_delta(spark, root)
+    if res["num_rows"] != nf + nr - 15:
+        raise AssertionError(f"DV convert row count wrong: {res}")
+    t = DeltaSparkTable(spark, root)
+    by_path = {f.path: f for f in t.snapshot().files}
+    if (by_path["part-f.parquet"].num_records != nf
+            or by_path["part-f.parquet"].live_records != nf - 10
+            or by_path["part-r.parquet"].dv_count != 5):
+        raise AssertionError("DV bookkeeping wrong after convert")
+
+    # guard: a lying cardinality refuses
+    broot = _scratch("cdv-bad").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(broot)
+    _stage_landing_file(orders.limit(4), broot, "f1.parquet")
+    bad = {**delta_interop.inline_dv_descriptor([1]), "cardinality": 3}
+    _write_delta_commit(broot, 0, [
+        proto, _delta_meta_action(orders.schema.json()),
+        _delta_add_action(broot, "f1.parquet", 4, deletionVector=bad)])
+    try:
+        convert_from_delta(spark, broot)
+    except ValueError as e:
+        if "cardinality" not in str(e):
+            raise
+    else:
+        raise AssertionError("lying DV cardinality converted silently")
+    return t.read()
+
+
+def o_convert_delta_colmap(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPED convert (table.py:convert_from_delta, mode=name):
+    a Delta table whose files carry frozen PHYSICAL column names
+    (``delta.columnMapping.physicalName`` field metadata —
+    minReaderVersion 2, what any renamed-column Delta table looks
+    like) converts into this engine's own colmap machinery
+    (``dds.columnMapping``, the o_column_mapping surface): reads
+    alias physical→logical, stats stay keyed physical and PRUNE
+    through the mapping, future writes stage physicals.
+
+    Fixture: two slices of orders staged under physical names
+    c1/c2/c3 with physical-keyed min/max stats on the status column.
+
+    In-line guards: (1) a logical-name predicate file-skips through
+    the translated stats (pruned_files == 1); (2) the renamed-away
+    machinery still composes — rename_column works post-convert;
+    (3) a partitioned colmap log refuses.  Oracle: the three logical
+    columns of orders — reading physicals un-aliased (all-NULL
+    columns) or mis-mapped breaks the hash."""
+    from dagster_delta_spark import convert_from_delta
+    from pyspark.sql.types import StructField, StructType
+
+    orders = _orders(spark, sf_dir)
+    import os as _os
+
+    root = _scratch("ccm").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(root)
+    phys = orders.selectExpr("o_orderkey AS c1", "o_orderstatus AS c2",
+                             "o_totalprice AS c3")
+    _stage_landing_file(phys.where("c2 = 'F'"), root, "f1.parquet")
+    _stage_landing_file(phys.where("c2 <> 'F'"), root, "f2.parquet")
+    n1 = phys.where("c2 = 'F'").count()
+    n2 = phys.where("c2 <> 'F'").count()
+    logical = orders.select("o_orderkey", "o_orderstatus",
+                            "o_totalprice").schema
+    sch = StructType([
+        StructField(f.name, f.dataType, f.nullable, {
+            "delta.columnMapping.id": i + 1,
+            "delta.columnMapping.physicalName": f"c{i + 1}"})
+        for i, f in enumerate(logical.fields)])
+    meta = _delta_meta_action(
+        sch.json(), cfg={"delta.columnMapping.mode": "name",
+                         "delta.columnMapping.maxColumnId": "3"})
+    _write_delta_commit(root, 0, [
+        _delta_protocol_action(mrv=2, mwv=5), meta,
+        _delta_add_action(root, "f1.parquet", n1, extra_stats={
+            "minValues": {"c2": "F"}, "maxValues": {"c2": "F"}}),
+        _delta_add_action(root, "f2.parquet", n2, extra_stats={
+            "minValues": {"c2": "O"}, "maxValues": {"c2": "P"}}),
+    ])
+    convert_from_delta(spark, root)
+    t = DeltaSparkTable(spark, root)
+    out = t.read()
+    if set(out.columns) != {"o_orderkey", "o_orderstatus",
+                            "o_totalprice"}:
+        raise AssertionError(f"logical names lost: {out.columns}")
+    # guard 1: logical predicate prunes through physical stats keys
+    snap = t.snapshot()
+    kept = t.pruned_files(snap, [("o_orderstatus", "=", "F")])
+    if [f.path for f in kept] != ["f1.parquet"]:
+        raise AssertionError(
+            f"colmap stats did not prune: {[f.path for f in kept]}")
+    # guard 2: the colmap machinery composes (rename on a scratch
+    # clone-free copy of the handle; revert not needed — entry reads
+    # BEFORE the rename)
+    out = out.localCheckpoint(eager=True)
+    t.rename_column("o_totalprice", "price2")
+    if "price2" not in t.read().columns:
+        raise AssertionError("post-convert rename failed")
+    # guard 3: partitioned colmap refuses
+    broot = _scratch("ccm-bad").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(broot)
+    _stage_landing_file(phys.limit(2), broot, "p=1/f1.parquet")
+    bmeta = _delta_meta_action(
+        sch.json(), pcols=["p"],
+        cfg={"delta.columnMapping.mode": "name"})
+    _write_delta_commit(broot, 0, [
+        _delta_protocol_action(mrv=2, mwv=5), bmeta,
+        _delta_add_action(broot, "p=1/f1.parquet", 2, pv={"p": "1"})])
+    try:
+        convert_from_delta(spark, broot)
+    except ValueError as e:
+        if "partition" not in str(e):
+            raise
+    else:
+        raise AssertionError("partitioned colmap converted silently")
+    return out
+
+
+def o_export_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT interop (table.py:export_delta_log): publish a real
+    delta-io ``_delta_log`` over a dds table so delta-rs — i.e.
+    every reference user (dd/dagster_delta/handler.py:23-27) — can
+    read tables THIS engine produced.  The reverse direction of
+    o_convert_from_delta; together they close the interop loop.
+
+    Fixture: a dds table built from two orders slices (overwrite +
+    append, so the export folds a multi-commit history into one
+    Delta snapshot) with a machinery property (bloom index) that
+    must be STRIPPED from the foreign log and reported.
+
+    In-line guards: (1) the exported log is spec-shaped (exactly one
+    protocol + one metaData action, stats as JSON strings, no dds.*
+    configuration keys); (2) the FULL ROUND TRIP — copy data +
+    ``_delta_log`` (without our log) to a fresh root, re-import via
+    convert_from_delta — yields the same row count at version 0;
+    (3) DV-masked tables refuse until OPTIMIZE.  Oracle: the two
+    slices — an export that dropped a file or exported a stale
+    snapshot breaks the hash (the returned frame reads THROUGH the
+    round-tripped copy, not the source table)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from dagster_delta_spark import convert_from_delta, export_delta_log
+    from dagster_delta_spark.tablelog import LOG_DIR
+
+    orders = _orders(spark, sf_dir)
+    root = _scratch("xdl")
+    t = DeltaSparkTable(spark, root)
+    t.write(orders.where("o_orderstatus = 'F'"), WriteMode.overwrite,
+            table_configuration={
+                "dds.bloomFilterColumns": _json.dumps(
+                    {"o_orderkey": {}})})
+    t.write(orders.where("o_orderstatus = 'O'"), WriteMode.append)
+    n = t.read().count()
+    res = export_delta_log(spark, root)
+    if res["num_rows"] != n:
+        raise AssertionError(f"export row count wrong: {res}")
+    if "dds.bloomFilterColumns" not in res["dropped_configuration"]:
+        raise AssertionError("machinery key leaked into the Delta log")
+    with open(_os.path.join(root, "_delta_log",
+                            "0" * 20 + ".json")) as fh:
+        actions = [_json.loads(line) for line in fh]
+    kinds = [next(iter(a)) for a in actions]
+    if kinds.count("protocol") != 1 or kinds.count("metaData") != 1:
+        raise AssertionError(f"malformed export log: {kinds}")
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    if any(k.startswith("dds.") for k in meta["configuration"]):
+        raise AssertionError("dds.* key in exported configuration")
+    if not all(isinstance(a["add"]["stats"], str)
+               for a in actions if "add" in a):
+        raise AssertionError("export stats must be JSON strings")
+
+    # guard 2: full round trip through the importer
+    back_root = _scratch("xdl-back")  # <tmpdir>/t — does not exist yet
+    _shutil.copytree(root, back_root,
+                     ignore=_shutil.ignore_patterns(LOG_DIR, "_dv"))
+    convert_from_delta(spark, back_root)
+    back = DeltaSparkTable(spark, back_root)
+    if back.read(version=0).count() != n:
+        raise AssertionError("round-tripped table lost rows")
+
+    # guard 3: DV-masked tables refuse
+    dv_root = _scratch("xdl-dv")
+    t2 = DeltaSparkTable(spark, dv_root)
+    t2.write(orders.limit(50).coalesce(1), WriteMode.overwrite)
+    t2.delete("o_orderkey % 2 = 0", use_dv=True)
+    try:
+        export_delta_log(spark, dv_root)
+    except ValueError as e:
+        if "deletion-vector" not in str(e):
+            raise
+    else:
+        raise AssertionError("DV-masked table exported silently")
+    return back.read()
+
+
 def o_append_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPEND-ONLY freeze (Delta's ``delta.appendOnly``;
     table.py:_refuse_append_only): a table created with
@@ -3824,13 +4145,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join_left": _streaming_interval_join_left,
         "o_column_mapping": o_column_mapping,
         "streaming_interval_join_full": _streaming_interval_join_full,
+        # NEW r14 (oracle-backed): delta-io interop depth — classic
+        # CHECKPOINT replay, DELETION-VECTOR decode, COLUMN-MAPPING
+        # translation, and the EXPORT direction; plus the CHANGED
+        # o_convert_from_delta (its refusal guards moved as reader
+        # versions 2-3 now convert) rotated back in.  Displaced on
+        # standing r11 records: o_generated_columns, cdc_row_changes,
+        # streaming_cdc_feed, q22_anti_scalar,
+        # incremental_rollup_maintenance.
+        "o_convert_from_delta": o_convert_from_delta,
+        "o_convert_delta_checkpoint": o_convert_delta_checkpoint,
+        "o_convert_delta_dv": o_convert_delta_dv,
+        "o_convert_delta_colmap": o_convert_delta_colmap,
+        "o_export_delta_log": o_export_delta_log,
+        # -------- past the cap: green/ok rows on committed ------
+        # -------- records (deferred r11 first, then r12, r13) ---
         "o_generated_columns": o_generated_columns,
         "cdc_row_changes": cdc_row_changes,
         "streaming_cdc_feed": streaming_cdc_feed,
         "q22_anti_scalar": relational.q22_idle_rich_customers,
         "incremental_rollup_maintenance": incremental_rollup_maintenance,
-        # -------- past the cap: green/ok rows on committed ------
-        # -------- records (deferred r11 first, then r12, r13) ---
         "streaming_rollup_sink": streaming_rollup_sink,
         "w1_w4_error_ignore": w1_w4_error_ignore,
         "o_identity_columns": o_identity_columns,
@@ -3888,7 +4222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_pipeline": multimodal_video_pipeline,
         "o_delete_dv": o_delete_dv,
         "scrub_pii": curation.scrub_pii,
-        "o_convert_from_delta": o_convert_from_delta,
         "o_protocol_versions": o_protocol_versions,
         "o_append_only": o_append_only,
         "s3_time_travel": s3_time_travel,
@@ -5371,6 +5704,33 @@ def oracle_sql() -> dict[str, str]:
         # the converted table's contents = the two surviving Delta
         # adds (the remove dropped the 'P' slice)
         "o_convert_from_delta":
+            "SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')",
+        # checkpoint replay lands on the same head state: checkpoint
+        # folds F+P, the JSON tail removes P and adds O
+        "o_convert_delta_checkpoint":
+            "SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')",
+        # files staged sorted by o_orderkey, DVs mask the first 10
+        # positions of the 'F' slice and first 5 of the rest — i.e.
+        # the smallest orderkeys of each slice
+        "o_convert_delta_dv": """
+            SELECT * FROM orders
+            WHERE o_orderkey NOT IN (
+                SELECT o_orderkey FROM orders
+                WHERE o_orderstatus = 'F'
+                ORDER BY o_orderkey LIMIT 10)
+              AND o_orderkey NOT IN (
+                SELECT o_orderkey FROM orders
+                WHERE o_orderstatus <> 'F'
+                ORDER BY o_orderkey LIMIT 5)
+        """,
+        # physical file columns c1/c2/c3 read back under the LOGICAL
+        # names the Delta schema metadata maps them to
+        "o_convert_delta_colmap": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        """,
+        # the exported-then-reimported snapshot: both slices survive
+        # the full round trip through the foreign log
+        "o_export_delta_log":
             "SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')",
         # the frozen table's exact contents — every refused mutation
         # (overwrite/DELETE/UPDATE/replace_where/RESTORE/upsert) must

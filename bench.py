@@ -95,6 +95,11 @@ def main() -> None:
         "convert_to_table",
         # r13: real delta-io log onboarding (replay + 1 commit)
         "convert_from_delta",
+        # r14: DV'd Delta onboarding (roaring decode + sidecar write
+        # + 1 commit) and the export direction (snapshot walk + one
+        # spec-shaped _delta_log JSON — the delta-rs hand-off)
+        "convert_delta_dv",
+        "export_delta_log",
         # r12: one zstd append with table properties + commit
         # userMetadata (the W8/W9/W10 write path; fixture = the
         # pre-created table, timed = one optioned append)
@@ -738,7 +743,58 @@ def main() -> None:
         res = convert_from_delta(spark, root)
         assert res["version"] == 0 and res["num_files"] == 2
 
+    def _cdv_setup(spark, d):
+        # fixture: one sorted single-file slice of orders + a Delta
+        # log whose add carries an inline roaring-bitmap DV masking
+        # 1000 positions; timed part = decode + sidecar write + one
+        # commit (the DV'd real-Delta onboarding path)
+        import os as _os
+
+        from dagster_delta_spark import delta_interop
+
+        root = entry._scratch("bench-cdv").rsplit("/", 1)[0] + "/delta"
+        _os.makedirs(root)
+        orders = spark.read.parquet(f"{d}/orders.parquet")
+        sl = (orders.where("o_orderstatus = 'F'")
+              .repartition(1).sortWithinPartitions("o_orderkey"))
+        entry._stage_landing_file(sl, root, "part-f.parquet")
+        n = orders.where("o_orderstatus = 'F'").count()
+        dv = delta_interop.inline_dv_descriptor(
+            list(range(min(1000, n - 1))))
+        entry._write_delta_commit(root, 0, [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            entry._delta_meta_action(orders.schema.json()),
+            entry._delta_add_action(root, "part-f.parquet", n,
+                                    deletionVector=dv)])
+        return root
+
+    def _cdv_run(spark, root):
+        from dagster_delta_spark import convert_from_delta
+        res = convert_from_delta(spark, root)
+        assert res["version"] == 0
+
+    def _xdl_setup(spark, d):
+        # fixture: a 2-commit dds table over orders; timed part = the
+        # export (snapshot walk + stats re-sanitize + one JSON write —
+        # pure metadata, the delta-rs hand-off path)
+        root = entry._scratch("bench-xdl")
+        t = DeltaSparkTable(spark, root)
+        orders = spark.read.parquet(f"{d}/orders.parquet")
+        t.write(orders.where("o_orderstatus = 'F'"),
+                WriteMode.overwrite)
+        t.write(orders.where("o_orderstatus = 'O'"), WriteMode.append)
+        return root
+
+    def _xdl_run(spark, root):
+        from dagster_delta_spark import export_delta_log
+        res = export_delta_log(spark, root)
+        assert res["delta_version"] == 0
+
     staged = {
+        "convert_delta_dv": (_cdv_setup, _cdv_run),
+        "export_delta_log": (_xdl_setup, _xdl_run),
         "convert_to_table": (_convert_setup, _convert_run),
         "convert_from_delta": (_cfd_setup, _cfd_run),
         "copy_into": (_copy_into_setup, _copy_into_run),
