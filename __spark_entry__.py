@@ -1065,12 +1065,14 @@ def o_convert_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged orders files — v0 adds both, v1 REMOVES one and adds a
     third (the replay must honor removes), plus a SetTransaction.
 
-    In-line guards: (1) a minReaderVersion=2 log refuses; (2) an add
-    carrying a deletionVector refuses; (3) the converted table time-
-    travels (version 0 == converted state) and stays fully writable
-    (an append lands).  Oracle: the two surviving slices of orders —
-    a replay that dropped the remove, lost an add, or mis-decoded
-    partitionValues breaks the hash match."""
+    In-line guards: (1) a minReaderVersion=4 log refuses (versions
+    2-3 convert since r14 — see o_convert_delta_colmap /
+    o_convert_delta_dv); (2) an add carrying an UNDECODABLE deletion
+    vector refuses; (3) the converted table time-travels (version 0
+    == converted state) and stays fully writable (an append lands).
+    Oracle: the two surviving slices of orders — a replay that
+    dropped the remove, lost an add, or mis-decoded partitionValues
+    breaks the hash match."""
     from dagster_delta_spark import convert_from_delta
 
     orders = _orders(spark, sf_dir)

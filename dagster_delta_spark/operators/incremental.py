@@ -675,7 +675,18 @@ def maintain_bm25_index(
     postings would inflate df and surface deleted docs in every
     search; rebuild instead); compaction-only ranges are a metadata
     no-op.  Cost is O(delta); the indexed corpus is never
-    re-tokenized.  Returns the new processed base version."""
+    re-tokenized.  Returns the new processed base version.
+
+    NO ``audit_every`` knob, deliberately (r14, vs the IVF/PQ
+    maintainers): drift audits score TRAINED-MODEL staleness
+    (centroids/codebooks fit to an old distribution) — BM25 postings
+    carry no model, folds are exact by construction (tokenization is
+    deterministic), so there is nothing to drift.  The integrity
+    check that exists instead, ``bm25_index_vs_rebuild``, re-derives
+    the FULL corpus (O(corpus), not O(delta)) — wiring it to a
+    per-N-folds cadence would silently turn maintenance into a
+    periodic full re-tokenize at 100 TB.  Run it as an explicit
+    offline audit, the way the tests and the model fuzz do."""
     index_start = index.version()  # BEFORE the resume read (see
     # _check_single_maintainer: no interleave escapes the interval)
     v_meta, _meta = _resume_version(index)

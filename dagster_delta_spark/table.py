@@ -5059,6 +5059,11 @@ def convert_from_delta(
       mode=name.
     - corrupted deletion vectors (bad magic / CRC / cardinality /
       out-of-range row index) refuse.
+    - IDENTITY columns refuse (id-allocation strategies differ
+      between engines); per-field GENERATION EXPRESSIONS and
+      INVARIANTS translate instead (r14) — they are Spark SQL, which
+      this engine runs, so they land as ``dds.generatedColumns`` /
+      ``dds.constraints.invariant_<col>`` and keep enforcing.
     - absolute/URI add paths (shallow clones) refuse; every relative
       add must exist on disk under ``path``.
 
@@ -5191,9 +5196,10 @@ def convert_from_delta(
     # engine's writers take over after conversion:
     # (a) feature-protocol tables: only features with an exact
     #     engine equivalent pass;
-    # (b) per-field invariants / generation expressions / identity
-    #     specs hide in schema FIELD metadata — refuse (no reliable
-    #     translation without evaluating them);
+    # (b) per-field GENERATION EXPRESSIONS and INVARIANTS are Spark
+    #     SQL — they TRANSLATE (r14) to dds.generatedColumns /
+    #     dds.constraints.invariant_<col>; IDENTITY specs refuse
+    #     (allocation strategies differ between engines);
     # (c) delta.constraints.* MAP to dds.constraints.* (same
     #     expression-per-key shape, enforced on every future write;
     #     existing rows were checked by the Delta writer that
@@ -5201,25 +5207,65 @@ def convert_from_delta(
     unmappable = sorted(writer_features
                         - {"appendOnly", "checkConstraints",
                            "invariants", "columnMapping",
-                           "deletionVectors"})
+                           "deletionVectors", "generatedColumns"})
     if unmappable:
         raise ValueError(
             f"Delta table at {root!r} declares writer feature(s) "
             f"{unmappable} this engine cannot honor; converting "
             "would silently drop a guarantee its writers enforced")
     schema = StructType.fromJson(_json_loads(meta_action["schemaString"]))
+    # per-field writer contracts: generation expressions and
+    # invariants are SPARK SQL expressions (delta-spark is the writer
+    # that produces them) — this engine runs Spark SQL, so they
+    # TRANSLATE losslessly into dds.generatedColumns /
+    # dds.constraints.* (r14; both enforce on every future write).
+    # Identity columns still refuse: the ALLOCATION strategy (Delta's
+    # sparse high-watermark vs this engine's dense prefix-sum) is
+    # writer-specific and a silent swap would change the ids a
+    # downstream join depends on.
+    gen_exprs: dict[str, str] = {}
+    invariant_exprs: dict[str, str] = {}
+    stripped_fields = []
+    contract_md_seen = False
     for fld in schema.fields:
-        bad_md = sorted(
-            k for k in (fld.metadata or {})
-            if k == "delta.invariants"
-            or k == "delta.generationExpression"
-            or k.startswith("delta.identity."))
-        if bad_md:
+        md = dict(fld.metadata or {})
+        if any(k.startswith("delta.identity.") for k in md):
             raise ValueError(
-                f"column {fld.name!r} carries writer-enforced field "
-                f"metadata {bad_md} (invariant / generated / identity "
-                "column); this engine cannot translate it reliably — "
-                "converting would stop enforcing it on future writes")
+                f"column {fld.name!r} is a Delta IDENTITY column; the "
+                "id-allocation strategies differ between engines and "
+                "a silent swap would change future ids — drop the "
+                "identity contract with a Delta writer first")
+        gexpr = md.pop("delta.generationExpression", None)
+        if gexpr is not None:
+            try:
+                F.expr(str(gexpr))
+            except Exception as e:
+                raise ValueError(
+                    f"column {fld.name!r} generation expression "
+                    f"{gexpr!r} does not parse as Spark SQL: {e}"
+                ) from e
+            gen_exprs[fld.name] = str(gexpr)
+            contract_md_seen = True
+        inv = md.pop("delta.invariants", None)
+        if inv is not None:
+            try:
+                expr = _json_loads(inv)["expression"]["expression"]
+            except Exception as e:  # incl. JSONDecodeError
+                raise ValueError(
+                    f"column {fld.name!r} invariant {inv!r} is not "
+                    f"the spec JSON shape: {e}") from e
+            try:
+                F.expr(str(expr))
+            except Exception as e:
+                raise ValueError(
+                    f"column {fld.name!r} invariant expression "
+                    f"{expr!r} is not Spark SQL: {e}") from e
+            invariant_exprs[f"invariant_{fld.name}"] = str(expr)
+            contract_md_seen = True
+        stripped_fields.append(StructField(
+            fld.name, fld.dataType, fld.nullable, md))
+    if contract_md_seen:
+        schema = StructType(stripped_fields)
     pcols = list(meta_action.get("partitionColumns") or [])
     # column mapping (mode=name): physical names live in schema field
     # metadata — translate into this engine's frozen-physical-name
@@ -5283,6 +5329,14 @@ def convert_from_delta(
     for k in [k for k in cfg if k.startswith("delta.constraints.")]:
         cfg[_CONSTRAINT_PREFIX + k[len("delta.constraints."):]] = \
             cfg.pop(k)
+    if gen_exprs:
+        cfg[_GENCOL_KEY] = json.dumps(gen_exprs, sort_keys=True)
+    for cname, cexpr in invariant_exprs.items():
+        if _CONSTRAINT_PREFIX + cname in cfg:
+            raise ValueError(
+                f"invariant name collision: {cname!r} exists both as "
+                "a field invariant and a table constraint")
+        cfg[_CONSTRAINT_PREFIX + cname] = cexpr
     # BEHAVIOR-CLAIMING delta.* keys describe machinery this engine
     # does not run (no _change_data is written here, no Delta
     # auto-optimize service fires) — carrying them verbatim would

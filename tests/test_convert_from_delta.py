@@ -319,24 +319,21 @@ def test_writer_contract_refusals(spark, tmp_path):
                      _add(r2, "f1.parquet", 4)]])
     assert convert_from_delta(spark, r2)["num_rows"] == 4
 
-    # per-field writer metadata (invariant / generated / identity)
+    # per-field IDENTITY metadata still refuses (allocation
+    # strategies differ); invariants/generated TRANSLATE since r14 —
+    # see test_field_contracts_translate
     from pyspark.sql.types import LongType, StructField, StructType
 
-    for md, marker in (
-        ({"delta.invariants": '{"expression":{"expression":"a > 0"}}'},
-         "invariant"),
-        ({"delta.generationExpression": "a + 1"}, "generated"),
-        ({"delta.identity.start": 1}, "identity"),
-    ):
-        r = str(tmp_path / f"dm{marker}")
-        mk(r)
-        sch = StructType([StructField("a", LongType(), True, md)])
-        _write_log(r, [[
-            _proto(),
-            _entry._delta_meta_action(sch.json()),
-            _add(r, "f1.parquet", 4)]])
-        with pytest.raises(ValueError, match="field metadata"):
-            convert_from_delta(spark, r)
+    r = str(tmp_path / "dmident")
+    mk(r)
+    sch = StructType([StructField(
+        "a", LongType(), True, {"delta.identity.start": 1})])
+    _write_log(r, [[
+        _proto(),
+        _entry._delta_meta_action(sch.json()),
+        _add(r, "f1.parquet", 4)]])
+    with pytest.raises(ValueError, match="IDENTITY"):
+        convert_from_delta(spark, r)
 
     # foreign engine-namespace key
     r3 = str(tmp_path / "d3")
@@ -635,3 +632,67 @@ def test_convert_timestamp_stats_prune(spark, tmp_path):
     assert [f.path for f in kept] == ["f1.parquet"]
     assert t.read(
         dnf=[("ts", "<=", "2024-01-01 05:30:00")]).count() == 1
+
+
+def test_field_contracts_translate(spark, tmp_path):
+    """r14: delta.generationExpression / delta.invariants are Spark
+    SQL — they translate into dds.generatedColumns /
+    dds.constraints.invariant_<col> and ENFORCE on future writes;
+    the field metadata is stripped from the stored schema."""
+    from pyspark.sql.types import DateType, LongType, StructField, \
+        StructType, TimestampType
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    df = spark.sql(
+        "SELECT id AS a, TIMESTAMP'2024-01-02 03:00:00' AS ts, "
+        "DATE'2024-01-02' AS d FROM range(1, 5)")
+    _stage_file(spark, df, root, "f1.parquet")
+    sch = StructType([
+        StructField("a", LongType(), True, {
+            "delta.invariants":
+                '{"expression":{"expression":"a > 0"}}'}),
+        StructField("ts", TimestampType(), True),
+        StructField("d", DateType(), True, {
+            "delta.generationExpression": "CAST(ts AS DATE)"}),
+    ])
+    p = _proto(mrv=1, mwv=7)
+    p["protocol"]["writerFeatures"] = ["generatedColumns", "invariants"]
+    _write_log(root, [[p, _entry._delta_meta_action(sch.json()),
+                       _add(root, "f1.parquet", 4)]])
+    convert_from_delta(spark, root)
+    t = DeltaSparkTable(spark, root)
+    props = t.describe_detail()["properties"]
+    assert props["dds.constraints.invariant_a"] == "a > 0"
+    assert json.loads(props["dds.generatedColumns"]) == {
+        "d": "CAST(ts AS DATE)"}
+    # metadata stripped from the stored schema
+    from pyspark.sql.types import StructType as ST
+
+    stored = ST.fromJson(json.loads(t.snapshot().schema_json))
+    assert all(not f.metadata for f in stored.fields)
+    # both contracts enforce on future writes
+    from dagster_delta_spark import ConstraintViolationError
+
+    bad = spark.sql("SELECT CAST(-1 AS BIGINT) AS a, "
+                    "TIMESTAMP'2024-01-02 03:00:00' AS ts, "
+                    "DATE'2024-01-02' AS d")
+    with pytest.raises(ConstraintViolationError):
+        t.write(bad, WriteMode.append)
+    absent = spark.sql(
+        "SELECT CAST(9 AS BIGINT) AS a, "
+        "TIMESTAMP'2024-02-03 04:00:00' AS ts")
+    t.write(absent, WriteMode.append)  # generated col computes
+    got = t.read().where("a = 9").collect()[0]
+    assert str(got["d"]) == "2024-02-03"
+
+    # malformed invariant JSON refuses pointedly
+    r2 = str(tmp_path / "badinv")
+    os.makedirs(r2)
+    _stage_file(spark, df, r2, "f1.parquet")
+    sch2 = StructType([StructField("a", LongType(), True, {
+        "delta.invariants": "not json"})])
+    _write_log(r2, [[_proto(), _entry._delta_meta_action(sch2.json()),
+                     _add(r2, "f1.parquet", 4)]])
+    with pytest.raises(ValueError, match="invariant"):
+        convert_from_delta(spark, r2)

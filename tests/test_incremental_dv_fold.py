@@ -182,3 +182,45 @@ def test_insert_then_delete_same_window_nets_out_all_families(
     docs.delete("doc_id >= 23", use_dv=True)
     maintain_lsh_index(docs, lsh)
     assert lsh_index_vs_rebuild(docs, lsh).count() == 0
+
+
+def test_duplicate_id_partial_delete_refuses(spark, tmp_path):
+    """r14 unique-id contract (_verify_unique_id_contract): a base
+    with DUPLICATE live rows per id where a DV delete masks only ONE
+    of them must refuse the fold — silently evicting the surviving
+    duplicate from the index is the failure mode the guard closes
+    (previously only the vs_rebuild audits would catch it)."""
+    # duplicates live in DIFFERENT files and the DV delete hits one
+    # file's copy via a second distinguishing column, so id 7 keeps a
+    # live row at head while the feed carries its delete
+    emb2 = DeltaSparkTable(spark, str(tmp_path / "emb2"))
+    ivf2 = DeltaSparkTable(spark, str(tmp_path / "ivf2"))
+    rows1 = [(int(i), [float(i)] * 8, "a") for i in range(30)]
+    rows2 = [(7, [99.0] * 8, "b")]  # duplicate vec_id 7, tag b
+    sch = "vec_id long, embedding array<float>, tag string"
+    emb2.write(spark.createDataFrame(rows1, sch).coalesce(1),
+               WriteMode.append)
+    build_ivf_index(emb2, ivf2, n_cells=3)
+    emb2.write(spark.createDataFrame(rows2, sch).coalesce(1),
+               WriteMode.append)
+    emb2.delete("vec_id = 7 AND tag = 'a'", use_dv=True)
+    with pytest.raises(ValueError, match="unique ids"):
+        maintain_ivf_index(emb2, ivf2)
+    # prescribed recovery: rebuild (multiplicity-aware from scratch)
+    build_ivf_index(emb2, ivf2, n_cells=3)
+
+
+def test_unique_id_guard_passes_normal_folds(spark, tmp_path):
+    """The guard must NOT fire on the lawful shapes: pure DV delete,
+    DV update, delete-then-reinsert in one window."""
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    ivf = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    emb.write(_emb_df(spark, range(40)).coalesce(1), WriteMode.append)
+    build_ivf_index(emb, ivf, n_cells=4)
+    emb.delete("vec_id = 3", use_dv=True)                 # pure delete
+    emb.update({"embedding": "embedding"}, "vec_id = 5",
+               use_dv=True)                               # DV update
+    emb.delete("vec_id = 9", use_dv=True)
+    emb.write(_emb_df(spark, [9], seed=5), WriteMode.append)  # reinsert
+    assert maintain_ivf_index(emb, ivf) == emb.version()
+    assert ivf_index_vs_rebuild(emb, ivf).count() == 0

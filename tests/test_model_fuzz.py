@@ -150,7 +150,80 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                              "delete_dv", "delete_rw", "row_update",
                              "row_update_dv", "rename", "restore",
                              "replace_where", "copy_into",
-                             "log_cleanup", "auto_ingest"])
+                             "log_cleanup", "auto_ingest",
+                             "append_only_freeze",
+                             "future_writer_fork"])
+            if op == "append_only_freeze":
+                # r14: SET dds.appendOnly interleaves with everything
+                # — while frozen a random forbidden op refuses with
+                # state AND version untouched, appends still land,
+                # UNSET re-enables (each property commit is a version
+                # the restore oracle must replay, hence the _snaps)
+                t.set_properties({"dds.appendOnly": "true"})
+                _snap()
+                sdf, pdf = _mk_df(spark, rnd)
+                sdf = sdf.withColumnRenamed("v", vname)
+                vbefore = t.version()
+                forbidden = rnd.choice([
+                    lambda: t.write(sdf, WriteMode.overwrite),
+                    lambda: t.delete(f"{vname} >= 0"),
+                    lambda: t.delete(f"{vname} >= 0", use_dv=True),
+                    lambda: t.update({vname: f"{vname} + 1"},
+                                     f"{vname} >= 0"),
+                    lambda: t.restore(max(boundary, vbefore - 1)),
+                ])
+                try:
+                    forbidden()
+                except ValueError as e:
+                    assert "append-only" in str(e), e
+                else:
+                    raise AssertionError(
+                        f"trial {trial} step {_step}: forbidden op "
+                        "succeeded on a frozen table")
+                assert t.version() == vbefore
+                assert _table_state(t, vname) == _model_state(model)
+                t.write(sdf, WriteMode.append)  # appends stay legal
+                model = _apply_model(model, "append", pdf)
+                _snap()
+                t.unset_properties(["dds.appendOnly"])
+                _snap()
+                assert _table_state(t, vname) == _model_state(model), (
+                    f"trial {trial} step {_step} append_only_freeze"
+                )
+                continue
+            if op == "future_writer_fork":
+                # r14: the protocol gate under arbitrary prior state —
+                # a zero-copy FORK of the live table upgrades to a
+                # future writer version: reads still serve the full
+                # state, every mutation refuses pre-staging, and the
+                # original table is untouched
+                from dagster_delta_spark import tablelog as tl
+
+                fork = t.clone(str(
+                    tmp_path / f"fw{trial}_{t.version()}_{_step}"))
+                tl.commit(fork.table_uri, fork.version() + 1, [
+                    tl.Protocol(1, 99, [], ["futureMagic"]).to_action(),
+                    tl.CommitInfo("UPGRADE").to_action()])
+                assert _table_state(fork, vname) == _model_state(model)
+                sdf, pdf = _mk_df(spark, rnd)
+                sdf = sdf.withColumnRenamed("v", vname)
+                for mut in (
+                    lambda: fork.write(sdf, WriteMode.append),
+                    lambda: fork.idempotent_append(sdf, "fz", 1),
+                    lambda: fork.delete(f"{vname} >= 0", use_dv=True),
+                ):
+                    try:
+                        mut()
+                    except tl.UnsupportedProtocolError:
+                        pass
+                    else:
+                        raise AssertionError(
+                            f"trial {trial} step {_step}: mutation "
+                            "landed on a future-writer fork")
+                assert _table_state(t, vname) == _model_state(model), (
+                    f"trial {trial} step {_step} future_writer_fork"
+                )
+                continue
             if op == "log_cleanup":
                 # r11: log retention interleaves with everything —
                 # state and every version >= the boundary must be
@@ -238,6 +311,15 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 if t.version() != before:  # restore-to-head is a no-op
                     model, vname = hist[r][0].copy(), hist[r][1]
                     _snap()
+                    # r14: restoring INTO an append_only_freeze window
+                    # RE-FREEZES the table (restore re-publishes the
+                    # target's configuration — the pinned r13
+                    # semantics); thaw so the rest of the sequence
+                    # keeps exercising DML
+                    if (t.snapshot().metadata.configuration.get(
+                            "dds.appendOnly") == "true"):
+                        t.unset_properties(["dds.appendOnly"])
+                        _snap()
                 assert _table_state(t, vname) == _model_state(model), (
                     f"trial {trial} step {_step} restore -> {r}"
                 )

@@ -110,3 +110,23 @@ def test_legacy_table_without_protocol_grandfathered(spark, tmp_path):
     # and the engine can still write to it
     t2.write(_df(spark, 2), WriteMode.append)
     assert t2.read().count() == 7
+
+
+def test_future_writer_refuses_idempotent_append_pre_staging(
+        spark, tmp_path):
+    """r14 advisory fix: idempotent_append runs the writer gate
+    BEFORE staging like every other data-writing path — a replayed
+    micro-batch against a future-writer table must refuse without
+    stranding staged files."""
+    import glob
+    import os
+
+    t = _future(spark, tmp_path, "fw-ia",
+                tl.Protocol(1, 99, [], ["futureWriterMagic"]))
+    before = set(glob.glob(os.path.join(t.table_uri, "**", "*.parquet"),
+                           recursive=True))
+    with pytest.raises(tl.UnsupportedProtocolError, match="minWriter"):
+        t.idempotent_append(_df(spark, 2), "app", 1)
+    after = set(glob.glob(os.path.join(t.table_uri, "**", "*.parquet"),
+                          recursive=True))
+    assert after == before  # nothing staged
