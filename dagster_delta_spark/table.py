@@ -5266,6 +5266,15 @@ def convert_from_delta(
             fld.name, fld.dataType, fld.nullable, md))
     if contract_md_seen:
         schema = StructType(stripped_fields)
+    # nullable=false is Delta's NOT NULL invariant (writers enforce
+    # it) — translate to dds.notNullColumns (r14; enforced as a CHECK
+    # on every future write) and normalize the stored schema to this
+    # engine's all-nullable convention, same as native tables
+    delta_not_null = [f.name for f in schema.fields if not f.nullable]
+    if delta_not_null:
+        schema = StructType([
+            StructField(f.name, f.dataType, True, f.metadata)
+            for f in schema.fields])
     pcols = list(meta_action.get("partitionColumns") or [])
     # column mapping (mode=name): physical names live in schema field
     # metadata — translate into this engine's frozen-physical-name
@@ -5331,6 +5340,8 @@ def convert_from_delta(
             cfg.pop(k)
     if gen_exprs:
         cfg[_GENCOL_KEY] = json.dumps(gen_exprs, sort_keys=True)
+    if delta_not_null:
+        cfg[_NOTNULL_KEY] = json.dumps(delta_not_null)
     for cname, cexpr in invariant_exprs.items():
         if _CONSTRAINT_PREFIX + cname in cfg:
             raise ValueError(
@@ -5648,9 +5659,11 @@ def export_delta_log(
       reader-v2 export; rename-free tables export fine);
     - shallow CLONES (files outside the table root cannot be
       table-relative adds);
-    - identity / generated / default / NOT-NULL column contracts
-      (Delta carries them in field metadata this export does not
-      fabricate — a foreign writer would silently stop enforcing);
+    - identity columns (allocation strategies differ between
+      engines) and column defaults (a v7 feature this export does not
+      write); GENERATED columns and NOT NULL translate instead (r14)
+      — ``delta.generationExpression`` field metadata (writer v4) and
+      ``nullable=false`` (the v2 invariant);
     - an existing ``_delta_log`` under ``path`` (never clobber a
       real Delta log).
     """
@@ -5665,8 +5678,7 @@ def export_delta_log(
     cfg = dict(snap.metadata.configuration)
     contract_keys = sorted(
         k for k in cfg
-        if k in (_IDENTITY_KEY, _GENCOL_KEY, _NOTNULL_KEY,
-                 _COLDEFAULT_KEY))
+        if k in (_IDENTITY_KEY, _COLDEFAULT_KEY))
     if _COLMAP_KEY in cfg or _DROPPED_KEY in cfg:
         raise ValueError(
             "column-mapped tables do not export: Delta stores "
@@ -5676,11 +5688,11 @@ def export_delta_log(
             "files")
     if contract_keys:
         raise ValueError(
-            f"table carries writer contract(s) {contract_keys} that "
-            "Delta expresses as field metadata this export does not "
-            "fabricate; a foreign writer would silently stop "
-            "enforcing them — unset the properties first if a "
-            "snapshot export is really wanted")
+            f"table carries writer contract(s) {contract_keys} with "
+            "no faithful Delta spelling (identity allocation differs "
+            "between engines; column defaults are a v7 feature this "
+            "export does not write) — unset the properties first if "
+            "a snapshot export is really wanted")
     dv_files = sorted(a.path for a in snap.files if a.dv_path)
     if dv_files:
         raise ValueError(
@@ -5710,12 +5722,36 @@ def export_delta_log(
         elif k.startswith(_CONSTRAINT_PREFIX):
             out_cfg["delta.constraints."
                     + k[len(_CONSTRAINT_PREFIX):]] = v
+        elif k in (_GENCOL_KEY, _NOTNULL_KEY):
+            pass  # fabricated into schema field metadata below
         elif k.startswith("dds."):
             dropped_cfg[k] = v
         else:
             out_cfg[k] = v
+    # generated columns / NOT NULL have exact Delta spellings (r14):
+    # dds.generatedColumns -> delta.generationExpression field
+    # metadata (writer v4), dds.notNullColumns -> nullable=false (the
+    # v2 invariant every Delta writer enforces) — the round trip back
+    # through convert_from_delta restores both keys
+    gen_cols = _generated_columns(cfg)
+    not_null = set(_not_null_columns(cfg))
+    export_fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if f.name in gen_cols:
+            md["delta.generationExpression"] = gen_cols[f.name]
+        # nullable=false exports ONLY for engine-ENFORCED columns
+        # (dds.notNullColumns): this engine ignores stored-schema
+        # nullability on writes, so a stored nullable=false is not a
+        # trustworthy invariant — exporting it could hand a foreign
+        # reader a NOT NULL claim the data violates
+        export_fields.append(StructField(
+            f.name, f.dataType, f.name not in not_null, md))
+    export_schema = StructType(export_fields)
     min_writer = 3 if any(
         k.startswith("delta.constraints.") for k in out_cfg) else 2
+    if gen_cols:
+        min_writer = max(min_writer, 4)
 
     from urllib.parse import quote
 
@@ -5760,7 +5796,7 @@ def export_delta_log(
         {"metaData": {
             "id": snap.metadata.table_id or str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": snap.schema_json,
+            "schemaString": export_schema.json(),
             "partitionColumns": list(snap.partition_columns),
             "configuration": out_cfg,
             "createdTime": snap.metadata.created_time

@@ -159,3 +159,53 @@ def test_export_dry_run_writes_nothing(spark, tmp_path):
     res = export_delta_log(spark, root, dry_run=True)
     assert res["dry_run"] and res["num_rows"] == 4
     assert not os.path.exists(os.path.join(root, "_delta_log"))
+
+
+def test_contract_round_trip(spark, tmp_path):
+    """r14 symmetry: generated columns export as
+    delta.generationExpression field metadata, NOT NULL as
+    nullable=false — and the round trip back through
+    convert_from_delta restores dds.generatedColumns /
+    dds.notNullColumns with enforcement intact."""
+    root = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, root)
+    df = spark.sql(
+        "SELECT CAST(id AS BIGINT) AS a, "
+        "TIMESTAMP'2024-01-02 03:00:00' AS ts FROM range(0, 4)")
+    t.write(df, WriteMode.overwrite, table_configuration={
+        "dds.generatedColumns": '{"d": "CAST(ts AS DATE)"}',
+        "dds.notNullColumns": '["a"]'})
+    res = export_delta_log(spark, root)
+    assert res["dropped_configuration"] == {}
+
+    with open(os.path.join(root, "_delta_log",
+                           "0" * 20 + ".json")) as f:
+        actions = [json.loads(line) for line in f]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    sch = json.loads(meta["schemaString"])
+    by_name = {f["name"]: f for f in sch["fields"]}
+    assert by_name["d"]["metadata"][
+        "delta.generationExpression"] == "CAST(ts AS DATE)"
+    assert by_name["a"]["nullable"] is False
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] == 4  # generated columns
+
+    back = _round_trip(spark, root, tmp_path)
+    props = back.describe_detail()["properties"]
+    assert json.loads(props["dds.generatedColumns"]) == {
+        "d": "CAST(ts AS DATE)"}
+    assert json.loads(props["dds.notNullColumns"]) == ["a"]
+    # enforcement is live on the round-tripped table: omitted
+    # generated column computes; a NULL key refuses
+    back.write(spark.sql(
+        "SELECT CAST(9 AS BIGINT) AS a, "
+        "TIMESTAMP'2024-02-03 04:00:00' AS ts"), WriteMode.append)
+    assert str(back.read().where("a = 9").collect()[0]["d"]) == \
+        "2024-02-03"
+    from dagster_delta_spark import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError):
+        back.write(spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS a, "
+            "TIMESTAMP'2024-02-03 04:00:00' AS ts, "
+            "DATE'2024-02-03' AS d"), WriteMode.append)
