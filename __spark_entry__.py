@@ -242,12 +242,15 @@ def _write_delta_commit(root: str, version: int, actions) -> None:
             fh.write(_json.dumps(a) + "\n")
 
 
-def _write_delta_checkpoint(root: str, version: int, actions) -> None:
-    """Spec-shaped CLASSIC single-part checkpoint parquet (one action
-    per row, map-typed partitionValues/configuration exactly like real
-    Delta checkpoints) + the ``_last_checkpoint`` pointer — the ONE
-    fixture encoding shared by the o_convert_delta_checkpoint entry,
-    bench and tests (same rule as _delta_*_action)."""
+def _write_delta_checkpoint(root: str, version: int, actions,
+                            parts: int = 0) -> None:
+    """Spec-shaped CLASSIC checkpoint parquet (one action per row,
+    map-typed partitionValues/configuration exactly like real Delta
+    checkpoints) + the ``_last_checkpoint`` pointer — the ONE fixture
+    encoding shared by the o_convert_delta_checkpoint entry, bench
+    and tests (same rule as _delta_*_action).  ``parts=N`` writes a
+    MULTI-PART checkpoint (actions split round-robin across N
+    1-based part files) instead of the single-part file."""
     import json as _json
     import os as _os
 
@@ -302,11 +305,23 @@ def _write_delta_checkpoint(root: str, version: int, actions) -> None:
         rows.append(row)
     d = _os.path.join(root, "_delta_log")
     _os.makedirs(d, exist_ok=True)
-    _pq.write_table(
-        _pa.Table.from_pylist(rows, schema=schema),
-        _os.path.join(d, f"{version:020d}.checkpoint.parquet"))
+    if parts:
+        for i in range(1, parts + 1):
+            chunk = rows[i - 1::parts]
+            _pq.write_table(
+                _pa.Table.from_pylist(chunk, schema=schema),
+                _os.path.join(
+                    d, f"{version:020d}.checkpoint."
+                       f"{i:010d}.{parts:010d}.parquet"))
+        pointer = {"version": version, "size": len(actions),
+                   "parts": parts}
+    else:
+        _pq.write_table(
+            _pa.Table.from_pylist(rows, schema=schema),
+            _os.path.join(d, f"{version:020d}.checkpoint.parquet"))
+        pointer = {"version": version, "size": len(actions)}
     with open(_os.path.join(d, "_last_checkpoint"), "w") as fh:
-        _json.dump({"version": version, "size": len(actions)}, fh)
+        _json.dump(pointer, fh)
 
 
 def _bm25_query_values() -> str:
@@ -1169,8 +1184,9 @@ def o_convert_delta_checkpoint(spark: SparkSession,
     txn.  No JSON exists at or below v2.
 
     In-line guards: (1) the replay saw the tail (delta_version == 4,
-    txn ledger at its v4 value, not the checkpoint's); (2) a
-    multi-part ``_last_checkpoint`` pointer refuses pointedly.
+    txn ledger at its v4 value, not the checkpoint's); (2) an
+    INCOMPLETE multi-part checkpoint refuses pointedly (complete
+    sets replay).
     Oracle: the surviving slices — a replay that used only the
     checkpoint (or only the tail) breaks the hash match."""
     from dagster_delta_spark import convert_from_delta
@@ -1209,22 +1225,27 @@ def o_convert_delta_checkpoint(spark: SparkSession,
     if t.last_txn_version("ref-stream") != 9:
         raise AssertionError("txn ledger did not fold checkpoint+tail")
 
-    # guard 2: a multi-part pointer refuses
-    import json as _json
-
+    # guard 2: an INCOMPLETE multi-part checkpoint refuses (complete
+    # multi-part sets replay since late r14 — pinned in
+    # tests/test_convert_from_delta.py::test_multipart_checkpoint_replays)
     broot = _scratch("ccp-bad").rsplit("/", 1)[0] + "/delta"
-    _os.makedirs(_os.path.join(broot, "_delta_log"))
+    _os.makedirs(broot)
     _stage_landing_file(orders.limit(2), broot, "f1.parquet")
-    with open(_os.path.join(broot, "_delta_log", "_last_checkpoint"),
-              "w") as fh:
-        _json.dump({"version": 2, "size": 4, "parts": 2}, fh)
+    _write_delta_checkpoint(broot, 2, [
+        _delta_protocol_action(),
+        _delta_meta_action(orders.schema.json()),
+        _delta_add_action(broot, "f1.parquet", 2)], parts=2)
+    _os.remove(_os.path.join(
+        broot, "_delta_log",
+        "0" * 18 + "02.checkpoint.0000000002.0000000002.parquet"))
     try:
         convert_from_delta(spark, broot)
     except ValueError as e:
-        if "multi-part" not in str(e):
+        if "incomplete" not in str(e):
             raise
     else:
-        raise AssertionError("multi-part checkpoint converted silently")
+        raise AssertionError(
+            "incomplete multi-part checkpoint converted silently")
     return t.read()
 
 

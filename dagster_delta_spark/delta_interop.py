@@ -374,18 +374,35 @@ _MULTIPART_CP = re.compile(
 _V2_CP = re.compile(r"^(\d{20})\.checkpoint\.[0-9a-zA-Z-]+\.(parquet|json)$")
 
 
-def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, str]]:
-    """Newest decodable checkpoint under ``dlog``: (version, file
-    path) for a classic single-part checkpoint, honoring the
-    ``_last_checkpoint`` pointer when present.  Multi-part and v2
-    (UUID-named) checkpoints refuse pointedly — silently skipping
-    them could replay from an older state a cleaned log no longer
-    completes."""
+def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, list[str]]]:
+    """Newest decodable checkpoint under ``dlog``: (version, ordered
+    part paths) for a classic checkpoint — single-part or COMPLETE
+    multi-part — honoring the ``_last_checkpoint`` pointer when
+    present.  Incomplete multi-part sets and v2 (UUID-named)
+    checkpoints refuse pointedly — silently skipping them could
+    replay from an older state a cleaned log no longer completes."""
     names = os.listdir(dlog)
-    classic = {int(m.group(1)): n for n in names
+    classic = {int(m.group(1)): [n] for n in names
                for m in [_CLASSIC_CP.match(n)] if m}
-    multi = sorted({int(m.group(1)) for n in names
-                    for m in [_MULTIPART_CP.match(n)] if m})
+    multi: dict[int, dict[int, tuple[int, str]]] = {}
+    for n in names:
+        m = _MULTIPART_CP.match(n)
+        if m:
+            v, part, total = (int(m.group(1)), int(m.group(2)),
+                              int(m.group(3)))
+            multi.setdefault(v, {})[part] = (total, n)
+    for v, parts in multi.items():
+        totals = {t for t, _ in parts.values()}
+        if len(totals) == 1 and sorted(parts) == list(
+                range(1, next(iter(totals)) + 1)):
+            # complete 1..n part set (spec: parts are 1-based)
+            classic.setdefault(
+                v, [parts[i][1] for i in sorted(parts)])
+        else:
+            raise DeltaInteropError(
+                f"multi-part checkpoint at version {v} is incomplete "
+                f"(found parts {sorted(parts)} of {sorted(totals)}); "
+                "cannot replay a partial state")
     v2 = sorted({int(m.group(1)) for n in names
                  for m in [_V2_CP.match(n)]
                  if m and not _MULTIPART_CP.match(n)})
@@ -395,27 +412,22 @@ def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, str]]:
         with open(last, encoding="utf-8") as f:
             lc = json.load(f)
         pointer = int(lc["version"])
-        if lc.get("parts"):
+        if lc.get("parts") and pointer in classic and len(
+                classic[pointer]) != int(lc["parts"]):
             raise DeltaInteropError(
-                f"_last_checkpoint points at a {lc['parts']}-part "
-                "multi-part checkpoint; only classic single-part "
-                "checkpoints are supported — re-checkpoint with "
-                "delta.checkpoint.writeStatsAsStruct defaults or "
-                "convert from a JSON-complete log")
+                f"_last_checkpoint declares {lc['parts']} parts at "
+                f"version {pointer} but {len(classic[pointer])} were "
+                "found; cannot replay a partial state")
     best = max(classic) if classic else None
     if pointer is not None and pointer in classic:
         best = pointer
     if best is None:
-        if multi:
-            raise DeltaInteropError(
-                f"only multi-part checkpoint(s) at version(s) "
-                f"{multi} found; multi-part replay is not supported")
         if v2:
             raise DeltaInteropError(
                 f"only v2 (UUID-named) checkpoint(s) at version(s) "
                 f"{v2} found; v2 checkpoint replay is not supported")
         return None
-    return best, os.path.join(dlog, classic[best])
+    return best, [os.path.join(dlog, n) for n in classic[best]]
 
 
 def _plain(value: Any) -> Any:
@@ -429,14 +441,20 @@ def _plain(value: Any) -> Any:
     return value
 
 
-def read_checkpoint_actions(path: str) -> list[dict[str, Any]]:
-    """Decode a classic checkpoint parquet into the same action dicts
-    a JSON commit holds (one non-null action struct per row).  Parsed
-    convenience columns (``stats_parsed`` / ``partitionValues_parsed``)
-    and ``commitInfo``/``domainMetadata`` rows are ignored — the JSON
+def read_checkpoint_actions(path) -> list[dict[str, Any]]:
+    """Decode a classic checkpoint parquet (one file or an ordered
+    multi-part list) into the same action dicts a JSON commit holds
+    (one non-null action struct per row).  Parsed convenience columns
+    (``stats_parsed`` / ``partitionValues_parsed``) and
+    ``commitInfo``/``domainMetadata`` rows are ignored — the JSON
     fields carry the canonical state."""
     import pyarrow.parquet as pq
 
+    if isinstance(path, (list, tuple)):
+        out: list[dict[str, Any]] = []
+        for p in path:
+            out.extend(read_checkpoint_actions(p))
+        return out
     tbl = pq.read_table(path)
     cols = [c for c in ("protocol", "metaData", "add", "remove", "txn")
             if c in tbl.column_names]

@@ -5048,8 +5048,9 @@ def convert_from_delta(
 
     Honest scope (refusals are pointed, never silent):
 
-    - multi-part and v2 (UUID-named) checkpoints refuse; a JSON tail
-      that is contiguous neither from version 0 nor from a classic
+    - INCOMPLETE multi-part and v2 (UUID-named) checkpoints refuse
+      (complete multi-part sets replay); a JSON tail that is
+      contiguous neither from version 0 nor from a classic
       checkpoint refuses.
     - ``minReaderVersion`` ≤ 3 with reader features ⊆ {columnMapping,
       deletionVectors}; anything newer refuses.

@@ -424,18 +424,42 @@ def test_convert_checkpoint_replay(spark, tmp_path):
     assert res2["num_rows"] == 4 and res2["delta_version"] == 10
 
 
-def test_checkpoint_refusals(spark, tmp_path):
-    import json as _json
-
-    # multi-part pointer refuses
+def test_multipart_checkpoint_replays(spark, tmp_path):
+    """r14: a COMPLETE multi-part classic checkpoint replays (parts
+    concatenate in order); an incomplete part set refuses."""
     root = str(tmp_path / "d")
-    os.makedirs(os.path.join(root, "_delta_log"))
-    _stage_file(spark, _df(spark, 0, 4), root, "f1.parquet")
-    with open(os.path.join(root, "_delta_log", "_last_checkpoint"),
-              "w") as f:
-        _json.dump({"version": 2, "size": 9, "parts": 2}, f)
-    with pytest.raises(ValueError, match="multi-part"):
-        convert_from_delta(spark, root)
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 5), root, "f1.parquet")
+    _stage_file(spark, _df(spark, 5, 9), root, "f2.parquet")
+    _entry._write_delta_checkpoint(root, 3, [
+        _proto(), _meta(spark, _df(spark, 0, 1)),
+        _add(root, "f1.parquet", 5),
+        _add(root, "f2.parquet", 4),
+        {"txn": {"appId": "up", "version": 2}},
+    ], parts=3)
+    _entry._write_delta_commit(root, 4, [
+        {"remove": {"path": "f2.parquet", "deletionTimestamp": 2,
+                    "dataChange": True}}])
+    res = convert_from_delta(spark, root)
+    assert (res["num_rows"], res["delta_version"]) == (5, 4)
+    assert DeltaSparkTable(spark, root).last_txn_version("up") == 2
+
+    # an incomplete part set refuses
+    r2 = str(tmp_path / "d2")
+    os.makedirs(r2)
+    _stage_file(spark, _df(spark, 0, 4), r2, "f1.parquet")
+    _entry._write_delta_checkpoint(r2, 2, [
+        _proto(), _meta(spark, _df(spark, 0, 1)),
+        _add(r2, "f1.parquet", 4)], parts=2)
+    os.remove(os.path.join(
+        r2, "_delta_log",
+        "0" * 18 + "02.checkpoint.0000000002.0000000002.parquet"))
+    with pytest.raises(ValueError, match="incomplete"):
+        convert_from_delta(spark, r2)
+
+
+def test_checkpoint_refusals(spark, tmp_path):
+    import json as _json  # noqa: F401  (kept for fixture parity)
 
     # v2 UUID-named checkpoint (and nothing else) refuses
     r2 = str(tmp_path / "d2")
