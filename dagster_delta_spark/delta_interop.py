@@ -391,6 +391,7 @@ def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, list[str]]]:
             v, part, total = (int(m.group(1)), int(m.group(2)),
                               int(m.group(3)))
             multi.setdefault(v, {})[part] = (total, n)
+    incomplete: dict[int, str] = {}
     for v, parts in multi.items():
         totals = {t for t, _ in parts.values()}
         if len(totals) == 1 and sorted(parts) == list(
@@ -399,7 +400,11 @@ def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, list[str]]]:
             classic.setdefault(
                 v, [parts[i][1] for i in sorted(parts)])
         else:
-            raise DeltaInteropError(
+            # an orphaned partial set (writer crashed mid-checkpoint;
+            # the spec says readers ignore it) only refuses if it
+            # ends up the SELECTED candidate — a newer complete
+            # checkpoint must still convert the table
+            incomplete[v] = (
                 f"multi-part checkpoint at version {v} is incomplete "
                 f"(found parts {sorted(parts)} of {sorted(totals)}); "
                 "cannot replay a partial state")
@@ -412,6 +417,9 @@ def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, list[str]]]:
         with open(last, encoding="utf-8") as f:
             lc = json.load(f)
         pointer = int(lc["version"])
+        if pointer in incomplete:
+            raise DeltaInteropError(
+                "_last_checkpoint points at it: " + incomplete[pointer])
         if lc.get("parts") and pointer in classic and len(
                 classic[pointer]) != int(lc["parts"]):
             raise DeltaInteropError(
@@ -422,11 +430,17 @@ def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, list[str]]]:
     if pointer is not None and pointer in classic:
         best = pointer
     if best is None:
+        if incomplete:
+            raise DeltaInteropError(incomplete[max(incomplete)])
         if v2:
             raise DeltaInteropError(
                 f"only v2 (UUID-named) checkpoint(s) at version(s) "
                 f"{v2} found; v2 checkpoint replay is not supported")
         return None
+    # NB: an incomplete set NEWER than `best` needs no refusal —
+    # replaying the older complete checkpoint is still correct (the
+    # caller's JSON-tail contiguity check guarantees the state
+    # completes past it)
     return best, [os.path.join(dlog, n) for n in classic[best]]
 
 

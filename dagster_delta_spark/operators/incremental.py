@@ -340,6 +340,17 @@ def _verify_unique_id_contract(
     touched = dels.select(id_col).distinct()
     if touched.isEmpty():
         return
+    # NULL ids never match an equi/semi join, so they would slip past
+    # BOTH this guard and _apply_index_deletions (the index rows of a
+    # null-keyed deleted row would silently survive) — refuse them
+    # outright; index-maintained tables need non-null keys
+    if not touched.where(F.col(id_col).isNull()).isEmpty():
+        raise ValueError(
+            f"index maintenance requires non-null ids: a DV DELETE/"
+            f"UPDATE touched a NULL {id_col!r} row in "
+            f"{base.table_uri} — null keys cannot be removed from an "
+            "index keyed on them; deduplicate/clean the base or "
+            "rebuild the index from scratch")
     live = (
         base.read(version=head).join(touched, id_col, "semi")
         .groupBy(id_col).agg(F.count("*").alias("__live"))

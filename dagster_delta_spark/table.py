@@ -176,6 +176,15 @@ _COLMAP_KEY = "dds.columnMapping"
 #: (columnMapping -> dds.columnMapping; deletionVectors -> sidecar
 #: masks via delta_interop).  Everything else refuses pointedly.
 _DELTA_READER_FEATURES = {"columnMapping", "deletionVectors"}
+#: types whose min/max stats BOTH engines render identically (the
+#: convert/export stats carry-over set — ONE constant so the two
+#: directions cannot silently diverge).  Dates are also identical
+#: ('YYYY-MM-DD' both sides) but the import side routes them through
+#: the validating re-render branch, so each site composes with
+#: DateType explicitly.
+_DELTA_SAFE_STATS_TYPES = (ByteType, ShortType, IntegerType, LongType,
+                           FloatType, DoubleType, StringType,
+                           BooleanType)
 #: JSON list of physical names RESERVED by dropped columns — a
 #: re-added column of the same logical name must get a fresh physical
 #: or it would silently resurrect the dropped column's old file data.
@@ -5379,9 +5388,7 @@ def convert_from_delta(
                for f in schema.fields}
     safe_minmax = {
         phys_of[f.name] for f in schema.fields
-        if isinstance(f.dataType, (ByteType, ShortType, IntegerType,
-                                   LongType, FloatType, DoubleType,
-                                   StringType, BooleanType))
+        if isinstance(f.dataType, _DELTA_SAFE_STATS_TYPES)
     }
     date_cols = {phys_of[f.name] for f in schema.fields
                  if isinstance(f.dataType, DateType)}
@@ -5507,6 +5514,21 @@ def convert_from_delta(
             footer_counts = dict(
                 sc.parallelize(no_stats, slices).map(_count).collect())
 
+    # DV range validation BEFORE the sidecar write: a refused convert
+    # must never have mutated the source table directory (the sidecar
+    # lands inside it)
+    def _file_rows(rel: str) -> int:
+        num = _raw_stats(files[rel]).get("numRecords")
+        return int(num if num is not None else footer_counts[rel])
+
+    for rel, masked_pos in dv_positions.items():
+        if masked_pos and masked_pos[-1] >= _file_rows(rel):
+            raise ValueError(
+                f"deletion vector of {rel!r} masks row index "
+                f"{masked_pos[-1]} but the file has only "
+                f"{_file_rows(rel)} rows — corrupted descriptor, "
+                "refusing to convert")
+
     # decoded Delta DVs land in ONE sidecar parquet (same shape the
     # engine's own DV deletes write: (root, path, row_index) sorted by
     # file identity so positional probes prune to their row groups) —
@@ -5555,12 +5577,7 @@ def convert_from_delta(
                     kept[c] = rv
             if kept:
                 stats[key] = kept
-        masked = dv_positions.get(rel)
-        if masked and masked[-1] >= int(num):
-            raise ValueError(
-                f"deletion vector of {rel!r} masks row index "
-                f"{masked[-1]} but the file has only {num} rows — "
-                "corrupted descriptor, refusing to convert")
+        masked = dv_positions.get(rel)  # range-validated above
         total_rows += int(num) - (len(masked) if masked else 0)
         adds.append(AddFile(
             path=rel.replace(os.sep, "/"),
@@ -5709,11 +5726,12 @@ def export_delta_log(
             "table-relative — copy the data in (OPTIMIZE) first")
 
     schema = StructType.fromJson(_json_loads(snap.schema_json))
+    # export also carries DATE min/max — 'YYYY-MM-DD' renders
+    # identically in both engines (the import side validates the same)
     safe_minmax = {
         f.name for f in schema.fields
-        if isinstance(f.dataType, (ByteType, ShortType, IntegerType,
-                                   LongType, FloatType, DoubleType,
-                                   StringType, BooleanType))
+        if isinstance(f.dataType,
+                      _DELTA_SAFE_STATS_TYPES + (DateType,))
     }
     out_cfg: dict[str, str] = {}
     dropped_cfg: dict[str, str] = {}

@@ -720,3 +720,46 @@ def test_field_contracts_translate(spark, tmp_path):
                      _add(r2, "f1.parquet", 4)]])
     with pytest.raises(ValueError, match="invariant"):
         convert_from_delta(spark, r2)
+
+
+def test_orphan_multipart_checkpoint_is_ignored(spark, tmp_path):
+    """r14 review fix: an orphaned PARTIAL multi-part set (writer
+    crashed mid-checkpoint; the spec says readers ignore it) must not
+    refuse a table whose newer complete checkpoint reconstructs the
+    head; and a refused DV convert must leave the source directory
+    unmutated (no orphan _dv)."""
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 4), root, "f1.parquet")
+    # orphan part 1-of-2 at v2
+    _entry._write_delta_checkpoint(root, 2, [
+        _proto(), _meta(spark, _df(spark, 0, 1)),
+        _add(root, "f1.parquet", 4)], parts=2)
+    os.remove(os.path.join(
+        root, "_delta_log",
+        "0" * 18 + "02.checkpoint.0000000002.0000000002.parquet"))
+    # newer COMPLETE single-part at v5 (also rewrites _last_checkpoint)
+    _entry._write_delta_checkpoint(root, 5, [
+        _proto(), _meta(spark, _df(spark, 0, 1)),
+        _add(root, "f1.parquet", 4)])
+    res = convert_from_delta(spark, root)
+    assert res["num_rows"] == 4 and res["delta_version"] == 5
+
+
+def test_refused_dv_convert_leaves_no_sidecar(spark, tmp_path):
+    from dagster_delta_spark import delta_interop as di
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 4), root, "f1.parquet")
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}}
+    _write_log(root, [[proto, _meta(spark, _df(spark, 0, 1)),
+                       _add(root, "f1.parquet", 4,
+                            deletionVector=di.inline_dv_descriptor(
+                                [99]))]])
+    with pytest.raises(ValueError, match="masks row index"):
+        convert_from_delta(spark, root)
+    assert not os.path.exists(os.path.join(root, "_dv"))
+    assert not DeltaSparkTable(spark, root).exists()

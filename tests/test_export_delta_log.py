@@ -209,3 +209,27 @@ def test_contract_round_trip(spark, tmp_path):
             "SELECT CAST(NULL AS BIGINT) AS a, "
             "TIMESTAMP'2024-02-03 04:00:00' AS ts, "
             "DATE'2024-02-03' AS d"), WriteMode.append)
+
+
+def test_export_date_stats_round_trip(spark, tmp_path):
+    """r14 review fix: date min/max export ('YYYY-MM-DD' renders
+    identically both sides) and survive the round trip, so converted
+    copies keep date file-skipping."""
+    root = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, root)
+    df = spark.sql("SELECT CAST(id AS BIGINT) AS a, "
+                   "DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS d "
+                   "FROM range(0, 4)")
+    t.write(df.where("a < 2").coalesce(1), WriteMode.overwrite)
+    t.write(df.where("a >= 2").coalesce(1), WriteMode.append)
+    export_delta_log(spark, root)
+    with open(os.path.join(root, "_delta_log",
+                           "0" * 20 + ".json")) as f:
+        adds = [json.loads(line)["add"] for line in f
+                if "add" in json.loads(line)]
+    mins = {json.loads(a["stats"])["minValues"]["d"] for a in adds}
+    assert mins == {"2024-01-01", "2024-01-03"}
+    back = _round_trip(spark, root, tmp_path)
+    snap = back.snapshot()
+    kept = back.pruned_files(snap, [("d", "<", "2024-01-02")])
+    assert len(kept) == 1

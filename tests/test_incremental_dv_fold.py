@@ -224,3 +224,20 @@ def test_unique_id_guard_passes_normal_folds(spark, tmp_path):
     emb.write(_emb_df(spark, [9], seed=5), WriteMode.append)  # reinsert
     assert maintain_ivf_index(emb, ivf) == emb.version()
     assert ivf_index_vs_rebuild(emb, ivf).count() == 0
+
+
+def test_null_id_delete_refuses(spark, tmp_path):
+    """r14 review fix: NULL ids never match the equi joins that
+    remove index rows, so a DV delete touching a null-keyed row must
+    refuse the fold rather than leave ghost index entries."""
+    emb = DeltaSparkTable(spark, str(tmp_path / "emb"))
+    ivf = DeltaSparkTable(spark, str(tmp_path / "ivf"))
+    rows = [(int(i), [float(i)] * 8) for i in range(30)]
+    rows.append((None, [50.0] * 8))
+    emb.write(spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").coalesce(1),
+        WriteMode.append)
+    build_ivf_index(emb, ivf, n_cells=3)
+    emb.delete("vec_id IS NULL", use_dv=True)
+    with pytest.raises(ValueError, match="non-null ids"):
+        maintain_ivf_index(emb, ivf)
