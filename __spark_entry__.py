@@ -4110,19 +4110,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
     # that structurally cannot have one).  Round 14 window: the 13
-    # r10-recorded heads + 37 of the 50 r11-recorded entries — after
-    # r14 records land, the stalest cohort is the 13 deferred r11
-    # entries at the head of the tail.  Local gate for the whole
+    # r10-recorded heads + 32 of the 50 r11-recorded entries + the 5
+    # new/changed delta-interop entries — after r14 records land, the
+    # stalest cohort is the 18 deferred r11 entries at the head of
+    # the tail.  Local gate for the whole
     # registry regardless of position: tools/check_oracles.py.
     return {
         # -------- first 50: the round-14 recording window --------
         # Record-freshness rotation (r14): the 13 entries whose
-        # newest committed record is CORRECTNESS_r10 lead, then 37
-        # of the 50 r11-recorded entries.  13 + 37 = 50; the 13
-        # deferred r11 entries (streaming_rollup_sink .. unimax)
-        # lead the r15 window.  NEW r14 entries displace the tail
-        # of the r11 section (displaced heads keep their committed
-        # r11 records).
+        # newest committed record is CORRECTNESS_r10 lead, then 32
+        # of the 50 r11-recorded entries, then the 5 new/changed
+        # delta-interop entries.  13 + 32 + 5 = 50; the 18 deferred
+        # r11 entries (o_generated_columns .. unimax) lead the r15
+        # window.
         "unigram_quality": textops.unigram_quality,
         "streaming_table_source": streaming_table_source,
         "cdc_read_changes": cdc_read_changes,

@@ -5546,10 +5546,10 @@ def convert_from_delta(
         ris: list[int] = []
         for rel in sorted(dv_positions):
             p = rel.replace(os.sep, "/")
-            for ri in dv_positions[rel]:
-                roots.append(aroot)
-                paths.append(p)
-                ris.append(ri)
+            masked_pos = dv_positions[rel]
+            roots.extend([aroot] * len(masked_pos))
+            paths.extend([p] * len(masked_pos))
+            ris.extend(masked_pos)
         pq_.write_table(
             pa.table({"root": pa.array(roots, pa.string()),
                       "path": pa.array(paths, pa.string()),
