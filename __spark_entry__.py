@@ -190,6 +190,7 @@ def _stage_landing_file(df, land_dir: str, name: str) -> str:
     if not parts:
         raise AssertionError(f"no part file staged for {name!r}")
     dst = _os.path.join(land_dir, name)
+    _os.makedirs(_os.path.dirname(dst), exist_ok=True)  # hive names
     _os.replace(_os.path.join(tmp, parts[0]), dst)
     _shutil.rmtree(tmp, ignore_errors=True)
     return dst

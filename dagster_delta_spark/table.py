@@ -897,6 +897,16 @@ def _make_stats_harvester(bloom_phys: Optional[dict[str, dict]] = None):
         # round-tripping whatever shapes this emits
         def render(value):
             if isinstance(value, _datetime):
+                # pyarrow yields TZ-AWARE datetimes for INT64
+                # timestamp columns (isAdjustedToUTC) — normalize to
+                # naive UTC so the stored rendering matches what
+                # _parse_typed reads back (r14: timestamps stage as
+                # INT64 micros, so this branch is live now)
+                if value.tzinfo is not None:
+                    from datetime import timezone as _tz
+
+                    value = value.astimezone(_tz.utc).replace(
+                        tzinfo=None)
                 return value.isoformat(sep=" ")
             if isinstance(value, _date):
                 return value.isoformat()
@@ -1078,6 +1088,17 @@ def _stage_dataframe(
         for c, opts in (bloom_spec or {}).items()
     }
     staging = os.path.join(table_uri, f"_staging-{uuid.uuid4().hex}")
+    # ENGINE CONVENTION (r14): timestamps stage as INT64 micros, not
+    # Spark's legacy INT96 default.  INT96 is deprecated, carries no
+    # usable footer statistics (pyarrow reports has_min_max=False →
+    # the stats harvest stored NOTHING for timestamp columns, so
+    # time-range predicates — the hottest predicate class on
+    # time-series tables — never file-skipped), and every modern
+    # Delta writer emits INT64.  Set-and-leave: the value is a
+    # constant, so concurrent stagings in one session cannot clobber
+    # each other with different values.
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     writer = df.write.mode("overwrite")
     for k, v in (writer_options or {}).items():
         writer = writer.option(k, v)
@@ -5733,6 +5754,30 @@ def export_delta_log(
         if isinstance(f.dataType,
                       _DELTA_SAFE_STATS_TYPES + (DateType,))
     }
+    # TIMESTAMP min/max RE-RENDER to Delta's millisecond ISO-8601/'Z'
+    # convention with SOUND widening (min floors to the ms, max ceils)
+    # — time-series exports keep file skipping in foreign readers;
+    # unparseable values drop (costs skipping, never correctness)
+    ts_cols = {f.name for f in schema.fields
+               if isinstance(f.dataType, TimestampType)}
+
+    def _export_ts(val: Any, is_max: bool) -> Optional[str]:
+        s = str(val).replace("T", " ")
+        for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S"):
+            try:
+                ts = datetime.strptime(s, fmt)
+                break
+            except ValueError:
+                continue
+        else:
+            return None
+        rem = ts.microsecond % 1000
+        if is_max and rem:
+            ts += timedelta(microseconds=1000 - rem)  # ceil to ms
+        elif rem:
+            ts -= timedelta(microseconds=rem)  # floor to ms
+        return ts.strftime("%Y-%m-%dT%H:%M:%S.") + \
+            f"{ts.microsecond // 1000:03d}Z"
     out_cfg: dict[str, str] = {}
     dropped_cfg: dict[str, str] = {}
     for k, v in sorted(cfg.items()):
@@ -5782,8 +5827,14 @@ def export_delta_log(
         if nulls:
             st["nullCount"] = dict(nulls)
         for key in ("minValues", "maxValues"):
-            kept = {c: v for c, v in (a.stats.get(key) or {}).items()
-                    if c in safe_minmax}
+            kept = {}
+            for c, v in (a.stats.get(key) or {}).items():
+                if c in safe_minmax:
+                    kept[c] = v
+                elif c in ts_cols:
+                    rv = _export_ts(v, key == "maxValues")
+                    if rv is not None:
+                        kept[c] = rv
             if kept:
                 st[key] = kept
         total_rows += a.num_records

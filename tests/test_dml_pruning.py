@@ -313,3 +313,28 @@ def test_bool_literal_only_prunes_boolean_columns(spark, tmp_table):
         == [("flag", "=", True)]
     # boolean literal against a string column: no pruning
     assert _predicate_prune_dnf("s = true", schema) == []
+
+
+def test_native_timestamp_stats_prune(spark, tmp_path):
+    """r14: staging pins outputTimestampType=TIMESTAMP_MICROS (INT64)
+    — Spark's legacy INT96 default carries NO footer statistics, so
+    native tables never file-skipped on timestamp predicates before.
+    Pin: harvested ts min/max exist, render naive-UTC, and a
+    time-range read prunes to one file."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    df = spark.sql(
+        "SELECT CAST(id AS BIGINT) AS a, TIMESTAMP'2024-01-01 05:00:00'"
+        " + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts "
+        "FROM range(0, 6)")
+    t.write(df.where("a < 3").coalesce(1), WriteMode.overwrite)
+    t.write(df.where("a >= 3").coalesce(1), WriteMode.append)
+    snap = t.snapshot()
+    stats = {f.stats["minValues"]["ts"] for f in snap.files}
+    assert stats == {"2024-01-01 05:00:00", "2024-01-01 08:00:00"}
+    kept = t.pruned_files(snap, [("ts", "<", "2024-01-01 06:30:00")])
+    assert len(kept) == 1
+    assert t.read(dnf=[("ts", "<", "2024-01-01 06:30:00")]).count() == 2
+    # and DML discovery prunes on the same stats
+    res = t.delete("ts >= TIMESTAMP'2024-01-01 08:00:00'")
+    assert t.read().count() == 3

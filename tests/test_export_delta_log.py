@@ -233,3 +233,38 @@ def test_export_date_stats_round_trip(spark, tmp_path):
     snap = back.snapshot()
     kept = back.pruned_files(snap, [("d", "<", "2024-01-02")])
     assert len(kept) == 1
+
+
+def test_export_timestamp_stats_round_trip(spark, tmp_path):
+    """r14: timestamp min/max export in Delta's ms ISO/'Z' convention
+    with sound widening (min floors, max ceils), and the round trip
+    keeps timestamp file-skipping (import re-widens max by 999 us)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, root)
+    df = spark.sql(
+        "SELECT CAST(id AS BIGINT) AS a, TIMESTAMP'2024-01-01 05:00:00'"
+        " + make_interval(0,0,0,0,CAST(id AS INT),0,0.000123) AS ts "
+        "FROM range(0, 4)")
+    t.write(df.where("a < 2").coalesce(1), WriteMode.overwrite)
+    t.write(df.where("a >= 2").coalesce(1), WriteMode.append)
+    export_delta_log(spark, root)
+    with open(os.path.join(root, "_delta_log",
+                           "0" * 20 + ".json")) as f:
+        adds = [json.loads(line)["add"] for line in f
+                if "add" in json.loads(line)]
+    stats = [json.loads(a["stats"]) for a in adds]
+    mins = sorted(s["minValues"]["ts"] for s in stats)
+    maxs = sorted(s["maxValues"]["ts"] for s in stats)
+    # micros .000123 floor to .000 on min, ceil to .001 on max
+    assert mins == ["2024-01-01T05:00:00.000Z",
+                    "2024-01-01T07:00:00.000Z"]
+    assert maxs == ["2024-01-01T06:00:00.001Z",
+                    "2024-01-01T08:00:00.001Z"]
+    back = _round_trip(spark, root, tmp_path)
+    snap = back.snapshot()
+    kept = back.pruned_files(
+        snap, [("ts", "<=", "2024-01-01 05:30:00")])
+    assert len(kept) == 1
+    assert back.read(
+        dnf=[("ts", "<=", "2024-01-01 05:30:00")]).count() == 1
