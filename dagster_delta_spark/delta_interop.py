@@ -16,8 +16,11 @@ uses, dd/dagster_delta/handler.py:23-27 — and delta-spark):
 - **Deletion-vector descriptors** (storageType ``i``/``u``/``p``,
   offset/sizeInBytes/cardinality, the 1-byte-version + 4-byte-BE-size
   + CRC32 on-disk framing).
-- **Classic single-part checkpoint parquet** reading (one row per
-  action; ``_last_checkpoint`` pointer) via pyarrow.
+- **Checkpoint reading** via pyarrow: classic single-part and
+  complete multi-part parquet (one action per row;
+  ``_last_checkpoint`` pointer) and V2 (UUID-named) checkpoints —
+  JSON or parquet main files, ``checkpointMetadata`` verified,
+  ``sidecar`` actions resolved under ``_sidecars/``.
 
 Decoders VERIFY everything the spec lets them verify (magic, CRC,
 cardinality, version byte) and raise :class:`DeltaInteropError`
@@ -388,11 +391,13 @@ _V2_CP = re.compile(r"^(\d{20})\.checkpoint\.[0-9a-zA-Z-]+\.(parquet|json)$")
 
 def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, list[str]]]:
     """Newest decodable checkpoint under ``dlog``: (version, ordered
-    part paths) for a classic checkpoint — single-part or COMPLETE
-    multi-part — honoring the ``_last_checkpoint`` pointer when
-    present.  Incomplete multi-part sets and v2 (UUID-named)
-    checkpoints refuse pointedly — silently skipping them could
-    replay from an older state a cleaned log no longer completes."""
+    part paths) — classic single-part, COMPLETE classic multi-part,
+    or a V2 (UUID-named) checkpoint file (classic preferred when both
+    exist at one version) — honoring the ``_last_checkpoint`` pointer
+    when present.  An incomplete multi-part set refuses only when it
+    is the SELECTED candidate — silently skipping a selected partial
+    state could replay from an older version a cleaned log no longer
+    completes."""
     names = os.listdir(dlog)
     classic = {int(m.group(1)): [n] for n in names
                for m in [_CLASSIC_CP.match(n)] if m}
@@ -420,9 +425,18 @@ def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, list[str]]]:
                 f"multi-part checkpoint at version {v} is incomplete "
                 f"(found parts {sorted(parts)} of {sorted(totals)}); "
                 "cannot replay a partial state")
-    v2 = sorted({int(m.group(1)) for n in names
-                 for m in [_V2_CP.match(n)]
-                 if m and not _MULTIPART_CP.match(n)})
+    # V2 checkpoints are candidates too (their sidecars resolve at
+    # read time); classic wins ties via setdefault, and several v2
+    # attempts at one version pick the lexicographically-last name
+    # (deterministic; all encode the same state per spec)
+    for n in sorted(names):
+        m = _V2_CP.match(n)
+        if m and not _MULTIPART_CP.match(n):
+            v = int(m.group(1))
+            if v in classic and not _CLASSIC_CP.match(classic[v][0])                     and not _MULTIPART_CP.match(classic[v][0]):
+                classic[v] = [n]  # newer v2 attempt, same version
+            else:
+                classic.setdefault(v, [n])
     last = os.path.join(dlog, "_last_checkpoint")
     pointer: Optional[int] = None
     if os.path.isfile(last):
@@ -444,10 +458,6 @@ def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, list[str]]]:
     if best is None:
         if incomplete:
             raise DeltaInteropError(incomplete[max(incomplete)])
-        if v2:
-            raise DeltaInteropError(
-                f"only v2 (UUID-named) checkpoint(s) at version(s) "
-                f"{v2} found; v2 checkpoint replay is not supported")
         return None
     # NB: an incomplete set NEWER than `best` needs no refusal —
     # replaying the older complete checkpoint is still correct (the
@@ -467,48 +477,85 @@ def _plain(value: Any) -> Any:
     return value
 
 
-def read_checkpoint_actions(path) -> list[dict[str, Any]]:
-    """Decode a classic checkpoint parquet (one file or an ordered
-    multi-part list) into the same action dicts a JSON commit holds
-    (one non-null action struct per row).  Parsed convenience columns
-    (``stats_parsed`` / ``partitionValues_parsed``) and
-    ``commitInfo``/``domainMetadata`` rows are ignored — the JSON
+def read_checkpoint_actions(
+    path, expect_version: Optional[int] = None,
+) -> list[dict[str, Any]]:
+    """Decode a checkpoint into the same action dicts a JSON commit
+    holds: classic parquet (one file or an ordered multi-part list,
+    one non-null action struct per row) or a V2 checkpoint (.parquet
+    or .json) — v2's ``checkpointMetadata`` is verified against
+    ``expect_version`` and its ``sidecar`` actions resolve to parquet
+    files under ``_sidecars/`` next to the checkpoint.  Parsed
+    convenience columns (``stats_parsed`` / ``partitionValues_parsed``)
+    and ``commitInfo``/``domainMetadata`` rows are ignored — the JSON
     fields carry the canonical state."""
     import pyarrow.parquet as pq
 
     if isinstance(path, (list, tuple)):
         out: list[dict[str, Any]] = []
         for p in path:
-            out.extend(read_checkpoint_actions(p))
+            out.extend(read_checkpoint_actions(p, expect_version))
         return out
-    tbl = pq.read_table(path)
-    cols = [c for c in ("protocol", "metaData", "add", "remove", "txn")
-            if c in tbl.column_names]
-    if not cols:
-        raise DeltaInteropError(
-            f"checkpoint {path!r} has none of the action columns "
-            "(protocol/metaData/add/remove/txn)")
-    actions: list[dict[str, Any]] = []
-    rows = tbl.select(cols).to_pylist()
-    for row in rows:
-        present = [(c, row[c]) for c in cols if row[c] is not None]
-        if len(present) > 1:
+    if str(path).endswith(".json"):
+        # v2 checkpoints may be JSON: one action per line
+        with open(path, encoding="utf-8") as f:
+            raw = [json.loads(line) for line in f if line.strip()]
+    else:
+        try:
+            tbl = pq.read_table(path)
+        except Exception as e:
             raise DeltaInteropError(
-                f"checkpoint row carries {len(present)} actions "
-                f"({[c for c, _ in present]}); the spec requires "
-                "exactly one per row")
-        if present:
-            c, v = present[0]
-            v = _plain(v)
-            if c == "add":
-                # checkpoints may carry struct-typed stats_parsed
-                # INSIDE add (writeStatsAsStruct) — drop non-spec
-                # subfields; 'stats' stays the canonical JSON string
-                v = {k: val for k, val in v.items()
-                     if k in ("path", "partitionValues", "size",
-                              "modificationTime", "dataChange",
-                              "stats", "tags", "deletionVector",
-                              "baseRowId", "defaultRowCommitVersion",
-                              "clusteringProvider")}
-            actions.append({c: v})
+                f"checkpoint {path!r} is unreadable as parquet: {e}"
+            ) from e
+        cols = [c for c in ("protocol", "metaData", "add", "remove",
+                            "txn", "checkpointMetadata", "sidecar")
+                if c in tbl.column_names]
+        if not set(cols) & {"protocol", "metaData", "add", "remove",
+                            "txn"} and "sidecar" not in cols:
+            raise DeltaInteropError(
+                f"checkpoint {path!r} has none of the action columns "
+                "(protocol/metaData/add/remove/txn/sidecar)")
+        raw = []
+        for row in tbl.select(cols).to_pylist():
+            present = [(c, row[c]) for c in cols if row[c] is not None]
+            if len(present) > 1:
+                raise DeltaInteropError(
+                    f"checkpoint row carries {len(present)} actions "
+                    f"({[c for c, _ in present]}); the spec requires "
+                    "exactly one per row")
+            if present:
+                raw.append({present[0][0]: _plain(present[0][1])})
+    actions: list[dict[str, Any]] = []
+    for action in raw:
+        if "checkpointMetadata" in action:
+            cv = int(action["checkpointMetadata"].get("version", -1))
+            if expect_version is not None and cv != expect_version:
+                raise DeltaInteropError(
+                    f"v2 checkpoint {path!r} declares version {cv} "
+                    f"but the file name says {expect_version} — "
+                    "corrupted checkpoint")
+            continue
+        if "sidecar" in action:
+            sp = os.path.join(os.path.dirname(str(path)), "_sidecars",
+                              action["sidecar"]["path"])
+            if not os.path.isfile(sp):
+                raise DeltaInteropError(
+                    f"v2 checkpoint sidecar {sp!r} is missing; the "
+                    "checkpoint state cannot be reconstructed")
+            actions.extend(read_checkpoint_actions(sp))
+            continue
+        if "commitInfo" in action or "domainMetadata" in action:
+            continue
+        (c, v), = action.items()
+        if c == "add":
+            # checkpoints may carry struct-typed stats_parsed INSIDE
+            # add (writeStatsAsStruct) — drop non-spec subfields;
+            # 'stats' stays the canonical JSON string
+            v = {k: val for k, val in v.items()
+                 if k in ("path", "partitionValues", "size",
+                          "modificationTime", "dataChange",
+                          "stats", "tags", "deletionVector",
+                          "baseRowId", "defaultRowCommitVersion",
+                          "clusteringProvider")}
+        actions.append({c: v})
     return actions

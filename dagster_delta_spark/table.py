@@ -175,7 +175,8 @@ _COLMAP_KEY = "dds.columnMapping"
 #: Delta reader features this engine can decode on convert_from_delta
 #: (columnMapping -> dds.columnMapping; deletionVectors -> sidecar
 #: masks via delta_interop).  Everything else refuses pointedly.
-_DELTA_READER_FEATURES = {"columnMapping", "deletionVectors"}
+_DELTA_READER_FEATURES = {"columnMapping", "deletionVectors",
+                          "v2Checkpoint"}
 #: types whose min/max stats BOTH engines render identically (the
 #: convert/export stats carry-over set — ONE constant so the two
 #: directions cannot silently diverge).  Dates are also identical
@@ -5078,10 +5079,12 @@ def convert_from_delta(
 
     Honest scope (refusals are pointed, never silent):
 
-    - INCOMPLETE multi-part and v2 (UUID-named) checkpoints refuse
-      (complete multi-part sets replay); a JSON tail that is
-      contiguous neither from version 0 nor from a classic
-      checkpoint refuses.
+    - INCOMPLETE multi-part checkpoints and corrupted v2 checkpoints
+      (version mismatch / missing sidecar / unreadable parquet)
+      refuse; complete multi-part AND v2 (UUID-named, JSON or
+      parquet, sidecar-based) checkpoints replay.  A JSON tail that
+      is contiguous neither from version 0 nor from a checkpoint
+      refuses.
     - ``minReaderVersion`` ≤ 3 with reader features ⊆ {columnMapping,
       deletionVectors}; anything newer refuses.
     - ``delta.columnMapping.mode='id'`` refuses (parquet-field-id
@@ -5155,7 +5158,8 @@ def convert_from_delta(
                 f"JSON commits after checkpoint version {cpv} are not "
                 f"contiguous ({tail[:4]}...); the head state cannot "
                 "be reconstructed")
-        batches.append(delta_interop.read_checkpoint_actions(cppath))
+        batches.append(
+            delta_interop.read_checkpoint_actions(cppath, cpv))
         replay_versions = tail
     for v in replay_versions:
         with open(os.path.join(dlog, f"{v:020d}.json"),
@@ -5235,10 +5239,15 @@ def convert_from_delta(
     #     expression-per-key shape, enforced on every future write;
     #     existing rows were checked by the Delta writer that
     #     committed them).
+    # v2Checkpoint is a LOG-FORMAT capability, not a data guarantee —
+    # it describes how checkpoints in THEIR log are written, and this
+    # engine replaces that log wholesale on convert, so dropping it
+    # loses nothing a writer enforced
     unmappable = sorted(writer_features
                         - {"appendOnly", "checkConstraints",
                            "invariants", "columnMapping",
-                           "deletionVectors", "generatedColumns"})
+                           "deletionVectors", "generatedColumns",
+                           "v2Checkpoint"})
     if unmappable:
         raise ValueError(
             f"Delta table at {root!r} declares writer feature(s) "

@@ -159,11 +159,11 @@ def test_append_only_maps_and_refusals(spark, tmp_path):
 @pytest.mark.parametrize("breaker,match", [
     (lambda r, s: [_proto(mrv=4), _meta(s, _df(s, 0, 1)),
                    _add(r, "f1.parquet", 4)], "minReaderVersion=4"),
-    # reader FEATURES outside {columnMapping, deletionVectors} refuse
+    # reader FEATURES outside the decodable set refuse
     (lambda r, s: [{"protocol": {"minReaderVersion": 3,
                                  "minWriterVersion": 7,
-                                 "readerFeatures": ["v2Checkpoint"],
-                                 "writerFeatures": ["v2Checkpoint"]}},
+                                 "readerFeatures": ["timestampNtz"],
+                                 "writerFeatures": ["timestampNtz"]}},
                    _meta(s, _df(s, 0, 1)),
                    _add(r, "f1.parquet", 4)], "reader"),
     # 'id' column mapping resolves by parquet field id — refuses
@@ -469,7 +469,7 @@ def test_checkpoint_refusals(spark, tmp_path):
     open(os.path.join(
         dlog, "0" * 19 + "2.checkpoint."
         "0f1d7e70-0f1d-4e70-8f1d-7e700f1d7e70.parquet"), "w").close()
-    with pytest.raises(ValueError, match="v2"):
+    with pytest.raises(ValueError, match="unreadable"):
         convert_from_delta(spark, r2)
 
     # gap between checkpoint and JSON tail refuses
@@ -763,3 +763,126 @@ def test_refused_dv_convert_leaves_no_sidecar(spark, tmp_path):
         convert_from_delta(spark, root)
     assert not os.path.exists(os.path.join(root, "_dv"))
     assert not DeltaSparkTable(spark, root).exists()
+
+
+def _write_v2_checkpoint(root, version, actions, fmt="json",
+                         sidecar_adds=None, cp_version=None):
+    """Spec-shaped V2 checkpoint: `<v>.checkpoint.<uuid>.<fmt>` with a
+    checkpointMetadata action, optionally referencing a parquet
+    sidecar under _delta_log/_sidecars/ for the file actions."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dlog = os.path.join(root, "_delta_log")
+    os.makedirs(dlog, exist_ok=True)
+    def _strip_empty_pv(a):
+        # pyarrow cannot infer/write an empty struct; convert treats
+        # every missing dict field ({} partitionValues/configuration/
+        # format options) as empty
+        if isinstance(a, dict):
+            return {k: _strip_empty_pv(v) for k, v in a.items()
+                    if v != {}}
+        return a
+
+    rows = [{"checkpointMetadata": {
+        "version": version if cp_version is None else cp_version}}]
+    rows += [_strip_empty_pv(a) for a in actions]
+    if sidecar_adds is not None:
+        sdir = os.path.join(dlog, "_sidecars")
+        os.makedirs(sdir, exist_ok=True)
+        sname = f"{_uuid.uuid4()}.parquet"
+        pq.write_table(pa.Table.from_pylist(
+            [_strip_empty_pv(a) for a in sidecar_adds]),
+            os.path.join(sdir, sname))
+        rows.append({"sidecar": {"path": sname, "sizeInBytes": 1,
+                                 "modificationTime": 1}})
+    name = f"{version:020d}.checkpoint.{_uuid.uuid4()}.{fmt}"
+    if fmt == "json":
+        with open(os.path.join(dlog, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    else:
+        # from_pylist infers the schema from the first row — give
+        # every row the full key set (None where absent) like a real
+        # one-action-per-row checkpoint
+        allkeys = []
+        for r in rows:
+            for k in r:
+                if k not in allkeys:
+                    allkeys.append(k)
+        full = [{k: r.get(k) for k in allkeys} for r in rows]
+        pq.write_table(pa.Table.from_pylist(full),
+                       os.path.join(dlog, name))
+    with open(os.path.join(dlog, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+
+
+def _v2_proto():
+    return {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                         "readerFeatures": ["v2Checkpoint"],
+                         "writerFeatures": ["v2Checkpoint"]}}
+
+
+def test_v2_checkpoint_replays(spark, tmp_path):
+    """r14: V2 (UUID-named) checkpoints replay — JSON and parquet
+    main files, sidecar-based file actions, version-mismatch and
+    missing-sidecar refusals."""
+    # JSON main file with a parquet SIDECAR carrying the adds
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 5), root, "f1.parquet")
+    _stage_file(spark, _df(spark, 5, 9), root, "f2.parquet")
+    _write_v2_checkpoint(
+        root, 3,
+        [_v2_proto(), _meta(spark, _df(spark, 0, 1)),
+         {"txn": {"appId": "up", "version": 4}}],
+        fmt="json",
+        sidecar_adds=[_add(root, "f1.parquet", 5),
+                      _add(root, "f2.parquet", 4)])
+    _entry._write_delta_commit(root, 4, [
+        {"remove": {"path": "f2.parquet", "deletionTimestamp": 2,
+                    "dataChange": True}}])
+    res = convert_from_delta(spark, root)
+    assert (res["num_rows"], res["delta_version"]) == (5, 4)
+    assert DeltaSparkTable(spark, root).last_txn_version("up") == 4
+
+    # parquet main file, actions inline (no sidecar)
+    r2 = str(tmp_path / "d2")
+    os.makedirs(r2)
+    _stage_file(spark, _df(spark, 0, 4), r2, "f1.parquet")
+    _write_v2_checkpoint(
+        r2, 7,
+        [_v2_proto(), _meta(spark, _df(spark, 0, 1)),
+         _add(r2, "f1.parquet", 4)],
+        fmt="parquet")
+    res2 = convert_from_delta(spark, r2)
+    assert (res2["num_rows"], res2["delta_version"]) == (4, 7)
+
+    # checkpointMetadata version mismatch refuses
+    r3 = str(tmp_path / "d3")
+    os.makedirs(r3)
+    _stage_file(spark, _df(spark, 0, 4), r3, "f1.parquet")
+    _write_v2_checkpoint(
+        r3, 5, [_v2_proto(), _meta(spark, _df(spark, 0, 1)),
+                _add(r3, "f1.parquet", 4)],
+        fmt="json", cp_version=9)
+    with pytest.raises(ValueError, match="declares version"):
+        convert_from_delta(spark, r3)
+
+    # missing sidecar refuses
+    r4 = str(tmp_path / "d4")
+    os.makedirs(r4)
+    _stage_file(spark, _df(spark, 0, 4), r4, "f1.parquet")
+    _write_v2_checkpoint(
+        r4, 2, [_v2_proto(), _meta(spark, _df(spark, 0, 1))],
+        fmt="json",
+        sidecar_adds=[_add(r4, "f1.parquet", 4)])
+    import glob as _glob
+
+    for sp in _glob.glob(os.path.join(r4, "_delta_log", "_sidecars",
+                                      "*.parquet")):
+        os.remove(sp)
+    with pytest.raises(ValueError, match="sidecar"):
+        convert_from_delta(spark, r4)
