@@ -190,8 +190,14 @@ def _deserialize_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
         base = keys[i] << 16
         is_run = bool(run_flags and (run_flags[i >> 3] >> (i & 7)) & 1)
         if is_run:
+            if pos + 2 > len(buf):
+                raise DeltaInteropError(
+                    "roaring bitmap truncated (run header)")
             (n_runs,) = struct.unpack_from("<H", buf, pos)
             pos += 2
+            if pos + 4 * n_runs > len(buf):
+                raise DeltaInteropError(
+                    "roaring bitmap truncated (run container)")
             runs = np.frombuffer(
                 buf, dtype="<u2", count=2 * n_runs, offset=pos
             ).reshape(n_runs, 2).astype(np.int64)
@@ -433,7 +439,9 @@ def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, list[str]]]:
         m = _V2_CP.match(n)
         if m and not _MULTIPART_CP.match(n):
             v = int(m.group(1))
-            if v in classic and not _CLASSIC_CP.match(classic[v][0])                     and not _MULTIPART_CP.match(classic[v][0]):
+            if (v in classic
+                    and not _CLASSIC_CP.match(classic[v][0])
+                    and not _MULTIPART_CP.match(classic[v][0])):
                 classic[v] = [n]  # newer v2 attempt, same version
             else:
                 classic.setdefault(v, [n])
@@ -443,7 +451,10 @@ def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, list[str]]]:
         with open(last, encoding="utf-8") as f:
             lc = json.load(f)
         pointer = int(lc["version"])
-        if pointer in incomplete:
+        if pointer in incomplete and pointer not in classic:
+            # refuse-only-when-selected: a complete checkpoint (e.g.
+            # a v2 file) at the same version still reconstructs the
+            # state the orphaned partial set could not
             raise DeltaInteropError(
                 "_last_checkpoint points at it: " + incomplete[pointer])
         if lc.get("parts") and pointer in classic and len(
@@ -496,10 +507,20 @@ def read_checkpoint_actions(
         for p in path:
             out.extend(read_checkpoint_actions(p, expect_version))
         return out
+    known = ("protocol", "metaData", "add", "remove", "txn",
+             "checkpointMetadata", "sidecar", "commitInfo",
+             "domainMetadata")
     if str(path).endswith(".json"):
-        # v2 checkpoints may be JSON: one action per line
+        # v2 checkpoints may be JSON: one action per line — validate
+        # the structure the parquet footer would have enforced
         with open(path, encoding="utf-8") as f:
             raw = [json.loads(line) for line in f if line.strip()]
+        for action in raw:
+            if len(action) != 1 or next(iter(action)) not in known:
+                raise DeltaInteropError(
+                    f"v2 JSON checkpoint {path!r} carries a malformed "
+                    f"action line (keys {sorted(action)}); expected "
+                    "exactly one known action per line)")
     else:
         try:
             tbl = pq.read_table(path)
@@ -526,8 +547,10 @@ def read_checkpoint_actions(
             if present:
                 raw.append({present[0][0]: _plain(present[0][1])})
     actions: list[dict[str, Any]] = []
+    n_cp_meta = 0
     for action in raw:
         if "checkpointMetadata" in action:
+            n_cp_meta += 1
             cv = int(action["checkpointMetadata"].get("version", -1))
             if expect_version is not None and cv != expect_version:
                 raise DeltaInteropError(
@@ -558,4 +581,15 @@ def read_checkpoint_actions(
                           "baseRowId", "defaultRowCommitVersion",
                           "clusteringProvider")}
         actions.append({c: v})
+    # a V2 checkpoint (UUID-named) must declare itself exactly once —
+    # a truncated JSON copy that lost its checkpointMetadata line
+    # would otherwise silently replay a PARTIAL state (parquet gets
+    # this for free from the footer; JSON does not)
+    if (expect_version is not None
+            and _V2_CP.match(os.path.basename(str(path)))
+            and n_cp_meta != 1):
+        raise DeltaInteropError(
+            f"v2 checkpoint {path!r} carries {n_cp_meta} "
+            "checkpointMetadata actions; the spec requires exactly "
+            "one — truncated or corrupted checkpoint")
     return actions

@@ -886,3 +886,78 @@ def test_v2_checkpoint_replays(spark, tmp_path):
         os.remove(sp)
     with pytest.raises(ValueError, match="sidecar"):
         convert_from_delta(spark, r4)
+
+
+def test_v2_checkpoint_second_review_pins(spark, tmp_path):
+    """r14 second-review fixes: (a) a pointer at a version holding
+    BOTH an orphaned partial multi-part set and a complete v2
+    checkpoint converts via the v2 file; (b) a v2 JSON checkpoint
+    that lost its checkpointMetadata line (truncation) refuses; (c)
+    a malformed multi-key JSON action line refuses pointedly."""
+    import uuid as _uuid
+
+    # (a) orphan part + complete v2 at the SAME version
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 4), root, "f1.parquet")
+    _entry._write_delta_checkpoint(root, 5, [
+        _proto(), _meta(spark, _df(spark, 0, 1)),
+        _add(root, "f1.parquet", 4)], parts=2)
+    os.remove(os.path.join(
+        root, "_delta_log",
+        "0" * 19 + "5.checkpoint.0000000002.0000000002.parquet"))
+    _write_v2_checkpoint(root, 5, [
+        _v2_proto(), _meta(spark, _df(spark, 0, 1)),
+        _add(root, "f1.parquet", 4)], fmt="json")
+    res = convert_from_delta(spark, root)
+    assert (res["num_rows"], res["delta_version"]) == (4, 5)
+
+    # (b) truncated v2 JSON (checkpointMetadata line lost) refuses
+    r2 = str(tmp_path / "d2")
+    os.makedirs(r2)
+    _stage_file(spark, _df(spark, 0, 4), r2, "f1.parquet")
+    dlog = os.path.join(r2, "_delta_log")
+    os.makedirs(dlog)
+    name = f"{2:020d}.checkpoint.{_uuid.uuid4()}.json"
+    with open(os.path.join(dlog, name), "w") as f:
+        for a in [_v2_proto(), _meta(spark, _df(spark, 0, 1)),
+                  _add(r2, "f1.parquet", 4)]:
+            f.write(json.dumps(a) + "\n")
+    with open(os.path.join(dlog, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 2, "size": 4}, f)
+    with pytest.raises(ValueError, match="exactly.*one|exactly one"):
+        convert_from_delta(spark, r2)
+
+    # (c) malformed multi-key action line refuses pointedly
+    r3 = str(tmp_path / "d3")
+    os.makedirs(r3)
+    _stage_file(spark, _df(spark, 0, 4), r3, "f1.parquet")
+    dlog3 = os.path.join(r3, "_delta_log")
+    os.makedirs(dlog3)
+    name3 = f"{2:020d}.checkpoint.{_uuid.uuid4()}.json"
+    with open(os.path.join(dlog3, name3), "w") as f:
+        f.write(json.dumps({"checkpointMetadata": {"version": 2},
+                            "txn": {"appId": "x", "version": 1}})
+                + "\n")
+    with open(os.path.join(dlog3, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 2, "size": 1}, f)
+    with pytest.raises(ValueError, match="malformed"):
+        convert_from_delta(spark, r3)
+
+
+def test_truncated_run_container_refuses():
+    """r14 second review: a DV blob truncated inside a run container
+    raises DeltaInteropError, not a bare numpy ValueError."""
+    import struct as _struct
+
+    from dagster_delta_spark import delta_interop as di
+
+    n = 1
+    cookie = ((n - 1) << 16) | 12347
+    body = _struct.pack("<I", cookie) + b"\x01"
+    body += _struct.pack("<HH", 0, 9)   # key 0, card-1 = 9
+    body += _struct.pack("<H", 3)       # claims 3 runs
+    body += _struct.pack("<HH", 10, 1)  # ...but only one present
+    arr = _struct.pack("<iq", 1681511377, 1) + body
+    with pytest.raises(di.DeltaInteropError, match="truncated"):
+        di.deserialize_roaring_array(arr)
