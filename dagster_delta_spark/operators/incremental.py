@@ -338,40 +338,53 @@ def _verify_unique_id_contract(
     touched ids (semi join → stats/bloom skipping applies), only on
     folds that saw deletions."""
     touched = dels.select(id_col).distinct()
+    # cheap short-circuit on the PINNED delta (pure-append folds —
+    # the steady-state common case — pay only this limit-1 probe)
     if touched.isEmpty():
         return
-    # NULL ids never match an equi/semi join, so they would slip past
-    # BOTH this guard and _apply_index_deletions (the index rows of a
-    # null-keyed deleted row would silently survive) — refuse them
-    # outright; index-maintained tables need non-null keys
-    if not touched.where(F.col(id_col).isNull()).isEmpty():
+    # ONE combined Spark action for both violation classes (the
+    # first guard shape ran three jobs per deletion fold and showed
+    # up as +30-60% on every maintainer bench line):
+    # - NULL ids never match an equi/semi join, so they would slip
+    #   past BOTH this guard and _apply_index_deletions (ghost index
+    #   rows for a deleted null-keyed row) -> surfaced as __live=-1
+    #   marker rows;
+    # - a touched id whose live multiplicity at head != its post-net
+    #   foldable rows (partially-deleted duplicate).
+    live = (
+        base.read(version=head).select(id_col)
+        .join(touched, id_col, "semi")
+        .groupBy(id_col).agg(F.count("*").alias("__live"))
+    )
+    fold = (
+        ins.select(id_col).join(touched, id_col, "semi")
+        .groupBy(id_col).agg(F.count("*").alias("__fold"))
+    )
+    bad_rows = (
+        live.join(fold, id_col, "full")
+        .where(F.coalesce(F.col("__live"), F.lit(0))
+               != F.coalesce(F.col("__fold"), F.lit(0)))
+        .select(id_col, "__live")
+        .unionByName(
+            touched.where(F.col(id_col).isNull())
+            .select(F.col(id_col), F.lit(-1).alias("__live")))
+        .limit(3).collect()
+    )
+    if any(r["__live"] == -1 for r in bad_rows):
         raise ValueError(
             f"index maintenance requires non-null ids: a DV DELETE/"
             f"UPDATE touched a NULL {id_col!r} row in "
             f"{base.table_uri} — null keys cannot be removed from an "
             "index keyed on them; deduplicate/clean the base or "
             "rebuild the index from scratch")
-    live = (
-        base.read(version=head).join(touched, id_col, "semi")
-        .groupBy(id_col).agg(F.count("*").alias("__live"))
-    )
-    fold = (
-        ins.join(touched, id_col, "semi")
-        .groupBy(id_col).agg(F.count("*").alias("__fold"))
-    )
-    bad = (
-        live.join(fold, id_col, "full")
-        .where(F.coalesce(F.col("__live"), F.lit(0))
-               != F.coalesce(F.col("__fold"), F.lit(0)))
-        .limit(3).collect()
-    )
-    if bad:
+    if bad_rows:
         raise ValueError(
             "index maintenance requires unique ids: id(s) "
-            f"{[r[0] for r in bad]} in {base.table_uri} have live "
-            "multiplicity != the window's foldable rows (a DV DELETE/"
-            "UPDATE touched one of several duplicate rows per id).  "
-            "Deduplicate the base or rebuild the index from scratch"
+            f"{[r[0] for r in bad_rows]} in {base.table_uri} have "
+            "live multiplicity != the window's foldable rows (a DV "
+            "DELETE/UPDATE touched one of several duplicate rows per "
+            "id).  Deduplicate the base or rebuild the index from "
+            "scratch"
         )
 
 
