@@ -1432,7 +1432,8 @@ def o_export_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     configuration keys); (2) the FULL ROUND TRIP — copy data +
     ``_delta_log`` (without our log) to a fresh root, re-import via
     convert_from_delta — yields the same row count at version 0;
-    (3) DV-masked tables refuse until OPTIMIZE.  Oracle: the two
+    (3) DV masks export as REAL Delta DVs (feature protocol) and the
+    round trip keeps masked rows gone.  Oracle: the two
     slices — an export that dropped a file or exported a stale
     snapshot breaks the hash (the returned frame reads THROUGH the
     round-tripped copy, not the source table)."""
@@ -1479,18 +1480,26 @@ def o_export_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     if back.read(version=0).count() != n:
         raise AssertionError("round-tripped table lost rows")
 
-    # guard 3: DV-masked tables refuse
+    # guard 3 (r14 late): DV masks export as REAL Delta DVs under the
+    # feature protocol and the round trip keeps them — masked rows
+    # must stay gone after re-import
     dv_root = _scratch("xdl-dv")
     t2 = DeltaSparkTable(spark, dv_root)
     t2.write(orders.limit(50).coalesce(1), WriteMode.overwrite)
     t2.delete("o_orderkey % 2 = 0", use_dv=True)
-    try:
-        export_delta_log(spark, dv_root)
-    except ValueError as e:
-        if "deletion-vector" not in str(e):
-            raise
-    else:
-        raise AssertionError("DV-masked table exported silently")
+    live = t2.read().count()
+    res_dv = export_delta_log(spark, dv_root)
+    if res_dv["num_rows"] != live:
+        raise AssertionError(f"DV export row count wrong: {res_dv}")
+    dv_back_root = _scratch("xdl-dv-back")
+    _shutil.copytree(dv_root, dv_back_root,
+                     ignore=_shutil.ignore_patterns(LOG_DIR, "_dv"))
+    convert_from_delta(spark, dv_back_root)
+    dv_back = DeltaSparkTable(spark, dv_back_root)
+    if (dv_back.read().count() != live
+            or dv_back.read().where(
+                "o_orderkey % 2 = 0").count() != 0):
+        raise AssertionError("exported Delta DVs lost the mask")
     return back.read()
 
 

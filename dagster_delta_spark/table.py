@@ -5698,11 +5698,17 @@ def export_delta_log(
     keys are STRIPPED (engine-internal; a foreign reader must not see
     them as table contracts) and reported in ``dropped_configuration``.
 
+    DELETION-VECTOR masks export as REAL Delta DVs (r14): each masked
+    file's sidecar positions re-serialize as a portable roaring
+    bitmap (inline Z85 up to 10k positions, an on-disk
+    ``deletion_vector_<uuid>.bin`` past that) and the log declares
+    the feature protocol (reader 3 / writer 7, ``deletionVectors`` +
+    every active legacy feature) exactly as a DV-writing Delta table
+    does; stats keep physical ``numRecords`` with
+    ``tightBounds: false``.
+
     Honest refusals (pointed, never silent):
 
-    - live files carrying this engine's DELETION-VECTOR sidecars
-      (exporting Delta-format DVs needs writer feature tables; run
-      OPTIMIZE first — it compacts masks away);
     - COLUMN-MAPPED tables (physical-name field metadata would need
       reader-v2 export; rename-free tables export fine);
     - shallow CLONES (files outside the table root cannot be
@@ -5741,13 +5747,41 @@ def export_delta_log(
             "between engines; column defaults are a v7 feature this "
             "export does not write) — unset the properties first if "
             "a snapshot export is really wanted")
-    dv_files = sorted(a.path for a in snap.files if a.dv_path)
-    if dv_files:
-        raise ValueError(
-            f"{len(dv_files)} live file(s) carry deletion-vector "
-            f"masks (e.g. {dv_files[0]!r}); exporting Delta DVs needs "
-            "a feature-protocol table this export does not write — "
-            "run optimize() first, it compacts masks away")
+    # deletion-vector masks ENCODE as real Delta DVs (r14 — the same
+    # delta_interop codecs the import direction verifies): per masked
+    # file, the sidecar positions re-serialize as a portable roaring
+    # bitmap — inline (Z85) when small, an on-disk
+    # deletion_vector_<uuid>.bin otherwise — and the exported table
+    # switches to the feature protocol (reader 3 / writer 7,
+    # deletionVectors), exactly what a real DV-writing Delta table
+    # declares.
+    dv_descriptors: dict[str, dict[str, Any]] = {}
+    if any(a.dv_path for a in snap.files) and not dry_run:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq_
+
+        for a in snap.files:
+            if not a.dv_path:
+                continue
+            sidecar = os.path.join(a.dv_base or root, a.dv_path)
+            mask_root = os.path.abspath(a.base or root)
+            tbl_ = pq_.read_table(
+                sidecar, columns=["root", "path", "row_index"],
+                filters=[("root", "=", mask_root),
+                         ("path", "=", a.path)])
+            positions = sorted(
+                pc.unique(tbl_["row_index"]).to_pylist())
+            if len(positions) != a.dv_count:
+                raise ValueError(
+                    f"DV bookkeeping mismatch for {a.path!r}: sidecar "
+                    f"holds {len(positions)} masked positions but the "
+                    f"log records dv_count={a.dv_count}; run fsck")
+            if len(positions) <= 10_000:
+                dv_descriptors[a.log_key] = (
+                    delta_interop.inline_dv_descriptor(positions))
+            else:
+                dv_descriptors[a.log_key] = delta_interop.write_dv_file(
+                    root, positions)
     cloned = sorted(a.path for a in snap.files if a.base)
     if cloned:
         raise ValueError(
@@ -5825,6 +5859,29 @@ def export_delta_log(
         k.startswith("delta.constraints.") for k in out_cfg) else 2
     if gen_cols:
         min_writer = max(min_writer, 4)
+    has_dv = any(a.dv_path for a in snap.files)
+    if has_dv:
+        # DVs need the FEATURE protocol — and with minWriterVersion 7
+        # the spec requires EVERY active writer feature listed, the
+        # legacy ones included
+        legacy_feats = []
+        if "delta.appendOnly" in out_cfg:
+            legacy_feats.append("appendOnly")
+        if any(k.startswith("delta.constraints.") for k in out_cfg):
+            legacy_feats.append("checkConstraints")
+        if gen_cols:
+            legacy_feats.append("generatedColumns")
+        if not_null:
+            legacy_feats.append("invariants")
+        protocol_action = {
+            "protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                         "readerFeatures": ["deletionVectors"],
+                         "writerFeatures": sorted(
+                             ["deletionVectors"] + legacy_feats)}}
+    else:
+        protocol_action = {
+            "protocol": {"minReaderVersion": 1,
+                         "minWriterVersion": min_writer}}
 
     from urllib.parse import quote
 
@@ -5846,8 +5903,8 @@ def export_delta_log(
                         kept[c] = rv
             if kept:
                 st[key] = kept
-        total_rows += a.num_records
-        adds_out.append({"add": {
+        total_rows += a.live_records
+        add_payload: dict[str, Any] = {
             # '=' stays raw (hive partition dirs) — real Delta
             # writers do the same; the import side unquotes
             "path": quote(a.path, safe="/="),
@@ -5855,8 +5912,17 @@ def export_delta_log(
             "size": a.size,
             "modificationTime": a.modification_time,
             "dataChange": True,
-            "stats": json.dumps(st, separators=(",", ":")),
-        }})
+        }
+        if a.dv_path:
+            # numRecords stays the PHYSICAL count; tightBounds=false
+            # tells foreign readers the min/max may include masked
+            # rows (wide bounds — sound), per the DV spec
+            st["tightBounds"] = False
+            if a.log_key in dv_descriptors:
+                add_payload["deletionVector"] = \
+                    dv_descriptors[a.log_key]
+        add_payload["stats"] = json.dumps(st, separators=(",", ":"))
+        adds_out.append({"add": add_payload})
 
     if dry_run:
         return {"dry_run": True, "num_files": len(adds_out),
@@ -5870,8 +5936,7 @@ def export_delta_log(
             "operationParameters": {"numFiles": str(len(adds_out))},
             "engineInfo": "dagster-delta-spark export_delta_log",
         }},
-        {"protocol": {"minReaderVersion": 1,
-                      "minWriterVersion": min_writer}},
+        protocol_action,
         {"metaData": {
             "id": snap.metadata.table_id or str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},

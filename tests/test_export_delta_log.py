@@ -106,19 +106,53 @@ def test_export_partitioned_and_properties(spark, tmp_path):
     assert props["dds.constraints.positive_a"] == "a >= 0"
 
 
-def test_export_refusals(spark, tmp_path):
-    # DV-masked files refuse; OPTIMIZE clears the refusal
+def test_export_deletion_vectors_round_trip(spark, tmp_path):
+    """r14: DV masks export as REAL Delta DVs — inline Z85 for small
+    masks, on-disk bin files past 10k positions — under the feature
+    protocol, and the round trip back through convert_from_delta
+    restores the masks as native sidecars (masked rows stay gone)."""
     root = str(tmp_path / "dv")
     t = DeltaSparkTable(spark, root)
     # one physical file so the DV delete masks (a multi-file layout
     # where every live row of a file matches gets a plain remove)
     t.write(_df(spark, 0, 8).coalesce(1), WriteMode.overwrite)
-    t.delete("a = 3", use_dv=True)
-    with pytest.raises(ValueError, match="deletion-vector"):
-        export_delta_log(spark, root)
-    t.optimize()
-    assert export_delta_log(spark, root, dry_run=True)["num_rows"] == 7
+    t.delete("a IN (1, 3)", use_dv=True)
+    res = export_delta_log(spark, root)
+    assert res["num_rows"] == 6  # live rows
+    with open(os.path.join(root, "_delta_log",
+                           "0" * 20 + ".json")) as f:
+        actions = [json.loads(line) for line in f]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    add = next(a["add"] for a in actions if "add" in a)
+    dv = add["deletionVector"]
+    assert dv["storageType"] == "i" and dv["cardinality"] == 2
+    st = json.loads(add["stats"])
+    assert st["numRecords"] == 8 and st["tightBounds"] is False
 
+    back = _round_trip(spark, root, tmp_path, name="rt-dv")
+    assert sorted(r["a"] for r in back.read().collect()) == \
+        [0, 2, 4, 5, 6, 7]
+    f = back.snapshot().files[0]
+    assert f.num_records == 8 and f.dv_count == 2
+
+    # large mask -> on-disk DV file; round trip again
+    r2 = str(tmp_path / "dvbig")
+    t2 = DeltaSparkTable(spark, r2)
+    t2.write(spark.range(0, 30_000).selectExpr("id AS a").coalesce(1),
+             WriteMode.overwrite)
+    t2.delete("a < 12000", use_dv=True)
+    export_delta_log(spark, r2)
+    import glob
+
+    assert glob.glob(os.path.join(r2, "deletion_vector_*.bin"))
+    back2 = _round_trip(spark, r2, tmp_path, name="rt-dvbig")
+    assert back2.read().count() == 18_000
+    assert back2.read().where("a < 12000").count() == 0
+
+
+def test_export_refusals(spark, tmp_path):
     # identity contract refuses
     r2 = str(tmp_path / "ident")
     t2 = DeltaSparkTable(spark, r2)
@@ -137,9 +171,13 @@ def test_export_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="column-mapped"):
         export_delta_log(spark, r3)
 
-    # shallow clone refuses
+    # shallow clone refuses (source: a plain colmap-free table, so
+    # the clone refusal — not the colmap one — is what fires)
+    rp = str(tmp_path / "plain")
+    tp = DeltaSparkTable(spark, rp)
+    tp.write(_df(spark, 0, 3), WriteMode.overwrite)
     r4 = str(tmp_path / "clone")
-    t.clone(r4)
+    tp.clone(r4)
     with pytest.raises(ValueError, match="clone"):
         export_delta_log(spark, r4)
 
