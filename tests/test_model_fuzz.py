@@ -111,18 +111,33 @@ def test_random_op_sequences_match_model(spark, tmp_path):
             import os as _os
 
             import __spark_entry__ as entry
-            from dagster_delta_spark import convert_from_delta
+            from dagster_delta_spark import (
+                convert_from_delta,
+                delta_interop,
+            )
 
+            # r14: the Delta-start fixture carries a real inline
+            # DELETION VECTOR masking the file's first two rows
+            # (staged sorted so positions are value-predictable) —
+            # the whole op sequence then runs over imported-DV state
             _os.makedirs(t.table_uri, exist_ok=True)
-            entry._stage_landing_file(sdf, t.table_uri, "f0.parquet")
+            entry._stage_landing_file(
+                sdf.repartition(1).sortWithinPartitions("k", "v"),
+                t.table_uri, "f0.parquet")
+            dv = delta_interop.inline_dv_descriptor([0, 1])
             entry._write_delta_commit(t.table_uri, 0, [
-                entry._delta_protocol_action(),
+                {"protocol": {"minReaderVersion": 3,
+                              "minWriterVersion": 7,
+                              "readerFeatures": ["deletionVectors"],
+                              "writerFeatures": ["deletionVectors"]}},
                 entry._delta_meta_action(sdf.schema.json()),
                 entry._delta_add_action(t.table_uri, "f0.parquet",
-                                        len(pdf)),
+                                        len(pdf), deletionVector=dv),
             ])
             convert_from_delta(spark, t.table_uri)
             t.set_properties({"dds.bloomFilterColumns": '{"k": {}}'})
+            pdf = (pdf.sort_values(["k", "v"], kind="stable")
+                   .iloc[2:].reset_index(drop=True))
         else:
             t.write(sdf, WriteMode.overwrite, table_configuration={
                 "dds.bloomFilterColumns": '{"k": {}}'})
