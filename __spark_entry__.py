@@ -4119,80 +4119,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verifies everything: an entry may sit past the cap only if
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
-    # that structurally cannot have one).  Round 14 window: the 13
-    # r10-recorded heads + 32 of the 50 r11-recorded entries + the 5
-    # new/changed delta-interop entries — after r14 records land, the
-    # stalest cohort is the 18 deferred r11 entries at the head of
-    # the tail.  Local gate for the whole
+    # that structurally cannot have one).  Round 15 window: the 18
+    # r11-recorded entries + 32 of the 49 r12-recorded entries — after
+    # r15 records land, the stalest cohort is the 17 deferred r12
+    # entries at the head of the tail.  Local gate for the whole
     # registry regardless of position: tools/check_oracles.py.
     return {
-        # -------- first 50: the round-14 recording window --------
-        # Record-freshness rotation (r14): the 13 entries whose
-        # newest committed record is CORRECTNESS_r10 lead, then 32
-        # of the 50 r11-recorded entries, then the 5 new/changed
-        # delta-interop entries.  13 + 32 + 5 = 50; the 18 deferred
-        # r11 entries (o_generated_columns .. unimax) lead the r15
-        # window.
-        "unigram_quality": textops.unigram_quality,
-        "streaming_table_source": streaming_table_source,
-        "cdc_read_changes": cdc_read_changes,
-        "assign_splits": curation.assign_splits,
-        "chunk_documents": curation.chunk_documents,
-        "stratified_sample": curation.stratified_sample,
-        "winnow_repeated_spans": dedup.winnow_repeated_spans,
-        "winnow_doc_repetition": dedup.winnow_doc_repetition,
-        "strip_repeated_spans": dedup.strip_repeated_spans,
-        "leakage_safe_splits": _leakage_safe_splits,
-        "o_identity_merge": o_identity_merge,
-        "near_dup_decontaminate": _near_dup_decon,
-        "embedding_decontaminate": similarity.embedding_decontaminate,
-        "temperature_mixture_sample": curation.temperature_mixture_sample,
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
-        "q8_market_share": relational.q8_market_share,
-        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
-        "q10_returned_items": relational.q10_returned_items,
-        "q16_anti_join": relational.q16_anti_join_parts,
-        "q20_excess_shipments": relational.q20_excess_shipments,
-        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
-        "event_funnel": _event_funnel,
-        "ngram_frequency": textops.ngram_frequency,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        "repetition_quality": textops.repetition_quality,
-        "lsh_index_maintain": lsh_index_maintain,
-        "pq_index_maintain": pq_index_maintain,
-        "streaming_index_sink": _streaming_index_sink,
-        "ann_query_indexed": _ann_query_indexed,
-        "token_budget_sample": curation.token_budget_sample,
-        "bigram_perplexity": textops.bigram_perplexity,
-        "multimodal_features": mm_features,
-        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
-        "bpe_token_stats": _bpe_stats,
-        "cosine_topk": similarity.cosine_topk,
-        "embedding_near_dups": _embedding_near_dups_02,
-        "label_centroid_dims": _label_centroid_dims,
-        "quantize_embeddings": _quantize_embeddings,
-        "sketch_profile": _sketch_profile,
-        "bm25_search": textops.bm25_search,
-        "pmi_collocations": textops.pmi_collocations,
-        "ppjoin_near_dups": dedup.ppjoin_near_dups,
-        "streaming_interval_join_left": _streaming_interval_join_left,
-        "o_column_mapping": o_column_mapping,
-        "streaming_interval_join_full": _streaming_interval_join_full,
-        # NEW r14 (oracle-backed): delta-io interop depth — classic
-        # CHECKPOINT replay, DELETION-VECTOR decode, COLUMN-MAPPING
-        # translation, and the EXPORT direction; plus the CHANGED
-        # o_convert_from_delta (its refusal guards moved as reader
-        # versions 2-3 now convert) rotated back in.  Displaced on
-        # standing r11 records: o_generated_columns, cdc_row_changes,
-        # streaming_cdc_feed, q22_anti_scalar,
-        # incremental_rollup_maintenance.
-        "o_convert_from_delta": o_convert_from_delta,
-        "o_convert_delta_checkpoint": o_convert_delta_checkpoint,
-        "o_convert_delta_dv": o_convert_delta_dv,
-        "o_convert_delta_colmap": o_convert_delta_colmap,
-        "o_export_delta_log": o_export_delta_log,
-        # -------- past the cap: green/ok rows on committed ------
-        # -------- records (deferred r11 first, then r12, r13) ---
+        # -------- first 50: the round-15 recording window --------
+        # Record-freshness rotation (r15): the 18 entries whose
+        # newest committed record is CORRECTNESS_r11 lead, then 32
+        # of the 49 r12-recorded entries.  18 + 32 = 50; the 17
+        # deferred r12 entries (corpus_shuffle .. selective_token_mask)
+        # lead the r16 window, then the r13 cohort.  NEW r15 entries
+        # must be inserted INSIDE this window (displace r12-recorded
+        # tails — they keep their standing records).
         "o_generated_columns": o_generated_columns,
         "cdc_row_changes": cdc_row_changes,
         "streaming_cdc_feed": streaming_cdc_feed,
@@ -4211,6 +4151,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_copy_into": o_copy_into,
         "o_log_cleanup": o_log_cleanup,
         "unimax_sample": curation.unimax_sample,
+        "m4_replace_delete": m4_replace_delete,
+        "w5_create_or_replace": w5_create_or_replace,
+        "p2_timewindow_read": p2_timewindow_read,
+        "o_compaction_roundtrip": o_compaction_roundtrip,
+        "zipf_profile": textops.zipf_profile,
+        "o_write_options": o_write_options,
+        "stream_ingest_near_dup_filter": _stream_ingest_filter,
+        "string_functions": relational.string_functions_probe,
+        "date_parts_rollup": relational.date_parts_rollup,
+        "q12_case_agg": relational.q12_priority_by_linestatus,
+        "source_summary": textops.source_summary,
+        "deterministic_sample": textops.deterministic_sample,
+        "fingerprint": textops.fingerprint,
+        "q18_large_orders": relational.q18_large_orders,
+        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
+        "q13_custdist": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_q19_filter_aggs": q6_q19_filter_aggs,
+        "topk_window": relational.top_orders_per_status,
+        "events_hourly_rollup": relational.events_hourly_rollup,
+        "events_sessionize": relational.events_sessionize,
+        "q4_exists_semi": relational.q4_order_priority_exists,
+        "events_json_props": relational.events_json_props,
+        "q17_scalar_subquery": relational.q17_small_quantity_revenue,
+        "q11_important_parts": relational.q11_important_parts,
+        "q7_nation_volume": relational.q7_nation_volume,
+        "set_ops_customers": relational.customer_order_set_ops,
+        "asof_clicks_purchases": asof.clicks_asof_purchases,
+        "range_join_bursts": asof.user_event_bursts,
+        # -------- past the cap: green/ok rows on committed ------
+        # -------- records (deferred r12 first, then r13, r14) ---
+        "corpus_shuffle": curation.corpus_shuffle,
+        "multimodal_metadata": multimodal.multimodal_metadata,
+        "salted_user_rollup": relational.salted_user_rollup,
+        "price_distribution": price_distribution,
+        "status_pivot": relational.status_pivot,
+        "revenue_rollup_cube": revenue_rollup_cube,
+        "cross_source_contamination": curation.cross_source_contamination,
+        "curate_corpus": _curate_corpus,
+        "decontaminate": curation.decontaminate,
+        "pack_sequences": curation.pack_sequences,
+        "text_quality": textops.text_quality,
+        "streaming_sessionize": _streaming_sessionize,
+        "streaming_dedup": _streaming_dedup,
+        "ann_index_drift_audit": ann_index_drift_audit,
+        "embedding_pca_project": _embedding_pca,
+        "doremi_domain_weights": doremi_domain_weights,
+        "selective_token_mask": selective_token_mask,
         "streaming_hourly_rollup": streaming_rollup,
         "lang_id": textops.lang_id,
         "token_stats": textops.token_stats,
@@ -4260,55 +4251,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_time_travel": s3_time_travel,
         "bm25_index_maintain": bm25_index_maintain,
         "hybrid_search_indexed": hybrid_search_indexed,
-        "m4_replace_delete": m4_replace_delete,
-        "w5_create_or_replace": w5_create_or_replace,
-        "p2_timewindow_read": p2_timewindow_read,
-        "o_compaction_roundtrip": o_compaction_roundtrip,
-        "zipf_profile": textops.zipf_profile,
-        "o_write_options": o_write_options,
-        "stream_ingest_near_dup_filter": _stream_ingest_filter,
-        "string_functions": relational.string_functions_probe,
-        "date_parts_rollup": relational.date_parts_rollup,
-        "q12_case_agg": relational.q12_priority_by_linestatus,
-        "source_summary": textops.source_summary,
-        "deterministic_sample": textops.deterministic_sample,
-        "fingerprint": textops.fingerprint,
-        "q18_large_orders": relational.q18_large_orders,
-        "q14_promo_ratio": relational.q14_promo_revenue_ratio,
-        "q13_custdist": relational.q13_order_count_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "q6_q19_filter_aggs": q6_q19_filter_aggs,
-        "topk_window": relational.top_orders_per_status,
-        "events_hourly_rollup": relational.events_hourly_rollup,
-        "events_sessionize": relational.events_sessionize,
-        "q4_exists_semi": relational.q4_order_priority_exists,
-        "events_json_props": relational.events_json_props,
-        "q17_scalar_subquery": relational.q17_small_quantity_revenue,
-        "q11_important_parts": relational.q11_important_parts,
-        "q7_nation_volume": relational.q7_nation_volume,
-        "set_ops_customers": relational.customer_order_set_ops,
-        "asof_clicks_purchases": asof.clicks_asof_purchases,
-        "range_join_bursts": asof.user_event_bursts,
-        "corpus_shuffle": curation.corpus_shuffle,
-        "multimodal_metadata": multimodal.multimodal_metadata,
-        "salted_user_rollup": relational.salted_user_rollup,
-        "price_distribution": price_distribution,
-        "status_pivot": relational.status_pivot,
-        "revenue_rollup_cube": revenue_rollup_cube,
-        "cross_source_contamination": curation.cross_source_contamination,
-        "curate_corpus": _curate_corpus,
-        "decontaminate": curation.decontaminate,
-        "pack_sequences": curation.pack_sequences,
-        "text_quality": textops.text_quality,
-        "streaming_sessionize": _streaming_sessionize,
-        "streaming_dedup": _streaming_dedup,
-        "ann_index_drift_audit": ann_index_drift_audit,
-        "embedding_pca_project": _embedding_pca,
-        "doremi_domain_weights": doremi_domain_weights,
-        "selective_token_mask": selective_token_mask,
+        "unigram_quality": textops.unigram_quality,
+        "streaming_table_source": streaming_table_source,
+        "cdc_read_changes": cdc_read_changes,
+        "assign_splits": curation.assign_splits,
+        "chunk_documents": curation.chunk_documents,
+        "stratified_sample": curation.stratified_sample,
+        "winnow_repeated_spans": dedup.winnow_repeated_spans,
+        "winnow_doc_repetition": dedup.winnow_doc_repetition,
+        "strip_repeated_spans": dedup.strip_repeated_spans,
+        "leakage_safe_splits": _leakage_safe_splits,
+        "o_identity_merge": o_identity_merge,
+        "near_dup_decontaminate": _near_dup_decon,
+        "embedding_decontaminate": similarity.embedding_decontaminate,
+        "temperature_mixture_sample": curation.temperature_mixture_sample,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q8_market_share": relational.q8_market_share,
+        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
+        "q10_returned_items": relational.q10_returned_items,
+        "q16_anti_join": relational.q16_anti_join_parts,
+        "q20_excess_shipments": relational.q20_excess_shipments,
+        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+        "event_funnel": _event_funnel,
+        "ngram_frequency": textops.ngram_frequency,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "repetition_quality": textops.repetition_quality,
+        "lsh_index_maintain": lsh_index_maintain,
+        "pq_index_maintain": pq_index_maintain,
+        "streaming_index_sink": _streaming_index_sink,
+        "ann_query_indexed": _ann_query_indexed,
+        "token_budget_sample": curation.token_budget_sample,
+        "bigram_perplexity": textops.bigram_perplexity,
+        "multimodal_features": mm_features,
+        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
+        "bpe_token_stats": _bpe_stats,
+        "cosine_topk": similarity.cosine_topk,
+        "embedding_near_dups": _embedding_near_dups_02,
+        "label_centroid_dims": _label_centroid_dims,
+        "quantize_embeddings": _quantize_embeddings,
+        "sketch_profile": _sketch_profile,
+        "bm25_search": textops.bm25_search,
+        "pmi_collocations": textops.pmi_collocations,
+        "ppjoin_near_dups": dedup.ppjoin_near_dups,
+        "streaming_interval_join_left": _streaming_interval_join_left,
+        "o_column_mapping": o_column_mapping,
+        "streaming_interval_join_full": _streaming_interval_join_full,
+        "o_convert_from_delta": o_convert_from_delta,
+        "o_convert_delta_checkpoint": o_convert_delta_checkpoint,
+        "o_convert_delta_dv": o_convert_delta_dv,
+        "o_convert_delta_colmap": o_convert_delta_colmap,
+        "o_export_delta_log": o_export_delta_log,
     }
 
 

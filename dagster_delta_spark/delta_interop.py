@@ -395,6 +395,33 @@ _MULTIPART_CP = re.compile(
 _V2_CP = re.compile(r"^(\d{20})\.checkpoint\.[0-9a-zA-Z-]+\.(parquet|json)$")
 
 
+def newest_checkpoint_hint(dlog: str) -> Optional[int]:
+    """Max version ANYTHING checkpoint-shaped under ``dlog`` claims —
+    classic / multi-part (complete or not) / v2 file names, plus the
+    ``_last_checkpoint`` pointer.  No selection or refusal semantics:
+    callers with a complete JSON log use this to detect a checkpoint
+    AHEAD of the JSON tail (a partially-copied log — the JSON
+    understates the head) and route through
+    :func:`find_classic_checkpoint`, which refuses pointedly when the
+    ahead state is unreconstructable.  Junk checkpoints at-or-below
+    the JSON head never change behavior."""
+    versions: list[int] = []
+    for n in os.listdir(dlog):
+        for rx in (_CLASSIC_CP, _MULTIPART_CP, _V2_CP):
+            m = rx.match(n)
+            if m:
+                versions.append(int(m.group(1)))
+                break
+    last = os.path.join(dlog, "_last_checkpoint")
+    if os.path.isfile(last):
+        try:
+            with open(last, encoding="utf-8") as f:
+                versions.append(int(json.load(f)["version"]))
+        except (ValueError, KeyError, OSError):
+            pass  # unreadable pointer alone never forces the branch
+    return max(versions) if versions else None
+
+
 def find_classic_checkpoint(dlog: str) -> Optional[tuple[int, list[str]]]:
     """Newest decodable checkpoint under ``dlog``: (version, ordered
     part paths) — classic single-part, COMPLETE classic multi-part,

@@ -334,14 +334,20 @@ def _verify_unique_id_contract(
     must equal the id's live multiplicity at ``head``.  Unique-id
     bases always satisfy this (pure delete → 0/0, DV update → 1/1,
     insert-then-delete in one window → 0/0); a partially-deleted
-    duplicate id fails it.  Cost: one scan of the base pruned to the
-    touched ids (semi join → stats/bloom skipping applies), only on
-    folds that saw deletions."""
-    touched = dels.select(id_col).distinct()
-    # cheap short-circuit on the PINNED delta (pure-append folds —
-    # the steady-state common case — pay only this limit-1 probe)
-    if touched.isEmpty():
+    duplicate id fails it.  Called on EVERY fold; pure-append folds
+    exit at a limit-1 probe of the delete side, and only
+    deletion-carrying folds pay the real cost — one scan of the base
+    pruned to the touched ids (semi join → stats/bloom skipping
+    applies)."""
+    # cheap short-circuit on the PINNED delta: the guard runs on
+    # EVERY fold (called whenever an id_col is set), so pure-append
+    # folds — the steady-state common case — must bail before any
+    # aggregation.  Probe the raw delete side with limit(1) (a plain
+    # scan, no shuffle); only deletion-carrying folds pay the
+    # distinct + pruned base scan below.
+    if dels.select(id_col).limit(1).isEmpty():
         return
+    touched = dels.select(id_col).distinct()
     # ONE combined Spark action for both violation classes (the
     # first guard shape ran three jobs per deletion fold and showed
     # up as +30-60% on every maintainer bench line):

@@ -5142,11 +5142,30 @@ def convert_from_delta(
     # after it (what a delta-rs table looks like once log cleanup has
     # aged out the early JSON commits — the common aged-table shape)
     batches: list[list[dict[str, Any]]] = []
-    if json_complete:
+    # even with contiguous JSON 0..N, a checkpoint AHEAD of the JSON
+    # tail (partially-copied log: cleanup can't produce it, a botched
+    # rsync can) means the JSON understates the head — every real
+    # Delta reader reconstructs from the checkpoint, so replaying the
+    # stale JSON would silently convert old data.  A light hint probe
+    # (no refusal semantics — junk checkpoints below the head stay
+    # inert) decides; anything checkpoint-shaped ahead routes through
+    # find_classic_checkpoint, which refuses pointedly when the ahead
+    # state is unreconstructable.
+    cp_hint = delta_interop.newest_checkpoint_hint(dlog)
+    if json_complete and (cp_hint is None or cp_hint <= versions[-1]):
         replay_versions = versions
+        head_delta_version = versions[-1]
     else:
         cp = delta_interop.find_classic_checkpoint(dlog)
         if cp is None:
+            if json_complete:
+                raise ValueError(
+                    f"Delta log under {dlog!r} claims a checkpoint at "
+                    f"version {cp_hint} ahead of its JSON tail (head "
+                    f"{versions[-1]}) but no decodable checkpoint "
+                    "exists; the JSON understates the head state — "
+                    "refusing a silently-stale convert "
+                    "(partially-copied log?)")
             raise ValueError(
                 f"Delta log under {dlog!r} is neither a contiguous "
                 f"JSON tail from version 0 (found {versions[:3]}...) "
@@ -5161,15 +5180,15 @@ def convert_from_delta(
         batches.append(
             delta_interop.read_checkpoint_actions(cppath, cpv))
         replay_versions = tail
+        # stale JSON below the checkpoint may survive cleanup — the
+        # replayed head is the max of both sources, not versions[-1]
+        head_delta_version = max(
+            [cpv] + ([versions[-1]] if versions else []))
     for v in replay_versions:
         with open(os.path.join(dlog, f"{v:020d}.json"),
                   encoding="utf-8") as f:
             batches.append([json.loads(line) for line in f
                             if line.strip()])
-    if versions:
-        head_delta_version = versions[-1]
-    else:
-        head_delta_version = cpv  # checkpoint-only log, no JSON tail
 
     meta_action: Optional[dict[str, Any]] = None
     files: dict[str, dict[str, Any]] = {}
@@ -5447,8 +5466,19 @@ def convert_from_delta(
                     continue
             else:
                 return None
-            if is_max and ts.microsecond % 1000 == 0:
-                ts += timedelta(microseconds=999)
+            # a max stat widens by the RENDERED precision's full gap —
+            # the writer may have truncated at that precision, and an
+            # under-widened bound mis-prunes rows later in the gap
+            # (e.g. a date-only ts max covers the whole day, not
+            # midnight+999µs).  ms-fraction values widen 999µs (the
+            # spec-norm ms truncation); exact-µs fractions are exact.
+            if is_max:
+                if fmt == "%Y-%m-%d":
+                    ts += timedelta(days=1) - timedelta(microseconds=1)
+                elif fmt == "%Y-%m-%d %H:%M:%S":
+                    ts += timedelta(microseconds=999_999)
+                elif ts.microsecond % 1000 == 0:
+                    ts += timedelta(microseconds=999)
             return ts.isoformat(sep=" ")
         return None
     # ---- head-state validation (over SURVIVING files only) ----
@@ -5707,10 +5737,21 @@ def export_delta_log(
     does; stats keep physical ``numRecords`` with
     ``tightBounds: false``.
 
+    COLUMN-MAPPED tables export (r15): the frozen physical names
+    (``dds.columnMapping``, the o_column_mapping machinery) render as
+    ``delta.columnMapping.physicalName`` / ``.id`` field metadata
+    under ``delta.columnMapping.mode=name`` — Delta's exact spelling
+    for the same read-by-physical-name semantics (reader 2 / writer
+    5, or listed as a ``columnMapping`` feature on DV-carrying
+    exports); stats stay keyed on physical names (both formats'
+    convention), and the round trip back through
+    :func:`convert_from_delta` restores the same mapping.
+
     Honest refusals (pointed, never silent):
 
-    - COLUMN-MAPPED tables (physical-name field metadata would need
-      reader-v2 export; rename-free tables export fine);
+    - tables that ever DROPPED a column (the reserved-physical
+      ledger has no Delta spelling; losing it on a round trip could
+      resurrect dropped data under a re-added name);
     - shallow CLONES (files outside the table root cannot be
       table-relative adds);
     - identity columns (allocation strategies differ between
@@ -5733,13 +5774,26 @@ def export_delta_log(
     contract_keys = sorted(
         k for k in cfg
         if k in (_IDENTITY_KEY, _COLDEFAULT_KEY))
-    if _COLMAP_KEY in cfg or _DROPPED_KEY in cfg:
+    # COLUMN-MAPPED tables export (r15): the stored frozen physical
+    # names render as delta.columnMapping.physicalName/.id field
+    # metadata under mode=name — Delta's exact spelling for the same
+    # semantics (readers resolve parquet columns by physical name).
+    # Tables that ever DROPPED a column still refuse: the reserved-
+    # physical ledger (dds.droppedPhysical) has no Delta spelling, and
+    # a re-import that lost it could hand a later re-added column a
+    # dropped column's physical name — resurrecting dead data from
+    # old files.
+    colmap = _column_mapping(cfg)
+    has_colmap = _COLMAP_KEY in cfg
+    if _DROPPED_KEY in cfg:
         raise ValueError(
-            "column-mapped tables do not export: Delta stores "
-            "physical names in schema field metadata this export "
-            "does not fabricate — a foreign reader would read the "
-            "wrong (logical) column names from physically-named "
-            "files")
+            "tables with dropped columns do not export: the dropped-"
+            "column physical-name ledger (dds.droppedPhysical) has no "
+            "Delta spelling, and losing it on a round trip could let "
+            "a re-added column resurrect the dropped column's data "
+            "from pre-drop files — rewrite into a fresh table "
+            "(create_or_replace from a read) if an export is really "
+            "wanted")
     if contract_keys:
         raise ValueError(
             f"table carries writer contract(s) {contract_keys} with "
@@ -5755,11 +5809,22 @@ def export_delta_log(
     # switches to the feature protocol (reader 3 / writer 7,
     # deletionVectors), exactly what a real DV-writing Delta table
     # declares.
+    cloned = sorted(a.path for a in snap.files if a.base)
+    if cloned:
+        raise ValueError(
+            f"{len(cloned)} live file(s) live outside the table root "
+            f"(shallow clone, e.g. {cloned[0]!r}); Delta adds must be "
+            "table-relative — copy the data in (OPTIMIZE) first")
+    # refusals never mutate the table dir (same rule the import side
+    # honors): VALIDATE every sidecar's bookkeeping first, and only
+    # once all masks check out write the on-disk .bin encodings —
+    # a mid-loop dv_count mismatch must leave the directory untouched
     dv_descriptors: dict[str, dict[str, Any]] = {}
     if any(a.dv_path for a in snap.files) and not dry_run:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq_
 
+        dv_positions_by_key: dict[str, list[int]] = {}
         for a in snap.files:
             if not a.dv_path:
                 continue
@@ -5776,24 +5841,25 @@ def export_delta_log(
                     f"DV bookkeeping mismatch for {a.path!r}: sidecar "
                     f"holds {len(positions)} masked positions but the "
                     f"log records dv_count={a.dv_count}; run fsck")
+            dv_positions_by_key[a.log_key] = positions
+        for log_key, positions in dv_positions_by_key.items():
             if len(positions) <= 10_000:
-                dv_descriptors[a.log_key] = (
+                dv_descriptors[log_key] = (
                     delta_interop.inline_dv_descriptor(positions))
             else:
-                dv_descriptors[a.log_key] = delta_interop.write_dv_file(
+                dv_descriptors[log_key] = delta_interop.write_dv_file(
                     root, positions)
-    cloned = sorted(a.path for a in snap.files if a.base)
-    if cloned:
-        raise ValueError(
-            f"{len(cloned)} live file(s) live outside the table root "
-            f"(shallow clone, e.g. {cloned[0]!r}); Delta adds must be "
-            "table-relative — copy the data in (OPTIMIZE) first")
 
     schema = StructType.fromJson(_json_loads(snap.schema_json))
+    # stats keys follow the FILE layout: physical names for
+    # column-mapped tables (this engine's footer-harvest convention
+    # AND Delta's colmap stats convention — they agree by design)
+    phys_of = {f.name: colmap.get(f.name, f.name)
+               for f in schema.fields}
     # export also carries DATE min/max — 'YYYY-MM-DD' renders
     # identically in both engines (the import side validates the same)
     safe_minmax = {
-        f.name for f in schema.fields
+        phys_of[f.name] for f in schema.fields
         if isinstance(f.dataType,
                       _DELTA_SAFE_STATS_TYPES + (DateType,))
     }
@@ -5801,7 +5867,7 @@ def export_delta_log(
     # convention with SOUND widening (min floors to the ms, max ceils)
     # — time-series exports keep file skipping in foreign readers;
     # unparseable values drop (costs skipping, never correctness)
-    ts_cols = {f.name for f in schema.fields
+    ts_cols = {phys_of[f.name] for f in schema.fields
                if isinstance(f.dataType, TimestampType)}
 
     def _export_ts(val: Any, is_max: bool) -> Optional[str]:
@@ -5829,7 +5895,7 @@ def export_delta_log(
         elif k.startswith(_CONSTRAINT_PREFIX):
             out_cfg["delta.constraints."
                     + k[len(_CONSTRAINT_PREFIX):]] = v
-        elif k in (_GENCOL_KEY, _NOTNULL_KEY):
+        elif k in (_GENCOL_KEY, _NOTNULL_KEY, _COLMAP_KEY):
             pass  # fabricated into schema field metadata below
         elif k.startswith("dds."):
             dropped_cfg[k] = v
@@ -5843,10 +5909,17 @@ def export_delta_log(
     gen_cols = _generated_columns(cfg)
     not_null = set(_not_null_columns(cfg))
     export_fields = []
-    for f in schema.fields:
+    for i, f in enumerate(schema.fields, start=1):
         md = dict(f.metadata or {})
         if f.name in gen_cols:
             md["delta.generationExpression"] = gen_cols[f.name]
+        if has_colmap:
+            # mode=name requires EVERY field to carry both keys —
+            # readers resolve parquet columns by physicalName; ids
+            # are minted ordinally (this engine never stored any,
+            # and in name mode only uniqueness matters)
+            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.physicalName"] = phys_of[f.name]
         # nullable=false exports ONLY for engine-ENFORCED columns
         # (dds.notNullColumns): this engine ignores stored-schema
         # nullability on writes, so a stored nullable=false is not a
@@ -5855,10 +5928,16 @@ def export_delta_log(
         export_fields.append(StructField(
             f.name, f.dataType, f.name not in not_null, md))
     export_schema = StructType(export_fields)
+    if has_colmap:
+        out_cfg["delta.columnMapping.mode"] = "name"
+        out_cfg["delta.columnMapping.maxColumnId"] = str(
+            len(schema.fields))
     min_writer = 3 if any(
         k.startswith("delta.constraints.") for k in out_cfg) else 2
     if gen_cols:
         min_writer = max(min_writer, 4)
+    if has_colmap:
+        min_writer = max(min_writer, 5)  # legacy columnMapping writer
     has_dv = any(a.dv_path for a in snap.files)
     if has_dv:
         # DVs need the FEATURE protocol — and with minWriterVersion 7
@@ -5873,14 +5952,20 @@ def export_delta_log(
             legacy_feats.append("generatedColumns")
         if not_null:
             legacy_feats.append("invariants")
+        reader_feats = ["deletionVectors"]
+        if has_colmap:
+            # columnMapping is a READER-affecting feature: with the
+            # feature protocol it must appear on both sides
+            reader_feats.append("columnMapping")
+            legacy_feats.append("columnMapping")
         protocol_action = {
             "protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                         "readerFeatures": ["deletionVectors"],
+                         "readerFeatures": sorted(reader_feats),
                          "writerFeatures": sorted(
                              ["deletionVectors"] + legacy_feats)}}
     else:
         protocol_action = {
-            "protocol": {"minReaderVersion": 1,
+            "protocol": {"minReaderVersion": 2 if has_colmap else 1,
                          "minWriterVersion": min_writer}}
 
     from urllib.parse import quote

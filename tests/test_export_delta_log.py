@@ -163,12 +163,13 @@ def test_export_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="contract"):
         export_delta_log(spark, r2)
 
-    # column mapping refuses
+    # dropped columns refuse (the reserved-physical ledger has no
+    # Delta spelling; renames alone export since r15)
     r3 = str(tmp_path / "cm")
     t3 = DeltaSparkTable(spark, r3)
     t3.write(_df(spark, 0, 3), WriteMode.overwrite)
-    t3.rename_column("s", "s2")
-    with pytest.raises(ValueError, match="column-mapped"):
+    t3.drop_column("s")
+    with pytest.raises(ValueError, match="dropped"):
         export_delta_log(spark, r3)
 
     # shallow clone refuses (source: a plain colmap-free table, so
@@ -306,3 +307,87 @@ def test_export_timestamp_stats_round_trip(spark, tmp_path):
     assert len(kept) == 1
     assert back.read(
         dnf=[("ts", "<=", "2024-01-01 05:30:00")]).count() == 1
+
+
+def test_export_column_mapping_round_trip(spark, tmp_path):
+    """r15: column-mapped (renamed) tables export — frozen physical
+    names render as delta.columnMapping.physicalName/.id field
+    metadata under mode=name (reader 2 / writer 5), stats stay keyed
+    physical, and the round trip through convert_from_delta restores
+    the identical mapping + contents."""
+    root = str(tmp_path / "cm")
+    t = DeltaSparkTable(spark, root)
+    t.write(_df(spark, 0, 4).coalesce(1), WriteMode.overwrite)
+    t.rename_column("s", "s2")
+    # post-rename writes stage under the frozen physical 's' too
+    t.write(_df(spark, 4, 6).coalesce(1).withColumnRenamed("s", "s2"),
+            WriteMode.append)
+
+    res = export_delta_log(spark, root)
+    assert res["num_rows"] == 6
+
+    with open(os.path.join(root, "_delta_log",
+                           "0" * 20 + ".json")) as f:
+        actions = [json.loads(line) for line in f]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 2
+    assert proto["minWriterVersion"] == 5
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] \
+        == "3"
+    sch = json.loads(meta["schemaString"])
+    by_name = {f["name"]: f for f in sch["fields"]}
+    # every field carries BOTH keys; the renamed one keeps its frozen
+    # physical, ids are unique
+    assert by_name["s2"]["metadata"][
+        "delta.columnMapping.physicalName"] == "s"
+    assert by_name["a"]["metadata"][
+        "delta.columnMapping.physicalName"] == "a"
+    ids = [f["metadata"]["delta.columnMapping.id"]
+           for f in sch["fields"]]
+    assert sorted(ids) == [1, 2, 3]
+    # stats keyed on PHYSICAL names (both formats' colmap convention)
+    adds = [a["add"] for a in actions if "add" in a]
+    for a in adds:
+        st = json.loads(a["stats"])
+        assert "s" in st["minValues"] and "s2" not in st["minValues"]
+
+    back = _round_trip(spark, root, tmp_path, name="rt-cm")
+    assert sorted((r["a"], r["s2"]) for r in back.read().collect()) \
+        == sorted((r["a"], r["s2"]) for r in t.read().collect())
+    props = back.describe_detail()["properties"]
+    assert json.loads(props["dds.columnMapping"]) == {"s2": "s"}
+    # the restored mapping is LIVE machinery: another rename works
+    # and reads still resolve the frozen physical
+    back.rename_column("s2", "s3")
+    assert sorted(r["s3"] for r in back.read().collect()) == \
+        sorted(str(i) for i in range(6))
+
+
+def test_export_column_mapping_with_dv(spark, tmp_path):
+    """colmap + DV masks export together: feature protocol 3/7 lists
+    columnMapping on BOTH sides, and the round trip keeps masked rows
+    gone under the renamed logical schema."""
+    root = str(tmp_path / "cmdv")
+    t = DeltaSparkTable(spark, root)
+    t.write(_df(spark, 0, 8).coalesce(1), WriteMode.overwrite)
+    t.rename_column("b", "b2")
+    t.delete("a IN (2, 5)", use_dv=True)
+    export_delta_log(spark, root)
+    with open(os.path.join(root, "_delta_log",
+                           "0" * 20 + ".json")) as f:
+        actions = [json.loads(line) for line in f]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "columnMapping" in proto["writerFeatures"]
+    assert "deletionVectors" in proto["readerFeatures"]
+
+    back = _round_trip(spark, root, tmp_path, name="rt-cmdv")
+    assert sorted(r["a"] for r in back.read().collect()) == \
+        [0, 1, 3, 4, 6, 7]
+    assert back.read().where("b2 = 8.0").count() == 1
+    props = back.describe_detail()["properties"]
+    assert json.loads(props["dds.columnMapping"]) == {"b2": "b"}

@@ -142,10 +142,26 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    # Entry names are POSITIONAL — there are no flags.  A typo'd name
+    # or an imagined `--only a,b` used to silently match nothing and
+    # print a vacuous "0 failures" (cost a round-trip in r14); refuse
+    # anything flag-shaped or not in the registry BEFORE Spark spins up.
+    flagged = sorted(a for a in only if a.startswith("-"))
+    if flagged:
+        print(f"ERROR: unknown flags {flagged} — entry names are "
+              "positional: check_oracles.py SF_DIR [entry ...]")
+        sys.exit(2)
+
     import duckdb
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry
+
+    unknown = sorted(only - set(entry.queries()))
+    if unknown:
+        print(f"ERROR: not in the registry: {unknown} — check "
+              "__spark_entry__.py:queries() for the exact names.")
+        sys.exit(2)
 
     spark = (
         SparkSession.builder.master("local[8]")
