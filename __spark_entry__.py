@@ -1503,6 +1503,100 @@ def o_export_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.read()
 
 
+def o_export_delta_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPING EXPORT (r15; table.py:export_delta_log): a dds
+    table that RENAMED a column exports its frozen physical names as
+    ``delta.columnMapping.physicalName``/``.id`` field metadata under
+    ``delta.columnMapping.mode=name`` — Delta's exact spelling for
+    read-by-physical-name — closing the one asymmetric interop gap
+    (the import direction, o_convert_delta_colmap, already decoded
+    mode=name).  The mirror fixture, reversed.
+
+    Fixture: orders 3-col slice written, ``o_totalprice`` renamed to
+    ``price``, a post-rename append (stages under the frozen physical
+    too), then a DV delete — so the export must compose colmap WITH
+    the deletion-vector feature protocol.
+
+    In-line guards: (1) the exported schema carries physicalName
+    metadata for EVERY field and mode=name + maxColumnId in the
+    configuration; (2) the feature protocol (3/7) lists columnMapping
+    on BOTH sides next to deletionVectors; (3) add-action stats are
+    keyed on PHYSICAL names (both formats' colmap convention); (4)
+    the FULL ROUND TRIP back through convert_from_delta restores the
+    identical mapping ({'price': 'o_totalprice'}) and the machinery
+    stays LIVE — a post-roundtrip rename works.  Oracle: the
+    undeleted rows under the renamed logical schema — un-aliased
+    physicals (all-NULL price) or a lost DV mask break the hash."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from dagster_delta_spark import convert_from_delta, export_delta_log
+    from dagster_delta_spark.tablelog import LOG_DIR
+
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    root = _scratch("xcm")
+    t = DeltaSparkTable(spark, root)
+    t.write(orders.where("o_orderstatus = 'F'"), WriteMode.overwrite)
+    t.rename_column("o_totalprice", "price")
+    t.write(orders.where("o_orderstatus <> 'F'")
+            .withColumnRenamed("o_totalprice", "price"),
+            WriteMode.append)
+    t.delete("o_orderkey % 7 = 0", use_dv=True)
+    n = t.read().count()
+    res = export_delta_log(spark, root)
+    if res["num_rows"] != n:
+        raise AssertionError(f"export row count wrong: {res}")
+    with open(_os.path.join(root, "_delta_log",
+                            "0" * 20 + ".json")) as fh:
+        actions = [_json.loads(line) for line in fh]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    if meta["configuration"].get("delta.columnMapping.mode") != "name":
+        raise AssertionError("colmap mode missing from the export")
+    if meta["configuration"].get(
+            "delta.columnMapping.maxColumnId") != "3":
+        raise AssertionError("maxColumnId missing from the export")
+    sch = _json.loads(meta["schemaString"])
+    phys = {f["name"]: f["metadata"].get(
+        "delta.columnMapping.physicalName") for f in sch["fields"]}
+    if phys != {"o_orderkey": "o_orderkey",
+                "o_orderstatus": "o_orderstatus",
+                "price": "o_totalprice"}:
+        raise AssertionError(f"physical-name metadata wrong: {phys}")
+    ids = sorted(f["metadata"].get("delta.columnMapping.id")
+                 for f in sch["fields"])
+    if ids != [1, 2, 3]:
+        raise AssertionError(f"column ids wrong: {ids}")
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    if ("columnMapping" not in proto.get("readerFeatures", [])
+            or "columnMapping" not in proto.get("writerFeatures", [])
+            or "deletionVectors" not in proto.get("readerFeatures", [])):
+        raise AssertionError(f"feature protocol wrong: {proto}")
+    for a in actions:
+        if "add" in a:
+            st = _json.loads(a["add"]["stats"])
+            if "price" in (st.get("minValues") or {}):
+                raise AssertionError(
+                    "stats keyed logical — colmap stats must keep "
+                    "physical keys")
+    back_root = _scratch("xcm-back")
+    _shutil.copytree(root, back_root,
+                     ignore=_shutil.ignore_patterns(LOG_DIR, "_dv"))
+    convert_from_delta(spark, back_root)
+    back = DeltaSparkTable(spark, back_root)
+    restored = _json.loads(
+        back.describe_detail()["properties"]["dds.columnMapping"])
+    if restored != {"price": "o_totalprice"}:
+        raise AssertionError(f"round-trip mapping wrong: {restored}")
+    out = back.read().localCheckpoint(eager=True)
+    # the restored machinery is LIVE, not decorative
+    back.rename_column("price", "price2")
+    if "price2" not in back.read().columns:
+        raise AssertionError("post-roundtrip rename failed")
+    return out
+
+
 def o_append_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPEND-ONLY freeze (Delta's ``delta.appendOnly``;
     table.py:_refuse_append_only): a table created with
@@ -4151,6 +4245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_copy_into": o_copy_into,
         "o_log_cleanup": o_log_cleanup,
         "unimax_sample": curation.unimax_sample,
+        # NEW r15 (oracle-backed, in-window): the colmap EXPORT
+        # direction — displaces range_join_bursts (r12 record
+        # stands) past the cap
+        "o_export_delta_colmap": o_export_delta_colmap,
         "m4_replace_delete": m4_replace_delete,
         "w5_create_or_replace": w5_create_or_replace,
         "p2_timewindow_read": p2_timewindow_read,
@@ -5757,6 +5855,13 @@ def oracle_sql() -> dict[str, str]:
         # the full round trip through the foreign log
         "o_export_delta_log":
             "SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')",
+        # the renamed-then-exported-then-reimported snapshot: undeleted
+        # rows under the renamed logical schema (physical o_totalprice
+        # reads back as logical price through the exported metadata)
+        "o_export_delta_colmap": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+            FROM orders WHERE o_orderkey % 7 <> 0
+        """,
         # the frozen table's exact contents — every refused mutation
         # (overwrite/DELETE/UPDATE/replace_where/RESTORE/upsert) must
         # have left the two appended slices bit-identical
