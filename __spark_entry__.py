@@ -1395,23 +1395,139 @@ def o_convert_delta_colmap(spark: SparkSession,
     t.rename_column("o_totalprice", "price2")
     if "price2" not in t.read().columns:
         raise AssertionError("post-convert rename failed")
-    # guard 3: partitioned colmap refuses
+    # guard 3: a RENAMED partition column refuses (un-renamed
+    # partitioned colmap converts since r15 —
+    # tests/test_convert_from_delta.py:test_convert_colmap_partitioned)
+    from pyspark.sql.types import StringType
+
     broot = _scratch("ccm-bad").rsplit("/", 1)[0] + "/delta"
     _os.makedirs(broot)
-    _stage_landing_file(phys.limit(2), broot, "p=1/f1.parquet")
+    _stage_landing_file(phys.limit(2), broot, "cp=1/f1.parquet")
+    bsch = StructType(list(sch.fields) + [
+        StructField("p", StringType(), True, {
+            "delta.columnMapping.id": 4,
+            "delta.columnMapping.physicalName": "cp"})])
     bmeta = _delta_meta_action(
-        sch.json(), pcols=["p"],
+        bsch.json(), pcols=["p"],
         cfg={"delta.columnMapping.mode": "name"})
     _write_delta_commit(broot, 0, [
         _delta_protocol_action(mrv=2, mwv=5), bmeta,
-        _delta_add_action(broot, "p=1/f1.parquet", 2, pv={"p": "1"})])
+        _delta_add_action(broot, "cp=1/f1.parquet", 2, pv={"cp": "1"})])
     try:
         convert_from_delta(spark, broot)
     except ValueError as e:
-        if "partition" not in str(e):
+        if "renamed partition" not in str(e):
             raise
     else:
-        raise AssertionError("partitioned colmap converted silently")
+        raise AssertionError(
+            "renamed-partition colmap converted silently")
+    return out
+
+
+def o_convert_delta_idmode(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """'id'-MODE COLUMN-MAPPING convert (r15;
+    table.py:convert_from_delta): ``delta.columnMapping.mode='id'``
+    tables — what Databricks-written colmap tables commonly carry —
+    resolve columns by parquet FIELD ID.  This engine reads by
+    physical NAME, so the convert runs a FOOTER EQUIVALENCE PROOF:
+    every live file must bind each mapped field id to exactly the
+    schema's physicalName (what delta-spark actually writes); then
+    name-reads provably equal id-reads and the table lands on the
+    same dds.columnMapping machinery name-mode uses.
+
+    Fixture: two orders slices under physical names c1/c2/c3 whose
+    parquet footers carry PARQUET field ids 1/2/3 (pyarrow staging).
+
+    In-line guards: (1) logical names come back; (2) a file whose
+    field ids DIVERGE from the schema mapping (swapped ids) refuses
+    — the proof is load-bearing, not decorative; (3) a file carrying
+    the physical column WITHOUT its field id refuses (an id-mode
+    reader would not resolve it).  Oracle: the three logical columns
+    of orders — same relation as o_convert_delta_colmap; mis-bound
+    ids would permute columns and break the hash."""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from dagster_delta_spark import DeltaSparkTable, convert_from_delta
+    from pyspark.sql.types import StructField, StructType
+
+    def _stage_with_ids(df, root, rel, ids):
+        # stage via the shared landing helper, then rewrite the one
+        # file with PARQUET:field_id metadata (delta-spark's id-mode
+        # writer emits these natively)
+        p = _stage_landing_file(df, root, rel)
+        tbl = _pq.read_table(p)
+        fields = [
+            _pa.field(f.name, f.type, metadata={
+                b"PARQUET:field_id": str(ids[f.name]).encode()})
+            for f in tbl.schema
+        ]
+        _pq.write_table(tbl.cast(_pa.schema(fields)), p)
+
+    orders = _orders(spark, sf_dir)
+    root = _scratch("cid").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(root)
+    phys = orders.selectExpr("o_orderkey AS c1", "o_orderstatus AS c2",
+                             "o_totalprice AS c3")
+    ids = {"c1": 1, "c2": 2, "c3": 3}
+    _stage_with_ids(phys.where("c2 = 'F'"), root, "f1.parquet", ids)
+    _stage_with_ids(phys.where("c2 <> 'F'"), root, "f2.parquet", ids)
+    n1 = phys.where("c2 = 'F'").count()
+    n2 = phys.where("c2 <> 'F'").count()
+    logical = orders.select("o_orderkey", "o_orderstatus",
+                            "o_totalprice").schema
+    sch = StructType([
+        StructField(f.name, f.dataType, f.nullable, {
+            "delta.columnMapping.id": i + 1,
+            "delta.columnMapping.physicalName": f"c{i + 1}"})
+        for i, f in enumerate(logical.fields)])
+    meta = _delta_meta_action(
+        sch.json(), cfg={"delta.columnMapping.mode": "id",
+                         "delta.columnMapping.maxColumnId": "3"})
+    _write_delta_commit(root, 0, [
+        _delta_protocol_action(mrv=2, mwv=5), meta,
+        _delta_add_action(root, "f1.parquet", n1),
+        _delta_add_action(root, "f2.parquet", n2),
+    ])
+    convert_from_delta(spark, root)
+    out = DeltaSparkTable(spark, root).read()
+    if set(out.columns) != {"o_orderkey", "o_orderstatus",
+                            "o_totalprice"}:
+        raise AssertionError(f"logical names lost: {out.columns}")
+    # guard 2: swapped field ids refuse — id- and name-resolution
+    # would read different columns
+    broot = _scratch("cid-bad").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(broot)
+    _stage_with_ids(phys.limit(2), broot, "f1.parquet",
+                    {"c1": 2, "c2": 1, "c3": 3})
+    _write_delta_commit(broot, 0, [
+        _delta_protocol_action(mrv=2, mwv=5), meta,
+        _delta_add_action(broot, "f1.parquet", 2)])
+    try:
+        convert_from_delta(spark, broot)
+    except ValueError as e:
+        if "diverge" not in str(e):
+            raise
+    else:
+        raise AssertionError("diverging id-mode file converted")
+    # guard 3: a field-id-less file carrying the physical column
+    # refuses
+    nroot = _scratch("cid-noid").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(nroot)
+    _stage_landing_file(phys.limit(2), nroot, "f1.parquet")
+    _write_delta_commit(nroot, 0, [
+        _delta_protocol_action(mrv=2, mwv=5), meta,
+        _delta_add_action(nroot, "f1.parquet", 2)])
+    try:
+        convert_from_delta(spark, nroot)
+    except ValueError as e:
+        if "no field id" not in str(e):
+            raise
+    else:
+        raise AssertionError("field-id-less id-mode file converted")
     return out
 
 
@@ -4249,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # direction — displaces range_join_bursts (r12 record
         # stands) past the cap
         "o_export_delta_colmap": o_export_delta_colmap,
+        "o_convert_delta_idmode": o_convert_delta_idmode,
         "m4_replace_delete": m4_replace_delete,
         "w5_create_or_replace": w5_create_or_replace,
         "p2_timewindow_read": p2_timewindow_read,
@@ -5861,6 +5978,11 @@ def oracle_sql() -> dict[str, str]:
         "o_export_delta_colmap": """
             SELECT o_orderkey, o_orderstatus, o_totalprice AS price
             FROM orders WHERE o_orderkey % 7 <> 0
+        """,
+        # field-id-resolved physical files read back under the logical
+        # names the id->physicalName schema metadata binds them to
+        "o_convert_delta_idmode": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         """,
         # the frozen table's exact contents — every refused mutation
         # (overwrite/DELETE/UPDATE/replace_where/RESTORE/upsert) must

@@ -5087,10 +5087,14 @@ def convert_from_delta(
       refuses.
     - ``minReaderVersion`` ≤ 3 with reader features ⊆ {columnMapping,
       deletionVectors}; anything newer refuses.
-    - ``delta.columnMapping.mode='id'`` refuses (parquet-field-id
-      resolution), as do column-mapped tables with partition columns
-      or nested types, and physical-name field metadata without
-      mode=name.
+    - ``delta.columnMapping.mode='id'`` converts when every live
+      file's footer PROVES field-id and physical-name resolution
+      agree (what delta-spark actually writes; a diverging file
+      refuses — r15).  Column-mapped tables with partition columns
+      convert when the partition columns are un-renamed (physical ==
+      logical, the upgraded-table norm); RENAMED partition columns,
+      nested types, and physical-name field metadata without a
+      mapping mode still refuse.
     - corrupted deletion vectors (bad magic / CRC / cardinality /
       out-of-range row index) refuse.
     - IDENTITY columns refuse (id-allocation strategies differ
@@ -5238,13 +5242,20 @@ def convert_from_delta(
     dcfg = dict(meta_action.get("configuration") or {})
     cm = dcfg.pop("delta.columnMapping.mode", None)
     dcfg.pop("delta.columnMapping.maxColumnId", None)
-    if cm and cm not in ("none", "name"):
+    if cm and cm not in ("none", "name", "id"):
         raise ValueError(
-            f"delta.columnMapping.mode={cm!r}: only 'name' mode "
-            "translates to this engine's frozen-physical-name column "
-            "mapping ('id' mode resolves columns by parquet field id, "
-            "which this engine's reads do not do)")
-    colmap_mode = cm == "name"
+            f"delta.columnMapping.mode={cm!r} is not a Delta column "
+            "mapping mode this engine decodes (spec modes: none, "
+            "name, id)")
+    # 'id' mode resolves columns by parquet FIELD ID while this
+    # engine reads by (physical) name — it converts only when the two
+    # resolutions are PROVEN equivalent: every live file's footer
+    # must carry matching (field id, column name) pairs for every
+    # mapped column (verified below, over the head state).  That is
+    # what delta-spark actually writes, so real id-mode tables pass;
+    # a hand-mangled file where id- and name-resolution diverge
+    # refuses rather than silently reading different data.
+    colmap_mode = cm in ("name", "id")
     # WRITER-side contracts must convert or refuse, never silently
     # drop — the original table's writers enforced them and this
     # engine's writers take over after conversion:
@@ -5335,13 +5346,23 @@ def convert_from_delta(
             StructField(f.name, f.dataType, True, f.metadata)
             for f in schema.fields])
     pcols = list(meta_action.get("partitionColumns") or [])
-    # column mapping (mode=name): physical names live in schema field
-    # metadata — translate into this engine's frozen-physical-name
-    # colmap (dds.columnMapping, the o_column_mapping machinery) and
-    # strip the delta.columnMapping.* metadata from the stored schema.
-    # Scope: flat top-level mappings over unpartitioned tables (our
-    # own colmap refuses partition columns too; nested physical names
-    # would need per-level read aliasing this engine does not do).
+    missing_pcols = [c for c in pcols
+                     if c not in {f.name for f in schema.fields}]
+    if missing_pcols:
+        raise ValueError(
+            f"partitionColumns {missing_pcols} are not in the schema; "
+            "the log is malformed and the converted table's partition "
+            "reads would silently drop those columns")
+    # column mapping (mode=name or id): physical names live in schema
+    # field metadata — translate into this engine's frozen-physical-
+    # name colmap (dds.columnMapping, the o_column_mapping machinery)
+    # and strip the delta.columnMapping.* metadata from the stored
+    # schema.  Scope (r15): flat top-level mappings; partitioned
+    # tables convert when partition columns are UN-renamed (physical
+    # == logical — the upgraded-table norm; our own colmap refuses
+    # partition renames too); 'id' mode converts under the footer
+    # equivalence proof below.  Nested physical names would need
+    # per-level read aliasing this engine does not do — refuse.
     delta_colmap: dict[str, str] = {}
     if not colmap_mode:
         # defensive: physical-name metadata with the mode unset (or
@@ -5357,13 +5378,10 @@ def convert_from_delta(
                     f"{phys!r} but delta.columnMapping.mode is "
                     f"{cm!r}; refusing an internally inconsistent "
                     "log rather than reading the wrong columns")
+    #: (field id, physical name) per DATA column — the id-mode
+    #: footer-equivalence proof runs over these (below, head state)
+    id_mode_fields: list[tuple[int, str]] = []
     if colmap_mode:
-        if pcols:
-            raise ValueError(
-                "column-mapped Delta tables with partition columns do "
-                "not convert: partition directories carry PHYSICAL "
-                "names while this engine's partition machinery (and "
-                "its own column mapping) works on logical ones")
         new_fields = []
         for fld in schema.fields:
             if not isinstance(fld.dataType, (  # flat columns only
@@ -5377,7 +5395,30 @@ def convert_from_delta(
                     "to this engine's top-level column mapping")
             md = dict(fld.metadata or {})
             phys = md.pop("delta.columnMapping.physicalName", None)
-            md.pop("delta.columnMapping.id", None)
+            cid = md.pop("delta.columnMapping.id", None)
+            if fld.name in pcols:
+                # partition machinery (hive dirs, partitionValues,
+                # pruning, staged writes) is LOGICAL-name-keyed end to
+                # end in this engine, and its own colmap refuses
+                # partition renames — a renamed partition column
+                # (physical dirs under a name no read resolves) has
+                # no sound translation; un-renamed ones align exactly
+                if phys and phys != fld.name:
+                    raise ValueError(
+                        f"partition column {fld.name!r} carries "
+                        f"physical name {phys!r}: renamed partition "
+                        "columns do not convert (partition directories "
+                        "and partitionValues are keyed physical while "
+                        "this engine's partition machinery is logical)"
+                    )
+            elif cm == "id":
+                if cid is None:
+                    raise ValueError(
+                        f"delta.columnMapping.mode='id' but column "
+                        f"{fld.name!r} has no delta.columnMapping.id "
+                        "— internally inconsistent log, refusing")
+                id_mode_fields.append(
+                    (int(cid), str(phys or fld.name)))
             if phys and phys != fld.name:
                 delta_colmap[fld.name] = str(phys)
             new_fields.append(StructField(
@@ -5543,6 +5584,63 @@ def convert_from_delta(
                 "a hive-layout writer first.  (If the values contain "
                 "literal %XX sequences, a non-URL-encoding writer may "
                 "be the cause — the spec requires encoded paths)")
+
+    # 'id'-mode equivalence proof: this engine reads by physical
+    # NAME, an id-mode reader resolves by parquet FIELD ID — the two
+    # agree iff every live file's footer binds each mapped field id
+    # to exactly the schema's physical name.  delta-spark writes both
+    # consistently, so real id-mode tables pass; a file where the
+    # resolutions diverge (or that lacks field ids while carrying a
+    # same-named column) would silently read DIFFERENT data under
+    # the two rules — refuse.  Batched like every footer pass.
+    if id_mode_fields and files:
+        expected = list(id_mode_fields)
+
+        def _id_check(rel: str) -> tuple[str, Optional[str]]:
+            import pyarrow.parquet as pq_
+
+            sch_ = pq_.ParquetFile(
+                os.path.join(root, rel)).schema_arrow
+            by_id: dict[int, str] = {}
+            for f_ in sch_:
+                fid = (f_.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_id[int(fid)] = f_.name
+            names = set(sch_.names)
+            for cid, phys in expected:
+                if cid in by_id:
+                    if by_id[cid] != phys:
+                        return rel, (
+                            f"field id {cid} names column "
+                            f"{by_id[cid]!r} but the schema maps it "
+                            f"to {phys!r}")
+                elif phys in names:
+                    return rel, (
+                        f"column {phys!r} carries no field id {cid}; "
+                        "an id-mode reader would not resolve it while "
+                        "a name read would")
+                # absent entirely: schema evolution — both
+                # resolutions read NULL, equivalently
+            return rel, None
+
+        rels = sorted(files)
+        sc = spark.sparkContext
+        if (len(rels) <= _DISTRIBUTED_STATS_THRESHOLD
+                or not sc.master.startswith("local")):
+            checks = list(map(_id_check, rels))
+        else:
+            slices = max(1, min(len(rels), sc.defaultParallelism * 4))
+            checks = sc.parallelize(rels, slices).map(_id_check) \
+                .collect()
+        bad = [(rel, msg) for rel, msg in checks if msg]
+        if bad:
+            rel0, msg0 = bad[0]
+            raise ValueError(
+                f"delta.columnMapping.mode='id' table does not "
+                f"convert: {len(bad)} live file(s) where field-id and "
+                f"physical-name resolution diverge (e.g. {rel0!r}: "
+                f"{msg0}); this engine reads by name and would return "
+                "different data than an id-mode reader")
 
     # numRecords: from the log's stats where present; files without
     # stats fall back to a parquet footer read — batched through a

@@ -166,12 +166,16 @@ def test_append_only_maps_and_refusals(spark, tmp_path):
                                  "writerFeatures": ["timestampNtz"]}},
                    _meta(s, _df(s, 0, 1)),
                    _add(r, "f1.parquet", 4)], "reader"),
-    # 'id' column mapping resolves by parquet field id — refuses
-    # ('name' mode converts since r14, see test_convert_colmap)
+    # 'id' mode with NO field metadata is internally inconsistent
+    # (real id-mode converts since r15, see test_convert_id_mode)
     (lambda r, s: [_proto(mrv=2),
                    _meta(s, _df(s, 0, 1),
                          cfg={"delta.columnMapping.mode": "id"}),
-                   _add(r, "f1.parquet", 4)], "columnMapping"),
+                   _add(r, "f1.parquet", 4)], "columnMapping.id"),
+    # partitionColumns outside the schema = malformed log
+    (lambda r, s: [_proto(),
+                   _meta(s, _df(s, 0, 1), pcols=["nope"]),
+                   _add(r, "f1.parquet", 4)], "not in the schema"),
     # an UNDECODABLE deletion vector refuses (valid ones convert
     # since r14, see test_convert_deletion_vectors)
     (lambda r, s: [_proto(), _meta(s, _df(s, 0, 1)),
@@ -597,18 +601,24 @@ def test_convert_column_mapping(spark, tmp_path):
     t.rename_column("s", "s2")
     assert set(t.read().columns) == {"a", "s2"}
 
-    # partitioned colmap refuses
+    # a RENAMED partition column refuses (un-renamed partitioned
+    # colmap converts since r15 — see
+    # test_convert_colmap_partitioned)
+    pcm_sch = StructType(list(sch.fields) + [
+        StructField("p", StringType(), True, {
+            "delta.columnMapping.id": 3,
+            "delta.columnMapping.physicalName": "col-pppp"})])
     r2 = str(tmp_path / "dp")
     os.makedirs(r2)
-    _stage_file(spark, pdf.limit(2), r2, "p=1/f1.parquet")
+    _stage_file(spark, pdf.limit(2), r2, "col-pppp=1/f1.parquet")
     _write_log(r2, [[
         _proto(mrv=2, mwv=5),
         _entry._delta_meta_action(
-            sch.json(), pcols=["p"],
+            pcm_sch.json(), pcols=["p"],
             cfg={"delta.columnMapping.mode": "name"}),
-        _add(r2, "p=1/f1.parquet", 2, pv={"p": "1"}),
+        _add(r2, "col-pppp=1/f1.parquet", 2, pv={"col-pppp": "1"}),
     ]])
-    with pytest.raises(ValueError, match="partition"):
+    with pytest.raises(ValueError, match="renamed partition"):
         convert_from_delta(spark, r2)
 
     # physicalName metadata WITHOUT mode=name refuses (inconsistent)
@@ -961,3 +971,140 @@ def test_truncated_run_container_refuses():
     arr = _struct.pack("<iq", 1681511377, 1) + body
     with pytest.raises(di.DeltaInteropError, match="truncated"):
         di.deserialize_roaring_array(arr)
+
+
+def test_convert_colmap_partitioned(spark, tmp_path):
+    """r15: partitioned column-mapped tables convert when the
+    partition columns are UN-renamed (physical == logical — what an
+    upgraded-then-renamed-a-data-column table looks like): hive dirs
+    and partitionValues align with the logical partition machinery
+    while data columns still alias physical→logical."""
+    from pyspark.sql.types import LongType, StringType, StructField, \
+        StructType
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    pdf = spark.range(0, 6).selectExpr("id AS `col-aaaa`")
+    _stage_file(spark, pdf.where("`col-aaaa` < 3"), root,
+                "p=x/f1.parquet")
+    _stage_file(spark, pdf.where("`col-aaaa` >= 3"), root,
+                "p=y/f2.parquet")
+    sch = StructType([
+        StructField("a", LongType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaaa"}),
+        StructField("p", StringType(), True, {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "p"}),
+    ])
+    _write_log(root, [[
+        _proto(mrv=2, mwv=5),
+        _entry._delta_meta_action(
+            sch.json(), pcols=["p"],
+            cfg={"delta.columnMapping.mode": "name",
+                 "delta.columnMapping.maxColumnId": "2"}),
+        _add(root, "p=x/f1.parquet", 3, pv={"p": "x"}),
+        _add(root, "p=y/f2.parquet", 3, pv={"p": "y"}),
+    ]])
+    convert_from_delta(spark, root)
+    t = DeltaSparkTable(spark, root)
+    out = t.read()
+    assert set(out.columns) == {"a", "p"}
+    rows = sorted((r["a"], r["p"]) for r in out.collect())
+    assert rows == [(0, "x"), (1, "x"), (2, "x"),
+                    (3, "y"), (4, "y"), (5, "y")]
+    # partition pruning works on the logical name
+    snap = t.snapshot()
+    assert len(t.pruned_files(snap, [("p", "=", "x")])) == 1
+    # partition-scoped write machinery still composes
+    t.write(spark.range(10, 12).selectExpr(
+        "id AS a", "'z' AS p"), WriteMode.append)
+    assert t.read(dnf=[("p", "=", "z")]).count() == 2
+    # partition-column rename still refuses post-convert
+    with pytest.raises(ValueError):
+        t.rename_column("p", "p2")
+
+
+def _stage_field_id_file(tbl, root, rel, ids):
+    """Write a parquet file whose footer carries PARQUET field ids
+    (what delta-spark's id-mode writer emits)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = [
+        pa.field(f.name, f.type,
+                 metadata={b"PARQUET:field_id": str(ids[f.name]).encode()})
+        for f in tbl.schema
+    ]
+    dst = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    pq.write_table(tbl.cast(pa.schema(fields)), dst)
+
+
+def test_convert_id_mode(spark, tmp_path):
+    """r15: delta.columnMapping.mode='id' converts when every live
+    file's footer PROVES field-id and physical-name resolution agree
+    (delta-spark writes both consistently); a diverging file
+    refuses."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import LongType, StringType, StructField, \
+        StructType
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    tbl = pa.table({"col-aaaa": list(range(6)),
+                    "col-bbbb": [str(i) for i in range(6)]})
+    _stage_field_id_file(tbl.slice(0, 3), root, "f1.parquet",
+                         {"col-aaaa": 1, "col-bbbb": 2})
+    _stage_field_id_file(tbl.slice(3, 3), root, "f2.parquet",
+                         {"col-aaaa": 1, "col-bbbb": 2})
+    sch = StructType([
+        StructField("a", LongType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaaa"}),
+        StructField("s", StringType(), True, {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-bbbb"}),
+    ])
+    meta = _entry._delta_meta_action(
+        sch.json(), cfg={"delta.columnMapping.mode": "id",
+                         "delta.columnMapping.maxColumnId": "2"})
+    _write_log(root, [[_proto(mrv=2, mwv=5), meta,
+                       _add(root, "f1.parquet", 3),
+                       _add(root, "f2.parquet", 3)]])
+    convert_from_delta(spark, root)
+    t = DeltaSparkTable(spark, root)
+    out = t.read()
+    assert set(out.columns) == {"a", "s"}
+    assert sorted(r["a"] for r in out.collect()) == list(range(6))
+    # the mapping machinery is the same one name-mode lands on
+    props = t.describe_detail()["properties"]
+    assert json.loads(props["dds.columnMapping"]) == {
+        "a": "col-aaaa", "s": "col-bbbb"}
+
+    # DIVERGING file refuses: field id 1 bound to a different column
+    # name than the schema's physicalName
+    r2 = str(tmp_path / "bad")
+    os.makedirs(r2)
+    _stage_field_id_file(tbl.slice(0, 3), r2, "f1.parquet",
+                         {"col-aaaa": 2, "col-bbbb": 1})  # swapped
+    _write_log(r2, [[_proto(mrv=2, mwv=5), meta,
+                     _add(r2, "f1.parquet", 3)]])
+    with pytest.raises(ValueError, match="diverge"):
+        convert_from_delta(spark, r2)
+    assert not DeltaSparkTable(spark, r2).exists()
+
+    # a file WITHOUT field ids that still carries the physical column
+    # refuses too (an id-mode reader would not resolve it)
+    r3 = str(tmp_path / "noids")
+    os.makedirs(r3)
+    import pyarrow.parquet as _pq
+
+    os.makedirs(os.path.dirname(os.path.join(r3, "f1.parquet")),
+                exist_ok=True)
+    _pq.write_table(tbl.slice(0, 3), os.path.join(r3, "f1.parquet"))
+    _write_log(r3, [[_proto(mrv=2, mwv=5), meta,
+                     _add(r3, "f1.parquet", 3)]])
+    with pytest.raises(ValueError, match="no field id"):
+        convert_from_delta(spark, r3)
