@@ -36,6 +36,7 @@ import json
 import os
 import re
 import struct
+import uuid
 import zlib
 from typing import Any, Optional
 
@@ -50,6 +51,7 @@ __all__ = [
     "write_dv_file",
     "find_classic_checkpoint",
     "read_checkpoint_actions",
+    "write_classic_checkpoint",
 ]
 
 
@@ -620,3 +622,98 @@ def read_checkpoint_actions(
             "checkpointMetadata actions; the spec requires exactly "
             "one — truncated or corrupted checkpoint")
     return actions
+
+
+def write_classic_checkpoint(
+    dlog: str, version: int, actions: list,
+) -> str:
+    """Write a CLASSIC single-part parquet checkpoint
+    (``<v>.checkpoint.parquet``, one non-null action struct per row —
+    the public-spec shape every Delta reader replays) plus the
+    ``_last_checkpoint`` pointer.  The dual of
+    :func:`read_checkpoint_actions`; :func:`table.export_delta_log`
+    emits one past its file-count threshold so a foreign reader of a
+    large exported table replays one parquet footer instead of a
+    million JSON add lines.
+
+    Scope matches what the export produces: protocol / metaData /
+    txn / add (with optional deletionVector) / remove actions;
+    commitInfo rows are deliberately not checkpointed (the spec says
+    readers ignore them there)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    str_map = pa.map_(pa.string(), pa.string())
+    dv_type = pa.struct([
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
+    types = {
+        "protocol": pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]),
+        "metaData": pa.struct([
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", str_map)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
+            ("createdTime", pa.int64()),
+        ]),
+        "txn": pa.struct([
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ]),
+        "add": pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("tags", str_map),
+            ("deletionVector", dv_type),
+        ]),
+        "remove": pa.struct([
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]),
+    }
+    rows = [a for a in actions
+            if next(iter(a)) in types]  # commitInfo never checkpoints
+    cols = [c for c in types if any(c in a for a in rows)]
+    arrays = []
+    for c in cols:
+        # pa.array fills absent struct keys with null; extra keys in
+        # the action dict would poison the column, so project to the
+        # spec fields
+        fields = {f.name for f in types[c]}
+        vals = []
+        for a in rows:
+            v = a.get(c)
+            vals.append({k: v[k] for k in v if k in fields}
+                        if v is not None else None)
+        arrays.append(pa.array(vals, type=types[c]))
+    tbl = pa.table(dict(zip(cols, arrays)))
+    cp_name = f"{version:020d}.checkpoint.parquet"
+    tmp = os.path.join(dlog, f".{cp_name}.tmp-{uuid.uuid4().hex}")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(dlog, cp_name))
+    lc_tmp = os.path.join(dlog, f"._last_checkpoint.tmp-{uuid.uuid4().hex}")
+    with open(lc_tmp, "w", encoding="utf-8") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(lc_tmp, os.path.join(dlog, "_last_checkpoint"))
+    return os.path.join(dlog, cp_name)

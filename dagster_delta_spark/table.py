@@ -5526,19 +5526,15 @@ def convert_from_delta(
     # Delta deletion vectors DECODE into this engine's sidecar-mask
     # format (delta_interop: Z85 + portable roaring bitmap, CRC and
     # cardinality verified) — masked rows stay masked, OPTIMIZE
-    # compacts them away later like any native DV.
-    dv_positions: dict[str, list[int]] = {}
+    # compacts them away later like any native DV.  Decoding is
+    # STREAMED per file (r15): validate-then-write in two passes so
+    # driver memory is O(one file's mask), not O(total masked rows)
+    # — an adversarially mask-heavy log can no longer balloon the
+    # driver (positions are never accumulated across files).
+    dv_rels = [rel for rel in sorted(files)
+               if files[rel].get("deletionVector")]
     for rel in sorted(files):
         a = files[rel]
-        if a.get("deletionVector"):
-            try:
-                dv_positions[rel] = delta_interop.decode_deletion_vector(
-                    root, a["deletionVector"])
-            except delta_interop.DeltaInteropError as e:
-                raise ValueError(
-                    f"cannot convert {root!r}: live file {rel!r} "
-                    f"carries an undecodable deletion vector — {e}"
-                ) from e
         if "://" in a["path"] or os.path.isabs(rel):
             raise ValueError(
                 f"live add path {a['path']!r} is absolute (shallow "
@@ -5672,47 +5668,84 @@ def convert_from_delta(
             footer_counts = dict(
                 sc.parallelize(no_stats, slices).map(_count).collect())
 
-    # DV range validation BEFORE the sidecar write: a refused convert
-    # must never have mutated the source table directory (the sidecar
-    # lands inside it)
+    # DV validation BEFORE the sidecar write: a refused convert must
+    # never have mutated the source table directory (the sidecar
+    # lands inside it).  Pass 1 decodes each DV TRANSIENTLY —
+    # decodability + range check + cardinality recorded, positions
+    # discarded — so refusals cost no accumulation either.
     def _file_rows(rel: str) -> int:
         num = _raw_stats(files[rel]).get("numRecords")
         return int(num if num is not None else footer_counts[rel])
 
-    for rel, masked_pos in dv_positions.items():
+    def _decode_dv(rel: str) -> list[int]:
+        try:
+            return delta_interop.decode_deletion_vector(
+                root, files[rel]["deletionVector"])
+        except delta_interop.DeltaInteropError as e:
+            raise ValueError(
+                f"cannot convert {root!r}: live file {rel!r} "
+                f"carries an undecodable deletion vector — {e}"
+            ) from e
+
+    dv_counts: dict[str, int] = {}
+    for rel in dv_rels:
+        masked_pos = _decode_dv(rel)
         if masked_pos and masked_pos[-1] >= _file_rows(rel):
             raise ValueError(
                 f"deletion vector of {rel!r} masks row index "
                 f"{masked_pos[-1]} but the file has only "
                 f"{_file_rows(rel)} rows — corrupted descriptor, "
                 "refusing to convert")
+        dv_counts[rel] = len(masked_pos)
 
     # decoded Delta DVs land in ONE sidecar parquet (same shape the
     # engine's own DV deletes write: (root, path, row_index) sorted by
     # file identity so positional probes prune to their row groups) —
-    # written only on a real convert, never dry_run
+    # written only on a real convert, never dry_run.  Pass 2 decodes
+    # again (descriptors are cheap to re-read; inline ones are in
+    # memory already) and STREAMS batches into one ParquetWriter, so
+    # the sort order is preserved without ever holding the union.
     dv_rel: Optional[str] = None
-    if dv_positions and not dry_run:
+    if dv_rels and not dry_run:
         import pyarrow as pa
         import pyarrow.parquet as pq_
 
         dv_rel = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
         os.makedirs(os.path.join(root, dv_rel))
         aroot = os.path.abspath(root)
-        roots: list[str] = []
-        paths: list[str] = []
-        ris: list[int] = []
-        for rel in sorted(dv_positions):
-            p = rel.replace(os.sep, "/")
-            masked_pos = dv_positions[rel]
-            roots.extend([aroot] * len(masked_pos))
-            paths.extend([p] * len(masked_pos))
-            ris.extend(masked_pos)
-        pq_.write_table(
-            pa.table({"root": pa.array(roots, pa.string()),
-                      "path": pa.array(paths, pa.string()),
-                      "row_index": pa.array(ris, pa.int64())}),
-            os.path.join(root, dv_rel, "part-00000.parquet"))
+        sidecar_schema = pa.schema([("root", pa.string()),
+                                    ("path", pa.string()),
+                                    ("row_index", pa.int64())])
+        writer = pq_.ParquetWriter(
+            os.path.join(root, dv_rel, "part-00000.parquet"),
+            sidecar_schema)
+        try:
+            buf_paths: list[str] = []
+            buf_ris: list[int] = []
+
+            def _flush() -> None:
+                if buf_ris:
+                    writer.write_table(pa.table(
+                        {"root": pa.array([aroot] * len(buf_ris),
+                                          pa.string()),
+                         "path": pa.array(buf_paths, pa.string()),
+                         "row_index": pa.array(buf_ris, pa.int64())},
+                        schema=sidecar_schema))
+                    buf_paths.clear()
+                    buf_ris.clear()
+
+            for rel in dv_rels:
+                masked_pos = _decode_dv(rel)
+                p = rel.replace(os.sep, "/")
+                buf_paths.extend([p] * len(masked_pos))
+                buf_ris.extend(masked_pos)
+                # ~1M-row row groups: bounded memory, and positional
+                # probes still prune to a file's contiguous groups
+                if len(buf_ris) >= 1_048_576:
+                    _flush()
+            _flush()
+        finally:
+            writer.close()
 
     adds: list[AddFile] = []
     total_rows = 0
@@ -5735,8 +5768,8 @@ def convert_from_delta(
                     kept[c] = rv
             if kept:
                 stats[key] = kept
-        masked = dv_positions.get(rel)  # range-validated above
-        total_rows += int(num) - (len(masked) if masked else 0)
+        masked = dv_counts.get(rel, 0)  # range-validated above
+        total_rows += int(num) - masked
         adds.append(AddFile(
             path=rel.replace(os.sep, "/"),
             size=int(a.get("size") or os.path.getsize(ab)),
@@ -5746,7 +5779,7 @@ def convert_from_delta(
             modification_time=int(a.get("modificationTime")
                                   or os.stat(ab).st_mtime_ns // 1_000_000),
             dv_path=dv_rel if masked else None,
-            dv_count=len(masked) if masked else 0,
+            dv_count=masked,
         ))
     if dry_run:
         return {
@@ -5802,6 +5835,7 @@ def export_delta_log(
     path: str,
     *,
     dry_run: bool = False,
+    checkpoint_threshold: int = 1000,
 ) -> dict[str, Any]:
     """EXPORT the table's HEAD SNAPSHOT as a real delta-io
     ``_delta_log`` (the reverse of :func:`convert_from_delta`):
@@ -5815,6 +5849,13 @@ def export_delta_log(
     This is a SNAPSHOT export: commits either engine makes afterwards
     are not reflected in the other log (same one-way contract as
     convert_from_delta, in the other direction).
+
+    Past ``checkpoint_threshold`` live files (default 1000) the
+    export also writes one classic parquet CHECKPOINT +
+    ``_last_checkpoint`` (r15) so a foreign reader of a large table
+    replays one parquet footer instead of a per-file JSON line —
+    and the exported log survives a foreign log-cleanup that ages
+    out the JSON.
 
     What carries over: the schema (Spark StructType JSON IS Delta's
     ``schemaString``), partition columns + hive layout (identical
@@ -6141,6 +6182,16 @@ def export_delta_log(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(dlog, f"{0:020d}.json"))
+    # past the file-count threshold, also write ONE classic parquet
+    # checkpoint + _last_checkpoint (r15): a foreign reader of a
+    # million-file export replays one parquet footer instead of a
+    # million JSON add lines — the log cleanup symmetry
+    # convert_from_delta's checkpoint replay already decodes
+    checkpointed = False
+    if len(adds_out) >= checkpoint_threshold:
+        delta_interop.write_classic_checkpoint(dlog, 0, actions)
+        checkpointed = True
     return {"dry_run": False, "delta_version": 0,
             "num_files": len(adds_out), "num_rows": total_rows,
+            "checkpointed": checkpointed,
             "dropped_configuration": dropped_cfg}

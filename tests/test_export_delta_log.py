@@ -391,3 +391,55 @@ def test_export_column_mapping_with_dv(spark, tmp_path):
     assert back.read().where("b2 = 8.0").count() == 1
     props = back.describe_detail()["properties"]
     assert json.loads(props["dds.columnMapping"]) == {"b2": "b"}
+
+
+def test_export_checkpoint_round_trip(spark, tmp_path):
+    """r15: past the file-count threshold the export also writes one
+    classic parquet checkpoint + _last_checkpoint — and the convert
+    replays it bit-identically through the CHECKPOINT path alone
+    (JSON tail deleted, the aged-foreign-log shape)."""
+    root = str(tmp_path / "t")
+    t = DeltaSparkTable(spark, root)
+    t.write(_df(spark, 0, 8), WriteMode.overwrite)
+    t.write(_df(spark, 8, 12), WriteMode.append)
+    t.delete("a IN (2, 9)", use_dv=True)
+    t.idempotent_append(_df(spark, 20, 22), "app", 7)
+    res = export_delta_log(spark, root, checkpoint_threshold=0)
+    assert res["checkpointed"]
+    dlog = os.path.join(root, "_delta_log")
+    assert os.path.isfile(
+        os.path.join(dlog, "0" * 20 + ".checkpoint.parquet"))
+    assert json.load(open(os.path.join(
+        dlog, "_last_checkpoint")))["version"] == 0
+
+    # the JSON and checkpoint replay IDENTICALLY: convert once with
+    # JSON present, once with only the checkpoint
+    back_json = _round_trip(spark, root, tmp_path, name="rt-json")
+    dst = str(tmp_path / "rt-cp")
+    shutil.copytree(root, dst,
+                    ignore=shutil.ignore_patterns(LOG_DIR, "_dv"))
+    os.remove(os.path.join(dst, "_delta_log", "0" * 20 + ".json"))
+    convert_from_delta(spark, dst)
+    back_cp = DeltaSparkTable(spark, dst)
+    a = sorted(tuple(r) for r in back_json.read().collect())
+    b = sorted(tuple(r) for r in back_cp.read().collect())
+    assert a == b and len(a) == t.read().count()
+    # masked rows stay gone and the ledger carried through the
+    # checkpoint replay too
+    assert back_cp.read().where("a IN (2, 9)").count() == 0
+    assert back_cp.last_txn_version("app") == 7
+    # file-level state identical: same adds, same DV cardinalities
+    sj = {(f.path, f.num_records, f.dv_count)
+          for f in back_json.snapshot().files}
+    sc = {(f.path, f.num_records, f.dv_count)
+          for f in back_cp.snapshot().files}
+    assert sj == sc
+
+    # under the threshold no checkpoint is written
+    r2 = str(tmp_path / "small")
+    t2 = DeltaSparkTable(spark, r2)
+    t2.write(_df(spark, 0, 3), WriteMode.overwrite)
+    res2 = export_delta_log(spark, r2)
+    assert not res2["checkpointed"]
+    assert not os.path.exists(os.path.join(
+        r2, "_delta_log", "_last_checkpoint"))
