@@ -196,6 +196,123 @@ def _stage_landing_file(df, land_dir: str, name: str) -> str:
     return dst
 
 
+def _stage_field_id_file(df, land_dir: str, name: str,
+                         ids: dict) -> str:
+    """Stage ``df`` as ONE parquet file whose footer carries PARQUET
+    field ids (``ids`` maps column name -> id) — what delta-spark's
+    id-mode column-mapping writer emits.  ONE encoding shared by the
+    o_convert_delta_idmode entry, bench._cid_setup and the id-mode
+    tests (the r13 one-fixture-encoding rule)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    p = _stage_landing_file(df, land_dir, name)
+    tbl = _pq.read_table(p)
+    fields = [
+        _pa.field(f.name, f.type, metadata={
+            b"PARQUET:field_id": str(ids[f.name]).encode()})
+        for f in tbl.schema
+    ]
+    _pq.write_table(tbl.cast(_pa.schema(fields)), p)
+    return p
+
+
+def _build_idmode_fixture(spark, orders, root: str) -> list:
+    """Stage the id-mode Delta fixture under ``root``: three orders
+    slices under physical names c1/c2/c3 with field ids 1/2/3 + the
+    mode='id' log.  Returns [(rel, n_rows)].  Shared by the entry and
+    bench._cid_setup."""
+    from pyspark.sql.types import StructField, StructType
+
+    phys = orders.selectExpr("o_orderkey AS c1", "o_orderstatus AS c2",
+                             "o_totalprice AS c3")
+    ids = {"c1": 1, "c2": 2, "c3": 3}
+    rels = []
+    for i, st in enumerate(("F", "P", "O")):
+        rel = f"f{i}.parquet"
+        _stage_field_id_file(phys.where(f"c2 = '{st}'"), root, rel,
+                             ids)
+        rels.append((rel, phys.where(f"c2 = '{st}'").count()))
+    logical = orders.select("o_orderkey", "o_orderstatus",
+                            "o_totalprice").schema
+    sch = StructType([
+        StructField(f.name, f.dataType, f.nullable, {
+            "delta.columnMapping.id": i + 1,
+            "delta.columnMapping.physicalName": f"c{i + 1}"})
+        for i, f in enumerate(logical.fields)])
+    _write_delta_commit(root, 0, [
+        _delta_protocol_action(mrv=2, mwv=5),
+        _delta_meta_action(sch.json(), cfg={
+            "delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "3"}),
+    ] + [_delta_add_action(root, rel, n) for rel, n in rels])
+    return rels
+
+
+def _build_cdf_fixture(spark, orders, root: str) -> tuple:
+    """Stage the 4-commit CDF-enabled Delta fixture under ``root``
+    (create / cdc UPDATE flipping status to 'U' on keys %10==0 /
+    append / metadata delete).  Returns (n_f, n_o).  Shared by the
+    o_delta_change_feed entry and bench._cdf_feed_setup."""
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    f_slice = orders.select(*cols).where("o_orderstatus = 'F'")
+    o_slice = orders.select(*cols).where("o_orderstatus = 'O'")
+    upd = f_slice.where("o_orderkey % 10 = 0")
+    _stage_landing_file(f_slice, root, "f1.parquet")
+    cdc_rows = (
+        upd.withColumn("_change_type", _F.lit("update_preimage"))
+        .unionByName(
+            upd.withColumn("o_orderstatus", _F.lit("U"))
+            .withColumn("_change_type", _F.lit("update_postimage"))))
+    _stage_landing_file(cdc_rows, root, "_change_data/cdc-1.parquet")
+    _stage_landing_file(f_slice, root, "f2.parquet")
+    _stage_landing_file(o_slice, root, "f3.parquet")
+    n_f, n_o = f_slice.count(), o_slice.count()
+    meta = _delta_meta_action(
+        orders.select(*cols).schema.json(),
+        cfg={"delta.enableChangeDataFeed": "true"})
+    _write_delta_commit(root, 0, [
+        _delta_protocol_action(), meta,
+        _delta_add_action(root, "f1.parquet", n_f)])
+    _write_delta_commit(root, 1, [
+        {"cdc": {"path": "_change_data/cdc-1.parquet",
+                 "partitionValues": {},
+                 "size": _os.path.getsize(_os.path.join(
+                     root, "_change_data/cdc-1.parquet")),
+                 "dataChange": False}},
+        {"remove": {"path": "f1.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        _delta_add_action(root, "f2.parquet", n_f)])
+    _write_delta_commit(root, 2, [
+        _delta_add_action(root, "f3.parquet", n_o)])
+    _write_delta_commit(root, 3, [
+        {"remove": {"path": "f3.parquet", "deletionTimestamp": 2,
+                    "dataChange": True}}])
+    return n_f, n_o
+
+
+def _build_colmap_export_table(spark, orders, root: str):
+    """A renamed (column-mapped) dds table with a DV delete — the
+    colmap-export fixture shared by the o_export_delta_colmap entry
+    and bench._xcm_setup.  Returns the table handle."""
+    t = DeltaSparkTable(spark, root)
+    t.write(orders.select("o_orderkey", "o_orderstatus",
+                          "o_totalprice")
+            .where("o_orderstatus = 'F'"), WriteMode.overwrite)
+    t.rename_column("o_totalprice", "price")
+    t.write(orders.select("o_orderkey", "o_orderstatus",
+                          "o_totalprice")
+            .where("o_orderstatus <> 'F'")
+            .withColumnRenamed("o_totalprice", "price"),
+            WriteMode.append)
+    t.delete("o_orderkey % 7 = 0", use_dv=True)
+    return t
+
+
 
 def _delta_protocol_action(mrv: int = 1, mwv: int = 2) -> dict:
     """Spec-conformant Delta protocol action — ONE fixture encoding
@@ -1448,35 +1565,15 @@ def o_convert_delta_idmode(spark: SparkSession,
     ids would permute columns and break the hash."""
     import os as _os
 
-    import pyarrow as _pa
-    import pyarrow.parquet as _pq
-
     from dagster_delta_spark import DeltaSparkTable, convert_from_delta
     from pyspark.sql.types import StructField, StructType
-
-    def _stage_with_ids(df, root, rel, ids):
-        # stage via the shared landing helper, then rewrite the one
-        # file with PARQUET:field_id metadata (delta-spark's id-mode
-        # writer emits these natively)
-        p = _stage_landing_file(df, root, rel)
-        tbl = _pq.read_table(p)
-        fields = [
-            _pa.field(f.name, f.type, metadata={
-                b"PARQUET:field_id": str(ids[f.name]).encode()})
-            for f in tbl.schema
-        ]
-        _pq.write_table(tbl.cast(_pa.schema(fields)), p)
 
     orders = _orders(spark, sf_dir)
     root = _scratch("cid").rsplit("/", 1)[0] + "/delta"
     _os.makedirs(root)
+    _build_idmode_fixture(spark, orders, root)
     phys = orders.selectExpr("o_orderkey AS c1", "o_orderstatus AS c2",
                              "o_totalprice AS c3")
-    ids = {"c1": 1, "c2": 2, "c3": 3}
-    _stage_with_ids(phys.where("c2 = 'F'"), root, "f1.parquet", ids)
-    _stage_with_ids(phys.where("c2 <> 'F'"), root, "f2.parquet", ids)
-    n1 = phys.where("c2 = 'F'").count()
-    n2 = phys.where("c2 <> 'F'").count()
     logical = orders.select("o_orderkey", "o_orderstatus",
                             "o_totalprice").schema
     sch = StructType([
@@ -1487,11 +1584,6 @@ def o_convert_delta_idmode(spark: SparkSession,
     meta = _delta_meta_action(
         sch.json(), cfg={"delta.columnMapping.mode": "id",
                          "delta.columnMapping.maxColumnId": "3"})
-    _write_delta_commit(root, 0, [
-        _delta_protocol_action(mrv=2, mwv=5), meta,
-        _delta_add_action(root, "f1.parquet", n1),
-        _delta_add_action(root, "f2.parquet", n2),
-    ])
     convert_from_delta(spark, root)
     out = DeltaSparkTable(spark, root).read()
     if set(out.columns) != {"o_orderkey", "o_orderstatus",
@@ -1501,7 +1593,7 @@ def o_convert_delta_idmode(spark: SparkSession,
     # would read different columns
     broot = _scratch("cid-bad").rsplit("/", 1)[0] + "/delta"
     _os.makedirs(broot)
-    _stage_with_ids(phys.limit(2), broot, "f1.parquet",
+    _stage_field_id_file(phys.limit(2), broot, "f1.parquet",
                     {"c1": 2, "c2": 1, "c3": 3})
     _write_delta_commit(broot, 0, [
         _delta_protocol_action(mrv=2, mwv=5), meta,
@@ -1529,6 +1621,67 @@ def o_convert_delta_idmode(spark: SparkSession,
     else:
         raise AssertionError("field-id-less id-mode file converted")
     return out
+
+
+def o_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED interop (r15;
+    table.py:read_delta_changes): a real Delta table's
+    ``delta.enableChangeDataFeed`` history — ``cdc`` actions +
+    ``_change_data`` files, public spec — decodes into the native
+    row-level CDC shape (``_change_type`` / ``_commit_version``, the
+    read_changes(row_level=True) contract), so a reference user's
+    CDF consumers keep working against this engine.
+
+    Fixture (4 Delta commits over orders slices): v0 create (derived
+    inserts), v1 UPDATE via a cdc file (preimage + postimage rows
+    flipping o_orderstatus to 'U'; the commit's add/remove must
+    contribute NOTHING — the spec's cdc-complete rule), v2 plain
+    append (derived inserts), v3 metadata delete (derived deletes
+    from the removed file's bytes).
+
+    In-line guards: (1) windowing — the (1, 2] window returns
+    exactly the v2 inserts; (2) a DV-carrying commit without cdc
+    files refuses pointedly.  Oracle: the same four change sets
+    recomputed relationally from orders — a feed that leaked the v1
+    add, mis-derived deletes, or mis-tagged versions breaks the
+    hash."""
+    import os as _os
+
+    from dagster_delta_spark import delta_interop, read_delta_changes
+
+    orders = _orders(spark, sf_dir)
+    root = _scratch("cdf").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(root)
+    _, n_o = _build_cdf_fixture(spark, orders, root)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    f_slice = orders.select(*cols).where("o_orderstatus = 'F'")
+    meta = _delta_meta_action(
+        orders.select(*cols).schema.json(),
+        cfg={"delta.enableChangeDataFeed": "true"})
+    feed = read_delta_changes(spark, root)
+    # guard 1: windowing — (1, 2] is exactly the v2 inserts
+    if read_delta_changes(spark, root, 1, 2).count() != n_o:
+        raise AssertionError("feed window (1, 2] wrong")
+    # guard 2: DV without cdc refuses
+    broot = _scratch("cdf-dv").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(broot)
+    _stage_landing_file(f_slice.limit(4), broot, "f1.parquet")
+    dv = delta_interop.inline_dv_descriptor([0, 1])
+    _write_delta_commit(broot, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        meta, _delta_add_action(broot, "f1.parquet", 4)])
+    _write_delta_commit(broot, 1, [
+        _delta_add_action(broot, "f1.parquet", 4, deletionVector=dv)])
+    try:
+        read_delta_changes(spark, broot)
+    except ValueError as e:
+        if "cdc" not in str(e):
+            raise
+    else:
+        raise AssertionError("DV-without-cdc feed decoded silently")
+    return feed
 
 
 def o_export_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1650,16 +1803,9 @@ def o_export_delta_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_delta_spark import convert_from_delta, export_delta_log
     from dagster_delta_spark.tablelog import LOG_DIR
 
-    orders = _orders(spark, sf_dir).select(
-        "o_orderkey", "o_orderstatus", "o_totalprice")
+    orders = _orders(spark, sf_dir)
     root = _scratch("xcm")
-    t = DeltaSparkTable(spark, root)
-    t.write(orders.where("o_orderstatus = 'F'"), WriteMode.overwrite)
-    t.rename_column("o_totalprice", "price")
-    t.write(orders.where("o_orderstatus <> 'F'")
-            .withColumnRenamed("o_totalprice", "price"),
-            WriteMode.append)
-    t.delete("o_orderkey % 7 = 0", use_dv=True)
+    t = _build_colmap_export_table(spark, orders, root)
     n = t.read().count()
     res = export_delta_log(spark, root)
     if res["num_rows"] != n:
@@ -4330,19 +4476,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
     # that structurally cannot have one).  Round 15 window: the 18
-    # r11-recorded entries + 32 of the 49 r12-recorded entries — after
-    # r15 records land, the stalest cohort is the 17 deferred r12
-    # entries at the head of the tail.  Local gate for the whole
+    # r11-recorded entries + 3 new r15 entries + 29 of the 49
+    # r12-recorded entries — after r15 records land, the stalest
+    # cohort is the 20 deferred r12 entries at the head of the
+    # tail.  Local gate for the whole
     # registry regardless of position: tools/check_oracles.py.
     return {
         # -------- first 50: the round-15 recording window --------
         # Record-freshness rotation (r15): the 18 entries whose
-        # newest committed record is CORRECTNESS_r11 lead, then 32
-        # of the 49 r12-recorded entries.  18 + 32 = 50; the 17
-        # deferred r12 entries (corpus_shuffle .. selective_token_mask)
-        # lead the r16 window, then the r13 cohort.  NEW r15 entries
-        # must be inserted INSIDE this window (displace r12-recorded
-        # tails — they keep their standing records).
+        # newest committed record is CORRECTNESS_r11 lead, then the
+        # 3 NEW r15 delta-interop entries, then 29 of the 49
+        # r12-recorded entries.  18 + 3 + 29 = 50; the 20 deferred
+        # r12 entries (set_ops_customers, asof_clicks_purchases,
+        # range_join_bursts, corpus_shuffle ..
+        # selective_token_mask) lead the r16 window, then the r13
+        # cohort.
         "o_generated_columns": o_generated_columns,
         "cdc_row_changes": cdc_row_changes,
         "streaming_cdc_feed": streaming_cdc_feed,
@@ -4361,11 +4509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_copy_into": o_copy_into,
         "o_log_cleanup": o_log_cleanup,
         "unimax_sample": curation.unimax_sample,
-        # NEW r15 (oracle-backed, in-window): the colmap EXPORT
-        # direction — displaces range_join_bursts (r12 record
-        # stands) past the cap
+        # NEW r15 (oracle-backed, in-window): colmap EXPORT,
+        # id-mode convert, and the Delta CDF decode — displacing
+        # set_ops_customers, asof_clicks_purchases and
+        # range_join_bursts (r12 records stand) past the cap
         "o_export_delta_colmap": o_export_delta_colmap,
         "o_convert_delta_idmode": o_convert_delta_idmode,
+        "o_delta_change_feed": o_delta_change_feed,
         "m4_replace_delete": m4_replace_delete,
         "w5_create_or_replace": w5_create_or_replace,
         "p2_timewindow_read": p2_timewindow_read,
@@ -5983,6 +6133,28 @@ def oracle_sql() -> dict[str, str]:
         # names the id->physicalName schema metadata binds them to
         "o_convert_delta_idmode": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        """,
+        # the four Delta CDF change sets recomputed relationally:
+        # v0 derived inserts, v1 cdc pre/postimages (status flips to
+        # 'U'), v2 derived inserts, v3 derived deletes
+        "o_delta_change_feed": """
+            WITH f AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderstatus = 'F'),
+                 o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderstatus = 'O'),
+                 u AS (SELECT * FROM f WHERE o_orderkey % 10 = 0)
+            SELECT *, 'insert' AS _change_type,
+                   CAST(0 AS INTEGER) AS _commit_version FROM f
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   'update_preimage', CAST(1 AS INTEGER) FROM u
+            UNION ALL
+            SELECT o_orderkey, 'U', o_totalprice,
+                   'update_postimage', CAST(1 AS INTEGER) FROM u
+            UNION ALL
+            SELECT *, 'insert', CAST(2 AS INTEGER) FROM o
+            UNION ALL
+            SELECT *, 'delete', CAST(3 AS INTEGER) FROM o
         """,
         # the frozen table's exact contents — every refused mutation
         # (overwrite/DELETE/UPDATE/replace_where/RESTORE/upsert) must

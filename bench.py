@@ -101,10 +101,12 @@ def main() -> None:
         "convert_delta_dv",
         "export_delta_log",
         # r15: column-mapped export (physicalName/id field metadata +
-        # DV encode) and id-mode onboarding (convert incl. the
-        # per-file footer equivalence proof)
+        # DV encode), id-mode onboarding (convert incl. the per-file
+        # footer equivalence proof), and the Delta CDF decode (cdc
+        # files + derived inserts/deletes over a 4-commit history)
         "export_delta_colmap",
         "convert_delta_idmode",
+        "delta_change_feed",
         # r12: one zstd append with table properties + commit
         # userMetadata (the W8/W9/W10 write path; fixture = the
         # pre-created table, timed = one optioned append)
@@ -798,16 +800,13 @@ def main() -> None:
         assert res["delta_version"] == 0
 
     def _xcm_setup(spark, d):
-        # fixture: a renamed (column-mapped) dds table with a DV
-        # delete; timed part = the export — physicalName/id field
-        # metadata rendering + DV encode + one JSON write (r15)
+        # fixture (shared with the o_export_delta_colmap entry): a
+        # renamed (column-mapped) dds table with a DV delete; timed
+        # part = the export — physicalName/id field metadata
+        # rendering + DV encode + one JSON write (r15)
         root = entry._scratch("bench-xcm")
-        t = DeltaSparkTable(spark, root)
         orders = spark.read.parquet(f"{d}/orders.parquet")
-        t.write(orders.where("o_orderstatus = 'F'").coalesce(4),
-                WriteMode.overwrite)
-        t.rename_column("o_totalprice", "price")
-        t.delete("o_orderkey % 11 = 0", use_dv=True)
+        entry._build_colmap_export_table(spark, orders, root)
         return root
 
     def _xcm_run(spark, root):
@@ -816,46 +815,16 @@ def main() -> None:
         assert res["delta_version"] == 0
 
     def _cid_setup(spark, d):
-        # fixture: field-id-carrying physical files + an id-mode
-        # Delta log; timed part = the convert incl. the per-file
-        # footer equivalence proof (r15)
+        # fixture (shared with the o_convert_delta_idmode entry):
+        # field-id-carrying physical files + an id-mode Delta log;
+        # timed part = the convert incl. the per-file footer
+        # equivalence proof (r15)
         import os as _os
-
-        import pyarrow as _pa
-        import pyarrow.parquet as _pq
 
         root = entry._scratch("bench-cid").rsplit("/", 1)[0] + "/delta"
         _os.makedirs(root)
         orders = spark.read.parquet(f"{d}/orders.parquet")
-        phys = orders.selectExpr(
-            "o_orderkey AS c1", "o_orderstatus AS c2",
-            "o_totalprice AS c3")
-        rels = []
-        for i, st in enumerate(("F", "P", "O")):
-            rel = f"f{i}.parquet"
-            p = entry._stage_landing_file(
-                phys.where(f"c2 = '{st}'"), root, rel)
-            tbl = _pq.read_table(p)
-            fields = [_pa.field(f.name, f.type, metadata={
-                b"PARQUET:field_id": str(j + 1).encode()})
-                for j, f in enumerate(tbl.schema)]
-            _pq.write_table(tbl.cast(_pa.schema(fields)), p)
-            rels.append((rel, tbl.num_rows))
-        from pyspark.sql.types import StructField, StructType
-        logical = orders.select("o_orderkey", "o_orderstatus",
-                                "o_totalprice").schema
-        sch = StructType([
-            StructField(f.name, f.dataType, f.nullable, {
-                "delta.columnMapping.id": i + 1,
-                "delta.columnMapping.physicalName": f"c{i + 1}"})
-            for i, f in enumerate(logical.fields)])
-        entry._write_delta_commit(root, 0, [
-            entry._delta_protocol_action(mrv=2, mwv=5),
-            entry._delta_meta_action(sch.json(), cfg={
-                "delta.columnMapping.mode": "id",
-                "delta.columnMapping.maxColumnId": "3"}),
-        ] + [entry._delta_add_action(root, rel, n)
-             for rel, n in rels])
+        entry._build_idmode_fixture(spark, orders, root)
         return root
 
     def _cid_run(spark, root):
@@ -863,7 +832,25 @@ def main() -> None:
         res = convert_from_delta(spark, root)
         assert res["version"] == 0 and res["num_files"] == 3
 
+    def _cdf_feed_setup(spark, d):
+        # fixture (shared with the o_delta_change_feed entry): a
+        # 4-commit CDF-enabled Delta log (create / cdc UPDATE /
+        # append / metadata delete); timed part = decoding the full
+        # change feed (r15)
+        import os as _os
+
+        root = entry._scratch("bench-cdf").rsplit("/", 1)[0] + "/delta"
+        _os.makedirs(root)
+        orders = spark.read.parquet(f"{d}/orders.parquet")
+        entry._build_cdf_fixture(spark, orders, root)
+        return root
+
+    def _cdf_feed_run(spark, root):
+        from dagster_delta_spark import read_delta_changes
+        assert read_delta_changes(spark, root).count() > 0
+
     staged = {
+        "delta_change_feed": (_cdf_feed_setup, _cdf_feed_run),
         "convert_delta_dv": (_cdv_setup, _cdv_run),
         "export_delta_log": (_xdl_setup, _xdl_run),
         "export_delta_colmap": (_xcm_setup, _xcm_run),

@@ -26,6 +26,7 @@ from .plans.slices import TablePartitionDimension, TableSlice, TimeWindow
 from .table import (
     DeltaSparkTable,
     convert_from_delta,
+    read_delta_changes,
     convert_to_table,
     export_delta_log,
     MergeMultipleMatchesError,
@@ -40,6 +41,7 @@ __all__ = [
     "ClientConfig",
     "DeltaSparkTable",
     "convert_from_delta",
+    "read_delta_changes",
     "convert_to_table",
     "export_delta_log",
     "GcsConfig",

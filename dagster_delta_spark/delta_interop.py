@@ -419,8 +419,10 @@ def newest_checkpoint_hint(dlog: str) -> Optional[int]:
         try:
             with open(last, encoding="utf-8") as f:
                 versions.append(int(json.load(f)["version"]))
-        except (ValueError, KeyError, OSError):
-            pass  # unreadable pointer alone never forces the branch
+        except (ValueError, KeyError, TypeError, OSError):
+            # unreadable/malformed pointer (bad JSON, non-dict body,
+            # "version": null) alone never forces the branch
+            pass
     return max(versions) if versions else None
 
 
@@ -709,6 +711,11 @@ def write_classic_checkpoint(
     cp_name = f"{version:020d}.checkpoint.parquet"
     tmp = os.path.join(dlog, f".{cp_name}.tmp-{uuid.uuid4().hex}")
     pq.write_table(tbl, tmp)
+    # payload fsync BEFORE the rename (the tablelog convention): the
+    # durable _last_checkpoint pointer below must never outlive a
+    # checkpoint whose blocks did not reach disk
+    with open(tmp, "rb") as f:
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(dlog, cp_name))
     lc_tmp = os.path.join(dlog, f"._last_checkpoint.tmp-{uuid.uuid4().hex}")
     with open(lc_tmp, "w", encoding="utf-8") as f:

@@ -5188,6 +5188,17 @@ def convert_from_delta(
         # replayed head is the max of both sources, not versions[-1]
         head_delta_version = max(
             [cpv] + ([versions[-1]] if versions else []))
+        if cp_hint is not None and cp_hint > head_delta_version:
+            # something checkpoint-shaped (orphaned parts, a bare
+            # pointer) claims a version BEYOND what checkpoint +
+            # JSON tail reconstruct — replaying would silently
+            # convert a stale state (partially-copied log)
+            raise ValueError(
+                f"Delta log under {dlog!r} claims a checkpoint at "
+                f"version {cp_hint} but checkpoint + JSON tail "
+                f"reconstruct only version {head_delta_version}; "
+                "refusing a silently-stale convert "
+                "(partially-copied log?)")
     for v in replay_versions:
         with open(os.path.join(dlog, f"{v:020d}.json"),
                   encoding="utf-8") as f:
@@ -5455,7 +5466,10 @@ def convert_from_delta(
     # describe_detail.  Strip them and report what was dropped; the
     # engine's own equivalents (row-level CDC is always derivable,
     # dds.autoCompact/dds.optimizeWrite) are opt-in via
-    # set_properties, which runs the right validation.
+    # set_properties, which runs the right validation.  The PRE-
+    # convert CDF history enableChangeDataFeed described stays
+    # readable via read_delta_changes (r15) — the snapshot convert
+    # drops no consumable feed.
     dropped_cfg = {
         k: cfg.pop(k) for k in sorted(cfg)
         if k in ("delta.enableChangeDataFeed",
@@ -5828,6 +5842,206 @@ def convert_from_delta(
         "delta_version": head_delta_version,
         "dropped_configuration": dropped_cfg,
     }
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int = -1,
+    ending_version: Optional[int] = None,
+) -> DataFrame:
+    """Read a REAL Delta table's CHANGE DATA FEED
+    (``delta.enableChangeDataFeed``, the ``_change_data`` directory +
+    ``cdc`` actions — public spec) into this engine's native
+    row-level CDC shape: the table columns plus ``_change_type`` /
+    ``_commit_version``, the same frame
+    :meth:`DeltaSparkTable.read_changes(row_level=True)` produces —
+    so a pipeline consuming a native feed can consume a foreign
+    Delta table's history through the identical contract
+    (``convert_from_delta`` strips ``delta.enableChangeDataFeed``
+    into ``dropped_configuration``; this is the read path for the
+    history that key described).
+
+    Spec semantics, per commit in ``(starting_version,
+    ending_version]``:
+
+    - a commit with ANY ``cdc`` action: the cdc files are the
+      COMPLETE change description (their ``_change_type`` column
+      carries insert / delete / update_preimage / update_postimage);
+      add/remove actions in that commit are ignored for the feed;
+    - otherwise: ``dataChange=true`` adds contribute their rows as
+      ``insert``; ``dataChange=true`` removes contribute the removed
+      file's rows as ``delete`` (the bytes must still be on disk —
+      a vacuumed file is a pointed error, same as the native feed's
+      vacuumed-sidecar rule);
+    - ``dataChange=false`` actions (compaction) contribute nothing.
+
+    Honest scope (pointed refusals): the JSON log must be contiguous
+    from version 0 (checkpoint-tail replay is a convert concern, not
+    a feed's); deletion-vector-carrying adds/removes in a commit
+    WITHOUT cdc files refuse (the writer should have emitted cdc
+    files; cross-version DV diffing of a foreign log is not
+    attempted); column-mapped tables refuse; a schema- or
+    partition-layout-changing ``metaData`` action INSIDE the window
+    refuses (mid-feed evolution — resume past it with a fresh
+    reader, the same rule the native streaming source enforces)."""
+    from urllib.parse import unquote
+
+    root = str(path)
+    dlog = os.path.join(root, "_delta_log")
+    if not os.path.isdir(dlog):
+        raise FileNotFoundError(f"no Delta log at {dlog!r}")
+    versions = sorted(
+        int(n[:-5]) for n in os.listdir(dlog)
+        if n.endswith(".json") and n[:-5].isdigit())
+    if not versions or versions[0] != 0 or \
+            versions != list(range(len(versions))):
+        raise ValueError(
+            f"Delta log under {dlog!r} is not a contiguous JSON tail "
+            f"from version 0 (found {versions[:4]}...); the change "
+            "feed replays JSON commits only — convert_from_delta "
+            "handles checkpointed logs (snapshot, not history)")
+    head = versions[-1]
+    end = head if ending_version is None else ending_version
+    if not (-1 <= starting_version <= end <= head):
+        raise ValueError(
+            f"need -1 <= starting_version <= ending_version <= "
+            f"{head}, got ({starting_version}, {end})")
+
+    def _actions(v: int) -> list[dict[str, Any]]:
+        with open(os.path.join(dlog, f"{v:020d}.json"),
+                  encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    # protocol gate + schema: replay metadata up to `end`, caching
+    # the WINDOW commits' action lists so the feed loop below never
+    # re-opens/re-parses the same JSON files (one driver pass per
+    # feed read).  The schema in force ENTERING the window is the
+    # feed's schema, and a schema- or layout-changing metaData inside
+    # the window refuses.
+    meta_entering: Optional[dict[str, Any]] = None
+    window_actions: dict[int, list[dict[str, Any]]] = {}
+    for v in range(0, end + 1):
+        acts = _actions(v)
+        if v > starting_version:
+            window_actions[v] = acts
+        for action in acts:
+            if "protocol" in action:
+                p = action["protocol"]
+                mrv = int(p.get("minReaderVersion", 1))
+                feats = set(p.get("readerFeatures") or [])
+                if mrv == 2:
+                    feats.add("columnMapping")
+                if mrv > 3 or (feats - _DELTA_READER_FEATURES):
+                    raise ValueError(
+                        f"Delta table at {root!r} requires reader "
+                        f"version {mrv} / features {sorted(feats)}; "
+                        "outside this engine's decodable surface")
+            elif "metaData" in action:
+                m = action["metaData"]
+                # a metaData in the window's FIRST commit is the
+                # feed's schema (resuming at a change version reads
+                # under the new schema — the delta-spark CDF rule);
+                # a schema OR partition-layout change deeper in the
+                # window refuses (pcols govern every windowed read's
+                # basePath discovery, so a layout flip mid-window
+                # would misread earlier commits)
+                if (v > starting_version + 1
+                        and meta_entering is not None
+                        and (m.get("schemaString"),
+                             list(m.get("partitionColumns") or []))
+                        != (meta_entering.get("schemaString"),
+                            list(meta_entering.get("partitionColumns")
+                                 or []))):
+                    raise ValueError(
+                        f"version {v} changes the schema or partition "
+                        "layout inside the feed window; mid-feed "
+                        "evolution does not decode — read up to it, "
+                        "then resume with the new metadata")
+                meta_entering = m
+    if meta_entering is None:
+        raise ValueError(f"Delta log under {dlog!r} has no metaData "
+                         "action — not a valid table")
+    mcfg = dict(meta_entering.get("configuration") or {})
+    if mcfg.get("delta.columnMapping.mode") in ("name", "id"):
+        raise ValueError(
+            "column-mapped Delta change feeds are not decoded; "
+            "convert_from_delta the snapshot instead")
+    schema = StructType.fromJson(
+        _json_loads(meta_entering["schemaString"]))
+    plain_fields = [StructField(f.name, f.dataType, True)
+                    for f in schema.fields]
+    data_schema = StructType(plain_fields)
+    cdc_schema = StructType(
+        plain_fields + [StructField("_change_type", StringType())])
+    pcols = list(meta_entering.get("partitionColumns") or [])
+    col_order = [f.name for f in schema.fields]
+
+    def _read(paths: list[str], read_schema: StructType) -> DataFrame:
+        gone = [p for p in paths
+                if not os.path.isfile(os.path.join(root, p))]
+        if gone:
+            raise FileNotFoundError(
+                f"change feed references {gone[:3]} no longer on "
+                "disk (vacuumed?); read() the snapshot for a "
+                "backfill and resume from a later version")
+        reader = spark.read.schema(read_schema)
+        if pcols:
+            reader = reader.option("basePath", root)
+        return reader.parquet(
+            *[os.path.join(root, p) for p in paths])
+
+    parts: list[DataFrame] = []
+    for v in range(starting_version + 1, end + 1):
+        cdc_paths: list[str] = []
+        add_paths: list[str] = []
+        remove_paths: list[str] = []
+        dv_carrier = False
+        for action in window_actions[v]:
+            if "cdc" in action:
+                cdc_paths.append(unquote(action["cdc"]["path"]))
+            elif "add" in action:
+                a = action["add"]
+                if a.get("dataChange", True):
+                    add_paths.append(unquote(a["path"]))
+                    dv_carrier = dv_carrier or bool(
+                        a.get("deletionVector"))
+            elif "remove" in action:
+                r = action["remove"]
+                if r.get("dataChange", True):
+                    remove_paths.append(unquote(r["path"]))
+                    dv_carrier = dv_carrier or bool(
+                        r.get("deletionVector"))
+        if cdc_paths:
+            # the spec's reconciliation rule: cdc files are the
+            # commit's complete change description
+            parts.append(
+                _read(sorted(cdc_paths), cdc_schema)
+                .withColumn("_commit_version", F.lit(v)))
+            continue
+        if dv_carrier and (add_paths or remove_paths):
+            raise ValueError(
+                f"version {v} carries deletion vectors but no cdc "
+                "files; a spec-conformant CDF writer emits cdc files "
+                "for DV DML — cross-version DV diffing of a foreign "
+                "log is not attempted")
+        for paths, change in ((add_paths, "insert"),
+                              (remove_paths, "delete")):
+            if paths:
+                parts.append(
+                    _read(sorted(paths), data_schema)
+                    .withColumn("_change_type", F.lit(change))
+                    .withColumn("_commit_version", F.lit(v)))
+    if not parts:
+        empty = StructType(
+            plain_fields
+            + [StructField("_change_type", StringType(), False),
+               StructField("_commit_version", IntegerType(), False)])
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*col_order, "_change_type", "_commit_version")
 
 
 def export_delta_log(

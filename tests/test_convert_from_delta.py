@@ -1025,20 +1025,7 @@ def test_convert_colmap_partitioned(spark, tmp_path):
         t.rename_column("p", "p2")
 
 
-def _stage_field_id_file(tbl, root, rel, ids):
-    """Write a parquet file whose footer carries PARQUET field ids
-    (what delta-spark's id-mode writer emits)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    fields = [
-        pa.field(f.name, f.type,
-                 metadata={b"PARQUET:field_id": str(ids[f.name]).encode()})
-        for f in tbl.schema
-    ]
-    dst = os.path.join(root, rel)
-    os.makedirs(os.path.dirname(dst), exist_ok=True)
-    pq.write_table(tbl.cast(pa.schema(fields)), dst)
+# field-id staging: ONE shared encoding (entry._stage_field_id_file)
 
 
 def test_convert_id_mode(spark, tmp_path):
@@ -1046,19 +1033,18 @@ def test_convert_id_mode(spark, tmp_path):
     file's footer PROVES field-id and physical-name resolution agree
     (delta-spark writes both consistently); a diverging file
     refuses."""
-    import pyarrow as pa
-
     from pyspark.sql.types import LongType, StringType, StructField, \
         StructType
 
     root = str(tmp_path / "d")
     os.makedirs(root)
-    tbl = pa.table({"col-aaaa": list(range(6)),
-                    "col-bbbb": [str(i) for i in range(6)]})
-    _stage_field_id_file(tbl.slice(0, 3), root, "f1.parquet",
-                         {"col-aaaa": 1, "col-bbbb": 2})
-    _stage_field_id_file(tbl.slice(3, 3), root, "f2.parquet",
-                         {"col-aaaa": 1, "col-bbbb": 2})
+    pdf = spark.range(0, 6).selectExpr(
+        "id AS `col-aaaa`", "CAST(id AS STRING) AS `col-bbbb`")
+    ids = {"col-aaaa": 1, "col-bbbb": 2}
+    _entry._stage_field_id_file(pdf.where("`col-aaaa` < 3"), root,
+                                "f1.parquet", ids)
+    _entry._stage_field_id_file(pdf.where("`col-aaaa` >= 3"), root,
+                                "f2.parquet", ids)
     sch = StructType([
         StructField("a", LongType(), True, {
             "delta.columnMapping.id": 1,
@@ -1087,8 +1073,9 @@ def test_convert_id_mode(spark, tmp_path):
     # name than the schema's physicalName
     r2 = str(tmp_path / "bad")
     os.makedirs(r2)
-    _stage_field_id_file(tbl.slice(0, 3), r2, "f1.parquet",
-                         {"col-aaaa": 2, "col-bbbb": 1})  # swapped
+    _entry._stage_field_id_file(
+        pdf.where("`col-aaaa` < 3"), r2, "f1.parquet",
+        {"col-aaaa": 2, "col-bbbb": 1})  # swapped
     _write_log(r2, [[_proto(mrv=2, mwv=5), meta,
                      _add(r2, "f1.parquet", 3)]])
     with pytest.raises(ValueError, match="diverge"):
@@ -1099,12 +1086,87 @@ def test_convert_id_mode(spark, tmp_path):
     # refuses too (an id-mode reader would not resolve it)
     r3 = str(tmp_path / "noids")
     os.makedirs(r3)
-    import pyarrow.parquet as _pq
-
-    os.makedirs(os.path.dirname(os.path.join(r3, "f1.parquet")),
-                exist_ok=True)
-    _pq.write_table(tbl.slice(0, 3), os.path.join(r3, "f1.parquet"))
+    _stage_file(spark, pdf.where("`col-aaaa` < 3"), r3, "f1.parquet")
     _write_log(r3, [[_proto(mrv=2, mwv=5), meta,
                      _add(r3, "f1.parquet", 3)]])
     with pytest.raises(ValueError, match="no field id"):
         convert_from_delta(spark, r3)
+
+
+def test_checkpoint_ahead_of_json_tail(spark, tmp_path):
+    """r15 (+ review pins): a checkpoint AHEAD of a contiguous JSON
+    tail means the JSON understates the head (partially-copied log).
+    A decodable ahead checkpoint replays; an undecodable claim
+    refuses; junk at-or-below the head and malformed pointers change
+    nothing."""
+    # (a) complete checkpoint at 2 + stale JSON 0..1: the checkpoint
+    # state wins (every real Delta reader reconstructs it)
+    root = str(tmp_path / "ahead")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 3), root, "f1.parquet")
+    _stage_file(spark, _df(spark, 3, 8), root, "f2.parquet")
+    _write_log(root, [
+        [_proto(), _meta(spark, _df(spark, 0, 1)),
+         _add(root, "f1.parquet", 3)],
+        [_add(root, "f1.parquet", 3)],  # stale tail
+    ])
+    _entry._write_delta_checkpoint(root, 2, [
+        _proto(), _meta(spark, _df(spark, 0, 1)),
+        _add(root, "f2.parquet", 5)])
+    res = convert_from_delta(spark, root)
+    assert res["delta_version"] == 2 and res["num_rows"] == 5
+    t = DeltaSparkTable(spark, root)
+    assert sorted(r["a"] for r in t.read().collect()) == \
+        list(range(3, 8))
+
+    # (b) a bare _last_checkpoint pointer ahead with NO checkpoint
+    # file refuses (state unreconstructable, JSON understates head)
+    r2 = str(tmp_path / "ptr")
+    os.makedirs(r2)
+    _stage_file(spark, _df(spark, 0, 3), r2, "f1.parquet")
+    _write_log(r2, [[_proto(), _meta(spark, _df(spark, 0, 1)),
+                     _add(r2, "f1.parquet", 3)]])
+    with open(os.path.join(r2, "_delta_log", "_last_checkpoint"),
+              "w") as f:
+        json.dump({"version": 5}, f)
+    with pytest.raises(ValueError, match="no decodable checkpoint"):
+        convert_from_delta(spark, r2)
+
+    # (c) an orphaned partial multi-part set AHEAD of what checkpoint
+    # + tail reconstruct refuses — replaying the older complete
+    # checkpoint would silently convert a stale state
+    r3 = str(tmp_path / "orph")
+    os.makedirs(r3)
+    _stage_file(spark, _df(spark, 0, 3), r3, "f1.parquet")
+    _write_log(r3, [
+        [_proto(), _meta(spark, _df(spark, 0, 1)),
+         _add(r3, "f1.parquet", 3)],
+        [{"txn": {"appId": "x", "version": 1}}],
+        [{"txn": {"appId": "x", "version": 2}}],
+    ])
+    _entry._write_delta_checkpoint(r3, 1, [
+        _proto(), _meta(spark, _df(spark, 0, 1)),
+        _add(r3, "f1.parquet", 3)])
+    # overwrite the pointer so it doesn't select version 1 exactly,
+    # then plant an orphan part claiming version 5
+    os.remove(os.path.join(r3, "_delta_log", "_last_checkpoint"))
+    orphan = os.path.join(
+        r3, "_delta_log",
+        f"{5:020d}.checkpoint.{1:010d}.{3:010d}.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    with pytest.raises(ValueError, match="reconstruct only"):
+        convert_from_delta(spark, r3)
+
+    # (d) malformed _last_checkpoint ({"version": null}) over a
+    # complete JSON log is IGNORED — the convert proceeds
+    r4 = str(tmp_path / "mal")
+    os.makedirs(r4)
+    _stage_file(spark, _df(spark, 0, 4), r4, "f1.parquet")
+    _write_log(r4, [[_proto(), _meta(spark, _df(spark, 0, 1)),
+                     _add(r4, "f1.parquet", 4)]])
+    with open(os.path.join(r4, "_delta_log", "_last_checkpoint"),
+              "w") as f:
+        f.write('{"version": null}')
+    res4 = convert_from_delta(spark, r4)
+    assert res4["num_rows"] == 4 and res4["delta_version"] == 0
