@@ -1623,6 +1623,89 @@ def o_convert_delta_idmode(spark: SparkSession,
     return out
 
 
+def o_convert_delta_history(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """HISTORY-PRESERVING convert (r15;
+    table.py:convert_from_delta(preserve_history=True)): every Delta
+    JSON commit replays as ONE native commit, so a reference user
+    who switches engines keeps TIME TRAVEL, the incremental feed and
+    the SetTransaction ledger across their pre-convert history — the
+    snapshot convert's one-commit fold loses exactly that.
+
+    Fixture (3 Delta commits over orders slices): v0 create (F
+    slice), v1 append (O slice) + txn ledger, v2 remove of the O
+    file (metadata delete).
+
+    In-line guards: (1) the ledger lands (last_txn_version); (2)
+    read_changes(0, 1) returns exactly the v1 inserts; (3) the v2
+    ROW-LEVEL feed emits the dropped file's rows as deletes; (4) a
+    DV-carrying history refuses pointedly.  Oracle: the THREE
+    time-travel states tagged by version (F | F+O | F) — a replay
+    that folded commits, dropped the remove, or mis-ordered versions
+    breaks the hash."""
+    import os as _os
+
+    from dagster_delta_spark import (
+        DeltaSparkTable,
+        convert_from_delta,
+        delta_interop,
+    )
+
+    orders = _orders(spark, sf_dir)
+    root = _scratch("chist").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(root)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    f_slice = orders.select(*cols).where("o_orderstatus = 'F'")
+    o_slice = orders.select(*cols).where("o_orderstatus = 'O'")
+    _stage_landing_file(f_slice, root, "f1.parquet")
+    _stage_landing_file(o_slice, root, "f2.parquet")
+    n_f, n_o = f_slice.count(), o_slice.count()
+    meta = _delta_meta_action(orders.select(*cols).schema.json())
+    _write_delta_commit(root, 0, [
+        _delta_protocol_action(), meta,
+        _delta_add_action(root, "f1.parquet", n_f)])
+    _write_delta_commit(root, 1, [
+        _delta_add_action(root, "f2.parquet", n_o),
+        {"txn": {"appId": "upstream", "version": 11}}])
+    _write_delta_commit(root, 2, [
+        {"remove": {"path": "f2.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}}])
+    res = convert_from_delta(spark, root, preserve_history=True)
+    if not res.get("history_preserved") or res["version"] != 2:
+        raise AssertionError(f"history replay wrong: {res}")
+    t = DeltaSparkTable(spark, root)
+    if t.last_txn_version("upstream") != 11:
+        raise AssertionError("txn ledger lost in the replay")
+    if t.read_changes(0, 1).count() != n_o:
+        raise AssertionError("incremental feed across history wrong")
+    dele = t.read_changes(1, 2, row_level=True)
+    if dele.where("_change_type = 'delete'").count() != n_o:
+        raise AssertionError("row-level delete feed wrong")
+    # guard 4: DV-carrying history refuses
+    broot = _scratch("chist-dv").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(broot)
+    _stage_landing_file(f_slice.limit(4), broot, "f1.parquet")
+    dv = delta_interop.inline_dv_descriptor([0])
+    _write_delta_commit(broot, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        meta, _delta_add_action(broot, "f1.parquet", 4,
+                                deletionVector=dv)])
+    try:
+        convert_from_delta(spark, broot, preserve_history=True)
+    except ValueError as e:
+        if "replay" not in str(e):
+            raise
+    else:
+        raise AssertionError("DV history replayed silently")
+    out = None
+    for v in (0, 1, 2):
+        part = t.read(version=v).withColumn("v", F.lit(v))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def o_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta CHANGE DATA FEED interop (r15;
     table.py:read_delta_changes): a real Delta table's
@@ -4476,21 +4559,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
     # that structurally cannot have one).  Round 15 window: the 18
-    # r11-recorded entries + 3 new r15 entries + 29 of the 49
+    # r11-recorded entries + 4 new r15 entries + 28 of the 49
     # r12-recorded entries — after r15 records land, the stalest
-    # cohort is the 20 deferred r12 entries at the head of the
+    # cohort is the 21 deferred r12 entries at the head of the
     # tail.  Local gate for the whole
     # registry regardless of position: tools/check_oracles.py.
     return {
         # -------- first 50: the round-15 recording window --------
         # Record-freshness rotation (r15): the 18 entries whose
         # newest committed record is CORRECTNESS_r11 lead, then the
-        # 3 NEW r15 delta-interop entries, then 29 of the 49
-        # r12-recorded entries.  18 + 3 + 29 = 50; the 20 deferred
-        # r12 entries (set_ops_customers, asof_clicks_purchases,
-        # range_join_bursts, corpus_shuffle ..
-        # selective_token_mask) lead the r16 window, then the r13
-        # cohort.
+        # 4 NEW r15 delta-interop entries, then 28 of the 49
+        # r12-recorded entries.  18 + 4 + 28 = 50; the 21 deferred
+        # r12 entries (q7_nation_volume, set_ops_customers,
+        # asof_clicks_purchases, range_join_bursts, corpus_shuffle
+        # .. selective_token_mask) lead the r16 window, then the
+        # r13 cohort.
         "o_generated_columns": o_generated_columns,
         "cdc_row_changes": cdc_row_changes,
         "streaming_cdc_feed": streaming_cdc_feed,
@@ -4510,12 +4593,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_log_cleanup": o_log_cleanup,
         "unimax_sample": curation.unimax_sample,
         # NEW r15 (oracle-backed, in-window): colmap EXPORT,
-        # id-mode convert, and the Delta CDF decode — displacing
+        # id-mode convert, the Delta CDF decode, and the
+        # history-preserving convert — displacing q7_nation_volume,
         # set_ops_customers, asof_clicks_purchases and
         # range_join_bursts (r12 records stand) past the cap
         "o_export_delta_colmap": o_export_delta_colmap,
         "o_convert_delta_idmode": o_convert_delta_idmode,
         "o_delta_change_feed": o_delta_change_feed,
+        "o_convert_delta_history": o_convert_delta_history,
         "m4_replace_delete": m4_replace_delete,
         "w5_create_or_replace": w5_create_or_replace,
         "p2_timewindow_read": p2_timewindow_read,
@@ -6155,6 +6240,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, 'insert', CAST(2 AS INTEGER) FROM o
             UNION ALL
             SELECT *, 'delete', CAST(3 AS INTEGER) FROM o
+        """,
+        # the three time-travel states of the replayed history,
+        # tagged by version: F | F+O | F
+        "o_convert_delta_history": """
+            WITH f AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderstatus = 'F'),
+                 o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderstatus = 'O')
+            SELECT *, CAST(0 AS INTEGER) AS v FROM f
+            UNION ALL SELECT *, CAST(1 AS INTEGER) FROM f
+            UNION ALL SELECT *, CAST(1 AS INTEGER) FROM o
+            UNION ALL SELECT *, CAST(2 AS INTEGER) FROM f
         """,
         # the frozen table's exact contents — every refused mutation
         # (overwrite/DELETE/UPDATE/replace_where/RESTORE/upsert) must

@@ -107,6 +107,7 @@ def main() -> None:
         "export_delta_colmap",
         "convert_delta_idmode",
         "delta_change_feed",
+        "convert_delta_history",
         # r12: one zstd append with table properties + commit
         # userMetadata (the W8/W9/W10 write path; fixture = the
         # pre-created table, timed = one optioned append)
@@ -849,8 +850,44 @@ def main() -> None:
         from dagster_delta_spark import read_delta_changes
         assert read_delta_changes(spark, root).count() > 0
 
+    def _chist_setup(spark, d):
+        # fixture: a 3-commit Delta JSON history; timed part = the
+        # history-preserving replay (one native commit per Delta
+        # version — the keep-your-history onboarding path, r15)
+        import os as _os
+
+        root = entry._scratch("bench-chist").rsplit("/", 1)[0] \
+            + "/delta"
+        _os.makedirs(root)
+        orders = spark.read.parquet(f"{d}/orders.parquet")
+        cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        f_slice = orders.select(*cols).where("o_orderstatus = 'F'")
+        o_slice = orders.select(*cols).where("o_orderstatus = 'O'")
+        entry._stage_landing_file(f_slice, root, "f1.parquet")
+        entry._stage_landing_file(o_slice, root, "f2.parquet")
+        meta = entry._delta_meta_action(
+            orders.select(*cols).schema.json())
+        entry._write_delta_commit(root, 0, [
+            entry._delta_protocol_action(), meta,
+            entry._delta_add_action(root, "f1.parquet",
+                                    f_slice.count())])
+        entry._write_delta_commit(root, 1, [
+            entry._delta_add_action(root, "f2.parquet",
+                                    o_slice.count()),
+            {"txn": {"appId": "up", "version": 1}}])
+        entry._write_delta_commit(root, 2, [
+            {"remove": {"path": "f2.parquet", "deletionTimestamp": 1,
+                        "dataChange": True}}])
+        return root
+
+    def _chist_run(spark, root):
+        from dagster_delta_spark import convert_from_delta
+        res = convert_from_delta(spark, root, preserve_history=True)
+        assert res["version"] == 2 and res["history_preserved"]
+
     staged = {
         "delta_change_feed": (_cdf_feed_setup, _cdf_feed_run),
+        "convert_delta_history": (_chist_setup, _chist_run),
         "convert_delta_dv": (_cdv_setup, _cdv_run),
         "export_delta_log": (_xdl_setup, _xdl_run),
         "export_delta_colmap": (_xcm_setup, _xcm_run),

@@ -5056,6 +5056,7 @@ def convert_from_delta(
     path: str,
     *,
     dry_run: bool = False,
+    preserve_history: bool = False,
 ) -> dict[str, Any]:
     """Onboard a REAL Delta Lake table (the public delta-io protocol's
     ``_delta_log/`` JSON commits — what delta-rs, and therefore the
@@ -5126,7 +5127,22 @@ def convert_from_delta(
     The original ``_delta_log`` stays untouched, but after
     conversion THIS engine's log is the table: commits a Delta
     writer makes afterwards are not reflected here.  ``dry_run``
-    reports without committing."""
+    reports without committing.
+
+    ``preserve_history=True`` (r15) replays EVERY Delta JSON commit
+    as one native commit instead of folding to a single version-0
+    snapshot — time travel, ``read_changes`` and the SetTransaction
+    ledger then span the pre-convert history.  Operation names are
+    synthesized so this engine's classify_commit semantics hold by
+    construction (the original Delta operation rides in
+    operationParameters); per-version metaData carries that
+    version's schema with the head's translated configuration.
+    Scope (pointed refusals): full JSON from version 0 only (no
+    checkpoint reconstruction), every historical file still on disk,
+    no deletion vectors anywhere in the history, no column mapping,
+    no contract-carrying historical schemas, stable partition
+    layout.  The snapshot convert covers everything the replay
+    refuses."""
     root = str(path)
     dlog = os.path.join(root, "_delta_log")
     if not os.path.isdir(dlog):
@@ -5595,6 +5611,110 @@ def convert_from_delta(
                 "literal %XX sequences, a non-URL-encoding writer may "
                 "be the cause — the spec requires encoded paths)")
 
+    # ---- HISTORY-PRESERVING replay: validation (r15) ----
+    # preserve_history re-publishes every Delta JSON commit as one
+    # native commit, so time travel and read_changes span the
+    # pre-convert history.  Scope is the replayable surface —
+    # pointed refusals for everything whose per-version state this
+    # engine cannot reproduce faithfully.  All checks run BEFORE any
+    # mutation (the refusals-never-mutate rule).
+    hist_plan: Optional[list[dict[str, Any]]] = None
+    if preserve_history:
+        if not json_complete or (
+                cp_hint is not None and cp_hint > versions[-1]):
+            raise ValueError(
+                "preserve_history replays the JSON history from "
+                "version 0; this log is checkpoint-reconstructed or "
+                "incomplete — use the snapshot convert")
+        if colmap_mode or delta_colmap:
+            raise ValueError(
+                "column-mapped histories do not replay (per-version "
+                "schema translation); use the snapshot convert")
+        if dv_rels:
+            raise ValueError(
+                "deletion-vector-carrying histories do not replay "
+                "(per-version sidecar reconstruction); the snapshot "
+                "convert decodes head DVs instead")
+        hist_plan = []
+        for v, acts in enumerate(batches):
+            padds: list[tuple[str, dict[str, Any]]] = []
+            prem: list[str] = []
+            ptxn: list[dict[str, Any]] = []
+            pmeta: Optional[dict[str, Any]] = None
+            pop = ""
+            all_nc = True  # all actions dataChange=false (compaction)
+            for action in acts:
+                if "commitInfo" in action:
+                    pop = action["commitInfo"].get("operation", "")
+                elif "add" in action:
+                    a = action["add"]
+                    rel = unquote(a["path"])
+                    if a.get("deletionVector"):
+                        raise ValueError(
+                            f"version {v} carries a deletion vector; "
+                            "DV histories do not replay — use the "
+                            "snapshot convert")
+                    if "://" in a["path"] or os.path.isabs(rel):
+                        raise ValueError(
+                            f"historical add {a['path']!r} is "
+                            "absolute; only table-relative files "
+                            "replay")
+                    if not os.path.isfile(os.path.join(root, rel)):
+                        raise FileNotFoundError(
+                            f"history references {rel!r} no longer "
+                            "on disk (vacuumed?); preserve_history "
+                            "needs every historical file — use the "
+                            "snapshot convert")
+                    # hive-layout agreement for EVERY historical file
+                    # (time travel reads them; the head loop only
+                    # checks survivors)
+                    pv = dict(a.get("partitionValues") or {})
+                    layout: dict[str, Optional[str]] = {}
+                    for comp in rel.split("/")[:-1]:
+                        k, eq, val = comp.partition("=")
+                        if eq:
+                            layout[k] = (
+                                None if val == HIVE_DEFAULT_PARTITION
+                                else unquote(val))
+                    if list(layout) != pcols or any(
+                            layout.get(c) != pv.get(c) for c in pcols):
+                        raise ValueError(
+                            f"historical file {rel!r} does not "
+                            f"encode its partition values {pv} as "
+                            "hive directories; time travel would "
+                            "misread it")
+                    if a.get("dataChange", True):
+                        all_nc = False
+                    padds.append((rel, a))
+                elif "remove" in action:
+                    r = action["remove"]
+                    if r.get("dataChange", True):
+                        all_nc = False
+                    prem.append(unquote(r["path"]))
+                elif "txn" in action:
+                    ptxn.append(action["txn"])
+                elif "metaData" in action:
+                    pmeta = action["metaData"]
+            if pmeta is not None:
+                if list(pmeta.get("partitionColumns") or []) != pcols:
+                    raise ValueError(
+                        f"version {v} changes the partition layout; "
+                        "partition evolution does not replay")
+                msch = StructType.fromJson(
+                    _json_loads(pmeta["schemaString"]))
+                for fld in msch.fields:
+                    if any(k.startswith("delta.")
+                           for k in (fld.metadata or {})):
+                        raise ValueError(
+                            f"version {v} schema carries delta.* "
+                            f"field metadata on {fld.name!r}; "
+                            "contract-carrying historical schemas do "
+                            "not replay — use the snapshot convert")
+            hist_plan.append({"adds": padds, "removes": prem,
+                              "txns": ptxn, "meta": pmeta,
+                              "op": pop, "compaction": all_nc
+                              and bool(padds or prem)})
+
     # 'id'-mode equivalence proof: this engine reads by physical
     # NAME, an id-mode reader resolves by parquet FIELD ID — the two
     # agree iff every live file's footer binds each mapped field id
@@ -5761,16 +5881,13 @@ def convert_from_delta(
         finally:
             writer.close()
 
-    adds: list[AddFile] = []
-    total_rows = 0
-    now = int(time.time() * 1000)
-    for rel in sorted(files):
-        a = files[rel]
+    def _mk_addfile(a: dict[str, Any], rel: str, num: int,
+                    masked: int = 0,
+                    masked_rel: Optional[str] = None) -> AddFile:
+        """One sanitized native AddFile from a raw Delta add action —
+        shared by the snapshot path and the history replay."""
         ab = os.path.join(root, rel)
         st = _raw_stats(a)
-        num = st.get("numRecords")
-        if num is None:
-            num = footer_counts[rel]
         stats: dict[str, Any] = {"numRecords": int(num)}
         if st.get("nullCount"):
             stats["nullCount"] = dict(st["nullCount"])
@@ -5782,19 +5899,160 @@ def convert_from_delta(
                     kept[c] = rv
             if kept:
                 stats[key] = kept
-        masked = dv_counts.get(rel, 0)  # range-validated above
-        total_rows += int(num) - masked
-        adds.append(AddFile(
+        return AddFile(
             path=rel.replace(os.sep, "/"),
             size=int(a.get("size") or os.path.getsize(ab)),
             num_records=int(num),
             partition_values=dict(a.get("partitionValues") or {}),
             stats=stats,
             modification_time=int(a.get("modificationTime")
-                                  or os.stat(ab).st_mtime_ns // 1_000_000),
-            dv_path=dv_rel if masked else None,
+                                  or os.stat(ab).st_mtime_ns
+                                  // 1_000_000),
+            dv_path=masked_rel if masked else None,
             dv_count=masked,
-        ))
+        )
+
+    adds: list[AddFile] = []
+    total_rows = 0
+    now = int(time.time() * 1000)
+    for rel in sorted(files):
+        a = files[rel]
+        st = _raw_stats(a)
+        num = st.get("numRecords")
+        if num is None:
+            num = footer_counts[rel]
+        masked = dv_counts.get(rel, 0)  # range-validated above
+        total_rows += int(num) - masked
+        adds.append(_mk_addfile(a, rel, int(num), masked, dv_rel))
+
+    if preserve_history:
+        assert hist_plan is not None
+        # footer counts for stats-less HISTORICAL adds (the pass
+        # above covered only surviving files) — same batching idiom
+        hist_no_stats = sorted({
+            rel for pv_ in hist_plan for rel, a in pv_["adds"]
+            if _raw_stats(a).get("numRecords") is None
+        } - set(footer_counts))
+        if hist_no_stats:
+            def _count_h(rel: str) -> tuple[str, int]:
+                import pyarrow.parquet as pq_
+
+                return rel, pq_.ParquetFile(
+                    os.path.join(root, rel)).metadata.num_rows
+
+            sc = spark.sparkContext
+            if (len(hist_no_stats) <= _DISTRIBUTED_STATS_THRESHOLD
+                    or not sc.master.startswith("local")):
+                footer_counts.update(map(_count_h, hist_no_stats))
+            else:
+                slices = max(1, min(len(hist_no_stats),
+                                    sc.defaultParallelism * 4))
+                footer_counts.update(
+                    sc.parallelize(hist_no_stats, slices)
+                    .map(_count_h).collect())
+        if dry_run:
+            return {
+                "dry_run": True,
+                "num_files": len(adds),
+                "num_rows": total_rows,
+                "partition_columns": pcols,
+                "delta_version": head_delta_version,
+                "history_preserved": True,
+                "num_versions": len(hist_plan),
+                "dropped_configuration": dropped_cfg,
+            }
+        # replay: one native commit per Delta version.  Operation
+        # names are SYNTHESIZED so this engine's own classify_commit
+        # semantics hold by construction (removes+adds = rewrite,
+        # removes-only = metadata DELETE whose row-level feed emits
+        # the dropped files' rows, adds-only = append, all-
+        # dataChange=false = compaction); the original Delta
+        # operation rides in operationParameters for provenance.
+        # Per-version metaData carries that version's schema (time
+        # travel reads under it) with the HEAD's translated
+        # configuration — contracts govern future writes, and
+        # re-deriving historical contract state would claim
+        # enforcement this engine never ran.
+        live: dict[str, AddFile] = {}
+        app_v: dict[str, int] = {}
+        proto: Optional[tablelog.Protocol] = None
+        cur_meta = Metadata(schema_json=schema.json(),
+                            partition_columns=pcols,
+                            configuration=cfg)
+        for v, pv_ in enumerate(hist_plan):
+            meta_changed = False
+            if pv_["meta"] is not None:
+                msch = StructType.fromJson(
+                    _json_loads(pv_["meta"]["schemaString"]))
+                cur_meta = Metadata(
+                    schema_json=msch.json(),
+                    partition_columns=pcols,
+                    configuration=cfg,
+                    table_id=cur_meta.table_id,
+                )
+                meta_changed = True
+            if v == 0:
+                op = "CONVERT FROM DELTA"
+            elif pv_["compaction"]:
+                op = "OPTIMIZE (replayed)"
+            elif pv_["removes"] and pv_["adds"]:
+                op = "WRITE overwrite"
+            elif pv_["removes"]:
+                op = "DELETE"
+            elif pv_["adds"]:
+                op = "WRITE append"
+            else:
+                op = "CONVERT REPLAY"
+            acts_native: list[dict[str, Any]] = [CommitInfo(
+                operation=op,
+                operation_parameters={
+                    "deltaVersion": v,
+                    "deltaOperation": pv_["op"],
+                },
+            ).to_action()]
+            if v == 0 or meta_changed:
+                acts_native.append(cur_meta.to_action())
+            for txn in pv_["txns"]:
+                app_v[txn["appId"]] = max(
+                    app_v.get(txn["appId"], -1), int(txn["version"]))
+                acts_native.append({"txn": {
+                    "appId": txn["appId"],
+                    "version": int(txn["version"])}})
+            for rrel in pv_["removes"]:
+                af = live.pop(rrel.replace(os.sep, "/"), None)
+                if af is not None:
+                    acts_native.append(af.remove_action(now))
+            for rel, a in pv_["adds"]:
+                st_num = _raw_stats(a).get("numRecords")
+                num = int(st_num if st_num is not None
+                          else footer_counts[rel])
+                af = _mk_addfile(a, rel, num)
+                live[af.path] = af
+                acts_native.append(af.to_action())
+            snap_v = Snapshot(v, cur_meta, list(live.values()), now,
+                              app_versions=dict(app_v))
+            if proto is not None:
+                snap_v.protocol = proto
+            tablelog.commit(root, v, acts_native, snap_v)
+            proto = snap_v.protocol
+        # the replayed head must equal the directly-folded head —
+        # a divergence means the two replays disagree on the spec
+        if set(live) != {rel.replace(os.sep, "/") for rel in files}:
+            raise AssertionError(
+                "history replay diverged from the folded head state "
+                f"({sorted(set(live))[:3]} vs "
+                f"{sorted(files)[:3]}); refusing a wrong convert")
+        return {
+            "dry_run": False,
+            "version": len(hist_plan) - 1,
+            "num_files": len(live),
+            "num_rows": sum(a.num_records for a in live.values()),
+            "partition_columns": pcols,
+            "delta_version": head_delta_version,
+            "history_preserved": True,
+            "dropped_configuration": dropped_cfg,
+        }
+
     if dry_run:
         return {
             "dry_run": True,

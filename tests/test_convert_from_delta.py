@@ -1170,3 +1170,145 @@ def test_checkpoint_ahead_of_json_tail(spark, tmp_path):
         f.write('{"version": null}')
     res4 = convert_from_delta(spark, r4)
     assert res4["num_rows"] == 4 and res4["delta_version"] == 0
+
+
+def test_convert_preserve_history(spark, tmp_path):
+    """r15: preserve_history replays every Delta JSON commit as one
+    native commit — time travel, read_changes and the txn ledger span
+    the pre-convert history."""
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 5), root, "f1.parquet")
+    _stage_file(spark, _df(spark, 5, 9), root, "f2.parquet")
+    _stage_file(spark, _df(spark, 9, 12), root, "f3.parquet")
+    _write_log(root, [
+        [_proto(), _meta(spark, _df(spark, 0, 1)),
+         _add(root, "f1.parquet", 5)],
+        [_add(root, "f2.parquet", 4),
+         {"txn": {"appId": "up", "version": 3}}],
+        [{"remove": {"path": "f2.parquet", "deletionTimestamp": 1,
+                     "dataChange": True}},
+         _add(root, "f3.parquet", 3)],
+        [{"remove": {"path": "f3.parquet", "deletionTimestamp": 2,
+                     "dataChange": True}}],
+    ])
+    res = convert_from_delta(spark, root, preserve_history=True)
+    assert res["history_preserved"] and res["version"] == 3
+    assert res["num_rows"] == 5
+    t = DeltaSparkTable(spark, root)
+    # time travel reproduces every historical state
+    assert t.read(version=0).count() == 5
+    assert sorted(r["a"] for r in t.read(version=1).collect()) == \
+        list(range(9))
+    assert sorted(r["a"] for r in t.read(version=2).collect()) == \
+        list(range(5)) + [9, 10, 11]
+    assert t.read(version=3).count() == 5
+    # the txn ledger lands at its version and survives to head
+    assert t.last_txn_version("up") == 3
+    # incremental feed: v1 is an append (pure delta); v2 is a
+    # rewrite (raises without the escape hatch); v3 is a metadata
+    # delete whose ROW-LEVEL feed emits the dropped rows
+    inc = t.read_changes(0, 1)
+    assert sorted(r["a"] for r in inc.collect()) == [5, 6, 7, 8]
+    with pytest.raises(ValueError, match="rewrite"):
+        t.read_changes(1, 2)
+    dele = t.read_changes(2, 3, row_level=True)
+    assert sorted((r["a"], r["_change_type"]) for r in dele.collect()) \
+        == [(9, "delete"), (10, "delete"), (11, "delete")]
+    # the converted table is fully writable and versioned onward
+    t.write(_df(spark, 100, 102), WriteMode.append)
+    assert t.version() == 4 and t.read().count() == 7
+
+
+def test_convert_preserve_history_evolution_and_refusals(spark,
+                                                         tmp_path):
+    # schema evolution mid-history replays: v1 adds a column; time
+    # travel reads each version under its own schema
+    root = str(tmp_path / "ev")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 3), root, "f1.parquet")
+    wide = spark.sql(
+        "SELECT id AS a, CAST(id * 2 AS DOUBLE) AS b, "
+        "CAST(id AS STRING) AS s, id * 10 AS extra FROM range(3, 5)")
+    _stage_file(spark, wide, root, "f2.parquet")
+    _write_log(root, [
+        [_proto(), _meta(spark, _df(spark, 0, 1)),
+         _add(root, "f1.parquet", 3)],
+        [_entry._delta_meta_action(wide.schema.json()),
+         _add(root, "f2.parquet", 2)],
+    ])
+    res = convert_from_delta(spark, root, preserve_history=True)
+    assert res["version"] == 1
+    t = DeltaSparkTable(spark, root)
+    assert "extra" not in t.read(version=0).columns
+    head = t.read()
+    assert sorted(
+        (r["a"], r["extra"]) for r in head.collect()) == [
+        (0, None), (1, None), (2, None), (3, 30), (4, 40)]
+
+    # OPTIMIZE-shaped commits (all dataChange=false) classify as
+    # compaction: read_changes skips them
+    r5 = str(tmp_path / "opt")
+    os.makedirs(r5)
+    _stage_file(spark, _df(spark, 0, 3), r5, "f1.parquet")
+    _stage_file(spark, _df(spark, 0, 3), r5, "f1c.parquet")
+    add_nc = _add(r5, "f1c.parquet", 3)
+    add_nc["add"]["dataChange"] = False
+    _write_log(r5, [
+        [_proto(), _meta(spark, _df(spark, 0, 1)),
+         _add(r5, "f1.parquet", 3)],
+        [add_nc, {"remove": {"path": "f1.parquet",
+                             "deletionTimestamp": 1,
+                             "dataChange": False}}],
+    ])
+    convert_from_delta(spark, r5, preserve_history=True)
+    t5 = DeltaSparkTable(spark, r5)
+    assert t5.read_changes(0, 1).count() == 0  # compaction skipped
+    assert t5.read().count() == 3
+
+    # refusals: DV history; vacuumed historical file; checkpointed log
+    r2 = str(tmp_path / "dv")
+    os.makedirs(r2)
+    _stage_file(spark, _df(spark, 0, 4), r2, "f1.parquet")
+    from dagster_delta_spark import delta_interop
+
+    dv = delta_interop.inline_dv_descriptor([0])
+    _write_log(r2, [
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["deletionVectors"],
+                       "writerFeatures": ["deletionVectors"]}},
+         _meta(spark, _df(spark, 0, 1)),
+         _add(r2, "f1.parquet", 4, deletionVector=dv)],
+    ])
+    with pytest.raises(ValueError,
+                       match="histories do not replay"):
+        convert_from_delta(spark, r2, preserve_history=True)
+    assert not DeltaSparkTable(spark, r2).exists()
+
+    r3 = str(tmp_path / "vac")
+    os.makedirs(r3)
+    _stage_file(spark, _df(spark, 0, 3), r3, "f2.parquet")
+    gone_add = {"add": {"path": "gone.parquet", "partitionValues": {},
+                        "size": 100, "modificationTime": 1,
+                        "dataChange": True,
+                        "stats": "{\"numRecords\": 2}"}}
+    _write_log(r3, [
+        [_proto(), _meta(spark, _df(spark, 0, 1)), gone_add],
+        [{"remove": {"path": "gone.parquet", "deletionTimestamp": 1,
+                     "dataChange": True}},
+         _add(r3, "f2.parquet", 3)],
+    ])
+    with pytest.raises(FileNotFoundError, match="preserve_history"):
+        convert_from_delta(spark, r3, preserve_history=True)
+    # the SNAPSHOT convert of the same log works (head needs only f2)
+    res3 = convert_from_delta(spark, r3)
+    assert res3["num_rows"] == 3
+
+    r4 = str(tmp_path / "cp")
+    os.makedirs(r4)
+    _stage_file(spark, _df(spark, 0, 4), r4, "f1.parquet")
+    _entry._write_delta_checkpoint(r4, 2, [
+        _proto(), _meta(spark, _df(spark, 0, 1)),
+        _add(r4, "f1.parquet", 4)])
+    with pytest.raises(ValueError, match="checkpoint-reconstructed"):
+        convert_from_delta(spark, r4, preserve_history=True)

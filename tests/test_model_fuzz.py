@@ -472,6 +472,42 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         assert _table_state(t, vname) == _model_state(model), (
             f"trial {trial} vacuum")
 
+        # r15: EXPORT ROUND-TRIP AUDIT — whatever state the op
+        # sequence produced (DV masks, colmap renames, appendOnly,
+        # truncated logs, bloom machinery keys), the final snapshot
+        # must export as a real Delta log and re-convert
+        # bit-identically; half the trials checkpoint the export and
+        # half of THOSE replay through the checkpoint alone (JSON
+        # deleted) — the aged-foreign-log shape.
+        import os as _os
+        import shutil as _shutil
+
+        from dagster_delta_spark import (
+            convert_from_delta,
+            export_delta_log,
+        )
+        from dagster_delta_spark.tablelog import LOG_DIR as _LOG_DIR
+
+        foreign = _os.path.join(t.table_uri, "_delta_log")
+        if _os.path.isdir(foreign):
+            # inert leftover of the delta-start fixture (our log is
+            # the table after convert); export refuses to clobber it
+            _shutil.rmtree(foreign)
+        res = export_delta_log(
+            spark, t.table_uri,
+            checkpoint_threshold=0 if rnd.random() < 0.5 else 10**6)
+        rt = t.table_uri.rstrip("/") + "-export-rt"
+        _shutil.copytree(t.table_uri, rt,
+                         ignore=_shutil.ignore_patterns(_LOG_DIR))
+        if res["checkpointed"] and rnd.random() < 0.5:
+            _os.remove(_os.path.join(rt, "_delta_log",
+                                     "0" * 20 + ".json"))
+        convert_from_delta(spark, rt)
+        back = DeltaSparkTable(spark, rt)
+        assert _table_state(back, vname) == _model_state(model), (
+            f"trial {trial} export round trip")
+        _shutil.rmtree(rt, ignore_errors=True)
+
 
 # -- predicate-compiler properties (hypothesis) ------------------------------
 
