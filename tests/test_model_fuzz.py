@@ -101,13 +101,8 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         # via set_properties — engine-namespace keys can't arrive
         # through a foreign log) so converted-Delta tables take the
         # same sweep.
-        if trial % 3 == 1:
-            from dagster_delta_spark import convert_to_table
-
-            sdf.coalesce(2).write.parquet(t.table_uri)
-            convert_to_table(spark, t.table_uri, table_configuration={
-                "dds.bloomFilterColumns": '{"k": {}}'})
-        elif trial % 3 == 2:
+        snapped = False
+        if trial % 3 == 2:
             import os as _os
 
             import __spark_entry__ as entry
@@ -115,7 +110,40 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 convert_from_delta,
                 delta_interop,
             )
-
+        if trial % 3 == 2 and len(pdf) >= 2 and rnd.random() < 0.5:
+            # r15: HISTORY-REPLAY start — a two-commit Delta JSON
+            # history converts with preserve_history, so the trial's
+            # time-travel oracle spans PRE-convert versions too (v0 =
+            # first slice, v1 = full, v2 = bloom set_properties)
+            _os.makedirs(t.table_uri, exist_ok=True)
+            half = len(pdf) // 2
+            pdf1 = pdf.iloc[:half].reset_index(drop=True)
+            pdf2 = pdf.iloc[half:].reset_index(drop=True)
+            entry._stage_landing_file(
+                spark.createDataFrame(pdf1), t.table_uri,
+                "f0.parquet")
+            entry._stage_landing_file(
+                spark.createDataFrame(pdf2), t.table_uri,
+                "f1.parquet")
+            entry._write_delta_commit(t.table_uri, 0, [
+                entry._delta_protocol_action(),
+                entry._delta_meta_action(sdf.schema.json()),
+                entry._delta_add_action(t.table_uri, "f0.parquet",
+                                        len(pdf1))])
+            entry._write_delta_commit(t.table_uri, 1, [
+                entry._delta_add_action(t.table_uri, "f1.parquet",
+                                        len(pdf2))])
+            res = convert_from_delta(spark, t.table_uri,
+                                     preserve_history=True)
+            assert res["history_preserved"] and res["version"] == 1
+            t.set_properties({"dds.bloomFilterColumns": '{"k": {}}'})
+            model = _apply_model(model, "overwrite", pdf1)
+            _snap()  # v0: first slice
+            model = pd.concat([model, pdf2], ignore_index=True)
+            _snap()  # v1: full contents
+            _snap()  # v2: set_properties, contents unchanged
+            snapped = True
+        elif trial % 3 == 2:
             # r14: the Delta-start fixture carries a real inline
             # DELETION VECTOR masking the file's first two rows
             # (staged sorted so positions are value-predictable) —
@@ -138,17 +166,24 @@ def test_random_op_sequences_match_model(spark, tmp_path):
             t.set_properties({"dds.bloomFilterColumns": '{"k": {}}'})
             pdf = (pdf.sort_values(["k", "v"], kind="stable")
                    .iloc[2:].reset_index(drop=True))
+        elif trial % 3 == 1:
+            from dagster_delta_spark import convert_to_table
+
+            sdf.coalesce(2).write.parquet(t.table_uri)
+            convert_to_table(spark, t.table_uri, table_configuration={
+                "dds.bloomFilterColumns": '{"k": {}}'})
         else:
             t.write(sdf, WriteMode.overwrite, table_configuration={
                 "dds.bloomFilterColumns": '{"k": {}}'})
-        model = _apply_model(model, "overwrite", pdf)
-        _snap()
-        if trial % 3 == 2:
-            # the delta start commits TWICE (convert v0 + the bloom
-            # set_properties v1) — hist indexes by version, so record
-            # the identical-contents v1 too or every later restore
-            # would rewind one version off
+        if not snapped:
+            model = _apply_model(model, "overwrite", pdf)
             _snap()
+            if trial % 3 == 2:
+                # the delta start commits TWICE (convert v0 + the
+                # bloom set_properties v1) — hist indexes by version,
+                # so record the identical-contents v1 too or every
+                # later restore would rewind one version off
+                _snap()
 
         # >= 12 steps so trials cross the checkpoint interval (10
         # commits) and time travel exercises the parquet checkpoint +
