@@ -490,6 +490,21 @@ def _column_defaults(configuration: dict[str, str]) -> dict[str, str]:
     return _json_loads(raw) if raw else {}
 
 
+def _hive_layout(rel: str) -> dict[str, Optional[str]]:
+    """Partition values a relative file path's hive directory
+    components encode ({col: value}, __HIVE_DEFAULT_PARTITION__ →
+    None) — ONE parser for every layout-agreement check (head-state
+    convert validation and the history replay must stay in
+    lockstep)."""
+    layout: dict[str, Optional[str]] = {}
+    for comp in rel.replace(os.sep, "/").split("/")[:-1]:
+        k, eq, val = comp.partition("=")
+        if eq:
+            layout[k] = (None if val == HIVE_DEFAULT_PARTITION
+                         else unquote(val))
+    return layout
+
+
 def _column_mapping(configuration: dict[str, str]) -> dict[str, str]:
     raw = configuration.get(_COLMAP_KEY)
     return _json_loads(raw) if raw else {}
@@ -5593,13 +5608,7 @@ def convert_from_delta(
         # values.  Delta writes hive layout by default; randomized /
         # flat layouts refuse rather than silently misread.
         pv = dict(a.get("partitionValues") or {})
-        comps = rel.split("/")[:-1]
-        layout: dict[str, Optional[str]] = {}
-        for comp in comps:
-            k, eq, v = comp.partition("=")
-            if eq:
-                layout[k] = (None if v == HIVE_DEFAULT_PARTITION
-                             else unquote(v))
+        layout = _hive_layout(rel)
         if list(layout) != pcols or any(
                 layout.get(c) != pv.get(c) for c in pcols):
             raise ValueError(
@@ -5637,15 +5646,22 @@ def convert_from_delta(
                 "convert decodes head DVs instead")
         hist_plan = []
         for v, acts in enumerate(batches):
-            padds: list[tuple[str, dict[str, Any]]] = []
-            prem: list[str] = []
+            # data ops keep ACTION ORDER — the head fold applies
+            # add/remove in order, and an add-then-remove of one path
+            # within a commit must replay identically
+            pops: list[tuple[str, str, Optional[dict[str, Any]]]] = []
+            n_adds = n_removes = 0
             ptxn: list[dict[str, Any]] = []
-            pmeta: Optional[dict[str, Any]] = None
+            pmeta_schema: Optional[StructType] = None
             pop = ""
+            pts: Optional[int] = None
             all_nc = True  # all actions dataChange=false (compaction)
             for action in acts:
                 if "commitInfo" in action:
-                    pop = action["commitInfo"].get("operation", "")
+                    ci = action["commitInfo"]
+                    pop = ci.get("operation", "")
+                    if isinstance(ci.get("timestamp"), int):
+                        pts = ci["timestamp"]
                 elif "add" in action:
                     a = action["add"]
                     rel = unquote(a["path"])
@@ -5669,13 +5685,7 @@ def convert_from_delta(
                     # (time travel reads them; the head loop only
                     # checks survivors)
                     pv = dict(a.get("partitionValues") or {})
-                    layout: dict[str, Optional[str]] = {}
-                    for comp in rel.split("/")[:-1]:
-                        k, eq, val = comp.partition("=")
-                        if eq:
-                            layout[k] = (
-                                None if val == HIVE_DEFAULT_PARTITION
-                                else unquote(val))
+                    layout = _hive_layout(rel)
                     if list(layout) != pcols or any(
                             layout.get(c) != pv.get(c) for c in pcols):
                         raise ValueError(
@@ -5685,35 +5695,42 @@ def convert_from_delta(
                             "misread it")
                     if a.get("dataChange", True):
                         all_nc = False
-                    padds.append((rel, a))
+                    pops.append(("add", rel, a))
+                    n_adds += 1
                 elif "remove" in action:
                     r = action["remove"]
                     if r.get("dataChange", True):
                         all_nc = False
-                    prem.append(unquote(r["path"]))
+                    pops.append(("remove", unquote(r["path"]), None))
+                    n_removes += 1
                 elif "txn" in action:
                     ptxn.append(action["txn"])
                 elif "metaData" in action:
                     pmeta = action["metaData"]
-            if pmeta is not None:
-                if list(pmeta.get("partitionColumns") or []) != pcols:
-                    raise ValueError(
-                        f"version {v} changes the partition layout; "
-                        "partition evolution does not replay")
-                msch = StructType.fromJson(
-                    _json_loads(pmeta["schemaString"]))
-                for fld in msch.fields:
-                    if any(k.startswith("delta.")
-                           for k in (fld.metadata or {})):
+                    if list(pmeta.get("partitionColumns")
+                            or []) != pcols:
                         raise ValueError(
-                            f"version {v} schema carries delta.* "
-                            f"field metadata on {fld.name!r}; "
-                            "contract-carrying historical schemas do "
-                            "not replay — use the snapshot convert")
-            hist_plan.append({"adds": padds, "removes": prem,
-                              "txns": ptxn, "meta": pmeta,
-                              "op": pop, "compaction": all_nc
-                              and bool(padds or prem)})
+                            f"version {v} changes the partition "
+                            "layout; partition evolution does not "
+                            "replay")
+                    pmeta_schema = StructType.fromJson(
+                        _json_loads(pmeta["schemaString"]))
+                    for fld in pmeta_schema.fields:
+                        if any(k.startswith("delta.")
+                               for k in (fld.metadata or {})):
+                            raise ValueError(
+                                f"version {v} schema carries delta.* "
+                                f"field metadata on {fld.name!r}; "
+                                "contract-carrying historical "
+                                "schemas do not replay — use the "
+                                "snapshot convert")
+            hist_plan.append({"ops": pops, "n_adds": n_adds,
+                              "n_removes": n_removes,
+                              "txns": ptxn,
+                              "meta_schema": pmeta_schema,
+                              "op": pop, "ts": pts,
+                              "compaction": all_nc
+                              and bool(pops)})
 
     # 'id'-mode equivalence proof: this engine reads by physical
     # NAME, an id-mode reader resolves by parquet FIELD ID — the two
@@ -5785,13 +5802,15 @@ def convert_from_delta(
     no_stats = [rel for rel in files
                 if _raw_stats(files[rel]).get("numRecords") is None]
     footer_counts: dict[str, int] = {}
+
+    def _count(rel: str) -> tuple[str, int]:
+        # shared by this pass and the history replay's footer pass
+        import pyarrow.parquet as pq_
+
+        return rel, pq_.ParquetFile(
+            os.path.join(root, rel)).metadata.num_rows
+
     if no_stats:
-        def _count(rel: str) -> tuple[str, int]:
-            import pyarrow.parquet as pq_
-
-            return rel, pq_.ParquetFile(
-                os.path.join(root, rel)).metadata.num_rows
-
         sc = spark.sparkContext
         if (len(no_stats) <= _DISTRIBUTED_STATS_THRESHOLD
                 or not sc.master.startswith("local")):
@@ -5927,30 +5946,9 @@ def convert_from_delta(
 
     if preserve_history:
         assert hist_plan is not None
-        # footer counts for stats-less HISTORICAL adds (the pass
-        # above covered only surviving files) — same batching idiom
-        hist_no_stats = sorted({
-            rel for pv_ in hist_plan for rel, a in pv_["adds"]
-            if _raw_stats(a).get("numRecords") is None
-        } - set(footer_counts))
-        if hist_no_stats:
-            def _count_h(rel: str) -> tuple[str, int]:
-                import pyarrow.parquet as pq_
-
-                return rel, pq_.ParquetFile(
-                    os.path.join(root, rel)).metadata.num_rows
-
-            sc = spark.sparkContext
-            if (len(hist_no_stats) <= _DISTRIBUTED_STATS_THRESHOLD
-                    or not sc.master.startswith("local")):
-                footer_counts.update(map(_count_h, hist_no_stats))
-            else:
-                slices = max(1, min(len(hist_no_stats),
-                                    sc.defaultParallelism * 4))
-                footer_counts.update(
-                    sc.parallelize(hist_no_stats, slices)
-                    .map(_count_h).collect())
         if dry_run:
+            # the report needs no footer I/O — keep the cheap
+            # should-I-convert probe cheap
             return {
                 "dry_run": True,
                 "num_files": len(adds),
@@ -5961,87 +5959,150 @@ def convert_from_delta(
                 "num_versions": len(hist_plan),
                 "dropped_configuration": dropped_cfg,
             }
-        # replay: one native commit per Delta version.  Operation
-        # names are SYNTHESIZED so this engine's own classify_commit
+        # footer counts for stats-less HISTORICAL adds (the pass
+        # above covered only surviving files) — same batching idiom,
+        # same counter
+        hist_no_stats = sorted({
+            rel for pv_ in hist_plan
+            for kind, rel, a in pv_["ops"]
+            if kind == "add"
+            and _raw_stats(a).get("numRecords") is None
+        } - set(footer_counts))
+        if hist_no_stats:
+            sc = spark.sparkContext
+            if (len(hist_no_stats) <= _DISTRIBUTED_STATS_THRESHOLD
+                    or not sc.master.startswith("local")):
+                footer_counts.update(map(_count, hist_no_stats))
+            else:
+                slices = max(1, min(len(hist_no_stats),
+                                    sc.defaultParallelism * 4))
+                footer_counts.update(
+                    sc.parallelize(hist_no_stats, slices)
+                    .map(_count).collect())
+        # replay: one native commit per Delta version, staged into a
+        # SHADOW log and atomically renamed into place at the end — a
+        # crash or conflict mid-replay must never leave a valid-
+        # looking table at a silently stale head.  Operation names
+        # are SYNTHESIZED so this engine's own classify_commit
         # semantics hold by construction (removes+adds = rewrite,
         # removes-only = metadata DELETE whose row-level feed emits
         # the dropped files' rows, adds-only = append, all-
         # dataChange=false = compaction); the original Delta
         # operation rides in operationParameters for provenance.
-        # Per-version metaData carries that version's schema (time
-        # travel reads under it) with the HEAD's translated
-        # configuration — contracts govern future writes, and
-        # re-deriving historical contract state would claim
-        # enforcement this engine never ran.
+        # Source commit TIMESTAMPS carry over (clamped monotone) so
+        # timestamp_as_of / restore(timestamp_as_of) address the
+        # pre-convert history.  Per-version metaData carries that
+        # version's schema (time travel reads under it) with the
+        # HEAD's translated configuration — contracts govern future
+        # writes, and re-deriving historical contract state would
+        # claim enforcement this engine never ran.
+        shadow = os.path.join(root, f".convert-replay-{uuid.uuid4().hex}")
+        os.makedirs(shadow)
+        # source commit timestamps, holes backfilled from the NEXT
+        # known one (earlier commits are at least as old), then
+        # clamped monotone non-decreasing so version_as_of's binary
+        # walk stays sound
+        ts_list: list[int] = []
+        nxt_ts = now
+        for pv_ in reversed(hist_plan):
+            if pv_["ts"] is not None:
+                nxt_ts = pv_["ts"]
+            ts_list.append(nxt_ts)
+        ts_list.reverse()
+        mono = 0
+        for i, tv in enumerate(ts_list):
+            mono = max(mono, tv)
+            ts_list[i] = mono
         live: dict[str, AddFile] = {}
         app_v: dict[str, int] = {}
-        proto: Optional[tablelog.Protocol] = None
+        proto: Optional[Any] = None
         cur_meta = Metadata(schema_json=schema.json(),
                             partition_columns=pcols,
                             configuration=cfg)
-        for v, pv_ in enumerate(hist_plan):
-            meta_changed = False
-            if pv_["meta"] is not None:
-                msch = StructType.fromJson(
-                    _json_loads(pv_["meta"]["schemaString"]))
-                cur_meta = Metadata(
-                    schema_json=msch.json(),
-                    partition_columns=pcols,
-                    configuration=cfg,
-                    table_id=cur_meta.table_id,
-                )
-                meta_changed = True
-            if v == 0:
-                op = "CONVERT FROM DELTA"
-            elif pv_["compaction"]:
-                op = "OPTIMIZE (replayed)"
-            elif pv_["removes"] and pv_["adds"]:
-                op = "WRITE overwrite"
-            elif pv_["removes"]:
-                op = "DELETE"
-            elif pv_["adds"]:
-                op = "WRITE append"
-            else:
-                op = "CONVERT REPLAY"
-            acts_native: list[dict[str, Any]] = [CommitInfo(
-                operation=op,
-                operation_parameters={
-                    "deltaVersion": v,
-                    "deltaOperation": pv_["op"],
-                },
-            ).to_action()]
-            if v == 0 or meta_changed:
-                acts_native.append(cur_meta.to_action())
-            for txn in pv_["txns"]:
-                app_v[txn["appId"]] = max(
-                    app_v.get(txn["appId"], -1), int(txn["version"]))
-                acts_native.append({"txn": {
-                    "appId": txn["appId"],
-                    "version": int(txn["version"])}})
-            for rrel in pv_["removes"]:
-                af = live.pop(rrel.replace(os.sep, "/"), None)
-                if af is not None:
-                    acts_native.append(af.remove_action(now))
-            for rel, a in pv_["adds"]:
-                st_num = _raw_stats(a).get("numRecords")
-                num = int(st_num if st_num is not None
-                          else footer_counts[rel])
-                af = _mk_addfile(a, rel, num)
-                live[af.path] = af
-                acts_native.append(af.to_action())
-            snap_v = Snapshot(v, cur_meta, list(live.values()), now,
-                              app_versions=dict(app_v))
-            if proto is not None:
-                snap_v.protocol = proto
-            tablelog.commit(root, v, acts_native, snap_v)
-            proto = snap_v.protocol
-        # the replayed head must equal the directly-folded head —
-        # a divergence means the two replays disagree on the spec
-        if set(live) != {rel.replace(os.sep, "/") for rel in files}:
-            raise AssertionError(
-                "history replay diverged from the folded head state "
-                f"({sorted(set(live))[:3]} vs "
-                f"{sorted(files)[:3]}); refusing a wrong convert")
+        try:
+            for v, pv_ in enumerate(hist_plan):
+                meta_changed = False
+                if pv_["meta_schema"] is not None:
+                    cur_meta = Metadata(
+                        schema_json=pv_["meta_schema"].json(),
+                        partition_columns=pcols,
+                        configuration=cfg,
+                        table_id=cur_meta.table_id,
+                    )
+                    meta_changed = True
+                ts_v = ts_list[v]
+                if v == 0:
+                    op = "CONVERT FROM DELTA"
+                elif pv_["compaction"]:
+                    op = "OPTIMIZE (replayed)"
+                elif pv_["n_removes"] and pv_["n_adds"]:
+                    op = "WRITE overwrite"
+                elif pv_["n_removes"]:
+                    op = "DELETE"
+                elif pv_["n_adds"]:
+                    op = "WRITE append"
+                else:
+                    op = "CONVERT REPLAY"
+                acts_native: list[dict[str, Any]] = [CommitInfo(
+                    operation=op,
+                    operation_parameters={
+                        "deltaVersion": v,
+                        "deltaOperation": pv_["op"],
+                    },
+                    timestamp=ts_v,
+                ).to_action()]
+                if v == 0 or meta_changed:
+                    acts_native.append(cur_meta.to_action())
+                for txn in pv_["txns"]:
+                    app_v[txn["appId"]] = max(
+                        app_v.get(txn["appId"], -1),
+                        int(txn["version"]))
+                    acts_native.append({"txn": {
+                        "appId": txn["appId"],
+                        "version": int(txn["version"])}})
+                # data ops replay in ACTION ORDER — an add-then-
+                # remove of one path within a commit must fold
+                # exactly like the head pass did
+                for kind, rel, a in pv_["ops"]:
+                    if kind == "remove":
+                        af = live.pop(rel.replace(os.sep, "/"), None)
+                        if af is not None:
+                            acts_native.append(af.remove_action(ts_v))
+                    else:
+                        st_num = _raw_stats(a).get("numRecords")
+                        num = int(st_num if st_num is not None
+                                  else footer_counts[rel])
+                        af = _mk_addfile(a, rel, num)
+                        live[af.path] = af
+                        acts_native.append(af.to_action())
+                snap_v = Snapshot(v, cur_meta, list(live.values()),
+                                  ts_v, app_versions=dict(app_v))
+                if proto is not None:
+                    snap_v.protocol = proto
+                tablelog.commit(shadow, v, acts_native, snap_v)
+                proto = snap_v.protocol
+            # the replayed head must equal the directly-folded head —
+            # a divergence means the two replays disagree on the spec
+            # (checked BEFORE anything becomes visible at `root`)
+            if set(live) != {r.replace(os.sep, "/") for r in files}:
+                raise AssertionError(
+                    "history replay diverged from the folded head "
+                    f"state ({sorted(set(live))[:3]} vs "
+                    f"{sorted(files)[:3]}); refusing a wrong convert")
+            # ATOMIC publish: the whole replayed log appears at once
+            try:
+                os.rename(os.path.join(shadow, tablelog.LOG_DIR),
+                          os.path.join(root, tablelog.LOG_DIR))
+            except OSError as e:
+                raise TableExistsError(
+                    f"{root!r} grew a {tablelog.LOG_DIR} during the "
+                    "replay (concurrent convert?); refusing to "
+                    f"clobber it: {e}") from e
+        finally:
+            shutil.rmtree(shadow, ignore_errors=True)
+        # the shadow's cached snapshots die with its path; a cold
+        # load at `root` replays the renamed log (+ any interval
+        # checkpoints, which are path-relative)
         return {
             "dry_run": False,
             "version": len(hist_plan) - 1,

@@ -1312,3 +1312,67 @@ def test_convert_preserve_history_evolution_and_refusals(spark,
         _add(r4, "f1.parquet", 4)])
     with pytest.raises(ValueError, match="checkpoint-reconstructed"):
         convert_from_delta(spark, r4, preserve_history=True)
+
+
+def test_preserve_history_timestamps_order_atomicity(spark, tmp_path,
+                                                     monkeypatch):
+    """Review pins: (a) source commit timestamps carry over so
+    timestamp_as_of addresses the pre-convert history; (b) data ops
+    replay in ACTION ORDER (add-then-remove of one path folds like
+    the head pass); (c) a crash mid-replay leaves NOTHING at the
+    root — the replay stages into a shadow log and renames
+    atomically."""
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 3), root, "f1.parquet")
+    _stage_file(spark, _df(spark, 3, 5), root, "f2.parquet")
+    t0 = 1_600_000_000_000
+    c0 = [_proto(), _meta(spark, _df(spark, 0, 1)),
+          _add(root, "f1.parquet", 3)]
+    c0[0:0] = [{"commitInfo": {"timestamp": t0, "operation": "WRITE"}}]
+    # v1: add f2 then REMOVE it in the same commit (UPDATE-ish churn)
+    c1 = [{"commitInfo": {"timestamp": t0 + 86_400_000,
+                          "operation": "MERGE"}},
+          _add(root, "f2.parquet", 2),
+          {"remove": {"path": "f2.parquet", "deletionTimestamp": 1,
+                      "dataChange": True}}]
+    c2 = [{"commitInfo": {"timestamp": t0 + 2 * 86_400_000,
+                          "operation": "WRITE"}},
+          _add(root, "f2.parquet", 2)]
+    _write_log(root, [c0, c1, c2])
+
+    # (c) crash at version 2: nothing must appear at the root
+    from dagster_delta_spark import tablelog as tl
+
+    real_commit = tl.commit
+
+    def _boom(table_uri, version, actions, snapshot_after=None):
+        if version == 2:
+            raise RuntimeError("simulated crash")
+        return real_commit(table_uri, version, actions,
+                           snapshot_after)
+
+    monkeypatch.setattr(tl, "commit", _boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        convert_from_delta(spark, root, preserve_history=True)
+    monkeypatch.undo()
+    assert not os.path.exists(os.path.join(root, tl.LOG_DIR))
+    assert not any(n.startswith(".convert-replay-")
+                   for n in os.listdir(root))
+
+    # retry succeeds cleanly
+    res = convert_from_delta(spark, root, preserve_history=True)
+    assert res["version"] == 2
+    t = DeltaSparkTable(spark, root)
+    # (b) v1's add-then-remove folded in order: f2 gone at v1
+    assert t.read(version=1).count() == 3
+    assert t.read(version=2).count() == 5
+    # (a) timestamp time travel hits the historical instants
+    from datetime import datetime, timezone
+
+    day1 = datetime.fromtimestamp((t0 + 3_600_000) / 1000,
+                                  tz=timezone.utc)
+    assert t.read(timestamp_as_of=day1).count() == 3
+    day3 = datetime.fromtimestamp((t0 + 2 * 86_400_000 + 1) / 1000,
+                                  tz=timezone.utc)
+    assert t.read(timestamp_as_of=day3).count() == 5
