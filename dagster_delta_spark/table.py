@@ -6195,15 +6195,22 @@ def read_delta_changes(
       vacuumed-sidecar rule);
     - ``dataChange=false`` actions (compaction) contribute nothing.
 
+    mode=name COLUMN-MAPPED feeds decode (r15): change/data files
+    carry physical column names — the feed reads under the physical
+    schema and aliases back to logical, same shape as the native
+    colmap read path (flat types, un-renamed partition columns).
+
     Honest scope (pointed refusals): the JSON log must be contiguous
     from version 0 (checkpoint-tail replay is a convert concern, not
     a feed's); deletion-vector-carrying adds/removes in a commit
     WITHOUT cdc files refuse (the writer should have emitted cdc
     files; cross-version DV diffing of a foreign log is not
-    attempted); column-mapped tables refuse; a schema- or
-    partition-layout-changing ``metaData`` action INSIDE the window
-    refuses (mid-feed evolution — resume past it with a fresh
-    reader, the same rule the native streaming source enforces)."""
+    attempted); mode='id' colmap refuses (the footer equivalence
+    proof is a one-shot convert cost, not a per-read one); a schema-
+    or partition-layout-changing ``metaData`` action INSIDE the
+    window refuses (mid-feed evolution — resume past it with a
+    fresh reader, the same rule the native streaming source
+    enforces)."""
     from urllib.parse import unquote
 
     root = str(path)
@@ -6282,18 +6289,56 @@ def read_delta_changes(
         raise ValueError(f"Delta log under {dlog!r} has no metaData "
                          "action — not a valid table")
     mcfg = dict(meta_entering.get("configuration") or {})
-    if mcfg.get("delta.columnMapping.mode") in ("name", "id"):
+    cm_mode = mcfg.get("delta.columnMapping.mode")
+    if cm_mode == "id":
         raise ValueError(
-            "column-mapped Delta change feeds are not decoded; "
+            "mode='id' column-mapped change feeds are not decoded "
+            "(the footer field-id equivalence proof is a one-shot "
+            "convert cost, not a per-feed-read one); "
             "convert_from_delta the snapshot instead")
     schema = StructType.fromJson(
         _json_loads(meta_entering["schemaString"]))
-    plain_fields = [StructField(f.name, f.dataType, True)
-                    for f in schema.fields]
+    pcols = list(meta_entering.get("partitionColumns") or [])
+    # mode=name feeds decode (r15): change/data files carry PHYSICAL
+    # column names — read under the physical schema, alias back to
+    # logical at the end (the same shape _read_files uses for native
+    # colmap tables).  Scope mirrors the convert: flat types,
+    # un-renamed partition columns.
+    feed_map: dict[str, str] = {}  # logical -> physical
+    for f in schema.fields:
+        phys = (f.metadata or {}).get(
+            "delta.columnMapping.physicalName")
+        if cm_mode == "name":
+            if not isinstance(f.dataType, (
+                    ByteType, ShortType, IntegerType, LongType,
+                    FloatType, DoubleType, DecimalType, StringType,
+                    BooleanType, DateType, TimestampType,
+                    BinaryType)):
+                raise ValueError(
+                    f"column-mapped change feed: column {f.name!r} "
+                    f"has nested type {f.dataType.simpleString()}; "
+                    "physical names inside nested types do not "
+                    "alias")
+            if f.name in pcols and phys and phys != f.name:
+                raise ValueError(
+                    f"partition column {f.name!r} carries physical "
+                    f"name {phys!r}; renamed partition columns do "
+                    "not decode (directories and the feed's basePath "
+                    "discovery are keyed physical while this shape "
+                    "is logical)")
+            if phys and phys != f.name:
+                feed_map[f.name] = str(phys)
+        elif phys and phys != f.name:
+            raise ValueError(
+                f"column {f.name!r} carries physical name {phys!r} "
+                f"but delta.columnMapping.mode is {cm_mode!r}; "
+                "refusing an internally inconsistent log")
+    plain_fields = [
+        StructField(feed_map.get(f.name, f.name), f.dataType, True)
+        for f in schema.fields]
     data_schema = StructType(plain_fields)
     cdc_schema = StructType(
         plain_fields + [StructField("_change_type", StringType())])
-    pcols = list(meta_entering.get("partitionColumns") or [])
     col_order = [f.name for f in schema.fields]
 
     def _read(paths: list[str], read_schema: StructType) -> DataFrame:
@@ -6353,14 +6398,17 @@ def read_delta_changes(
                     .withColumn("_commit_version", F.lit(v)))
     if not parts:
         empty = StructType(
-            plain_fields
+            [StructField(f.name, f.dataType, True)
+             for f in schema.fields]  # LOGICAL names, always
             + [StructField("_change_type", StringType(), False),
                StructField("_commit_version", IntegerType(), False)])
         return spark.createDataFrame([], empty)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.select(*col_order, "_change_type", "_commit_version")
+    return out.select(
+        *[F.col(feed_map.get(c, c)).alias(c) for c in col_order],
+        "_change_type", "_commit_version")
 
 
 def export_delta_log(

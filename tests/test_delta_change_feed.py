@@ -168,14 +168,63 @@ def test_cdf_refusals(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         read_delta_changes(spark, r3).collect()
 
-    # colmap refuses
+    # mode='id' colmap refuses (mode=name decodes, see
+    # test_cdf_column_mapping)
     r4 = str(tmp_path / "cm")
     os.makedirs(r4)
     _stage(spark, _df(spark, 0, 2), r4, "f1.parquet")
     _log(r4, [[_entry._delta_protocol_action(mrv=2, mwv=5),
                _entry._delta_meta_action(
                    _df(spark, 0, 1).schema.json(),
-                   cfg={"delta.columnMapping.mode": "name"}),
+                   cfg={"delta.columnMapping.mode": "id"}),
                _entry._delta_add_action(r4, "f1.parquet", 2)]])
-    with pytest.raises(ValueError, match="column-mapped"):
+    with pytest.raises(ValueError, match="id"):
         read_delta_changes(spark, r4)
+
+
+def test_cdf_column_mapping(spark, tmp_path):
+    """r15: mode=name column-mapped change feeds decode — physical
+    file columns (data AND cdc files) alias back to the logical
+    names, and the empty window keeps the logical schema."""
+    from pyspark.sql.types import LongType, StringType, StructField, \
+        StructType
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    pdf = spark.range(0, 4).selectExpr(
+        "id AS `col-aaaa`", "CAST(id AS STRING) AS `col-bbbb`")
+    _stage(spark, pdf, root, "f1.parquet")
+    cdc = pdf.where("`col-aaaa` < 2").selectExpr(
+        "*", "'delete' AS _change_type")
+    _stage(spark, cdc, root, "_change_data/cdc-1.parquet")
+    sch = StructType([
+        StructField("a", LongType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaaa"}),
+        StructField("s", StringType(), True, {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-bbbb"}),
+    ])
+    meta = _entry._delta_meta_action(
+        sch.json(), cfg={"delta.columnMapping.mode": "name",
+                         "delta.columnMapping.maxColumnId": "2"})
+    _log(root, [
+        [_entry._delta_protocol_action(mrv=2, mwv=5), meta,
+         _entry._delta_add_action(root, "f1.parquet", 4)],
+        [{"cdc": {"path": "_change_data/cdc-1.parquet",
+                  "partitionValues": {}, "size": 1,
+                  "dataChange": False}}],
+    ])
+    feed = read_delta_changes(spark, root)
+    assert feed.columns == ["a", "s", "_change_type",
+                            "_commit_version"]
+    rows = sorted((r["_commit_version"], r["_change_type"], r["a"],
+                   r["s"]) for r in feed.collect())
+    assert rows == [(0, "insert", 0, "0"), (0, "insert", 1, "1"),
+                    (0, "insert", 2, "2"), (0, "insert", 3, "3"),
+                    (1, "delete", 0, "0"), (1, "delete", 1, "1")]
+    # an empty window still presents the LOGICAL schema
+    empty = read_delta_changes(spark, root, 1, 1)
+    assert empty.columns == ["a", "s", "_change_type",
+                             "_commit_version"]
+    assert empty.count() == 0
