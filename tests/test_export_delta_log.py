@@ -443,3 +443,28 @@ def test_export_checkpoint_round_trip(spark, tmp_path):
     assert not res2["checkpointed"]
     assert not os.path.exists(os.path.join(
         r2, "_delta_log", "_last_checkpoint"))
+
+
+def test_export_colmap_checkpoint_round_trip(spark, tmp_path):
+    """Composition pin: a column-mapped export with a checkpoint
+    re-converts bit-identically through the CHECKPOINT path alone —
+    the physicalName/id field metadata must survive the parquet
+    checkpoint's metaData struct, not just the JSON line."""
+    root = str(tmp_path / "cmcp")
+    t = DeltaSparkTable(spark, root)
+    t.write(_df(spark, 0, 6).coalesce(1), WriteMode.overwrite)
+    t.rename_column("s", "s2")
+    t.delete("a IN (1, 4)", use_dv=True)
+    res = export_delta_log(spark, root, checkpoint_threshold=0)
+    assert res["checkpointed"]
+    dst = str(tmp_path / "rt")
+    shutil.copytree(root, dst,
+                    ignore=shutil.ignore_patterns(LOG_DIR, "_dv"))
+    os.remove(os.path.join(dst, "_delta_log", "0" * 20 + ".json"))
+    convert_from_delta(spark, dst)
+    back = DeltaSparkTable(spark, dst)
+    assert sorted((r["a"], r["s2"]) for r in back.read().collect()) \
+        == sorted((r["a"], r["s2"]) for r in t.read().collect())
+    assert back.read().where("a IN (1, 4)").count() == 0
+    props = back.describe_detail()["properties"]
+    assert json.loads(props["dds.columnMapping"]) == {"s2": "s"}
