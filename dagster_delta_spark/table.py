@@ -175,8 +175,16 @@ _COLMAP_KEY = "dds.columnMapping"
 #: Delta reader features this engine can decode on convert_from_delta
 #: (columnMapping -> dds.columnMapping; deletionVectors -> sidecar
 #: masks via delta_interop).  Everything else refuses pointedly.
+#: typeWidening (r15): files written under a NARROWER type read
+#: under the widened schema — this engine reads with the explicit
+#: stored schema, and Spark's parquet reader performs exactly the
+#: spec's promotions (int class, float->double, decimal widening;
+#: verified empirically), so the feature is a no-op to honor.  The
+#: delta.typeWidening field-metadata bookkeeping is KEPT inert in the
+#: stored schema so the export direction can re-declare the feature.
 _DELTA_READER_FEATURES = {"columnMapping", "deletionVectors",
-                          "v2Checkpoint"}
+                          "v2Checkpoint", "typeWidening",
+                          "typeWidening-preview"}
 #: types whose min/max stats BOTH engines render identically (the
 #: convert/export stats carry-over set — ONE constant so the two
 #: directions cannot silently diverge).  Dates are also identical
@@ -955,7 +963,18 @@ def _make_stats_harvester(bloom_phys: Optional[dict[str, dict]] = None):
                     ok = False
                     break
                 col_nulls += st.null_count or 0
-                mn, mx = st.min, st.max
+                try:
+                    mn, mx = st.min, st.max
+                except NotImplementedError:
+                    # pyarrow (16.x) cannot extract min/max for some
+                    # logical types — DECIMAL columns raise
+                    # ArrowNotImplementedError (a NotImplementedError
+                    # subclass) even with has_min_max=True.  Degrade
+                    # to no min/max for the column: costs file
+                    # skipping, never correctness — and never crashes
+                    # the write that staged the data.
+                    ok = False
+                    break
                 # fold on RAW values (render() may stringify — e.g.
                 # Decimal — and string comparison would mis-fold across
                 # row groups); render only decides representability
@@ -5319,7 +5338,8 @@ def convert_from_delta(
                         - {"appendOnly", "checkConstraints",
                            "invariants", "columnMapping",
                            "deletionVectors", "generatedColumns",
-                           "v2Checkpoint"})
+                           "v2Checkpoint", "typeWidening",
+                           "typeWidening-preview"})
     if unmappable:
         raise ValueError(
             f"Delta table at {root!r} declares writer feature(s) "
@@ -6659,10 +6679,16 @@ def export_delta_log(
     if has_colmap:
         min_writer = max(min_writer, 5)  # legacy columnMapping writer
     has_dv = any(a.dv_path for a in snap.files)
-    if has_dv:
-        # DVs need the FEATURE protocol — and with minWriterVersion 7
-        # the spec requires EVERY active writer feature listed, the
-        # legacy ones included
+    # typeWidening bookkeeping survives a convert inert in field
+    # metadata (r15) — files written under the pre-widening type are
+    # still referenced, so a foreign reader MUST declare the feature
+    # or it could refuse/misread the narrow parquet files
+    has_tw = any("delta.typeWidening" in (f.metadata or {})
+                 for f in export_schema.fields)
+    if has_dv or has_tw:
+        # DVs / typeWidening need the FEATURE protocol — and with
+        # minWriterVersion 7 the spec requires EVERY active writer
+        # feature listed, the legacy ones included
         legacy_feats = []
         if "delta.appendOnly" in out_cfg:
             legacy_feats.append("appendOnly")
@@ -6672,17 +6698,21 @@ def export_delta_log(
             legacy_feats.append("generatedColumns")
         if not_null:
             legacy_feats.append("invariants")
-        reader_feats = ["deletionVectors"]
+        # READER-affecting features appear on both sides
+        reader_feats = []
+        if has_dv:
+            reader_feats.append("deletionVectors")
+            legacy_feats.append("deletionVectors")
+        if has_tw:
+            reader_feats.append("typeWidening")
+            legacy_feats.append("typeWidening")
         if has_colmap:
-            # columnMapping is a READER-affecting feature: with the
-            # feature protocol it must appear on both sides
             reader_feats.append("columnMapping")
             legacy_feats.append("columnMapping")
         protocol_action = {
             "protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                          "readerFeatures": sorted(reader_feats),
-                         "writerFeatures": sorted(
-                             ["deletionVectors"] + legacy_feats)}}
+                         "writerFeatures": sorted(legacy_feats)}}
     else:
         protocol_action = {
             "protocol": {"minReaderVersion": 2 if has_colmap else 1,

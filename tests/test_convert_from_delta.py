@@ -1376,3 +1376,84 @@ def test_preserve_history_timestamps_order_atomicity(spark, tmp_path,
     day3 = datetime.fromtimestamp((t0 + 2 * 86_400_000 + 1) / 1000,
                                   tz=timezone.utc)
     assert t.read(timestamp_as_of=day3).count() == 5
+
+
+def test_convert_type_widening(spark, tmp_path):
+    """r15: typeWidening tables convert — files written under the
+    NARROWER type read under the widened schema (Spark's parquet
+    reader performs the spec's promotions), the bookkeeping field
+    metadata stays inert, and the export direction re-declares the
+    feature so foreign readers of the still-narrow files are
+    warned."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, \
+        StructType
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({"a": pa.array([1, 2, 3], pa.int32()),
+                  "b": pa.array([1.5, 2.5, 3.5], pa.float32())}),
+        os.path.join(root, "f1.parquet"))
+    tw_md = [{"fromType": "integer", "toType": "long",
+              "tableVersion": 1}]
+    sch = StructType([
+        StructField("a", LongType(), True,
+                    {"delta.typeWidening": tw_md}),
+        StructField("b", DoubleType(), True,
+                    {"delta.typeWidening": [
+                        {"fromType": "float", "toType": "double",
+                         "tableVersion": 1}]}),
+    ])
+    _write_log(root, [[
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        _entry._delta_meta_action(sch.json()),
+        _add(root, "f1.parquet", 3),
+    ]])
+    convert_from_delta(spark, root)
+    t = DeltaSparkTable(spark, root)
+    out = t.read()
+    assert dict(out.dtypes) == {"a": "bigint", "b": "double"}
+    assert sorted((r["a"], r["b"]) for r in out.collect()) == \
+        [(1, 1.5), (2, 2.5), (3, 3.5)]
+    # writes land under the WIDE type and read alongside narrow files
+    t.write(spark.sql("SELECT CAST(9 AS BIGINT) AS a, "
+                      "CAST(9.5 AS DOUBLE) AS b"), WriteMode.append)
+    assert t.read().count() == 4
+    assert t.read().where("a = 9").collect()[0]["b"] == 9.5
+
+    # export re-declares the feature (narrow files still referenced);
+    # the fixture's foreign log is inert after convert — drop it so
+    # the one-shot export can publish
+    import shutil as _sh0
+
+    from dagster_delta_spark import export_delta_log
+
+    _sh0.rmtree(os.path.join(root, "_delta_log"))
+    export_delta_log(spark, root)
+    with open(os.path.join(root, "_delta_log",
+                           "0" * 20 + ".json")) as f:
+        actions = [json.loads(line) for line in f]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "typeWidening" in proto["readerFeatures"]
+    assert "typeWidening" in proto["writerFeatures"]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    fld = json.loads(meta["schemaString"])["fields"][0]
+    assert fld["metadata"]["delta.typeWidening"] == tw_md
+
+    # full round trip: the re-imported copy reads identically
+    import shutil as _sh
+
+    from dagster_delta_spark.tablelog import LOG_DIR
+
+    dst = str(tmp_path / "rt")
+    _sh.copytree(root, dst, ignore=_sh.ignore_patterns(LOG_DIR))
+    convert_from_delta(spark, dst)
+    back = DeltaSparkTable(spark, dst)
+    assert sorted(tuple(r) for r in back.read().collect()) == \
+        sorted(tuple(r) for r in t.read().collect())

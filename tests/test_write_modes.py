@@ -265,3 +265,31 @@ def test_read_changes_partitioned_appends(spark, tmp_table):
     assert got == {(3, "x", 1)}
     full = {(r["a"], r["p"]) for r in t.read_changes(-1).collect()}
     assert full == {(1, "x"), (2, "y"), (3, "x")}
+
+
+def test_decimal_column_write_harvest(spark, tmp_path):
+    """Regression (r15): pyarrow 16.x raises ArrowNotImplementedError
+    extracting min/max statistics for DECIMAL columns even with
+    has_min_max=True — the stats harvest must degrade to no min/max
+    for the column (costs skipping, never the write).  Surfaced by
+    the typeWidening drive; the synthetic testdata stores money as
+    DOUBLE, so no suite fixture had ever staged a real decimal."""
+    from dagster_delta_spark import DeltaSparkTable, WriteMode
+
+    t = DeltaSparkTable(spark, str(tmp_path / "t"))
+    df = spark.sql(
+        "SELECT CAST(id AS BIGINT) AS a, "
+        "CAST(id + 0.25 AS DECIMAL(12,2)) AS m FROM range(0, 5)")
+    t.write(df.coalesce(1), WriteMode.overwrite)
+    assert t.read().count() == 5
+    f = t.snapshot().files[0]
+    # numRecords + the bigint column's stats survive; the decimal
+    # column simply has no min/max entry
+    assert f.num_records == 5
+    assert "a" in f.stats.get("minValues", {})
+    assert "m" not in f.stats.get("minValues", {})
+    # appends + reads + DML all work over the decimal column
+    t.write(df.where("a < 2"), WriteMode.append)
+    assert t.read().where("m > 3").count() == 2
+    t.delete("a = 0")
+    assert t.read().count() == 5
