@@ -1706,6 +1706,95 @@ def o_convert_delta_history(spark: SparkSession,
     return out
 
 
+def o_convert_delta_typewide(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """typeWidening convert (r15; table.py:convert_from_delta): a
+    Delta table whose files were written under NARROWER types
+    (int32 / float32) with the schema later widened (long / double —
+    the public ``typeWidening`` table feature) converts in place:
+    this engine reads with the explicit widened schema and Spark's
+    parquet reader performs exactly the spec's promotions; the
+    ``delta.typeWidening`` bookkeeping metadata stays inert and the
+    EXPORT direction re-declares the feature (narrow files are still
+    referenced — a foreign reader must know).
+
+    Fixture: an orders slice staged via pyarrow as int32 orderkey +
+    float32 totalprice, schema long + double with the widening
+    metadata, feature protocol 3/7.
+
+    In-line guards: (1) the converted read's dtypes are the WIDE
+    types; (2) a post-convert append under the wide types reads
+    alongside the narrow file; (3) export re-declares typeWidening
+    on both protocol sides and keeps the field metadata.  Oracle:
+    the same slice cast through float32-then-double in SQL — IEEE
+    round-to-nearest is engine-identical, so any mis-promotion
+    breaks the hash."""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from dagster_delta_spark import DeltaSparkTable, convert_from_delta
+    from pyspark.sql.types import DoubleType, LongType, StructField, \
+        StructType
+
+    orders = _orders(spark, sf_dir)
+    root = _scratch("ctw").rsplit("/", 1)[0] + "/delta"
+    _os.makedirs(root)
+    sl = orders.selectExpr("o_orderkey AS a", "o_totalprice AS b") \
+        .where("o_orderstatus = 'F'")
+    p = _stage_landing_file(sl, root, "f1.parquet")
+    tbl = _pq.read_table(p)
+    narrow = _pa.schema([_pa.field("a", _pa.int32()),
+                         _pa.field("b", _pa.float32())])
+    _pq.write_table(tbl.cast(narrow), p)
+    n = sl.count()
+    sch = StructType([
+        StructField("a", LongType(), True, {"delta.typeWidening": [
+            {"fromType": "integer", "toType": "long",
+             "tableVersion": 1}]}),
+        StructField("b", DoubleType(), True, {"delta.typeWidening": [
+            {"fromType": "float", "toType": "double",
+             "tableVersion": 1}]}),
+    ])
+    _write_delta_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        _delta_meta_action(sch.json()),
+        _delta_add_action(root, "f1.parquet", n)])
+    convert_from_delta(spark, root)
+    t = DeltaSparkTable(spark, root)
+    out = t.read().localCheckpoint(eager=True)
+    if dict(out.dtypes) != {"a": "bigint", "b": "double"}:
+        raise AssertionError(f"widened dtypes wrong: {out.dtypes}")
+    # guard 2: wide-typed append reads alongside the narrow file
+    t.write(spark.sql("SELECT CAST(-1 AS BIGINT) a, "
+                      "CAST(0.5 AS DOUBLE) b"), WriteMode.append)
+    if t.read().count() != n + 1:
+        raise AssertionError("wide append lost rows")
+    # guard 3: export re-declares the feature + keeps the metadata
+    import json as _json
+    import shutil as _shutil
+
+    from dagster_delta_spark import export_delta_log
+
+    _shutil.rmtree(_os.path.join(root, "_delta_log"))
+    export_delta_log(spark, root)
+    with open(_os.path.join(root, "_delta_log",
+                            "0" * 20 + ".json")) as fh:
+        actions = [_json.loads(line) for line in fh]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    if ("typeWidening" not in proto.get("readerFeatures", [])
+            or "typeWidening" not in proto.get("writerFeatures", [])):
+        raise AssertionError(f"export lost typeWidening: {proto}")
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    flds = _json.loads(meta["schemaString"])["fields"]
+    if "delta.typeWidening" not in flds[0].get("metadata", {}):
+        raise AssertionError("export dropped the widening metadata")
+    return out
+
+
 def o_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta CHANGE DATA FEED interop (r15;
     table.py:read_delta_changes): a real Delta table's
@@ -4559,17 +4648,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
     # that structurally cannot have one).  Round 15 window: the 18
-    # r11-recorded entries + 4 new r15 entries + 28 of the 49
+    # r11-recorded entries + 5 new r15 entries + 27 of the 49
     # r12-recorded entries — after r15 records land, the stalest
-    # cohort is the 21 deferred r12 entries at the head of the
+    # cohort is the 22 deferred r12 entries at the head of the
     # tail.  Local gate for the whole
     # registry regardless of position: tools/check_oracles.py.
     return {
         # -------- first 50: the round-15 recording window --------
         # Record-freshness rotation (r15): the 18 entries whose
         # newest committed record is CORRECTNESS_r11 lead, then the
-        # 4 NEW r15 delta-interop entries, then 28 of the 49
-        # r12-recorded entries.  18 + 4 + 28 = 50; the 21 deferred
+        # 5 NEW r15 delta-interop entries, then 27 of the 49
+        # r12-recorded entries.  18 + 5 + 27 = 50; the 22 deferred
         # r12 entries (q7_nation_volume, set_ops_customers,
         # asof_clicks_purchases, range_join_bursts, corpus_shuffle
         # .. selective_token_mask) lead the r16 window, then the
@@ -4593,14 +4682,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_log_cleanup": o_log_cleanup,
         "unimax_sample": curation.unimax_sample,
         # NEW r15 (oracle-backed, in-window): colmap EXPORT,
-        # id-mode convert, the Delta CDF decode, and the
-        # history-preserving convert — displacing q7_nation_volume,
+        # id-mode convert, the Delta CDF decode, the history-
+        # preserving convert, and typeWidening — displacing
+        # q11_important_parts, q7_nation_volume,
         # set_ops_customers, asof_clicks_purchases and
         # range_join_bursts (r12 records stand) past the cap
         "o_export_delta_colmap": o_export_delta_colmap,
         "o_convert_delta_idmode": o_convert_delta_idmode,
         "o_delta_change_feed": o_delta_change_feed,
         "o_convert_delta_history": o_convert_delta_history,
+        "o_convert_delta_typewide": o_convert_delta_typewide,
         "m4_replace_delete": m4_replace_delete,
         "w5_create_or_replace": w5_create_or_replace,
         "p2_timewindow_read": p2_timewindow_read,
@@ -6252,6 +6343,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT *, CAST(1 AS INTEGER) FROM f
             UNION ALL SELECT *, CAST(1 AS INTEGER) FROM o
             UNION ALL SELECT *, CAST(2 AS INTEGER) FROM f
+        """,
+        # the narrow-staged slice read back widened, plus the one
+        # wide-typed appended row; float32->double round-trips are
+        # IEEE-identical in both engines
+        "o_convert_delta_typewide": """
+            SELECT CAST(o_orderkey AS BIGINT) AS a,
+                   CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS b
+            FROM orders WHERE o_orderstatus = 'F'
         """,
         # the frozen table's exact contents — every refused mutation
         # (overwrite/DELETE/UPDATE/replace_where/RESTORE/upsert) must

@@ -108,6 +108,7 @@ def main() -> None:
         "convert_delta_idmode",
         "delta_change_feed",
         "convert_delta_history",
+        "convert_delta_typewide",
         # r12: one zstd append with table properties + commit
         # userMetadata (the W8/W9/W10 write path; fixture = the
         # pre-created table, timed = one optioned append)
@@ -885,9 +886,57 @@ def main() -> None:
         res = convert_from_delta(spark, root, preserve_history=True)
         assert res["version"] == 2 and res["history_preserved"]
 
+    def _ctw_setup(spark, d):
+        # fixture: an int32/float32-staged slice + a typeWidening
+        # Delta log; timed part = the convert (r15 — metadata replay,
+        # the widened read is a later scan concern)
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from pyspark.sql.types import DoubleType, LongType, \
+            StructField, StructType
+
+        root = entry._scratch("bench-ctw").rsplit("/", 1)[0] + "/delta"
+        _os.makedirs(root)
+        orders = spark.read.parquet(f"{d}/orders.parquet")
+        sl = orders.selectExpr("o_orderkey AS a",
+                               "o_totalprice AS b") \
+            .where("o_orderstatus = 'F'")
+        p = entry._stage_landing_file(sl, root, "f1.parquet")
+        tbl = _pq.read_table(p)
+        _pq.write_table(tbl.cast(_pa.schema(
+            [_pa.field("a", _pa.int32()),
+             _pa.field("b", _pa.float32())])), p)
+        sch = StructType([
+            StructField("a", LongType(), True,
+                        {"delta.typeWidening": [
+                            {"fromType": "integer", "toType": "long",
+                             "tableVersion": 1}]}),
+            StructField("b", DoubleType(), True,
+                        {"delta.typeWidening": [
+                            {"fromType": "float",
+                             "toType": "double",
+                             "tableVersion": 1}]})])
+        entry._write_delta_commit(root, 0, [
+            {"protocol": {"minReaderVersion": 3,
+                          "minWriterVersion": 7,
+                          "readerFeatures": ["typeWidening"],
+                          "writerFeatures": ["typeWidening"]}},
+            entry._delta_meta_action(sch.json()),
+            entry._delta_add_action(root, "f1.parquet", sl.count())])
+        return root
+
+    def _ctw_run(spark, root):
+        from dagster_delta_spark import convert_from_delta
+        res = convert_from_delta(spark, root)
+        assert res["version"] == 0
+
     staged = {
         "delta_change_feed": (_cdf_feed_setup, _cdf_feed_run),
         "convert_delta_history": (_chist_setup, _chist_run),
+        "convert_delta_typewide": (_ctw_setup, _ctw_run),
         "convert_delta_dv": (_cdv_setup, _cdv_run),
         "export_delta_log": (_xdl_setup, _xdl_run),
         "export_delta_colmap": (_xcm_setup, _xcm_run),
