@@ -295,6 +295,51 @@ def _build_cdf_fixture(spark, orders, root: str) -> tuple:
     return n_f, n_o
 
 
+#: the one delta.typeWidening metadata shape every fixture uses
+_TW_META = {
+    "a": [{"fromType": "integer", "toType": "long",
+           "tableVersion": 1}],
+    "b": [{"fromType": "float", "toType": "double",
+           "tableVersion": 1}],
+}
+
+
+def _build_typewide_fixture(spark, df_ab, root: str) -> int:
+    """Stage the typeWidening Delta fixture under ``root``: ``df_ab``
+    (columns ``a`` castable to int32, ``b`` to float32) written as
+    ONE narrow (int32/float32) file + a log whose schema is the
+    WIDENED long/double with ``delta.typeWidening`` metadata and the
+    3/7 feature protocol.  Returns the row count.  ONE encoding
+    shared by the o_convert_delta_typewide entry, bench._ctw_setup
+    and the typeWidening tests."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, \
+        StructType
+
+    p = _stage_landing_file(df_ab.select("a", "b"), root,
+                            "f1.parquet")
+    tbl = _pq.read_table(p)
+    _pq.write_table(tbl.cast(_pa.schema(
+        [_pa.field("a", _pa.int32()),
+         _pa.field("b", _pa.float32())])), p)
+    n = tbl.num_rows
+    sch = StructType([
+        StructField("a", LongType(), True,
+                    {"delta.typeWidening": _TW_META["a"]}),
+        StructField("b", DoubleType(), True,
+                    {"delta.typeWidening": _TW_META["b"]}),
+    ])
+    _write_delta_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        _delta_meta_action(sch.json()),
+        _delta_add_action(root, "f1.parquet", n)])
+    return n
+
+
 def _build_colmap_export_table(spark, orders, root: str):
     """A renamed (column-mapped) dds table with a DV delete — the
     colmap-export fixture shared by the o_export_delta_colmap entry
@@ -1731,38 +1776,14 @@ def o_convert_delta_typewide(spark: SparkSession,
     breaks the hash."""
     import os as _os
 
-    import pyarrow as _pa
-    import pyarrow.parquet as _pq
-
     from dagster_delta_spark import DeltaSparkTable, convert_from_delta
-    from pyspark.sql.types import DoubleType, LongType, StructField, \
-        StructType
 
     orders = _orders(spark, sf_dir)
     root = _scratch("ctw").rsplit("/", 1)[0] + "/delta"
     _os.makedirs(root)
     sl = orders.selectExpr("o_orderkey AS a", "o_totalprice AS b") \
         .where("o_orderstatus = 'F'")
-    p = _stage_landing_file(sl, root, "f1.parquet")
-    tbl = _pq.read_table(p)
-    narrow = _pa.schema([_pa.field("a", _pa.int32()),
-                         _pa.field("b", _pa.float32())])
-    _pq.write_table(tbl.cast(narrow), p)
-    n = sl.count()
-    sch = StructType([
-        StructField("a", LongType(), True, {"delta.typeWidening": [
-            {"fromType": "integer", "toType": "long",
-             "tableVersion": 1}]}),
-        StructField("b", DoubleType(), True, {"delta.typeWidening": [
-            {"fromType": "float", "toType": "double",
-             "tableVersion": 1}]}),
-    ])
-    _write_delta_commit(root, 0, [
-        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["typeWidening"],
-                      "writerFeatures": ["typeWidening"]}},
-        _delta_meta_action(sch.json()),
-        _delta_add_action(root, "f1.parquet", n)])
+    n = _build_typewide_fixture(spark, sl, root)
     convert_from_delta(spark, root)
     t = DeltaSparkTable(spark, root)
     out = t.read().localCheckpoint(eager=True)

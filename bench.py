@@ -887,16 +887,11 @@ def main() -> None:
         assert res["version"] == 2 and res["history_preserved"]
 
     def _ctw_setup(spark, d):
-        # fixture: an int32/float32-staged slice + a typeWidening
-        # Delta log; timed part = the convert (r15 — metadata replay,
-        # the widened read is a later scan concern)
+        # fixture (shared with the o_convert_delta_typewide entry):
+        # an int32/float32-staged slice + a typeWidening Delta log;
+        # timed part = the convert (r15 — metadata replay, the
+        # widened read is a later scan concern)
         import os as _os
-
-        import pyarrow as _pa
-        import pyarrow.parquet as _pq
-
-        from pyspark.sql.types import DoubleType, LongType, \
-            StructField, StructType
 
         root = entry._scratch("bench-ctw").rsplit("/", 1)[0] + "/delta"
         _os.makedirs(root)
@@ -904,28 +899,7 @@ def main() -> None:
         sl = orders.selectExpr("o_orderkey AS a",
                                "o_totalprice AS b") \
             .where("o_orderstatus = 'F'")
-        p = entry._stage_landing_file(sl, root, "f1.parquet")
-        tbl = _pq.read_table(p)
-        _pq.write_table(tbl.cast(_pa.schema(
-            [_pa.field("a", _pa.int32()),
-             _pa.field("b", _pa.float32())])), p)
-        sch = StructType([
-            StructField("a", LongType(), True,
-                        {"delta.typeWidening": [
-                            {"fromType": "integer", "toType": "long",
-                             "tableVersion": 1}]}),
-            StructField("b", DoubleType(), True,
-                        {"delta.typeWidening": [
-                            {"fromType": "float",
-                             "toType": "double",
-                             "tableVersion": 1}]})])
-        entry._write_delta_commit(root, 0, [
-            {"protocol": {"minReaderVersion": 3,
-                          "minWriterVersion": 7,
-                          "readerFeatures": ["typeWidening"],
-                          "writerFeatures": ["typeWidening"]}},
-            entry._delta_meta_action(sch.json()),
-            entry._delta_add_action(root, "f1.parquet", sl.count())])
+        entry._build_typewide_fixture(spark, sl, root)
         return root
 
     def _ctw_run(spark, root):

@@ -498,6 +498,50 @@ def _column_defaults(configuration: dict[str, str]) -> dict[str, str]:
     return _json_loads(raw) if raw else {}
 
 
+#: int-class widening order for delta.typeWidening validation
+_INT_WIDENING_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_TW_DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(-?\d+)\)$")
+
+
+def _validate_type_widening(col: str, records: Any) -> None:
+    """Refuse ``delta.typeWidening`` promotions outside the classes
+    this engine's parquet reads are VERIFIED to perform (int-class
+    ups, int→double, float→double, decimal precision/scale widening
+    with a non-shrinking integer part).  A spec-legal-but-unverified
+    pair (int→decimal, date→timestampNtz) must refuse AT CONVERT —
+    accepting and crashing at first read would violate the
+    pointed-refusal contract (and the commit would already have
+    mutated the source dir)."""
+    if not isinstance(records, list):
+        raise ValueError(
+            f"column {col!r}: delta.typeWidening metadata is not the "
+            f"spec's record list ({type(records).__name__})")
+    for rec in records:
+        frm = str((rec or {}).get("fromType", ""))
+        to = str((rec or {}).get("toType", ""))
+        ok = False
+        if frm in _INT_WIDENING_ORDER and to in _INT_WIDENING_ORDER:
+            ok = _INT_WIDENING_ORDER[frm] < _INT_WIDENING_ORDER[to]
+        elif frm in _INT_WIDENING_ORDER and to == "double":
+            ok = True
+        elif frm == "float" and to == "double":
+            ok = True
+        else:
+            mf = _TW_DECIMAL_RE.match(frm)
+            mt = _TW_DECIMAL_RE.match(to)
+            if mf and mt:
+                pf, sf = int(mf[1]), int(mf[2])
+                pt, st = int(mt[1]), int(mt[2])
+                ok = (pt >= pf and st >= sf
+                      and (pt - st) >= (pf - sf))
+        if not ok:
+            raise ValueError(
+                f"column {col!r} records a type widening "
+                f"{frm!r} -> {to!r} this engine's reads are not "
+                "verified to perform; refusing at convert rather "
+                "than misreading (or crashing) at first scan")
+
+
 def _hive_layout(rel: str) -> dict[str, Optional[str]]:
     """Partition values a relative file path's hive directory
     components encode ({col: value}, __HIVE_DEFAULT_PARTITION__ →
@@ -5367,6 +5411,11 @@ def convert_from_delta(
                 "id-allocation strategies differ between engines and "
                 "a silent swap would change future ids — drop the "
                 "identity contract with a Delta writer first")
+        if "delta.typeWidening" in md:
+            # kept inert in the stored schema, but the recorded
+            # promotions must be ones this engine's reads perform
+            _validate_type_widening(fld.name,
+                                    md["delta.typeWidening"])
         gexpr = md.pop("delta.generationExpression", None)
         if gexpr is not None:
             try:
@@ -5524,7 +5573,14 @@ def convert_from_delta(
     dropped_cfg = {
         k: cfg.pop(k) for k in sorted(cfg)
         if k in ("delta.enableChangeDataFeed",
-                 "delta.enableDeletionVectors")
+                 "delta.enableDeletionVectors",
+                 # widening-on-write is Delta-writer machinery this
+                 # engine does not run (already-widened files READ
+                 # fine — the kept delta.typeWidening field metadata
+                 # is what records that); carrying the enable claim
+                 # could also export under a legacy protocol, which
+                 # a spec-conformant writer would reject
+                 "delta.enableTypeWidening")
         or k.startswith("delta.autoOptimize.")
     }
     if delta_colmap:

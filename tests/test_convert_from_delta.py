@@ -1385,35 +1385,14 @@ def test_convert_type_widening(spark, tmp_path):
     metadata stays inert, and the export direction re-declares the
     feature so foreign readers of the still-narrow files are
     warned."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from pyspark.sql.types import DoubleType, LongType, StructField, \
-        StructType
-
     root = str(tmp_path / "d")
     os.makedirs(root)
-    pq.write_table(
-        pa.table({"a": pa.array([1, 2, 3], pa.int32()),
-                  "b": pa.array([1.5, 2.5, 3.5], pa.float32())}),
-        os.path.join(root, "f1.parquet"))
-    tw_md = [{"fromType": "integer", "toType": "long",
-              "tableVersion": 1}]
-    sch = StructType([
-        StructField("a", LongType(), True,
-                    {"delta.typeWidening": tw_md}),
-        StructField("b", DoubleType(), True,
-                    {"delta.typeWidening": [
-                        {"fromType": "float", "toType": "double",
-                         "tableVersion": 1}]}),
-    ])
-    _write_log(root, [[
-        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["typeWidening"],
-                      "writerFeatures": ["typeWidening"]}},
-        _entry._delta_meta_action(sch.json()),
-        _add(root, "f1.parquet", 3),
-    ]])
+    tw_md = _entry._TW_META["a"]
+    df = spark.sql("SELECT CAST(id + 1 AS BIGINT) AS a, "
+                   "CAST(id + 1.5 AS DOUBLE) AS b FROM range(0, 3)")
+    # ONE fixture encoding (entry/bench/tests): narrow int32/float32
+    # file + widened long/double schema + 3/7 typeWidening protocol
+    assert _entry._build_typewide_fixture(spark, df, root) == 3
     convert_from_delta(spark, root)
     t = DeltaSparkTable(spark, root)
     out = t.read()
@@ -1457,3 +1436,67 @@ def test_convert_type_widening(spark, tmp_path):
     back = DeltaSparkTable(spark, dst)
     assert sorted(tuple(r) for r in back.read().collect()) == \
         sorted(tuple(r) for r in t.read().collect())
+
+
+def test_type_widening_guards(spark, tmp_path):
+    """Review pins (r15): (a) delta.enableTypeWidening is a writer-
+    machinery claim this engine does not run — stripped into
+    dropped_configuration like enableChangeDataFeed; (b) a recorded
+    widening pair OUTSIDE the verified promotion classes refuses AT
+    CONVERT (accept-then-crash-at-first-read would break the
+    pointed-refusal contract)."""
+    from pyspark.sql.types import LongType, StructField, StructType, \
+        TimestampType
+
+    # (a) property stripped and reported
+    root = str(tmp_path / "prop")
+    os.makedirs(root)
+    _stage_file(spark, _df(spark, 0, 3), root, "f1.parquet")
+    _write_log(root, [[
+        _proto(), _meta(spark, _df(spark, 0, 1),
+                        cfg={"delta.enableTypeWidening": "true"}),
+        _add(root, "f1.parquet", 3)]])
+    res = convert_from_delta(spark, root)
+    assert "delta.enableTypeWidening" in res["dropped_configuration"]
+    props = DeltaSparkTable(spark, root).describe_detail()["properties"]
+    assert "delta.enableTypeWidening" not in props
+
+    # (b) date->timestamp (and any unverified pair) refuses pointedly
+    r2 = str(tmp_path / "bad")
+    os.makedirs(r2)
+    _stage_file(spark, spark.sql(
+        "SELECT TIMESTAMP'2024-01-01 00:00:00' AS t"), r2,
+        "f1.parquet")
+    sch = StructType([StructField("t", TimestampType(), True, {
+        "delta.typeWidening": [{"fromType": "date",
+                                "toType": "timestampNtz",
+                                "tableVersion": 1}]})])
+    _write_log(r2, [[
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        _entry._delta_meta_action(sch.json()),
+        _add(r2, "f1.parquet", 1)]])
+    with pytest.raises(ValueError, match="not\\s+verified"):
+        convert_from_delta(spark, r2)
+    assert not DeltaSparkTable(spark, r2).exists()
+
+    # decimal shrink (scale up but integer part down) refuses too
+    r3 = str(tmp_path / "decbad")
+    os.makedirs(r3)
+    _stage_file(spark, spark.sql(
+        "SELECT CAST(1.5 AS DECIMAL(10,2)) AS m"), r3, "f1.parquet")
+    from pyspark.sql.types import DecimalType
+
+    sch3 = StructType([StructField("m", DecimalType(10, 4), True, {
+        "delta.typeWidening": [{"fromType": "decimal(10,2)",
+                                "toType": "decimal(10,4)",
+                                "tableVersion": 1}]})])
+    _write_log(r3, [[
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        _entry._delta_meta_action(sch3.json()),
+        _add(r3, "f1.parquet", 1)]])
+    with pytest.raises(ValueError, match="not\\s+verified"):
+        convert_from_delta(spark, r3)
