@@ -160,6 +160,17 @@ def main() -> None:
         "duplicate_components",
         "nb_classifier_scores",
     ]
+    # Dev-only A/B subset (r15 optimization round): comma-separated
+    # line names; unset (the driver's invocation) runs the full list
+    # unchanged.  Staged stage-dict lines are selected by their
+    # harness name (e.g. row_dml_stages, stream_ingest_stages).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        sel = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = sel - set(bench_queries)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {unknown}")
+        bench_queries = [q for q in bench_queries if q in sel]
 
     # Staged entries: fixture construction is NOT the operator under
     # test (the IVF-prebuild precedent: fixtures go untimed), so these

@@ -827,46 +827,49 @@ def winnow_fingerprints(
     byte-for-byte (unlike seed-dependent xxhash sketches, this entry
     IS oracle-backed).
 
-    Plan shape: posexplode tokens -> k-1 ``lead`` window columns build
-    each gram (codegen, same pattern as ``shingles_of``) -> two
-    doc-keyed windows (gram count + frame min) -> distinct.  One
-    shuffle on doc_id; per-doc state only.  Docs shorter than k tokens
+    Plan shape (r15 optimization — was posexplode + two doc-keyed
+    windows + distinct, i.e. one full token-stream Exchange plus a
+    second (doc_id, fp) Exchange): the gram hashes AND the sliding
+    frame minima are built in the ARRAY domain of each document row
+    (single-level ``transform`` lambdas over the bound token array —
+    bound once per row; multiple references block Catalyst projection
+    collapse, so the tokenizer regex runs once per doc, not per
+    gram), and per-doc ``array_distinct`` IS the (doc_id, fp)
+    distinct.  ZERO Exchanges: the whole operator is map + explode,
+    so at corpus scale no token ever crosses the network.  The output
+    row set is bit-identical to the window formulation (same md5
+    grams, same frame minima, same truncated-frame rule — A/B'd
+    exhaustively at sf0.1).  Docs shorter than k tokens
     emit nothing; docs with fewer than ``window`` grams winnow their
     single truncated frame (the standard short-document variant), so
     every fingerprintable doc yields at least one selection."""
-    from pyspark.sql.window import Window
-
     if k < 1 or window < 1:
         raise ValueError(f"k={k} and window={window} must be >= 1")
     docs = load(spark, sf_dir, "documents")
-    ex = docs.select("doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gram_cols = [F.col("tok")] + [
-        F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, k)
-    ]
-    grams = (
-        ex.select("doc_id", "pos", *gram_cols)
-        .where(F.col(f"t{k-1}").isNotNull() if k > 1 else F.lit(True))
-        .select(
-            "doc_id", "pos",
-            F.md5(F.concat_ws(
-                " ", "tok", *[f"t{i}" for i in range(1, k)])).alias("fp"),
-        )
+    toks = docs.select("doc_id", F.expr(TOKENS).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(t) >= {k} THEN "
+            f"transform(sequence(1, size(t) - {k} + 1), "
+            f"i -> md5(concat_ws(' ', slice(t, i, {k})))) "
+            "ELSE array() END"
+        ).alias("g"),
     )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    n = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    sel = (
-        grams
-        .withColumn("sel", F.min("fp").over(wd.rowsBetween(0, window - 1)))
-        .withColumn("n_grams", n)
-        # full frames only (positions 0..n-window); a doc with fewer
-        # than `window` grams keeps its single truncated frame at pos 0
-        .where(F.col("pos") <= F.greatest(
-            F.col("n_grams") - window, F.lit(0)))
-        .select("doc_id", F.col("sel").alias("fp"))
-        .distinct()
+    # frame minima: positions 1..max(n_grams-window, 0)+1 (full frames
+    # plus the single truncated frame of a short doc); empty gram
+    # arrays must short-circuit or array_min(slice([], ...)) would
+    # fabricate a NULL fingerprint row
+    return grams.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(g) >= 1 THEN "
+            f"array_distinct(transform("
+            f"sequence(1, greatest(size(g) - {window}, 0) + 1), "
+            f"i -> array_min(slice(g, i, {window})))) "
+            "ELSE array() END"
+        )).alias("fp"),
     )
-    return sel
 
 
 def winnow_repeated_spans(
@@ -945,25 +948,35 @@ def strip_repeated_spans(
     one fp-keyed distinct-doc count, one positions explode bounded by
     k x repeated grams.  No pair expansion: a million-doc boilerplate
     fp costs a million gram rows through the count, never pairs.
-    md5 fingerprints keep the entry oracle-backed."""
-    from pyspark.sql.window import Window
+    md5 fingerprints keep the entry oracle-backed.
 
+    r15 optimization (results bit-identical): the corpus tokenizes
+    ONCE into a checkpointed per-doc token array (one row per doc —
+    a far smaller materialization than the old exploded token
+    stream); grams build map-side in the array domain (posexplode of
+    a ``transform`` over the bound array — was a doc-keyed ``lead``
+    window, i.e. a full token-stream Exchange + sort); per-doc token
+    totals come from ``size(t)`` (was a second token-stream groupBy
+    Exchange); and the covered-positions stream feeds the anti-join
+    WITHOUT a distinct (left-anti semantics ignore right-side
+    duplicates — was another Exchange + aggregate).  Net: 3 fewer
+    Exchanges and one sort removed from the plan."""
     if k < 1:
         raise ValueError(f"k={k} must be >= 1")
     docs = load(spark, sf_dir, "documents")
-    ex = docs.select(
-        "doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok")
-    ).localCheckpoint()  # feeds grams AND the final reconstruction
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gram_cols = [F.col("tok")] + [
-        F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, k)
-    ]
-    grams = (
-        ex.select("doc_id", "pos", *gram_cols)
-        .where(F.col(f"t{k-1}").isNotNull() if k > 1 else F.lit(True))
-        .select("doc_id", "pos",
-                F.md5(F.concat_ws(
-                    " ", "tok", *[f"t{i}" for i in range(1, k)])).alias("fp"))
+    # tokenize once; feeds grams, the reconstruction AND the totals
+    toks = docs.select(
+        "doc_id", F.expr(TOKENS).alias("t")
+    ).localCheckpoint()
+    ex = toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"CASE WHEN size(t) >= {k} THEN "
+            f"transform(sequence(1, size(t) - {k} + 1), "
+            f"i -> md5(concat_ws(' ', slice(t, i, {k})))) "
+            "ELSE array() END"
+        )).alias("pos", "fp"),
     )
     hot = (
         grams.groupBy("fp")
@@ -976,7 +989,6 @@ def strip_repeated_spans(
         .select("doc_id",
                 F.explode(F.expr(f"sequence(pos, pos + {k - 1})"))
                 .alias("pos"))
-        .distinct()
     )
     kept = ex.join(covered, ["doc_id", "pos"], "left_anti")
     clean = kept.groupBy("doc_id").agg(
@@ -987,7 +999,11 @@ def strip_repeated_spans(
                    "p -> p.tok)"),
         ).alias("clean_text"),
     )
-    totals = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    # the old totals aggregated the EXPLODED stream, so zero-token
+    # docs had no row and were absent from the output — keep that
+    totals = toks.select(
+        "doc_id", F.size("t").cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
     return (
         totals.join(clean, "doc_id", "left")
         .select(

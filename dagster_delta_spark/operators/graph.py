@@ -90,13 +90,77 @@ def bipartite_components(
     rounds = iterations if iterations is not None else max_iterations
     prev_sum = None
     converged = iterations is not None
-    for _ in range(rounds):
-        prev_labels = labels
-        key_min = (
-            member.join(labels, node_col)
-            .groupBy(*keys)
-            .agg(F.min("lbl").alias("kmin"))
+    # Scale-adaptive round sizing (r15, guide §2.2/§2.5): the loop
+    # runs 2 keyed shuffles per round over the (materialized)
+    # membership — when that frame is small, the session's full
+    # shuffle-partition count is pure per-task scheduling overhead
+    # (~0.3 s/round measured at 9k rows x 32 partitions).  Size the
+    # round shuffles from the actual membership row count (one cheap
+    # count on the checkpointed frame), never RAISING above the
+    # session setting — at production scale the session value wins
+    # unchanged.  Restored in ``finally``.
+    spark = membership.sparkSession
+    sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        cur_parts = int(sess_parts)
+    except (TypeError, ValueError):
+        cur_parts = None
+    loop_parts = None
+    if cur_parts is not None and cur_parts > 1:
+        n_member = member.count()
+        loop_parts = min(cur_parts, max(1, -(-n_member // 200_000)))
+        if loop_parts >= cur_parts:
+            loop_parts = None
+    if loop_parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels, converged = _propagate_rounds(
+            member, labels, node_col, keys, rounds, iterations,
+            integral_ids, prev_sum, converged)
+    finally:
+        if loop_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+    if not converged:
+        raise ComponentConvergenceError(
+            f"label propagation did not converge within "
+            f"max_iterations={max_iterations}; the component graph has "
+            f"a longer chain than expected — raise max_iterations"
         )
+    return labels.select(node_col, F.col("lbl").alias("component"))
+
+
+def _propagate_rounds(
+    member: DataFrame,
+    labels: DataFrame,
+    node_col: str,
+    keys: Sequence[str],
+    rounds: int,
+    iterations: Optional[int],
+    integral_ids: bool,
+    prev_sum,
+    converged: bool,
+):
+    """The propagation loop body of :func:`bipartite_components` —
+    split out so the adaptive shuffle-partition override wraps exactly
+    the round shuffles."""
+    for rnd in range(rounds):
+        prev_labels = labels
+        if rnd == 0:
+            # round-1 fusion (r15 optimization): the initial label of
+            # every node IS the node id, so the first key-min needs no
+            # join with the labels frame — min(node) per key straight
+            # off the membership.  Identical result, one less
+            # join+Exchange in the first (often only) hot round.
+            key_min = (
+                member.groupBy(*keys)
+                .agg(F.min(F.col(node_col)).alias("kmin"))
+            )
+        else:
+            key_min = (
+                member.join(labels, node_col)
+                .groupBy(*keys)
+                .agg(F.min("lbl").alias("kmin"))
+            )
         labels = (
             member.join(key_min, keys)
             .groupBy(node_col)
@@ -128,13 +192,7 @@ def bipartite_components(
                 if changed == 0:
                     converged = True
                     break
-    if not converged:
-        raise ComponentConvergenceError(
-            f"label propagation did not converge within "
-            f"max_iterations={max_iterations}; the component graph has "
-            f"a longer chain than expected — raise max_iterations"
-        )
-    return labels.select(node_col, F.col("lbl").alias("component"))
+    return labels, converged
 
 
 def duplicate_components(

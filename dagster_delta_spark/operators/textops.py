@@ -995,11 +995,20 @@ def bm25_search(
     docs = load(spark, sf_dir, "documents")
     qterms = _bm25_query_terms(spark, queries)
     terms = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("term"))
+    # Query-term probe BEFORE the tf aggregate (r15 optimization):
+    # the scoring core only ever reads tf rows whose term is a query
+    # term (postings probe + df aggregate are both query-term-keyed),
+    # so the broadcast semi-join drops ~the whole token stream
+    # map-side and the (doc_id, term) shuffle carries only matching
+    # tokens instead of the full vocabulary.  tf values for surviving
+    # terms are unchanged — results are bit-identical.
+    probe = F.broadcast(qterms.select("term").distinct())
     # checkpointed so the postings probe and the df aggregate share
-    # ONE tokenize+count pass instead of re-expanding the lineage
-    # (the bigram_perplexity model-side pattern)
+    # ONE tokenize+probe+count pass instead of re-expanding the
+    # lineage (the bigram_perplexity model-side pattern)
     tf = (
-        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        terms.join(probe, "term", "left_semi")
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
     dl = docs.select(
