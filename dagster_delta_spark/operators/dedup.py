@@ -791,13 +791,26 @@ def simhash_near_dups(
     banded = simhash_bucket_index(spark, sf_dir, max_hamming,
                                   max_bucket_size,
                                   portable_hash=portable_hash)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # r15 optimization: GROUPED pair expansion replaces the bucket
+    # self-join (the fuzzy_self_join rewrite — one groupBy Exchange on
+    # the bucket key instead of two join-side Exchanges + sort-merge
+    # sorts).  Single-member buckets die before any pair exists; the
+    # surviving buckets expand i x j map-side via chained explodes.
+    # Per-bucket memory is O(bucket size), already bounded by the
+    # ``max_bucket_size`` truncation in the bucket index.  Output is
+    # identical: same candidate set, same inline bit_count verify,
+    # same distinct.
+    buckets = (
+        banded.groupBy("band", "h")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        # verify inline, pre-distinct: join output -> bit_count ->
+        buckets
+        .select(F.explode("ms").alias("a"), F.col("ms"))
+        .select("a", F.explode("ms").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        # verify inline, pre-distinct: explode output -> bit_count ->
         # filter is one codegen pipeline with no exchange in between
         .withColumn("hamming",
                     F.bit_count(F.expr("a.simhash ^ b.simhash")))

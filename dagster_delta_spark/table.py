@@ -2913,15 +2913,27 @@ class DeltaSparkTable:
                     "num_removed_files": 0, "rewritten_files": 0}
 
         match = self._scoped_condition(predicate, partition_dnf)
-        hits, full, partial, deleted = self._dml_discovery(
-            snap, candidates, match)
+        doomed_pos = None
+        if use_dv:
+            # r15 optimization: the DV path needs the matched POSITIONS
+            # anyway (the sidecar content), so ONE scan collects them
+            # and the per-file hit counts derive from the checkpointed
+            # position frame — was two scans of every candidate file
+            # (count pass + position pass).  Position volume = deleted
+            # rows, bounded by the delete itself.
+            hits, full, partial, deleted, doomed_pos = (
+                self._dml_discovery_positions(snap, candidates, match))
+        else:
+            hits, full, partial, deleted = self._dml_discovery(
+                snap, candidates, match)
         if not full and not partial:
             return {"version": snap.version, "num_deleted_rows": 0,
                     "num_copied_rows": 0, "num_added_files": 0,
                     "num_removed_files": 0, "rewritten_files": 0}
 
         if partial and use_dv:
-            dv_adds = self._write_deletion_vector(snap, partial, match, hits)
+            dv_adds = self._write_deletion_vector(
+                snap, partial, match, hits, positions=doomed_pos)
             return self._commit_rewrite(
                 snap, full + partial, dv_adds, "DELETE",
                 operation_parameters={**params, "mode": "deletion_vector"},
@@ -2982,13 +2994,69 @@ class DeltaSparkTable:
         whose remaining rows all match is a full drop."""
         hits = (self._per_file_hits(snap, candidates, match)
                 if candidates else {})
+        return (hits, *self._classify_hits(candidates, hits))
+
+    @staticmethod
+    def _classify_hits(
+        candidates: Sequence[AddFile], hits: dict[str, int]
+    ) -> tuple[list[AddFile], list[AddFile], int]:
+        """(fully-matched, partially-matched, total matched rows) from
+        a per-file hit count — shared by the scan-counting discovery
+        and the position-collecting DV discovery."""
         rows_by_key = {a.log_key: a.live_records for a in candidates}
         full = [a for a in candidates
                 if hits.get(a.log_key, 0) == rows_by_key[a.log_key]
                 and hits.get(a.log_key, 0) > 0]
         partial = [a for a in candidates
                    if 0 < hits.get(a.log_key, 0) < rows_by_key[a.log_key]]
-        return hits, full, partial, sum(hits.values())
+        return full, partial, sum(hits.values())
+
+    def _dml_discovery_positions(
+        self, snap: Snapshot, candidates: Sequence[AddFile], match,
+    ) -> tuple[dict[str, int], list[AddFile], list[AddFile], int,
+               DataFrame]:
+        """DV-flavored discovery (r15): ONE scan of the candidates
+        collects the matched LIVE row positions into a checkpointed
+        ``(__path, row_index)`` frame; hit counts (and the
+        full/partial classification) derive from that frame with a
+        tiny aggregate instead of a second scan, and the sidecar
+        writer consumes the same frame.  Position volume is the
+        number of matched rows — the quantity a DV delete is sized
+        by — never the candidate bytes."""
+        tgt = self._read_files(snap, candidates, with_metadata=True)
+        pos = (
+            tgt.where(match)
+            .select("__path", F.col("__ri").alias("row_index"))
+            .localCheckpoint()
+        )
+        hits = self._hits_from_frame(candidates, pos)
+        return (hits, *self._classify_hits(candidates, hits), pos)
+
+    def _hits_from_frame(
+        self, candidates: Sequence[AddFile], frame: DataFrame,
+    ) -> dict[str, int]:
+        """Per-file hit counts keyed by log_key from a (materialized)
+        frame carrying ``__path`` — one tiny aggregate, no rescan."""
+        from urllib.parse import urlparse as _urlparse
+
+        key_by_abs = {
+            os.path.abspath(os.path.join(a.base or self.table_uri, a.path)):
+                a.log_key
+            for a in candidates
+        }
+        hits: dict[str, int] = {}
+        per_file = frame.groupBy("__path").agg(
+            F.count(F.lit(1)).alias("__hits"))
+        for r in per_file.toLocalIterator():
+            norm = os.path.abspath(unquote(_urlparse(r["__path"]).path))
+            key = key_by_abs.get(norm)
+            if key is None:
+                raise AssertionError(
+                    f"scanned file {r['__path']!r} did not map back to a "
+                    "candidate AddFile (path normalization mismatch)"
+                )
+            hits[key] = r["__hits"]
+        return hits
 
     def replace_where(
         self,
@@ -3073,8 +3141,16 @@ class DeltaSparkTable:
             self._enforce_generated(out, gen_provided)
 
         match = self._scoped_condition(predicate, None)
-        hits, full, partial, deleted = self._dml_discovery(
-            snap, self._dml_candidates(snap, schema, predicate), match)
+        rw_pos = None
+        if use_dv and not dry_run:
+            # same single-scan DV discovery as delete() (r15)
+            hits, full, partial, deleted, rw_pos = (
+                self._dml_discovery_positions(
+                    snap, self._dml_candidates(snap, schema, predicate),
+                    match))
+        else:
+            hits, full, partial, deleted = self._dml_discovery(
+                snap, self._dml_candidates(snap, schema, predicate), match)
         if not full and not partial and out.limit(1).head() is None:
             # nothing matched AND nothing to insert: committing would
             # publish an empty REWRITE version that forces every
@@ -3105,7 +3181,8 @@ class DeltaSparkTable:
         adds: list[AddFile] = []
         copied = 0
         if partial and use_dv:
-            adds += self._write_deletion_vector(snap, partial, match, hits)
+            adds += self._write_deletion_vector(
+                snap, partial, match, hits, positions=rw_pos)
         elif partial:
             keep = self._read_files(snap, partial).where(~match)
             keep_adds = _stage_dataframe(
@@ -3146,13 +3223,20 @@ class DeltaSparkTable:
         partial: list[AddFile],
         match,
         hits: dict[str, int],
+        positions: Optional[DataFrame] = None,
     ) -> list[AddFile]:
         """Write ONE DV sidecar parquet for this delete and return the
         re-add entries: each partially-matched file keeps its physical
         data untouched but points at the sidecar with an updated
         ``dv_count``.  Prior DV positions (local or cloned) are folded
         into the new sidecar so a file always has at most one live DV
-        reference."""
+        reference.
+
+        ``positions`` (r15): a pre-collected checkpointed
+        ``(__path, row_index)`` frame of the matched live positions
+        (from ``_dml_discovery_positions``) — skips the second scan of
+        the candidate files; rows belonging to non-partial files fall
+        out in the mapping join below."""
         import dataclasses
 
         rel = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
@@ -3166,18 +3250,23 @@ class DeltaSparkTable:
              for a in partial],
             "root string, path string, __norm string",
         )
-        # matched LIVE positions (the scan is DV-filtered, so already-
-        # masked rows cannot re-enter)
-        tgt = self._read_files(snap, partial, with_metadata=True)
+        if positions is not None:
+            raw = positions
+        else:
+            # matched LIVE positions (the scan is DV-filtered, so
+            # already-masked rows cannot re-enter)
+            tgt = self._read_files(snap, partial, with_metadata=True)
+            raw = tgt.where(match).select(
+                "__path", F.col("__ri").alias("row_index"))
         doomed = (
-            tgt.where(match)
+            raw
             .withColumn(
                 "__norm",
                 F.expr("regexp_replace(url_decode(replace(__path, '+', "
                        "'%2B')), '^file:/*', '/')"),
             )
             .join(F.broadcast(mapping), "__norm")
-            .select("root", "path", F.col("__ri").alias("row_index"))
+            .select("root", "path", "row_index")
         )
         carried = [a for a in partial if a.dv_path]
         if carried:
@@ -3275,7 +3364,25 @@ class DeltaSparkTable:
                     "num_removed_files": 0, "rewritten_files": 0}
 
         match = self._scoped_condition(predicate, partition_dnf)
-        hits = self._per_file_hits(snap, candidates, match)
+        matched_full = None
+        if use_dv:
+            # r15 optimization: the DV update needs the matched rows'
+            # VALUES (the updated copies) and their POSITIONS (the
+            # mask) anyway, so ONE scan materializes the matched rows
+            # with their file metadata; hit counts, the updated-copy
+            # projection and the sidecar positions all derive from
+            # that checkpoint — was three scans of the candidates
+            # (count pass + value pass + position pass).  Checkpoint
+            # volume = updated rows, the quantity a DV update is
+            # sized by.
+            matched_full = (
+                self._read_files(snap, candidates, with_metadata=True)
+                .where(match)
+                .localCheckpoint()
+            )
+            hits = self._hits_from_frame(candidates, matched_full)
+        else:
+            hits = self._per_file_hits(snap, candidates, match)
         touched = [a for a in candidates if hits.get(a.log_key, 0) > 0]
         updated = sum(hits.values())
         if not touched:
@@ -3292,14 +3399,14 @@ class DeltaSparkTable:
 
         if use_dv:
             # merge-on-read: mask matched rows, append updated copies
-            matched_df = self._read_files(snap, touched).where(match)
+            # (both projected off the single discovery checkpoint)
             upd_cols = [
                 F.expr(assignments[f_.name]).cast(f_.dataType)
                 .alias(f_.name)
                 if f_.name in assignments else F.col(f_.name)
                 for f_ in schema.fields
             ]
-            new_rows = matched_df.select(*upd_cols)
+            new_rows = matched_full.select(*upd_cols)
             dtypes = {f_.name: f_.dataType for f_ in schema.fields}
             for gcol, gexpr in gencols.items():
                 # recompute over the POST-update projection
@@ -3318,7 +3425,10 @@ class DeltaSparkTable:
             part_files = [a for a in touched
                           if hits[a.log_key] < rows_by_key[a.log_key]]
             dv_adds = (
-                self._write_deletion_vector(snap, part_files, match, hits)
+                self._write_deletion_vector(
+                    snap, part_files, match, hits,
+                    positions=matched_full.select(
+                        "__path", F.col("__ri").alias("row_index")))
                 if part_files else []
             )
             return self._dml_compacting(

@@ -187,3 +187,35 @@ def test_stats_report_live_records(spark, tmp_path):
     t = _t(spark, tmp_path)
     t.delete("id < 10", use_dv=True)
     assert t.describe_detail()["numRecords"] == 10
+
+
+def test_dv_dml_single_scan(spark, tmp_path, monkeypatch):
+    """r15 optimization pin: DV-flavored DELETE and UPDATE read the
+    candidate files exactly ONCE — discovery positions, hit counts
+    and the sidecar all derive from the single checkpointed scan
+    (was 2 scans for delete, 3 for update)."""
+    calls = []
+    orig = DeltaSparkTable._read_files
+
+    def spy(self, snap, files, *a, **kw):
+        calls.append(len(list(files)))
+        return orig(self, snap, files, *a, **kw)
+
+    monkeypatch.setattr(DeltaSparkTable, "_read_files", spy)
+
+    t = _t(spark, tmp_path, "a")
+    calls.clear()
+    t.delete("id % 5 = 1", use_dv=True)
+    assert len(calls) == 1, calls
+
+    u = _t(spark, tmp_path, "b")
+    calls.clear()
+    u.update({"v": "v + 1"}, "id % 5 = 1", use_dv=True)
+    assert len(calls) == 1, calls
+
+    # results stay correct
+    assert sorted(r["id"] for r in t.read().collect()) == [
+        i for i in range(20) if i % 5 != 1]
+    got = {r["id"]: r["v"] for r in u.read().collect()}
+    assert got == {i: i * 10 + (1 if i % 5 == 1 else 0)
+                   for i in range(20)}

@@ -114,15 +114,24 @@ def _scattered(spark, n=8000, files=8):
 
 
 def _spy_candidates(monkeypatch, t):
-    """Record the candidate list every discovery scan sees."""
+    """Record the candidate list every discovery scan sees — both the
+    counting discovery (copy DML) and the r15 single-scan position
+    discovery (DV DML)."""
     seen = []
     orig = DeltaSparkTable._per_file_hits
+    orig_pos = DeltaSparkTable._dml_discovery_positions
 
     def spy(self, snap, candidates, match):
         seen.append(list(candidates))
         return orig(self, snap, candidates, match)
 
+    def spy_pos(self, snap, candidates, match):
+        seen.append(list(candidates))
+        return orig_pos(self, snap, candidates, match)
+
     monkeypatch.setattr(DeltaSparkTable, "_per_file_hits", spy)
+    monkeypatch.setattr(
+        DeltaSparkTable, "_dml_discovery_positions", spy_pos)
     return seen
 
 
