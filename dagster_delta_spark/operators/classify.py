@@ -59,7 +59,17 @@ def nb_train(
     Two shuffles total (token-class counts, class totals); the
     vocabulary size and doc totals are scalar aggregates."""
     toks = token_label_stream(docs, label_col)
-    tcc = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("tc"))
+    # vocabulary x classes sized — checkpointed (r15) because THREE
+    # consumers read it: the vocab-size scalar below (an eager action
+    # at train time), the class-totals aggregate and the model
+    # projection.  Without the checkpoint each consumer re-tokenized
+    # and re-shuffled the whole corpus; with it the corpus pass runs
+    # once and the model lineage starts from a size-known frame (so
+    # the scoring join can plan a broadcast).
+    tcc = (
+        toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("tc"))
+        .localCheckpoint(eager=False)
+    )
     class_tokens = tcc.groupBy("label").agg(F.sum("tc").alias("ct"))
     vocab = tcc.select("token").distinct().count()
     a = float(smoothing)

@@ -1165,31 +1165,63 @@ def ppjoin_near_dups(
         .select("doc_id", "sh", "n_sh", "sh_df")
     )
     if max_prefix_df is not None:
+        # truncate INSIDE the window (bounded buffer even for a
+        # pathological hot prefix bucket), then expand pairs GROUPED
+        # (r15, the fuzzy_self_join rewrite): the groupBy reuses the
+        # truncation window's (sh) partitioning, so the whole
+        # candidate stage costs the ONE exchange the window already
+        # paid — the old self-join added two more plus its sorts.
+        # Size-ratio filter and the a < b ordering apply inline in
+        # the explode pipeline; candidate set is identical.
         bw = Window.partitionBy("sh").orderBy("doc_id")
         ranked = (
             ranked.withColumn("bn", F.row_number().over(bw))
             .where(F.col("bn") <= max_prefix_df)
             .drop("bn")
         )
-    a = ranked.alias("a")
-    b = ranked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # J >= t bounds the size ratio: t*|b| <= |a| (a smaller
-            # or equal side either way after the < ordering); epsilon
-            # for the same float-inflation reason as the prefix bound
-            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh") - 1e-9)
-            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh") - 1e-9),
+        grp = (
+            ranked.groupBy("sh")
+            .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ms"))
+            .where(F.size("ms") >= 2)
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        cand = (
+            grp.select(F.explode("ms").alias("a"), F.col("ms"))
+            .select("a", F.explode("ms").alias("b"))
+            .where(
+                (F.col("a.doc_id") < F.col("b.doc_id"))
+                # J >= t bounds the size ratio: t*|b| <= |a| (a
+                # smaller or equal side either way after the <
+                # ordering); epsilon for the same float-inflation
+                # reason as the prefix bound
+                & (F.col("a.n_sh") >= threshold * F.col("b.n_sh") - 1e-9)
+                & (F.col("b.n_sh") >= threshold * F.col("a.n_sh") - 1e-9)
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        # exact-any-scale fallback (no cap): the self-join keeps
+        # per-row state flat — no doc lists — like near_dup_jaccard's
+        # uncapped path
+        a = ranked.alias("a")
+        b = ranked.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.col("a.n_sh") >= threshold * F.col("b.n_sh") - 1e-9)
+                & (F.col("b.n_sh") >= threshold * F.col("a.n_sh") - 1e-9),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
     # exact verification: count true intersections for candidates only
     ea = ex.select(F.col("doc_id").alias("doc_a"), "sh")
     eb = ex.select(F.col("doc_id").alias("doc_b"), "sh")

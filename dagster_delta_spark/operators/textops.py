@@ -179,21 +179,25 @@ def deterministic_sample(
 
 
 def word_ngrams(df: DataFrame, n: int) -> DataFrame:
-    """(doc_id, gram) stream of word n-grams via posexplode + window
-    lead — ONE definition shared by ngram_frequency and
-    curation.decontaminate (one shuffle on doc_id)."""
-    from pyspark.sql.window import Window
+    """(doc_id, gram) stream of word n-grams — ONE definition shared
+    by ngram_frequency and curation.decontaminate.
 
-    ex = df.select("doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cols = [F.col("tok")]
-    out = ex
-    for i in range(1, n):
-        out = out.withColumn(f"t{i}", F.lead("tok", i).over(w))
-        cols.append(F.col(f"t{i}"))
-    return (
-        out.where(cols[-1].isNotNull())
-        .select("doc_id", F.concat_ws(" ", *cols).alias("gram"))
+    r15 optimization (same rows): grams assemble map-side in the
+    ARRAY domain of each document row (``transform`` + ``slice`` over
+    the bound token array, then explode) — was posexplode + n-1
+    ``lead`` window columns, i.e. a full token-stream Exchange + sort
+    per call.  ZERO exchanges now; multiple references to the bound
+    array block Catalyst projection collapse, so the tokenizer regex
+    still runs once per doc."""
+    toks = df.select("doc_id", F.expr(TOKENS).alias("t"))
+    return toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(sequence(1, size(t) - {n} + 1), "
+            f"i -> concat_ws(' ', slice(t, i, {n}))) "
+            "ELSE array() END"
+        )).alias("gram"),
     )
 
 
@@ -559,8 +563,13 @@ def _bigram_scored_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     — index state, session-cached per corpus fingerprint like the IVF
     centroid/assignment frames (train once, score many).
 
-    Shape: positional explode once; the bigram stream derives via one
-    per-doc ``lead`` window; model counts are two map-side-combined
+    Shape (r15 optimization — was posexplode + a per-doc ``lead``
+    window, i.e. a full token-stream Exchange + sort per scoring
+    pass): the bigram stream builds map-side in the ARRAY domain of
+    each document row (single-level ``transform`` over the bound
+    token array — the winnow_fingerprints rewrite; multiple array
+    references block projection collapse so the tokenizer regex runs
+    once per doc) and explodes; model counts are two map-side-combined
     aggregates (token and token-pair); scoring joins the doc bigram
     stream to the pair counts (shuffle on the pair), the context and
     next-token unigram counts (AQE absorbs stopword-grade skew — the
@@ -568,20 +577,23 @@ def _bigram_scored_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts.  Linear in corpus tokens, no Python in the plan, and
     the model is never driver-materialized — at 100 TB the
     vocabulary² pair space stays distributed."""
-    from pyspark.sql.window import Window
-
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bi = (
-        toks.withColumn("nxt", F.lead("tok").over(w))
-        .where(F.col("nxt").isNotNull())
-        # pos = the CONTEXT token's position: rides along so per-token
-        # consumers (selective_token_mask) can address the scored
-        # position; the per-doc aggregates simply ignore it
-        .select("doc_id", "pos", "tok", "nxt")
-    )
+    tarr = docs.select("doc_id", F.expr(TOKENS).alias("t"))
+    toks = tarr.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    # pos = the CONTEXT token's position (0-based, identical to the
+    # old posexplode+lead rows): rides along so per-token consumers
+    # (selective_token_mask) can address the scored position; the
+    # per-doc aggregates simply ignore it
+    bi = tarr.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(t) >= 2 THEN "
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(CAST(i - 1 AS INT) AS pos, "
+            "element_at(t, i) AS tok, element_at(t, i + 1) AS nxt)) "
+            "ELSE array() END"
+        )).alias("b"),
+    ).select("doc_id", "b.pos", "b.tok", "b.nxt")
     # checkpoint both model sides: the scoring joins and the scalar
     # total would otherwise re-tokenize the corpus per branch.  The
     # (uni, big) count frames ARE the trained LM — index state, so
@@ -1044,14 +1056,20 @@ def pmi_collocations(
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = (
-        toks.withColumn("nxt", F.lead("tok").over(w))
-        .where(F.col("nxt").isNotNull())
-        .select("tok", "nxt")
-    )
+    tarr = docs.select("doc_id", F.expr(TOKENS).alias("t"))
+    toks = tarr.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok"))
+    # adjacent pairs in the ARRAY domain (r15 — was a per-doc lead
+    # window, i.e. a full token-stream Exchange + sort; same rows)
+    pairs = tarr.select(
+        F.explode(F.expr(
+            "CASE WHEN size(t) >= 2 THEN "
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS tok, "
+            "element_at(t, i + 1) AS nxt)) "
+            "ELSE array() END"
+        )).alias("p"),
+    ).select("p.tok", "p.nxt")
     uni = (
         toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
         .localCheckpoint(eager=False)
