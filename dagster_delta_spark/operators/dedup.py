@@ -973,7 +973,9 @@ def strip_repeated_spans(
     Exchange); and the covered-positions stream feeds the anti-join
     WITHOUT a distinct (left-anti semantics ignore right-side
     duplicates — was another Exchange + aggregate).  Net: 3 fewer
-    Exchanges and one sort removed from the plan."""
+    Exchanges and one sort removed from the plan.  The gram stream
+    itself is checkpointed so its interpreted md5 transform runs
+    once, not once per consumer."""
     if k < 1:
         raise ValueError(f"k={k} must be >= 1")
     docs = load(spark, sf_dir, "documents")
@@ -990,7 +992,14 @@ def strip_repeated_spans(
             f"i -> md5(concat_ws(' ', slice(t, i, {k})))) "
             "ELSE array() END"
         )).alias("pos", "fp"),
-    )
+        # checkpointed: TWO consumers (the hot-fp count and the
+        # covered-positions join) read the gram stream, and the
+        # md5-over-slices transform is a higher-order function —
+        # interpreted, not codegen'd — so re-deriving it per consumer
+        # doubles the most expensive map stage (A/B: 2.4 s
+        # re-derived vs 1.9 s checkpointed; the pre-r15 window
+        # formulation read 1.9-2.5 s with two extra Exchanges)
+    ).localCheckpoint(eager=False)
     hot = (
         grams.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("fp_docs"))

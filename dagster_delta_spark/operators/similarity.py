@@ -375,113 +375,20 @@ def embedding_decontaminate(
     fits executor memory), one pass over the corpus, cost
     O(corpus x |eval| x d) FLOPs — embarrassingly parallel; an
     IVF-bucketed variant would trade exactness for FLOPs if |eval|
-    grew unbounded, but benchmark suites do not."""
-    import numpy as np
-    from pyspark.sql.types import (
-        DoubleType, LongType, StructField, StructType)
+    grew unbounded, but benchmark suites do not.
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ev_rows = sorted(
-        emb.where(F.pmod(F.col("vec_id"), F.lit(eval_mod)) == eval_rem)
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )  # bounded: the benchmark set (the broadcast the old join made)
-    dims = {len(r["embedding"]) for r in ev_rows}
-    if not ev_rows or len(dims) != 1:
-        # empty or ragged eval set: keep the exact JVM plan (the
-        # pre-r15 formulation) — zip_with's null-extension semantics
-        # handle ragged vectors; the vectorized path below assumes
-        # the uniform dimension the embeddings table's generation
-        # contract guarantees
-        return _embedding_decontaminate_sql(
-            spark, sf_dir, threshold, eval_mod, eval_rem)
-    d = dims.pop()
-    # r15 optimization (guide §4.2): the corpus x eval scoring was
-    # |corpus| x |eval| interpreted evaluations of the nested
-    # higher-order DOT fold (~6.4 µs/pair measured).  This path runs
-    # the SAME arithmetic vectorized in numpy inside one Arrow-batched
-    # mapInPandas — BIT-IDENTICAL to the ordered fold: per pair the
-    # products are float64 IEEE multiplies and ``np.cumsum`` is the
-    # strict left-to-right running sum, so the last element equals the
-    # ``aggregate(..., 0D, (acc, v) -> acc + v)`` fold exactly
-    # (verified over random vectors), norms take the same
-    # cumsum-of-squares + sqrt, and the division is the same double
-    # op.  Selection reproduces Spark semantics exactly: threshold
-    # passes NaN (Spark orders NaN above every value), best-match
-    # ranks by (NaN first, cosine desc, eval_id asc).  Rounding stays
-    # in the JVM (Spark round is HALF_UP; numpy's is HALF_EVEN).
-    # Map-only at any corpus size — no shuffle, no join; the eval
-    # matrix rides the task closure like _assign_cells' centroids.
-    ev_ids = np.asarray([r["vec_id"] for r in ev_rows], dtype=np.int64)
-    evm = np.asarray([r["embedding"] for r in ev_rows], dtype=np.float64)
-    ev_norm = np.sqrt(np.cumsum(evm * evm, axis=1)[:, -1])
-    thr = float(threshold)
-    n_ev = evm.shape[0]
-    # chunk rows so chunk x |eval| x d products stay ~48 MB
-    chunk = max(1, (48 << 20) // max(1, n_ev * d * 8))
-
-    def _score(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            lens = pdf["embedding"].map(len).to_numpy()
-            keep = lens == d  # ragged rows can never flag (the JVM
-            # fold nulls out mismatched zip_with pairs — excluded)
-            if not keep.any():
-                continue
-            ids = pdf["vec_id"].to_numpy()[keep]
-            vecs = _np.asarray(
-                [list(v) for v in pdf["embedding"][keep]],
-                dtype=_np.float64)
-            vnorm = _np.sqrt(_np.cumsum(vecs * vecs, axis=1)[:, -1])
-            out_v, out_e, out_c = [], [], []
-            for lo in range(0, len(ids), chunk):
-                hi = lo + chunk
-                prods = vecs[lo:hi, None, :] * evm[None, :, :]
-                dots = _np.cumsum(prods, axis=2)[:, :, -1]
-                with _np.errstate(divide="ignore", invalid="ignore"):
-                    cos = dots / (vnorm[lo:hi, None] * ev_norm[None, :])
-                nan = _np.isnan(cos)
-                sel = (cos >= thr) | nan
-                flagged = sel.any(axis=1)
-                if not flagged.any():
-                    continue
-                # rank key: NaN above every finite/inf cosine (Spark
-                # ordering), then cosine desc, then eval_id asc (the
-                # eval axis is id-ascending; argmax takes the FIRST
-                # maximum)
-                k1 = _np.where(sel, nan.astype(_np.float64), -1.0)
-                m1 = k1.max(axis=1)
-                k2 = _np.where(
-                    k1 == m1[:, None],
-                    _np.where(nan, _np.inf,
-                              _np.where(sel, cos, -_np.inf)),
-                    -_np.inf)
-                j = _np.argmax(k2, axis=1)
-                fi = _np.nonzero(flagged)[0]
-                out_v.append(ids[lo:hi][fi])
-                out_e.append(ev_ids[j[fi]])
-                out_c.append(cos[fi, j[fi]])
-            if out_v:
-                yield _pd.DataFrame({
-                    "vec_id": _np.concatenate(out_v),
-                    "matched_eval_id": _np.concatenate(out_e),
-                    "cosine": _np.concatenate(out_c),
-                })
-
-    schema = StructType([
-        StructField("vec_id", LongType()),
-        StructField("matched_eval_id", LongType()),
-        StructField("cosine", DoubleType()),
-    ])
-    return (
-        emb.mapInPandas(_score, schema)
-        .select("vec_id", "matched_eval_id",
-                F.round(F.col("cosine").cast("double"), 9).alias("cosine"))
-    )
+    r15 note: a vectorized ``mapInPandas`` variant (numpy ``cumsum``
+    — the strict left-to-right running sum, bit-identical to the JVM
+    ordered DOT fold) was built and A/B'd this round and REVERTED:
+    this host's numpy build runs element-wise broadcast ufuncs at
+    ~1.7M elem/s (9-10 s for the 15M-element corpus x eval x d
+    product, vs 0.075 s for the BLAS matmul — which pairwise-sums
+    and is therefore NOT bit-identical to the ordered fold the
+    DuckDB oracle recomputes).  Isolation A/B read 2.1-2.6 s
+    vectorized vs 1.8-1.9 s for this JVM plan; the codegen'd fold
+    wins outright here.  See OPTIMIZATION_r15.md."""
+    return _embedding_decontaminate_sql(
+        spark, sf_dir, threshold, eval_mod, eval_rem)
 
 
 def _embedding_decontaminate_sql(
@@ -489,9 +396,8 @@ def _embedding_decontaminate_sql(
     eval_mod: int, eval_rem: int,
 ) -> DataFrame:
     """The exact pure-JVM formulation of
-    :func:`embedding_decontaminate` (pre-r15) — kept as the fallback
-    for empty/ragged eval sets and as the reference the vectorized
-    path must match bit-for-bit."""
+    :func:`embedding_decontaminate` — the implementation (the r15
+    vectorized variant was reverted; see the caller's docstring)."""
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
     ev = (
         emb.where(F.pmod(F.col("vec_id"), F.lit(eval_mod)) == eval_rem)

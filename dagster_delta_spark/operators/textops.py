@@ -880,19 +880,26 @@ BM25_QUERIES: list[tuple[int, str]] = [
 ]
 
 
-def _bm25_query_terms(spark: SparkSession,
-                      queries: list[tuple[int, str]]) -> DataFrame:
-    """(qid, query text) -> distinct (qid, term) rows under the SAME
+def _bm25_query_pairs(
+        queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """(qid, query text) -> distinct (qid, term) pairs under the SAME
     tokenization rule as the corpus (lowercase, [a-z0-9]+ runs) — the
-    one place query parsing lives, shared by ``bm25_search`` and the
-    maintained-index probe so the two can never tokenize queries
-    differently."""
+    one place query parsing lives, shared by ``bm25_query_terms``'
+    DataFrame form and ``bm25_search``'s driver-side probe term set
+    so the two can never tokenize queries differently."""
     qrows = []
     for qid, qtext in queries:
         toks = [t for t in re.split(r"[^a-z0-9]+", qtext.lower()) if t]
         for t in sorted(set(toks)):
             qrows.append((int(qid), t))
-    return spark.createDataFrame(qrows, "qid int, term string")
+    return qrows
+
+
+def _bm25_query_terms(spark: SparkSession,
+                      queries: list[tuple[int, str]]) -> DataFrame:
+    """DataFrame form of :func:`_bm25_query_pairs`."""
+    return spark.createDataFrame(
+        _bm25_query_pairs(queries), "qid int, term string")
 
 
 def _bm25_score_core(
@@ -1010,17 +1017,23 @@ def bm25_search(
     # Query-term probe BEFORE the tf aggregate (r15 optimization):
     # the scoring core only ever reads tf rows whose term is a query
     # term (postings probe + df aggregate are both query-term-keyed),
-    # so the broadcast semi-join drops ~the whole token stream
-    # map-side and the (doc_id, term) shuffle carries only matching
-    # tokens instead of the full vocabulary.  tf values for surviving
-    # terms are unchanged — results are bit-identical.
-    probe = F.broadcast(qterms.select("term").distinct())
+    # so filtering the exploded token stream map-side means the
+    # (doc_id, term) shuffle carries only matching tokens instead of
+    # the full vocabulary.  The probe term set is known DRIVER-SIDE
+    # (the query list is a Python literal), so it compiles to an
+    # In-set predicate inside the explode pipeline — no broadcast
+    # build job, no extra exchange (a broadcast semi-join variant
+    # measured +0.1 s of pure fixed cost locally for the same
+    # filtering).  tf values for surviving terms are unchanged —
+    # results are bit-identical.
+    qset = sorted({t for _, t in _bm25_query_pairs(queries)})
+    if qset:  # a term-less query set scores nothing either way
+        terms = terms.where(F.col("term").isin(qset))
     # checkpointed so the postings probe and the df aggregate share
     # ONE tokenize+probe+count pass instead of re-expanding the
     # lineage (the bigram_perplexity model-side pattern)
     tf = (
-        terms.join(probe, "term", "left_semi")
-        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
     dl = docs.select(
