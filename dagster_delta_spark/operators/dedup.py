@@ -927,7 +927,11 @@ def winnow_doc_repetition(
     shared by a million docs costs a million rows, not a million
     squared.  Oracle-backed like the other winnowing entries (md5
     fingerprints are engine-portable)."""
-    fps = winnow_fingerprints(spark, sf_dir, k, window)
+    # the fingerprint stream feeds both the corpus-df aggregate and the
+    # join probe side — materialize the interpreted map pipeline once
+    # (eager; same multi-consumer rule as duplicate_components, r15
+    # guide §2.4/§4)
+    fps = winnow_fingerprints(spark, sf_dir, k, window).localCheckpoint()
     df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_docs"))
     return (
         fps.join(df, "fp")

@@ -167,8 +167,13 @@ def _propagate_rounds(
             .agg(F.min("kmin").alias("lbl"))
             # cut lineage each round: the plan otherwise deepens by
             # 2 joins + 2 aggs per iteration and analysis/codegen
-            # cost grows superlinearly past a few rounds
-            .localCheckpoint()
+            # cost grows superlinearly past a few rounds.  LAZY when a
+            # convergence probe follows — the probe's action then
+            # materializes the checkpoint and computes the probe in ONE
+            # job instead of two (same shuffles, one fewer driver
+            # round-trip per round); eager on the pinned-iterations
+            # path, which runs no probe to force it.
+            .localCheckpoint(eager=iterations is not None)
         )
         if iterations is None:
             if integral_ids:
@@ -226,7 +231,16 @@ def duplicate_components(
     """
     from .dedup import winnow_fingerprints
 
-    fps = winnow_fingerprints(spark, sf_dir, k, window)
+    # winnow_fingerprints is a ZERO-Exchange map pipeline of interpreted
+    # array-domain lambdas (tokenize + per-gram md5) — and it feeds BOTH
+    # the shared-fp aggregate and the membership join probe side below.
+    # Materialize it ONCE (eager: a lazy checkpoint referenced twice in
+    # one job can still compute partitions twice across concurrent
+    # tasks) so the HOF pipeline runs once, not per consumer — the same
+    # multi-consumer rule as the strip/nb checkpoint fixes (r15, guide
+    # §2.4/§4).  The materialization is O(|fingerprints|), linear in
+    # corpus size, on executor-local storage.
+    fps = winnow_fingerprints(spark, sf_dir, k, window).localCheckpoint()
     shared = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1207,8 +1207,17 @@ def embedding_near_dups_lsh(
     cosine verifies.  Output precision is exact; recall is the
     planes/tables dial.  ``portable_hash=True`` buckets under the
     md5-parity dial (``lsh_signatures``) for the DuckDB oracle."""
-    sigs = _with_norm(lsh_signatures(spark, sf_dir, planes, tables,
-                                     portable_hash=portable_hash))
+    # sigs is the materialized session-cached index and ALREADY carries
+    # norm (baked in by lsh_signatures) with zero-norm rows excluded —
+    # the former extra _with_norm() here re-ran the interpreted
+    # O(dims) norm fold per exploded row on BOTH join sides (r15 fix,
+    # guide §4).  A late-attach variant (ids-only self-join + dedup,
+    # embeddings joined back after) was A/B-measured 1.4-1.5x SLOWER
+    # here: the planner broadcasts the full-embedding base through
+    # both attach joins, and forcing a pairs-side broadcast would not
+    # survive production candidate counts — see OPTIMIZATION_r15.md.
+    sigs = lsh_signatures(spark, sf_dir, planes, tables,
+                          portable_hash=portable_hash)
     flat = sigs.select(
         "vec_id", "embedding", "norm",
         F.posexplode("buckets").alias("t_idx", "bucket"),
