@@ -2541,7 +2541,6 @@ class DeltaSparkTable:
         t_scope = self._read_files(snap, rewrite_scope).withColumn("__t_m", F.lit(1))
         joined = t_scope.alias(ta).join(src.alias(sa), cond, "full_outer")
         matched = F.col(f"{ta}.__t_m").isNotNull() & F.col(f"{sa}.__s_m").isNotNull()
-        t_only = F.col(f"{sa}.__s_m").isNull() & F.col(f"{ta}.__t_m").isNotNull()
         s_only = F.col(f"{ta}.__t_m").isNull() & F.col(f"{sa}.__s_m").isNotNull()
 
         src_cols = set(source.columns)
@@ -2555,9 +2554,6 @@ class DeltaSparkTable:
                 for f in table_schema.fields
             ]
 
-        def target_row() -> list:
-            return [F.col(f"{ta}.{f.name}").alias(f.name) for f in table_schema.fields]
-
         def inserted_row() -> list:
             return [
                 (
@@ -2568,19 +2564,53 @@ class DeltaSparkTable:
                 for f in table_schema.fields
             ]
 
+        def folded_row() -> list:
+            # ONE projection covering matched-update, target-only and
+            # (when reachable) source-only rows at once: on a
+            # FULL-OUTER join the missing side's columns are NULL, so
+            # "take source when the source side is present, else
+            # target" reproduces updated_row() on matched rows, the
+            # plain target row on target-only rows, and inserted_row()
+            # on source-only rows (target side all-NULL) — exactly the
+            # branch semantics, without re-executing the join once per
+            # branch (r15, guide §2.4: unionByName of per-branch
+            # filters re-runs the join's sort+merge+project per
+            # branch; only the Exchanges are reused).
+            return [
+                (
+                    F.when(F.col(f"{sa}.__s_m").isNotNull(),
+                           F.col(f"{sa}.{f.name}"))
+                    .otherwise(F.col(f"{ta}.{f.name}"))
+                    if f.name in src_cols else F.col(f"{ta}.{f.name}")
+                )
+                .alias(f.name)
+                for f in table_schema.fields
+            ]
+
+        # the insert branch folds into the carried projection only when
+        # no identity column needs per-branch allocation
+        fold_insert = needs_update and needs_insert and not merge_idcols
         branches: list[DataFrame] = []
         if mtype == MergeType.replace_delete_unmatched:
             # matched -> updated; not-matched-by-source -> deleted
             branches.append(joined.where(matched).select(*updated_row()))
+        elif needs_update and fold_insert:
+            # upsert without identity: every full-outer row lands in
+            # exactly one branch, so no filter and no union at all
+            branches.append(joined.select(*folded_row()))
         elif needs_update:
-            branches.append(joined.where(matched).select(*updated_row()))
-            branches.append(joined.where(t_only).select(*target_row()))
+            # matched + target-only in one pass (within target-present
+            # rows, "source side present" IS the matched predicate)
+            branches.append(
+                joined.where(F.col(f"{ta}.__t_m").isNotNull())
+                .select(*folded_row())
+            )
         else:
             # M2: target rows never rewritten
             pass
         merge_id_assumed: dict[str, Optional[str]] = {}
         merge_id_updates: dict[str, str] = {}
-        if needs_insert:
+        if needs_insert and not fold_insert:
             ins_b = joined.where(s_only).select(*inserted_row())
             # identity allocation for merge-inserts: the same
             # prefix-sum allocator as write(), on the insert branch

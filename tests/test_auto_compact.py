@@ -52,13 +52,21 @@ def test_auto_compact_below_threshold_is_silent(spark, tmp_table):
 
 
 def test_auto_compact_after_merge(spark, tmp_table):
+    # small files must come from WRITES the merge does not touch: the
+    # single-pass merge rewrite coalesces its own output (the former
+    # per-branch union used to emit one partition set per branch), so
+    # the compaction trigger needs pre-existing small files whose key
+    # ranges the merge's discovery pruning leaves alone
     t = DeltaSparkTable(spark, tmp_table)
-    t.write(_df(spark, 0, 20).repartition(7), WriteMode.error,
+    t.write(_df(spark, 0, 20).repartition(4), WriteMode.error,
             table_configuration=AC_CFG)
-    src = _df(spark, 15, 30).repartition(5)
+    t.write(_df(spark, 100, 180).repartition(3), WriteMode.append)
+    # 7 small files < minFiles=8 so far; the merge's own write is the
+    # 8th and its post-commit hook must fire
+    src = _df(spark, 200, 215).repartition(5)
     res = t.merge(src, MergeConfig(MergeType.upsert, predicate="s.k = t.k"))
     assert res.get("auto_compact_version") is not None
-    assert t.read().count() == 30
+    assert t.read().count() == 115
 
 
 def test_auto_compact_validation(spark, tmp_table):
