@@ -377,18 +377,221 @@ def embedding_decontaminate(
     IVF-bucketed variant would trade exactness for FLOPs if |eval|
     grew unbounded, but benchmark suites do not.
 
-    r15 note: a vectorized ``mapInPandas`` variant (numpy ``cumsum``
-    — the strict left-to-right running sum, bit-identical to the JVM
-    ordered DOT fold) was built and A/B'd this round and REVERTED:
-    this host's numpy build runs element-wise broadcast ufuncs at
-    ~1.7M elem/s (9-10 s for the 15M-element corpus x eval x d
-    product, vs 0.075 s for the BLAS matmul — which pairwise-sums
-    and is therefore NOT bit-identical to the ordered fold the
-    DuckDB oracle recomputes).  Isolation A/B read 2.1-2.6 s
-    vectorized vs 1.8-1.9 s for this JVM plan; the codegen'd fold
-    wins outright here.  See OPTIMIZATION_r15.md."""
-    return _embedding_decontaminate_sql(
-        spark, sf_dir, threshold, eval_mod, eval_rem)
+    r15 history: a first vectorized variant (``mapInPandas`` +
+    ``cumsum`` over a materialized corpus×eval×d product array) was
+    REVERTED mid-round — this host's numpy runs ALLOCATING
+    element-wise ufuncs at ~27M elem/s (fresh-page mmap/fault churn),
+    so the 3-D temporaries dominated.  The shipped form (r15
+    continuation) removes every large temporary: ``mapInArrow`` with
+    zero-copy input, and the dot/norm folds run as a d-step loop of
+    ``out=``-buffered multiply/adds (preallocated, reused across
+    batches — measured 593M elem/s on the same host).  The loop IS
+    the JVM ordered fold: acc starts at 0.0 and adds the dim-k
+    product left-to-right, so every double is bit-identical to the
+    ``aggregate(zip_with(...))`` expression the DuckDB oracle
+    recomputes (no matmul — BLAS pairwise summation is NOT
+    order-identical).  Zero-norm exclusion, NaN ordering (Spark ranks
+    NaN above every value) and best-match tie-breaks reproduce the
+    JVM plan exactly; final round(9) stays in the JVM.  Plan effect:
+    the per-pair interpreted fold AND the best-match window Exchange
+    + sort both disappear (argmax happens per corpus row inside the
+    batch) — map-only at any corpus size.  Empty or ragged eval sets
+    fall back to the exact JVM formulation."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev_rows = sorted(
+        emb.where(F.pmod(F.col("vec_id"), F.lit(eval_mod)) == eval_rem)
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )  # bounded: the benchmark set (the broadcast the JVM join made)
+    ev_rows = [r for r in ev_rows if r["embedding"] is not None]
+    dims = {len(r["embedding"]) for r in ev_rows}
+    if not ev_rows or len(dims) != 1 or any(
+            v is None for r in ev_rows for v in r["embedding"]):
+        # empty / ragged / null-element eval set: keep the exact JVM
+        # plan — zip_with's null-extension semantics handle those;
+        # the vectorized path assumes the uniform dimension the
+        # embeddings generation contract guarantees
+        return _embedding_decontaminate_sql(
+            spark, sf_dir, threshold, eval_mod, eval_rem)
+    d = dims.pop()
+    evm_all = np.asarray([r["embedding"] for r in ev_rows],
+                         dtype=np.float64)
+    ev_ids_all = np.asarray([r["vec_id"] for r in ev_rows],
+                            dtype=np.int64)
+    ev_norm_all = _ordered_norms(evm_all)
+    # _with_norm's exclusion rule, Spark semantics: norm > 0 passes
+    # NaN too (Spark orders NaN above every value)
+    ev_keep = (ev_norm_all > 0) | np.isnan(ev_norm_all)
+    if not ev_keep.any():
+        return _embedding_decontaminate_sql(
+            spark, sf_dir, threshold, eval_mod, eval_rem)
+    evm = np.ascontiguousarray(evm_all[ev_keep])
+    ev_ids = ev_ids_all[ev_keep]
+    ev_norm = ev_norm_all[ev_keep]
+    thr = float(threshold)
+    n_ev = evm.shape[0]
+    # row-chunk bound so the (chunk × |eval|) fold buffers stay ~32 MB
+    chunk = max(1, (4 << 20) // max(1, n_ev))
+
+    def _score(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        buf = {}  # lazily allocated, reused across batches/chunks
+
+        def _get(name, shape, dtype=_np.float64):
+            b = buf.get(name)
+            if b is None or b.shape[0] < shape[0] or b.dtype != dtype:
+                b = _np.empty(shape, dtype=dtype)
+                buf[name] = b
+            return b[tuple(slice(0, s) for s in shape)]
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            col = rb.column(rb.schema.get_field_index("embedding"))
+            ids = rb.column(
+                rb.schema.get_field_index("vec_id")).to_numpy(
+                    zero_copy_only=False)
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(
+                _np.int64, copy=False)
+            lens = offs[1:] - offs[:-1]
+            vals = col.values
+            flat = vals.to_numpy(zero_copy_only=False)
+            keep = lens == d
+            if col.null_count:
+                keep &= _np.asarray(col.is_valid())
+            if vals.null_count:
+                # a null ELEMENT nulls the JVM fold (row never flags):
+                # map each null child position back to its row
+                null_pos = _np.nonzero(
+                    ~_np.asarray(vals.is_valid()))[0]
+                bad_rows = _np.unique(
+                    _np.searchsorted(offs, null_pos, side="right") - 1)
+                keep[bad_rows[(bad_rows >= 0) & (bad_rows < n)]] = False
+            if not keep.any():
+                continue
+            ids = ids[keep]
+            starts = offs[:-1][keep]
+            nk = len(ids)
+            # widen to float64 BEFORE any arithmetic — the parquet
+            # stores float32 and the JVM DOT/NORM macros CAST each
+            # element to DOUBLE first (f32->f64 is exact, so the
+            # folds then match bit-for-bit); one copy into a reused
+            # buffer, never an allocating upcast
+            vecs = _get("vecs", (nk, d))
+            if (nk == n and offs[0] == 0
+                    and int(offs[-1]) == n * d
+                    and flat.flags.c_contiguous):
+                _np.copyto(vecs, flat[: n * d].reshape(n, d),
+                           casting="same_kind")
+            else:
+                idx = starts[:, None] + _np.arange(d, dtype=_np.int64)
+                if flat.dtype == _np.float64:
+                    _np.take(flat, idx, out=vecs)
+                else:
+                    raw = _get("raw", (nk, d), dtype=flat.dtype)
+                    _np.take(flat, idx, out=raw)
+                    _np.copyto(vecs, raw, casting="same_kind")
+            # ordered norms: acc = 0.0, then += v_k * v_k over k —
+            # the exact JVM/DuckDB fold sequence
+            tmp1 = _get("tmp1", (nk,))
+            vnorm = _get("vnorm", (nk,))
+            vnorm[:] = 0.0
+            for k in range(d):
+                _np.multiply(vecs[:, k], vecs[:, k], out=tmp1)
+                _np.add(vnorm, tmp1, out=vnorm)
+            _np.sqrt(vnorm, out=vnorm)
+            # _with_norm exclusion: keep norm > 0 or NaN (Spark rule)
+            nz = (vnorm > 0) | _np.isnan(vnorm)
+            if not nz.any():
+                continue
+            if not nz.all():
+                ids = ids[nz]
+                sub = _get("vecs_nz", (int(nz.sum()), d))
+                _np.take(vecs, _np.nonzero(nz)[0], axis=0, out=sub)
+                vecs = sub
+                vn = _get("vnorm_nz", (vecs.shape[0],))
+                _np.take(vnorm, _np.nonzero(nz)[0], out=vn)
+                vnorm = vn
+            out_v, out_e, out_c = [], [], []
+            for lo in range(0, len(ids), chunk):
+                hi = min(lo + chunk, len(ids))
+                c = hi - lo
+                acc = _get("acc", (c, n_ev))
+                tmp = _get("tmp", (c, n_ev))
+                acc[:] = 0.0
+                vc = vecs[lo:hi]
+                # dot fold: acc = ((0 + v0*e0) + v1*e1) + ... per pair
+                for k in range(d):
+                    _np.multiply.outer(vc[:, k], evm[:, k], out=tmp)
+                    _np.add(acc, tmp, out=acc)
+                _np.multiply.outer(vnorm[lo:hi], ev_norm, out=tmp)
+                with _np.errstate(divide="ignore", invalid="ignore"):
+                    _np.divide(acc, tmp, out=acc)
+                cos = acc
+                nan = _np.isnan(cos)
+                sel = (cos >= thr) | nan
+                flagged = sel.any(axis=1)
+                if not flagged.any():
+                    continue
+                # rank key: NaN above every finite/inf cosine (Spark
+                # ordering), then cosine desc, then eval_id asc (the
+                # eval axis is id-ascending; argmax takes the FIRST
+                # maximum)
+                k1 = _np.where(sel, nan.astype(_np.float64), -1.0)
+                m1 = k1.max(axis=1)
+                k2 = _np.where(
+                    k1 == m1[:, None],
+                    _np.where(nan, _np.inf,
+                              _np.where(sel, cos, -_np.inf)),
+                    -_np.inf)
+                j = _np.argmax(k2, axis=1)
+                fi = _np.nonzero(flagged)[0]
+                out_v.append(ids[lo:hi][fi])
+                out_e.append(ev_ids[j[fi]])
+                out_c.append(cos[fi, j[fi]].copy())
+            if out_v:
+                yield _pa.RecordBatch.from_arrays(
+                    [
+                        _pa.array(_np.concatenate(out_v),
+                                  type=_pa.int64()),
+                        _pa.array(_np.concatenate(out_e),
+                                  type=_pa.int64()),
+                        _pa.array(_np.concatenate(out_c),
+                                  type=_pa.float64()),
+                    ],
+                    names=["vec_id", "matched_eval_id", "cosine"],
+                )
+
+    return (
+        emb.mapInArrow(
+            _score,
+            "vec_id long, matched_eval_id long, cosine double")
+        .select("vec_id", "matched_eval_id",
+                F.round(F.col("cosine").cast("double"), 9)
+                .alias("cosine"))
+    )
+
+
+def _ordered_norms(mat) -> "object":
+    """L2 norms of each row of ``mat`` by the exact JVM/DuckDB fold
+    sequence: acc starts at 0.0 and adds ``v_k * v_k`` left-to-right
+    (``sqrt(aggregate(a, 0D, (acc, x) -> acc + x*x))``) — NOT
+    ``np.linalg.norm``, whose pairwise summation is not
+    order-identical."""
+    import numpy as np
+
+    n, d = mat.shape
+    acc = np.zeros(n, dtype=np.float64)
+    tmp = np.empty(n, dtype=np.float64)
+    for k in range(d):
+        np.multiply(mat[:, k], mat[:, k], out=tmp)
+        np.add(acc, tmp, out=acc)
+    return np.sqrt(acc, out=acc)
 
 
 def _embedding_decontaminate_sql(
