@@ -4668,13 +4668,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verifies everything: an entry may sit past the cap only if
     # a committed CORRECTNESS_r*.json already records it (green for
     # oracle-backed entries; a rows-only `no_oracle` record for entries
-    # that structurally cannot have one).  Round 15 window: the 18
-    # r11-recorded entries + 5 new r15 entries + 27 of the 49
-    # r12-recorded entries — after r15 records land, the stalest
-    # cohort is the 22 deferred r12 entries at the head of the
-    # tail.  Local gate for the whole
-    # registry regardless of position: tools/check_oracles.py.
-    return {
+    # that structurally cannot have one).  Round 16 window (applied by
+    # the explicit reorder at the END of this function — the literal
+    # below keeps its r15 layout so the diff stays reviewable): the 22
+    # entries whose newest committed record is CORRECTNESS_r12 lead,
+    # then the first 28 of the 49 r13-recorded entries.  22 + 28 = 50;
+    # the 21 deferred r13 entries (streaming_interval_join ..
+    # hybrid_search_indexed) lead the r17 window.  Local gate for the
+    # whole registry regardless of position: tools/check_oracles.py.
+    base = {
         # -------- first 50: the round-15 recording window --------
         # Record-freshness rotation (r15): the 18 entries whose
         # newest committed record is CORRECTNESS_r11 lead, then the
@@ -4864,6 +4866,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_convert_delta_colmap": o_convert_delta_colmap,
         "o_export_delta_log": o_export_delta_log,
     }
+    # -------- r16 recording-window rotation (no entry added, dropped
+    # or renamed — pure reorder; every displaced entry keeps its
+    # committed record): the 22 r12-stale entries lead, then the first
+    # 28 r13-stale in registry order --------
+    lead = [
+        "q11_important_parts",
+        "q7_nation_volume",
+        "set_ops_customers",
+        "asof_clicks_purchases",
+        "range_join_bursts",
+        "corpus_shuffle",
+        "multimodal_metadata",
+        "salted_user_rollup",
+        "price_distribution",
+        "status_pivot",
+        "revenue_rollup_cube",
+        "cross_source_contamination",
+        "curate_corpus",
+        "decontaminate",
+        "pack_sequences",
+        "text_quality",
+        "streaming_sessionize",
+        "streaming_dedup",
+        "ann_index_drift_audit",
+        "embedding_pca_project",
+        "doremi_domain_weights",
+        "selective_token_mask",
+        "streaming_hourly_rollup",
+        "lang_id",
+        "token_stats",
+        "w2_append",
+        "m1_update_only",
+        "o_zorder_clustering",
+        "gopher_quality_filter",
+        "hybrid_search_rrf",
+        "minhash_lsh_near_dups",
+        "minhash_cluster_keep",
+        "ann_lsh_topk",
+        "embedding_near_dups_lsh",
+        "simhash_near_dups",
+        "o_bloom_skipping",
+        "line_dedup_corpus",
+        "ccnet_perplexity_buckets",
+        "o_replace_where",
+        "o_auto_compact",
+        "kmeans_clusters",
+        "ann_ivf_topk",
+        "semantic_dedup",
+        "ann_ivf_quantized_topk",
+        "ann_ivf_pq_topk",
+        "ann_recall_report",
+        "o_row_delete_restore",
+        "o_row_update",
+        "duplicate_components",
+        "dsir_importance_sample",
+    ]
+    ordered = {n: base[n] for n in lead}
+    ordered.update((n, f) for n, f in base.items() if n not in ordered)
+    return ordered
 
 
 def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

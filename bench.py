@@ -1121,12 +1121,22 @@ def main() -> None:
     # FINAL line: the compact twin, guaranteed to fit the driver's
     # 2000-char tail capture (r10/r11 recorded parsed: null because
     # the full line outgrew the window and its head was clipped).
-    # Same schema, 2-decimal values, compact separators; if the query
-    # map ever outgrows the budget, the FASTEST lines fold into an
-    # explicit omitted bucket rather than silently truncating.
-    budget = 1970
+    # Same schema, compact separators; if the query map outgrows the
+    # budget, the FASTEST lines fold into an explicit omitted bucket
+    # rather than silently truncating.  r16: capacity maximized —
+    # budget raised to the true window margin and values >= 1 s carry
+    # 1 decimal (<=5% quantization, under the host's own ±15-20%
+    # run-to-run noise) so ~80 of the 85 lines stay driver-visible.
+    # ALL 85 cannot fit by arithmetic: the 85 entry names alone cost
+    # 1,782 chars of JSON (1,442 name bytes + 340 quote/colon/comma),
+    # leaving < 130 chars for 85 values in a 2,000-char window —
+    # renaming entries is forbidden, so the sub-0.1 s metadata lines
+    # (the cheapest, most constant ones) fold first, and every line
+    # visible in the r15 compact output stays visible here.
+    budget = 1992
     compact = dict(
-        sorted(((k, round(v, 2)) for k, v in timings.items()),
+        sorted(((k, round(v, 1) if v >= 1 else round(v, 2))
+                for k, v in timings.items()),
                key=lambda kv: -kv[1]))
 
     def render(q, omitted):
