@@ -127,7 +127,35 @@ def cosine_topk(
     spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors
-    (excluding self-matches).  Deterministic tiebreak on vec_id."""
+    (excluding self-matches).  Deterministic tiebreak on vec_id.
+
+    r16 (guide §4.2): the corpus x broadcast-queries join evaluated the
+    interpreted ``DOT``/``NORM`` folds per pair; scoring now runs in
+    the shared ``out=``-buffered ``mapInArrow`` scorer
+    (:func:`_pair_topk_scores` — bit-identical ordered folds, the
+    embedding_decontaminate pattern) with per-batch partial top-k, so
+    the ``_topk`` window ranks k*batches rows instead of the full
+    corpus x queries pair stream.  Degenerate inputs (empty / ragged /
+    null-element query set) fall back to the exact JVM plan."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = _collect_query_matrix(
+        emb.where(F.col("vec_id") < n_queries).collect(),
+        "vec_id", "embedding",
+    )  # bounded: n_queries rows (the broadcast the JVM join made)
+    if q is None:
+        return _cosine_topk_sql(spark, sf_dir, k, n_queries)
+    q_ids, qmat, qnorms, _d = q
+    scored = _pair_topk_scores(
+        emb, q_ids, qmat, qnorms, k=k,
+    ).select("q_id", "vec_id", F.col("score").alias("cosine"))
+    return _topk(scored, k)
+
+
+def _cosine_topk_sql(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5
+) -> DataFrame:
+    """The exact pure-JVM formulation of :func:`cosine_topk` — the
+    degenerate-input fallback and the parity anchor its tests pin."""
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
@@ -594,6 +622,310 @@ def _ordered_norms(mat) -> "object":
     return np.sqrt(acc, out=acc)
 
 
+def _collect_query_matrix(rows, id_field: str, emb_field: str,
+                          norm_field: Optional[str] = None):
+    """Driver-collected query rows -> ``(ids, qmat, qnorms, d)`` numpy
+    arrays for the vectorized scorer, or ``None`` when the set is
+    empty, ragged or null-carrying (the caller then falls back to the
+    exact JVM plan — the embedding_decontaminate convention).  Norms
+    come from ``norm_field`` when the frame already carries them,
+    otherwise from the bit-exact ordered fold; either way the
+    ``_with_norm`` keep rule applies (norm > 0 passes NaN too — Spark
+    orders NaN above every value)."""
+    import numpy as np
+
+    rows = sorted((r for r in rows if r[id_field] is not None),
+                  key=lambda r: r[id_field])
+    rows = [r for r in rows if r[emb_field] is not None]
+    dims = {len(r[emb_field]) for r in rows}
+    if not rows or len(dims) != 1 or any(
+            v is None for r in rows for v in r[emb_field]):
+        return None
+    d = dims.pop()
+    if d == 0:
+        return None
+    qmat = np.asarray([r[emb_field] for r in rows], dtype=np.float64)
+    ids = np.asarray([r[id_field] for r in rows], dtype=np.int64)
+    if norm_field is not None:
+        qnorms = np.asarray([r[norm_field] for r in rows],
+                            dtype=np.float64)
+    else:
+        qnorms = _ordered_norms(qmat)
+    keep = (qnorms > 0) | np.isnan(qnorms)
+    if not keep.any():
+        return None
+    return (ids[keep], np.ascontiguousarray(qmat[keep]), qnorms[keep], d)
+
+
+def _probe_map_driver(cent_rows, q_ids, qmat, qnorms, nprobe: int):
+    """Driver-side twin of :func:`_probe_cells_for` over collected
+    centroid rows — same ordered-fold cosine, same (c_cos desc with
+    NaN above all, nulls below all, cell asc) probe ranking, so the
+    probe set per query is IDENTICAL to the JVM window's.  Returns
+    ``{q_id: set(cells)}``, or ``None`` when the centroid set is
+    degenerate (caller falls back to the JVM probe join)."""
+    import numpy as np
+
+    rows = [r for r in cent_rows if r["cell"] is not None]
+    if not rows:
+        return None
+    d = qmat.shape[1]
+    cells = np.asarray([r["cell"] for r in rows], dtype=np.int64)
+    cnorm = np.asarray(
+        [0.0 if r["c_norm"] is None else r["c_norm"] for r in rows],
+        dtype=np.float64)
+    cmat = np.zeros((len(rows), d), dtype=np.float64)
+    cnull = np.zeros(len(rows), dtype=bool)  # null c_cos rows
+    for i, r in enumerate(rows):
+        ce = r["c_emb"]
+        if (ce is None or len(ce) != d or r["c_norm"] is None
+                or any(v is None for v in ce)):
+            cnull[i] = True  # zip_with null-extension / null norm ->
+            # c_cos NULL, which desc-orders BELOW every value incl NaN
+        else:
+            cmat[i] = ce
+    out: dict[int, set] = {}
+    tmp = np.empty(len(rows), dtype=np.float64)
+    for j in range(len(q_ids)):
+        acc = np.zeros(len(rows), dtype=np.float64)
+        for t in range(d):
+            np.multiply(cmat[:, t], qmat[j, t], out=tmp)
+            np.add(acc, tmp, out=acc)
+        denom = cnorm * qnorms[j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / denom
+        key1 = np.where(np.isnan(cos), np.inf, cos)
+        key1[cnull] = -np.inf  # constant: within-null order is cell asc
+        order = np.lexsort((cells, -key1, cnull))[:nprobe]
+        out[int(q_ids[j])] = {int(c) for c in cells[order]}
+    return out
+
+
+def _pair_topk_scores(
+    df: DataFrame, q_ids, qmat, qnorms, *, k: int,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    norm_col: Optional[str] = None, cell_col: Optional[str] = None,
+    probe_map: Optional[dict] = None,
+) -> DataFrame:
+    """Vectorized (query x row) cosine scoring with per-batch partial
+    top-k — the r15 ``out=``-buffered ``mapInArrow`` pattern (guide
+    §4.2) applied to the shared DOT/NORM rerank epilogues.  Returns
+    ``(q_id, <id_col>, score)`` where, per query, the union over
+    batches of each batch's top-``k`` is a SUPERSET of the global
+    top-``k`` under the exact ``_topk`` order (score desc with NaN
+    above all — Spark semantics — then id asc; null scores, which only
+    arise from ragged-length rows via zip_with null-extension, rank
+    below everything, and up to ``k`` smallest-id null rows are kept
+    per batch too), so callers run the unchanged ``_topk``/shortlist
+    window on a k*batches-row frame instead of the full pair stream.
+
+    Every double is bit-identical to the JVM ``DOT``/``NORM`` macros:
+    float32 widens to float64 before any arithmetic, dot and norm run
+    as d-step ``out=``-buffered ordered folds (acc from 0.0, strict
+    left-to-right — never matmul, whose pairwise summation breaks
+    round-9 parity), and the final divide is the same two IEEE ops.
+    Self-pairs (row id == q_id) are excluded, matching every call
+    site's join condition; ``norm_col`` reads a stored norm instead of
+    re-folding; ``cell_col``+``probe_map`` restrict query q to rows
+    whose cell is in ``probe_map[q]`` (the IVF probe join)."""
+    import numpy as np
+
+    nq = len(q_ids)
+    d = qmat.shape[1]
+    thr_k = int(k)
+    q_ids = np.ascontiguousarray(q_ids)
+    qmat = np.ascontiguousarray(qmat)
+    qnorms = np.ascontiguousarray(qnorms)
+    cells_per_q = None
+    if probe_map is not None:
+        cells_per_q = [np.asarray(sorted(probe_map.get(int(q), ())),
+                                  dtype=np.int64) for q in q_ids]
+    in_cols = [id_col, emb_col]
+    if norm_col is not None:
+        in_cols.append(norm_col)
+    if cell_col is not None:
+        in_cols.append(cell_col)
+
+    def _score(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        buf = {}
+
+        def _get(name, shape, dtype=_np.float64):
+            b = buf.get(name)
+            if b is None or b.shape[0] < shape[0] or b.dtype != dtype:
+                b = _np.empty(shape, dtype=dtype)
+                buf[name] = b
+            return b[tuple(slice(0, s) for s in shape)]
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0 or nq == 0:
+                continue
+            col = rb.column(rb.schema.get_field_index(emb_col))
+            ids_all = rb.column(rb.schema.get_field_index(id_col))
+            id_valid = _np.ones(n, dtype=bool)
+            if ids_all.null_count:
+                id_valid = _np.asarray(ids_all.is_valid())
+            ids_np = ids_all.to_numpy(zero_copy_only=False)
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(
+                _np.int64, copy=False)
+            lens = offs[1:] - offs[:-1]
+            vals = col.values
+            flat = vals.to_numpy(zero_copy_only=False)
+            emb_valid = _np.ones(n, dtype=bool)
+            if col.null_count:
+                emb_valid &= _np.asarray(col.is_valid())
+            if vals.null_count:
+                # a null ELEMENT nulls the JVM NORM fold -> norm null
+                # -> the row never passed _with_norm: exclude exactly
+                null_pos = _np.nonzero(~_np.asarray(vals.is_valid()))[0]
+                bad = _np.unique(
+                    _np.searchsorted(offs, null_pos, side="right") - 1)
+                emb_valid[bad[(bad >= 0) & (bad < n)]] = False
+            base_keep = id_valid & emb_valid
+            # ragged rows (len != d, valid elements): zip_with
+            # null-extends -> DOT null -> score null, ranked BELOW
+            # every non-null (desc NULLS LAST) — tracked separately
+            ragged = base_keep & (lens != d)
+            keep = base_keep & (lens == d)
+            norms_np = None
+            cells_np = None
+            if norm_col is not None:
+                norms_np = rb.column(
+                    rb.schema.get_field_index(norm_col)).to_numpy(
+                        zero_copy_only=False)
+            if cell_col is not None:
+                cells_np = rb.column(
+                    rb.schema.get_field_index(cell_col)).to_numpy(
+                        zero_copy_only=False)
+            out_q, out_v, out_s, out_m = [], [], [], []
+
+            def _emit_nulls(q_idx):
+                # up to k smallest-id ragged rows per (batch, query):
+                # they can only enter the global top-k when fewer than
+                # k non-null candidates exist, and then the window's
+                # id-asc tie-break picks the smallest ids
+                if not ragged.any():
+                    return
+                rsel = ragged & (ids_np != q_ids[q_idx])
+                if cells_np is not None:
+                    rsel &= _np.isin(cells_np, cells_per_q[q_idx])
+                ridx = _np.nonzero(rsel)[0]
+                if not len(ridx):
+                    return
+                rids = _np.sort(ids_np[ridx].astype(_np.int64))[:thr_k]
+                out_q.append(_np.full(len(rids), q_ids[q_idx]))
+                out_v.append(rids)
+                out_s.append(_np.zeros(len(rids)))
+                out_m.append(_np.ones(len(rids), dtype=bool))
+
+            if not keep.any():
+                for j in range(nq):
+                    _emit_nulls(j)
+                if out_q:
+                    yield _make_batch(_pa, _np, out_q, out_v, out_s,
+                                      out_m, id_col)
+                continue
+            kidx = _np.nonzero(keep)[0]
+            ids = ids_np[kidx].astype(_np.int64, copy=False)
+            starts = offs[:-1][kidx]
+            nk = len(kidx)
+            vecs = _get("vecs", (nk, d))
+            if (nk == n and offs[0] == 0 and int(offs[-1]) == n * d
+                    and flat.flags.c_contiguous):
+                _np.copyto(vecs, flat[: n * d].reshape(n, d),
+                           casting="same_kind")
+            else:
+                idx = starts[:, None] + _np.arange(d, dtype=_np.int64)
+                if flat.dtype == _np.float64:
+                    _np.take(flat, idx, out=vecs)
+                else:
+                    raw = _get("raw", (nk, d), dtype=flat.dtype)
+                    _np.take(flat, idx, out=raw)
+                    _np.copyto(vecs, raw, casting="same_kind")
+            tmp1 = _get("tmp1", (nk,))
+            vnorm = _get("vnorm", (nk,))
+            if norms_np is not None:
+                _np.copyto(vnorm, norms_np[kidx], casting="same_kind")
+            else:
+                vnorm[:] = 0.0
+                for t in range(d):
+                    _np.multiply(vecs[:, t], vecs[:, t], out=tmp1)
+                    _np.add(vnorm, tmp1, out=vnorm)
+                _np.sqrt(vnorm, out=vnorm)
+                nz = (vnorm > 0) | _np.isnan(vnorm)
+                if not nz.any():
+                    for j in range(nq):
+                        _emit_nulls(j)
+                    if out_q:
+                        yield _make_batch(_pa, _np, out_q, out_v,
+                                          out_s, out_m, id_col)
+                    continue
+                if not nz.all():
+                    zi = _np.nonzero(nz)[0]
+                    ids = ids[zi]
+                    sub = _get("vecs_nz", (len(zi), d))
+                    _np.take(vecs, zi, axis=0, out=sub)
+                    vecs = sub
+                    vn = _get("vnorm_nz", (len(zi),))
+                    _np.take(vnorm, zi, out=vn)
+                    vnorm = vn
+                    if cells_np is not None:
+                        kidx = kidx[zi]
+                    nk = len(zi)
+            row_cells = (cells_np[kidx].astype(_np.int64, copy=False)
+                         if cells_np is not None else None)
+            acc = _get("acc", (nk, nq))
+            tmp = _get("tmp", (nk, nq))
+            acc[:] = 0.0
+            for t in range(d):
+                _np.multiply.outer(vecs[:, t], qmat[:, t], out=tmp)
+                _np.add(acc, tmp, out=acc)
+            _np.multiply.outer(vnorm, qnorms, out=tmp)
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                _np.divide(acc, tmp, out=acc)
+            for j in range(nq):
+                sel = ids != q_ids[j]
+                if row_cells is not None:
+                    sel &= _np.isin(row_cells, cells_per_q[j])
+                cidx = _np.nonzero(sel)[0]
+                if len(cidx):
+                    s = acc[cidx, j]
+                    if len(cidx) > thr_k:
+                        key1 = _np.where(_np.isnan(s), _np.inf, s)
+                        order = _np.lexsort((ids[cidx], -key1))[:thr_k]
+                        cidx = cidx[order]
+                        s = acc[cidx, j]
+                    out_q.append(_np.full(len(cidx), q_ids[j]))
+                    out_v.append(ids[cidx])
+                    out_s.append(s.copy())
+                    out_m.append(_np.zeros(len(cidx), dtype=bool))
+                _emit_nulls(j)
+            if out_q:
+                yield _make_batch(_pa, _np, out_q, out_v, out_s,
+                                  out_m, id_col)
+
+    return df.select(*in_cols).mapInArrow(
+        _score, f"q_id long, {id_col} long, score double")
+
+
+def _make_batch(_pa, _np, out_q, out_v, out_s, out_m, id_col):
+    """Assemble the scorer's output record batch; ``out_m`` marks null
+    scores (ragged rows) so they serialize as JSON-less SQL NULLs."""
+    scores = _np.concatenate(out_s)
+    mask = _np.concatenate(out_m)
+    return _pa.RecordBatch.from_arrays(
+        [
+            _pa.array(_np.concatenate(out_q), type=_pa.int64()),
+            _pa.array(_np.concatenate(out_v), type=_pa.int64()),
+            _pa.array(scores, type=_pa.float64(), mask=mask),
+        ],
+        names=["q_id", id_col, "score"],
+    )
+
+
 def _embedding_decontaminate_sql(
     spark: SparkSession, sf_dir: str, threshold: float,
     eval_mod: int, eval_rem: int,
@@ -718,6 +1050,28 @@ _CENTROID_CACHE: dict = {}
 
 def clear_centroid_cache() -> None:
     _CENTROID_CACHE.clear()
+
+
+def _collected_centroids(spark: SparkSession, sf_dir: str,
+                         n_cells: int, cents: DataFrame) -> list:
+    """Driver-side rows of the (checkpointed, session-cached) centroid
+    frame — INDEX state like the frame itself, so the collect is paid
+    once per (session, corpus fingerprint, n_cells) and the vectorized
+    query paths' driver probe ranking reads the cached copy (the same
+    contract as ``_CENTROID_CACHE``'s frame entries; the fingerprint
+    key makes in-session corpus rewrites miss)."""
+    key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        _corpus_fingerprint(sf_dir), "crows", n_cells,
+    )
+    hit = _CENTROID_CACHE.get(key)
+    if hit is None:
+        from .dedup import _evict_stale
+
+        hit = cents.collect()
+        _evict_stale(_CENTROID_CACHE, key[0], key)
+        _CENTROID_CACHE[key] = hit
+    return hit
 
 
 def _index_root() -> str:
@@ -975,13 +1329,47 @@ def ivf_ann_topk(
     nprobe = _resolve_nprobe(nprobe, n_cells)
     cents = ivf_train_centroids(spark, sf_dir, n_cells)
     assigned = ivf_assignments(spark, sf_dir, n_cells)
-    probes = _probe_cells(assigned, cents, n_queries, nprobe)
-    dot = DOT.format(a="q_emb", b="embedding")
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .where(F.col("vec_id") != F.col("q_id"))
-        .withColumn("cosine", F.expr(dot) / (F.col("norm") * F.col("q_norm")))
-    )
+    # r16 (guide §4.2): the probe join evaluated the interpreted DOT
+    # fold per (candidate, query) pair — the probed population is the
+    # corpus-proportional term.  Queries and centroids are bounded
+    # (n_queries rows; ~sqrt(n) checkpointed centroid rows — the
+    # broadcasts the JVM plan made), so collect both, rank probes
+    # driver-side (bit-identical to _probe_cells — pinned) and score
+    # in the shared out=-buffered mapInArrow scorer with per-batch
+    # partial top-k; the stored index norm is consumed as-is.
+    # Degenerate query/centroid sets fall back to the exact JVM join.
+    q = _collect_query_matrix(
+        assigned.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("norm").alias("q_norm")).collect(),
+        "q_id", "q_emb", "q_norm")
+    probe_map = None
+    if q is not None:
+        probe_map = _probe_map_driver(
+            _collected_centroids(spark, sf_dir, n_cells, cents),
+            *q[:3], nprobe=nprobe)
+    if q is None or probe_map is None:
+        probes = _probe_cells(assigned, cents, n_queries, nprobe)
+        dot = DOT.format(a="q_emb", b="embedding")
+        scored = (
+            assigned.join(F.broadcast(probes), "cell")
+            .where(F.col("vec_id") != F.col("q_id"))
+            .withColumn("cosine",
+                        F.expr(dot) / (F.col("norm") * F.col("q_norm")))
+        )
+        return _topk(scored, k)
+    q_ids, qmat, qnorms, _d = q
+    probed_union = sorted(set().union(*probe_map.values()))
+    scored = _pair_topk_scores(
+        # codegen'd probe pre-filter BEFORE the Arrow boundary: only
+        # the probed population ships to Python (the same rows the
+        # JVM probe join scored), not the whole corpus
+        assigned.select("vec_id", "embedding", "norm", "cell")
+        .where(F.col("cell").isin(probed_union)),
+        q_ids, qmat, qnorms, k=k, norm_col="norm",
+        cell_col="cell", probe_map=probe_map,
+    ).select("q_id", "vec_id", F.col("score").alias("cosine"))
     return _topk(scored, k)
 
 
@@ -1026,7 +1414,6 @@ def ivf_quantized_topk(
     nprobe = _resolve_nprobe(nprobe, n_cells)
     cents = ivf_train_centroids(spark, sf_dir, n_cells)
     assigned = ivf_assignments(spark, sf_dir, n_cells)
-    probes = _probe_cells(assigned, cents, n_queries, nprobe)
     # stage 1: approximate scoring against the dequantized int8 table.
     # The table is INDEX state (per-dim stats + int8 codes — in
     # production its own materialized asset next to the centroids), so
@@ -1049,10 +1436,23 @@ def ivf_quantized_topk(
     cand = assigned.select("vec_id", "cell").join(qtab, "vec_id")
     adot = DOT.format(a="q_emb", b="aemb")
     w = Window.partitionBy("q_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    # r16: a vectorized stage-1 (the cosine_topk/ivf_ann_topk
+    # out=-buffered mapInArrow scorer + driver-side probe ranking) was
+    # implemented, parity-proven at both SFs, and REJECTED on
+    # measurement: one-session alternating A/B read it consistently
+    # ~12% SLOWER here (med 0.587 vs 0.520 s; a LocalRelation q-side
+    # variant read 0.768 s) — this operator's stage-1 scores each
+    # probed pair ONCE, so the saved interpreted fold (~tens of ms at
+    # sf0.1) cannot amortize the extra driver action + Python
+    # boundary + re-attach join.  The JVM probe join stays; the
+    # scale-path vectorization claim lives in ivf_ann_topk /
+    # cosine_topk, whose A/Bs reproduced (see OPTIMIZATION_r16.md).
+    probes = _probe_cells(assigned, cents, n_queries, nprobe)
     shortlist = (
         cand.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("q_id"))
-        .withColumn("acos", F.expr(adot) / (F.col("anorm") * F.col("q_norm")))
+        .withColumn("acos",
+                    F.expr(adot) / (F.col("anorm") * F.col("q_norm")))
         .withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= rerank)
         .select("q_id", "vec_id", "q_emb", "q_norm")
