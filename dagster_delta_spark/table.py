@@ -445,6 +445,49 @@ def _identity_next_key(col: str) -> str:
     return f"dds.identity.{col}.next"
 
 
+def _plan_is_materialized(df: DataFrame) -> bool:
+    """True when the frame's analyzed plan is already a materialized
+    scan (LogicalRDD from a localCheckpoint, or a LocalRelation),
+    possibly under narrow Project/Filter wrappers — re-evaluating such
+    a plan is cheap, and a second localCheckpoint would only copy the
+    rows again.  Used by merge() to materialize its source exactly
+    once (callers like the CDC replication sink already hand over a
+    checkpointed frame)."""
+    try:
+        p = df._jdf.queryExecution().analyzed()
+        while (p.nodeName() in ("Project", "Filter", "SubqueryAlias")
+               and p.children().size() == 1):
+            p = p.children().apply(0)
+        return p.nodeName() in ("LogicalRDD", "LocalRelation")
+    except Exception:
+        return False
+
+
+#: logical-plan node names whose re-evaluation is NOT scan-cheap — a
+#: merge source containing any of these is materialized once instead
+#: of being re-derived per consumer pass
+_EXPENSIVE_PLAN_NODES = (
+    "Join", "Aggregate", "Window", "Generate", "Distinct",
+    "Deduplicate", "Sort", "Union", "Intersect", "Except",
+    "MapInPandas", "MapInArrow", "PythonMapInArrow", "FlatMapGroups",
+    "Repartition", "MapElements",
+)
+
+
+def _plan_is_expensive(df: DataFrame) -> bool:
+    """True when the frame's analyzed plan contains a wide or
+    Python-boundary operator (``_EXPENSIVE_PLAN_NODES``) — i.e. when
+    re-running the plan once per merge pass costs real work beyond a
+    rescan.  A plain scan + projections/filters re-evaluates about as
+    cheaply as a materialized copy reads back (A/B'd at parity in
+    r16), so those skip the checkpoint."""
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True  # unknown plan: materialize defensively
+    return any(n in s for n in _EXPENSIVE_PLAN_NODES)
+
+
 def _assign_identity(
     df: DataFrame, col: str, spec: dict, configuration: dict[str, str]
 ) -> tuple[DataFrame, Optional[str], int]:
@@ -2311,6 +2354,23 @@ class DeltaSparkTable:
                     "drop them from the source and let inserts "
                     "allocate"
                 )
+        # r16 (guide §1.2/§5): MERGE consumes the source plan up to
+        # four times — the stats-pruning bounds agg, the discovery
+        # join, the full-outer rewrite join, and (on generated-column
+        # tables) the derivation validation agg.  Materialize an
+        # EXPENSIVE source ONCE (wide/Python operators in its plan),
+        # unless the caller already handed over a checkpointed/local
+        # frame (the CDC replication sink does) — Delta Lake's own
+        # MERGE materializes its source for the same reason, plus
+        # determinism under retries.  Scan-cheap sources (plain
+        # scan + projections) skip the copy: re-evaluation A/B'd at
+        # parity with materialization in r16, so the checkpoint would
+        # only add an RDD copy job.  Lazy: the first consumer's
+        # action pays the single evaluation; the generated-column
+        # withColumn derivations below stack as cheap map expressions
+        # on top of the materialized rows.
+        if not _plan_is_materialized(source) and _plan_is_expensive(source):
+            source = source.localCheckpoint(eager=False)
         # generated columns under MERGE: matched-update takes source
         # values for source-present columns and keeps target values
         # otherwise, so consistency of the WRITTEN rows follows from
