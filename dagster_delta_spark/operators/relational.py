@@ -47,10 +47,48 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = load_events(spark, sf_dir)
         else:
             df = spark.read.parquet(path)
+        df = _widen_scan(spark, df, path)
         if len(_LOAD_CACHE) > 256:
             _LOAD_CACHE.clear()
         _LOAD_CACHE[key] = df
     return df
+
+
+def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Guide §2.5 (input skew: an unsplittable input caps scan
+    parallelism — "repartition immediately after the read"): parquet
+    cannot split below row-group granularity, and the single-row-group
+    test files pin every downstream map stage (tokenizers, gram
+    transforms, hashing) to ONE task regardless of core count.  When
+    the scan yields fewer partitions than the session's parallelism
+    AND the table is big enough for the exchange to pay for itself,
+    hash-repartition on the (high-cardinality, deterministic) first
+    column up to ``defaultParallelism``.  At production scale inputs
+    are multi-row-group, the condition is false, and this is a no-op —
+    the adaptation only ever RAISES tiny scan parallelism, never
+    touches well-laid-out inputs.  ``DDS_SCAN_MIN_PARTITIONS``
+    overrides the target (0 disables)."""
+    raw = os.environ.get("DDS_SCAN_MIN_PARTITIONS", "auto")
+    if raw == "0":
+        return df
+    try:
+        want = (spark.sparkContext.defaultParallelism
+                if raw == "auto" else int(raw))
+    except ValueError:
+        want = spark.sparkContext.defaultParallelism
+    if want <= 1:
+        return df
+    try:
+        size = os.stat(path).st_size
+    except OSError:
+        size = 0
+    # below ~64 KB the per-task overhead of extra partitions exceeds
+    # any map-stage win (nation/region-class dimensions stay as-is)
+    if size < (64 << 10):
+        return df
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want, F.col(df.columns[0]))
 
 
 # on-disk cap for an explicit dimension broadcast hint.  region/nation

@@ -27,8 +27,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from dagster_delta_spark.operators import similarity as sim
     from dagster_delta_spark.operators import textops
+    from dagster_delta_spark.operators import curation, dedup, relational
 
     builders = {
+        "q1_pricing_summary":
+            lambda: relational.q1_pricing_summary(spark, sf_dir),
+        "winnow_repeated_spans":
+            lambda: dedup.winnow_repeated_spans(spark, sf_dir),
+        "dsir_importance_sample":
+            lambda: curation.dsir_importance_sample(spark, sf_dir),
+        "bigram_perplexity":
+            lambda: textops.bigram_perplexity(spark, sf_dir),
         "cosine_topk": lambda: sim.cosine_topk(spark, sf_dir),
         "ann_ivf_topk": lambda: sim.ivf_ann_topk(spark, sf_dir),
         "ann_ivf_quantized_topk":
@@ -37,7 +46,6 @@ def main() -> None:
         "ann_lsh_topk": lambda: sim.lsh_ann_topk(spark, sf_dir),
         "hybrid_search_rrf": lambda: sim.hybrid_search_rrf(spark, sf_dir),
         "bm25_search": lambda: textops.bm25_search(spark, sf_dir),
-        "dsir_importance_sample": None,  # filled below lazily
     }
     os.makedirs("plans/r16", exist_ok=True)
     for name in names:
