@@ -120,7 +120,8 @@ AUDITED = [
 KEEP = re.compile(
     r"FileScan|PushedFilters|ReadSchema|BroadcastHashJoin|SortMergeJoin|"
     r"BroadcastNestedLoop|Exchange|HashAggregate|SortAggregate|"
-    r"WholeStageCodegen|Window|AdaptiveSparkPlan"
+    r"WholeStageCodegen|Window|AdaptiveSparkPlan|"
+    r"MapInArrow|MapInPandas|ArrowEvalPython|BatchEvalPython"
 )
 
 
