@@ -844,7 +844,12 @@ def dsir_importance_sample(
     (SURVEY §2.6-2.8); this is additive engine surface like the rest
     of this module.
     """
-    docs = load(spark, sf_dir, "documents")
+    from .relational import widen_for_compute
+
+    # r16 (guide §2.5): the unigram+bigram extraction and md5 bucket
+    # hashing below are the dominant map work — parallelize past a
+    # single-row-group scan's one task
+    docs = widen_for_compute(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "lang", "source", F.expr(TOKENS).alias("t")
     )

@@ -858,7 +858,12 @@ def winnow_fingerprints(
     every fingerprintable doc yields at least one selection."""
     if k < 1 or window < 1:
         raise ValueError(f"k={k} and window={window} must be >= 1")
-    docs = load(spark, sf_dir, "documents")
+    from .relational import widen_for_compute
+
+    # r16 (guide §2.5): the tokenizer+md5 HOF pipeline below is
+    # interpreted and orders of magnitude heavier than the scan — a
+    # single-row-group corpus file would pin it to ONE task
+    docs = widen_for_compute(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.expr(TOKENS).alias("t"))
     grams = toks.select(
         "doc_id",
@@ -982,7 +987,11 @@ def strip_repeated_spans(
     once, not once per consumer."""
     if k < 1:
         raise ValueError(f"k={k} must be >= 1")
-    docs = load(spark, sf_dir, "documents")
+    from .relational import widen_for_compute
+
+    # r16 (guide §2.5): parallelize the interpreted tokenizer + gram
+    # md5 transform past a single-row-group scan's one task
+    docs = widen_for_compute(load(spark, sf_dir, "documents"))
     # tokenize once; feeds grams, the reconstruction AND the totals
     toks = docs.select(
         "doc_id", F.expr(TOKENS).alias("t")

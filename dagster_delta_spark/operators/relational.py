@@ -15,6 +15,7 @@ column names match the DuckDB oracle in ``__spark_entry__.py``.
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,30 +48,36 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = load_events(spark, sf_dir)
         else:
             df = spark.read.parquet(path)
-        df = _widen_scan(spark, df, path)
         if len(_LOAD_CACHE) > 256:
             _LOAD_CACHE.clear()
         _LOAD_CACHE[key] = df
     return df
 
 
-def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+def widen_for_compute(df: DataFrame, key_col: Optional[str] = None
+                      ) -> DataFrame:
     """Guide §2.5 (input skew: an unsplittable input caps scan
     parallelism — "repartition immediately after the read"): parquet
-    cannot split below row-group granularity, and the single-row-group
-    test files pin every downstream map stage (tokenizers, gram
-    transforms, hashing) to ONE task regardless of core count.  When
-    the scan yields fewer partitions than the session's parallelism
-    AND the table is big enough for the exchange to pay for itself,
-    hash-repartition on the (high-cardinality, deterministic) first
-    column up to ``defaultParallelism``.  At production scale inputs
-    are multi-row-group, the condition is false, and this is a no-op —
-    the adaptation only ever RAISES tiny scan parallelism, never
-    touches well-laid-out inputs.  ``DDS_SCAN_MIN_PARTITIONS``
-    overrides the target (0 disables)."""
+    cannot split below row-group granularity, and a single-row-group
+    file pins every downstream map stage to ONE task regardless of
+    core count.  When the scan yields fewer partitions than the
+    session's parallelism, hash-repartition on a deterministic
+    high-cardinality column (default: the frame's first column) up to
+    ``defaultParallelism``.  At production scale inputs are
+    multi-row-group, the condition is false, and this is a no-op —
+    the adaptation only ever RAISES degenerate scan parallelism.
+
+    Applied PER OPERATOR, only where the downstream map work
+    (interpreted tokenizer/gram/hash HOF pipelines) measurably
+    dominates the exchange: a load()-level variant was A/B'd in r16
+    and REJECTED — it won big on the interpreted pipelines but taxed
+    every cheap codegen'd line with an unamortized exchange
+    (OPTIMIZATION_r16.md has both tables).
+    ``DDS_SCAN_MIN_PARTITIONS`` overrides the target (0 disables)."""
     raw = os.environ.get("DDS_SCAN_MIN_PARTITIONS", "auto")
     if raw == "0":
         return df
+    spark = df.sparkSession
     try:
         want = (spark.sparkContext.defaultParallelism
                 if raw == "auto" else int(raw))
@@ -78,17 +85,9 @@ def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
         want = spark.sparkContext.defaultParallelism
     if want <= 1:
         return df
-    try:
-        size = os.stat(path).st_size
-    except OSError:
-        size = 0
-    # below ~64 KB the per-task overhead of extra partitions exceeds
-    # any map-stage win (nation/region-class dimensions stay as-is)
-    if size < (64 << 10):
-        return df
     if df.rdd.getNumPartitions() >= want:
         return df
-    return df.repartition(want, F.col(df.columns[0]))
+    return df.repartition(want, F.col(key_col or df.columns[0]))
 
 
 # on-disk cap for an explicit dimension broadcast hint.  region/nation

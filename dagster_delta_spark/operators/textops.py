@@ -17,7 +17,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import load
+from .relational import load, widen_for_compute
 
 # tokens as a Spark SQL expression (kept in sync with oracle SQL)
 TOKENS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -1029,6 +1029,11 @@ def bm25_search(
     postings, so the two paths agree by construction."""
     if queries is None:
         queries = BM25_QUERIES
+    # r16: scan widening was A/B'd here and REJECTED (one-session
+    # alternating, 8 trials: med 1.268 s unwidened vs 1.479 s widened
+    # — the In-set filter keeps the post-tokenize stream tiny, so the
+    # widening exchange + 32-partition checkpoint stages outweigh the
+    # parallelized tokenize at this SF)
     docs = load(spark, sf_dir, "documents")
     qterms = _bm25_query_terms(spark, queries)
     terms = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("term"))
@@ -1165,7 +1170,8 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ellipsis symbols.  One map-side pass over the corpus + one
     grouped aggregate for the stopword probe; no shuffle carries
     text."""
-    docs = load(spark, sf_dir, "documents")
+    # r16 (guide §2.5): the per-doc HOF rule battery is the map cost
+    docs = widen_for_compute(load(spark, sf_dir, "documents"))
     required = ["the", "a", "of", "and", "to", "in", "is", "that"]
     toks = TOKENS
     lines = "filter(split(text, '\\n'), l -> trim(l) <> '')"
