@@ -102,15 +102,10 @@ def test_ragged_eval_set_falls_back_to_jvm(spark, tmp_path, monkeypatch):
 
 def test_vectorized_path_has_no_exchange(spark):
     """The vectorized plan is map-only: the best-match aggregate
-    happens inside the Arrow batch, so no SCORING Exchange (the JVM
-    plan paid a window sort+Exchange).  The only Exchange allowed is
-    the r16 scan-widening repartition (REPARTITION_BY_NUM — input
-    parallelism, below the scorer, not part of the scoring shape).
-    Uses the real sf0.001 testdata."""
+    happens inside the Arrow batch, so no Exchange (the JVM plan paid
+    a window sort+Exchange).  Uses the real sf0.001 testdata."""
     df = similarity.embedding_decontaminate(
         spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Exchange" in line:
-            assert "REPARTITION_BY_NUM" in line, line
+    assert "Exchange" not in plan
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan
