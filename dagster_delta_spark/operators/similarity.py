@@ -1748,49 +1748,127 @@ def _pq_query_topk(
     from pyspark.sql.window import Window
 
     rerank = max(rerank, k)
-    probes = _probe_cells_for(queries, cents, nprobe)
     import numpy as np
 
+    qrows = queries.collect()   # bounded by n_queries (feeds the LUTs)
     luts = {}
-    for r in queries.collect():   # bounded by n_queries
+    for r in qrows:
         q = np.asarray(r["q_emb"], dtype=np.float64) / r["q_norm"]
         mm, dsub = codebooks.shape[0], codebooks.shape[2]
         luts[r["q_id"]] = np.stack([
             codebooks[j] @ q[j * dsub:(j + 1) * dsub] for j in range(mm)
         ])  # (m, k): lut[j, c] = q_sub_j . codeword_jc
 
-    def _adc(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            codes_mat = _np.stack(pdf["codes"].to_numpy()).astype(_np.int64)
-            qids = pdf["q_id"].to_numpy()
-            score = _np.empty(len(pdf))
-            cols = _np.arange(codes_mat.shape[1])
-            for q in _np.unique(qids):
-                mask = qids == q
-                # m lookups per candidate: lut[j, code_j] summed over j
-                score[mask] = luts[q][cols[None, :],
-                                      codes_mat[mask]].sum(axis=1)
-            yield _pd.DataFrame({
-                "q_id": pdf["q_id"], "vec_id": pdf["vec_id"],
-                "ascore": score,
-            })
-
+    # r16 (guide §2.3/§4): probes rank DRIVER-SIDE from the (tiny)
+    # centroid frame — bit-identical to _probe_cells_for, the pinned
+    # _probe_map_driver — and the ADC scorer reads each code row ONCE
+    # (filtered to the probed union by a codegen'd In-set) scoring it
+    # against every query whose probe set holds its cell, with
+    # per-batch partial top-``rerank``.  The old shape built a
+    # crossJoin+window probe subquery per call and EXPANDED codes x
+    # matching queries through a broadcast join before the Python
+    # boundary — n_queries times the Arrow bytes for the same pair
+    # set.  Degenerate query/centroid sets keep the JVM probe join.
+    qm = _collect_query_matrix(qrows, "q_id", "q_emb", "q_norm")
+    probe_map = None
+    if qm is not None:
+        probe_map = _probe_map_driver(cents.collect(), *qm[:3],
+                                      nprobe=nprobe)
     w = Window.partitionBy("q_id").orderBy(F.desc("ascore"), F.asc("vec_id"))
-    shortlist = (
-        codes_with_cell
-        .join(F.broadcast(probes.select("q_id", "cell")), "cell")
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", "codes")
-        .mapInPandas(_adc, "q_id long, vec_id long, ascore double")
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= rerank)
-        .select("q_id", "vec_id")
-    )
+    if probe_map is not None:
+        pm = {int(qid): np.asarray(sorted(cs), dtype=np.int64)
+              for qid, cs in probe_map.items()}
+        qid_list = sorted(pm)
+        probed_union = sorted(set().union(*probe_map.values()))
+
+        def _adc_rows(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            cols = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes_mat = _np.stack(
+                    pdf["codes"].to_numpy()).astype(_np.int64)
+                if cols is None or len(cols) != codes_mat.shape[1]:
+                    cols = _np.arange(codes_mat.shape[1])
+                cells = pdf["cell"].to_numpy()
+                vv = pdf["vec_id"]
+                vids = vv.to_numpy()
+                notna = vv.notna().to_numpy()  # NULL != q is NULL in
+                # the JVM join: null-id rows never pair
+                out_q, out_v, out_s = [], [], []
+                for qid in qid_list:
+                    sel = (_np.isin(cells, pm[qid]) & notna
+                           & (vids != qid))
+                    if not sel.any():
+                        continue
+                    sc = luts[qid][cols[None, :],
+                                   codes_mat[sel]].sum(axis=1)
+                    v = vids[sel].astype(_np.int64, copy=False)
+                    if len(sc) > rerank:
+                        # partial top-rerank under the exact window
+                        # order (ascore desc with NaN above all,
+                        # vec_id asc) — union over batches is a
+                        # superset of the global top-rerank
+                        key1 = _np.where(_np.isnan(sc), _np.inf, sc)
+                        order = _np.lexsort((v, -key1))[:rerank]
+                        v, sc = v[order], sc[order]
+                    out_q.append(_np.full(len(v), qid, dtype=_np.int64))
+                    out_v.append(v)
+                    out_s.append(sc)
+                if out_q:
+                    yield _pd.DataFrame({
+                        "q_id": _np.concatenate(out_q),
+                        "vec_id": _np.concatenate(out_v),
+                        "ascore": _np.concatenate(out_s),
+                    })
+
+        shortlist = (
+            codes_with_cell
+            .where(F.col("cell").isin(probed_union))
+            .select("vec_id", "cell", "codes")
+            .mapInPandas(_adc_rows, "q_id long, vec_id long, ascore double")
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= rerank)
+            .select("q_id", "vec_id")
+        )
+    else:
+        probes = _probe_cells_for(queries, cents, nprobe)
+
+        def _adc(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes_mat = _np.stack(
+                    pdf["codes"].to_numpy()).astype(_np.int64)
+                qids = pdf["q_id"].to_numpy()
+                score = _np.empty(len(pdf))
+                cols = _np.arange(codes_mat.shape[1])
+                for q in _np.unique(qids):
+                    mask = qids == q
+                    # m lookups per candidate: lut[j, code_j] over j
+                    score[mask] = luts[q][cols[None, :],
+                                          codes_mat[mask]].sum(axis=1)
+                yield _pd.DataFrame({
+                    "q_id": pdf["q_id"], "vec_id": pdf["vec_id"],
+                    "ascore": score,
+                })
+
+        shortlist = (
+            codes_with_cell
+            .join(F.broadcast(probes.select("q_id", "cell")), "cell")
+            .where(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", "codes")
+            .mapInPandas(_adc, "q_id long, vec_id long, ascore double")
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= rerank)
+            .select("q_id", "vec_id")
+        )
     dot = DOT.format(a="q_emb", b="embedding")
     scored = (
         vectors
