@@ -47,8 +47,28 @@ def token_label_stream(docs: DataFrame, label_col: str) -> DataFrame:
     )
 
 
+def doc_token_counts(docs: DataFrame, label_col: str) -> DataFrame:
+    """(doc_id, label, token, cnt) — per-document token-occurrence
+    counts, ONE tokenize pass serving both training and scoring
+    (``label`` is per-doc metadata, so the (label, token) training
+    counts are exact integer sums of these rows and the scoring
+    (doc_id, token) counts are a projection).  Callers that train and
+    score the same corpus checkpoint this once and pass it to both
+    ``nb_train`` and ``nb_score`` — see ``nb_classifier_scores``."""
+    return (
+        docs.select(
+            "doc_id",
+            F.col(label_col).alias("label"),
+            F.explode(F.expr(TOKENS)).alias("token"),
+        )
+        .groupBy("doc_id", "label", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def nb_train(
-    docs: DataFrame, label_col: str, smoothing: float = 1.0
+    docs: DataFrame, label_col: str, smoothing: float = 1.0,
+    token_counts: DataFrame = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train multinomial NB: returns ``(model, classes)``.
 
@@ -57,8 +77,20 @@ def nb_train(
     ``classes``: (label, log_prior, logp_default) where
     ``logp_default`` is the unseen-token likelihood of that class.
     Two shuffles total (token-class counts, class totals); the
-    vocabulary size and doc totals are scalar aggregates."""
-    toks = token_label_stream(docs, label_col)
+    vocabulary size and doc totals are scalar aggregates.
+
+    ``token_counts`` (optional): a precomputed ``doc_token_counts``
+    frame — the (label, token) counts then derive as exact integer
+    sums instead of re-tokenizing ``docs`` (``docs`` is still read
+    for priors: zero-token docs count toward priors but have no
+    token rows)."""
+    if token_counts is None:
+        toks = token_label_stream(docs, label_col)
+        grouped = toks.groupBy("label", "token").agg(
+            F.count(F.lit(1)).alias("tc"))
+    else:
+        grouped = token_counts.groupBy("label", "token").agg(
+            F.sum("cnt").alias("tc"))
     # vocabulary x classes sized — checkpointed (r15) because THREE
     # consumers read it: the vocab-size scalar below (an eager action
     # at train time), the class-totals aggregate and the model
@@ -66,10 +98,7 @@ def nb_train(
     # and re-shuffled the whole corpus; with it the corpus pass runs
     # once and the model lineage starts from a size-known frame (so
     # the scoring join can plan a broadcast).
-    tcc = (
-        toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("tc"))
-        .localCheckpoint(eager=False)
-    )
+    tcc = grouped.localCheckpoint(eager=False)
     class_tokens = tcc.groupBy("label").agg(F.sum("tc").alias("ct"))
     vocab = tcc.select("token").distinct().count()
     a = float(smoothing)
@@ -97,7 +126,8 @@ def nb_train(
 
 
 def nb_score(
-    docs: DataFrame, model: DataFrame, classes: DataFrame
+    docs: DataFrame, model: DataFrame, classes: DataFrame,
+    token_counts: DataFrame = None,
 ) -> DataFrame:
     """Log-posterior of every (doc, class): (doc_id, label, score).
 
@@ -105,12 +135,21 @@ def nb_score(
     contract as the oracle, whose token unnest drops them).  The score
     is rounded to 6 decimals — the fp-association headroom is ~1e-11
     for realistic doc lengths, so both engines land on the same
-    rounded value."""
-    dtc = (
-        docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    rounded value.
+
+    ``token_counts`` (optional): a precomputed ``doc_token_counts``
+    frame — the per-doc counts then project straight off it instead
+    of re-tokenizing ``docs`` (identical rows: the extra ``label``
+    grouping key is functionally determined by ``doc_id``)."""
+    if token_counts is not None:
+        dtc = token_counts.select("doc_id", "token", "cnt")
+    else:
+        dtc = (
+            docs.select(
+                "doc_id", F.explode(F.expr(TOKENS)).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     return (
         dtc.crossJoin(F.broadcast(classes))
         .join(model, ["token", "label"], "left")
@@ -170,6 +209,18 @@ def nb_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     every (doc_id, label, score).  Train == score set here (the oracle
     mirrors that); production trains on a labeled slice and scores the
     firehose with the same ``nb_score`` call."""
-    docs = planted_label_docs(load(spark, sf_dir, "documents"))
-    model, classes = nb_train(docs, "label")
-    return nb_score(docs, model, classes)
+    from .relational import widen_for_compute
+
+    raw = load(spark, sf_dir, "documents")
+    docs = planted_label_docs(raw)
+    # tokenize ONCE (r16): train and score both read one checkpointed
+    # per-doc count frame, built off a widened scan (guide §2.5 —
+    # the interpreted tokenizer otherwise runs twice, each pass pinned
+    # to one task by a single-row-group input; the widening exchange
+    # is paid once, inside this frame's materialization).  Priors and
+    # doc totals stay on the raw column-pruned scan.
+    counts = doc_token_counts(
+        planted_label_docs(widen_for_compute(raw)), "label"
+    ).localCheckpoint(eager=False)
+    model, classes = nb_train(docs, "label", token_counts=counts)
+    return nb_score(docs, model, classes, token_counts=counts)

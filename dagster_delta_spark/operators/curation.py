@@ -72,8 +72,16 @@ def decontaminate(
     eval_grams = (
         _word_ngrams(eval_set, ngram).select("gram").distinct()
     )
+    # corpus side only: the tokenizer + 8-gram transform + broadcast
+    # probe is an interpreted map pipeline over the raw scan — widen
+    # it off the single-row-group bench inputs (guide §2.5, the r16
+    # per-operator scan-widening scope; the eval side is tiny and the
+    # final doc_id projection is a cheap codegen'd scan, both stay raw)
+    from .relational import widen_for_compute
+
     overlaps = (
-        _word_ngrams(docs, ngram).join(F.broadcast(eval_grams), "gram")
+        _word_ngrams(widen_for_compute(docs), ngram)
+        .join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_contaminated_ngrams"))
     )
@@ -147,8 +155,13 @@ def bloom_decontaminate(
         eval_grams.select(*word_bit)
         .groupBy("word").agg(F.expr("bit_or(bit)").alias("bits"))
     )
+    # same corpus-side widening rationale as ``decontaminate`` above:
+    # tokenize + gram transform + hash + bitmap probe all run in the
+    # scan's map stage, which a single-row-group input pins to 1 task
+    from .relational import widen_for_compute
+
     survivors = (
-        _word_ngrams(docs, ngram)
+        _word_ngrams(widen_for_compute(docs), ngram)
         .select("doc_id", "gram", *word_bit)
         .join(F.broadcast(bloom), "word")
         .where(F.expr("(bits & bit) != 0"))
@@ -247,10 +260,22 @@ def near_dup_decontaminate(
 
     default_corpus = docs is None
     if default_corpus:
+        from .dedup import minhash_signatures
+
         docs = load(spark, sf_dir, "documents")
         corpus_sh = _shingle_stream(spark, sf_dir)  # session-cached
+        # the corpus signatures are the LSH family's session-cached
+        # signature frame — minhash_signatures computes the IDENTICAL
+        # function of the IDENTICAL (cached) shingle stream under the
+        # same hash family, so reusing it is bit-for-bit the old
+        # sigs_of(corpus_sh) while skipping the 64-seed explode+min
+        # re-derivation per call (r16; same convention as the LSH
+        # bucket index the batch dedup family rides)
+        corpus_sigs = minhash_signatures(
+            spark, sf_dir, num_hashes, portable_hash=portable_hash)
     else:
         corpus_sh = shingles_of(docs)
+        corpus_sigs = sigs_of(corpus_sh)
     if eval_set is None:
         # the default eval stand-in is a corpus subset: filter its
         # shingles out of the (already materialized) corpus stream
@@ -260,12 +285,20 @@ def near_dup_decontaminate(
         eval_sh = shingles_of(eval_set)
     # small by construction; feeds banding AND the verify join
     eval_sh = eval_sh.localCheckpoint()
+    if eval_set is None:
+        # a MinHash signature is a per-doc aggregate of that doc's
+        # shingles only, so restricting the signature frame by doc_id
+        # IS the signature frame of the restricted shingle stream —
+        # no second 64-seed pass over the eval subset
+        eval_sigs = corpus_sigs.where(F.col("doc_id") % 17 == 3)
+    else:
+        eval_sigs = sigs_of(eval_sh)
     cand = (
-        band_buckets(sigs_of(corpus_sh), num_hashes, bands,
+        band_buckets(corpus_sigs, num_hashes, bands,
                      hash_sql=hash_sql)
         .join(
             F.broadcast(
-                band_buckets(sigs_of(eval_sh), num_hashes, bands,
+                band_buckets(eval_sigs, num_hashes, bands,
                              hash_sql=hash_sql)
                 .withColumnRenamed("doc_id", "eval_id")
             ),

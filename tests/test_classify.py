@@ -99,3 +99,50 @@ def test_entry_guard_fires_on_broken_model(spark, monkeypatch):
     monkeypatch.setattr(classify, "nb_train", broken_train)
     with pytest.raises(AssertionError, match="accuracy"):
         entry._nb_classifier(spark, "/root/testdata/sf0.001")
+
+
+def test_shared_token_counts_path_identical(spark):
+    """The tokenize-once path (r16): nb_train/nb_score fed a
+    precomputed ``doc_token_counts`` frame must reproduce the default
+    two-pass path bit-for-bit — including a zero-token doc, which
+    counts toward priors but carries no token rows."""
+    rows = [
+        (0, "apple apple pie", "a"),
+        (1, "apple tart", "a"),
+        (2, "banana split", "b"),
+        (3, "banana banana bread", "b"),
+        (4, "", "a"),  # zero tokens: prior-only
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, label string")
+
+    model0, classes0 = classify.nb_train(docs, "label")
+    scores0 = classify.nb_score(docs, model0, classes0)
+
+    counts = classify.doc_token_counts(docs, "label").localCheckpoint()
+    model1, classes1 = classify.nb_train(
+        docs, "label", token_counts=counts)
+    scores1 = classify.nb_score(
+        docs, model1, classes1, token_counts=counts)
+
+    for a, b in ((model0, model1), (classes0, classes1),
+                 (scores0, scores1)):
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+    # the zero-token doc reached priors (5 docs, 3 'a') but not scores
+    prior_a = {r["label"]: r["log_prior"] for r in classes1.collect()}
+    assert prior_a["a"] == pytest.approx(math.log(3 / 5))
+    assert scores1.where("doc_id = 4").count() == 0
+
+
+def test_nb_classifier_scores_matches_manual_pipeline(spark):
+    """The benched operator (shared-counts + widened scan) must equal
+    the generic two-pass pipeline on the real fixture."""
+    sf = "/root/testdata/sf0.001"
+    docs = classify.planted_label_docs(
+        classify.load(spark, sf, "documents"))
+    model, classes = classify.nb_train(docs, "label")
+    expected = classify.nb_score(docs, model, classes)
+    got = classify.nb_classifier_scores(spark, sf)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0

@@ -749,3 +749,23 @@ def test_unimax_sample_all_capped_and_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         unimax_sample(spark, "/root/testdata/sf0.001", budget_docs=0)
+
+
+def test_near_dup_decontaminate_cached_sigs_identical(spark):
+    """r16: the default corpus rides the LSH family's session-cached
+    signature frame, and the default eval side restricts it by doc_id
+    (a per-doc aggregate restricts exactly like its input stream).
+    Both must be bit-identical to the uncached formulation — forced
+    here by passing the SAME default frames explicitly, which takes
+    the sigs_of (re-derive) path."""
+    from dagster_delta_spark.operators.curation import (
+        load, near_dup_decontaminate)
+
+    cached = near_dup_decontaminate(spark, SF)
+    docs = load(spark, SF, "documents")
+    explicit = near_dup_decontaminate(
+        spark, SF, docs=docs,
+        eval_set=docs.where("doc_id % 17 = 3"))
+    assert cached.exceptAll(explicit).count() == 0
+    assert explicit.exceptAll(cached).count() == 0
+    assert cached.count() > 0
