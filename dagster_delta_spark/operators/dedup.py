@@ -1289,6 +1289,9 @@ def line_dedup_corpus(
     curation family (SURVEY §2 extension surface)."""
     if line_words < 1:
         raise ValueError(f"line_words must be >= 1, got {line_words}")
+    # scan widening A/B'd here and REJECTED (r16, 6 trials: med 0.661
+    # unwidened vs 0.806 widened — the full-text exchange outweighs
+    # the parallelized re-chunk transform at this SF)
     docs = load(spark, sf_dir, "documents")
     w = int(line_words)
     sized = (

@@ -154,7 +154,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partial aggregation map-side; 6 aggregates in one pass."""
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        # widen AFTER the pushed filter (r16, guide §2.5): the six
+        # DECIMAL(30,10) partial aggregates run in the scan's map
+        # stage, which a single-row-group input pins to one task;
+        # the exchange carries only surviving, column-pruned rows.
+        # Exact: decimal accumulation is order-independent.
+        widen_for_compute(
+            li.where(F.col("l_shipdate")
+                     <= F.lit("1998-09-02").cast("timestamp")),
+            "l_orderkey")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             # money sums accumulate in DECIMAL so the result is exact and
@@ -193,9 +201,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
-    li = load(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
-    )
+    # widened post-filter (r16, guide §2.5): the broadcast-join +
+    # DECIMAL partial-agg map stage otherwise runs on the single
+    # row-group scan's one task
+    li = widen_for_compute(
+        load(spark, sf_dir, "lineitem").where(
+            F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+        ),
+        "l_orderkey")
     return (
         li.join(
             orders.join(
@@ -298,6 +311,9 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table (the
     batch twin of the Structured Streaming rollup in
     ``streaming/events.py``): 1-hour windows by event_type."""
+    # scan widening A/B'd here and REJECTED (r16, 6 trials: med 0.502
+    # unwidened vs 0.675 widened — the exchange outweighs the
+    # parallelized window-bucket partial agg at this SF)
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -361,7 +377,11 @@ def order_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitems contribute zero revenue via the left join + coalesce —
     same contract as the agg-then-join shape."""
     orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    # widened (r16, guide §2.5): the revenue side's broadcast join +
+    # DECIMAL partial agg is the scan's map stage — one task on a
+    # single-row-group input.  The orders side stays raw (its own
+    # aggregate is over the much smaller table).
+    li = widen_for_compute(load(spark, sf_dir, "lineitem"), "l_orderkey")
     okeys = broadcast_if_small(
         orders.select("o_orderkey", "o_orderstatus"), sf_dir, "orders"
     )
@@ -394,7 +414,10 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP over (status, priority): subtotal rows at every
     hierarchy level in one pass (Spark expands grouping sets into a
     single shuffle with a grouping-id column)."""
-    orders = load(spark, sf_dir, "orders")
+    # widened (r16, guide §2.5): grouping-set expansion multiplies the
+    # DECIMAL partial-agg rows map-side — serial on an unsplit scan
+    orders = widen_for_compute(
+        load(spark, sf_dir, "orders"), "o_orderkey")
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
@@ -409,7 +432,9 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE over (status, priority): all grouping-set
     combinations in one pass."""
-    orders = load(spark, sf_dir, "orders")
+    # widened: same rationale as revenue_rollup above
+    orders = widen_for_compute(
+        load(spark, sf_dir, "orders"), "o_orderkey")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(

@@ -490,6 +490,11 @@ def heavy_hitter_tokens(
     scans.  (Reference analogue: frequent-pattern profiling; the
     engine-native piece is the mergeable-sketch + exact-verify
     split.)"""
+    # scan widening A/B'd here and REJECTED (r16, 6 trials: med 0.661
+    # unwidened vs 0.921 widened — the full-text exchange plus the
+    # 32x-larger merged candidate set outweigh the parallelized
+    # sketch; output is exact under any partitioning, so this is a
+    # pure cost call)
     docs = load(spark, sf_dir, "documents")
     cap = 4 * k
 
@@ -1091,6 +1096,9 @@ def pmi_collocations(
     Linear in corpus tokens, all codegen."""
     from pyspark.sql.window import Window
 
+    # scan widening A/B'd here and REJECTED (r16, 6 trials: med 0.915
+    # unwidened vs 1.143 widened — the full-text exchange outweighs
+    # the parallelized pair transform at this SF)
     docs = load(spark, sf_dir, "documents")
     tarr = docs.select("doc_id", F.expr(TOKENS).alias("t"))
     toks = tarr.select(
