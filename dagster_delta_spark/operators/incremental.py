@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import MergeConfig, MergeType, WriteMode
 from ..table import DeltaSparkTable
+from .relational import widen_for_compute
 
 
 def maintain_rollup(
@@ -596,9 +597,14 @@ def maintain_lsh_index(
               "hash_family": hash_family}
     removed = _apply_index_deletions(index, dels.select("doc_id"),
                                      "doc_id")
-    # pinned: isEmpty() and the staged write share one banding pass
+    # pinned: isEmpty() and the staged write share one banding pass.
+    # widened (r16, guide §2.5): the feed's delta arrives as 1-2 scan
+    # partitions, pinning the shingle + num_hashes-seed sign pass (the
+    # fold's dominant phase) to one task; banding is per-doc, so the
+    # repartition is value-exact
     buckets = _lsh_doc_buckets(
-        ins.select("doc_id", "text"), num_hashes, bands, hash_family
+        widen_for_compute(ins.select("doc_id", "text"), "doc_id"),
+        num_hashes, bands, hash_family
     ).localCheckpoint(eager=True)
     if buckets.isEmpty():
         if removed:
@@ -727,7 +733,12 @@ def maintain_bm25_index(
     ins, dels = _split_row_changes(docs, v0, head, "doc_id")
     removed = _apply_index_deletions(index, dels.select("doc_id"),
                                      "doc_id")
-    # pinned: isEmpty() and the staged write share one tokenize pass
+    # pinned: isEmpty() and the staged write share one tokenize pass.
+    # delta-scan widening A/B'd here and REJECTED (r16: med 0.687
+    # unwidened vs 1.616 widened — the partition probe + exchange +
+    # 32-block checkpoint dwarf the parallelized tokenize on an
+    # O(delta) input; contrast the LSH fold, whose 64-seed sign pass
+    # is heavy enough to win)
     rows = _bm25_index_rows(
         ins.select("doc_id", "text")).localCheckpoint(eager=True)
     if rows.isEmpty():
@@ -918,7 +929,11 @@ def maintain_ivf_index(
     removed = _apply_index_deletions(index, dels.select("vec_id"),
                                      "vec_id")
     cents = _ivf_centroids_table(index).read()
-    # pinned: isEmpty() and the staged write share one assignment pass
+    # pinned: isEmpty() and the staged write share one assignment pass.
+    # delta-scan widening A/B'd here and REJECTED (r16: med 0.652
+    # unwidened vs 1.139 widened — the exchange carries the wide
+    # embedding arrays and the batched Arrow matmul is already fast
+    # on an O(delta) input)
     assigned = assign_fn(
         _with_norm(ins.select("vec_id", "embedding")), cents
     ).select("vec_id", "cell").localCheckpoint(eager=True)
@@ -1067,6 +1082,8 @@ def maintain_pq_index(
     ins, dels = _split_row_changes(emb, v0, head, "vec_id")
     removed = _apply_index_deletions(index, dels.select("vec_id"),
                                      "vec_id")
+    # delta-scan widening A/B'd here and REJECTED (r16: med 0.566
+    # unwidened vs 1.062 widened — same analysis as the IVF fold)
     delta = _with_norm(ins.select("vec_id", "embedding"))
     # pinned: isEmpty() and the staged write share one encode pass
     if family == "portable":
